@@ -1,0 +1,60 @@
+"""Sink connectors.
+
+Spark-first analogue of the reference's publish steps (object
+storage writes in ``dags/tutorial_objectstorage.py``, warehouse
+loads in ``dags/tutorial_dag.py``): declarative writers with the
+layout controls that matter at 100 TB — partition columns for
+pruning, bucketing for shuffle-free downstream joins, and explicit
+file sizing (no thousands-of-tiny-files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int | None = None,
+) -> None:
+    """Partition-aware parquet writer.
+
+    ``partition_by`` buys partition pruning for every downstream
+    reader; ``maxRecordsPerFile`` caps file size so a skewed
+    partition doesn't produce one multi-GB file.
+    """
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    w.parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table writer: joins/aggs on ``bucket_cols``
+    downstream become shuffle-free (both sides pre-partitioned).
+    This is the 100 TB answer for repeatedly-joined fact tables.
+    """
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table, format="parquet")
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)

@@ -1,0 +1,128 @@
+"""Source connectors + table catalog.
+
+Spark-first analogue of the reference's source layer
+(``dags/tutorial_objectstorage.py`` ObjectStoragePath ingest,
+``dags/tutorial_dag.py`` extract task): sources are declarative
+``spark.read`` plans so Catalyst gets predicate pushdown, column
+pruning, and partition pruning for free — nothing is materialized
+at read time.
+
+At 100 TB the catalog matters: every query should name tables once,
+get consistent schemas, and scan parquet with pushed filters.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables: always broadcast-eligible in joins. At gov
+# scale these stay tiny (regions/nations are bounded by geography).
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one catalog table as a lazy parquet scan."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    """Load catalog tables and register them as temp views so both
+    the DataFrame API and ``spark.sql`` reach the same plans."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+@dataclass
+class Catalog:
+    """Named lazy table handles over one scale-factor directory."""
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = read_table(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self) -> None:
+        for name in TABLES:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def read_csv(
+    spark: SparkSession, path: str, schema: StructType | str, **options: str
+) -> DataFrame:
+    """CSV source with an explicit schema — schema inference does a
+    full extra pass over the data, which is a non-starter at scale."""
+    return spark.read.options(header="true", **options).schema(schema).csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str, **options: str
+) -> DataFrame:
+    """JSON-lines source with explicit schema (no inference pass)."""
+    return spark.read.options(**options).schema(schema).json(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.text(path)
+
+
+def jdbc_source_plan(
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **properties: str,
+) -> dict[str, str]:
+    """Build the option dict for a partitioned JDBC read.
+
+    The container has no JDBC driver, so this returns the validated
+    option plan (unit-tested) rather than a DataFrame; on a cluster:
+    ``spark.read.format("jdbc").options(**plan).load()``. Partitioned
+    reads (partitionColumn/lowerBound/upperBound/numPartitions) are
+    mandatory at scale — a single-connection JDBC read serializes the
+    whole table through one task.
+    """
+    plan = {"url": url, "dbtable": table, **properties}
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned JDBC read needs lower/upper bounds")
+        plan.update(
+            partitionColumn=partition_column,
+            numPartitions=str(num_partitions),
+            lowerBound=str(lower_bound),
+            upperBound=str(upper_bound),
+        )
+    return plan

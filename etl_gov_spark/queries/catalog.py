@@ -1,0 +1,50 @@
+"""Query registry: merges every operator family's QUERIES dict.
+
+Single source of truth for ``__spark_entry__.queries()`` /
+``oracle_sql()`` and for bench.py. Each family module exports
+``QUERIES: dict[name, (fn, oracle_sql | None)]``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _families() -> list[dict]:
+    from etl_gov_spark.operators import relational
+
+    fams = [relational.QUERIES]
+    for mod_name in ("timeseries", "dedup", "similarity", "text", "multimodal"):
+        try:
+            mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])
+            fams.append(mod.QUERIES)
+        except ImportError:
+            pass
+    try:
+        from etl_gov_spark.pipeline import demo
+
+        fams.append(demo.QUERIES)
+    except ImportError:
+        pass
+    return fams
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable] = {}
+    for fam in _families():
+        for name, (fn, _sql) in fam.items():
+            if name in out:
+                raise ValueError(f"duplicate query name: {name}")
+            out[name] = fn
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for fam in _families():
+        for name, (_fn, sql) in fam.items():
+            if sql is not None:
+                out[name] = sql
+    return out

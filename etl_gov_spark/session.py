@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned for correctness at local[*] test scale while
+remaining the settings you'd want on a 1000-executor cluster:
+AQE (runtime re-planning + skew-join splitting), Arrow for any
+pandas exchange, and an explicit shuffle partition count (never the
+200 default; AQE coalesces down as needed).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "etl-gov-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+    ``local[*]``) when no cluster master is configured — on a real
+    cluster you pass the master via spark-submit and this leaves it
+    untouched.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+
+    n_shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    conf = {
+        # AQE: runtime coalescing, skew-join splitting, plan re-opt.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Explicit shuffle width; AQE coalesces small stages down.
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        # Arrow for all pandas/Spark exchange (pandas UDFs, toPandas).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Timestamps: keep parquet INT96-free, session TZ = UTC so
+        # results are engine-portable.
+        "spark.sql.session.timeZone": "UTC",
+        # Scan sizing: 128 MiB splits — the per-task unit that keeps
+        # 100 TB scans at ~800k tasks, each memory-bounded.
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # Broadcast threshold: dims (region/nation/supplier/part at
+        # gov scale) broadcast; AQE also converts at runtime.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -17,6 +17,7 @@ import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 TABLES = (
@@ -38,8 +39,21 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one catalog table as a lazy parquet scan."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one catalog table as a lazy parquet scan.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read nanos as long
+    (runtime conf) and truncate to microsecond timestamps with
+    integer division — same truncation DuckDB applies, so both
+    engines see identical values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    fields = dict(df.dtypes)
+    if name == "events" and fields.get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(

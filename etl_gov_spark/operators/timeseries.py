@@ -1,0 +1,351 @@
+"""Time-series / event operators (SURVEY.md §2.B + as-of/range joins).
+
+Gov telemetry analytics over the ``events`` table: sessionization,
+tumbling windows, funnels, retention cohorts, JSON prop extraction,
+as-of joins, and banded range joins — the batch mirror of what the
+reference schedules as sensor-driven DAGs (``example_sensors.py``,
+``example_time_delta_sensor_async.py``) and what
+``streaming/events_stream.py`` runs continuously.
+
+Scale stance:
+- all window functions partition by ``user_id`` (high-cardinality
+  key → even shards; no global ordering anywhere)
+- time comparisons use integer microseconds (``unix_micros`` /
+  ``epoch_us``) — exact in both engines, no float-epoch drift
+- the range join is re-expressed as an equi-join on (user, time
+  bucket) + residual filter, so it shuffles instead of falling into
+  a broadcast-nested-loop O(n·m) plan
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min idle gap) via lag + running
+    sum of session-start flags — two windows over the same (user_id,
+    ts) partitioning, so Spark sorts each user shard once and reuses
+    it. No per-session shuffle: session_id is derived in-partition.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "value", F.unix_micros("ts").alias("_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("_us") - F.lag("_us").over(w) > F.lit(SESSION_GAP_US), 1
+        ).otherwise(F.when(F.lag("_us").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )
+    return flagged.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        _R4(F.sum("value"), "session_value"),
+    )
+
+
+Q_SESSIONIZE_SQL = """
+SELECT user_id, session_seq,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM (
+  SELECT user_id, ts, value,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_seq
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > 1800000000 THEN 1
+                WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id, session_seq
+"""
+
+
+def q_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type: the batch form of the
+    streaming hourly rollup. Pure map-side-combine groupBy on a
+    bounded key (hours × types)."""
+    ev = Catalog(spark, sf_dir).events
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _R4(F.sum("value"), "total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+Q_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase per user, counted.
+
+    Stage mins are computed with conditional aggregation in ONE
+    groupBy pass per stage chain (no re-scan per stage): stage2 uses
+    a self-join back to events only on users that completed stage1 —
+    at scale each stage strictly shrinks the probe side.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"), F.first("signup_ts").alias("signup_ts"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_signup_click")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+Q_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_signup_click,
+       (SELECT count(*) FROM s3) AS n_full_funnel
+"""
+
+
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    by day offset (0..7). Two aggregations, one self-join on the
+    high-cardinality user key."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(first_day, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+Q_RETENTION_SQL = """
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT cohort_day,
+       CAST(date_diff('day', cohort_day, day) AS INTEGER) AS day_offset,
+       count(DISTINCT user_id) AS n_users
+FROM active JOIN fd USING (user_id)
+WHERE date_diff('day', cohort_day, day) <= 7
+GROUP BY 1, 2
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation over events.props —
+    the semi-structured path every gov feed needs. get_json_object
+    runs JVM-side (no Python); at scale prefer from_json with an
+    explicit schema so the parse result is columnar."""
+    ev = Catalog(spark, sf_dir).events
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            _R4(F.avg("k"), "avg_k"),
+            F.max("k").alias("max_k"),
+            F.min("k").alias("min_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+Q_JSON_SQL = """
+SELECT event_type,
+       round(avg(k), 4) AS avg_k,
+       max(k) AS max_k,
+       min(k) AS min_k,
+       count(*) AS n_events
+FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every purchase, the latest click by the same
+    user strictly-before it (lexicographic (ts, event_id) order).
+
+    Spark-first: instead of an O(n·m) inequality join, union the two
+    event streams and take ``last(click_id) IGNORE NULLS`` over a
+    rows-frame ending 1 before current — one shuffle on user_id, one
+    sort per shard, linear in events. This is the 100 TB-safe as-of
+    pattern (same shape Flink/kdb use).
+    """
+    ev = Catalog(spark, sf_dir).events
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("_click_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("_click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        both.withColumn("last_click_id", F.last("_click_id", ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last("_click_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_id", "last_click_ts")
+    )
+
+
+Q_ASOF_SQL = """
+SELECT event_id, user_id, ts, last_click_id, last_click_ts
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+WHERE event_type = 'purchase'
+"""
+
+RANGE_WINDOW_US = 5 * 60 * 1_000_000  # 5 min
+_BUCKET_US = RANGE_WINDOW_US  # bucket width == window → 2 candidate buckets
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: for each error event, how many events did
+    the same user emit in the preceding 5 minutes?
+
+    Spark-first: a raw ``a.ts BETWEEN e.ts - 5min AND e.ts`` join is
+    a broadcast-nested-loop — quadratic per user. Re-express as an
+    equi-join on (user_id, time_bucket): each probe error explodes
+    into its 2 candidate buckets (bucket width = window width), join
+    is hash-based, then a residual microsecond filter keeps the
+    exact band. Linear shuffle, AQE-splittable.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("_us")
+    )
+    probe = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("err_id"),
+            F.col("_us").alias("err_us"),
+            F.explode(
+                F.array(
+                    (F.col("_us") / _BUCKET_US).cast("long") - 1,
+                    (F.col("_us") / _BUCKET_US).cast("long"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    build = ev.select(
+        "user_id",
+        F.col("_us").alias("ev_us"),
+        (F.col("_us") / _BUCKET_US).cast("long").alias("bucket"),
+    )
+    hits = (
+        probe.join(build, ["user_id", "bucket"])
+        .filter(
+            (F.col("ev_us") < F.col("err_us"))
+            & (F.col("ev_us") >= F.col("err_us") - F.lit(RANGE_WINDOW_US))
+        )
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_prior_5min"))
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id"
+    )
+    return errors.join(hits, "err_id", "left").select(
+        "err_id", "user_id", F.coalesce("n_prior_5min", F.lit(0)).alias("n_prior_5min")
+    )
+
+
+Q_RANGE_SQL = """
+SELECT e.event_id AS err_id, e.user_id,
+       count(a.event_id) AS n_prior_5min
+FROM events e
+LEFT JOIN events a
+  ON a.user_id = e.user_id
+ AND epoch_us(a.ts) < epoch_us(e.ts)
+ AND epoch_us(a.ts) >= epoch_us(e.ts) - 300000000
+WHERE e.event_type = 'error'
+GROUP BY e.event_id, e.user_id
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q_sessionize": (q_sessionize, Q_SESSIONIZE_SQL),
+    "q_tumbling_hourly": (q_tumbling_hourly, Q_TUMBLING_SQL),
+    "q_funnel": (q_funnel, Q_FUNNEL_SQL),
+    "q_retention_cohort": (q_retention_cohort, Q_RETENTION_SQL),
+    "q_json_extract": (q_json_extract, Q_JSON_SQL),
+    "q_asof_join": (q_asof_join, Q_ASOF_SQL),
+    "q_range_join": (q_range_join, Q_RANGE_SQL),
+}

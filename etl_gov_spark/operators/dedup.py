@@ -1,0 +1,330 @@
+"""Deduplication operators (SURVEY.md §2.C) over ``documents`` /
+``embeddings``.
+
+The LLM-corpus dedup ladder, each rung Spark-first:
+
+- exact:       md5 groupBy — one shuffle on the hash key
+- minhash+LSH: shingle → k minhashes → band keys → bucket self-join.
+  Turns O(n²) candidate generation into per-bucket joins; buckets
+  are md5 keys, so they hash-partition evenly at any scale.
+- n-gram Jaccard: exact verify stage, blocked (here: by source) so
+  pair count stays bucket-local
+- simhash:     64-bit signature + 16-bit-chunk banding (Hamming ≤ t
+  ⇒ some chunk equal when t < chunks) — pigeonhole blocking
+- embedding:   cosine near-dup; exact pair mode here (oracle-able),
+  LSH-bucketed mode in operators/similarity.py for the scale path
+
+MinHash portability: hash_j(shingle) = md5(j || '|' || shingle),
+min taken lexicographically — identical strings in Spark and DuckDB,
+which is what makes an *approximate* algorithm exactly oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators.text import tokens_col
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+N_HASHES = 8
+N_BANDS = 4  # 2 hashes per band
+SHINGLE_K = 3
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content
+    hash with the kept (minimum) doc_id and the duplicate count.
+    Pure hash-key groupBy: map-side combine, no skew (md5 keys)."""
+    docs = Catalog(spark, sf_dir).documents
+    norm = F.concat_ws(" ", tokens_col())
+    return (
+        docs.select("doc_id", F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+            (F.count(F.lit(1)) - 1).alias("n_dups"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(array_to_string(string_split_regex(trim(text), '\s+'), ' ')) AS content_hash,
+       min(doc_id) AS keep_doc_id,
+       count(*) AS group_size,
+       count(*) - 1 AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def shingles_col(k: int = SHINGLE_K) -> Column:
+    """Word k-gram shingles as an array column (codegen, no UDF)."""
+    toks = tokens_col()
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+_SQL_SHINGLES = (
+    r"list_transform(generate_series(1, greatest(len(toks) - 2, 1)),"
+    r" i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+
+def minhash_signature() -> Column:
+    """k portable minhashes: sig[j] = min over shingles of
+    md5(j || '|' || shingle) (lexicographic min of hex strings)."""
+    sh = shingles_col()
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda j: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+_SQL_SIG = (
+    "list_transform(generate_series(0, 7), j -> list_aggregate("
+    f"list_transform({_SQL_SHINGLES}, s -> md5(CAST(j AS VARCHAR) || '|' || s)), 'min'))"
+)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: docs sharing ≥1 of 4 band keys become
+    candidate pairs, scored by signature agreement.
+
+    Scale: signatures are computed in codegen (no UDF, no shuffle);
+    the only shuffle is the band-key self-join, and each bucket is
+    tiny unless documents really collide — exactly the work you want
+    at 100 TB. Band keys are md5(h_2b || h_2b+1).
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", minhash_signature().alias("sig")
+    )
+    banded = docs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.md5(
+                    F.concat(
+                        F.element_at(F.col("sig"), b * 2 + 1),
+                        F.element_at(F.col("sig"), b * 2 + 2),
+                    )
+                ),
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_key"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_key"
+    )
+    pairs = a.join(b, "band_key").filter(F.col("doc_a") < F.col("doc_b"))
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first(agree).alias("_agree"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_bands",
+            _R4(F.col("_agree") / F.lit(N_HASHES), "sig_agreement"),
+        )
+    )
+
+
+DEDUP_MINHASH_SQL = rf"""
+WITH sigs AS (
+  SELECT doc_id, {_SQL_SIG} AS sig
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), banded AS (
+  SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3),
+         b -> md5(sig[b*2+1] || sig[b*2+2]))) AS band_key
+  FROM sigs
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       count(*) AS n_shared_bands,
+       round(list_sum(list_transform(generate_series(1, 8),
+             j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END)) / 8.0, 4) AS sig_agreement
+FROM banded a JOIN banded b USING (band_key)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.sig, b.sig
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard, blocked by ``source``: top-5 most
+    similar pairs per source (deterministic tie-break).
+
+    This is the verify stage of the dedup ladder: run it on LSH
+    candidates (or a blocking key, as here) — never all pairs.
+    Set ops are codegen array functions on distinct shingle sets.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.array_distinct(shingles_col()).alias("sh")
+    )
+    a = docs.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = docs.select(
+        F.col("source"), F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    pairs = (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("source", "doc_a", "doc_b", (inter / union).alias("_j"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("_j"), F.asc("doc_a"), F.asc("doc_b")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_a", "doc_b", _R4(F.col("_j"), "jaccard"), "rank")
+    )
+
+
+DEDUP_JACCARD_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), pairs AS (
+  SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT source, doc_a, doc_b, round(j, 4) AS jaccard, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY j DESC, doc_a ASC, doc_b ASC) AS INTEGER) AS rank
+  FROM pairs
+)
+WHERE rank <= 5
+"""
+
+SIMHASH_HAMMING_T = 8
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs (rows-only check: xxhash64 has
+    no DuckDB twin; recall is asserted on synthetic dups in tests).
+
+    Build: per-doc term frequencies (vocab-bounded), explode the 64
+    bit positions, majority-vote each bit, OR the winning bits into
+    a long. Blocking: pigeonhole on 4×16-bit chunks — Hamming ≤ 8
+    pairs *may* collide on a chunk; candidates are verified with
+    bit_count(xor). Everything is JVM built-ins.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.xxhash64("w"))
+    )
+    bits = tf.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("cnt"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("cnt"))
+        .otherwise(-F.col("cnt"))
+        .alias("contrib"),
+    )
+    sim = (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("simhash")
+        )
+    )
+    chunked = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
+    ).withColumn("chunk_val", F.expr("shiftright(simhash, chunk * 16) & 65535"))
+    a = chunked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val"
+    )
+    b = chunked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_T)
+        .distinct()
+    )
+
+
+EMB_DUP_THRESHOLD = 0.35
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact pair mode).
+
+    Exact mode is oracle-able and right for post-LSH verification;
+    the scale path for candidate *generation* is the sign-LSH
+    bucketing in operators/similarity.py. Vectors are cast to
+    double so Spark's fold and DuckDB's list_cosine_similarity
+    agree bit-for-bit before rounding.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", (dot / (na * nb)).alias("_cos"))
+        .filter(F.col("_cos") >= EMB_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", _R4(F.col("_cos"), "cosine"))
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {EMB_DUP_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
+    "dedup_simhash": (dedup_simhash, None),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+}

@@ -1,0 +1,139 @@
+"""Similarity search over embeddings (SURVEY.md §2.D).
+
+Approximate-nearest-neighbor over an ``array<float>`` column:
+
+- ``ann_bruteforce_topk``: exact cosine top-k — the correctness
+  baseline and the right answer when the query set is small (it is
+  a broadcast join: |Q| × N scored pairs, embarrassingly parallel,
+  no shuffle until the tiny per-query top-k).
+- ``ann_lsh_topk``: random-hyperplane sign LSH. Hyperplane
+  directions are derived from xxhash64 (deterministic, no RNG
+  state), so the plan is reproducible across runs/executors.
+  Candidates = vectors sharing the query's bucket; at 100 TB the
+  bucket join replaces the |Q| × N scan with |Q| × (N / 2^bits).
+
+Dot products are codegen ``aggregate(zip_with(...))`` folds in
+double precision — no Python, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+TOP_K = 10
+QUERY_STRIDE = 50  # vec_id % stride == 0 → query set
+N_PLANES = 8
+DIM = 64
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the stride-sampled query set.
+
+    The query side is broadcast (tiny); every candidate partition
+    scores locally; row_number per query keeps k rows. Deterministic
+    tie-break on candidate vec_id.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = pairs.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+    )
+
+
+ANN_BRUTEFORCE_SQL = f"""
+SELECT q_id, cand_id, round(cos, 4) AS cosine, rank
+FROM (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS cos,
+         CAST(row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                      c.vec_id ASC) AS INTEGER) AS rank
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes derived from md5 at plan-build
+    time and embedded as literals — stateless (any run/executor
+    rebuilds the identical plan), nothing broadcast or stored."""
+    import hashlib
+
+    planes = []
+    for k in range(n_planes):
+        digest = b""
+        while len(digest) < dim:
+            digest += hashlib.md5(f"plane-{k}-{len(digest)}".encode()).digest()
+        planes.append([1.0 if byte % 2 == 0 else -1.0 for byte in digest[:dim]])
+    return planes
+
+
+def _plane_sign_bits(v: str | Column) -> Column:
+    """Sign-LSH bucket id as a bit-string: char k = sign of
+    dot(v, H_k). String keys hash-partition evenly in the bucket
+    equi-join."""
+    bits = [
+        F.when(
+            _dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in _hyperplanes()
+    ]
+    return F.concat(*bits)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-10 (rows-only: bucket membership is
+    not SQL-portable; recall vs brute force is asserted in tests).
+
+    Equi-join on bucket id — with 2^8 buckets the candidate set per
+    query is ~N/256; add more planes (or multi-probe) as N grows.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("bucket", _plane_sign_bits("v"))
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    pairs = F.broadcast(q).join(emb, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = pairs.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, None),
+}

@@ -1,0 +1,206 @@
+"""Text-analysis operators (SURVEY.md §2.E) over ``documents``.
+
+LLM-training-data text metrics as pure JVM-side expressions — no
+Python UDFs anywhere in this module: tokenization, quality scoring,
+language-ID heuristics, token counting, and fingerprinting are all
+built-in-function compositions, so they run inside whole-stage
+codegen and scale linearly with document count (embarrassingly
+parallel, zero shuffles except final aggregates).
+
+Portability: every function here has an exact DuckDB-SQL twin
+(split → string_split_regex, md5 → md5, higher-order filter →
+list_filter), which is what makes the oracles exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+# Deterministic stopword sets for the langid heuristic + quality
+# score. (Tiny by design: the heuristic must be exactly portable.)
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "on")
+STOPWORDS_ES = ("el", "la", "de", "y", "en", "es", "un", "una")
+STOPWORDS_FR = ("le", "la", "de", "et", "en", "est", "un", "une")
+STOPWORDS_DE = ("der", "die", "das", "und", "in", "ist", "ein", "eine")
+
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-ish: runs of letters / digits / single punct
+
+
+def tokens_col(text: str = "text") -> Column:
+    """Whitespace tokens of a trimmed text column (JVM-side)."""
+    return F.split(F.trim(F.col(text)), r"\s+")
+
+
+def _stop_hits(tokens: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def _sql_stop_hits(words: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(toks, t -> list_contains([{lst}], t)))"
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + composite score.
+
+    Features: char length, word count, mean word length, stopword
+    ratio, punctuation ratio, uppercase ratio. Score is a fixed
+    linear blend — deterministic, no model. One narrow projection
+    over documents; groupless, shuffle-free.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    toks = tokens_col()
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    stop = _stop_hits(toks, STOPWORDS_EN)
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    score = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.5
+        + (stop / n_words) * 0.3
+        + (1 - punct / n_chars) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        _R4(n_chars / n_words, "avg_word_len"),
+        _R4(stop / n_words, "stopword_ratio"),
+        _R4(punct / n_chars, "punct_ratio"),
+        _R4(score, "quality_score"),
+    )
+
+
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       len(toks) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       round(length(text) / CAST(len(toks) AS DOUBLE), 4) AS avg_word_len,
+       round({_sql_stop_hits(STOPWORDS_EN)} / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio,
+       round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+       round(least(len(toks) / 200.0, 1.0) * 0.5
+             + ({_sql_stop_hits(STOPWORDS_EN)} / CAST(len(toks) AS DOUBLE)) * 0.3
+             + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality_score
+FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (deterministic heuristic).
+
+    Counts hits against four tiny stopword profiles and picks the
+    argmax (ties → 'und'). At 100 TB this is the cheap first-pass
+    filter before any model-based langid; runs entirely in codegen.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    toks = tokens_col()
+    en, es, fr, de = (
+        _stop_hits(toks, STOPWORDS_EN),
+        _stop_hits(toks, STOPWORDS_ES),
+        _stop_hits(toks, STOPWORDS_FR),
+        _stop_hits(toks, STOPWORDS_DE),
+    )
+    best = F.greatest(en, es, fr, de)
+    pred = (
+        F.when(best == F.lit(0), "und")
+        .when(en == best, "en")
+        .when(es == best, "es")
+        .when(fr == best, "fr")
+        .otherwise("de")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        fr.alias("fr_hits"),
+        de.alias("de_hits"),
+        pred.alias("pred_lang"),
+    )
+
+
+TEXT_LANGID_SQL = f"""
+SELECT doc_id, lang,
+       en_hits, es_hits, fr_hits, de_hits,
+       CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) = 0 THEN 'und'
+            WHEN en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+            WHEN es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+            WHEN fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'fr'
+            ELSE 'de' END AS pred_lang
+FROM (
+  SELECT doc_id, lang,
+         {_sql_stop_hits(STOPWORDS_EN)} AS en_hits,
+         {_sql_stop_hits(STOPWORDS_ES)} AS es_hits,
+         {_sql_stop_hits(STOPWORDS_FR)} AS fr_hits,
+         {_sql_stop_hits(STOPWORDS_DE)} AS de_hits
+  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+)
+"""
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens
+    (letter runs / digit runs / single symbols) + chars-per-token —
+    the standard pre-tokenizer cost estimate for LLM corpora."""
+    docs = Catalog(spark, sf_dir).documents
+    ws = F.size(tokens_col())
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        _R4(F.length("text") / bpe, "chars_per_token"),
+    )
+
+
+TEXT_TOKENS_SQL = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS n_bpe_tokens,
+       round(length(text) / CAST(len(regexp_extract_all(lower(text), '{_TOKEN_RE}')) AS DOUBLE), 4) AS chars_per_token
+FROM documents
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full-text md5, normalized-text md5
+    (lower+trim → whitespace-insensitive), and the minimum word-
+    5-gram shingle hash (a 1-hash MinHash — the rolling-fingerprint
+    primitive dedup builds on)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = tokens_col()
+    norm = F.concat_ws(" ", toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(4), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 5)),
+    )
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_raw"),
+        F.md5(norm).alias("md5_norm"),
+        F.array_min(F.transform(shingles, F.md5)).alias("min_shingle_md5"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(text) AS md5_raw,
+       md5(array_to_string(toks, ' ')) AS md5_norm,
+       list_aggregate(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 1)),
+           i -> md5(array_to_string(toks[i:i+4], ' '))), 'min') AS min_shingle_md5
+FROM (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "text_quality": (text_quality, TEXT_QUALITY_SQL),
+    "text_langid": (text_langid, TEXT_LANGID_SQL),
+    "text_tokens": (text_tokens, TEXT_TOKENS_SQL),
+    "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
+}

@@ -109,20 +109,43 @@ def _plane_sign_bits(v: str | Column) -> Column:
     return F.concat(*bits)
 
 
+def _probe_buckets(bucket: str | Column) -> Column:
+    """Multi-probe set: the query's own bucket plus every bucket at
+    Hamming distance 1 (one sign bit flipped). Vectors near a
+    hyperplane land on either side; probing adjacent buckets
+    recovers them without adding tables or planes."""
+    b = F.col(bucket) if isinstance(bucket, str) else bucket
+    probes = [b]
+    for k in range(N_PLANES):
+        flipped = F.when(F.substring(b, k + 1, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+        probes.append(
+            F.concat(F.substring(b, 1, k), flipped, F.substring(b, k + 2, N_PLANES - k - 1))
+        )
+    return F.array(*probes)
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-10 (rows-only: bucket membership is
-    not SQL-portable; recall vs brute force is asserted in tests).
+    """Sign-LSH bucketed ANN top-10 with Hamming-1 multi-probe
+    (rows-only: bucket membership is not SQL-portable; recall vs
+    brute force is asserted in tests).
 
     Equi-join on bucket id — with 2^8 buckets the candidate set per
-    query is ~N/256; add more planes (or multi-probe) as N grows.
+    query is ~9·N/256; tune planes/probes as N grows.
     """
     emb = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("bucket", _plane_sign_bits("v"))
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(_probe_buckets("bucket")).alias("bucket"),
     )
-    pairs = F.broadcast(q).join(emb, "bucket").filter(F.col("vec_id") != F.col("q_id"))
+    pairs = (
+        F.broadcast(q)
+        .join(emb, "bucket")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
     cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
     scored = pairs.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))

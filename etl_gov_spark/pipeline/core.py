@@ -1,0 +1,367 @@
+"""Pipeline DSL — the orchestration spine (SURVEY.md §2.G).
+
+Spark-first re-expression of the reference's Airflow capabilities
+(its ``dags/`` tree: taskflow DAGs, branch/short-circuit operators,
+dynamic task mapping, task groups, sensors, datasets, setup/
+teardown). The key inversion: in Airflow a task DAG *moves data
+between processes*; here the DAG wires *lazy DataFrames* — running
+a pipeline composes one Catalyst logical plan per sink, so the
+optimizer sees through task boundaries (filters written in a late
+task push down into an early task's scan). Control-flow constructs
+(branch, short-circuit, sensors) run at plan-construction time on
+the driver; data never leaves the cluster.
+
+Capability map (reference file → here):
+- ``tutorial_taskflow_api.py`` @task chains     → ``Pipeline.task``
+- ``example_branch_operator.py``                → ``Pipeline.branch``
+- ``example_short_circuit_operator.py``         → ``Pipeline.short_circuit``
+- ``example_dynamic_task_mapping.py``           → ``Pipeline.fan_out``
+- ``example_task_group.py``                     → ``Pipeline.task_group``
+- ``example_sensors.py``                        → ``Pipeline.sensor``
+- ``example_datasets.py`` / dataset aliases     → ``Dataset`` + ``DatasetRegistry``
+- ``example_setup_teardown.py``                 → ``Pipeline.setup`` / ``teardown``
+- ``example_xcom.py`` (xcom push/pull)          → ``PipelineContext.outputs``
+- ``dags/sql/sample.sql`` (SQL operator)        → ``Pipeline.run_sql``
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class TaskSkipped(Exception):
+    """Raised internally to mark a task skipped (branch not taken /
+    upstream short-circuit)."""
+
+
+class SensorTimeout(TimeoutError):
+    """Sensor did not observe its condition within the timeout."""
+
+
+@dataclass
+class Dataset:
+    """A named, versioned data product (≈ Airflow Dataset/alias).
+
+    Producers bump ``version`` on publish; consumer pipelines can
+    gate on freshness via ``DatasetRegistry.is_fresher_than``.
+    """
+
+    name: str
+    uri: str | None = None
+
+
+class DatasetRegistry:
+    """Process-local dataset ledger: publish events + versions.
+
+    On a cluster this would back onto a metastore table; the
+    interface (publish/version/subscribe) is what matters.
+    """
+
+    def __init__(self) -> None:
+        self._versions: dict[str, int] = {}
+        self._subscribers: dict[str, list[Callable[[Dataset, int], None]]] = {}
+
+    def publish(self, ds: Dataset) -> int:
+        v = self._versions.get(ds.name, 0) + 1
+        self._versions[ds.name] = v
+        for cb in self._subscribers.get(ds.name, []):
+            cb(ds, v)
+        return v
+
+    def version(self, name: str) -> int:
+        return self._versions.get(name, 0)
+
+    def subscribe(self, name: str, cb: Callable[[Dataset, int], None]) -> None:
+        self._subscribers.setdefault(name, []).append(cb)
+
+    def is_fresher_than(self, name: str, version: int) -> bool:
+        return self.version(name) > version
+
+
+@dataclass
+class PipelineContext:
+    """Run-scoped state: the xcom analogue (``outputs``), params,
+    and skip bookkeeping."""
+
+    spark: SparkSession
+    params: dict[str, Any] = field(default_factory=dict)
+    outputs: dict[str, Any] = field(default_factory=dict)
+    skipped: set[str] = field(default_factory=set)
+    registry: DatasetRegistry | None = None
+
+    def pull(self, task_name: str) -> Any:
+        """xcom_pull: fetch an upstream task's return value."""
+        if task_name in self.skipped:
+            raise TaskSkipped(task_name)
+        return self.outputs[task_name]
+
+
+@dataclass
+class _Task:
+    name: str
+    fn: Callable[[PipelineContext], Any]
+    deps: tuple[str, ...]
+    outputs_dataset: Dataset | None = None
+    trigger_rule: str = "all_success"  # or "none_failed" (runs even if deps skipped)
+
+
+class Pipeline:
+    """A named DAG of driver-side tasks wiring lazy DataFrames."""
+
+    def __init__(
+        self,
+        name: str,
+        spark: SparkSession,
+        params: dict[str, Any] | None = None,
+        registry: DatasetRegistry | None = None,
+    ) -> None:
+        self.name = name
+        self.spark = spark
+        self.params = params or {}
+        self.registry = registry
+        self._tasks: dict[str, _Task] = {}
+        self._order: list[str] = []
+        self._setup: list[Callable[[PipelineContext], None]] = []
+        self._teardown: list[Callable[[PipelineContext], None]] = []
+        self._group_prefix: list[str] = []
+
+    # -- registration -------------------------------------------------
+
+    def _qualify(self, name: str) -> str:
+        return ".".join([*self._group_prefix, name])
+
+    def _add(self, task: _Task) -> str:
+        if task.name in self._tasks:
+            raise ValueError(f"duplicate task: {task.name}")
+        self._tasks[task.name] = task
+        self._order.append(task.name)
+        return task.name
+
+    def task(
+        self,
+        name: str,
+        deps: Iterable[str] = (),
+        outputs: Dataset | None = None,
+        trigger_rule: str = "all_success",
+    ) -> Callable:
+        """Register ``fn(ctx) -> Any`` as a task (≈ @task). The
+        return value is the task's xcom; DataFrames stay lazy."""
+
+        def deco(fn: Callable[[PipelineContext], Any]) -> Callable:
+            self._add(
+                _Task(self._qualify(name), fn, tuple(deps), outputs, trigger_rule)
+            )
+            return fn
+
+        return deco
+
+    def run_sql(
+        self, name: str, sql: str, deps: Iterable[str] = ()
+    ) -> str:
+        """SQL task (≈ SQLExecuteQueryOperator over dags/sql/*.sql):
+        file path or inline string, executed via spark.sql."""
+        def _run(ctx: PipelineContext) -> DataFrame:
+            text = sql
+            if os.path.exists(sql):
+                with open(sql) as f:
+                    text = f.read()
+            return ctx.spark.sql(text)
+
+        return self._add(_Task(self._qualify(name), _run, tuple(deps)))
+
+    def branch(
+        self,
+        name: str,
+        chooser: Callable[[PipelineContext], str],
+        branches: dict[str, Callable[[PipelineContext], Any]],
+        deps: Iterable[str] = (),
+    ) -> list[str]:
+        """Conditional plan construction (≈ BranchPythonOperator):
+        ``chooser(ctx)`` names one branch; the others are recorded
+        as skipped and their downstreams (with the default trigger
+        rule) cascade-skip. Returns the branch task names — use them
+        as deps; a join task that should run whichever branch was
+        taken uses ``trigger_rule="none_failed"``."""
+        qname = self._qualify(name)
+
+        def _choose(ctx: PipelineContext) -> str:
+            choice = chooser(ctx)
+            if choice not in branches:
+                raise ValueError(f"branch {qname}: unknown choice {choice!r}")
+            return choice
+
+        self._add(_Task(qname, _choose, tuple(deps)))
+        names: list[str] = []
+        for key, fn in branches.items():
+            bname = f"{qname}.{key}"
+
+            def _branch_fn(
+                ctx: PipelineContext,
+                _key: str = key,
+                _fn: Callable = fn,
+            ) -> Any:
+                if ctx.pull(qname) != _key:
+                    raise TaskSkipped(_key)
+                return _fn(ctx)
+
+            self._add(_Task(bname, _branch_fn, (qname,)))
+            names.append(bname)
+        return names
+
+    def short_circuit(
+        self,
+        name: str,
+        predicate: Callable[[PipelineContext], bool],
+        deps: Iterable[str] = (),
+    ) -> str:
+        """≈ ShortCircuitOperator: if the predicate is falsy, this
+        task and everything downstream of it is skipped."""
+        qname = self._qualify(name)
+
+        def _check(ctx: PipelineContext) -> bool:
+            if not predicate(ctx):
+                raise TaskSkipped(qname)
+            return True
+
+        return self._add(_Task(qname, _check, tuple(deps)))
+
+    def fan_out(
+        self,
+        name: str,
+        items: Callable[[PipelineContext], list[Any]],
+        map_fn: Callable[[PipelineContext, Any], DataFrame],
+        deps: Iterable[str] = (),
+    ) -> str:
+        """≈ dynamic task mapping (``.expand()``): apply ``map_fn``
+        per item and union the lazy results by name.
+
+        Spark-first note: in Airflow each mapped task is a separate
+        process; here each item contributes a *subplan* and the
+        union is one job — Catalyst shares scans between items where
+        possible, and at scale the union parallelizes as ordinary
+        partitions rather than scheduler tasks.
+        """
+        qname = self._qualify(name)
+
+        def _map(ctx: PipelineContext) -> DataFrame:
+            its = items(ctx)
+            if not its:
+                raise TaskSkipped(qname)
+            dfs = [map_fn(ctx, it) for it in its]
+            return reduce(lambda a, b: a.unionByName(b), dfs)
+
+        return self._add(_Task(qname, _map, tuple(deps)))
+
+    def task_group(self, prefix: str) -> "_GroupScope":
+        """≈ TaskGroup: namespaces tasks registered inside the
+        ``with`` block as ``prefix.name``."""
+        return _GroupScope(self, prefix)
+
+    def sensor(
+        self,
+        name: str,
+        check: Callable[[PipelineContext], bool],
+        timeout_s: float = 30.0,
+        poke_interval_s: float = 0.5,
+        deps: Iterable[str] = (),
+        mode: str = "timeout_error",  # or "skip" (≈ soft_fail)
+    ) -> str:
+        """≈ FileSensor / TimeDeltaSensor: poll ``check`` until true
+        or timeout. ``mode="skip"`` soft-fails into a skip."""
+        qname = self._qualify(name)
+
+        def _wait(ctx: PipelineContext) -> bool:
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                if check(ctx):
+                    return True
+                time.sleep(poke_interval_s)
+            if mode == "skip":
+                raise TaskSkipped(qname)
+            raise SensorTimeout(f"sensor {qname} timed out after {timeout_s}s")
+
+        return self._add(_Task(qname, _wait, tuple(deps)))
+
+    def file_sensor(
+        self, name: str, path: str, deps: Iterable[str] = (), **kw: Any
+    ) -> str:
+        """Wait for a path to exist (≈ FileSensor over object
+        storage — the availability gate before an ingest task)."""
+        return self.sensor(name, lambda ctx: os.path.exists(path), deps=deps, **kw)
+
+    def setup(self, fn: Callable[[PipelineContext], None]) -> Callable:
+        self._setup.append(fn)
+        return fn
+
+    def teardown(self, fn: Callable[[PipelineContext], None]) -> Callable:
+        self._teardown.append(fn)
+        return fn
+
+    # -- execution ----------------------------------------------------
+
+    def _toposort(self) -> list[str]:
+        seen: set[str] = set()
+        out: list[str] = []
+
+        def visit(n: str, stack: tuple[str, ...]) -> None:
+            if n in stack:
+                raise ValueError(f"cycle at {n}")
+            if n in seen:
+                return
+            for d in self._tasks[n].deps:
+                if d not in self._tasks:
+                    raise ValueError(f"unknown dep {d} of {n}")
+                visit(d, (*stack, n))
+            seen.add(n)
+            out.append(n)
+
+        for n in self._order:
+            visit(n, ())
+        return out
+
+    def run(self, **params: Any) -> PipelineContext:
+        ctx = PipelineContext(
+            spark=self.spark,
+            params={**self.params, **params},
+            registry=self.registry,
+        )
+        for setup_fn in self._setup:
+            setup_fn(ctx)
+        try:
+            for name in self._toposort():
+                t = self._tasks[name]
+                skipped_deps = [d for d in t.deps if d in ctx.skipped]
+                if skipped_deps and t.trigger_rule == "all_success":
+                    ctx.skipped.add(name)
+                    continue
+                try:
+                    ctx.outputs[name] = t.fn(ctx)
+                except TaskSkipped:
+                    ctx.skipped.add(name)
+                    continue
+                if t.outputs_dataset is not None and ctx.registry is not None:
+                    ctx.registry.publish(t.outputs_dataset)
+        finally:
+            for teardown_fn in self._teardown:
+                teardown_fn(ctx)
+        return ctx
+
+
+class _GroupScope:
+    def __init__(self, pipeline: Pipeline, prefix: str) -> None:
+        self._pipeline = pipeline
+        self._prefix = prefix
+
+    def __enter__(self) -> Pipeline:
+        self._pipeline._group_prefix.append(self._prefix)
+        return self._pipeline
+
+    def __exit__(self, *exc: Any) -> None:
+        self._pipeline._group_prefix.pop()

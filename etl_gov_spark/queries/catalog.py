@@ -28,6 +28,12 @@ def _families() -> list[dict]:
         fams.append(demo.QUERIES)
     except ImportError:
         pass
+    try:
+        from etl_gov_spark.streaming import events_stream
+
+        fams.append(events_stream.QUERIES)
+    except ImportError:
+        pass
     return fams
 
 

@@ -1,0 +1,96 @@
+"""Structured Streaming over the events feed (SURVEY.md §2.B).
+
+The streaming mirror of the reference's sensor-driven ingestion
+(``example_sensors.py`` wait-then-process, re-expressed as a
+continuous query): file-stream source → event-time tumbling window
+with watermark → sink.
+
+``stream_hourly_counts`` runs the stream with ``trigger(
+availableNow=True)`` into a memory sink and returns the final table:
+end-to-end it exercises source discovery, watermarking, stateful
+windowed aggregation, and sink commit — while remaining collectable
+(and therefore oracle-checkable: complete-mode output over a finite
+source equals the batch aggregation).
+
+Scale: in production the sink is partitioned parquet/Kafka and the
+trigger is continuous micro-batches; state is per-(window × type),
+bounded by the watermark horizon. countDistinct is not available in
+streaming — use approx_count_distinct there (HLL sketches merge
+across micro-batches); it's omitted here to keep the oracle exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the streaming plan: file source → watermark → window."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the stream to completion (availableNow) and return the
+    final memory-sink table as a batch DataFrame."""
+    sink = "stream_hourly_counts_sink"
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    query = (
+        hourly_counts_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink)
+
+
+STREAM_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "stream_hourly_counts": (stream_hourly_counts, STREAM_HOURLY_SQL),
+}

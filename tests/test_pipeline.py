@@ -1,0 +1,169 @@
+"""Pipeline DSL semantics — the Spark analogue of the reference's
+example DAGs (branch/short-circuit/mapping/groups/sensors/datasets/
+setup-teardown/xcom), each capability exercised the way the matching
+example DAG exercises it."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_gov_spark.pipeline.core import (
+    Dataset,
+    DatasetRegistry,
+    Pipeline,
+    SensorTimeout,
+)
+
+
+def test_task_chain_and_xcom(spark):
+    p = Pipeline("chain", spark)
+
+    @p.task("a")
+    def a(ctx):
+        return 41
+
+    @p.task("b", deps=["a"])
+    def b(ctx):
+        return ctx.pull("a") + 1
+
+    ctx = p.run()
+    assert ctx.pull("b") == 42
+
+
+def test_branch_skips_untaken_and_cascades(spark):
+    p = Pipeline("branching", spark)
+    taken = p.branch(
+        "route",
+        chooser=lambda ctx: "left",
+        branches={"left": lambda ctx: "L", "right": lambda ctx: "R"},
+    )
+    assert taken == ["route.left", "route.right"]
+
+    @p.task("after_right", deps=["route.right"])
+    def after_right(ctx):
+        return "should not run"
+
+    @p.task("join", deps=["route.left", "route.right"], trigger_rule="none_failed")
+    def join(ctx):
+        return "joined"
+
+    ctx = p.run()
+    assert ctx.pull("route.left") == "L"
+    assert "route.right" in ctx.skipped
+    assert "after_right" in ctx.skipped  # cascade
+    assert ctx.pull("join") == "joined"  # none_failed runs anyway
+
+
+def test_short_circuit_skips_downstream(spark):
+    p = Pipeline("sc", spark)
+    p.short_circuit("gate", predicate=lambda ctx: ctx.params.get("go", False))
+
+    @p.task("work", deps=["gate"])
+    def work(ctx):
+        return "did work"
+
+    assert "work" in p.run().skipped
+    assert p.run(go=True).pull("work") == "did work"
+
+
+def test_fan_out_unions_subplans(spark):
+    p = Pipeline("fan", spark)
+    p.fan_out(
+        "per_status",
+        items=lambda ctx: ["F", "O", "P"],
+        map_fn=lambda ctx, s: ctx.spark.range(2).withColumn(
+            "status", __import__("pyspark").sql.functions.lit(s)
+        ),
+    )
+    df = p.run().pull("per_status")
+    rows = df.collect()
+    assert len(rows) == 6
+    assert {r.status for r in rows} == {"F", "O", "P"}
+
+
+def test_task_group_namespacing(spark):
+    p = Pipeline("groups", spark)
+    with p.task_group("ingest"):
+
+        @p.task("x")
+        def x(ctx):
+            return 1
+
+    @p.task("use", deps=["ingest.x"])
+    def use(ctx):
+        return ctx.pull("ingest.x") + 1
+
+    assert p.run().pull("use") == 2
+
+
+def test_sensor_success_and_timeout(spark, tmp_path):
+    target = tmp_path / "marker"
+    p = Pipeline("sensors", spark)
+    p.file_sensor("wait", str(target), timeout_s=1.0, poke_interval_s=0.05)
+    with pytest.raises(SensorTimeout):
+        p.run()
+    target.write_text("here")
+    assert p.run().pull("wait") is True
+
+
+def test_sensor_soft_fail_skips(spark):
+    p = Pipeline("soft", spark)
+    p.sensor("never", check=lambda ctx: False, timeout_s=0.2, poke_interval_s=0.05, mode="skip")
+
+    @p.task("down", deps=["never"])
+    def down(ctx):
+        return 1
+
+    ctx = p.run()
+    assert {"never", "down"} <= ctx.skipped
+
+
+def test_dataset_publish_and_subscribe(spark):
+    reg = DatasetRegistry()
+    seen = []
+    reg.subscribe("gold", lambda ds, v: seen.append((ds.name, v)))
+    p = Pipeline("ds", spark, registry=reg)
+
+    @p.task("produce", outputs=Dataset("gold"))
+    def produce(ctx):
+        return "data"
+
+    p.run()
+    p.run()
+    assert reg.version("gold") == 2
+    assert seen == [("gold", 1), ("gold", 2)]
+    assert reg.is_fresher_than("gold", 1)
+
+
+def test_setup_teardown_run_even_on_failure(spark):
+    p = Pipeline("life", spark)
+    log = []
+    p.setup(lambda ctx: log.append("setup"))
+    p.teardown(lambda ctx: log.append("teardown"))
+
+    @p.task("boom")
+    def boom(ctx):
+        raise RuntimeError("x")
+
+    with pytest.raises(RuntimeError):
+        p.run()
+    assert log == ["setup", "teardown"]
+
+
+def test_run_sql_inline_and_cycle_detection(spark):
+    p = Pipeline("sql", spark)
+    p.run_sql("q", "SELECT 1 AS one")
+    assert p.run().pull("q").collect()[0].one == 1
+
+    p2 = Pipeline("cycle", spark)
+
+    @p2.task("a", deps=["b"])
+    def a(ctx):
+        return 1
+
+    @p2.task("b", deps=["a"])
+    def b(ctx):
+        return 2
+
+    with pytest.raises(ValueError, match="cycle"):
+        p2.run()

@@ -1,0 +1,67 @@
+"""ANN semantics: LSH recall vs brute force on clustered vectors —
+the property LSH is *for*, invisible on the near-random test corpus."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from etl_gov_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(spark, tmp_path_factory):
+    """200 vectors in 4 tight clusters (centroid + small noise),
+    query ids on the stride so ann_* picks them up."""
+    tmp = str(tmp_path_factory.mktemp("clustered"))
+    rng = random.Random(7)
+    dim = S.DIM
+    centroids = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for vid in range(200):
+        c = centroids[vid % 4]
+        vec = [x + rng.gauss(0, 0.05) for x in c]
+        rows.append((vid, vec, vid % 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    return tmp
+
+
+def test_bruteforce_topk_shape_and_order(spark, clustered_dir):
+    rows = S.ann_bruteforce_topk(spark, clustered_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == S.TOP_K
+        cosines = [r.cosine for r in sorted(rs, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+        # nearest neighbours of a clustered query share its cluster
+        top3 = [r.cand_id for r in sorted(rs, key=lambda r: r.rank)[:3]]
+        assert all(c % 4 == q % 4 for c in top3)
+
+
+def test_lsh_recall_on_clustered_data(spark, clustered_dir):
+    bf = S.ann_bruteforce_topk(spark, clustered_dir).collect()
+    lsh = S.ann_lsh_topk(spark, clustered_dir).collect()
+    bf_sets = {}
+    for r in bf:
+        bf_sets.setdefault(r.q_id, set()).add(r.cand_id)
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r.q_id, set()).add(r.cand_id)
+    recalls = [
+        len(bf_sets[q] & lsh_sets.get(q, set())) / len(bf_sets[q]) for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8  # same-cluster vectors share sign buckets
+
+
+def test_dot_product_matches_math(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "a array<double>, b array<double>")
+    got = df.select(S._dot("a", "b").alias("d"), S._norm("a").alias("n")).collect()[0]
+    assert got.d == 32.0
+    assert math.isclose(got.n, math.sqrt(14.0))

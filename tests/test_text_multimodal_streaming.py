@@ -1,0 +1,61 @@
+"""Text metrics sanity, multimodal plumbing, stream/batch parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from etl_gov_spark.operators import multimodal as M
+from etl_gov_spark.operators import text as T
+from etl_gov_spark.operators.timeseries import q_tumbling_hourly
+from etl_gov_spark.streaming.events_stream import stream_hourly_counts
+
+
+def test_text_quality_bounds(spark, sf_dir):
+    rows = T.text_quality(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.n_words > 0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_text_fingerprint_matches_hashlib(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+
+    doc = read_table(spark, sf_dir, "documents").filter("doc_id = 0").collect()[0]
+    fp = T.text_fingerprint(spark, sf_dir).filter("doc_id = 0").collect()[0]
+    assert fp.md5_raw == hashlib.md5(doc.text.encode()).hexdigest()
+
+
+def test_mm_binary_meta_plumbing(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+
+    docs = {r.doc_id: r.text for r in read_table(spark, sf_dir, "documents").collect()}
+    metas = M.mm_binary_meta(spark, sf_dir).collect()
+    assert len(metas) == len(docs)
+    sample = next(m for m in metas if m.doc_id == 0)
+    payload = docs[0].encode()
+    expect = M.fake_decode_meta(payload)
+    assert sample.n_bytes == expect["n_bytes"]
+    assert sample.content_md5 == expect["content_md5"]
+    assert sample.width == expect["width"] and sample.fmt == expect["fmt"]
+
+
+def test_decode_stub_raises_without_media_libs():
+    with pytest.raises(NotImplementedError):
+        M.decode_image_real(b"\x89PNG")
+
+
+def test_stream_batch_parity(spark, sf_dir):
+    batch = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in q_tumbling_hourly(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.hour, r.event_type): (r.n_events, r.total_value)
+        for r in stream_hourly_counts(spark, sf_dir).collect()
+    }
+    assert stream == batch

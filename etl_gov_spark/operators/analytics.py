@@ -1,0 +1,338 @@
+"""Analytics wave 2 (SURVEY.md §2.A extensions): remaining TPC-H
+query shapes, window/statistical operators, set ops, histograms,
+and sampling.
+
+Same scale stance as relational.py: declarative plans, broadcast
+dims, partial aggregation, deterministic tie-breaks, 4-dp rounding
+on float aggregates (both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation inside one groupBy
+    (CASE-WHEN counts) — no second scan for the split metric."""
+    c = Catalog(spark, sf_dir)
+    j = c.lineitem.join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+        F.count(F.when(~urgent, 1)).alias("n_normal"),
+        _R4(F.avg("l_quantity"), "avg_qty"),
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS n_urgent,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS n_normal,
+       round(avg(l_quantity), 4) AS avg_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: ratio of a conditional sum to the total —
+    broadcast part join, single aggregate."""
+    c = Catalog(spark, sf_dir)
+    j = c.lineitem.join(F.broadcast(c.part), F.col("l_partkey") == F.col("p_partkey"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").isin("ECONOMY", "SMALL"), rev).otherwise(F.lit(0.0))
+    return j.agg(
+        _R4(F.sum(promo) * 100.0 / F.sum(rev), "promo_pct"),
+        _R4(F.sum(rev), "total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT round(sum(CASE WHEN p_type IN ('ECONOMY', 'SMALL')
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on a grouped sum, then join the
+    survivors back to dimensions. The HAVING filter runs on the
+    aggregated (small) side before the customer join."""
+    c = Catalog(spark, sf_dir)
+    big = (
+        c.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 150)
+    )
+    return (
+        big.join(c.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            _R4(F.col("o_totalprice"), "totalprice"),
+            _R4(F.col("_qty"), "total_qty"),
+        )
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       round(o_totalprice, 4) AS totalprice,
+       round(qty, 4) AS total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem GROUP BY l_orderkey HAVING qty > 150
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/qty
+    bands — exercises OR predicate pushdown through a join."""
+    c = Catalog(spark, sf_dir)
+    j = c.lineitem.join(F.broadcast(c.part), F.col("l_partkey") == F.col("p_partkey"))
+    band1 = (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20)
+    band2 = (F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30)
+    band3 = (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40)
+    return j.filter(band1 | band2 | band3).agg(
+        _R4(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average) + anti
+    join. The average is a 1-row broadcast; the anti join ships only
+    keys."""
+    c = Catalog(spark, sf_dir)
+    avg_bal = c.customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = c.customer.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    recent = c.orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    idle = rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _R4(F.sum("c_acctbal"), "total_balance"),
+    )
+
+
+Q22_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS total_balance
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY c_mktsegment
+"""
+
+
+def q_cheapest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin per group via min(struct(price, key)) — the
+    deterministic one-pass alternative to min_by (whose tie
+    behavior is engine-defined). DuckDB twin: min((price, key))."""
+    part = Catalog(spark, sf_dir).part
+    s = F.min(F.struct(F.col("p_retailprice"), F.col("p_partkey"))).alias("_s")
+    return (
+        part.groupBy("p_brand")
+        .agg(s)
+        .select(
+            "p_brand",
+            F.col("_s.p_partkey").alias("cheapest_partkey"),
+            _R4(F.col("_s.p_retailprice"), "min_price"),
+        )
+    )
+
+
+Q_CHEAPEST_SQL = """
+SELECT p_brand,
+       (min({'p_retailprice': p_retailprice, 'p_partkey': p_partkey})).p_partkey AS cheapest_partkey,
+       round((min({'p_retailprice': p_retailprice, 'p_partkey': p_partkey})).p_retailprice, 4) AS min_price
+FROM part
+GROUP BY p_brand
+"""
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row moving average over the daily revenue series (window
+    frame ROWS 6 PRECEDING). The series is first reduced to one row
+    per day, so the window runs over a tiny sorted set."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("_rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        _R4(F.col("_rev"), "revenue"),
+        _R4(F.avg("_rev").over(w), "ma7"),
+    )
+
+
+Q_MOVING_AVG_SQL = """
+SELECT day, round(rev, 4) AS revenue,
+       round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+FROM (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev FROM orders GROUP BY 1)
+"""
+
+
+def q_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + ntile quartile of customers by revenue —
+    cumulative windows over the aggregated (customer-level) set."""
+    orders = Catalog(spark, sf_dir).orders
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_rev"))
+    w = Window.orderBy(F.desc("_rev"), F.asc("o_custkey"))
+    return rev.select(
+        F.col("o_custkey").alias("custkey"),
+        _R4(F.col("_rev"), "revenue"),
+        _R4(F.sum("_rev").over(w.rowsBetween(Window.unboundedPreceding, 0)), "running_total"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+Q_QUARTILES_SQL = """
+SELECT o_custkey AS custkey, round(rev, 4) AS revenue,
+       round(sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
+       CAST(ntile(4) OVER (ORDER BY rev DESC, o_custkey ASC) AS INTEGER) AS quartile
+FROM (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets (active in
+    1996 vs 1997). Set ops are hash aggregations on the key — at
+    scale, the same shuffle profile as distinct."""
+    orders = Catalog(spark, sf_dir).orders
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    return (
+        y96.union(y97).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+        .crossJoin(y96.intersect(y97).agg(F.count(F.lit(1)).alias("n_intersect")))
+        .crossJoin(y96.exceptAll(y97).agg(F.count(F.lit(1)).alias("n_96_only")))
+    )
+
+
+Q_SET_OPS_SQL = """
+SELECT (SELECT count(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          UNION SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)) AS n_union,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)) AS n_intersect,
+       (SELECT count(*) FROM (
+          SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)) AS n_96_only
+"""
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (portable bucketing:
+    floor((x - lo) / step), clamped). Histogram = groupBy on a
+    derived bounded key — fully map-side combinable."""
+    orders = Catalog(spark, sf_dir).orders
+    lo, step, n = 0.0, 50_000.0, 10
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(step)).cast("int"),
+        F.lit(n - 1),
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _R4(F.min("o_totalprice"), "min_price"),
+            _R4(F.max("o_totalprice"), "max_price"),
+        )
+    )
+
+
+Q_HISTOGRAM_SQL = """
+SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS INTEGER) AS bucket,
+       count(*) AS n_orders,
+       round(min(o_totalprice), 4) AS min_price,
+       round(max(o_totalprice), 4) AS max_price
+FROM orders
+GROUP BY 1
+"""
+
+
+def q_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per segment: stddev, variance, corr,
+    covariance (all sample forms — both engines' defaults)."""
+    c = Catalog(spark, sf_dir)
+    j = c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+    return j.groupBy("c_mktsegment").agg(
+        _R4(F.stddev("o_totalprice"), "std_price"),
+        _R4(F.var_samp("o_totalprice"), "var_price"),
+        _R4(F.corr("o_totalprice", "c_acctbal"), "corr_price_bal"),
+        _R4(F.covar_samp("o_totalprice", "c_acctbal"), "covar_price_bal"),
+    )
+
+
+Q_STATS_SQL = """
+SELECT c_mktsegment,
+       round(stddev_samp(o_totalprice), 4) AS std_price,
+       round(var_samp(o_totalprice), 4) AS var_price,
+       round(corr(o_totalprice, c_acctbal), 4) AS corr_price_bal,
+       round(covar_samp(o_totalprice, c_acctbal), 4) AS covar_price_bal
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: fixed fraction per order status with a
+    fixed seed (sampleBy). Deterministic within Spark but not
+    portable to another engine — rows-only check; the invariant
+    (per-stratum proportions) is asserted in tests."""
+    orders = Catalog(spark, sf_dir).orders
+    sample = orders.sampleBy("o_orderstatus", {"F": 0.1, "O": 0.1, "P": 0.5}, seed=42)
+    return sample.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        _R4(F.avg("o_totalprice"), "avg_price"),
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "q12_priority_shipmode": (q12_priority_shipmode, Q12_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "q19_or_pushdown": (q19_or_pushdown, Q19_SQL),
+    "q22_idle_rich_customers": (q22_idle_rich_customers, Q22_SQL),
+    "q_cheapest_part_per_brand": (q_cheapest_part_per_brand, Q_CHEAPEST_SQL),
+    "q_moving_avg": (q_moving_avg, Q_MOVING_AVG_SQL),
+    "q_revenue_quartiles": (q_revenue_quartiles, Q_QUARTILES_SQL),
+    "q_set_ops": (q_set_ops, Q_SET_OPS_SQL),
+    "q_price_histogram": (q_price_histogram, Q_HISTOGRAM_SQL),
+    "q_stats_by_segment": (q_stats_by_segment, Q_STATS_SQL),
+    "q_stratified_sample": (q_stratified_sample, None),
+}

@@ -14,7 +14,7 @@ list_filter), which is what makes the oracles exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
@@ -204,3 +204,121 @@ QUERIES: dict[str, tuple] = {
     "text_tokens": (text_tokens, TEXT_TOKENS_SQL),
     "text_fingerprint": (text_fingerprint, TEXT_FINGERPRINT_SQL),
 }
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document.
+
+    Classic two-aggregate shape: term frequencies (doc × term
+    groupBy) and document frequencies (term groupBy) share one
+    exploded scan; idf joins back on the bounded term key. The
+    final per-doc top-k is a window over ≤|vocab| rows per doc.
+    ln() in both engines; deterministic tie-break on term.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_cnt"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("_cnt").alias("_len"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("_cnt") / F.col("_len")) * F.log(F.col("_n") / F.col("_df"))).alias("_tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", _R4(F.col("_tfidf"), "tfidf"), "rank")
+    )
+
+
+TEXT_TFIDF_SQL = r"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY 1
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         (cnt / CAST(len AS DOUBLE)) * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN df USING (term)
+)
+SELECT doc_id, term, round(tfidf, 4) AS tfidf, rank
+FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams — the n-gram frequency table
+    (explode + bounded-key groupBy + deterministic top-k)."""
+    docs = Catalog(spark, sf_dir).documents
+    toks = tokens_col()
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+TEXT_TOP_BIGRAMS_SQL = r"""
+SELECT bigram, count(*) AS n
+FROM (
+  SELECT unnest(list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
+                i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents)
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc counts, length stats, language
+    mix — the monitoring query every ingest pipeline publishes."""
+    docs = Catalog(spark, sf_dir).documents
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _R4(F.avg("n_chars"), "avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+TEXT_CORPUS_STATS_SQL = """
+SELECT source, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY source
+"""
+
+
+QUERIES.update(
+    {
+        "text_tfidf": (text_tfidf, TEXT_TFIDF_SQL),
+        "text_top_bigrams": (text_top_bigrams, TEXT_TOP_BIGRAMS_SQL),
+        "text_corpus_stats": (text_corpus_stats, TEXT_CORPUS_STATS_SQL),
+    }
+)

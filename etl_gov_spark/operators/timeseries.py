@@ -349,3 +349,100 @@ QUERIES: dict[str, tuple] = {
     "q_asof_join": (q_asof_join, Q_ASOF_SQL),
     "q_range_join": (q_range_join, Q_RANGE_SQL),
 }
+
+
+def q_first_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user first/last event via min/max over (ts, event_id)
+    structs — deterministic argmin/argmax in one aggregation pass
+    (no window sort), the scalable form of min_by/max_by."""
+    ev = Catalog(spark, sf_dir).events
+    first_s = F.min(F.struct("ts", "event_id", "event_type")).alias("_f")
+    last_s = F.max(F.struct("ts", "event_id", "event_type")).alias("_l")
+    return (
+        ev.groupBy("user_id")
+        .agg(first_s, last_s, F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("_f.event_type").alias("first_type"),
+            F.col("_f.ts").alias("first_ts"),
+            F.col("_l.event_type").alias("last_type"),
+            F.col("_l.ts").alias("last_ts"),
+            "n_events",
+        )
+    )
+
+
+Q_FIRST_LAST_SQL = """
+SELECT user_id,
+       (min({'ts': ts, 'event_id': event_id, 'event_type': event_type})).event_type AS first_type,
+       (min({'ts': ts, 'event_id': event_id, 'event_type': event_type})).ts AS first_ts,
+       (max({'ts': ts, 'event_id': event_id, 'event_type': event_type})).event_type AS last_type,
+       (max({'ts': ts, 'event_id': event_id, 'event_type': event_type})).ts AS last_ts,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier counts: events whose value deviates
+    >2σ from that user's mean. Two-pass shape expressed as one
+    window pass (avg/stddev over the user partition) — the standard
+    distributed anomaly sweep; no driver-side stats."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("user_id")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w)
+    return (
+        ev.withColumn("_z", z)
+        .filter(F.abs("_z") > 2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            _R4(F.avg(F.abs(F.col("_z"))), "avg_abs_z"),
+        )
+    )
+
+
+Q_VALUE_OUTLIERS_SQL = """
+SELECT event_type, count(*) AS n_outliers,
+       round(avg(abs(z)), 4) AS avg_abs_z
+FROM (
+  SELECT event_type,
+         (value - avg(value) OVER (PARTITION BY user_id))
+           / stddev_samp(value) OVER (PARTITION BY user_id) AS z
+  FROM events
+)
+WHERE abs(z) > 2
+GROUP BY event_type
+"""
+
+
+def q_topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value within each event type (window top-k
+    with unique tie-break — the grouped-top-k primitive)."""
+    ev = Catalog(spark, sf_dir).events
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "event_id", "user_id", _R4(F.col("value"), "value"), "rank")
+    )
+
+
+Q_TOPK_EVENTS_SQL = """
+SELECT event_type, event_id, user_id, round(value, 4) AS value, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+  FROM events
+)
+WHERE rank <= 3
+"""
+
+
+QUERIES.update(
+    {
+        "q_first_last_event": (q_first_last_event, Q_FIRST_LAST_SQL),
+        "q_value_outliers": (q_value_outliers, Q_VALUE_OUTLIERS_SQL),
+        "q_topk_events_per_type": (q_topk_events_per_type, Q_TOPK_EVENTS_SQL),
+    }
+)

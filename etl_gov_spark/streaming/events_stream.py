@@ -94,3 +94,90 @@ GROUP BY 1, 2
 QUERIES: dict[str, tuple] = {
     "stream_hourly_counts": (stream_hourly_counts, STREAM_HOURLY_SQL),
 }
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(df: DataFrame, sink: str, output_mode: str) -> None:
+    spark = df.sparkSession
+    for q in spark.streams.active:
+        if q.name == sink:
+            q.stop()
+    (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h window, 30 min slide): each
+    event lands in exactly 2 overlapping windows. State is
+    per-(window × type), bounded by the watermark horizon."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+    _run_to_memory(agg, "stream_sliding_counts_sink", "complete")
+    return spark.table("stream_sliding_counts_sink")
+
+
+# Portable twin: a 1h/30m sliding window membership is exactly the
+# two 30-min-aligned starts at or before the event.
+STREAM_SLIDING_SQL = """
+SELECT win_start, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM (
+  SELECT event_type, value,
+         unnest([make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+                 make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000)]) AS win_start
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: dropDuplicates on event_id with a watermark
+    (state expires as the watermark passes) — the continuous form of
+    dedup_exact. Emitted in append mode, then aggregated batch-side
+    to a compact, checkable result."""
+    ev = _events_stream(spark, sf_dir)
+    deduped = ev.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    _run_to_memory(
+        deduped.select("event_id", "event_type"), "stream_dedup_sink", "append"
+    )
+    return (
+        spark.table("stream_dedup_sink")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, count(DISTINCT event_id) AS n_unique_events
+FROM events
+GROUP BY event_type
+"""
+
+
+QUERIES.update(
+    {
+        "stream_sliding_counts": (stream_sliding_counts, STREAM_SLIDING_SQL),
+        "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+    }
+)

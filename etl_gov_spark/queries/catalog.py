@@ -16,7 +16,15 @@ def _families() -> list[dict]:
     from etl_gov_spark.operators import relational
 
     fams = [relational.QUERIES]
-    for mod_name in ("analytics", "timeseries", "dedup", "similarity", "text", "multimodal"):
+    for mod_name in (
+        "analytics",
+        "tpch_deep",
+        "timeseries",
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+    ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])
             fams.append(mod.QUERIES)

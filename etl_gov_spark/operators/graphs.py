@@ -1,0 +1,150 @@
+"""Graph clustering for dedup (SURVEY.md §2.C extension):
+connected components over the near-duplicate pair graph.
+
+The missing last step of every dedup pipeline: pairs → clusters →
+one canonical doc per cluster. Spark-first as iterative min-label
+propagation (each round is one distributed join+aggregate — the
+simplified large-star/small-star layout from the MapReduce
+connected-components literature). Convergence needs O(diameter)
+rounds; near-dup clusters are shallow (docs similar to a common
+template), so this terminates in 2-4 rounds; a hard cap guards
+pathological chains.
+
+Oracle: DuckDB recursive CTE computes min-reachable-id per node —
+an exact, engine-independent definition of the same components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators.dedup import _SQL_SHINGLES, SHINGLE_K, shingles_col
+
+JACCARD_T = 0.1
+MAX_ROUNDS = 15
+
+
+def _near_dup_edges(docs: DataFrame) -> DataFrame:
+    """Jaccard ≥ t pairs corpus-wide via the inverted shingle
+    index (co-occurrence counts — linear in Σ df² per shingle, so
+    cost tracks true overlap, not corpus²; at 100 TB, cap df per
+    shingle to bound hot keys — ultra-common shingles carry no
+    dedup signal)."""
+    sh = docs.select("doc_id", F.array_distinct(shingles_col()).alias("sh"))
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    index = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = index.select(F.col("doc_id").alias("doc_a"), "s")
+    b = index.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, ["s"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            >= JACCARD_T
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation to fixpoint: every node repeatedly
+    adopts the smallest label among itself and its neighbors.
+
+    Each round: one shuffle (neighbor-min aggregate) + one join.
+    The driver loop only checks a converged count — labels
+    themselves never leave the cluster. Input edges are undirected
+    (symmetrized here); output: (node, component=min node id).
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    sym = sym.cache()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: Jaccard≥0.1 pair graph → connected
+    components → (doc_id, component, cluster_size). Singleton docs
+    (no near-dup) are excluded — downstream keeps one doc per
+    component and all singletons."""
+    docs = Catalog(spark, sf_dir).documents
+    comp = connected_components(_near_dup_edges(docs))
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+    )
+
+
+DEDUP_CLUSTERS_SQL = rf"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_T}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+), comp AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+)
+SELECT doc_id, component, count(*) OVER (PARTITION BY component) AS cluster_size
+FROM comp
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
+}

@@ -1,0 +1,194 @@
+"""Embedding-column analytics + IVF ANN (SURVEY.md §2.D extension).
+
+Vector operations a training-data pipeline runs over an
+``array<float>`` embedding column, all JVM-side (posexplode +
+hash aggregation, higher-order folds) — no Python in the hot path:
+
+- ``emb_norm_stats``: per-label L2-norm profile (the quality gate
+  for a new embedding batch)
+- ``emb_label_centroids``: per-label centroid via positional
+  explode — the distributed mean-vector: shuffle carries
+  (label × dim) partial sums, never raw vectors
+- ``ann_ivf_topk``: IVF — deterministic seeded centroids refined by
+  2 Lloyd iterations (each a broadcast-assign + positional-mean),
+  then nprobe-cell candidate scoring. The 100 TB path: assignment
+  is a map-only broadcast pass; the inverted file turns |Q|×N
+  scoring into |Q|×(nprobe·N/K).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators.similarity import TOP_K, _dot, _norm
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+N_CENTROIDS_STRIDE = 61  # vec_id % stride == 0 → ~16 seeds at sf0.001+
+LLOYD_ITERS = 2
+N_PROBE = 3
+QUERY_STRIDE = 50
+
+
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile: count, mean/min/max L2 norm.
+
+    Norms are left-fold sums over identical doubles in both engines
+    (bit-identical); only the per-label avg is order-sensitive and
+    it is rounded.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = _norm("v")
+    return (
+        emb.select("label", norm.alias("_n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            _R4(F.avg("_n"), "avg_norm"),
+            _R4(F.min("_n"), "min_norm"),
+            _R4(F.max("_n"), "max_norm"),
+        )
+    )
+
+
+EMB_NORM_STATS_SQL = """
+SELECT label, count(*) AS n_vecs,
+       round(avg(n), 4) AS avg_norm,
+       round(min(n), 4) AS min_norm,
+       round(max(n), 4) AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                             'sum')) AS n
+  FROM embeddings
+)
+GROUP BY label
+"""
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, reported as (n_vecs, centroid L2 norm,
+    mean component). posexplode → (label, dim) partial averages:
+    the shuffle moves |labels|×dim aggregates, not vectors.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    per_dim = emb.groupBy("label", "pos").agg(
+        F.avg("val").alias("c"), F.count(F.lit(1)).alias("_n")
+    )
+    return per_dim.groupBy("label").agg(
+        F.max("_n").alias("n_vecs"),
+        _R4(F.sqrt(F.sum(F.col("c") * F.col("c"))), "centroid_norm"),
+        _R4(F.avg("c"), "centroid_mean"),
+    )
+
+
+EMB_LABEL_CENTROIDS_SQL = """
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+), per_dim AS (
+  SELECT label, pos, avg(val) AS c, count(*) AS n FROM flat GROUP BY 1, 2
+)
+SELECT label, max(n) AS n_vecs,
+       round(sqrt(sum(c * c)), 4) AS centroid_norm,
+       round(avg(c), 4) AS centroid_mean
+FROM per_dim
+GROUP BY label
+"""
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Map-only nearest-centroid assignment: centroids broadcast,
+    squared-L2 argmin via one-pass struct-min (no sort)."""
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "v", F.struct(d2.alias("d2"), F.col("cid")).alias("_s"))
+        .groupBy("vec_id", "v")
+        .agg(F.min("_s").alias("_best"))
+        .select("vec_id", "v", F.col("_best.cid").alias("cid"))
+    )
+
+
+def _recompute(assigned: DataFrame) -> DataFrame:
+    """New centroid per cell: positional explode → per-(cell, dim)
+    mean → array rebuilt in dim order. Shuffle = K×dim aggregates."""
+    per_dim = (
+        assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.avg("val").alias("c"))
+    )
+    return (
+        per_dim.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select("cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cosine top-10 (rows-only: centroid state is not SQL-
+    portable; recall vs brute force is asserted in tests).
+
+    Seeds are stride-sampled vectors (deterministic, no RNG), two
+    Lloyd refinements, nprobe=3. Every stage is a broadcast or a
+    bounded-key aggregate; nothing iterates on the driver except
+    the fixed two-iteration loop (each iteration is one distributed
+    pass — the standard Lloyd-on-MapReduce layout).
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(LLOYD_ITERS):
+        centroids = _recompute(_assign(emb, centroids))
+    cells = _assign(emb, centroids)
+
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select("q_id", "qv", "cid", d2.alias("_d2"))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= N_PROBE)
+        .select("q_id", "qv", "cid")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = cand.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "emb_norm_stats": (emb_norm_stats, EMB_NORM_STATS_SQL),
+    "emb_label_centroids": (emb_label_centroids, EMB_LABEL_CENTROIDS_SQL),
+    "ann_ivf_topk": (ann_ivf_topk, None),
+}

@@ -19,9 +19,12 @@ def _families() -> list[dict]:
     for mod_name in (
         "analytics",
         "tpch_deep",
+        "windows",
         "timeseries",
         "dedup",
+        "graphs",
         "similarity",
+        "vectors",
         "text",
         "multimodal",
     ):

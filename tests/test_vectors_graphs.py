@@ -1,0 +1,74 @@
+"""Vector-ops + graph-clustering invariants (sf0.001)."""
+
+from __future__ import annotations
+
+from etl_gov_spark.operators import graphs as G
+from etl_gov_spark.operators import similarity as S
+from etl_gov_spark.operators import vectors as V
+
+
+def test_norm_stats_ordering(spark, sf_dir):
+    rows = V.emb_norm_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_norm <= r.avg_norm <= r.max_norm
+        assert r.n_vecs > 0
+
+
+def test_centroid_norm_bounded_by_max_norm(spark, sf_dir):
+    stats = {r.label: r for r in V.emb_norm_stats(spark, sf_dir).collect()}
+    for r in V.emb_label_centroids(spark, sf_dir).collect():
+        # Jensen: ||mean of vectors|| <= mean of ||vectors|| <= max
+        assert r.centroid_norm <= stats[r.label].max_norm + 1e-6
+        assert r.n_vecs == stats[r.label].n_vecs
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r.q_id, r.cand_id) for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    ivf = {(r.q_id, r.cand_id) for r in V.ann_ivf_topk(spark, sf_dir).collect()}
+    assert ivf  # produced results for every query
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_connected_components_fixpoint(spark, sf_dir):
+    rows = G.dedup_clusters(spark, sf_dir).collect()
+    # verify against a driver-side union-find on the same edges
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in G._near_dup_edges(
+            __import__(
+                "etl_gov_spark.io.sources", fromlist=["Catalog"]
+            ).Catalog(spark, sf_dir).documents
+        ).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+    got = {r.doc_id: r.component for r in rows}
+    assert got == expected
+
+
+def test_cluster_sizes_consistent(spark, sf_dir):
+    rows = G.dedup_clusters(spark, sf_dir).collect()
+    from collections import Counter
+
+    sizes = Counter(r.component for r in rows)
+    for r in rows:
+        assert r.cluster_size == sizes[r.component] >= 2 or sizes[r.component] == 1

@@ -47,6 +47,9 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     integer division — same truncation DuckDB applies, so both
     engines see identical values.
     """
+    from etl_gov_spark.session import tune_runtime
+
+    tune_runtime(spark)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

@@ -4,19 +4,20 @@
 The LLM-corpus dedup ladder, each rung Spark-first:
 
 - exact:       md5 groupBy — one shuffle on the hash key
-- minhash+LSH: shingle → k minhashes → band keys → bucket self-join.
-  Turns O(n²) candidate generation into per-bucket joins; buckets
-  are md5 keys, so they hash-partition evenly at any scale.
-- n-gram Jaccard: exact verify stage, blocked (here: by source) so
-  pair count stays bucket-local
+- minhash+LSH: shingle → k minhashes → band keys → bucket-local
+  pair expansion. Turns O(n²) candidate generation into per-bucket
+  work; hash keys partition evenly at any scale.
+- n-gram Jaccard: exact verify stage over an inverted shingle
+  index, blocked (here: by source) so pair count stays bucket-local
 - simhash:     64-bit signature + 16-bit-chunk banding (Hamming ≤ t
   ⇒ some chunk equal when t < chunks) — pigeonhole blocking
 - embedding:   cosine near-dup; exact pair mode here (oracle-able),
   LSH-bucketed mode in operators/similarity.py for the scale path
 
-MinHash portability: hash_j(shingle) = md5(j || '|' || shingle),
-min taken lexicographically — identical strings in Spark and DuckDB,
-which is what makes an *approximate* algorithm exactly oracle-able.
+MinHash portability: hash_j(shingle) = 8-hex-char chunk j%4 of
+md5(j//4 || '|' || shingle), min taken lexicographically — identical
+strings in Spark and DuckDB, which is what makes an *approximate*
+algorithm exactly oracle-able.
 """
 
 from __future__ import annotations
@@ -61,12 +62,32 @@ GROUP BY 1
 """
 
 
-def shingles_col(k: int = SHINGLE_K) -> Column:
-    """Word k-gram shingles as an array column (codegen, no UDF)."""
-    toks = tokens_col()
+def shingles_col(k: int = SHINGLE_K, toks: Column | str = "toks") -> Column:
+    """Word k-gram shingles from a MATERIALIZED token-array column
+    (codegen, no UDF).
+
+    ``toks`` must be a real column, not an inline ``split()``
+    expression: expressions referenced inside a higher-order-
+    function lambda are not common-subexpression-eliminated, so an
+    inline split would re-tokenize the document once per shingle
+    (~6× slower measured). Callers project ``tokens_col()`` into a
+    column first (see shingled_docs).
+    """
+    t = F.col(toks) if isinstance(toks, str) else toks
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        F.sequence(F.lit(1), F.greatest(F.size(t) - F.lit(k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+
+
+def shingled_docs(docs: DataFrame, *keep: str, distinct: bool = False) -> DataFrame:
+    """Project docs to (*keep, sh): tokenize in one projection,
+    shingle from the materialized token array in the next."""
+    sh = shingles_col()
+    if distinct:
+        sh = F.array_distinct(sh)
+    return docs.select(*keep, tokens_col().alias("toks")).select(
+        *keep, sh.alias("sh")
     )
 
 
@@ -76,28 +97,40 @@ _SQL_SHINGLES = (
 )
 
 
+# 8 hash functions from 2 md5 digests: h_j = 8-hex-char chunk j%4 of
+# md5(j//4 || '|' || shingle). 32-bit minhash values — 4× fewer md5
+# evaluations than one digest per hash function, and the min/compare
+# runs on 8-char strings instead of 32.
 _SQL_SIG = (
     "list_transform(generate_series(0, 7), j -> list_aggregate("
-    f"list_transform({_SQL_SHINGLES}, s -> md5(CAST(j AS VARCHAR) || '|' || s)), 'min'))"
+    f"list_transform({_SQL_SHINGLES},"
+    " s -> substr(md5(CAST(j // 4 AS VARCHAR) || '|' || s), 1 + (j % 4) * 8, 8)),"
+    " 'min'))"
 )
 
 
 def minhash_signature_flat(docs: DataFrame) -> DataFrame:
     """Signatures via explode + hash-aggregate instead of nested
-    array transforms: (doc, shingle) rows get 8 flat md5 columns,
-    map-side-combined min per doc. ~3× faster than the higher-order
-    form (flat rows stay in codegen; no per-row array boxing), and
-    the shuffle carries only 5k pre-aggregated groups per partition.
-    Distinct shingles first — min is distinct-invariant, so this
-    matches the per-row formulation exactly.
+    array transforms: (doc, shingle) rows get 8 flat hash columns,
+    map-side-combined min per doc. Flat rows stay in codegen (no
+    per-row array boxing) and the shuffle carries only pre-combined
+    per-partition minima. No distinct pass — min over the shingle
+    multiset equals min over the set. Each shingle pays 2 md5
+    evaluations, sliced into 4 32-bit chunks each (see _SQL_SIG —
+    the identical strings on the DuckDB side).
     """
-    sh = docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles_col())).alias("s")
-    )
-    hashed = sh.select(
+    sh = shingled_docs(docs, "doc_id").select("doc_id", F.explode("sh").alias("s"))
+    digests = sh.select(
         "doc_id",
         *[
-            F.md5(F.concat(F.lit(f"{j}|"), F.col("s"))).alias(f"h{j}")
+            F.md5(F.concat(F.lit(f"{d}|"), F.col("s"))).alias(f"d{d}")
+            for d in range(N_HASHES // 4)
+        ],
+    )
+    hashed = digests.select(
+        "doc_id",
+        *[
+            F.substring(F.col(f"d{j // 4}"), 1 + (j % 4) * 8, 8).alias(f"h{j}")
             for j in range(N_HASHES)
         ],
     )
@@ -106,35 +139,62 @@ def minhash_signature_flat(docs: DataFrame) -> DataFrame:
     )
 
 
+def pair_structs(ds: Column) -> Column:
+    """All (a, b) pairs with list-position i < j from a sorted
+    struct array — bucket-local pair expansion. Replaces the
+    bucket self-join: the bucket contents are computed ONCE
+    (collect_list) instead of twice (join re-evaluates the whole
+    upstream pipeline per side), and pair generation stays inside
+    codegen. Buckets must be small (LSH bands / shingle df) — cap
+    df upstream at scale; a hot bucket means the key carries no
+    dedup signal anyway."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + 2, F.size(ds)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: docs sharing ≥1 of 4 band keys become
     candidate pairs, scored by signature agreement.
 
     Scale: signature build is explode + map-side-combined min (see
-    minhash_signature_flat); the only real shuffle is the band-key
-    self-join, and each bucket stays tiny unless documents truly
-    collide — exactly the work profile you want at 100 TB. Band
-    keys are md5(h_2b || h_2b+1).
+    minhash_signature_flat) and runs exactly once — band buckets
+    are collect_list'd and pairs expand bucket-locally
+    (pair_structs), so there is one shuffle on band_key and no
+    self-join re-evaluating the signature pipeline. Band keys are
+    band-index-prefixed h_2b||h_2b+1 (the prefix stops cross-band
+    bucket collisions).
     """
     sig = minhash_signature_flat(
         Catalog(spark, sf_dir).documents.select("doc_id", "text")
     )
     band_cols = [
-        F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}"))).alias(f"b{b}")
+        F.concat(F.lit(f"{b}:"), F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")).alias(f"b{b}")
         for b in range(N_BANDS)
     ]
     banded = sig.select(
-        "doc_id",
-        F.array(*[F.col(f"h{j}") for j in range(N_HASHES)]).alias("sig"),
+        F.struct(
+            "doc_id", F.array(*[F.col(f"h{j}") for j in range(N_HASHES)]).alias("sig")
+        ).alias("dn"),
         F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_key"
+    buckets = (
+        banded.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_key"
+    pairs = buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p")).select(
+        F.col("p.a.doc_id").alias("doc_a"),
+        F.col("p.b.doc_id").alias("doc_b"),
+        F.col("p.a.sig").alias("sig_a"),
+        F.col("p.b.sig").alias("sig_b"),
     )
-    pairs = a.join(b, "band_key").filter(F.col("doc_a") < F.col("doc_b"))
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
@@ -161,7 +221,7 @@ WITH sigs AS (
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
 ), banded AS (
   SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3),
-         b -> md5(sig[b*2+1] || sig[b*2+2]))) AS band_key
+         b -> CAST(b AS VARCHAR) || ':' || sig[b*2+1] || sig[b*2+2])) AS band_key
   FROM sigs
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -181,36 +241,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: instead of joining full shingle ARRAYS per pair (huge
     shuffle rows, quadratic in block size), explode to an inverted
-    index of (source, shingle) → doc and count co-occurrences:
-    |A∩B| = co-occurrence count, |A∪B| = |A| + |B| − |A∩B|. Shuffle
-    rows are ~25 bytes; pair generation is proportional to Σ df²
-    per shingle within a source block, not block². This is the
-    standard web-scale near-dup verify stage.
+    index of (source, shingle) → (doc, set size) and count
+    co-occurrences: |A∩B| = co-occurrence count, |A∪B| = |A| + |B|
+    − |A∩B|. One shuffle on the shingle key, pairs expanded
+    bucket-locally (pair_structs) so the shingle pipeline runs once
+    (a self-join would re-evaluate it per side); pair count is
+    Σ df² per shingle within a source block, not block². This is
+    the standard web-scale near-dup verify stage.
     """
-    docs = Catalog(spark, sf_dir).documents.select(
-        "doc_id", "source", F.array_distinct(shingles_col()).alias("sh")
+    docs = shingled_docs(
+        Catalog(spark, sf_dir).documents, "doc_id", "source", distinct=True
     )
-    sizes = docs.select("doc_id", "source", F.size("sh").alias("n_sh"))
-    index = docs.select("doc_id", "source", F.explode("sh").alias("s"))
-    a = index.select("source", F.col("doc_id").alias("doc_a"), "s")
-    b = index.select("source", F.col("doc_id").alias("doc_b"), "s")
+    index = docs.select(
+        "source",
+        F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
+        F.explode("sh").alias("s"),
+    )
+    buckets = (
+        index.groupBy("source", "s")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     inter = (
-        a.join(b, ["source", "s"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("source", "doc_a", "doc_b")
+        buckets.select("source", F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .groupBy(
+            "source",
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "source",
-            "doc_a",
-            "doc_b",
-            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("_j"),
-        )
+    pairs = inter.select(
+        "source",
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("_j"),
     )
     w = Window.partitionBy("source").orderBy(
         F.desc("_j"), F.asc("doc_a"), F.asc("doc_b")

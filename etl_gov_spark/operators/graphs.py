@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
-from etl_gov_spark.operators.dedup import _SQL_SHINGLES, SHINGLE_K, shingles_col
+from etl_gov_spark.operators.dedup import _SQL_SHINGLES, SHINGLE_K, pair_structs, shingled_docs
 
 JACCARD_T = 0.1
 MAX_ROUNDS = 15
@@ -32,22 +32,25 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
     cost tracks true overlap, not corpus²; at 100 TB, cap df per
     shingle to bound hot keys — ultra-common shingles carry no
     dedup signal)."""
-    sh = docs.select("doc_id", F.array_distinct(shingles_col()).alias("sh"))
-    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    index = sh.select("doc_id", F.explode("sh").alias("s"))
-    a = index.select(F.col("doc_id").alias("doc_a"), "s")
-    b = index.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        a.join(b, ["s"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sh = shingled_docs(docs, "doc_id", distinct=True)
+    index = sh.select(
+        F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
+        F.explode("sh").alias("s"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    buckets = (
+        index.groupBy("s")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
         .filter(
             F.col("n_inter")
             / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))

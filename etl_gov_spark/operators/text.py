@@ -172,8 +172,13 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lower+trim → whitespace-insensitive), and the minimum word-
     5-gram shingle hash (a 1-hash MinHash — the rolling-fingerprint
     primitive dedup builds on)."""
-    docs = Catalog(spark, sf_dir).documents
-    toks = tokens_col()
+    # tokens materialized first: an inline split() referenced inside
+    # the transform lambda would re-tokenize once per shingle (no CSE
+    # into higher-order-function bodies)
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "text", tokens_col().alias("toks")
+    )
+    toks = F.col("toks")
     norm = F.concat_ws(" ", toks)
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(4), F.lit(1))),
@@ -263,8 +268,10 @@ WHERE rank <= 3
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 word bigrams — the n-gram frequency table
     (explode + bounded-key groupBy + deterministic top-k)."""
-    docs = Catalog(spark, sf_dir).documents
-    toks = tokens_col()
+    # tokens materialized first (no CSE into HOF lambdas — see
+    # text_fingerprint)
+    docs = Catalog(spark, sf_dir).documents.select(tokens_col().alias("toks"))
+    toks = F.col("toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),

@@ -1,0 +1,444 @@
+"""Data-quality / expectation operators (gov-data gate checks).
+
+Spark-first analogue of the reference's quality gates: the
+short-circuit pattern (``dags/example_short_circuit_operator.py``,
+``example_short_circuit_decorator.py`` — skip downstream when a
+predicate fails), SLA/freshness monitoring (``dags/example_sla_dag.py``),
+and warehouse SQL checks (``dags/sql/sample.sql``). Here a gate is a
+declarative expectation suite compiled into ONE conditional-
+aggregation pass per table, so a 100 TB fact table pays a single
+scan for its entire checklist — no per-check jobs, no collect loops.
+The suite result feeds ``pipeline.short_circuit`` to gate a publish.
+
+Scale notes
+- ``run_expectations`` folds N checks into one ``agg`` of
+  CASE-WHEN sums → one scan, map-side partial aggregation, a
+  single-row shuffle. Uniqueness adds one count-distinct (partial
+  HLL-style aggregation JVM-side; exact here because the gate must
+  be exact).
+- Referential checks are left-anti joins with the PK side
+  broadcast when it is a dim table; fact→fact (lineitem→orders)
+  shuffles on the join key, the same key the tables would be
+  bucketed on at scale.
+- Freshness is a grouped max + a broadcast of the single-row
+  global max — no window over the fact table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+
+# ---------------------------------------------------------------- #
+# expectation framework                                            #
+# ---------------------------------------------------------------- #
+
+
+@dataclass(frozen=True)
+class Expectation:
+    """One named check; ``violation`` marks rows that FAIL it."""
+
+    name: str
+    violation: Column
+
+
+def not_null(col: str) -> Expectation:
+    return Expectation(f"not_null:{col}", F.col(col).isNull())
+
+
+def in_set(col: str, values: tuple) -> Expectation:
+    return Expectation(
+        f"in_set:{col}", ~F.col(col).isin(*values) | F.col(col).isNull()
+    )
+
+
+def between(col: str, lo, hi) -> Expectation:
+    return Expectation(
+        f"between:{col}",
+        (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi)) | F.col(col).isNull(),
+    )
+
+
+def matches(col: str, regex: str) -> Expectation:
+    return Expectation(
+        f"matches:{col}", ~F.col(col).rlike(regex) | F.col(col).isNull()
+    )
+
+
+def run_expectations(
+    df: DataFrame, exps: list[Expectation], unique_keys: list[str] = ()
+) -> DataFrame:
+    """Compile an expectation suite into one scan.
+
+    Row-level checks become CASE-WHEN sums in a single ``agg``;
+    each ``unique_keys`` column adds a count-distinct in the same
+    aggregate. Output: (check, violations, n_rows, passed) — one
+    row per expectation, computed with exactly one pass over df.
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for e in exps:
+        aggs.append(F.sum(e.violation.cast("long")).alias(e.name))
+    for k in unique_keys:
+        aggs.append(
+            (F.count(k) - F.countDistinct(k)).alias(f"unique:{k}")
+        )
+    row = df.agg(*aggs)
+    names = [e.name for e in exps] + [f"unique:{k}" for k in unique_keys]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("check"), F.col(f"`{n}`").alias("violations")
+            )
+            for n in names
+        ]
+    )
+    return row.select(F.col("__n").alias("n_rows"), F.inline(pairs)).select(
+        "check",
+        "violations",
+        "n_rows",
+        (F.col("violations") == 0).cast("int").alias("passed"),
+    )
+
+
+# ---------------------------------------------------------------- #
+# queries()/oracle pairs                                           #
+# ---------------------------------------------------------------- #
+
+_STATUSES = ("O", "F", "P")
+_PRIORITY_RE = r"^[1-5]-[A-Z ]+$"
+
+
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned gate suite for ``orders``: one scan, six checks."""
+    orders = Catalog(spark, sf_dir).orders
+    exps = [
+        not_null("o_custkey"),
+        in_set("o_orderstatus", _STATUSES),
+        between("o_totalprice", 0.0, 1e7),
+        between(
+            "o_orderdate",
+            F.lit("1992-01-01").cast("timestamp"),
+            F.lit("2002-01-01").cast("timestamp"),
+        ),
+        matches("o_orderpriority", _PRIORITY_RE),
+    ]
+    return run_expectations(orders, exps, unique_keys=["o_orderkey"])
+
+
+DQ_EXPECTATION_SUITE_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_null,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS v_set,
+         sum(CASE WHEN o_totalprice < 0 OR o_totalprice > 1e7 OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS v_price,
+         sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate > TIMESTAMP '2002-01-01' OR o_orderdate IS NULL THEN 1 ELSE 0 END) AS v_date,
+         sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$') OR o_orderpriority IS NULL THEN 1 ELSE 0 END) AS v_prio,
+         count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniq
+  FROM orders
+)
+SELECT u."check", u.violations, agg.n_rows,
+       CASE WHEN u.violations = 0 THEN 1 ELSE 0 END AS passed
+FROM agg, LATERAL (VALUES
+    ('not_null:o_custkey', v_null),
+    ('in_set:o_orderstatus', v_set),
+    ('between:o_totalprice', v_price),
+    ('between:o_orderdate', v_date),
+    ('matches:o_orderpriority', v_prio),
+    ('unique:o_orderkey', v_uniq)) AS u("check", violations)
+"""
+
+
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null profile of ``events`` — one scan, unpivoted."""
+    ev = Catalog(spark, sf_dir).events
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    row = ev.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(F.col(c).isNull().cast("long")).alias(c) for c in cols],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("column_name"), F.col(c).alias("n_nulls"))
+            for c in cols
+        ]
+    )
+    return row.select(F.col("__n").alias("n_rows"), F.inline(pairs)).select(
+        "column_name",
+        "n_nulls",
+        _R4(F.col("n_nulls") / F.col("n_rows"), "null_rate"),
+    )
+
+
+DQ_NULL_PROFILE_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS c2,
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS c3,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS c4,
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS c5,
+         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS c6
+  FROM events
+)
+SELECT u.column_name, u.n_nulls, round(u.n_nulls / CAST(agg.n AS DOUBLE), 4) AS null_rate
+FROM agg, LATERAL (VALUES
+    ('event_id', c1), ('ts', c2), ('user_id', c3),
+    ('event_type', c4), ('value', c5), ('props', c6)) AS u(column_name, n_nulls)
+"""
+
+
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across four tables."""
+    c = Catalog(spark, sf_dir)
+    parts = []
+    for tbl, key in (
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("documents", "doc_id"),
+        ("events", "event_id"),
+    ):
+        parts.append(
+            getattr(c, tbl).agg(
+                F.lit(tbl).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct(key).alias("n_keys"),
+                (F.count(key) - F.countDistinct(key)).alias("dup_keys"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DQ_UNIQUENESS_SQL = """
+SELECT 'orders' AS table_name, count(*) AS n_rows,
+       count(DISTINCT o_orderkey) AS n_keys,
+       count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_keys FROM orders
+UNION ALL
+SELECT 'customer', count(*), count(DISTINCT c_custkey),
+       count(c_custkey) - count(DISTINCT c_custkey) FROM customer
+UNION ALL
+SELECT 'documents', count(*), count(DISTINCT doc_id),
+       count(doc_id) - count(DISTINCT doc_id) FROM documents
+UNION ALL
+SELECT 'events', count(*), count(DISTINCT event_id),
+       count(event_id) - count(DISTINCT event_id) FROM events
+"""
+
+
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-orphan audit via left-anti joins (broadcast dim side)."""
+    c = Catalog(spark, sf_dir)
+    checks = [
+        (
+            "orders.o_custkey->customer",
+            c.orders.join(
+                c.customer, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+            ),
+        ),
+        (
+            "lineitem.l_orderkey->orders",
+            c.lineitem.join(
+                c.orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti"
+            ),
+        ),
+        (
+            "customer.c_nationkey->nation",
+            c.customer.join(
+                F.broadcast(c.nation),
+                F.col("c_nationkey") == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+        (
+            "supplier.s_nationkey->nation",
+            c.supplier.join(
+                F.broadcast(c.nation),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+                "left_anti",
+            ),
+        ),
+    ]
+    parts = [
+        df.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).alias("orphans"),
+        )
+        for name, df in checks
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+DQ_REFERENTIAL_SQL = """
+SELECT 'orders.o_custkey->customer' AS relationship,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT count(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+"""
+
+
+_EVENT_TYPES = ("click", "view", "signup", "purchase", "error")
+
+
+def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain checks: violations + distinct bad values per column."""
+    c = Catalog(spark, sf_dir)
+    ev = c.events.agg(
+        F.lit("events.event_type").alias("check"),
+        F.sum((~F.col("event_type").isin(*_EVENT_TYPES)).cast("long")).alias(
+            "violations"
+        ),
+        F.countDistinct(
+            F.when(~F.col("event_type").isin(*_EVENT_TYPES), F.col("event_type"))
+        ).alias("n_bad_values"),
+    )
+    st = c.orders.agg(
+        F.lit("orders.o_orderstatus").alias("check"),
+        F.sum((~F.col("o_orderstatus").isin(*_STATUSES)).cast("long")).alias(
+            "violations"
+        ),
+        F.countDistinct(
+            F.when(~F.col("o_orderstatus").isin(*_STATUSES), F.col("o_orderstatus"))
+        ).alias("n_bad_values"),
+    )
+    return ev.unionByName(st)
+
+
+DQ_ACCEPTED_VALUES_SQL = """
+SELECT 'events.event_type' AS check,
+       sum(CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN 1 ELSE 0 END) AS violations,
+       count(DISTINCT CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN event_type END) AS n_bad_values
+FROM events
+UNION ALL
+SELECT 'orders.o_orderstatus',
+       sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END),
+       count(DISTINCT CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN o_orderstatus END)
+FROM orders
+"""
+
+
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type staleness vs the corpus max timestamp (SLA).
+
+    Grouped max per type (map-side combine), then a broadcast join
+    against the single-row global max — the fact table is scanned
+    once and never windowed.
+    """
+    ev = Catalog(spark, sf_dir).events
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("max_ts"))
+    global_max = ev.agg(F.max("ts").alias("global_max_ts"))
+    return (
+        per_type.crossJoin(F.broadcast(global_max))
+        .select(
+            "event_type",
+            F.col("max_ts").cast("string").alias("max_ts"),
+            _R4(
+                (
+                    F.unix_micros(F.col("global_max_ts"))
+                    - F.unix_micros(F.col("max_ts"))
+                )
+                / 60_000_000.0,
+                "lag_minutes",
+            ),
+        )
+        .withColumn(
+            "stale", (F.col("lag_minutes") > F.lit(60.0)).cast("int")
+        )
+    )
+
+
+DQ_FRESHNESS_SQL = """
+WITH g AS (SELECT max(ts) AS gmax FROM events),
+     t AS (SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type)
+SELECT t.event_type,
+       CAST(t.max_ts AS VARCHAR) AS max_ts,
+       round(epoch_us(g.gmax - t.max_ts) / 60000000.0, 4) AS lag_minutes,
+       CASE WHEN epoch_us(g.gmax - t.max_ts) / 60000000.0 > 60.0 THEN 1 ELSE 0 END AS stale
+FROM t, g
+"""
+
+
+def dq_value_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-range audit of ``lineitem`` — one scan, three checks."""
+    li = Catalog(spark, sf_dir).lineitem
+    checks = [
+        ("l_quantity:[1,50]", "l_quantity", 1.0, 50.0),
+        ("l_discount:[0,0.1]", "l_discount", 0.0, 0.1),
+        ("l_extendedprice:>0", "l_extendedprice", 0.0, float("inf")),
+    ]
+    aggs = []
+    for name, col, lo, hi in checks:
+        bad = (F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))
+        aggs.extend(
+            [
+                F.sum(bad.cast("long")).alias(f"v_{name}"),
+                F.min(col).alias(f"lo_{name}"),
+                F.max(col).alias(f"hi_{name}"),
+            ]
+        )
+    row = li.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(f"`v_{name}`").alias("violations"),
+                F.round(F.col(f"`lo_{name}`"), 4).alias("min_observed"),
+                F.round(F.col(f"`hi_{name}`"), 4).alias("max_observed"),
+            )
+            for name, _c, _lo, _hi in checks
+        ]
+    )
+    return row.select(F.inline(pairs))
+
+
+DQ_VALUE_BOUNDS_SQL = """
+WITH agg AS (
+  SELECT sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v1,
+         min(l_quantity) AS lo1, max(l_quantity) AS hi1,
+         sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS v2,
+         min(l_discount) AS lo2, max(l_discount) AS hi2,
+         sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS v3,
+         min(l_extendedprice) AS lo3, max(l_extendedprice) AS hi3
+  FROM lineitem
+)
+SELECT u."check", u.violations,
+       round(u.min_observed, 4) AS min_observed,
+       round(u.max_observed, 4) AS max_observed
+FROM agg, LATERAL (VALUES
+    ('l_quantity:[1,50]', v1, lo1, hi1),
+    ('l_discount:[0,0.1]', v2, lo2, hi2),
+    ('l_extendedprice:>0', v3, lo3, hi3)) AS u("check", violations, min_observed, max_observed)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dq_expectation_suite": (dq_expectation_suite, DQ_EXPECTATION_SUITE_SQL),
+    "dq_null_profile": (dq_null_profile, DQ_NULL_PROFILE_SQL),
+    "dq_uniqueness": (dq_uniqueness, DQ_UNIQUENESS_SQL),
+    "dq_referential": (dq_referential, DQ_REFERENTIAL_SQL),
+    "dq_accepted_values": (dq_accepted_values, DQ_ACCEPTED_VALUES_SQL),
+    "dq_freshness": (dq_freshness, DQ_FRESHNESS_SQL),
+    "dq_value_bounds": (dq_value_bounds, DQ_VALUE_BOUNDS_SQL),
+}

@@ -27,6 +27,7 @@ def _families() -> list[dict]:
         "vectors",
         "text",
         "multimodal",
+        "quality",
     ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])

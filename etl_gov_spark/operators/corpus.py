@@ -1,0 +1,341 @@
+"""LLM-training-corpus operators (SURVEY.md §2.E extension).
+
+The dataset-preparation jobs a 100 TB pretraining pipeline runs
+between raw crawl and tokenizer: cross-corpus contamination checks,
+chunking, sequence packing, deterministic splits, repetition-based
+quality filters, and PII scrubbing. Reference parity: these extend
+the reference's transform stage (``dags/tutorial_dag.py`` transform,
+``dags/tutorial_objectstorage.py`` pandas analytics) with the
+corpus-level operators its ETL pattern implies at LLM scale.
+
+Scale notes
+- Contamination is THE shuffle-heavy job here: explode eval-side
+  n-grams, semi-join against the train-side distinct n-gram set
+  keyed by the n-gram string. That join key is uniformly
+  distributed (hash of text), so it shards cleanly; the train set
+  is aggregated (distinct) before the join so each n-gram crosses
+  the wire once.
+- Everything else is per-row array algebra (JVM codegen, zero
+  shuffles except final aggregates): chunking/packing/splits/
+  repetition are higher-order-function compositions, never Python.
+- Packing uses concat-and-chunk binning (cumulative tokens over a
+  deterministic order, bin = floor(cum/budget)) — the window is
+  partitioned by source, so state never exceeds one partition's
+  running sum; exact greedy first-fit would serialize the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators.text import tokens_col
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+# eval sources for the contamination check (the "held-out" corpora)
+_EVAL_SOURCES = ("src15", "src16", "src17", "src18", "src19")
+_NGRAM = 3
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams of a token array (JVM higher-order fns)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - n + 1, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+
+
+def _sql_ngrams(n: int) -> str:
+    """DuckDB twin of ``_ngrams`` (1-based inclusive list slices)."""
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n} + 1, 1) + 1), "
+        f"i -> array_to_string(toks[i:i+{n - 1}], ' '))"
+    )
+
+
+def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-vs-train n-gram contamination score per eval document.
+
+    For each held-out doc: the fraction of its distinct trigrams
+    that appear anywhere in the train corpus. This is the standard
+    decontamination sweep (eval-set leakage) run before training.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", tokens_col().alias("toks")
+    )
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    grams = F.explode(F.array_distinct(_ngrams(F.col("toks"), _NGRAM)))
+
+    train_grams = (
+        docs.filter(~is_eval).select(grams.alias("gram")).distinct()
+    )
+    eval_grams = docs.filter(is_eval).select("doc_id", grams.alias("gram"))
+    hits = (
+        eval_grams.join(
+            train_grams.withColumn("hit", F.lit(1)), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams",
+        "n_contaminated",
+        _R4(F.col("n_contaminated") / F.col("n_grams"), "contamination"),
+    )
+
+
+CORPUS_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(list_distinct({_sql_ngrams(_NGRAM)})) AS gram
+  FROM toks
+), train AS (
+  SELECT DISTINCT gram FROM grams
+  WHERE source NOT IN ('src15','src16','src17','src18','src19')
+)
+SELECT g.doc_id,
+       count(*) AS n_grams,
+       sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       round(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS contamination
+FROM grams g LEFT JOIN train t ON g.gram = t.gram
+WHERE g.source IN ('src15','src16','src17','src18','src19')
+GROUP BY g.doc_id
+"""
+
+_CHUNK = 32
+_STRIDE = 24
+
+
+def corpus_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunks with overlap (training-window prep).
+
+    Chunk = 32 tokens, stride = 24 (8-token overlap). Pure array
+    algebra per row; output carries an md5 of the chunk text, not
+    the text itself, so the result stays narrow at 100 TB.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(_STRIDE))
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.array_join(F.slice("toks", s, _CHUNK), " ")
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size(F.split("chunk_text", r"\s+")).alias("n_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+CORPUS_CHUNKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1, {_STRIDE}),
+                               s -> array_to_string(toks[s:s+{_CHUNK - 1}], ' '))) AS chunk_text,
+         generate_subscripts(range(1, len(toks) + 1, {_STRIDE}), 1) - 1 AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       len(string_split_regex(chunk_text, '\\s+')) AS n_tokens,
+       md5(chunk_text) AS chunk_md5
+FROM chunks
+"""
+
+_BUDGET = 256
+
+
+def corpus_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 256-token bins.
+
+    Docs are ordered deterministically (doc_id) within each source,
+    token counts are cumulated with a window, and bin id is
+    floor(preceding-cumsum / budget). Per-bin stats show packing
+    efficiency. Window is partitioned by source → bounded state.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _BUDGET),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "source",
+            "bin_id",
+            "n_docs",
+            "total_tokens",
+            _R4(F.col("total_tokens") / F.lit(float(_BUDGET)), "fill_ratio"),
+        )
+    )
+
+
+CORPUS_PACK_GREEDY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT source, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+                    / {_BUDGET}) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       round(sum(n_tokens) / {_BUDGET}.0, 4) AS fill_ratio
+FROM binned GROUP BY source, bin_id
+"""
+
+
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split train/val/test (12:2:2 of 16).
+
+    Split key = first hex digit of md5(doc_id): 0-b train, c-d val,
+    e-f test. Content-independent, seedless, stable across engines
+    and re-runs — the property a reproducible data pipeline needs.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).alias("h")
+    )
+    split = (
+        F.when(F.col("h").isin("c", "d"), "val")
+        .when(F.col("h").isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+CORPUS_SPLIT_SQL = """
+SELECT source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+            ELSE 'train' END AS split,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality metrics per document.
+
+    distinct_ratio (type/token), top_token_frac (mode frequency),
+    dup_bigram_frac. All array algebra on ~100-token rows — O(n²)
+    in tokens per row is fine; there is no shuffle at all.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    toks = F.col("toks")
+    uniq = F.array_distinct(toks)
+    top_cnt = F.array_max(
+        F.transform(
+            uniq, lambda u: F.size(F.filter(toks, lambda t: t == u))
+        )
+    )
+    bigrams = _ngrams(toks, 2)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        _R4(F.size(uniq) / F.size(toks), "distinct_ratio"),
+        _R4(top_cnt / F.size(toks), "top_token_frac"),
+        _R4(
+            1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams),
+            "dup_bigram_frac",
+        ),
+    )
+
+
+CORPUS_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), b AS (
+  SELECT doc_id, toks, {_sql_ngrams(2)} AS bigrams FROM t
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS distinct_ratio,
+       round(list_max(list_transform(list_distinct(toks),
+                     u -> len(list_filter(toks, x -> x = u)))) / CAST(len(toks) AS DOUBLE), 4) AS top_token_frac,
+       round(1 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE), 4) AS dup_bigram_frac
+FROM b
+"""
+
+_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_LONGNUM_RE = r"[0-9]{6,}"
+_YEAR_RE = r"\b(19|20)[0-9]{2}\b"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern counts + redacted-text fingerprint per document.
+
+    Emails and 6+-digit runs are redacted to sentinels; the output
+    keeps counts and an md5 of the scrubbed text (narrow schema —
+    the scrubbed corpus itself would be written as a table at
+    scale, this query is the audit view). Pure regexp codegen.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+        _LONGNUM_RE,
+        "<NUM>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_LONGNUM_RE)).alias("n_longnums"),
+        F.regexp_count("text", F.lit(_YEAR_RE)).alias("n_years"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+TEXT_PII_SCRUB_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_LONGNUM_RE}')) AS n_longnums,
+       len(regexp_extract_all(text, '\b(19|20)[0-9]{{2}}\b')) AS n_years,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGNUM_RE}', '<NUM>', 'g')) AS clean_md5
+FROM documents
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "corpus_contamination": (corpus_contamination, CORPUS_CONTAMINATION_SQL),
+    "corpus_chunking": (corpus_chunking, CORPUS_CHUNKING_SQL),
+    "corpus_pack_greedy": (corpus_pack_greedy, CORPUS_PACK_GREEDY_SQL),
+    "corpus_split": (corpus_split, CORPUS_SPLIT_SQL),
+    "corpus_repetition": (corpus_repetition, CORPUS_REPETITION_SQL),
+    "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
+}

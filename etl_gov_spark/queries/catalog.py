@@ -28,6 +28,7 @@ def _families() -> list[dict]:
         "text",
         "multimodal",
         "quality",
+        "corpus",
     ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])

@@ -1,0 +1,163 @@
+"""Data-quality gate + training-corpus operator semantics.
+
+Quality checks run against planted-violation data (the real tables
+are clean, so a pass there proves nothing); corpus operators are
+checked for their invariants (coverage, determinism, budgets).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gov_spark.operators import corpus as C
+from etl_gov_spark.operators import quality as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def dirty_dir(spark, tmp_path_factory):
+    """orders.parquet with planted nulls, dups, domain + range breaks."""
+    tmp = str(tmp_path_factory.mktemp("dirty"))
+    rows = [
+        (1, 10, "O", 100.0, "1995-06-01", "1-URGENT"),
+        (2, None, "O", 200.0, "1995-06-02", "2-HIGH"),  # null custkey
+        (3, 12, "X", 300.0, "1995-06-03", "3-MEDIUM"),  # bad status
+        (3, 13, "F", 400.0, "1995-06-04", "4-NOT SPECIFIED"),  # dup key
+        (5, 14, "P", -5.0, "1995-06-05", "5-LOW"),  # negative price
+        (6, 15, "F", 500.0, "1985-01-01", "oops"),  # old date + bad priority
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    return tmp
+
+
+def test_expectation_suite_catches_planted_violations(spark, dirty_dir):
+    got = {r.check: r for r in Q.dq_expectation_suite(spark, dirty_dir).collect()}
+    assert got["not_null:o_custkey"].violations == 1
+    assert got["in_set:o_orderstatus"].violations == 1
+    assert got["between:o_totalprice"].violations == 1
+    assert got["between:o_orderdate"].violations == 1
+    assert got["matches:o_orderpriority"].violations == 1
+    assert got["unique:o_orderkey"].violations == 1
+    assert all(r.passed == 0 for r in got.values())
+    assert all(r.n_rows == 6 for r in got.values())
+
+
+def test_expectation_suite_clean_data_passes(spark, sf_dir):
+    rows = Q.dq_expectation_suite(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r.passed == 1 and r.violations == 0 for r in rows)
+
+
+def test_expectation_suite_is_single_scan(spark, sf_dir):
+    """The whole suite must compile to ONE read of orders."""
+    plan = Q.dq_expectation_suite(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") == 1
+
+
+def test_referential_orphans_zero_on_consistent_data(spark, sf_dir):
+    rows = {r.relationship: r.orphans for r in Q.dq_referential(spark, sf_dir).collect()}
+    assert len(rows) == 4
+    assert all(v == 0 for v in rows.values())
+
+
+def test_freshness_lag_nonnegative_and_one_type_fresh(spark, sf_dir):
+    rows = Q.dq_freshness(spark, sf_dir).collect()
+    lags = [r.lag_minutes for r in rows]
+    assert all(lag >= 0 for lag in lags)
+    assert min(lags) == 0.0  # the type holding the global max
+
+
+def test_chunking_covers_all_tokens(spark, sf_dir):
+    """Sum of per-chunk tokens ≥ doc tokens (stride<chunk ⇒ overlap)."""
+    docs = (
+        C.Catalog(spark, sf_dir)
+        .documents.select("doc_id", F.size(C.tokens_col()).alias("n"))
+        .collect()
+    )
+    per_doc = {
+        r.doc_id: r.total
+        for r in C.corpus_chunking(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    for r in docs:
+        assert per_doc[r.doc_id] >= r.n
+
+
+def test_packing_bins_respect_order_and_budget(spark, sf_dir):
+    rows = C.corpus_pack_greedy(spark, sf_dir).collect()
+    assert all(r.n_docs >= 1 for r in rows)
+    # every doc lands in exactly one bin
+    n_docs = sum(r.n_docs for r in rows)
+    assert n_docs == C.Catalog(spark, SF).documents.count()
+
+
+def test_split_deterministic_and_complete(spark, sf_dir):
+    a = {(r.source, r.split): r.n_docs for r in C.corpus_split(spark, sf_dir).collect()}
+    b = {(r.source, r.split): r.n_docs for r in C.corpus_split(spark, sf_dir).collect()}
+    assert a == b  # seedless determinism
+    total = sum(a.values())
+    assert total == C.Catalog(spark, sf_dir).documents.count()
+    by_split = {}
+    for (_s, split), n in a.items():
+        by_split[split] = by_split.get(split, 0) + n
+    assert by_split.get("train", 0) > by_split.get("val", 0)
+
+
+def test_repetition_detects_planted_repeats(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("rep"))
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam", "en", "s", 40),
+        (1, "every word here is completely unique today", "en", "s", 43),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in C.corpus_repetition(spark, tmp).collect()}
+    assert got[0].distinct_ratio == pytest.approx(1 / 8)
+    assert got[0].top_token_frac == 1.0
+    assert got[0].dup_bigram_frac > 0.8
+    assert got[1].distinct_ratio == 1.0
+    assert got[1].dup_bigram_frac == 0.0
+
+
+def test_pii_scrub_counts_and_redacts(spark, tmp_path_factory):
+    tmp = str(tmp_path_factory.mktemp("pii"))
+    rows = [
+        (0, "contact bob@example.com or call 5551234567 before 2024", "en", "s", 50),
+        (1, "no personal data in this one at all", "en", "s", 35),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in C.text_pii_scrub(spark, tmp).collect()}
+    assert got[0].n_emails == 1
+    assert got[0].n_longnums == 1
+    assert got[0].n_years == 1
+    assert got[1].n_emails == got[1].n_longnums == 0
+    assert got[0].clean_md5 != got[1].clean_md5
+
+
+def test_contamination_full_on_copied_eval_doc(spark, tmp_path_factory):
+    """An eval doc copied verbatim from train must score 1.0."""
+    tmp = str(tmp_path_factory.mktemp("contam"))
+    train_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, train_text, "en", "src0", 40),
+        (1, train_text, "en", "src15", 40),  # leaked into eval
+        (2, "totally fresh eval content nothing shared here", "en", "src16", 46),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in C.corpus_contamination(spark, tmp).collect()}
+    assert got[1].contamination == 1.0
+    assert got[2].contamination == 0.0

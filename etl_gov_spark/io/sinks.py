@@ -52,6 +52,34 @@ def write_bucketed_table(
     w.saveAsTable(table, format="parquet")
 
 
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a parquet dir into files of
+    ~``target_file_bytes`` each. The thousands-of-tiny-files problem
+    is the classic failure mode of streaming/partitioned ingest at
+    scale — NameNode/list pressure and per-file task overhead.
+    Returns the output file count. Sizing uses the source's actual
+    on-disk bytes (no sampling, no collect).
+    """
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _dirs, files in os.walk(src_path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files
+
+
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", "true").csv(path)
 

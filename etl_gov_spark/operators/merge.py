@@ -1,0 +1,168 @@
+"""Incremental-load merge operators (warehouse upsert / SCD2).
+
+Spark-first analogue of the reference's warehouse load step
+(``dags/tutorial_dag.py`` load task, ``dags/sql/sample.sql``): a
+gov ETL platform re-loads dimensions incrementally, which needs
+MERGE/upsert semantics and slowly-changing-dimension history. Both
+are expressed as plain DataFrame plans (full-outer join; windowed
+gaps-and-islands), so they run at fact-table scale with ordinary
+shuffle-on-key behavior — no driver loops, no row-at-a-time logic.
+
+Scale notes
+- ``merge_upsert`` is one full-outer join on the merge key: both
+  sides shuffle on the key once (or zero times if the tables are
+  bucketed on it — see io.sinks.write_bucketed_table).
+- SCD2 is two windows over (key, order): lag to detect change,
+  running-sum to number runs, then a grouped min/max + lead for
+  validity ranges. All partitions are per-key → skew-bounded by
+  the busiest key's history, never by table size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+
+def merge_upsert(
+    current: DataFrame, updates: DataFrame, key: str
+) -> DataFrame:
+    """Delta-style MERGE: update matched keys, insert new ones.
+
+    One full-outer join on ``key``; updates win where both exist.
+    Schemas must match. Returns the merged table as a plan.
+    """
+    cur = current.select([F.col(c).alias(f"cur_{c}") for c in current.columns])
+    upd = updates.select([F.col(c).alias(f"upd_{c}") for c in updates.columns])
+    joined = cur.join(
+        upd, cur[f"cur_{key}"] == upd[f"upd_{key}"], "full_outer"
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"upd_{c}"), F.col(f"cur_{c}")).alias(c)
+            for c in current.columns
+        ]
+    )
+
+
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert demo: a deterministic update batch over ``customer``.
+
+    Updates = every 10th customer with acctbal +100 plus one brand
+    new synthetic customer per nation (key = 900000 + nationkey).
+    Output is the merged rows for every 7th key — row-level proof
+    that matched keys took the update and new keys were inserted.
+    """
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = cust.filter(F.col("c_custkey") % 10 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    inserts = c.nation.select(
+        (F.lit(900000) + F.col("n_nationkey").cast("long")).alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merged = merge_upsert(cust, updates.unionByName(inserts), "c_custkey")
+    return merged.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        _R4(F.col("c_acctbal"), "c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+MERGE_UPSERT_CUSTOMERS_SQL = """
+WITH updates AS (
+  SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT 900000 + n_nationkey, n_nationkey, 0.0, 'NEW' FROM nation
+), merged AS (
+  SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+         coalesce(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+         coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+         coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+  FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+)
+SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS c_acctbal, c_mktsegment
+FROM merged WHERE c_custkey % 7 = 0
+"""
+
+
+def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of order status per customer.
+
+    Gaps-and-islands over each customer's orders by date: collapse
+    consecutive same-status runs into validity windows
+    [valid_from, valid_to) with is_current on the last run. Orders
+    are ordered by (date, key) so runs are deterministic.
+    """
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = orders.withColumn(
+        "changed",
+        (
+            F.lag("o_orderstatus").over(w).isNull()
+            | (F.lag("o_orderstatus").over(w) != F.col("o_orderstatus"))
+        ).cast("long"),
+    ).withColumn("run_id", F.sum("changed").over(w))
+    hist = runs.groupBy("o_custkey", "run_id", "o_orderstatus").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("run_id")
+    return hist.select(
+        "o_custkey",
+        "run_id",
+        "o_orderstatus",
+        F.col("valid_from").cast("date").cast("string").alias("valid_from"),
+        F.coalesce(
+            F.lead("valid_from").over(w2).cast("date").cast("string"),
+            F.lit("9999-12-31"),
+        ).alias("valid_to"),
+        (F.lead("valid_from").over(w2).isNull()).cast("int").alias("is_current"),
+        "n_orders",
+    )
+
+
+SCD2_ORDER_STATUS_HISTORY_SQL = """
+WITH runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS prev FROM orders)
+), hist AS (
+  SELECT o_custkey, run_id, o_orderstatus,
+         min(o_orderdate) AS valid_from, count(*) AS n_orders
+  FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+)
+SELECT o_custkey, run_id, o_orderstatus,
+       CAST(CAST(valid_from AS DATE) AS VARCHAR) AS valid_from,
+       coalesce(CAST(CAST(lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS DATE) AS VARCHAR),
+                '9999-12-31') AS valid_to,
+       CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) IS NULL
+            THEN 1 ELSE 0 END AS is_current,
+       n_orders
+FROM hist
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "merge_upsert_customers": (merge_upsert_customers, MERGE_UPSERT_CUSTOMERS_SQL),
+    "scd2_order_status_history": (
+        scd2_order_status_history,
+        SCD2_ORDER_STATUS_HISTORY_SQL,
+    ),
+}

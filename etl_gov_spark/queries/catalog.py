@@ -29,6 +29,7 @@ def _families() -> list[dict]:
         "multimodal",
         "quality",
         "corpus",
+        "merge",
     ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])

@@ -1,0 +1,126 @@
+"""Sink-layer scale properties + merge semantics.
+
+The assertions here are about PLANS, not just rows: bucketed tables
+must join without a shuffle, partitioned writes must prune, and
+compaction must actually reduce file counts — the properties that
+matter at 100 TB, checked at sf0.001.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sinks import (
+    compact_parquet,
+    write_bucketed_table,
+    write_parquet,
+)
+from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators import merge as M
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed on the join key ⇒ zero Exchange nodes."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    c = Catalog(spark, sf_dir)
+    try:
+        write_bucketed_table(
+            c.orders, "b_orders", ("o_orderkey",), 4, sort_cols=("o_orderkey",)
+        )
+        write_bucketed_table(
+            c.lineitem, "b_lineitem", ("l_orderkey",), 4, sort_cols=("l_orderkey",)
+        )
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        joined.collect()
+        plan = _plan(joined)
+        # the join itself must not shuffle; only the final 1-row agg may
+        join_part = plan.split("HashAggregate")[-1]
+        assert "Exchange" not in join_part
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune at plan time."""
+    ev = Catalog(spark, sf_dir).events.withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    out = str(tmp_path / "ev_part")
+    write_parquet(ev, out, partition_by=("day",))
+    n_days = len(glob.glob(f"{out}/day=*"))
+    assert n_days > 1
+    rd = spark.read.parquet(out)
+    one_day = rd.filter(F.col("day") == rd.select(F.min("day")).first()[0])
+    files_read = one_day.select(F.input_file_name()).distinct().count()
+    all_files = rd.select(F.input_file_name()).distinct().count()
+    assert files_read < all_files  # pruned to one partition's files
+
+
+def test_compaction_reduces_file_count(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    Catalog(spark, sf_dir).orders.repartition(16).write.parquet(src)
+    assert len(glob.glob(f"{src}/*.parquet")) == 16
+    n = compact_parquet(spark, src, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    assert len(glob.glob(f"{dst}/*.parquet")) == 1
+    assert spark.read.parquet(dst).count() == Catalog(spark, sf_dir).orders.count()
+
+
+def test_merge_upsert_semantics(spark):
+    cur = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, v string, x double"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    got = {r.k: r for r in M.merge_upsert(cur, upd, "k").collect()}
+    assert got[1].v == "a"  # untouched
+    assert got[2].v == "B" and got[2].x == 99.0  # updated
+    assert got[3].v == "c"  # inserted
+    assert len(got) == 3
+
+
+def test_scd2_runs_collapse_and_validity_chain(spark, tmp_path):
+    rows = [
+        (1, 100, "O", "1995-01-01"),
+        (1, 101, "O", "1995-02-01"),  # same run
+        (1, 102, "F", "1995-03-01"),  # change
+        (1, 103, "O", "1995-04-01"),  # change back = new run
+        (2, 200, "P", "1995-01-15"),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderkey long, o_orderstatus string, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    tmp = str(tmp_path / "scd")
+    df.coalesce(1).write.parquet(f"{tmp}/orders.parquet")
+    hist = sorted(
+        M.scd2_order_status_history(spark, tmp).collect(),
+        key=lambda r: (r.o_custkey, r.run_id),
+    )
+    c1 = [r for r in hist if r.o_custkey == 1]
+    assert [r.o_orderstatus for r in c1] == ["O", "F", "O"]
+    assert c1[0].n_orders == 2  # run collapsed two orders
+    assert c1[0].valid_to == c1[1].valid_from  # contiguous chain
+    assert [r.is_current for r in c1] == [0, 0, 1]
+    assert c1[-1].valid_to == "9999-12-31"
+    c2 = [r for r in hist if r.o_custkey == 2]
+    assert len(c2) == 1 and c2[0].is_current == 1

@@ -1,0 +1,143 @@
+"""Statistical-modeling operators (closed-form, distributed).
+
+Regression and fuzzy-matching primitives a gov analytics platform
+runs warehouse-side before anything touches a model: per-group
+OLS trend lines (built-in ``regr_*`` aggregates — single-pass,
+map-side combinable) and blocked edit-distance record linkage
+(the dedup step for entity resolution across registries).
+Reference parity: the pandas analytics in ``dags/
+tutorial_objectstorage.py`` (aggregate-then-analyze), re-expressed
+as distributed one-pass aggregates.
+
+Scale notes
+- ``q_trend_slope`` is one grouped aggregate: regr_slope/intercept/
+  r2 are algebraic (sum/sum-of-squares decomposable), so partial
+  aggregation happens map-side and only 25 nation rows shuffle.
+- ``fuzzy_join_names`` blocks the O(n²) edit-distance self-join by
+  (nation, segment): candidate pairs exist only inside a block, so
+  work scales with Σ block² not n² — the standard record-linkage
+  blocking strategy. Skewed blocks would be salted at real scale.
+- ``q_approx_quantiles`` uses percentile_approx (GK sketch):
+  mergeable, bounded memory, single pass — the 100 TB answer when
+  exact percentiles would need a full sort. Accuracy vs exact is
+  asserted in tests (rows-only; sketch internals differ per engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue OLS trend per nation (slope, intercept, r²).
+
+    x = day ordinal, y = order totalprice summed per day. Two
+    grouped aggregates: per-day rollup, then regr_* over days.
+    """
+    c = Catalog(spark, sf_dir)
+    daily = (
+        c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("day_rev"))
+    )
+    x = F.datediff(F.col("day"), F.lit("1995-01-01")).cast("double")
+    return (
+        daily.groupBy("n_name")
+        .agg(
+            _R4(F.regr_slope(F.col("day_rev"), x), "slope"),
+            _R4(F.regr_intercept(F.col("day_rev"), x), "intercept"),
+            _R4(F.regr_r2(F.col("day_rev"), x), "r2"),
+            F.regr_count(F.col("day_rev"), x).alias("n_days"),
+        )
+    )
+
+
+Q_TREND_SLOPE_SQL = """
+WITH daily AS (
+  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS day_rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name,
+       round(regr_slope(day_rev, datediff('day', DATE '1995-01-01', day)), 4) AS slope,
+       round(regr_intercept(day_rev, datediff('day', DATE '1995-01-01', day)), 4) AS intercept,
+       round(regr_r2(day_rev, datediff('day', DATE '1995-01-01', day)), 4) AS r2,
+       regr_count(day_rev, datediff('day', DATE '1995-01-01', day)) AS n_days
+FROM daily GROUP BY n_name
+"""
+
+
+def fuzzy_join_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance record linkage over customer names.
+
+    Self-join within (nationkey, mktsegment) blocks; emit pairs
+    with levenshtein ≤ 2 (names are 'Customer#NNNNNNNNN', so small
+    distances = near-identical ids). Deterministic pair order.
+    """
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    a = cust.alias("a")
+    b = cust.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("distance"),
+        )
+        .filter(F.col("distance") <= 2)
+    )
+
+
+FUZZY_JOIN_NAMES_SQL = """
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       levenshtein(a.c_name, b.c_name) AS distance
+FROM customer a
+JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch quantiles of order value per priority (rows-only).
+
+    percentile_approx with accuracy 10000; the sketch is mergeable
+    so the aggregation stays one pass at any scale. Exact-vs-approx
+    error is bounded in tests instead of a SQL oracle (DuckDB's
+    approx sketch differs).
+    """
+    orders = Catalog(spark, sf_dir).orders
+    return orders.groupBy("o_orderpriority").agg(
+        _R4(
+            F.percentile_approx("o_totalprice", 0.5, 10000), "p50_approx"
+        ),
+        _R4(
+            F.percentile_approx("o_totalprice", 0.95, 10000), "p95_approx"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES: dict[str, tuple] = {
+    "q_trend_slope": (q_trend_slope, Q_TREND_SLOPE_SQL),
+    "fuzzy_join_names": (fuzzy_join_names, FUZZY_JOIN_NAMES_SQL),
+    "q_approx_quantiles": (q_approx_quantiles, None),
+}

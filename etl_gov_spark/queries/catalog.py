@@ -30,6 +30,7 @@ def _families() -> list[dict]:
         "quality",
         "corpus",
         "merge",
+        "mlstats",
     ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])
@@ -46,6 +47,12 @@ def _families() -> list[dict]:
         from etl_gov_spark.streaming import events_stream
 
         fams.append(events_stream.QUERIES)
+    except ImportError:
+        pass
+    try:
+        from etl_gov_spark.streaming import stateful
+
+        fams.append(stateful.QUERIES)
     except ImportError:
         pass
     return fams

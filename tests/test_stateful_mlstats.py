@@ -1,0 +1,112 @@
+"""Stateful-streaming sessionization + statistical operators."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from etl_gov_spark.operators import mlstats as ML
+from etl_gov_spark.operators.timeseries import q_sessionize
+from etl_gov_spark.streaming import stateful as S
+
+MIN = 60 * 1_000_000  # one minute in micros
+
+
+class FakeState:
+    """Minimal GroupState stand-in for unit-testing the fold."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists = True
+        self._v = v
+
+
+def _batch(rows):
+    return iter(
+        [pd.DataFrame(rows, columns=["_us", "event_id", "value"])]
+    )
+
+
+def test_stateful_fold_continues_session_across_batches():
+    st = FakeState()
+    # batch 1: two events 5 min apart → one open session
+    out1 = pd.concat(
+        S._sessionize_group((7,), _batch([(0, 1, 1.0), (5 * MIN, 2, 2.0)]), st)
+    )
+    assert len(out1) == 1 and out1.iloc[0].n_events == 2
+    # batch 2: event 10 min later continues; then a 40-min gap opens session 2
+    out2 = pd.concat(
+        S._sessionize_group(
+            (7,), _batch([(15 * MIN, 3, 3.0), (55 * MIN, 4, 4.0)]), st
+        )
+    )
+    got = {int(r.session_seq): r for _, r in out2.iterrows()}
+    assert got[1].n_events == 3  # 2 carried + 1 continued
+    assert got[1].session_value == 6.0
+    assert got[2].n_events == 1
+    assert st.get[1] == 2  # state holds the open session seq
+
+
+def test_stateful_fold_gap_inside_one_batch_splits():
+    st = FakeState()
+    out = pd.concat(
+        S._sessionize_group(
+            (1,), _batch([(0, 1, 1.0), (40 * MIN, 2, 1.0), (45 * MIN, 3, 1.0)]), st
+        )
+    )
+    assert list(out.n_events) == [1, 2]
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir):
+    stream = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value)
+        for r in S.stream_sessionize_stateful(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.session_seq): (r.n_events, r.session_value)
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    assert stream == batch
+
+
+def test_trend_slope_shapes_and_r2_bounds(spark, sf_dir):
+    rows = ML.q_trend_slope(spark, sf_dir).collect()
+    assert len(rows) == 25
+    assert all(r.r2 is None or 0.0 <= r.r2 <= 1.0 for r in rows)
+    assert all(r.n_days > 0 for r in rows)
+
+
+def test_fuzzy_join_blocked_and_symmetric_free(spark, sf_dir):
+    rows = ML.fuzzy_join_names(spark, sf_dir).collect()
+    assert all(r.cust_a < r.cust_b for r in rows)  # no mirrored dups
+    assert all(r.distance <= 2 for r in rows)
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+
+    approx = {
+        r.o_orderpriority: r for r in ML.q_approx_quantiles(spark, sf_dir).collect()
+    }
+    exact = {
+        r.o_orderpriority: r
+        for r in Catalog(spark, sf_dir)
+        .orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    for k, a in approx.items():
+        assert a.p50_approx == pytest.approx(exact[k].p50, rel=0.05)
+        assert a.p95_approx == pytest.approx(exact[k].p95, rel=0.05)

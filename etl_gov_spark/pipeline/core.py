@@ -232,6 +232,38 @@ class Pipeline:
 
         return self._add(_Task(qname, _check, tuple(deps)))
 
+    def latest_only(
+        self,
+        name: str,
+        latest: Callable[[PipelineContext], Any] | None = None,
+        deps: Iterable[str] = (),
+    ) -> str:
+        """≈ LatestOnlyOperator (``example_latest_only.py``): skip
+        downstream unless this run processes the latest interval.
+
+        The run is "latest" when ``params['run_date']`` equals
+        ``latest(ctx)`` (default: ``params['latest_date']``), or when
+        no run_date is set (manual/ad-hoc runs always pass, matching
+        Airflow's externally-triggered behavior). Backfill runs set
+        run_date < latest_date and everything downstream of this
+        task cascade-skips — current-state publishes don't re-run
+        for historical partitions.
+        """
+        qname = self._qualify(name)
+
+        def _gate(ctx: PipelineContext) -> bool:
+            run_date = ctx.params.get("run_date")
+            if run_date is None:
+                return True
+            latest_val = (
+                latest(ctx) if latest is not None else ctx.params.get("latest_date")
+            )
+            if latest_val is not None and run_date != latest_val:
+                raise TaskSkipped(qname)
+            return True
+
+        return self._add(_Task(qname, _gate, tuple(deps)))
+
     def fan_out(
         self,
         name: str,

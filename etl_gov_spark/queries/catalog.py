@@ -31,6 +31,7 @@ def _families() -> list[dict]:
         "corpus",
         "merge",
         "mlstats",
+        "skew",
     ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])

@@ -167,3 +167,56 @@ def test_run_sql_inline_and_cycle_detection(spark):
 
     with pytest.raises(ValueError, match="cycle"):
         p2.run()
+
+
+def test_latest_only_gates_backfill_runs(spark):
+    """≈ example_latest_only.py: backfills skip the publish leg."""
+
+    def build():
+        p = Pipeline("lo", spark)
+
+        @p.task("etl")
+        def etl(ctx):
+            return "transformed"
+
+        gate = p.latest_only("gate", deps=["etl"])
+
+        @p.task("publish", deps=[gate])
+        def publish(ctx):
+            return "published"
+
+        return p
+
+    # latest run: publish executes
+    ctx = build().run(run_date="2024-01-30", latest_date="2024-01-30")
+    assert ctx.pull("publish") == "published"
+    # backfill run: gate and publish cascade-skip, etl still ran
+    ctx = build().run(run_date="2024-01-05", latest_date="2024-01-30")
+    assert "gate" in ctx.skipped and "publish" in ctx.skipped
+    assert ctx.pull("etl") == "transformed"
+    # manual run with no run_date: treated as latest
+    ctx = build().run()
+    assert ctx.pull("publish") == "published"
+
+
+def test_salted_join_scatters_hot_keys(spark, sf_dir):
+    """Each hot key must spread across several salt sub-keys, and
+    the salted result must equal the plain join row-for-row."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.skew import salted_join
+
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    dim = ev.select("event_type").distinct().withColumn("w", F.lit(1.0))
+    salted = salted_join(ev, dim, on="event_type", n_salts=8)
+    assert salted.columns == ["event_type", "value", "w"]
+    assert salted.count() == ev.count()
+    # distribution: every hot key uses >1 salt bucket
+    spread = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_type", "value"), F.lit(8)))
+        .groupBy("event_type")
+        .agg(F.countDistinct("_salt").alias("n_salts"))
+        .collect()
+    )
+    assert all(r.n_salts > 4 for r in spread)

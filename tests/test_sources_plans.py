@@ -1,0 +1,115 @@
+"""Source connectors + physical-plan audits.
+
+The plan audits pin the scale properties the engine depends on:
+filters reaching the parquet scan, projections pruning columns,
+dims broadcasting, codegen covering the hot path. A regression in
+any of these is a silent 10× at 100 TB — so they're assertions,
+not documentation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_gov_spark.io.sources import (
+    Catalog,
+    jdbc_source_plan,
+    read_csv,
+    read_json,
+    read_text,
+)
+
+
+def _fmt(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# -- connectors ---------------------------------------------------- #
+
+
+def test_csv_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    src = Catalog(spark, sf_dir).nation
+    path = str(tmp_path / "nation_csv")
+    src.write.option("header", "true").csv(path)
+    back = read_csv(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert back.count() == src.count()
+    assert dict(back.dtypes)["n_nationkey"] == "int"
+
+
+def test_json_roundtrip_with_explicit_schema(spark, sf_dir, tmp_path):
+    src = Catalog(spark, sf_dir).region
+    path = str(tmp_path / "region_json")
+    src.write.json(path)
+    back = read_json(spark, path, "r_regionkey int, r_name string")
+    assert sorted(r.r_name for r in back.collect()) == sorted(
+        r.r_name for r in src.collect()
+    )
+
+
+def test_text_reader(spark, tmp_path):
+    p = tmp_path / "docs.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    assert read_text(spark, str(p)).count() == 3
+
+
+def test_jdbc_plan_partitioned_and_validation():
+    plan = jdbc_source_plan(
+        "jdbc:postgresql://h/db",
+        "public.orders",
+        partition_column="o_orderkey",
+        num_partitions=16,
+        lower_bound=0,
+        upper_bound=1_000_000,
+    )
+    assert plan["partitionColumn"] == "o_orderkey"
+    assert plan["numPartitions"] == "16"
+    with pytest.raises(ValueError):
+        jdbc_source_plan("jdbc:x", "t", partition_column="k")  # no bounds
+
+
+# -- plan audits --------------------------------------------------- #
+
+
+def test_q6_pushes_filters_and_prunes_columns(spark, sf_dir):
+    from etl_gov_spark.operators.relational import q6_forecast_revenue
+
+    plan = _fmt(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # projection must reach the scan: no l_orderkey in ReadSchema
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q5_broadcasts_all_dims(spark, sf_dir):
+    from etl_gov_spark.operators.relational import q5_local_supplier
+
+    plan = _fmt(q5_local_supplier(spark, sf_dir))
+    # region, nation, supplier are explicitly broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_single_shuffle_and_codegen(spark, sf_dir):
+    from etl_gov_spark.operators.relational import q1_pricing_summary
+
+    plan = _fmt(q1_pricing_summary(spark, sf_dir))
+    # exactly one exchange node in the plan tree: the final groupBy
+    assert plan.count("Exchange (") == 1
+    # codegen spans show as *(n) markers in the simple plan
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()
+    simple = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in simple
+
+
+def test_text_quality_is_shuffle_free(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_quality
+
+    plan = _fmt(text_quality(spark, sf_dir))
+    assert "Exchange" not in plan

@@ -96,6 +96,135 @@ FROM documents
 """
 
 
+_N_FRAMES = 4
+_FRAME_LEN = 16
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_off int, frame_md5 string"
+
+
+def sample_frame_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: deterministic frame sampling.
+
+    Stand-in for video frame extraction: k evenly-spaced fixed-size
+    byte windows per payload (a real decoder would seek to k
+    timestamps; the offset math, fan-out shape, and batch handling
+    are identical). Emits k rows per input row — the row-expanding
+    UDF pattern for frames/segments/patches.
+    """
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(payload)
+            for i in range(_N_FRAMES):
+                off = (i * max(n - _FRAME_LEN, 0)) // max(_N_FRAMES - 1, 1)
+                chunk = payload[off : off + _FRAME_LEN]
+                rows.append(
+                    (doc_id, i, off, hashlib.md5(chunk).hexdigest())
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_idx", "frame_off", "frame_md5"]
+        )
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k evenly-spaced 'frames' per binary payload (mapInPandas,
+    row-expanding). Plumbing real, decode deterministic-fake."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(sample_frame_batches, schema=FRAME_SCHEMA)
+
+
+# Oracle: same offsets/windows over the utf-8 text (ASCII corpus ⇒
+# byte slices == char slices, 1-based substr).
+MM_FRAME_SAMPLE_SQL = f"""
+WITH f AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         unnest(range(0, {_N_FRAMES})) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST((frame_idx * greatest(n - {_FRAME_LEN}, 0)) // {_N_FRAMES - 1} AS INTEGER) AS frame_off,
+       md5(substr(text,
+                  CAST((frame_idx * greatest(n - {_FRAME_LEN}, 0)) // {_N_FRAMES - 1} AS INTEGER) + 1,
+                  {_FRAME_LEN})) AS frame_md5
+FROM f
+"""
+
+_N_BUCKETS = 8
+
+FEAT_SCHEMA = "doc_id bigint, feature array<double>, feat_norm double"
+
+
+def feature_extract_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: fixed-dim feature vector per payload.
+
+    Byte-histogram embedding (8 buckets, L1-normalized) as the
+    deterministic stand-in for a vision encoder: same output shape
+    (array<double> column + norm), same Arrow batch path a real
+    model-server UDF would use.
+    """
+    import numpy as np
+
+    def r4(v: float) -> float:
+        # half-up rounding, matching SQL ROUND (Python rounds half-even)
+        import math
+
+        return math.floor(v * 1e4 + 0.5) / 1e4
+
+    for pdf in batches:
+        feats, norms = [], []
+        for payload in pdf["payload"]:
+            arr = np.frombuffer(payload, dtype=np.uint8) % _N_BUCKETS
+            hist = np.bincount(arr, minlength=_N_BUCKETS).astype("float64")
+            total = hist.sum() or 1.0
+            vec = hist / total
+            feats.append([r4(float(v)) for v in vec])
+            norms.append(r4(float(np.sqrt((vec * vec).sum()))))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "feature": feats, "feat_norm": norms}
+        )
+
+
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → fixed-dim feature vector (mapInPandas)."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return docs.mapInPandas(feature_extract_batches, schema=FEAT_SCHEMA)
+
+
+# Oracle: character-code histogram over the ASCII corpus (static
+# per-bucket conditional sums, then assembled into a list).
+_BUCKET_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN ascii(ch) % {_N_BUCKETS} = {i} THEN 1 ELSE 0 END) AS c{i}"
+    for i in range(_N_BUCKETS)
+)
+_FRACS = ", ".join(f"round(c{i} / n, 4)" for i in range(_N_BUCKETS))
+_SQ = " + ".join(f"(c{i} / n) * (c{i} / n)" for i in range(_N_BUCKETS))
+
+MM_FEATURE_EXTRACT_SQL = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+  FROM documents
+), hist AS (
+  SELECT doc_id,
+         {_BUCKET_SUMS},
+         CAST(count(*) AS DOUBLE) AS n
+  FROM chars WHERE ch <> '' GROUP BY doc_id
+)
+SELECT doc_id, [{_FRACS}] AS feature,
+       round(sqrt({_SQ}), 4) AS feat_norm
+FROM hist
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "mm_binary_meta": (mm_binary_meta, MM_BINARY_META_SQL),
+    "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
+    "mm_feature_extract": (mm_feature_extract, MM_FEATURE_EXTRACT_SQL),
 }

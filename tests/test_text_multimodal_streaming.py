@@ -59,3 +59,23 @@ def test_stream_batch_parity(spark, sf_dir):
         for r in stream_hourly_counts(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_frame_sample_fanout_and_determinism(spark, sf_dir):
+    from etl_gov_spark.operators.multimodal import mm_frame_sample
+
+    df = mm_frame_sample(spark, sf_dir)
+    n_docs = df.select("doc_id").distinct().count()
+    assert df.count() == n_docs * 4  # k frames per doc
+    a = {(r.doc_id, r.frame_idx): r.frame_md5 for r in df.collect()}
+    b = {(r.doc_id, r.frame_idx): r.frame_md5 for r in mm_frame_sample(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_feature_extract_shape_and_l1_norm(spark, sf_dir):
+    from etl_gov_spark.operators.multimodal import mm_feature_extract
+
+    rows = mm_feature_extract(spark, sf_dir).collect()
+    assert all(len(r.feature) == 8 for r in rows)
+    assert all(abs(sum(r.feature) - 1.0) < 0.01 for r in rows)  # L1-normalized
+    assert all(0 < r.feat_norm <= 1.0 for r in rows)

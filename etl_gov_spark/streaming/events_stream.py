@@ -175,9 +175,82 @@ GROUP BY event_type
 """
 
 
+def stream_join_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream join: click→purchase conversion within 30 min.
+
+    Both sides carry watermarks and the join condition bounds the
+    event-time range, so state on each side is evicted once the
+    watermark passes — the canonical bounded-state stream-stream
+    inner join. Matched pairs land in the sink; the returned result
+    aggregates them per user (batch-side, keeps the check compact).
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (
+            (F.unix_micros("purchase_ts") - F.unix_micros("click_ts"))
+            / 1_000_000.0
+        ).alias("secs_to_purchase"),
+    )
+    _run_to_memory(joined, "stream_join_conv_sink", "append")
+    return (
+        spark.table("stream_join_conv_sink")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.avg("secs_to_purchase"), 4).alias("avg_secs_to_purchase"),
+        )
+    )
+
+
+STREAM_JOIN_CONV_SQL = """
+SELECT c.user_id,
+       count(*) AS n_conversions,
+       round(avg(epoch_us(p.ts - c.ts) / 1000000.0), 4) AS avg_secs_to_purchase
+FROM events c
+JOIN events p
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL 30 MINUTE
+GROUP BY c.user_id
+"""
+
+
 QUERIES.update(
     {
         "stream_sliding_counts": (stream_sliding_counts, STREAM_SLIDING_SQL),
         "stream_dedup_events": (stream_dedup_events, STREAM_DEDUP_SQL),
+        "stream_join_conversions": (stream_join_conversions, STREAM_JOIN_CONV_SQL),
     }
 )

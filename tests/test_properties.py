@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis) for pure operator logic.
+
+The streaming sessionizer's defining property: HOW the event stream
+is cut into micro-batches must not change the final sessions. We
+drive the pandas fold (the exact function applyInPandasWithState
+executes) with randomized event streams and randomized batch
+boundaries, and compare against a straightforward reference
+implementation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_gov_spark.streaming.stateful import SESSION_GAP_US, _sessionize_group
+from tests.test_stateful_mlstats import FakeState
+
+# event streams: strictly increasing micro-second offsets with random
+# gaps straddling the 30-min session boundary
+gaps = st.lists(
+    st.integers(min_value=1, max_value=3 * SESSION_GAP_US), min_size=1, max_size=30
+)
+
+
+def _events_from_gaps(gap_list):
+    ts, out = 0, []
+    for i, g in enumerate(gap_list):
+        ts += g
+        out.append((ts, i, float(i % 7)))
+    return out
+
+
+def _reference_sessions(events):
+    """Single-pass reference: list of (seq, start, end, n, vsum)."""
+    sessions = []
+    for us, _eid, val in events:
+        if not sessions or us - sessions[-1][2] > SESSION_GAP_US:
+            sessions.append([len(sessions) + 1, us, us, 0, 0.0])
+        s = sessions[-1]
+        s[2] = us
+        s[3] += 1
+        s[4] += val
+    return {
+        seq: (start, end, n, round(vsum, 4))
+        for seq, start, end, n, vsum in sessions
+    }
+
+
+def _fold_in_batches(events, cut_points):
+    """Run the stateful fold over the stream cut at cut_points,
+    keeping only the latest emission per session (update-mode)."""
+    state = FakeState()
+    final = {}
+    bounds = [0, *sorted(cut_points), len(events)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = events[lo:hi]
+        if not chunk:
+            continue
+        batch = iter(
+            [pd.DataFrame(chunk, columns=["_us", "event_id", "value"])]
+        )
+        for out in _sessionize_group((1,), batch, state):
+            for _, r in out.iterrows():
+                final[int(r.session_seq)] = (
+                    int(r.session_start.value // 1000),
+                    int(r.session_end.value // 1000),
+                    int(r.n_events),
+                    round(float(r.session_value), 4),
+                )
+    return final
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    gap_list=gaps,
+    cuts=st.lists(st.integers(min_value=0, max_value=30), max_size=5),
+)
+def test_sessionize_invariant_under_batch_splits(gap_list, cuts):
+    events = _events_from_gaps(gap_list)
+    cuts = [c for c in cuts if c <= len(events)]
+    assert _fold_in_batches(events, cuts) == _reference_sessions(events)
+
+
+@settings(max_examples=100, deadline=None)
+@given(gap_list=gaps)
+def test_sessionize_single_batch_equals_reference(gap_list):
+    events = _events_from_gaps(gap_list)
+    assert _fold_in_batches(events, []) == _reference_sessions(events)

@@ -159,10 +159,61 @@ FROM hist
 """
 
 
+def latest_record_per_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """CDC compaction: keep the newest record per key.
+
+    max-by-struct, not row_number: a window sort materializes and
+    sorts every version of every key; max(struct(order, payload))
+    is an ordinary aggregate — map-side combinable, one shuffle on
+    the key, skew-tolerant (AQE splits hot keys).
+    """
+    payload = [c for c in df.columns if c not in key_cols and c not in order_cols]
+    ordered = F.struct(*[F.col(c) for c in order_cols], *[F.col(c) for c in payload])
+    agg = df.groupBy(*key_cols).agg(F.max(ordered).alias("_r"))
+    return agg.select(
+        *key_cols, *[F.col(f"_r.{c}").alias(c) for c in (*order_cols, *payload)]
+    )
+
+
+def cdc_latest_order_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest order per customer (change-log compaction shape):
+    orders as the change stream keyed by customer, newest wins
+    (date, then orderkey as the deterministic tiebreak)."""
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    latest = latest_record_per_key(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"]
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        "o_orderkey",
+        "o_orderstatus",
+        _R4(F.col("o_totalprice"), "o_totalprice"),
+    )
+
+
+CDC_LATEST_ORDER_STATE_SQL = """
+SELECT o_custkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       o_orderkey, o_orderstatus,
+       round(o_totalprice, 4) AS o_totalprice
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "merge_upsert_customers": (merge_upsert_customers, MERGE_UPSERT_CUSTOMERS_SQL),
     "scd2_order_status_history": (
         scd2_order_status_history,
         SCD2_ORDER_STATUS_HISTORY_SQL,
     ),
+    "cdc_latest_order_state": (cdc_latest_order_state, CDC_LATEST_ORDER_STATE_SQL),
 }

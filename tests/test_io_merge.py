@@ -124,3 +124,45 @@ def test_scd2_runs_collapse_and_validity_chain(spark, tmp_path):
     assert c1[-1].valid_to == "9999-12-31"
     c2 = [r for r in hist if r.o_custkey == 2]
     assert len(c2) == 1 and c2[0].is_current == 1
+
+
+def test_latest_record_per_key_semantics(spark):
+    from etl_gov_spark.operators.merge import latest_record_per_key
+
+    df = spark.createDataFrame(
+        [(1, 1, "old", 1.0), (1, 2, "new", 2.0), (2, 5, "only", 3.0)],
+        "k long, ver long, v string, x double",
+    )
+    got = {r.k: r for r in latest_record_per_key(df, ["k"], ["ver"]).collect()}
+    assert got[1].v == "new" and got[1].ver == 2
+    assert got[2].v == "only"
+    assert len(got) == 2
+
+
+def test_stream_upsert_foreachbatch(spark, sf_dir, tmp_path):
+    """Stream → foreachBatch merge: target holds latest event per user."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.merge import latest_record_per_key
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.streaming.events_stream import _events_stream
+    from etl_gov_spark.streaming.foreach_sink import stream_upsert_to_parquet
+
+    target = str(tmp_path / "user_state")
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    stream_upsert_to_parquet(stream, target, ["user_id"], ["ts", "event_id"])
+
+    got = {r.user_id: r for r in spark.read.parquet(target).collect()}
+    batch = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    want = {
+        r.user_id: r
+        for r in latest_record_per_key(
+            batch, ["user_id"], ["ts", "event_id"]
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert all(got[u].event_id == want[u].event_id for u in want)

@@ -336,3 +336,55 @@ QUERIES: dict[str, tuple] = {
     "q_stats_by_segment": (q_stats_by_segment, Q_STATS_SQL),
     "q_stratified_sample": (q_stratified_sample, None),
 }
+
+
+def q_impute_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data repair: 3σ outlier clamping + median null-imputation
+    per event type — the standardize/clean step of a gov ingest.
+
+    Two-pass shape: one grouped aggregate for the per-type profile
+    (mean/stddev/median), broadcast back onto the fact table (the
+    profile is |event types| rows — never a window over the facts),
+    clamp in codegen, re-aggregate. At 100 TB: two scans, one
+    single-row-per-type shuffle, zero state.
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    prof = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("s"),
+        F.percentile("value", 0.5).alias("med"),
+    )
+    clamped = F.least(
+        F.greatest(F.coalesce(F.col("value"), F.col("med")), F.col("m") - 3 * F.col("s")),
+        F.col("m") + 3 * F.col("s"),
+    )
+    return (
+        ev.join(F.broadcast(prof), "event_type")
+        .select("event_type", "value", clamped.alias("v2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("v2") != F.col("value")).cast("long")).alias("n_repaired"),
+            _R4(F.avg("value"), "avg_before"),
+            _R4(F.avg("v2"), "avg_after"),
+        )
+    )
+
+
+Q_IMPUTE_CLAMP_SQL = """
+WITH prof AS (
+  SELECT event_type, avg(value) AS m, stddev_samp(value) AS s,
+         quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), fixed AS (
+  SELECT e.event_type, e.value,
+         least(greatest(coalesce(e.value, p.med), p.m - 3 * p.s), p.m + 3 * p.s) AS v2
+  FROM events e JOIN prof p USING (event_type)
+)
+SELECT event_type,
+       sum(CASE WHEN v2 <> value THEN 1 ELSE 0 END) AS n_repaired,
+       round(avg(value), 4) AS avg_before,
+       round(avg(v2), 4) AS avg_after
+FROM fixed GROUP BY event_type
+"""
+
+QUERIES["q_impute_clamp"] = (q_impute_clamp, Q_IMPUTE_CLAMP_SQL)

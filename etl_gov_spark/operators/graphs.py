@@ -151,3 +151,81 @@ FROM comp
 QUERIES: dict[str, tuple] = {
     "dedup_clusters": (dedup_clusters, DEDUP_CLUSTERS_SQL),
 }
+
+
+def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution: pick the canonical doc per near-dup
+    cluster (keep-longest, tie-break lowest doc_id) and list the
+    purged ids — the action step that turns detection into an
+    actual deduplicated corpus.
+
+    Scale: one join (clusters ⋈ doc lengths) + one grouped
+    aggregate; canonical selection is max-by-struct (no window
+    sort), purge lists are per-cluster arrays (clusters are small
+    by construction — a giant cluster means a template, handled
+    upstream by df caps).
+    """
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "n_chars")
+    comp = dedup_clusters(spark, sf_dir).select("doc_id", "component")
+    g = (
+        comp.join(docs, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_chars",
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("d"),
+                )
+            ).alias("k"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_sort(F.collect_list("doc_id")).alias("ids"),
+        )
+    )
+    return g.select(
+        "component",
+        F.col("k.d").alias("keep_doc_id"),
+        "cluster_size",
+        F.array_join(
+            F.filter("ids", lambda d: d != F.col("k.d")), ","
+        ).alias("purged_ids"),
+    )
+
+
+DEDUP_KEEP_POLICY_SQL = rf"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_T}
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+), comp AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+), ranked AS (
+  SELECT c.component, c.doc_id,
+         row_number() OVER (PARTITION BY c.component
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+), g AS (
+  SELECT component,
+         max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+         count(*) AS cluster_size,
+         list_sort(list(doc_id)) AS ids
+  FROM ranked GROUP BY component
+)
+SELECT component, keep_doc_id, cluster_size,
+       array_to_string(list_filter(ids, x -> x <> keep_doc_id), ',') AS purged_ids
+FROM g
+"""
+
+QUERIES["dedup_keep_policy"] = (dedup_keep_policy, DEDUP_KEEP_POLICY_SQL)

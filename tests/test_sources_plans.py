@@ -113,3 +113,34 @@ def test_text_quality_is_shuffle_free(spark, sf_dir):
 
     plan = _fmt(text_quality(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Runtime filter injection: a selective dim filter should plant
+    a bloom filter on the fact-side scan (thresholds lowered to
+    trigger at test scale; on a cluster the 10 GB defaults apply)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        c = Catalog(spark, sf_dir)
+        sel_orders = c.orders.filter(F.col("o_totalprice") > 300000)
+        joined = c.lineitem.join(
+            sel_orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)

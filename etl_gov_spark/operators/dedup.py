@@ -385,18 +385,24 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = Catalog(spark, sf_dir).embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn(
+        "n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(F.aggregate("va", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("vb", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
         a.crossJoin(b)
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", (dot / (na * nb)).alias("_cos"))
+        .select(
+            "vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("_cos")
+        )
         .filter(F.col("_cos") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", _R4(F.col("_cos"), "cosine"))
     )

@@ -49,13 +49,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break on candidate vec_id.
     """
     emb = Catalog(spark, sf_dir).embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("vn", _norm("v"))
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
     )
     pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("q_id"))
-    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    # norms precomputed per side: the cross join pays one dot per
+    # pair, not dot + two norm folds
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
     scored = pairs.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
     w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
     return (

@@ -79,3 +79,32 @@ def test_feature_extract_shape_and_l1_norm(spark, sf_dir):
     assert all(len(r.feature) == 8 for r in rows)
     assert all(abs(sum(r.feature) - 1.0) < 0.01 for r in rows)  # L1-normalized
     assert all(0 < r.feat_norm <= 1.0 for r in rows)
+
+
+def test_rate_source_micro_batch(spark):
+    """Rate source (synthetic benchmark stream): one availableNow-style
+    bounded pull into memory proves the source wiring."""
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "100")
+        .load()
+        .withColumn("bucket", F.pmod("value", F.lit(4)))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_sink")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline and spark.table("rate_sink").count() == 0:
+            time.sleep(0.5)
+        assert spark.table("rate_sink").count() > 0
+    finally:
+        q.stop()

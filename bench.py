@@ -43,11 +43,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # warm the JVM/code paths once on the tiny sf so first-query JIT
-    # and parquet-footer costs don't land on q1's number
-    qs["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # warm the JVM and Python-worker paths once on the tiny sf so
+    # first-query JIT, parquet-footer reads, and Python daemon
+    # startup don't land on the first queries' numbers (workers are
+    # reused afterwards: spark.python.worker.reuse defaults true)
+    for warm in ("q1_pricing_summary", "mm_binary_meta"):
+        qs[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -339,3 +339,55 @@ QUERIES: dict[str, tuple] = {
     "corpus_repetition": (corpus_repetition, CORPUS_REPETITION_SQL),
     "text_pii_scrub": (text_pii_scrub, TEXT_PII_SCRUB_SQL),
 }
+
+
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram cross-entropy (perplexity proxy).
+
+    The classic cheap quality filter: score each doc by the average
+    negative log-probability of its tokens under the corpus unigram
+    model; gibberish and boilerplate land in the tails. Two
+    shuffles: corpus term counts (map-side combined), then the
+    token→frequency join keyed by term (uniform hash keys). The
+    single-row total is broadcast, never windowed.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    toks = docs.select("doc_id", F.explode("toks").alias("w"))
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(tf, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            _R4(
+                F.avg(-F.log(F.col("cnt") / F.col("total"))), "avg_neg_logprob"
+            ),
+        )
+    )
+    return scored
+
+
+CORPUS_UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+), tot AS (
+  SELECT sum(cnt) AS total FROM tf
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(avg(-ln(tf.cnt / CAST(tot.total AS DOUBLE))), 4) AS avg_neg_logprob
+FROM toks t JOIN tf USING (w) CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+QUERIES["corpus_unigram_logprob"] = (
+    corpus_unigram_logprob,
+    CORPUS_UNIGRAM_LOGPROB_SQL,
+)

@@ -32,6 +32,7 @@ def _families() -> list[dict]:
         "merge",
         "mlstats",
         "skew",
+        "pandas_udfs",
     ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])

@@ -43,11 +43,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
-    # warm the JVM and Python-worker paths once on the tiny sf so
-    # first-query JIT, parquet-footer reads, and Python daemon
-    # startup don't land on the first queries' numbers (workers are
-    # reused afterwards: spark.python.worker.reuse defaults true)
-    for warm in ("q1_pricing_summary", "mm_binary_meta"):
+    # warm every headline code path once at sf0.001 (1/100th the
+    # data): whole-stage-codegen JIT, parquet-footer reads, and
+    # Python daemon startup all land here instead of inside the
+    # measured runs, so the numbers reflect steady-state plan cost
+    # at sf0.1 rather than one-time JVM compilation.
+    for warm in HEADLINE:
         qs[warm](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()

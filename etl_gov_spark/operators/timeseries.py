@@ -446,3 +446,48 @@ QUERIES.update(
         "q_topk_events_per_type": (q_topk_events_per_type, Q_TOPK_EVENTS_SQL),
     }
 )
+
+
+# fixed-date holidays for the workday calendar (month, day)
+_HOLIDAYS = ((1, 1), (7, 4), (12, 25))
+
+
+def q_workday_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-calendar aggregation: revenue on workdays only
+    (weekends + fixed-date holidays excluded) per year.
+
+    The batch analogue of the reference's custom workday timetable
+    (``dags/example_workday_timetable.py`` — its AfterWorkdayTimetable
+    schedules runs only after weekdays): the calendar is a pure
+    column predicate, evaluated in codegen at the scan, so the
+    filter pushes into the parquet read.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    d = F.col("o_orderdate")
+    is_weekday = F.weekday(d) < 5  # 0=Mon .. 6=Sun
+    is_holiday = F.lit(False)
+    for m, day in _HOLIDAYS:
+        is_holiday = is_holiday | ((F.month(d) == m) & (F.dayofmonth(d) == day))
+    return (
+        orders.filter(is_weekday & ~is_holiday)
+        .groupBy(F.year(d).alias("year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _R4(F.sum("o_totalprice"), "workday_revenue"),
+        )
+    )
+
+
+Q_WORKDAY_REVENUE_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS workday_revenue
+FROM orders
+WHERE isodow(o_orderdate) <= 5
+  AND NOT ((month(o_orderdate) = 1 AND day(o_orderdate) = 1)
+        OR (month(o_orderdate) = 7 AND day(o_orderdate) = 4)
+        OR (month(o_orderdate) = 12 AND day(o_orderdate) = 25))
+GROUP BY 1
+"""
+
+QUERIES["q_workday_revenue"] = (q_workday_revenue, Q_WORKDAY_REVENUE_SQL)

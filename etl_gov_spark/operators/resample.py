@@ -1,0 +1,241 @@
+"""Time-series resampling / regularization operators (SURVEY.md §2.B
+extension).
+
+Gov telemetry arrives irregular; models and dashboards want regular
+grids. Three canonical re-gridding ops, all Spark-first:
+
+- gap fill:      per-user daily grid, missing days zero-filled.
+  Grid generation is ``sequence() + explode`` per user (data-parallel,
+  no driver loop, no calendar table broadcast needed); the join back
+  to observed days is an equi-join on (user_id, day).
+- interpolation: linear interpolation of missing daily values via
+  ``last/first IGNORE NULLS`` window frames — two sorted passes over
+  the same (user_id, day) partitioning, zero extra shuffles.
+- EWMA:          exponentially weighted moving average with a
+  truncated 8-term kernel expressed as ``lag()`` columns — stays in
+  whole-stage codegen (no UDF, no driver state), identical algebra
+  on the DuckDB side, so an inherently "streaming" smoother becomes
+  an oracle-able batch query.
+
+Scale: grids are bounded by (active users × active days) — at 100 TB
+the grid explode is linear in that product and shards on user_id; no
+operator here ever sorts globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    return ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("day_value"),
+        F.avg("value").alias("avg_value"),
+    )
+
+
+def _grid(daily: DataFrame) -> DataFrame:
+    """Per-user daily grid spanning that user's first..last active
+    day: sequence+explode (each user's span expands locally in its
+    shard — no cross-user shuffle beyond the span aggregation)."""
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled per-user daily activity series. Filled rows are
+    flagged so downstream quality gates can tell observation from
+    imputation."""
+    daily = _daily(spark, sf_dir)
+    return (
+        _grid(daily)
+        .join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            _R4(F.coalesce("day_value", F.lit(0.0)), "day_value"),
+            F.when(F.col("n_events").isNull(), 1).otherwise(0).alias("is_filled"),
+        )
+    )
+
+
+Q_GAP_FILL_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         count(*) AS n_events, sum(value) AS day_value
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)
+)
+SELECT g.user_id, g.day,
+       coalesce(d.n_events, 0) AS n_events,
+       round(coalesce(d.day_value, 0.0), 4) AS day_value,
+       CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS is_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+def q_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing per-user daily activity
+    levels (event counts).
+
+    Missing grid days get ``prev + (next - prev) * elapsed/spanned``
+    between the nearest observed neighbours; observed days pass
+    through. Neighbour lookup is two IGNORE-NULLS window frames over
+    one (user_id, day) sort — the distributed equivalent of
+    pandas ``interpolate(method='time')``, with no Python in the
+    plan. Interpolating the exact integer count keeps both engines'
+    arithmetic bit-identical (IEEE ops on identical inputs), so the
+    4-dp rounding never straddles an engine-specific tie-break.
+    """
+    daily = _daily(spark, sf_dir)
+    grid = _grid(daily).join(
+        daily.select(
+            "user_id", "day", F.col("n_events").cast("double").alias("avg_value")
+        ),
+        ["user_id", "day"],
+        "left",
+    )
+    ord_ = F.datediff("day", F.lit("1970-01-01").cast("date"))
+    known_day = F.when(F.col("avg_value").isNotNull(), ord_)
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    g = (
+        grid.withColumn("_ord", ord_)
+        .withColumn("_pv", F.last("avg_value", ignorenulls=True).over(wp))
+        .withColumn("_pd", F.last(known_day, ignorenulls=True).over(wp))
+        .withColumn("_nv", F.first("avg_value", ignorenulls=True).over(wn))
+        .withColumn("_nd", F.first(known_day, ignorenulls=True).over(wn))
+    )
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.when(
+            F.col("_pv").isNotNull() & F.col("_nv").isNotNull(),
+            F.col("_pv")
+            + (F.col("_nv") - F.col("_pv"))
+            * (F.col("_ord") - F.col("_pd"))
+            / (F.col("_nd") - F.col("_pd")),
+        ).otherwise(F.coalesce("_pv", "_nv"))
+    )
+    return g.select(
+        "user_id",
+        "day",
+        F.when(F.col("avg_value").isNotNull(), 1).otherwise(0).alias("is_observed"),
+        _R4(interp, "value_interp"),
+    )
+
+
+Q_INTERP_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS DOUBLE) AS avg_value
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id)
+), g AS (
+  SELECT grid.user_id, grid.day, d.avg_value,
+         date_diff('day', DATE '1970-01-01', grid.day) AS o,
+         last_value(d.avg_value IGNORE NULLS) OVER w_p AS pv,
+         last_value(CASE WHEN d.avg_value IS NOT NULL
+                         THEN date_diff('day', DATE '1970-01-01', grid.day) END IGNORE NULLS) OVER w_p AS pd,
+         first_value(d.avg_value IGNORE NULLS) OVER w_n AS nv,
+         first_value(CASE WHEN d.avg_value IS NOT NULL
+                          THEN date_diff('day', DATE '1970-01-01', grid.day) END IGNORE NULLS) OVER w_n AS nd
+  FROM grid LEFT JOIN daily d ON grid.user_id = d.user_id AND grid.day = d.day
+  WINDOW w_p AS (PARTITION BY grid.user_id ORDER BY grid.day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_n AS (PARTITION BY grid.user_id ORDER BY grid.day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       CASE WHEN avg_value IS NOT NULL THEN 1 ELSE 0 END AS is_observed,
+       round(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       THEN pv + (nv - pv) * (o - pd) / (nd - pd)
+                  ELSE coalesce(pv, nv) END, 4) AS value_interp
+FROM g
+"""
+
+EWMA_ALPHA = 0.5
+EWMA_K = 8
+
+
+def q_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA smoothing of hourly totals per event type, truncated to
+    an 8-term kernel: ewma_t = Σ w_k·v_{t-k} / Σ w_k over available
+    lags (w_k = α·(1-α)^k shape, constant factor cancels in the
+    normalization). Eight ``lag()`` columns over one sorted pass —
+    the window sorts each (bounded-cardinality) event_type shard
+    once; all arithmetic is codegen."""
+    ev = Catalog(spark, sf_dir).events
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.sum("value").alias("v"))
+    w = Window.partitionBy("event_type").orderBy("hour")
+    weights = [(1.0 - EWMA_ALPHA) ** k for k in range(EWMA_K)]
+    lags = [F.lag("v", k).over(w) for k in range(EWMA_K)]
+    num = sum(
+        (F.coalesce(lg, F.lit(0.0)) * F.lit(wt) for lg, wt in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(lg.isNull(), 0.0).otherwise(wt) for lg, wt in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    return hourly.select(
+        "event_type", "hour", _R4(F.col("v"), "hourly_value"), _R4(num / den, "ewma")
+    )
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce(lag(v, {k}) OVER w, 0.0) * {(1.0 - EWMA_ALPHA) ** k!r}"
+        for k in range(EWMA_K)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(v, {k}) OVER w IS NULL THEN 0.0 ELSE {(1.0 - EWMA_ALPHA) ** k!r} END"
+        for k in range(EWMA_K)
+    )
+    return num, den
+
+
+_NUM, _DEN = _ewma_sql_terms()
+
+Q_EWMA_SQL = f"""
+SELECT event_type, hour,
+       round(v, 4) AS hourly_value,
+       round(({_NUM}) / ({_DEN}), 4) AS ewma
+FROM (
+  SELECT event_type, date_trunc('hour', ts) AS hour, sum(value) AS v
+  FROM events GROUP BY 1, 2
+)
+WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q_gap_fill": (q_gap_fill, Q_GAP_FILL_SQL),
+    "q_interp_linear": (q_interp_linear, Q_INTERP_SQL),
+    "q_ewma_value": (q_ewma_value, Q_EWMA_SQL),
+}

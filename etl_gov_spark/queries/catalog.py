@@ -21,6 +21,7 @@ def _families() -> list[dict]:
         "tpch_deep",
         "windows",
         "timeseries",
+        "resample",
         "dedup",
         "graphs",
         "similarity",

@@ -1,0 +1,57 @@
+"""Resampling-pack invariants: grid completeness, interpolation
+bounds, EWMA smoothing behaviour (oracle equality is the driver's
+gate; these are semantic checks at sf0.001)."""
+
+from __future__ import annotations
+
+from etl_gov_spark.operators import resample as RS
+
+
+def test_gap_fill_grid_is_contiguous(spark, sf_dir):
+    rows = RS.q_gap_fill(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for days in by_user.values():
+        days.sort(key=lambda r: r.day)
+        span = (days[-1].day - days[0].day).days + 1
+        assert len(days) == span  # no holes, no dup days
+        for r in days:
+            assert (r.n_events == 0) == (r.is_filled == 1)
+            assert r.day_value == 0.0 or r.n_events > 0
+
+
+def test_interp_observed_pass_through_and_bounds(spark, sf_dir):
+    rows = RS.q_interp_linear(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for days in by_user.values():
+        days.sort(key=lambda r: r.day)
+        observed = [r.value_interp for r in days if r.is_observed == 1]
+        assert observed, "every user has at least one observed day"
+        lo, hi = min(observed), max(observed)
+        for r in days:
+            assert r.value_interp is not None
+            # linear interp never over/undershoots its neighbours
+            assert lo - 1e-9 <= r.value_interp <= hi + 1e-9
+            if r.is_observed:
+                assert float(r.value_interp) == float(round(r.value_interp, 4))
+
+
+def test_ewma_is_smoother_than_raw(spark, sf_dir):
+    rows = RS.q_ewma_value(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.hour)
+        # first point: ewma == raw value (kernel has one term)
+        assert abs(series[0].ewma - series[0].hourly_value) < 1e-3
+        if len(series) < 10:
+            continue
+        raw = [r.hourly_value for r in series]
+        sm = [r.ewma for r in series]
+        tv = lambda xs: sum(abs(a - b) for a, b in zip(xs, xs[1:]))  # noqa: E731
+        assert tv(sm) < tv(raw)  # smoothing reduces total variation

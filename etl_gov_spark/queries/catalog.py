@@ -22,6 +22,7 @@ def _families() -> list[dict]:
         "windows",
         "timeseries",
         "resample",
+        "sampling",
         "dedup",
         "graphs",
         "similarity",

@@ -1,0 +1,51 @@
+"""Sampling-pack invariants: determinism, stratum bounds, and
+weight sensitivity (oracle equality is the driver's gate)."""
+
+from __future__ import annotations
+
+from etl_gov_spark.operators import sampling as S
+
+
+def test_reservoir_deterministic_and_bounded(spark, sf_dir):
+    a = sorted(map(tuple, S.q_reservoir_per_group(spark, sf_dir).collect()))
+    b = sorted(map(tuple, S.q_reservoir_per_group(spark, sf_dir).collect()))
+    assert a == b  # replayable: same draw on any layout
+    per = {}
+    for prio, key, rank in a:
+        per.setdefault(prio, []).append(rank)
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= S.K_RESERVOIR
+
+
+def test_reservoir_is_hash_ordered_not_key_ordered(spark, sf_dir):
+    rows = S.q_reservoir_per_group(spark, sf_dir).collect()
+    from etl_gov_spark.io.sources import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    lowest = {
+        r.o_orderpriority: r.mn
+        for r in orders.groupBy("o_orderpriority").agg(
+            __import__("pyspark.sql.functions", fromlist=["min"]).min("o_orderkey").alias("mn")
+        ).collect()
+    }
+    # a uniform sample should not just be the smallest keys
+    top1 = {r.o_orderpriority: r.o_orderkey for r in rows if r.sample_rank == 1}
+    assert any(top1[p] != lowest[p] for p in top1)
+
+
+def test_weighted_sample_favours_heavy_orders(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from pyspark.sql import functions as F
+
+    rows = S.q_weighted_sample(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.o_orderpriority, []).append(r.weight)
+        assert 1 <= r.sample_rank <= S.K_WEIGHTED
+    orders = read_table(spark, sf_dir, "orders")
+    avg_all = orders.agg(F.avg("o_totalprice")).first()[0]
+    sampled = [w for ws in per.values() for w in ws]
+    avg_sampled = sum(sampled) / len(sampled)
+    # value-weighted draws should skew above the population mean
+    assert avg_sampled > avg_all

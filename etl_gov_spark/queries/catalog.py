@@ -23,6 +23,7 @@ def _families() -> list[dict]:
         "timeseries",
         "resample",
         "sampling",
+        "reshape",
         "dedup",
         "graphs",
         "similarity",

@@ -391,3 +391,139 @@ QUERIES["corpus_unigram_logprob"] = (
     corpus_unigram_logprob,
     CORPUS_UNIGRAM_LOGPROB_SQL,
 )
+
+_SEG = 16  # tokens per dedup segment
+
+
+def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level cross-corpus dedup audit (the CCNet paragraph-
+    dedup shape, on 16-token segments since this corpus has no line
+    structure): per document, how many of its fixed-width segments
+    also occur elsewhere in the corpus.
+
+    Segments are md5-hashed in codegen and exploded to (doc, seg)
+    rows; global segment frequencies are one map-side-combined
+    groupBy on the hash (uniform keys → even shards at 100 TB), then
+    joined back and re-aggregated per doc. The output drives the
+    "remove boilerplate segments" rewrite pass.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(_SEG)),
+                lambda s: F.md5(F.array_join(F.slice("toks", s, _SEG), " ")),
+            )
+        ).alias("seg"),
+    )
+    freq = segs.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return (
+        segs.join(freq, "seg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+                "n_shared_segments"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_shared_segments",
+            _R4(F.col("n_shared_segments") / F.col("n_segments"), "shared_frac"),
+        )
+    )
+
+
+CORPUS_SEGMENT_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), segs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1, {_SEG}),
+                s -> md5(array_to_string(toks[s:s+{_SEG - 1}], ' ')))) AS seg
+  FROM t
+), freq AS (
+  SELECT seg, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY seg
+)
+SELECT s.doc_id,
+       count(*) AS n_segments,
+       sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_segments,
+       round(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS shared_frac
+FROM segs s JOIN freq f USING (seg)
+GROUP BY s.doc_id
+"""
+
+_MIX_TAU = 0.7  # mixture temperature
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture weights per source: temperature-scaled token
+    shares (w ∝ share^τ, τ=0.7), the standard rebalancing between
+    natural distribution (τ=1) and uniform (τ=0) when composing a
+    pretraining mix. Two tiny aggregates over per-source totals —
+    the per-source table is bounded (thousands of sources at most),
+    so the normalization is a broadcast, never a shuffle."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_TAU))).alias(
+            "tot_pow"
+        ),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            _R4(F.col("n_tokens") / F.col("tot_tokens"), "natural_share"),
+            _R4(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_TAU))
+                / F.col("tot_pow"),
+                "mix_weight",
+            ),
+            _R4(
+                (
+                    F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_TAU))
+                    / F.col("tot_pow")
+                )
+                / (F.col("n_tokens") / F.col("tot_tokens")),
+                "upsample_factor",
+            ),
+        )
+    )
+
+
+CORPUS_MIX_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot_tokens,
+         sum(pow(CAST(n_tokens AS DOUBLE), {_MIX_TAU})) AS tot_pow
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(tot_tokens AS DOUBLE), 4) AS natural_share,
+       round(pow(CAST(n_tokens AS DOUBLE), {_MIX_TAU}) / tot_pow, 4) AS mix_weight,
+       round((pow(CAST(n_tokens AS DOUBLE), {_MIX_TAU}) / tot_pow)
+             / (n_tokens / CAST(tot_tokens AS DOUBLE)), 4) AS upsample_factor
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["corpus_segment_dedup"] = (corpus_segment_dedup, CORPUS_SEGMENT_DEDUP_SQL)
+QUERIES["corpus_mix_weights"] = (corpus_mix_weights, CORPUS_MIX_WEIGHTS_SQL)

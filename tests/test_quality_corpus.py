@@ -161,3 +161,38 @@ def test_contamination_full_on_copied_eval_doc(spark, tmp_path_factory):
     got = {r.doc_id: r for r in C.corpus_contamination(spark, tmp).collect()}
     assert got[1].contamination == 1.0
     assert got[2].contamination == 0.0
+
+
+def test_segment_dedup_flags_copied_segments(spark, tmp_path_factory):
+    """Two docs sharing a verbatim 16-token block are flagged;
+    a unique doc scores zero shared fraction."""
+    tmp = str(tmp_path_factory.mktemp("segdedup"))
+    block = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (0, block + " tail0 unique zero", "en", "s", 10),
+        (1, block + " tail1 other words", "en", "s", 10),
+        (2, " ".join(f"u{i}" for i in range(20)), "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in C.corpus_segment_dedup(spark, tmp).collect()}
+    assert got[0].n_shared_segments >= 1
+    assert got[1].n_shared_segments >= 1
+    assert got[2].n_shared_segments == 0
+    assert got[2].shared_frac == 0.0
+
+
+def test_mix_weights_normalized_and_flatter_than_natural(spark, sf_dir):
+    rows = C.corpus_mix_weights(spark, sf_dir).collect()
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-2
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-2
+    # temperature < 1 compresses the spread: max/min ratio shrinks
+    nat = sorted(r.natural_share for r in rows)
+    mix = sorted(r.mix_weight for r in rows)
+    if nat[0] > 0 and nat[-1] / nat[0] > 1.01:
+        assert mix[-1] / mix[0] < nat[-1] / nat[0]
+    # upsampling favours small sources
+    small = min(rows, key=lambda r: r.n_tokens)
+    big = max(rows, key=lambda r: r.n_tokens)
+    assert small.upsample_factor > big.upsample_factor

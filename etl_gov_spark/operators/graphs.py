@@ -22,6 +22,8 @@ from pyspark.sql import functions as F
 from etl_gov_spark.io.sources import Catalog
 from etl_gov_spark.operators.dedup import _SQL_SHINGLES, SHINGLE_K, pair_structs, shingled_docs
 
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
 JACCARD_T = 0.1
 MAX_ROUNDS = 15
 
@@ -229,3 +231,91 @@ FROM g
 """
 
 QUERIES["dedup_keep_policy"] = (dedup_keep_policy, DEDUP_KEEP_POLICY_SQL)
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node graph metrics over the near-dup pair graph: degree,
+    triangle count, and local clustering coefficient — the
+    neighborhood-density signals that tell template families (dense,
+    clustered) apart from chance overlaps (isolated edges).
+
+    Spark-first triangle counting = wedge join + closure semi-join:
+    e1(a,b) ⋈ e2(b,c) builds each a<b<c wedge once, and a semi-join
+    against the canonical edge set keeps closed wedges. Two hash
+    joins on node keys — the MapReduce node-iterator algorithm; at
+    scale, order wedge construction by degree (or cap hot nodes
+    upstream, as the dedup edge builder already caps shingle df) so
+    wedge count stays Σ deg² bounded.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    edges = _near_dup_edges(docs).cache()
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, "b")
+    tri = wedges.join(
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
+        ["a", "c"],
+        "left_semi",
+    )
+    per_node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .union(edges.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(per_node_tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            _R4(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                ).otherwise(F.lit(0.0)),
+                "clustering_coeff",
+            ),
+        )
+    )
+
+
+GRAPH_TRIANGLE_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh))
+        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_T}
+), tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  WHERE EXISTS (SELECT 1 FROM pairs e3
+                WHERE e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+), per_tri AS (
+  SELECT n AS doc_id, count(*) AS n_triangles
+  FROM (SELECT unnest([a, b, c]) AS n FROM tri) GROUP BY n
+), deg AS (
+  SELECT doc_id, count(*) AS degree
+  FROM (SELECT doc_a AS doc_id FROM pairs UNION ALL SELECT doc_b FROM pairs)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(t.n_triangles, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 4) AS clustering_coeff
+FROM deg d LEFT JOIN per_tri t USING (doc_id)
+"""
+
+QUERIES["graph_triangle_count"] = (graph_triangle_count, GRAPH_TRIANGLE_SQL)

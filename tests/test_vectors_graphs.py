@@ -72,3 +72,33 @@ def test_cluster_sizes_consistent(spark, sf_dir):
     sizes = Counter(r.component for r in rows)
     for r in rows:
         assert r.cluster_size == sizes[r.component] >= 2 or sizes[r.component] == 1
+
+
+def test_triangle_count_on_known_clique(spark, tmp_path_factory):
+    """Three mutually near-dup docs form one triangle (clustering
+    coeff 1.0); a separate near-dup pair forms none."""
+    from etl_gov_spark.operators import graphs as G
+
+    tmp = str(tmp_path_factory.mktemp("tri"))
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"z{i}" for i in range(30))
+    rows = [
+        (0, base + " a", "en", "s", 10),
+        (1, base + " b", "en", "s", 10),
+        (2, base + " c", "en", "s", 10),
+        (3, other + " x", "en", "s", 10),
+        (4, other + " y", "en", "s", 10),
+        (5, " ".join(f"q{i}" for i in range(30)), "en", "s", 10),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in G.graph_triangle_count(spark, tmp).collect()}
+    for d in (0, 1, 2):
+        assert got[d].n_triangles == 1
+        assert got[d].degree == 2
+        assert got[d].clustering_coeff == 1.0
+    for d in (3, 4):
+        assert got[d].n_triangles == 0
+        assert got[d].degree == 1
+    assert 5 not in got  # isolated docs don't appear in the graph

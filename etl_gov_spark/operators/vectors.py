@@ -192,3 +192,128 @@ QUERIES: dict[str, tuple] = {
     "emb_label_centroids": (emb_label_centroids, EMB_LABEL_CENTROIDS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, None),
 }
+
+PQ_M = 8  # subspaces (64 dims → 8×8)
+PQ_SUBDIM = 8
+PQ_SHORTLIST = 6  # shortlist size = PQ_SHORTLIST × TOP_K
+
+
+def _subvectors(df: DataFrame, vec: str, out: str) -> DataFrame:
+    """Explode a vector into its PQ subvectors: (…, m, sub[8])."""
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(vec, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("m", out),
+    ).drop(vec)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN cosine top-10 (rows-only: codebook
+    state is not SQL-portable; recall vs brute force is asserted in
+    tests).
+
+    The memory-bound scale path: each vector compresses to 8
+    4-bit-ish codes (one per 8-dim subspace, 16-centroid codebooks
+    trained with stride seeds + one Lloyd pass per subspace —
+    training all 8 subspaces is ONE distributed pipeline over an
+    exploded (vec, subspace) layout, not 8 jobs). Queries score by
+    asymmetric distance: a per-query 8×16 lookup table (broadcast,
+    tiny) joined to the code table — the scan reads codes, never
+    raw vectors. ADC shortlists 4×k candidates; the exact cosine
+    re-rank touches only the shortlist. At 100 TB the code table is
+    ~64× narrower than the raw embeddings — the classic
+    PQ + refine funnel (Jégou et al., PAMI 2011).
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # L2-normalize before encoding: unit-vector squared-L2 is
+    # 2 − 2·cos, so ADC ordering matches the cosine re-rank metric
+    # norm materialized first — an inline _norm inside the lambda
+    # would re-fold the whole vector once per element (no CSE in
+    # higher-order functions; see dedup.shingles_col)
+    unit = emb.withColumn("_n", _norm("v")).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+    sub = _subvectors(unit, "v", "sv")  # (vec_id, m, sv)
+
+    # per-subspace codebooks: stride seeds, one Lloyd refinement
+    code_d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign_codes(codebook: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(codebook), "m")
+            .select(
+                "vec_id", "m", "sv", F.struct(code_d2.alias("d2"), F.col("cid")).alias("_s")
+            )
+            .groupBy("vec_id", "m", "sv")
+            .agg(F.min("_s").alias("_best"))
+            .select("vec_id", "m", "sv", F.col("_best.cid").alias("cid"))
+        )
+
+    codebook = sub.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    refined = (
+        assign_codes(codebook)
+        .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select("m", "cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
+    )
+    codes = assign_codes(refined).select("vec_id", "m", "cid")
+
+    # ADC: per-query distance table over (m, cid), broadcast
+    q = unit.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    qsub = _subvectors(q, "qv", "qs")
+    dtab_d2 = F.aggregate(
+        F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = qsub.join(F.broadcast(refined), "m").select(
+        "q_id", "m", "cid", dtab_d2.alias("_part")
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["m", "cid"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("_part").alias("_adc"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("_adc"), F.asc("vec_id"))
+    shortlist = (
+        approx.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= PQ_SHORTLIST * TOP_K)
+        .select("q_id", "vec_id")
+    )
+
+    # exact cosine re-rank over the shortlist only
+    cand = (
+        shortlist.join(emb, "vec_id")
+        .join(q.select("q_id", "qv"), "q_id")
+    )
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = cand.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+    )
+
+
+QUERIES["ann_pq_topk"] = (ann_pq_topk, None)

@@ -102,3 +102,20 @@ def test_triangle_count_on_known_clique(spark, tmp_path_factory):
         assert got[d].n_triangles == 0
         assert got[d].degree == 1
     assert 5 not in got  # isolated docs don't appear in the graph
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    exact = {
+        (r.q_id, r.cand_id) for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    pq_rows = V.ann_pq_topk(spark, sf_dir).collect()
+    pq = {(r.q_id, r.cand_id) for r in pq_rows}
+    assert pq
+    # every query answered with a full (or data-bounded) top-k
+    per_q: dict[int, int] = {}
+    for r in pq_rows:
+        per_q[r.q_id] = max(per_q.get(r.q_id, 0), r.rank)
+    exact_q = {q for q, _ in exact}
+    assert set(per_q) == exact_q
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.5, f"PQ recall {recall:.2f} too low"

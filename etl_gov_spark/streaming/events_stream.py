@@ -254,3 +254,66 @@ QUERIES.update(
         "stream_join_conversions": (stream_join_conversions, STREAM_JOIN_CONV_SQL),
     }
 )
+
+
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming sessionization (30-min
+    gap): Spark's built-in dynamic-gap session state, the engine-
+    managed counterpart of the applyInPandasWithState operator in
+    streaming/stateful.py. State per (user × open session), merged
+    as events arrive, bounded by the gap.
+
+    Session identity is reported as (user_id, session_start); the
+    oracle is the batch gap-sessionization with the same >=-gap
+    break rule (session_window merges strictly-overlapping windows,
+    so an exactly-30-min gap starts a new session).
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("first_ts").alias("session_start"),
+            F.col("last_ts").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+    _run_to_memory(agg, "stream_session_window_sink", "complete")
+    return spark.table("stream_session_window_sink")
+
+
+STREAM_SESSION_WINDOW_SQL = """
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= 1800000000 THEN 1
+                WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS is_new
+    FROM events
+  )
+)
+GROUP BY user_id, session_seq
+"""
+
+QUERIES["stream_session_window"] = (
+    stream_session_window,
+    STREAM_SESSION_WINDOW_SQL,
+)

@@ -108,3 +108,20 @@ def test_rate_source_micro_batch(spark):
         assert spark.table("rate_sink").count() > 0
     finally:
         q.stop()
+
+
+def test_session_window_matches_batch_sessionize(spark, sf_dir):
+    """Native session_window stream == batch gap-sessionization
+    (same sessions, same per-session stats) on a finite source."""
+    from etl_gov_spark.operators.timeseries import q_sessionize
+    from etl_gov_spark.streaming.events_stream import stream_session_window
+
+    stream = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in stream_session_window(spark, sf_dir).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in q_sessionize(spark, sf_dir).collect()
+    }
+    assert stream == batch

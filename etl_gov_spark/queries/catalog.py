@@ -24,6 +24,7 @@ def _families() -> list[dict]:
         "resample",
         "sampling",
         "reshape",
+        "audit",
         "dedup",
         "graphs",
         "similarity",

@@ -1,0 +1,55 @@
+"""Audit-pack invariants: distribution sanity, Gini bounds,
+Pareto dominance (oracle equality is the driver's gate)."""
+
+from __future__ import annotations
+
+import math
+
+from etl_gov_spark.operators import audit as A
+
+
+def test_benford_fracs_sum_to_one(spark, sf_dir):
+    rows = A.q_benford_digits(spark, sf_dir).collect()
+    digits = {r.digit for r in rows}
+    assert digits <= set(range(1, 10))
+    assert abs(sum(r.observed_frac for r in rows) - 1.0) < 1e-2
+    for r in rows:
+        assert abs(r.benford_frac - round(math.log10(1 + 1 / r.digit), 4)) < 1e-9
+        # deviation was rounded from raw fracs; each 4-dp rounding
+        # can shift the reconstructed value by up to 5e-5, and the
+        # raw observed_frac differs from its rounded copy likewise
+        assert abs(r.deviation - (r.observed_frac - r.benford_frac)) < 1e-3
+
+
+def test_gini_bounded_and_zero_for_equal_revenues(spark, sf_dir, tmp_path_factory):
+    for r in A.q_gini_concentration(spark, sf_dir).collect():
+        assert -0.01 <= r.gini <= 1.0
+        assert r.n_customers > 0
+    # constructed equal-revenue nation → gini == 0
+    tmp = str(tmp_path_factory.mktemp("gini"))
+    import datetime
+
+    orders = [
+        (i, i % 3, "O", 100.0, datetime.datetime(2024, 1, 1), "1-URGENT")
+        for i in range(9)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    spark.createDataFrame(
+        [(i, i % 2) for i in range(3)], "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    spark.createDataFrame(
+        [(0, "A"), (1, "B")], "n_nationkey long, n_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/nation.parquet")
+    for r in A.q_gini_concentration(spark, tmp).collect():
+        assert r.gini == 0.0
+
+
+def test_pareto_shares_are_nested_and_bounded(spark, sf_dir):
+    r = A.q_pareto_share(spark, sf_dir).first()
+    assert 0.0 < r.share_top1pct <= r.share_top10pct <= 1.0
+    # top 10% must hold at least 10% of revenue (sorted dominance)
+    assert r.share_top10pct >= 0.10

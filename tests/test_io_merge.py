@@ -166,3 +166,42 @@ def test_stream_upsert_foreachbatch(spark, sf_dir, tmp_path):
     }
     assert set(got) == set(want)
     assert all(got[u].event_id == want[u].event_id for u in want)
+
+
+def test_bucketed_catalog_end_to_end(spark, sf_dir):
+    """Materialize the bucketed catalog, run the co-located demo
+    query: the join must be a zero-Exchange SortMergeJoin AND the
+    result must equal the plain path-based plan."""
+    from etl_gov_spark.io.bucketize import BucketedCatalog, order_lineitem_revenue
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    bc = BucketedCatalog(spark, sf_dir, num_buckets=4)
+    try:
+        created = bc.materialize()
+        assert set(created) == {"bkt_orders", "bkt_lineitem"}
+        q = order_lineitem_revenue(bc)
+        rows = {(r.o_orderkey, r.o_orderstatus, r.net_revenue) for r in q.collect()}
+        plan = _plan(q)
+        assert "SortMergeJoin" in plan
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "Exchange" not in join_part  # inputs arrive pre-bucketed
+
+        c = Catalog(spark, sf_dir)
+        plain = (
+            c.orders.select("o_orderkey", "o_orderstatus")
+            .join(
+                c.lineitem.select(
+                    "l_orderkey",
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+                ),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey", "o_orderstatus")
+            .agg(F.round(F.sum("net"), 4).alias("net_revenue"))
+        )
+        assert rows == {
+            (r.o_orderkey, r.o_orderstatus, r.net_revenue) for r in plain.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        bc.drop()

@@ -527,3 +527,86 @@ FROM per CROSS JOIN tot
 
 QUERIES["corpus_segment_dedup"] = (corpus_segment_dedup, CORPUS_SEGMENT_DEDUP_SQL)
 QUERIES["corpus_mix_weights"] = (corpus_mix_weights, CORPUS_MIX_WEIGHTS_SQL)
+
+
+def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the temperature mixture as deterministic downsampling:
+    keep each doc with probability p(src) ∝ mix_weight/natural_share
+    (scaled so the most-upsampled source keeps everything), decided
+    by a portable md5 draw per doc — every executor, every rerun,
+    and the oracle keep exactly the same documents.
+
+    The keep-rate table is a tiny per-source aggregate (broadcast);
+    acceptance is a row-local predicate, so the thinning pass is one
+    shuffle-free scan at any corpus size."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    per = docs.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    tot = per.agg(
+        F.sum("n_tokens").alias("tot"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_TAU))).alias(
+            "tot_pow"
+        ),
+    )
+    # ratio ∝ weight/share = n^τ·tot / (n·tot_pow); scale by max ratio
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_TAU))
+            * F.col("tot")
+            / (F.col("n_tokens") * F.col("tot_pow"))
+        ).alias("_ratio"),
+    )
+    max_ratio = rates.agg(F.max("_ratio").alias("_max"))
+    keep = rates.crossJoin(F.broadcast(max_ratio)).select(
+        "source", (F.col("_ratio") / F.col("_max")).alias("p_keep")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+            "double"
+        )
+        / F.lit(float(1 << 48))
+    )
+    return (
+        docs.join(F.broadcast(keep), "source")
+        .select("source", "n_tokens", "p_keep", (u < F.col("p_keep")).cast("int").alias("_k"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_k").alias("n_kept"),
+            F.first(_R4(F.col("p_keep"), "x")).alias("p_keep"),
+            F.sum(F.col("_k") * F.col("n_tokens")).alias("kept_tokens"),
+        )
+    )
+
+
+CORPUS_SAMPLE_MIXTURE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+), per AS (
+  SELECT source, sum(n_tokens) AS n_tokens FROM d GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens) AS tot,
+         sum(pow(CAST(n_tokens AS DOUBLE), {_MIX_TAU})) AS tot_pow
+  FROM per
+), rates AS (
+  SELECT source,
+         pow(CAST(n_tokens AS DOUBLE), {_MIX_TAU}) * tot / (n_tokens * tot_pow) AS ratio
+  FROM per CROSS JOIN tot
+), keep AS (
+  SELECT source, ratio / (SELECT max(ratio) FROM rates) AS p_keep FROM rates
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+                     / 281474976710656.0 < k.p_keep THEN 1 ELSE 0 END) AS n_kept,
+       round(min(k.p_keep), 4) AS p_keep,
+       sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+                     / 281474976710656.0 < k.p_keep THEN d.n_tokens ELSE 0 END) AS kept_tokens
+FROM d JOIN keep k USING (source)
+GROUP BY d.source
+"""
+
+QUERIES["corpus_sample_mixture"] = (corpus_sample_mixture, CORPUS_SAMPLE_MIXTURE_SQL)

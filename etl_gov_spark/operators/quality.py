@@ -433,7 +433,85 @@ FROM agg, LATERAL (VALUES
 """
 
 
+_PSI_BINS = 10
+_PSI_BIN_W = 50.0  # value ∈ [0, ~500) → 10 fixed bins
+_PSI_SPLIT = "2024-01-16"  # reference window | current window
+
+
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit: per event type,
+    compare the value distribution of the current half-window
+    against the reference half (split at the midpoint date).
+
+    PSI = Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref), with +1-count
+    Laplace smoothing so empty bins stay finite and both engines
+    compute identical algebra. One conditional-aggregation scan
+    builds both histograms (no second pass, no join between the
+    halves); <0.1 stable, >0.25 action. This is the
+    model-monitoring gate a scoring pipeline runs per feed.
+    """
+    ev = Catalog(spark, sf_dir).events
+    is_cur = F.to_date("ts") >= F.lit(_PSI_SPLIT).cast("date")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_BIN_W).cast("int"), F.lit(_PSI_BINS - 1)
+        ).alias("bin"),
+        is_cur.cast("int").alias("cur"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.col("cur")).alias("n_cur"),
+        F.sum(1 - F.col("cur")).alias("n_ref"),
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("n_cur").alias("t_cur"), F.sum("n_ref").alias("t_ref")
+    )
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + _PSI_BINS)
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + _PSI_BINS)
+    return (
+        hist.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("t_ref").alias("n_ref_events"),
+            F.first("t_cur").alias("n_cur_events"),
+            _R4(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), "psi"),
+        )
+        .withColumn("drifted", (F.col("psi") > F.lit(0.25)).cast("int"))
+    )
+
+
+DQ_DISTRIBUTION_DRIFT_SQL = f"""
+WITH binned AS (
+  SELECT event_type,
+         least(CAST(floor(value / {_PSI_BIN_W}) AS INTEGER), {_PSI_BINS - 1}) AS bin,
+         CASE WHEN CAST(ts AS DATE) >= DATE '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS cur
+  FROM events
+), hist AS (
+  SELECT event_type, bin, sum(cur) AS n_cur, sum(1 - cur) AS n_ref
+  FROM binned GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(n_cur) AS t_cur, sum(n_ref) AS t_ref
+  FROM hist GROUP BY 1
+)
+SELECT h.event_type,
+       min(t.t_ref) AS n_ref_events,
+       min(t.t_cur) AS n_cur_events,
+       round(sum(((h.n_cur + 1) / CAST(t.t_cur + {_PSI_BINS} AS DOUBLE)
+                  - (h.n_ref + 1) / CAST(t.t_ref + {_PSI_BINS} AS DOUBLE))
+                 * ln(((h.n_cur + 1) / CAST(t.t_cur + {_PSI_BINS} AS DOUBLE))
+                      / ((h.n_ref + 1) / CAST(t.t_ref + {_PSI_BINS} AS DOUBLE)))), 4) AS psi,
+       CASE WHEN round(sum(((h.n_cur + 1) / CAST(t.t_cur + {_PSI_BINS} AS DOUBLE)
+                  - (h.n_ref + 1) / CAST(t.t_ref + {_PSI_BINS} AS DOUBLE))
+                 * ln(((h.n_cur + 1) / CAST(t.t_cur + {_PSI_BINS} AS DOUBLE))
+                      / ((h.n_ref + 1) / CAST(t.t_ref + {_PSI_BINS} AS DOUBLE)))), 4) > 0.25
+            THEN 1 ELSE 0 END AS drifted
+FROM hist h JOIN tot t USING (event_type)
+GROUP BY h.event_type
+"""
+
+
 QUERIES: dict[str, tuple] = {
+    "dq_distribution_drift": (dq_distribution_drift, DQ_DISTRIBUTION_DRIFT_SQL),
     "dq_expectation_suite": (dq_expectation_suite, DQ_EXPECTATION_SUITE_SQL),
     "dq_null_profile": (dq_null_profile, DQ_NULL_PROFILE_SQL),
     "dq_uniqueness": (dq_uniqueness, DQ_UNIQUENESS_SQL),

@@ -196,3 +196,44 @@ def test_mix_weights_normalized_and_flatter_than_natural(spark, sf_dir):
     small = min(rows, key=lambda r: r.n_tokens)
     big = max(rows, key=lambda r: r.n_tokens)
     assert small.upsample_factor > big.upsample_factor
+
+
+def test_psi_zero_for_identical_halves_and_high_for_shift(spark, tmp_path_factory):
+    """Identical value distributions across halves → PSI ~ 0;
+    a hard distribution shift → PSI above the 0.25 action bar."""
+    import datetime
+
+    from etl_gov_spark.operators import quality as Q
+
+    tmp = str(tmp_path_factory.mktemp("psi"))
+    rows = []
+    for i in range(400):
+        half = i % 2  # interleave so both halves are identical
+        day = datetime.datetime(2024, 1, 2) if half == 0 else datetime.datetime(2024, 1, 20)
+        rows.append((i, day, i % 7, "stable", float((i * 13) % 490), "{}"))
+    for i in range(400, 800):
+        day = datetime.datetime(2024, 1, 2) if i < 600 else datetime.datetime(2024, 1, 20)
+        val = 20.0 if i < 600 else 470.0  # ref low bin, cur high bin
+        rows.append((i, day, i % 7, "shifted", val, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+    got = {r.event_type: r for r in Q.dq_distribution_drift(spark, tmp).collect()}
+    assert got["stable"].psi < 0.05 and got["stable"].drifted == 0
+    assert got["shifted"].psi > 0.25 and got["shifted"].drifted == 1
+
+
+def test_sample_mixture_keeps_small_sources_whole(spark, sf_dir):
+    rows = C.corpus_sample_mixture(spark, sf_dir).collect()
+    assert rows
+    # the most-upsampled (smallest) source keeps everything
+    top = max(rows, key=lambda r: r.p_keep)
+    assert top.p_keep == 1.0
+    assert top.n_kept == top.n_docs
+    for r in rows:
+        assert 0 < r.p_keep <= 1.0
+        assert 0 <= r.n_kept <= r.n_docs
+        # realized keep-rate tracks p_keep (binomial, loose bound)
+        assert abs(r.n_kept / r.n_docs - r.p_keep) < 0.35

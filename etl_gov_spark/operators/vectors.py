@@ -317,3 +317,74 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_pq_topk"] = (ann_pq_topk, None)
+
+PCA_ITERS = 8
+
+
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed
+    power iteration (rows-only: iterative FP state is not SQL-
+    portable; alignment with numpy's eigenvector is asserted in
+    tests).
+
+    Each iteration is ONE distributed pass: score = x·v (v embedded
+    as a literal — 64 doubles of model state, the only thing the
+    driver ever holds), then per-dimension Σ score·xᵢ via positional
+    explode — the shuffle carries dim-indexed partial sums (64 keys),
+    never vectors. Mean-centering reuses the same explode layout.
+    This is the Krylov-style pattern every distributed eigensolver
+    uses: data stays sharded, the k-dim iterate rides the closure.
+    Output: per-dim loading + the explained-variance share.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    per_dim = emb.select(F.posexplode("v").alias("pos", "val"))
+    stats = per_dim.groupBy("pos").agg(
+        F.avg("val").alias("mu"), F.sum(F.col("val") * F.col("val")).alias("ss")
+    )
+    mu_rows = stats.orderBy("pos").collect()  # 64-float model state
+    mu = [r.mu for r in mu_rows]
+    n = emb.count()
+    total_var = sum(r.ss / n - r.mu * r.mu for r in mu_rows)
+
+    dim = len(mu)
+    vec = [1.0 / dim**0.5] * dim
+    centered = emb.select(
+        F.zip_with(
+            "v", F.array(*[F.lit(m) for m in mu]), lambda x, m: x - m
+        ).alias("c")
+    )
+    eig = 0.0
+    for _ in range(PCA_ITERS):
+        score = F.aggregate(
+            F.zip_with("c", F.array(*[F.lit(x) for x in vec]), lambda x, w: x * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sums = (
+            centered.select(score.alias("s"), "c")
+            .select("s", F.posexplode("c").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("val")).alias("acc"))
+            .orderBy("pos")
+            .collect()
+        )
+        raw = [r.acc / n for r in sums]
+        norm = sum(x * x for x in raw) ** 0.5
+        vec = [x / norm for x in raw]
+        eig = norm  # ||C v|| with unit v → eigenvalue estimate
+    # deterministic sign: largest-|loading| dimension is positive
+    pivot = max(range(dim), key=lambda i: abs(vec[i]))
+    if vec[pivot] < 0:
+        vec = [-x for x in vec]
+    return spark.createDataFrame(
+        [
+            (i, round(vec[i], 4), round(eig / total_var, 4))
+            for i in range(dim)
+        ],
+        "pos int, loading double, explained_var_share double",
+    )
+
+
+QUERIES["emb_pca_top_component"] = (emb_pca_top_component, None)

@@ -388,3 +388,83 @@ FROM fixed GROUP BY event_type
 """
 
 QUERIES["q_impute_clamp"] = (q_impute_clamp, Q_IMPUTE_CLAMP_SQL)
+
+_BASKET_TOP = 20
+
+
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: the top-20 co-ordered
+    part pairs with support, confidence and lift.
+
+    Pairs expand bucket-locally per order (collect_set + in-array
+    pair expansion — order baskets are small and bounded, so the
+    expansion is linear in Σ basket², never a self-join that
+    re-scans lineitem). Per-part supports broadcast back onto the
+    pair aggregate; one shuffle on orderkey, one on the pair key.
+    """
+    from etl_gov_spark.operators.dedup import pair_structs
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.filter(F.size("parts") > 1)
+        .select(F.explode(pair_structs(F.col("parts"))).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+    )
+    part_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a_cnt = part_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
+    b_cnt = part_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        pairs.join(F.broadcast(a_cnt), "part_a")
+        .join(F.broadcast(b_cnt), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BASKET_TOP)
+        .select(
+            "part_a",
+            "part_b",
+            "pair_count",
+            _R4(F.col("pair_count") / F.col("cnt_a"), "confidence_a_to_b"),
+            _R4(
+                F.col("pair_count") * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                "lift",
+            ),
+            "rank",
+        )
+    )
+
+
+Q_MARKET_BASKET_SQL = f"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_count
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), pc AS (
+  SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1
+), n AS (
+  SELECT count(DISTINCT l_orderkey) AS n_orders FROM li
+)
+SELECT part_a, part_b, pair_count,
+       round(pair_count / CAST(ca.cnt AS DOUBLE), 4) AS confidence_a_to_b,
+       round(pair_count * (SELECT n_orders FROM n) / CAST(ca.cnt * cb.cnt AS DOUBLE), 4) AS lift,
+       rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY pair_count DESC, part_a ASC, part_b ASC) AS INTEGER) AS rank
+  FROM pairs
+) p
+JOIN pc ca ON p.part_a = ca.l_partkey
+JOIN pc cb ON p.part_b = cb.l_partkey
+WHERE rank <= {_BASKET_TOP}
+"""
+
+QUERIES["q_market_basket"] = (q_market_basket, Q_MARKET_BASKET_SQL)

@@ -416,7 +416,74 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|)
+    — catches sub-document duplication (one doc embedded in a
+    bigger one) that symmetric Jaccard dilutes away. Same inverted-
+    index + bucket-local pair expansion as ngram Jaccard (one
+    shuffle on the shingle key, Σ df² pair work), reported top-5
+    per source by containment."""
+    docs = shingled_docs(
+        Catalog(spark, sf_dir).documents, "doc_id", "source", distinct=True
+    )
+    index = docs.select(
+        "source",
+        F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
+        F.explode("sh").alias("s"),
+    )
+    buckets = (
+        index.groupBy("source", "s")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    inter = (
+        buckets.select("source", F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .groupBy(
+            "source",
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = inter.select(
+        "source",
+        "doc_a",
+        "doc_b",
+        (F.col("n_inter") / F.least("n_a", "n_b")).alias("_c"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("_c"), F.asc("doc_a"), F.asc("doc_b")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_a", "doc_b", _R4(F.col("_c"), "containment"), "rank")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = rf"""
+WITH sh AS (
+  SELECT doc_id, source, list_distinct({{shingles}}) AS sh
+  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), pairs AS (
+  SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.sh, b.sh)) / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS c
+  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.sh, b.sh)) > 0
+)
+SELECT source, doc_a, doc_b, round(c, 4) AS containment, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY c DESC, doc_a ASC, doc_b ASC) AS INTEGER) AS rank
+  FROM pairs
+)
+WHERE rank <= 5
+""".replace("{shingles}", _SQL_SHINGLES)
+
+
 QUERIES: dict[str, tuple] = {
+    "dedup_containment": (dedup_containment, DEDUP_CONTAINMENT_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),

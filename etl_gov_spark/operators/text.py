@@ -329,3 +329,50 @@ QUERIES.update(
         "text_corpus_stats": (text_corpus_stats, TEXT_CORPUS_STATS_SQL),
     }
 )
+
+
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per source: OLS slope of ln(freq) vs ln(rank)
+    over the source's token frequency table (natural corpora slope
+    ≈ −1; synthetic/templated text flattens toward 0 — a cheap
+    distribution-shape fingerprint for incoming feeds).
+
+    Token frequencies are one hash aggregate; ranking windows only
+    over the (bounded) per-source vocabulary; the fit is a single
+    algebraic regr_slope/intercept/r2 aggregate — no iteration.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", F.explode(tokens_col()).alias("w")
+    )
+    tf = docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("w"))
+    ranked = tf.withColumn("rank", F.row_number().over(w))
+    lf, lr = F.log(F.col("freq").cast("double")), F.log(F.col("rank").cast("double"))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        _R4(F.regr_slope(lf, lr), "zipf_slope"),
+        _R4(F.regr_intercept(lf, lr), "zipf_intercept"),
+        _R4(F.regr_r2(lf, lr), "zipf_r2"),
+    )
+
+
+TEXT_ZIPF_SQL = r"""
+WITH tf AS (
+  SELECT source, w, count(*) AS freq
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT source, freq,
+         row_number() OVER (PARTITION BY source ORDER BY freq DESC, w ASC) AS rank
+  FROM tf
+)
+SELECT source,
+       count(*) AS vocab_size,
+       round(regr_slope(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+       round(regr_intercept(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_intercept,
+       round(regr_r2(ln(CAST(freq AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_r2
+FROM ranked
+GROUP BY source
+"""
+
+QUERIES["text_zipf_fit"] = (text_zipf_fit, TEXT_ZIPF_SQL)

@@ -81,3 +81,24 @@ def test_embedding_dedup_on_planted_vectors(spark, tmp_path_factory):
     pairs = {(r.vec_a, r.vec_b): r.cosine for r in D.dedup_embedding(spark, tmp).collect()}
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.99
     assert (0, 2) not in pairs
+
+
+def test_containment_catches_embedded_subdocument(spark, tmp_path_factory):
+    """A short doc fully embedded in a long one scores containment
+    1.0 even though Jaccard is low."""
+    from etl_gov_spark.operators.dedup import dedup_containment
+
+    tmp = str(tmp_path_factory.mktemp("contain"))
+    short = " ".join(f"w{i}" for i in range(10))
+    long = short + " " + " ".join(f"x{i}" for i in range(80))
+    rows = [
+        (0, short, "en", "s", 10),
+        (1, long, "en", "s", 90),
+        (2, " ".join(f"z{i}" for i in range(40)), "en", "s", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {(r.doc_a, r.doc_b): r.containment for r in dedup_containment(spark, tmp).collect()}
+    assert got[(0, 1)] == 1.0
+    assert (0, 2) not in got and (1, 2) not in got

@@ -43,3 +43,31 @@ def test_rollup_has_grand_total(spark, sf_dir):
     assert grand[0].n_orders == sum(
         r.n_orders for r in rows if r.n_name is not None and r.order_year is not None
     )
+
+
+def test_market_basket_internal_consistency(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.analytics import q_market_basket
+
+    rows = q_market_basket(spark, sf_dir).collect()
+    assert rows
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n_orders = (
+        read_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    for r in rows:
+        assert 0 < r.confidence_a_to_b <= 1.0
+        assert r.lift > 0
+        assert r.part_a < r.part_b
+
+
+def test_zipf_fit_shape(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_zipf_fit
+
+    rows = text_zipf_fit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.zipf_slope <= 0  # frequency non-increasing in rank
+        assert 0.0 <= r.zipf_r2 <= 1.0
+        assert r.vocab_size > 1

@@ -228,3 +228,66 @@ QUERIES: dict[str, tuple] = {
     "mm_frame_sample": (mm_frame_sample, MM_FRAME_SAMPLE_SQL),
     "mm_feature_extract": (mm_feature_extract, MM_FEATURE_EXTRACT_SQL),
 }
+
+SHARD_BYTES = 4096
+
+
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: assign each binary payload
+    to a size-bounded shard (concat-and-cut on cumulative bytes,
+    deterministic doc_id order within source) and emit per-shard
+    stats — the packing step before writing tar shards for a
+    multimodal training loader.
+
+    Pure codegen: octet_length + one per-source running-sum window
+    (bounded partitions), then a grouped aggregate. The bytes
+    themselves never move — only lengths do.
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sharded = docs.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / SHARD_BYTES),
+    )
+    return (
+        sharded.groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("shard_bytes") / F.lit(float(SHARD_BYTES)), 4),
+        )
+    )
+
+
+MM_SHARD_MANIFEST_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes FROM documents
+), sharded AS (
+  SELECT doc_id, source, n_bytes,
+         CAST(floor((sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+                    / {SHARD_BYTES}) AS BIGINT) AS shard_id
+  FROM d
+)
+SELECT source, shard_id, count(*) AS n_items, sum(n_bytes) AS shard_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+       round(sum(n_bytes) / {SHARD_BYTES}.0, 4) AS fill_ratio
+FROM sharded GROUP BY 1, 2
+"""
+
+QUERIES["mm_shard_manifest"] = (mm_shard_manifest, MM_SHARD_MANIFEST_SQL)

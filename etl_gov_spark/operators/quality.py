@@ -433,6 +433,56 @@ FROM agg, LATERAL (VALUES
 """
 
 
+def dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table consistency rules — the referential-PLUS-logic
+    audit: line shipdate must not precede its order date, nor trail
+    it by more than 120 days. One co-partitioned join on orderkey
+    (both sides shard on the same key — bucketing makes it
+    shuffle-free), violations counted per order year in the same
+    pass."""
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem.select("l_orderkey", "l_shipdate")
+    o = cat.orders.select("o_orderkey", "o_orderdate")
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    early = (F.col("l_shipdate") < F.col("o_orderdate")).cast("int")
+    # date-granular on both engines (timestamps truncate to days)
+    late = (
+        F.to_date("l_shipdate") > F.date_add(F.to_date("o_orderdate"), 120)
+    ).cast("int")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(early).alias("n_ship_before_order"),
+            F.sum(late).alias("n_ship_over_120d"),
+        )
+        .select(
+            "order_year",
+            "n_lines",
+            "n_ship_before_order",
+            "n_ship_over_120d",
+            _R4(
+                (F.col("n_ship_before_order") + F.col("n_ship_over_120d"))
+                / F.col("n_lines"),
+                "violation_rate",
+            ),
+        )
+    )
+
+
+DQ_CROSS_FIELD_SQL = """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       count(*) AS n_lines,
+       sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS n_ship_before_order,
+       sum(CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 120 THEN 1 ELSE 0 END) AS n_ship_over_120d,
+       round((sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
+              + sum(CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 120 THEN 1 ELSE 0 END))
+             / CAST(count(*) AS DOUBLE), 4) AS violation_rate
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
+
+
 _PSI_BINS = 10
 _PSI_BIN_W = 50.0  # value ∈ [0, ~500) → 10 fixed bins
 _PSI_SPLIT = "2024-01-16"  # reference window | current window
@@ -511,6 +561,7 @@ GROUP BY h.event_type
 
 
 QUERIES: dict[str, tuple] = {
+    "dq_cross_field": (dq_cross_field, DQ_CROSS_FIELD_SQL),
     "dq_distribution_drift": (dq_distribution_drift, DQ_DISTRIBUTION_DRIFT_SQL),
     "dq_expectation_suite": (dq_expectation_suite, DQ_EXPECTATION_SUITE_SQL),
     "dq_null_profile": (dq_null_profile, DQ_NULL_PROFILE_SQL),

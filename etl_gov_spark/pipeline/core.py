@@ -95,6 +95,7 @@ class PipelineContext:
     outputs: dict[str, Any] = field(default_factory=dict)
     skipped: set[str] = field(default_factory=set)
     registry: DatasetRegistry | None = None
+    attempts: dict[str, int] = field(default_factory=dict)
 
     def pull(self, task_name: str) -> Any:
         """xcom_pull: fetch an upstream task's return value."""
@@ -110,6 +111,9 @@ class _Task:
     deps: tuple[str, ...]
     outputs_dataset: Dataset | None = None
     trigger_rule: str = "all_success"  # or "none_failed" (runs even if deps skipped)
+    retries: int = 0  # ≈ Airflow task retries
+    retry_delay_s: float = 0.0
+    on_failure: Callable[[PipelineContext, Exception], None] | None = None
 
 
 class Pipeline:
@@ -150,13 +154,30 @@ class Pipeline:
         deps: Iterable[str] = (),
         outputs: Dataset | None = None,
         trigger_rule: str = "all_success",
+        retries: int = 0,
+        retry_delay_s: float = 0.0,
+        on_failure: Callable[[PipelineContext, Exception], None] | None = None,
     ) -> Callable:
         """Register ``fn(ctx) -> Any`` as a task (≈ @task). The
-        return value is the task's xcom; DataFrames stay lazy."""
+        return value is the task's xcom; DataFrames stay lazy.
+        ``retries``/``retry_delay_s``/``on_failure`` mirror Airflow's
+        task retries and failure callbacks: transient driver-side
+        failures (a sensor racing a feed, a flaky external call)
+        re-attempt; the callback fires once after the final attempt
+        fails, before the pipeline aborts."""
 
         def deco(fn: Callable[[PipelineContext], Any]) -> Callable:
             self._add(
-                _Task(self._qualify(name), fn, tuple(deps), outputs, trigger_rule)
+                _Task(
+                    self._qualify(name),
+                    fn,
+                    tuple(deps),
+                    outputs,
+                    trigger_rule,
+                    retries,
+                    retry_delay_s,
+                    on_failure,
+                )
             )
             return fn
 
@@ -374,7 +395,20 @@ class Pipeline:
                     ctx.skipped.add(name)
                     continue
                 try:
-                    ctx.outputs[name] = t.fn(ctx)
+                    for attempt in range(t.retries + 1):
+                        ctx.attempts[name] = attempt + 1
+                        try:
+                            ctx.outputs[name] = t.fn(ctx)
+                            break
+                        except TaskSkipped:
+                            raise
+                        except Exception as exc:
+                            if attempt == t.retries:
+                                if t.on_failure is not None:
+                                    t.on_failure(ctx, exc)
+                                raise
+                            if t.retry_delay_s:
+                                time.sleep(t.retry_delay_s)
                 except TaskSkipped:
                     ctx.skipped.add(name)
                     continue

@@ -220,3 +220,43 @@ def test_salted_join_scatters_hot_keys(spark, sf_dir):
         .collect()
     )
     assert all(r.n_salts > 4 for r in spread)
+
+
+def test_task_retries_then_succeeds(spark):
+    from etl_gov_spark.pipeline.core import Pipeline
+
+    p = Pipeline("retry-demo", spark)
+    calls = {"n": 0}
+
+    @p.task("flaky", retries=2)
+    def flaky(ctx):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("transient")
+        return "ok"
+
+    ctx = p.run()
+    assert ctx.outputs["flaky"] == "ok"
+    assert calls["n"] == 3
+    assert ctx.attempts["flaky"] == 3
+
+
+def test_task_failure_callback_fires_once_then_aborts(spark):
+    import pytest
+
+    from etl_gov_spark.pipeline.core import Pipeline
+
+    p = Pipeline("fail-demo", spark)
+    seen = []
+
+    @p.task("doomed", retries=1, on_failure=lambda ctx, exc: seen.append(str(exc)))
+    def doomed(ctx):
+        raise RuntimeError("permanent")
+
+    @p.task("downstream", deps=("doomed",))
+    def downstream(ctx):
+        return "never"
+
+    with pytest.raises(RuntimeError, match="permanent"):
+        p.run()
+    assert seen == ["permanent"]  # callback once, after final attempt

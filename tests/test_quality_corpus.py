@@ -237,3 +237,12 @@ def test_sample_mixture_keeps_small_sources_whole(spark, sf_dir):
         assert 0 <= r.n_kept <= r.n_docs
         # realized keep-rate tracks p_keep (binomial, loose bound)
         assert abs(r.n_kept / r.n_docs - r.p_keep) < 0.35
+
+
+def test_cross_field_rates_consistent(spark, sf_dir):
+    from etl_gov_spark.operators import quality as Q2
+
+    for r in Q2.dq_cross_field(spark, sf_dir).collect():
+        assert 0 <= r.n_ship_before_order <= r.n_lines
+        assert 0 <= r.n_ship_over_120d <= r.n_lines
+        assert 0.0 <= r.violation_rate <= 1.0

@@ -125,3 +125,19 @@ def test_session_window_matches_batch_sessionize(spark, sf_dir):
         for r in q_sessionize(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_shard_manifest_partitions_every_doc_once(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.multimodal import SHARD_BYTES, mm_shard_manifest
+
+    rows = mm_shard_manifest(spark, sf_dir).collect()
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_items for r in rows) == n_docs
+    for r in rows:
+        assert r.first_doc <= r.last_doc
+        # a shard only overflows by at most one item's bytes
+        if r.n_items > 1:
+            assert r.shard_bytes >= SHARD_BYTES * r.fill_ratio - 1

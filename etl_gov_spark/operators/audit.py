@@ -2,6 +2,9 @@
 statistical audits a government-data platform runs over money
 columns: Benford first-digit conformance, Gini concentration, and
 Pareto top-share. All single-agg or bounded-window plans.
+Reference parity: extends the warehouse-SQL stage the reference runs
+via ``dags/sql/sample.sql`` (SQLExecuteQueryOperator) with the audit
+queries a gov spend-transparency platform ships.
 
 Scale notes
 - Benford is one conditional-agg scan (digit extraction is regexp

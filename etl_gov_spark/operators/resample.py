@@ -2,7 +2,12 @@
 extension).
 
 Gov telemetry arrives irregular; models and dashboards want regular
-grids. Three canonical re-gridding ops, all Spark-first:
+grids. Reference parity: the reference schedules regular ingestion
+windows around irregular feeds (``dags/example_workday_timetable.py``
+custom timetable, ``dags/example_time_delta_sensor_async.py`` waits);
+these operators are the data-side mirror — regularizing the observed
+series instead of the schedule. Three canonical re-gridding ops, all
+Spark-first:
 
 - gap fill:      per-user daily grid, missing days zero-filled.
   Grid generation is ``sequence() + explode`` per user (data-parallel,

@@ -1,5 +1,9 @@
 """Reshape / audit operators: unpivot (wide→long) and
 sequence-gap detection (SURVEY.md §2.A extension).
+Reference parity: the reference's ETL publishes tidy long-form
+tables from wide pandas frames (``dags/tutorial_objectstorage.py``
+analyze step); gap detection is the data-completeness check its
+sensor-gated loads (``dags/example_sensors.py``) assume upstream.
 
 - unpivot: Spark ``stack()`` turns a wide metric row into tidy
   (group, metric, value) rows inside codegen — the inverse of

@@ -1,5 +1,8 @@
 """Deterministic distributed sampling operators (SURVEY.md §2.A
 extension; complements the seeded ``sampleBy`` op in mlstats.py).
+Reference parity: the reference's tutorial ETL pulls fixed extracts
+for inspection (``dags/tutorial_dag.py`` extract task); reproducible
+sampling is that capability made safe for pipelines that re-run.
 
 Sampling at 100 TB must be (a) single-pass, (b) shard-independent —
 no global RNG state, no driver coordination — and (c) reproducible

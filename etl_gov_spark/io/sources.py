@@ -143,3 +143,27 @@ def jdbc_source_plan(
             upperBound=str(upper_bound),
         )
     return plan
+
+
+def read_evolving_parquet(
+    spark: SparkSession,
+    *paths: str,
+    required: tuple[str, ...] = (),
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet read: union partitions
+    written under different schema versions (columns added over
+    time) with ``mergeSchema`` — rows from older partitions carry
+    NULL for later-added columns, and ``required`` asserts the
+    columns every consumer depends on survived the merge.
+
+    This is the ingestion reality of a long-lived feed: v1 files
+    keep reading after v2 adds columns, no backfill rewrite. At
+    scale, pin an explicit expected schema once known — mergeSchema
+    reads every footer; use it at the evolution boundary, not on
+    every query.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(f"merged schema lacks required columns: {missing}")
+    return df

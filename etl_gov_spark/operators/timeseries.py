@@ -491,3 +491,66 @@ GROUP BY 1
 """
 
 QUERIES["q_workday_revenue"] = (q_workday_revenue, Q_WORKDAY_REVENUE_SQL)
+
+
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: for each purchase preceded
+    by a click (same user), seconds since the latest prior click —
+    aggregated to count/avg/median/p90 per purchase hour-of-day.
+
+    Reuses the as-of union+window shape (one user-sharded sort, no
+    inequality join); exact percentiles per bounded group (24
+    hours)."""
+    ev = Catalog(spark, sf_dir).events
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias("_click_us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    latency = (
+        both.withColumn("_last_click_us", F.last("_click_us", ignorenulls=True).over(w))
+        .filter((F.col("event_type") == "purchase") & F.col("_last_click_us").isNotNull())
+        .select(
+            F.hour("ts").alias("purchase_hour"),
+            ((F.unix_micros("ts") - F.col("_last_click_us")) / 1_000_000.0).alias("_secs"),
+        )
+    )
+    return latency.groupBy("purchase_hour").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        _R4(F.avg("_secs"), "avg_secs"),
+        _R4(F.expr("percentile(_secs, 0.5)"), "median_secs"),
+        _R4(F.expr("percentile(_secs, 0.9)"), "p90_secs"),
+    )
+
+
+Q_TIME_TO_CONVERT_SQL = """
+WITH merged AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+), lat AS (
+  SELECT CAST(hour(ts) AS INTEGER) AS purchase_hour,
+         (epoch_us(ts) - last_click_us) / 1000000.0 AS secs
+  FROM merged
+  WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+)
+SELECT purchase_hour,
+       count(*) AS n_conversions,
+       round(avg(secs), 4) AS avg_secs,
+       round(quantile_cont(secs, 0.5), 4) AS median_secs,
+       round(quantile_cont(secs, 0.9), 4) AS p90_secs
+FROM lat
+GROUP BY purchase_hour
+"""
+
+QUERIES["q_time_to_convert"] = (q_time_to_convert, Q_TIME_TO_CONVERT_SQL)

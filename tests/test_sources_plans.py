@@ -144,3 +144,30 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_evolving_parquet_merges_added_columns(spark, tmp_path):
+    """v1 files (no 'region' column) + v2 files (added column) read
+    as one table; v1 rows carry NULLs; required-column gate fires."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_evolving_parquet
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(v1)
+    spark.createDataFrame(
+        [(3, "c", "EU"), (4, "d", "US")], "id long, name string, region string"
+    ).write.parquet(v2)
+
+    df = read_evolving_parquet(spark, v1, v2, required=("id", "name", "region"))
+    assert set(df.columns) == {"id", "name", "region"}
+    rows = {r.id: r.region for r in df.collect()}
+    assert rows[1] is None and rows[3] == "EU"
+    assert df.filter(F.col("region").isNull()).count() == 2
+
+    with pytest.raises(ValueError, match="required columns"):
+        read_evolving_parquet(spark, v1, v2, required=("not_there",))

@@ -86,3 +86,27 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "object"] | None = None,
+    mode: str = "overwrite",
+) -> dict[str, object]:
+    """Write parquet and return observed metrics from the SAME pass
+    (``pyspark.sql.Observation``): row count plus any caller-supplied
+    aggregate expressions ride the write job — no second scan to
+    audit what was just published. This is how a 100 TB publish step
+    self-reports (rows written, null rates, value bounds) without
+    doubling its IO.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    exprs = [F.count(F.lit(1)).alias("rows_written")]
+    for name, col in (metrics or {}).items():
+        exprs.append(col.alias(name) if hasattr(col, "alias") else F.expr(col).alias(name))
+    df.observe(obs, *exprs).write.mode(mode).parquet(path)
+    return obs.get

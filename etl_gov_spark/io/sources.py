@@ -167,3 +167,28 @@ def read_evolving_parquet(
     if missing:
         raise ValueError(f"merged schema lacks required columns: {missing}")
     return df
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest-with-quarantine CSV read: rows that parse under the
+    explicit schema flow through; malformed rows land in a
+    quarantine DataFrame carrying the raw line (PERMISSIVE mode +
+    ``columnNameOfCorruptRecord``) — the load never aborts and bad
+    records stay auditable. The standard bad-feed containment
+    pattern: at scale the quarantine side is written next to the
+    table and alarmed on, not silently dropped.
+    """
+    full_schema = schema + ", _corrupt string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    ).cache()  # one parse, both sides consistent
+    good = df.filter(df._corrupt.isNull()).drop("_corrupt")
+    bad = df.filter(df._corrupt.isNotNull()).select("_corrupt")
+    return good, bad

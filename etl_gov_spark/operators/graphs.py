@@ -62,7 +62,9 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_rounds: int = MAX_ROUNDS, checkpoint_every: int = 5
+) -> DataFrame:
     """Min-label propagation to fixpoint: every node repeatedly
     adopts the smallest label among itself and its neighbors.
 
@@ -70,6 +72,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     The driver loop only checks a converged count — labels
     themselves never leave the cluster. Input edges are undirected
     (symmetrized here); output: (node, component=min node id).
+
+    Every ``checkpoint_every`` rounds the label lineage is truncated
+    with ``localCheckpoint`` — without it each round's plan nests
+    the previous round's, and by round ~15 the optimizer re-analyzes
+    an exponentially nested join tree (driver-side planning blowup,
+    the classic iterative-algorithm failure on Spark).
     """
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -81,7 +89,9 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         .withColumn("label", F.col("node"))
         .cache()
     )
-    for _ in range(max_rounds):
+    for round_idx in range(max_rounds):
+        if round_idx and round_idx % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
             .groupBy("dst")

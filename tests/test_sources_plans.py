@@ -171,3 +171,40 @@ def test_evolving_parquet_merges_added_columns(spark, tmp_path):
 
     with pytest.raises(ValueError, match="required columns"):
         read_evolving_parquet(spark, v1, v2, required=("not_there",))
+
+
+def test_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    from etl_gov_spark.io.sources import read_csv_quarantine
+
+    p = tmp_path / "feed.csv"
+    p.write_text("1,alice,10.5\n2,bob,notanumber\n3,carol,7.25\nbroken line\n")
+    good, bad = read_csv_quarantine(
+        spark, str(p), "id long, name string, amount double"
+    )
+    good_rows = {r.id: r.amount for r in good.collect()}
+    assert good_rows == {1: 10.5, 3: 7.25}
+    bad_lines = {r._corrupt for r in bad.collect()}
+    assert bad_lines == {"2,bob,notanumber", "broken line"}
+
+
+def test_write_with_metrics_single_pass(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sinks import write_with_metrics
+    from etl_gov_spark.io.sources import Catalog
+
+    orders = Catalog(spark, sf_dir).orders
+    out = str(tmp_path / "obs_out")
+    got = write_with_metrics(
+        orders,
+        out,
+        metrics={
+            "null_cust": F.sum(F.col("o_custkey").isNull().cast("int")),
+            "max_price": F.max("o_totalprice"),
+        },
+    )
+    n = orders.count()
+    assert got["rows_written"] == n
+    assert got["null_cust"] == 0
+    assert abs(got["max_price"] - orders.agg(F.max("o_totalprice")).first()[0]) < 1e-9
+    assert spark.read.parquet(out).count() == n

@@ -80,13 +80,30 @@ def shingles_col(k: int = SHINGLE_K, toks: Column | str = "toks") -> Column:
     )
 
 
+def expand_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism before a
+    high-expansion stage (shingling explodes ~100 rows per doc).
+
+    Input-split sizing targets scan bytes, not downstream CPU: a
+    compact parquet file can arrive as ONE split and serialize the
+    whole hash pipeline on one core (measured 1.8× on the minhash
+    signature at sf0.1). Only widens — already-parallel inputs (any
+    real dataset at scale) pass through untouched, so no gratuitous
+    raw-text shuffle at 100 TB."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingled_docs(docs: DataFrame, *keep: str, distinct: bool = False) -> DataFrame:
     """Project docs to (*keep, sh): tokenize in one projection,
-    shingle from the materialized token array in the next."""
+    shingle from the materialized token array in the next (input
+    widened to cluster parallelism first — see expand_parallelism)."""
     sh = shingles_col()
     if distinct:
         sh = F.array_distinct(sh)
-    return docs.select(*keep, tokens_col().alias("toks")).select(
+    return expand_parallelism(docs).select(*keep, tokens_col().alias("toks")).select(
         *keep, sh.alias("sh")
     )
 

@@ -192,3 +192,16 @@ def read_csv_quarantine(
     good = df.filter(df._corrupt.isNull()).drop("_corrupt")
     bad = df.filter(df._corrupt.isNotNull()).select("_corrupt")
     return good, bad
+
+
+def expand_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's parallelism before a CPU-
+    heavy stage (hash expansion, vector folds): input-split sizing
+    targets scan bytes, not downstream compute, so a compact parquet
+    file can arrive as ONE split and serialize the whole stage on a
+    single core. Widen-only — already-parallel inputs (any real
+    dataset at scale) pass through with no extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.io.sources import Catalog, expand_parallelism
 from etl_gov_spark.operators.text import tokens_col
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
@@ -80,20 +80,6 @@ def shingles_col(k: int = SHINGLE_K, toks: Column | str = "toks") -> Column:
     )
 
 
-def expand_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's parallelism before a
-    high-expansion stage (shingling explodes ~100 rows per doc).
-
-    Input-split sizing targets scan bytes, not downstream CPU: a
-    compact parquet file can arrive as ONE split and serialize the
-    whole hash pipeline on one core (measured 1.8× on the minhash
-    signature at sf0.1). Only widens — already-parallel inputs (any
-    real dataset at scale) pass through untouched, so no gratuitous
-    raw-text shuffle at 100 TB."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
 
 
 def shingled_docs(docs: DataFrame, *keep: str, distinct: bool = False) -> DataFrame:

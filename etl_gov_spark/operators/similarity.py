@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.io.sources import Catalog, expand_parallelism
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
@@ -48,7 +48,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores locally; row_number per query keeps k rows. Deterministic
     tie-break on candidate vec_id.
     """
-    emb = Catalog(spark, sf_dir).embeddings.select(
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn("vn", _norm("v"))
@@ -135,7 +135,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Equi-join on bucket id — with 2^8 buckets the candidate set per
     query is ~9·N/256; tune planes/probes as N grows.
     """
-    emb = Catalog(spark, sf_dir).embeddings.select(
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("bucket", _plane_sign_bits("v"))
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(

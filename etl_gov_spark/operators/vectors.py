@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.io.sources import Catalog, expand_parallelism
 from etl_gov_spark.operators.similarity import TOP_K, _dot, _norm
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
@@ -146,7 +146,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixed two-iteration loop (each iteration is one distributed
     pass — the standard Lloyd-on-MapReduce layout).
     """
-    emb = Catalog(spark, sf_dir).embeddings.select(
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     centroids = emb.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0).select(
@@ -230,7 +230,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~64× narrower than the raw embeddings — the classic
     PQ + refine funnel (Jégou et al., PAMI 2011).
     """
-    emb = Catalog(spark, sf_dir).embeddings.select(
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # L2-normalize before encoding: unit-vector squared-L2 is

@@ -205,3 +205,24 @@ def expand_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: tuple[tuple[str, int, int, str], ...],
+) -> DataFrame:
+    """Fixed-width-record reader — the mainframe/COBOL extract
+    format legacy gov feeds still ship. ``fields`` is
+    (name, start_1based, width, type); parsing is substring+trim+cast
+    in one codegen projection over spark.read.text (each field slice
+    pushes no Python, and malformed values try_cast to NULL for a DQ
+    gate to catch — never an ANSI-mode abort)."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    cols = [
+        F.trim(F.substring("value", start, width)).try_cast(typ).alias(name)
+        for name, start, width, typ in fields
+    ]
+    return raw.select(*cols)

@@ -208,3 +208,43 @@ def test_write_with_metrics_single_pass(spark, sf_dir, tmp_path):
     assert got["null_cust"] == 0
     assert abs(got["max_price"] - orders.agg(F.max("o_totalprice")).first()[0]) < 1e-9
     assert spark.read.parquet(out).count() == n
+
+
+def test_fixed_width_reader_parses_and_quarantines_casts(spark, tmp_path):
+    from etl_gov_spark.io.sources import read_fixed_width
+
+    p = tmp_path / "legacy.dat"
+    #           id(4) name(8)   amount(7)
+    p.write_text("0001alice   0010.50\n0002bob     00x7.25\n0003carol   0099.99\n")
+    df = read_fixed_width(
+        spark,
+        str(p),
+        (("id", 1, 4, "int"), ("name", 5, 8, "string"), ("amount", 13, 7, "double")),
+    )
+    rows = {r.id: (r.name, r.amount) for r in df.collect()}
+    assert rows[1] == ("alice", 10.5)
+    assert rows[2][0] == "bob" and rows[2][1] is None  # bad cast -> NULL
+    assert rows[3] == ("carol", 99.99)
+
+
+def test_range_clustered_write_produces_disjoint_files(spark, sf_dir, tmp_path):
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.sources import Catalog
+
+    out = str(tmp_path / "clustered")
+    write_range_clustered(
+        Catalog(spark, sf_dir).orders, out, ("o_orderdate",), num_files=4
+    )
+    spans = []
+    for f in g.glob(f"{out}/part-*.parquet"):
+        part = spark.read.parquet(f)
+        lo, hi = part.agg(F.min("o_orderdate"), F.max("o_orderdate")).first()
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) >= 2
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev <= lo_next  # disjoint ranges -> min/max pruning works

@@ -554,3 +554,51 @@ GROUP BY purchase_hour
 """
 
 QUERIES["q_time_to_convert"] = (q_time_to_convert, Q_TIME_TO_CONVERT_SQL)
+
+
+_REPORT_TZ = "America/New_York"
+
+
+def q_timezone_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-calendar rollup: events stored in UTC, reported by the
+    agency's LOCAL business day and peak-hours band (the classic
+    gov-reporting requirement — a UTC day boundary splits local
+    evenings across the wrong day).
+
+    ``convert_timezone`` is pure codegen; the rollup is one
+    map-side-combined groupBy on (local day, band). The DuckDB twin
+    nests timezone() twice so neither engine's session timezone can
+    leak into the result.
+    """
+    ev = Catalog(spark, sf_dir).events
+    local = F.convert_timezone(F.lit("UTC"), F.lit(_REPORT_TZ), F.col("ts"))
+    band = (
+        F.when(F.hour(local).between(9, 16), "business")
+        .when(F.hour(local).between(17, 22), "evening")
+        .otherwise("off_hours")
+    )
+    return (
+        ev.select(F.to_date(local).alias("local_day"), band.alias("band"), "value")
+        .groupBy("local_day", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _R4(F.sum("value"), "total_value"),
+        )
+    )
+
+
+Q_TIMEZONE_ROLLUP_SQL = f"""
+SELECT CAST(local_ts AS DATE) AS local_day,
+       CASE WHEN hour(local_ts) BETWEEN 9 AND 16 THEN 'business'
+            WHEN hour(local_ts) BETWEEN 17 AND 22 THEN 'evening'
+            ELSE 'off_hours' END AS band,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM (
+  SELECT timezone('{_REPORT_TZ}', timezone('UTC', ts)) AS local_ts, value
+  FROM events
+)
+GROUP BY 1, 2
+"""
+
+QUERIES["q_timezone_rollup"] = (q_timezone_rollup, Q_TIMEZONE_ROLLUP_SQL)

@@ -55,3 +55,18 @@ def test_ewma_is_smoother_than_raw(spark, sf_dir):
         sm = [r.ewma for r in series]
         tv = lambda xs: sum(abs(a - b) for a, b in zip(xs, xs[1:]))  # noqa: E731
         assert tv(sm) < tv(raw)  # smoothing reduces total variation
+
+
+def test_timezone_rollup_preserves_totals(spark, sf_dir):
+    """Shifting timezone re-buckets events but never loses any."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.timeseries import q_timezone_rollup
+
+    rows = q_timezone_rollup(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    total = ev.agg(F.sum("value")).first()[0]
+    assert abs(sum(r.total_value for r in rows) - total) < 1.0
+    assert {r.band for r in rows} <= {"business", "evening", "off_hours"}

@@ -1,0 +1,119 @@
+"""Sketch-based approximate aggregation (SURVEY.md §2.A extension;
+complements the HLL approx_count_distinct and GK approx-quantile
+coverage in relational/mlstats).
+
+Count-min sketch as pure SQL algebra: when the key cardinality is
+too high to groupBy exactly (per-IP counters over 100 TB of logs),
+a D×W counter matrix bounds memory at D·W cells regardless of key
+count, with one-sided error ≤ 2N/W at confidence 1−(1/2)^D.
+
+Spark-first: the sketch build is ONE groupBy over (depth, bucket) —
+bounded keys, map-side combined, mergeable across partitions and
+across days (sketches add cell-wise, which is why they stream).
+Bucket hashing is the portable md5 scheme, so the DuckDB oracle
+replays the identical sketch and the estimates match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+CM_DEPTH = 4
+CM_WIDTH = 256  # 2 hex chars
+_TOP = 10
+
+
+def _bucket(depth_col, key_col) -> F.Column:
+    """Row-d bucket of a key: first 2 hex chars of md5(d:key)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(depth_col.cast("string"), F.lit(":"), key_col.cast("string"))),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users by event count, with the count-min estimate each
+    would get from a 4×256 sketch and the overcount — the accuracy
+    audit you run before trusting sketch counters at scale.
+
+    The sketch build explodes each event into its 4 (depth, bucket)
+    cells and aggregates — 1024 cells total regardless of user
+    cardinality. Estimates probe the same cells and take the
+    row-wise min (classic CM read). Both the exact top-k (for the
+    audit) and the sketch come from single-shuffle aggregates.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id")
+    cells = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d")
+    ).select("d", _bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+    sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    true_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    w = Window.orderBy(F.desc("true_count"), F.asc("user_id"))
+    top = (
+        true_counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP)
+    )
+    probes = top.select(
+        "user_id",
+        "true_count",
+        "rank",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("d"),
+    ).select(
+        "user_id", "true_count", "rank", "d",
+        _bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("user_id", "true_count", "rank")
+        .agg(F.min("cell").alias("cm_estimate"))
+        .select(
+            "user_id",
+            "true_count",
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("true_count")).alias("overcount"),
+            "rank",
+        )
+    )
+
+
+Q_COUNTMIN_SQL = f"""
+WITH cells AS (
+  SELECT d,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS INTEGER) AS bucket
+  FROM events, unnest(generate_series(0, {CM_DEPTH - 1})) AS t(d)
+), sketch AS (
+  SELECT d, bucket, count(*) AS cell FROM cells GROUP BY 1, 2
+), top AS (
+  SELECT user_id, true_count, rank FROM (
+    SELECT user_id, count(*) AS true_count,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS INTEGER) AS rank
+    FROM events GROUP BY user_id
+  ) WHERE rank <= {_TOP}
+), probes AS (
+  SELECT user_id, true_count, rank, d,
+         CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS INTEGER) AS bucket
+  FROM top, unnest(generate_series(0, {CM_DEPTH - 1})) AS t(d)
+)
+SELECT p.user_id, p.true_count,
+       min(s.cell) AS cm_estimate,
+       min(s.cell) - p.true_count AS overcount,
+       p.rank
+FROM probes p JOIN sketch s ON p.d = s.d AND p.bucket = s.bucket
+GROUP BY p.user_id, p.true_count, p.rank
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q_countmin_heavy_hitters": (q_countmin_heavy_hitters, Q_COUNTMIN_SQL),
+}

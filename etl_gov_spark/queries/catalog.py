@@ -25,6 +25,7 @@ def _families() -> list[dict]:
         "sampling",
         "reshape",
         "audit",
+        "sketches",
         "dedup",
         "graphs",
         "similarity",

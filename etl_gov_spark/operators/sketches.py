@@ -117,3 +117,39 @@ GROUP BY p.user_id, p.true_count, p.rank
 QUERIES: dict[str, tuple] = {
     "q_countmin_heavy_hitters": (q_countmin_heavy_hitters, Q_COUNTMIN_SQL),
 }
+
+
+def q_hll_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch partial aggregation (rows-only: sketch bytes are
+    engine-specific; accuracy vs exact distinct is asserted in
+    tests): per-day user sketches, then the WEEKLY distinct-user
+    estimate by unioning the daily sketches — no second scan of the
+    raw events.
+
+    This is the incremental-rollup pattern sketches exist for at
+    100 TB: store a kilobyte sketch per (day, dimension) partition,
+    answer any coarser rollup (week, month, arbitrary dimension
+    subsets) by cell-wise union instead of re-scanning events.
+    Built-ins: hll_sketch_agg / hll_union_agg / hll_sketch_estimate.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    weekly = (
+        daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
+        .groupBy("week")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_weekly"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    return weekly.select(
+        "week", "n_days", F.col("est_weekly").cast("long").alias("est_weekly")
+    )
+
+
+QUERIES["q_hll_daily_weekly"] = (q_hll_daily_weekly, None)

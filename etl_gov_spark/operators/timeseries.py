@@ -602,3 +602,48 @@ GROUP BY 1, 2
 """
 
 QUERIES["q_timezone_rollup"] = (q_timezone_rollup, Q_TIMEZONE_ROLLUP_SQL)
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order journey model: the event-type transition matrix
+    (prev_type → type) across all user timelines, with per-source-
+    state transition probabilities. One lag() over the (user, ts)
+    partitioning, one bounded-key aggregate — the Markov-chain
+    extraction every funnel/attribution analysis starts from."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    w_src = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        _R4(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_src),
+            "p_transition",
+        ),
+    )
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       round(n_transitions / CAST(sum(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p_transition
+FROM pairs
+"""
+
+QUERIES["q_event_transitions"] = (q_event_transitions, Q_EVENT_TRANSITIONS_SQL)

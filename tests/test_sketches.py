@@ -39,3 +39,34 @@ def test_countmin_exact_on_sparse_stream(spark, tmp_path_factory):
     got = {r.user_id: r for r in SK.q_countmin_heavy_hitters(spark, tmp).collect()}
     assert got[1].cm_estimate == got[1].true_count == 50
     assert got[2].overcount == 0 and got[3].overcount == 0
+
+
+def test_hll_weekly_union_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+
+    rows = SK.q_hll_daily_weekly(spark, sf_dir).collect()
+    assert rows
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week"), "user_id"
+    )
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy("week").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in rows:
+        rel = abs(r.est_weekly - exact[r.week]) / exact[r.week]
+        assert rel < 0.05, (r.week, r.est_weekly, exact[r.week])
+
+
+def test_event_transitions_probabilities_normalize(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_event_transitions
+
+    rows = q_event_transitions(spark, sf_dir).collect()
+    per_src: dict[str, float] = {}
+    for r in rows:
+        assert r.n_transitions > 0 and 0 < r.p_transition <= 1
+        per_src[r.prev_type] = per_src.get(r.prev_type, 0.0) + r.p_transition
+    for src, total in per_src.items():
+        assert abs(total - 1.0) < 1e-2, (src, total)

@@ -25,7 +25,7 @@ Scale notes
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
@@ -141,3 +141,98 @@ QUERIES: dict[str, tuple] = {
     "fuzzy_join_names": (fuzzy_join_names, FUZZY_JOIN_NAMES_SQL),
     "q_approx_quantiles": (q_approx_quantiles, None),
 }
+
+
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median (and p25/p75) of lineitem unit
+    price per return flag — the weighted-percentile primitive
+    plain ``percentile()`` lacks.
+
+    Classic cumsum formulation: sort within group, running weight
+    sum, pick the first row whose cumulative weight crosses
+    q·total. The sort is per-group (bounded flags) and expressed
+    once; all three quantiles read the same windowed pass."""
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.col("l_quantity").alias("w"),
+    )
+    ws = Window.partitionBy("l_returnflag").orderBy("unit_price", "w")
+    cum = li.withColumn("cw", F.sum("w").over(ws)).withColumn(
+        "tw", F.sum("w").over(Window.partitionBy("l_returnflag"))
+    )
+    def pick(q: float, name: str):
+        hit = F.when(F.col("cw") >= q * F.col("tw"), F.col("unit_price"))
+        return _R4(F.min(hit), name)
+
+    return cum.groupBy("l_returnflag").agg(
+        pick(0.25, "wp25"), pick(0.5, "wmedian"), pick(0.75, "wp75")
+    )
+
+
+Q_WEIGHTED_MEDIAN_SQL = """
+WITH cum AS (
+  SELECT l_returnflag, unit_price,
+         sum(w) OVER (PARTITION BY l_returnflag ORDER BY unit_price, w) AS cw,
+         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM (
+    SELECT l_returnflag, l_extendedprice / l_quantity AS unit_price, l_quantity AS w
+    FROM lineitem
+  )
+)
+SELECT l_returnflag,
+       round(min(CASE WHEN cw >= 0.25 * tw THEN unit_price END), 4) AS wp25,
+       round(min(CASE WHEN cw >= 0.5 * tw THEN unit_price END), 4) AS wmedian,
+       round(min(CASE WHEN cw >= 0.75 * tw THEN unit_price END), 4) AS wp75
+FROM cum
+GROUP BY l_returnflag
+"""
+
+QUERIES["q_weighted_median"] = (q_weighted_median, Q_WEIGHTED_MEDIAN_SQL)
+
+
+def q_user_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature extraction per user — the canonical ML feature
+    block (recency in days vs corpus max, frequency, monetary sum,
+    plus the purchase-event fraction) in ONE aggregate pass over
+    events; the corpus max timestamp broadcasts as a scalar.
+
+    At 100 TB this is the feature-store builder shape: every
+    feature is an algebraic aggregate, so the pass is map-side
+    combined and restartable."""
+    ev = Catalog(spark, sf_dir).events
+    gmax = ev.agg(F.max("ts").alias("gmax"))
+    per = ev.groupBy("user_id").agg(
+        F.max("ts").alias("_last"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("value").alias("_monetary"),
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("_np"),
+    )
+    return per.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        _R4(
+            (F.unix_micros("gmax") - F.unix_micros("_last")) / 86_400_000_000.0,
+            "recency_days",
+        ),
+        "frequency",
+        _R4(F.col("_monetary"), "monetary"),
+        _R4(F.col("_np") / F.col("frequency"), "purchase_frac"),
+    )
+
+
+Q_USER_RFM_SQL = """
+WITH g AS (SELECT max(ts) AS gmax FROM events)
+SELECT user_id,
+       round(epoch_us(gmax - last_ts) / 86400000000.0, 4) AS recency_days,
+       frequency,
+       round(monetary, 4) AS monetary,
+       round(np / CAST(frequency AS DOUBLE), 4) AS purchase_frac
+FROM (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+         sum(value) AS monetary,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY user_id
+) CROSS JOIN g
+"""
+
+QUERIES["q_user_rfm_features"] = (q_user_rfm_features, Q_USER_RFM_SQL)

@@ -376,3 +376,58 @@ GROUP BY source
 """
 
 QUERIES["text_zipf_fit"] = (text_zipf_fit, TEXT_ZIPF_SQL)
+
+_FH_DIM = 64
+
+
+def text_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words: each token hashes to one of 64
+    buckets (first md5 byte mod 64 — portable), giving a fixed-dim
+    count vector per document with NO vocabulary build, no shuffle,
+    and no OOV problem — the streaming-safe text vectorizer.
+
+    The whole op is one codegen projection (tokens → bucket ints →
+    per-bucket counts via filter/size); output carries the vector
+    fingerprint + summary stats so the row stays narrow at scale.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    buckets = F.transform(
+        "toks",
+        lambda w: F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("int") % _FH_DIM,
+    )
+    b = docs.select("doc_id", F.size("toks").alias("n_tokens"), buckets.alias("b"))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(_FH_DIM - 1)),
+        lambda i: F.size(F.filter("b", lambda x: x == i)),
+    )
+    c = b.select("doc_id", "n_tokens", counts.alias("vec"))
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.filter("vec", lambda v: v > 0)).alias("nnz"),
+        F.array_max("vec").alias("max_count"),
+        F.md5(F.array_join("vec", ",")).alias("vec_md5"),
+    )
+
+
+TEXT_FEATURE_HASH_SQL = rf"""
+WITH b AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_transform(toks, w -> CAST('0x' || substr(md5(w), 1, 2) AS INTEGER) % {_FH_DIM}) AS b
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), c AS (
+  SELECT doc_id, n_tokens,
+         list_transform(generate_series(0, {_FH_DIM - 1}),
+                        i -> len(list_filter(b, x -> x = i))) AS vec
+  FROM b
+)
+SELECT doc_id, n_tokens,
+       len(list_filter(vec, v -> v > 0)) AS nnz,
+       list_max(vec) AS max_count,
+       md5(array_to_string(vec, ',')) AS vec_md5
+FROM c
+"""
+
+QUERIES["text_feature_hash"] = (text_feature_hash, TEXT_FEATURE_HASH_SQL)

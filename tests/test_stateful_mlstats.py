@@ -110,3 +110,36 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     for k, a in approx.items():
         assert a.p50_approx == pytest.approx(exact[k].p50, rel=0.05)
         assert a.p95_approx == pytest.approx(exact[k].p95, rel=0.05)
+
+
+def test_weighted_median_between_min_max(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.mlstats import q_weighted_median
+
+    rows = {r.l_returnflag: r for r in q_weighted_median(spark, sf_dir).collect()}
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", (F.col("l_extendedprice") / F.col("l_quantity")).alias("up")
+    )
+    bounds = {
+        r.l_returnflag: (r.lo, r.hi)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.min("up").alias("lo"), F.max("up").alias("hi"))
+        .collect()
+    }
+    for flag, r in rows.items():
+        lo, hi = bounds[flag]
+        assert lo <= r.wp25 <= r.wmedian <= r.wp75 <= hi
+
+
+def test_rfm_features_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_user_rfm_features
+
+    rows = q_user_rfm_features(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.recency_days >= 0
+        assert r.frequency > 0
+        assert 0.0 <= r.purchase_frac <= 1.0
+    assert any(r.recency_days == 0.0 for r in rows)  # the last-active user

@@ -141,3 +141,16 @@ def test_shard_manifest_partitions_every_doc_once(spark, sf_dir):
         # a shard only overflows by at most one item's bytes
         if r.n_items > 1:
             assert r.shard_bytes >= SHARD_BYTES * r.fill_ratio - 1
+
+
+def test_feature_hash_stable_and_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.text import _FH_DIM, text_feature_hash
+
+    a = {r.doc_id: r for r in text_feature_hash(spark, sf_dir).collect()}
+    b = {r.doc_id: r for r in text_feature_hash(spark, sf_dir).collect()}
+    assert {k: v.vec_md5 for k, v in a.items()} == {
+        k: v.vec_md5 for k, v in b.items()
+    }  # deterministic vectors
+    for r in a.values():
+        assert 1 <= r.nnz <= min(_FH_DIM, r.n_tokens)
+        assert r.max_count <= r.n_tokens

@@ -236,3 +236,111 @@ FROM (
 """
 
 QUERIES["q_user_rfm_features"] = (q_user_rfm_features, Q_USER_RFM_SQL)
+
+
+def q_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: users deterministically split A/B by
+    md5 parity (the portable draw), per-arm mean event value, lift,
+    and the Welch t-statistic — all algebraic aggregates, so the
+    whole readout is ONE conditional-agg pass over events after the
+    user-level rollup. The assignment-by-hash is exactly how a real
+    platform buckets: stateless, stable across sessions, replayable
+    in the oracle."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "value")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 2
+    )
+    per_user = ev.groupBy("user_id").agg(F.avg("value").alias("uv")).select(
+        arm.alias("arm"), "uv"
+    )
+    stats = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("uv").alias("mean"),
+        F.var_samp("uv").alias("var"),
+    )
+    a = stats.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("mean").alias("m_a"), F.col("var").alias("v_a")
+    )
+    b = stats.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("mean").alias("m_b"), F.col("var").alias("v_b")
+    )
+    t = (F.col("m_b") - F.col("m_a")) / F.sqrt(
+        F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        _R4(F.col("m_a"), "mean_a"),
+        _R4(F.col("m_b"), "mean_b"),
+        _R4((F.col("m_b") - F.col("m_a")) / F.col("m_a"), "rel_lift"),
+        _R4(t, "t_stat"),
+    )
+
+
+Q_ABTEST_SQL = """
+WITH pu AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INTEGER) % 2 AS arm,
+         avg(value) AS uv
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT arm, count(*) AS n, avg(uv) AS mean, var_samp(uv) AS var FROM pu GROUP BY arm
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+       round((b.mean - a.mean) / a.mean, 4) AS rel_lift,
+       round((b.mean - a.mean) / sqrt(a.var / a.n + b.var / b.n), 4) AS t_stat
+FROM (SELECT * FROM s WHERE arm = 0) a CROSS JOIN (SELECT * FROM s WHERE arm = 1) b
+"""
+
+QUERIES["q_abtest_lift"] = (q_abtest_lift, Q_ABTEST_SQL)
+
+
+def q_control_chart_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart 3σ control chart on daily order counts: days whose
+    volume breaks the control band get flagged — the ops-health
+    audit on an ingestion feed. Two tiny aggregates (daily counts,
+    then corpus mean/σ broadcast back); no windows over the fact
+    table."""
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    limits = daily.agg(
+        F.avg("n_orders").alias("center"),
+        F.stddev_samp("n_orders").alias("sigma"),
+    )
+    return (
+        daily.crossJoin(F.broadcast(limits))
+        .select(
+            "day",
+            "n_orders",
+            _R4(F.col("center"), "center"),
+            _R4(F.col("center") + 3 * F.col("sigma"), "ucl"),
+            _R4(F.greatest(F.col("center") - 3 * F.col("sigma"), F.lit(0.0)), "lcl"),
+            (
+                (F.col("n_orders") > F.col("center") + 3 * F.col("sigma"))
+                | (F.col("n_orders") < F.col("center") - 3 * F.col("sigma"))
+            ).cast("int").alias("out_of_control"),
+        )
+    )
+
+
+Q_CONTROL_CHART_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1
+), lim AS (
+  SELECT avg(n_orders) AS center, stddev_samp(n_orders) AS sigma FROM daily
+)
+SELECT day, n_orders,
+       round(center, 4) AS center,
+       round(center + 3 * sigma, 4) AS ucl,
+       round(greatest(center - 3 * sigma, 0.0), 4) AS lcl,
+       CASE WHEN n_orders > center + 3 * sigma OR n_orders < center - 3 * sigma
+            THEN 1 ELSE 0 END AS out_of_control
+FROM daily CROSS JOIN lim
+"""
+
+QUERIES["q_control_chart_days"] = (q_control_chart_days, Q_CONTROL_CHART_SQL)

@@ -143,3 +143,29 @@ def test_rfm_features_consistent(spark, sf_dir):
         assert r.frequency > 0
         assert 0.0 <= r.purchase_frac <= 1.0
     assert any(r.recency_days == 0.0 for r in rows)  # the last-active user
+
+
+def test_abtest_arms_cover_all_users(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.mlstats import q_abtest_lift
+
+    r = q_abtest_lift(spark, sf_dir).first()
+    n_users = read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert r.n_a + r.n_b == n_users
+    assert abs(r.rel_lift) < 0.5  # hash split => arms should be comparable
+    # t relates lift and means consistently
+    assert (r.t_stat > 0) == (r.mean_b > r.mean_a)
+
+
+def test_control_chart_band_and_flags(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_control_chart_days
+
+    rows = q_control_chart_days(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.lcl <= r.center <= r.ucl
+        inside = r.lcl <= r.n_orders <= r.ucl
+        assert inside == (r.out_of_control == 0) or (
+            # boundary rows: flag uses strict inequalities
+            r.n_orders in (r.lcl, r.ucl)
+        )

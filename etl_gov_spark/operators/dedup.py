@@ -323,7 +323,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs *may* collide on a chunk; candidates are verified with
     bit_count(xor). Everything is JVM built-ins.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents)
     tf = (
         docs.select("doc_id", F.explode(tokens_col()).alias("w"))
         .groupBy("doc_id", "w")

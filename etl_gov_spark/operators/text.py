@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.io.sources import Catalog, expand_parallelism
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
@@ -220,7 +220,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     final per-doc top-k is a window over ≤|vocab| rows per doc.
     ln() in both engines; deterministic tie-break on term.
     """
-    docs = Catalog(spark, sf_dir).documents
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents)
     terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("_cnt"))
     doc_len = tf.groupBy("doc_id").agg(F.sum("_cnt").alias("_len"))
@@ -270,7 +270,9 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode + bounded-key groupBy + deterministic top-k)."""
     # tokens materialized first (no CSE into HOF lambdas — see
     # text_fingerprint)
-    docs = Catalog(spark, sf_dir).documents.select(tokens_col().alias("toks"))
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        tokens_col().alias("toks")
+    )
     toks = F.col("toks")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(1), F.lit(1))),
@@ -341,7 +343,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the (bounded) per-source vocabulary; the fit is a single
     algebraic regr_slope/intercept/r2 aggregate — no iteration.
     """
-    docs = Catalog(spark, sf_dir).documents.select(
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "source", F.explode(tokens_col()).alias("w")
     )
     tf = docs.groupBy("source", "w").agg(F.count(F.lit(1)).alias("freq"))

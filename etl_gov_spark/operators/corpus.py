@@ -610,3 +610,54 @@ GROUP BY d.source
 """
 
 QUERIES["corpus_sample_mixture"] = (corpus_sample_mixture, CORPUS_SAMPLE_MIXTURE_SQL)
+
+
+def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified split: md5-order rank within each source,
+    sliced 12:2:2 by rank position — unlike the hash-bucket split
+    (corpus_split), every stratum hits the target proportions
+    exactly (±1 doc), which is what a small eval set needs.
+
+    The rank is per-source (bounded partitions); assignment is pure
+    arithmetic on the rank. Deterministic: same docs land in the
+    same split on every engine and rerun."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    w = Window.partitionBy("source").orderBy("_h", "doc_id")
+    n_w = Window.partitionBy("source")
+    ranked = docs.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(n_w)
+    )
+    split = (
+        F.when(F.col("_r") <= F.col("_n") * 12 / 16, "train")
+        .when(F.col("_r") <= F.col("_n") * 14 / 16, "val")
+        .otherwise("test")
+    )
+    return (
+        ranked.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+CORPUS_SPLIT_STRATIFIED_SQL = """
+WITH ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents
+)
+SELECT source,
+       CASE WHEN r <= n * 12 / 16 THEN 'train'
+            WHEN r <= n * 14 / 16 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM ranked
+GROUP BY 1, 2
+"""
+
+QUERIES["corpus_split_stratified"] = (
+    corpus_split_stratified,
+    CORPUS_SPLIT_STRATIFIED_SQL,
+)

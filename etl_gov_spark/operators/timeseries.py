@@ -647,3 +647,132 @@ FROM pairs
 """
 
 QUERIES["q_event_transitions"] = (q_event_transitions, Q_EVENT_TRANSITIONS_SQL)
+
+
+def q_order_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog (open-order inventory) reconstruction over time: an
+    order opens at o_orderdate and completes when its LAST line
+    ships; daily backlog = cumulative opens − cumulative completes.
+
+    Event-sourcing state rebuilt from two bounded daily aggregates +
+    one cumulative window over the (small) daily series — the fact
+    tables are never windowed. Reported monthly (last day of month)
+    to keep the output compact."""
+    cat = Catalog(spark, sf_dir)
+    opens = cat.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_open")
+    )
+    dones = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("done_day"))
+        .groupBy(F.col("done_day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_done"))
+    )
+    daily = (
+        opens.join(dones, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+            F.coalesce("n_done", F.lit(0)).alias("n_done"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.withColumn(
+        "backlog", F.sum(F.col("n_open") - F.col("n_done")).over(w)
+    )
+    wm = Window.partitionBy(F.date_trunc("month", "day")).orderBy(F.desc("day"))
+    return (
+        run.withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.date_trunc("month", "day").cast("date").alias("month"),
+            F.col("day").alias("month_end_day"),
+            "backlog",
+        )
+    )
+
+
+Q_ORDER_BACKLOG_SQL = """
+WITH opens AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_open FROM orders GROUP BY 1
+), dones AS (
+  SELECT day, count(*) AS n_done FROM (
+    SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS day FROM lineitem GROUP BY 1
+  ) GROUP BY 1
+), daily AS (
+  SELECT coalesce(o.day, d.day) AS day,
+         coalesce(n_open, 0) AS n_open, coalesce(n_done, 0) AS n_done
+  FROM opens o FULL OUTER JOIN dones d ON o.day = d.day
+), run AS (
+  SELECT day,
+         sum(n_open - n_done) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+  FROM daily
+)
+SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+       max(day) AS month_end_day,
+       max_by(backlog, day) AS backlog
+FROM run
+GROUP BY 1
+"""
+
+QUERIES["q_order_backlog"] = (q_order_backlog, Q_ORDER_BACKLOG_SQL)
+
+
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency per day via the sweep line: every session
+    contributes (+1 at start, −1 after end); the running sum over
+    time-ordered deltas IS the number of simultaneously open
+    sessions. The sweep runs over session endpoints (2 rows per
+    session — orders of magnitude smaller than events); at 100 TB
+    the global cumsum becomes the standard two-pass prefix sum
+    (per-partition totals, then carry-in), same algebra."""
+    sessions = q_sessionize(spark, sf_dir).select("session_start", "session_end")
+    deltas = sessions.select(
+        F.col("session_start").alias("at"), F.lit(1).alias("d")
+    ).unionAll(
+        sessions.select(F.col("session_end").alias("at"), F.lit(-1).alias("d"))
+    )
+    agg = deltas.groupBy("at").agg(F.sum("d").alias("d"))
+    w = Window.orderBy("at").rowsBetween(Window.unboundedPreceding, 0)
+    live = agg.withColumn("live", F.sum("d").over(w))
+    return (
+        live.groupBy(F.to_date("at").alias("day"))
+        .agg(F.max("live").alias("peak_concurrent"))
+    )
+
+
+Q_CONCURRENT_SESSIONS_SQL = f"""
+WITH sessions AS (
+  SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end
+  FROM (
+    SELECT user_id, ts, event_id,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > {SESSION_GAP_US} THEN 1
+                  WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                  ELSE 0 END AS is_new
+      FROM events
+    )
+  )
+  GROUP BY user_id, session_seq
+), deltas AS (
+  SELECT at, sum(d) AS d FROM (
+    SELECT session_start AS at, 1 AS d FROM sessions
+    UNION ALL
+    SELECT session_end AS at, -1 AS d FROM sessions
+  ) GROUP BY at
+), live AS (
+  SELECT at, sum(d) OVER (ORDER BY at
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM deltas
+)
+SELECT CAST(at AS DATE) AS day, max(live) AS peak_concurrent
+FROM live
+GROUP BY 1
+"""
+
+QUERIES["q_concurrent_sessions"] = (q_concurrent_sessions, Q_CONCURRENT_SESSIONS_SQL)

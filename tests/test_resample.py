@@ -70,3 +70,41 @@ def test_timezone_rollup_preserves_totals(spark, sf_dir):
     total = ev.agg(F.sum("value")).first()[0]
     assert abs(sum(r.total_value for r in rows) - total) < 1.0
     assert {r.band for r in rows} <= {"business", "evening", "off_hours"}
+
+
+def test_stratified_split_exact_proportions(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_split_stratified
+
+    rows = corpus_split_stratified(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, {})[r.split] = r.n_docs
+    for source, splits in per.items():
+        n = sum(splits.values())
+        assert splits.get("train", 0) == n * 12 // 16
+        assert splits.get("train", 0) + splits.get("val", 0) == n * 14 // 16
+
+
+def test_backlog_balances_to_open_minus_done(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.timeseries import q_order_backlog
+
+    rows = sorted(q_order_backlog(spark, sf_dir).collect(), key=lambda r: r.month)
+    n_orders = read_table(spark, sf_dir, "orders").count()
+    n_done = (
+        read_table(spark, sf_dir, "lineitem").select("l_orderkey").distinct().count()
+    )
+    assert rows[-1].backlog == n_orders - n_done
+
+
+def test_concurrency_sweep_is_conservative(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_concurrent_sessions, q_sessionize
+
+    peaks = {r.day: r.peak_concurrent for r in q_concurrent_sessions(spark, sf_dir).collect()}
+    # a day whose only endpoint is a session END samples live=0
+    assert peaks and all(p >= 0 for p in peaks.values())
+    assert max(peaks.values()) >= 1
+    n_sessions = q_sessionize(spark, sf_dir).count()
+    assert max(peaks.values()) <= n_sessions

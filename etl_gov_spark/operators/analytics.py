@@ -468,3 +468,40 @@ WHERE rank <= {_BASKET_TOP}
 """
 
 QUERIES["q_market_basket"] = (q_market_basket, Q_MARKET_BASKET_SQL)
+
+
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of order values: 8 ntile buckets with
+    their value ranges — the complement of the fixed-width histogram
+    (q_price_histogram): bucket populations are equal by
+    construction, bucket BOUNDARIES carry the distribution shape.
+    One global ntile sort (use per-group ntiles at scale) feeding a
+    bounded aggregate; deterministic tie-break on orderkey."""
+    orders = Catalog(spark, sf_dir).orders
+    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _R4(F.min("o_totalprice"), "lo"),
+            _R4(F.max("o_totalprice"), "hi"),
+            _R4(F.avg("o_totalprice"), "mean_in_bucket"),
+        )
+    )
+
+
+Q_HISTOGRAM_EQUIDEPTH_SQL = """
+SELECT bucket, count(*) AS n_orders,
+       round(min(o_totalprice), 4) AS lo,
+       round(max(o_totalprice), 4) AS hi,
+       round(avg(o_totalprice), 4) AS mean_in_bucket
+FROM (
+  SELECT o_totalprice,
+         CAST(ntile(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS INTEGER) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+"""
+
+QUERIES["q_histogram_equidepth"] = (q_histogram_equidepth, Q_HISTOGRAM_EQUIDEPTH_SQL)

@@ -776,3 +776,107 @@ GROUP BY 1
 """
 
 QUERIES["q_concurrent_sessions"] = (q_concurrent_sessions, Q_CONCURRENT_SESSIONS_SQL)
+
+
+_FUNNEL_WINDOW_DAYS = 7
+
+
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: click within 7 days of first signup,
+    purchase within 7 days of that click — the production funnel
+    semantics (unbounded funnels overcount forever). Same
+    shrinking-probe-side join chain as q_funnel with the window
+    predicate added to each stage."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    bound = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("signup_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + bound)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") >= F.col("click_ts"))
+            & (F.col("ts") <= F.col("click_ts") + bound)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_7d")))
+        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_7d")))
+    )
+
+
+Q_FUNNEL_WINDOWED_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS click_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.signup_ts
+    AND e.ts <= s1.signup_ts + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.click_ts
+    AND e.ts <= s2.click_ts + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s1) AS n_signup,
+       (SELECT count(*) FROM s2) AS n_click_7d,
+       (SELECT count(*) FROM s3) AS n_purchase_7d
+"""
+
+QUERIES["q_funnel_windowed"] = (q_funnel_windowed, Q_FUNNEL_WINDOWED_SQL)
+
+
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split new vs returning (first-seen day
+    comparison) — the growth-accounting daily. Two aggregates over
+    the user key; the daily rollup is bounded (days × 2 rows)."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("first_day")).cast("int")).alias("new_users"),
+            F.sum((F.col("day") > F.col("first_day")).cast("int")).alias(
+                "returning_users"
+            ),
+        )
+    )
+
+
+Q_NEW_VS_RETURNING_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT day,
+       sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS new_users,
+       sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS returning_users
+FROM active JOIN first USING (user_id)
+GROUP BY day
+"""
+
+QUERIES["q_new_vs_returning"] = (q_new_vs_returning, Q_NEW_VS_RETURNING_SQL)

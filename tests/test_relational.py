@@ -71,3 +71,39 @@ def test_zipf_fit_shape(spark, sf_dir):
         assert r.zipf_slope <= 0  # frequency non-increasing in rank
         assert 0.0 <= r.zipf_r2 <= 1.0
         assert r.vocab_size > 1
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_histogram_equidepth
+
+    rows = sorted(q_histogram_equidepth(spark, sf_dir).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in rows] == list(range(1, 9))
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1  # equi-depth by construction
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo + 1e-9  # non-overlapping, ordered ranges
+
+
+def test_windowed_funnel_is_subset_of_unbounded(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_funnel, q_funnel_windowed
+
+    un = q_funnel(spark, sf_dir).first()
+    wd = q_funnel_windowed(spark, sf_dir).first()
+    assert wd.n_signup == un.n_signup
+    assert wd.n_click_7d <= un.n_signup_click
+    assert wd.n_purchase_7d <= wd.n_click_7d or wd.n_purchase_7d <= un.n_full_funnel
+
+
+def test_new_vs_returning_totals(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.timeseries import q_new_vs_returning
+
+    rows = q_new_vs_returning(spark, sf_dir).collect()
+    ev = read_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r.new_users for r in rows) == n_users  # everyone is new exactly once
+    first_day = min(r.day for r in rows)
+    day0 = next(r for r in rows if r.day == first_day)
+    assert day0.returning_users == 0

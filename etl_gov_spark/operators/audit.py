@@ -195,3 +195,97 @@ QUERIES: dict[str, tuple] = {
     "q_gini_concentration": (q_gini_concentration, Q_GINI_SQL),
     "q_pareto_share": (q_pareto_share, Q_PARETO_SQL),
 }
+
+
+def q_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence screen: is order priority distributed
+    independently of customer market segment? Contingency counts in
+    one groupBy; expected counts from broadcast marginals; the
+    statistic is a single algebraic aggregate. Output keeps the
+    cells with the largest contributions so the analyst sees WHERE
+    the dependence lives, plus the total statistic and df."""
+    cat = Catalog(spark, sf_dir)
+    j = cat.orders.join(
+        cat.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select("c_mktsegment", "o_orderpriority")
+    cells = j.groupBy("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    row_m = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("row_n"))
+    col_m = cells.groupBy("o_orderpriority").agg(F.sum("observed").alias("col_n"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    scored = (
+        cells.join(F.broadcast(row_m), "c_mktsegment")
+        .join(F.broadcast(col_m), "o_orderpriority")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("expected", F.col("row_n") * F.col("col_n") / F.col("n"))
+        .withColumn(
+            "contrib",
+            (F.col("observed") - F.col("expected")) ** 2 / F.col("expected"),
+        )
+    )
+    return scored.select(
+        "c_mktsegment",
+        "o_orderpriority",
+        "observed",
+        _R4(F.col("expected"), "expected"),
+        _R4(F.col("contrib"), "chi2_contrib"),
+    )
+
+
+Q_CHI2_SQL = """
+WITH cells AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS observed
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), rm AS (SELECT c_mktsegment, sum(observed) AS row_n FROM cells GROUP BY 1),
+cm AS (SELECT o_orderpriority, sum(observed) AS col_n FROM cells GROUP BY 1),
+t AS (SELECT sum(observed) AS n FROM cells)
+SELECT c.c_mktsegment, c.o_orderpriority, c.observed,
+       round(rm.row_n * cm.col_n / CAST(t.n AS DOUBLE), 4) AS expected,
+       round(pow(c.observed - rm.row_n * cm.col_n / CAST(t.n AS DOUBLE), 2)
+             / (rm.row_n * cm.col_n / CAST(t.n AS DOUBLE)), 4) AS chi2_contrib
+FROM cells c JOIN rm USING (c_mktsegment) JOIN cm USING (o_orderpriority) CROSS JOIN t
+"""
+
+QUERIES["q_chi2_segment_priority"] = (q_chi2_segment_priority, Q_CHI2_SQL)
+
+
+def q_weekly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile of order volume: per-dow mean
+    daily count, its index vs the overall mean (1.0 = no effect) —
+    the calendar-shape diagnostic behind staffing and anomaly
+    baselines. Two bounded aggregates (daily, then dow)."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dow = daily.groupBy(F.weekday("day").alias("dow")).agg(
+        F.avg("n").alias("_m"), F.count(F.lit(1)).alias("n_days")
+    )
+    overall = daily.agg(F.avg("n").alias("_g"))
+    return (
+        dow.crossJoin(F.broadcast(overall))
+        .select(
+            "dow",
+            "n_days",
+            _R4(F.col("_m"), "mean_daily_orders"),
+            _R4(F.col("_m") / F.col("_g"), "seasonal_index"),
+        )
+    )
+
+
+Q_WEEKLY_SEASONALITY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1
+), dow AS (
+  SELECT isodow(day) - 1 AS dow, avg(n) AS m, count(*) AS n_days FROM daily GROUP BY 1
+), g AS (SELECT avg(n) AS g FROM daily)
+SELECT CAST(dow AS INTEGER) AS dow, n_days,
+       round(m, 4) AS mean_daily_orders,
+       round(m / g, 4) AS seasonal_index
+FROM dow CROSS JOIN g
+"""
+
+QUERIES["q_weekly_seasonality"] = (q_weekly_seasonality, Q_WEEKLY_SEASONALITY_SQL)

@@ -388,3 +388,57 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["emb_pca_top_component"] = (emb_pca_top_component, None)
+
+
+def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier screen: diagonal-Mahalanobis
+    score Σ_d (x_d − μ_d)²/σ²_d against the vector's own label
+    statistics; top-20 corpus-wide. The batch quality gate that
+    catches mislabeled or corrupted vectors before training.
+
+    Per-(label, dim) moments come from one positional-explode
+    aggregate (labels×dim rows — tiny, broadcast back); scoring is
+    a second explode joined to the broadcast moments and re-summed
+    per vector. Vectors shuffle once, as (vec, dim) scalars."""
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    moments = emb.groupBy("label", "pos").agg(
+        F.avg("x").alias("mu"), F.var_samp("x").alias("var")
+    )
+    scored = (
+        emb.join(F.broadcast(moments), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("x") - F.col("mu")) ** 2 / F.col("var")).alias("_m2")
+        )
+    )
+    w = Window.orderBy(F.desc("_m2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("vec_id", "label", _R4(F.col("_m2"), "outlier_score"), "rank")
+    )
+
+
+EMB_OUTLIER_SQL = """
+WITH flat AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), m AS (
+  SELECT label, pos, avg(x) AS mu, var_samp(x) AS var FROM flat GROUP BY 1, 2
+), scored AS (
+  SELECT f.vec_id, f.label, sum(pow(f.x - m.mu, 2) / m.var) AS m2
+  FROM flat f JOIN m ON f.label = m.label AND f.pos = m.pos
+  GROUP BY 1, 2
+)
+SELECT vec_id, label, round(m2, 4) AS outlier_score, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY m2 DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 20
+"""
+
+QUERIES["emb_outlier_scores"] = (emb_outlier_scores, EMB_OUTLIER_SQL)

@@ -53,3 +53,29 @@ def test_pareto_shares_are_nested_and_bounded(spark, sf_dir):
     assert 0.0 < r.share_top1pct <= r.share_top10pct <= 1.0
     # top 10% must hold at least 10% of revenue (sorted dominance)
     assert r.share_top10pct >= 0.10
+
+
+def test_chi2_marginals_reconstruct(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_chi2_segment_priority
+
+    rows = q_chi2_segment_priority(spark, sf_dir).collect()
+    # expected counts reproduce the observed total per segment
+    per_seg_obs: dict = {}
+    per_seg_exp: dict = {}
+    for r in rows:
+        per_seg_obs[r.c_mktsegment] = per_seg_obs.get(r.c_mktsegment, 0) + r.observed
+        per_seg_exp[r.c_mktsegment] = per_seg_exp.get(r.c_mktsegment, 0.0) + r.expected
+        assert r.chi2_contrib >= 0
+    for seg in per_seg_obs:
+        assert abs(per_seg_obs[seg] - per_seg_exp[seg]) < 0.1
+
+
+def test_seasonality_indices_average_to_one(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_weekly_seasonality
+
+    rows = q_weekly_seasonality(spark, sf_dir).collect()
+    assert {r.dow for r in rows} == set(range(7))
+    # day-count-weighted mean of indices == 1 by construction
+    tot = sum(r.n_days for r in rows)
+    wmean = sum(r.seasonal_index * r.n_days for r in rows) / tot
+    assert abs(wmean - 1.0) < 1e-2

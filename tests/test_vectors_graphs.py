@@ -171,3 +171,20 @@ def test_pca_recovers_planted_direction(spark, tmp_path_factory):
     cos = abs(float(vec @ direction))
     assert cos > 0.99, f"planted direction missed: cos={cos:.3f}"
     assert rows[0].explained_var_share > 0.5
+
+
+def test_outlier_scores_flag_planted_corruption(spark, tmp_path_factory):
+    """A corrupted vector (one dimension blown up) must rank #1."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 64))
+    X[7, 3] = 60.0  # corrupt one component
+    tmp = str(tmp_path_factory.mktemp("emb_out"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]], int(i % 3)) for i in range(300)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+    rows = V.emb_outlier_scores(spark, tmp).collect()
+    top = min(rows, key=lambda r: r.rank)
+    assert top.vec_id == 7

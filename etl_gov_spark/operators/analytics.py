@@ -505,3 +505,90 @@ GROUP BY bucket
 """
 
 QUERIES["q_histogram_equidepth"] = (q_histogram_equidepth, Q_HISTOGRAM_EQUIDEPTH_SQL)
+
+
+def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: for each part, the top-3
+    co-ordered parts by lift (min co-occurrence 2) — the "customers
+    also ordered" recommender primitive, built entirely from the
+    basket pair expansion (both directions) + a per-item window.
+
+    Scale: pair counts come from the bucket-local basket expansion
+    (linear in Σ basket²); the per-item top-k windows over each
+    item's co-occurrence list (bounded by catalog co-order fanout,
+    not corpus size)."""
+    from etl_gov_spark.operators.dedup import pair_structs
+
+    li = Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.filter(F.size("parts") > 1)
+        .select(F.explode(pair_structs(F.col("parts"))).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= 2)
+    )
+    sym = pairs.select("a", "b", "pair_count").unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "pair_count")
+    )
+    part_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a_cnt = part_cnt.select(F.col("l_partkey").alias("a"), F.col("cnt").alias("cnt_a"))
+    b_cnt = part_cnt.select(F.col("l_partkey").alias("b"), F.col("cnt").alias("cnt_b"))
+    scored = (
+        sym.join(F.broadcast(a_cnt), "a")
+        .join(F.broadcast(b_cnt), "b")
+        .crossJoin(F.broadcast(n_orders))
+        .withColumn(
+            "_lift",
+            F.col("pair_count") * F.col("n_orders") / (F.col("cnt_a") * F.col("cnt_b")),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(
+        F.desc("_lift"), F.desc("pair_count"), F.asc("b")
+    )
+    return (
+        scored.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= 3)
+        .select(
+            F.col("a").alias("part"),
+            F.col("b").alias("recommended_part"),
+            "pair_count",
+            _R4(F.col("_lift"), "lift"),
+            "rec_rank",
+        )
+    )
+
+
+Q_ITEM_ITEM_CF_SQL = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS pair_count
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+), sym AS (
+  SELECT a, b, pair_count FROM pairs
+  UNION ALL
+  SELECT b AS a, a AS b, pair_count FROM pairs
+), pc AS (
+  SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1
+), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li)
+SELECT part, recommended_part, pair_count, round(lift, 4) AS lift, rec_rank
+FROM (
+  SELECT s.a AS part, s.b AS recommended_part, s.pair_count,
+         s.pair_count * (SELECT n_orders FROM n) / CAST(ca.cnt * cb.cnt AS DOUBLE) AS lift,
+         CAST(row_number() OVER (PARTITION BY s.a
+              ORDER BY s.pair_count * (SELECT n_orders FROM n) / CAST(ca.cnt * cb.cnt AS DOUBLE) DESC,
+                       s.pair_count DESC, s.b ASC) AS INTEGER) AS rec_rank
+  FROM sym s JOIN pc ca ON s.a = ca.l_partkey JOIN pc cb ON s.b = cb.l_partkey
+)
+WHERE rec_rank <= 3
+"""
+
+QUERIES["q_item_item_cf"] = (q_item_item_cf, Q_ITEM_ITEM_CF_SQL)

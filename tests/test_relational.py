@@ -107,3 +107,20 @@ def test_new_vs_returning_totals(spark, sf_dir):
     first_day = min(r.day for r in rows)
     day0 = next(r for r in rows if r.day == first_day)
     assert day0.returning_users == 0
+
+
+def test_item_item_cf_symmetric_and_ranked(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_item_item_cf
+
+    rows = q_item_item_cf(spark, sf_dir).collect()
+    assert rows
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r.part, []).append(r)
+        assert r.pair_count >= 2 and r.lift > 0
+        assert r.part != r.recommended_part
+    for recs in per.values():
+        ranks = sorted(r.rec_rank for r in recs)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+        lifts = [r.lift for r in sorted(recs, key=lambda x: x.rec_rank)]
+        assert lifts == sorted(lifts, reverse=True)

@@ -226,3 +226,21 @@ def read_fixed_width(
         for name, start, width, typ in fields
     ]
     return raw.select(*cols)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """XML source (the format legacy gov registries actually ship):
+    Spark's native XML reader with an explicit ``rowTag``. Pass
+    ``schema`` in production — inference reads the data twice and
+    pins types nondeterministically on dirty feeds. For XML embedded
+    in a column (API payloads), use ``F.from_xml`` in a projection
+    instead of re-reading files."""
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema:
+        r = r.schema(schema)
+    return r.load(path)

@@ -248,3 +248,31 @@ def test_range_clustered_write_produces_disjoint_files(spark, sf_dir, tmp_path):
     assert len(spans) >= 2
     for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
         assert hi_prev <= lo_next  # disjoint ranges -> min/max pruning works
+
+
+def test_xml_reader_and_column_parser(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_xml
+
+    p = tmp_path / "feed.xml"
+    p.write_text(
+        "<registry>"
+        "<entity><id>1</id><name>acme</name><budget>10.5</budget></entity>"
+        "<entity><id>2</id><name>globex</name><budget>20.25</budget></entity>"
+        "</registry>"
+    )
+    df = read_xml(
+        spark, str(tmp_path), "entity", "id LONG, name STRING, budget DOUBLE"
+    )
+    rows = {r.id: (r.name, r.budget) for r in df.collect()}
+    assert rows == {1: ("acme", 10.5), 2: ("globex", 20.25)}
+
+    # column-embedded XML: from_xml in a projection
+    payloads = spark.createDataFrame(
+        [(1, "<m><k>7</k></m>"), (2, "<m><k>9</k></m>")], "row_id long, xml string"
+    )
+    parsed = payloads.select(
+        "row_id", F.from_xml("xml", "k INT").alias("p")
+    ).select("row_id", "p.k")
+    assert {(r.row_id, r.k) for r in parsed.collect()} == {(1, 7), (2, 9)}

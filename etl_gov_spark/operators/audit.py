@@ -289,3 +289,96 @@ FROM dow CROSS JOIN g
 """
 
 QUERIES["q_weekly_seasonality"] = (q_weekly_seasonality, Q_WEEKLY_SEASONALITY_SQL)
+
+
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment screen: identical (customer, amount, date)
+    tuples appearing more than once — the first query every spend
+    auditor runs. One hash groupBy on the composite key; the
+    duplicate groups (tiny) carry their order-id lists for the case
+    file."""
+    orders = Catalog(spark, sf_dir).orders
+    return (
+        orders.groupBy(
+            "o_custkey",
+            F.col("o_totalprice").alias("amount"),
+            F.to_date("o_orderdate").alias("order_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_payments"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))), ","
+            ).alias("order_ids"),
+        )
+        .filter(F.col("n_payments") > 1)
+        .select(
+            "o_custkey",
+            _R4(F.col("amount"), "amount"),
+            "order_day",
+            "n_payments",
+            "order_ids",
+        )
+    )
+
+
+DQ_DUPLICATE_PAYMENTS_SQL = """
+SELECT o_custkey,
+       round(o_totalprice, 4) AS amount,
+       CAST(o_orderdate AS DATE) AS order_day,
+       count(*) AS n_payments,
+       array_to_string(list_sort(list(CAST(o_orderkey AS VARCHAR))), ',') AS order_ids
+FROM orders
+GROUP BY o_custkey, o_totalprice, CAST(o_orderdate AS DATE)
+HAVING count(*) > 1
+"""
+
+QUERIES["dq_duplicate_payments"] = (dq_duplicate_payments, DQ_DUPLICATE_PAYMENTS_SQL)
+
+_STRUCT_THRESHOLD = 300_000.0  # reporting threshold
+
+
+def q_structuring_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring ("smurfing") screen: customers whose order
+    amounts cluster just under a reporting threshold. Per customer:
+    orders in the 90-100% band vs at-or-over, and the band share —
+    flag when ≥3 near-threshold orders and more near than over.
+    Single conditional-aggregation pass over orders."""
+    orders = Catalog(spark, sf_dir).orders
+    near = (F.col("o_totalprice") >= 0.9 * _STRUCT_THRESHOLD) & (
+        F.col("o_totalprice") < _STRUCT_THRESHOLD
+    )
+    over = F.col("o_totalprice") >= _STRUCT_THRESHOLD
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(near.cast("int")).alias("n_near_threshold"),
+        F.sum(over.cast("int")).alias("n_at_or_over"),
+    )
+    return (
+        per.filter(
+            (F.col("n_near_threshold") >= 3)
+            & (F.col("n_near_threshold") > F.col("n_at_or_over"))
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "n_near_threshold",
+            "n_at_or_over",
+            _R4(F.col("n_near_threshold") / F.col("n_orders"), "near_share"),
+        )
+    )
+
+
+Q_STRUCTURING_SQL = f"""
+SELECT o_custkey, n_orders, n_near_threshold, n_at_or_over,
+       round(n_near_threshold / CAST(n_orders AS DOUBLE), 4) AS near_share
+FROM (
+  SELECT o_custkey, count(*) AS n_orders,
+         sum(CASE WHEN o_totalprice >= 0.9 * {_STRUCT_THRESHOLD}
+                   AND o_totalprice < {_STRUCT_THRESHOLD} THEN 1 ELSE 0 END) AS n_near_threshold,
+         sum(CASE WHEN o_totalprice >= {_STRUCT_THRESHOLD} THEN 1 ELSE 0 END) AS n_at_or_over
+  FROM orders GROUP BY o_custkey
+)
+WHERE n_near_threshold >= 3 AND n_near_threshold > n_at_or_over
+"""
+
+QUERIES["q_structuring_screen"] = (q_structuring_screen, Q_STRUCTURING_SQL)

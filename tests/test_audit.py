@@ -79,3 +79,36 @@ def test_seasonality_indices_average_to_one(spark, sf_dir):
     tot = sum(r.n_days for r in rows)
     wmean = sum(r.seasonal_index * r.n_days for r in rows) / tot
     assert abs(wmean - 1.0) < 1e-2
+
+
+def test_duplicate_payments_detects_planted_dupe(spark, tmp_path_factory):
+    import datetime
+
+    from etl_gov_spark.operators.audit import dq_duplicate_payments
+
+    tmp = str(tmp_path_factory.mktemp("dups"))
+    d = datetime.datetime(2024, 3, 1)
+    rows = [
+        (1, 10, "O", 500.0, d, "1-URGENT"),
+        (2, 10, "O", 500.0, d, "1-URGENT"),  # duplicate payment
+        (3, 10, "O", 500.0, datetime.datetime(2024, 3, 2), "1-URGENT"),  # other day
+        (4, 11, "O", 500.0, d, "1-URGENT"),  # other customer
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    got = dq_duplicate_payments(spark, tmp).collect()
+    assert len(got) == 1
+    assert got[0].n_payments == 2 and got[0].order_ids == "1,2"
+
+
+def test_structuring_screen_flags_near_threshold_clusters(spark, sf_dir):
+    from etl_gov_spark.operators.audit import _STRUCT_THRESHOLD, q_structuring_screen
+
+    rows = q_structuring_screen(spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_near_threshold >= 3
+        assert r.n_near_threshold > r.n_at_or_over
+        assert 0 < r.near_share <= 1

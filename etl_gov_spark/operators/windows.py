@@ -244,3 +244,111 @@ QUERIES: dict[str, tuple] = {
     "q_acctbal_distribution": (q_acctbal_distribution, Q_ACCTBAL_DIST_SQL),
     "q_order_value_span": (q_order_value_span, Q_ORDER_VALUE_SPAN_SQL),
 }
+
+
+def q_nth_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second- and third-largest order per customer via nth_value
+    over a pinned full frame (top-5 spenders per segment kept).
+    Completes the window-primitive surface: nth_value needs the
+    UNBOUNDED-to-UNBOUNDED frame or it silently reads a growing
+    prefix — the classic window-frame trap, pinned here."""
+    orders = Catalog(spark, sf_dir).orders
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per = (
+        orders.select(
+            "o_custkey",
+            F.first("o_totalprice").over(w).alias("top1"),
+            F.nth_value("o_totalprice", 2).over(w).alias("top2"),
+            F.nth_value("o_totalprice", 3).over(w).alias("top3"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.first("top1").alias("top1"),
+            F.first("top2").alias("top2"),
+            F.first("top3").alias("top3"),
+        )
+    )
+    wr = Window.orderBy(F.desc("top1"), F.asc("o_custkey"))
+    return (
+        per.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "o_custkey",
+            _R4(F.col("top1"), "top1"),
+            _R4(F.col("top2"), "top2"),
+            _R4(F.col("top3"), "top3"),
+            "rank",
+        )
+    )
+
+
+Q_NTH_ORDER_VALUE_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         max(top1) AS top1, max(top2) AS top2, max(top3) AS top3
+  FROM (
+    SELECT o_custkey,
+           first_value(o_totalprice) OVER w AS top1,
+           nth_value(o_totalprice, 2) OVER w AS top2,
+           nth_value(o_totalprice, 3) OVER w AS top3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+  )
+  GROUP BY o_custkey
+)
+SELECT o_custkey, round(top1, 4) AS top1, round(top2, 4) AS top2,
+       round(top3, 4) AS top3, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY top1 DESC, o_custkey ASC) AS INTEGER) AS rank
+  FROM per
+)
+WHERE rank <= 20
+"""
+
+QUERIES["q_nth_order_value"] = (q_nth_order_value, Q_NTH_ORDER_VALUE_SQL)
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: each user's most frequent event type
+    (ties broken alphabetically) via count + max-by-struct — the
+    portable form of mode(), whose tie behavior is engine-defined.
+    Two bounded aggregates, no window sort."""
+    ev = Catalog(spark, sf_dir).events
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("user_id").agg(
+        F.max("cnt").alias("top_cnt"), F.count(F.lit(1)).alias("n_types")
+    )
+    return (
+        counts.join(best, "user_id")
+        .filter(F.col("cnt") == F.col("top_cnt"))
+        .groupBy("user_id")
+        .agg(
+            F.min("event_type").alias("mode_event_type"),
+            F.first("top_cnt").alias("mode_count"),
+            F.first("n_types").alias("n_types"),
+        )
+    )
+
+
+Q_MODE_EVENT_TYPE_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+), best AS (
+  SELECT user_id, max(cnt) AS top_cnt, count(*) AS n_types FROM counts GROUP BY 1
+)
+SELECT c.user_id,
+       min(c.event_type) AS mode_event_type,
+       min(b.top_cnt) AS mode_count,
+       min(b.n_types) AS n_types
+FROM counts c JOIN best b ON c.user_id = b.user_id AND c.cnt = b.top_cnt
+GROUP BY c.user_id
+"""
+
+QUERIES["q_mode_event_type"] = (q_mode_event_type, Q_MODE_EVENT_TYPE_SQL)

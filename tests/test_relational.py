@@ -124,3 +124,31 @@ def test_item_item_cf_symmetric_and_ranked(spark, sf_dir):
         assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
         lifts = [r.lift for r in sorted(recs, key=lambda x: x.rec_rank)]
         assert lifts == sorted(lifts, reverse=True)
+
+
+def test_nth_value_ordering_invariant(spark, sf_dir):
+    from etl_gov_spark.operators.windows import q_nth_order_value
+
+    for r in q_nth_order_value(spark, sf_dir).collect():
+        if r.top2 is not None:
+            assert r.top1 >= r.top2
+        if r.top3 is not None:
+            assert r.top2 >= r.top3
+
+
+def test_mode_is_actual_maximum_count(spark, sf_dir):
+    from collections import Counter
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.windows import q_mode_event_type
+
+    got = {r.user_id: r for r in q_mode_event_type(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type").collect()
+    per: dict = {}
+    for r in ev:
+        per.setdefault(r.user_id, Counter())[r.event_type] += 1
+    for uid, counter in per.items():
+        top = max(counter.values())
+        expected = min(t for t, c in counter.items() if c == top)
+        assert got[uid].mode_event_type == expected
+        assert got[uid].mode_count == top

@@ -217,3 +217,98 @@ QUERIES: dict[str, tuple] = {
     ),
     "cdc_latest_order_state": (cdc_latest_order_state, CDC_LATEST_ORDER_STATE_SQL),
 }
+
+
+def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→SCD2 temporal join: lineitem revenue attributed to the
+    customer's status REGIME in force at ship time — the
+    point-in-time dimension lookup every warehouse needs.
+
+    Spark-first: instead of an interval join against [valid_from,
+    valid_to) (broadcast-nested-loop at scale), union the dim-change
+    events with the facts per customer and carry the status forward
+    with one IGNORE-NULLS window — the as-of pattern again, linear
+    per customer shard. Facts shipped before the first regime (this
+    synthetic feed has them) land in 'unknown'.
+    """
+    cat = Catalog(spark, sf_dir)
+    changes = scd2_order_status_history(spark, sf_dir).select(
+        "o_custkey",
+        F.col("valid_from").cast("date").alias("day"),
+        F.col("o_orderstatus").alias("_status"),
+        F.lit(0).alias("_kind"),
+        # same-day regime flips exist (two runs can share a start
+        # date); run_id makes the dim ordering total so "the regime
+        # at end of day" is well-defined in both engines
+        F.col("run_id").alias("_seq"),
+        F.lit(None).cast("double").alias("_rev"),
+    )
+    facts = (
+        cat.lineitem.join(
+            cat.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_custkey",
+            F.to_date("l_shipdate").alias("day"),
+            F.lit(None).cast("string").alias("_status"),
+            F.lit(1).alias("_kind"),
+            F.lit(0).cast("long").alias("_seq"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day", "_kind", "_seq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = changes.unionAll(facts).withColumn(
+        "regime", F.last("_status", ignorenulls=True).over(w)
+    )
+    return (
+        tagged.filter(F.col("_kind") == 1)
+        .groupBy(F.coalesce("regime", F.lit("unknown")).alias("status_at_ship"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _R4(F.sum("_rev"), "revenue"),
+        )
+    )
+
+
+SCD2_TEMPORAL_JOIN_SQL = """
+WITH runs AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM (SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS prev FROM orders)
+), hist AS (
+  SELECT o_custkey, run_id, o_orderstatus, min(o_orderdate) AS valid_from
+  FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+), changes AS (
+  SELECT o_custkey, CAST(valid_from AS DATE) AS day,
+         o_orderstatus AS status, 0 AS kind, run_id AS seq,
+         CAST(NULL AS DOUBLE) AS rev
+  FROM hist
+), facts AS (
+  SELECT o.o_custkey, CAST(l.l_shipdate AS DATE) AS day,
+         CAST(NULL AS VARCHAR) AS status, 1 AS kind, 0 AS seq,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), tagged AS (
+  SELECT *,
+         last_value(status IGNORE NULLS) OVER (
+           PARTITION BY o_custkey ORDER BY day, kind, seq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS regime
+  FROM (SELECT * FROM changes UNION ALL SELECT * FROM facts)
+)
+SELECT coalesce(regime, 'unknown') AS status_at_ship,
+       count(*) AS n_lines,
+       round(sum(rev), 4) AS revenue
+FROM tagged
+WHERE kind = 1
+GROUP BY 1
+"""
+
+QUERIES["scd2_temporal_join"] = (scd2_temporal_join, SCD2_TEMPORAL_JOIN_SQL)

@@ -317,3 +317,49 @@ QUERIES["stream_session_window"] = (
     stream_session_window,
     STREAM_SESSION_WINDOW_SQL,
 )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the live event stream enriched against a
+    batch-computed user-profile dimension (value terciles), then
+    aggregated per tier — the standard scoring-pipeline topology
+    (stream joins a broadcastable static table; no watermark or
+    state needed on the static side).
+
+    The profile is recomputed per micro-batch planning cycle from
+    the batch table — in production it is a slowly-refreshed dim;
+    the join itself is the streaming surface under test."""
+    from pyspark.sql import Window
+
+    ev_static = spark.read.schema(EVENTS_SCHEMA).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    profile = (
+        ev_static.groupBy("user_id")
+        .agg(F.avg("value").alias("_avg"))
+        .withColumn(
+            "tier", F.ntile(3).over(Window.orderBy(F.asc("_avg"), F.asc("user_id")))
+        )
+        .select("user_id", "tier")
+    )
+    stream = _events_stream(spark, sf_dir)
+    enriched = stream.join(profile, "user_id").groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    _run_to_memory(enriched, "stream_static_enrich_sink", "complete")
+    return spark.table("stream_static_enrich_sink")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+WITH profile AS (
+  SELECT user_id,
+         CAST(ntile(3) OVER (ORDER BY avg_v ASC, user_id ASC) AS INTEGER) AS tier
+  FROM (SELECT user_id, avg(value) AS avg_v FROM events GROUP BY user_id)
+)
+SELECT tier, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events JOIN profile USING (user_id)
+GROUP BY tier
+"""
+
+QUERIES["stream_static_enrich"] = (stream_static_enrich, STREAM_STATIC_ENRICH_SQL)

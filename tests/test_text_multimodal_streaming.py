@@ -194,3 +194,38 @@ def test_checkpointed_stream_restarts_incrementally(spark, tmp_path):
     rows = {r.id for r in spark.read.parquet(out).collect()}
     assert rows == {1, 2, 3}
     assert spark.read.parquet(out).count() == 3  # no reprocessing duplicates
+
+
+def test_scd2_temporal_join_covers_all_lines(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.merge import scd2_temporal_join
+
+    rows = scd2_temporal_join(spark, sf_dir).collect()
+    n_lines = read_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n_lines for r in rows) == n_lines  # every line attributed
+    assert {r.status_at_ship for r in rows} <= {"F", "O", "P", "unknown"}
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.streaming.events_stream import stream_static_enrich
+
+    got = {r.tier: (r.n_events, r.total_value) for r in stream_static_enrich(spark, sf_dir).collect()}
+    ev = read_table(spark, sf_dir, "events")
+    profile = (
+        ev.groupBy("user_id")
+        .agg(F2.avg("value").alias("_avg"))
+        .withColumn("tier", F2.ntile(3).over(Window.orderBy(F2.asc("_avg"), F2.asc("user_id"))))
+        .select("user_id", "tier")
+    )
+    batch = {
+        r.tier: (r.n, round(r.v, 4))
+        for r in ev.join(profile, "user_id")
+        .groupBy("tier")
+        .agg(F2.count(F2.lit(1)).alias("n"), F2.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == batch

@@ -19,10 +19,10 @@ from etl_gov_spark.queries.catalog import all_oracles, all_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    from etl_gov_spark.operators.relational import q1_pricing_summary
-
-    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    Routed through the registry so the host session picks up the
+    engine's runtime confs (UTC, excluded rules) like every query."""
+    return all_queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -344,3 +344,100 @@ FROM daily CROSS JOIN lim
 """
 
 QUERIES["q_control_chart_days"] = (q_control_chart_days, Q_CONTROL_CHART_SQL)
+
+
+_KM_CUTOFF_DAYS = 365
+
+
+def q_survival_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of order fulfillment time, with
+    administrative censoring at 365 days — the right-censored
+    estimator ("how long do orders stay open?") a naive histogram
+    gets wrong once observation windows truncate.
+
+    S(t) = Π_{u≤t} (1 − d_u/n_u) computed as exp(Σ ln(·)) over the
+    day-ordered death table: one join (order→last ship), one
+    bounded groupBy on duration days, and cumulative windows over
+    ≤366 rows. Both engines sum the identical ordered sequence, so
+    the product is bit-stable."""
+    cat = Catalog(spark, sf_dir)
+    done = cat.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("done_day")
+    )
+    dur = (
+        cat.orders.join(done, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.greatest(
+                F.datediff("done_day", F.to_date("o_orderdate")), F.lit(0)
+            ).alias("dur")
+        )
+        .select(
+            F.least(F.col("dur"), F.lit(_KM_CUTOFF_DAYS)).alias("t"),
+            (F.col("dur") <= _KM_CUTOFF_DAYS).cast("int").alias("died"),
+        )
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum("died").alias("d"),
+        F.sum(1 - F.col("died")).alias("c"),
+    )
+    n_total = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("N"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = (
+        per_t.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_at_risk",
+            F.col("N") - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+        )
+        .withColumn(
+            "survival",
+            F.exp(
+                F.sum(
+                    F.log(1.0 - F.col("d") / F.col("n_at_risk"))
+                ).over(w)
+            ),
+        )
+    )
+    return (
+        curve.filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("days"),
+            F.col("d").alias("n_fulfilled"),
+            F.col("c").alias("n_censored"),
+            "n_at_risk",
+            _R4(F.col("survival"), "survival"),
+        )
+    )
+
+
+Q_SURVIVAL_SQL = f"""
+WITH done AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done_day
+  FROM lineitem GROUP BY 1
+), dur AS (
+  SELECT least(greatest(datediff('day', CAST(o.o_orderdate AS DATE), d.done_day), 0),
+               {_KM_CUTOFF_DAYS}) AS t,
+         CASE WHEN greatest(datediff('day', CAST(o.o_orderdate AS DATE), d.done_day), 0)
+                   <= {_KM_CUTOFF_DAYS} THEN 1 ELSE 0 END AS died
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+), per_t AS (
+  SELECT t, sum(died) AS d, sum(1 - died) AS c FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d, c,
+         (SELECT sum(d + c) FROM per_t)
+           - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM per_t
+), curve AS (
+  SELECT t, d, c, n_at_risk,
+         exp(sum(ln(1.0 - d / n_at_risk))
+             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS survival
+  FROM risk
+)
+SELECT t AS days, d AS n_fulfilled, c AS n_censored, n_at_risk,
+       round(survival, 4) AS survival
+FROM curve
+WHERE d > 0
+"""
+
+QUERIES["q_survival_fulfillment"] = (q_survival_fulfillment, Q_SURVIVAL_SQL)

@@ -169,3 +169,19 @@ def test_control_chart_band_and_flags(spark, sf_dir):
             # boundary rows: flag uses strict inequalities
             r.n_orders in (r.lcl, r.ucl)
         )
+
+
+def test_survival_curve_monotone_and_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_survival_fulfillment
+
+    rows = sorted(q_survival_fulfillment(spark, sf_dir).collect(), key=lambda r: r.days)
+    assert rows
+    prev_s, prev_risk = 1.0 + 1e-9, None
+    for r in rows:
+        assert 0.0 <= r.survival <= prev_s  # survival never increases
+        assert r.n_fulfilled > 0
+        if prev_risk is not None:
+            assert r.n_at_risk <= prev_risk  # risk set shrinks
+        prev_s, prev_risk = r.survival, r.n_at_risk
+    # with heavy censoring at 365d, the curve must NOT hit zero
+    assert rows[-1].survival > 0.0

@@ -382,3 +382,103 @@ WHERE n_near_threshold >= 3 AND n_near_threshold > n_at_or_over
 """
 
 QUERIES["q_structuring_screen"] = (q_structuring_screen, Q_STRUCTURING_SQL)
+
+
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles: cumulative share of total revenue
+    held by the bottom 10%, 20%, … of customers — the curve behind
+    the Gini number, reportable as ten rows. One global ntile (use
+    per-group at scale) + a bounded cumulative window."""
+    orders = Catalog(spark, sf_dir).orders
+    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+    deciled = rev.select("rev", F.ntile(10).over(w).alias("decile"))
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("_d_rev")
+    )
+    tot = per.agg(F.sum("_d_rev").alias("_t"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum("_d_rev").over(wc))
+        .select(
+            "decile",
+            "n_customers",
+            _R4(F.col("_d_rev") / F.col("_t"), "decile_share"),
+            _R4(F.col("_cum") / F.col("_t"), "cum_share"),
+        )
+    )
+
+
+Q_LORENZ_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY 1
+), deciled AS (
+  SELECT rev, CAST(ntile(10) OVER (ORDER BY rev ASC, o_custkey ASC) AS INTEGER) AS decile
+  FROM rev
+), per AS (
+  SELECT decile, count(*) AS n_customers, sum(rev) AS d_rev FROM deciled GROUP BY 1
+), t AS (SELECT sum(d_rev) AS t FROM per)
+SELECT decile, n_customers,
+       round(d_rev / t, 4) AS decile_share,
+       round(sum(d_rev) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t, 4) AS cum_share
+FROM per CROSS JOIN t
+"""
+
+QUERIES["q_lorenz_deciles"] = (q_lorenz_deciles, Q_LORENZ_SQL)
+
+
+def q_hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman index of supplier concentration per part
+    brand — the antitrust screen (HHI = Σ share², ×10000; >2500 is
+    'highly concentrated'). Supplier revenue shares within brand
+    come from one join + two bounded aggregates."""
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.join(
+            F.broadcast(cat.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+    )
+    brand_tot = rev.groupBy("p_brand").agg(
+        F.sum("rev").alias("_t"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        rev.join(F.broadcast(brand_tot), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.first("n_suppliers").alias("n_suppliers"),
+            _R4(
+                F.sum((F.col("rev") / F.col("_t")) ** 2) * 10000.0, "hhi"
+            ),
+        )
+        .withColumn("highly_concentrated", (F.col("hhi") > 2500.0).cast("int"))
+    )
+
+
+Q_HHI_SQL = """
+WITH rev AS (
+  SELECT p_brand, l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), t AS (
+  SELECT p_brand, sum(rev) AS t, count(*) AS n_suppliers FROM rev GROUP BY 1
+)
+SELECT r.p_brand,
+       min(t.n_suppliers) AS n_suppliers,
+       round(sum(pow(r.rev / t.t, 2)) * 10000.0, 4) AS hhi,
+       CASE WHEN round(sum(pow(r.rev / t.t, 2)) * 10000.0, 4) > 2500.0
+            THEN 1 ELSE 0 END AS highly_concentrated
+FROM rev r JOIN t USING (p_brand)
+GROUP BY r.p_brand
+"""
+
+QUERIES["q_hhi_supplier_concentration"] = (
+    q_hhi_supplier_concentration,
+    Q_HHI_SQL,
+)

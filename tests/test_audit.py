@@ -112,3 +112,24 @@ def test_structuring_screen_flags_near_threshold_clusters(spark, sf_dir):
         assert r.n_near_threshold >= 3
         assert r.n_near_threshold > r.n_at_or_over
         assert 0 < r.near_share <= 1
+
+
+def test_lorenz_curve_is_convex_and_ends_at_one(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_lorenz_deciles
+
+    rows = sorted(q_lorenz_deciles(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, 11))
+    shares = [r.decile_share for r in rows]
+    assert shares == sorted(shares)  # ascending-sorted deciles => convex
+    assert abs(rows[-1].cum_share - 1.0) < 1e-3
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_share >= a.cum_share
+
+
+def test_hhi_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_hhi_supplier_concentration
+
+    for r in q_hhi_supplier_concentration(spark, sf_dir).collect():
+        # HHI in (10000/n, 10000]; equality at perfect monopoly
+        assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6
+        assert (r.hhi > 2500.0) == (r.highly_concentrated == 1)

@@ -188,3 +188,28 @@ def test_outlier_scores_flag_planted_corruption(spark, tmp_path_factory):
     rows = V.emb_outlier_scores(spark, tmp).collect()
     top = min(rows, key=lambda r: r.rank)
     assert top.vec_id == 7
+
+
+def test_pagerank_matches_dense_reference(spark, sf_dir):
+    import numpy as np
+
+    from etl_gov_spark.io.sources import Catalog as Cat
+
+    edges = [
+        (r.doc_a, r.doc_b)
+        for r in G._near_dup_edges(Cat(spark, sf_dir).documents).collect()
+    ]
+    got = {r.doc_id: r.pagerank_x1000 / 1000 for r in G.graph_pagerank(spark, sf_dir).collect()}
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    P = A / A.sum(axis=1, keepdims=True)
+    r = np.full(n, 1.0 / n)
+    for _ in range(G.PAGERANK_ITERS):
+        r = (1 - G.PAGERANK_DAMPING) / n + G.PAGERANK_DAMPING * (P.T @ r)
+    for node in nodes:
+        assert abs(got[node] - r[idx[node]]) < 1e-3, node
+    assert abs(sum(got.values()) - 1.0) < 1e-2  # mass conserved

@@ -151,3 +151,87 @@ from etl_gov_spark.operators.timeseries import Q_SESSIONIZE_SQL  # noqa: E402
 QUERIES: dict[str, tuple] = {
     "stream_sessionize_stateful": (stream_sessionize_stateful, Q_SESSIONIZE_SQL),
 }
+
+
+# ---- transformWithState (Spark 4 arbitrary-state API) ------------- #
+
+try:  # Spark >= 4.0 AND protobuf present (the TWS control channel
+    # is protobuf-based; this container ships Spark without it, so
+    # the operator is gated — the processor below is the documented
+    # pattern and registers automatically where the dep exists)
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming import (  # noqa: F401
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        """Per-user running event count + value sum carried in a
+        ValueState cell across micro-batches — the minimal
+        transformWithState processor (the successor API to
+        applyInPandasWithState: typed state cells, timers, TTL)."""
+
+        def init(self, handle: "StatefulProcessorHandle") -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, v DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._totals.get()
+            n, v = (cur[0], cur[1]) if cur is not None else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+            self._totals.update((n, v))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [v]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_TWS = False
+
+
+def stream_running_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas (needs
+    the RocksDB state store). Update-mode emissions; the final
+    per-user row equals the batch aggregate — asserted by the
+    oracle. Runs availableNow like the other streaming entries."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
+    _run_to_memory(out, "stream_tws_sink", "update")
+    rows = spark.table("stream_tws_sink")
+    return (
+        rows.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.round(F.col("s.total_value"), 4).alias("total_value"),
+        )
+    )
+
+
+STREAM_TWS_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+if HAS_TWS:
+    QUERIES["stream_running_totals_tws"] = (
+        stream_running_totals_tws,
+        STREAM_TWS_SQL,
+    )

@@ -88,3 +88,18 @@ def test_sessionize_invariant_under_batch_splits(gap_list, cuts):
 def test_sessionize_single_batch_equals_reference(gap_list):
     events = _events_from_gaps(gap_list)
     assert _fold_in_batches(events, []) == _reference_sessions(events)
+
+
+def test_tws_operator_gated_on_protobuf():
+    """transformWithState needs protobuf (absent here): the operator
+    must not register, and the gate must flip if the dep appears."""
+    from etl_gov_spark.streaming import stateful
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    assert stateful.HAS_TWS == has_pb
+    assert ("stream_running_totals_tws" in stateful.QUERIES) == has_pb

@@ -229,3 +229,54 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
+    """Aggregation watermark semantics end-to-end: after batch 1
+    advances the watermark, a restart feeding events older than
+    (max_ts - watermark) must NOT change closed windows (append
+    mode only emits finalized windows; late rows are dropped)."""
+    import datetime
+
+    from pyspark.sql import functions as F2
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).coalesce(1).write.mode(mode).parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F2.window("ts", "1 hour").alias("win"))
+            .agg(F2.count(F2.lit(1)).alias("n"))
+            .select(F2.col("win.start").alias("h"), "n")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = datetime.datetime(2024, 6, 1, 0, 30)
+    late = datetime.datetime(2024, 6, 1, 1, 30)
+    head = datetime.datetime(2024, 6, 1, 12, 0)  # advances watermark to 11:00
+    write_batch([(1, t0, 1.0), (1, late, 1.0), (1, head, 1.0)], "overwrite")
+    run_once()
+    first = {r.h: r.n for r in spark.read.parquet(out).collect()}
+    assert first.get(datetime.datetime(2024, 6, 1, 0, 0)) == 1  # closed window emitted
+    assert first.get(datetime.datetime(2024, 6, 1, 1, 0)) == 1
+
+    # batch 2: an event for the long-closed 00:00 window → dropped
+    write_batch([(1, datetime.datetime(2024, 6, 1, 0, 45), 1.0)], "append")
+    run_once()
+    final = {r.h: r.n for r in spark.read.parquet(out).collect()}
+    assert final.get(datetime.datetime(2024, 6, 1, 0, 0)) == 1  # unchanged: late row dropped

@@ -291,3 +291,40 @@ FROM sharded GROUP BY 1, 2
 """
 
 QUERIES["mm_shard_manifest"] = (mm_shard_manifest, MM_SHARD_MANIFEST_SQL)
+
+
+def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source modality mix: counts and byte volumes by detected
+    format — the ingest-routing report a multimodal lake produces
+    before dispatching per-modality decode fleets. Composes the
+    mapInPandas metadata extractor with one bounded rollup."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("payload")
+    )
+    meta = docs.select("doc_id", "payload").mapInPandas(
+        extract_meta_batches, schema=META_SCHEMA
+    )
+    src = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    return (
+        meta.join(src, "doc_id")
+        .groupBy("source", "fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_payloads"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+        )
+    )
+
+
+MM_MODALITY_MIX_SQL = """
+SELECT source,
+       CASE octet_length(encode(text)) % 3
+            WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
+       count(*) AS n_payloads,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["mm_modality_mix"] = (mm_modality_mix, MM_MODALITY_MIX_SQL)

@@ -280,3 +280,41 @@ def test_watermark_drops_late_rows_across_restarts(spark, tmp_path):
     run_once()
     final = {r.h: r.n for r in spark.read.parquet(out).collect()}
     assert final.get(datetime.datetime(2024, 6, 1, 0, 0)) == 1  # unchanged: late row dropped
+
+
+def test_mapinpandas_receives_bounded_arrow_batches(spark, sf_dir):
+    """Batch-shape contract: with maxRecordsPerBatch=50, the
+    mapInPandas UDF must see multiple bounded pandas batches, not
+    one giant frame — the property that keeps Python memory flat
+    when payloads are large."""
+    import pandas as pd
+
+    from etl_gov_spark.io.sources import Catalog
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+        docs = Catalog(spark, sf_dir).documents.select("doc_id").coalesce(1)
+
+        def batch_sizes(it):
+            for pdf in it:
+                yield pd.DataFrame({"batch_len": [len(pdf)]})
+
+        sizes = [
+            r.batch_len
+            for r in docs.mapInPandas(batch_sizes, "batch_len long").collect()
+        ]
+        assert len(sizes) > 1  # multiple batches for 500 rows
+        assert max(sizes) <= 50  # bounded by the Arrow batch cap
+        assert sum(sizes) == 500
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_modality_mix_partitions_all_payloads(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.multimodal import mm_modality_mix
+
+    rows = mm_modality_mix(spark, sf_dir).collect()
+    assert sum(r.n_payloads for r in rows) == read_table(spark, sf_dir, "documents").count()
+    assert {r.fmt for r in rows} <= {"png", "jpeg", "webp"}

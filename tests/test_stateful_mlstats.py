@@ -185,3 +185,36 @@ def test_survival_curve_monotone_and_bounded(spark, sf_dir):
         prev_s, prev_risk = r.survival, r.n_at_risk
     # with heavy censoring at 365d, the curve must NOT hit zero
     assert rows[-1].survival > 0.0
+
+
+def test_repeat_interval_positive(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_repeat_interval
+
+    rows = q_repeat_interval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_intervals > 0
+        assert 0 <= r.median_hours <= r.p90_hours
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark, tmp_path_factory):
+    from etl_gov_spark.operators.pandas_udfs import text_compression_quality
+
+    tmp = str(tmp_path_factory.mktemp("zq"))
+    import random
+
+    rng = random.Random(3)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(40)
+    )
+    rows = [
+        (0, "spam " * 200, "en", "s", 10),  # boilerplate
+        (1, noise, "en", "s", 10),  # high entropy
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {r.doc_id: r for r in text_compression_quality(spark, tmp).collect()}
+    assert got[0].compression_ratio < got[1].compression_ratio
+    assert got[0].band == "boilerplate"

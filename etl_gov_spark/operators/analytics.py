@@ -592,3 +592,65 @@ WHERE rec_rank <= 3
 """
 
 QUERIES["q_item_item_cf"] = (q_item_item_cf, Q_ITEM_ITEM_CF_SQL)
+
+
+_MIGRATION_SPLIT = "1998-01-01"
+
+
+def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-tier migration matrix: each customer's revenue tercile
+    in the early period vs the late period (split at 1998), plus
+    churn-in/out rows for customers active in only one period — the
+    entity-level complement of the event transition matrix.
+
+    Two windowed tercile assignments over per-period aggregates and
+    one full-outer join on the customer key."""
+    orders = Catalog(spark, sf_dir).orders
+    split = F.lit(_MIGRATION_SPLIT).cast("timestamp")
+
+    def tiers(df, alias):
+        rev = df.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+        w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
+        return rev.select(
+            F.col("o_custkey").alias(f"{alias}_key"),
+            F.ntile(3).over(w).alias(f"{alias}_tier"),
+        )
+
+    early = tiers(orders.filter(F.col("o_orderdate") < split), "early")
+    late = tiers(orders.filter(F.col("o_orderdate") >= split), "late")
+    joined = early.join(
+        late, F.col("early_key") == F.col("late_key"), "full_outer"
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("early_tier").cast("string"), F.lit("absent")).alias(
+                "early_tier"
+            ),
+            F.coalesce(F.col("late_tier").cast("string"), F.lit("absent")).alias(
+                "late_tier"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+Q_CUSTOMER_MIGRATION_SQL = f"""
+WITH early AS (
+  SELECT o_custkey AS k,
+         CAST(ntile(3) OVER (ORDER BY rev ASC, o_custkey ASC) AS INTEGER) AS tier
+  FROM (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders
+        WHERE o_orderdate < TIMESTAMP '{_MIGRATION_SPLIT}' GROUP BY 1)
+), late AS (
+  SELECT o_custkey AS k,
+         CAST(ntile(3) OVER (ORDER BY rev ASC, o_custkey ASC) AS INTEGER) AS tier
+  FROM (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders
+        WHERE o_orderdate >= TIMESTAMP '{_MIGRATION_SPLIT}' GROUP BY 1)
+)
+SELECT coalesce(CAST(e.tier AS VARCHAR), 'absent') AS early_tier,
+       coalesce(CAST(l.tier AS VARCHAR), 'absent') AS late_tier,
+       count(*) AS n_customers
+FROM early e FULL OUTER JOIN late l ON e.k = l.k
+GROUP BY 1, 2
+"""
+
+QUERIES["q_customer_migration"] = (q_customer_migration, Q_CUSTOMER_MIGRATION_SQL)

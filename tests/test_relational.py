@@ -152,3 +152,24 @@ def test_mode_is_actual_maximum_count(spark, sf_dir):
         expected = min(t for t, c in counter.items() if c == top)
         assert got[uid].mode_event_type == expected
         assert got[uid].mode_count == top
+
+
+def test_customer_migration_conserves_customers(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.analytics import _MIGRATION_SPLIT, q_customer_migration
+
+    rows = q_customer_migration(spark, sf_dir).collect()
+    orders = read_table(spark, sf_dir, "orders")
+    early_n = (
+        orders.filter(F.col("o_orderdate") < F.lit(_MIGRATION_SPLIT).cast("timestamp"))
+        .select("o_custkey").distinct().count()
+    )
+    late_n = (
+        orders.filter(F.col("o_orderdate") >= F.lit(_MIGRATION_SPLIT).cast("timestamp"))
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows if r.early_tier != "absent") == early_n
+    assert sum(r.n_customers for r in rows if r.late_tier != "absent") == late_n
+    assert not any(r.early_tier == "absent" and r.late_tier == "absent" for r in rows)

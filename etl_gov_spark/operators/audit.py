@@ -536,3 +536,77 @@ WHERE rank <= 5
 """
 
 QUERIES["q_cusum_changepoint"] = (q_cusum_changepoint, Q_CUSUM_SQL)
+
+
+def q_round_number_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-number bias screen (Benford's companion): human-chosen
+    figures over-represent round amounts. Shares of order totals
+    that are whole dollars / multiples of 100 / of 1000, per order
+    priority — one conditional-aggregation scan; a uniform digit
+    process predicts ~1%, 0.01%, 0.001%."""
+    orders = Catalog(spark, sf_dir).orders
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    whole = (cents % 100 == 0).cast("int")
+    h100 = (cents % 10000 == 0).cast("int")
+    h1000 = (cents % 100000 == 0).cast("int")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _R4(F.avg(whole), "frac_whole_dollar"),
+        _R4(F.avg(h100), "frac_mult_100"),
+        _R4(F.avg(h1000), "frac_mult_1000"),
+    )
+
+
+Q_ROUND_NUMBER_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(avg(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 100 = 0 THEN 1 ELSE 0 END), 4) AS frac_whole_dollar,
+       round(avg(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 10000 = 0 THEN 1 ELSE 0 END), 4) AS frac_mult_100,
+       round(avg(CASE WHEN CAST(round(o_totalprice * 100) AS BIGINT) % 100000 = 0 THEN 1 ELSE 0 END), 4) AS frac_mult_1000
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+QUERIES["q_round_number_bias"] = (q_round_number_bias, Q_ROUND_NUMBER_SQL)
+
+
+def q_single_source_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain concentration audit: per brand, how many parts
+    depend on exactly one supplier (single-sourced — the procurement
+    risk register), with the average supplier fan-out. Two bounded
+    aggregates over the distinct (part, supplier) edge set."""
+    li = Catalog(spark, sf_dir).lineitem.select("l_partkey", "l_suppkey").distinct()
+    fan = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    parts = Catalog(spark, sf_dir).part.select("p_partkey", "p_brand")
+    return (
+        fan.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum((F.col("n_suppliers") == 1).cast("int")).alias("n_single_sourced"),
+            _R4(F.avg("n_suppliers"), "avg_suppliers_per_part"),
+            _R4(
+                F.sum((F.col("n_suppliers") == 1).cast("int"))
+                / F.count(F.lit(1)),
+                "single_source_rate",
+            ),
+        )
+    )
+
+
+Q_SINGLE_SOURCE_SQL = """
+WITH fan AS (
+  SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers
+  FROM lineitem GROUP BY 1
+)
+SELECT p_brand,
+       count(*) AS n_parts,
+       sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS n_single_sourced,
+       round(avg(n_suppliers), 4) AS avg_suppliers_per_part,
+       round(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS single_source_rate
+FROM fan JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+QUERIES["q_single_source_risk"] = (q_single_source_risk, Q_SINGLE_SOURCE_SQL)

@@ -167,3 +167,20 @@ def test_novelty_declines_over_ingestion(spark, sf_dir):
         assert 0.0 <= r.novelty <= 1.0
         assert r.n_novel <= r.n_grams
     assert rows[0].novelty == max(r.novelty for r in rows)  # first bucket is most novel
+
+
+def test_round_number_fracs_nested(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_round_number_bias
+
+    for r in q_round_number_bias(spark, sf_dir).collect():
+        # multiples nest: 1000s ⊆ 100s ⊆ whole dollars
+        assert r.frac_mult_1000 <= r.frac_mult_100 <= r.frac_whole_dollar <= 1.0
+
+
+def test_single_source_rates_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_single_source_risk
+
+    for r in q_single_source_risk(spark, sf_dir).collect():
+        assert 0 <= r.n_single_sourced <= r.n_parts
+        assert r.avg_suppliers_per_part >= 1.0
+        assert abs(r.single_source_rate - r.n_single_sourced / r.n_parts) < 1e-3

@@ -610,3 +610,57 @@ GROUP BY p_brand
 """
 
 QUERIES["q_single_source_risk"] = (q_single_source_risk, Q_SINGLE_SOURCE_SQL)
+
+
+def q_benford_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row Benford conformity verdict: mean absolute deviation
+    of observed first-digit fractions from the Benford expectation,
+    banded by the Nigrini thresholds (<0.006 close, <0.012
+    acceptable, <0.015 marginal, else nonconforming)."""
+    orders = Catalog(spark, sf_dir).orders
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("decimal(18,4)").cast("string"), "[1-9]", 0
+    ).cast("int")
+    per = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("total"))
+    benford = F.array(*[F.lit(_BENFORD[d]) for d in range(1, 10)])
+    dev = F.abs(F.col("n") / F.col("total") - F.element_at(benford, F.col("digit")))
+    mad = (
+        per.crossJoin(F.broadcast(tot))
+        .agg((F.sum(dev) / 9.0).alias("_mad"), F.first("total").alias("n_amounts"))
+    )
+    verdict = (
+        F.when(F.col("_mad") < 0.006, "close")
+        .when(F.col("_mad") < 0.012, "acceptable")
+        .when(F.col("_mad") < 0.015, "marginal")
+        .otherwise("nonconforming")
+    )
+    return mad.select("n_amounts", _R4(F.col("_mad"), "mad"), verdict.alias("verdict"))
+
+
+Q_BENFORD_VERDICT_SQL = f"""
+WITH per AS (
+  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), '[1-9]') AS INTEGER) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(n) AS total FROM per),
+m AS (
+  SELECT min(total) AS n_amounts,
+         sum(abs(n / CAST(total AS DOUBLE) - ({_BENFORD_SQL_ARR})[digit])) / 9.0 AS mad
+  FROM per CROSS JOIN tot
+  WHERE digit IS NOT NULL
+)
+SELECT n_amounts, round(mad, 4) AS mad,
+       CASE WHEN mad < 0.006 THEN 'close'
+            WHEN mad < 0.012 THEN 'acceptable'
+            WHEN mad < 0.015 THEN 'marginal'
+            ELSE 'nonconforming' END AS verdict
+FROM m
+"""
+
+QUERIES["q_benford_verdict"] = (q_benford_verdict, Q_BENFORD_VERDICT_SQL)

@@ -727,3 +727,77 @@ GROUP BY 1
 """
 
 QUERIES["corpus_ngram_novelty"] = (corpus_ngram_novelty, CORPUS_NGRAM_NOVELTY_SQL)
+
+
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit: vocabulary growth V(n) ≈ K·n^β over the
+    ingestion order — β near 0 means the corpus has stopped yielding
+    new vocabulary (novelty's lexical cousin; natural text β≈0.5).
+
+    Cumulative token and new-type counts per 50-doc ingestion
+    bucket (first-occurrence attribution = min doc per term), then
+    one regr fit of ln V on ln n over the bucket curve."""
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    toks = docs.select("doc_id", F.explode("toks").alias("w"))
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    first = toks.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_types = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    bucket = (F.floor(F.col("doc_id") / 50)).alias("b")
+    per_bucket = (
+        per_doc.join(new_types, "doc_id", "left")
+        .groupBy(bucket)
+        .agg(
+            F.sum("n_toks").alias("toks"),
+            F.sum(F.coalesce("n_new", F.lit(0))).alias("types"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = per_bucket.select(
+        "b",
+        F.sum("toks").over(w).alias("cum_tokens"),
+        F.sum("types").over(w).alias("cum_vocab"),
+    )
+    ln_n = F.log(F.col("cum_tokens").cast("double"))
+    ln_v = F.log(F.col("cum_vocab").cast("double"))
+    return curve.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("cum_vocab").alias("vocab_size"),
+        _R4(F.regr_slope(ln_v, ln_n), "heaps_beta"),
+        _R4(F.regr_r2(ln_v, ln_n), "fit_r2"),
+    )
+
+
+CORPUS_HEAPS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY 1
+), first AS (
+  SELECT w, min(doc_id) AS first_doc FROM toks GROUP BY 1
+), new_types AS (
+  SELECT first_doc AS doc_id, count(*) AS n_new FROM first GROUP BY 1
+), per_bucket AS (
+  SELECT CAST(floor(p.doc_id / 50) AS BIGINT) AS b,
+         sum(p.n_toks) AS toks, sum(coalesce(n.n_new, 0)) AS types
+  FROM per_doc p LEFT JOIN new_types n USING (doc_id)
+  GROUP BY 1
+), curve AS (
+  SELECT b,
+         sum(toks) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+         sum(types) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+  FROM per_bucket
+)
+SELECT count(*) AS n_buckets,
+       max(cum_tokens) AS total_tokens,
+       max(cum_vocab) AS vocab_size,
+       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS heaps_beta,
+       round(regr_r2(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS fit_r2
+FROM curve
+"""
+
+QUERIES["corpus_heaps_law"] = (corpus_heaps_law, CORPUS_HEAPS_SQL)

@@ -184,3 +184,13 @@ def test_single_source_rates_consistent(spark, sf_dir):
         assert 0 <= r.n_single_sourced <= r.n_parts
         assert r.avg_suppliers_per_part >= 1.0
         assert abs(r.single_source_rate - r.n_single_sourced / r.n_parts) < 1e-3
+
+
+def test_benford_verdict_consistent_with_digit_table(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_benford_digits, q_benford_verdict
+
+    v = q_benford_verdict(spark, sf_dir).first()
+    digits = q_benford_digits(spark, sf_dir).collect()
+    mad = sum(abs(r.deviation) for r in digits) / 9.0
+    assert abs(v.mad - mad) < 2e-3
+    assert v.verdict in {"close", "acceptable", "marginal", "nonconforming"}

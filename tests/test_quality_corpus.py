@@ -246,3 +246,13 @@ def test_cross_field_rates_consistent(spark, sf_dir):
         assert 0 <= r.n_ship_before_order <= r.n_lines
         assert 0 <= r.n_ship_over_120d <= r.n_lines
         assert 0.0 <= r.violation_rate <= 1.0
+
+
+def test_heaps_beta_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_heaps_law
+
+    r = corpus_heaps_law(spark, sf_dir).first()
+    assert r.vocab_size <= r.total_tokens
+    # vocab grows sublinearly in tokens (or is flat for tiny vocab)
+    assert 0.0 <= r.heaps_beta <= 1.0
+    assert 0.0 <= r.fit_r2 <= 1.0

@@ -571,3 +571,82 @@ QUERIES: dict[str, tuple] = {
     "dq_freshness": (dq_freshness, DQ_FRESHNESS_SQL),
     "dq_value_bounds": (dq_value_bounds, DQ_VALUE_BOUNDS_SQL),
 }
+
+
+_MANIFEST_TABLES = ("region", "nation", "customer", "orders")
+
+# column-type normalization so the checksum string is engine-stable:
+# doubles render differently across engines → DECIMAL(18,4); keep
+# timestamps at date granularity for the manifest
+_MANIFEST_COLS = {
+    "region": (("r_regionkey", "k"), ("r_name", "s")),
+    "nation": (("n_nationkey", "k"), ("n_name", "s"), ("n_regionkey", "k")),
+    "customer": (
+        ("c_custkey", "k"), ("c_name", "s"), ("c_nationkey", "k"),
+        ("c_mktsegment", "s"), ("c_acctbal", "d"),
+    ),
+    "orders": (
+        ("o_orderkey", "k"), ("o_custkey", "k"), ("o_orderstatus", "s"),
+        ("o_totalprice", "d"), ("o_orderdate", "t"), ("o_orderpriority", "s"),
+    ),
+}
+
+
+def _norm_col(name: str, kind: str) -> Column:
+    c = F.col(name)
+    if kind == "d":
+        return c.cast("decimal(18,4)").cast("string")
+    if kind == "t":
+        return c.cast("date").cast("string")
+    return c.cast("string")
+
+
+def dq_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table integrity manifest: row count + an order-
+    independent content checksum per table (sum of the first 48 md5
+    bits of every row's normalized column concatenation). Two copies
+    of a dataset match iff their manifests match — the cheap
+    contract check before/after replication, compaction, or engine
+    moves. One scan per table; checksums are commutative sums, so
+    they shard and merge freely. Columns are normalized (decimals,
+    date-granular timestamps) so the fingerprint is engine-stable.
+    """
+    rows = []
+    for t, cols in _MANIFEST_COLS.items():
+        df = Catalog(spark, sf_dir).table(t)
+        key = F.concat_ws("|", *[_norm_col(n, k) for n, k in cols])
+        chk = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+        rows.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(chk).alias("content_checksum"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _manifest_sql() -> str:
+    sql_norm = {
+        "d": "CAST(CAST({c} AS DECIMAL(18,4)) AS VARCHAR)",
+        "t": "CAST(CAST({c} AS DATE) AS VARCHAR)",
+        "k": "CAST({c} AS VARCHAR)",
+        "s": "CAST({c} AS VARCHAR)",
+    }
+    parts = []
+    for t, cols in _MANIFEST_COLS.items():
+        concat = " || '|' || ".join(sql_norm[k].format(c=n) for n, k in cols)
+        parts.append(
+            f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
+            f"sum(CAST('0x' || substr(md5({concat}), 1, 12) AS BIGINT)) AS content_checksum "
+            f"FROM {t}"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+DQ_CHECKSUM_MANIFEST_SQL = _manifest_sql()
+
+QUERIES["dq_checksum_manifest"] = (dq_checksum_manifest, DQ_CHECKSUM_MANIFEST_SQL)

@@ -256,3 +256,41 @@ def test_heaps_beta_bounded(spark, sf_dir):
     # vocab grows sublinearly in tokens (or is flat for tiny vocab)
     assert 0.0 <= r.heaps_beta <= 1.0
     assert 0.0 <= r.fit_r2 <= 1.0
+
+
+def test_checksum_manifest_detects_single_row_change(spark, sf_dir, tmp_path):
+    """The manifest must be identical for identical copies and
+    differ when one value changes."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.operators.quality import dq_checksum_manifest
+
+    copy = str(tmp_path / "copy")
+    import os
+
+    os.makedirs(copy)
+    for t in ("region", "nation", "customer", "orders"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", f"{copy}/{t}.parquet")
+    a = {r.table_name: (r.n_rows, r.content_checksum)
+         for r in dq_checksum_manifest(spark, sf_dir).collect()}
+    b = {r.table_name: (r.n_rows, r.content_checksum)
+         for r in dq_checksum_manifest(spark, copy).collect()}
+    assert a == b
+
+    # corrupt one customer balance → only that table's checksum moves
+    from etl_gov_spark.io.sources import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    corrupted = cust.withColumn(
+        "c_acctbal",
+        F2.when(F2.col("c_custkey") == 1, F2.col("c_acctbal") + 1).otherwise(
+            F2.col("c_acctbal")
+        ),
+    )
+    corrupted.coalesce(1).write.mode("overwrite").parquet(f"{copy}/customer.parquet")
+    c = {r.table_name: (r.n_rows, r.content_checksum)
+         for r in dq_checksum_manifest(spark, copy).collect()}
+    assert c["customer"] != a["customer"]
+    assert c["orders"] == a["orders"] and c["nation"] == a["nation"]

@@ -244,3 +244,78 @@ QUERIES: dict[str, tuple] = {
     "q_interp_linear": (q_interp_linear, Q_INTERP_SQL),
     "q_ewma_value": (q_ewma_value, Q_EWMA_SQL),
 }
+
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median of daily order revenue — the robust
+    trend line (medians shrug off the spike days that drag moving
+    averages). An aggregate percentile evaluated over a sliding
+    ROWS frame on the (bounded) daily series."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        _R4(F.col("rev"), "revenue"),
+        _R4(F.expr("percentile(rev, 0.5)").over(w), "rolling_median_7d"),
+    )
+
+
+Q_ROLLING_MEDIAN_SQL = """
+SELECT day, round(rev, 4) AS revenue,
+       round(quantile_cont(rev, 0.5) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_median_7d
+FROM (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+)
+"""
+
+QUERIES["q_rolling_median"] = (q_rolling_median, Q_ROLLING_MEDIAN_SQL)
+
+
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of daily order counts (k = 1, 7, 30):
+    the seasonality/persistence diagnostic — a big lag-7 value means
+    weekly cycling, lag-1 means day-to-day momentum. Three corr
+    aggregates over lag columns from one sorted pass."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "n",
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lag("n", 7).over(w).alias("l7"),
+        F.lag("n", 30).over(w).alias("l30"),
+    )
+    return lagged.agg(
+        F.count("n").alias("n_days"),
+        _R4(F.corr("n", "l1"), "acf_lag1"),
+        _R4(F.corr("n", "l7"), "acf_lag7"),
+        _R4(F.corr("n", "l30"), "acf_lag30"),
+    )
+
+
+Q_AUTOCORRELATION_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT n,
+         lag(n, 1) OVER (ORDER BY day) AS l1,
+         lag(n, 7) OVER (ORDER BY day) AS l7,
+         lag(n, 30) OVER (ORDER BY day) AS l30
+  FROM daily
+)
+SELECT count(n) AS n_days,
+       round(corr(n, l1), 4) AS acf_lag1,
+       round(corr(n, l7), 4) AS acf_lag7,
+       round(corr(n, l30), 4) AS acf_lag30
+FROM lagged
+"""
+
+QUERIES["q_autocorrelation"] = (q_autocorrelation, Q_AUTOCORRELATION_SQL)

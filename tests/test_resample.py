@@ -108,3 +108,22 @@ def test_concurrency_sweep_is_conservative(spark, sf_dir):
     assert max(peaks.values()) >= 1
     n_sessions = q_sessionize(spark, sf_dir).count()
     assert max(peaks.values()) <= n_sessions
+
+
+def test_rolling_median_within_window_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.resample import q_rolling_median
+
+    rows = sorted(q_rolling_median(spark, sf_dir).collect(), key=lambda r: r.day)
+    revs = [r.revenue for r in rows]
+    for i, r in enumerate(rows):
+        window = revs[max(0, i - 6) : i + 1]
+        assert min(window) - 1e-6 <= r.rolling_median_7d <= max(window) + 1e-6
+
+
+def test_autocorrelation_in_valid_range(spark, sf_dir):
+    from etl_gov_spark.operators.resample import q_autocorrelation
+
+    r = q_autocorrelation(spark, sf_dir).first()
+    for v in (r.acf_lag1, r.acf_lag7, r.acf_lag30):
+        assert v is None or -1.0 <= v <= 1.0
+    assert r.n_days > 30

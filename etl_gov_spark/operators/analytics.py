@@ -654,3 +654,58 @@ GROUP BY 1, 2
 """
 
 QUERIES["q_customer_migration"] = (q_customer_migration, Q_CUSTOMER_MIGRATION_SQL)
+
+
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue,
+    A = the head covering 80% of cumulative revenue, B = next 15%,
+    C = tail — the stock-policy segmentation every ops team runs.
+    One revenue aggregate, one cumulative window over parts (range-
+    partition the sort at scale), one bounded class rollup."""
+    cat = Catalog(spark, sf_dir)
+    rev = cat.lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    tot = rev.agg(F.sum("rev").alias("_t"))
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    classed = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum("rev").over(w) / F.col("_t"))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("_cum") <= 0.80, "A")
+            .when(F.col("_cum") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _R4(F.sum("rev"), "class_revenue"),
+        _R4(F.sum(F.col("rev") / F.col("_t")), "revenue_share"),
+    )
+
+
+Q_ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+), t AS (SELECT sum(rev) AS t FROM rev),
+classed AS (
+  SELECT rev, t,
+         CASE WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t <= 0.80 THEN 'A'
+              WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM rev CROSS JOIN t
+)
+SELECT abc_class, count(*) AS n_parts,
+       round(sum(rev), 4) AS class_revenue,
+       round(sum(rev / t), 4) AS revenue_share
+FROM classed
+GROUP BY abc_class
+"""
+
+QUERIES["q_abc_classification"] = (q_abc_classification, Q_ABC_SQL)

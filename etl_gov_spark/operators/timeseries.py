@@ -924,3 +924,63 @@ GROUP BY event_type
 """
 
 QUERIES["q_repeat_interval"] = (q_repeat_interval, Q_REPEAT_INTERVAL_SQL)
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: cumulative value per signup-cohort week as
+    cohorts age (weeks 0..4) — retention's money-weighted sibling.
+    Two aggregates + one cumulative window over the (bounded)
+    cohort × age grid."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    aged = (
+        ev.join(first, "user_id")
+        .withColumn(
+            "cohort_week", F.date_trunc("week", "first_day").cast("date")
+        )
+        .withColumn(
+            "age_week", F.floor(F.datediff("day", "first_day") / 7).cast("int")
+        )
+        .filter(F.col("age_week") <= 4)
+    )
+    per = aged.groupBy("cohort_week", "age_week").agg(
+        F.sum("value").alias("week_value"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "cohort_week",
+        "age_week",
+        "active_users",
+        _R4(F.col("week_value"), "week_value"),
+        _R4(F.sum("week_value").over(w), "cumulative_ltv"),
+    )
+
+
+Q_COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), aged AS (
+  SELECT e.user_id, e.value,
+         CAST(date_trunc('week', f.first_day) AS DATE) AS cohort_week,
+         CAST(floor(date_diff('day', f.first_day, CAST(e.ts AS DATE)) / 7) AS INTEGER) AS age_week
+  FROM events e JOIN first f USING (user_id)
+), per AS (
+  SELECT cohort_week, age_week, sum(value) AS week_value,
+         count(DISTINCT user_id) AS active_users
+  FROM aged WHERE age_week <= 4 GROUP BY 1, 2
+)
+SELECT cohort_week, age_week, active_users,
+       round(week_value, 4) AS week_value,
+       round(sum(week_value) OVER (PARTITION BY cohort_week ORDER BY age_week
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cumulative_ltv
+FROM per
+"""
+
+QUERIES["q_cohort_ltv"] = (q_cohort_ltv, Q_COHORT_LTV_SQL)

@@ -173,3 +173,35 @@ def test_customer_migration_conserves_customers(spark, sf_dir):
     assert sum(r.n_customers for r in rows if r.early_tier != "absent") == early_n
     assert sum(r.n_customers for r in rows if r.late_tier != "absent") == late_n
     assert not any(r.early_tier == "absent" and r.late_tier == "absent" for r in rows)
+
+
+def test_abc_classes_cover_everything(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.analytics import q_abc_classification
+
+    rows = {r.abc_class: r for r in q_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    n_parts = (
+        read_table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+    assert abs(sum(r.revenue_share for r in rows.values()) - 1.0) < 1e-2
+    if "A" in rows and "C" in rows:
+        # A parts out-earn C parts per part by construction
+        a, c = rows["A"], rows["C"]
+        assert a.class_revenue / a.n_parts > c.class_revenue / c.n_parts
+
+
+def test_cohort_ltv_accumulates(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_cohort_ltv
+
+    per = {}
+    for r in q_cohort_ltv(spark, sf_dir).collect():
+        per.setdefault(r.cohort_week, []).append(r)
+    assert per
+    for rows in per.values():
+        rows.sort(key=lambda r: r.age_week)
+        cum = 0.0
+        for r in rows:
+            cum += r.week_value
+            assert abs(r.cumulative_ltv - cum) < 0.01  # monotone accumulation

@@ -664,3 +664,53 @@ FROM m
 """
 
 QUERIES["q_benford_verdict"] = (q_benford_verdict, Q_BENFORD_VERDICT_SQL)
+
+
+def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement price-dispersion audit: parts bought at widely
+    varying unit prices (coefficient of variation of
+    extendedprice/quantity) — the "same part, different price"
+    screen. Top-20 most dispersed parts with ≥5 purchases; one
+    grouped aggregate + a top-k window over part summaries."""
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_partkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("up")
+    )
+    per = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_buys"),
+        F.avg("up").alias("_mean"),
+        F.stddev_samp("up").alias("_sd"),
+    ).filter(F.col("n_buys") >= 5)
+    w = Window.orderBy(F.desc(F.col("_sd") / F.col("_mean")), F.asc("l_partkey"))
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "l_partkey",
+            "n_buys",
+            _R4(F.col("_mean"), "mean_unit_price"),
+            _R4(F.col("_sd") / F.col("_mean"), "cv"),
+            "rank",
+        )
+    )
+
+
+Q_PRICE_DISPERSION_SQL = """
+WITH per AS (
+  SELECT l_partkey, count(*) AS n_buys,
+         avg(l_extendedprice / l_quantity) AS mean_up,
+         stddev_samp(l_extendedprice / l_quantity) AS sd_up
+  FROM lineitem GROUP BY 1
+  HAVING count(*) >= 5
+)
+SELECT l_partkey, n_buys,
+       round(mean_up, 4) AS mean_unit_price,
+       round(sd_up / mean_up, 4) AS cv,
+       rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY sd_up / mean_up DESC, l_partkey ASC) AS INTEGER) AS rank
+  FROM per
+)
+WHERE rank <= 20
+"""
+
+QUERIES["q_price_dispersion"] = (q_price_dispersion, Q_PRICE_DISPERSION_SQL)

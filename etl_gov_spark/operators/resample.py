@@ -319,3 +319,57 @@ FROM lagged
 """
 
 QUERIES["q_autocorrelation"] = (q_autocorrelation, Q_AUTOCORRELATION_SQL)
+
+
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical decomposition (STL-lite) of daily order counts:
+    trend = centered 7-day rolling mean, seasonal = day-of-week
+    mean of the detrended series, residual = remainder. One row
+    per component with its variance share — how much of the series
+    the calendar explains. All windows run over the bounded daily
+    series."""
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    wt = Window.orderBy("day").rowsBetween(-3, 3)
+    t = daily.withColumn("trend", F.avg("n").over(wt)).withColumn(
+        "detrended", F.col("n") - F.col("trend")
+    )
+    ws = Window.partitionBy(F.weekday("day"))
+    s = t.withColumn("seasonal", F.avg("detrended").over(ws)).withColumn(
+        "residual", F.col("detrended") - F.col("seasonal")
+    )
+    return s.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _R4(F.var_samp("n"), "var_total"),
+        _R4(F.var_samp("trend"), "var_trend"),
+        _R4(F.var_samp("seasonal"), "var_seasonal"),
+        _R4(F.var_samp("residual"), "var_residual"),
+        _R4(1 - F.var_samp("residual") / F.var_samp("n"), "explained_share"),
+    )
+
+
+Q_SEASONAL_DECOMPOSE_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS DOUBLE) AS n
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT day, n,
+         avg(n) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM daily
+), s AS (
+  SELECT day, n, trend, n - trend AS detrended,
+         avg(n - trend) OVER (PARTITION BY isodow(day)) AS seasonal
+  FROM t
+)
+SELECT count(*) AS n_days,
+       round(var_samp(n), 4) AS var_total,
+       round(var_samp(trend), 4) AS var_trend,
+       round(var_samp(seasonal), 4) AS var_seasonal,
+       round(var_samp(n - trend - seasonal), 4) AS var_residual,
+       round(1 - var_samp(n - trend - seasonal) / var_samp(n), 4) AS explained_share
+FROM s
+"""
+
+QUERIES["q_seasonal_decompose"] = (q_seasonal_decompose, Q_SEASONAL_DECOMPOSE_SQL)

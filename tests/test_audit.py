@@ -194,3 +194,14 @@ def test_benford_verdict_consistent_with_digit_table(spark, sf_dir):
     mad = sum(abs(r.deviation) for r in digits) / 9.0
     assert abs(v.mad - mad) < 2e-3
     assert v.verdict in {"close", "acceptable", "marginal", "nonconforming"}
+
+
+def test_price_dispersion_ranked_and_sane(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_price_dispersion
+
+    rows = sorted(q_price_dispersion(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert rows
+    cvs = [r.cv for r in rows]
+    assert cvs == sorted(cvs, reverse=True)
+    for r in rows:
+        assert r.n_buys >= 5 and r.cv >= 0 and r.mean_unit_price > 0

@@ -127,3 +127,13 @@ def test_autocorrelation_in_valid_range(spark, sf_dir):
     for v in (r.acf_lag1, r.acf_lag7, r.acf_lag30):
         assert v is None or -1.0 <= v <= 1.0
     assert r.n_days > 30
+
+
+def test_decomposition_variance_accounting(spark, sf_dir):
+    from etl_gov_spark.operators.resample import q_seasonal_decompose
+
+    r = q_seasonal_decompose(spark, sf_dir).first()
+    assert r.n_days > 100
+    # residual variance can't exceed total (the decomposition helps)
+    assert 0 <= r.var_residual <= r.var_total
+    assert 0.0 <= r.explained_share <= 1.0

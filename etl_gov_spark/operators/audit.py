@@ -714,3 +714,67 @@ WHERE rank <= 20
 """
 
 QUERIES["q_price_dispersion"] = (q_price_dispersion, Q_PRICE_DISPERSION_SQL)
+
+
+def q_near_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy duplicate-payment screen: same customer, amounts within
+    ~1%, on DIFFERENT days — the split/reissued-invoice pattern the
+    exact-duplicate screen misses. Banded equi-join: amounts bucket
+    at 1% log-width, candidates join on (customer, bucket ± its
+    neighbour), then the exact ratio filter — never a cross join."""
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.to_date("o_orderdate").alias("day"),
+    )
+    bucket = F.floor(F.log("o_totalprice") / F.lit(0.01)).cast("long")
+    probe = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_totalprice").alias("amt_a"),
+        F.col("day").alias("day_a"),
+        F.explode(F.array(bucket - 1, bucket, bucket + 1)).alias("b"),
+    )
+    build = orders.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_totalprice").alias("amt_b"),
+        F.col("day").alias("day_b"),
+        bucket.alias("b"),
+    )
+    return (
+        probe.join(build, ["ck", "b"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.col("day_a") != F.col("day_b"))
+            & (F.abs(F.col("amt_a") - F.col("amt_b")) / F.greatest("amt_a", "amt_b") <= 0.01)
+        )
+        .dropDuplicates(["key_a", "key_b"])
+        .select(
+            F.col("ck").alias("o_custkey"),
+            "key_a",
+            "key_b",
+            _R4(F.col("amt_a"), "amount_a"),
+            _R4(F.col("amt_b"), "amount_b"),
+            F.datediff("day_b", "day_a").alias("days_apart"),
+        )
+    )
+
+
+Q_NEAR_DUP_PAYMENTS_SQL = """
+SELECT DISTINCT a.o_custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+       round(a.o_totalprice, 4) AS amount_a,
+       round(b.o_totalprice, 4) AS amount_b,
+       date_diff('day', CAST(a.o_orderdate AS DATE), CAST(b.o_orderdate AS DATE)) AS days_apart
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND a.o_orderkey < b.o_orderkey
+ AND CAST(a.o_orderdate AS DATE) <> CAST(b.o_orderdate AS DATE)
+ AND abs(a.o_totalprice - b.o_totalprice) / greatest(a.o_totalprice, b.o_totalprice) <= 0.01
+"""
+
+QUERIES["q_near_duplicate_payments"] = (
+    q_near_duplicate_payments,
+    Q_NEAR_DUP_PAYMENTS_SQL,
+)

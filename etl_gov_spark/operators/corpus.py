@@ -801,3 +801,92 @@ FROM curve
 """
 
 QUERIES["corpus_heaps_law"] = (corpus_heaps_law, CORPUS_HEAPS_SQL)
+
+
+def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair overlap matrix: shingle-level Jaccard between
+    feeds — which sources are republishing each other. The
+    source-granular rollup of the inverted index: distinct
+    (shingle, source) rows self-co-occur per shingle, pair counts
+    aggregate to |A∩B|, and per-source distinct counts give the
+    union. Output: top-10 most-overlapping source pairs."""
+    from etl_gov_spark.operators.dedup import pair_structs, shingled_docs
+
+    sh = (
+        shingled_docs(Catalog(spark, sf_dir).documents, "source", distinct=True)
+        .select("source", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    buckets = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs(F.col("srcs"))).alias("p"))
+        .groupBy(F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    a_sz = sizes.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a"))
+    b_sz = sizes.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b"))
+    w = Window.orderBy(
+        F.desc(
+            F.col("n_shared")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+        ),
+        F.asc("src_a"),
+        F.asc("src_b"),
+    )
+    return (
+        inter.join(F.broadcast(a_sz), "src_a")
+        .join(F.broadcast(b_sz), "src_b")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            _R4(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                "jaccard",
+            ),
+            "rank",
+        )
+    )
+
+
+CORPUS_CROSS_SOURCE_SQL = rf"""
+WITH sh AS (
+  SELECT DISTINCT source, s FROM (
+    SELECT source, unnest(list_distinct({_sql_ngrams(3)})) AS s
+    FROM (SELECT source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+  )
+), sizes AS (
+  SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_shared,
+       round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 4) AS jaccard,
+       rank
+FROM (
+  SELECT i.*, sa.n_sh AS na_, sb.n_sh AS nb_,
+         CAST(row_number() OVER (ORDER BY i.n_shared / CAST(sa.n_sh + sb.n_sh - i.n_shared AS DOUBLE) DESC,
+                                 i.src_a ASC, i.src_b ASC) AS INTEGER) AS rank
+  FROM inter i
+  JOIN sizes sa ON i.src_a = sa.source
+  JOIN sizes sb ON i.src_b = sb.source
+) t
+JOIN sizes sa ON t.src_a = sa.source
+JOIN sizes sb ON t.src_b = sb.source
+WHERE rank <= 10
+"""
+
+QUERIES["corpus_cross_source_overlap"] = (
+    corpus_cross_source_overlap,
+    CORPUS_CROSS_SOURCE_SQL,
+)

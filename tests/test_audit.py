@@ -205,3 +205,14 @@ def test_price_dispersion_ranked_and_sane(spark, sf_dir):
     assert cvs == sorted(cvs, reverse=True)
     for r in rows:
         assert r.n_buys >= 5 and r.cv >= 0 and r.mean_unit_price > 0
+
+
+def test_near_dup_payments_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_near_duplicate_payments
+
+    rows = q_near_duplicate_payments(spark, sf_dir).collect()
+    for r in rows:
+        assert r.days_apart != 0
+        hi = max(r.amount_a, r.amount_b)
+        assert abs(r.amount_a - r.amount_b) / hi <= 0.0101
+        assert r.key_a < r.key_b

@@ -294,3 +294,16 @@ def test_checksum_manifest_detects_single_row_change(spark, sf_dir, tmp_path):
          for r in dq_checksum_manifest(spark, copy).collect()}
     assert c["customer"] != a["customer"]
     assert c["orders"] == a["orders"] and c["nation"] == a["nation"]
+
+
+def test_cross_source_overlap_jaccard_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_cross_source_overlap
+
+    rows = sorted(
+        corpus_cross_source_overlap(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert len(rows) == 10
+    js = [r.jaccard for r in rows]
+    assert js == sorted(js, reverse=True)
+    for r in rows:
+        assert 0 < r.jaccard <= 1.0 and r.src_a < r.src_b

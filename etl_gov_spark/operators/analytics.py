@@ -709,3 +709,44 @@ GROUP BY abc_class
 """
 
 QUERIES["q_abc_classification"] = (q_abc_classification, Q_ABC_SQL)
+
+
+def q_executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row executive dashboard: totals, averages, customer
+    reach, latest-vs-prior-year growth — every figure from ONE scan
+    of orders (conditional aggregation against the max-year scalar)
+    plus a broadcast of that single max. The capstone shape: a
+    correct summary never needs N queries."""
+    orders = Catalog(spark, sf_dir).orders
+    ymax = orders.agg(F.max(F.year("o_orderdate")).alias("_y"))
+    o = orders.crossJoin(F.broadcast(ymax))
+    cur = F.year("o_orderdate") == F.col("_y")
+    prev = F.year("o_orderdate") == F.col("_y") - 1
+    cur_rev = F.sum(F.when(cur, F.col("o_totalprice")).otherwise(0.0))
+    prev_rev = F.sum(F.when(prev, F.col("o_totalprice")).otherwise(0.0))
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        _R4(F.sum("o_totalprice"), "total_revenue"),
+        _R4(F.avg("o_totalprice"), "avg_order_value"),
+        F.first("_y").alias("latest_year"),
+        _R4(cur_rev, "latest_year_revenue"),
+        _R4((cur_rev - prev_rev) / prev_rev, "yoy_growth"),
+    )
+
+
+Q_EXECUTIVE_SUMMARY_SQL = """
+WITH y AS (SELECT max(year(o_orderdate)) AS ymax FROM orders)
+SELECT count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 4) AS total_revenue,
+       round(avg(o_totalprice), 4) AS avg_order_value,
+       CAST(min(ymax) AS INTEGER) AS latest_year,
+       round(sum(CASE WHEN year(o_orderdate) = ymax THEN o_totalprice ELSE 0 END), 4) AS latest_year_revenue,
+       round((sum(CASE WHEN year(o_orderdate) = ymax THEN o_totalprice ELSE 0 END)
+              - sum(CASE WHEN year(o_orderdate) = ymax - 1 THEN o_totalprice ELSE 0 END))
+             / sum(CASE WHEN year(o_orderdate) = ymax - 1 THEN o_totalprice ELSE 0 END), 4) AS yoy_growth
+FROM orders CROSS JOIN y
+"""
+
+QUERIES["q_executive_summary"] = (q_executive_summary, Q_EXECUTIVE_SUMMARY_SQL)

@@ -778,3 +778,68 @@ QUERIES["q_near_duplicate_payments"] = (
     q_near_duplicate_payments,
     Q_NEAR_DUP_PAYMENTS_SQL,
 )
+
+
+def q_payment_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity screen: each customer's busiest 7-day window (max
+    orders in any rolling week) vs their overall rate — burst
+    spending is the precursor signal for both fraud and fiscal-
+    year-end dumping. RANGE frame over day ordinals per customer;
+    top-20 burstiest customers."""
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_custkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")).alias(
+            "d"
+        ),
+    )
+    daily = orders.groupBy("o_custkey", "d").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("d")
+        .rangeBetween(-6, 0)
+    )
+    winded = daily.withColumn("w7", F.sum("n").over(w))
+    per = winded.groupBy("o_custkey").agg(
+        F.max("w7").alias("max_orders_7d"),
+        F.sum("n").alias("total_orders"),
+    )
+    wr = Window.orderBy(F.desc("max_orders_7d"), F.asc("o_custkey"))
+    return (
+        per.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "o_custkey",
+            "max_orders_7d",
+            "total_orders",
+            _R4(F.col("max_orders_7d") / F.col("total_orders"), "burst_share"),
+            "rank",
+        )
+    )
+
+
+Q_PAYMENT_VELOCITY_SQL = """
+WITH daily AS (
+  SELECT o_custkey,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS d,
+         count(*) AS n
+  FROM orders GROUP BY 1, 2
+), winded AS (
+  SELECT o_custkey, n,
+         sum(n) OVER (PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS w7
+  FROM daily
+), per AS (
+  SELECT o_custkey, max(w7) AS max_orders_7d, sum(n) AS total_orders
+  FROM winded GROUP BY 1
+)
+SELECT o_custkey, max_orders_7d, total_orders,
+       round(max_orders_7d / CAST(total_orders AS DOUBLE), 4) AS burst_share,
+       rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY max_orders_7d DESC, o_custkey ASC) AS INTEGER) AS rank
+  FROM per
+)
+WHERE rank <= 20
+"""
+
+QUERIES["q_payment_velocity"] = (q_payment_velocity, Q_PAYMENT_VELOCITY_SQL)

@@ -216,3 +216,11 @@ def test_near_dup_payments_bounds(spark, sf_dir):
         hi = max(r.amount_a, r.amount_b)
         assert abs(r.amount_a - r.amount_b) / hi <= 0.0101
         assert r.key_a < r.key_b
+
+
+def test_payment_velocity_bursts_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_payment_velocity
+
+    for r in q_payment_velocity(spark, sf_dir).collect():
+        assert 1 <= r.max_orders_7d <= r.total_orders
+        assert 0 < r.burst_share <= 1.0

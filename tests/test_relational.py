@@ -205,3 +205,17 @@ def test_cohort_ltv_accumulates(spark, sf_dir):
         for r in rows:
             cum += r.week_value
             assert abs(r.cumulative_ltv - cum) < 0.01  # monotone accumulation
+
+
+def test_executive_summary_internally_consistent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.analytics import q_executive_summary
+
+    r = q_executive_summary(spark, sf_dir).first()
+    orders = read_table(spark, sf_dir, "orders")
+    assert r.n_orders == orders.count()
+    assert abs(r.avg_order_value - r.total_revenue / r.n_orders) < 0.01
+    assert r.latest_year == orders.agg(F.max(F.year("o_orderdate"))).first()[0]
+    assert r.latest_year_revenue <= r.total_revenue

@@ -763,12 +763,15 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ln_n = F.log(F.col("cum_tokens").cast("double"))
     ln_v = F.log(F.col("cum_vocab").cast("double"))
+    # no r2: a saturated vocabulary makes ln(V) near-constant and
+    # regr_r2 degenerates to an engine-specific 0/0; growth_after_b0
+    # (exact integer) carries the same "has it flattened?" signal
     return curve.agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("cum_tokens").alias("total_tokens"),
         F.max("cum_vocab").alias("vocab_size"),
+        (F.max("cum_vocab") - F.min("cum_vocab")).alias("growth_after_b0"),
         _R4(F.regr_slope(ln_v, ln_n), "heaps_beta"),
-        _R4(F.regr_r2(ln_v, ln_n), "fit_r2"),
     )
 
 
@@ -795,8 +798,8 @@ WITH toks AS (
 SELECT count(*) AS n_buckets,
        max(cum_tokens) AS total_tokens,
        max(cum_vocab) AS vocab_size,
-       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS heaps_beta,
-       round(regr_r2(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS fit_r2
+       max(cum_vocab) - min(cum_vocab) AS growth_after_b0,
+       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS heaps_beta
 FROM curve
 """
 

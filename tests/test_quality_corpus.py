@@ -255,7 +255,7 @@ def test_heaps_beta_bounded(spark, sf_dir):
     assert r.vocab_size <= r.total_tokens
     # vocab grows sublinearly in tokens (or is flat for tiny vocab)
     assert 0.0 <= r.heaps_beta <= 1.0
-    assert 0.0 <= r.fit_r2 <= 1.0
+    assert 0 <= r.growth_after_b0 < r.vocab_size
 
 
 def test_checksum_manifest_detects_single_row_change(spark, sf_dir, tmp_path):

@@ -771,7 +771,10 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cum_tokens").alias("total_tokens"),
         F.max("cum_vocab").alias("vocab_size"),
         (F.max("cum_vocab") - F.min("cum_vocab")).alias("growth_after_b0"),
-        _R4(F.regr_slope(ln_v, ln_n), "heaps_beta"),
+        # +0.0 normalizes IEEE negative zero: a saturated vocab's
+        # true-zero slope otherwise rounds to -0.0 or +0.0 depending
+        # on summation order, and "-0" != "0" after stringification
+        (F.round(F.regr_slope(ln_v, ln_n), 4) + F.lit(0.0)).alias("heaps_beta"),
     )
 
 
@@ -799,7 +802,7 @@ SELECT count(*) AS n_buckets,
        max(cum_tokens) AS total_tokens,
        max(cum_vocab) AS vocab_size,
        max(cum_vocab) - min(cum_vocab) AS growth_after_b0,
-       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) AS heaps_beta
+       round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) + 0.0 AS heaps_beta
 FROM curve
 """
 

@@ -750,3 +750,113 @@ FROM orders CROSS JOIN y
 """
 
 QUERIES["q_executive_summary"] = (q_executive_summary, Q_EXECUTIVE_SUMMARY_SQL)
+
+
+def q_discount_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue forgone to discounts per year and discount band —
+    the spend-policy readout (how much would flow back if the >5%
+    band were capped). One conditional-aggregation scan of
+    lineitem joined to order dates on the co-partitioned key."""
+    cat = Catalog(spark, sf_dir)
+    j = cat.lineitem.join(
+        cat.orders.select("o_orderkey", F.year("o_orderdate").alias("yr")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    band = (
+        F.when(F.col("l_discount") == 0, "none")
+        .when(F.col("l_discount") <= 0.05, "low")
+        .otherwise("high")
+    )
+    forgone = F.col("l_extendedprice") * F.col("l_discount")
+    return j.groupBy(F.col("yr").alias("order_year"), band.alias("discount_band")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _R4(F.sum(forgone), "revenue_forgone"),
+        _R4(
+            F.sum(forgone)
+            / F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "forgone_vs_net",
+        ),
+    )
+
+
+Q_DISCOUNT_IMPACT_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CASE WHEN l_discount = 0 THEN 'none'
+            WHEN l_discount <= 0.05 THEN 'low'
+            ELSE 'high' END AS discount_band,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * l_discount), 4) AS revenue_forgone,
+       round(sum(l_extendedprice * l_discount)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS forgone_vs_net
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+QUERIES["q_discount_impact"] = (q_discount_impact, Q_DISCOUNT_IMPACT_SQL)
+
+
+def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier delivery scorecard: volume, revenue, on-time share
+    (shipped within 90 days of order), and price competitiveness
+    (supplier's avg unit price vs the catalog-wide avg) — the
+    vendor-review one-pager, top-20 by revenue. One join + two
+    aggregates; the global benchmark broadcasts as a scalar."""
+    cat = Catalog(spark, sf_dir)
+    j = cat.lineitem.join(
+        cat.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    on_time = (
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")) <= 90
+    ).cast("int")
+    up = F.col("l_extendedprice") / F.col("l_quantity")
+    per = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        F.avg(on_time).alias("_ontime"),
+        F.avg(up).alias("_up"),
+    )
+    bench = j.agg(F.avg(up).alias("_gup"))
+    w = Window.orderBy(F.desc("_rev"), F.asc("l_suppkey"))
+    return (
+        per.crossJoin(F.broadcast(bench))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "l_suppkey",
+            "n_lines",
+            _R4(F.col("_rev"), "revenue"),
+            _R4(F.col("_ontime"), "on_time_share"),
+            _R4(F.col("_up") / F.col("_gup"), "price_index"),
+            "rank",
+        )
+    )
+
+
+Q_SUPPLIER_SCORECARD_SQL = """
+WITH j AS (
+  SELECT l_suppkey, l_extendedprice, l_discount, l_quantity,
+         CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) <= 90
+              THEN 1 ELSE 0 END AS on_time
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per AS (
+  SELECT l_suppkey, count(*) AS n_lines,
+         sum(l_extendedprice * (1 - l_discount)) AS rev,
+         avg(on_time) AS ontime,
+         avg(l_extendedprice / l_quantity) AS up
+  FROM j GROUP BY 1
+), g AS (SELECT avg(l_extendedprice / l_quantity) AS gup FROM j)
+SELECT l_suppkey, n_lines,
+       round(rev, 4) AS revenue,
+       round(ontime, 4) AS on_time_share,
+       round(up / gup, 4) AS price_index,
+       rank
+FROM (
+  SELECT per.*, g.gup,
+         CAST(row_number() OVER (ORDER BY rev DESC, l_suppkey ASC) AS INTEGER) AS rank
+  FROM per CROSS JOIN g
+)
+WHERE rank <= 20
+"""
+
+QUERIES["q_supplier_scorecard"] = (q_supplier_scorecard, Q_SUPPLIER_SCORECARD_SQL)

@@ -219,3 +219,26 @@ def test_executive_summary_internally_consistent(spark, sf_dir):
     assert abs(r.avg_order_value - r.total_revenue / r.n_orders) < 0.01
     assert r.latest_year == orders.agg(F.max(F.year("o_orderdate"))).first()[0]
     assert r.latest_year_revenue <= r.total_revenue
+
+
+def test_discount_impact_bands_partition_lines(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.analytics import q_discount_impact
+
+    rows = q_discount_impact(spark, sf_dir).collect()
+    assert sum(r.n_lines for r in rows) == read_table(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert r.revenue_forgone >= 0
+        if r.discount_band == "none":
+            assert r.revenue_forgone == 0.0
+
+
+def test_supplier_scorecard_ranked_by_revenue(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_supplier_scorecard
+
+    rows = sorted(q_supplier_scorecard(spark, sf_dir).collect(), key=lambda r: r.rank)
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.on_time_share <= 1.0
+        assert r.price_index > 0

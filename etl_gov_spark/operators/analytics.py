@@ -309,17 +309,40 @@ GROUP BY c_mktsegment
 """
 
 
+_STRATA_FRACS = {"F": 0.1, "O": 0.1, "P": 0.5}
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling: fixed fraction per order status with a
-    fixed seed (sampleBy). Deterministic within Spark but not
-    portable to another engine — rows-only check; the invariant
-    (per-stratum proportions) is asserted in tests."""
+    """Stratified sampling: fixed fraction per order status, drawn
+    from md5(o_orderkey) instead of ``sampleBy`` so the draw is a
+    pure row-local function — identical on any cluster layout, on
+    re-runs, and on the DuckDB oracle (hash-matchable, not
+    rows-only). Single pass, zero shuffle before the tiny
+    per-stratum aggregate."""
     orders = Catalog(spark, sf_dir).orders
-    sample = orders.sampleBy("o_orderstatus", {"F": 0.1, "O": 0.1, "P": 0.5}, seed=42)
-    return sample.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        _R4(F.avg("o_totalprice"), "avg_price"),
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12)
+    u = (F.conv(h, 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(1 << 48))
+    frac = F.when(F.col("o_orderstatus") == "P", F.lit(0.5)).otherwise(F.lit(0.1))
+    return (
+        orders.filter(u <= frac)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            _R4(F.avg("o_totalprice"), "avg_price"),
+        )
     )
+
+
+Q_STRATIFIED_SQL = """
+SELECT o_orderstatus,
+       count(*) AS n_sampled,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders
+WHERE (CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 12) AS BIGINT) + 1)
+      / 281474976710656.0
+      <= CASE WHEN o_orderstatus = 'P' THEN 0.5 ELSE 0.1 END
+GROUP BY o_orderstatus
+"""
 
 
 QUERIES: dict[str, tuple] = {
@@ -334,7 +357,7 @@ QUERIES: dict[str, tuple] = {
     "q_set_ops": (q_set_ops, Q_SET_OPS_SQL),
     "q_price_histogram": (q_price_histogram, Q_HISTOGRAM_SQL),
     "q_stats_by_segment": (q_stats_by_segment, Q_STATS_SQL),
-    "q_stratified_sample": (q_stratified_sample, None),
+    "q_stratified_sample": (q_stratified_sample, Q_STRATIFIED_SQL),
 }
 
 
@@ -347,12 +370,17 @@ def q_impute_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile is |event types| rows — never a window over the facts),
     clamp in codegen, re-aggregate. At 100 TB: two scans, one
     single-row-per-type shuffle, zero state.
+
+    The profile (m/s/med) is quantized to 6 dp on BOTH engines
+    before clamping: FP summation order differs between Spark and
+    DuckDB, so an unrounded 3-sigma boundary can flip rows sitting
+    exactly at the clamp edge (driver r1 hash mismatch).
     """
     ev = Catalog(spark, sf_dir).events.select("event_type", "value")
     prof = ev.groupBy("event_type").agg(
-        F.avg("value").alias("m"),
-        F.stddev_samp("value").alias("s"),
-        F.percentile("value", 0.5).alias("med"),
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.stddev_samp("value"), 6).alias("s"),
+        F.round(F.percentile("value", 0.5), 6).alias("med"),
     )
     clamped = F.least(
         F.greatest(F.coalesce(F.col("value"), F.col("med")), F.col("m") - 3 * F.col("s")),
@@ -372,8 +400,9 @@ def q_impute_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_IMPUTE_CLAMP_SQL = """
 WITH prof AS (
-  SELECT event_type, avg(value) AS m, stddev_samp(value) AS s,
-         quantile_cont(value, 0.5) AS med
+  SELECT event_type, round(avg(value), 6) AS m,
+         round(stddev_samp(value), 6) AS s,
+         round(quantile_cont(value, 0.5), 6) AS med
   FROM events GROUP BY event_type
 ), fixed AS (
   SELECT e.event_type, e.value,

@@ -375,47 +375,145 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMB_DUP_THRESHOLD = 0.35
+EMB_BANDS = 16
+EMB_PLANES_PER_BAND = 8
+EMB_DIM = 64
+
+
+def _emb_planes() -> list[list[float]]:
+    """EMB_BANDS × EMB_PLANES_PER_BAND deterministic ±1 hyperplanes
+    (md5-derived, same generator as operators/similarity.py) —
+    band k owns planes [k·b, (k+1)·b)."""
+    from etl_gov_spark.operators.similarity import _hyperplanes
+
+    return _hyperplanes(EMB_BANDS * EMB_PLANES_PER_BAND, EMB_DIM)
+
+
+def _emb_band_keys(v: str | Column) -> Column:
+    """Masked sign-LSH blocking keys: per band, the b sign bits of
+    dot(v, plane) with each position masked in turn — two vectors
+    share a key iff some band's sign patterns differ in ≤1 bit
+    (multi-probe recall without a second table). The dot is
+    quantized to 6 dp before the sign test so Spark and DuckDB
+    never disagree at an FP boundary."""
+    col = F.col(v) if isinstance(v, str) else v
+    planes = _emb_planes()
+    b = EMB_PLANES_PER_BAND
+    keys = []
+    for k in range(EMB_BANDS):
+        bits = [
+            F.when(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(col, F.array(*[F.lit(x) for x in plane]), lambda p, q: p * q),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for plane in planes[k * b : (k + 1) * b]
+        ]
+        pat = F.concat(*bits)
+        for i in range(b):
+            masked = F.concat(
+                F.substring(pat, 1, i), F.lit("_"), F.substring(pat, i + 2, b - i - 1)
+            )
+            keys.append(F.concat(F.lit(f"{k}:{i}:"), masked))
+    return F.array(*keys)
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact pair mode).
+    """Embedding-cosine near-dup pairs, sign-LSH blocked: candidates
+    are pairs whose sign patterns agree on ≥1 band up to one flipped
+    bit; candidates are then verified with the exact cosine and kept
+    at ≥ EMB_DUP_THRESHOLD.
 
-    Exact mode is oracle-able and right for post-LSH verification;
-    the scale path for candidate *generation* is the sign-LSH
-    bucketing in operators/similarity.py. Vectors are cast to
-    double so Spark's fold and DuckDB's list_cosine_similarity
-    agree bit-for-bit before rounding.
+    Scale: candidate generation is a band-key groupBy with
+    bucket-local pair expansion (pair_structs) carrying vec_ids
+    only, then two hash joins on vec_id fetch the vectors for the
+    exact verify — no all-pairs crossJoin anywhere. The blocking is
+    a pure function of the vector (md5-derived ±1 hyperplanes,
+    quantized sign), so the DuckDB oracle replays the identical
+    candidate set and the approximate algorithm is exactly
+    oracle-able — same trick as dedup_minhash_lsh. Recall at the
+    registered threshold is asserted against the exact pair set in
+    tests; at a production near-dup threshold (≥0.9) the same
+    banding is near-exhaustive (miss prob (1−p_band)^16 with
+    p_band = P(≤1 of 8 sign flips) ≈ 0.7).
     """
-    emb = Catalog(spark, sf_dir).embeddings.select(
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn(
         "n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     )
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    banded = emb.select("vec_id", F.explode(_emb_band_keys("v")).alias("bk"))
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.array_sort(F.collect_set("vec_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    cand = (
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
+        .distinct()
     )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("_cos")
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("_cos"))
         .filter(F.col("_cos") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", _R4(F.col("_cos"), "cosine"))
     )
 
 
+def _emb_sql_band_keys() -> str:
+    """DuckDB twin of _emb_band_keys: one masked-key list literal
+    expression over the same plane literals and the same quantized
+    sign test."""
+    b = EMB_PLANES_PER_BAND
+    planes = _emb_planes()
+    band_pats = []
+    for k in range(EMB_BANDS):
+        bits = []
+        for plane in planes[k * b : (k + 1) * b]:
+            lit = "[" + ",".join(str(x) for x in plane) + "]"
+            bits.append(
+                f"(CASE WHEN round(list_dot_product(v, {lit}), 6) >= 0 THEN '1' ELSE '0' END)"
+            )
+        band_pats.append(" || ".join(bits))
+    masks = []
+    for k, pat in enumerate(band_pats):
+        for i in range(b):
+            masks.append(
+                f"'{k}:{i}:' || substr({pat}, 1, {i}) || '_' || substr({pat}, {i + 2}, {b - i - 1})"
+            )
+    return "[" + ", ".join(masks) + "]"
+
+
 DEDUP_EMBEDDING_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= {EMB_DUP_THRESHOLD}
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), banded AS (
+  SELECT vec_id, unnest({_emb_sql_band_keys()}) AS bk FROM vecs
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b USING (bk)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
+FROM cand
+JOIN vecs va ON va.vec_id = vec_a
+JOIN vecs vb ON vb.vec_id = vec_b
+WHERE list_cosine_similarity(va.v, vb.v) >= {EMB_DUP_THRESHOLD}
 """
 
 

@@ -34,6 +34,29 @@ def test_reservoir_is_hash_ordered_not_key_ordered(spark, sf_dir):
     assert any(top1[p] != lowest[p] for p in top1)
 
 
+def test_stratified_sample_proportions_and_determinism(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.analytics import q_stratified_sample, _STRATA_FRACS
+
+    a = sorted(map(tuple, q_stratified_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q_stratified_sample(spark, sf_dir).collect()))
+    assert a == b  # md5 draw: layout- and rerun-independent
+    totals = {
+        r.o_orderstatus: r.n
+        for r in read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for status, n_sampled, _avg in a:
+        frac = _STRATA_FRACS[status]
+        expect = totals[status] * frac
+        # binomial draw: allow 5 sigma around the target fraction
+        slack = 5 * (totals[status] * frac * (1 - frac)) ** 0.5 + 1
+        assert abs(n_sampled - expect) <= slack
+
+
 def test_weighted_sample_favours_heavy_orders(spark, sf_dir):
     from etl_gov_spark.io.sources import read_table
     from pyspark.sql import functions as F

@@ -115,6 +115,17 @@ def test_text_quality_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_dedup_embedding_has_no_cartesian_join(spark, sf_dir):
+    """The registered embedding near-dup path must be LSH-blocked:
+    equi-joins only — an all-pairs BNLJ/cartesian over embeddings is
+    O(n²) shuffle at corpus scale."""
+    from etl_gov_spark.operators.dedup import dedup_embedding
+
+    plan = _fmt(dedup_embedding(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     """Runtime filter injection: a selective dim filter should plant
     a bloom filter on the fact-side scan (thresholds lowered to

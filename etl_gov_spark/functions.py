@@ -67,7 +67,15 @@ def uniform_draw(key: Column | str, salt: str = "") -> Column:
 
 def minhash_band_keys(sig_cols: list[str], n_bands: int) -> Column:
     """LSH band keys from minhash signature columns: band-prefixed
-    concatenations, exploded by the caller into the bucket join."""
+    concatenations, exploded by the caller into the bucket join.
+    len(sig_cols) must divide evenly into n_bands — silently
+    dropping trailing signature columns would weaken recall with no
+    signal to the caller."""
+    if not sig_cols or n_bands <= 0 or len(sig_cols) % n_bands != 0:
+        raise ValueError(
+            f"len(sig_cols)={len(sig_cols)} must be a positive multiple of "
+            f"n_bands={n_bands}"
+        )
     per_band = len(sig_cols) // n_bands
     bands = []
     for b in range(n_bands):

@@ -70,9 +70,12 @@ _BENFORD_SQL_ARR = (
 
 Q_BENFORD_SQL = f"""
 WITH per AS (
-  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), '[1-9]') AS INTEGER) AS digit,
-         count(*) AS n
-  FROM orders
+  SELECT digit, count(*) AS n
+  FROM (
+    SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), '[1-9]') AS INTEGER) AS digit
+    FROM orders
+  )
+  WHERE digit IS NOT NULL
   GROUP BY 1
 ), tot AS (SELECT sum(n) AS total FROM per)
 SELECT digit, n,
@@ -80,7 +83,6 @@ SELECT digit, n,
        round(({_BENFORD_SQL_ARR})[digit], 4) AS benford_frac,
        round(n / CAST(total AS DOUBLE) - ({_BENFORD_SQL_ARR})[digit], 4) AS deviation
 FROM per CROSS JOIN tot
-WHERE digit IS NOT NULL
 """
 
 
@@ -201,9 +203,9 @@ def q_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square independence screen: is order priority distributed
     independently of customer market segment? Contingency counts in
     one groupBy; expected counts from broadcast marginals; the
-    statistic is a single algebraic aggregate. Output keeps the
-    cells with the largest contributions so the analyst sees WHERE
-    the dependence lives, plus the total statistic and df."""
+    statistic is a single algebraic aggregate. Output is every cell
+    with its contribution so the analyst sees WHERE the dependence
+    lives, plus the total statistic and df carried on each row."""
     cat = Catalog(spark, sf_dir)
     j = cat.orders.join(
         cat.customer.select("c_custkey", "c_mktsegment"),
@@ -225,12 +227,23 @@ def q_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("observed") - F.col("expected")) ** 2 / F.col("expected"),
         )
     )
-    return scored.select(
-        "c_mktsegment",
-        "o_orderpriority",
-        "observed",
-        _R4(F.col("expected"), "expected"),
-        _R4(F.col("contrib"), "chi2_contrib"),
+    stat = scored.agg(F.round(F.sum("contrib"), 4).alias("chi2_total"))
+    deg = cells.agg(
+        (
+            (F.countDistinct("c_mktsegment") - 1)
+            * (F.countDistinct("o_orderpriority") - 1)
+        ).alias("df")
+    )
+    return (
+        scored.select(
+            "c_mktsegment",
+            "o_orderpriority",
+            "observed",
+            _R4(F.col("expected"), "expected"),
+            _R4(F.col("contrib"), "chi2_contrib"),
+        )
+        .crossJoin(F.broadcast(stat))
+        .crossJoin(F.broadcast(deg))
     )
 
 
@@ -241,12 +254,24 @@ WITH cells AS (
   GROUP BY 1, 2
 ), rm AS (SELECT c_mktsegment, sum(observed) AS row_n FROM cells GROUP BY 1),
 cm AS (SELECT o_orderpriority, sum(observed) AS col_n FROM cells GROUP BY 1),
-t AS (SELECT sum(observed) AS n FROM cells)
-SELECT c.c_mktsegment, c.o_orderpriority, c.observed,
-       round(rm.row_n * cm.col_n / CAST(t.n AS DOUBLE), 4) AS expected,
-       round(pow(c.observed - rm.row_n * cm.col_n / CAST(t.n AS DOUBLE), 2)
-             / (rm.row_n * cm.col_n / CAST(t.n AS DOUBLE)), 4) AS chi2_contrib
-FROM cells c JOIN rm USING (c_mktsegment) JOIN cm USING (o_orderpriority) CROSS JOIN t
+t AS (SELECT sum(observed) AS n FROM cells),
+scored AS (
+  SELECT c.c_mktsegment, c.o_orderpriority, c.observed,
+         rm.row_n * cm.col_n / CAST(t.n AS DOUBLE) AS expected,
+         pow(c.observed - rm.row_n * cm.col_n / CAST(t.n AS DOUBLE), 2)
+           / (rm.row_n * cm.col_n / CAST(t.n AS DOUBLE)) AS contrib
+  FROM cells c JOIN rm USING (c_mktsegment) JOIN cm USING (o_orderpriority) CROSS JOIN t
+), s AS (SELECT round(sum(contrib), 4) AS chi2_total FROM scored),
+d AS (
+  SELECT (count(DISTINCT c_mktsegment) - 1)
+         * (count(DISTINCT o_orderpriority) - 1) AS df
+  FROM cells
+)
+SELECT c_mktsegment, o_orderpriority, observed,
+       round(expected, 4) AS expected,
+       round(contrib, 4) AS chi2_contrib,
+       chi2_total, df
+FROM scored CROSS JOIN s CROSS JOIN d
 """
 
 QUERIES["q_chi2_segment_priority"] = (q_chi2_segment_priority, Q_CHI2_SQL)
@@ -645,15 +670,18 @@ def q_benford_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_BENFORD_VERDICT_SQL = f"""
 WITH per AS (
-  SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), '[1-9]') AS INTEGER) AS digit,
-         count(*) AS n
-  FROM orders GROUP BY 1
+  SELECT digit, count(*) AS n
+  FROM (
+    SELECT CAST(regexp_extract(CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS VARCHAR), '[1-9]') AS INTEGER) AS digit
+    FROM orders
+  )
+  WHERE digit IS NOT NULL
+  GROUP BY 1
 ), tot AS (SELECT sum(n) AS total FROM per),
 m AS (
   SELECT min(total) AS n_amounts,
          sum(abs(n / CAST(total AS DOUBLE) - ({_BENFORD_SQL_ARR})[digit])) / 9.0 AS mad
   FROM per CROSS JOIN tot
-  WHERE digit IS NOT NULL
 )
 SELECT n_amounts, round(mad, 4) AS mad,
        CASE WHEN mad < 0.006 THEN 'close'
@@ -720,15 +748,18 @@ def q_near_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy duplicate-payment screen: same customer, amounts within
     ~1%, on DIFFERENT days — the split/reissued-invoice pattern the
     exact-duplicate screen misses. Banded equi-join: amounts bucket
-    at 1% log-width, candidates join on (customer, bucket ± its
-    neighbour), then the exact ratio filter — never a cross join."""
+    at 0.0101 log-width — strictly wider than the filter's
+    −ln(0.99) ≈ 0.01005 max log-gap, so a qualifying pair differs
+    by at most one bucket and the ±1 probe is complete — candidates
+    join on (customer, bucket ± its neighbour), then the exact
+    ratio filter — never a cross join."""
     orders = Catalog(spark, sf_dir).orders.select(
         "o_custkey",
         "o_orderkey",
         "o_totalprice",
         F.to_date("o_orderdate").alias("day"),
     )
-    bucket = F.floor(F.log("o_totalprice") / F.lit(0.01)).cast("long")
+    bucket = F.floor(F.log("o_totalprice") / F.lit(0.0101)).cast("long")
     probe = orders.select(
         F.col("o_custkey").alias("ck"),
         F.col("o_orderkey").alias("key_a"),

@@ -610,17 +610,21 @@ def dq_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     moves. One scan per table; checksums are commutative sums, so
     they shard and merge freely. Columns are normalized (decimals,
     date-granular timestamps) so the fingerprint is engine-stable.
+    The per-row 48-bit values are summed as DECIMAL(38,0) on both
+    engines: a bigint sum would overflow at ~2^15 rows (Spark wraps
+    or ANSI-errors, DuckDB silently promotes to HUGEINT — divergent
+    exactly at the scale the manifest targets).
     """
     rows = []
     for t, cols in _MANIFEST_COLS.items():
         df = Catalog(spark, sf_dir).table(t)
         key = F.concat_ws("|", *[_norm_col(n, k) for n, k in cols])
-        chk = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+        chk = F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("decimal(38,0)")
         rows.append(
             df.agg(
                 F.lit(t).alias("table_name"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(chk).alias("content_checksum"),
+                F.sum(chk).cast("decimal(38,0)").alias("content_checksum"),
             )
         )
     out = rows[0]
@@ -641,7 +645,7 @@ def _manifest_sql() -> str:
         concat = " || '|' || ".join(sql_norm[k].format(c=n) for n, k in cols)
         parts.append(
             f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
-            f"sum(CAST('0x' || substr(md5({concat}), 1, 12) AS BIGINT)) AS content_checksum "
+            f"CAST(sum(CAST(CAST('0x' || substr(md5({concat}), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS content_checksum "
             f"FROM {t}"
         )
     return "\nUNION ALL\n".join(parts)

@@ -104,6 +104,34 @@ def test_duplicate_payments_detects_planted_dupe(spark, tmp_path_factory):
     assert got[0].n_payments == 2 and got[0].order_ids == "1,2"
 
 
+def test_near_dup_payments_catches_bucket_straddling_pair(spark, tmp_path_factory):
+    """Amounts within the 1% ratio filter whose log-gap exceeds the
+    old 0.01 bucket width (max qualifying gap is −ln(0.99)≈0.01005):
+    with 0.0101-wide buckets the pair lands ≤1 bucket apart and the
+    ±1 probe finds it — the old width silently dropped it."""
+    import datetime
+    import math
+
+    from etl_gov_spark.operators.audit import q_near_duplicate_payments
+
+    a, b = 1002.22, 1012.33
+    assert abs(a - b) / max(a, b) <= 0.01  # qualifies for the filter
+    assert math.floor(math.log(b) / 0.01) - math.floor(math.log(a) / 0.01) == 2
+
+    tmp = str(tmp_path_factory.mktemp("straddle"))
+    rows = [
+        (1, 10, "O", a, datetime.datetime(2024, 3, 1), "1-URGENT"),
+        (2, 10, "O", b, datetime.datetime(2024, 3, 5), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+    got = q_near_duplicate_payments(spark, tmp).collect()
+    assert len(got) == 1 and (got[0].key_a, got[0].key_b) == (1, 2)
+
+
 def test_structuring_screen_flags_near_threshold_clusters(spark, sf_dir):
     from etl_gov_spark.operators.audit import _STRUCT_THRESHOLD, q_structuring_screen
 

@@ -29,6 +29,19 @@ def test_cosine_matches_manual(spark):
     assert rows[0].c == 0.0 and rows[1].c == 1.0
 
 
+def test_minhash_band_keys_rejects_uneven_split(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a", "b", "c")], "id long, h0 string, h1 string, h2 string")
+    # 3 signature columns into 2 bands would silently drop h2
+    with pytest.raises(ValueError, match="multiple of"):
+        EF.minhash_band_keys(["h0", "h1", "h2"], 2)
+    keys = df.select(
+        F.explode(EF.minhash_band_keys(["h0", "h1", "h2"], 3)).alias("k")
+    ).collect()
+    assert [r.k for r in keys] == ["0:a", "1:b", "2:c"]
+
+
 def test_uniform_draw_deterministic_and_spread(spark, sf_dir):
     orders = Catalog(spark, sf_dir).orders.select("o_orderkey")
     a = orders.select(EF.uniform_draw("o_orderkey").alias("u")).collect()

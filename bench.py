@@ -5,6 +5,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Queries are forced with the noop sink (full computation, no driver
 collect) so the timing measures the distributed plan, not result
 transfer.
+
+Each headline query's DuckDB oracle SQL is timed on the same parquet
+at the same sf as the single-node anchor ("within 2x of baseline" is
+checkable from the same JSON line): `queries` stays spark seconds
+(driver contract), `duck_s` carries the anchor, `vs_duck` the ratio.
 """
 
 from __future__ import annotations
@@ -16,8 +21,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_gov_spark.queries.catalog import all_queries  # noqa: E402
+from etl_gov_spark.queries.catalog import all_oracles, all_queries  # noqa: E402
 from etl_gov_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -64,13 +73,35 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = all_oracles()
+    duck: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in oracles:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(oracles[name]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        duck[name] = round(best, 3)
+
+    total = round(sum(times.values()), 3)
+    duck_total = round(sum(duck.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(times.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": times,
+                "duck_s": duck,
+                "duck_total": duck_total,
+                "vs_duck": round(total / duck_total, 3) if duck_total else None,
                 "sf": sf,
             }
         )

@@ -3,7 +3,10 @@ from etl_gov_spark.pipeline.core import (
     DatasetRegistry,
     Pipeline,
     PipelineContext,
+    PipelineListener,
+    RunLedger,
     SensorTimeout,
+    TaskReschedule,
     TaskSkipped,
 )
 
@@ -12,6 +15,9 @@ __all__ = [
     "DatasetRegistry",
     "Pipeline",
     "PipelineContext",
+    "PipelineListener",
+    "RunLedger",
     "SensorTimeout",
+    "TaskReschedule",
     "TaskSkipped",
 ]

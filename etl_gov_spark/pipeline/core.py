@@ -22,6 +22,16 @@ Capability map (reference file → here):
 - ``example_setup_teardown.py``                 → ``Pipeline.setup`` / ``teardown``
 - ``example_xcom.py`` (xcom push/pull)          → ``PipelineContext.outputs``
 - ``dags/sql/sample.sql`` (SQL operator)        → ``Pipeline.run_sql``
+- ``example_trigger_controller_dag.py`` /
+  ``example_trigger_target_dag.py``             → ``Pipeline.trigger`` (conf payload)
+- ``example_external_task_marker_dag.py``       → ``RunLedger`` +
+  ``external_task_sensor`` / ``external_task_marker``
+- ``example_time_delta_sensor_async.py``        → ``sensor(deferrable=True)`` +
+  ``time_delta_sensor`` (rescheduled between pokes, never holds the slot)
+- ``plugins/event_listener.py`` /
+  ``listener_plugin.py``                        → ``PipelineListener`` registry
+- ``plugins/decreasing_priority_weight_strategy.py`` → ``priority_weight``
+  (ready-task ordering; Spark fair-scheduler pools are the cluster analogue)
 """
 
 from __future__ import annotations
@@ -43,6 +53,49 @@ class TaskSkipped(Exception):
 
 class SensorTimeout(TimeoutError):
     """Sensor did not observe its condition within the timeout."""
+
+
+class TaskReschedule(Exception):
+    """Raised by a deferrable sensor after a false poke: the runner
+    leaves the task pending, executes other ready tasks, and only
+    sleeps when nothing else can make progress (≈ Airflow deferred /
+    mode='reschedule' — the poke never holds the worker slot)."""
+
+    def __init__(self, next_poke_at: float) -> None:
+        super().__init__(f"reschedule at {next_poke_at}")
+        self.next_poke_at = next_poke_at
+
+
+class RunLedger:
+    """Process-local cross-pipeline completion ledger (≈ the Airflow
+    metadata DB that ExternalTaskSensor queries). Pipelines attached
+    to a ledger record every completed task under (pipeline, task,
+    run_key); other pipelines' external sensors poll it. On a
+    cluster this would back onto a metastore/delta table — the
+    record/is_complete interface is what matters."""
+
+    def __init__(self) -> None:
+        self._done: set[tuple[str, str, Any]] = set()
+
+    def record(self, pipeline: str, task: str, run_key: Any = None) -> None:
+        self._done.add((pipeline, task, run_key))
+
+    def is_complete(self, pipeline: str, task: str, run_key: Any = None) -> bool:
+        return (pipeline, task, run_key) in self._done
+
+
+@dataclass
+class PipelineListener:
+    """Lifecycle listener (≈ plugins/event_listener.py): any subset
+    of callbacks; unset hooks are no-ops. Task hooks receive
+    (ctx, task_name) — plus the exception for failures."""
+
+    on_pipeline_started: Callable[[PipelineContext], None] | None = None
+    on_pipeline_finished: Callable[[PipelineContext], None] | None = None
+    on_task_started: Callable[[PipelineContext, str], None] | None = None
+    on_task_succeeded: Callable[[PipelineContext, str], None] | None = None
+    on_task_failed: Callable[[PipelineContext, str, Exception], None] | None = None
+    on_task_skipped: Callable[[PipelineContext, str], None] | None = None
 
 
 @dataclass
@@ -96,6 +149,8 @@ class PipelineContext:
     skipped: set[str] = field(default_factory=set)
     registry: DatasetRegistry | None = None
     attempts: dict[str, int] = field(default_factory=dict)
+    started_at: float = field(default_factory=time.monotonic)
+    sensor_deadlines: dict[str, float] = field(default_factory=dict)
 
     def pull(self, task_name: str) -> Any:
         """xcom_pull: fetch an upstream task's return value."""
@@ -114,6 +169,7 @@ class _Task:
     retries: int = 0  # ≈ Airflow task retries
     retry_delay_s: float = 0.0
     on_failure: Callable[[PipelineContext, Exception], None] | None = None
+    priority_weight: int = 1  # higher runs first among ready tasks
 
 
 class Pipeline:
@@ -125,16 +181,30 @@ class Pipeline:
         spark: SparkSession,
         params: dict[str, Any] | None = None,
         registry: DatasetRegistry | None = None,
+        ledger: RunLedger | None = None,
     ) -> None:
         self.name = name
         self.spark = spark
         self.params = params or {}
         self.registry = registry
+        self.ledger = ledger
         self._tasks: dict[str, _Task] = {}
         self._order: list[str] = []
         self._setup: list[Callable[[PipelineContext], None]] = []
         self._teardown: list[Callable[[PipelineContext], None]] = []
         self._group_prefix: list[str] = []
+        self._listeners: list[PipelineListener] = []
+
+    def add_listener(self, listener: PipelineListener) -> PipelineListener:
+        """Register a lifecycle listener (≈ listener plugin)."""
+        self._listeners.append(listener)
+        return listener
+
+    def _emit(self, hook: str, *args: Any) -> None:
+        for lis in self._listeners:
+            cb = getattr(lis, hook)
+            if cb is not None:
+                cb(*args)
 
     # -- registration -------------------------------------------------
 
@@ -157,6 +227,7 @@ class Pipeline:
         retries: int = 0,
         retry_delay_s: float = 0.0,
         on_failure: Callable[[PipelineContext, Exception], None] | None = None,
+        priority_weight: int = 1,
     ) -> Callable:
         """Register ``fn(ctx) -> Any`` as a task (≈ @task). The
         return value is the task's xcom; DataFrames stay lazy.
@@ -177,11 +248,80 @@ class Pipeline:
                     retries,
                     retry_delay_s,
                     on_failure,
+                    priority_weight,
                 )
             )
             return fn
 
         return deco
+
+    def trigger(
+        self,
+        name: str,
+        target: "Pipeline",
+        conf: dict[str, Any] | Callable[[PipelineContext], dict[str, Any]] | None = None,
+        deps: Iterable[str] = (),
+    ) -> str:
+        """≈ TriggerDagRunOperator (example_trigger_controller_dag):
+        run ``target`` now with a conf payload (a dict, or a callable
+        building it from this run's ctx — the controller's "message").
+        The target's finished PipelineContext is this task's xcom, so
+        downstream tasks can pull the triggered run's outputs."""
+        qname = self._qualify(name)
+
+        def _trig(ctx: PipelineContext) -> PipelineContext:
+            payload = conf(ctx) if callable(conf) else (conf or {})
+            return target.run(**payload)
+
+        return self._add(_Task(qname, _trig, tuple(deps)))
+
+    def external_task_sensor(
+        self,
+        name: str,
+        external_pipeline: str,
+        external_task: str,
+        run_key: Any = None,
+        deps: Iterable[str] = (),
+        **kw: Any,
+    ) -> str:
+        """≈ ExternalTaskSensor (example_external_task_marker_dag):
+        wait until another pipeline's task is recorded complete in
+        the shared RunLedger for ``run_key`` (≈ logical date)."""
+        if self.ledger is None:
+            raise ValueError(f"external_task_sensor {name}: pipeline has no ledger")
+        ledger = self.ledger
+
+        def _check(ctx: PipelineContext) -> bool:
+            key = run_key if run_key is not None else ctx.params.get("run_date")
+            return ledger.is_complete(external_pipeline, external_task, key)
+
+        return self.sensor(name, _check, deps=deps, **kw)
+
+    def external_task_marker(
+        self, name: str, deps: Iterable[str] = ()
+    ) -> str:
+        """≈ ExternalTaskMarker: a no-op task that exists to give
+        downstream pipelines a stable (pipeline, task) dependency
+        point in the ledger — its completion record IS the contract;
+        renaming it breaks consumers, so keep it append-only."""
+        return self._add(_Task(self._qualify(name), lambda ctx: True, tuple(deps)))
+
+    def time_delta_sensor(
+        self,
+        name: str,
+        delta_s: float,
+        deps: Iterable[str] = (),
+        **kw: Any,
+    ) -> str:
+        """≈ TimeDeltaSensorAsync (example_time_delta_sensor_async):
+        wait until ``delta_s`` after the run started. Pass
+        ``deferrable=True`` to release the slot between pokes."""
+
+        def _check(ctx: PipelineContext) -> bool:
+            return time.monotonic() - ctx.started_at >= delta_s
+
+        kw.setdefault("timeout_s", delta_s + 30.0)
+        return self.sensor(name, _check, deps=deps, **kw)
 
     def run_sql(
         self, name: str, sql: str, deps: Iterable[str] = ()
@@ -325,12 +465,17 @@ class Pipeline:
         poke_interval_s: float = 0.5,
         deps: Iterable[str] = (),
         mode: str = "timeout_error",  # or "skip" (≈ soft_fail)
+        deferrable: bool = False,
     ) -> str:
         """≈ FileSensor / TimeDeltaSensor: poll ``check`` until true
-        or timeout. ``mode="skip"`` soft-fails into a skip."""
+        or timeout. ``mode="skip"`` soft-fails into a skip.
+        ``deferrable=True`` (≈ Airflow deferred / mode='reschedule'):
+        a false poke raises TaskReschedule instead of sleeping, so
+        the runner executes other ready tasks between pokes and only
+        sleeps when nothing else can progress."""
         qname = self._qualify(name)
 
-        def _wait(ctx: PipelineContext) -> bool:
+        def _wait_blocking(ctx: PipelineContext) -> bool:
             deadline = time.monotonic() + timeout_s
             while time.monotonic() < deadline:
                 if check(ctx):
@@ -340,7 +485,20 @@ class Pipeline:
                 raise TaskSkipped(qname)
             raise SensorTimeout(f"sensor {qname} timed out after {timeout_s}s")
 
-        return self._add(_Task(qname, _wait, tuple(deps)))
+        def _wait_deferrable(ctx: PipelineContext) -> bool:
+            now = time.monotonic()
+            deadline = ctx.sensor_deadlines.setdefault(qname, now + timeout_s)
+            if check(ctx):
+                return True
+            if now >= deadline:
+                if mode == "skip":
+                    raise TaskSkipped(qname)
+                raise SensorTimeout(f"sensor {qname} timed out after {timeout_s}s")
+            raise TaskReschedule(min(now + poke_interval_s, deadline))
+
+        return self._add(
+            _Task(qname, _wait_deferrable if deferrable else _wait_blocking, tuple(deps))
+        )
 
     def file_sensor(
         self, name: str, path: str, deps: Iterable[str] = (), **kw: Any
@@ -379,6 +537,38 @@ class Pipeline:
             visit(n, ())
         return out
 
+    def _run_task(self, ctx: PipelineContext, t: _Task) -> None:
+        """One task to completion/skip (propagating TaskReschedule),
+        with retries, callbacks, listener events, and ledger/dataset
+        records."""
+        if t.name not in ctx.attempts:
+            self._emit("on_task_started", ctx, t.name)
+        try:
+            for attempt in range(t.retries + 1):
+                ctx.attempts[t.name] = attempt + 1
+                try:
+                    ctx.outputs[t.name] = t.fn(ctx)
+                    break
+                except (TaskSkipped, TaskReschedule):
+                    raise
+                except Exception as exc:
+                    if attempt == t.retries:
+                        if t.on_failure is not None:
+                            t.on_failure(ctx, exc)
+                        self._emit("on_task_failed", ctx, t.name, exc)
+                        raise
+                    if t.retry_delay_s:
+                        time.sleep(t.retry_delay_s)
+        except TaskSkipped:
+            ctx.skipped.add(t.name)
+            self._emit("on_task_skipped", ctx, t.name)
+            return
+        self._emit("on_task_succeeded", ctx, t.name)
+        if t.outputs_dataset is not None and ctx.registry is not None:
+            ctx.registry.publish(t.outputs_dataset)
+        if self.ledger is not None:
+            self.ledger.record(self.name, t.name, ctx.params.get("run_date"))
+
     def run(self, **params: Any) -> PipelineContext:
         ctx = PipelineContext(
             spark=self.spark,
@@ -387,34 +577,52 @@ class Pipeline:
         )
         for setup_fn in self._setup:
             setup_fn(ctx)
+        self._emit("on_pipeline_started", ctx)
+        order = self._toposort()
+        topo_idx = {n: i for i, n in enumerate(order)}
+        pending = dict.fromkeys(order)  # insertion-ordered set
+        next_poke: dict[str, float] = {}  # deferred sensors awaiting re-poke
         try:
-            for name in self._toposort():
-                t = self._tasks[name]
-                skipped_deps = [d for d in t.deps if d in ctx.skipped]
-                if skipped_deps and t.trigger_rule == "all_success":
-                    ctx.skipped.add(name)
-                    continue
-                try:
-                    for attempt in range(t.retries + 1):
-                        ctx.attempts[name] = attempt + 1
-                        try:
-                            ctx.outputs[name] = t.fn(ctx)
-                            break
-                        except TaskSkipped:
-                            raise
-                        except Exception as exc:
-                            if attempt == t.retries:
-                                if t.on_failure is not None:
-                                    t.on_failure(ctx, exc)
-                                raise
-                            if t.retry_delay_s:
-                                time.sleep(t.retry_delay_s)
-                except TaskSkipped:
-                    ctx.skipped.add(name)
-                    continue
-                if t.outputs_dataset is not None and ctx.registry is not None:
-                    ctx.registry.publish(t.outputs_dataset)
+            while pending:
+                # ready = all deps resolved; highest priority first,
+                # topo order as the deterministic tie-break
+                ready = [
+                    n
+                    for n in pending
+                    if all(d not in pending for d in self._tasks[n].deps)
+                ]
+                ready.sort(
+                    key=lambda n: (-self._tasks[n].priority_weight, topo_idx[n])
+                )
+                progressed = False
+                for name in ready:
+                    if name in next_poke and time.monotonic() < next_poke[name]:
+                        continue
+                    t = self._tasks[name]
+                    if (
+                        any(d in ctx.skipped for d in t.deps)
+                        and t.trigger_rule == "all_success"
+                    ):
+                        ctx.skipped.add(name)
+                        self._emit("on_task_skipped", ctx, name)
+                        del pending[name]
+                        progressed = True
+                        continue
+                    try:
+                        self._run_task(ctx, t)
+                    except TaskReschedule as r:
+                        next_poke[name] = r.next_poke_at
+                        continue
+                    next_poke.pop(name, None)
+                    del pending[name]
+                    progressed = True
+                if not progressed:
+                    waiting = [next_poke[n] for n in pending if n in next_poke]
+                    if not waiting:  # defensive: toposort precludes this
+                        raise ValueError(f"pipeline {self.name}: no runnable task")
+                    time.sleep(max(0.0, min(waiting) - time.monotonic()))
         finally:
+            self._emit("on_pipeline_finished", ctx)
             for teardown_fn in self._teardown:
                 teardown_fn(ctx)
         return ctx

@@ -199,6 +199,210 @@ def test_latest_only_gates_backfill_runs(spark):
     assert ctx.pull("publish") == "published"
 
 
+def test_trigger_runs_target_with_conf(spark):
+    """≈ example_trigger_controller_dag → example_trigger_target_dag:
+    the controller triggers the target now, passing a conf payload;
+    the target's run context is the controller task's xcom."""
+    target = Pipeline("target", spark)
+
+    @target.task("receive")
+    def receive(ctx):
+        return f"got: {ctx.params.get('message', '<none>')}"
+
+    controller = Pipeline("controller", spark)
+
+    @controller.task("prepare")
+    def prepare(ctx):
+        return "hello from controller"
+
+    controller.trigger(
+        "fire", target, conf=lambda ctx: {"message": ctx.pull("prepare")},
+        deps=["prepare"],
+    )
+
+    @controller.task("inspect", deps=["fire"])
+    def inspect(ctx):
+        return ctx.pull("fire").pull("receive")
+
+    ctx = controller.run()
+    assert ctx.pull("inspect") == "got: hello from controller"
+
+
+def test_external_task_sensor_fires_and_times_out(spark):
+    """≈ example_external_task_marker_dag: the child pipeline waits
+    on the parent's marker task for the same run_key; unseen keys
+    time out."""
+    from etl_gov_spark.pipeline.core import RunLedger
+
+    ledger = RunLedger()
+    parent = Pipeline("parent", spark, ledger=ledger)
+
+    @parent.task("work")
+    def work(ctx):
+        return 1
+
+    parent.external_task_marker("handoff", deps=["work"])
+
+    child = Pipeline("child", spark, ledger=ledger)
+    child.external_task_sensor(
+        "wait_parent", "parent", "handoff",
+        timeout_s=0.3, poke_interval_s=0.05,
+    )
+
+    @child.task("consume", deps=["wait_parent"])
+    def consume(ctx):
+        return "consumed"
+
+    # parent hasn't run for this run_date → sensor times out
+    with pytest.raises(SensorTimeout):
+        child.run(run_date="2024-06-01")
+    # parent completes the same logical date → sensor fires
+    parent.run(run_date="2024-06-01")
+    assert child.run(run_date="2024-06-01").pull("consume") == "consumed"
+    # a different logical date is still not satisfied
+    with pytest.raises(SensorTimeout):
+        child.run(run_date="2024-06-02")
+
+
+def test_listeners_fire_in_order_across_branch_and_skip(spark):
+    """≈ plugins/event_listener.py: start/success/skip/finish events
+    observed in execution order, including cascade-skips."""
+    from etl_gov_spark.pipeline.core import PipelineListener
+
+    p = Pipeline("listened", spark)
+    events: list[tuple[str, str]] = []
+    p.add_listener(
+        PipelineListener(
+            on_pipeline_started=lambda ctx: events.append(("pipeline", "start")),
+            on_pipeline_finished=lambda ctx: events.append(("pipeline", "finish")),
+            on_task_started=lambda ctx, n: events.append((n, "start")),
+            on_task_succeeded=lambda ctx, n: events.append((n, "success")),
+            on_task_skipped=lambda ctx, n: events.append((n, "skip")),
+        )
+    )
+    p.branch(
+        "route",
+        chooser=lambda ctx: "left",
+        branches={"left": lambda ctx: "L", "right": lambda ctx: "R"},
+    )
+
+    @p.task("after_right", deps=["route.right"])
+    def after_right(ctx):
+        return "never"
+
+    p.run()
+    assert events[0] == ("pipeline", "start") and events[-1] == ("pipeline", "finish")
+    assert ("route", "success") in events
+    assert ("route.left", "success") in events
+    assert ("route.right", "skip") in events
+    assert ("after_right", "skip") in events  # cascade-skip also emits
+    # started fires before its own success
+    assert events.index(("route.left", "start")) < events.index(("route.left", "success"))
+
+
+def test_listener_failure_event(spark):
+    from etl_gov_spark.pipeline.core import PipelineListener
+
+    p = Pipeline("listen-fail", spark)
+    seen = []
+    p.add_listener(
+        PipelineListener(on_task_failed=lambda ctx, n, exc: seen.append((n, str(exc))))
+    )
+
+    @p.task("boom")
+    def boom(ctx):
+        raise RuntimeError("bang")
+
+    with pytest.raises(RuntimeError):
+        p.run()
+    assert seen == [("boom", "bang")]
+
+
+def test_deferrable_sensor_releases_slot_between_pokes(spark, tmp_path):
+    """≈ example_time_delta_sensor_async: a deferred sensor must not
+    block other ready tasks — the independent task completes while
+    the sensor is still waiting, even though the sensor registered
+    first."""
+    marker = tmp_path / "flag"
+    p = Pipeline("deferred", spark)
+    order: list[str] = []
+
+    def check(ctx):
+        done = marker.exists()
+        if not done and "other" in order:
+            marker.write_text("x")  # condition appears after 'other' ran
+        return done
+
+    p.sensor("gate", check, timeout_s=5.0, poke_interval_s=0.05, deferrable=True)
+
+    @p.task("other")  # independent: no deps on the sensor
+    def other(ctx):
+        order.append("other")
+        return 1
+
+    @p.task("after", deps=["gate"])
+    def after(ctx):
+        order.append("after")
+        return 2
+
+    ctx = p.run()
+    # 'other' ran during the sensor's wait, not after it
+    assert order == ["other", "after"]
+    assert ctx.pull("gate") is True
+
+
+def test_deferrable_sensor_timeout_and_skip_modes(spark):
+    p = Pipeline("deferred-timeout", spark)
+    p.sensor("never", lambda ctx: False, timeout_s=0.2, poke_interval_s=0.05,
+             deferrable=True)
+    with pytest.raises(SensorTimeout):
+        p.run()
+
+    p2 = Pipeline("deferred-skip", spark)
+    p2.sensor("never", lambda ctx: False, timeout_s=0.2, poke_interval_s=0.05,
+              deferrable=True, mode="skip")
+
+    @p2.task("down", deps=["never"])
+    def down(ctx):
+        return 1
+
+    ctx = p2.run()
+    assert {"never", "down"} <= ctx.skipped
+
+
+def test_time_delta_sensor_waits_out_the_delta(spark):
+    import time as _time
+
+    p = Pipeline("delta", spark)
+    p.time_delta_sensor("pause", 0.3, poke_interval_s=0.05, deferrable=True)
+
+    @p.task("after", deps=["pause"])
+    def after(ctx):
+        return _time.monotonic()
+
+    ctx = p.run()
+    assert ctx.pull("after") - ctx.started_at >= 0.3
+
+
+def test_priority_weight_orders_ready_tasks(spark):
+    """≈ plugins/decreasing_priority_weight_strategy.py: among ready
+    tasks the higher weight runs first; default weights keep
+    registration (topo) order."""
+    p = Pipeline("prio", spark)
+    order: list[str] = []
+
+    @p.task("low", priority_weight=1)
+    def low(ctx):
+        order.append("low")
+
+    @p.task("high", priority_weight=10)
+    def high(ctx):
+        order.append("high")
+
+    p.run()
+    assert order == ["high", "low"]
+
+
 def test_salted_join_scatters_hot_keys(spark, sf_dir):
     """Each hot key must spread across several salt sub-keys, and
     the salted result must equal the plain join row-for-row."""

@@ -419,6 +419,11 @@ FROM fixed GROUP BY event_type
 QUERIES["q_impute_clamp"] = (q_impute_clamp, Q_IMPUTE_CLAMP_SQL)
 
 _BASKET_TOP = 20
+# hard bound on per-basket pair expansion: one hot basket contributes
+# at most C(100,2) pairs; gov orders hold <=7 items so the cap never
+# binds on real data, it is the 100x-corpus safety rail. Mirrored in
+# the SQL twins via a per-order rank filter on the same sort key.
+MAX_BASKET = 100
 
 
 def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -428,8 +433,11 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pairs expand bucket-locally per order (collect_set + in-array
     pair expansion — order baskets are small and bounded, so the
     expansion is linear in Σ basket², never a self-join that
-    re-scans lineitem). Per-part supports broadcast back onto the
-    pair aggregate; one shuffle on orderkey, one on the pair key.
+    re-scans lineitem). Baskets are capped at MAX_BASKET items
+    (sorted by partkey, deterministic) so a single hot basket cannot
+    go quadratic at corpus scale. Per-part supports broadcast back
+    onto the pair aggregate; one shuffle on orderkey, one on the
+    pair key.
     """
     from etl_gov_spark.operators.dedup import pair_structs
 
@@ -442,7 +450,7 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         baskets.filter(F.size("parts") > 1)
-        .select(F.explode(pair_structs(F.col("parts"))).alias("p"))
+        .select(F.explode(pair_structs(F.col("parts"), MAX_BASKET)).alias("p"))
         .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
     )
@@ -474,9 +482,18 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q_MARKET_BASKET_SQL = f"""
 WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), li_capped AS (
+  -- mirrors the Spark MAX_BASKET slice: first {MAX_BASKET} items of the
+  -- partkey-sorted basket take part in the pair expansion
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM li
+  ) WHERE rn <= {MAX_BASKET}
 ), pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS pair_count
-  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  FROM li_capped a JOIN li_capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
 ), pc AS (
   SELECT l_partkey, count(*) AS cnt FROM li GROUP BY 1
@@ -557,7 +574,7 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = (
         baskets.filter(F.size("parts") > 1)
-        .select(F.explode(pair_structs(F.col("parts"))).alias("p"))
+        .select(F.explode(pair_structs(F.col("parts"), MAX_BASKET)).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= 2)
@@ -593,12 +610,19 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_ITEM_ITEM_CF_SQL = """
+Q_ITEM_ITEM_CF_SQL = f"""
 WITH li AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), li_capped AS (
+  SELECT l_orderkey, l_partkey FROM (
+    SELECT l_orderkey, l_partkey,
+           row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+    FROM li
+  ) WHERE rn <= {MAX_BASKET}
 ), pairs AS (
   SELECT a.l_partkey AS a, b.l_partkey AS b, count(*) AS pair_count
-  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  FROM li_capped a JOIN li_capped b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
   HAVING count(*) >= 2
 ), sym AS (

@@ -142,7 +142,7 @@ def minhash_signature_flat(docs: DataFrame) -> DataFrame:
     )
 
 
-def pair_structs(ds: Column) -> Column:
+def pair_structs(ds: Column, max_items: int | None = None) -> Column:
     """All (a, b) pairs with list-position i < j from a sorted
     struct array — bucket-local pair expansion. Replaces the
     bucket self-join: the bucket contents are computed ONCE
@@ -150,7 +150,16 @@ def pair_structs(ds: Column) -> Column:
     upstream pipeline per side), and pair generation stays inside
     codegen. Buckets must be small (LSH bands / shingle df) — cap
     df upstream at scale; a hot bucket means the key carries no
-    dedup signal anyway."""
+    dedup signal anyway.
+
+    ``max_items`` bounds the expansion for callers whose bucket size
+    is data-driven (order baskets): only the first ``max_items``
+    elements of the (sorted, hence deterministic) array expand, so
+    one hot basket contributes at most C(max_items, 2) pairs instead
+    of going quadratic. Callers with an oracle must mirror the cap
+    (rank-filter per group on the same sort key)."""
+    if max_items is not None:
+        ds = F.slice(ds, 1, max_items)
     return F.flatten(
         F.transform(
             ds,

@@ -145,6 +145,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-key aggregate; nothing iterates on the driver except
     the fixed two-iteration loop (each iteration is one distributed
     pass — the standard Lloyd-on-MapReduce layout).
+
+    The k×64-double centroid table is MATERIALIZED to the driver
+    after each Lloyd pass (model state, not data — the same
+    distributed-eigensolver pattern as emb_pca_top_component):
+    without it the final plan re-derives every iteration's
+    assignment lineage inline (~15 exchanges / 6 BNLJ observed);
+    with it the plan is one assignment + probe + top-k.
     """
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -153,7 +160,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(LLOYD_ITERS):
-        centroids = _recompute(_assign(emb, centroids))
+        model = _recompute(_assign(emb, centroids)).collect()  # k×64 doubles
+        centroids = spark.createDataFrame(
+            [(r.cid, r.cv) for r in model], "cid long, cv array<double>"
+        )
     cells = _assign(emb, centroids)
 
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(

@@ -126,6 +126,42 @@ def test_dedup_embedding_has_no_cartesian_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_ann_ivf_plan_is_trimmed_by_centroid_materialization(spark, sf_dir):
+    """Lloyd iterations must not unroll into the final plan: with
+    the k x 64 centroid model materialized between passes, the plan
+    is one assignment + probe + top-k (~15 exchanges / 6 BNLJ when
+    the lineage is left inline)."""
+    import re
+
+    from etl_gov_spark.operators.vectors import ann_ivf_topk
+
+    plan = _fmt(ann_ivf_topk(spark, sf_dir))
+    assert len(re.findall(r"Exchange (hash|range|Single)", plan)) <= 6
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+
+
+def test_pair_structs_cap_bounds_hot_baskets(spark):
+    """A 1000-item basket must expand to at most C(MAX_BASKET, 2)
+    pairs — the hot-basket guard for q_market_basket/q_item_item_cf
+    at corpus scale."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.analytics import MAX_BASKET
+    from etl_gov_spark.operators.dedup import pair_structs
+
+    df = spark.createDataFrame(
+        [(list(range(1000)),)], "parts array<long>"
+    ).select(
+        F.size(pair_structs(F.col("parts"))).alias("uncapped"),
+        F.size(pair_structs(F.col("parts"), MAX_BASKET)).alias("capped"),
+        F.size(pair_structs(F.slice("parts", 1, 5), MAX_BASKET)).alias("small"),
+    )
+    r = df.first()
+    assert r.uncapped == 1000 * 999 // 2
+    assert r.capped == MAX_BASKET * (MAX_BASKET - 1) // 2
+    assert r.small == 10  # cap is a no-op below the bound
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     """Runtime filter injection: a selective dim filter should plant
     a bloom filter on the fact-side scan (thresholds lowered to

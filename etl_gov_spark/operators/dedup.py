@@ -320,28 +320,34 @@ WHERE rank <= 5
 """
 
 SIMHASH_HAMMING_T = 8
+SIMHASH_BITS = 60  # 15 hex chars of md5 — portable to the oracle
+SIMHASH_CHUNKS = 4  # 4 × 15-bit pigeonhole blocking
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs (rows-only check: xxhash64 has
-    no DuckDB twin; recall is asserted on synthetic dups in tests).
+    """60-bit SimHash near-dup pairs.
 
-    Build: per-doc term frequencies (vocab-bounded), explode the 64
+    Build: per-doc term frequencies (vocab-bounded), explode the 60
     bit positions, majority-vote each bit, OR the winning bits into
-    a long. Blocking: pigeonhole on 4×16-bit chunks — Hamming ≤ 8
+    a long. Blocking: pigeonhole on 4×15-bit chunks — Hamming ≤ 8
     pairs *may* collide on a chunk; candidates are verified with
     bit_count(xor). Everything is JVM built-ins.
+
+    Term hash = first 15 md5 hex chars (60 bits), not xxhash64: a
+    pure function both engines compute identically, which makes the
+    sketch exactly oracle-able (same trick as dedup_minhash_lsh);
+    recall on planted dups is additionally asserted in tests.
     """
     docs = expand_parallelism(Catalog(spark, sf_dir).documents)
     tf = (
         docs.select("doc_id", F.explode(tokens_col()).alias("w"))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.xxhash64("w"))
+        .withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
     )
     bits = tf.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
         F.col("cnt"),
         F.col("h"),
     ).select(
@@ -366,8 +372,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = sim.select(
         "doc_id",
         "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("chunk"),
-    ).withColumn("chunk_val", F.expr("shiftright(simhash, chunk * 16) & 65535"))
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("chunk"),
+    ).withColumn("chunk_val", F.expr("shiftright(simhash, chunk * 15) & 32767"))
     a = chunked.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "chunk_val"
     )
@@ -381,6 +387,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_HAMMING_T)
         .distinct()
     )
+
+
+DEDUP_SIMHASH_SQL = rf"""
+WITH tf AS (
+  SELECT doc_id, w, count(*) AS cnt,
+         CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+  GROUP BY doc_id, w
+), bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+  FROM tf CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) b
+  GROUP BY doc_id, b.bit
+), sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id
+), chunked AS (
+  SELECT doc_id, simhash, c.chunk, (simhash >> (c.chunk * 15)) & 32767 AS chunk_val
+  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS chunk) c
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_T}
+"""
 
 
 EMB_DUP_THRESHOLD = 0.35
@@ -597,6 +630,6 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, DEDUP_MINHASH_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, DEDUP_JACCARD_SQL),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
 }

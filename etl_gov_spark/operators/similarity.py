@@ -102,10 +102,11 @@ def _hyperplanes(n_planes: int = N_PLANES, dim: int = DIM) -> list[list[float]]:
 def _plane_sign_bits(v: str | Column) -> Column:
     """Sign-LSH bucket id as a bit-string: char k = sign of
     dot(v, H_k). String keys hash-partition evenly in the bucket
-    equi-join."""
+    equi-join. The dot is quantized to 6 dp before the sign test so
+    Spark and the DuckDB oracle never disagree at an FP boundary."""
     bits = [
         F.when(
-            _dot(v, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
+            F.round(_dot(v, F.array(*[F.lit(x) for x in plane])), 6) >= 0, F.lit("1")
         ).otherwise(F.lit("0"))
         for plane in _hyperplanes()
     ]
@@ -128,12 +129,15 @@ def _probe_buckets(bucket: str | Column) -> Column:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN top-10 with Hamming-1 multi-probe
-    (rows-only: bucket membership is not SQL-portable; recall vs
-    brute force is asserted in tests).
+    """Sign-LSH bucketed ANN top-10 with Hamming-1 multi-probe.
 
     Equi-join on bucket id — with 2^8 buckets the candidate set per
-    query is ~9·N/256; tune planes/probes as N grows.
+    query is ~9·N/256; tune planes/probes as N grows. The bucketing
+    is a pure function of the vector (md5-derived ±1 hyperplanes,
+    quantized sign), so the DuckDB oracle replays the identical
+    buckets/probes and the approximate algorithm is exactly
+    oracle-able; recall vs brute force is additionally asserted in
+    tests.
     """
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -159,7 +163,52 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_bucket_expr() -> str:
+    """DuckDB twin of _plane_sign_bits over the same plane literals
+    and the same quantized sign test (column ``v`` must be
+    DOUBLE[])."""
+    bits = []
+    for plane in _hyperplanes():
+        lit = "[" + ",".join(str(x) for x in plane) + "]"
+        bits.append(
+            f"(CASE WHEN round(list_dot_product(v, {lit}), 6) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+ANN_LSH_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, {_sql_bucket_expr()} AS bucket FROM vecs
+), q AS (
+  SELECT vec_id AS q_id,
+         unnest([bucket] || list_transform(generate_series(0, {N_PLANES - 1}),
+                k -> substr(bucket, 1, k)
+                     || (CASE WHEN substr(bucket, k + 1, 1) = '1' THEN '0' ELSE '1' END)
+                     || substr(bucket, k + 2, {N_PLANES} - k - 1))) AS bucket
+  FROM b WHERE vec_id % {QUERY_STRIDE} = 0
+), cand AS (
+  SELECT DISTINCT q.q_id, c.vec_id AS cand_id
+  FROM q JOIN b c USING (bucket)
+  WHERE c.vec_id <> q.q_id
+), scored AS (
+  SELECT q_id, cand_id, list_cosine_similarity(qa.v, ca.v) AS cos
+  FROM cand
+  JOIN vecs qa ON qa.vec_id = cand.q_id
+  JOIN vecs ca ON ca.vec_id = cand.cand_id
+)
+SELECT q_id, cand_id, round(cos, 4) AS cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+           ORDER BY cos DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, None),
+    "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
 }

@@ -410,7 +410,7 @@ WITH prof AS (
   FROM events e JOIN prof p USING (event_type)
 )
 SELECT event_type,
-       sum(CASE WHEN v2 <> value THEN 1 ELSE 0 END) AS n_repaired,
+       CAST(sum(CASE WHEN v2 <> value THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
        round(avg(value), 4) AS avg_before,
        round(avg(v2), 4) AS avg_after
 FROM fixed GROUP BY event_type

@@ -398,9 +398,9 @@ SELECT o_custkey, n_orders, n_near_threshold, n_at_or_over,
        round(n_near_threshold / CAST(n_orders AS DOUBLE), 4) AS near_share
 FROM (
   SELECT o_custkey, count(*) AS n_orders,
-         sum(CASE WHEN o_totalprice >= 0.9 * {_STRUCT_THRESHOLD}
-                   AND o_totalprice < {_STRUCT_THRESHOLD} THEN 1 ELSE 0 END) AS n_near_threshold,
-         sum(CASE WHEN o_totalprice >= {_STRUCT_THRESHOLD} THEN 1 ELSE 0 END) AS n_at_or_over
+         CAST(sum(CASE WHEN o_totalprice >= 0.9 * {_STRUCT_THRESHOLD}
+                   AND o_totalprice < {_STRUCT_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_near_threshold,
+         CAST(sum(CASE WHEN o_totalprice >= {_STRUCT_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_at_or_over
   FROM orders GROUP BY o_custkey
 )
 WHERE n_near_threshold >= 3 AND n_near_threshold > n_at_or_over
@@ -627,7 +627,7 @@ WITH fan AS (
 )
 SELECT p_brand,
        count(*) AS n_parts,
-       sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS n_single_sourced,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_sourced,
        round(avg(n_suppliers), 4) AS avg_suppliers_per_part,
        round(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS single_source_rate
 FROM fan JOIN part ON l_partkey = p_partkey
@@ -679,7 +679,7 @@ WITH per AS (
   GROUP BY 1
 ), tot AS (SELECT sum(n) AS total FROM per),
 m AS (
-  SELECT min(total) AS n_amounts,
+  SELECT CAST(min(total) AS BIGINT) AS n_amounts,
          sum(abs(n / CAST(total AS DOUBLE) - ({_BENFORD_SQL_ARR})[digit])) / 9.0 AS mad
   FROM per CROSS JOIN tot
 )
@@ -860,7 +860,7 @@ WITH daily AS (
              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS w7
   FROM daily
 ), per AS (
-  SELECT o_custkey, max(w7) AS max_orders_7d, sum(n) AS total_orders
+  SELECT o_custkey, CAST(max(w7) AS BIGINT) AS max_orders_7d, CAST(sum(n) AS BIGINT) AS total_orders
   FROM winded GROUP BY 1
 )
 SELECT o_custkey, max_orders_7d, total_orders,

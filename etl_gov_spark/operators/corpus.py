@@ -103,7 +103,7 @@ WITH toks AS (
 )
 SELECT g.doc_id,
        count(*) AS n_grams,
-       sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
        round(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS contamination
 FROM grams g LEFT JOIN train t ON g.gram = t.gram
 WHERE g.source IN ('src15','src16','src17','src18','src19')
@@ -208,7 +208,7 @@ WITH toks AS (
                     / {_BUDGET}) AS BIGINT) AS bin_id
   FROM toks
 )
-SELECT source, bin_id, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+SELECT source, bin_id, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(sum(n_tokens) / {_BUDGET}.0, 4) AS fill_ratio
 FROM binned GROUP BY source, bin_id
 """
@@ -454,7 +454,7 @@ WITH t AS (
 )
 SELECT s.doc_id,
        count(*) AS n_segments,
-       sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared_segments,
+       CAST(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_segments,
        round(sum(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
              / CAST(count(*) AS DOUBLE), 4) AS shared_frac
 FROM segs s JOIN freq f USING (seg)
@@ -510,7 +510,7 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS_MIX_WEIGHTS_SQL = f"""
 WITH per AS (
   SELECT source, count(*) AS n_docs,
-         sum(len(string_split_regex(trim(text), '\\s+'))) AS n_tokens
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (
   SELECT sum(n_tokens) AS tot_tokens,
@@ -586,7 +586,7 @@ WITH d AS (
   SELECT doc_id, source, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
   FROM documents
 ), per AS (
-  SELECT source, sum(n_tokens) AS n_tokens FROM d GROUP BY source
+  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS n_tokens FROM d GROUP BY source
 ), tot AS (
   SELECT sum(n_tokens) AS tot,
          sum(pow(CAST(n_tokens AS DOUBLE), {_MIX_TAU})) AS tot_pow
@@ -600,11 +600,11 @@ WITH d AS (
 )
 SELECT d.source,
        count(*) AS n_docs,
-       sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT))
-                     / 281474976710656.0 < k.p_keep THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+                     / 281474976710656.0 < k.p_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        round(min(k.p_keep), 4) AS p_keep,
-       sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT))
-                     / 281474976710656.0 < k.p_keep THEN d.n_tokens ELSE 0 END) AS kept_tokens
+       CAST(sum(CASE WHEN (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT))
+                     / 281474976710656.0 < k.p_keep THEN d.n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
 FROM d JOIN keep k USING (source)
 GROUP BY d.source
 """
@@ -720,7 +720,7 @@ WITH toks AS (
   GROUP BY g.doc_id
 )
 SELECT CAST(floor(doc_id / 50) AS BIGINT) AS ingest_bucket,
-       count(*) AS n_docs, sum(n_grams) AS n_grams, sum(n_novel) AS n_novel,
+       count(*) AS n_docs, CAST(sum(n_grams) AS BIGINT) AS n_grams, CAST(sum(n_novel) AS BIGINT) AS n_novel,
        round(sum(n_novel) / CAST(sum(n_grams) AS DOUBLE), 4) AS novelty
 FROM per_doc
 GROUP BY 1
@@ -799,9 +799,9 @@ WITH toks AS (
   FROM per_bucket
 )
 SELECT count(*) AS n_buckets,
-       max(cum_tokens) AS total_tokens,
-       max(cum_vocab) AS vocab_size,
-       max(cum_vocab) - min(cum_vocab) AS growth_after_b0,
+       CAST(max(cum_tokens) AS BIGINT) AS total_tokens,
+       CAST(max(cum_vocab) AS BIGINT) AS vocab_size,
+       CAST(max(cum_vocab) - min(cum_vocab) AS BIGINT) AS growth_after_b0,
        round(regr_slope(ln(CAST(cum_vocab AS DOUBLE)), ln(CAST(cum_tokens AS DOUBLE))), 4) + 0.0 AS heaps_beta
 FROM curve
 """

@@ -138,9 +138,9 @@ def scd2_order_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_ORDER_STATUS_HISTORY_SQL = """
 WITH runs AS (
   SELECT o_custkey, o_orderstatus, o_orderdate,
-         sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
   FROM (SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey) AS prev FROM orders)
 ), hist AS (
@@ -278,9 +278,9 @@ def scd2_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_TEMPORAL_JOIN_SQL = """
 WITH runs AS (
   SELECT o_custkey, o_orderstatus, o_orderdate,
-         sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus THEN 1 ELSE 0 END)
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
   FROM (SELECT *, lag(o_orderstatus) OVER (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey) AS prev FROM orders)
 ), hist AS (

@@ -421,12 +421,12 @@ WITH done AS (
                    <= {_KM_CUTOFF_DAYS} THEN 1 ELSE 0 END AS died
   FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
 ), per_t AS (
-  SELECT t, sum(died) AS d, sum(1 - died) AS c FROM dur GROUP BY t
+  SELECT t, CAST(sum(died) AS BIGINT) AS d, CAST(sum(1 - died) AS BIGINT) AS c FROM dur GROUP BY t
 ), risk AS (
   SELECT t, d, c,
-         (SELECT sum(d + c) FROM per_t)
+         CAST((SELECT sum(d + c) FROM per_t)
            - coalesce(sum(d + c) OVER (ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_at_risk
   FROM per_t
 ), curve AS (
   SELECT t, d, c, n_at_risk,

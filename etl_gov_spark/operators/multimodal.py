@@ -284,7 +284,7 @@ WITH d AS (
                     / {SHARD_BYTES}) AS BIGINT) AS shard_id
   FROM d
 )
-SELECT source, shard_id, count(*) AS n_items, sum(n_bytes) AS shard_bytes,
+SELECT source, shard_id, count(*) AS n_items, CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
        round(sum(n_bytes) / {SHARD_BYTES}.0, 4) AS fill_ratio
 FROM sharded GROUP BY 1, 2
@@ -321,7 +321,7 @@ SELECT source,
        CASE octet_length(encode(text)) % 3
             WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt,
        count(*) AS n_payloads,
-       sum(octet_length(encode(text))) AS total_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
        max(octet_length(encode(text))) AS max_bytes
 FROM documents
 GROUP BY 1, 2

@@ -143,7 +143,7 @@ WITH agg AS (
          count(o_orderkey) - count(DISTINCT o_orderkey) AS v_uniq
   FROM orders
 )
-SELECT u."check", u.violations, agg.n_rows,
+SELECT u."check", CAST(u.violations AS BIGINT) AS violations, agg.n_rows,
        CASE WHEN u.violations = 0 THEN 1 ELSE 0 END AS passed
 FROM agg, LATERAL (VALUES
     ('not_null:o_custkey', v_null),
@@ -187,7 +187,7 @@ WITH agg AS (
          sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS c6
   FROM events
 )
-SELECT u.column_name, u.n_nulls, round(u.n_nulls / CAST(agg.n AS DOUBLE), 4) AS null_rate
+SELECT u.column_name, CAST(u.n_nulls AS BIGINT) AS n_nulls, round(u.n_nulls / CAST(agg.n AS DOUBLE), 4) AS null_rate
 FROM agg, LATERAL (VALUES
     ('event_id', c1), ('ts', c2), ('user_id', c3),
     ('event_type', c4), ('value', c5), ('props', c6)) AS u(column_name, n_nulls)
@@ -328,12 +328,12 @@ def dq_accepted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DQ_ACCEPTED_VALUES_SQL = """
 SELECT 'events.event_type' AS check,
-       sum(CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN 1 ELSE 0 END) AS violations,
+       CAST(sum(CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN 1 ELSE 0 END) AS BIGINT) AS violations,
        count(DISTINCT CASE WHEN event_type NOT IN ('click','view','signup','purchase','error') THEN event_type END) AS n_bad_values
 FROM events
 UNION ALL
 SELECT 'orders.o_orderstatus',
-       sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
        count(DISTINCT CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN o_orderstatus END)
 FROM orders
 """
@@ -423,7 +423,7 @@ WITH agg AS (
          min(l_extendedprice) AS lo3, max(l_extendedprice) AS hi3
   FROM lineitem
 )
-SELECT u."check", u.violations,
+SELECT u."check", CAST(u.violations AS BIGINT) AS violations,
        round(u.min_observed, 4) AS min_observed,
        round(u.max_observed, 4) AS max_observed
 FROM agg, LATERAL (VALUES
@@ -473,8 +473,8 @@ def dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
 DQ_CROSS_FIELD_SQL = """
 SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
        count(*) AS n_lines,
-       sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS n_ship_before_order,
-       sum(CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 120 THEN 1 ELSE 0 END) AS n_ship_over_120d,
+       CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_before_order,
+       CAST(sum(CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 120 THEN 1 ELSE 0 END) AS BIGINT) AS n_ship_over_120d,
        round((sum(CASE WHEN l.l_shipdate < o.o_orderdate THEN 1 ELSE 0 END)
               + sum(CASE WHEN CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + 120 THEN 1 ELSE 0 END))
              / CAST(count(*) AS DOUBLE), 4) AS violation_rate
@@ -544,8 +544,8 @@ WITH binned AS (
   FROM hist GROUP BY 1
 )
 SELECT h.event_type,
-       min(t.t_ref) AS n_ref_events,
-       min(t.t_cur) AS n_cur_events,
+       CAST(min(t.t_ref) AS BIGINT) AS n_ref_events,
+       CAST(min(t.t_cur) AS BIGINT) AS n_cur_events,
        round(sum(((h.n_cur + 1) / CAST(t.t_cur + {_PSI_BINS} AS DOUBLE)
                   - (h.n_ref + 1) / CAST(t.t_ref + {_PSI_BINS} AS DOUBLE))
                  * ln(((h.n_cur + 1) / CAST(t.t_cur + {_PSI_BINS} AS DOUBLE))

@@ -705,8 +705,8 @@ WITH opens AS (
   FROM opens o FULL OUTER JOIN dones d ON o.day = d.day
 ), run AS (
   SELECT day,
-         sum(n_open - n_done) OVER (ORDER BY day
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS backlog
+         CAST(sum(n_open - n_done) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
   FROM daily
 )
 SELECT CAST(date_trunc('month', day) AS DATE) AS month,
@@ -766,8 +766,8 @@ WITH sessions AS (
     SELECT session_end AS at, -1 AS d FROM sessions
   ) GROUP BY at
 ), live AS (
-  SELECT at, sum(d) OVER (ORDER BY at
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  SELECT at, CAST(sum(d) OVER (ORDER BY at
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS live
   FROM deltas
 )
 SELECT CAST(at AS DATE) AS day, max(live) AS peak_concurrent
@@ -873,8 +873,8 @@ WITH first AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 )
 SELECT day,
-       sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS new_users,
-       sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS returning_users
+       CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       CAST(sum(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
 FROM active JOIN first USING (user_id)
 GROUP BY day
 """

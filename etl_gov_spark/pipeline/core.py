@@ -40,10 +40,13 @@ import os
 import time
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
+from datetime import datetime, timedelta
 from functools import reduce
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+
+from .schedule import DataInterval, Timetable, parse_schedule
 
 
 class TaskSkipped(Exception):
@@ -98,6 +101,65 @@ class PipelineListener:
     on_task_skipped: Callable[[PipelineContext, str], None] | None = None
 
 
+class ParamValidationError(ValueError):
+    """A supplied or default param value violates its Param schema."""
+
+
+_PARAM_PY_TYPES: dict[str, tuple[type, ...]] = {
+    "string": (str,),
+    "integer": (int,),
+    "number": (int, float),
+    "boolean": (bool,),
+    "array": (list, tuple),
+    "object": (dict,),
+    "null": (type(None),),
+}
+
+
+@dataclass
+class Param:
+    """Declared, validated pipeline param (≈ airflow.models.param.Param,
+    reference ``dags/example_params_trigger_ui.py:43``): a default plus
+    a JSON-schema-ish constraint set. ``type`` uses the JSON-schema
+    names (string/integer/number/boolean/array/object/null) or a tuple
+    of them; ``enum`` restricts to listed values."""
+
+    default: Any = None
+    type: str | tuple[str, ...] | None = None
+    enum: list[Any] | None = None
+    description: str = ""
+    title: str = ""
+    minimum: float | None = None
+    maximum: float | None = None
+
+    def validate(self, name: str, value: Any) -> Any:
+        if self.type is not None:
+            names = (self.type,) if isinstance(self.type, str) else tuple(self.type)
+            allowed: tuple[type, ...] = ()
+            for n in names:
+                if n not in _PARAM_PY_TYPES:
+                    raise ParamValidationError(f"param {name}: unknown type {n!r}")
+                allowed += _PARAM_PY_TYPES[n]
+            # bool is an int subclass: only accept it when "boolean" asked
+            if isinstance(value, bool) and "boolean" not in names:
+                raise ParamValidationError(
+                    f"param {name}: expected {names}, got boolean {value!r}"
+                )
+            if not isinstance(value, allowed):
+                raise ParamValidationError(
+                    f"param {name}: expected {names}, got {type(value).__name__}"
+                )
+        if self.enum is not None and value not in self.enum:
+            raise ParamValidationError(
+                f"param {name}: {value!r} not in enum {self.enum!r}"
+            )
+        if self.minimum is not None and value < self.minimum:
+            raise ParamValidationError(f"param {name}: {value!r} < min {self.minimum}")
+        if self.maximum is not None and value > self.maximum:
+            raise ParamValidationError(f"param {name}: {value!r} > max {self.maximum}")
+        return value
+
+
 @dataclass
 class Dataset:
     """A named, versioned data product (≈ Airflow Dataset/alias).
@@ -110,6 +172,35 @@ class Dataset:
     uri: str | None = None
 
 
+@dataclass(frozen=True)
+class DatasetAlias:
+    """Late-bound dataset indirection (≈ airflow.datasets.DatasetAlias,
+    reference ``dags/example_dataset_alias.py:1``): a task declares the
+    alias as its outlet and resolves it to concrete Dataset(s) at run
+    time via ``ctx.outlet_events[alias].add(Dataset(...))``. Until
+    first resolution, alias subscribers are pending (the reference's
+    "Unresolved DatasetAlias" state); resolution attaches them to the
+    target and fires them on each publish."""
+
+    name: str
+
+
+class _AliasEvents:
+    """Per-run accumulator behind ``ctx.outlet_events[name]``."""
+
+    def __init__(self) -> None:
+        self.datasets: list[Dataset] = []
+
+    def add(self, ds: Dataset) -> None:
+        self.datasets.append(ds)
+
+
+class _OutletEvents(dict):
+    def __missing__(self, key: str) -> _AliasEvents:
+        self[key] = _AliasEvents()
+        return self[key]
+
+
 class DatasetRegistry:
     """Process-local dataset ledger: publish events + versions.
 
@@ -120,6 +211,8 @@ class DatasetRegistry:
     def __init__(self) -> None:
         self._versions: dict[str, int] = {}
         self._subscribers: dict[str, list[Callable[[Dataset, int], None]]] = {}
+        self._aliases: dict[str, set[str]] = {}  # alias -> resolved dataset names
+        self._pending_alias_subs: dict[str, list[Callable[[Dataset, int], None]]] = {}
 
     def publish(self, ds: Dataset) -> int:
         v = self._versions.get(ds.name, 0) + 1
@@ -137,6 +230,38 @@ class DatasetRegistry:
     def is_fresher_than(self, name: str, version: int) -> bool:
         return self.version(name) > version
 
+    # -- alias indirection (≈ DatasetAlias, example_dataset_alias.py) --
+
+    def alias_targets(self, alias: str) -> set[str]:
+        """Dataset names an alias has resolved to (empty = unresolved,
+        the reference's "Unresolved DatasetAlias" schedule state)."""
+        return set(self._aliases.get(alias, ()))
+
+    def subscribe_alias(self, alias: str, cb: Callable[[Dataset, int], None]) -> None:
+        """Subscribe through an alias: fires for publishes of every
+        dataset the alias resolves to — including resolutions that
+        happen later (the reference re-parses consumer DAGs when an
+        alias first resolves; here the pending subscription attaches
+        at resolution time)."""
+        for target in self._aliases.get(alias, ()):
+            self.subscribe(target, cb)
+        self._pending_alias_subs.setdefault(alias, []).append(cb)
+
+    def resolve_alias(self, alias: str, ds: Dataset) -> None:
+        """Bind alias -> ds (idempotent, additive: an alias may fan
+        out to several datasets across runs)."""
+        known = self._aliases.setdefault(alias, set())
+        if ds.name not in known:
+            known.add(ds.name)
+            for cb in self._pending_alias_subs.get(alias, []):
+                self.subscribe(ds.name, cb)
+
+    def publish_via_alias(self, alias: str, ds: Dataset) -> int:
+        """Runtime alias publish (≈ outlet_events[alias].add(ds)):
+        resolve then publish the concrete dataset."""
+        self.resolve_alias(alias, ds)
+        return self.publish(ds)
+
 
 @dataclass
 class PipelineContext:
@@ -151,6 +276,8 @@ class PipelineContext:
     attempts: dict[str, int] = field(default_factory=dict)
     started_at: float = field(default_factory=time.monotonic)
     sensor_deadlines: dict[str, float] = field(default_factory=dict)
+    outlet_events: _OutletEvents = field(default_factory=_OutletEvents)
+    data_interval: DataInterval | None = None
 
     def pull(self, task_name: str) -> Any:
         """xcom_pull: fetch an upstream task's return value."""
@@ -164,7 +291,7 @@ class _Task:
     name: str
     fn: Callable[[PipelineContext], Any]
     deps: tuple[str, ...]
-    outputs_dataset: Dataset | None = None
+    outputs_dataset: Dataset | DatasetAlias | None = None
     trigger_rule: str = "all_success"  # or "none_failed" (runs even if deps skipped)
     retries: int = 0  # ≈ Airflow task retries
     retry_delay_s: float = 0.0
@@ -182,12 +309,16 @@ class Pipeline:
         params: dict[str, Any] | None = None,
         registry: DatasetRegistry | None = None,
         ledger: RunLedger | None = None,
+        schedule: "str | Timetable | timedelta | None" = None,
     ) -> None:
         self.name = name
         self.spark = spark
         self.params = params or {}
         self.registry = registry
         self.ledger = ledger
+        self.timetable: Timetable | None = (
+            parse_schedule(schedule) if schedule is not None else None
+        )
         self._tasks: dict[str, _Task] = {}
         self._order: list[str] = []
         self._setup: list[Callable[[PipelineContext], None]] = []
@@ -557,6 +688,10 @@ class Pipeline:
                             t.on_failure(ctx, exc)
                         self._emit("on_task_failed", ctx, t.name, exc)
                         raise
+                    # a deferrable sensor's expired deadline must not
+                    # leak into the retry: each attempt gets a fresh
+                    # timeout window (parity with blocking sensors)
+                    ctx.sensor_deadlines.pop(t.name, None)
                     if t.retry_delay_s:
                         time.sleep(t.retry_delay_s)
         except TaskSkipped:
@@ -564,15 +699,44 @@ class Pipeline:
             self._emit("on_task_skipped", ctx, t.name)
             return
         self._emit("on_task_succeeded", ctx, t.name)
-        if t.outputs_dataset is not None and ctx.registry is not None:
-            ctx.registry.publish(t.outputs_dataset)
+        if ctx.registry is not None:
+            out = t.outputs_dataset
+            if isinstance(out, DatasetAlias):
+                # late-bound: publish whatever the task added via
+                # ctx.outlet_events[alias].add(Dataset(...)); no
+                # events = alias stays unresolved (reference behavior)
+                for ds in ctx.outlet_events[out.name].datasets:
+                    ctx.registry.publish_via_alias(out.name, ds)
+            elif out is not None:
+                ctx.registry.publish(out)
         if self.ledger is not None:
             self.ledger.record(self.name, t.name, ctx.params.get("run_date"))
+
+    def _resolve_params(self, overrides: dict[str, Any]) -> dict[str, Any]:
+        """Merge declared params with run overrides, validating any
+        key declared as a Param (≈ ParamsDict validation on trigger:
+        bad values are rejected before any task runs; defaults apply
+        when no override is given; tasks always see plain values)."""
+        resolved: dict[str, Any] = {}
+        for k, decl in self.params.items():
+            if isinstance(decl, Param):
+                if k in overrides:
+                    resolved[k] = decl.validate(k, overrides[k])
+                elif decl.default is not None or decl.type is None:
+                    resolved[k] = decl.default
+                else:
+                    raise ParamValidationError(f"param {k}: required, no default")
+            else:
+                resolved[k] = overrides.get(k, decl)
+        for k, v in overrides.items():
+            if k not in self.params:
+                resolved[k] = v  # undeclared ad-hoc params pass through
+        return resolved
 
     def run(self, **params: Any) -> PipelineContext:
         ctx = PipelineContext(
             spark=self.spark,
-            params={**self.params, **params},
+            params=self._resolve_params(params),
             registry=self.registry,
         )
         for setup_fn in self._setup:
@@ -626,6 +790,41 @@ class Pipeline:
             for teardown_fn in self._teardown:
                 teardown_fn(ctx)
         return ctx
+
+    # -- scheduling (≈ DAG(schedule=...), catchup/backfill) -----------
+
+    def next_run_after(self, ts: datetime) -> datetime | None:
+        """When the timetable would next fire after ``ts``."""
+        if self.timetable is None:
+            return None
+        return self.timetable.next_run_after(ts)
+
+    def run_backfill(
+        self,
+        earliest: datetime,
+        latest: datetime,
+        catchup: bool = True,
+        **params: Any,
+    ) -> list[PipelineContext]:
+        """Enumerate the timetable's data intervals in (earliest,
+        latest] and run once per interval, oldest first (Airflow
+        backfill ordering). Each run gets ``run_date`` = interval
+        start and ``latest_date`` = the final interval's start, so
+        ``latest_only()`` gates skip current-state publishes on all
+        but the last window. ``catchup=False`` runs only the latest
+        interval."""
+        if self.timetable is None:
+            raise ValueError(f"pipeline {self.name}: no schedule to backfill")
+        windows = list(self.timetable.windows_between(earliest, latest, catchup))
+        if not windows:
+            return []
+        latest_date = windows[-1].start
+        out: list[PipelineContext] = []
+        for iv in windows:
+            ctx = self.run(run_date=iv.start, latest_date=latest_date, **params)
+            ctx.data_interval = iv
+            out.append(ctx)
+        return out
 
 
 class _GroupScope:

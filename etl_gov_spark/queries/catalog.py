@@ -12,20 +12,28 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# Queries whose driver verdict was ever red, pinned to the very front
+# of queries() so the driver's 50-entry prefix re-adjudicates their
+# fixes first (r2 verdict item: q_order_backlog / q_concurrent_sessions
+# / q_new_vs_returning HUGEINT oracle casts, q_impute_clamp r1 fix).
+_PINNED_FIRST = (
+    "q_order_backlog",
+    "q_concurrent_sessions",
+    "q_new_vs_returning",
+    "q_impute_clamp",
+)
+
+
 def _families() -> list[dict]:
-    # §B-§I families first: the driver's correctness runner samples a
-    # prefix of queries(), and §A (relational/analytics/tpch/windows,
-    # listed last) is already driver-verified green from round 1 — the
-    # prefix should spend its budget on the families it hasn't seen.
+    # Never-driver-checked families first: the driver's correctness
+    # runner samples a prefix of queries(). Rounds 1-2 covered the
+    # relational/analytics prefix and dedup/graphs/similarity/vectors/
+    # timeseries/resample/text — those now sit at the tail; the prefix
+    # budget goes to corpus → multimodal → quality → merge → sampling/
+    # reshape/audit → sketches/mlstats/skew/pandas_udfs → windows →
+    # streaming, which carry no hard driver signal yet.
     fams: list[dict] = []
     for mod_name in (
-        "dedup",
-        "graphs",
-        "similarity",
-        "vectors",
-        "timeseries",
-        "resample",
-        "text",
         "corpus",
         "multimodal",
         "quality",
@@ -37,10 +45,17 @@ def _families() -> list[dict]:
         "mlstats",
         "skew",
         "pandas_udfs",
-        "relational",
-        "analytics",
-        "tpch_deep",
         "windows",
+        "timeseries",
+        "analytics",
+        "dedup",
+        "graphs",
+        "similarity",
+        "vectors",
+        "resample",
+        "text",
+        "relational",
+        "tpch_deep",
     ):
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])
@@ -86,12 +101,17 @@ def _tuned(fn: Callable) -> Callable:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable] = {}
+    merged: dict[str, Callable] = {}
     for fam in _families():
         for name, (fn, _sql) in fam.items():
-            if name in out:
+            if name in merged:
                 raise ValueError(f"duplicate query name: {name}")
-            out[name] = _tuned(fn)
+            merged[name] = _tuned(fn)
+    out: dict[str, Callable] = {}
+    for name in _PINNED_FIRST:
+        if name in merged:
+            out[name] = merged.pop(name)
+    out.update(merged)
     return out
 
 

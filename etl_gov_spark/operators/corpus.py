@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog, expand_parallelism
+from etl_gov_spark.operators.dedup import MAX_SHINGLE_DF
 from etl_gov_spark.operators.text import tokens_col
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
@@ -816,7 +817,11 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle, source) rows self-co-occur per shingle, pair counts
     aggregate to |A∩B|, and per-source distinct counts give the
     union. Output: top-10 most-overlapping source pairs."""
-    from etl_gov_spark.operators.dedup import pair_structs, shingled_docs
+    from etl_gov_spark.operators.dedup import (
+        bounded_buckets,
+        pair_structs,
+        shingled_docs,
+    )
 
     sh = (
         shingled_docs(Catalog(spark, sf_dir).documents, "source", distinct=True)
@@ -824,10 +829,13 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
-    buckets = (
+    buckets = bounded_buckets(
         sh.groupBy("s")
         .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-        .filter(F.size("srcs") > 1)
+        .filter(F.size("srcs") > 1),
+        "srcs",
+        MAX_SHINGLE_DF,
+        "corpus_cross_source_overlap",
     )
     inter = (
         buckets.select(F.explode(pair_structs(F.col("srcs"))).alias("p"))
@@ -871,9 +879,12 @@ WITH sh AS (
   )
 ), sizes AS (
   SELECT source, count(*) AS n_sh FROM sh GROUP BY 1
+), keep AS (  -- MAX_SHINGLE_DF hot-shingle ceiling, mirrored
+  SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
 ), inter AS (
   SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
   FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+  WHERE a.s IN (SELECT s FROM keep)
   GROUP BY 1, 2
 )
 SELECT src_a, src_b, n_shared,

@@ -22,7 +22,7 @@ algorithm exactly oracle-able.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog, expand_parallelism
@@ -171,6 +171,39 @@ def pair_structs(ds: Column, max_items: int | None = None) -> Column:
     )
 
 
+# Hot-bucket ceilings: one boilerplate band signature or one
+# stop-word-grade shingle would otherwise expand C(bucket, 2) pairs —
+# quadratic in the hot key at 100×. A bucket above the ceiling carries
+# no dedup signal (everything matches everything), so it is DROPPED
+# ENTIRELY, and every DuckDB oracle mirrors the same ceiling so the
+# approximate-but-deterministic result stays exactly comparable.
+# Measured at sf0.1: band buckets ≤ 54, per-source shingle df ≤ 6,
+# global df ≤ 25 — the ceilings bite nothing at test scale; they exist
+# for the 1000-executor case.
+MAX_BAND_BUCKET = 256  # LSH band buckets (minhash bands, sign-LSH)
+MAX_SHINGLE_DF = 64  # inverted shingle index df ceiling
+
+# op name -> Observation carrying (dropped_buckets, max_bucket) for the
+# most recent plan built by that operator; readable after any action.
+HOT_BUCKET_OBS: dict[str, Observation] = {}
+
+
+def bounded_buckets(buckets: DataFrame, arr: str, cap: int, op: str) -> DataFrame:
+    """Apply a hot-bucket ceiling: drop buckets whose item array
+    exceeds ``cap``, recording how many were dropped (and the max
+    bucket seen) via ``observe()`` — the metrics materialize with the
+    first action on the returned plan, so the drop count is logged
+    without an extra job. Oracles must mirror the ceiling
+    (``HAVING count(*) <= cap`` on the same bucket key)."""
+    obs = Observation(f"{op}_hot_buckets")
+    HOT_BUCKET_OBS[op] = obs
+    return buckets.observe(
+        obs,
+        F.sum((F.size(arr) > cap).cast("long")).alias("dropped_buckets"),
+        F.max(F.size(arr)).alias("max_bucket"),
+    ).filter(F.size(arr) <= cap)
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: docs sharing ≥1 of 4 band keys become
     candidate pairs, scored by signature agreement.
@@ -196,10 +229,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dn"),
         F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    buckets = (
+    buckets = bounded_buckets(
         banded.groupBy("band_key")
         .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_BAND_BUCKET,
+        "dedup_minhash_lsh",
     )
     pairs = buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p")).select(
         F.col("p.a.doc_id").alias("doc_a"),
@@ -235,13 +271,15 @@ WITH sigs AS (
   SELECT doc_id, sig, unnest(list_transform(generate_series(0, 3),
          b -> CAST(b AS VARCHAR) || ':' || sig[b*2+1] || sig[b*2+2])) AS band_key
   FROM sigs
+), keep AS (  -- hot-bucket ceiling, mirrors MAX_BAND_BUCKET
+  SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= {MAX_BAND_BUCKET}
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        count(*) AS n_shared_bands,
        round(list_sum(list_transform(generate_series(1, 8),
              j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END)) / 8.0, 4) AS sig_agreement
 FROM banded a JOIN banded b USING (band_key)
-WHERE a.doc_id < b.doc_id
+WHERE a.doc_id < b.doc_id AND band_key IN (SELECT band_key FROM keep)
 GROUP BY a.doc_id, b.doc_id, a.sig, b.sig
 """
 
@@ -269,10 +307,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
         F.explode("sh").alias("s"),
     )
-    buckets = (
+    buckets = bounded_buckets(
         index.groupBy("source", "s")
         .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "dedup_ngram_jaccard",
     )
     inter = (
         buckets.select("source", F.explode(pair_structs(F.col("ds"))).alias("p"))
@@ -305,11 +346,22 @@ DEDUP_JACCARD_SQL = rf"""
 WITH sh AS (
   SELECT doc_id, source, list_distinct({_SQL_SHINGLES}) AS sh
   FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-), pairs AS (
+), idx AS (  -- inverted index; mirrors the Spark plan so the
+             -- MAX_SHINGLE_DF hot-shingle ceiling applies identically
+  SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM sh
+), keep AS (
+  SELECT source, s FROM idx GROUP BY source, s
+  HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+), inter AS (
   SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS j
-  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         a.n AS n_a, b.n AS n_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  JOIN keep k ON k.source = a.source AND k.s = a.s
+  GROUP BY 1, 2, 3, 4, 5
+), pairs AS (
+  SELECT source, doc_a, doc_b,
+         n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) AS j
+  FROM inter
 )
 SELECT source, doc_a, doc_b, round(j, 4) AS jaccard, rank
 FROM (
@@ -492,10 +544,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     )
     banded = emb.select("vec_id", F.explode(_emb_band_keys("v")).alias("bk"))
-    buckets = (
+    buckets = bounded_buckets(
         banded.groupBy("bk")
         .agg(F.array_sort(F.collect_set("vec_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_BAND_BUCKET,
+        "dedup_embedding",
     )
     cand = (
         buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
@@ -545,10 +600,13 @@ WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), banded AS (
   SELECT vec_id, unnest({_emb_sql_band_keys()}) AS bk FROM vecs
+), keep AS (  -- MAX_BAND_BUCKET hot-bucket ceiling, mirrored
+  SELECT bk FROM (SELECT DISTINCT vec_id, bk FROM banded)
+  GROUP BY bk HAVING count(*) <= {MAX_BAND_BUCKET}
 ), cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM banded a JOIN banded b USING (bk)
-  WHERE a.vec_id < b.vec_id
+  WHERE a.vec_id < b.vec_id AND bk IN (SELECT bk FROM keep)
 )
 SELECT vec_a, vec_b,
        round(list_cosine_similarity(va.v, vb.v), 4) AS cosine
@@ -574,10 +632,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
         F.explode("sh").alias("s"),
     )
-    buckets = (
+    buckets = bounded_buckets(
         index.groupBy("source", "s")
         .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "dedup_containment",
     )
     inter = (
         buckets.select("source", F.explode(pair_structs(F.col("ds"))).alias("p"))
@@ -610,11 +671,21 @@ DEDUP_CONTAINMENT_SQL = rf"""
 WITH sh AS (
   SELECT doc_id, source, list_distinct({{shingles}}) AS sh
   FROM (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-), pairs AS (
+), idx AS (
+  SELECT doc_id, source, len(sh) AS n, unnest(sh) AS s FROM sh
+), keep AS (  -- MAX_SHINGLE_DF hot-shingle ceiling, mirrored
+  SELECT source, s FROM idx GROUP BY source, s
+  HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+), inter AS (
   SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.sh, b.sh)) / CAST(least(len(a.sh), len(b.sh)) AS DOUBLE) AS c
-  FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh)) > 0
+         a.n AS n_a, b.n AS n_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+  JOIN keep k ON k.source = a.source AND k.s = a.s
+  GROUP BY 1, 2, 3, 4, 5
+), pairs AS (
+  SELECT source, doc_a, doc_b,
+         n_inter / CAST(least(n_a, n_b) AS DOUBLE) AS c
+  FROM inter
 )
 SELECT source, doc_a, doc_b, round(c, 4) AS containment, rank
 FROM (

@@ -20,12 +20,41 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
-from etl_gov_spark.operators.dedup import _SQL_SHINGLES, SHINGLE_K, pair_structs, shingled_docs
+from etl_gov_spark.operators.dedup import (
+    _SQL_SHINGLES,
+    MAX_SHINGLE_DF,
+    SHINGLE_K,
+    bounded_buckets,
+    pair_structs,
+    shingled_docs,
+)
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
 JACCARD_T = 0.1
 MAX_ROUNDS = 15
+
+# Shared oracle fragment: the Jaccard≥t near-dup edge list, derived
+# through the SAME inverted shingle index + MAX_SHINGLE_DF hot-shingle
+# ceiling as _near_dup_edges, so the approximate-but-deterministic
+# edge set matches the Spark plan exactly under any data.
+_SQL_EDGE_PAIRS = rf"""sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), idx AS (
+  SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh
+), keep AS (
+  SELECT s FROM idx GROUP BY s HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS n_a, b.n AS n_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM keep)
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_T}
+)"""
 
 
 def _near_dup_edges(docs: DataFrame) -> DataFrame:
@@ -39,10 +68,13 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
         F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
         F.explode("sh").alias("s"),
     )
-    buckets = (
+    buckets = bounded_buckets(
         index.groupBy("s")
         .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "near_dup_edges",
     )
     return (
         buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
@@ -138,15 +170,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTERS_SQL = rf"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_T}
-), edges AS (
+WITH RECURSIVE {_SQL_EDGE_PAIRS}, edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -207,15 +231,7 @@ def dedup_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_KEEP_POLICY_SQL = rf"""
-WITH RECURSIVE sh AS (
-  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_T}
-), edges AS (
+WITH RECURSIVE {_SQL_EDGE_PAIRS}, edges AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION ALL
   SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -300,15 +316,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 GRAPH_TRIANGLE_SQL = rf"""
-WITH sh AS (
-  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-), pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.sh, b.sh))
-        / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= {JACCARD_T}
-), tri AS (
+WITH {_SQL_EDGE_PAIRS}, tri AS (
   SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
   FROM pairs e1
   JOIN pairs e2 ON e1.doc_b = e2.doc_a

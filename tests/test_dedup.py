@@ -129,3 +129,48 @@ def test_containment_catches_embedded_subdocument(spark, tmp_path_factory):
     got = {(r.doc_a, r.doc_b): r.containment for r in dedup_containment(spark, tmp).collect()}
     assert got[(0, 1)] == 1.0
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_hot_bucket_ceiling_bounds_and_mirrors(spark, tmp_path_factory):
+    """A 400-doc identical-text cluster (> MAX_BAND_BUCKET and
+    > MAX_SHINGLE_DF) is dropped by the hot-bucket ceiling instead of
+    expanding C(400,2)=79800 pairs; the drop is observable via
+    HOT_BUCKET_OBS, legit small clusters elsewhere still pair, and the
+    DuckDB oracle — which mirrors the ceiling — produces the identical
+    result while the ceiling is biting."""
+    import duckdb
+
+    tmp = str(tmp_path_factory.mktemp("hotbucket"))
+    other = (
+        "another unrelated document mentioning parquet files and columnar "
+        "storage formats for analytical workloads at scale"
+    )
+    rows = [(i, BASE, "en", "src0", len(BASE)) for i in range(400)] + [
+        (1000, other, "en", "src1", len(other)),
+        (1001, other.replace("storage", "memory"), "en", "src1", len(other)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet/*.parquet'"
+    )
+
+    mh = D.dedup_minhash_lsh(spark, tmp).collect()
+    obs = D.HOT_BUCKET_OBS["dedup_minhash_lsh"].get
+    assert obs["dropped_buckets"] >= 1
+    assert obs["max_bucket"] == 400
+    assert all(r.doc_a >= 1000 for r in mh)  # hot cluster contributes nothing
+    duck_mh = sorted(tuple(r) for r in con.sql(D.DEDUP_MINHASH_SQL).fetchall())
+    assert sorted((r.doc_a, r.doc_b, r.n_shared_bands, r.sig_agreement) for r in mh) == duck_mh
+
+    jac = D.dedup_ngram_jaccard(spark, tmp).collect()
+    jobs_ = D.HOT_BUCKET_OBS["dedup_ngram_jaccard"].get
+    assert jobs_["dropped_buckets"] >= 1
+    src1 = [r for r in jac if r.source == "src1"]
+    assert (src1[0].doc_a, src1[0].doc_b) == (1000, 1001)  # legit pair survives
+    assert not [r for r in jac if r.source == "src0"]  # hot shingles dropped
+    duck_jac = sorted(tuple(r) for r in con.sql(D.DEDUP_JACCARD_SQL).fetchall())
+    assert sorted((r.source, r.doc_a, r.doc_b, r.jaccard, r.rank) for r in jac) == duck_jac

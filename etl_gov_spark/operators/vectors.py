@@ -106,7 +106,10 @@ GROUP BY label
 
 def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Map-only nearest-centroid assignment: centroids broadcast,
-    squared-L2 argmin via one-pass struct-min (no sort)."""
+    squared-L2 argmin via one-pass struct-min (no sort). The d2 is
+    quantized to 6 dp before the argmin so Spark and the DuckDB
+    oracle never disagree at an FP boundary (same trick as
+    similarity._plane_sign_bits)."""
     d2 = F.aggregate(
         F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -114,7 +117,9 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
     return (
         emb.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "v", F.struct(d2.alias("d2"), F.col("cid")).alias("_s"))
+        .select(
+            "vec_id", "v", F.struct(F.round(d2, 6).alias("d2"), F.col("cid")).alias("_s")
+        )
         .groupBy("vec_id", "v")
         .agg(F.min("_s").alias("_best"))
         .select("vec_id", "v", F.col("_best.cid").alias("cid"))
@@ -123,11 +128,14 @@ def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def _recompute(assigned: DataFrame) -> DataFrame:
     """New centroid per cell: positional explode → per-(cell, dim)
-    mean → array rebuilt in dim order. Shuffle = K×dim aggregates."""
+    mean → array rebuilt in dim order. Shuffle = K×dim aggregates.
+    Component means are quantized to 6 dp: a group avg is summed in
+    partition order, so the last ulp is engine-dependent — rounding
+    makes the centroid state identical in Spark and the oracle."""
     per_dim = (
         assigned.select("cid", F.posexplode("v").alias("pos", "val"))
         .groupBy("cid", "pos")
-        .agg(F.avg("val").alias("c"))
+        .agg(F.round(F.avg("val"), 6).alias("c"))
     )
     return (
         per_dim.groupBy("cid")
@@ -137,8 +145,12 @@ def _recompute(assigned: DataFrame) -> DataFrame:
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF cosine top-10 (rows-only: centroid state is not SQL-
-    portable; recall vs brute force is asserted in tests).
+    """IVF cosine top-10 — exactly oracle-able: seeds are
+    stride-sampled (no RNG), Lloyd state is quantized to 6 dp at
+    every comparison point (assignment d2, centroid means, final
+    cosine), so the DuckDB oracle replays the identical two Lloyd
+    iterations as unrolled CTEs and lands on the identical index.
+    Recall vs brute force is additionally asserted in tests.
 
     Seeds are stride-sampled vectors (deterministic, no RNG), two
     Lloyd refinements, nprobe=3. Every stage is a broadcast or a
@@ -177,7 +189,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("cid"))
     probes = (
         q.crossJoin(F.broadcast(centroids))
-        .select("q_id", "qv", "cid", d2.alias("_d2"))
+        .select("q_id", "qv", "cid", F.round(d2, 6).alias("_d2"))
         .withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= N_PROBE)
         .select("q_id", "qv", "cid")
@@ -188,7 +200,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("q_id"))
     )
     cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
-    scored = cand.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("cand_id"), F.round(cos, 6).alias("_cos")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -197,10 +211,77 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- IVF oracle: the two Lloyd iterations unrolled as CTEs over the
+# same quantized state (6-dp d2 / centroid means / cosine) ---
+
+_D2_SQL = (
+    "round(list_sum(list_transform(generate_series(1, len({v})),"
+    " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), 6)"
+)
+
+
+def _sql_assign(vec_cte: str, cent_cte: str, out: str) -> str:
+    """Nearest-centroid assignment CTE pair ({out}_r, {out})."""
+    d2 = _D2_SQL.format(v="a.v", c="c.cv")
+    return f"""{out}_r AS (
+  SELECT a.vec_id, a.v, c.cid,
+         row_number() OVER (PARTITION BY a.vec_id ORDER BY {d2}, c.cid) AS rn
+  FROM {vec_cte} a CROSS JOIN {cent_cte} c
+), {out} AS (
+  SELECT vec_id, v, cid FROM {out}_r WHERE rn = 1
+)"""
+
+
+def _sql_recompute(assign_cte: str, out: str) -> str:
+    """Per-cell centroid recompute CTE pair: per-dim 6-dp-rounded
+    means rebuilt into arrays in dim order."""
+    return f"""{out}_pd AS (
+  SELECT cid, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM {assign_cte}
+), {out} AS (
+  SELECT cid, list(round(c, 6) ORDER BY pos) AS cv
+  FROM (SELECT cid, pos, avg(val) AS c FROM {out}_pd GROUP BY 1, 2)
+  GROUP BY cid
+)"""
+
+
+ANN_IVF_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells")},
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id % {QUERY_STRIDE} = 0
+), probes_r AS (
+  SELECT q.q_id, q.qv, c.cid,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_D2_SQL.format(v="q.qv", c="c.cv")}, c.cid) AS rn
+  FROM q CROSS JOIN c2 c
+), probes AS (
+  SELECT q_id, qv, cid FROM probes_r WHERE rn <= {N_PROBE}
+), scored AS (
+  SELECT p.q_id, ce.vec_id AS cand_id,
+         round(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * ce.v[i]))
+               / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.v, x -> x * x)))), 6) AS c6
+  FROM probes p JOIN cells ce USING (cid)
+  WHERE ce.vec_id <> p.q_id
+)
+SELECT q_id, cand_id, round(c6, 4) AS cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "emb_norm_stats": (emb_norm_stats, EMB_NORM_STATS_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_LABEL_CENTROIDS_SQL),
-    "ann_ivf_topk": (ann_ivf_topk, None),
+    "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
 }
 
 PQ_M = 8  # subspaces (64 dims → 8×8)
@@ -224,9 +305,13 @@ def _subvectors(df: DataFrame, vec: str, out: str) -> DataFrame:
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN cosine top-10 (rows-only: codebook
-    state is not SQL-portable; recall vs brute force is asserted in
-    tests).
+    """Product-quantization ANN cosine top-10 — exactly oracle-able
+    the same way as ann_ivf_topk: stride seeds (no RNG) and 6-dp
+    quantization at every comparison point (sub-distance argmin,
+    codebook means, ADC partials, re-rank cosine), so the DuckDB
+    oracle replays the one Lloyd pass per subspace and the ADC
+    funnel as CTEs and lands on the identical shortlist and ranks.
+    Recall vs brute force is additionally asserted in tests.
 
     The memory-bound scale path: each vector compresses to 8
     4-bit-ish codes (one per 8-dim subspace, 16-centroid codebooks
@@ -264,7 +349,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             sub.join(F.broadcast(codebook), "m")
             .select(
-                "vec_id", "m", "sv", F.struct(code_d2.alias("d2"), F.col("cid")).alias("_s")
+                "vec_id",
+                "m",
+                "sv",
+                F.struct(F.round(code_d2, 6).alias("d2"), F.col("cid")).alias("_s"),
             )
             .groupBy("vec_id", "m", "sv")
             .agg(F.min("_s").alias("_best"))
@@ -278,7 +366,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_codes(codebook)
         .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
         .groupBy("m", "cid", "pos")
-        .agg(F.avg("val").alias("c"))
+        .agg(F.round(F.avg("val"), 6).alias("c"))
         .groupBy("m", "cid")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
         .select("m", "cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
@@ -296,7 +384,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     dtab = qsub.join(F.broadcast(refined), "m").select(
-        "q_id", "m", "cid", dtab_d2.alias("_part")
+        "q_id", "m", "cid", F.round(dtab_d2, 6).alias("_part")
     )
     approx = (
         codes.join(F.broadcast(dtab), ["m", "cid"])
@@ -317,7 +405,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(q.select("q_id", "qv"), "q_id")
     )
     cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
-    scored = cand.select("q_id", F.col("vec_id").alias("cand_id"), cos.alias("_cos"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("cand_id"), F.round(cos, 6).alias("_cos")
+    )
     w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -326,7 +416,91 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["ann_pq_topk"] = (ann_pq_topk, None)
+# --- PQ oracle: per-subspace codebook training + ADC funnel replayed
+# over the same 6-dp-quantized state as the Spark plan ---
+
+_SUB_D2_SQL = (
+    "round(list_sum(list_transform(generate_series(1, {d}),"
+    " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i]))), 6)"
+)
+
+
+def _sql_pq_assign(cent_cte: str, out: str) -> str:
+    """Per-(vec, subspace) nearest-code CTE pair ({out}_r, {out})."""
+    d2 = _SUB_D2_SQL.format(v="s.sv", c="c.cv", d=PQ_SUBDIM)
+    return f"""{out}_r AS (
+  SELECT s.vec_id, s.m, s.sv, c.cid,
+         row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY {d2}, c.cid) AS rn
+  FROM sub s JOIN {cent_cte} c ON s.m = c.m
+), {out} AS (
+  SELECT vec_id, m, sv, cid FROM {out}_r WHERE rn = 1
+)"""
+
+
+ANN_PQ_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS v
+  FROM (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+        FROM vecs)
+), ms AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), sub AS (
+  SELECT vec_id, m,
+         list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+  FROM unit CROSS JOIN ms
+), seeds AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+), {_sql_pq_assign("seeds", "a0")}, refined AS (
+  SELECT m, cid, list(round(c, 6) ORDER BY pos) AS cv
+  FROM (
+    SELECT m, cid, pos, avg(val) AS c
+    FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val FROM a0)
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY m, cid
+), {_sql_pq_assign("refined", "codes")},
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM unit WHERE vec_id % {QUERY_STRIDE} = 0
+), qsub AS (
+  SELECT q_id, m,
+         list_slice(qv, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qs
+  FROM q CROSS JOIN ms
+), dtab AS (
+  SELECT s.q_id, s.m, c.cid,
+         {_SUB_D2_SQL.format(v="s.qs", c="c.cv", d=PQ_SUBDIM)} AS part
+  FROM qsub s JOIN refined c ON s.m = c.m
+), approx AS (
+  SELECT d.q_id, co.vec_id, sum(d.part) AS adc
+  FROM codes co JOIN dtab d ON co.m = d.m AND co.cid = d.cid
+  WHERE co.vec_id <> d.q_id
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM approx)
+  WHERE rn <= {PQ_SHORTLIST} * {TOP_K}
+), scored AS (
+  SELECT sl.q_id, v.vec_id AS cand_id,
+         round(list_sum(list_transform(generate_series(1, len(q.qv)), i -> q.qv[i] * v.v[i]))
+               / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(v.v, x -> x * x)))), 6) AS c6
+  FROM shortlist sl
+  JOIN vecs v ON v.vec_id = sl.vec_id
+  JOIN q ON q.q_id = sl.q_id
+)
+SELECT q_id, cand_id, round(c6, 4) AS cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+QUERIES["ann_pq_topk"] = (ann_pq_topk, ANN_PQ_SQL)
 
 PCA_ITERS = 8
 

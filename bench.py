@@ -42,6 +42,11 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "mm_binary_meta",
     "pipeline_gov_report",
+    # one per r2-touched family so plan regressions there are visible
+    "dedup_simhash",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "corpus_segment_dedup",
 ]
 
 
@@ -62,12 +67,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # best-of-2: single runs on a shared box show 2x swings from GC
+    # best-of-3: single runs on a shared box show 2x swings from GC
     # and co-tenant noise; the min is the steady-state plan cost
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -79,12 +84,15 @@ def main() -> None:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = all_oracles()
+    # vs_duck must compare identical work: every headline query needs an
+    # oracle, otherwise the ratio silently drops queries from one side
+    missing = [n for n in HEADLINE if n not in oracles]
+    if missing:
+        raise SystemExit(f"headline queries without oracle SQL: {missing}")
     duck: dict[str, float] = {}
     for name in HEADLINE:
-        if name not in oracles:
-            continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             con.sql(oracles[name]).fetchall()
             best = min(best, time.perf_counter() - t0)

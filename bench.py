@@ -57,6 +57,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
 
+    # Fail fast, before any warm-up/measurement is spent: vs_duck must
+    # compare identical work, so every headline query needs an oracle.
+    oracles = all_oracles()
+    missing = [n for n in HEADLINE if n not in oracles]
+    if missing:
+        raise SystemExit(f"headline queries without oracle SQL: {missing}")
+
     # warm every headline code path once at sf0.001 (1/100th the
     # data): whole-stage-codegen JIT, parquet-footer reads, and
     # Python daemon startup all land here instead of inside the
@@ -83,12 +90,6 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-    oracles = all_oracles()
-    # vs_duck must compare identical work: every headline query needs an
-    # oracle, otherwise the ratio silently drops queries from one side
-    missing = [n for n in HEADLINE if n not in oracles]
-    if missing:
-        raise SystemExit(f"headline queries without oracle SQL: {missing}")
     duck: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

@@ -56,6 +56,12 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     fields = dict(df.dtypes)
     if name == "events" and fields.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif name == "events" and fields.get("ts") == "timestamp_ntz":
+        # Belt-and-braces alongside the inferTimestampNTZ=false conf
+        # in tune_runtime: if a host session cached the NTZ schema
+        # before the conf landed, normalize here. Session TZ is UTC,
+        # so the cast re-tags the same wall-clock instant.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

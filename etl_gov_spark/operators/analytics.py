@@ -572,12 +572,17 @@ def q_item_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
+    # Materialize the pair counts once: the basket pair-expansion
+    # subtree (the expensive part, Σ basket² work) would otherwise be
+    # re-executed for each direction of the symmetric union and again
+    # under every scoring branch.
     pairs = (
         baskets.filter(F.size("parts") > 1)
         .select(F.explode(pair_structs(F.col("parts"), MAX_BASKET)).alias("p"))
         .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("pair_count"))
         .filter(F.col("pair_count") >= 2)
+        .localCheckpoint()
     )
     sym = pairs.select("a", "b", "pair_count").unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"), "pair_count")

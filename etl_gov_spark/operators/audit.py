@@ -211,8 +211,15 @@ def q_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.customer.select("c_custkey", "c_mktsegment"),
         F.col("o_custkey") == F.col("c_custkey"),
     ).select("c_mktsegment", "o_orderpriority")
-    cells = j.groupBy("c_mktsegment", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("observed")
+    # Materialize the contingency table once: every marginal, the
+    # statistic, and the df all derive from these ≤ segments×priorities
+    # rows. Without the checkpoint the orders⋈customer fact join is
+    # re-derived for each branch (6 scans at scale); with it the fact
+    # join runs exactly once.
+    cells = (
+        j.groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .localCheckpoint()
     )
     row_m = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("row_n"))
     col_m = cells.groupBy("o_orderpriority").agg(F.sum("observed").alias("col_n"))

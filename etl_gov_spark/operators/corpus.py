@@ -543,7 +543,15 @@ def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).documents.select(
         "doc_id", "source", F.size(tokens_col()).alias("n_tokens")
     )
-    per = docs.groupBy("source").agg(F.sum("n_tokens").alias("n_tokens"))
+    # Materialize the per-source totals once (a ~handful-of-rows
+    # table): tot, rates, max_ratio, and keep all derive from it, and
+    # without the checkpoint each branch re-runs the full tokenize
+    # scan of the corpus.
+    per = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("n_tokens"))
+        .localCheckpoint()
+    )
     tot = per.agg(
         F.sum("n_tokens").alias("tot"),
         F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_TAU))).alias(

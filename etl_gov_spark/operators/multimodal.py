@@ -155,7 +155,11 @@ FROM f
 
 _N_BUCKETS = 8
 
-FEAT_SCHEMA = "doc_id bigint, feature array<double>, feat_norm double"
+# `feature` ships as a fixed-format JSON string, not array<double>:
+# downstream comparison tooling (the driver's canonicalizer included)
+# sorts/hashes result cells, and raw arrays are unhashable there.
+# "[0.1234,0.5678,...]" with %.4f per element is stable and portable.
+FEAT_SCHEMA = "doc_id bigint, feature string, feat_norm double"
 
 
 def feature_extract_batches(
@@ -183,7 +187,7 @@ def feature_extract_batches(
             hist = np.bincount(arr, minlength=_N_BUCKETS).astype("float64")
             total = hist.sum() or 1.0
             vec = hist / total
-            feats.append([r4(float(v)) for v in vec])
+            feats.append("[" + ",".join(f"{r4(float(v)):.4f}" for v in vec) + "]")
             norms.append(r4(float(np.sqrt((vec * vec).sum()))))
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"], "feature": feats, "feat_norm": norms}
@@ -204,7 +208,9 @@ _BUCKET_SUMS = ",\n         ".join(
     f"sum(CASE WHEN ascii(ch) % {_N_BUCKETS} = {i} THEN 1 ELSE 0 END) AS c{i}"
     for i in range(_N_BUCKETS)
 )
-_FRACS = ", ".join(f"round(c{i} / n, 4)" for i in range(_N_BUCKETS))
+_FRACS = " || ',' || ".join(
+    f"printf('%.4f', round(c{i} / n, 4))" for i in range(_N_BUCKETS)
+)
 _SQ = " + ".join(f"(c{i} / n) * (c{i} / n)" for i in range(_N_BUCKETS))
 
 MM_FEATURE_EXTRACT_SQL = f"""
@@ -217,7 +223,7 @@ WITH chars AS (
          CAST(count(*) AS DOUBLE) AS n
   FROM chars WHERE ch <> '' GROUP BY doc_id
 )
-SELECT doc_id, [{_FRACS}] AS feature,
+SELECT doc_id, '[' || {_FRACS} || ']' AS feature,
        round(sqrt({_SQ}), 4) AS feat_norm
 FROM hist
 """

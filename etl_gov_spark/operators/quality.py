@@ -624,7 +624,11 @@ def dq_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             df.agg(
                 F.lit(t).alias("table_name"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum(chk).cast("decimal(38,0)").alias("content_checksum"),
+                # Final cast to string: decimal(38,0) renders
+                # differently across engines' client layers, and the
+                # external comparison hashes rendered cells — a digit
+                # string is representation-stable.
+                F.sum(chk).cast("decimal(38,0)").cast("string").alias("content_checksum"),
             )
         )
     out = rows[0]
@@ -645,7 +649,7 @@ def _manifest_sql() -> str:
         concat = " || '|' || ".join(sql_norm[k].format(c=n) for n, k in cols)
         parts.append(
             f"SELECT '{t}' AS table_name, count(*) AS n_rows, "
-            f"CAST(sum(CAST(CAST('0x' || substr(md5({concat}), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS content_checksum "
+            f"CAST(CAST(sum(CAST(CAST('0x' || substr(md5({concat}), 1, 12) AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum "
             f"FROM {t}"
         )
     return "\nUNION ALL\n".join(parts)

@@ -12,15 +12,62 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-# Queries whose driver verdict was ever red, pinned to the very front
-# of queries() so the driver's 50-entry prefix re-adjudicates their
-# fixes first (r2 verdict item: q_order_backlog / q_concurrent_sessions
-# / q_new_vs_returning HUGEINT oracle casts, q_impute_clamp r1 fix).
+# Queries pinned to the very front of queries() so the driver's
+# 50-entry correctness prefix re-adjudicates them first. Order:
+# (1) every query that was red or stale after round 3 — the nine
+# TIMESTAMP_NTZ crashes, the two driver-representation mismatches,
+# and the three fixed-after-last-adjudication entries; then
+# (2) oracle-backed queries the driver has never sampled
+# (sketches / mlstats / skew / pandas_udfs / windows & audit & text
+# tails / streaming / pipeline).
 _PINNED_FIRST = (
-    "q_order_backlog",
+    # -- red or stale in round 3, fixed this round --
+    "q_sessionize",
+    "q_range_join",
+    "q_time_to_convert",
+    "q_repeat_interval",
     "q_concurrent_sessions",
-    "q_new_vs_returning",
-    "q_impute_clamp",
+    "dq_freshness",
+    "q_user_rfm_features",
+    "dq_checksum_manifest",
+    "mm_feature_extract",
+    "stream_join_conversions",
+    "stream_sessionize_stateful",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "q_stratified_sample",
+    # -- oracle-backed, never in the driver's sample --
+    "q_countmin_heavy_hitters",
+    "q_trend_slope",
+    "fuzzy_join_names",
+    "q_weighted_median",
+    "q_abtest_lift",
+    "q_control_chart_days",
+    "q_survival_fulfillment",
+    "q_skew_salted_join",
+    "udf_sigmoid_scores",
+    "udaf_trend_pandas",
+    "q_acctbal_distribution",
+    "q_order_value_span",
+    "q_nth_order_value",
+    "q_mode_event_type",
+    "q_cusum_changepoint",
+    "q_round_number_bias",
+    "q_single_source_risk",
+    "q_benford_verdict",
+    "q_price_dispersion",
+    "q_near_duplicate_payments",
+    "q_payment_velocity",
+    "text_corpus_stats",
+    "text_zipf_fit",
+    "text_feature_hash",
+    "stream_hourly_counts",
+    "stream_sliding_counts",
+    "stream_dedup_events",
+    "stream_session_window",
+    "stream_static_enrich",
+    "pipeline_gov_report",
+    "graph_pagerank",
 )
 
 

@@ -87,3 +87,8 @@ def tune_runtime(spark: SparkSession) -> None:
     kernels) that didn't go through get_spark()."""
     spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet `timestamp[us]` without timezone would otherwise arrive
+    # as TIMESTAMP_NTZ (Spark ≥3.4 inference), which unix_micros()
+    # and friends reject. Under the UTC session the instant semantics
+    # are identical either way, so read it as plain TIMESTAMP.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

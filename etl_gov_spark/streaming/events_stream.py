@@ -21,37 +21,34 @@ across micro-batches); it's omitted here to keep the oracle exact.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StructType
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_source_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Probe the events parquet footer for the stream-source schema.
+
+    File streams need a static schema, but the feed's timestamp
+    encoding has shipped two ways: TIMESTAMP(NANOS) (readable only
+    as long under ``nanosAsLong``) and plain ``timestamp[us]``.
+    A one-file batch probe (footer read, no data scan) picks the
+    schema that matches what's on disk; ``_events_stream`` then
+    normalizes ``ts`` to TIMESTAMP identically to the batch catalog
+    (io/sources.py read_table), so stream and batch plans agree.
+    """
+    from etl_gov_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the streaming plan: file source → watermark → window."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _events_stream(spark, sf_dir)
     return (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -97,13 +94,17 @@ QUERIES: dict[str, tuple] = {
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_source_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) encoding
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _run_to_memory(df: DataFrame, sink: str, output_mode: str) -> None:
@@ -331,9 +332,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join itself is the streaming surface under test."""
     from pyspark.sql import Window
 
-    ev_static = spark.read.schema(EVENTS_SCHEMA).option(
-        "pathGlobFilter", "events.parquet"
-    ).parquet(sf_dir).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from etl_gov_spark.io.sources import read_table
+
+    ev_static = read_table(spark, sf_dir, "events")
     profile = (
         ev_static.groupBy("user_id")
         .agg(F.avg("value").alias("_avg"))

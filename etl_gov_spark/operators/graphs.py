@@ -351,6 +351,13 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     flows along edges, damped), the standard Pregel-style layout
     with lineage checkpointed every 5 rounds. Dangling nodes don't
     occur (symmetrized edges ⇒ every node has degree ≥ 1).
+
+    Ranks are quantized to 6 dp at the END of every iteration: the
+    per-edge contributions (rank/deg) are then IEEE-identical on any
+    engine, so the only cross-engine drift is aggregation order —
+    ~1e-16, absorbed by the 6-dp round. That makes the full fixed-
+    iteration run exactly replayable (the DuckDB oracle unrolls the
+    same 12 updates), same scheme as the IVF/PQ Lloyd replay.
     """
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -374,9 +381,10 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
                 "node",
-                (
+                F.round(
                     F.lit((1.0 - PAGERANK_DAMPING) / n_total)
-                    + PAGERANK_DAMPING * F.coalesce("in_mass", F.lit(0.0))
+                    + PAGERANK_DAMPING * F.coalesce("in_mass", F.lit(0.0)),
+                    6,
                 ).alias("rank"),
             )
         )
@@ -396,4 +404,48 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["graph_pagerank"] = (graph_pagerank, None)
+def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
+    """Unroll the fixed-iteration 6-dp-quantized PageRank as CTEs
+    (one mass + one rank CTE per iteration) — the same quantized-
+    replay scheme as the IVF/PQ Lloyd oracles: because both engines
+    round ranks to 6 dp between iterations, every intermediate state
+    is bit-identical and the replay is exact."""
+    base = (1.0 - PAGERANK_DAMPING)  # emit the python double verbatim
+    parts = [
+        rf"""WITH {_SQL_EDGE_PAIRS}, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
+), nt AS (SELECT count(*) AS n FROM deg),
+r0 AS (
+  SELECT node, 1.0 / (SELECT n FROM nt) AS rank FROM deg
+)"""
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", m{i} AS (
+  SELECT e.dst AS node, sum(r.rank / d.deg) AS in_mass
+  FROM edges e
+  JOIN {prev} r ON e.src = r.node
+  JOIN deg d ON e.src = d.node
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT d.node,
+         round({base!r} / (SELECT n FROM nt)
+               + {PAGERANK_DAMPING!r} * coalesce(m.in_mass, 0.0), 6) AS rank
+  FROM deg d LEFT JOIN m{i} m USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"\nSELECT node AS doc_id, round(rank * 1000, 4) AS pagerank_x1000 FROM {prev}"
+    )
+    return "".join(parts)
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql()
+
+QUERIES["graph_pagerank"] = (graph_pagerank, GRAPH_PAGERANK_SQL)

@@ -597,13 +597,17 @@ class Pipeline:
         deps: Iterable[str] = (),
         mode: str = "timeout_error",  # or "skip" (≈ soft_fail)
         deferrable: bool = False,
+        retries: int = 0,
+        retry_delay_s: float = 0.0,
     ) -> str:
         """≈ FileSensor / TimeDeltaSensor: poll ``check`` until true
         or timeout. ``mode="skip"`` soft-fails into a skip.
         ``deferrable=True`` (≈ Airflow deferred / mode='reschedule'):
         a false poke raises TaskReschedule instead of sleeping, so
         the runner executes other ready tasks between pokes and only
-        sleeps when nothing else can progress."""
+        sleeps when nothing else can progress. ``retries`` re-arms a
+        timed-out sensor with a FRESH poke window per attempt (the
+        expired deadline is cleared by the retry path, never reused)."""
         qname = self._qualify(name)
 
         def _wait_blocking(ctx: PipelineContext) -> bool:
@@ -628,7 +632,13 @@ class Pipeline:
             raise TaskReschedule(min(now + poke_interval_s, deadline))
 
         return self._add(
-            _Task(qname, _wait_deferrable if deferrable else _wait_blocking, tuple(deps))
+            _Task(
+                qname,
+                _wait_deferrable if deferrable else _wait_blocking,
+                tuple(deps),
+                retries=retries,
+                retry_delay_s=retry_delay_s,
+            )
         )
 
     def file_sensor(

@@ -370,6 +370,33 @@ def test_deferrable_sensor_timeout_and_skip_modes(spark):
     assert {"never", "down"} <= ctx.skipped
 
 
+def test_deferrable_sensor_retry_gets_fresh_timeout_window(spark):
+    """A deferrable sensor's expired deadline must not leak into its
+    retry: with retries=1, the second attempt re-polls a full fresh
+    window (parity with example_time_delta_sensor_async semantics —
+    each attempt gets its own poke window) instead of instantly
+    re-raising SensorTimeout against the stale deadline."""
+    import time as _time
+
+    p = Pipeline("deferred-retry", spark)
+    t0 = _time.monotonic()
+
+    # False for 0.3s — longer than one 0.2s window, shorter than two.
+    p.sensor(
+        "gate",
+        lambda ctx: _time.monotonic() - t0 >= 0.3,
+        timeout_s=0.2,
+        poke_interval_s=0.05,
+        deferrable=True,
+        retries=1,
+    )
+
+    ctx = p.run()
+    assert ctx.pull("gate") is True
+    # the first window really did expire before the condition held
+    assert _time.monotonic() - t0 >= 0.3
+
+
 def test_time_delta_sensor_waits_out_the_delta(spark):
     import time as _time
 

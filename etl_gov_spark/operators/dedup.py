@@ -173,35 +173,67 @@ def pair_structs(ds: Column, max_items: int | None = None) -> Column:
 
 # Hot-bucket ceilings: one boilerplate band signature or one
 # stop-word-grade shingle would otherwise expand C(bucket, 2) pairs —
-# quadratic in the hot key at 100×. A bucket above the ceiling carries
-# no dedup signal (everything matches everything), so it is DROPPED
-# ENTIRELY, and every DuckDB oracle mirrors the same ceiling so the
-# approximate-but-deterministic result stays exactly comparable.
+# quadratic in the hot key at 100×. Buckets above the ceiling take one
+# of two routes, and every DuckDB oracle mirrors the same rule so the
+# approximate-but-deterministic result stays exactly comparable:
+#   route="star"  (LSH band buckets): bucket membership itself means
+#     "likely duplicate", and the hottest buckets are exactly the
+#     boilerplate clusters a 100 TB dedup run MUST catch — so over-cap
+#     buckets emit hub-and-spoke pairs (every member vs the bucket's
+#     min element): O(bucket) pairs, connectivity (and therefore the
+#     cluster's canonical-doc mapping) preserved.
+#   route="drop"  (inverted shingle-df indexes): a hot shingle is a
+#     stop-word — it carries no signal, and its pairs would pollute
+#     the intersection counts — so the bucket is dropped entirely.
 # Measured at sf0.1: band buckets ≤ 54, per-source shingle df ≤ 6,
 # global df ≤ 25 — the ceilings bite nothing at test scale; they exist
 # for the 1000-executor case.
 MAX_BAND_BUCKET = 256  # LSH band buckets (minhash bands, sign-LSH)
 MAX_SHINGLE_DF = 64  # inverted shingle index df ceiling
 
-# op name -> Observation carrying (dropped_buckets, max_bucket) for the
+# op name -> Observation carrying (hot_buckets, max_bucket) for the
 # most recent plan built by that operator; readable after any action.
 HOT_BUCKET_OBS: dict[str, Observation] = {}
 
 
-def bounded_buckets(buckets: DataFrame, arr: str, cap: int, op: str) -> DataFrame:
-    """Apply a hot-bucket ceiling: drop buckets whose item array
-    exceeds ``cap``, recording how many were dropped (and the max
-    bucket seen) via ``observe()`` — the metrics materialize with the
-    first action on the returned plan, so the drop count is logged
-    without an extra job. Oracles must mirror the ceiling
-    (``HAVING count(*) <= cap`` on the same bucket key)."""
+def bounded_buckets(
+    buckets: DataFrame, arr: str, cap: int, op: str, route: str = "drop"
+) -> DataFrame:
+    """Apply a hot-bucket ceiling, recording how many buckets were
+    over it (and the max bucket seen) via ``observe()`` — the metrics
+    materialize with the first action on the returned plan, so the
+    count is logged without an extra job.
+
+    ``route="drop"``: over-cap buckets are removed (oracles mirror
+    with ``HAVING count(*) <= cap`` on the bucket key).
+    ``route="star"``: over-cap buckets are rewritten into hub-spoke
+    sub-buckets ``[arr[0], arr[i]]`` — downstream ``pair_structs``
+    expansion then yields exactly the bucket-min-vs-member pairs,
+    linear in bucket size (oracles mirror with a hot-bucket hub
+    union). Single pass: under-cap rows flow through unchanged via
+    the same generator, no union-of-filters re-deriving the upstream
+    aggregation twice."""
     obs = Observation(f"{op}_hot_buckets")
     HOT_BUCKET_OBS[op] = obs
-    return buckets.observe(
+    observed = buckets.observe(
         obs,
-        F.sum((F.size(arr) > cap).cast("long")).alias("dropped_buckets"),
+        F.sum((F.size(arr) > cap).cast("long")).alias("hot_buckets"),
         F.max(F.size(arr)).alias("max_bucket"),
-    ).filter(F.size(arr) <= cap)
+    )
+    if route == "drop":
+        return observed.filter(F.size(arr) <= cap)
+    if route != "star":
+        raise ValueError(f"unknown hot-bucket route: {route!r}")
+    a = F.col(arr)
+    sub_buckets = F.when(
+        F.size(a) <= cap, F.array(a)  # one sub-bucket: the bucket itself
+    ).otherwise(
+        F.transform(
+            F.slice(a, 2, F.size(a) - 1),
+            lambda x: F.array(F.element_at(a, 1), x),
+        )
+    )
+    return observed.withColumn(arr, F.explode(sub_buckets))
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,6 +268,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ds",
         MAX_BAND_BUCKET,
         "dedup_minhash_lsh",
+        route="star",
     )
     pairs = buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p")).select(
         F.col("p.a.doc_id").alias("doc_a"),
@@ -273,14 +306,25 @@ WITH sigs AS (
   FROM sigs
 ), keep AS (  -- hot-bucket ceiling, mirrors MAX_BAND_BUCKET
   SELECT band_key FROM banded GROUP BY band_key HAVING count(*) <= {MAX_BAND_BUCKET}
+), hot AS (  -- star route: over-cap buckets pair hub (min doc) vs members
+  SELECT band_key, min(doc_id) AS hub
+  FROM banded GROUP BY band_key HAVING count(*) > {MAX_BAND_BUCKET}
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b USING (band_key)
+  WHERE a.doc_id < b.doc_id AND band_key IN (SELECT band_key FROM keep)
+  UNION ALL
+  SELECT h.hub AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM hot h
+  JOIN banded a ON a.band_key = h.band_key AND a.doc_id = h.hub
+  JOIN banded b ON b.band_key = h.band_key AND b.doc_id <> h.hub
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT doc_a, doc_b,
        count(*) AS n_shared_bands,
        round(list_sum(list_transform(generate_series(1, 8),
-             j -> CASE WHEN a.sig[j] = b.sig[j] THEN 1 ELSE 0 END)) / 8.0, 4) AS sig_agreement
-FROM banded a JOIN banded b USING (band_key)
-WHERE a.doc_id < b.doc_id AND band_key IN (SELECT band_key FROM keep)
-GROUP BY a.doc_id, b.doc_id, a.sig, b.sig
+             j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) / 8.0, 4) AS sig_agreement
+FROM cand
+GROUP BY doc_a, doc_b, sig_a, sig_b
 """
 
 
@@ -551,6 +595,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ds",
         MAX_BAND_BUCKET,
         "dedup_embedding",
+        route="star",
     )
     cand = (
         buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
@@ -600,13 +645,21 @@ WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), banded AS (
   SELECT vec_id, unnest({_emb_sql_band_keys()}) AS bk FROM vecs
+), bd AS (
+  SELECT DISTINCT vec_id, bk FROM banded
 ), keep AS (  -- MAX_BAND_BUCKET hot-bucket ceiling, mirrored
-  SELECT bk FROM (SELECT DISTINCT vec_id, bk FROM banded)
-  GROUP BY bk HAVING count(*) <= {MAX_BAND_BUCKET}
+  SELECT bk FROM bd GROUP BY bk HAVING count(*) <= {MAX_BAND_BUCKET}
+), hot AS (  -- star route: over-cap buckets pair hub (min vec) vs members
+  SELECT bk, min(vec_id) AS hub FROM bd GROUP BY bk HAVING count(*) > {MAX_BAND_BUCKET}
 ), cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM banded a JOIN banded b USING (bk)
-  WHERE a.vec_id < b.vec_id AND bk IN (SELECT bk FROM keep)
+  SELECT DISTINCT vec_a, vec_b FROM (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bd a JOIN bd b USING (bk)
+    WHERE a.vec_id < b.vec_id AND bk IN (SELECT bk FROM keep)
+    UNION ALL
+    SELECT h.hub AS vec_a, b.vec_id AS vec_b
+    FROM hot h JOIN bd b ON b.bk = h.bk AND b.vec_id <> h.hub
+  )
 )
 SELECT vec_a, vec_b,
        round(list_cosine_similarity(va.v, vb.v), 4) AS cosine

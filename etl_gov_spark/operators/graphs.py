@@ -37,19 +37,25 @@ MAX_ROUNDS = 15
 # Shared oracle fragment: the Jaccard≥t near-dup edge list, derived
 # through the SAME inverted shingle index + MAX_SHINGLE_DF hot-shingle
 # ceiling as _near_dup_edges, so the approximate-but-deterministic
-# edge set matches the Spark plan exactly under any data.
+# edge set matches the Spark plan exactly under any data. Over-cap
+# shingles are star-routed (hub = min doc): only hub-vs-member rows
+# count toward the intersection — mirroring bounded_buckets
+# route="star" — so a giant boilerplate cluster keeps its hub edges
+# (and hence its canonical-doc mapping) instead of vanishing, while
+# every candidate pair is still verified by true Jaccard.
 _SQL_EDGE_PAIRS = rf"""sh AS (
   SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
   FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
 ), idx AS (
   SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh
-), keep AS (
-  SELECT s FROM idx GROUP BY s HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+), dfs AS (
+  SELECT s, count(*) AS df, min(doc_id) AS hub FROM idx GROUP BY s
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.n AS n_a, b.n AS n_b, count(*) AS n_inter
   FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-  WHERE a.s IN (SELECT s FROM keep)
+  JOIN dfs d ON d.s = a.s
+  WHERE d.df >= 2 AND (d.df <= {MAX_SHINGLE_DF} OR a.doc_id = d.hub)
   GROUP BY 1, 2, 3, 4
 ), pairs AS (
   SELECT doc_a, doc_b FROM inter
@@ -60,9 +66,12 @@ _SQL_EDGE_PAIRS = rf"""sh AS (
 def _near_dup_edges(docs: DataFrame) -> DataFrame:
     """Jaccard ≥ t pairs corpus-wide via the inverted shingle
     index (co-occurrence counts — linear in Σ df² per shingle, so
-    cost tracks true overlap, not corpus²; at 100 TB, cap df per
-    shingle to bound hot keys — ultra-common shingles carry no
-    dedup signal)."""
+    cost tracks true overlap, not corpus²). Over-cap shingles are
+    star-routed, not dropped: at 100 TB the hottest shingle buckets
+    are exactly the boilerplate clusters worth deduping, so each
+    contributes hub-vs-member candidate rows (linear) and the
+    Jaccard verify step still gates every emitted edge — a common
+    stop-shingle can't falsely merge unrelated docs."""
     sh = shingled_docs(docs, "doc_id", distinct=True)
     index = sh.select(
         F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
@@ -75,6 +84,7 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
         "ds",
         MAX_SHINGLE_DF,
         "near_dup_edges",
+        route="star",
     )
     return (
         buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))

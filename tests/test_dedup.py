@@ -133,11 +133,13 @@ def test_containment_catches_embedded_subdocument(spark, tmp_path_factory):
 
 def test_hot_bucket_ceiling_bounds_and_mirrors(spark, tmp_path_factory):
     """A 400-doc identical-text cluster (> MAX_BAND_BUCKET and
-    > MAX_SHINGLE_DF) is dropped by the hot-bucket ceiling instead of
-    expanding C(400,2)=79800 pairs; the drop is observable via
-    HOT_BUCKET_OBS, legit small clusters elsewhere still pair, and the
-    DuckDB oracle — which mirrors the ceiling — produces the identical
-    result while the ceiling is biting."""
+    > MAX_SHINGLE_DF) exercises both hot-bucket routes: the LSH band
+    path star-routes it (399 hub-spoke pairs instead of
+    C(400,2)=79800 — the cluster stays catchable, linearly), the
+    inverted shingle-df path drops its stop-shingles, the routing is
+    observable via HOT_BUCKET_OBS, legit small clusters elsewhere
+    still pair, and the DuckDB oracles — which mirror both rules —
+    produce identical results while the ceiling is biting."""
     import duckdb
 
     tmp = str(tmp_path_factory.mktemp("hotbucket"))
@@ -160,17 +162,72 @@ def test_hot_bucket_ceiling_bounds_and_mirrors(spark, tmp_path_factory):
 
     mh = D.dedup_minhash_lsh(spark, tmp).collect()
     obs = D.HOT_BUCKET_OBS["dedup_minhash_lsh"].get
-    assert obs["dropped_buckets"] >= 1
+    assert obs["hot_buckets"] >= 1
     assert obs["max_bucket"] == 400
-    assert all(r.doc_a >= 1000 for r in mh)  # hot cluster contributes nothing
+    # star route: every cluster member pairs with the hub (doc 0),
+    # full signature agreement, all 4 bands — and nothing quadratic
+    star = [r for r in mh if r.doc_a == 0]
+    assert len(star) == 399
+    assert all(r.sig_agreement == 1.0 and r.n_shared_bands == 4 for r in star)
+    assert all(r.doc_a == 0 or r.doc_a >= 1000 for r in mh)
     duck_mh = sorted(tuple(r) for r in con.sql(D.DEDUP_MINHASH_SQL).fetchall())
     assert sorted((r.doc_a, r.doc_b, r.n_shared_bands, r.sig_agreement) for r in mh) == duck_mh
 
     jac = D.dedup_ngram_jaccard(spark, tmp).collect()
     jobs_ = D.HOT_BUCKET_OBS["dedup_ngram_jaccard"].get
-    assert jobs_["dropped_buckets"] >= 1
+    assert jobs_["hot_buckets"] >= 1
     src1 = [r for r in jac if r.source == "src1"]
     assert (src1[0].doc_a, src1[0].doc_b) == (1000, 1001)  # legit pair survives
     assert not [r for r in jac if r.source == "src0"]  # hot shingles dropped
     duck_jac = sorted(tuple(r) for r in con.sql(D.DEDUP_JACCARD_SQL).fetchall())
     assert sorted((r.source, r.doc_a, r.doc_b, r.jaccard, r.rank) for r in jac) == duck_jac
+
+
+def test_hot_cluster_keeps_canonical_doc_mapping(spark, tmp_path_factory):
+    """The 100 TB boilerplate case: a planted hot cluster (identical
+    docs, every shingle bucket over MAX_SHINGLE_DF) must still
+    resolve to ONE canonical doc — the star route keeps hub edges so
+    connected components sees one cluster; with route=drop the
+    cluster would vanish from dedup entirely. The DuckDB recursive
+    oracle mirrors the hub rule exactly."""
+    import duckdb
+
+    from etl_gov_spark.operators import graphs as G
+
+    tmp = str(tmp_path_factory.mktemp("hotcluster"))
+    n_hot = 3 * D.MAX_SHINGLE_DF  # 192 identical docs, df 192 > 64
+    other = (
+        "totally separate text about orchestration engines scheduling "
+        "distributed dataflow graphs onto elastic compute clusters"
+    )
+    rows = [(i, BASE, "en", "src0", len(BASE)) for i in range(n_hot)] + [
+        (5000, other, "en", "src1", len(other)),
+        (5001, other.replace("elastic", "ephemeral"), "en", "src1", len(other)),
+        (5002, "short standalone unrelated snippet entirely", "en", "src1", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(2).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    clusters = {r.doc_id: r for r in G.dedup_clusters(spark, tmp).collect()}
+    # every hot-cluster member maps to the same component, size n_hot
+    assert all(clusters[i].component == 0 for i in range(n_hot))
+    assert clusters[0].cluster_size == n_hot
+    # ...and the unrelated near-dup pair forms its own component
+    assert clusters[5000].component == clusters[5001].component == 5000
+    assert 5002 not in clusters  # singleton: no edges
+
+    keep = {r.component: r for r in G.dedup_keep_policy(spark, tmp).collect()}
+    assert keep[0].keep_doc_id == 0 and keep[0].cluster_size == n_hot
+    assert keep[0].purged_ids.split(",") == [str(i) for i in range(1, n_hot)]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp}/documents.parquet/*.parquet'"
+    )
+    duck = sorted(tuple(r) for r in con.sql(G.DEDUP_CLUSTERS_SQL).fetchall())
+    got = sorted(
+        (r.doc_id, r.component, r.cluster_size)
+        for r in G.dedup_clusters(spark, tmp).collect()
+    )
+    assert got == duck

@@ -297,6 +297,7 @@ class _Task:
     retry_delay_s: float = 0.0
     on_failure: Callable[[PipelineContext, Exception], None] | None = None
     priority_weight: int = 1  # higher runs first among ready tasks
+    display_name: str | None = None  # ≈ task_display_name (UI label)
 
 
 class Pipeline:
@@ -310,8 +311,10 @@ class Pipeline:
         registry: DatasetRegistry | None = None,
         ledger: RunLedger | None = None,
         schedule: "str | Timetable | timedelta | None" = None,
+        display_name: str | None = None,
     ) -> None:
         self.name = name
+        self.display_name = display_name or name  # ≈ dag_display_name
         self.spark = spark
         self.params = params or {}
         self.registry = registry
@@ -359,6 +362,7 @@ class Pipeline:
         retry_delay_s: float = 0.0,
         on_failure: Callable[[PipelineContext, Exception], None] | None = None,
         priority_weight: int = 1,
+        display_name: str | None = None,
     ) -> Callable:
         """Register ``fn(ctx) -> Any`` as a task (≈ @task). The
         return value is the task's xcom; DataFrames stay lazy.
@@ -366,7 +370,9 @@ class Pipeline:
         task retries and failure callbacks: transient driver-side
         failures (a sensor racing a feed, a flaky external call)
         re-attempt; the callback fires once after the final attempt
-        fails, before the pipeline aborts."""
+        fails, before the pipeline aborts. ``display_name`` is the
+        human-facing label (≈ task_display_name) surfaced by
+        ``describe()``; the task NAME stays the dependency key."""
 
         def deco(fn: Callable[[PipelineContext], Any]) -> Callable:
             self._add(
@@ -380,11 +386,88 @@ class Pipeline:
                     retry_delay_s,
                     on_failure,
                     priority_weight,
+                    display_name,
                 )
             )
             return fn
 
         return deco
+
+    def run_shell(
+        self,
+        name: str,
+        command: "str | Callable[[PipelineContext], str]",
+        deps: Iterable[str] = (),
+        env: dict[str, str] | None = None,
+        cwd: str | None = None,
+        skip_on_exit_code: int = 99,
+        timeout_s: float | None = None,
+        **kw: Any,
+    ) -> str:
+        """Subprocess task (≈ BashOperator / @task.bash): run a shell
+        command, xcom the LAST non-empty stdout line (the BashOperator
+        contract). ``command`` may be a callable built from ctx at run
+        time (the @task.bash shape). Exit 0 succeeds; exit
+        ``skip_on_exit_code`` skips the task (and cascade-skips
+        downstream, ≈ AirflowSkipException); any other exit raises —
+        so ``retries`` (via **kw) re-attempt transient failures.
+        ``env`` EXTENDS the inherited environment (append_env
+        semantics). Driver-side glue only — data-plane work belongs
+        in DataFrame tasks, not subprocesses."""
+        import subprocess
+
+        qname = self._qualify(name)
+
+        def _run(ctx: PipelineContext) -> str:
+            cmd = command(ctx) if callable(command) else command
+            proc = subprocess.run(
+                cmd,
+                shell=True,
+                capture_output=True,
+                text=True,
+                cwd=cwd,
+                env={**os.environ, **env} if env else None,
+                timeout=timeout_s,
+            )
+            if proc.returncode == skip_on_exit_code:
+                raise TaskSkipped(qname)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"shell task {qname} exited {proc.returncode}: "
+                    f"{proc.stderr.strip()[-500:]}"
+                )
+            lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+            return lines[-1] if lines else ""
+
+        return self._add(
+            _Task(
+                qname,
+                _run,
+                tuple(deps),
+                trigger_rule=kw.get("trigger_rule", "all_success"),
+                retries=kw.get("retries", 0),
+                retry_delay_s=kw.get("retry_delay_s", 0.0),
+                on_failure=kw.get("on_failure"),
+                priority_weight=kw.get("priority_weight", 1),
+                display_name=kw.get("display_name"),
+            )
+        )
+
+    def describe(self) -> list[dict[str, Any]]:
+        """Task metadata in registration order — the UI/graph-view
+        surface: name (dependency key), display_name (≈
+        task_display_name, defaulting to name), deps, trigger rule,
+        retries."""
+        return [
+            {
+                "name": t.name,
+                "display_name": t.display_name or t.name,
+                "deps": list(t.deps),
+                "trigger_rule": t.trigger_rule,
+                "retries": t.retries,
+            }
+            for t in (self._tasks[n] for n in self._order)
+        ]
 
     def trigger(
         self,

@@ -491,3 +491,64 @@ def test_task_failure_callback_fires_once_then_aborts(spark):
     with pytest.raises(RuntimeError, match="permanent"):
         p.run()
     assert seen == ["permanent"]  # callback once, after final attempt
+
+
+def test_run_shell_xcom_skip_and_env(spark, tmp_path):
+    """≈ example_bash_operator / @task.bash: the xcom is the last
+    non-empty stdout line, exit 99 soft-skips the task and cascades,
+    env extends (not replaces) the inherited environment, and a
+    callable command is rendered from ctx at run time."""
+    from etl_gov_spark.pipeline.core import Pipeline
+
+    p = Pipeline("shellish", spark, params={"who": "gov"})
+    p.run_shell("greet", 'echo first line && echo "hello $WHO"', env={"WHO": "spark"})
+    p.run_shell(
+        "templated",
+        lambda ctx: f"echo run-for-{ctx.params['who']}",
+        deps=["greet"],
+    )
+    p.run_shell("maybe_skip", "exit 99", deps=["templated"])
+
+    @p.task("after_skip", deps=["maybe_skip"])
+    def after_skip(ctx):
+        return "never"
+
+    ctx = p.run()
+    assert ctx.outputs["greet"] == "hello spark"
+    assert ctx.outputs["templated"] == "run-for-gov"
+    assert {"maybe_skip", "after_skip"} <= ctx.skipped
+
+
+def test_run_shell_failure_raises_with_stderr(spark):
+    import pytest
+
+    from etl_gov_spark.pipeline.core import Pipeline
+
+    p = Pipeline("shell-fail", spark)
+    p.run_shell("boom", "echo oops >&2; exit 3")
+    with pytest.raises(RuntimeError, match="exited 3.*oops"):
+        p.run()
+
+
+def test_display_names_surface_in_describe(spark):
+    """≈ example_display_name: dag_display_name / task_display_name
+    are labels only — the task NAME stays the dependency key."""
+    from etl_gov_spark.pipeline.core import Pipeline
+
+    p = Pipeline("disp", spark, display_name="Sample DAG with Display Name")
+    assert p.display_name == "Sample DAG with Display Name"
+
+    @p.task("sample_task_1", display_name="Sample Task 1")
+    def one(ctx):
+        return 1
+
+    @p.task("sample_task_2", deps=["sample_task_1"])
+    def two(ctx):
+        return 2
+
+    meta = {d["name"]: d for d in p.describe()}
+    assert meta["sample_task_1"]["display_name"] == "Sample Task 1"
+    assert meta["sample_task_2"]["display_name"] == "sample_task_2"  # default
+    assert meta["sample_task_2"]["deps"] == ["sample_task_1"]
+    ctx = p.run()
+    assert ctx.outputs["sample_task_2"] == 2

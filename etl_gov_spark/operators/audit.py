@@ -219,6 +219,7 @@ def q_chi2_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = (
         j.groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("observed"))
+        .coalesce(1)  # ≤ segments×priorities rows: single partition
         .localCheckpoint()
     )
     row_m = cells.groupBy("c_mktsegment").agg(F.sum("observed").alias("row_n"))

@@ -550,6 +550,7 @@ def corpus_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (
         docs.groupBy("source")
         .agg(F.sum("n_tokens").alias("n_tokens"))
+        .coalesce(1)  # one row per source: single partition
         .localCheckpoint()
     )
     tot = per.agg(

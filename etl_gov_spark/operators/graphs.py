@@ -421,28 +421,31 @@ def _pagerank_sql(iters: int = PAGERANK_ITERS) -> str:
     round ranks to 6 dp between iterations, every intermediate state
     is bit-identical and the replay is exact."""
     base = (1.0 - PAGERANK_DAMPING)  # emit the python double verbatim
+    # edges/deg and each iteration are MATERIALIZED: with inlining,
+    # every iteration's reference to the previous one re-evaluates
+    # the whole chain back through the shingle pipeline.
     parts = [
-        rf"""WITH {_SQL_EDGE_PAIRS}, edges AS (
+        rf"""WITH {_SQL_EDGE_PAIRS}, edges AS MATERIALIZED (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
   SELECT doc_b AS src, doc_a AS dst FROM pairs
-), deg AS (
+), deg AS MATERIALIZED (
   SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1
-), nt AS (SELECT count(*) AS n FROM deg),
-r0 AS (
+), nt AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+r0 AS MATERIALIZED (
   SELECT node, 1.0 / (SELECT n FROM nt) AS rank FROM deg
 )"""
     ]
     prev = "r0"
     for i in range(1, iters + 1):
         parts.append(
-            f""", m{i} AS (
+            f""", m{i} AS MATERIALIZED (
   SELECT e.dst AS node, sum(r.rank / d.deg) AS in_mass
   FROM edges e
   JOIN {prev} r ON e.src = r.node
   JOIN deg d ON e.src = d.node
   GROUP BY e.dst
-), r{i} AS (
+), r{i} AS MATERIALIZED (
   SELECT d.node,
          round({base!r} / (SELECT n FROM nt)
                + {PAGERANK_DAMPING!r} * coalesce(m.in_mass, 0.0), 6) AS rank

@@ -505,11 +505,23 @@ QUERIES["ann_pq_topk"] = (ann_pq_topk, ANN_PQ_SQL)
 PCA_ITERS = 8
 
 
+def _r(v: float, places: int) -> float:
+    """Half-away-from-zero rounding, matching SQL ROUND on doubles
+    (Python's builtin round is half-even)."""
+    import math
+
+    scale = 10.0**places
+    return math.copysign(math.floor(abs(v) * scale + 0.5), v) / scale
+
+
 def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding cloud by distributed
-    power iteration (rows-only: iterative FP state is not SQL-
-    portable; alignment with numpy's eigenvector is asserted in
-    tests).
+    power iteration — exactly oracle-able: the model state (per-dim
+    means, each iteration's per-dim sums, the normalized iterate) is
+    quantized to 6 dp at every step, so the DuckDB oracle replays the
+    identical 8 iterations as unrolled CTEs (same scheme as the
+    IVF/PQ Lloyd and pagerank replays). Alignment with numpy's
+    eigenvector is additionally asserted in tests.
 
     Each iteration is ONE distributed pass: score = x·v (v embedded
     as a literal — 64 doubles of model state, the only thing the
@@ -525,7 +537,8 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_dim = emb.select(F.posexplode("v").alias("pos", "val"))
     stats = per_dim.groupBy("pos").agg(
-        F.avg("val").alias("mu"), F.sum(F.col("val") * F.col("val")).alias("ss")
+        F.round(F.avg("val"), 6).alias("mu"),  # quantized model state
+        F.sum(F.col("val") * F.col("val")).alias("ss"),
     )
     mu_rows = stats.orderBy("pos").collect()  # 64-float model state
     mu = [r.mu for r in mu_rows]
@@ -550,13 +563,13 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             centered.select(score.alias("s"), "c")
             .select("s", F.posexplode("c").alias("pos", "val"))
             .groupBy("pos")
-            .agg(F.sum(F.col("s") * F.col("val")).alias("acc"))
+            .agg(F.round(F.sum(F.col("s") * F.col("val")) / n, 6).alias("acc"))
             .orderBy("pos")
             .collect()
         )
-        raw = [r.acc / n for r in sums]
+        raw = [r.acc for r in sums]  # 6-dp quantized per-dim sums
         norm = sum(x * x for x in raw) ** 0.5
-        vec = [x / norm for x in raw]
+        vec = [_r(x / norm, 6) for x in raw]  # quantized iterate
         eig = norm  # ||C v|| with unit v → eigenvalue estimate
     # deterministic sign: largest-|loading| dimension is positive
     pivot = max(range(dim), key=lambda i: abs(vec[i]))
@@ -564,14 +577,71 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec = [-x for x in vec]
     return spark.createDataFrame(
         [
-            (i, round(vec[i], 4), round(eig / total_var, 4))
+            (i, _r(vec[i], 4), _r(eig / total_var, 4))
             for i in range(dim)
         ],
         "pos int, loading double, explained_var_share double",
     )
 
 
-QUERIES["emb_pca_top_component"] = (emb_pca_top_component, None)
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    """Unroll the 6-dp-quantized power iteration as CTEs: because
+    both engines round the per-dim means, each iteration's per-dim
+    sums, and the normalized iterate to 6 dp, every intermediate
+    state is bit-identical and the replay is exact (pagerank/IVF/PQ
+    scheme). ~1e-16 aggregation-order drift sits far below the
+    quantization step. Every CTE is MATERIALIZED: with inlining,
+    each iteration's references to the previous one re-evaluate the
+    whole chain (exponential in iteration count)."""
+    head = """WITH flat AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+), nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
+st AS MATERIALIZED (
+  SELECT pos, round(avg(val), 6) AS mu, sum(val * val) AS ss
+  FROM flat GROUP BY pos
+), cent AS MATERIALIZED (
+  SELECT f.vec_id, f.pos, f.val - s.mu AS c FROM flat f JOIN st s USING (pos)
+), tv AS MATERIALIZED (
+  SELECT sum(ss / (SELECT n FROM nn) - mu * mu) AS total_var FROM st
+), v0 AS MATERIALIZED (
+  SELECT pos, 0.125 AS w FROM st
+)"""  # 1/sqrt(64) is exact
+    parts = [head]
+    prev = "v0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", sc{i} AS MATERIALIZED (
+  SELECT c.vec_id, sum(c.c * v.w) AS s
+  FROM cent c JOIN {prev} v USING (pos) GROUP BY c.vec_id
+), raw{i} AS MATERIALIZED (
+  SELECT c.pos, round(sum(sc.s * c.c) / (SELECT n FROM nn), 6) AS r
+  FROM cent c JOIN sc{i} sc USING (vec_id) GROUP BY c.pos
+), nm{i} AS MATERIALIZED (
+  SELECT sqrt(sum(r * r)) AS nrm FROM raw{i}
+), v{i} AS MATERIALIZED (
+  SELECT pos, round(r / (SELECT nrm FROM nm{i}), 6) AS w FROM raw{i}
+)"""
+        )
+        prev = f"v{i}"
+    parts.append(
+        f""", sgn AS MATERIALIZED (
+  SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS sg
+  FROM {prev} ORDER BY abs(w) DESC, pos ASC LIMIT 1
+)
+SELECT CAST(pos - 1 AS INTEGER) AS pos,
+       round(w * (SELECT sg FROM sgn), 4) AS loading,
+       round((SELECT nrm FROM nm{iters}) / (SELECT total_var FROM tv), 4)
+         AS explained_var_share
+FROM {prev}"""
+    )
+    return "".join(parts)
+
+
+EMB_PCA_SQL = _pca_sql()
+
+QUERIES["emb_pca_top_component"] = (emb_pca_top_component, EMB_PCA_SQL)
 
 
 def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -73,11 +73,17 @@ def test_frame_sample_fanout_and_determinism(spark, sf_dir):
 
 
 def test_feature_extract_shape_and_l1_norm(spark, sf_dir):
+    """`feature` ships as a fixed-format JSON string (hashable for
+    external comparison tooling) — parse it back to check the vector
+    contract."""
+    import json
+
     from etl_gov_spark.operators.multimodal import mm_feature_extract
 
     rows = mm_feature_extract(spark, sf_dir).collect()
-    assert all(len(r.feature) == 8 for r in rows)
-    assert all(abs(sum(r.feature) - 1.0) < 0.01 for r in rows)  # L1-normalized
+    vecs = [json.loads(r.feature) for r in rows]
+    assert all(len(v) == 8 for v in vecs)
+    assert all(abs(sum(v) - 1.0) < 0.01 for v in vecs)  # L1-normalized
     assert all(0 < r.feat_norm <= 1.0 for r in rows)
 
 

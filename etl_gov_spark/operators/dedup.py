@@ -433,37 +433,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure function both engines compute identically, which makes the
     sketch exactly oracle-able (same trick as dedup_minhash_lsh);
     recall on planted dups is additionally asserted in tests.
+
+    The 60 bit votes are 60 conditional-sum AGGREGATE COLUMNS over
+    the exploded tokens, not a 60× row explode: per-occurrence ±1
+    sums equal per-distinct-word ±cnt sums exactly (integers), so
+    the oracle's tf formulation matches bit-for-bit while the
+    shuffle carries 60 pre-combined longs per doc instead of
+    60 × tokens rows — the difference between a map-side-combined
+    aggregation and a corpus-sized wide shuffle at 100 TB.
     """
+    from functools import reduce as _reduce
+
     docs = expand_parallelism(Catalog(spark, sf_dir).documents)
-    tf = (
-        docs.select("doc_id", F.explode(tokens_col()).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"))
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("w")).withColumn(
+        "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
     )
-    bits = tf.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        F.col("cnt"),
-        F.col("h"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.col("cnt"))
-        .otherwise(-F.col("cnt"))
-        .alias("contrib"),
-    )
-    sim = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("v"))
-        .groupBy("doc_id")
-        .agg(
+    votes = toks.groupBy("doc_id").agg(
+        *[
             F.sum(
-                F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            ).alias("simhash")
-        )
+                F.when(F.expr(f"(shiftright(h, {b}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = votes.select(
+        "doc_id",
+        _reduce(
+            lambda acc, b: acc
+            + F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            range(SIMHASH_BITS),
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
     )
     chunked = sim.select(
         "doc_id",

@@ -696,3 +696,81 @@ WHERE rank <= 20
 """
 
 QUERIES["emb_outlier_scores"] = (emb_outlier_scores, EMB_OUTLIER_SQL)
+
+
+def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 affine quantization audit — the storage-compression step
+    for an embedding corpus (float32 → uint8 is the difference
+    between 25 TB and 6 TB of vectors at 100 TB corpus scale).
+
+    Per-dimension affine quantization against GLOBAL per-dim min/max
+    (code = round((x − mn)/scale), scale = (mx − mn)/255), then the
+    reconstruction-error report: the 20 worst vectors by per-vector
+    MSE, with their max absolute element error. Two passes: a
+    dim-keyed min/max aggregate (64 rows, broadcast back) and one
+    scoring pass — the shuffle carries (vec × dim) scalars, never
+    re-materialized vectors, and nothing grows with corpus size
+    except the linear scans. Exactly oracle-able: code rounding and
+    error algebra are deterministic IEEE ops on identical inputs;
+    the per-vector MSE is rounded before ranking.
+    """
+    flat = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    rng = (
+        flat.groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .withColumn("scale", (F.col("mx") - F.col("mn")) / 255.0)
+    )
+    coded = flat.join(F.broadcast(rng), "pos").withColumn(
+        "code",
+        F.when(F.col("scale") == 0.0, F.lit(0)).otherwise(
+            F.round((F.col("x") - F.col("mn")) / F.col("scale"), 0).cast("int")
+        ),
+    )
+    err = coded.withColumn(
+        "e",
+        F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+            F.col("x") - (F.col("mn") + F.col("code") * F.col("scale"))
+        ),
+    )
+    per_vec = err.groupBy("vec_id").agg(
+        F.round(F.avg(F.col("e") * F.col("e")), 8).alias("mse"),
+        F.round(F.max(F.abs("e")), 6).alias("max_abs_err"),
+    )
+    w = Window.orderBy(F.desc("mse"), F.asc("vec_id"))
+    return (
+        per_vec.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("vec_id", "mse", "max_abs_err", "rank")
+    )
+
+
+EMB_QUANTIZE_SQL = """
+WITH flat AS (
+  SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), rng AS (
+  SELECT pos, min(x) AS mn, max(x) AS mx, (max(x) - min(x)) / 255.0 AS scale
+  FROM flat GROUP BY pos
+), err AS (
+  SELECT f.vec_id,
+         CASE WHEN r.scale = 0 THEN 0.0
+              ELSE f.x - (r.mn + CAST(round((f.x - r.mn) / r.scale, 0) AS INTEGER) * r.scale)
+         END AS e
+  FROM flat f JOIN rng r USING (pos)
+), per_vec AS (
+  SELECT vec_id, round(avg(e * e), 8) AS mse, round(max(abs(e)), 6) AS max_abs_err
+  FROM err GROUP BY vec_id
+)
+SELECT vec_id, mse, max_abs_err, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY mse DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM per_vec
+)
+WHERE rank <= 20
+"""
+
+QUERIES["emb_quantize_int8"] = (emb_quantize_int8, EMB_QUANTIZE_SQL)

@@ -213,3 +213,32 @@ def test_pagerank_matches_dense_reference(spark, sf_dir):
     for node in nodes:
         assert abs(got[node] - r[idx[node]]) < 1e-3, node
     assert abs(sum(got.values()) - 1.0) < 1e-2  # mass conserved
+
+
+def test_quantize_int8_error_bounds_and_constant_dim(spark, tmp_path_factory):
+    """Affine int8 error is bounded by scale/2 per element; a
+    constant dimension (scale 0) contributes zero error; ranking is
+    deterministic."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(300, 64))
+    X[:, 7] = 2.5  # constant dim → scale 0
+    tmp = str(tmp_path_factory.mktemp("quant"))
+    spark.createDataFrame(
+        [(i, [float(x) for x in X[i]], 0) for i in range(300)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+    rows = V.emb_quantize_int8(spark, tmp).collect()
+    assert len(rows) == 20
+    assert [r.rank for r in rows] == list(range(1, 21))
+    # X is float32 on disk: ranges per dim ~N(0,1) spread → scale ~ range/255
+    Xf = X.astype(np.float32).astype(np.float64)
+    scale = (Xf.max(axis=0) - Xf.min(axis=0)) / 255.0
+    half = float(scale.max()) / 2
+    assert all(r.max_abs_err <= half + 1e-9 for r in rows)
+    assert all(r.mse >= 0 for r in rows)
+    # mse ordering is non-increasing by construction
+    mses = [r.mse for r in rows]
+    assert mses == sorted(mses, reverse=True)

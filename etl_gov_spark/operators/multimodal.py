@@ -334,3 +334,41 @@ GROUP BY 1, 2
 """
 
 QUERIES["mm_modality_mix"] = (mm_modality_mix, MM_MODALITY_MIX_SQL)
+
+
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frame-level dedup across the corpus: sampled frames
+    hashed (mm_frame_sample) → hash-groupBy on the fingerprint →
+    every fingerprint seen more than once, with its occurrence count,
+    distinct-doc count, and canonical (min) doc — the frame-dedup
+    step a video/image training pipeline runs to strip shared intros,
+    watermarks, and re-uploads before training.
+
+    Scale: one map-side-combined aggregation over (frames × docs)
+    fingerprint rows — linear, no pair expansion; the frame bytes
+    never shuffle, only their 32-char hashes. Duplicate groups are
+    bounded output (only fingerprints with n > 1 survive)."""
+    frames = mm_frame_sample(spark, sf_dir)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+MM_FRAME_DEDUP_SQL = f"""
+WITH frames AS ({MM_FRAME_SAMPLE_SQL})
+SELECT frame_md5,
+       count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS n_docs,
+       min(doc_id) AS canonical_doc
+FROM frames
+GROUP BY frame_md5
+HAVING count(*) > 1
+"""
+
+QUERIES["mm_frame_dedup"] = (mm_frame_dedup, MM_FRAME_DEDUP_SQL)

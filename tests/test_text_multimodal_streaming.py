@@ -324,3 +324,27 @@ def test_modality_mix_partitions_all_payloads(spark, sf_dir):
     rows = mm_modality_mix(spark, sf_dir).collect()
     assert sum(r.n_payloads for r in rows) == read_table(spark, sf_dir, "documents").count()
     assert {r.fmt for r in rows} <= {"png", "jpeg", "webp"}
+
+
+def test_frame_dedup_catches_shared_frames(spark, tmp_path_factory):
+    """Two docs sharing identical leading bytes (a shared 'intro')
+    collide on frame 0; unique docs contribute nothing."""
+    from etl_gov_spark.operators.multimodal import mm_frame_dedup
+
+    tmp = str(tmp_path_factory.mktemp("framededup"))
+    intro = "SHAREDINTROBYTES"  # 16 bytes = exactly one frame window
+    rows = [
+        (0, intro + " unique tail one for document zero padded out", "en", "s", 60),
+        (1, intro + " a different continuation for document one xx", "en", "s", 60),
+        (2, "completely different content with no shared bytes", "en", "s", 50),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = {r.frame_md5: r for r in mm_frame_dedup(spark, tmp).collect()}
+    import hashlib
+
+    shared = hashlib.md5(intro.encode()).hexdigest()
+    assert shared in got
+    assert got[shared].n_docs == 2 and got[shared].canonical_doc == 0

@@ -433,3 +433,126 @@ FROM c
 """
 
 QUERIES["text_feature_hash"] = (text_feature_hash, TEXT_FEATURE_HASH_SQL)
+
+
+WINNOW_K = 16  # char k-gram length
+WINNOW_W = 8  # winnowing window (selection guarantee: k + w - 1 chars)
+
+
+def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS-style) fingerprint overlap: per doc, hash all
+    char 16-grams of the normalized text, take the minimum hash of
+    every 8-hash sliding window, and keep the distinct selected
+    values as the document signature — any shared substring of
+    ≥ k + w − 1 = 23 chars is GUARANTEED to produce a shared
+    fingerprint. Cross-doc overlap via the inverted fingerprint
+    index (hot fingerprints df-capped and dropped — a fingerprint in
+    >64 docs is boilerplate carrying no plagiarism signal), reported
+    as the top-20 pairs by shared-fingerprint count with the overlap
+    coefficient shared/min(|A|,|B|).
+
+    Scale: signatures are per-row codegen (no shuffle); the pair
+    stage is the same bounded inverted-index shape as
+    dedup_ngram_jaccard — one shuffle on the fingerprint key, pair
+    work Σ df², never corpus².
+    """
+    from etl_gov_spark.operators.dedup import (
+        MAX_SHINGLE_DF,
+        bounded_buckets,
+        pair_structs,
+    )
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("s")
+    )
+    s = F.col("s")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(s) - (WINNOW_K - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(s.substr(i, F.lit(WINNOW_K))), 1, 8), 16, 10
+        ).cast("long"),
+    )
+    sigs = docs.select("doc_id", grams.alias("h")).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("h") - (WINNOW_W - 1), F.lit(1))
+                ),
+                lambda j: F.array_min(F.slice("h", j, WINNOW_W)),
+            )
+        ).alias("fps"),
+    )
+    index = sigs.select(
+        F.struct("doc_id", F.size("fps").alias("nf")).alias("dn"),
+        F.explode("fps").alias("f"),
+    )
+    buckets = bounded_buckets(
+        index.groupBy("f")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "text_winnow_overlap",
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.nf").alias("nf_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.nf").alias("nf_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    w = Window.orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+    return (
+        inter.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("nf_a", "nf_b"), 4
+            ).alias("overlap_coeff"),
+            "rank",
+        )
+    )
+
+
+TEXT_WINNOW_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lower(trim(text)) AS s FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(s) - {WINNOW_K - 1}, 1)),
+                        i -> CAST('0x' || substr(md5(substr(s, i, {WINNOW_K})), 1, 8) AS BIGINT)) AS h
+  FROM d
+), sigs AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(h) - {WINNOW_W - 1}, 1)),
+                                      j -> list_min(h[j:j+{WINNOW_W - 1}]))) AS fps
+  FROM g
+), idx AS (
+  SELECT doc_id, len(fps) AS nf, unnest(fps) AS f FROM sigs
+), keep AS (
+  SELECT f FROM idx GROUP BY f HAVING count(*) BETWEEN 2 AND 64
+), inter AS (
+  SELECT a.doc_id AS doc_a, a.nf AS nf_a, b.doc_id AS doc_b, b.nf AS nf_b,
+         count(*) AS n_shared
+  FROM idx a JOIN idx b ON a.f = b.f AND a.doc_id < b.doc_id
+  WHERE a.f IN (SELECT f FROM keep)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared / CAST(least(nf_a, nf_b) AS DOUBLE), 4) AS overlap_coeff,
+       rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY n_shared DESC, doc_a ASC, doc_b ASC) AS INTEGER) AS rank
+  FROM inter
+)
+WHERE rank <= 20
+"""
+
+QUERIES["text_winnow_overlap"] = (text_winnow_overlap, TEXT_WINNOW_SQL)

@@ -348,3 +348,28 @@ def test_frame_dedup_catches_shared_frames(spark, tmp_path_factory):
     shared = hashlib.md5(intro.encode()).hexdigest()
     assert shared in got
     assert got[shared].n_docs == 2 and got[shared].canonical_doc == 0
+
+
+def test_winnow_guarantee_detects_shared_substring(spark, tmp_path_factory):
+    """Winnowing guarantee: any shared substring of >= k + w - 1
+    chars yields a shared selected fingerprint, so the planted pair
+    must surface; unrelated docs must not pair with rank 1."""
+    from etl_gov_spark.operators.text import WINNOW_K, WINNOW_W, text_winnow_overlap
+
+    tmp = str(tmp_path_factory.mktemp("winnow"))
+    shared = "the quick brown fox jumped over the lazy dog again"  # 50 > 23
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    rows = [
+        (0, "intro text first " + shared + " and a unique tail here", "en", "s", 90),
+        (1, "other beginning " + shared + " different ending words", "en", "s", 90),
+        (2, "completely unrelated content talking about parquet files and "
+            "columnar formats for large analytical workloads", "en", "s", 100),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = text_winnow_overlap(spark, tmp).collect()
+    top = next(r for r in got if r.rank == 1)
+    assert (top.doc_a, top.doc_b) == (0, 1)
+    assert top.n_shared >= 1 and 0 < top.overlap_coeff <= 1.0

@@ -68,6 +68,11 @@ _PINNED_FIRST = (
     "stream_static_enrich",
     "pipeline_gov_report",
     "graph_pagerank",
+    # -- new in round 4, oracle-backed, never sampled --
+    "emb_pca_top_component",
+    "emb_quantize_int8",
+    "mm_frame_dedup",
+    "text_winnow_overlap",
 )
 
 

@@ -131,3 +131,27 @@ def write_range_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def write_dynamic_partition_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...],
+) -> None:
+    """Idempotent partition re-publish: overwrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched
+    (``partitionOverwriteMode=dynamic``). This is the daily-rerun
+    contract at scale — re-running yesterday's load replaces
+    yesterday's partition without rewriting (or deleting) the other
+    years of data, and a failed rerun never leaves the table
+    truncated the way static overwrite mode would. The conf is set
+    per-write and restored, so other writers in the session keep the
+    engine default."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set(key, prev)

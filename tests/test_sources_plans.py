@@ -323,3 +323,32 @@ def test_xml_reader_and_column_parser(spark, tmp_path):
         "row_id", F.from_xml("xml", "k INT").alias("p")
     ).select("row_id", "p.k")
     assert {(r.row_id, r.k) for r in parsed.collect()} == {(1, 7), (2, 9)}
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_path):
+    """Re-publishing one partition must leave sibling partitions
+    intact (dynamic mode) — the idempotent daily-rerun contract;
+    static overwrite would truncate the whole table."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sinks import write_dynamic_partition_overwrite
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, day string"
+    )
+    write_dynamic_partition_overwrite(base, path, ("day",))
+    assert spark.read.parquet(path).count() == 2
+
+    # rerun day 2 with corrected data: day 1 must survive
+    fix = spark.createDataFrame(
+        [(20, "2024-01-02"), (21, "2024-01-02")], "id long, day string"
+    )
+    write_dynamic_partition_overwrite(fix, path, ("day",))
+    # partition-column type inference reads `day` back as DATE
+    got = {
+        (r.id, str(r.day)) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {(1, "2024-01-01"), (20, "2024-01-02"), (21, "2024-01-02")}
+    # session conf restored to the engine default afterwards
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"

@@ -352,3 +352,30 @@ def test_dynamic_partition_overwrite_touches_only_written_partitions(spark, tmp_
     assert got == {(1, "2024-01-01"), (20, "2024-01-02"), (21, "2024-01-02")}
     # session conf restored to the engine default afterwards
     assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").upper() == "STATIC"
+
+
+def test_round4_operator_plans_stay_bounded(spark, sf_dir):
+    """Plan-shape contracts for the round-4 operators: the int8
+    quantizer broadcasts its 64-row dim-stats table (a sort-merge
+    join there would shuffle the whole corpus on pos), winnowing
+    pairs only through the fingerprint equi-join (no cartesian), and
+    frame dedup is one Arrow stage + one aggregation exchange."""
+    import re
+
+    from etl_gov_spark.operators.multimodal import mm_frame_dedup
+    from etl_gov_spark.operators.text import text_winnow_overlap
+    from etl_gov_spark.operators.vectors import emb_quantize_int8
+
+    q = _fmt(emb_quantize_int8(spark, sf_dir))
+    assert "BroadcastHashJoin" in q and "SortMergeJoin" not in q
+
+    w = _fmt(text_winnow_overlap(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in w and "CartesianProduct" not in w
+    assert len(re.findall(r"Exchange (hash|range|Single)", w)) <= 3
+
+    f = _fmt(mm_frame_dedup(spark, sf_dir))
+    # exactly one Arrow stage (formatted plans name each node twice:
+    # once in the tree, once in the details section)
+    assert f.count("MapInPandas") == 2
+    assert "SortMergeJoin" not in f and "CartesianProduct" not in f
+    assert len(re.findall(r"Exchange (hash|range|Single)", f)) <= 2

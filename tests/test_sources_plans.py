@@ -379,3 +379,40 @@ def test_round4_operator_plans_stay_bounded(spark, sf_dir):
     assert f.count("MapInPandas") == 2
     assert "SortMergeJoin" not in f and "CartesianProduct" not in f
     assert len(re.findall(r"Exchange (hash|range|Single)", f)) <= 2
+
+
+def test_events_ts_normalizes_to_timestamp_for_any_encoding(spark, tmp_path):
+    """The events feed has shipped ts three ways (TIMESTAMP(NANOS)
+    readable only as long, timestamp[us] → TIMESTAMP_NTZ under
+    inference, plain TIMESTAMP). read_table and the streaming source
+    must hand every consumer plain TIMESTAMP regardless — the round-3
+    breakage was exactly this contract silently changing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.streaming.events_stream import _events_stream
+
+    for sf in ("sf0.001", "sf0.01"):
+        assert dict(read_table(spark, f"/root/testdata/{sf}", "events").dtypes)[
+            "ts"
+        ] == "timestamp"
+
+    # synthesize the timestamp[us]-without-timezone encoding explicitly
+    tmp = str(tmp_path / "enc")
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000, 1_700_000_060_000_000], pa.timestamp("us")),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["click", "view"]),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    import os
+
+    os.makedirs(tmp, exist_ok=True)
+    pq.write_table(t, f"{tmp}/events.parquet")
+    assert dict(read_table(spark, tmp, "events").dtypes)["ts"] == "timestamp"
+    assert dict(_events_stream(spark, tmp).dtypes)["ts"] == "timestamp"

@@ -984,3 +984,57 @@ FROM per
 """
 
 QUERIES["q_cohort_ltv"] = (q_cohort_ltv, Q_COHORT_LTV_SQL)
+
+
+def q_event_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit — the input that SIZES a streaming
+    watermark: per event type, how many events arrive with an event
+    time older than something already seen, and how late (avg / p95 /
+    max seconds behind the running high-water mark). A watermark
+    below the observed p95 lateness silently drops that tail; one
+    far above it holds state for no reason.
+
+    Arrival order is the generation sequence (event_id); the running
+    high-water mark is computed PER USER (bounded partitions — a
+    global arrival sort would single-thread the corpus at scale; the
+    per-entity disorder profile is the scalable proxy and the one
+    per-key stateful operators actually experience)."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("_us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.withColumn(
+        "late_s", (F.max("_us").over(w) - F.col("_us")) / 1_000_000.0
+    )
+    return late.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+        _R4(F.avg("late_s"), "avg_late_s"),
+        _R4(F.percentile("late_s", F.lit(0.95)), "p95_late_s"),
+        _R4(F.max("late_s"), "max_late_s"),
+    )
+
+
+Q_EVENT_DISORDER_SQL = """
+WITH late AS (
+  SELECT event_type,
+         (max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - epoch_us(ts)) / 1000000.0 AS late_s
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       round(avg(late_s), 4) AS avg_late_s,
+       round(quantile_cont(late_s, 0.95), 4) AS p95_late_s,
+       round(max(late_s), 4) AS max_late_s
+FROM late
+GROUP BY event_type
+"""
+
+QUERIES["q_event_disorder"] = (q_event_disorder, Q_EVENT_DISORDER_SQL)

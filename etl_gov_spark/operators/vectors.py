@@ -774,3 +774,73 @@ WHERE rank <= 20
 """
 
 QUERIES["emb_quantize_int8"] = (emb_quantize_int8, EMB_QUANTIZE_SQL)
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-batch drift audit — the vector analogue of
+    dq_distribution_drift: split the corpus into reference (first
+    half by vec_id) and current (second half), compute per-label
+    centroids on each side, and report the per-label centroid L2
+    displacement and norm shift. A retrained or silently-swapped
+    encoder shows up here before it poisons training.
+
+    Scale: two dim-keyed aggregates (labels × 64 partial sums — the
+    shuffle never carries vectors) joined on the tiny label key.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    half = Catalog(spark, sf_dir).embeddings.agg(
+        F.expr("percentile(vec_id, 0.5)").alias("m")
+    ).collect()[0].m
+    sides = emb.withColumn(
+        "side", F.when(F.col("vec_id") <= F.lit(half), "ref").otherwise("cur")
+    )
+    cent = sides.groupBy("label", "side", "pos").agg(
+        F.round(F.avg("x"), 6).alias("mu")  # quantized: replayable
+    )
+    ref = cent.filter(F.col("side") == "ref").select(
+        "label", "pos", F.col("mu").alias("mu_ref")
+    )
+    cur = cent.filter(F.col("side") == "cur").select(
+        "label", "pos", F.col("mu").alias("mu_cur")
+    )
+    return (
+        ref.join(cur, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            _R4(
+                F.sqrt(F.sum((F.col("mu_cur") - F.col("mu_ref")) ** 2)),
+                "centroid_l2_drift",
+            ),
+            _R4(
+                F.sqrt(F.sum(F.col("mu_cur") ** 2))
+                - F.sqrt(F.sum(F.col("mu_ref") ** 2)),
+                "norm_shift",
+            ),
+        )
+    )
+
+
+EMB_CENTROID_DRIFT_SQL = """
+WITH flat AS (
+  SELECT vec_id, label, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), m AS (SELECT quantile_cont(vec_id, 0.5) AS half FROM embeddings),
+cent AS (
+  SELECT label,
+         CASE WHEN vec_id <= (SELECT half FROM m) THEN 'ref' ELSE 'cur' END AS side,
+         pos, round(avg(x), 6) AS mu
+  FROM flat GROUP BY 1, 2, 3
+)
+SELECT r.label,
+       round(sqrt(sum(pow(c.mu - r.mu, 2))), 4) AS centroid_l2_drift,
+       round(sqrt(sum(c.mu * c.mu)) - sqrt(sum(r.mu * r.mu)), 4) AS norm_shift
+FROM cent r JOIN cent c ON r.label = c.label AND r.pos = c.pos
+WHERE r.side = 'ref' AND c.side = 'cur'
+GROUP BY r.label
+"""
+
+QUERIES["emb_centroid_drift"] = (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL)

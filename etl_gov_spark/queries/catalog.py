@@ -73,6 +73,8 @@ _PINNED_FIRST = (
     "emb_quantize_int8",
     "mm_frame_dedup",
     "text_winnow_overlap",
+    "q_event_disorder",
+    "emb_centroid_drift",
 )
 
 

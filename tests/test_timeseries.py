@@ -1,0 +1,26 @@
+
+
+def test_event_disorder_flags_only_out_of_order_arrivals(spark, tmp_path_factory):
+    """In-order arrivals (event_id order == ts order) show zero
+    lateness; a planted late arrival is counted with its true lag."""
+    from etl_gov_spark.operators.timeseries import q_event_disorder
+
+    tmp = str(tmp_path_factory.mktemp("disorder"))
+    rows = [
+        # user 1: strictly in order
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:05:00", 1, "click", 1.0, "{}"),
+        # user 2: event 4 arrives 120s behind the high-water mark
+        (3, "2024-01-01 10:10:00", 2, "view", 1.0, "{}"),
+        (4, "2024-01-01 10:08:00", 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = {r.event_type: r for r in q_event_disorder(spark, tmp).collect()}
+    assert got["click"].n_late == 0 and got["click"].max_late_s == 0.0
+    assert got["view"].n_late == 1 and got["view"].max_late_s == 120.0

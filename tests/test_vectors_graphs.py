@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from etl_gov_spark.io.sources import Catalog
 from etl_gov_spark.operators import graphs as G
 from etl_gov_spark.operators import similarity as S
@@ -242,3 +244,29 @@ def test_quantize_int8_error_bounds_and_constant_dim(spark, tmp_path_factory):
     # mse ordering is non-increasing by construction
     mses = [r.mse for r in rows]
     assert mses == sorted(mses, reverse=True)
+
+
+def test_centroid_drift_detects_planted_shift(spark, tmp_path_factory):
+    """Second-half vectors shifted by +0.5 in every dim → centroid
+    drift ≈ 0.5·√64 = 4.0 for the planted label; unshifted label
+    stays near zero."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    tmp = str(tmp_path_factory.mktemp("drift"))
+    rows = []
+    for i in range(400):
+        v = rng.normal(size=64)
+        label = i % 2
+        if label == 1 and i > 200:  # planted drift in label 1's second half
+            v = v + 0.5
+        rows.append((i, [float(x) for x in v], label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+    got = {r.label: r for r in V.emb_centroid_drift(spark, tmp).collect()}
+    # sampling noise gives the unshifted label ~√(2·64/n) ≈ 0.9 drift;
+    # the planted shift must stand clearly above that floor
+    assert got[1].centroid_l2_drift > 3 * got[0].centroid_l2_drift
+    assert got[1].centroid_l2_drift == pytest.approx(4.0, rel=0.25)

@@ -1038,3 +1038,101 @@ GROUP BY event_type
 """
 
 QUERIES["q_event_disorder"] = (q_event_disorder, Q_EVENT_DISORDER_SQL)
+
+
+ASOF_NEAREST_TOL_US = 10 * 60 * 1_000_000  # 10 min
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-as-of join with tolerance (pandas merge_asof
+    direction='nearest'): for every purchase, the closest click by
+    the same user within ±10 min — backward wins ties. The variant
+    sensor/trade pipelines actually need when the matching reading
+    may land on either side of the anchor.
+
+    Spark-first: same union + window-frame shape as q_asof_join —
+    the backward candidate is ``last IGNORE NULLS`` over the
+    preceding frame, the forward candidate ``first IGNORE NULLS``
+    over the following frame, both over ONE (user, ts, event_id)
+    sort; nearest-pick is a row-local comparison. One shuffle,
+    linear — never an inequality join.
+    """
+    ev = Catalog(spark, sf_dir).events
+    both = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("_cid"),
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias("_cus"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, -1)
+    wf = base.rowsBetween(1, Window.unboundedFollowing)
+    cand = (
+        both.withColumn("_us", F.unix_micros("ts"))
+        .withColumn("back_id", F.last("_cid", ignorenulls=True).over(wb))
+        .withColumn("back_us", F.last("_cus", ignorenulls=True).over(wb))
+        .withColumn("fwd_id", F.first("_cid", ignorenulls=True).over(wf))
+        .withColumn("fwd_us", F.first("_cus", ignorenulls=True).over(wf))
+        .filter(F.col("event_type") == "purchase")
+    )
+    d_back = F.col("_us") - F.col("back_us")
+    d_fwd = F.col("fwd_us") - F.col("_us")
+    back_ok = F.col("back_us").isNotNull() & (d_back <= ASOF_NEAREST_TOL_US)
+    fwd_ok = F.col("fwd_us").isNotNull() & (d_fwd <= ASOF_NEAREST_TOL_US)
+    use_back = back_ok & (~fwd_ok | (d_back <= d_fwd))
+    picked = cand.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(use_back, F.col("back_id"))
+        .when(fwd_ok, F.col("fwd_id"))
+        .alias("nearest_click_id"),
+        F.when(use_back, F.lit("backward"))
+        .when(fwd_ok, F.lit("forward"))
+        .alias("direction"),
+        _R4(
+            F.when(use_back, d_back).when(fwd_ok, d_fwd) / 1_000_000.0,
+            "delta_s",
+        ),
+    )
+    return picked
+
+
+Q_ASOF_NEAREST_SQL = f"""
+WITH bp AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back_id,
+         last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back_us,
+         first_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_id,
+         first_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_us
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN use_back THEN back_id WHEN fwd_ok THEN fwd_id END AS nearest_click_id,
+       CASE WHEN use_back THEN 'backward' WHEN fwd_ok THEN 'forward' END AS direction,
+       round(CASE WHEN use_back THEN us - back_us WHEN fwd_ok THEN fwd_us - us END
+             / 1000000.0, 4) AS delta_s
+FROM (
+  SELECT *,
+         back_us IS NOT NULL AND us - back_us <= {ASOF_NEAREST_TOL_US} AS back_ok,
+         fwd_us IS NOT NULL AND fwd_us - us <= {ASOF_NEAREST_TOL_US} AS fwd_ok,
+         (back_us IS NOT NULL AND us - back_us <= {ASOF_NEAREST_TOL_US})
+           AND (NOT (fwd_us IS NOT NULL AND fwd_us - us <= {ASOF_NEAREST_TOL_US})
+                OR us - back_us <= fwd_us - us) AS use_back
+  FROM bp
+)
+WHERE event_type = 'purchase'
+"""
+
+QUERIES["q_asof_nearest"] = (q_asof_nearest, Q_ASOF_NEAREST_SQL)

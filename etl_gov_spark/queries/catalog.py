@@ -75,6 +75,7 @@ _PINNED_FIRST = (
     "text_winnow_overlap",
     "q_event_disorder",
     "emb_centroid_drift",
+    "q_asof_nearest",
 )
 
 

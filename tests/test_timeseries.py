@@ -24,3 +24,35 @@ def test_event_disorder_flags_only_out_of_order_arrivals(spark, tmp_path_factory
     got = {r.event_type: r for r in q_event_disorder(spark, tmp).collect()}
     assert got["click"].n_late == 0 and got["click"].max_late_s == 0.0
     assert got["view"].n_late == 1 and got["view"].max_late_s == 120.0
+
+
+def test_asof_nearest_picks_closest_side_with_tolerance(spark, tmp_path_factory):
+    """Forward click closer than backward → forward wins; backward
+    wins ties; clicks beyond ±10 min tolerance leave NULL."""
+    from etl_gov_spark.operators.timeseries import q_asof_nearest
+
+    tmp = str(tmp_path_factory.mktemp("asofnear"))
+    rows = [
+        # u1: click 8 min before, click 2 min after → forward wins
+        (1, "2024-01-01 09:52:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:00:00", 1, "purchase", 9.0, "{}"),
+        (3, "2024-01-01 10:02:00", 1, "click", 1.0, "{}"),
+        # u2: clicks exactly 3 min both sides → backward tie-break
+        (4, "2024-01-01 09:57:00", 2, "click", 1.0, "{}"),
+        (5, "2024-01-01 10:00:00", 2, "purchase", 9.0, "{}"),
+        (6, "2024-01-01 10:03:00", 2, "click", 1.0, "{}"),
+        # u3: nearest click 11 min away → outside tolerance, NULL
+        (7, "2024-01-01 09:49:00", 3, "click", 1.0, "{}"),
+        (8, "2024-01-01 10:00:00", 3, "purchase", 9.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = {r.user_id: r for r in q_asof_nearest(spark, tmp).collect()}
+    assert (got[1].nearest_click_id, got[1].direction, got[1].delta_s) == (3, "forward", 120.0)
+    assert (got[2].nearest_click_id, got[2].direction) == (4, "backward")
+    assert got[3].nearest_click_id is None and got[3].direction is None

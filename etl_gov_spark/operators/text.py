@@ -556,3 +556,73 @@ WHERE rank <= 20
 """
 
 QUERIES["text_winnow_overlap"] = (text_winnow_overlap, TEXT_WINNOW_SQL)
+
+
+def _marks(col: Column, pattern: str) -> Column:
+    """Count non-overlapping runs matching ``pattern`` by collapsing
+    each run to one '#' and counting the marks — identical regex
+    semantics in Spark (Java regex) and DuckDB (RE2) for the simple
+    character classes used here."""
+    marked = F.regexp_replace(col, pattern, "#")
+    return (
+        F.length(marked) - F.length(F.regexp_replace(marked, "#", ""))
+    ).cast("long")
+
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the readability feature
+    corpus-quality filters gate on (too-low = legalese/garble,
+    too-high = trivial/listicle). Syllables are approximated by
+    vowel-group runs (the standard cheap estimator), sentences by
+    terminal-punctuation runs (min 1). Pure per-row codegen regex
+    algebra: no shuffle, no Python, linear at any corpus size."""
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.lower(F.col("text")).alias("s")
+    )
+    n_words = F.greatest(_marks(F.col("s"), r"[a-z0-9']+"), F.lit(1))
+    n_sent = F.greatest(_marks(F.col("s"), r"[.!?]+"), F.lit(1))
+    n_syll = F.greatest(_marks(F.col("s"), r"[aeiouy]+"), F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / n_sent)
+        - 84.6 * (n_syll.cast("double") / n_words)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+        F.when(flesch >= 60, "easy")
+        .when(flesch >= 30, "standard")
+        .otherwise("difficult")
+        .alias("band"),
+    )
+
+
+TEXT_READABILITY_SQL = r"""
+WITH d AS (
+  SELECT doc_id, source, lower(text) AS s FROM documents
+), m AS (
+  SELECT doc_id, source,
+         greatest(len(regexp_replace(s, '[a-z0-9'']+', '#', 'g'))
+                  - len(regexp_replace(regexp_replace(s, '[a-z0-9'']+', '#', 'g'), '#', '', 'g')), 1) AS n_words,
+         greatest(len(regexp_replace(s, '[.!?]+', '#', 'g'))
+                  - len(regexp_replace(regexp_replace(s, '[.!?]+', '#', 'g'), '#', '', 'g')), 1) AS n_sentences,
+         greatest(len(regexp_replace(s, '[aeiouy]+', '#', 'g'))
+                  - len(regexp_replace(regexp_replace(s, '[aeiouy]+', '#', 'g'), '#', '', 'g')), 1) AS n_syllables
+  FROM d
+)
+SELECT doc_id, source, n_words, n_sentences, n_syllables,
+       round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch,
+       CASE WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 60 THEN 'easy'
+            WHEN 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) >= 30 THEN 'standard'
+            ELSE 'difficult' END AS band
+FROM m
+"""
+
+QUERIES["text_readability"] = (text_readability, TEXT_READABILITY_SQL)

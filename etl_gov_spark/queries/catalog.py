@@ -76,6 +76,7 @@ _PINNED_FIRST = (
     "q_event_disorder",
     "emb_centroid_drift",
     "q_asof_nearest",
+    "text_readability",
 )
 
 

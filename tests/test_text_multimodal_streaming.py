@@ -373,3 +373,25 @@ def test_winnow_guarantee_detects_shared_substring(spark, tmp_path_factory):
     top = next(r for r in got if r.rank == 1)
     assert (top.doc_a, top.doc_b) == (0, 1)
     assert top.n_shared >= 1 and 0 < top.overlap_coeff <= 1.0
+
+
+def test_readability_orders_simple_above_dense_text(spark, tmp_path_factory):
+    """A short-word simple sentence must score higher Flesch than
+    polysyllabic legalese; counts are exact on a known sentence."""
+    from etl_gov_spark.operators.text import text_readability
+
+    tmp = str(tmp_path_factory.mktemp("readability"))
+    rows = [
+        (0, "The cat sat on the mat. It was fat.", "en", "s", 36),
+        (1, "Notwithstanding aforementioned administrative responsibilities, "
+            "intergovernmental organizations habitually promulgate "
+            "incomprehensible documentation.", "en", "s", 150),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = {r.doc_id: r for r in text_readability(spark, tmp).collect()}
+    assert got[0].n_words == 9 and got[0].n_sentences == 2
+    assert got[0].flesch > got[1].flesch
+    assert got[0].band == "easy" and got[1].band == "difficult"

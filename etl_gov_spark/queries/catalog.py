@@ -14,69 +14,74 @@ from pyspark.sql import DataFrame, SparkSession
 
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first. Order:
-# (1) every query that was red or stale after round 3 — the nine
-# TIMESTAMP_NTZ crashes, the two driver-representation mismatches,
-# and the three fixed-after-last-adjudication entries; then
-# (2) oracle-backed queries the driver has never sampled
-# (sketches / mlstats / skew / pandas_udfs / windows & audit & text
-# tails / streaming / pipeline).
+# (1) oracle-backed queries the driver has NEVER sampled (added late
+# in round 4, they sat past the 50-entry prefix last round); then
+# (2) queries whose implementation changed this round and therefore
+# need fresh adjudication; then
+# (3) the oldest-vintage green entries (r1/r2 adjudication) to
+# refresh their signal — everything r4 re-confirmed green is demoted
+# to the tail.
 _PINNED_FIRST = (
-    # -- red or stale in round 3, fixed this round --
-    "q_sessionize",
-    "q_range_join",
-    "q_time_to_convert",
-    "q_repeat_interval",
-    "q_concurrent_sessions",
-    "dq_freshness",
-    "q_user_rfm_features",
-    "dq_checksum_manifest",
-    "mm_feature_extract",
-    "stream_join_conversions",
-    "stream_sessionize_stateful",
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    "q_stratified_sample",
-    # -- oracle-backed, never in the driver's sample --
-    "q_countmin_heavy_hitters",
-    "q_trend_slope",
-    "fuzzy_join_names",
-    "q_weighted_median",
-    "q_abtest_lift",
-    "q_control_chart_days",
-    "q_survival_fulfillment",
-    "q_skew_salted_join",
-    "udf_sigmoid_scores",
-    "udaf_trend_pandas",
-    "q_acctbal_distribution",
-    "q_order_value_span",
-    "q_nth_order_value",
-    "q_mode_event_type",
-    "q_cusum_changepoint",
-    "q_round_number_bias",
-    "q_single_source_risk",
-    "q_benford_verdict",
-    "q_price_dispersion",
-    "q_near_duplicate_payments",
-    "q_payment_velocity",
-    "text_corpus_stats",
-    "text_zipf_fit",
-    "text_feature_hash",
-    "stream_hourly_counts",
-    "stream_sliding_counts",
-    "stream_dedup_events",
-    "stream_session_window",
-    "stream_static_enrich",
-    "pipeline_gov_report",
-    "graph_pagerank",
-    # -- new in round 4, oracle-backed, never sampled --
-    "emb_pca_top_component",
-    "emb_quantize_int8",
-    "mm_frame_dedup",
-    "text_winnow_overlap",
-    "q_event_disorder",
+    # -- never driver-sampled (were at positions 56-58 last round) --
     "emb_centroid_drift",
     "q_asof_nearest",
     "text_readability",
+    # -- new or changed in round 5: needs fresh adjudication --
+    "merge_upsert_pruned",
+    "q_funnel",
+    "q_funnel_windowed",
+    "dedup_simhash",
+    # -- oldest adjudication vintage (r1), refresh --
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_inventory",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q_market_segment_share",
+    "q_top_customers_per_nation",
+    "q_rollup_sales",
+    "q_cube_status_priority",
+    "q_pivot_status",
+    "q_semi_anti",
+    "q_distinct_counts",
+    "q_percentiles",
+    "q_correlated_exists",
+    "q_grouping_sets",
+    "q_monthly_growth",
+    "q_rolling_30d_revenue",
+    # -- r2 vintage, refresh --
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_keep_policy",
+    "graph_triangle_count",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "emb_norm_stats",
+    "emb_label_centroids",
+    "emb_outlier_scores",
+    "q_gap_fill",
+    "q_interp_linear",
+    "q_ewma_value",
+    "q_rolling_median",
+    "q_autocorrelation",
+    "q_seasonal_decompose",
+    "text_quality",
 )
 
 

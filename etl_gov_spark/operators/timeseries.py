@@ -110,35 +110,52 @@ GROUP BY 1, 2
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup → click → purchase per user, counted.
 
-    Stage mins are computed with conditional aggregation in ONE
-    groupBy pass per stage chain (no re-scan per stage): stage2 uses
-    a self-join back to events only on users that completed stage1 —
-    at scale each stage strictly shrinks the probe side.
+    ONE scan, one shuffle: stage minima are cascaded window minima
+    over the same ``user_id`` partitioning (click_ts = min click at
+    or after the user's first signup, purchase_ts = min purchase at
+    or after that click), so Spark hashes each user's events once
+    and evaluates all three stages in-partition — no per-stage
+    self-join back to events, no recomputed subtrees under the
+    final counts.
     """
     ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
+    ev = ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "signup_ts",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("signup_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("click_ts")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") >= F.col("signup_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"), F.first("signup_ts").alias("signup_ts"))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("signup_ts").alias("signup_ts"),
+        F.max("click_ts").alias("click_ts"),
+        F.max("purchase_ts").alias("purchase_ts"),
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") >= F.col("click_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
-    )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_signup_click")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    return per_user.agg(
+        F.count("signup_ts").alias("n_signup"),
+        F.count("click_ts").alias("n_signup_click"),
+        F.count("purchase_ts").alias("n_full_funnel"),
     )
 
 
@@ -785,39 +802,49 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-bounded funnel: click within 7 days of first signup,
     purchase within 7 days of that click — the production funnel
     semantics (unbounded funnels overcount forever). Same
-    shrinking-probe-side join chain as q_funnel with the window
-    predicate added to each stage."""
+    single-scan cascaded-window shape as q_funnel with the
+    time-bound predicate added to each stage condition."""
     ev = Catalog(spark, sf_dir).events.select("user_id", "event_type", "ts")
+    ev = ev.filter(F.col("event_type").isin("signup", "click", "purchase"))
     bound = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAYS")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("signup_ts"))
-    )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(
-            (F.col("ts") >= F.col("signup_ts"))
-            & (F.col("ts") <= F.col("signup_ts") + bound)
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "signup_ts",
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("click_ts"))
-    )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(
-            (F.col("ts") >= F.col("click_ts"))
-            & (F.col("ts") <= F.col("click_ts") + bound)
+        .withColumn(
+            "click_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") >= F.col("signup_ts"))
+                    & (F.col("ts") <= F.col("signup_ts") + bound),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("purchase_ts"))
+        .withColumn(
+            "purchase_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("click_ts"))
+                    & (F.col("ts") <= F.col("click_ts") + bound),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    return (
-        s1.agg(F.count(F.lit(1)).alias("n_signup"))
-        .crossJoin(s2.agg(F.count(F.lit(1)).alias("n_click_7d")))
-        .crossJoin(s3.agg(F.count(F.lit(1)).alias("n_purchase_7d")))
+    per_user = staged.groupBy("user_id").agg(
+        F.max("signup_ts").alias("signup_ts"),
+        F.max("click_ts").alias("click_ts"),
+        F.max("purchase_ts").alias("purchase_ts"),
+    )
+    return per_user.agg(
+        F.count("signup_ts").alias("n_signup"),
+        F.count("click_ts").alias("n_click_7d"),
+        F.count("purchase_ts").alias("n_purchase_7d"),
     )
 
 

@@ -209,8 +209,81 @@ FROM (
 """
 
 
+def merge_upsert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned copy-on-write MERGE (io/cow.py) end to end.
+
+    The base table is ``customer`` range-clustered on the merge key
+    into 10 files; the update batch touches only the lowest fifth of
+    the key space (every 10th key there, acctbal +100) plus one
+    brand-new key per nation (900000 + nationkey, beyond every
+    file's range). The COW merge reads parquet-footer key ranges,
+    rewrites only the ~2 files the update band intersects plus one
+    new file for the inserts, and leaves the other ~8 files on disk
+    byte-identical (asserted in tests/test_io_merge.py). Output =
+    merged rows for every 7th key, same proof shape as
+    merge_upsert_customers.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_gov_spark.io.cow import merge_upsert_cow
+    from etl_gov_spark.io.sinks import write_range_clustered
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "etl_gov_spark_cow",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    write_range_clustered(cust, work, ("c_custkey",), num_files=10)
+    # bounded scalar (one long), not data: the update band's edge
+    mx = cust.agg(F.max("c_custkey")).collect()[0][0]
+    updates = cust.filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") * 5 <= F.lit(mx))
+    ).withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    inserts = c.nation.select(
+        (F.lit(900000) + F.col("n_nationkey").cast("long")).alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merge_upsert_cow(spark, work, updates.unionByName(inserts), "c_custkey")
+    merged = spark.read.parquet(work)
+    return merged.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        "c_nationkey",
+        _R4(F.col("c_acctbal"), "c_acctbal"),
+        "c_mktsegment",
+    )
+
+
+MERGE_UPSERT_PRUNED_SQL = """
+WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+updates AS (
+  SELECT c_custkey, c_nationkey, c_acctbal + 100.0 AS c_acctbal, c_mktsegment
+  FROM customer, mx WHERE c_custkey % 10 = 0 AND c_custkey * 5 <= m
+  UNION ALL
+  SELECT 900000 + n_nationkey, n_nationkey, 0.0, 'NEW' FROM nation
+), merged AS (
+  SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+         coalesce(u.c_nationkey, c.c_nationkey) AS c_nationkey,
+         coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+         coalesce(u.c_mktsegment, c.c_mktsegment) AS c_mktsegment
+  FROM customer c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+)
+SELECT c_custkey, c_nationkey, round(c_acctbal, 4) AS c_acctbal, c_mktsegment
+FROM merged WHERE c_custkey % 7 = 0
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "merge_upsert_customers": (merge_upsert_customers, MERGE_UPSERT_CUSTOMERS_SQL),
+    "merge_upsert_pruned": (merge_upsert_pruned, MERGE_UPSERT_PRUNED_SQL),
     "scd2_order_status_history": (
         scd2_order_status_history,
         SCD2_ORDER_STATUS_HISTORY_SQL,

@@ -205,3 +205,80 @@ def test_bucketed_catalog_end_to_end(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         bc.drop()
+
+
+def test_cow_merge_rewrites_only_touched_files(spark, sf_dir, tmp_path):
+    """Copy-on-write MERGE: files outside the update key band are
+    never rewritten — they stay byte-identical on disk — while the
+    merged table carries the updates and inserts."""
+    import hashlib
+    import os
+
+    from etl_gov_spark.io.cow import merge_upsert_cow
+    from etl_gov_spark.io.sinks import write_range_clustered
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    table = str(tmp_path / "cust_cow")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=10)
+
+    def file_hashes() -> dict[str, str]:
+        return {
+            f: hashlib.sha256(open(os.path.join(table, f), "rb").read()).hexdigest()
+            for f in os.listdir(table)
+            if f.endswith(".parquet")
+        }
+
+    before = file_hashes()
+    mx = cust.agg(F.max("c_custkey")).collect()[0][0]
+    updates = cust.filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") * 5 <= F.lit(mx))
+    ).withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    stats = merge_upsert_cow(spark, table, updates, "c_custkey")
+
+    assert stats["files_total"] == len(before)
+    # the band covers ~1/5 of the key space ⇒ most files untouched
+    assert stats["files_kept"] >= stats["files_total"] // 2
+    assert stats["files_rewritten"] >= 1
+    after = file_hashes()
+    kept = {f for f in before if f in after}
+    assert len(kept) == stats["files_kept"]
+    for f in kept:
+        assert after[f] == before[f], f"untouched file {f} changed"
+
+    # merged content == full-outer semantics over the whole table
+    merged = {r["c_custkey"]: r for r in spark.read.parquet(table).collect()}
+    base = {r["c_custkey"]: r for r in cust.collect()}
+    upd = {r["c_custkey"]: r for r in updates.collect()}
+    assert set(merged) == set(base) | set(upd)
+    for k, row in merged.items():
+        want = upd.get(k, base.get(k))
+        assert abs(row["c_acctbal"] - want["c_acctbal"]) < 1e-9
+        assert row["c_mktsegment"] == want["c_mktsegment"]
+
+
+def test_cow_merge_inserts_beyond_all_ranges(spark, sf_dir, tmp_path):
+    """Update keys past every file's max are pure inserts: zero
+    existing files rewritten, one new file appended."""
+    import os
+
+    from etl_gov_spark.io.cow import merge_upsert_cow
+    from etl_gov_spark.io.sinks import write_range_clustered
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    table = str(tmp_path / "cust_cow_ins")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=5)
+    n_before = len([f for f in os.listdir(table) if f.endswith(".parquet")])
+
+    inserts = c.nation.select(
+        (F.lit(900000) + F.col("n_nationkey").cast("long")).alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    stats = merge_upsert_cow(spark, table, inserts, "c_custkey")
+    assert stats["files_rewritten"] == 0
+    assert stats["files_kept"] == n_before
+    total = spark.read.parquet(table).count()
+    assert total == cust.count() + inserts.count()

@@ -144,14 +144,13 @@ def write_dynamic_partition_overwrite(
     contract at scale — re-running yesterday's load replaces
     yesterday's partition without rewriting (or deleting) the other
     years of data, and a failed rerun never leaves the table
-    truncated the way static overwrite mode would. The conf is set
-    per-write and restored, so other writers in the session keep the
-    engine default."""
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "STATIC")
-    spark.conf.set(key, "dynamic")
-    try:
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
-    finally:
-        spark.conf.set(key, prev)
+    truncated the way static overwrite mode would. The mode rides
+    the DataFrameWriter as a per-write option, so concurrent writers
+    in the same session never observe it — no session-conf
+    mutate-and-restore window."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )

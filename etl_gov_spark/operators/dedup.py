@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog, expand_parallelism
-from etl_gov_spark.operators.text import tokens_col
+from etl_gov_spark.operators.text import MAX_SHINGLE_DF, tokens_col
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
@@ -189,7 +189,8 @@ def pair_structs(ds: Column, max_items: int | None = None) -> Column:
 # global df ≤ 25 — the ceilings bite nothing at test scale; they exist
 # for the 1000-executor case.
 MAX_BAND_BUCKET = 256  # LSH band buckets (minhash bands, sign-LSH)
-MAX_SHINGLE_DF = 64  # inverted shingle index df ceiling
+# MAX_SHINGLE_DF (inverted shingle index df ceiling) is defined in
+# operators/text.py and re-exported here for corpus.py / graphs.py.
 
 # op name -> Observation carrying (hot_buckets, max_bucket) for the
 # most recent plan built by that operator; readable after any action.

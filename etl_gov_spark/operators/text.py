@@ -30,6 +30,12 @@ STOPWORDS_DE = ("der", "die", "das", "und", "in", "ist", "ein", "eine")
 
 _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"  # BPE-ish: runs of letters / digits / single punct
 
+# Inverted shingle-index document-frequency ceiling, shared by every
+# bucket-blocked pair operator (dedup.py, corpus.py, graphs.py and
+# text_winnow_overlap below). Defined here — the import-order root of
+# that module family — so each oracle f-string can interpolate it.
+MAX_SHINGLE_DF = 64
+
 
 def tokens_col(text: str = "text") -> Column:
     """Whitespace tokens of a trimmed text column (JVM-side)."""
@@ -537,7 +543,7 @@ WITH d AS (
 ), idx AS (
   SELECT doc_id, len(fps) AS nf, unnest(fps) AS f FROM sigs
 ), keep AS (
-  SELECT f FROM idx GROUP BY f HAVING count(*) BETWEEN 2 AND 64
+  SELECT f FROM idx GROUP BY f HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
 ), inter AS (
   SELECT a.doc_id AS doc_a, a.nf AS nf_a, b.doc_id AS doc_b, b.nf AS nf_b,
          count(*) AS n_shared
@@ -562,8 +568,9 @@ def _marks(col: Column, pattern: str) -> Column:
     """Count non-overlapping runs matching ``pattern`` by collapsing
     each run to one '#' and counting the marks — identical regex
     semantics in Spark (Java regex) and DuckDB (RE2) for the simple
-    character classes used here."""
-    marked = F.regexp_replace(col, pattern, "#")
+    character classes used here. Literal '#' already present in the
+    input is stripped first so it can't inflate the mark count."""
+    marked = F.regexp_replace(F.regexp_replace(col, "#", ""), pattern, "#")
     return (
         F.length(marked) - F.length(F.regexp_replace(marked, "#", ""))
     ).cast("long")
@@ -603,7 +610,7 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEXT_READABILITY_SQL = r"""
 WITH d AS (
-  SELECT doc_id, source, lower(text) AS s FROM documents
+  SELECT doc_id, source, replace(lower(text), '#', '') AS s FROM documents
 ), m AS (
   SELECT doc_id, source,
          greatest(len(regexp_replace(s, '[a-z0-9'']+', '#', 'g'))

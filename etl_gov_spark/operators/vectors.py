@@ -546,6 +546,11 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     total_var = sum(r.ss / n - r.mu * r.mu for r in mu_rows)
 
     dim = len(mu)
+    if dim != 64:
+        # the oracle replay pins v0 = 0.125 (1/sqrt(64), exactly
+        # representable); a different width would silently diverge
+        # from iteration 1 — fail loudly instead.
+        raise ValueError(f"PCA oracle replay is pinned to dim=64, got {dim}")
     vec = [1.0 / dim**0.5] * dim
     centered = emb.select(
         F.zip_with(

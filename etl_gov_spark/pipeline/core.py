@@ -402,7 +402,13 @@ class Pipeline:
         cwd: str | None = None,
         skip_on_exit_code: int = 99,
         timeout_s: float | None = None,
-        **kw: Any,
+        *,
+        trigger_rule: str = "all_success",
+        retries: int = 0,
+        retry_delay_s: float = 0.0,
+        on_failure: "Callable | None" = None,
+        priority_weight: int = 1,
+        display_name: str | None = None,
     ) -> str:
         """Subprocess task (≈ BashOperator / @task.bash): run a shell
         command, xcom the LAST non-empty stdout line (the BashOperator
@@ -410,7 +416,9 @@ class Pipeline:
         time (the @task.bash shape). Exit 0 succeeds; exit
         ``skip_on_exit_code`` skips the task (and cascade-skips
         downstream, ≈ AirflowSkipException); any other exit raises —
-        so ``retries`` (via **kw) re-attempt transient failures.
+        so ``retries`` re-attempt transient failures. Task options
+        are spelled out (keyword-only) so a typo raises TypeError
+        instead of being silently dropped.
         ``env`` EXTENDS the inherited environment (append_env
         semantics). Driver-side glue only — data-plane work belongs
         in DataFrame tasks, not subprocesses."""
@@ -444,12 +452,12 @@ class Pipeline:
                 qname,
                 _run,
                 tuple(deps),
-                trigger_rule=kw.get("trigger_rule", "all_success"),
-                retries=kw.get("retries", 0),
-                retry_delay_s=kw.get("retry_delay_s", 0.0),
-                on_failure=kw.get("on_failure"),
-                priority_weight=kw.get("priority_weight", 1),
-                display_name=kw.get("display_name"),
+                trigger_rule=trigger_rule,
+                retries=retries,
+                retry_delay_s=retry_delay_s,
+                on_failure=on_failure,
+                priority_weight=priority_weight,
+                display_name=display_name,
             )
         )
 

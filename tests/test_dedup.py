@@ -231,3 +231,86 @@ def test_hot_cluster_keeps_canonical_doc_mapping(spark, tmp_path_factory):
         for r in G.dedup_clusters(spark, tmp).collect()
     )
     assert got == duck
+
+
+# ---------------------------------------------------------------- #
+# property: the star route is linear and cluster-preserving        #
+# ---------------------------------------------------------------- #
+
+def _components(n_docs: int, edges: set[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over doc ids 0..n_docs-1 → {doc: min-id of component}."""
+    parent = list(range(n_docs))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {d: find(d) for d in range(n_docs)}
+
+
+def test_star_route_pair_count_and_components_property(spark):
+    """Property (hypothesis): for ANY bucket layout, route='star'
+    (1) emits at most C(s,2) pairs for under-cap buckets and exactly
+    s-1 for over-cap buckets — linear, never quadratic — and
+    (2) leaves every bucket connected, so connected components (and
+    hence the min-id canonical-doc mapping dedup_keep_policy
+    derives) are IDENTICAL to the uncapped all-pairs graph."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    cap = 6
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 39), min_size=2, max_size=3 * cap, unique=True),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(buckets: list[list[int]]) -> None:
+        buckets = [sorted(b) for b in buckets]
+        df = spark.createDataFrame(
+            [(i, b) for i, b in enumerate(buckets)], "bucket_id long, ds array<long>"
+        )
+        bounded = D.bounded_buckets(df, "ds", cap, "prop_test", route="star")
+        pairs = (
+            bounded.select(F.explode(D.pair_structs(F.col("ds"))).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .collect()
+        )
+        got = {(min(r.a, r.b), max(r.a, r.b)) for r in pairs}
+
+        # (1) pair budget: linear for hot buckets, quadratic only small
+        budget = sum(
+            len(b) - 1 if len(b) > cap else len(b) * (len(b) - 1) // 2
+            for b in buckets
+        )
+        assert len(pairs) <= budget
+        for b in buckets:
+            if len(b) > cap:
+                hub = b[0]
+                # hub-spoke only: every emitted pair inside a hot
+                # bucket touches its hub
+                inside = {p for p in got if p[0] in set(b) and p[1] in set(b)}
+                covered = {(min(hub, x), max(hub, x)) for x in b[1:]}
+                assert covered <= got, "star route lost a hub edge"
+
+        # (2) canonical mapping unchanged vs the uncapped graph
+        uncapped = {
+            (x, y) for b in buckets for i, x in enumerate(b) for y in b[i + 1 :]
+        }
+        assert _components(40, got) == _components(40, uncapped)
+
+    check()

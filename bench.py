@@ -47,6 +47,10 @@ HEADLINE = [
     "dedup_clusters",
     "ann_ivf_topk",
     "corpus_segment_dedup",
+    # r5 widening: the iterative/graph/winnowing tier
+    "text_winnow_overlap",
+    "mm_frame_dedup",
+    "graph_pagerank",
 ]
 
 

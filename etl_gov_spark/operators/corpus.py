@@ -916,3 +916,194 @@ QUERIES["corpus_cross_source_overlap"] = (
     corpus_cross_source_overlap,
     CORPUS_CROSS_SOURCE_SQL,
 )
+
+
+# ---------------------------------------------------------------- #
+# batching / training-order / filter-tuning operators              #
+# ---------------------------------------------------------------- #
+
+_LEN_BUCKET_W = 16  # token-length bucket width
+
+
+def corpus_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram with padding-waste accounting.
+
+    Batching pads every sequence in a bucket to the bucket's top
+    length, so the per-bucket waste fraction
+    (padded - real) / padded is THE number length-bucketed batching
+    is tuned on. One narrow projection + one tiny aggregate;
+    groupless until the final ~8-key shuffle.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.size(tokens_col()).alias("n_tok")
+    )
+    bucket = F.floor(F.col("n_tok") / _LEN_BUCKET_W).cast("int")
+    agg = docs.select(bucket.alias("bucket"), "n_tok").groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    )
+    padded = F.col("n_docs") * (F.col("bucket") + 1) * _LEN_BUCKET_W
+    return agg.select(
+        "bucket",
+        ((F.col("bucket") + 1) * _LEN_BUCKET_W).alias("padded_len"),
+        "n_docs",
+        "n_tokens",
+        (padded - F.col("n_tokens")).alias("pad_tokens"),
+        _R4((padded - F.col("n_tokens")) / padded, "waste_frac"),
+    )
+
+
+CORPUS_LENGTH_BUCKETS_SQL = f"""
+WITH d AS (
+  SELECT len(string_split_regex(trim(text), '\\s+')) AS n_tok FROM documents
+), agg AS (
+  SELECT CAST(floor(n_tok / {_LEN_BUCKET_W}) AS INTEGER) AS bucket,
+         count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1
+)
+SELECT bucket,
+       (bucket + 1) * {_LEN_BUCKET_W} AS padded_len,
+       n_docs, n_tokens,
+       n_docs * (bucket + 1) * {_LEN_BUCKET_W} - n_tokens AS pad_tokens,
+       round((n_docs * (bucket + 1) * {_LEN_BUCKET_W} - n_tokens)
+             / CAST(n_docs * (bucket + 1) * {_LEN_BUCKET_W} AS DOUBLE), 4) AS waste_frac
+FROM agg
+"""
+
+QUERIES["corpus_length_buckets"] = (corpus_length_buckets, CORPUS_LENGTH_BUCKETS_SQL)
+
+
+_SHUFFLE_SEED = "epoch0"
+_N_SHARDS = 16
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle + shard assignment — the
+    training-order step: every epoch reshuffles the corpus into N
+    shards with a pure hash of (doc_id, seed), so the permutation is
+    reproducible from the seed alone, any worker can locate any
+    doc's shard without coordination, and NO global sort happens
+    (a total order materialized on one node is the classic
+    anti-pattern; hash-sharding is order-free and shuffle-minimal —
+    the within-shard read order is the hash itself, recoverable by
+    range-clustering each shard file on h).
+
+    Output: per-shard balance stats + the hash-order head doc
+    (min_by) proving the order is deterministic.
+    """
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "source", tokens_col().alias("toks"))
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":" + _SHUFFLE_SEED)))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _N_SHARDS
+    return (
+        docs.select(
+            shard.alias("shard"),
+            h.alias("h"),
+            "doc_id",
+            "source",
+            F.size("toks").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min_by("doc_id", "h").alias("first_doc_id"),
+        )
+    )
+
+
+CORPUS_SHUFFLE_SHARDS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SEED}') AS h
+  FROM documents
+)
+SELECT CAST('0x' || substr(h, 1, 8) AS BIGINT) % {_N_SHARDS} AS shard,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       count(DISTINCT source) AS n_sources,
+       min_by(doc_id, h) AS first_doc_id
+FROM d GROUP BY 1
+"""
+
+QUERIES["corpus_shuffle_shards"] = (corpus_shuffle_shards, CORPUS_SHUFFLE_SHARDS_SQL)
+
+
+def corpus_quality_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention curve for the quality filter: for each candidate
+    threshold (5%..95% in 5% steps), how many docs and tokens
+    survive ``quality_score >= t`` — the sweep every pipeline runs
+    before committing to a filter setting, in ONE pass.
+
+    The score is quantized to an integer (4-dp x 10000) before the
+    threshold compare so both engines agree at bucket boundaries.
+    Plan: narrow per-doc projection, 19-way threshold explode of a
+    2-column frame, one small aggregate, 1-row totals broadcast.
+    """
+    from etl_gov_spark.operators.text import STOPWORDS_EN, _stop_hits
+
+    docs = Catalog(spark, sf_dir).documents
+    toks = tokens_col()
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    stop = _stop_hits(toks, STOPWORDS_EN)
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    score = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.5
+        + (stop / n_words) * 0.3
+        + (1 - punct / n_chars) * 0.2
+    )
+    scored = docs.select(
+        F.round(F.round(score, 4) * 10000).cast("long").alias("s4"),
+        n_words.alias("n_tok"),
+    )
+    totals = scored.agg(
+        F.count(F.lit(1)).alias("tot_docs"), F.sum("n_tok").alias("tot_tokens")
+    )
+    swept = scored.select(
+        "s4", "n_tok", F.explode(F.sequence(F.lit(1), F.lit(19))).alias("t")
+    ).filter(F.col("s4") >= F.col("t") * 500)
+    return (
+        swept.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .crossJoin(totals)  # deliberate 1-row scalar broadcast
+        .select(
+            (F.col("t") * 5).cast("int").alias("threshold_pct"),
+            "n_docs",
+            "n_tokens",
+            _R4(F.col("n_docs") / F.col("tot_docs"), "doc_retention"),
+            _R4(F.col("n_tokens") / F.col("tot_tokens"), "token_retention"),
+        )
+    )
+
+
+def _quality_sweep_sql() -> str:
+    from etl_gov_spark.operators.text import STOPWORDS_EN, _sql_stop_hits
+
+    stop = _sql_stop_hits(STOPWORDS_EN)
+    return f"""
+WITH scored AS (
+  SELECT CAST(round(round(least(len(toks) / 200.0, 1.0) * 0.5
+             + ({stop} / CAST(len(toks) AS DOUBLE)) * 0.3
+             + (1 - (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))) / CAST(length(text) AS DOUBLE)) * 0.2, 4) * 10000) AS BIGINT) AS s4,
+         len(toks) AS n_tok
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+), totals AS (
+  SELECT count(*) AS tot_docs, sum(n_tok) AS tot_tokens FROM scored
+), swept AS (
+  SELECT t.t, count(*) AS n_docs, CAST(sum(s.n_tok) AS BIGINT) AS n_tokens
+  FROM scored s JOIN (SELECT unnest(range(1, 20)) AS t) t ON s.s4 >= t.t * 500
+  GROUP BY t.t
+)
+SELECT CAST(t * 5 AS INTEGER) AS threshold_pct, n_docs, n_tokens,
+       round(n_docs / CAST(tot_docs AS DOUBLE), 4) AS doc_retention,
+       round(n_tokens / CAST(tot_tokens AS DOUBLE), 4) AS token_retention
+FROM swept, totals
+"""
+
+
+QUERIES["corpus_quality_prune_sweep"] = (
+    corpus_quality_prune_sweep,
+    _quality_sweep_sql(),
+)

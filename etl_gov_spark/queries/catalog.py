@@ -28,6 +28,9 @@ _PINNED_FIRST = (
     "text_readability",
     # -- new or changed in round 5: needs fresh adjudication --
     "merge_upsert_pruned",
+    "corpus_length_buckets",
+    "corpus_shuffle_shards",
+    "corpus_quality_prune_sweep",
     "q_funnel",
     "q_funnel_windowed",
     "dedup_simhash",

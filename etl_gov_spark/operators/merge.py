@@ -385,3 +385,56 @@ GROUP BY 1
 """
 
 QUERIES["scd2_temporal_join"] = (scd2_temporal_join, SCD2_TEMPORAL_JOIN_SQL)
+
+
+def incremental_rollup_merge(
+    stored: DataFrame, delta: DataFrame, keys: list[str], sums: list[str]
+) -> DataFrame:
+    """Incremental view maintenance for a sum/count rollup: the
+    stored aggregate rows and the new partition's aggregate rows
+    are unioned and re-reduced on the group keys — a commutative-
+    monoid merge, so the history is NEVER re-scanned; only the
+    delta partition is read. This is how a daily 100 TB pipeline
+    keeps a rollup current: agg cost is O(delta) + O(state), not
+    O(history)."""
+    return stored.unionByName(delta).groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sums]
+    )
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type revenue rollup maintained incrementally: state
+    = aggregate of all days before the last, delta = the last day
+    only, merged with incremental_rollup_merge. Equality with the
+    full recompute is the oracle; the only-delta-is-scanned property
+    is plan-asserted in tests/test_io_merge.py."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    # bounded scalar: the incremental cutover day
+    cutoff = ev.agg(F.max("day")).collect()[0][0]
+    state = (
+        ev.filter(F.col("day") < F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    delta = (
+        ev.filter(F.col("day") == F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(F.sum("value").alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    merged = incremental_rollup_merge(
+        state, delta, ["event_type"], ["revenue", "n_events"]
+    )
+    return merged.select(
+        "event_type", _R4(F.col("revenue"), "revenue"), "n_events"
+    )
+
+
+Q_INCREMENTAL_ROLLUP_SQL = """
+SELECT event_type, round(sum(value), 4) AS revenue,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+QUERIES["q_incremental_rollup"] = (q_incremental_rollup, Q_INCREMENTAL_ROLLUP_SQL)

@@ -153,3 +153,72 @@ def q_hll_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["q_hll_daily_weekly"] = (q_hll_daily_weekly, None)
+
+
+_BM_WORD = 62  # bits per bitmap word (62 keeps every shift positive
+               # in DuckDB's overflow-checked BIGINT left-shift)
+
+
+def q_bitmap_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users via mergeable per-day bitmaps — the
+    roaring-bitmap pattern a warehouse uses when approx (HLL) isn't
+    acceptable but re-scanning history for every rollup isn't either.
+
+    Per (event_type, day): users OR into 62-bit words keyed by
+    user_id div 62 (daily state, bounded by key-space/62 words).
+    The weekly/total rollup then OR-merges the DAILY STATE — never
+    re-touching the raw events — and pops bits. Both aggregation
+    levels are ordinary map-side-combinable aggregates; the merge
+    is associative/commutative, so it distributes and increments.
+    Output proves exactness: bitmap count == direct countDistinct.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy(
+        "event_type", "day", F.expr(f"user_id div {_BM_WORD}").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(1L, cast(user_id % {_BM_WORD} as int))")
+        ).alias("bm")
+    )
+    merged = daily.groupBy("event_type", "word").agg(F.bit_or("bm").alias("bm"))
+    bitmap_counts = merged.groupBy("event_type").agg(
+        F.sum(F.bit_count("bm")).alias("n_users_bitmap")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_direct"),
+        F.countDistinct("day").alias("n_days"),
+    )
+    return bitmap_counts.join(direct, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_users_bitmap",
+        "n_users_direct",
+        (F.col("n_users_bitmap") == F.col("n_users_direct")).alias("exact_match"),
+    )
+
+
+Q_BITMAP_ROLLUP_SQL = f"""
+WITH ev AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+), daily AS (
+  SELECT event_type, day, CAST(floor(user_id / {_BM_WORD}) AS BIGINT) AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % {_BM_WORD} AS INTEGER)) AS bm
+  FROM ev GROUP BY 1, 2, 3
+), merged AS (
+  SELECT event_type, word, bit_or(bm) AS bm FROM daily GROUP BY 1, 2
+), bc AS (
+  SELECT event_type, CAST(sum(bit_count(bm)) AS BIGINT) AS n_users_bitmap
+  FROM merged GROUP BY 1
+), direct AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_users_direct,
+         count(DISTINCT day) AS n_days
+  FROM ev GROUP BY 1
+)
+SELECT event_type, n_days, n_users_bitmap, n_users_direct,
+       n_users_bitmap = n_users_direct AS exact_match
+FROM bc JOIN direct USING (event_type)
+"""
+
+QUERIES["q_bitmap_rollup_distinct"] = (q_bitmap_rollup_distinct, Q_BITMAP_ROLLUP_SQL)

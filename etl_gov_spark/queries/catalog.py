@@ -31,6 +31,8 @@ _PINNED_FIRST = (
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",
+    "q_bitmap_rollup_distinct",
+    "q_incremental_rollup",
     "q_funnel",
     "q_funnel_windowed",
     "dedup_simhash",

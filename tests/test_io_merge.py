@@ -282,3 +282,39 @@ def test_cow_merge_inserts_beyond_all_ranges(spark, sf_dir, tmp_path):
     assert stats["files_kept"] == n_before
     total = spark.read.parquet(table).count()
     assert total == cust.count() + inserts.count()
+
+
+def test_incremental_rollup_merges_delta_without_history_rescan(spark, sf_dir, tmp_path):
+    """Incremental view maintenance: the delta read is partition-
+    pruned to the cutover day (plan-asserted), and state+delta
+    merge equals the full recompute exactly."""
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    path = str(tmp_path / "ev_days")
+    ev.write.partitionBy("day").parquet(path)
+    part = spark.read.parquet(path)
+    days = sorted(r.day for r in part.select("day").distinct().collect())
+    cutoff = days[-1]
+
+    delta_rows = part.filter(F.col("day") == F.lit(cutoff))
+    plan = _plan(delta_rows)
+    # the scan prunes on the partition column (inputFiles() reflects
+    # the unfiltered relation, so the executed plan is the evidence)
+    assert "PartitionFilters" in plan and str(cutoff) in plan, plan[:500]
+
+    def rollup(df):
+        return df.groupBy("event_type").agg(
+            F.sum("value").alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+
+    merged = M.incremental_rollup_merge(
+        rollup(part.filter(F.col("day") < F.lit(cutoff))),
+        rollup(delta_rows),
+        ["event_type"],
+        ["revenue", "n_events"],
+    )
+    got = {r.event_type: (round(r.revenue, 4), r.n_events) for r in merged.collect()}
+    want = {r.event_type: (round(r.revenue, 4), r.n_events) for r in rollup(part).collect()}
+    assert got == want

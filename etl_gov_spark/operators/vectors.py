@@ -104,43 +104,76 @@ GROUP BY label
 """
 
 
-def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Map-only nearest-centroid assignment: centroids broadcast,
-    squared-L2 argmin via one-pass struct-min (no sort). The d2 is
-    quantized to 6 dp before the argmin so Spark and the DuckDB
-    oracle never disagree at an FP boundary (same trick as
-    similarity._plane_sign_bits)."""
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    return (
-        emb.crossJoin(F.broadcast(centroids))
-        .select(
-            "vec_id", "v", F.struct(F.round(d2, 6).alias("d2"), F.col("cid")).alias("_s")
+EMB_DIM = 64  # testdata embedding width; the PQ layout (8×8) assumes it too
+
+
+def _cent_lit(model: list) -> Column:
+    """The driver-held centroid model as ONE literal
+    array<struct<cid, cv>> column. k×EMB_DIM doubles inline in the
+    plan, so assignment becomes a pure map over the literal model —
+    zero joins, zero shuffle, no N×k intermediate. At cluster scale
+    with a large fixed k this degrades gracefully to a broadcast
+    join; at Lloyd-model sizes (k ≲ 1000) the literal is cheaper
+    because it never leaves whole-stage codegen.
+
+    Built as ONE ``F.expr`` string, not nested ``F.lit`` calls: a
+    k×64 model is ~2k literals, and each ``F.lit``/``F.struct`` is a
+    py4j round-trip (~8 s of driver time per plan observed at k=33);
+    a single SQL string is one round-trip and parses JVM-side in
+    ms. ``repr(float)`` is the shortest exact round-trip form, so
+    the doubles are bit-identical to the collected model."""
+    parts = [
+        "named_struct('cid', {}L, 'cv', array({}))".format(
+            int(cid), ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cv)
         )
-        .groupBy("vec_id", "v")
-        .agg(F.min("_s").alias("_best"))
-        .select("vec_id", "v", F.col("_best.cid").alias("cid"))
+        for cid, cv in model
+    ]
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def _d2_to(vec: str, cv: Column) -> Column:
+    """6-dp-quantized squared L2 between a vector column and one
+    centroid array — the same left-fold in Spark and the oracle, so
+    the two engines never disagree at an FP boundary (same trick as
+    similarity._plane_sign_bits)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col(vec), cv, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
     )
+
+
+def _assign(emb: DataFrame, model: list, vec: str = "v") -> DataFrame:
+    """Map-only nearest-centroid assignment against the literal
+    model: per row, fold d2 to every centroid and take the
+    struct-min (d2, cid) — deterministic argmin, no sort, no
+    shuffle. N rows in, N rows out."""
+    best = F.array_min(
+        F.transform(
+            _cent_lit(model),
+            lambda c: F.struct(_d2_to(vec, c["cv"]).alias("d2"), c["cid"].alias("cid")),
+        )
+    )
+    return emb.select("vec_id", vec, best["cid"].alias("cid"))
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:
-    """New centroid per cell: positional explode → per-(cell, dim)
-    mean → array rebuilt in dim order. Shuffle = K×dim aggregates.
-    Component means are quantized to 6 dp: a group avg is summed in
-    partition order, so the last ulp is engine-dependent — rounding
-    makes the centroid state identical in Spark and the oracle."""
-    per_dim = (
-        assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-        .groupBy("cid", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("c"))
-    )
+    """New centroid per cell as EMB_DIM avg-aggregate columns in
+    ONE hash aggregate (map-side combined: the shuffle carries
+    k×EMB_DIM partial sums, never rows — same lane-packing trick as
+    dedup_simhash's bit votes; replaces a 64× posexplode + two
+    shuffles). Component means are quantized to 6 dp: a group avg
+    is summed in partition order, so the last ulp is
+    engine-dependent — rounding makes the centroid state identical
+    in Spark and the oracle."""
+    aggs = [F.round(F.avg(F.col("v")[i]), 6).alias(f"_c{i}") for i in range(EMB_DIM)]
     return (
-        per_dim.groupBy("cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
-        .select("cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
+        assigned.groupBy("cid")
+        .agg(*aggs)
+        .select("cid", F.array(*[f"_c{i}" for i in range(EMB_DIM)]).alias("cv"))
     )
 
 
@@ -168,32 +201,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    centroids = emb.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
+    model = [
+        (r.cid, r.cv)
+        for r in emb.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()  # k seed vectors — model state, not data
+    ]
     for _ in range(LLOYD_ITERS):
-        model = _recompute(_assign(emb, centroids)).collect()  # k×64 doubles
-        centroids = spark.createDataFrame(
-            [(r.cid, r.cv) for r in model], "cid long, cv array<double>"
-        )
-    cells = _assign(emb, centroids)
+        model = [(r.cid, r.cv) for r in _recompute(_assign(emb, model)).collect()]
+    cells = _assign(emb, model)
 
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    d2 = F.aggregate(
-        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("cid"))
-    probes = (
-        q.crossJoin(F.broadcast(centroids))
-        .select("q_id", "qv", "cid", F.round(d2, 6).alias("_d2"))
-        .withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= N_PROBE)
-        .select("q_id", "qv", "cid")
-    )
+    # nprobe nearest cells per query: sort the literal-model struct
+    # array per row and keep the first N_PROBE — no join, no window.
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        _cent_lit(model),
+                        lambda c: F.struct(
+                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                N_PROBE,
+            )
+        ).alias("_p"),
+    ).select("q_id", "qv", F.col("_p.cid").alias("cid"))
     cand = (
         F.broadcast(probes)
         .join(cells, "cid")

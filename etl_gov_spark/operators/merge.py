@@ -281,9 +281,89 @@ FROM merged WHERE c_custkey % 7 = 0
 """
 
 
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned MERGE + time-travel diff (io/snapshots.py) end to
+    end — the audit every regulated pipeline runs: "what exactly did
+    last night's merge change?".
+
+    The base table is ``customer`` range-clustered on the merge key;
+    v1 is the snapshot-log init, v2 is a snapshot MERGE of the same
+    update batch as merge_upsert_pruned (lowest-fifth keys +100
+    acctbal, one insert per nation). Both versions stay readable
+    from the same directory — the diff below joins
+    ``read_snapshot(v2)`` against ``read_snapshot(v1)`` and reports
+    every changed or inserted key with its before/after balance.
+    The oracle recomputes the same diff from the update definition,
+    so a MERGE that leaked into untouched rows, or a v1 read that
+    saw post-merge files, hash-mismatches immediately.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.snapshots import (
+        merge_upsert_snapshot,
+        read_snapshot,
+        snapshot_init,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "etl_gov_spark_snap",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    write_range_clustered(cust, work, ("c_custkey",), num_files=10)
+    snapshot_init(work)
+    mx = cust.agg(F.max("c_custkey")).collect()[0][0]
+    updates = cust.filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") * 5 <= F.lit(mx))
+    ).withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    inserts = c.nation.select(
+        (F.lit(900000) + F.col("n_nationkey").cast("long")).alias("c_custkey"),
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+    )
+    merge_upsert_snapshot(spark, work, updates.unionByName(inserts), "c_custkey")
+    v1 = read_snapshot(spark, work, 1).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_v1")
+    )
+    v2 = read_snapshot(spark, work, 2).select(
+        "c_custkey", F.col("c_acctbal").alias("bal_v2")
+    )
+    return (
+        v2.join(v1, "c_custkey", "left")
+        .filter(F.col("bal_v1").isNull() | (F.col("bal_v2") != F.col("bal_v1")))
+        .select(
+            "c_custkey",
+            _R4(F.col("bal_v1"), "bal_v1"),
+            _R4(F.col("bal_v2"), "bal_v2"),
+            F.when(F.col("bal_v1").isNull(), "insert")
+            .otherwise("update")
+            .alias("change"),
+        )
+    )
+
+
+SNAPSHOT_TIME_TRAVEL_SQL = """
+WITH mx AS (SELECT max(c_custkey) AS m FROM customer)
+SELECT c_custkey, round(c_acctbal, 4) AS bal_v1,
+       round(c_acctbal + 100.0, 4) AS bal_v2, 'update' AS change
+FROM customer, mx WHERE c_custkey % 10 = 0 AND c_custkey * 5 <= m
+UNION ALL
+SELECT CAST(900000 + n_nationkey AS BIGINT), CAST(NULL AS DOUBLE),
+       0.0, 'insert' FROM nation
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "merge_upsert_customers": (merge_upsert_customers, MERGE_UPSERT_CUSTOMERS_SQL),
     "merge_upsert_pruned": (merge_upsert_pruned, MERGE_UPSERT_PRUNED_SQL),
+    "snapshot_time_travel": (snapshot_time_travel, SNAPSHOT_TIME_TRAVEL_SQL),
     "scd2_order_status_history": (
         scd2_order_status_history,
         SCD2_ORDER_STATUS_HISTORY_SQL,

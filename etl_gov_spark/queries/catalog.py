@@ -27,6 +27,8 @@ _PINNED_FIRST = (
     "q_asof_nearest",
     "text_readability",
     # -- new or changed in round 5: needs fresh adjudication --
+    "snapshot_time_travel",
+    "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",
     "corpus_shuffle_shards",

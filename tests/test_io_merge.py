@@ -318,3 +318,80 @@ def test_incremental_rollup_merges_delta_without_history_rescan(spark, sf_dir, t
     got = {r.event_type: (round(r.revenue, 4), r.n_events) for r in merged.collect()}
     want = {r.event_type: (round(r.revenue, 4), r.n_events) for r in rollup(part).collect()}
     assert got == want
+
+
+def test_snapshot_merge_time_travel_and_vacuum(spark, sf_dir, tmp_path):
+    """Snapshot log: a MERGE commits a new version without deleting
+    the old one — v1 reads the exact pre-merge table, v2 the merged
+    one, vacuum(keep_last=1) reclaims the superseded files and
+    leaves v2 intact."""
+    import os
+
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.snapshots import (
+        live_files,
+        merge_upsert_snapshot,
+        read_snapshot,
+        snapshot_init,
+        snapshot_versions,
+        vacuum,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
+    table = str(tmp_path / "cust_snap")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=8)
+    assert snapshot_init(table) == 1
+
+    base = {r["c_custkey"]: r["c_acctbal"] for r in cust.collect()}
+    mx = max(base)
+    updates = cust.filter(
+        (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") * 5 <= F.lit(mx))
+    ).withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+    stats = merge_upsert_snapshot(spark, table, updates, "c_custkey")
+    assert stats["version"] == 2
+    assert stats["files_rewritten"] >= 1
+    assert stats["files_kept"] >= stats["files_live_before"] // 2
+
+    # v1 is the EXACT pre-merge state even though merge files now
+    # share the directory
+    v1 = {r["c_custkey"]: r["c_acctbal"] for r in read_snapshot(spark, table, 1).collect()}
+    assert v1 == base
+    # v2 carries every update
+    v2 = {r["c_custkey"]: r["c_acctbal"] for r in read_snapshot(spark, table, 2).collect()}
+    upd = {r["c_custkey"]: r["c_acctbal"] for r in updates.collect()}
+    assert set(v2) == set(base)
+    for k, bal in upd.items():
+        assert abs(v2[k] - bal) < 1e-9
+    # superseded files still on disk (v1 needs them) until vacuum
+    on_disk = {f for f in os.listdir(table) if f.endswith(".parquet")}
+    assert {os.path.basename(p) for p in live_files(table, 1)} <= on_disk
+
+    res = vacuum(table, keep_last=1)
+    assert res["files_removed"] == stats["files_rewritten"]
+    assert snapshot_versions(table) == [2]
+    v2b = {r["c_custkey"]: r["c_acctbal"] for r in read_snapshot(spark, table).collect()}
+    assert v2b == v2
+
+
+def test_snapshot_compaction_preserves_data_and_history(spark, sf_dir, tmp_path):
+    """Compaction rewrites the live version into fewer files as a
+    NEW version; row content is unchanged and the pre-compaction
+    version stays readable."""
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.snapshots import (
+        compact_snapshot,
+        read_snapshot,
+        snapshot_init,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_acctbal")
+    table = str(tmp_path / "cust_compact")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=12)
+    snapshot_init(table)
+    res = compact_snapshot(spark, table, "c_custkey", target_files=3)
+    assert res["files_after"] < res["files_before"]
+    before = {r["c_custkey"]: r["c_acctbal"] for r in read_snapshot(spark, table, 1).collect()}
+    after = {r["c_custkey"]: r["c_acctbal"] for r in read_snapshot(spark, table, 2).collect()}
+    assert after == before

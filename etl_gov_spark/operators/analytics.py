@@ -918,3 +918,59 @@ WHERE rank <= 20
 """
 
 QUERIES["q_supplier_scorecard"] = (q_supplier_scorecard, Q_SUPPLIER_SCORECARD_SQL)
+
+
+def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + footer-stat file skipping (io/skipping.py)
+    end to end: ``orders`` is rewritten z-ordered on
+    (o_custkey, o_totalprice), then a band predicate on BOTH keys is
+    answered by ``read_pruned`` — per-file parquet footer min/max
+    intersected with the ranges before Spark lists a single file.
+    The aggregate hash-matches the oracle's plain WHERE over the raw
+    table, proving the pruned read is transparent; pruning
+    *effectiveness* (files actually skipped on either key) is
+    asserted in tests/test_sources_plans.py.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_gov_spark.io.skipping import read_pruned, zorder_write
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "etl_gov_spark_zorder",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    zorder_write(o, work, ("o_custkey", "o_totalprice"), num_files=16)
+    mx = o.agg(F.max("o_custkey")).collect()[0][0]  # one scalar
+    pruned = read_pruned(
+        spark,
+        work,
+        {
+            "o_custkey": (mx // 4, mx // 2),
+            "o_totalprice": (50000.0, 150000.0),
+        },
+    )
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _R4(F.sum("o_totalprice"), "revenue"),
+    )
+
+
+Q_ZORDER_PRUNED_SCAN_SQL = """
+WITH mx AS (SELECT max(o_custkey) AS m FROM orders)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS revenue
+FROM orders, mx
+WHERE o_custkey >= CAST(floor(m / 4.0) AS BIGINT)
+  AND o_custkey <= CAST(floor(m / 2.0) AS BIGINT)
+  AND o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+GROUP BY o_orderstatus
+"""
+
+QUERIES["q_zorder_pruned_scan"] = (q_zorder_pruned_scan, Q_ZORDER_PRUNED_SCAN_SQL)

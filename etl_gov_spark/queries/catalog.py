@@ -28,6 +28,7 @@ _PINNED_FIRST = (
     "text_readability",
     # -- new or changed in round 5: needs fresh adjudication --
     "snapshot_time_travel",
+    "q_zorder_pruned_scan",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -416,3 +416,38 @@ def test_events_ts_normalizes_to_timestamp_for_any_encoding(spark, tmp_path):
     pq.write_table(t, f"{tmp}/events.parquet")
     assert dict(read_table(spark, tmp, "events").dtypes)["ts"] == "timestamp"
     assert dict(_events_stream(spark, tmp).dtypes)["ts"] == "timestamp"
+
+
+def test_zorder_prunes_files_on_both_keys(spark, sf_dir, tmp_path):
+    """Z-order layout skips files on EITHER cluster key via footer
+    stats; a single-key range-clustered layout can only skip on its
+    one key. Pruned reads stay transparent (same rows as a full
+    scan + filter)."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.skipping import prune_files, read_pruned, zorder_write
+
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zt = str(tmp_path / "orders_z")
+    zorder_write(o, zt, ("o_custkey", "o_totalprice"), num_files=16)
+    rt = str(tmp_path / "orders_r")
+    write_range_clustered(o, rt, ("o_custkey",), num_files=16)
+    mx = o.agg(F.max("o_custkey")).collect()[0][0]
+
+    # narrow band on the FIRST key: z-order skips files
+    sel, tot = prune_files(zt, {"o_custkey": (0, mx // 8)})
+    assert tot == 16 and len(sel) < tot
+    # narrow band on the SECOND key alone: z-order still skips,
+    # the single-key layout cannot skip anything
+    sel_z, tot_z = prune_files(zt, {"o_totalprice": (None, 60000.0)})
+    sel_r, tot_r = prune_files(rt, {"o_totalprice": (None, 60000.0)})
+    assert len(sel_z) < tot_z, "z-order should skip on the second key"
+    assert len(sel_r) == tot_r, "single-key layout cannot skip on it"
+
+    # transparency: pruned read == full scan + filter
+    got = read_pruned(spark, zt, {"o_totalprice": (None, 60000.0)}).count()
+    want = o.filter(F.col("o_totalprice") <= 60000.0).count()
+    assert got == want

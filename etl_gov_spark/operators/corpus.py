@@ -1107,3 +1107,140 @@ QUERIES["corpus_quality_prune_sweep"] = (
     corpus_quality_prune_sweep,
     _quality_sweep_sql(),
 )
+
+
+BPE_MERGES = 8
+
+
+def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary learning — the first
+    ``BPE_MERGES`` merges of the tokenizer-training loop, run
+    distributed: this is the op a training pipeline executes over
+    the whole corpus before anything else can be tokenized.
+
+    Each round counts corpus-weighted adjacent symbol pairs over the
+    (distinct-word, count) table — one map-side-combined shuffle on
+    uniform pair keys, the classic word-frequency formulation, never
+    a per-token pass — takes the argmax pair (count DESC, pair ASC:
+    a total order, so the winner is a deterministic function of the
+    corpus), and applies the merge.
+
+    The merge application is the exact-replay trick: symbol
+    sequences live as strings in ``' a  b  c '`` form (every symbol
+    padded by its OWN spaces; tokens are whitespace-split so
+    symbols can't contain the separator). Adjacent-pair matches
+    then never share characters, so plain ``replace`` — identical
+    left-to-right non-overlap semantics in Spark and DuckDB —
+    applies the merge with greedy leftmost BPE semantics in both
+    engines, and the oracle replays all rounds as unrolled CTEs
+    with integer counts: no quantization needed.
+
+    Driver state per round = ONE (pair, count) row; the word table
+    never leaves the cluster. Output: the learned merge table.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        tokens_col().alias("toks")
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    state = (
+        docs.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit(" "), F.concat_ws("  ", chars), F.lit(" ")).alias("s"),
+            "n",
+        )
+        .cache()
+    )
+    merges: list[tuple] = []
+    for rank in range(1, BPE_MERGES + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            state.select("n", syms.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(sy, 1, size(sy) - 1)"),
+                        F.expr("slice(sy, 2, size(sy) - 1)"),
+                    )
+                ).alias("p"),
+            )
+            .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].a, best[0].b, best[0].cnt
+        merges.append((rank, a, b, a + b, cnt))
+        state = state.select(
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+            "n",
+        )
+    return spark.createDataFrame(
+        merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def _bpe_sql(iters: int = BPE_MERGES) -> str:
+    """The BPE loop replayed as unrolled CTEs: same double-space
+    symbol-string representation, same integer-weighted argmax,
+    same non-overlapping replace — exact, no rounding anywhere."""
+    parts = [
+        r"""WITH words AS MATERIALIZED (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(
+           list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)),
+           '  ') || ' ' AS s, n
+  FROM words
+)"""
+    ]
+    prev = "s0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+  SELECT a, b, sum(n) AS cnt FROM (
+    SELECT n, unnest(sy[1:len(sy)-1]) AS a, unnest(sy[2:len(sy)]) AS b
+    FROM (SELECT string_split(trim(s), '  ') AS sy, n FROM {prev})
+    WHERE len(sy) >= 2
+  ) GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+), s{i} AS MATERIALIZED (
+  SELECT replace(s,
+                 ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
+                 ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ') AS s, n
+  FROM {prev}
+)"""
+        )
+        prev = f"s{i}"
+    sel = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count"
+        f" FROM b{i}"
+        for i in range(1, iters + 1)
+    )
+    parts.append(
+        "\nSELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, merged,"
+        " CAST(pair_count AS BIGINT) AS pair_count FROM ("
+        + sel
+        + ")"
+    )
+    return "".join(parts)
+
+
+CORPUS_BPE_VOCAB_SQL = _bpe_sql()
+
+QUERIES["corpus_bpe_vocab"] = (corpus_bpe_vocab, CORPUS_BPE_VOCAB_SQL)

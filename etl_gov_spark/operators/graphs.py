@@ -462,3 +462,110 @@ r0 AS MATERIALIZED (
 GRAPH_PAGERANK_SQL = _pagerank_sql()
 
 QUERIES["graph_pagerank"] = (graph_pagerank, GRAPH_PAGERANK_SQL)
+
+
+LPA_ITERS = 2
+
+
+def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous majority-vote label propagation (community
+    detection — distinct from ``connected_components``' min-label
+    fixpoint: LPA splits a weakly-bridged component into its dense
+    cores). Each of the fixed ``iters`` rounds every node adopts
+    the most frequent label among its NEIGHBORS (tie → smallest
+    label, so the update is a deterministic function of the edge
+    set), all nodes updating simultaneously.
+
+    One shuffle per round (vote count) + one broadcast-size argmin;
+    label state is (node, label) rows — never collected. The round
+    count is fixed, so the DuckDB oracle replays it exactly as
+    unrolled CTEs; integer vote counts mean no quantization is
+    needed (unlike the pagerank replay).
+    """
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = votes.groupBy("dst").agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+            ).alias("b")
+        )
+        labels = (
+            labels.join(best, labels.node == best.dst, "left")
+            .select(
+                "node", F.coalesce(F.col("b.l"), F.col("label")).alias("label")
+            )
+            .localCheckpoint()  # truncate per-round lineage
+        )
+    sym.unpersist()
+    return labels
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community sizes of the near-dup document graph under 2-round
+    LPA — the template-family detector: connected components says
+    "these docs touch", LPA says "these docs cluster densely",
+    which is the granularity boilerplate-family review wants."""
+    docs = Catalog(spark, sf_dir).documents
+    comm = label_propagation(_near_dup_edges(docs))
+    return comm.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def _lpa_sql(iters: int = LPA_ITERS) -> str:
+    """The fixed-round LPA replay as unrolled CTEs — exact (integer
+    votes, total (c DESC, label ASC) tie order matches Spark's
+    min(struct(-c, label)))."""
+    parts = [
+        rf"""WITH {_SQL_EDGE_PAIRS}, sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS label FROM sym
+)"""
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", v{i} AS MATERIALIZED (
+  SELECT s.dst, l.label, count(*) AS c
+  FROM sym s JOIN {prev} l ON s.src = l.node GROUP BY 1, 2
+), b{i} AS MATERIALIZED (
+  SELECT dst, label FROM (
+    SELECT dst, label,
+           row_number() OVER (PARTITION BY dst ORDER BY c DESC, label ASC) AS rn
+    FROM v{i}
+  ) WHERE rn = 1
+), l{i} AS MATERIALIZED (
+  SELECT p.node, coalesce(b{i}.label, p.label) AS label
+  FROM {prev} p LEFT JOIN b{i} ON p.node = b{i}.dst
+)"""
+        )
+        prev = f"l{i}"
+    parts.append(
+        f"\nSELECT label AS community, count(*) AS n_members FROM {prev} GROUP BY label"
+    )
+    return "".join(parts)
+
+
+GRAPH_LABEL_PROPAGATION_SQL = _lpa_sql()
+
+QUERIES["graph_label_propagation"] = (
+    graph_label_propagation,
+    GRAPH_LABEL_PROPAGATION_SQL,
+)

@@ -633,3 +633,94 @@ FROM m
 """
 
 QUERIES["text_readability"] = (text_readability, TEXT_READABILITY_SQL)
+
+
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM cross-entropy, top-20 most surprising
+    docs — the second-order quality filter: corpus_unigram_logprob
+    catches rare WORDS, this catches implausible word ORDER
+    (shuffled text, spam keyword stuffing, OCR damage) that a
+    unigram model scores as perfectly normal.
+
+    Model: add-one-smoothed bigram probabilities
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V) trained on the corpus
+    itself. Three shuffles, all on uniform token keys: bigram
+    counts, unigram counts, then the per-doc score join; V and
+    nothing else crosses the driver. Adjacent pairs come from
+    zipping the token array against its own tail — no positional
+    explode, no window.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    uni = docs.select(F.explode("toks").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    pairs = (
+        docs.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b")["0"].alias("w1"), F.col("b")["1"].alias("w2"))
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            _R4(
+                F.avg(
+                    -F.log(
+                        (F.col("c2") + 1) / (F.col("c1") + F.col("v")).cast("double")
+                    )
+                ),
+                "cross_entropy",
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("cross_entropy"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "n_bigrams", "cross_entropy", "rank")
+    )
+
+
+TEXT_BIGRAM_PERPLEXITY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), c1 AS (
+  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), v AS (SELECT count(*) AS v FROM c1),
+pairs AS (
+  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks WHERE len(t) >= 2
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2
+), scored AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE))), 4) AS cross_entropy
+  FROM pairs p
+  JOIN c2 USING (w1, w2)
+  JOIN c1 ON c1.w = p.w1
+  CROSS JOIN v
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_bigrams, cross_entropy, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY cross_entropy DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 20
+"""
+
+QUERIES["text_bigram_perplexity"] = (text_bigram_perplexity, TEXT_BIGRAM_PERPLEXITY_SQL)

@@ -29,6 +29,9 @@ _PINNED_FIRST = (
     # -- new or changed in round 5: needs fresh adjudication --
     "snapshot_time_travel",
     "q_zorder_pruned_scan",
+    "corpus_bpe_vocab",
+    "text_bigram_perplexity",
+    "graph_label_propagation",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -307,3 +307,66 @@ def test_cross_source_overlap_jaccard_bounds(spark, sf_dir):
     assert js == sorted(js, reverse=True)
     for r in rows:
         assert 0 < r.jaccard <= 1.0 and r.src_a < r.src_b
+
+
+def test_bpe_merge_replace_is_greedy_leftmost(spark):
+    """The double-space symbol-string trick: adjacent-pair matches
+    never share characters, so plain replace applies a BPE merge
+    with greedy leftmost semantics — 'aaaa' merges to (aa)(aa),
+    not (aa)a a."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(" a  a  a  a ",), (" x  a  a ",)], "s string")
+    out = [
+        r.m
+        for r in df.select(
+            F.replace(F.col("s"), F.lit(" a  a "), F.lit(" aa ")).alias("m")
+        ).collect()
+    ]
+    assert out == [" aa  aa ", " x  aa "]
+
+
+def test_bpe_vocab_counts_monotone_and_ranked(spark, sf_dir):
+    """Classic BPE invariant: after merging the most frequent pair
+    (count c), every pair in the next round — old or newly created
+    by the merge — has count <= c, so learned pair_counts are
+    non-increasing in rank."""
+    from etl_gov_spark.operators.corpus import BPE_MERGES, corpus_bpe_vocab
+
+    rows = sorted(corpus_bpe_vocab(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, BPE_MERGES + 1))
+    counts = [r.pair_count for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.merged == r.lhs + r.rhs
+
+
+def test_label_propagation_partitions_nodes(spark, sf_dir):
+    """LPA communities partition the edge-touched node set: sizes
+    sum to the node count and every community label is a node id."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.graphs import (
+        _near_dup_edges,
+        graph_label_propagation,
+    )
+
+    docs = Catalog(spark, sf_dir).documents
+    edges = _near_dup_edges(docs)
+    nodes = (
+        edges.select(F.col("doc_a").alias("n"))
+        .union(edges.select("doc_b"))
+        .distinct()
+        .count()
+    )
+    comm = graph_label_propagation(spark, sf_dir).collect()
+    assert sum(r.n_members for r in comm) == nodes
+    node_ids = {
+        r.n
+        for r in edges.select(F.col("doc_a").alias("n"))
+        .union(edges.select("doc_b"))
+        .distinct()
+        .collect()
+    }
+    assert {r.community for r in comm} <= node_ids

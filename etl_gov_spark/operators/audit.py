@@ -882,3 +882,58 @@ WHERE rank <= 20
 """
 
 QUERIES["q_payment_velocity"] = (q_payment_velocity, Q_PAYMENT_VELOCITY_SQL)
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue per nation —
+    the decomposable cousin of q_gini_concentration (Theil sums
+    across subgroups, Gini does not, which is why concentration
+    monitoring at 100 TB wants both).
+
+    Single algebraic pass per nation: T = (1/N)Σ(x/μ)ln(x/μ)
+    rewritten as Σx·ln(x)/Σx − ln(Σx/N), so the aggregate needs
+    only (count, Σx, Σx·lnx) — no window, no second scan, and the
+    oracle mirrors the identical formula for FP parity.
+    """
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("x"))
+        .join(
+            c.customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                c.nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+    )
+    return rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(
+            F.sum(F.col("x") * F.log("x")) / F.sum("x")
+            - F.log(F.sum("x") / F.count(F.lit(1))),
+            4,
+        ).alias("theil_t"),
+    )
+
+
+Q_THEIL_INDEX_SQL = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS x FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT n.n_name, r.x
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+SELECT n_name, count(*) AS n_customers,
+       round(sum(x * ln(x)) / sum(x) - ln(sum(x) / count(*)), 4) AS theil_t
+FROM j GROUP BY n_name
+"""
+
+QUERIES["q_theil_index"] = (q_theil_index, Q_THEIL_INDEX_SQL)

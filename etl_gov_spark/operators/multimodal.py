@@ -372,3 +372,72 @@ HAVING count(*) > 1
 """
 
 QUERIES["mm_frame_dedup"] = (mm_frame_dedup, MM_FRAME_DEDUP_SQL)
+
+
+def mm_payload_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source byte-entropy profile of the binary payload column
+    — the cheapest corruption/format detector a multimodal ingest
+    has: already-compressed media sits near 8 bits/byte, text near
+    4–5, zero-padded or truncated payloads fall off a cliff. An
+    encoder swap or a corrupted shard shifts a source's whole
+    entropy band before any decoder runs.
+
+    JVM-side only: payload → hex → fixed-2-char byte symbols
+    (explode + ≤256-key-per-doc aggregate; identical hex/encode
+    semantics in DuckDB keep the oracle exact). Per-doc entropy is
+    computed in ONE aggregate via H = log2(n) − Σc·log2(c)/n — no
+    second pass for the total, no window.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", "source", F.encode("text", "utf-8").alias("payload")
+    )
+    by = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, CAST(length(hex(payload)) / 2 AS INT)),"
+                    " i -> substring(hex(payload), 2*i-1, 2))"
+                )
+            ).alias("byte"),
+        )
+        .groupBy("doc_id", "source", "byte")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ent = by.groupBy("doc_id", "source").agg(
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log2("c")) / F.sum("c"),
+            6,
+        ).alias("ent")
+    )
+    return ent.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("ent"), 4).alias("avg_entropy"),
+        F.round(F.min("ent"), 4).alias("min_entropy"),
+        F.round(F.max("ent"), 4).alias("max_entropy"),
+    )
+
+
+MM_PAYLOAD_ENTROPY_SQL = """
+WITH b AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, CAST(length(h) / 2 AS INTEGER)),
+                i -> substring(h, 2*i-1, 2))) AS byte
+  FROM (SELECT doc_id, source, hex(encode(text)) AS h FROM documents)
+), c AS (
+  SELECT doc_id, source, byte, count(*) AS c FROM b GROUP BY 1, 2, 3
+), e AS (
+  SELECT doc_id, source,
+         round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS ent
+  FROM c GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(ent), 4) AS avg_entropy,
+       round(min(ent), 4) AS min_entropy,
+       round(max(ent), 4) AS max_entropy
+FROM e GROUP BY source
+"""
+
+QUERIES["mm_payload_entropy"] = (mm_payload_entropy, MM_PAYLOAD_ENTROPY_SQL)

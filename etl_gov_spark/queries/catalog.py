@@ -32,6 +32,8 @@ _PINNED_FIRST = (
     "corpus_bpe_vocab",
     "text_bigram_perplexity",
     "graph_label_propagation",
+    "mm_payload_entropy",
+    "q_theil_index",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -1244,3 +1244,107 @@ def _bpe_sql(iters: int = BPE_MERGES) -> str:
 CORPUS_BPE_VOCAB_SQL = _bpe_sql()
 
 QUERIES["corpus_bpe_vocab"] = (corpus_bpe_vocab, CORPUS_BPE_VOCAB_SQL)
+
+
+def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression readout of the learned BPE merges
+    (corpus_bpe_vocab): re-run the merge loop, then measure
+    corpus-weighted symbols-per-token before vs after — the number
+    a tokenizer-training pipeline actually gates on ("did 8 merges
+    buy us X% fewer symbols?"). One row: distinct words, total
+    token occurrences, char baseline, post-merge symbol count,
+    compression ratio.
+
+    Same distributed shape as the learner: the word table never
+    leaves the cluster; the final aggregate is 5 scalars.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        tokens_col().alias("toks")
+    )
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    state = (
+        docs.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.lit(" "), F.concat_ws("  ", chars), F.lit(" ")).alias("s"),
+            "n",
+        )
+        .cache()
+    )
+    for rank in range(1, BPE_MERGES + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            state.select("n", syms.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(sy, 1, size(sy) - 1)"),
+                        F.expr("slice(sy, 2, size(sy) - 1)"),
+                    )
+                ).alias("p"),
+            )
+            .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0].a, best[0].b
+        state = state.select(
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+            "n",
+        )
+    n_syms = F.size(F.split(F.trim(F.col("s")), "  "))
+    return state.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.col("n") * F.length(F.regexp_replace(F.trim("s"), "  ", ""))).alias(
+            "chars_weighted"
+        ),
+        F.sum(F.col("n") * n_syms).alias("symbols_weighted"),
+        F.round(
+            F.sum(F.col("n") * n_syms)
+            / F.sum(
+                F.col("n") * F.length(F.regexp_replace(F.trim("s"), "  ", ""))
+            ).cast("double"),
+            4,
+        ).alias("compression_ratio"),
+    )
+
+
+def _bpe_compression_sql(iters: int = BPE_MERGES) -> str:
+    """Reuses the learner's unrolled replay through s{iters}, then
+    aggregates the final state. chars_weighted strips the double
+    separators rather than re-deriving from the raw word, exactly
+    as the Spark side does (merges never change total characters,
+    so it equals Σ n·length(w) — asserted in tests)."""
+    body = _bpe_sql(iters)
+    prefix = body[: body.rindex("\nSELECT")]
+    return (
+        prefix
+        + f"""
+SELECT count(*) AS n_words,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n * length(replace(trim(s), '  ', ''))) AS BIGINT) AS chars_weighted,
+       CAST(sum(n * len(string_split(trim(s), '  '))) AS BIGINT) AS symbols_weighted,
+       round(sum(n * len(string_split(trim(s), '  ')))
+             / CAST(sum(n * length(replace(trim(s), '  ', ''))) AS DOUBLE), 4)
+         AS compression_ratio
+FROM s{iters}"""
+    )
+
+
+CORPUS_BPE_COMPRESSION_SQL = _bpe_compression_sql()
+
+QUERIES["corpus_bpe_compression"] = (corpus_bpe_compression, CORPUS_BPE_COMPRESSION_SQL)

@@ -30,6 +30,7 @@ _PINNED_FIRST = (
     "snapshot_time_travel",
     "q_zorder_pruned_scan",
     "corpus_bpe_vocab",
+    "corpus_bpe_compression",
     "text_bigram_perplexity",
     "graph_label_propagation",
     "mm_payload_entropy",

@@ -370,3 +370,27 @@ def test_label_propagation_partitions_nodes(spark, sf_dir):
         .collect()
     }
     assert {r.community for r in comm} <= node_ids
+
+
+def test_bpe_compression_conserves_chars_and_compresses(spark, sf_dir):
+    """Merges never change total characters (chars_weighted ==
+    corpus-weighted word length) and 8 merges must strictly reduce
+    the weighted symbol count."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.corpus import corpus_bpe_compression
+    from etl_gov_spark.operators.text import tokens_col
+
+    row = corpus_bpe_compression(spark, sf_dir).collect()[0]
+    words = (
+        Catalog(spark, sf_dir)
+        .documents.select(F.explode(tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.sum(F.length("w")).alias("chars"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    assert row.chars_weighted == words.chars
+    assert row.total_tokens == words.n
+    assert row.symbols_weighted < row.chars_weighted
+    assert 0 < row.compression_ratio < 1

@@ -120,6 +120,24 @@ def read_text(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """ORC source (native vectorized reader — the other columnar
+    warehouse interchange format besides parquet; Hive estates are
+    full of it). Predicate pushdown and column pruning work the
+    same as parquet; schema optional because ORC footers carry it."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink with zlib compression (the ORC-ecosystem default)."""
+    df.write.mode(mode).option("compression", "zlib").orc(path)
+
+
 def jdbc_source_plan(
     url: str,
     table: str,

@@ -1163,3 +1163,78 @@ WHERE event_type = 'purchase'
 """
 
 QUERIES["q_asof_nearest"] = (q_asof_nearest, Q_ASOF_NEAREST_SQL)
+
+
+# (pattern_name, regex) over per-user journey strings built from
+# event-type initials (s/e/c/v/p are distinct). Kept to RE2-safe
+# syntax (classes, +, *, {m,}) so Java and RE2 regex agree exactly.
+EVENT_PATTERNS = (
+    ("signup_then_purchase", "s.*p"),
+    ("view_to_purchase_direct", "vp"),
+    ("error_retry_run", "e[ec]*e"),
+    ("browse_loop", "(vc){2,}"),
+)
+
+
+def q_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching without the
+    clause (Spark has none): each user's event history collapses to
+    a journey string of event-type initials — one per-user
+    shuffle-sort, identical to the sessionize layout — and the
+    pattern tier is plain regex over that string, counted with
+    leftmost non-overlapping semantics in both engines.
+
+    At scale the journey string is the right representation: the
+    state machine runs per user in one pass, patterns are data (a
+    broadcast literal — adding one costs nothing), and the string
+    is bounded by the user's event count, the same bound any
+    sequence operator carries. Output: per pattern, how many users
+    match and total match occurrences.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("i")).alias(
+            "s"
+        ),
+    )
+    journeys = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["i"]), ""
+        ).alias("j")
+    )
+    pats = F.array(
+        *[
+            F.struct(F.lit(n).alias("pattern"), F.lit(rx).alias("rx"))
+            for n, rx in EVENT_PATTERNS
+        ]
+    )
+    per_user = journeys.select(
+        "j", F.explode(pats).alias("p")
+    ).select(
+        F.col("p.pattern").alias("pattern"),
+        F.size(F.regexp_extract_all("j", F.col("p.rx"), F.lit(0))).alias("m"),
+    )
+    return per_user.groupBy("pattern").agg(
+        F.sum(F.when(F.col("m") > 0, 1).otherwise(0)).alias("n_users"),
+        F.sum("m").alias("n_matches"),
+    )
+
+
+_PATTERN_VALUES = ", ".join(f"('{n}', '{rx}')" for n, rx in EVENT_PATTERNS)
+
+Q_EVENT_PATTERN_MATCH_SQL = f"""
+WITH journeys AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS j
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT p.pattern, len(regexp_extract_all(j.j, p.rx)) AS m
+  FROM journeys j CROSS JOIN (VALUES {_PATTERN_VALUES}) p(pattern, rx)
+)
+SELECT pattern,
+       CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_users,
+       CAST(sum(m) AS BIGINT) AS n_matches
+FROM m GROUP BY pattern
+"""
+
+QUERIES["q_event_pattern_match"] = (q_event_pattern_match, Q_EVENT_PATTERN_MATCH_SQL)

@@ -35,6 +35,7 @@ _PINNED_FIRST = (
     "graph_label_propagation",
     "mm_payload_entropy",
     "q_theil_index",
+    "q_event_pattern_match",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -451,3 +451,20 @@ def test_zorder_prunes_files_on_both_keys(spark, sf_dir, tmp_path):
     got = read_pruned(spark, zt, {"o_totalprice": (None, 60000.0)}).count()
     want = o.filter(F.col("o_totalprice") <= 60000.0).count()
     assert got == want
+
+
+def test_orc_roundtrip_preserves_schema_and_pushdown(spark, sf_dir, tmp_path):
+    """ORC connector: lossless roundtrip, and range predicates reach
+    the ORC scan as PushedFilters (same scan contract as parquet)."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_orc, write_orc
+
+    src = Catalog(spark, sf_dir).orders
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert dict(back.dtypes) == dict(src.dtypes)
+    assert back.count() == src.count()
+    plan = _fmt(back.filter(F.col("o_orderkey") > 100).select("o_orderkey"))
+    assert "PushedFilters" in plan and "o_orderkey" in plan

@@ -103,3 +103,82 @@ def test_tws_operator_gated_on_protobuf():
         has_pb = False
     assert stateful.HAS_TWS == has_pb
     assert ("stream_running_totals_tws" in stateful.QUERIES) == has_pb
+
+
+# -- BPE merge mechanism (operators/corpus.py corpus_bpe_vocab) ---- #
+#
+# Both engines apply a merge with plain `replace` over the
+# double-space symbol-string form (' a  b  c '); Python's
+# str.replace has the same leftmost non-overlapping semantics, so
+# proving the string mechanism equal to a reference symbol-list BPE
+# here proves the Spark and DuckDB implementations implement greedy
+# leftmost BPE.
+
+_bpe_words = st.dictionaries(
+    st.text(alphabet="ab", min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=5),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_bpe(words: dict, iters: int):
+    """Reference BPE on symbol lists: weighted pair argmax
+    (count DESC, pair ASC), greedy leftmost merge scan."""
+    from collections import Counter
+
+    state = [(list(w), n) for w, n in sorted(words.items())]
+    merges = []
+    for _ in range(iters):
+        counts = Counter()
+        for syms, n in state:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        new_state = []
+        for syms, n in state:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_state.append((out, n))
+        state = new_state
+    return merges, state
+
+
+def _replace_bpe(words: dict, iters: int):
+    """The engines' mechanism: double-space strings + replace."""
+    from collections import Counter
+
+    state = [(" " + "  ".join(w) + " ", n) for w, n in sorted(words.items())]
+    merges = []
+    for _ in range(iters):
+        counts = Counter()
+        for s, n in state:
+            syms = s.strip().split("  ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += n
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        state = [(s.replace(f" {a}  {b} ", f" {a}{b} "), n) for s, n in state]
+    return merges, state
+
+
+@settings(max_examples=300, deadline=None)
+@given(words=_bpe_words, iters=st.integers(min_value=1, max_value=5))
+def test_bpe_replace_mechanism_equals_reference(words, iters):
+    ref_m, ref_state = _ref_bpe(words, iters)
+    rep_m, rep_state = _replace_bpe(words, iters)
+    assert rep_m == ref_m
+    assert rep_state == [
+        (" " + "  ".join(syms) + " ", n) for syms, n in ref_state
+    ]

@@ -136,8 +136,10 @@ def test_ann_ivf_plan_is_trimmed_by_centroid_materialization(spark, sf_dir):
     from etl_gov_spark.operators.vectors import ann_ivf_topk
 
     plan = _fmt(ann_ivf_topk(spark, sf_dir))
-    assert len(re.findall(r"Exchange (hash|range|Single)", plan)) <= 6
-    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    # literal-model rewrite: one exchange (final top-k window), one
+    # broadcast join (probe→cells), zero BNLJ
+    assert len(re.findall(r"Exchange (hash|range|Single)", plan)) <= 2
+    assert plan.count("BroadcastNestedLoopJoin") == 0
 
 
 def test_pair_structs_cap_bounds_hot_baskets(spark):

@@ -569,3 +569,70 @@ QUERIES["graph_label_propagation"] = (
     graph_label_propagation,
     GRAPH_LABEL_PROPAGATION_SQL,
 )
+
+
+PTR_DOUBLING_ROUNDS = 3  # covers hierarchy depth 2^3 = 8 (sf1 depth is 5)
+
+
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-hierarchy flattening without a recursive CTE —
+    Spark has none, and a naive per-level loop is O(depth) joins.
+    The Spark-first answer is POINTER DOUBLING: each round every
+    node's pointer jumps to its pointer's pointer (one self-join),
+    so after r rounds a node has compressed 2^r ancestry hops —
+    O(log depth) rounds flattens any chain, the standard
+    transitive-closure shape for 100 TB hierarchies (org charts,
+    ledger roll-ups, BOM trees).
+
+    The hierarchy is synthetic but fixed: parent(c) = floor(c/10)
+    over consecutive customer keys (roots: c < 10), giving a real
+    multi-level tree in every scale factor. Output: per-depth node
+    count + account-balance rollup, hash-matched against a DuckDB
+    WITH RECURSIVE walk of the same tree — the declarative spec the
+    doubling loop must agree with.
+    """
+    c = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("node"), "c_acctbal"
+    )
+    state = c.select(
+        "node",
+        F.when(F.col("node") >= 10, F.floor(F.col("node") / 10))
+        .otherwise(F.col("node"))
+        .cast("long")
+        .alias("ptr"),
+        F.when(F.col("node") >= 10, F.lit(1)).otherwise(F.lit(0)).alias("d"),
+    )
+    for _ in range(PTR_DOUBLING_ROUNDS):
+        hop = state.select(
+            F.col("node").alias("_n"), F.col("ptr").alias("_p"), F.col("d").alias("_d")
+        )
+        state = (
+            state.join(hop, state.ptr == hop._n)
+            .select("node", F.col("_p").alias("ptr"), (F.col("d") + F.col("_d")).alias("d"))
+            .localCheckpoint()  # truncate the doubling lineage
+        )
+    return (
+        state.join(c, "node")
+        .groupBy(F.col("d").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 4).alias("acctbal_total"),
+        )
+    )
+
+
+Q_HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT c_custkey AS node, c_custkey AS cur, 0 AS d FROM customer
+  UNION ALL
+  SELECT node, CAST(floor(cur / 10) AS BIGINT), d + 1 FROM walk WHERE cur >= 10
+), final AS (
+  SELECT node, max(d) AS depth FROM walk GROUP BY node
+)
+SELECT depth, count(*) AS n_customers,
+       round(sum(c_acctbal), 4) AS acctbal_total
+FROM final JOIN customer ON node = c_custkey
+GROUP BY depth
+"""
+
+QUERIES["q_hierarchy_rollup"] = (q_hierarchy_rollup, Q_HIERARCHY_ROLLUP_SQL)

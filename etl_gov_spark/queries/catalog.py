@@ -36,6 +36,7 @@ _PINNED_FIRST = (
     "mm_payload_entropy",
     "q_theil_index",
     "q_event_pattern_match",
+    "q_hierarchy_rollup",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -270,3 +270,21 @@ def test_centroid_drift_detects_planted_shift(spark, tmp_path_factory):
     # the planted shift must stand clearly above that floor
     assert got[1].centroid_l2_drift > 3 * got[0].centroid_l2_drift
     assert got[1].centroid_l2_drift == pytest.approx(4.0, rel=0.25)
+
+
+def test_hierarchy_rollup_depth_matches_log10(spark, sf_dir):
+    """Pointer doubling must flatten the floor(c/10) tree to exact
+    depths: max depth == digits(max custkey) - 1, every customer
+    accounted for exactly once."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.graphs import q_hierarchy_rollup
+
+    rows = q_hierarchy_rollup(spark, sf_dir).collect()
+    cust = Catalog(spark, sf_dir).customer
+    mx, n = cust.agg(F.max("c_custkey"), F.count(F.lit(1))).collect()[0]
+    assert max(r.depth for r in rows) == int(math.log10(mx))
+    assert sum(r.n_customers for r in rows) == n

@@ -51,6 +51,11 @@ HEADLINE = [
     "text_winnow_overlap",
     "mm_frame_dedup",
     "graph_pagerank",
+    # r5 late widening: driver-loop iterative (BPE), pointer-doubling
+    # joins, and byte-explode shapes
+    "corpus_bpe_vocab",
+    "q_hierarchy_rollup",
+    "mm_payload_entropy",
 ]
 
 

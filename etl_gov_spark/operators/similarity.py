@@ -212,3 +212,100 @@ QUERIES: dict[str, tuple] = {
     "ann_bruteforce_topk": (ann_bruteforce_topk, ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, ANN_LSH_SQL),
 }
+
+
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label classification over the embedding space — the
+    embedding-quality gate a training pipeline runs on every new
+    encoder batch: hold out the stride-sampled vectors, predict
+    each one's label by majority vote of its 10 nearest TRAIN
+    neighbors (cosine), and report per-label accuracy. A space
+    where neighbors don't share labels is a space not worth
+    indexing.
+
+    Same broadcast-query / partition-local-scoring shape as
+    ann_bruteforce_topk, but with a real train/test split
+    (candidates exclude every held-out vector). Cosines are
+    quantized to 6 dp BEFORE ranking and the vote tie-breaks on the
+    smallest label, so prediction is a deterministic function of
+    the corpus in both engines.
+    """
+    emb = (
+        expand_parallelism(Catalog(spark, sf_dir).embeddings)
+        .select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("vn", _norm("v"))
+    )
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    cand = emb.filter(F.col("vec_id") % QUERY_STRIDE != 0)
+    cos6 = F.round(_dot("qv", "v") / (F.col("qn") * F.col("vn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    top = (
+        F.broadcast(q)
+        .crossJoin(cand)
+        .select("q_id", "true_label", "vec_id", "label", cos6.alias("_cos"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= TOP_K)
+    )
+    pred = (
+        top.groupBy("q_id", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("q_id", "true_label")
+        .agg(
+            F.min(
+                F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+            ).alias("b")
+        )
+        .select("q_id", "true_label", F.col("b.l").alias("pred_label"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+        ).alias("n_correct"),
+        F.round(
+            F.avg(
+                F.when(F.col("pred_label") == F.col("true_label"), 1.0).otherwise(0.0)
+            ),
+            4,
+        ).alias("accuracy"),
+    )
+
+
+EMB_KNN_CLASSIFY_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), top AS (
+  SELECT q_id, true_label, label, r FROM (
+    SELECT q.vec_id AS q_id, q.label AS true_label, c.vec_id, c.label,
+           CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                        c.vec_id ASC) AS INTEGER) AS r
+    FROM emb q JOIN emb c ON c.vec_id % {QUERY_STRIDE} != 0
+    WHERE q.vec_id % {QUERY_STRIDE} = 0
+  ) WHERE r <= {TOP_K}
+), pred AS (
+  SELECT q_id, true_label, label AS pred_label FROM (
+    SELECT q_id, true_label, label, count(*) AS c,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY count(*) DESC, label ASC) AS rn
+    FROM top GROUP BY q_id, true_label, label
+  ) WHERE rn = 1
+)
+SELECT true_label AS label,
+       count(*) AS n_queries,
+       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(avg(CASE WHEN pred_label = true_label THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy
+FROM pred GROUP BY true_label
+"""
+
+QUERIES["emb_knn_classify"] = (emb_knn_classify, EMB_KNN_CLASSIFY_SQL)

@@ -37,6 +37,7 @@ _PINNED_FIRST = (
     "q_theil_index",
     "q_event_pattern_match",
     "q_hierarchy_rollup",
+    "emb_knn_classify",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

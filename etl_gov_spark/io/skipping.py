@@ -167,3 +167,20 @@ def read_pruned(
         if hi is not None:
             df = df.filter(F.col(col) <= hi)
     return df
+
+
+def read_snapshot_pruned(
+    spark: SparkSession,
+    table_path: str,
+    predicates: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Data skipping driven off the snapshot manifest: prune a
+    VERSION's live file set (io/snapshots.py) by footer stats, then
+    read only the survivors — the Delta/Iceberg read path (manifest
+    → stats prune → scan) composed from the two mechanisms this
+    package already has. Time-travel and skipping compose: any
+    retained version prunes the same way."""
+    from etl_gov_spark.io.snapshots import live_files
+
+    return read_pruned(spark, table_path, predicates, live_files(table_path, version))

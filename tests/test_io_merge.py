@@ -395,3 +395,46 @@ def test_snapshot_compaction_preserves_data_and_history(spark, sf_dir, tmp_path)
     before = {r["c_custkey"]: r["c_acctbal"] for r in read_snapshot(spark, table, 1).collect()}
     after = {r["c_custkey"]: r["c_acctbal"] for r in read_snapshot(spark, table, 2).collect()}
     assert after == before
+
+
+def test_snapshot_pruned_read_skips_files_per_version(spark, sf_dir, tmp_path):
+    """Manifest-driven data skipping: a range predicate on the
+    cluster key reads a strict subset of the version's files, and
+    still returns exactly the full-scan-filter rows — on BOTH a
+    pre-merge and post-merge version."""
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.skipping import prune_files, read_snapshot_pruned
+    from etl_gov_spark.io.snapshots import (
+        live_files,
+        merge_upsert_snapshot,
+        snapshot_init,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_acctbal")
+    table = str(tmp_path / "cust_snap_prune")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=8)
+    snapshot_init(table)
+    mx = cust.agg(F.max("c_custkey")).collect()[0][0]
+    updates = cust.filter(F.col("c_custkey") <= mx // 4).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1.0
+    )
+    merge_upsert_snapshot(spark, table, updates, "c_custkey")
+
+    band = {"c_custkey": (1, mx // 8)}
+    for version in (1, 2):
+        files = live_files(table, version)
+        sel, tot = prune_files(table, band, files)
+        assert 0 < len(sel) < tot, f"v{version}: no skipping"
+        got = {
+            (r.c_custkey, round(r.c_acctbal, 4))
+            for r in read_snapshot_pruned(spark, table, band, version).collect()
+        }
+        bump = 1.0 if version == 2 else 0.0
+        want = {
+            (r.c_custkey, round(r.c_acctbal + bump, 4))
+            for r in cust.filter(
+                (F.col("c_custkey") >= 1) & (F.col("c_custkey") <= mx // 8)
+            ).collect()
+        }
+        assert got == want

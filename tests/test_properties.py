@@ -182,3 +182,47 @@ def test_bpe_replace_mechanism_equals_reference(words, iters):
     assert rep_state == [
         (" " + "  ".join(syms) + " ", n) for syms, n in ref_state
     ]
+
+
+# -- footer-stat file pruning (io/skipping.prune_files) ------------ #
+
+_file_stats = st.lists(
+    st.tuples(st.integers(-100, 100), st.integers(0, 50)).map(
+        lambda t: (t[0], t[0] + t[1])
+    ),
+    min_size=1,
+    max_size=12,
+)
+_bound = st.one_of(st.none(), st.integers(-120, 120))
+
+
+@settings(max_examples=300, deadline=None)
+@given(ranges=_file_stats, lo=_bound, hi=_bound)
+def test_prune_never_drops_a_file_that_could_match(ranges, lo, hi):
+    """Soundness: every file whose [min,max] intersects the
+    predicate band survives pruning, and every pruned file provably
+    cannot contain a matching row."""
+    from etl_gov_spark.io import skipping
+
+    stats = [
+        {"file": f"f{i}", "k": (mn, mx)} for i, (mn, mx) in enumerate(ranges)
+    ]
+
+    def fake_stats(table_path, cols, files=None):
+        return stats
+
+    orig = skipping.file_column_stats
+    skipping.file_column_stats = fake_stats
+    try:
+        sel, tot = skipping.prune_files("unused", {"k": (lo, hi)})
+    finally:
+        skipping.file_column_stats = orig
+    assert tot == len(stats)
+    sel_set = set(sel)
+    for s in stats:
+        mn, mx = s["k"]
+        intersects = (hi is None or mn <= hi) and (lo is None or mx >= lo)
+        if intersects:
+            assert s["file"] in sel_set, "dropped a file that could match"
+        else:
+            assert s["file"] not in sel_set, "kept a provably empty file"

@@ -376,13 +376,20 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select(F.col("src").alias("node"), "deg").cache()
     n_total = nodes.count()
+    # degree is loop-invariant: join it onto the edge list ONCE and
+    # cache (src, dst, deg) — each iteration then pays one join
+    # (ranks) instead of two, dropping 12 joins from the run
+    sym_deg = (
+        sym.join(nodes.select(F.col("node").alias("_n"), "deg"), sym.src == F.col("_n"))
+        .select("src", "dst", "deg")
+        .cache()
+    )
     ranks = nodes.select("node", F.lit(1.0 / n_total).alias("rank"))
     for i in range(iters):
         if i and i % 5 == 0:
             ranks = ranks.localCheckpoint()
         contrib = (
-            sym.join(ranks, sym.src == ranks.node)
-            .join(nodes.select(F.col("node").alias("_n"), "deg"), F.col("src") == F.col("_n"))
+            sym_deg.join(ranks, sym_deg.src == ranks.node)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))

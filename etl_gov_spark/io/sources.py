@@ -38,8 +38,18 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part"})
 
 
+# Analyzed-plan cache keyed by (session, dir, table): every
+# `spark.read.parquet` call re-lists files and re-reads footers for
+# the schema — 0.5–3 s of driver time per call observed — and every
+# query function builds its tables fresh. The catalog tables are
+# immutable inputs, so the lazy DataFrame handle is safe to share
+# process-wide; it holds no data, only the analyzed scan.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one catalog table as a lazy parquet scan.
+    """Read one catalog table as a lazy parquet scan (memoized per
+    session — see ``_TABLE_CACHE``).
 
     ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
     Spark's vectorized reader rejects; we read nanos as long
@@ -50,9 +60,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from etl_gov_spark.session import tune_runtime
 
     tune_runtime(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # mtime in the key: a rewritten table (tests copy + mutate
+    # catalogs in tmp dirs) must miss — the cached handle pins the
+    # old file listing and would read deleted files
+    try:
+        mtime = int(os.path.getmtime(path) * 1000)
+    except OSError:
+        mtime = -1
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), mtime)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(path)
     fields = dict(df.dtypes)
     if name == "events" and fields.get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -62,6 +84,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # before the conf landed, normalize here. Session TZ is UTC,
         # so the cast re-tags the same wall-clock instant.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -889,3 +889,58 @@ GROUP BY r.label
 """
 
 QUERIES["emb_centroid_drift"] = (emb_centroid_drift, EMB_CENTROID_DRIFT_SQL)
+
+
+MRL_DIMS = 16  # truncation prefix audited against the full 64 dims
+
+
+def emb_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation-fidelity audit: how much cosine
+    structure survives keeping only the first MRL_DIMS of 64
+    dimensions? Storage at 100 TB wants the 4× cut; this is the
+    measurement that says whether the encoder's prefix actually
+    carries the geometry (MRL-trained encoders do, others don't).
+
+    Pair sample: each vector against its successor (vec_id + 1) —
+    N deterministic pairs via one self-join on consecutive ids, no
+    sampling RNG, no quadratic blowup. Per label: mean absolute
+    cosine error and the full↔truncated cosine correlation.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    rhs = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("w")
+    )
+    pairs = emb.join(rhs, "vec_id")
+    cos_full = _dot("v", "w") / (_norm("v") * _norm("w"))
+    v16, w16 = F.slice("v", 1, MRL_DIMS), F.slice("w", 1, MRL_DIMS)
+    cos_trunc = _dot(v16, w16) / (_norm(v16) * _norm(w16))
+    scored = pairs.select(
+        "label",
+        F.round(cos_full, 6).alias("cf"),
+        F.round(cos_trunc, 6).alias("ct"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _R4(F.avg(F.abs(F.col("cf") - F.col("ct"))), "mae"),
+        _R4(F.corr("cf", "ct"), "cos_corr"),
+    )
+
+
+EMB_MATRYOSHKA_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), pairs AS (
+  SELECT a.label,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cf,
+         round(list_cosine_similarity(a.v[1:{MRL_DIMS}], b.v[1:{MRL_DIMS}]), 6) AS ct
+  FROM emb a JOIN emb b ON b.vec_id = a.vec_id + 1
+)
+SELECT label, count(*) AS n_pairs,
+       round(avg(abs(cf - ct)), 4) AS mae,
+       round(corr(cf, ct), 4) AS cos_corr
+FROM pairs GROUP BY label
+"""
+
+QUERIES["emb_matryoshka_audit"] = (emb_matryoshka_audit, EMB_MATRYOSHKA_SQL)

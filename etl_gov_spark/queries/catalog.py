@@ -38,6 +38,7 @@ _PINNED_FIRST = (
     "q_event_pattern_match",
     "q_hierarchy_rollup",
     "emb_knn_classify",
+    "emb_matryoshka_audit",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

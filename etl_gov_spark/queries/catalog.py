@@ -39,6 +39,7 @@ _PINNED_FIRST = (
     "q_hierarchy_rollup",
     "emb_knn_classify",
     "emb_matryoshka_audit",
+    "stream_hourly_finalized",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -364,3 +364,53 @@ GROUP BY tier
 """
 
 QUERIES["stream_static_enrich"] = (stream_static_enrich, STREAM_STATIC_ENRICH_SQL)
+
+
+def stream_hourly_finalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation — the production streaming
+    semantics the complete-mode ops here deliberately avoid: a
+    window row is emitted exactly ONCE, when the watermark passes
+    its end, and is immutable afterwards (what a downstream parquet/
+    Kafka sink needs — complete mode rewrites the world every
+    micro-batch and only a memory/table sink tolerates it).
+
+    Over the finite feed the closure rule is deterministic: the
+    final watermark is max(ts) − 1 h, so the emitted set is exactly
+    the windows with end ≤ max(ts) − 1 h — which is what the oracle
+    computes, pinning Spark's append/watermark finalization
+    semantics to SQL. The never-closed trailing hour is the
+    (correct) difference vs stream_hourly_counts.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.end").alias("win_end"), "event_type", "n_events", "total_value"
+        )
+    )
+    sink = "stream_hourly_finalized_sink"
+    _run_to_memory(agg, sink, "append")
+    return spark.table(sink)
+
+
+STREAM_HOURLY_FINALIZED_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end, event_type,
+         count(*) AS n_events,
+         round(sum(value), 4) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT win_end, event_type, n_events, total_value
+FROM agg, mx WHERE win_end <= m - INTERVAL 1 HOUR
+"""
+
+QUERIES["stream_hourly_finalized"] = (
+    stream_hourly_finalized,
+    STREAM_HOURLY_FINALIZED_SQL,
+)

@@ -40,6 +40,7 @@ _PINNED_FIRST = (
     "emb_knn_classify",
     "emb_matryoshka_audit",
     "stream_hourly_finalized",
+    "q_variant_shred",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -782,3 +782,63 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
 }
+
+
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the minhash approximation itself: for
+    every candidate pair the LSH pipeline emits, compare the
+    8-hash signature agreement (the ESTIMATE the dedup decision
+    runs on) against the exact shingle Jaccard, grouped by
+    agreement level — n_pairs, mean true Jaccard, mean absolute
+    error. This is how you justify N_HASHES/N_BANDS to an auditor:
+    E[agreement] = true Jaccard, and this table shows the bias and
+    spread the 8-hash estimator actually delivers on this corpus.
+
+    Cost tracks the LSH output (bounded by the banding + hot-bucket
+    ceilings), never corpus² — exact Jaccard is only computed for
+    pairs the pipeline already surfaced.
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "sig_agreement")
+    sh = shingled_docs(
+        Catalog(spark, sf_dir).documents.select("doc_id", "text"),
+        "doc_id",
+        distinct=True,
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("sig_agreement", F.round(jac, 6).alias("jac"))
+    )
+    return scored.groupBy("sig_agreement").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _R4(F.avg("jac"), "avg_true_jaccard"),
+        _R4(F.avg(F.abs(F.col("sig_agreement") - F.col("jac"))), "mae"),
+    )
+
+
+DEDUP_MINHASH_CALIBRATION_SQL = rf"""
+WITH cand AS ({DEDUP_MINHASH_SQL}),
+sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), scored AS (
+  SELECT c.sig_agreement,
+         round(len(list_intersect(a.sh, b.sh))
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jac
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b
+)
+SELECT sig_agreement, count(*) AS n_pairs,
+       round(avg(jac), 4) AS avg_true_jaccard,
+       round(avg(abs(sig_agreement - jac)), 4) AS mae
+FROM scored GROUP BY sig_agreement
+"""
+
+QUERIES["dedup_minhash_calibration"] = (
+    dedup_minhash_calibration,
+    DEDUP_MINHASH_CALIBRATION_SQL,
+)

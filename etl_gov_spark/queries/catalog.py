@@ -41,6 +41,7 @@ _PINNED_FIRST = (
     "emb_matryoshka_audit",
     "stream_hourly_finalized",
     "q_variant_shred",
+    "dedup_minhash_calibration",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

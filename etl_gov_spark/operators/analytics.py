@@ -974,3 +974,74 @@ GROUP BY o_orderstatus
 """
 
 QUERIES["q_zorder_pruned_scan"] = (q_zorder_pruned_scan, Q_ZORDER_PRUNED_SCAN_SQL)
+
+
+def q_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-frontier) query per nation: the orders not
+    dominated on (lower price, earlier date) — the classic
+    multi-criteria shortlist operator (SQL has no SKYLINE clause;
+    engines express it as sort + running-extreme).
+
+    Spark-first shape: one window per nation sorted by (price,
+    date); a row is on the frontier iff its date beats the running
+    minimum date of every cheaper-or-equal earlier row. Linear per
+    partition after one shuffle-sort — never the naive O(n²)
+    dominance self-join. Nation keys parallelize the frontier; the
+    same plan at 100 TB shards by any high-cardinality group key.
+    """
+    c = Catalog(spark, sf_dir)
+    j = (
+        c.orders.join(
+            c.customer.select(
+                F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+            ),
+            "o_custkey",
+        )
+        .select(
+            "c_nationkey",
+            "o_orderkey",
+            # integer cents: frontier membership and the aggregate
+            # both become exact integer math — no summation-order ulp
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price"),
+            F.to_date("o_orderdate").alias("odate"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.asc("price"), F.asc("odate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    front = j.withColumn("_mind", F.min("odate").over(w)).filter(
+        F.col("_mind").isNull() | (F.col("odate") < F.col("_mind"))
+    )
+    return front.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("frontier_size"),
+        F.round(F.sum("price") / (F.count(F.lit(1)) * 100.0), 4).alias(
+            "avg_frontier_price"
+        ),
+        F.min("odate").cast("string").alias("earliest_frontier_date"),
+    )
+
+
+Q_SKYLINE_FRONTIER_SQL = """
+WITH j AS (
+  SELECT c.c_nationkey, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS price,
+         CAST(o.o_orderdate AS DATE) AS odate
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), front AS (
+  SELECT * FROM (
+    SELECT c_nationkey, o_orderkey, price, odate,
+           min(odate) OVER (PARTITION BY c_nationkey
+                            ORDER BY price ASC, odate ASC, o_orderkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mind
+    FROM j
+  ) WHERE mind IS NULL OR odate < mind
+)
+SELECT c_nationkey, count(*) AS frontier_size,
+       round(sum(price) / (count(*) * 100.0), 4) AS avg_frontier_price,
+       CAST(min(odate) AS VARCHAR) AS earliest_frontier_date
+FROM front GROUP BY c_nationkey
+"""
+
+QUERIES["q_skyline_frontier"] = (q_skyline_frontier, Q_SKYLINE_FRONTIER_SQL)

@@ -42,6 +42,7 @@ _PINNED_FIRST = (
     "stream_hourly_finalized",
     "q_variant_shred",
     "dedup_minhash_calibration",
+    "q_skyline_frontier",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -1279,3 +1279,91 @@ GROUP BY 1, 2
 """
 
 QUERIES["q_variant_shred"] = (q_variant_shred, Q_VARIANT_SHRED_SQL)
+
+
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution — first-touch vs last-touch revenue
+    allocation per channel: every purchase's value is credited to
+    the first and to the latest preceding non-purchase event
+    (channel) of the same user. The as-of machinery again
+    (union + one running window per user, the timeseries.py house
+    pattern — never a per-purchase inequality join, which is a BNLJ
+    at scale), but run in BOTH directions in one pass: running
+    last-non-purchase and running first-non-purchase.
+
+    Output per channel: purchases credited, last-touch and
+    first-touch revenue — the two columns whose disagreement is the
+    whole attribution debate.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    chan = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(chan, ignorenulls=True).over(w).alias("last_ch"),
+        F.first(chan, ignorenulls=True).over(w).alias("first_ch"),
+    )
+    pur = tagged.filter(F.col("event_type") == "purchase")
+    return (
+        pur.groupBy(F.coalesce("last_ch", F.lit("none")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_last_touch"),
+            F.round(F.sum("value"), 4).alias("rev_last_touch"),
+        )
+        .join(
+            pur.groupBy(F.coalesce("first_ch", F.lit("none")).alias("channel")).agg(
+                F.round(F.sum("value"), 4).alias("rev_first_touch")
+            ),
+            "channel",
+            "full",
+        )
+        .select(
+            "channel",
+            F.coalesce("n_last_touch", F.lit(0)).alias("n_last_touch"),
+            F.coalesce("rev_last_touch", F.lit(0.0)).alias("rev_last_touch"),
+            F.coalesce("rev_first_touch", F.lit(0.0)).alias("rev_first_touch"),
+        )
+    )
+
+
+Q_ATTRIBUTION_LAST_TOUCH_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_type, value,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_ch,
+         first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_ch
+  FROM events
+), pur AS (SELECT * FROM tagged WHERE event_type = 'purchase'),
+lt AS (
+  SELECT coalesce(last_ch, 'none') AS channel,
+         count(*) AS n_last_touch, round(sum(value), 4) AS rev_last_touch
+  FROM pur GROUP BY 1
+), ft AS (
+  SELECT coalesce(first_ch, 'none') AS channel,
+         round(sum(value), 4) AS rev_first_touch
+  FROM pur GROUP BY 1
+)
+SELECT coalesce(lt.channel, ft.channel) AS channel,
+       coalesce(n_last_touch, 0) AS n_last_touch,
+       coalesce(rev_last_touch, 0.0) AS rev_last_touch,
+       coalesce(rev_first_touch, 0.0) AS rev_first_touch
+FROM lt FULL OUTER JOIN ft ON lt.channel = ft.channel
+"""
+
+QUERIES["q_attribution_last_touch"] = (
+    q_attribution_last_touch,
+    Q_ATTRIBUTION_LAST_TOUCH_SQL,
+)

@@ -43,6 +43,7 @@ _PINNED_FIRST = (
     "q_variant_shred",
     "dedup_minhash_calibration",
     "q_skyline_frontier",
+    "q_attribution_last_touch",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -470,3 +470,40 @@ def test_orc_roundtrip_preserves_schema_and_pushdown(spark, sf_dir, tmp_path):
     assert back.count() == src.count()
     plan = _fmt(back.filter(F.col("o_orderkey") > 100).select("o_orderkey"))
     assert "PushedFilters" in plan and "o_orderkey" in plan
+
+
+def test_new_r5_ops_have_scale_safe_plans(spark, sf_dir):
+    """Plan-shape audit for the late-r5 operators: no cartesian
+    products, no nested-loop joins except deliberate 1-row scalar
+    broadcasts, bounded exchange counts."""
+    import re
+
+    from etl_gov_spark.operators.analytics import q_skyline_frontier
+    from etl_gov_spark.operators.similarity import emb_knn_classify
+    from etl_gov_spark.operators.timeseries import (
+        q_attribution_last_touch,
+        q_event_pattern_match,
+    )
+    from etl_gov_spark.operators.vectors import emb_matryoshka_audit
+
+    def audit(df, max_exchanges, max_bnlj=0):
+        plan = _fmt(df)
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, plan[:800]
+        n_ex = len(re.findall(r"Exchange (hash|range|Single)", plan))
+        assert n_ex <= max_exchanges, f"{n_ex} exchanges"
+
+    # skyline: one shuffle to co-locate by nation + window sort, one
+    # final aggregate (+AQE coalesce variance)
+    audit(q_skyline_frontier(spark, sf_dir), 5)
+    # attribution: one per-user sort feeds both directions; the two
+    # channel aggregates + full join stay on tiny keys
+    audit(q_attribution_last_touch(spark, sf_dir), 7)
+    # pattern match: one per-user shuffle + one per-pattern aggregate
+    audit(q_event_pattern_match(spark, sf_dir), 4)
+    # knn classify: the crossJoin BNLJ is the deliberate broadcast
+    # brute-force scoring pattern (tiny query side vs every
+    # candidate, same as ann_bruteforce_topk) — bounded, not banned
+    audit(emb_knn_classify(spark, sf_dir), 4, max_bnlj=2)
+    # matryoshka: one equi-join on vec_id + label aggregate
+    audit(emb_matryoshka_audit(spark, sf_dir), 5)

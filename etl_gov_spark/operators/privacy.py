@@ -1,0 +1,184 @@
+"""Privacy-preserving publication operators (SURVEY.md §2.J ext).
+
+A government data platform (the reference's domain) publishes
+aggregates about people; these are the three standard pre-release
+gates. All deterministic-by-construction so the DuckDB oracles are
+exact:
+
+- ``q_dp_noisy_counts``: ε-differential-privacy Laplace mechanism
+  over per-nation counts, with the noise drawn from the portable
+  48-bit md5 uniform (operators/sampling.py's trick) instead of an
+  RNG — same inverse-CDF algebra, replayable on any engine/layout.
+  (A production release would use a secret seed; the mechanism —
+  sensitivity-1 counts + Laplace(1/ε) — is exactly this plan.)
+- ``q_k_anonymity_audit``: group sizes over quasi-identifier
+  combinations; any group under k is a re-identification risk.
+- ``q_anon_generalize``: the generalization ladder — coarsen the
+  numeric quasi-identifier band until every group reaches k, and
+  report the risk profile at each level (the minimal-generalization
+  search every anonymization pipeline runs).
+
+Scale: every operator is one map-side-combined aggregate over the
+quasi-identifier key space (bounded: nations × segments × bands) —
+nothing pairs rows, nothing sorts globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/ε = 1.0
+K_ANON = 5
+_U_DENOM = float((1 << 48) + 2)  # draw ∈ (0,1) strictly: ln() stays finite
+
+
+def _draw01(key: F.Column) -> F.Column:
+    """Portable uniform in (0,1): first 48 md5 bits, +1, over 2^48+2
+    — exact in a double, identical in DuckDB."""
+    h = F.substring(F.md5(key), 1, 12)
+    return (F.conv(h, 16, 10).cast("double") + F.lit(1.0)) / F.lit(_U_DENOM)
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 Laplace mechanism over per-nation customer counts:
+    noise = −b·sgn(u−½)·ln(1−2|u−½|), u from the portable md5 draw
+    keyed by 'dp:'+nation. Sensitivity of a count is 1, so b=1/ε.
+    Published: the noisy count and the mechanism parameters."""
+    c = Catalog(spark, sf_dir)
+    counts = (
+        c.customer.join(
+            F.broadcast(
+                c.nation.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")
+            ),
+            "c_nationkey",
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    u = _draw01(F.concat(F.lit("dp:"), F.col("n_name")))
+    uc = u - F.lit(0.5)
+    b = 1.0 / DP_EPSILON
+    noise = -F.lit(b) * F.signum(uc) * F.log(1.0 - 2.0 * F.abs(uc))
+    return counts.select(
+        "n_name",
+        _R4(F.col("true_n") + noise, "noisy_count"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.lit(1).alias("sensitivity"),
+    )
+
+
+Q_DP_NOISY_COUNTS_SQL = f"""
+WITH counts AS (
+  SELECT n.n_name, count(*) AS true_n
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY n.n_name
+), noised AS (
+  SELECT n_name, true_n,
+         (CAST('0x' || substr(md5('dp:' || n_name), 1, 12) AS BIGINT) + 1)
+           / {_U_DENOM!r} AS u
+  FROM counts
+)
+SELECT n_name,
+       round(true_n + (-{1.0 / DP_EPSILON!r}) * sign(u - 0.5)
+             * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count,
+       CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon, 1 AS sensitivity
+FROM noised
+"""
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the quasi-identifier triple
+    (nation, market segment, account-balance $1000 band): per
+    nation, how many QI groups exist, how many are under k=5, and
+    how many customers those risky groups expose."""
+    qi = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return groups.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") < K_ANON).cast("long")).alias("risky_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    )
+
+
+Q_K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3
+)
+SELECT c_nationkey,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk
+FROM groups GROUP BY c_nationkey
+"""
+
+# balance-band widths, finest → coarsest (the generalization ladder)
+ANON_LEVELS = (100, 1000, 10000)
+
+
+def q_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minimal-generalization search: evaluate the k-anonymity
+    risk profile at every band width of the ladder in ONE scan
+    (the level is just another grouping column — no per-level
+    re-scan), so the publisher reads off the first level whose
+    risky-group count is zero."""
+    cust = Catalog(spark, sf_dir).customer
+    level = F.explode(
+        F.array(*[F.lit(w) for w in ANON_LEVELS])
+    ).alias("band_width")
+    qi = cust.select("c_nationkey", "c_mktsegment", "c_acctbal", level)
+    groups = qi.groupBy(
+        "band_width",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.col("band_width")).cast("long").alias("band"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return groups.groupBy("band_width").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n") < K_ANON).cast("long")).alias("risky_groups"),
+        F.sum(F.when(F.col("n") < K_ANON, F.col("n")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+        _R4(F.min("n").cast("double"), "min_group_size"),
+    )
+
+
+Q_ANON_GENERALIZE_SQL = f"""
+WITH qi AS (
+  SELECT c_nationkey, c_mktsegment, c_acctbal, lv.band_width
+  FROM customer, (VALUES {", ".join(f"({w})" for w in ANON_LEVELS)}) lv(band_width)
+), groups AS (
+  SELECT band_width, c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / band_width) AS BIGINT) AS band,
+         count(*) AS n
+  FROM qi GROUP BY 1, 2, 3, 4
+)
+SELECT band_width,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS risky_groups,
+       CAST(sum(CASE WHEN n < {K_ANON} THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       round(CAST(min(n) AS DOUBLE), 4) AS min_group_size
+FROM groups GROUP BY band_width
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "q_dp_noisy_counts": (q_dp_noisy_counts, Q_DP_NOISY_COUNTS_SQL),
+    "q_k_anonymity_audit": (q_k_anonymity_audit, Q_K_ANONYMITY_SQL),
+    "q_anon_generalize": (q_anon_generalize, Q_ANON_GENERALIZE_SQL),
+}

@@ -44,6 +44,9 @@ _PINNED_FIRST = (
     "dedup_minhash_calibration",
     "q_skyline_frontier",
     "q_attribution_last_touch",
+    "q_dp_noisy_counts",
+    "q_k_anonymity_audit",
+    "q_anon_generalize",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",
@@ -118,6 +121,7 @@ def _families() -> list[dict]:
     # streaming, which carry no hard driver signal yet.
     fams: list[dict] = []
     for mod_name in (
+        "privacy",
         "corpus",
         "multimodal",
         "quality",

@@ -1348,3 +1348,65 @@ FROM s{iters}"""
 CORPUS_BPE_COMPRESSION_SQL = _bpe_compression_sql()
 
 QUERIES["corpus_bpe_compression"] = (corpus_bpe_compression, CORPUS_BPE_COMPRESSION_SQL)
+
+
+SFT_MIN_TOKENS = 8
+SFT_PROMPT_CAP = 64
+SFT_COMPLETION_CAP = 128
+
+
+def corpus_sft_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT-pair preparation: split each document into a
+    (prompt, completion) pair — prompt = first min(cap, n/2)
+    tokens, completion = the next tokens up to its cap — the
+    mechanical step between a cleaned corpus and instruction-tuning
+    batches. Docs under SFT_MIN_TOKENS are dropped (too short to
+    split meaningfully).
+
+    Shuffle-free: one projection computes both slices from the
+    materialized token array. Output carries md5 digests of the
+    whitespace-normalized halves instead of the text itself —
+    hash-comparable, compact, and exactly what a lineage manifest
+    stores at 100 TB.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    n = F.size("toks")
+    n_prompt = F.least(F.lit(SFT_PROMPT_CAP), F.floor(n / 2).cast("int"))
+    split = (
+        docs.filter(n >= SFT_MIN_TOKENS)
+        .select(
+            "doc_id",
+            F.slice("toks", 1, n_prompt).alias("p"),
+            F.slice(
+                "toks", n_prompt + 1, F.lit(SFT_COMPLETION_CAP)
+            ).alias("c"),
+        )
+    )
+    return split.select(
+        "doc_id",
+        F.size("p").alias("n_prompt_tokens"),
+        F.size("c").alias("n_completion_tokens"),
+        F.md5(F.concat_ws(" ", "p")).alias("prompt_md5"),
+        F.md5(F.concat_ws(" ", "c")).alias("completion_md5"),
+    )
+
+
+CORPUS_SFT_PAIRS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), split AS (
+  SELECT doc_id, t,
+         least({SFT_PROMPT_CAP}, CAST(floor(len(t) / 2) AS INTEGER)) AS np
+  FROM toks WHERE len(t) >= {SFT_MIN_TOKENS}
+)
+SELECT doc_id,
+       CAST(np AS INTEGER) AS n_prompt_tokens,
+       CAST(least({SFT_COMPLETION_CAP}, len(t) - np) AS INTEGER) AS n_completion_tokens,
+       md5(array_to_string(t[1:np], ' ')) AS prompt_md5,
+       md5(array_to_string(t[np+1:np+{SFT_COMPLETION_CAP}], ' ')) AS completion_md5
+FROM split
+"""
+
+QUERIES["corpus_sft_pairs"] = (corpus_sft_pairs, CORPUS_SFT_PAIRS_SQL)

@@ -1367,3 +1367,60 @@ QUERIES["q_attribution_last_touch"] = (
     q_attribution_last_touch,
     Q_ATTRIBUTION_LAST_TOUCH_SQL,
 )
+
+
+DECAY_HALF_LIFE_DAYS = 30.0
+
+
+def q_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score per user —
+    the recency-weighted ranking feature every personalization /
+    risk pipeline computes: score = Σ value · 2^(−age_days/half-life)
+    with age measured from the corpus max timestamp (one scalar,
+    broadcast). Top-20 users, rank on the 4-dp-rounded score with
+    user_id tie-break so the cutoff is engine-stable.
+
+    One scan + one bounded-key aggregate; the decay is pure codegen
+    arithmetic (no window — age is per-row against a scalar)."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "value")
+    mx = ev.agg(F.max("ts").alias("mx"))
+    age_days = (
+        F.col("mx").cast("double") - F.col("ts").cast("double")
+    ) / 86400.0
+    scored = (
+        ev.crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.col("value") * F.pow(2.0, -age_days / DECAY_HALF_LIFE_DAYS)).alias(
+                "w"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.round(F.sum("w"), 4).alias("decayed_score"))
+    )
+    w = Window.orderBy(F.desc("decayed_score"), F.asc("user_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("user_id", "decayed_score", "rank")
+    )
+
+
+Q_ENGAGEMENT_DECAY_SQL = f"""
+WITH mx AS (SELECT max(ts) AS m FROM events),
+scored AS (
+  SELECT user_id,
+         round(sum(value * pow(2.0,
+               -(epoch(m) - epoch(ts)) / 86400.0 / {DECAY_HALF_LIFE_DAYS!r})), 4)
+           AS decayed_score
+  FROM events, mx GROUP BY user_id
+)
+SELECT user_id, decayed_score, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (ORDER BY decayed_score DESC, user_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= 20
+"""
+
+QUERIES["q_engagement_decay"] = (q_engagement_decay, Q_ENGAGEMENT_DECAY_SQL)

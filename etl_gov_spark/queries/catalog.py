@@ -44,6 +44,8 @@ _PINNED_FIRST = (
     "dedup_minhash_calibration",
     "q_skyline_frontier",
     "q_attribution_last_touch",
+    "corpus_sft_pairs",
+    "q_engagement_decay",
     "q_dp_noisy_counts",
     "q_k_anonymity_audit",
     "q_anon_generalize",

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
@@ -658,3 +658,76 @@ def _manifest_sql() -> str:
 DQ_CHECKSUM_MANIFEST_SQL = _manifest_sql()
 
 QUERIES["dq_checksum_manifest"] = (dq_checksum_manifest, DQ_CHECKSUM_MANIFEST_SQL)
+
+
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per event
+    type: D = sup|F_ref − F_cur| between the reference half-window
+    and the current one (split at the PSI midpoint). The
+    nonparametric complement to dq_distribution_drift's PSI — no
+    binning choice, sensitive to any distributional change, and the
+    classic n·m/(n+m) normalization makes thresholds portable.
+
+    One shuffle-sort per event type: tag each value with its side,
+    run the two empirical CDFs as running sums over one (type,
+    value) ordering, take the max gap. Never a join between the
+    halves."""
+    ev = Catalog(spark, sf_dir).events
+    is_cur = (F.to_date("ts") >= F.lit(_PSI_SPLIT).cast("date")).cast("int")
+    # counts per DISTINCT value first: the running window then sees
+    # each v once, so the CDF is never evaluated mid-tie (where
+    # engine-specific tie order would make the sup ambiguous)
+    tagged = ev.select(
+        "event_type", F.round("value", 6).alias("v"), is_cur.alias("cur")
+    ).groupBy("event_type", "v").agg(
+        F.sum("cur").alias("c_cur"), F.sum(1 - F.col("cur")).alias("c_ref")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("event_type")
+    cdf = tagged.select(
+        "event_type",
+        "v",
+        (F.sum("c_cur").over(w) / F.sum("c_cur").over(tot)).alias("f_cur"),
+        (F.sum("c_ref").over(w) / F.sum("c_ref").over(tot)).alias("f_ref"),
+        F.sum("c_cur").over(tot).alias("n_cur"),
+        F.sum("c_ref").over(tot).alias("n_ref"),
+    )
+    return cdf.groupBy("event_type").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.round(F.max(F.abs(F.col("f_cur") - F.col("f_ref"))), 4).alias("ks_d"),
+    )
+
+
+DQ_KS_TWO_SAMPLE_SQL = f"""
+WITH tagged AS (
+  SELECT event_type, round(value, 6) AS v,
+         CASE WHEN CAST(ts AS DATE) >= DATE '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS cur
+  FROM events
+), counts AS (
+  SELECT event_type, v, sum(cur) AS c_cur, sum(1 - cur) AS c_ref
+  FROM tagged GROUP BY 1, 2
+), cdf AS (
+  SELECT event_type,
+         sum(c_cur) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / CAST(sum(c_cur) OVER (PARTITION BY event_type) AS DOUBLE) AS f_cur,
+         sum(c_ref) OVER (PARTITION BY event_type ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / CAST(sum(c_ref) OVER (PARTITION BY event_type) AS DOUBLE) AS f_ref,
+         sum(c_cur) OVER (PARTITION BY event_type) AS n_cur,
+         sum(c_ref) OVER (PARTITION BY event_type) AS n_ref
+  FROM counts
+)
+SELECT event_type,
+       CAST(max(n_ref) AS BIGINT) AS n_ref,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       round(max(abs(f_cur - f_ref)), 4) AS ks_d
+FROM cdf GROUP BY event_type
+"""
+
+QUERIES["dq_ks_two_sample"] = (dq_ks_two_sample, DQ_KS_TWO_SAMPLE_SQL)

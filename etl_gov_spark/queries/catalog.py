@@ -49,6 +49,7 @@ _PINNED_FIRST = (
     "q_dp_noisy_counts",
     "q_k_anonymity_audit",
     "q_anon_generalize",
+    "dq_ks_two_sample",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -731,3 +731,55 @@ FROM cdf GROUP BY event_type
 """
 
 QUERIES["dq_ks_two_sample"] = (dq_ks_two_sample, DQ_KS_TWO_SAMPLE_SQL)
+
+
+def dq_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event type via the modified
+    z-score: 0.6745·(x − median)/MAD with the Iglewicz–Hoaglin 3.5
+    cutoff. The 3σ screens elsewhere (q_value_outliers,
+    q_impute_clamp) break down when the contamination itself
+    inflates σ; median/MAD are 50%-breakdown robust, which is why
+    this is the screen for feeds suspected of being already dirty.
+
+    Two bounded-key aggregate passes (median, then MAD of the
+    residuals) joined back — never a window over the fact rows."""
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    resid = ev.join(F.broadcast(med), "event_type")
+    mad = resid.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    scored = resid.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "med",
+        "mad",
+        (0.6745 * (F.col("value") - F.col("med")) / F.col("mad")).alias("rz"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _R4(F.max("med"), "median"),
+        _R4(F.max("mad"), "mad"),
+        F.sum((F.abs(F.col("rz")) > 3.5).cast("long")).alias("n_outliers"),
+    )
+
+
+DQ_MAD_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(max(m.med), 4) AS median,
+       round(max(d.mad), 4) AS mad,
+       CAST(sum(CASE WHEN abs(0.6745 * (e.value - m.med) / d.mad) > 3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["dq_mad_outliers"] = (dq_mad_outliers, DQ_MAD_OUTLIERS_SQL)

@@ -50,6 +50,7 @@ _PINNED_FIRST = (
     "q_k_anonymity_audit",
     "q_anon_generalize",
     "dq_ks_two_sample",
+    "dq_mad_outliers",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

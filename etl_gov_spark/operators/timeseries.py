@@ -1424,3 +1424,61 @@ WHERE rank <= 20
 """
 
 QUERIES["q_engagement_decay"] = (q_engagement_decay, Q_ENGAGEMENT_DECAY_SQL)
+
+
+TOP_P = 0.9
+
+
+def q_user_nucleus_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-p (nucleus) behavioral profile: per user, the size of
+    the smallest event-type set covering ≥90% of their events —
+    1 = monomaniac, 5 = uniform. The distribution of nucleus sizes
+    is a one-line behavioral-diversity profile of the whole user
+    base (the top-p idea applied to activity profiling).
+
+    Per-user shares sort over ≤5 rows (bounded by the type
+    vocabulary, not by events); nucleus size = rows whose EXCLUSIVE
+    prefix share is still < p, computed with one ordered window per
+    user over those ≤5 rows."""
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("user_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = counts.select(
+        "user_id",
+        (
+            F.coalesce(F.sum("n").over(w), F.lit(0))
+            / F.sum("n").over(tot)
+        ).alias("prefix_share"),
+    )
+    nucleus = sized.filter(F.col("prefix_share") < TOP_P).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("nucleus_size")
+    )
+    return nucleus.groupBy("nucleus_size").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+Q_USER_NUCLEUS_SQL = f"""
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), sized AS (
+  SELECT user_id,
+         coalesce(sum(n) OVER (PARTITION BY user_id
+                               ORDER BY n DESC, event_type ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / CAST(sum(n) OVER (PARTITION BY user_id) AS DOUBLE) AS prefix_share
+  FROM counts
+), nucleus AS (
+  SELECT user_id, count(*) AS nucleus_size
+  FROM sized WHERE prefix_share < {TOP_P!r} GROUP BY user_id
+)
+SELECT nucleus_size, count(*) AS n_users FROM nucleus GROUP BY nucleus_size
+"""
+
+QUERIES["q_user_nucleus_types"] = (q_user_nucleus_types, Q_USER_NUCLEUS_SQL)

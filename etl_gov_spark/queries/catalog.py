@@ -51,6 +51,7 @@ _PINNED_FIRST = (
     "q_anon_generalize",
     "dq_ks_two_sample",
     "dq_mad_outliers",
+    "q_user_nucleus_types",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -441,3 +441,254 @@ WHERE d > 0
 """
 
 QUERIES["q_survival_fulfillment"] = (q_survival_fulfillment, Q_SURVIVAL_SQL)
+
+
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test per event type: weekend vs
+    weekday `value` samples, tie-corrected normal approximation.
+
+    The non-parametric complement to ``q_abtest_lift``'s t-test —
+    the screen to run when the metric is heavy-tailed and a mean
+    shift is the wrong question. Ranks are computed over DISTINCT
+    (type, value) groups (average-rank for ties), so the fact rows
+    are aggregated once and the window runs over at most
+    |distinct values| rows per type — never a per-row sort of the
+    raw events. Reference parity: dags/etl_gov_dag.py's
+    pandas-side significance screens, distributed.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.round("value", 6).alias("v"),
+        (F.dayofweek("ts").isin(1, 7)).cast("long").alias("wk"),
+    )
+    counts = ev.groupBy("event_type", "v").agg(
+        F.sum("wk").alias("c1"), F.sum(1 - F.col("wk")).alias("c2")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cnt = (F.col("c1") + F.col("c2")).alias("cnt")
+    ranked = counts.select(
+        "event_type",
+        "c1",
+        "c2",
+        cnt,
+        (
+            F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(w), F.lit(0))
+            + (F.col("c1") + F.col("c2") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    stats = ranked.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.sum(F.col("c1") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias(
+            "tie_term"
+        ),
+    )
+    n1, n2 = F.col("n1"), F.col("n2")
+    n = n1 + n2
+    u1 = F.col("r1") - n1 * (n1 + 1) / 2.0
+    var = (n1 * n2 / 12.0) * (
+        (n + 1) - F.col("tie_term") / (n * (n - 1))
+    )
+    z = (u1 - n1 * n2 / 2.0) / F.sqrt(var)
+    return stats.select(
+        "event_type",
+        n1.alias("n_weekend"),
+        n2.alias("n_weekday"),
+        _R4(u1, "u_stat"),
+        _R4(z, "z_score"),
+    )
+
+
+Q_MANN_WHITNEY_SQL = """
+WITH tagged AS (
+  SELECT event_type, round(value, 6) AS v,
+         CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk
+  FROM events
+), counts AS (
+  SELECT event_type, v, sum(wk) AS c1, sum(1 - wk) AS c2
+  FROM tagged GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, c1, c2, c1 + c2 AS cnt,
+         coalesce(sum(c1 + c2) OVER (PARTITION BY event_type ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c1 + c2 + 1) / 2.0 AS avg_rank
+  FROM counts
+), stats AS (
+  SELECT event_type, sum(c1) AS n1, sum(c2) AS n2,
+         sum(c1 * avg_rank) AS r1,
+         sum(cnt * cnt * cnt - cnt) AS tie_term
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_weekend,
+       CAST(n2 AS BIGINT) AS n_weekday,
+       round(r1 - n1 * (n1 + 1) / 2.0, 4) AS u_stat,
+       round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / sqrt((n1 * n2 / 12.0)
+                    * ((n1 + n2 + 1) - tie_term
+                       / ((n1 + n2) * (n1 + n2 - 1)))), 4) AS z_score
+FROM stats
+"""
+
+QUERIES["q_mann_whitney"] = (q_mann_whitney, Q_MANN_WHITNEY_SQL)
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (base-2, in bits) between each
+    document source's language distribution and the corpus-wide
+    language distribution.
+
+    The bounded, symmetric drift measure to put next to PSI
+    (``dq_distribution_drift``) and KS (``dq_ks_two_sample``):
+    JSD is defined even when a language is absent on one side,
+    which kills KL outright. Two tiny grouped aggregates over
+    (source, lang) — the fact table is touched once; everything
+    after is |sources|x|langs| rows.
+    """
+    docs = Catalog(spark, sf_dir).documents.select("source", "lang")
+    cell = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    src_tot = Window.partitionBy("source")
+    # p: per-source share; q: corpus-wide share (computed from the
+    # same cell counts — one scan of documents total).
+    glob = cell.groupBy("lang").agg(F.sum("c").alias("gc"))
+    gtot = glob.agg(F.sum("gc").alias("gt"))
+    p = cell.select(
+        "source", "lang", (F.col("c") / F.sum("c").over(src_tot)).alias("p")
+    )
+    q = glob.crossJoin(F.broadcast(gtot)).select(
+        "lang", (F.col("gc") / F.col("gt")).alias("q")
+    )
+    # Full outer on lang per source so zero-mass cells contribute
+    # their q-side term (0*log0 := 0 on the p side). The grid is
+    # |sources| x |langs| — built from the tiny aggregates, never
+    # from fact rows.
+    grid = cell.select("source").distinct().crossJoin(F.broadcast(q))
+    joined = grid.join(F.broadcast(p), ["source", "lang"], "left").select(
+        "source", "lang", F.coalesce("p", F.lit(0.0)).alias("p"), "q"
+    )
+    term_p = F.when(
+        F.col("p") > 0, F.col("p") * F.log2(F.col("p") / ((F.col("p") + F.col("q")) / 2.0))
+    ).otherwise(0.0)
+    term_q = F.when(
+        F.col("q") > 0, F.col("q") * F.log2(F.col("q") / ((F.col("p") + F.col("q")) / 2.0))
+    ).otherwise(0.0)
+    return joined.groupBy("source").agg(
+        _R4(0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), "jsd_bits"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+
+
+Q_JS_DIVERGENCE_SQL = """
+WITH cell AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+), gall AS (
+  SELECT lang, sum(c) AS gc FROM cell GROUP BY 1
+), p AS (
+  SELECT source, lang,
+         c / CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) AS p
+  FROM cell
+), q AS (
+  SELECT lang, gc / CAST((SELECT sum(gc) FROM gall) AS DOUBLE) AS q
+  FROM gall
+), grid AS (
+  SELECT s.source, q.lang, q.q
+  FROM (SELECT DISTINCT source FROM cell) s CROSS JOIN q
+), joined AS (
+  SELECT g.source, g.lang, coalesce(p.p, 0.0) AS p, g.q
+  FROM grid g LEFT JOIN p ON p.source = g.source AND p.lang = g.lang
+)
+SELECT source,
+       round(0.5 * sum(CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2.0)) ELSE 0 END)
+           + 0.5 * sum(CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2.0)) ELSE 0 END),
+             4) AS jsd_bits,
+       count(*) AS n_langs
+FROM joined
+GROUP BY source
+"""
+
+QUERIES["q_js_divergence"] = (q_js_divergence, Q_JS_DIVERGENCE_SQL)
+
+
+def q_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form two-feature OLS per return flag: revenue ~
+    quantity + discount, solved from the centered normal equations
+    (Cramer's rule on the 2x2 Gram matrix).
+
+    The step past ``q_trend_slope``'s built-in regr_* (which stops
+    at one regressor): all nine sufficient statistics (n, Σx1, Σx2,
+    Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y) are algebraic, so the whole
+    fit is ONE map-side-combinable grouped aggregate — no second
+    pass, no driver linear algebra, |ship modes| rows out.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("sx1"),
+        F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+    )
+    n = F.col("n")
+    s11 = F.col("sx11") - F.col("sx1") * F.col("sx1") / n
+    s22 = F.col("sx22") - F.col("sx2") * F.col("sx2") / n
+    s12 = F.col("sx12") - F.col("sx1") * F.col("sx2") / n
+    s1y = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    s2y = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    b0 = (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) / n
+    return s.select(
+        "l_returnflag",
+        n.alias("n"),
+        F.round(b0, 2).alias("intercept"),
+        F.round(b1, 2).alias("beta_quantity"),
+        F.round(b2, 2).alias("beta_discount"),
+    ).orderBy("l_returnflag")
+
+
+Q_OLS_TWO_FEATURE_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+         sum(l_quantity) AS sx1, sum(l_discount) AS sx2,
+         sum(l_extendedprice * (1 - l_discount)) AS sy,
+         sum(l_quantity * l_quantity) AS sx11,
+         sum(l_discount * l_discount) AS sx22,
+         sum(l_quantity * l_discount) AS sx12,
+         sum(l_quantity * l_extendedprice * (1 - l_discount)) AS sx1y,
+         sum(l_discount * l_extendedprice * (1 - l_discount)) AS sx2y
+  FROM lineitem GROUP BY l_returnflag
+), c AS (
+  SELECT l_returnflag, n, sx1, sx2, sy,
+         sx11 - sx1 * sx1 / n AS s11,
+         sx22 - sx2 * sx2 / n AS s22,
+         sx12 - sx1 * sx2 / n AS s12,
+         sx1y - sx1 * sy / n AS s1y,
+         sx2y - sx2 * sy / n AS s2y
+  FROM s
+)
+SELECT l_returnflag, n,
+       round((sy - ((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12)) * sx1
+                 - ((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12)) * sx2) / n,
+             2) AS intercept,
+       round((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12), 2) AS beta_quantity,
+       round((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12), 2) AS beta_discount
+FROM c
+ORDER BY l_returnflag
+"""
+
+QUERIES["q_ols_two_feature"] = (q_ols_two_feature, Q_OLS_TWO_FEATURE_SQL)

@@ -52,6 +52,9 @@ _PINNED_FIRST = (
     "dq_ks_two_sample",
     "dq_mad_outliers",
     "q_user_nucleus_types",
+    "q_mann_whitney",
+    "q_js_divergence",
+    "q_ols_two_feature",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

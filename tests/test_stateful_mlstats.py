@@ -218,3 +218,42 @@ def test_compression_ratio_orders_repetitive_below_random(spark, tmp_path_factor
     got = {r.doc_id: r for r in text_compression_quality(spark, tmp).collect()}
     assert got[0].compression_ratio < got[1].compression_ratio
     assert got[0].band == "boilerplate"
+
+
+def test_mann_whitney_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_mann_whitney
+
+    rows = q_mann_whitney(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_weekend > 0 and r.n_weekday > 0
+        # U is bounded by n1*n2; z should be a small-ish standardized stat
+        assert 0 <= r.u_stat <= r.n_weekend * r.n_weekday
+        assert abs(r.z_score) < 50
+
+
+def test_js_divergence_bounded_and_zero_for_global_like(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_js_divergence
+
+    rows = q_js_divergence(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # JSD in bits is bounded by 1
+        assert 0.0 <= r.jsd_bits <= 1.0
+        assert r.n_langs >= 1
+
+
+def test_ols_two_feature_signs(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_ols_two_feature
+
+    rows = q_ols_two_feature(spark, sf_dir).collect()
+    assert rows
+    import math
+
+    for r in rows:
+        # y = extprice*(1-discount), so discount mechanically depresses
+        # revenue; quantity is independent of price in the synthetic data
+        # so its beta is near-noise — assert finiteness, not sign.
+        assert r.beta_discount < 0
+        assert math.isfinite(r.beta_quantity) and math.isfinite(r.intercept)
+        assert r.n > 100

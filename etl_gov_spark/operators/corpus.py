@@ -1410,3 +1410,234 @@ FROM split
 """
 
 QUERIES["corpus_sft_pairs"] = (corpus_sft_pairs, CORPUS_SFT_PAIRS_SQL)
+
+
+FIM_MIN_TOKENS = 12
+_FIM_P, _FIM_M = 0.4, 0.2  # prefix / middle token fractions
+
+
+def corpus_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle (FIM) transform manifest: split each doc's
+    token stream into prefix (40%) / middle (20%) / suffix (rest)
+    and emit the PSM (prefix-suffix-middle) reordering digest — the
+    infilling-objective preparation step for code/corpus training
+    runs, after packing and before batching.
+
+    Shuffle-free single projection like ``corpus_sft_pairs``: all
+    three slices and the reordered digest come from one materialized
+    token array; output is a fixed-width manifest row per doc (the
+    text itself never moves again).
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    n = F.size("toks")
+    np_ = F.floor(n * _FIM_P).cast("int")
+    nm = F.floor(n * _FIM_M).cast("int")
+    split = docs.filter(n >= FIM_MIN_TOKENS).select(
+        "doc_id",
+        F.slice("toks", 1, np_).alias("p"),
+        F.slice("toks", np_ + 1, nm).alias("m"),
+        F.slice("toks", np_ + nm + 1, n - np_ - nm).alias("s"),
+    )
+    psm = F.concat_ws(
+        " ", F.concat_ws(" ", "p"), F.concat_ws(" ", "s"), F.concat_ws(" ", "m")
+    )
+    return split.select(
+        "doc_id",
+        F.size("p").alias("n_prefix"),
+        F.size("m").alias("n_middle"),
+        F.size("s").alias("n_suffix"),
+        F.md5(F.concat_ws(" ", "m")).alias("middle_md5"),
+        F.md5(psm).alias("psm_md5"),
+    )
+
+
+CORPUS_FIM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), split AS (
+  SELECT doc_id,
+         CAST(floor(len(t) * {_FIM_P}) AS INTEGER) AS np,
+         CAST(floor(len(t) * {_FIM_M}) AS INTEGER) AS nm,
+         t
+  FROM toks WHERE len(t) >= {FIM_MIN_TOKENS}
+)
+SELECT doc_id,
+       np AS n_prefix, nm AS n_middle,
+       CAST(len(t) - np - nm AS INTEGER) AS n_suffix,
+       md5(array_to_string(t[np+1:np+nm], ' ')) AS middle_md5,
+       md5(concat_ws(' ', array_to_string(t[1:np], ' '),
+                          array_to_string(t[np+nm+1:len(t)], ' '),
+                          array_to_string(t[np+1:np+nm], ' '))) AS psm_md5
+FROM split
+"""
+
+QUERIES["corpus_fim_transform"] = (corpus_fim_transform, CORPUS_FIM_SQL)
+
+
+_DPO_BUCKET_TOKENS = 32  # length-bucket width for pairing
+
+
+def corpus_dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair preparation: within each (source,
+    length-bucket) block, rank docs by type-token-ratio quality and
+    pair rank i from the top half (chosen) with rank i from the
+    bottom half (rejected) — the mechanical construction of
+    preference data from a scored corpus when no human labels
+    exist yet.
+
+    Blocking bounds the window: ranks are computed per (source,
+    bucket), and a bucket holds only docs of similar length, so the
+    sort is over block-sized groups, never the corpus. Pairing is
+    rank-aligned (deterministic: score desc, doc_id asc), one
+    self-join on (block, rank) — no cross product.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", "source", tokens_col().alias("toks")
+    )
+    scored = docs.select(
+        "doc_id",
+        "source",
+        (F.floor(F.size("toks") / _DPO_BUCKET_TOKENS)).alias("bucket"),
+        F.round(
+            F.size(F.array_distinct("toks")) / F.size("toks"), 6
+        ).alias("ttr"),
+    )
+    w = Window.partitionBy("source", "bucket").orderBy(
+        F.desc("ttr"), F.asc("doc_id")
+    )
+    ranked = scored.select(
+        "source",
+        "bucket",
+        "doc_id",
+        "ttr",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source", "bucket")).alias("nb"),
+    )
+    half = F.floor(F.col("nb") / 2).cast("int")
+    top = ranked.filter(F.col("rk") < half).select(
+        "source", "bucket", "rk",
+        F.col("doc_id").alias("chosen_doc"), F.col("ttr").alias("chosen_ttr"),
+    )
+    bot = ranked.filter(F.col("rk") >= F.col("nb") - half).select(
+        "source", "bucket",
+        (F.col("rk") - (F.col("nb") - half)).alias("rk"),
+        F.col("doc_id").alias("rejected_doc"), F.col("ttr").alias("rejected_ttr"),
+    )
+    return (
+        top.join(bot, ["source", "bucket", "rk"])
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "source",
+            "bucket",
+            "chosen_doc",
+            "rejected_doc",
+            _R4(F.col("chosen_ttr") - F.col("rejected_ttr"), "ttr_margin"),
+        )
+        .filter(F.col("ttr_margin") > 0)
+    )
+
+
+CORPUS_DPO_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(floor(len(string_split_regex(trim(text), '\s+'))
+                    / {_DPO_BUCKET_TOKENS}) AS BIGINT) AS bucket,
+         round(len(list_distinct(string_split_regex(trim(text), '\s+')))
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+               6) AS ttr
+  FROM documents
+), ranked AS (
+  SELECT source, bucket, doc_id, ttr,
+         row_number() OVER (PARTITION BY source, bucket
+                            ORDER BY ttr DESC, doc_id ASC) - 1 AS rk,
+         count(*) OVER (PARTITION BY source, bucket) AS nb
+  FROM scored
+), top AS (
+  SELECT source, bucket, rk, doc_id AS chosen_doc, ttr AS chosen_ttr
+  FROM ranked WHERE rk < CAST(floor(nb / 2.0) AS INTEGER)
+), bot AS (
+  SELECT source, bucket, rk - (nb - CAST(floor(nb / 2.0) AS INTEGER)) AS rk,
+         doc_id AS rejected_doc, ttr AS rejected_ttr
+  FROM ranked WHERE rk >= nb - CAST(floor(nb / 2.0) AS INTEGER)
+)
+SELECT t.source, t.bucket, t.chosen_doc, b.rejected_doc,
+       round(t.chosen_ttr - b.rejected_ttr, 4) AS ttr_margin
+FROM top t JOIN bot b USING (source, bucket, rk)
+WHERE t.chosen_doc <> b.rejected_doc
+  AND round(t.chosen_ttr - b.rejected_ttr, 4) > 0
+"""
+
+QUERIES["corpus_dpo_pairs"] = (corpus_dpo_pairs, CORPUS_DPO_SQL)
+
+
+_BUDGET_TOKENS = 1_000_000
+_BUDGET_MAX_EPOCHS = 4.0
+
+
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget allocation for a training run:
+    distribute a global budget across sources proportional to their
+    temperature-scaled mix weight (τ=0.7, same as
+    ``corpus_mix_weights``), capped at ``max_epochs`` passes over
+    what the source actually has. Reports allocated tokens and the
+    implied epoch count — the plan a data-loader executes.
+
+    Single-shot allocation (no iterative redistribution of the
+    capped surplus — declared, not hidden). Bounded: everything
+    after the one per-source aggregate is |sources| rows against a
+    broadcast scalar.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", F.size(tokens_col()).alias("n_tokens")
+    )
+    per = docs.groupBy("source").agg(F.sum("n_tokens").alias("avail"))
+    tot = per.agg(
+        F.sum(F.pow(F.col("avail").cast("double"), F.lit(_MIX_TAU))).alias(
+            "tot_pow"
+        )
+    )
+    weighted = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail",
+        F.round(
+            F.pow(F.col("avail").cast("double"), F.lit(_MIX_TAU))
+            / F.col("tot_pow"),
+            6,
+        ).alias("w"),
+    )
+    raw = F.col("w") * _BUDGET_TOKENS
+    alloc = F.least(raw, F.col("avail") * _BUDGET_MAX_EPOCHS)
+    return weighted.select(
+        "source",
+        "avail",
+        _R4(F.col("w"), "mix_weight"),
+        F.floor(alloc).cast("long").alias("alloc_tokens"),
+        _R4(alloc / F.col("avail"), "epochs"),
+        (alloc >= F.col("avail") * _BUDGET_MAX_EPOCHS).alias("capped"),
+    )
+
+
+CORPUS_TOKEN_BUDGET_SQL = rf"""
+WITH per AS (
+  SELECT source, sum(len(string_split_regex(trim(text), '\s+'))) AS avail
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(pow(CAST(avail AS DOUBLE), {_MIX_TAU})) AS tot_pow FROM per
+), weighted AS (
+  SELECT source, avail,
+         round(pow(CAST(avail AS DOUBLE), {_MIX_TAU}) / tot_pow, 6) AS w
+  FROM per CROSS JOIN tot
+)
+SELECT source, CAST(avail AS BIGINT) AS avail,
+       round(w, 4) AS mix_weight,
+       CAST(floor(least(w * {_BUDGET_TOKENS},
+                        avail * {_BUDGET_MAX_EPOCHS})) AS BIGINT) AS alloc_tokens,
+       round(least(w * {_BUDGET_TOKENS}, avail * {_BUDGET_MAX_EPOCHS})
+             / avail, 4) AS epochs,
+       w * {_BUDGET_TOKENS} >= avail * {_BUDGET_MAX_EPOCHS} AS capped
+FROM weighted
+"""
+
+QUERIES["corpus_token_budget"] = (corpus_token_budget, CORPUS_TOKEN_BUDGET_SQL)

@@ -55,6 +55,9 @@ _PINNED_FIRST = (
     "q_mann_whitney",
     "q_js_divergence",
     "q_ols_two_feature",
+    "corpus_fim_transform",
+    "corpus_dpo_pairs",
+    "corpus_token_budget",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

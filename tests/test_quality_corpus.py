@@ -394,3 +394,50 @@ def test_bpe_compression_conserves_chars_and_compresses(spark, sf_dir):
     assert row.total_tokens == words.n
     assert row.symbols_weighted < row.chars_weighted
     assert 0 < row.compression_ratio < 1
+
+
+def test_fim_transform_partition_is_exact(spark, sf_dir):
+    """The three FIM slices must partition the token stream."""
+    from etl_gov_spark.operators.corpus import FIM_MIN_TOKENS, corpus_fim_transform
+
+    rows = corpus_fim_transform(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        n = r.n_prefix + r.n_middle + r.n_suffix
+        assert n >= FIM_MIN_TOKENS
+        # 40/20/40 split with floor: prefix >= middle, suffix >= middle
+        assert r.n_prefix >= r.n_middle
+        assert r.n_suffix >= r.n_middle
+        assert len(r.psm_md5) == 32
+
+
+def test_dpo_pairs_margin_positive_and_no_doc_on_both_sides(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_dpo_pairs
+
+    rows = corpus_dpo_pairs(spark, sf_dir).collect()
+    assert rows
+    chosen = {r.chosen_doc for r in rows}
+    rejected = {r.rejected_doc for r in rows}
+    for r in rows:
+        assert r.ttr_margin > 0
+    # rank-aligned halves: a doc can never be chosen in one pair and
+    # rejected in another within the same run
+    assert not (chosen & rejected)
+
+
+def test_token_budget_caps_and_conservation(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import (
+        _BUDGET_MAX_EPOCHS,
+        _BUDGET_TOKENS,
+        corpus_token_budget,
+    )
+
+    rows = corpus_token_budget(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.alloc_tokens <= r.avail * _BUDGET_MAX_EPOCHS
+        assert 0 < r.epochs <= _BUDGET_MAX_EPOCHS + 1e-9
+        assert r.capped == (r.epochs >= _BUDGET_MAX_EPOCHS - 1e-9)
+    # uncapped sources get their full proportional share: total raw
+    # allocation would be the budget, so the capped total is <= budget
+    assert sum(r.alloc_tokens for r in rows) <= _BUDGET_TOKENS

@@ -1482,3 +1482,110 @@ SELECT nucleus_size, count(*) AS n_users FROM nucleus GROUP BY nucleus_size
 """
 
 QUERIES["q_user_nucleus_types"] = (q_user_nucleus_types, Q_USER_NUCLEUS_SQL)
+
+
+def q_login_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-active-day streak per
+    user, histogrammed. The classic `date − row_number` trick: dedup
+    to (user, day), number days per user, group by the constant
+    `day − rn` island key — streak length falls out as a count.
+
+    Scale: the only window partitions by ``user_id`` over at most
+    |distinct days| rows per user (the per-day dedup happens first,
+    map-side combinable), and the final histogram is a bounded-key
+    aggregate. No joins, two shuffles total at any scale.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = ev.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return best.groupBy("max_streak").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+Q_LOGIN_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), islands AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, grp, count(*) AS len FROM islands GROUP BY 1, 2
+), best AS (
+  SELECT user_id, max(len) AS max_streak FROM streaks GROUP BY user_id
+)
+SELECT max_streak, count(*) AS n_users FROM best GROUP BY max_streak
+"""
+
+QUERIES["q_login_streaks"] = (q_login_streaks, Q_LOGIN_STREAKS_SQL)
+
+
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-burst screen per event type: flag hours whose event
+    count exceeds μ + 3σ of that type's hourly series, report the
+    burst census (n_hours, n_bursts, peak rate, peak-to-mean).
+
+    Counts are integers, so μ and σ are bit-identical across
+    engines — the threshold comparison can't drift. Two grouped
+    aggregates over (type, hour) then (type): the fact table is
+    scanned once; the hourly matrix is bounded (|types|·|hours|).
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.avg("c").alias("mu"),
+        F.stddev_pop("c").alias("sigma"),
+        F.max("c").alias("peak"),
+    )
+    flagged = hourly.join(F.broadcast(stats), "event_type").filter(
+        F.col("c") > F.col("mu") + 3 * F.col("sigma")
+    )
+    bursts = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_bursts")
+    )
+    return stats.join(bursts, "event_type", "left").select(
+        "event_type",
+        "n_hours",
+        F.coalesce("n_bursts", F.lit(0)).alias("n_bursts"),
+        "peak",
+        _R4(F.col("mu"), "mean_rate"),
+        _R4(F.col("peak") / F.col("mu"), "peak_to_mean"),
+    )
+
+
+Q_BURST_DETECTION_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS c
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, count(*) AS n_hours, avg(c) AS mu,
+         stddev_pop(c) AS sigma, max(c) AS peak
+  FROM hourly GROUP BY event_type
+), bursts AS (
+  SELECT h.event_type, count(*) AS n_bursts
+  FROM hourly h JOIN stats s USING (event_type)
+  WHERE h.c > s.mu + 3 * s.sigma
+  GROUP BY h.event_type
+)
+SELECT s.event_type, s.n_hours,
+       coalesce(b.n_bursts, 0) AS n_bursts,
+       CAST(s.peak AS BIGINT) AS peak,
+       round(s.mu, 4) AS mean_rate,
+       round(s.peak / s.mu, 4) AS peak_to_mean
+FROM stats s LEFT JOIN bursts b USING (event_type)
+"""
+
+QUERIES["q_burst_detection"] = (q_burst_detection, Q_BURST_DETECTION_SQL)

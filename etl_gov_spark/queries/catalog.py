@@ -58,6 +58,8 @@ _PINNED_FIRST = (
     "corpus_fim_transform",
     "corpus_dpo_pairs",
     "corpus_token_budget",
+    "q_login_streaks",
+    "q_burst_detection",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -56,3 +56,28 @@ def test_asof_nearest_picks_closest_side_with_tolerance(spark, tmp_path_factory)
     assert (got[1].nearest_click_id, got[1].direction, got[1].delta_s) == (3, "forward", 120.0)
     assert (got[2].nearest_click_id, got[2].direction) == (4, "backward")
     assert got[3].nearest_click_id is None and got[3].direction is None
+
+
+def test_login_streaks_histogram_covers_all_users(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.timeseries import q_login_streaks
+
+    rows = q_login_streaks(spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert r.max_streak >= 1
+
+
+def test_burst_detection_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_burst_detection
+
+    rows = q_burst_detection(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_bursts < r.n_hours
+        assert r.peak_to_mean >= 1.0
+        assert r.mean_rate > 0

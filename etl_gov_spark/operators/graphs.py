@@ -643,3 +643,83 @@ GROUP BY depth
 """
 
 QUERIES["q_hierarchy_rollup"] = (q_hierarchy_rollup, Q_HIERARCHY_ROLLUP_SQL)
+
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peel (k=2, 3 rounds) over the near-dup pair
+    graph: repeatedly drop nodes with degree < k and the edges they
+    carry, reporting the (nodes, edges) census after each round —
+    the cheap structural screen that separates chained/clustered
+    template families from isolated accidental pairs.
+
+    Fixed round count keeps the computation SQL-expressible (the
+    oracle chains three CTE generations) and the Spark plan a
+    static DAG: each round is degree-aggregate → semi-join filter,
+    both keyed on doc ids. At 100 TB each round is two hash
+    shuffles on the shrinking edge set; full convergence would wrap
+    the same body in the ``connected_components`` loop pattern
+    (localCheckpoint every few rounds).
+    """
+    docs = Catalog(spark, sf_dir).documents
+    und = _near_dup_edges(docs)
+    summaries = []
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        sym = und.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+            und.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+        )
+        alive = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        und = (
+            und.join(alive, und.doc_a == alive.node, "left_semi")
+            .join(alive, F.col("doc_b") == alive.node, "left_semi")
+        )
+        summaries.append(
+            und.select(F.explode(F.array("doc_a", "doc_b")).alias("x")).agg(
+                F.lit(rnd).alias("round"),
+                F.count_distinct("x").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.union(s)
+    return out
+
+
+def _kcore_sql() -> str:
+    gens = []
+    prev = "pairs"
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        gens.append(f"""sym{rnd} AS (
+  SELECT doc_a AS u, doc_b AS v FROM {prev}
+  UNION ALL SELECT doc_b, doc_a FROM {prev}
+), alive{rnd} AS (
+  SELECT u AS node FROM sym{rnd} GROUP BY u HAVING count(*) >= {_KCORE_K}
+), e{rnd} AS (
+  SELECT p.doc_a, p.doc_b FROM {prev} p
+  JOIN alive{rnd} a ON p.doc_a = a.node
+  JOIN alive{rnd} b ON p.doc_b = b.node
+)""")
+        prev = f"e{rnd}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, count(DISTINCT x) AS n_nodes,"
+        f" CAST(count(*) / 2 AS BIGINT) AS n_edges FROM"
+        f" (SELECT doc_a AS x FROM e{r} UNION ALL SELECT doc_b FROM e{r})"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + _SQL_EDGE_PAIRS.removeprefix("WITH RECURSIVE ").strip()
+        if _SQL_EDGE_PAIRS.startswith("WITH")
+        else "WITH " + _SQL_EDGE_PAIRS
+    ) + ", " + ", ".join(gens) + "\n" + unions
+
+
+QUERIES["graph_kcore_peel"] = (graph_kcore_peel, _kcore_sql())

@@ -124,3 +124,66 @@ QUERIES: dict[str, tuple] = {
     "q_reservoir_per_group": (q_reservoir_per_group, Q_RESERVOIR_SQL),
     "q_weighted_sample": (q_weighted_sample, Q_WEIGHTED_SQL),
 }
+
+
+def q_balanced_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample: cut every event type down to
+    the minority type's row count — the majority-class undersampling
+    step that precedes training on imbalanced label sets. Selection
+    is bottom-n-by-md5(event_id), so the kept set is a pure function
+    of row keys: reproducible across engines, reruns, and layouts.
+
+    The minority count is a 1-row broadcast scalar; the only heavy
+    op is the per-type rank window, partitioned on the class key
+    (bounded partitions ≈ |rows|/|types|, and at real scale the
+    rank-filter prunes under AQE before the aggregate).
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", "event_id", "value"
+    )
+    n_min = ev.groupBy("event_type").count().agg(
+        F.min("count").alias("n_min")
+    )
+    draw = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("event_type").orderBy(draw.asc(), F.col("event_id").asc())
+    ranked = ev.withColumn("rk", F.row_number().over(w)).crossJoin(
+        F.broadcast(n_min)
+    )
+    kept = ranked.filter(F.col("rk") <= F.col("n_min"))
+    before = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))
+    after = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        _R4(F.avg("value"), "sample_value_mean"),
+    )
+    return before.join(after, "event_type").select(
+        "event_type", "n_before", "n_sampled", "sample_value_mean"
+    )
+
+
+Q_BALANCED_DOWNSAMPLE_SQL = """
+WITH n_min AS (
+  SELECT min(c) AS n_min FROM (
+    SELECT count(*) AS c FROM events GROUP BY event_type
+  )
+), ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)) ASC,
+                                     event_id ASC) AS rk
+  FROM events
+), kept AS (
+  SELECT r.* FROM ranked r CROSS JOIN n_min WHERE r.rk <= n_min.n_min
+), before AS (
+  SELECT event_type, count(*) AS n_before FROM events GROUP BY event_type
+)
+SELECT b.event_type, b.n_before,
+       count(*) AS n_sampled,
+       round(avg(k.value), 4) AS sample_value_mean
+FROM before b JOIN kept k USING (event_type)
+GROUP BY b.event_type, b.n_before
+"""
+
+QUERIES["q_balanced_downsample"] = (
+    q_balanced_downsample,
+    Q_BALANCED_DOWNSAMPLE_SQL,
+)

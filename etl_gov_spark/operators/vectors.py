@@ -944,3 +944,60 @@ FROM pairs GROUP BY label
 """
 
 QUERIES["emb_matryoshka_audit"] = (emb_matryoshka_audit, EMB_MATRYOSHKA_SQL)
+
+
+_PRUNE_TOP_DIMS = 8
+
+
+def emb_dim_variance_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance screen: rank embedding dimensions by
+    population variance and keep the top 8 — the cheap feature-
+    selection pass (dead/constant dims carry no signal and waste
+    index space) run before quantization or ANN index build.
+
+    posexplode → one grouped aggregate keyed by dim (bounded:
+    |dims| groups, map-side combinable), then a tiny top-k sort
+    over |dims| rows. Ties break on dim index for determinism.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "val"
+        )
+    )
+    stats = emb.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("val").alias("mu"),
+        F.var_pop("val").alias("var"),
+    )
+    w = Window.orderBy(F.desc(F.round("var", 6)), F.asc("dim"))
+    return (
+        stats.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _PRUNE_TOP_DIMS)
+        .select(
+            "rank",
+            F.col("dim").alias("dim_idx"),
+            _R4(F.col("mu"), "mean"),
+            _R4(F.col("var"), "variance"),
+        )
+    )
+
+
+EMB_DIM_VARIANCE_SQL = f"""
+WITH expl AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS val
+  FROM embeddings
+), stats AS (
+  SELECT dim, count(*) AS n, avg(val) AS mu, var_pop(val) AS var
+  FROM expl GROUP BY dim
+), ranked AS (
+  SELECT dim, mu, var,
+         row_number() OVER (ORDER BY round(var, 6) DESC, dim ASC) AS rank
+  FROM stats
+)
+SELECT CAST(rank AS INTEGER) AS rank, CAST(dim AS INTEGER) AS dim_idx,
+       round(mu, 4) AS mean, round(var, 4) AS variance
+FROM ranked WHERE rank <= {_PRUNE_TOP_DIMS}
+"""
+
+QUERIES["emb_dim_variance_prune"] = (emb_dim_variance_prune, EMB_DIM_VARIANCE_SQL)

@@ -60,6 +60,9 @@ _PINNED_FIRST = (
     "corpus_token_budget",
     "q_login_streaks",
     "q_burst_detection",
+    "emb_dim_variance_prune",
+    "graph_kcore_peel",
+    "q_balanced_downsample",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -72,3 +72,19 @@ def test_weighted_sample_favours_heavy_orders(spark, sf_dir):
     avg_sampled = sum(sampled) / len(sampled)
     # value-weighted draws should skew above the population mean
     assert avg_sampled > avg_all
+
+
+def test_balanced_downsample_equalizes_classes(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.sampling import q_balanced_downsample
+
+    rows = q_balanced_downsample(spark, sf_dir).collect()
+    assert rows
+    n_min = min(r.n_before for r in rows)
+    for r in rows:
+        assert r.n_sampled == n_min  # every class cut to the minority count
+        assert r.n_before >= n_min
+    n_types = (
+        read_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    )
+    assert len(rows) == n_types

@@ -288,3 +288,34 @@ def test_hierarchy_rollup_depth_matches_log10(spark, sf_dir):
     mx, n = cust.agg(F.max("c_custkey"), F.count(F.lit(1))).collect()[0]
     assert max(r.depth for r in rows) == int(math.log10(mx))
     assert sum(r.n_customers for r in rows) == n
+
+
+def test_dim_variance_prune_ranks_and_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.vectors import (
+        _PRUNE_TOP_DIMS,
+        emb_dim_variance_prune,
+    )
+
+    rows = sorted(
+        emb_dim_variance_prune(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert len(rows) == _PRUNE_TOP_DIMS
+    prev = None
+    for r in rows:
+        assert r.variance >= 0
+        if prev is not None:
+            assert r.variance <= prev + 1e-6  # non-increasing by rank
+        prev = r.variance
+
+
+def test_kcore_peel_monotone_shrinking(spark, sf_dir):
+    from etl_gov_spark.operators.graphs import graph_kcore_peel
+
+    rows = sorted(graph_kcore_peel(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert len(rows) == 3
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+    # a 2-core retains only nodes with degree >= 2: edges >= nodes is not
+    # guaranteed mid-peel, but the census must stay non-negative
+    assert rows[-1].n_nodes >= 0 and rows[-1].n_edges >= 0

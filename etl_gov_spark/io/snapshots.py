@@ -40,6 +40,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SNAPDIR = "_snapshots"
 
@@ -217,3 +218,52 @@ def vacuum(table_path: str, keep_last: int = 1) -> dict:
         if v not in keep:
             os.remove(_manifest_path(table_path, v))
     return {"versions_kept": keep, "files_removed": removed}
+
+
+def delete_where_snapshot(
+    spark: SparkSession, table_path: str, keys: DataFrame, key: str
+) -> dict:
+    """File-pruned copy-on-write DELETE as a snapshot commit — the
+    GDPR-erasure shape: given a set of subject keys, rewrite ONLY
+    the files whose footer key-range can contain one, drop the
+    matching rows there, and commit a new manifest. Untouched files
+    are carried forward byte-identical; prior versions (including
+    the pre-delete one, until ``vacuum``) stay readable for audit.
+
+    Pruning is the same footer-stats mechanism as the snapshot
+    MERGE: at 100 TB a delete of k subjects touches O(k) files of a
+    range-clustered table, not the whole table.
+    """
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+
+    live = live_files(table_path)
+    ranges = [r for r in file_key_ranges(table_path, key) if r["file"] in set(live)]
+    touched = touched_files(spark, ranges, keys, key)
+    new_files: list[str] = []
+    if touched:
+        schema_src = spark.read.parquet(*live).schema
+        base = spark.read.schema(schema_src).parquet(*touched)
+        survivors = base.join(
+            keys.select(F.col(key)).distinct(), key, "left_anti"
+        )
+        staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
+        survivors.coalesce(max(1, len(touched))).write.mode("overwrite").parquet(
+            staging
+        )
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                rel = f"delete-{len(new_files):05d}-{uuid.uuid4().hex}.parquet"
+                shutil.move(
+                    os.path.join(staging, name), os.path.join(table_path, rel)
+                )
+                new_files.append(rel)
+        shutil.rmtree(staging)
+    kept = [os.path.basename(p) for p in live if p not in set(touched)]
+    version = _commit(table_path, kept + new_files, "delete")
+    return {
+        "version": version,
+        "files_live_before": len(live),
+        "files_rewritten": len(touched),
+        "files_added": len(new_files),
+        "files_kept": len(kept),
+    }

@@ -518,3 +518,60 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["q_incremental_rollup"] = (q_incremental_rollup, Q_INCREMENTAL_ROLLUP_SQL)
+
+
+def snapshot_delete_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned snapshot DELETE end to end — the GDPR-erasure
+    audit: range-cluster ``customer`` on the key, commit v1, delete
+    every 13th key as a COW snapshot commit (only footer-range-hit
+    files rewritten; the rest carried forward byte-identical), then
+    report the surviving per-nation census from the post-delete
+    version. The oracle recomputes the census straight from the
+    base table, so a delete that dropped too much, too little, or
+    leaked into untouched files hash-mismatches.
+
+    See io/snapshots.py:delete_where_snapshot for the pruning
+    mechanics (same footer-stats manifest as the snapshot MERGE).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.snapshots import (
+        delete_where_snapshot,
+        read_snapshot,
+        snapshot_init,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "etl_gov_spark_snapdel",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    write_range_clustered(cust, work, ("c_custkey",), num_files=10)
+    snapshot_init(work)
+    doomed = cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
+    delete_where_snapshot(spark, work, doomed, "c_custkey")
+    survivors = read_snapshot(spark, work)  # latest = post-delete
+    return survivors.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+SNAPSHOT_DELETE_PRUNED_SQL = """
+SELECT c_nationkey, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+WHERE c_custkey % 13 <> 0
+GROUP BY c_nationkey
+"""
+
+QUERIES["snapshot_delete_pruned"] = (
+    snapshot_delete_pruned,
+    SNAPSHOT_DELETE_PRUNED_SQL,
+)

@@ -222,3 +222,104 @@ FROM bc JOIN direct USING (event_type)
 """
 
 QUERIES["q_bitmap_rollup_distinct"] = (q_bitmap_rollup_distinct, Q_BITMAP_ROLLUP_SQL)
+
+
+_BLOOM_M = 16384  # filter bits
+_BLOOM_K = 3  # hash functions
+
+
+def q_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a 16384-bit / 3-hash
+    filter over the customers that HAVE orders, probe it with the
+    customers that don't, and report actual vs expected false-
+    positive rate — the sizing check run before shipping a bloom
+    filter into a runtime join-pruning or anti-join pre-screen.
+
+    The filter is relational, not driver state: bit positions are
+    md5-derived (portable, replayable), the "filter" is the DISTINCT
+    position set (≤ m rows — broadcast-able at any data scale), and
+    a probe is a false positive iff all k of its positions hit.
+    Work is linear in members + probes; nothing is all-pairs.
+    """
+    c = Catalog(spark, sf_dir)
+    custs = c.customer.select("c_custkey")
+    orders = c.orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    members = custs.join(orders, "c_custkey", "left_semi")
+    # guaranteed non-members: shifted keys that cannot collide with
+    # any real custkey — probes every row, so the FPR estimate has
+    # the full population behind it even when all customers order
+    probes = custs.select((F.col("c_custkey") + 1_000_000).alias("c_custkey"))
+
+    ks = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+
+    def positions(df):
+        h = F.md5(F.concat_ws(":", F.col("c_custkey").cast("string"), F.col("j")))
+        return df.select("c_custkey", ks).select(
+            "c_custkey",
+            (F.conv(F.substring(h, 1, 12), 16, 10).cast("long") % _BLOOM_M).alias(
+                "pos"
+            ),
+        )
+
+    bits = positions(members).select("pos").distinct()
+    hits = (
+        positions(probes)
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") == _BLOOM_K)
+    )
+    n_members = members.agg(F.count(F.lit(1)).alias("v"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("v"))
+    n_probes = probes.agg(F.count(F.lit(1)).alias("v"))
+    n_fp = hits.agg(F.count(F.lit(1)).alias("v"))
+    row = (
+        n_members.select(F.col("v").alias("n_members"))
+        .crossJoin(n_bits.select(F.col("v").alias("n_bits_set")))
+        .crossJoin(n_probes.select(F.col("v").alias("n_probes")))
+        .crossJoin(n_fp.select(F.col("v").alias("n_false_pos")))
+    )
+    fill = F.col("n_bits_set") / F.lit(float(_BLOOM_M))
+    return row.select(
+        "n_members",
+        "n_bits_set",
+        "n_probes",
+        "n_false_pos",
+        _R4(F.col("n_false_pos") / F.col("n_probes"), "fpr_actual"),
+        _R4(F.pow(fill, F.lit(float(_BLOOM_K))), "fpr_expected"),
+    )
+
+
+def _bloom_sql() -> str:
+    js = ", ".join(str(j) for j in range(_BLOOM_K))
+    return f"""
+WITH members AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey IN (SELECT o_custkey FROM orders)
+), probes AS (
+  SELECT c_custkey + 1000000 AS c_custkey FROM customer
+), mpos AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':' || j), 1, 12)
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM members, unnest([{js}]) AS t(j)
+), ppos AS (
+  SELECT c_custkey,
+         CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || ':' || j), 1, 12)
+              AS BIGINT) % {_BLOOM_M} AS pos
+  FROM probes, unnest([{js}]) AS t(j)
+), fp AS (
+  SELECT p.c_custkey FROM ppos p JOIN mpos m USING (pos)
+  GROUP BY p.c_custkey HAVING count(*) = {_BLOOM_K}
+)
+SELECT (SELECT count(*) FROM members) AS n_members,
+       (SELECT count(*) FROM mpos) AS n_bits_set,
+       (SELECT count(*) FROM probes) AS n_probes,
+       (SELECT count(*) FROM fp) AS n_false_pos,
+       round((SELECT count(*) FROM fp)
+             / CAST((SELECT count(*) FROM probes) AS DOUBLE), 4) AS fpr_actual,
+       round(pow((SELECT count(*) FROM mpos) / {float(_BLOOM_M)},
+                 {float(_BLOOM_K)}), 4) AS fpr_expected
+"""
+
+
+QUERIES["q_bloom_membership_audit"] = (q_bloom_membership_audit, _bloom_sql())

@@ -1589,3 +1589,78 @@ FROM stats s LEFT JOIN bursts b USING (event_type)
 """
 
 QUERIES["q_burst_detection"] = (q_burst_detection, Q_BURST_DETECTION_SQL)
+
+
+_ACTIVE_WINDOW_US = 5 * 60 * 1_000_000  # each event covers 5 minutes
+
+
+def q_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: treat each event as a 5-minute
+    activity interval and merge overlapping intervals per user —
+    total covered time and span count, histogrammed by span count.
+    The overlap-aware sibling of gap-sessionization (a long busy
+    stretch of back-to-back events is ONE span no matter how many
+    events it holds).
+
+    Classic running-max island trick: a new span starts where the
+    start exceeds the running max of all previous ends. Integer
+    microseconds end to end — exact in both engines. One window per
+    user over that user's events, then bounded aggregates.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _ACTIVE_WINDOW_US).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.withColumn(
+        "new_span",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0),
+    ).withColumn("span", F.sum("new_span").over(w))
+    spans = flagged.groupBy("user_id", "span").agg(
+        F.min("s").alias("s0"), F.max("e").alias("e1")
+    )
+    per_user = spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e1") - F.col("s0")).alias("cov_us"),
+    )
+    return per_user.groupBy("n_spans").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _R4(F.avg(F.col("cov_us") / 60_000_000.0), "avg_covered_min"),
+    )
+
+
+Q_INTERVAL_UNION_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_ACTIVE_WINDOW_US} AS e,
+         event_id
+  FROM events
+), flagged AS (
+  SELECT user_id, s, e, event_id,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   IS NULL
+              OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM ev
+), numbered AS (
+  SELECT user_id, s, e,
+         sum(new_span) OVER (PARTITION BY user_id ORDER BY s, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM flagged
+), spans AS (
+  SELECT user_id, span, min(s) AS s0, max(e) AS e1
+  FROM numbered GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, count(*) AS n_spans, sum(e1 - s0) AS cov_us
+  FROM spans GROUP BY user_id
+)
+SELECT n_spans, count(*) AS n_users,
+       round(avg(cov_us / 60000000.0), 4) AS avg_covered_min
+FROM per_user GROUP BY n_spans
+"""
+
+QUERIES["q_interval_union"] = (q_interval_union, Q_INTERVAL_UNION_SQL)

@@ -63,6 +63,9 @@ _PINNED_FIRST = (
     "emb_dim_variance_prune",
     "graph_kcore_peel",
     "q_balanced_downsample",
+    "q_bloom_membership_audit",
+    "q_interval_union",
+    "snapshot_delete_pruned",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

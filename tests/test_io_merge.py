@@ -438,3 +438,57 @@ def test_snapshot_pruned_read_skips_files_per_version(spark, sf_dir, tmp_path):
             ).collect()
         }
         assert got == want
+
+
+def test_snapshot_delete_prunes_files_and_keeps_history(spark, sf_dir, tmp_path):
+    """COW DELETE: only footer-range-hit files are rewritten (the
+    rest stay byte-identical), the doomed keys are gone from the new
+    version, and the pre-delete version still reads in full."""
+    import hashlib
+    import os
+
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.snapshots import (
+        delete_where_snapshot,
+        read_snapshot,
+        snapshot_init,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    table = str(tmp_path / "cust_snapdel")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=10)
+    snapshot_init(table)
+
+    def file_hashes() -> dict[str, str]:
+        return {
+            f: hashlib.sha256(open(os.path.join(table, f), "rb").read()).hexdigest()
+            for f in os.listdir(table)
+            if f.endswith(".parquet")
+        }
+
+    before = file_hashes()
+    n_total = cust.count()
+    # delete a narrow key band: only the files covering it get rewritten
+    mx = cust.agg(F.max("c_custkey")).collect()[0][0]
+    doomed = cust.filter(F.col("c_custkey") * 10 <= F.lit(mx)).select("c_custkey")
+    n_doomed = doomed.count()
+    stats = delete_where_snapshot(spark, table, doomed, "c_custkey")
+
+    assert 0 < stats["files_rewritten"] < stats["files_live_before"]
+    # COW invariant: no pre-existing file is ever mutated — superseded
+    # ones just drop out of the new manifest (kept for time travel)
+    after = file_hashes()
+    assert all(before[f] == after[f] for f in before)
+    from etl_gov_spark.io.snapshots import live_files
+
+    live2 = {os.path.basename(p) for p in live_files(table)}
+    kept_orig = [f for f in before if f in live2]
+    assert len(kept_orig) == stats["files_kept"]
+    assert len(live2) == stats["files_kept"] + stats["files_added"]
+
+    v2 = read_snapshot(spark, table)
+    assert v2.count() == n_total - n_doomed
+    assert v2.filter(F.col("c_custkey") * 10 <= F.lit(mx)).count() == 0
+    # time travel: the pre-delete version is intact
+    assert read_snapshot(spark, table, 1).count() == n_total

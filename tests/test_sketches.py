@@ -70,3 +70,13 @@ def test_event_transitions_probabilities_normalize(spark, sf_dir):
         per_src[r.prev_type] = per_src.get(r.prev_type, 0.0) + r.p_transition
     for src, total in per_src.items():
         assert abs(total - 1.0) < 1e-2, (src, total)
+
+
+def test_bloom_audit_fpr_near_expected(spark, sf_dir):
+    from etl_gov_spark.operators.sketches import q_bloom_membership_audit
+
+    r = q_bloom_membership_audit(spark, sf_dir).collect()[0]
+    assert r.n_bits_set <= 3 * r.n_members  # k hashes, minus collisions
+    assert 0 <= r.n_false_pos <= r.n_probes
+    # actual FPR should land in the right ballpark of (fill)^k
+    assert abs(r.fpr_actual - r.fpr_expected) < max(0.02, 3 * r.fpr_expected)

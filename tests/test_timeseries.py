@@ -81,3 +81,18 @@ def test_burst_detection_bounds(spark, sf_dir):
         assert 0 <= r.n_bursts < r.n_hours
         assert r.peak_to_mean >= 1.0
         assert r.mean_rate > 0
+
+
+def test_interval_union_coverage_bounds(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.timeseries import q_interval_union
+
+    rows = q_interval_union(spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        # every span is at least one 5-min interval long
+        assert r.avg_covered_min >= 5.0 * r.n_spans - 1e-6

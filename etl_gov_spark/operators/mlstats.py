@@ -692,3 +692,146 @@ ORDER BY l_returnflag
 """
 
 QUERIES["q_ols_two_feature"] = (q_ols_two_feature, Q_OLS_TWO_FEATURE_SQL)
+
+
+_LIFT_DECILES = 10
+
+
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table for a score against a binary outcome —
+    score = event value, outcome = purchase event — the standard
+    model-evaluation readout computed warehouse-side: rank rows
+    into score deciles, report response rate, lift over base rate,
+    and cumulative capture per decile.
+
+    ntile is the only fact-row window (single sort on score);
+    everything after is a 10-row aggregate against a broadcast
+    scalar base rate. Ties are broken by event_id so both engines
+    cut identical deciles.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id",
+        F.round("value", 6).alias("score"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
+    binned = ev.withColumn("decile", F.ntile(_LIFT_DECILES).over(w))
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("nt"), F.sum("n_pos").alias("pt")
+    )
+    cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n",
+            "n_pos",
+            _R4(F.col("n_pos") / F.col("n"), "response_rate"),
+            _R4(
+                (F.col("n_pos") / F.col("n")) / (F.col("pt") / F.col("nt")),
+                "lift",
+            ),
+            _R4(
+                F.sum("n_pos").over(cum) / F.col("pt"), "cum_capture"
+            ),
+        )
+    )
+
+
+Q_DECILE_LIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_id, round(value, 6) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), binned AS (
+  SELECT y, ntile({_LIFT_DECILES}) OVER (ORDER BY score DESC, event_id ASC) AS decile
+  FROM ev
+), per AS (
+  SELECT decile, count(*) AS n, sum(y) AS n_pos FROM binned GROUP BY decile
+), tot AS (
+  SELECT sum(n) AS nt, sum(n_pos) AS pt FROM per
+)
+SELECT decile, n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(n_pos / CAST(n AS DOUBLE), 4) AS response_rate,
+       round((n_pos / CAST(n AS DOUBLE)) / (pt / CAST(nt AS DOUBLE)), 4) AS lift,
+       round(sum(n_pos) OVER (ORDER BY decile
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / CAST(pt AS DOUBLE), 4) AS cum_capture
+FROM per CROSS JOIN tot
+"""
+
+QUERIES["q_decile_lift"] = (q_decile_lift, Q_DECILE_LIFT_SQL)
+
+
+def q_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the value score for predicting a purchase
+    event, via the rank-sum identity AUC = (R⁺ − n⁺(n⁺+1)/2) /
+    (n⁺·n⁻) with average ranks for ties — the one-number companion
+    to ``q_decile_lift``, computed without materializing a curve.
+
+    Same distinct-value ranking backbone as ``q_mann_whitney``
+    (fact rows aggregate to (score, label) counts first; the window
+    runs over distinct scores only), so the AUC of a 100 TB score
+    column costs one aggregate plus a bounded window.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.round("value", 6).alias("v"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    counts = ev.groupBy("v").agg(
+        F.sum("y").alias("c_pos"), F.sum(1 - F.col("y")).alias("c_neg")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.select(
+        "c_pos",
+        "c_neg",
+        (
+            F.coalesce(F.sum(F.col("c_pos") + F.col("c_neg")).over(w), F.lit(0))
+            + (F.col("c_pos") + F.col("c_neg") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    stats = ranked.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.sum(F.col("c_pos") * F.col("avg_rank")).alias("r_pos"),
+    )
+    auc = (
+        F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return stats.select(
+        F.col("n_pos").alias("n_pos"),
+        F.col("n_neg").alias("n_neg"),
+        _R4(auc, "auc"),
+        _R4(2 * auc - 1, "gini"),
+    )
+
+
+Q_ROC_AUC_SQL = """
+WITH counts AS (
+  SELECT round(value, 6) AS v,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c_pos,
+         sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS c_neg
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT c_pos, c_neg,
+         coalesce(sum(c_pos + c_neg) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c_pos + c_neg + 1) / 2.0 AS avg_rank
+  FROM counts
+), stats AS (
+  SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg,
+         sum(c_pos * avg_rank) AS r_pos
+  FROM ranked
+)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4) AS auc,
+       round(2 * ((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)) - 1,
+             4) AS gini
+FROM stats
+"""
+
+QUERIES["q_roc_auc"] = (q_roc_auc, Q_ROC_AUC_SQL)

@@ -1664,3 +1664,80 @@ FROM per_user GROUP BY n_spans
 """
 
 QUERIES["q_interval_union"] = (q_interval_union, Q_INTERVAL_UNION_SQL)
+
+
+_MARKOV_SPLIT = "2024-01-16"  # train | evaluate
+
+
+def q_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, trained and scored
+    warehouse-side: learn argmax P(next | current) from transitions
+    before the split date, then report per-state accuracy on the
+    transitions after it — the "is user behavior predictable"
+    readout, and the degenerate-baseline check run before shipping
+    any sequence model.
+
+    One lag window per user builds all transitions; the model is a
+    |types|² count matrix (bounded — argmax via one tiny window);
+    scoring is a broadcast join of test transitions against the
+    |types|-row model. Deterministic tie-break (count desc, type
+    asc) keeps the learned table engine-stable.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("prev"),
+        F.col("event_type").alias("next"),
+        (F.to_date("ts") < F.lit(_MARKOV_SPLIT)).alias("is_train"),
+    ).filter(F.col("prev").isNotNull())
+    counts = (
+        trans.filter("is_train")
+        .groupBy("prev", "next")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pick = Window.partitionBy("prev").orderBy(F.desc("c"), F.asc("next"))
+    model = (
+        counts.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select("prev", F.col("next").alias("predicted"), F.col("c").alias("n_train_top"))
+    )
+    test = trans.filter(~F.col("is_train"))
+    return (
+        test.join(F.broadcast(model), "prev")
+        .groupBy("prev", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            _R4(
+                F.avg((F.col("next") == F.col("predicted")).cast("double")),
+                "accuracy",
+            ),
+        )
+    )
+
+
+Q_MARKOV_NEXT_SQL = f"""
+WITH trans AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_type AS next,
+         CAST(ts AS DATE) < DATE '{_MARKOV_SPLIT}' AS is_train
+  FROM events
+), t2 AS (
+  SELECT * FROM trans WHERE prev IS NOT NULL
+), counts AS (
+  SELECT prev, next, count(*) AS c FROM t2 WHERE is_train GROUP BY 1, 2
+), model AS (
+  SELECT prev, next AS predicted FROM (
+    SELECT prev, next, row_number() OVER (PARTITION BY prev
+                                          ORDER BY c DESC, next ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT t.prev, m.predicted, count(*) AS n_test,
+       round(avg(CASE WHEN t.next = m.predicted THEN 1.0 ELSE 0.0 END), 4)
+         AS accuracy
+FROM t2 t JOIN model m ON t.prev = m.prev
+WHERE NOT t.is_train
+GROUP BY t.prev, m.predicted
+"""
+
+QUERIES["q_markov_next_event"] = (q_markov_next_event, Q_MARKOV_NEXT_SQL)

@@ -66,6 +66,9 @@ _PINNED_FIRST = (
     "q_bloom_membership_audit",
     "q_interval_union",
     "snapshot_delete_pruned",
+    "q_decile_lift",
+    "q_roc_auc",
+    "q_markov_next_event",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

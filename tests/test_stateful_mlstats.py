@@ -257,3 +257,25 @@ def test_ols_two_feature_signs(spark, sf_dir):
         assert r.beta_discount < 0
         assert math.isfinite(r.beta_quantity) and math.isfinite(r.intercept)
         assert r.n > 100
+
+
+def test_decile_lift_monotone_capture(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_decile_lift
+
+    rows = sorted(q_decile_lift(spark, sf_dir).collect(), key=lambda r: r.decile)
+    assert len(rows) == 10
+    prev = 0.0
+    for r in rows:
+        assert 0.0 <= r.response_rate <= 1.0
+        assert r.cum_capture >= prev - 1e-9  # cumulative capture never drops
+        prev = r.cum_capture
+    assert abs(rows[-1].cum_capture - 1.0) < 1e-6
+
+
+def test_roc_auc_consistent_with_gini(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_roc_auc
+
+    r = q_roc_auc(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.auc <= 1.0
+    assert abs(r.gini - (2 * r.auc - 1)) < 1e-3
+    assert r.n_pos > 0 and r.n_neg > 0

@@ -96,3 +96,14 @@ def test_interval_union_coverage_bounds(spark, sf_dir):
     for r in rows:
         # every span is at least one 5-min interval long
         assert r.avg_covered_min >= 5.0 * r.n_spans - 1e-6
+
+
+def test_markov_model_beats_nothing_and_covers_states(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_markov_next_event
+
+    rows = q_markov_next_event(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.accuracy <= 1.0
+        assert r.n_test > 0
+        assert r.predicted  # every trained state predicts something

@@ -1641,3 +1641,76 @@ FROM weighted
 """
 
 QUERIES["corpus_token_budget"] = (corpus_token_budget, CORPUS_TOKEN_BUDGET_SQL)
+
+
+_REJ_BUCKET_TOKENS = 64
+_REJ_U_DENOM = float(1 << 48)
+
+
+def corpus_rejection_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matching rejection sampler: flatten the corpus
+    length distribution to (approximately) uniform over token
+    buckets by accepting each doc with p = min_bucket/|its bucket|
+    against a portable md5 draw — the shuffle-free alternative to
+    exact per-class equalization (``q_balanced_downsample``): no
+    window over the facts at all, just a broadcast of |buckets|
+    acceptance rates. That is the 100 TB shape — per-row accept/
+    reject parallelizes perfectly and resists skew by construction.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id",
+        F.floor(F.size(tokens_col()) / _REJ_BUCKET_TOKENS).alias("bucket"),
+    )
+    per = docs.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_before"))
+    mn = per.agg(F.min("n_before").alias("n_min"))
+    rates = per.crossJoin(F.broadcast(mn)).select(
+        "bucket",
+        "n_before",
+        (F.col("n_min") / F.col("n_before")).alias("p_accept"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_REJ_U_DENOM)
+    kept = docs.join(F.broadcast(rates), "bucket").filter(u <= F.col("p_accept"))
+    after = kept.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_after"))
+    return (
+        rates.join(after, "bucket", "left")
+        .select(
+            "bucket",
+            "n_before",
+            _R4(F.col("p_accept"), "p_accept"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        )
+    )
+
+
+CORPUS_REJECTION_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id,
+         CAST(floor(len(string_split_regex(trim(text), '\s+'))
+                    / {_REJ_BUCKET_TOKENS}) AS BIGINT) AS bucket
+  FROM documents
+), per AS (
+  SELECT bucket, count(*) AS n_before FROM docs GROUP BY bucket
+), rates AS (
+  SELECT bucket, n_before,
+         (SELECT min(n_before) FROM per) / CAST(n_before AS DOUBLE) AS p_accept
+  FROM per
+), kept AS (
+  SELECT d.bucket FROM docs d JOIN rates r USING (bucket)
+  WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 1)
+        / {_REJ_U_DENOM!r} <= r.p_accept
+), after AS (
+  SELECT bucket, count(*) AS n_after FROM kept GROUP BY bucket
+)
+SELECT r.bucket, r.n_before, round(r.p_accept, 4) AS p_accept,
+       coalesce(a.n_after, 0) AS n_after
+FROM rates r LEFT JOIN after a USING (bucket)
+"""
+
+QUERIES["corpus_rejection_sampling"] = (
+    corpus_rejection_sampling,
+    CORPUS_REJECTION_SQL,
+)

@@ -835,3 +835,52 @@ FROM stats
 """
 
 QUERIES["q_roc_auc"] = (q_roc_auc, Q_ROC_AUC_SQL)
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per event type (5%/95% fences)
+    next to the raw mean — the robust-location triad that shows at
+    a glance how much of a metric's level is tail artifact.
+
+    Exact percentiles are one grouped aggregate over the bounded
+    type key; fences broadcast back and the second pass clamps/
+    filters row-local. No fact-row window, two scans total (the
+    same shape as ``q_impute_clamp``'s profile-broadcast repair).
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    j = ev.join(F.broadcast(fences), "event_type")
+    clamped = F.greatest(F.least(F.col("value"), F.col("hi")), F.col("lo"))
+    inside = (F.col("value") >= F.col("lo")) & (F.col("value") <= F.col("hi"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _R4(F.avg("value"), "raw_mean"),
+        _R4(F.avg(clamped), "winsorized_mean"),
+        _R4(F.avg(F.when(inside, F.col("value"))), "trimmed_mean"),
+        _R4(F.max("lo"), "fence_lo"),
+        _R4(F.max("hi"), "fence_hi"),
+    )
+
+
+Q_WINSORIZED_SQL = """
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       round(avg(e.value), 4) AS raw_mean,
+       round(avg(greatest(least(e.value, f.hi), f.lo)), 4) AS winsorized_mean,
+       round(avg(CASE WHEN e.value BETWEEN f.lo AND f.hi THEN e.value END),
+             4) AS trimmed_mean,
+       round(max(f.lo), 4) AS fence_lo,
+       round(max(f.hi), 4) AS fence_hi
+FROM events e JOIN fences f USING (event_type)
+GROUP BY e.event_type
+"""
+
+QUERIES["q_winsorized_stats"] = (q_winsorized_stats, Q_WINSORIZED_SQL)

@@ -1001,3 +1001,82 @@ FROM ranked WHERE rank <= {_PRUNE_TOP_DIMS}
 """
 
 QUERIES["emb_dim_variance_prune"] = (emb_dim_variance_prune, EMB_DIM_VARIANCE_SQL)
+
+
+_HARDNEG_STRIDE = 10  # anchor sampling stride
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each
+    stride-sampled anchor, the single most-similar vector carrying a
+    DIFFERENT label (deterministic tie-break) plus the margin to the
+    best same-label positive — the pair-construction step between an
+    embedding table and a triplet/InfoNCE batch.
+
+    Exact scoring against a broadcast anchor set, one pass over the
+    candidates, row_number top-1 per (anchor, side). At 100 TB the
+    candidate generator swaps to the IVF/LSH funnel (ann_ivf_topk)
+    with this same exact re-rank on the surviving bucket — the
+    mining semantics and output contract stay identical.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn("vn", _norm("v"))
+    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
+    scored = pairs.select(
+        "a_id",
+        "a_label",
+        F.col("vec_id").alias("cand_id"),
+        (F.col("label") == F.col("a_label")).alias("same"),
+        F.round(cos, 6).alias("_cos"),
+    )
+    w = Window.partitionBy("a_id", "same").orderBy(
+        F.desc("_cos"), F.asc("cand_id")
+    )
+    best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    neg = best.filter(~F.col("same")).select(
+        "a_id", "a_label",
+        F.col("cand_id").alias("hard_neg_id"),
+        F.col("_cos").alias("neg_cos"),
+    )
+    pos = best.filter("same").select("a_id", F.col("_cos").alias("pos_cos"))
+    return neg.join(pos, "a_id").select(
+        "a_id",
+        "a_label",
+        "hard_neg_id",
+        _R4(F.col("neg_cos"), "neg_cos"),
+        _R4(F.col("pos_cos") - F.col("neg_cos"), "margin"),
+    )
+
+
+EMB_HARD_NEGATIVES_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS cand_id,
+         c.label = a.label AS same,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
+  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+), best AS (
+  SELECT a_id, a_label, cand_id, same, cos,
+         row_number() OVER (PARTITION BY a_id, same
+                            ORDER BY cos DESC, cand_id ASC) AS rn
+  FROM scored
+)
+SELECT n.a_id, n.a_label, n.cand_id AS hard_neg_id,
+       round(n.cos, 4) AS neg_cos,
+       round(p.cos - n.cos, 4) AS margin
+FROM best n JOIN best p ON p.a_id = n.a_id AND p.rn = 1 AND p.same
+WHERE n.rn = 1 AND NOT n.same
+"""
+
+QUERIES["emb_hard_negatives"] = (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL)

@@ -69,6 +69,9 @@ _PINNED_FIRST = (
     "q_decile_lift",
     "q_roc_auc",
     "q_markov_next_event",
+    "emb_hard_negatives",
+    "corpus_rejection_sampling",
+    "q_winsorized_stats",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

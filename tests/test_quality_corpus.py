@@ -441,3 +441,19 @@ def test_token_budget_caps_and_conservation(spark, sf_dir):
     # uncapped sources get their full proportional share: total raw
     # allocation would be the budget, so the capped total is <= budget
     assert sum(r.alloc_tokens for r in rows) <= _BUDGET_TOKENS
+
+
+def test_rejection_sampling_flattens_distribution(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_rejection_sampling
+
+    rows = corpus_rejection_sampling(spark, sf_dir).collect()
+    assert rows
+    n_min = min(r.n_before for r in rows)
+    for r in rows:
+        assert 0 < r.p_accept <= 1.0
+        assert r.n_after <= r.n_before
+        # accepted count concentrates near the min-bucket size
+        assert r.n_after <= max(2 * n_min, n_min + 20)
+    # the smallest bucket keeps everything (p_accept = 1)
+    smallest = min(rows, key=lambda r: r.n_before)
+    assert smallest.p_accept == 1.0

@@ -279,3 +279,15 @@ def test_roc_auc_consistent_with_gini(spark, sf_dir):
     assert 0.0 <= r.auc <= 1.0
     assert abs(r.gini - (2 * r.auc - 1)) < 1e-3
     assert r.n_pos > 0 and r.n_neg > 0
+
+
+def test_winsorized_ordering(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_winsorized_stats
+
+    rows = q_winsorized_stats(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fence_lo <= r.fence_hi
+        # winsorized mean lies within the fences; trimmed is close to it
+        assert r.fence_lo - 1e-9 <= r.winsorized_mean <= r.fence_hi + 1e-9
+        assert abs(r.trimmed_mean - r.winsorized_mean) < abs(r.fence_hi - r.fence_lo)

@@ -319,3 +319,14 @@ def test_kcore_peel_monotone_shrinking(spark, sf_dir):
     # a 2-core retains only nodes with degree >= 2: edges >= nodes is not
     # guaranteed mid-peel, but the census must stay non-negative
     assert rows[-1].n_nodes >= 0 and rows[-1].n_edges >= 0
+
+
+def test_hard_negatives_margin_and_labels(spark, sf_dir):
+    from etl_gov_spark.operators.vectors import emb_hard_negatives
+
+    rows = emb_hard_negatives(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.a_id % 10 == 0
+        assert r.hard_neg_id != r.a_id
+        assert -1.0 <= r.neg_cos <= 1.0

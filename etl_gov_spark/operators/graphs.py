@@ -665,7 +665,10 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint every few rounds).
     """
     docs = Catalog(spark, sf_dir).documents
-    und = _near_dup_edges(docs)
+    # truncate lineage per round (same medicine as
+    # connected_components): without it round N's plan re-nests the
+    # whole shingle/edge builder N times and every census re-runs it
+    und = _near_dup_edges(docs).localCheckpoint()
     summaries = []
     for rnd in range(1, _KCORE_ROUNDS + 1):
         sym = und.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
@@ -680,6 +683,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         und = (
             und.join(alive, und.doc_a == alive.node, "left_semi")
             .join(alive, F.col("doc_b") == alive.node, "left_semi")
+            .localCheckpoint()
         )
         summaries.append(
             und.select(F.explode(F.array("doc_a", "doc_b")).alias("x")).agg(

@@ -1714,3 +1714,66 @@ QUERIES["corpus_rejection_sampling"] = (
     corpus_rejection_sampling,
     CORPUS_REJECTION_SQL,
 )
+
+
+_CURRICULUM_PHASES = 4
+
+
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule: order documents easy→hard by mean word
+    length and cut the corpus into 4 equal phases — the
+    curriculum-learning data schedule (train on short-word text
+    first, graduate to denser text) emitted as a per-phase manifest
+    a loader consumes.
+
+    Difficulty is a shuffle-free projection; the only fact-row
+    window is the single ntile sort (same cost class as
+    ``q_decile_lift``), and the manifest is a 4-row aggregate.
+    Ties break on doc_id so both engines cut identical phases.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.trim("text"), r"\s+", ""))
+            / F.size(tokens_col()),
+            6,
+        ).alias("difficulty"),
+    )
+    w = Window.orderBy(F.asc("difficulty"), F.asc("doc_id"))
+    phased = docs.withColumn("phase", F.ntile(_CURRICULUM_PHASES).over(w))
+    return phased.groupBy("phase").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        _R4(F.min("difficulty"), "difficulty_lo"),
+        _R4(F.max("difficulty"), "difficulty_hi"),
+        _R4(F.avg("difficulty"), "difficulty_mean"),
+    )
+
+
+CORPUS_CURRICULUM_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         round(len(regexp_replace(trim(text), '\s+', '', 'g'))
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+               6) AS difficulty
+  FROM documents
+), phased AS (
+  SELECT n_tokens, difficulty,
+         ntile({_CURRICULUM_PHASES}) OVER (ORDER BY difficulty ASC, doc_id ASC)
+           AS phase
+  FROM docs
+)
+SELECT phase, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       round(min(difficulty), 4) AS difficulty_lo,
+       round(max(difficulty), 4) AS difficulty_hi,
+       round(avg(difficulty), 4) AS difficulty_mean
+FROM phased GROUP BY phase
+"""
+
+QUERIES["corpus_curriculum_order"] = (
+    corpus_curriculum_order,
+    CORPUS_CURRICULUM_SQL,
+)

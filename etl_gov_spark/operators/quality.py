@@ -783,3 +783,66 @@ GROUP BY e.event_type
 """
 
 QUERIES["dq_mad_outliers"] = (dq_mad_outliers, DQ_MAD_OUTLIERS_SQL)
+
+
+def dq_weekday_adjusted_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday-adjusted volume anomaly screen: compare each day's
+    event count to the mean/σ of its OWN weekday (Mondays vs
+    Mondays), flagging |z| > 3 — the seasonality-aware sibling of
+    the Shewhart chart, which a weekly-cyclic feed false-alarms
+    every weekend.
+
+    Integer daily counts → weekday profile is exact cross-engine;
+    two bounded aggregates (≤ 7×|days| rows) and a broadcast
+    join-back. Output is the per-weekday census with the flagged
+    days.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("c"))
+    # dayofweek: 1=Sunday..7=Saturday in Spark; normalize to ISO-ish
+    # label-free integer (0=Sunday..6) shared with the oracle
+    wd = daily.withColumn("weekday", F.dayofweek("day") - 1)
+    prof = wd.groupBy("weekday").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.avg("c").alias("mu"),
+        F.stddev_pop("c").alias("sigma"),
+    )
+    z = (F.col("c") - F.col("mu")) / F.col("sigma")
+    flagged = (
+        wd.join(F.broadcast(prof), "weekday")
+        .filter(F.col("sigma") > 0)
+        .withColumn("is_anom", (F.abs(z) > 3).cast("long"))
+    )
+    return flagged.groupBy("weekday").agg(
+        F.max("n_days").alias("n_days"),
+        _R4(F.max("mu"), "mean_volume"),
+        _R4(F.max("sigma"), "sigma"),
+        F.sum("is_anom").alias("n_anomalous_days"),
+    )
+
+
+DQ_WEEKDAY_ADJUSTED_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS c FROM events GROUP BY 1
+), wd AS (
+  SELECT day, c, dayofweek(day) AS weekday FROM daily
+), prof AS (
+  SELECT weekday, count(*) AS n_days, avg(c) AS mu, stddev_pop(c) AS sigma
+  FROM wd GROUP BY weekday
+)
+SELECT w.weekday, max(p.n_days) AS n_days,
+       round(max(p.mu), 4) AS mean_volume,
+       round(max(p.sigma), 4) AS sigma,
+       CAST(sum(CASE WHEN abs((w.c - p.mu) / p.sigma) > 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalous_days
+FROM wd w JOIN prof p USING (weekday)
+WHERE p.sigma > 0
+GROUP BY w.weekday
+"""
+
+QUERIES["dq_weekday_adjusted_volume"] = (
+    dq_weekday_adjusted_volume,
+    DQ_WEEKDAY_ADJUSTED_SQL,
+)

@@ -1741,3 +1741,96 @@ GROUP BY t.prev, m.predicted
 """
 
 QUERIES["q_markov_next_event"] = (q_markov_next_event, Q_MARKOV_NEXT_SQL)
+
+
+_PATH_LEN = 3
+_PATH_TOP = 10
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top session-opening paths: sessionize (same 30-min gap rule
+    as ``q_sessionize``), take each session's first 3 event types in
+    order, count path frequencies, keep the top 10 — the "how do
+    journeys start" readout product teams put next to the funnel.
+
+    The path string is built from the SAME (user, ts) sort the
+    sessionizer already needs — rank-within-session + conditional
+    min(struct) per slot, no collect_list ordering hazards, no
+    second shuffle. Path count is a bounded-key aggregate
+    (|types|^3 max distinct paths).
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.unix_micros("ts").alias("_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("_us") - F.lag("_us").over(w) > F.lit(SESSION_GAP_US), 1
+        ).otherwise(F.when(F.lag("_us").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn("session_seq", F.sum("_new").over(w))
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    ranked = flagged.withColumn("pos", F.row_number().over(ws)).filter(
+        F.col("pos") <= _PATH_LEN
+    )
+    paths = (
+        ranked.groupBy("user_id", "session_seq")
+        .agg(
+            F.concat_ws(
+                ">",
+                *[
+                    F.min(F.when(F.col("pos") == i, F.col("event_type")))
+                    for i in range(1, _PATH_LEN + 1)
+                ],
+            ).alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    wtop = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (
+        paths.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _PATH_TOP)
+        .select("rank", "path", "n_sessions")
+    )
+
+
+Q_SESSION_PATHS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM flagged
+), ranked AS (
+  SELECT user_id, session_seq, event_type,
+         row_number() OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS pos
+  FROM sess
+), per_session AS (
+  SELECT user_id, session_seq,
+         concat_ws('>',
+           min(CASE WHEN pos = 1 THEN event_type END),
+           min(CASE WHEN pos = 2 THEN event_type END),
+           min(CASE WHEN pos = 3 THEN event_type END)) AS path
+  FROM ranked WHERE pos <= {_PATH_LEN} GROUP BY 1, 2
+), counts AS (
+  SELECT path, count(*) AS n_sessions FROM per_session GROUP BY path
+)
+SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC) AS INTEGER)
+         AS rank,
+       path, n_sessions
+FROM counts
+ORDER BY rank LIMIT {_PATH_TOP}
+"""
+
+QUERIES["q_session_paths"] = (q_session_paths, Q_SESSION_PATHS_SQL)

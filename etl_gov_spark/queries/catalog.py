@@ -72,6 +72,9 @@ _PINNED_FIRST = (
     "emb_hard_negatives",
     "corpus_rejection_sampling",
     "q_winsorized_stats",
+    "q_session_paths",
+    "corpus_curriculum_order",
+    "dq_weekday_adjusted_volume",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

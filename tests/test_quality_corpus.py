@@ -457,3 +457,30 @@ def test_rejection_sampling_flattens_distribution(spark, sf_dir):
     # the smallest bucket keeps everything (p_accept = 1)
     smallest = min(rows, key=lambda r: r.n_before)
     assert smallest.p_accept == 1.0
+
+
+def test_curriculum_phases_ordered_and_partition(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.corpus import corpus_curriculum_order
+
+    rows = sorted(
+        corpus_curriculum_order(spark, sf_dir).collect(), key=lambda r: r.phase
+    )
+    assert len(rows) == 4
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for a, b in zip(rows, rows[1:]):
+        # easy -> hard: phase difficulty bands are non-decreasing
+        assert b.difficulty_lo >= a.difficulty_lo - 1e-9
+        assert b.difficulty_mean >= a.difficulty_mean - 1e-9
+
+
+def test_weekday_adjusted_volume_profile(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_weekday_adjusted_volume
+
+    rows = dq_weekday_adjusted_volume(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 7
+    for r in rows:
+        assert 0 <= r.weekday <= 6
+        assert r.sigma > 0
+        assert 0 <= r.n_anomalous_days <= r.n_days

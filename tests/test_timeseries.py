@@ -107,3 +107,18 @@ def test_markov_model_beats_nothing_and_covers_states(spark, sf_dir):
         assert 0.0 <= r.accuracy <= 1.0
         assert r.n_test > 0
         assert r.predicted  # every trained state predicts something
+
+
+def test_session_paths_top10_and_counts(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_session_paths, q_sessionize
+
+    rows = sorted(q_session_paths(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert 0 < len(rows) <= 10
+    prev = None
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= 3
+        if prev is not None:
+            assert r.n_sessions <= prev
+        prev = r.n_sessions
+    n_sessions = q_sessionize(spark, sf_dir).count()
+    assert sum(r.n_sessions for r in rows) <= n_sessions

@@ -1834,3 +1834,64 @@ ORDER BY rank LIMIT {_PATH_TOP}
 """
 
 QUERIES["q_session_paths"] = (q_session_paths, Q_SESSION_PATHS_SQL)
+
+
+_XCORR_MAX_LAG = 3
+
+
+def q_lead_lag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the hourly error and
+    purchase series: Pearson corr of (errors at hour t, purchases
+    at t+lag) for lags −3..+3 — the "do errors depress purchases,
+    and with what delay" diagnostic, run warehouse-side before
+    anyone reaches for a causal model.
+
+    The two hourly series are one conditional aggregate over the
+    fact table; each lag is an equi-join on the shifted hour key
+    (never an inequality join), and corr() is algebraic so every
+    lag's statistic is a one-pass aggregate. Bounded: |hours| rows
+    per series, 7 output rows.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    )
+    hourly = ev.groupBy("hour").agg(
+        F.sum((F.col("event_type") == "error").cast("long")).alias("errors"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
+    )
+    lags = spark.range(-_XCORR_MAX_LAG, _XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    shifted = hourly.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        (F.col("hour") + F.make_dt_interval(hours=F.col("lag"))).alias("hour"),
+        F.col("errors").alias("errors_at_t"),
+    )
+    joined = shifted.join(
+        hourly.select("hour", "purchases"), "hour"
+    )
+    return joined.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        _R4(F.corr("errors_at_t", "purchases"), "xcorr"),
+    )
+
+
+Q_LEAD_LAG_XCORR_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+  FROM events GROUP BY 1
+), lags AS (
+  SELECT unnest(range(-{_XCORR_MAX_LAG}, {_XCORR_MAX_LAG} + 1)) AS lag
+), shifted AS (
+  SELECT l.lag, h.hour + to_hours(l.lag) AS hour, h.errors AS errors_at_t
+  FROM hourly h CROSS JOIN lags l
+)
+SELECT s.lag AS lag, count(*) AS n_hours,
+       round(corr(s.errors_at_t, h.purchases), 4) AS xcorr
+FROM shifted s JOIN hourly h USING (hour)
+GROUP BY s.lag
+"""
+
+QUERIES["q_lead_lag_xcorr"] = (q_lead_lag_xcorr, Q_LEAD_LAG_XCORR_SQL)

@@ -1080,3 +1080,99 @@ WHERE n.rn = 1 AND NOT n.same
 """
 
 QUERIES["emb_hard_negatives"] = (emb_hard_negatives, EMB_HARD_NEGATIVES_SQL)
+
+
+def emb_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality readout per label: intra-
+    cluster scatter Sᵢ, the most-confusable other label argmax_j
+    (Sᵢ+Sⱼ)/Mᵢⱼ, and that worst ratio — the geometry check run on a
+    labeled embedding table before trusting the labels for
+    retrieval eval or hard-negative mining.
+
+    Everything reduces through (label, dim) aggregates: centroids
+    are |labels|×64 rows, member scatter is one broadcast join back
+    over the exploded vectors, and the pairwise centroid matrix is
+    |labels|²×64 — driver never holds data, and no stage exceeds
+    the exploded-fact pass.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    cent = emb.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    # scatter: mean Euclidean distance of members to their centroid
+    dist = (
+        emb.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("label", "vec_id")
+        .agg(F.sqrt(F.sum(F.pow(F.col("x") - F.col("c"), 2))).alias("d"))
+    )
+    scatter = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.avg("d").alias("s")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    m = (
+        a.join(b, (F.col("a.dim") == F.col("b.dim"))
+               & (F.col("a.label") != F.col("b.label")))
+        .groupBy(F.col("a.label").alias("li"), F.col("b.label").alias("lj"))
+        .agg(F.sqrt(F.sum(F.pow(F.col("a.c") - F.col("b.c"), 2))).alias("m"))
+    )
+    si = scatter.select(F.col("label").alias("li"), F.col("n_vecs"), F.col("s").alias("si"))
+    sj = scatter.select(F.col("label").alias("lj"), F.col("s").alias("sj"))
+    ratios = (
+        m.join(F.broadcast(si), "li")
+        .join(F.broadcast(sj), "lj")
+        .select(
+            "li", "lj", "n_vecs",
+            F.round((F.col("si") + F.col("sj")) / F.col("m"), 6).alias("r"),
+            F.round("si", 6).alias("si_r"),
+        )
+    )
+    pick = Window.partitionBy("li").orderBy(F.desc("r"), F.asc("lj"))
+    return (
+        ratios.withColumn("rn", F.row_number().over(pick))
+        .filter("rn = 1")
+        .select(
+            F.col("li").alias("label"),
+            "n_vecs",
+            _R4(F.col("si_r"), "scatter"),
+            F.col("lj").alias("most_confusable"),
+            _R4(F.col("r"), "worst_ratio"),
+        )
+    )
+
+
+EMB_DAVIES_BOULDIN_SQL = """
+WITH expl AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, dim, avg(x) AS c FROM expl GROUP BY 1, 2
+), dist AS (
+  SELECT e.label, e.vec_id, sqrt(sum(pow(e.x - c.c, 2))) AS d
+  FROM expl e JOIN cent c ON c.label = e.label AND c.dim = e.dim
+  GROUP BY 1, 2
+), scatter AS (
+  SELECT label, count(*) AS n_vecs, avg(d) AS s FROM dist GROUP BY label
+), m AS (
+  SELECT a.label AS li, b.label AS lj, sqrt(sum(pow(a.c - b.c, 2))) AS m
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label != b.label
+  GROUP BY 1, 2
+), ratios AS (
+  SELECT m.li, m.lj, si.n_vecs,
+         round((si.s + sj.s) / m.m, 6) AS r,
+         round(si.s, 6) AS si_r
+  FROM m JOIN scatter si ON si.label = m.li
+         JOIN scatter sj ON sj.label = m.lj
+), picked AS (
+  SELECT li, lj, n_vecs, r, si_r,
+         row_number() OVER (PARTITION BY li ORDER BY r DESC, lj ASC) AS rn
+  FROM ratios
+)
+SELECT li AS label, n_vecs, round(si_r, 4) AS scatter,
+       lj AS most_confusable, round(r, 4) AS worst_ratio
+FROM picked WHERE rn = 1
+"""
+
+QUERIES["emb_davies_bouldin"] = (emb_davies_bouldin, EMB_DAVIES_BOULDIN_SQL)

@@ -75,6 +75,8 @@ _PINNED_FIRST = (
     "q_session_paths",
     "corpus_curriculum_order",
     "dq_weekday_adjusted_volume",
+    "q_lead_lag_xcorr",
+    "emb_davies_bouldin",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

@@ -122,3 +122,16 @@ def test_session_paths_top10_and_counts(spark, sf_dir):
         prev = r.n_sessions
     n_sessions = q_sessionize(spark, sf_dir).count()
     assert sum(r.n_sessions for r in rows) <= n_sessions
+
+
+def test_xcorr_bounds_and_lag_zero_present(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_lead_lag_xcorr
+
+    rows = {r.lag: r for r in q_lead_lag_xcorr(spark, sf_dir).collect()}
+    assert 0 in rows and len(rows) == 7
+    for r in rows.values():
+        assert r.xcorr is None or -1.0 <= r.xcorr <= 1.0
+        assert r.n_hours > 0
+    # shifted series overlap shrinks as |lag| grows
+    assert rows[3].n_hours <= rows[0].n_hours
+    assert rows[-3].n_hours <= rows[0].n_hours

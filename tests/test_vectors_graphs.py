@@ -330,3 +330,18 @@ def test_hard_negatives_margin_and_labels(spark, sf_dir):
         assert r.a_id % 10 == 0
         assert r.hard_neg_id != r.a_id
         assert -1.0 <= r.neg_cos <= 1.0
+
+
+def test_davies_bouldin_covers_labels_and_positive(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.vectors import emb_davies_bouldin
+
+    rows = emb_davies_bouldin(spark, sf_dir).collect()
+    n_labels = (
+        read_table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    )
+    assert len(rows) == n_labels
+    for r in rows:
+        assert r.scatter > 0
+        assert r.worst_ratio > 0
+        assert r.most_confusable != r.label

@@ -846,3 +846,68 @@ QUERIES["dq_weekday_adjusted_volume"] = (
     dq_weekday_adjusted_volume,
     DQ_WEEKDAY_ADJUSTED_SQL,
 )
+
+
+_CARD_COLUMNS = ("user_id", "event_type", "props")
+
+
+def dq_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-drift audit: exact distinct counts of key columns
+    in the reference vs current half-windows, with the ratio — the
+    screen that catches an upstream id-space change (new hashing,
+    truncation, test-traffic flood) that value-distribution drift
+    metrics miss entirely.
+
+    One pass per column over (column-value, half) pairs — grouped
+    exact distincts, no sketch needed at audit cadence; at 100 TB
+    the same query swaps count_distinct for approx_count_distinct
+    without changing shape.
+    """
+    ev = Catalog(spark, sf_dir).events
+    is_cur = (F.to_date("ts") >= F.lit(_PSI_SPLIT)).cast("long")
+    outs = []
+    for col in _CARD_COLUMNS:
+        outs.append(
+            ev.select(F.col(col).cast("string").alias("v"), is_cur.alias("cur"))
+            .groupBy()
+            .agg(
+                F.lit(col).alias("column"),
+                F.count_distinct(F.when(F.col("cur") == 0, F.col("v"))).alias(
+                    "n_ref"
+                ),
+                F.count_distinct(F.when(F.col("cur") == 1, F.col("v"))).alias(
+                    "n_cur"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out.select(
+        "column",
+        "n_ref",
+        "n_cur",
+        _R4(F.col("n_cur") / F.col("n_ref"), "ratio"),
+    )
+
+
+def _cardinality_sql() -> str:
+    parts = []
+    for col in _CARD_COLUMNS:
+        parts.append(f"""
+SELECT '{col}' AS "column",
+       count(DISTINCT CASE WHEN CAST(ts AS DATE) < DATE '{_PSI_SPLIT}'
+                           THEN CAST({col} AS VARCHAR) END) AS n_ref,
+       count(DISTINCT CASE WHEN CAST(ts AS DATE) >= DATE '{_PSI_SPLIT}'
+                           THEN CAST({col} AS VARCHAR) END) AS n_cur
+FROM events""")
+    u = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH halves AS ({u})
+SELECT "column", n_ref, n_cur,
+       round(n_cur / CAST(n_ref AS DOUBLE), 4) AS ratio
+FROM halves
+"""
+
+
+QUERIES["dq_cardinality_drift"] = (dq_cardinality_drift, _cardinality_sql())

@@ -1895,3 +1895,166 @@ GROUP BY s.lag
 """
 
 QUERIES["q_lead_lag_xcorr"] = (q_lead_lag_xcorr, Q_LEAD_LAG_XCORR_SQL)
+
+
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    purchase's value splits 40% to the first touch, 40% to the last
+    touch, 20% evenly across the middle touches of its path (1
+    touch → 100%, 2 touches → 50/50) — the standard compromise
+    between the first- and last-touch extremes reported by
+    ``q_attribution_last_touch``.
+
+    Touch→conversion assignment is ONE forward-looking window per
+    user (first purchase at-or-after each event) — the as-of house
+    pattern again, never a per-purchase inequality join. Path size
+    and position are two more frames over the SAME
+    (user, conversion) sort, then credit is row-local algebra.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    is_pur = F.col("event_type") == "purchase"
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.first(F.when(is_pur, F.col("event_id")), ignorenulls=True)
+        .over(fwd)
+        .alias("conv_id"),
+        F.first(F.when(is_pur, F.col("value")), ignorenulls=True)
+        .over(fwd)
+        .alias("conv_value"),
+    )
+    touches = tagged.filter(
+        (F.col("event_type") != "purchase") & F.col("conv_id").isNotNull()
+    )
+    wp = Window.partitionBy("user_id", "conv_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "conv_id")
+    sized = touches.select(
+        F.col("event_type").alias("channel"),
+        "conv_value",
+        F.row_number().over(wp).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when(F.col("pos") == 1, 0.4)
+        .when(F.col("pos") == F.col("n"), 0.4)
+        .otherwise(0.2 / (F.col("n") - 2))
+    )
+    return sized.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        _R4(F.sum(credit * F.col("conv_value")), "rev_position"),
+    )
+
+
+Q_ATTRIBUTION_POSITION_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_id,
+         first_value(CASE WHEN event_type = 'purchase' THEN value END
+                     IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS conv_value
+  FROM events
+), touches AS (
+  SELECT event_type AS channel, conv_value,
+         row_number() OVER (PARTITION BY user_id, conv_id
+                            ORDER BY ts, event_id) AS pos,
+         count(*) OVER (PARTITION BY user_id, conv_id) AS n
+  FROM tagged
+  WHERE event_type != 'purchase' AND conv_id IS NOT NULL
+)
+SELECT channel, count(*) AS n_touches,
+       round(sum(CASE WHEN n = 1 THEN 1.0
+                      WHEN n = 2 THEN 0.5
+                      WHEN pos = 1 THEN 0.4
+                      WHEN pos = n THEN 0.4
+                      ELSE 0.2 / (n - 2) END * conv_value), 4) AS rev_position
+FROM touches
+GROUP BY channel
+"""
+
+QUERIES["q_attribution_position"] = (
+    q_attribution_position,
+    Q_ATTRIBUTION_POSITION_SQL,
+)
+
+
+_ZSCORE_WIN = 7
+
+
+def q_rolling_zscore_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly alerts: each day's event count per
+    type scored against the mean/σ of the TRAILING 7 days (never
+    including itself), |z| > 3 flagged — the streaming-style alert
+    rule evaluated in batch, complementary to the global
+    (``q_burst_detection``) and weekday-profile
+    (``dq_weekday_adjusted_volume``) screens.
+
+    Integer daily counts keep μ/σ bit-identical cross-engine; the
+    rolling frame runs over the bounded (type, day) matrix, not
+    fact rows.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_ZSCORE_WIN, -1)
+    )
+    scored = daily.select(
+        "event_type",
+        "day",
+        "c",
+        F.avg("c").over(w).alias("mu"),
+        F.stddev_samp("c").over(w).alias("sigma"),
+        F.count("c").over(w).alias("n_window"),
+    ).filter(F.col("n_window") == _ZSCORE_WIN)
+    z = (F.col("c") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        F.sum((F.abs(z) > 3).cast("long")).alias("n_alerts"),
+        _R4(F.max(F.abs(z)), "max_abs_z"),
+    )
+
+
+Q_ROLLING_ZSCORE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day, c,
+         avg(c) OVER w AS mu,
+         stddev_samp(c) OVER w AS sigma,
+         count(c) OVER w AS n_window
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {_ZSCORE_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, count(*) AS n_days_scored,
+       CAST(sum(CASE WHEN abs((c - mu) / nullif(sigma, 0)) > 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alerts,
+       round(max(abs((c - mu) / nullif(sigma, 0))), 4) AS max_abs_z
+FROM scored
+WHERE n_window = {_ZSCORE_WIN}
+GROUP BY event_type
+"""
+
+QUERIES["q_rolling_zscore_alerts"] = (
+    q_rolling_zscore_alerts,
+    Q_ROLLING_ZSCORE_SQL,
+)

@@ -77,6 +77,9 @@ _PINNED_FIRST = (
     "dq_weekday_adjusted_volume",
     "q_lead_lag_xcorr",
     "emb_davies_bouldin",
+    "q_attribution_position",
+    "q_rolling_zscore_alerts",
+    "dq_cardinality_drift",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

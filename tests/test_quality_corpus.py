@@ -484,3 +484,15 @@ def test_weekday_adjusted_volume_profile(spark, sf_dir):
         assert 0 <= r.weekday <= 6
         assert r.sigma > 0
         assert 0 <= r.n_anomalous_days <= r.n_days
+
+
+def test_cardinality_drift_columns_and_positive(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_cardinality_drift
+
+    rows = {r.column: r for r in dq_cardinality_drift(spark, sf_dir).collect()}
+    assert set(rows) == {"user_id", "event_type", "props"}
+    for r in rows.values():
+        assert r.n_ref > 0 and r.n_cur > 0
+        assert r.ratio > 0
+    # the type vocabulary is stable across halves
+    assert rows["event_type"].ratio == 1.0

@@ -135,3 +135,35 @@ def test_xcorr_bounds_and_lag_zero_present(spark, sf_dir):
     # shifted series overlap shrinks as |lag| grows
     assert rows[3].n_hours <= rows[0].n_hours
     assert rows[-3].n_hours <= rows[0].n_hours
+
+
+def test_position_attribution_conserves_revenue(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.timeseries import q_attribution_position
+
+    rows = q_attribution_position(spark, sf_dir).collect()
+    assert rows
+    # credits per conversion sum to 1, so attributed revenue equals the
+    # revenue of every purchase that HAS at least one preceding touch
+    # within the same user stream (purchases with no touch get none);
+    # bound: attributed <= total purchase revenue
+    total = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    attributed = sum(r.rev_position for r in rows)
+    assert 0 < attributed <= total * 1.0001
+
+
+def test_rolling_zscore_counts_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_rolling_zscore_alerts
+
+    rows = q_rolling_zscore_alerts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_alerts <= r.n_days_scored
+        assert r.max_abs_z >= 0

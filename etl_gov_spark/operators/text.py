@@ -724,3 +724,104 @@ WHERE rank <= 20
 """
 
 QUERIES["text_bigram_perplexity"] = (text_bigram_perplexity, TEXT_BIGRAM_PERPLEXITY_SQL)
+
+
+_TFIDF_PAIR_MAX_DF = 64
+_TFIDF_PAIR_MIN_COS = 0.4
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-duplicate detection: document pairs whose
+    TF-IDF cosine over DISCRIMINATIVE terms (2 ≤ df ≤ 64) exceeds
+    0.4 — the weighted companion to the Jaccard dedup family: two
+    docs sharing a few rare terms score high even when their
+    boilerplate differs.
+
+    The df cap is the metric's definition, not a hidden truncation:
+    ubiquitous terms carry ~zero idf anyway, and capping df bounds
+    every posting list, so pair generation is Σ df² ≤ 64·Σ df —
+    linear-ish in corpus size, never corpus². Same inverted-index
+    join discipline as ``dedup_ngram_jaccard``; weights instead of
+    set bits.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents)
+    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("cnt").alias("len"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(df_.filter(
+            (F.col("df") >= 2) & (F.col("df") <= _TFIDF_PAIR_MAX_DF)
+        ), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("cnt") / F.col("len")) * F.log(F.col("n") / F.col("df")),
+                6,
+            ).alias("w"),
+        )
+    )
+    norm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nm")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norm.select(F.col("doc_id").alias("doc_a"), F.col("nm").alias("na"))
+    nb = norm.select(F.col("doc_id").alias("doc_b"), F.col("nm").alias("nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _R4(F.col("dot") / (F.col("na") * F.col("nb")), "cosine"),
+        )
+        .filter(F.col("cosine") >= _TFIDF_PAIR_MIN_COS)
+    )
+
+
+Q_TFIDF_COSINE_PAIRS_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, sum(cnt) AS len FROM tf GROUP BY 1
+), dfs AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+  HAVING count(*) BETWEEN 2 AND {_TFIDF_PAIR_MAX_DF}
+), w AS (
+  SELECT tf.doc_id, tf.term,
+         round((cnt / CAST(len AS DOUBLE))
+               * ln((SELECT count(*) FROM documents) / CAST(df AS DOUBLE)),
+               6) AS w
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+), norm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nm FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.doc_a, d.doc_b,
+       round(d.dot / (na.nm * nb.nm), 4) AS cosine
+FROM dots d
+JOIN norm na ON na.doc_id = d.doc_a
+JOIN norm nb ON nb.doc_id = d.doc_b
+WHERE round(d.dot / (na.nm * nb.nm), 4) >= {_TFIDF_PAIR_MIN_COS}
+"""
+
+QUERIES["q_tfidf_cosine_pairs"] = (q_tfidf_cosine_pairs, Q_TFIDF_COSINE_PAIRS_SQL)

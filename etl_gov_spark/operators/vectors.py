@@ -1176,3 +1176,71 @@ FROM picked WHERE rn = 1
 """
 
 QUERIES["emb_davies_bouldin"] = (emb_davies_bouldin, EMB_DAVIES_BOULDIN_SQL)
+
+
+def emb_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality eval: recall@10 of same-label items among
+    each stride-sampled anchor's exact cosine top-10, averaged per
+    label — the metric that says whether the embedding space is
+    good enough to ship for retrieval, next to
+    ``emb_knn_classify``'s accuracy and ``emb_davies_bouldin``'s
+    geometry.
+
+    Exact top-k against broadcast anchors (the ann_bruteforce
+    backbone); at corpus scale the candidate pass swaps for the IVF
+    funnel and this same readout becomes the funnel's regression
+    test. Output is |labels| rows.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vn", _norm("v"))
+    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
+    scored = pairs.select(
+        "a_id",
+        "a_label",
+        F.col("vec_id").alias("cand_id"),
+        (F.col("label") == F.col("a_label")).cast("long").alias("hit"),
+        F.round(cos, 6).alias("c"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    per_anchor = topk.groupBy("a_id", "a_label").agg(
+        (F.sum("hit") / TOP_K).alias("recall")
+    )
+    return per_anchor.groupBy(F.col("a_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        _R4(F.avg("recall"), "recall_at_10"),
+    )
+
+
+EMB_RECALL_AT_K_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS cand_id,
+         CASE WHEN c.label = a.label THEN 1 ELSE 0 END AS hit,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS c
+  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
+  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+), topk AS (
+  SELECT a_id, a_label, hit,
+         row_number() OVER (PARTITION BY a_id ORDER BY c DESC, cand_id ASC) AS rn
+  FROM scored
+), per_anchor AS (
+  SELECT a_id, a_label, sum(hit) / {float(TOP_K)} AS recall
+  FROM topk WHERE rn <= {TOP_K} GROUP BY 1, 2
+)
+SELECT a_label AS label, count(*) AS n_anchors,
+       round(avg(recall), 4) AS recall_at_10
+FROM per_anchor GROUP BY a_label
+"""
+
+QUERIES["emb_recall_at_k"] = (emb_recall_at_k, EMB_RECALL_AT_K_SQL)

@@ -80,6 +80,8 @@ _PINNED_FIRST = (
     "q_attribution_position",
     "q_rolling_zscore_alerts",
     "dq_cardinality_drift",
+    "q_tfidf_cosine_pairs",
+    "emb_recall_at_k",
     "ann_ivf_topk",
     "merge_upsert_pruned",
     "corpus_length_buckets",

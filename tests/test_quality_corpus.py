@@ -496,3 +496,12 @@ def test_cardinality_drift_columns_and_positive(spark, sf_dir):
         assert r.ratio > 0
     # the type vocabulary is stable across halves
     assert rows["event_type"].ratio == 1.0
+
+
+def test_tfidf_cosine_pairs_symmetric_free_and_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.text import q_tfidf_cosine_pairs
+
+    rows = q_tfidf_cosine_pairs(spark, sf_dir).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b  # canonical pair order, no mirrors
+        assert 0.4 <= r.cosine <= 1.0 + 1e-9

@@ -345,3 +345,13 @@ def test_davies_bouldin_covers_labels_and_positive(spark, sf_dir):
         assert r.scatter > 0
         assert r.worst_ratio > 0
         assert r.most_confusable != r.label
+
+
+def test_recall_at_k_in_unit_interval(spark, sf_dir):
+    from etl_gov_spark.operators.vectors import emb_recall_at_k
+
+    rows = emb_recall_at_k(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert r.n_anchors > 0

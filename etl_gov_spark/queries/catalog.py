@@ -26,7 +26,15 @@ _PINNED_FIRST = (
     "emb_centroid_drift",
     "q_asof_nearest",
     "text_readability",
-    # -- new or changed in round 5: needs fresh adjudication --
+    # -- implementation changed in round 5: adjudicate before the
+    # new additions (a changed op regressing is worse than a new op
+    # unsampled — both pass the local strict gate either way) --
+    "ann_ivf_topk",
+    "merge_upsert_pruned",
+    "q_funnel",
+    "q_funnel_windowed",
+    "dedup_simhash",
+    # -- new in round 5: needs fresh adjudication --
     "snapshot_time_travel",
     "q_zorder_pruned_scan",
     "corpus_bpe_vocab",
@@ -82,16 +90,11 @@ _PINNED_FIRST = (
     "dq_cardinality_drift",
     "q_tfidf_cosine_pairs",
     "emb_recall_at_k",
-    "ann_ivf_topk",
-    "merge_upsert_pruned",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",
     "q_bitmap_rollup_distinct",
     "q_incremental_rollup",
-    "q_funnel",
-    "q_funnel_windowed",
-    "dedup_simhash",
     # -- oldest adjudication vintage (r1), refresh --
     "q2_min_cost_supplier",
     "q4_order_priority",

@@ -884,3 +884,125 @@ GROUP BY e.event_type
 """
 
 QUERIES["q_winsorized_stats"] = (q_winsorized_stats, Q_WINSORIZED_SQL)
+
+
+def q_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand per part brand:
+    regr_slope(ln qty, ln unit price) over lineitems joined to
+    their parts — the one-coefficient demand readout (ε < 0 means
+    normal demand; |ε| > 1 elastic) analysts ask the warehouse for
+    before any pricing change.
+
+    The join is fact→broadcast-dim (part is the small side), the
+    regression is the algebraic regr_* aggregate, so the whole fit
+    is scan + one map-side-combinable aggregate per brand.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select(
+        "l_partkey",
+        F.log(F.col("l_quantity")).alias("ln_q"),
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")).alias("ln_p"),
+    )
+    j = li.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return j.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        _R4(F.regr_slope(F.col("ln_q"), F.col("ln_p")), "elasticity"),
+        _R4(F.regr_r2(F.col("ln_q"), F.col("ln_p")), "r2"),
+    )
+
+
+Q_PRICE_ELASTICITY_SQL = """
+SELECT p.p_brand, count(*) AS n,
+       round(regr_slope(ln(l.l_quantity),
+                        ln(l.l_extendedprice / l.l_quantity)), 4) AS elasticity,
+       round(regr_r2(ln(l.l_quantity),
+                     ln(l.l_extendedprice / l.l_quantity)), 4) AS r2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+QUERIES["q_price_elasticity"] = (q_price_elasticity, Q_PRICE_ELASTICITY_SQL)
+
+
+_POISSON_MAX_K = 15
+
+
+def q_poisson_basket_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson goodness-of-fit on basket size (lineitems per
+    order): observed count per k against N·e^{−λ}λᵏ/k! at the
+    sample mean λ — the dispersion check (a long tail of mega-
+    orders breaks Poisson and flags bot/bulk traffic).
+
+    ln k! is joined from a `sequence()`-generated cumulative-log
+    table (k ≤ 15 — basket size is physically bounded), so the pmf
+    is pure row-local algebra in both engines; λ and N broadcast
+    from one aggregate. χ² contribution is reported per k.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    basket = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    obs = basket.groupBy("k").agg(F.count(F.lit(1)).alias("observed"))
+    stats = basket.agg(
+        F.count(F.lit(1)).alias("n_orders"), F.avg("k").alias("lam")
+    )
+    # ln k! = Σ_{i=2..k} ln i, built from a generated 1..K table
+    lnfact = (
+        spark.range(1, _POISSON_MAX_K + 1)
+        .select(F.col("id").alias("k"))
+        .withColumn(
+            "ln_fact",
+            # guard k<2: Spark's sequence(2,1) counts DOWN ([2,1]),
+            # it is not empty like DuckDB's generate_series(2,1)
+            F.expr(
+                "CASE WHEN k >= 2 THEN"
+                " aggregate(sequence(2, k), 0.0D, (acc, i) -> acc + ln(i))"
+                " ELSE 0.0D END"
+            ),
+        )
+    )
+    j = (
+        obs.join(F.broadcast(lnfact), "k")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "k",
+            "observed",
+            F.round(
+                F.col("n_orders")
+                * F.exp(
+                    -F.col("lam")
+                    + F.col("k") * F.log("lam")
+                    - F.col("ln_fact")
+                ),
+                4,
+            ).alias("expected"),
+        )
+    )
+    chi = F.pow(F.col("observed") - F.col("expected"), 2) / F.col("expected")
+    return j.select("k", "observed", "expected", _R4(chi, "chi2_term"))
+
+
+Q_POISSON_BASKET_SQL = f"""
+WITH basket AS (
+  SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY l_orderkey
+), obs AS (
+  SELECT k, count(*) AS observed FROM basket GROUP BY k
+), stats AS (
+  SELECT count(*) AS n_orders, avg(k) AS lam FROM basket
+), lnfact AS (
+  SELECT k, coalesce((SELECT sum(ln(i))
+                      FROM unnest(generate_series(2, k)) AS t(i)), 0.0) AS ln_fact
+  FROM unnest(generate_series(1, {_POISSON_MAX_K})) AS g(k)
+), j AS (
+  SELECT o.k, o.observed,
+         round(s.n_orders * exp(-s.lam + o.k * ln(s.lam) - f.ln_fact), 4)
+           AS expected
+  FROM obs o JOIN lnfact f USING (k) CROSS JOIN stats s
+)
+SELECT k, observed, expected,
+       round(pow(observed - expected, 2) / expected, 4) AS chi2_term
+FROM j
+"""
+
+QUERIES["q_poisson_basket_fit"] = (q_poisson_basket_fit, Q_POISSON_BASKET_SQL)

@@ -2058,3 +2058,99 @@ QUERIES["q_rolling_zscore_alerts"] = (
     q_rolling_zscore_alerts,
     Q_ROLLING_ZSCORE_SQL,
 )
+
+
+def q_missing_hour_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-gap census per event type: generate the full
+    expected hour grid from each type's own [first, last] hour,
+    anti-join the observed hours away, and report how many hours
+    are missing plus the longest contiguous outage — the
+    completeness audit behind every ingestion SLA, and the
+    diagnosis step before ``q_gap_fill`` repairs the series.
+
+    `sequence()` builds the grid from two scalars per type (never
+    a driver loop); the anti-join and the gaps-and-islands pass on
+    the missing set run over the bounded (type, hour) matrix.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    present = ev.distinct()
+    bounds = present.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    missing = grid.join(present, ["event_type", "hour"], "left_anti")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    runs = (
+        missing.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "grp",
+            F.col("hour")
+            - F.make_dt_interval(hours=F.col("rn")),
+        )
+        .groupBy("event_type", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    gaps = runs.groupBy("event_type").agg(
+        F.sum("run_len").alias("n_missing"),
+        F.max("run_len").alias("longest_outage_hours"),
+    )
+    expected = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_expected")
+    )
+    return (
+        expected.join(gaps, "event_type", "left")
+        .select(
+            "event_type",
+            "n_expected",
+            F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+            F.coalesce("longest_outage_hours", F.lit(0)).alias(
+                "longest_outage_hours"
+            ),
+        )
+    )
+
+
+Q_MISSING_HOUR_SQL = """
+WITH present AS (
+  SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour FROM events
+), bounds AS (
+  SELECT event_type, min(hour) AS h0, max(hour) AS h1
+  FROM present GROUP BY event_type
+), grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+), missing AS (
+  SELECT g.event_type, g.hour
+  FROM grid g LEFT JOIN present p USING (event_type, hour)
+  WHERE p.hour IS NULL
+), runs AS (
+  SELECT event_type,
+         hour - to_hours(row_number() OVER (PARTITION BY event_type
+                                            ORDER BY hour)) AS grp,
+         count(*) OVER () AS _dummy
+  FROM missing
+), run_lens AS (
+  SELECT event_type, grp, count(*) AS run_len
+  FROM runs GROUP BY 1, 2
+), gaps AS (
+  SELECT event_type, sum(run_len) AS n_missing,
+         max(run_len) AS longest_outage_hours
+  FROM run_lens GROUP BY event_type
+), expected AS (
+  SELECT event_type, count(*) AS n_expected FROM grid GROUP BY event_type
+)
+SELECT e.event_type, e.n_expected,
+       CAST(coalesce(g.n_missing, 0) AS BIGINT) AS n_missing,
+       CAST(coalesce(g.longest_outage_hours, 0) AS BIGINT)
+         AS longest_outage_hours
+FROM expected e LEFT JOIN gaps g USING (event_type)
+"""
+
+QUERIES["q_missing_hour_census"] = (q_missing_hour_census, Q_MISSING_HOUR_SQL)

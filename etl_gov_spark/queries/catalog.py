@@ -90,6 +90,9 @@ _PINNED_FIRST = (
     "dq_cardinality_drift",
     "q_tfidf_cosine_pairs",
     "emb_recall_at_k",
+    "q_missing_hour_census",
+    "q_price_elasticity",
+    "q_poisson_basket_fit",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

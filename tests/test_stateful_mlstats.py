@@ -291,3 +291,33 @@ def test_winsorized_ordering(spark, sf_dir):
         # winsorized mean lies within the fences; trimmed is close to it
         assert r.fence_lo - 1e-9 <= r.winsorized_mean <= r.fence_hi + 1e-9
         assert abs(r.trimmed_mean - r.winsorized_mean) < abs(r.fence_hi - r.fence_lo)
+
+
+def test_price_elasticity_shape(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_price_elasticity
+
+    rows = q_price_elasticity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n > 10
+        assert r.r2 is None or 0.0 <= r.r2 <= 1.0
+
+
+def test_poisson_basket_expected_sums_to_n(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.mlstats import q_poisson_basket_fit
+
+    rows = q_poisson_basket_fit(spark, sf_dir).collect()
+    assert rows
+    n_orders = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    # expected mass over observed ks covers most of the distribution
+    assert 0.8 * n_orders <= sum(r.expected for r in rows) <= n_orders * 1.001
+    for r in rows:
+        assert r.expected > 0 and r.chi2_term >= 0

@@ -167,3 +167,13 @@ def test_rolling_zscore_counts_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_alerts <= r.n_days_scored
         assert r.max_abs_z >= 0
+
+
+def test_missing_hour_census_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_missing_hour_census
+
+    rows = q_missing_hour_census(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_missing < r.n_expected
+        assert r.longest_outage_hours <= r.n_missing

@@ -1045,3 +1045,134 @@ FROM front GROUP BY c_nationkey
 """
 
 QUERIES["q_skyline_frontier"] = (q_skyline_frontier, Q_SKYLINE_FRONTIER_SQL)
+
+
+_BRIDGE_M0 = "1995-03"
+_BRIDGE_M1 = "1995-04"
+
+
+def q_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume bridge (revenue waterfall) per return flag
+    between two months: ΔRevenue = volume effect (Δqty · p₀) +
+    price effect (q₁ · Δp) — the decomposition every finance
+    review asks for, computed from two conditional aggregates in
+    ONE scan (no self-join of the two periods).
+
+    p is the qty-weighted average unit price of the period, so the
+    bridge closes exactly: volume + price = ΔRev by construction,
+    and the oracle proves the identity cross-engine.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        F.col("l_quantity").alias("q"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    ).filter(F.col("m").isin(_BRIDGE_M0, _BRIDGE_M1))
+    per = li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("m") == _BRIDGE_M0, F.col("q"))).alias("q0"),
+        F.sum(F.when(F.col("m") == _BRIDGE_M0, F.col("rev"))).alias("r0"),
+        F.sum(F.when(F.col("m") == _BRIDGE_M1, F.col("q"))).alias("q1"),
+        F.sum(F.when(F.col("m") == _BRIDGE_M1, F.col("rev"))).alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    vol = (F.col("q1") - F.col("q0")) * p0
+    price = F.col("q1") * (p1 - p0)
+    return per.select(
+        "l_returnflag",
+        F.round(F.col("r0"), 2).alias("rev_m0"),
+        F.round(F.col("r1"), 2).alias("rev_m1"),
+        F.round(vol, 2).alias("volume_effect"),
+        F.round(price, 2).alias("price_effect"),
+        # + 0.0 normalizes IEEE -0.0 (the bridge closes exactly, so
+        # the residual is a signed zero in both engines)
+        (F.round(F.col("r1") - F.col("r0") - vol - price, 2) + 0.0).alias(
+            "residual"
+        ),
+    )
+
+
+Q_PRICE_VOLUME_BRIDGE_SQL = f"""
+WITH li AS (
+  SELECT l_returnflag, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+         l_quantity AS q,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m')
+        IN ('{_BRIDGE_M0}', '{_BRIDGE_M1}')
+), per AS (
+  SELECT l_returnflag,
+         sum(CASE WHEN m = '{_BRIDGE_M0}' THEN q END) AS q0,
+         sum(CASE WHEN m = '{_BRIDGE_M0}' THEN rev END) AS r0,
+         sum(CASE WHEN m = '{_BRIDGE_M1}' THEN q END) AS q1,
+         sum(CASE WHEN m = '{_BRIDGE_M1}' THEN rev END) AS r1
+  FROM li GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round(r0, 2) AS rev_m0,
+       round(r1, 2) AS rev_m1,
+       round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
+       round(q1 * (r1 / q1 - r0 / q0), 2) AS price_effect,
+       round(r1 - r0 - (q1 - q0) * (r0 / q0)
+                 - q1 * (r1 / q1 - r0 / q0), 2) + 0.0 AS residual
+FROM per
+"""
+
+QUERIES["q_price_volume_bridge"] = (
+    q_price_volume_bridge,
+    Q_PRICE_VOLUME_BRIDGE_SQL,
+)
+
+
+def q_xyz_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification per brand: coefficient
+    of variation of weekly shipped quantity → X (steady, CV<0.5),
+    Y (variable, <1), Z (erratic) — the planning-side partner of
+    ABC value classification (``q_abc_classification``); X items
+    get automated reorder, Z items get safety stock and a human.
+
+    Weekly rollup then per-brand CV are two bounded aggregates; the
+    class census is the |brands|-row output.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+        "l_quantity",
+    )
+    weekly = li.groupBy("p_brand", "wk").agg(F.sum("l_quantity").alias("q"))
+    stats = weekly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        F.avg("q").alias("mu"),
+        F.stddev_pop("q").alias("sigma"),
+    )
+    cv = F.col("sigma") / F.col("mu")
+    return stats.select(
+        "p_brand",
+        "n_weeks",
+        _R4(cv, "cv"),
+        F.when(cv < 0.5, "X").when(cv < 1.0, "Y").otherwise("Z").alias("xyz"),
+    )
+
+
+Q_XYZ_VARIABILITY_SQL = """
+WITH weekly AS (
+  SELECT p.p_brand, date_trunc('week', CAST(l.l_shipdate AS DATE)) AS wk,
+         sum(l.l_quantity) AS q
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), stats AS (
+  SELECT p_brand, count(*) AS n_weeks, avg(q) AS mu, stddev_pop(q) AS sigma
+  FROM weekly GROUP BY p_brand
+)
+SELECT p_brand, n_weeks, round(sigma / mu, 4) AS cv,
+       CASE WHEN sigma / mu < 0.5 THEN 'X'
+            WHEN sigma / mu < 1.0 THEN 'Y'
+            ELSE 'Z' END AS xyz
+FROM stats
+"""
+
+QUERIES["q_xyz_variability"] = (q_xyz_variability, Q_XYZ_VARIABILITY_SQL)

@@ -93,6 +93,8 @@ _PINNED_FIRST = (
     "q_missing_hour_census",
     "q_price_elasticity",
     "q_poisson_basket_fit",
+    "q_price_volume_bridge",
+    "q_xyz_variability",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

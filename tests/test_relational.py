@@ -242,3 +242,25 @@ def test_supplier_scorecard_ranked_by_revenue(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.on_time_share <= 1.0
         assert r.price_index > 0
+
+
+def test_price_volume_bridge_closes(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_price_volume_bridge
+
+    rows = q_price_volume_bridge(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the bridge closes: volume + price effects explain the full delta
+        assert abs(r.residual) < 0.02
+        assert abs((r.rev_m1 - r.rev_m0) - (r.volume_effect + r.price_effect)) < 0.05
+
+
+def test_xyz_classes_match_cv(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_xyz_variability
+
+    rows = q_xyz_variability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cv >= 0
+        expect = "X" if r.cv < 0.5 else ("Y" if r.cv < 1.0 else "Z")
+        assert r.xyz == expect

@@ -825,3 +825,91 @@ WHERE round(d.dot / (na.nm * nb.nm), 4) >= {_TFIDF_PAIR_MIN_COS}
 """
 
 QUERIES["q_tfidf_cosine_pairs"] = (q_tfidf_cosine_pairs, Q_TFIDF_COSINE_PAIRS_SQL)
+
+
+_RAKE_TOP = 20
+
+
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction, corpus-wide top 20: split each
+    document into candidate phrases at stopword boundaries, score
+    words by degree/frequency over the whole corpus, score a phrase
+    as the sum of its word scores (the RAKE convention) — unsupervised keyphrase mining with zero model weights,
+    the classic first pass over an unlabeled corpus.
+
+    Phrase splitting is one regexp_split (JVM-side); word stats are
+    two bounded-key aggregates over the exploded phrase words; the
+    final ranking is a window over distinct phrases. Degree here is
+    the RAKE convention: Σ(phrase length) over the phrases
+    containing the word.
+    """
+    stop_pat = r"\b(?:" + "|".join(STOPWORDS_EN) + r")\b"
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", F.lower(F.trim("text")).alias("t")
+    )
+    phrases = docs.select(
+        F.explode(F.split(F.col("t"), stop_pat)).alias("p")
+    ).select(F.trim(F.regexp_replace("p", r"\s+", " ")).alias("p")).filter(
+        (F.col("p") != "") & (F.size(F.split(F.col("p"), " ")) <= 4)
+    )
+    ph_words = phrases.select(
+        "p",
+        F.split(F.col("p"), " ").alias("ws"),
+    ).select("p", F.size("ws").alias("plen"), F.explode("ws").alias("w"))
+    word_stats = ph_words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    occ = phrases.groupBy("p").agg(F.count(F.lit(1)).alias("n_occur"))
+    rep_words = occ.select(
+        "p", "n_occur", F.explode(F.split(F.col("p"), " ")).alias("w")
+    )
+    scored = (
+        rep_words.join(F.broadcast(word_stats), "w")
+        .groupBy("p", "n_occur")
+        .agg(F.round(F.sum(F.col("degree") / F.col("freq")), 6).alias("_s"))
+    )
+    w = Window.orderBy(F.desc("_s"), F.asc("p"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _RAKE_TOP)
+        .select("rank", F.col("p").alias("phrase"), _R4(F.col("_s"), "score"), "n_occur")
+    )
+
+
+def _rake_sql() -> str:
+    stop = "|".join(STOPWORDS_EN)
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+), raw_phrases AS (
+  SELECT unnest(string_split_regex(t, '\b(?:{stop})\b')) AS p FROM docs
+), phrases AS (
+  SELECT trim(regexp_replace(p, '\s+', ' ', 'g')) AS p FROM raw_phrases
+), kept AS (
+  SELECT p FROM phrases
+  WHERE p != '' AND len(string_split(p, ' ')) <= 4
+), ph_words AS (
+  SELECT p, len(string_split(p, ' ')) AS plen,
+         unnest(string_split(p, ' ')) AS w
+  FROM kept
+), word_stats AS (
+  SELECT w, count(*) AS freq, sum(plen) AS degree FROM ph_words GROUP BY w
+), occ AS (
+  SELECT p, count(*) AS n_occur FROM kept GROUP BY p
+), rep_words AS (
+  SELECT p, n_occur, unnest(string_split(p, ' ')) AS w FROM occ
+), scored AS (
+  SELECT rw.p, rw.n_occur,
+         round(sum(ws.degree / CAST(ws.freq AS DOUBLE)), 6) AS s
+  FROM rep_words rw JOIN word_stats ws USING (w)
+  GROUP BY rw.p, rw.n_occur
+)
+SELECT CAST(row_number() OVER (ORDER BY s DESC, p ASC) AS INTEGER) AS rank,
+       p AS phrase, round(s, 4) AS score, n_occur
+FROM scored
+ORDER BY rank LIMIT {_RAKE_TOP}
+"""
+
+
+QUERIES["text_rake_keyphrases"] = (text_rake_keyphrases, _rake_sql())

@@ -2154,3 +2154,75 @@ FROM expected e LEFT JOIN gaps g USING (event_type)
 """
 
 QUERIES["q_missing_hour_census"] = (q_missing_hour_census, Q_MISSING_HOUR_SQL)
+
+
+def q_hourly_seasonality_fourier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-harmonic Fourier fit of the daily cycle per event
+    type: project hourly volumes onto sin/cos at period 24 h and
+    report amplitude, peak hour, and the share of variance the
+    cycle explains — the closed-form answer to "how diurnal is
+    this stream", one step past ``q_weekly_seasonality``'s
+    day-of-week means.
+
+    a₁ = 2·avg(y·cosθ), b₁ = 2·avg(y·sinθ) are plain algebraic
+    aggregates over the bounded (type, hour) matrix — no FFT, no
+    iteration; amplitude/phase are row-local atan2 algebra on the
+    |types|-row result.
+    """
+    import math
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    theta = (
+        2.0 * math.pi * F.hour(F.col("hour")).cast("double") / 24.0
+    )
+    fit = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.avg("y").alias("mean_level"),
+        (2.0 * F.avg(F.col("y") * F.cos(theta))).alias("a1"),
+        (2.0 * F.avg(F.col("y") * F.sin(theta))).alias("b1"),
+        F.var_pop("y").alias("var_y"),
+    )
+    amp = F.sqrt(F.col("a1") * F.col("a1") + F.col("b1") * F.col("b1"))
+    # peak where cos(θ − φ) = 1, φ = atan2(b1, a1) → hour = 24φ/2π mod 24
+    peak = F.pmod(
+        F.atan2(F.col("b1"), F.col("a1")) * 24.0 / (2.0 * math.pi), F.lit(24.0)
+    )
+    return fit.select(
+        "event_type",
+        "n_hours",
+        _R4(F.col("mean_level"), "mean_level"),
+        _R4(amp, "amplitude"),
+        _R4(peak, "peak_hour"),
+        _R4((amp * amp / 2.0) / F.col("var_y"), "cycle_var_share"),
+    )
+
+
+Q_HOURLY_FOURIER_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS y
+  FROM events GROUP BY 1, 2
+), fit AS (
+  SELECT event_type, count(*) AS n_hours, avg(y) AS mean_level,
+         2.0 * avg(y * cos(2 * pi() * extract(hour FROM hour) / 24.0)) AS a1,
+         2.0 * avg(y * sin(2 * pi() * extract(hour FROM hour) / 24.0)) AS b1,
+         var_pop(y) AS var_y
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       round(mean_level, 4) AS mean_level,
+       round(sqrt(a1 * a1 + b1 * b1), 4) AS amplitude,
+       round(fmod(fmod(atan2(b1, a1) * 24.0 / (2 * pi()), 24.0) + 24.0, 24.0),
+             4) AS peak_hour,
+       round((a1 * a1 + b1 * b1) / 2.0 / var_y, 4) AS cycle_var_share
+FROM fit
+"""
+
+QUERIES["q_hourly_seasonality_fourier"] = (
+    q_hourly_seasonality_fourier,
+    Q_HOURLY_FOURIER_SQL,
+)

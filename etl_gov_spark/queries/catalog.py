@@ -95,6 +95,8 @@ _PINNED_FIRST = (
     "q_poisson_basket_fit",
     "q_price_volume_bridge",
     "q_xyz_variability",
+    "text_rake_keyphrases",
+    "q_hourly_seasonality_fourier",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

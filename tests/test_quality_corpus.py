@@ -505,3 +505,17 @@ def test_tfidf_cosine_pairs_symmetric_free_and_bounded(spark, sf_dir):
     for r in rows:
         assert r.doc_a < r.doc_b  # canonical pair order, no mirrors
         assert 0.4 <= r.cosine <= 1.0 + 1e-9
+
+
+def test_rake_phrases_ranked_and_short(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_rake_keyphrases
+
+    rows = sorted(text_rake_keyphrases(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert 0 < len(rows) <= 20
+    prev = None
+    for r in rows:
+        assert 1 <= len(r.phrase.split(" ")) <= 4
+        assert r.n_occur >= 1
+        if prev is not None:
+            assert r.score <= prev + 1e-9
+        prev = r.score

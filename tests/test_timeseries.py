@@ -177,3 +177,15 @@ def test_missing_hour_census_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_missing < r.n_expected
         assert r.longest_outage_hours <= r.n_missing
+
+
+def test_fourier_fit_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_hourly_seasonality_fourier
+
+    rows = q_hourly_seasonality_fourier(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.amplitude >= 0
+        assert 0.0 <= r.peak_hour < 24.0
+        assert 0.0 <= r.cycle_var_share <= 1.0 + 1e-6
+        assert r.mean_level > 0

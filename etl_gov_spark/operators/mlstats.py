@@ -1006,3 +1006,248 @@ FROM j
 """
 
 QUERIES["q_poisson_basket_fit"] = (q_poisson_basket_fit, Q_POISSON_BASKET_SQL)
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test across ALL event types at once: do the
+    five value distributions share a location? — the k-sample
+    extension of ``q_mann_whitney``, one number instead of ten
+    pairwise tests. Tie-corrected H over average ranks.
+
+    Same scale discipline as the other rank tests: fact rows
+    collapse to (value, type) counts first; the only window runs
+    over DISTINCT values (global, but |distinct| ≪ |rows|, and at
+    100 TB the 6-dp value rounding caps it outright).
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.round("value", 6).alias("v")
+    )
+    counts = ev.groupBy("v", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    per_v = counts.groupBy("v").agg(F.sum("c").alias("cv"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked_v = per_v.select(
+        "v",
+        "cv",
+        (
+            F.coalesce(F.sum("cv").over(w), F.lit(0))
+            + (F.col("cv") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    j = counts.join(ranked_v.select("v", "avg_rank"), "v")
+    grp = j.groupBy("event_type").agg(
+        F.sum("c").alias("ni"), F.sum(F.col("c") * F.col("avg_rank")).alias("ri")
+    )
+    tie = per_v.agg(
+        F.sum("cv").alias("n"),
+        F.sum(F.col("cv") * F.col("cv") * F.col("cv") - F.col("cv")).alias(
+            "tie_term"
+        ),
+    )
+    stats = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("ri") * F.col("ri") / F.col("ni")).alias("s"),
+    ).crossJoin(F.broadcast(tie))
+    n = F.col("n")
+    h = (12.0 / (n * (n + 1))) * F.col("s") - 3.0 * (n + 1)
+    h_corr = h / (1.0 - F.col("tie_term") / (n * n * n - n))
+    return stats.select(
+        F.col("k").alias("n_groups"),
+        n.alias("n_total"),
+        _R4(h_corr, "h_stat"),
+        (F.col("k") - 1).alias("dof"),
+    )
+
+
+Q_KRUSKAL_WALLIS_SQL = """
+WITH vals AS (
+  SELECT event_type, round(value, 6) AS v FROM events
+), counts AS (
+  SELECT v, event_type, count(*) AS c FROM vals GROUP BY 1, 2
+), per_v AS (
+  SELECT v, sum(c) AS cv FROM counts GROUP BY v
+), ranked_v AS (
+  SELECT v, coalesce(sum(cv) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            + (cv + 1) / 2.0 AS avg_rank
+  FROM per_v
+), grp AS (
+  SELECT c.event_type, sum(c.c) AS ni, sum(c.c * r.avg_rank) AS ri
+  FROM counts c JOIN ranked_v r USING (v) GROUP BY c.event_type
+), tie AS (
+  SELECT sum(cv) AS n, sum(cv * cv * cv - cv) AS tie_term FROM per_v
+), stats AS (
+  SELECT count(*) AS k, sum(ri * ri / ni) AS s FROM grp
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_total,
+       round(((12.0 / (n * (n + 1))) * s - 3.0 * (n + 1))
+             / (1.0 - tie_term / (n * n * n - n)), 4) AS h_stat,
+       CAST(k - 1 AS BIGINT) AS dof
+FROM stats CROSS JOIN tie
+"""
+
+QUERIES["q_kruskal_wallis"] = (q_kruskal_wallis, Q_KRUSKAL_WALLIS_SQL)
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between event value and hour of
+    day, per event type — does the metric's LEVEL follow the clock
+    monotonically? Pearson on average ranks, so it is outlier-proof
+    and catches monotone-but-nonlinear trends Pearson misses.
+
+    Both rank assignments use the distinct-value trick (windows
+    over distinct (type, value) and the 24-row (type, hour) grid);
+    the correlation itself is the algebraic corr aggregate.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.round("value", 6).alias("v"),
+        F.hour("ts").alias("h"),
+    )
+    # average rank of each distinct value within its type
+    vc = ev.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    wv = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vr = vc.select(
+        "event_type",
+        "v",
+        (F.coalesce(F.sum("c").over(wv), F.lit(0)) + (F.col("c") + 1) / 2.0).alias(
+            "rv"
+        ),
+    )
+    hc = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    wh = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hr = hc.select(
+        "event_type",
+        "h",
+        (F.coalesce(F.sum("c").over(wh), F.lit(0)) + (F.col("c") + 1) / 2.0).alias(
+            "rh"
+        ),
+    )
+    j = ev.join(vr, ["event_type", "v"]).join(hr, ["event_type", "h"])
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _R4(F.corr("rv", "rh"), "spearman_rho"),
+    )
+
+
+Q_SPEARMAN_SQL = """
+WITH ev AS (
+  SELECT event_type, round(value, 6) AS v, extract(hour FROM ts) AS h
+  FROM events
+), vc AS (
+  SELECT event_type, v, count(*) AS c FROM ev GROUP BY 1, 2
+), vr AS (
+  SELECT event_type, v,
+         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rv
+  FROM vc
+), hc AS (
+  SELECT event_type, h, count(*) AS c FROM ev GROUP BY 1, 2
+), hr AS (
+  SELECT event_type, h,
+         coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c + 1) / 2.0 AS rh
+  FROM hc
+)
+SELECT e.event_type, count(*) AS n,
+       round(corr(vr.rv, hr.rh), 4) AS spearman_rho
+FROM ev e
+JOIN vr ON vr.event_type = e.event_type AND vr.v = e.v
+JOIN hr ON hr.event_type = e.event_type AND hr.h = e.h
+GROUP BY e.event_type
+"""
+
+QUERIES["q_spearman_corr"] = (q_spearman_corr, Q_SPEARMAN_SQL)
+
+
+def q_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt rank-based changepoint on the daily revenue series:
+    U_t = 2·Σ_{i≤t} r_i − t·(n+1) over day ranks; the day with max
+    |U_t| is the most probable break — the non-parametric partner
+    of ``q_cusum_changepoint`` (which assumes a mean shift in
+    level; Pettitt only assumes exchangeability).
+
+    The series is bounded (one row per day), so the rank window
+    and the running sum are both tiny; everything upstream is one
+    grouped aggregate over orders.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    n_w = Window.partitionBy()
+    rk = daily.select(
+        "day",
+        F.row_number()
+        .over(Window.orderBy("rev", "day"))
+        .cast("double")
+        .alias("r"),
+        F.count(F.lit(1)).over(n_w).alias("n"),
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    t_idx = Window.orderBy("day")
+    u = rk.select(
+        "day",
+        "n",
+        (
+            2.0 * F.sum("r").over(run)
+            - F.row_number().over(t_idx) * (F.col("n") + 1.0)
+        ).alias("u_t"),
+    )
+    pick = Window.orderBy(F.desc(F.abs(F.col("u_t"))), F.asc("day"))
+    return (
+        u.withColumn("rn", F.row_number().over(pick))
+        .filter("rn = 1")
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("n").alias("n_days"),
+            _R4(F.abs(F.col("u_t")), "k_stat"),
+            _R4(
+                F.exp(
+                    -6.0
+                    * F.col("u_t")
+                    * F.col("u_t")
+                    / (F.pow(F.col("n"), 3) + F.pow(F.col("n"), 2))
+                ),
+                "p_approx",
+            ),
+        )
+    )
+
+
+Q_PETTITT_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT day,
+         CAST(row_number() OVER (ORDER BY rev, day) AS DOUBLE) AS r,
+         count(*) OVER () AS n
+  FROM daily
+), u AS (
+  SELECT day, n,
+         2.0 * sum(r) OVER (ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - row_number() OVER (ORDER BY day) * (n + 1.0) AS u_t
+  FROM rk
+)
+SELECT day AS change_day, CAST(n AS BIGINT) AS n_days,
+       round(abs(u_t), 4) AS k_stat,
+       round(exp(-6.0 * u_t * u_t / (pow(n, 3) + pow(n, 2))), 4) AS p_approx
+FROM u
+ORDER BY abs(u_t) DESC, day ASC
+LIMIT 1
+"""
+
+QUERIES["q_pettitt_changepoint"] = (q_pettitt_changepoint, Q_PETTITT_SQL)

@@ -97,6 +97,9 @@ _PINNED_FIRST = (
     "q_xyz_variability",
     "text_rake_keyphrases",
     "q_hourly_seasonality_fourier",
+    "q_kruskal_wallis",
+    "q_spearman_corr",
+    "q_pettitt_changepoint",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

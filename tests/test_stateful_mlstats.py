@@ -321,3 +321,31 @@ def test_poisson_basket_expected_sums_to_n(spark, sf_dir):
     assert 0.8 * n_orders <= sum(r.expected for r in rows) <= n_orders * 1.001
     for r in rows:
         assert r.expected > 0 and r.chi2_term >= 0
+
+
+def test_kruskal_wallis_stat(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_kruskal_wallis
+
+    r = q_kruskal_wallis(spark, sf_dir).collect()[0]
+    assert r.n_groups == 5
+    assert r.dof == 4
+    assert r.h_stat >= 0
+
+
+def test_spearman_rho_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_spearman_corr
+
+    rows = q_spearman_corr(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.spearman_rho <= 1.0
+        assert r.n > 0
+
+
+def test_pettitt_day_in_series_and_p_valid(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_pettitt_changepoint
+
+    r = q_pettitt_changepoint(spark, sf_dir).collect()[0]
+    assert r.n_days > 30
+    assert r.k_stat > 0
+    assert 0.0 <= r.p_approx <= 1.0

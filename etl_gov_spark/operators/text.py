@@ -913,3 +913,44 @@ ORDER BY rank LIMIT {_RAKE_TOP}
 
 
 QUERIES["text_rake_keyphrases"] = (text_rake_keyphrases, _rake_sql())
+
+
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation against ground truth: the confusion
+    matrix of the stopword-profile classifier vs the corpus `lang`
+    label, with per-cell share of the true class — the eval loop
+    closed warehouse-side (``text_langid`` predicts; this scores).
+
+    Reuses the classifier's own DataFrame (one plan, no second
+    scan) and reduces to a |langs|² aggregate.
+    """
+    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    cell = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("lang")
+    return cell.select(
+        "lang",
+        "pred_lang",
+        "n",
+        _R4(F.col("n") / F.sum("n").over(tot), "share_of_true"),
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )
+
+
+TEXT_LANGID_CONFUSION_SQL = f"""
+WITH pred AS ({TEXT_LANGID_SQL}),
+cell AS (
+  SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT lang, pred_lang, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4)
+         AS share_of_true,
+       lang = pred_lang AS correct
+FROM cell
+"""
+
+QUERIES["text_langid_confusion"] = (
+    text_langid_confusion,
+    TEXT_LANGID_CONFUSION_SQL,
+)

@@ -2226,3 +2226,69 @@ QUERIES["q_hourly_seasonality_fourier"] = (
     q_hourly_seasonality_fourier,
     Q_HOURLY_FOURIER_SQL,
 )
+
+
+def q_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle segmentation census: classify every user as
+    new / active / at-risk / churned from recency and tenure
+    against the corpus max timestamp (new: first seen ≤ 7 days
+    ago; churned: silent > 30 days; at-risk: 14–30; else active)
+    — the four-bucket readout every growth dashboard leads with.
+
+    One aggregate per user (min/max ts, counts), a broadcast
+    scalar snapshot time, then a 4-row census: no windows at all.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "value")
+    per = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    )
+    snap = ev.agg(F.max("ts").alias("snap"))
+    j = per.crossJoin(F.broadcast(snap))
+    rec = F.datediff(F.to_date("snap"), F.to_date("last_ts"))
+    ten = F.datediff(F.to_date("snap"), F.to_date("first_ts"))
+    state = (
+        F.when(ten <= 7, "new")
+        .when(rec > 30, "churned")
+        .when(rec > 14, "at_risk")
+        .otherwise("active")
+    )
+    return j.groupBy(state.alias("state")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _R4(F.avg("n_events"), "avg_events"),
+        _R4(F.avg("total_value"), "avg_value"),
+        _R4(F.avg(rec), "avg_recency_days"),
+    )
+
+
+Q_USER_LIFECYCLE_SQL = """
+WITH per AS (
+  SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts,
+         count(*) AS n_events, sum(value) AS total_value
+  FROM events GROUP BY user_id
+), snap AS (
+  SELECT max(ts) AS snap FROM events
+), tagged AS (
+  SELECT p.*,
+         datediff('day', CAST(p.last_ts AS DATE), CAST(s.snap AS DATE)) AS rec,
+         datediff('day', CAST(p.first_ts AS DATE), CAST(s.snap AS DATE)) AS ten
+  FROM per p CROSS JOIN snap s
+)
+SELECT CASE WHEN ten <= 7 THEN 'new'
+            WHEN rec > 30 THEN 'churned'
+            WHEN rec > 14 THEN 'at_risk'
+            ELSE 'active' END AS state,
+       count(*) AS n_users,
+       round(avg(n_events), 4) AS avg_events,
+       round(avg(total_value), 4) AS avg_value,
+       round(avg(rec), 4) AS avg_recency_days
+FROM tagged
+GROUP BY 1
+"""
+
+QUERIES["q_user_lifecycle_states"] = (
+    q_user_lifecycle_states,
+    Q_USER_LIFECYCLE_SQL,
+)

@@ -100,6 +100,8 @@ _PINNED_FIRST = (
     "q_kruskal_wallis",
     "q_spearman_corr",
     "q_pettitt_changepoint",
+    "text_langid_confusion",
+    "q_user_lifecycle_states",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -519,3 +519,18 @@ def test_rake_phrases_ranked_and_short(spark, sf_dir):
         if prev is not None:
             assert r.score <= prev + 1e-9
         prev = r.score
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
+    from collections import defaultdict
+
+    from etl_gov_spark.operators.text import text_langid_confusion
+
+    rows = text_langid_confusion(spark, sf_dir).collect()
+    assert rows
+    shares = defaultdict(float)
+    for r in rows:
+        shares[r.lang] += r.share_of_true
+        assert r.correct == (r.lang == r.pred_lang)
+    for lang, s in shares.items():
+        assert abs(s - 1.0) < 0.01

@@ -189,3 +189,16 @@ def test_fourier_fit_bounds(spark, sf_dir):
         assert 0.0 <= r.peak_hour < 24.0
         assert 0.0 <= r.cycle_var_share <= 1.0 + 1e-6
         assert r.mean_level > 0
+
+
+def test_lifecycle_states_partition_users(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.timeseries import q_user_lifecycle_states
+
+    rows = q_user_lifecycle_states(spark, sf_dir).collect()
+    assert rows
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    assert {r.state for r in rows} <= {"new", "active", "at_risk", "churned"}

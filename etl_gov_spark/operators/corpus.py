@@ -1777,3 +1777,80 @@ QUERIES["corpus_curriculum_order"] = (
     corpus_curriculum_order,
     CORPUS_CURRICULUM_SQL,
 )
+
+
+_SPAN_STRIDE = 20  # one corruption span starts every 20 tokens
+_SPAN_LEN = 3
+
+
+def corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption manifest: mask fixed-stride spans
+    (3 tokens every 20) and emit per-doc counts plus md5 digests of
+    the corrupted input (sentinels in place of spans) and of the
+    target (the masked spans joined by sentinels) — the denoising-
+    objective sibling of ``corpus_fim_transform``'s infilling prep.
+
+    Fixed-stride spans make the objective replayable with zero
+    coordination: any engine, any partitioning, same masks. One
+    higher-order-function projection per doc; no shuffle, no UDF.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    ).filter(F.size("toks") >= _SPAN_STRIDE)
+    pos_mask = (
+        "transform(toks, (t, i) -> CASE WHEN i % {s} < {l}"
+        " THEN concat('<X', CAST(CAST(i / {s} AS INT) AS STRING), '>')"
+        " ELSE t END)"
+    ).format(s=_SPAN_STRIDE, l=_SPAN_LEN)
+    corrupted = F.expr(
+        f"filter({pos_mask}, (t, i) -> i % {_SPAN_STRIDE} >= {_SPAN_LEN}"
+        f" OR i % {_SPAN_STRIDE} = 0)"
+    )
+    target = F.expr(
+        f"filter(toks, (t, i) -> i % {_SPAN_STRIDE} < {_SPAN_LEN})"
+    )
+    n = F.size("toks")
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(target).alias("n_masked"),
+        F.md5(F.concat_ws(" ", corrupted)).alias("input_md5"),
+        F.md5(F.concat_ws(" ", target)).alias("target_md5"),
+    )
+
+
+CORPUS_SPAN_CORRUPTION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents
+), kept AS (
+  SELECT doc_id, t FROM toks WHERE len(t) >= {_SPAN_STRIDE}
+)
+SELECT doc_id,
+       CAST(len(t) AS INTEGER) AS n_tokens,
+       CAST(len(list_filter(list_transform(t, (x, i) -> i - 1),
+                            i -> i % {_SPAN_STRIDE} < {_SPAN_LEN}))
+            AS INTEGER) AS n_masked,
+       md5(array_to_string(
+             list_transform(
+               list_filter(list_transform(t, (x, i) -> i - 1),
+                           i -> i % {_SPAN_STRIDE} >= {_SPAN_LEN}
+                              OR i % {_SPAN_STRIDE} = 0),
+               i -> CASE WHEN i % {_SPAN_STRIDE} < {_SPAN_LEN}
+                         THEN concat('<X', CAST(CAST(i / {_SPAN_STRIDE} AS INT)
+                                                AS VARCHAR), '>')
+                         ELSE t[i + 1] END),
+             ' ')) AS input_md5,
+       md5(array_to_string(
+             list_transform(
+               list_filter(list_transform(t, (x, i) -> i - 1),
+                           i -> i % {_SPAN_STRIDE} < {_SPAN_LEN}),
+               i -> t[i + 1]),
+             ' ')) AS target_md5
+FROM kept
+"""
+
+QUERIES["corpus_span_corruption"] = (
+    corpus_span_corruption,
+    CORPUS_SPAN_CORRUPTION_SQL,
+)

@@ -1251,3 +1251,135 @@ LIMIT 1
 """
 
 QUERIES["q_pettitt_changepoint"] = (q_pettitt_changepoint, Q_PETTITT_SQL)
+
+
+def q_mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between event type and hour of
+    day, with the χ²-style per-cell contributions rolled up per
+    type — "how much does knowing the clock tell you about what
+    users do", the information-theoretic summary next to the
+    Fourier fit's amplitude.
+
+    One aggregate to the 5×24 contingency grid; marginals and MI
+    terms are window/row algebra over those 120 rows.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.hour("ts").alias("h")
+    )
+    cell = ev.groupBy("event_type", "h").agg(F.count(F.lit(1)).alias("c"))
+    tot = cell.agg(F.sum("c").alias("n"))
+    wt = Window.partitionBy("event_type")
+    wh = Window.partitionBy("h")
+    j = cell.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "h",
+        (F.col("c") / F.col("n")).alias("pxy"),
+        (F.sum("c").over(wt) / F.col("n")).alias("px"),
+        (F.sum("c").over(wh) / F.col("n")).alias("py"),
+    )
+    term = F.col("pxy") * F.log2(F.col("pxy") / (F.col("px") * F.col("py")))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        _R4(F.sum(term), "mi_contribution_bits"),
+    )
+
+
+Q_MUTUAL_INFO_SQL = """
+WITH cell AS (
+  SELECT event_type, extract(hour FROM ts) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT sum(c) AS n FROM cell),
+j AS (
+  SELECT event_type, h,
+         c / CAST(n AS DOUBLE) AS pxy,
+         sum(c) OVER (PARTITION BY event_type) / CAST(n AS DOUBLE) AS px,
+         sum(c) OVER (PARTITION BY h) / CAST(n AS DOUBLE) AS py
+  FROM cell CROSS JOIN tot
+)
+SELECT event_type, count(*) AS n_hours,
+       round(sum(pxy * log2(pxy / (px * py))), 4) AS mi_contribution_bits
+FROM j GROUP BY event_type
+"""
+
+QUERIES["q_mutual_info_type_hour"] = (
+    q_mutual_info_type_hour,
+    Q_MUTUAL_INFO_SQL,
+)
+
+
+def q_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 permutation entropy of the daily revenue series —
+    the model-free complexity gauge (≈0: monotone/regular; →log₂6:
+    indistinguishable from noise) that complements
+    ``q_autocorrelation``'s linear view.
+
+    Two lags over the bounded daily series build each ordinal
+    pattern; the pattern census is a 6-row aggregate. Ties break
+    by temporal order (the standard convention), so the pattern id
+    is integer-exact in both engines.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    w = Window.orderBy("day")
+    tri = daily.select(
+        "day",
+        F.col("y").alias("y0"),
+        F.lead("y", 1).over(w).alias("y1"),
+        F.lead("y", 2).over(w).alias("y2"),
+    ).filter(F.col("y2").isNotNull())
+    # ordinal pattern: rank of each element (ties → earlier wins)
+    r0 = (
+        (F.col("y1") < F.col("y0")).cast("int")
+        + (F.col("y2") < F.col("y0")).cast("int")
+    )
+    r1 = (
+        (F.col("y0") <= F.col("y1")).cast("int")
+        + (F.col("y2") < F.col("y1")).cast("int")
+    )
+    pat = r0 * 9 + r1 * 3  # r2 is implied; 9/3 keep ids distinct
+    census = tri.groupBy(pat.alias("pattern")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = census.agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        census.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").alias("n_windows"),
+            F.count(F.lit(1)).alias("n_patterns"),
+            _R4(-F.sum(p * F.log2(p)), "perm_entropy_bits"),
+        )
+    )
+
+
+Q_PERMUTATION_ENTROPY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), tri AS (
+  SELECT y AS y0,
+         lead(y, 1) OVER (ORDER BY day) AS y1,
+         lead(y, 2) OVER (ORDER BY day) AS y2
+  FROM daily
+), pats AS (
+  SELECT (CAST(y1 < y0 AS INTEGER) + CAST(y2 < y0 AS INTEGER)) * 9
+         + (CAST(y0 <= y1 AS INTEGER) + CAST(y2 < y1 AS INTEGER)) * 3
+           AS pattern
+  FROM tri WHERE y2 IS NOT NULL
+), census AS (
+  SELECT pattern, count(*) AS c FROM pats GROUP BY pattern
+), tot AS (SELECT sum(c) AS n FROM census)
+SELECT CAST(max(n) AS BIGINT) AS n_windows,
+       count(*) AS n_patterns,
+       round(-sum((c / CAST(n AS DOUBLE))
+                  * log2(c / CAST(n AS DOUBLE))), 4) AS perm_entropy_bits
+FROM census CROSS JOIN tot
+"""
+
+QUERIES["q_permutation_entropy"] = (
+    q_permutation_entropy,
+    Q_PERMUTATION_ENTROPY_SQL,
+)

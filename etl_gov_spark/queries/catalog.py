@@ -102,6 +102,9 @@ _PINNED_FIRST = (
     "q_pettitt_changepoint",
     "text_langid_confusion",
     "q_user_lifecycle_states",
+    "corpus_span_corruption",
+    "q_mutual_info_type_hour",
+    "q_permutation_entropy",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

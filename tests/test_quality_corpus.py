@@ -534,3 +534,20 @@ def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
         assert r.correct == (r.lang == r.pred_lang)
     for lang, s in shares.items():
         assert abs(s - 1.0) < 0.01
+
+
+def test_span_corruption_mask_fraction(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import (
+        _SPAN_LEN,
+        _SPAN_STRIDE,
+        corpus_span_corruption,
+    )
+
+    rows = corpus_span_corruption(spark, sf_dir).collect()
+    assert rows
+    frac = _SPAN_LEN / _SPAN_STRIDE
+    for r in rows:
+        assert r.n_tokens >= _SPAN_STRIDE
+        # mask rate hovers at L/S (edge spans may truncate)
+        assert 0 < r.n_masked <= r.n_tokens * frac + _SPAN_LEN
+        assert len(r.input_md5) == 32 and len(r.target_md5) == 32

@@ -349,3 +349,25 @@ def test_pettitt_day_in_series_and_p_valid(spark, sf_dir):
     assert r.n_days > 30
     assert r.k_stat > 0
     assert 0.0 <= r.p_approx <= 1.0
+
+
+def test_mutual_info_nonneg_total(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_mutual_info_type_hour
+
+    rows = q_mutual_info_type_hour(spark, sf_dir).collect()
+    assert rows
+    # MI itself is >= 0 (cells can be negative; the sum cannot)
+    assert sum(r.mi_contribution_bits for r in rows) >= -1e-6
+    for r in rows:
+        assert r.n_hours <= 24
+
+
+def test_permutation_entropy_bounds(spark, sf_dir):
+    import math
+
+    from etl_gov_spark.operators.mlstats import q_permutation_entropy
+
+    r = q_permutation_entropy(spark, sf_dir).collect()[0]
+    assert 1 <= r.n_patterns <= 6
+    assert 0.0 <= r.perm_entropy_bits <= math.log2(6) + 1e-9
+    assert r.n_windows > 30

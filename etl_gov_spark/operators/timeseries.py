@@ -2292,3 +2292,181 @@ QUERIES["q_user_lifecycle_states"] = (
     q_user_lifecycle_states,
     Q_USER_LIFECYCLE_SQL,
 )
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: decompose each week's active users
+    into new / retained / resurrected, count the users churning in,
+    and report the quick ratio (new+resurrected)/churned — the
+    growth-accounting table (ΔWAU identity) every consumer product
+    review starts with.
+
+    Activity collapses to the (user, week) grid first; "active last
+    week" is an equi-join against the grid shifted by 7 days — the
+    whole decomposition is joins and aggregates on that bounded
+    grid, no windows over fact rows.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.date_trunc("week", F.to_date("ts")).cast("date").alias("wk")
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = ev.select("user_id", F.date_add("wk", 7).alias("wk"), F.lit(1).alias("p"))
+    tagged = (
+        ev.join(first, "user_id")
+        .join(prev, ["user_id", "wk"], "left")
+        .select(
+            "wk",
+            (F.col("wk") == F.col("first_wk")).cast("long").alias("is_new"),
+            (F.col("p") == 1).cast("long").alias("is_ret"),
+        )
+    )
+    per_wk = tagged.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("is_new").alias("n_new"),
+        F.sum(F.coalesce("is_ret", F.lit(0))).alias("n_retained"),
+        F.sum(
+            (
+                (F.col("is_new") == 0)
+                & (F.coalesce(F.col("is_ret"), F.lit(0)) == 0)
+            ).cast("long")
+        ).alias("n_resurrected"),
+    )
+    churn = (
+        ev.select("user_id", F.date_add("wk", 7).alias("wk"))
+        .join(ev, ["user_id", "wk"], "left_anti")
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_churned_in"))
+    )
+    j = per_wk.join(churn, "wk", "left").select(
+        "wk",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned_in", F.lit(0)).alias("n_churned_in"),
+    )
+    return j.select(
+        "*",
+        _R4(
+            (F.col("n_new") + F.col("n_resurrected"))
+            / F.nullif(F.col("n_churned_in"), F.lit(0)),
+            "quick_ratio",
+        ),
+    )
+
+
+Q_GROWTH_ACCOUNTING_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS DATE)) AS wk
+  FROM events
+), first_wk AS (
+  SELECT user_id, min(wk) AS first_wk FROM active GROUP BY user_id
+), tagged AS (
+  SELECT a.wk,
+         CASE WHEN a.wk = f.first_wk THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_ret
+  FROM active a
+  JOIN first_wk f USING (user_id)
+  LEFT JOIN active p ON p.user_id = a.user_id AND p.wk + 7 = a.wk
+), per_wk AS (
+  SELECT wk, count(*) AS n_active,
+         sum(is_new) AS n_new,
+         sum(is_ret) AS n_retained,
+         sum(CASE WHEN is_new = 0 AND is_ret = 0 THEN 1 ELSE 0 END)
+           AS n_resurrected
+  FROM tagged GROUP BY wk
+), churn AS (
+  SELECT a.wk + 7 AS wk, count(*) AS n_churned_in
+  FROM active a
+  LEFT JOIN active nxt ON nxt.user_id = a.user_id AND nxt.wk = a.wk + 7
+  WHERE nxt.user_id IS NULL
+  GROUP BY a.wk + 7
+)
+SELECT p.wk, CAST(p.n_active AS BIGINT) AS n_active,
+       CAST(p.n_new AS BIGINT) AS n_new,
+       CAST(p.n_retained AS BIGINT) AS n_retained,
+       CAST(p.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(coalesce(c.n_churned_in, 0) AS BIGINT) AS n_churned_in,
+       round((p.n_new + p.n_resurrected)
+             / CAST(nullif(coalesce(c.n_churned_in, 0), 0) AS DOUBLE), 4)
+         AS quick_ratio
+FROM per_wk p LEFT JOIN churn c USING (wk)
+"""
+
+QUERIES["q_growth_accounting"] = (q_growth_accounting, Q_GROWTH_ACCOUNTING_SQL)
+
+
+def q_cohort_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: average the day-0..7 cohort retention
+    curve across cohorts, fit ln(rate) ~ offset by OLS, and report
+    the decay slope and implied half-life in days — the one-number
+    summary of the triangle ``q_retention_cohort`` emits.
+
+    Everything after the cohort rollup is |offsets| rows; the fit
+    is the algebraic regr_* pair.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_day = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    tri = (
+        active.join(first_day, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("off"),
+            "user_id",
+        )
+        .filter(F.col("off") <= 7)
+        .groupBy("cohort_day", "off")
+        .agg(F.count_distinct("user_id").alias("n"))
+    )
+    base = tri.filter(F.col("off") == 0).select(
+        "cohort_day", F.col("n").alias("n0")
+    )
+    rates = (
+        tri.join(base, "cohort_day")
+        .groupBy("off")
+        .agg(F.avg(F.col("n") / F.col("n0")).alias("rate"))
+        .filter(F.col("off") >= 1)
+    )
+    fit = rates.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.regr_slope(F.log("rate"), F.col("off").cast("double")).alias("slope"),
+        F.regr_r2(F.log("rate"), F.col("off").cast("double")).alias("r2"),
+    )
+    return fit.select(
+        "n_points",
+        _R4(F.col("slope"), "decay_slope"),
+        _R4(-F.log(F.lit(2.0)) / F.col("slope"), "half_life_days"),
+        _R4(F.col("r2"), "r2"),
+    )
+
+
+Q_COHORT_DECAY_SQL = """
+WITH fd AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), tri AS (
+  SELECT cohort_day, date_diff('day', cohort_day, day) AS off,
+         count(DISTINCT user_id) AS n
+  FROM active JOIN fd USING (user_id)
+  WHERE date_diff('day', cohort_day, day) <= 7
+  GROUP BY 1, 2
+), base AS (
+  SELECT cohort_day, n AS n0 FROM tri WHERE off = 0
+), rates AS (
+  SELECT t.off, avg(t.n / CAST(b.n0 AS DOUBLE)) AS rate
+  FROM tri t JOIN base b USING (cohort_day)
+  WHERE t.off >= 1 GROUP BY t.off
+)
+SELECT count(*) AS n_points,
+       round(regr_slope(ln(rate), CAST(off AS DOUBLE)), 4) AS decay_slope,
+       round(-ln(2.0) / regr_slope(ln(rate), CAST(off AS DOUBLE)), 4)
+         AS half_life_days,
+       round(regr_r2(ln(rate), CAST(off AS DOUBLE)), 4) AS r2
+FROM rates
+"""
+
+QUERIES["q_cohort_decay_fit"] = (q_cohort_decay_fit, Q_COHORT_DECAY_SQL)

@@ -105,6 +105,8 @@ _PINNED_FIRST = (
     "corpus_span_corruption",
     "q_mutual_info_type_hour",
     "q_permutation_entropy",
+    "q_growth_accounting",
+    "q_cohort_decay_fit",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

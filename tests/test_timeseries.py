@@ -202,3 +202,27 @@ def test_lifecycle_states_partition_users(spark, sf_dir):
     )
     assert sum(r.n_users for r in rows) == n_users
     assert {r.state for r in rows} <= {"new", "active", "at_risk", "churned"}
+
+
+def test_growth_accounting_identity(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_growth_accounting
+
+    rows = sorted(q_growth_accounting(spark, sf_dir).collect(), key=lambda r: r.wk)
+    assert rows
+    for r in rows:
+        # the decomposition is a partition of actives
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    # first week: everyone is new
+    assert rows[0].n_new == rows[0].n_active
+
+
+def test_cohort_decay_halflife_positive(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_cohort_decay_fit
+
+    r = q_cohort_decay_fit(spark, sf_dir).collect()[0]
+    assert r.n_points == 7
+    # synthetic users barely churn, so the slope may sit either side
+    # of zero — assert the identity and bounds, not the sign
+    assert (r.half_life_days > 0) == (r.decay_slope < 0)
+    assert abs(r.half_life_days * r.decay_slope) - 0.6931 < 1e-3
+    assert 0.0 <= r.r2 <= 1.0

@@ -1383,3 +1383,137 @@ QUERIES["q_permutation_entropy"] = (
     q_permutation_entropy,
     Q_PERMUTATION_ENTROPY_SQL,
 )
+
+
+def q_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across day-of-week groups on daily revenue:
+    the F statistic for "does the weekday move the mean at all" —
+    the parametric complement of ``q_kruskal_wallis`` (which ranks)
+    and the significance layer over ``q_weekly_seasonality``'s raw
+    means.
+
+    Between/within sums of squares decompose algebraically, so the
+    whole test is two grouped aggregates over the bounded daily
+    series.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .select((F.dayofweek("day") - 1).alias("dow"), "rev")
+    )
+    grp = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("rev").alias("si"),
+        F.sum(F.col("rev") * F.col("rev")).alias("qi"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum(F.col("si") * F.col("si") / F.col("ni")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    dfb = F.col("k") - 1
+    dfw = F.col("n") - F.col("k")
+    f_stat = (ssb / dfb) / (ssw / dfw)
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_days"),
+        _R4(f_stat, "f_stat"),
+        dfb.alias("df_between"),
+        dfw.alias("df_within"),
+        _R4(ssb / (ssb + ssw), "eta_squared"),
+    )
+
+
+Q_ANOVA_DOW_SQL = """
+WITH daily AS (
+  SELECT dayofweek(CAST(o_orderdate AS DATE)) AS dow,
+         sum(o_totalprice) AS rev
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), grp AS (
+  SELECT dow, count(*) AS ni, sum(rev) AS si, sum(rev * rev) AS qi
+  FROM daily GROUP BY dow
+), tot AS (
+  SELECT count(*) AS k, sum(ni) AS n, sum(si) AS s, sum(qi) AS q,
+         sum(si * si / ni) AS sb
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_days,
+       round(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 4) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within,
+       round((sb - s * s / n) / (q - s * s / n), 4) AS eta_squared
+FROM tot
+"""
+
+QUERIES["q_anova_dow"] = (q_anova_dow, Q_ANOVA_DOW_SQL)
+
+
+def q_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test: are the value VARIANCES equal across
+    event types? ANOVA on |x − group median| — the robust variance-
+    equality check run before trusting any pooled-variance test
+    (Welch in ``q_abtest_lift`` sidesteps it; this measures it).
+
+    Group medians broadcast back from one exact-percentile
+    aggregate; the deviation ANOVA reuses the same algebraic
+    decomposition as ``q_anova_dow``.
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    grp = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.sum("z").alias("si"),
+        F.sum(F.col("z") * F.col("z")).alias("qi"),
+    )
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("si").alias("s"),
+        F.sum("qi").alias("q"),
+        F.sum(F.col("si") * F.col("si") / F.col("ni")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("q") - F.col("sb")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k")))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        _R4(f_stat, "bf_stat"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+    )
+
+
+Q_BROWN_FORSYTHE_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS z
+  FROM events e JOIN med m USING (event_type)
+), grp AS (
+  SELECT event_type, count(*) AS ni, sum(z) AS si, sum(z * z) AS qi
+  FROM dev GROUP BY event_type
+), tot AS (
+  SELECT count(*) AS k, sum(ni) AS n, sum(si) AS s, sum(qi) AS q,
+         sum(si * si / ni) AS sb
+  FROM grp
+)
+SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n_obs,
+       round(((sb - s * s / n) / (k - 1)) / ((q - sb) / (n - k)), 4) AS bf_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(n - k AS BIGINT) AS df_within
+FROM tot
+"""
+
+QUERIES["q_brown_forsythe"] = (q_brown_forsythe, Q_BROWN_FORSYTHE_SQL)

@@ -107,6 +107,8 @@ _PINNED_FIRST = (
     "q_permutation_entropy",
     "q_growth_accounting",
     "q_cohort_decay_fit",
+    "q_anova_dow",
+    "q_brown_forsythe",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -371,3 +371,23 @@ def test_permutation_entropy_bounds(spark, sf_dir):
     assert 1 <= r.n_patterns <= 6
     assert 0.0 <= r.perm_entropy_bits <= math.log2(6) + 1e-9
     assert r.n_windows > 30
+
+
+def test_anova_dow_structure(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_anova_dow
+
+    r = q_anova_dow(spark, sf_dir).collect()[0]
+    assert r.n_groups == 7
+    assert r.df_between == 6
+    assert r.df_within == r.n_days - 7
+    assert r.f_stat >= 0
+    assert 0.0 <= r.eta_squared <= 1.0
+
+
+def test_brown_forsythe_structure(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_brown_forsythe
+
+    r = q_brown_forsythe(spark, sf_dir).collect()[0]
+    assert r.n_groups == 5
+    assert r.bf_stat >= 0
+    assert r.df_within == r.n_obs - 5

@@ -1517,3 +1517,139 @@ FROM tot
 """
 
 QUERIES["q_brown_forsythe"] = (q_brown_forsythe, Q_BROWN_FORSYTHE_SQL)
+
+
+def q_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test: is the purchase RATE different on
+    weekends vs weekdays? — the proportion counterpart of the
+    mean-based ``q_abtest_lift``, with the pooled-variance z under
+    H₀: p₁ = p₂.
+
+    One conditional aggregate produces all four counts; the
+    statistic is row-local algebra on a single row.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.dayofweek("ts").isin(1, 7).cast("long").alias("wk"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    )
+    agg = ev.agg(
+        F.sum(F.when(F.col("wk") == 1, F.col("y"))).alias("x1"),
+        F.sum(F.col("wk")).alias("n1"),
+        F.sum(F.when(F.col("wk") == 0, F.col("y"))).alias("x2"),
+        F.sum(1 - F.col("wk")).alias("n2"),
+    )
+    p1 = F.col("x1") / F.col("n1")
+    p2 = F.col("x2") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")) / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(pp * (1 - pp) * (1 / F.col("n1") + 1 / F.col("n2")))
+    return agg.select(
+        F.col("n1").alias("n_weekend"),
+        F.col("n2").alias("n_weekday"),
+        _R4(p1, "rate_weekend"),
+        _R4(p2, "rate_weekday"),
+        _R4(z, "z_stat"),
+    )
+
+
+Q_TWO_PROPORTION_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), agg AS (
+  SELECT sum(CASE WHEN wk = 1 THEN y END) AS x1, sum(wk) AS n1,
+         sum(CASE WHEN wk = 0 THEN y END) AS x2, sum(1 - wk) AS n2
+  FROM ev
+)
+SELECT CAST(n1 AS BIGINT) AS n_weekend, CAST(n2 AS BIGINT) AS n_weekday,
+       round(x1 / CAST(n1 AS DOUBLE), 4) AS rate_weekend,
+       round(x2 / CAST(n2 AS DOUBLE), 4) AS rate_weekday,
+       round((x1 / CAST(n1 AS DOUBLE) - x2 / CAST(n2 AS DOUBLE))
+             / sqrt(((x1 + x2) / CAST(n1 + n2 AS DOUBLE))
+                    * (1 - (x1 + x2) / CAST(n1 + n2 AS DOUBLE))
+                    * (1.0 / n1 + 1.0 / n2)), 4) AS z_stat
+FROM agg
+"""
+
+QUERIES["q_two_proportion_z"] = (q_two_proportion_z, Q_TWO_PROPORTION_SQL)
+
+
+_JK_BLOCKS = 10
+
+
+def q_jackknife_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-block jackknife CI for the mean order value:
+    hash-assign orders to 10 blocks, compute each leave-one-out
+    mean from the block sums (ONE pass — no B re-scans), and report
+    the jackknife SE and 95% CI — distribution-free uncertainty
+    for a statistic the warehouse computes anyway, with
+    deterministic md5 block assignment any engine replays.
+
+    The resampling trick that matters at 100 TB: block sums are a
+    10-row aggregate; every pseudo-value is algebra on those 10
+    rows, so uncertainty costs the same as the point estimate.
+    """
+    orders = Catalog(spark, sf_dir).orders.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 6),
+                16,
+                10,
+            ).cast("long")
+            % _JK_BLOCKS
+        ).alias("blk"),
+        F.col("o_totalprice").alias("v"),
+    )
+    blocks = orders.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("nb"), F.sum("v").alias("sb")
+    )
+    tot = blocks.agg(
+        F.sum("nb").alias("n"), F.sum("sb").alias("s"),
+        F.count(F.lit(1)).alias("g"),
+    )
+    pseudo = blocks.crossJoin(F.broadcast(tot)).select(
+        ((F.col("s") - F.col("sb")) / (F.col("n") - F.col("nb"))).alias("loo")
+    )
+    stats = pseudo.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.avg("loo").alias("m"),
+        F.var_samp("loo").alias("v"),
+    )
+    se = F.sqrt((F.col("g") - 1) * F.col("v") * (F.col("g") - 1) / F.col("g"))
+    full = tot.select((F.col("s") / F.col("n")).alias("mean_full"))
+    return stats.crossJoin(F.broadcast(full)).select(
+        F.col("g").alias("n_blocks"),
+        _R4(F.col("mean_full"), "mean"),
+        _R4(se, "jk_se"),
+        _R4(F.col("mean_full") - 1.96 * se, "ci_lo"),
+        _R4(F.col("mean_full") + 1.96 * se, "ci_hi"),
+    )
+
+
+Q_JACKKNIFE_SQL = f"""
+WITH orders_b AS (
+  SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6) AS BIGINT)
+           % {_JK_BLOCKS} AS blk,
+         o_totalprice AS v
+  FROM orders
+), blocks AS (
+  SELECT blk, count(*) AS nb, sum(v) AS sb FROM orders_b GROUP BY blk
+), tot AS (
+  SELECT sum(nb) AS n, sum(sb) AS s, count(*) AS g FROM blocks
+), pseudo AS (
+  SELECT (t.s - b.sb) / CAST(t.n - b.nb AS DOUBLE) AS loo
+  FROM blocks b CROSS JOIN tot t
+), stats AS (
+  SELECT count(*) AS g, avg(loo) AS m, var_samp(loo) AS v FROM pseudo
+)
+SELECT CAST(s.g AS BIGINT) AS n_blocks,
+       round(t.s / t.n, 4) AS mean,
+       round(sqrt((s.g - 1) * s.v * (s.g - 1) / s.g), 4) AS jk_se,
+       round(t.s / t.n - 1.96 * sqrt((s.g - 1) * s.v * (s.g - 1) / s.g), 4)
+         AS ci_lo,
+       round(t.s / t.n + 1.96 * sqrt((s.g - 1) * s.v * (s.g - 1) / s.g), 4)
+         AS ci_hi
+FROM stats s CROSS JOIN tot t
+"""
+
+QUERIES["q_jackknife_ci"] = (q_jackknife_ci, Q_JACKKNIFE_SQL)

@@ -109,6 +109,8 @@ _PINNED_FIRST = (
     "q_cohort_decay_fit",
     "q_anova_dow",
     "q_brown_forsythe",
+    "q_two_proportion_z",
+    "q_jackknife_ci",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -391,3 +391,21 @@ def test_brown_forsythe_structure(spark, sf_dir):
     assert r.n_groups == 5
     assert r.bf_stat >= 0
     assert r.df_within == r.n_obs - 5
+
+
+def test_two_proportion_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_two_proportion_z
+
+    r = q_two_proportion_z(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.rate_weekend <= 1.0 and 0.0 <= r.rate_weekday <= 1.0
+    assert (r.z_stat > 0) == (r.rate_weekend > r.rate_weekday)
+    assert r.n_weekend + r.n_weekday > 0
+
+
+def test_jackknife_ci_brackets_mean(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_jackknife_ci
+
+    r = q_jackknife_ci(spark, sf_dir).collect()[0]
+    assert r.n_blocks == 10
+    assert r.ci_lo < r.mean < r.ci_hi
+    assert r.jk_se > 0

@@ -911,3 +911,90 @@ FROM halves
 
 
 QUERIES["dq_cardinality_drift"] = (dq_cardinality_drift, _cardinality_sql())
+
+
+def dq_sequence_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-constraint validation: a purchase with NO prior
+    engagement event (view/click/signup) in the same 30-minute
+    session is flagged as an orphan — the state-machine DQ rule
+    (bot traffic, replayed webhooks, and dropped upstream events
+    all present as impossible orderings).
+
+    Session ids come from the standard two-window sessionizer;
+    "any prior engagement" is a running conditional max over the
+    SAME (user, ts) sort — no joins, no second shuffle. Output is
+    the per-day orphan census.
+    """
+    from etl_gov_spark.operators.timeseries import SESSION_GAP_US
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.unix_micros("ts").alias("_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("_us") - F.lag("_us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(F.when(F.lag("_us").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn("sid", F.sum("_new").over(w))
+    ws = (
+        Window.partitionBy("user_id", "sid")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    engaged = F.max(
+        F.col("event_type").isin("view", "click", "signup").cast("long")
+    ).over(ws)
+    flagged = sess.select(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.coalesce(engaged, F.lit(0)).alias("had_prior"),
+    ).filter(F.col("event_type") == "purchase")
+    return flagged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(1 - F.col("had_prior")).alias("n_orphans"),
+        _R4(F.avg(1 - F.col("had_prior")), "orphan_rate"),
+    )
+
+
+DQ_SEQUENCE_RULE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {{gap}} THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+), scored AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         coalesce(max(CASE WHEN event_type IN ('view', 'click', 'signup')
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id, sid ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS had_prior
+  FROM sess
+)
+SELECT day, count(*) AS n_purchases,
+       CAST(sum(1 - had_prior) AS BIGINT) AS n_orphans,
+       round(avg(1 - had_prior), 4) AS orphan_rate
+FROM scored
+WHERE event_type = 'purchase'
+GROUP BY day
+"""
+
+
+def _dq_sequence_sql() -> str:
+    from etl_gov_spark.operators.timeseries import SESSION_GAP_US
+
+    return DQ_SEQUENCE_RULE_SQL.format(gap=SESSION_GAP_US)
+
+
+QUERIES["dq_sequence_rule"] = (dq_sequence_rule, _dq_sequence_sql())

@@ -2470,3 +2470,91 @@ FROM rates
 """
 
 QUERIES["q_cohort_decay_fit"] = (q_cohort_decay_fit, Q_COHORT_DECAY_SQL)
+
+
+_CONV_WINDOWS_H = (1, 6, 24)
+
+
+def q_conversion_window_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-window sensitivity: how many signup→purchase
+    conversions survive a 1 h / 6 h / 24 h window — the sweep that
+    decides the attribution-window debate with data instead of
+    opinion (if 1 h ≈ 24 h the argument is moot).
+
+    Each user's first signup and first subsequent purchase come
+    from ONE conditional aggregate; all three window counts are
+    conditional sums over that per-user row. One shuffle total.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("us"))).alias("s0")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("us").alias("pus")
+    )
+    first_pur = (
+        pur.join(per, "user_id")
+        .filter(F.col("pus") >= F.col("s0"))
+        .groupBy("user_id")
+        .agg(F.min("s0").alias("s0"), F.min("pus").alias("p0"))
+    )
+    lat_h = (F.col("p0") - F.col("s0")) / 3_600_000_000.0
+    aggs = [F.count(F.lit(1)).alias("n_converted_ever")]
+    for h in _CONV_WINDOWS_H:
+        aggs.append(
+            F.sum((lat_h <= h).cast("long")).alias(f"n_within_{h}h")
+        )
+    out = first_pur.agg(*aggs)
+    base = per.filter(F.col("s0").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_signup_users")
+    )
+    return out.crossJoin(F.broadcast(base)).select(
+        "n_signup_users",
+        "n_converted_ever",
+        *[F.col(f"n_within_{h}h") for h in _CONV_WINDOWS_H],
+        *[
+            _R4(F.col(f"n_within_{h}h") / F.col("n_signup_users"), f"cvr_{h}h")
+            for h in _CONV_WINDOWS_H
+        ],
+    )
+
+
+def _conv_window_sql() -> str:
+    wins = ", ".join(
+        f"CAST(sum(CASE WHEN (p0 - s0) / 3600000000.0 <= {h} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_within_{h}h"
+        for h in _CONV_WINDOWS_H
+    )
+    cvrs = ", ".join(
+        f"round(sum(CASE WHEN (p0 - s0) / 3600000000.0 <= {h} THEN 1 ELSE 0 END)"
+        f" / CAST((SELECT count(*) FROM per WHERE s0 IS NOT NULL) AS DOUBLE), 4)"
+        f" AS cvr_{h}h"
+        for h in _CONV_WINDOWS_H
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+), per AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN us END) AS s0
+  FROM ev GROUP BY user_id
+), first_pur AS (
+  SELECT e.user_id, min(p.s0) AS s0, min(e.us) AS p0
+  FROM ev e JOIN per p USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.us >= p.s0
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM per WHERE s0 IS NOT NULL) AS n_signup_users,
+       count(*) AS n_converted_ever,
+       {wins},
+       {cvrs}
+FROM first_pur
+"""
+
+
+QUERIES["q_conversion_window_sensitivity"] = (
+    q_conversion_window_sensitivity,
+    _conv_window_sql(),
+)

@@ -111,6 +111,8 @@ _PINNED_FIRST = (
     "q_brown_forsythe",
     "q_two_proportion_z",
     "q_jackknife_ci",
+    "dq_sequence_rule",
+    "q_conversion_window_sensitivity",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

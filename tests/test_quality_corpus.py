@@ -551,3 +551,13 @@ def test_span_corruption_mask_fraction(spark, sf_dir):
         # mask rate hovers at L/S (edge spans may truncate)
         assert 0 < r.n_masked <= r.n_tokens * frac + _SPAN_LEN
         assert len(r.input_md5) == 32 and len(r.target_md5) == 32
+
+
+def test_sequence_rule_rates_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_sequence_rule
+
+    rows = dq_sequence_rule(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_orphans <= r.n_purchases
+        assert 0.0 <= r.orphan_rate <= 1.0

@@ -226,3 +226,13 @@ def test_cohort_decay_halflife_positive(spark, sf_dir):
     assert (r.half_life_days > 0) == (r.decay_slope < 0)
     assert abs(abs(r.half_life_days * r.decay_slope) - 0.6931) < 0.01
     assert 0.0 <= r.r2 <= 1.0
+
+
+def test_conversion_window_monotone(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_conversion_window_sensitivity
+
+    r = q_conversion_window_sensitivity(spark, sf_dir).collect()[0]
+    # wider window can only keep more conversions
+    assert r.n_within_1h <= r.n_within_6h <= r.n_within_24h <= r.n_converted_ever
+    assert r.cvr_1h <= r.cvr_6h <= r.cvr_24h
+    assert r.n_converted_ever <= r.n_signup_users

@@ -174,3 +174,57 @@ def text_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["text_compression_quality"] = (text_compression_quality, None)
+
+
+_Z_SCHEMA = (
+    "event_type string, n long, mean double, std double, "
+    "min_z double, max_z double"
+)
+
+
+def _zscore_group(pdf):
+    import pandas as pd
+
+    v = pdf["value"]
+    mu = float(v.mean())
+    sd = float(v.std(ddof=0))
+    z = (v - mu) / sd
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [len(v)],
+            "mean": [round(mu, 4)],
+            "std": [round(sd, 4)],
+            "min_z": [round(float(z.min()), 4)],
+            "max_z": [round(float(z.max()), 4)],
+        }
+    )
+
+
+def udaf_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInPandas z-score profile per event type — the
+    Arrow-vectorized normalization template (each group's batch is
+    standardized in numpy/pandas, the schema contract is explicit)
+    with an exactly-verifiable SQL twin, like ``udaf_trend_pandas``.
+
+    The group key is low-cardinality so each Arrow batch is large —
+    the shape where applyInPandas amortizes; for per-user grouping
+    the same code runs with a hash-partitioned high-cardinality
+    key.
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _zscore_group, schema=_Z_SCHEMA
+    )
+
+
+UDAF_ZSCORE_SQL = """
+SELECT event_type, count(*) AS n,
+       round(avg(value), 4) AS mean,
+       round(stddev_pop(value), 4) AS std,
+       round((min(value) - avg(value)) / stddev_pop(value), 4) AS min_z,
+       round((max(value) - avg(value)) / stddev_pop(value), 4) AS max_z
+FROM events GROUP BY event_type
+"""
+
+QUERIES["udaf_zscore_pandas"] = (udaf_zscore_pandas, UDAF_ZSCORE_SQL)

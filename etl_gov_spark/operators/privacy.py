@@ -182,3 +182,56 @@ QUERIES: dict[str, tuple] = {
     "q_k_anonymity_audit": (q_k_anonymity_audit, Q_K_ANONYMITY_SQL),
     "q_anon_generalize": (q_anon_generalize, Q_ANON_GENERALIZE_SQL),
 }
+
+
+L_DIVERSITY = 3
+
+
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity over the same quasi-identifier triple as the
+    k-anonymity audit, with market segment as the SENSITIVE
+    attribute: a QI group whose members share too few distinct
+    sensitive values leaks the attribute even when it is k-
+    anonymous — the standard follow-on check (k says "hidden in a
+    crowd"; l says "the crowd doesn't all share your secret").
+
+    QI groups here are (nation, balance band); per nation we report
+    groups, under-l groups, and the rows they expose. Two bounded
+    grouped aggregates, same shape as ``q_k_anonymity_audit``.
+    """
+    qi = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    groups = qi.groupBy("c_nationkey", "bal_band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("c_mktsegment").alias("l"),
+    )
+    return groups.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("l") < L_DIVERSITY).cast("long")).alias("low_div_groups"),
+        F.sum(F.when(F.col("l") < L_DIVERSITY, F.col("n")).otherwise(0)).alias(
+            "rows_exposed"
+        ),
+        F.min("l").alias("min_l"),
+    )
+
+
+Q_L_DIVERSITY_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS n, count(DISTINCT c_mktsegment) AS l
+  FROM customer GROUP BY 1, 2
+)
+SELECT c_nationkey,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN l < {L_DIVERSITY} THEN 1 ELSE 0 END) AS BIGINT)
+         AS low_div_groups,
+       CAST(sum(CASE WHEN l < {L_DIVERSITY} THEN n ELSE 0 END) AS BIGINT)
+         AS rows_exposed,
+       min(l) AS min_l
+FROM groups GROUP BY c_nationkey
+"""
+
+QUERIES["q_l_diversity_audit"] = (q_l_diversity_audit, Q_L_DIVERSITY_SQL)

@@ -113,6 +113,8 @@ _PINNED_FIRST = (
     "q_jackknife_ci",
     "dq_sequence_rule",
     "q_conversion_window_sensitivity",
+    "q_l_diversity_audit",
+    "udaf_zscore_pandas",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

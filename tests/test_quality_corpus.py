@@ -561,3 +561,14 @@ def test_sequence_rule_rates_bounded(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_orphans <= r.n_purchases
         assert 0.0 <= r.orphan_rate <= 1.0
+
+
+def test_l_diversity_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.privacy import L_DIVERSITY, q_l_diversity_audit
+
+    rows = q_l_diversity_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.min_l <= 5  # at most |segments| distinct
+        assert 0 <= r.low_div_groups <= r.n_groups
+        assert (r.low_div_groups == 0) == (r.min_l >= L_DIVERSITY)

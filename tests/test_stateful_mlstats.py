@@ -409,3 +409,13 @@ def test_jackknife_ci_brackets_mean(spark, sf_dir):
     assert r.n_blocks == 10
     assert r.ci_lo < r.mean < r.ci_hi
     assert r.jk_se > 0
+
+
+def test_zscore_pandas_profile(spark, sf_dir):
+    from etl_gov_spark.operators.pandas_udfs import udaf_zscore_pandas
+
+    rows = udaf_zscore_pandas(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_z < 0 < r.max_z
+        assert r.std > 0

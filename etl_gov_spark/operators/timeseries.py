@@ -2558,3 +2558,74 @@ QUERIES["q_conversion_window_sensitivity"] = (
     q_conversion_window_sensitivity,
     _conv_window_sql(),
 )
+
+
+def q_session_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any-order engagement completeness: histogram sessions by how
+    many DISTINCT event types they contain, with the share holding
+    the full five-type set — the unordered complement of the staged
+    funnel (stages in ``q_funnel`` must happen in order; a support
+    ticket does not care which came first).
+
+    Sessionize (house pattern), per-session distinct-type count,
+    then a ≤5-row histogram. The distinct count is per (user,
+    session) — bounded by the type vocabulary, never wide.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.unix_micros("ts").alias("_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.withColumn(
+        "_new",
+        F.when(
+            F.col("_us") - F.lag("_us").over(w) > SESSION_GAP_US, 1
+        ).otherwise(F.when(F.lag("_us").over(w).isNull(), 1).otherwise(0)),
+    ).withColumn("sid", F.sum("_new").over(w))
+    per = sess.groupBy("user_id", "sid").agg(
+        F.count_distinct("event_type").alias("n_types"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    hist = per.groupBy("n_types").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        _R4(F.avg("n_events"), "avg_events"),
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "n_types",
+        "n_sessions",
+        "avg_events",
+        _R4(F.col("n_sessions") / F.col("t"), "share"),
+    )
+
+
+Q_SESSION_COMPLETENESS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type, epoch_us(ts) AS us FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(us) OVER w IS NULL
+                OR us - lag(us) OVER w > {SESSION_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+), per AS (
+  SELECT user_id, sid, count(DISTINCT event_type) AS n_types,
+         count(*) AS n_events
+  FROM sess GROUP BY 1, 2
+), hist AS (
+  SELECT n_types, count(*) AS n_sessions, round(avg(n_events), 4) AS avg_events
+  FROM per GROUP BY n_types
+)
+SELECT n_types, n_sessions, avg_events,
+       round(n_sessions / CAST((SELECT count(*) FROM per) AS DOUBLE), 4) AS share
+FROM hist
+"""
+
+QUERIES["q_session_completeness"] = (
+    q_session_completeness,
+    Q_SESSION_COMPLETENESS_SQL,
+)

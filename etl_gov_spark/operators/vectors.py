@@ -1244,3 +1244,69 @@ FROM per_anchor GROUP BY a_label
 """
 
 QUERIES["emb_recall_at_k"] = (emb_recall_at_k, EMB_RECALL_AT_K_SQL)
+
+
+def emb_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first same-label neighbor per
+    stride-sampled anchor, averaged per label — the third leg of
+    the retrieval-eval stool next to ``emb_recall_at_k`` (set
+    quality) and ``emb_knn_classify`` (vote quality): MRR rewards
+    putting ONE right answer first.
+
+    Exact ranking against broadcast anchors; the first-hit rank is
+    a conditional min over the ranked pairs, so no per-anchor sort
+    materializes beyond the window.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vn", _norm("v"))
+    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
+    scored = pairs.select(
+        "a_id",
+        "a_label",
+        (F.col("label") == F.col("a_label")).alias("hit"),
+        F.round(cos, 6).alias("c"),
+        F.col("vec_id").alias("cand_id"),
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    first_hit = ranked.filter("hit").groupBy("a_id", "a_label").agg(
+        F.min("rk").alias("first_rank")
+    )
+    return first_hit.groupBy(F.col("a_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        _R4(F.avg(1.0 / F.col("first_rank")), "mrr"),
+        _R4(F.avg("first_rank"), "mean_first_rank"),
+    )
+
+
+EMB_MRR_SQL = f"""
+WITH scored AS (
+  SELECT a.vec_id AS a_id, a.label AS a_label,
+         c.label = a.label AS hit, c.vec_id AS cand_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[])), 6) AS c
+  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
+  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+), ranked AS (
+  SELECT a_id, a_label, hit,
+         row_number() OVER (PARTITION BY a_id ORDER BY c DESC, cand_id ASC) AS rk
+  FROM scored
+), first_hit AS (
+  SELECT a_id, a_label, min(rk) AS first_rank
+  FROM ranked WHERE hit GROUP BY 1, 2
+)
+SELECT a_label AS label, count(*) AS n_anchors,
+       round(avg(1.0 / first_rank), 4) AS mrr,
+       round(avg(first_rank), 4) AS mean_first_rank
+FROM first_hit GROUP BY a_label
+"""
+
+QUERIES["emb_mrr_eval"] = (emb_mrr_eval, EMB_MRR_SQL)

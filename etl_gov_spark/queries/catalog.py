@@ -115,6 +115,8 @@ _PINNED_FIRST = (
     "q_conversion_window_sensitivity",
     "q_l_diversity_audit",
     "udaf_zscore_pandas",
+    "q_session_completeness",
+    "emb_mrr_eval",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -236,3 +236,19 @@ def test_conversion_window_monotone(spark, sf_dir):
     assert r.n_within_1h <= r.n_within_6h <= r.n_within_24h <= r.n_converted_ever
     assert r.cvr_1h <= r.cvr_6h <= r.cvr_24h
     assert r.n_converted_ever <= r.n_signup_users
+
+
+def test_session_completeness_shares(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import (
+        q_session_completeness,
+        q_sessionize,
+    )
+
+    rows = q_session_completeness(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+    n_sessions = q_sessionize(spark, sf_dir).count()
+    assert sum(r.n_sessions for r in rows) == n_sessions
+    for r in rows:
+        assert 1 <= r.n_types <= 5
+        assert r.avg_events >= r.n_types  # at least one event per type

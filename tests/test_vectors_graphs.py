@@ -355,3 +355,15 @@ def test_recall_at_k_in_unit_interval(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.recall_at_10 <= 1.0
         assert r.n_anchors > 0
+
+
+def test_mrr_bounds_and_consistency(spark, sf_dir):
+    from etl_gov_spark.operators.vectors import emb_mrr_eval
+
+    rows = emb_mrr_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.mrr <= 1.0
+        assert r.mean_first_rank >= 1.0
+        # Jensen: avg(1/rank) >= 1/avg(rank)
+        assert r.mrr >= 1.0 / r.mean_first_rank - 1e-4

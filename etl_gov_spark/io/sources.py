@@ -291,3 +291,39 @@ def read_xml(
     if schema:
         r = r.schema(schema)
     return r.load(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True when the spark-avro module is on the classpath. Avro is
+    'built-in but external' since Spark 2.4 — clusters deploy
+    org.apache.spark:spark-avro with --packages; this container
+    does not ship it, so the readers below gate on this probe
+    instead of failing mid-pipeline."""
+    try:
+        # ask the engine's own resolver — Class.forName is not
+        # enough (avro-core jars ship for shuffle serialization
+        # without the spark-avro DataSourceRegister)
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(
+    spark: SparkSession, path: str, schema: StructType | str | None = None
+) -> DataFrame:
+    """Avro source (row-major interchange format — Kafka estates and
+    schema-registry pipelines emit it). Raises a clear RuntimeError
+    when the external module is absent rather than Spark's opaque
+    'Failed to find data source'."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.format("avro").load(path)

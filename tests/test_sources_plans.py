@@ -507,3 +507,16 @@ def test_new_r5_ops_have_scale_safe_plans(spark, sf_dir):
     audit(emb_knn_classify(spark, sf_dir), 4, max_bnlj=2)
     # matryoshka: one equi-join on vec_id + label aggregate
     audit(emb_matryoshka_audit(spark, sf_dir), 5)
+
+
+def test_avro_gate_raises_clearly_when_module_absent(spark, tmp_path):
+    from etl_gov_spark.io.sources import avro_available, read_avro
+
+    if avro_available(spark):  # pragma: no cover - present on real clusters
+        import pytest
+
+        pytest.skip("spark-avro deployed; gate not exercised")
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "x.avro"))

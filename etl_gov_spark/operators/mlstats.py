@@ -1653,3 +1653,111 @@ FROM stats s CROSS JOIN tot t
 """
 
 QUERIES["q_jackknife_ci"] = (q_jackknife_ci, Q_JACKKNIFE_SQL)
+
+
+_CRAMER_PAIRS = (
+    ("orders", "o_orderpriority", "o_orderstatus"),
+    ("lineitem", "l_returnflag", "l_linestatus"),
+)
+
+
+def q_cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength for selected categorical
+    column pairs — the normalized χ² (0 = independent, 1 = fully
+    determined) that makes association comparable across pairs
+    with different cardinalities; the EDA matrix run before
+    feature selection on categoricals.
+
+    Each pair is one contingency aggregate plus marginal windows
+    over the bounded |A|×|B| grid; pairs missing a column are
+    skipped at plan time, so the op adapts to the schema it finds.
+    """
+    c = Catalog(spark, sf_dir)
+    outs = []
+    for table, a, b in _CRAMER_PAIRS:
+        df = getattr(c, table)
+        if a not in df.columns or b not in df.columns:
+            continue
+        cell = df.groupBy(
+            F.col(a).alias("va"), F.col(b).alias("vb")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        wa = Window.partitionBy("va")
+        wb = Window.partitionBy("vb")
+        g = cell.select(
+            "n",
+            F.sum("n").over(wa).alias("ra"),
+            F.sum("n").over(wb).alias("rb"),
+        )
+        tot = g.agg(
+            F.sum("n").alias("nn"),
+            F.count_distinct("ra").alias("ka"),
+            F.count_distinct("rb").alias("kb"),
+        )
+        chi = g.crossJoin(F.broadcast(tot)).select(
+            (
+                F.pow(F.col("n") - F.col("ra") * F.col("rb") / F.col("nn"), 2)
+                / (F.col("ra") * F.col("rb") / F.col("nn"))
+            ).alias("term"),
+            "nn",
+            "ka",
+            "kb",
+        )
+        outs.append(
+            chi.groupBy("nn", "ka", "kb")
+            .agg(F.sum("term").alias("chi2"))
+            .select(
+                F.lit(f"{a}~{b}").alias("pair"),
+                F.col("nn").alias("n"),
+                _R4(F.col("chi2"), "chi2"),
+                ((F.col("ka") - 1) * (F.col("kb") - 1)).alias("dof"),
+                _R4(
+                    F.sqrt(
+                        F.col("chi2")
+                        / (
+                            F.col("nn")
+                            * F.least(F.col("ka") - 1, F.col("kb") - 1)
+                        )
+                    ),
+                    "cramers_v",
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def _cramers_sql() -> str:
+    # the oracle runs on the driver's DuckDB where presence cannot
+    # be probed, so the pair list is static — it mirrors the fixed
+    # synthetic schema (Spark's plan-time skip covers other schemas)
+    parts = []
+    for table, a, b in _CRAMER_PAIRS:
+        parts.append(f"""
+SELECT '{a}~{b}' AS pair, n, chi2, dof, cramers_v FROM (
+  WITH cell AS (
+    SELECT {a} AS va, {b} AS vb, count(*) AS n FROM {table} GROUP BY 1, 2
+  ), g AS (
+    SELECT n,
+           sum(n) OVER (PARTITION BY va) AS ra,
+           sum(n) OVER (PARTITION BY vb) AS rb
+    FROM cell
+  ), tot AS (
+    SELECT sum(n) AS nn, count(DISTINCT ra) AS ka, count(DISTINCT rb) AS kb
+    FROM g
+  )
+  SELECT CAST(t.nn AS BIGINT) AS n,
+         round(sum(pow(g.n - g.ra * g.rb / t.nn, 2)
+                   / (g.ra * g.rb / t.nn)), 4) AS chi2,
+         CAST((t.ka - 1) * (t.kb - 1) AS BIGINT) AS dof,
+         round(sqrt(sum(pow(g.n - g.ra * g.rb / t.nn, 2)
+                        / (g.ra * g.rb / t.nn))
+                    / (t.nn * least(t.ka - 1, t.kb - 1))), 4) AS cramers_v
+  FROM g CROSS JOIN tot t
+  GROUP BY t.nn, t.ka, t.kb
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["q_cramers_v_matrix"] = (q_cramers_v_matrix, _cramers_sql())

@@ -998,3 +998,78 @@ def _dq_sequence_sql() -> str:
 
 
 QUERIES["dq_sequence_rule"] = (dq_sequence_rule, _dq_sequence_sql())
+
+
+_ENTROPY_COLUMNS = (
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("customer", "c_mktsegment"),
+    ("events", "event_type"),
+)
+
+
+def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column entropy profile: Shannon entropy (bits),
+    cardinality, and normalized entropy (vs log₂ k) for the key
+    enum columns across tables — the column-profiling readout that
+    flags both degenerate columns (entropy ≈ 0: a constant wearing
+    a column name) and suspicious uniformity (≈ 1: synthetic or
+    hashed data).
+
+    One value-counts aggregate per column (bounded vocabularies);
+    the union is |columns| small plans sharing nothing — at scale
+    each runs off its own table scan in parallel.
+    """
+    c = Catalog(spark, sf_dir)
+    outs = []
+    for table, col in _ENTROPY_COLUMNS:
+        df = getattr(c, table)
+        if col not in df.columns:
+            continue
+        counts = df.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        tot = counts.agg(F.sum("n").alias("t"))
+        p = F.col("n") / F.col("t")
+        outs.append(
+            counts.crossJoin(F.broadcast(tot))
+            .agg(
+                F.lit(f"{table}.{col}").alias("column"),
+                F.count(F.lit(1)).alias("cardinality"),
+                F.max("t").alias("n_rows"),
+                _R4(-F.sum(p * F.log2(p)), "entropy_bits"),
+                _R4(
+                    -F.sum(p * F.log2(p))
+                    / F.log2(F.count(F.lit(1)).cast("double")),
+                    "entropy_norm",
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.union(o)
+    return out
+
+
+def _entropy_sql() -> str:
+    parts = []
+    for table, col in _ENTROPY_COLUMNS:
+        parts.append(f"""
+SELECT '{table}.{col}' AS "column",
+       count(*) AS cardinality,
+       CAST(max(t) AS BIGINT) AS n_rows,
+       round(-sum((n / CAST(t AS DOUBLE)) * log2(n / CAST(t AS DOUBLE))), 4)
+         AS entropy_bits,
+       round(-sum((n / CAST(t AS DOUBLE)) * log2(n / CAST(t AS DOUBLE)))
+             / log2(CAST(count(*) AS DOUBLE)), 4) AS entropy_norm
+FROM (
+  SELECT {col} AS v, count(*) AS n,
+         sum(count(*)) OVER () AS t
+  FROM {table} GROUP BY {col}
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["dq_entropy_profile"] = (dq_entropy_profile, _entropy_sql())

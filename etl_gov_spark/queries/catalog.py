@@ -117,6 +117,8 @@ _PINNED_FIRST = (
     "udaf_zscore_pandas",
     "q_session_completeness",
     "emb_mrr_eval",
+    "q_cramers_v_matrix",
+    "dq_entropy_profile",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -572,3 +572,14 @@ def test_l_diversity_bounds(spark, sf_dir):
         assert 1 <= r.min_l <= 5  # at most |segments| distinct
         assert 0 <= r.low_div_groups <= r.n_groups
         assert (r.low_div_groups == 0) == (r.min_l >= L_DIVERSITY)
+
+
+def test_entropy_profile_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_entropy_profile
+
+    rows = dq_entropy_profile(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r.cardinality >= 2
+        assert 0.0 <= r.entropy_bits
+        assert 0.0 <= r.entropy_norm <= 1.0 + 1e-9

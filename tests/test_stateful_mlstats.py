@@ -419,3 +419,13 @@ def test_zscore_pandas_profile(spark, sf_dir):
     for r in rows:
         assert r.min_z < 0 < r.max_z
         assert r.std > 0
+
+
+def test_cramers_v_in_unit_interval(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_cramers_v_matrix
+
+    rows = q_cramers_v_matrix(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert 0.0 <= r.cramers_v <= 1.0
+        assert r.chi2 >= 0 and r.dof >= 1

@@ -1761,3 +1761,59 @@ SELECT '{a}~{b}' AS pair, n, chi2, dof, cramers_v FROM (
 
 
 QUERIES["q_cramers_v_matrix"] = (q_cramers_v_matrix, _cramers_sql())
+
+
+def q_first_value_ltv_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the first purchase predict lifetime value? Pearson AND
+    rank (Spearman-style on md5-free exact average ranks would
+    need a second pass — here the log-log Pearson serves as the
+    robust check) correlation between each user's FIRST purchase
+    value and their total purchase value, plus the first-purchase
+    share of LTV — the acquisition-quality readout.
+
+    First value via min(struct(ts, event_id, value)) — one grouped
+    aggregate, no window; correlations are algebraic.
+    """
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "ts", "event_id", "value")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "value")).getField("value").alias(
+            "first_value"
+        ),
+        F.sum("value").alias("ltv"),
+        F.count(F.lit(1)).alias("n_purchases"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _R4(F.corr("first_value", "ltv"), "pearson"),
+        _R4(
+            F.corr(F.log("first_value"), F.log("ltv")), "log_log_corr"
+        ),
+        _R4(F.avg(F.col("first_value") / F.col("ltv")), "avg_first_share"),
+        _R4(F.avg("n_purchases"), "avg_purchases"),
+    )
+
+
+Q_FIRST_VALUE_LTV_SQL = """
+WITH per AS (
+  SELECT user_id,
+         (min(struct_pack(a := ts, b := event_id, c := value))).c
+           AS first_value,
+         sum(value) AS ltv,
+         count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       round(corr(first_value, ltv), 4) AS pearson,
+       round(corr(ln(first_value), ln(ltv)), 4) AS log_log_corr,
+       round(avg(first_value / ltv), 4) AS avg_first_share,
+       round(avg(n_purchases), 4) AS avg_purchases
+FROM per
+"""
+
+QUERIES["q_first_value_ltv_corr"] = (
+    q_first_value_ltv_corr,
+    Q_FIRST_VALUE_LTV_SQL,
+)

@@ -1073,3 +1073,62 @@ FROM (
 
 
 QUERIES["dq_entropy_profile"] = (dq_entropy_profile, _entropy_sql())
+
+
+def dq_category_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical mix drift: PSI of the event-type MIX between the
+    reference and current half-windows — the categorical partner of
+    the numeric-value PSI in ``dq_distribution_drift`` (a feed can
+    keep its value distribution while its type mix silently shifts,
+    and vice versa).
+
+    One conditional aggregate to the |types|×2 grid; PSI terms are
+    row algebra with the standard 1e-6 zero-guard on shares.
+    """
+    ev = Catalog(spark, sf_dir).events
+    is_cur = (F.to_date("ts") >= F.lit(_PSI_SPLIT)).cast("long")
+    cell = ev.select("event_type", is_cur.alias("cur")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum("cur").alias("n_cur"),
+        F.sum(1 - F.col("cur")).alias("n_ref"),
+    )
+    tot = cell.agg(
+        F.sum("n_cur").alias("tc"), F.sum("n_ref").alias("tr")
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    p = F.greatest(F.col("n_ref") / F.col("tr"), F.lit(1e-6))
+    q = F.greatest(F.col("n_cur") / F.col("tc"), F.lit(1e-6))
+    return j.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        _R4(p, "share_ref"),
+        _R4(q, "share_cur"),
+        _R4((q - p) * F.log(q / p), "psi_term"),
+    )
+
+
+DQ_CATEGORY_MIX_SQL = f"""
+WITH cell AS (
+  SELECT event_type,
+         sum(CASE WHEN CAST(ts AS DATE) >= DATE '{_PSI_SPLIT}'
+                  THEN 1 ELSE 0 END) AS n_cur,
+         sum(CASE WHEN CAST(ts AS DATE) < DATE '{_PSI_SPLIT}'
+                  THEN 1 ELSE 0 END) AS n_ref
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT sum(n_cur) AS tc, sum(n_ref) AS tr FROM cell
+)
+SELECT event_type,
+       CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+       round(greatest(n_ref / CAST(tr AS DOUBLE), 1e-6), 4) AS share_ref,
+       round(greatest(n_cur / CAST(tc AS DOUBLE), 1e-6), 4) AS share_cur,
+       round((greatest(n_cur / CAST(tc AS DOUBLE), 1e-6)
+              - greatest(n_ref / CAST(tr AS DOUBLE), 1e-6))
+             * ln(greatest(n_cur / CAST(tc AS DOUBLE), 1e-6)
+                  / greatest(n_ref / CAST(tr AS DOUBLE), 1e-6)), 4) AS psi_term
+FROM cell CROSS JOIN tot
+"""
+
+QUERIES["dq_category_mix_drift"] = (dq_category_mix_drift, DQ_CATEGORY_MIX_SQL)

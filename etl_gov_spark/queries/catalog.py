@@ -119,6 +119,8 @@ _PINNED_FIRST = (
     "emb_mrr_eval",
     "q_cramers_v_matrix",
     "dq_entropy_profile",
+    "dq_category_mix_drift",
+    "q_first_value_ltv_corr",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -583,3 +583,14 @@ def test_entropy_profile_bounds(spark, sf_dir):
         assert r.cardinality >= 2
         assert 0.0 <= r.entropy_bits
         assert 0.0 <= r.entropy_norm <= 1.0 + 1e-9
+
+
+def test_category_mix_psi_terms(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_category_mix_drift
+
+    rows = dq_category_mix_drift(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share_ref for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.share_cur for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert r.psi_term >= -1e-9  # each PSI term is non-negative

@@ -429,3 +429,14 @@ def test_cramers_v_in_unit_interval(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.cramers_v <= 1.0
         assert r.chi2 >= 0 and r.dof >= 1
+
+
+def test_first_value_ltv_consistency(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_first_value_ltv_corr
+
+    r = q_first_value_ltv_corr(spark, sf_dir).collect()[0]
+    assert r.n_users > 0
+    assert -1.0 <= r.pearson <= 1.0
+    assert -1.0 <= r.log_log_corr <= 1.0
+    assert 0.0 < r.avg_first_share <= 1.0
+    assert r.avg_purchases >= 1.0

@@ -575,3 +575,68 @@ QUERIES["snapshot_delete_pruned"] = (
     snapshot_delete_pruned,
     SNAPSHOT_DELETE_PRUNED_SQL,
 )
+
+
+_MV_CUTOFF = "1995-06-01"  # shipdate cutover: state | delta
+
+
+def q_incremental_join_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view —
+    per-nation net revenue over orders⋈lineitem⋈customer — where
+    only the DELTA lineitems (shipped on/after the cutoff) are
+    joined on refresh: state is the pre-cutoff aggregate, the delta
+    joins against the dimensions alone, and the two merge by key.
+    Equality with the full recompute is the oracle — the property
+    that makes delta-refresh trustworthy.
+
+    This is the join-view step past ``q_incremental_rollup``'s
+    aggregate-only maintenance: the delta side still needs its
+    dimension joins, but the FACT history is never rescanned. At
+    100 TB the state would live as a snapshot-log table and only
+    the delta join runs per refresh.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.select(
+        "l_orderkey",
+        F.to_date("l_shipdate").alias("ship"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    dims = c.orders.select("o_orderkey", "o_custkey").join(
+        c.customer.select("c_custkey", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+
+    def rollup(part):
+        return (
+            part.join(dims, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("c_nationkey")
+            .agg(
+                F.sum("net").alias("net_revenue"),
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+            )
+        )
+
+    state = rollup(li.filter(F.col("ship") < F.lit(_MV_CUTOFF)))
+    delta = rollup(li.filter(F.col("ship") >= F.lit(_MV_CUTOFF)))
+    merged = incremental_rollup_merge(
+        state, delta, ["c_nationkey"], ["net_revenue", "n_lines"]
+    )
+    return merged.select(
+        "c_nationkey", F.round("net_revenue", 2).alias("net_revenue"), "n_lines"
+    )
+
+
+Q_INCREMENTAL_JOIN_MV_SQL = """
+SELECT c.c_nationkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS net_revenue,
+       count(*) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+QUERIES["q_incremental_join_mv"] = (
+    q_incremental_join_mv,
+    Q_INCREMENTAL_JOIN_MV_SQL,
+)

@@ -121,6 +121,7 @@ _PINNED_FIRST = (
     "dq_entropy_profile",
     "dq_category_mix_drift",
     "q_first_value_ltv_corr",
+    "q_incremental_join_mv",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

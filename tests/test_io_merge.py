@@ -492,3 +492,31 @@ def test_snapshot_delete_prunes_files_and_keeps_history(spark, sf_dir, tmp_path)
     assert v2.filter(F.col("c_custkey") * 10 <= F.lit(mx)).count() == 0
     # time travel: the pre-delete version is intact
     assert read_snapshot(spark, table, 1).count() == n_total
+
+
+def test_incremental_join_mv_matches_full_recompute(spark, sf_dir):
+    from etl_gov_spark.operators.merge import q_incremental_join_mv
+
+    got = {
+        r.c_nationkey: (r.net_revenue, r.n_lines)
+        for r in q_incremental_join_mv(spark, sf_dir).collect()
+    }
+    c = Catalog(spark, sf_dir)
+    full = (
+        c.lineitem.join(
+            c.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("net"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {r.c_nationkey: (r.net, r.n) for r in full.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 0.02

@@ -1176,3 +1176,61 @@ FROM stats
 """
 
 QUERIES["q_xyz_variability"] = (q_xyz_variability, Q_XYZ_VARIABILITY_SQL)
+
+
+_AGING_BOUNDS = (30, 60, 90)
+
+
+def q_order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders still open ('O') bucketed by
+    age against the corpus max order date (0-30 / 31-60 / 61-90 /
+    90+ days), with count and value per (priority, bucket) — the
+    receivables-style aging table every operations review opens
+    with.
+
+    Snapshot date is a broadcast scalar; bucketing is row-local
+    CASE; output is a bounded (priority × 4) grid from one
+    aggregate.
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("d"),
+        "o_totalprice",
+    )
+    snap = o.agg(F.max("d").alias("snap"))
+    open_orders = o.filter(F.col("o_orderstatus") == "O").crossJoin(
+        F.broadcast(snap)
+    )
+    age = F.datediff("snap", "d")
+    bucket = (
+        F.when(age <= _AGING_BOUNDS[0], "00-30")
+        .when(age <= _AGING_BOUNDS[1], "31-60")
+        .when(age <= _AGING_BOUNDS[2], "61-90")
+        .otherwise("90+")
+    )
+    return open_orders.groupBy(
+        "o_orderpriority", bucket.alias("age_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+    )
+
+
+Q_ORDER_AGING_SQL = f"""
+WITH snap AS (
+  SELECT max(CAST(o_orderdate AS DATE)) AS snap FROM orders
+)
+SELECT o_orderpriority,
+       CASE WHEN datediff('day', CAST(o_orderdate AS DATE), snap) <= {_AGING_BOUNDS[0]} THEN '00-30'
+            WHEN datediff('day', CAST(o_orderdate AS DATE), snap) <= {_AGING_BOUNDS[1]} THEN '31-60'
+            WHEN datediff('day', CAST(o_orderdate AS DATE), snap) <= {_AGING_BOUNDS[2]} THEN '61-90'
+            ELSE '90+' END AS age_bucket,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS open_value
+FROM orders CROSS JOIN snap
+WHERE o_orderstatus = 'O'
+GROUP BY 1, 2
+"""
+
+QUERIES["q_order_aging_buckets"] = (q_order_aging_buckets, Q_ORDER_AGING_SQL)

@@ -2629,3 +2629,55 @@ QUERIES["q_session_completeness"] = (
     q_session_completeness,
     Q_SESSION_COMPLETENESS_SQL,
 )
+
+
+def q_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest: predict each day's event volume
+    with the same weekday last week (seasonal naive, the baseline
+    every real forecaster must beat) and report MAE, MAPE, and
+    bias per type — the honest yardstick computed before anyone
+    ships a model.
+
+    One lag-7 window over the bounded (type, day) matrix; errors
+    are integer differences so the metrics are bit-stable.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("yhat", F.lag("y", 7).over(w)).filter(
+        F.col("yhat").isNotNull()
+    )
+    err = F.col("y") - F.col("yhat")
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days_scored"),
+        _R4(F.avg(F.abs(err)), "mae"),
+        _R4(F.avg(F.abs(err) / F.col("y")), "mape"),
+        _R4(F.avg(err), "bias"),
+    )
+
+
+Q_SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat
+  FROM daily
+)
+SELECT event_type, count(*) AS n_days_scored,
+       round(avg(abs(y - yhat)), 4) AS mae,
+       round(avg(abs(y - yhat) / CAST(y AS DOUBLE)), 4) AS mape,
+       round(avg(y - yhat), 4) AS bias
+FROM scored WHERE yhat IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["q_seasonal_naive_backtest"] = (
+    q_seasonal_naive_backtest,
+    Q_SEASONAL_NAIVE_SQL,
+)

@@ -122,6 +122,8 @@ _PINNED_FIRST = (
     "dq_category_mix_drift",
     "q_first_value_ltv_corr",
     "q_incremental_join_mv",
+    "q_order_aging_buckets",
+    "q_seasonal_naive_backtest",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -264,3 +264,17 @@ def test_xyz_classes_match_cv(spark, sf_dir):
         assert r.cv >= 0
         expect = "X" if r.cv < 0.5 else ("Y" if r.cv < 1.0 else "Z")
         assert r.xyz == expect
+
+
+def test_order_aging_covers_open_orders(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_order_aging_buckets
+
+    rows = q_order_aging_buckets(spark, sf_dir).collect()
+    assert rows
+    n_open = (
+        Catalog(spark, sf_dir)
+        .orders.filter(F.col("o_orderstatus") == "O")
+        .count()
+    )
+    assert sum(r.n_orders for r in rows) == n_open
+    assert {r.age_bucket for r in rows} <= {"00-30", "31-60", "61-90", "90+"}

@@ -252,3 +252,14 @@ def test_session_completeness_shares(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_types <= 5
         assert r.avg_events >= r.n_types  # at least one event per type
+
+
+def test_seasonal_naive_metrics(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_seasonal_naive_backtest
+
+    rows = q_seasonal_naive_backtest(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mae >= 0 and r.mape >= 0
+        assert abs(r.bias) <= r.mae + 1e-9
+        assert r.n_days_scored > 0

@@ -267,6 +267,9 @@ def test_xyz_classes_match_cv(spark, sf_dir):
 
 
 def test_order_aging_covers_open_orders(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
     from etl_gov_spark.operators.analytics import q_order_aging_buckets
 
     rows = q_order_aging_buckets(spark, sf_dir).collect()

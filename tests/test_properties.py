@@ -226,3 +226,85 @@ def test_prune_never_drops_a_file_that_could_match(ranges, lo, hi):
             assert s["file"] in sel_set, "dropped a file that could match"
         else:
             assert s["file"] not in sel_set, "kept a provably empty file"
+
+
+# ---------------------------------------------------------------
+# interval-union coverage: the windowed running-max island pass
+# must agree with a brute-force interval merge on any event layout
+# ---------------------------------------------------------------
+
+_IU_WIN = 5 * 60 * 1_000_000  # mirrors _ACTIVE_WINDOW_US
+
+
+def _brute_interval_union(starts):
+    """Reference: merge [s, s+WIN] intervals the obvious way."""
+    spans = []
+    for s in sorted(starts):
+        e = s + _IU_WIN
+        if spans and s <= spans[-1][1]:
+            spans[-1][1] = max(spans[-1][1], e)
+        else:
+            spans.append([s, e])
+    return len(spans), sum(e - s for s, e in spans)
+
+
+def _island_interval_union(starts):
+    """The operator's algorithm, re-run in plain Python: running max
+    of previous ends over the (s, idx) sort starts a new span when
+    exceeded."""
+    ordered = sorted(starts)
+    spans, prev_max = 0, None
+    span_start, covered = None, 0
+    for s in ordered:
+        e = s + _IU_WIN
+        if prev_max is None or s > prev_max:
+            if span_start is not None:
+                covered += prev_max - span_start
+            spans += 1
+            span_start = s
+        prev_max = e if prev_max is None else max(prev_max, e)
+    if span_start is not None:
+        covered += prev_max - span_start
+    return spans, covered
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=40 * 60 * 1_000_000),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_interval_union_island_trick_matches_brute_force(starts):
+    assert _island_interval_union(starts) == _brute_interval_union(starts)
+
+
+# ---------------------------------------------------------------
+# gaps-and-islands streaks: date - row_number is constant exactly
+# on runs of consecutive days
+# ---------------------------------------------------------------
+
+
+def _brute_max_streak(days):
+    ds = sorted(set(days))
+    best = cur = 1
+    for a, b in zip(ds, ds[1:]):
+        cur = cur + 1 if b - a == 1 else 1
+        best = max(best, cur)
+    return best
+
+
+def _island_max_streak(days):
+    ds = sorted(set(days))
+    groups = {}
+    for rn, d in enumerate(ds, start=1):
+        groups.setdefault(d - rn, 0)
+        groups[d - rn] += 1
+    return max(groups.values())
+
+
+@given(st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_streak_island_key_matches_brute_force(days):
+    assert _island_max_streak(days) == _brute_max_streak(days)

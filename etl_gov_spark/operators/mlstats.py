@@ -1817,3 +1817,137 @@ QUERIES["q_first_value_ltv_corr"] = (
     q_first_value_ltv_corr,
     Q_FIRST_VALUE_LTV_SQL,
 )
+
+
+def q_wilson_ci_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% interval per event type for the share of
+    users who ever emit it — the right CI for proportions (the
+    normal approximation collapses near 0/1 and at small n; Wilson
+    stays inside [0,1] by construction).
+
+    Numerator/denominator from two bounded aggregates; the
+    interval is row algebra at z=1.96.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type").distinct()
+    n_users = ev.select("user_id").distinct().count()
+    per = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("x"))
+    z = 1.96
+    n = F.lit(float(n_users))
+    p = F.col("x") / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = (
+        z
+        * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        / denom
+    )
+    return per.select(
+        "event_type",
+        F.col("x").alias("n_users_with"),
+        F.lit(n_users).alias("n_users"),
+        _R4(p, "share"),
+        _R4(center - half, "wilson_lo"),
+        _R4(center + half, "wilson_hi"),
+    )
+
+
+def _wilson_sql() -> str:
+    return """
+WITH ev AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tot AS (
+  SELECT CAST(count(DISTINCT user_id) AS DOUBLE) AS n FROM ev
+), per AS (
+  SELECT event_type, count(*) AS x FROM ev GROUP BY event_type
+)
+SELECT event_type,
+       x AS n_users_with,
+       CAST(n AS BIGINT) AS n_users,
+       round(x / n, 4) AS share,
+       round(((x / n + 1.96 * 1.96 / (2 * n))
+              - 1.96 * sqrt((x / n) * (1 - x / n) / n
+                            + 1.96 * 1.96 / (4 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 4) AS wilson_lo,
+       round(((x / n + 1.96 * 1.96 / (2 * n))
+              + 1.96 * sqrt((x / n) * (1 - x / n) / n
+                            + 1.96 * 1.96 / (4 * n * n)))
+             / (1 + 1.96 * 1.96 / n), 4) AS wilson_hi
+FROM per CROSS JOIN tot
+"""
+
+
+QUERIES["q_wilson_ci_rates"] = (q_wilson_ci_rates, _wilson_sql())
+
+
+_EB_SAMPLE_STRIDE = 10
+
+
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-user purchase rates toward
+    the population: beta-binomial prior by method of moments
+    (α, β from the mean/variance of raw per-user rates), shrunk
+    rate = (x+α)/(n+α+β) — the adjustment that stops a 1-for-2
+    user from outranking a 40-for-100 one on every leaderboard.
+
+    Two aggregate passes (per-user counts → prior moments) and a
+    broadcast of two scalars; output is the stride-sampled
+    before/after table, deterministic on any layout.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", (F.col("event_type") == "purchase").cast("long").alias("y")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.sum("y").alias("x"), F.count(F.lit(1)).alias("n")
+    )
+    rates = per.select("user_id", "x", "n", (F.col("x") / F.col("n")).alias("p"))
+    mom = rates.agg(
+        F.avg("p").alias("m"), F.var_samp("p").alias("v")
+    )
+    # MoM for Beta: k = m(1-m)/v - 1; alpha = m*k, beta = (1-m)*k
+    k = F.col("m") * (1 - F.col("m")) / F.col("v") - 1
+    prior = mom.select(
+        F.round(F.col("m") * k, 6).alias("alpha"),
+        F.round((1 - F.col("m")) * k, 6).alias("beta"),
+    )
+    j = rates.crossJoin(F.broadcast(prior))
+    shrunk = (F.col("x") + F.col("alpha")) / (
+        F.col("n") + F.col("alpha") + F.col("beta")
+    )
+    return (
+        j.filter(F.col("user_id") % _EB_SAMPLE_STRIDE == 0)
+        .select(
+            "user_id",
+            "x",
+            "n",
+            _R4(F.col("p"), "raw_rate"),
+            _R4(shrunk, "shrunk_rate"),
+            _R4(F.col("alpha"), "alpha"),
+            _R4(F.col("beta"), "beta"),
+        )
+    )
+
+
+Q_EB_SHRINKAGE_SQL = f"""
+WITH per AS (
+  SELECT user_id,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS x,
+         count(*) AS n
+  FROM events GROUP BY user_id
+), rates AS (
+  SELECT user_id, x, n, x / CAST(n AS DOUBLE) AS p FROM per
+), mom AS (
+  SELECT avg(p) AS m, var_samp(p) AS v FROM rates
+), prior AS (
+  SELECT round(m * (m * (1 - m) / v - 1), 6) AS alpha,
+         round((1 - m) * (m * (1 - m) / v - 1), 6) AS beta
+  FROM mom
+)
+SELECT user_id, CAST(x AS BIGINT) AS x, n,
+       round(p, 4) AS raw_rate,
+       round((x + alpha) / (n + alpha + beta), 4) AS shrunk_rate,
+       round(alpha, 4) AS alpha, round(beta, 4) AS beta
+FROM rates CROSS JOIN prior
+WHERE user_id % {_EB_SAMPLE_STRIDE} = 0
+"""
+
+QUERIES["q_eb_shrinkage"] = (q_eb_shrinkage, Q_EB_SHRINKAGE_SQL)

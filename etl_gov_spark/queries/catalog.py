@@ -124,6 +124,8 @@ _PINNED_FIRST = (
     "q_incremental_join_mv",
     "q_order_aging_buckets",
     "q_seasonal_naive_backtest",
+    "q_wilson_ci_rates",
+    "q_eb_shrinkage",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

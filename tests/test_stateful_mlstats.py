@@ -440,3 +440,27 @@ def test_first_value_ltv_consistency(spark, sf_dir):
     assert -1.0 <= r.log_log_corr <= 1.0
     assert 0.0 < r.avg_first_share <= 1.0
     assert r.avg_purchases >= 1.0
+
+
+def test_wilson_ci_brackets_share(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_wilson_ci_rates
+
+    rows = q_wilson_ci_rates(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.wilson_lo <= r.share <= r.wilson_hi <= 1.0
+
+
+def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_eb_shrinkage
+
+    rows = q_eb_shrinkage(spark, sf_dir).collect()
+    assert rows
+    prior_mean = rows[0].alpha / (rows[0].alpha + rows[0].beta)
+    for r in rows:
+        assert 0.0 <= r.shrunk_rate <= 1.0
+        # shrinkage moves every estimate toward the prior mean
+        if r.raw_rate > prior_mean:
+            assert r.shrunk_rate <= r.raw_rate + 1e-9
+        else:
+            assert r.shrunk_rate >= r.raw_rate - 1e-9

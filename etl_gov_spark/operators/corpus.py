@@ -1854,3 +1854,157 @@ QUERIES["corpus_span_corruption"] = (
     corpus_span_corruption,
     CORPUS_SPAN_CORRUPTION_SQL,
 )
+
+
+_SG_WINDOW = 2
+_SG_NEG_K = 2
+_SG_VOCAB_M = 4096
+
+
+def corpus_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair manifest (word2vec-style): for every
+    token, its contexts at offsets ±1, ±2, plus 2 deterministic
+    md5-hash negatives per pair — the embedding-pretraining data
+    prep, with negative draws any engine replays.
+
+    Context generation is an EQUI-join: positions explode once and
+    join on (doc, i+offset) against a 4-element broadcast offset
+    list — never the |doc|² same-doc position cross join the naive
+    formulation produces. Output is the per-doc pair census with
+    an order-insensitive checksum of the pair set.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", F.posexplode(tokens_col()).alias("i", "w")
+    )
+    offsets = F.explode(
+        F.array(*[F.lit(o) for o in (-_SG_WINDOW, -1, 1, _SG_WINDOW)])
+    )
+    centers = docs.select("doc_id", "i", F.col("w").alias("center"))
+    probes = centers.select(
+        "doc_id", "center", "i", offsets.alias("off")
+    ).select("doc_id", "center", (F.col("i") + F.col("off")).alias("j"))
+    pairs = probes.join(
+        docs.select("doc_id", F.col("i").alias("j"), F.col("w").alias("context")),
+        ["doc_id", "j"],
+    )
+    neg = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", "center", "context", F.col("j"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SG_VOCAB_M
+    )
+    scored = pairs.select(
+        "doc_id",
+        "center",
+        "context",
+        neg.alias("neg_bucket"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.count(F.lit(1)) * _SG_NEG_K).alias("n_negatives"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(">", "center", "context", "neg_bucket")
+                    )
+                ),
+            )
+        ).alias("pairs_md5"),
+    )
+
+
+CORPUS_SKIPGRAM_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), pos AS (
+  SELECT doc_id, unnest(list_transform(t, (x, i) -> i - 1)) AS i,
+         unnest(t) AS w
+  FROM toks
+), probes AS (
+  SELECT doc_id, w AS center, i + off AS j
+  FROM pos, unnest([-{_SG_WINDOW}, -1, 1, {_SG_WINDOW}]) AS o(off)
+), pairs AS (
+  SELECT p.doc_id, p.center, c.w AS context,
+         CAST('0x' || substr(md5(p.center || ':' || c.w || ':'
+                                 || CAST(p.j AS VARCHAR)), 1, 8) AS BIGINT)
+           % {_SG_VOCAB_M} AS neg_bucket
+  FROM probes p JOIN pos c ON c.doc_id = p.doc_id AND c.i = p.j
+)
+SELECT doc_id, count(*) AS n_pairs,
+       count(*) * {_SG_NEG_K} AS n_negatives,
+       md5(array_to_string(
+             list_sort(list(center || '>' || context || '>'
+                            || CAST(neg_bucket AS VARCHAR))),
+             '|')) AS pairs_md5
+FROM pairs GROUP BY doc_id
+"""
+
+QUERIES["corpus_skipgram_pairs"] = (corpus_skipgram_pairs, CORPUS_SKIPGRAM_SQL)
+
+
+_VOCAB_TOP_K = 1024
+
+
+def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per source: share of token occurrences
+    falling outside the corpus-wide top-1024 vocabulary — the OOV
+    readout that predicts tokenizer fallback behavior and flags
+    sources whose register the vocab never saw.
+
+    Vocab = one bounded top-k (window over |distinct words|), then
+    a broadcast semi-join tags every token occurrence; per-source
+    shares are one aggregate.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", "source", F.explode(tokens_col()).alias("w")
+    )
+    freq = docs.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (
+        freq.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _VOCAB_TOP_K)
+        .select("w")
+    )
+    tagged = docs.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "w", "left"
+    )
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+            "n_oov"
+        ),
+        _R4(
+            F.avg(F.when(F.col("in_vocab").isNull(), 1.0).otherwise(0.0)),
+            "oov_rate",
+        ),
+    )
+
+
+CORPUS_VOCAB_COVERAGE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM freq
+  ) WHERE rk <= {_VOCAB_TOP_K}
+)
+SELECT t.source, count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       round(avg(CASE WHEN v.w IS NULL THEN 1.0 ELSE 0.0 END), 4) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY t.source
+"""
+
+QUERIES["corpus_vocab_coverage"] = (
+    corpus_vocab_coverage,
+    CORPUS_VOCAB_COVERAGE_SQL,
+)

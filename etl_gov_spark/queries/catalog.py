@@ -126,6 +126,8 @@ _PINNED_FIRST = (
     "q_seasonal_naive_backtest",
     "q_wilson_ci_rates",
     "q_eb_shrinkage",
+    "corpus_skipgram_pairs",
+    "corpus_vocab_coverage",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -594,3 +594,37 @@ def test_category_mix_psi_terms(spark, sf_dir):
     assert abs(sum(r.share_cur for r in rows) - 1.0) < 0.01
     for r in rows:
         assert r.psi_term >= -1e-9  # each PSI term is non-negative
+
+
+def test_skipgram_pair_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.corpus import corpus_skipgram_pairs
+    from etl_gov_spark.operators.text import tokens_col
+
+    rows = {r.doc_id: r for r in corpus_skipgram_pairs(spark, sf_dir).collect()}
+    lens = {
+        r.doc_id: r.n
+        for r in read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens_col()).alias("n"))
+        .collect()
+    }
+    for doc_id, r in rows.items():
+        n = lens[doc_id]
+        # each position pairs with at most 4 in-range offsets; edge
+        # positions lose some: exact count = 4n - 6 for n >= 4
+        if n >= 4:
+            assert r.n_pairs == 4 * n - 6
+        assert r.n_negatives == 2 * r.n_pairs
+        assert len(r.pairs_md5) == 32
+
+
+def test_vocab_coverage_rates(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_vocab_coverage
+
+    rows = corpus_vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.oov_rate <= 1.0
+        assert r.n_oov <= r.n_tokens

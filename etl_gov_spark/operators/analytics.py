@@ -1234,3 +1234,147 @@ GROUP BY 1, 2
 """
 
 QUERIES["q_order_aging_buckets"] = (q_order_aging_buckets, Q_ORDER_AGING_SQL)
+
+
+def q_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ planning matrix at brand grain: ABC from
+    cumulative revenue share (80/95 cuts), XYZ from the CV of
+    weekly demand, crossed into the 9-cell census with revenue
+    share per cell — the table that decides which items get
+    auto-replenishment (AX) and which get a human planner (CZ).
+
+    Both classifications reduce to bounded per-brand aggregates
+    (one revenue rollup + cumulative window, one weekly CV); the
+    cross is a join on the |brands| key.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.date_trunc("week", "l_shipdate").alias("wk"),
+        "l_quantity",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    rev = li.groupBy("p_brand").agg(F.sum("rev").alias("rev"))
+    tot = rev.agg(F.sum("rev").alias("t"))
+    wcum = Window.orderBy(F.desc("rev"), F.asc("p_brand")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    abc = rev.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        "rev",
+        (F.sum("rev").over(wcum) / F.col("t")).alias("cum_share"),
+    ).select(
+        "p_brand",
+        "rev",
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    weekly = li.groupBy("p_brand", "wk").agg(F.sum("l_quantity").alias("q"))
+    xyz = weekly.groupBy("p_brand").agg(
+        (F.stddev_pop("q") / F.avg("q")).alias("cv")
+    ).select(
+        "p_brand",
+        F.when(F.col("cv") < 0.5, "X")
+        .when(F.col("cv") < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz"),
+    )
+    cells = abc.join(xyz, "p_brand")
+    return cells.crossJoin(F.broadcast(tot)).groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).alias("n_brands"),
+        _R4(F.sum("rev") / F.max("t"), "revenue_share"),
+    )
+
+
+Q_ABC_XYZ_SQL = """
+WITH li AS (
+  SELECT p.p_brand, date_trunc('week', CAST(l.l_shipdate AS DATE)) AS wk,
+         l.l_quantity, l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), rev AS (
+  SELECT p_brand, sum(rev) AS rev FROM li GROUP BY p_brand
+), abc AS (
+  SELECT p_brand, rev,
+         CASE WHEN sum(rev) OVER (ORDER BY rev DESC, p_brand ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / (SELECT sum(rev) FROM rev) <= 0.8 THEN 'A'
+              WHEN sum(rev) OVER (ORDER BY rev DESC, p_brand ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / (SELECT sum(rev) FROM rev) <= 0.95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM rev
+), weekly AS (
+  SELECT p_brand, wk, sum(l_quantity) AS q FROM li GROUP BY 1, 2
+), xyz AS (
+  SELECT p_brand,
+         CASE WHEN stddev_pop(q) / avg(q) < 0.5 THEN 'X'
+              WHEN stddev_pop(q) / avg(q) < 1.0 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM weekly GROUP BY p_brand
+)
+SELECT a.abc, x.xyz, count(*) AS n_brands,
+       round(sum(a.rev) / (SELECT sum(rev) FROM rev), 4) AS revenue_share
+FROM abc a JOIN xyz x USING (p_brand)
+GROUP BY a.abc, x.xyz
+"""
+
+QUERIES["q_abc_xyz_matrix"] = (q_abc_xyz_matrix, Q_ABC_XYZ_SQL)
+
+
+_WHATIF_SCENARIOS = (
+    ("baseline", 1.0, 0.0),
+    ("price_minus_5pct", 0.95, 0.0),
+    ("discount_plus_1pp", 1.0, 0.01),
+)
+
+
+def q_scenario_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What-if scenario grid: net revenue per market segment under
+    price −5% and discount +1pp counterfactuals next to baseline —
+    deterministic scenario algebra pushed into ONE scan (each
+    scenario is a conditional expression, not a re-read), the
+    warehouse-side skeleton of pricing simulations.
+    """
+    c = Catalog(spark, sf_dir)
+    li = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", "l_extendedprice", "l_discount")
+    )
+    aggs = []
+    for name, pmul, dadd in _WHATIF_SCENARIOS:
+        rev = F.col("l_extendedprice") * pmul * (
+            1 - F.least(F.col("l_discount") + dadd, F.lit(1.0))
+        )
+        aggs.append(F.round(F.sum(rev), 2).alias(name))
+    return li.groupBy("c_mktsegment").agg(*aggs)
+
+
+def _whatif_sql() -> str:
+    cols = []
+    for name, pmul, dadd in _WHATIF_SCENARIOS:
+        cols.append(
+            f"round(sum(l_extendedprice * {pmul!r}"
+            f" * (1 - least(l_discount + {dadd!r}, 1.0))), 2) AS {name}"
+        )
+    return f"""
+SELECT c.c_mktsegment, {", ".join(cols)}
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+QUERIES["q_scenario_whatif"] = (q_scenario_whatif, _whatif_sql())

@@ -128,6 +128,8 @@ _PINNED_FIRST = (
     "q_eb_shrinkage",
     "corpus_skipgram_pairs",
     "corpus_vocab_coverage",
+    "q_abc_xyz_matrix",
+    "q_scenario_whatif",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

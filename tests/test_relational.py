@@ -281,3 +281,31 @@ def test_order_aging_covers_open_orders(spark, sf_dir):
     )
     assert sum(r.n_orders for r in rows) == n_open
     assert {r.age_bucket for r in rows} <= {"00-30", "31-60", "61-90", "90+"}
+
+
+def test_abc_xyz_matrix_partition(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_abc_xyz_matrix
+
+    rows = q_abc_xyz_matrix(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert r.abc in "ABC" and r.xyz in "XYZ"
+        assert r.n_brands >= 1
+    # A-class cells carry more revenue per brand than C-class cells
+    a_rev = sum(r.revenue_share for r in rows if r.abc == "A")
+    c_rev = sum(r.revenue_share for r in rows if r.abc == "C")
+    assert a_rev >= c_rev
+
+
+def test_whatif_scenarios_ordered(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_scenario_whatif
+
+    rows = q_scenario_whatif(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # both counterfactuals reduce revenue vs baseline
+        assert r.price_minus_5pct < r.baseline
+        assert r.discount_plus_1pp < r.baseline
+        # -5% price cuts exactly 5%
+        assert abs(r.price_minus_5pct / r.baseline - 0.95) < 1e-6

@@ -267,3 +267,13 @@ def delete_where_snapshot(
         "files_added": len(new_files),
         "files_kept": len(kept),
     }
+
+
+def rollback_snapshot(table_path: str, version: int) -> int:
+    """Restore an earlier version as a NEW commit (Delta-style
+    RESTORE): the target version's file list is re-committed at the
+    head, so the rollback is itself audit-visible history — nothing
+    is deleted, and the botched intermediate versions stay
+    readable until ``vacuum``."""
+    files = [os.path.basename(p) for p in live_files(table_path, version)]
+    return _commit(table_path, files, f"rollback_to_v{version}")

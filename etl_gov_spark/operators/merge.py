@@ -640,3 +640,57 @@ QUERIES["q_incremental_join_mv"] = (
     q_incremental_join_mv,
     Q_INCREMENTAL_JOIN_MV_SQL,
 )
+
+
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE end to end: init customer as v1, run the standard
+    update MERGE (v2), then roll back to v1 as a new commit v3 and
+    report the per-nation census from the head — which must equal
+    the ORIGINAL table exactly (the oracle recomputes it from
+    base), proving the rollback re-exposes v1's file set while the
+    botched v2 stays in history for audit.
+
+    See io/snapshots.py:rollback_snapshot — restore is a manifest
+    commit, no data movement at any scale.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.snapshots import (
+        merge_upsert_snapshot,
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_init,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+    work = os.path.join(
+        tempfile.gettempdir(),
+        "etl_gov_spark_snapro",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    write_range_clustered(cust, work, ("c_custkey",), num_files=8)
+    snapshot_init(work)
+    updates = cust.filter(F.col("c_custkey") % 5 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 777.0
+    )
+    merge_upsert_snapshot(spark, work, updates, "c_custkey")  # v2 (botched)
+    rollback_snapshot(work, 1)  # v3 = v1 again
+    head = read_snapshot(spark, work)
+    return head.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+SNAPSHOT_ROLLBACK_SQL = """
+SELECT c_nationkey, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer GROUP BY c_nationkey
+"""
+
+QUERIES["snapshot_rollback"] = (snapshot_rollback, SNAPSHOT_ROLLBACK_SQL)

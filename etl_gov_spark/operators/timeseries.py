@@ -2681,3 +2681,67 @@ QUERIES["q_seasonal_naive_backtest"] = (
     q_seasonal_naive_backtest,
     Q_SEASONAL_NAIVE_SQL,
 )
+
+
+def q_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER sets
+    behind each pair of event types ("do clickers also purchase?")
+    — the segmentation sanity check behind every 'audiences' UI.
+
+    The (user, type) grid is the only fact-derived object; pairs
+    form by self-joining that grid ON user_id, so work is Σ per-
+    user type-pairs ≤ |types|²/2 per user — bounded by the
+    vocabulary, never by users². Set sizes broadcast back.
+    """
+    ut = Catalog(spark, sf_dir).events.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            _R4(
+                F.col("n_both")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                "jaccard",
+            ),
+        )
+    )
+
+
+Q_TYPE_USER_OVERLAP_SQL = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS n FROM ut GROUP BY event_type
+), inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_both,
+       round(i.n_both / CAST(sa.n + sb.n - i.n_both AS DOUBLE), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+"""
+
+QUERIES["q_type_user_overlap"] = (q_type_user_overlap, Q_TYPE_USER_OVERLAP_SQL)

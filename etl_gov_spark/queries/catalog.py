@@ -130,6 +130,8 @@ _PINNED_FIRST = (
     "corpus_vocab_coverage",
     "q_abc_xyz_matrix",
     "q_scenario_whatif",
+    "snapshot_rollback",
+    "q_type_user_overlap",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

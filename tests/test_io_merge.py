@@ -520,3 +520,38 @@ def test_incremental_join_mv_matches_full_recompute(spark, sf_dir):
     for k in want:
         assert got[k][1] == want[k][1]
         assert abs(got[k][0] - want[k][0]) < 0.02
+
+
+def test_snapshot_rollback_restores_v1_and_keeps_history(spark, sf_dir, tmp_path):
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.snapshots import (
+        merge_upsert_snapshot,
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_init,
+        snapshot_versions,
+    )
+
+    c = Catalog(spark, sf_dir)
+    cust = c.customer.select("c_custkey", "c_acctbal")
+    table = str(tmp_path / "cust_rb")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=6)
+    snapshot_init(table)
+    before = cust.agg(F.round(F.sum("c_acctbal"), 2)).collect()[0][0]
+
+    updates = cust.filter(F.col("c_custkey") % 4 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 100.0
+    )
+    merge_upsert_snapshot(spark, table, updates, "c_custkey")
+    v3 = rollback_snapshot(table, 1)
+    assert snapshot_versions(table) == [1, 2, 3] and v3 == 3
+
+    head = read_snapshot(spark, table).agg(
+        F.round(F.sum("c_acctbal"), 2)
+    ).collect()[0][0]
+    assert head == before  # restored exactly
+    # the botched v2 stays readable for audit
+    v2 = read_snapshot(spark, table, 2).agg(
+        F.round(F.sum("c_acctbal"), 2)
+    ).collect()[0][0]
+    assert v2 != before

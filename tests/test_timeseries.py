@@ -263,3 +263,13 @@ def test_seasonal_naive_metrics(spark, sf_dir):
         assert r.mae >= 0 and r.mape >= 0
         assert abs(r.bias) <= r.mae + 1e-9
         assert r.n_days_scored > 0
+
+
+def test_type_user_overlap_matrix(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_type_user_overlap
+
+    rows = q_type_user_overlap(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) unordered type pairs
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0.0 <= r.jaccard <= 1.0

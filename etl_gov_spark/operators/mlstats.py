@@ -1951,3 +1951,67 @@ WHERE user_id % {_EB_SAMPLE_STRIDE} = 0
 """
 
 QUERIES["q_eb_shrinkage"] = (q_eb_shrinkage, Q_EB_SHRINKAGE_SQL)
+
+
+_POWER_MDE_PCT = 0.02  # minimum detectable effect: 2% of the mean
+
+
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B test power analysis per event type: users-per-arm needed
+    to detect a 2%-of-mean lift at α=0.05 / power 0.80, from the
+    observed variance — n = 2(z_α/2+z_β)²σ²/δ² — plus the implied
+    runtime in days at the observed user arrival rate. The "how
+    long must this experiment run" answer, straight from the
+    warehouse.
+
+    One variance aggregate per type and one distinct-user rate
+    scalar; the formula is row algebra with z constants inlined.
+    """
+    z = (1.959964 + 0.841621) ** 2  # (z_{0.025} + z_{0.20})²
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value", "user_id", "ts")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.var_samp("value").alias("var"),
+    )
+    days = ev.agg(
+        (
+            F.count_distinct("user_id")
+            / (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1)
+        ).alias("users_per_day")
+    )
+    delta = F.col("mu") * _POWER_MDE_PCT
+    n_arm = F.ceil(2 * z * F.col("var") / (delta * delta))
+    return stats.crossJoin(F.broadcast(days)).select(
+        "event_type",
+        _R4(F.col("mu"), "mean"),
+        _R4(F.sqrt("var"), "stddev"),
+        n_arm.cast("long").alias("n_per_arm"),
+        _R4(
+            2 * n_arm / F.col("users_per_day"), "est_days_both_arms"
+        ),
+    )
+
+
+Q_POWER_ANALYSIS_SQL = f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, var_samp(value) AS var
+  FROM events GROUP BY event_type
+), days AS (
+  SELECT count(DISTINCT user_id)
+         / CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+                + 1 AS DOUBLE) AS users_per_day
+  FROM events
+)
+SELECT event_type,
+       round(mu, 4) AS mean,
+       round(sqrt(var), 4) AS stddev,
+       CAST(ceil(2 * {(1.959964 + 0.841621) ** 2!r} * var
+                 / (mu * {_POWER_MDE_PCT!r} * mu * {_POWER_MDE_PCT!r}))
+            AS BIGINT) AS n_per_arm,
+       round(2 * ceil(2 * {(1.959964 + 0.841621) ** 2!r} * var
+                      / (mu * {_POWER_MDE_PCT!r} * mu * {_POWER_MDE_PCT!r}))
+             / users_per_day, 4) AS est_days_both_arms
+FROM stats CROSS JOIN days
+"""
+
+QUERIES["q_power_analysis"] = (q_power_analysis, Q_POWER_ANALYSIS_SQL)

@@ -954,3 +954,89 @@ QUERIES["text_langid_confusion"] = (
     text_langid_confusion,
     TEXT_LANGID_CONFUSION_SQL,
 )
+
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information: adjacent
+    bigrams scoring log₂ p(ab)/(p(a)p(b)) with a min-count floor —
+    the information-weighted upgrade over ``text_top_bigrams``'
+    raw counts (raw counts surface 'of the'; PMI surfaces names
+    and technical terms).
+
+    Bigrams come from one zip-with-shift projection; unigram and
+    bigram tables are bounded-key aggregates; the score join is
+    broadcast on the word marginals.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        tokens_col().alias("t")
+    )
+    bi = docs.select(
+        F.explode(
+            F.expr(
+                "filter(zip_with(t, slice(t, 2, size(t)),"
+                " (a, b) -> struct(a AS w1, b AS w2)), p -> p.w2 IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("nb"))
+    uni = docs.select(F.explode("t").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("nu")
+    )
+    tot_b = bc.agg(F.sum("nb").alias("tb"))
+    tot_u = uni.agg(F.sum("nu").alias("tu"))
+    j = (
+        bc.filter(F.col("nb") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("nu", "n1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("nu", "n2")), "w2")
+        .crossJoin(F.broadcast(tot_b))
+        .crossJoin(F.broadcast(tot_u))
+    )
+    pmi = F.log2(
+        (F.col("nb") / F.col("tb"))
+        / ((F.col("n1") / F.col("tu")) * (F.col("n2") / F.col("tu")))
+    )
+    wtop = Window.orderBy(F.desc(F.round(pmi, 6)), F.asc("w1"), F.asc("w2"))
+    return (
+        j.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _PMI_TOP)
+        .select("rank", "w1", "w2", F.col("nb").alias("n_bigram"), _R4(pmi, "pmi"))
+    )
+
+
+TEXT_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT string_split_regex(trim(text), '\s+') AS t FROM documents
+), bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, unnest(range(1, len(t))) AS r(i)
+), bc AS (
+  SELECT w1, w2, count(*) AS nb FROM bi GROUP BY 1, 2
+), uni AS (
+  SELECT unnest(t) AS w FROM toks
+), uc AS (
+  SELECT w, count(*) AS nu FROM uni GROUP BY w
+), tots AS (
+  SELECT (SELECT sum(nb) FROM bc) AS tb, (SELECT sum(nu) FROM uc) AS tu
+), scored AS (
+  SELECT b.w1, b.w2, b.nb,
+         log2((b.nb / CAST(t.tb AS DOUBLE))
+              / ((u1.nu / CAST(t.tu AS DOUBLE))
+                 * (u2.nu / CAST(t.tu AS DOUBLE)))) AS pmi
+  FROM bc b
+  JOIN uc u1 ON u1.w = b.w1
+  JOIN uc u2 ON u2.w = b.w2
+  CROSS JOIN tots t
+  WHERE b.nb >= {_PMI_MIN_COUNT}
+)
+SELECT CAST(row_number() OVER (ORDER BY round(pmi, 6) DESC, w1 ASC, w2 ASC)
+            AS INTEGER) AS rank,
+       w1, w2, nb AS n_bigram, round(pmi, 4) AS pmi
+FROM scored
+ORDER BY rank LIMIT {_PMI_TOP}
+"""
+
+QUERIES["text_pmi_bigrams"] = (text_pmi_bigrams, TEXT_PMI_SQL)

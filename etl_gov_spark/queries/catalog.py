@@ -132,6 +132,8 @@ _PINNED_FIRST = (
     "q_scenario_whatif",
     "snapshot_rollback",
     "q_type_user_overlap",
+    "text_pmi_bigrams",
+    "q_power_analysis",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

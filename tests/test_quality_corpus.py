@@ -628,3 +628,16 @@ def test_vocab_coverage_rates(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.oov_rate <= 1.0
         assert r.n_oov <= r.n_tokens
+
+
+def test_pmi_ranked_and_min_count(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_pmi_bigrams
+
+    rows = sorted(text_pmi_bigrams(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.n_bigram >= 5
+        if prev is not None:
+            assert r.pmi <= prev + 1e-9
+        prev = r.pmi

@@ -464,3 +464,15 @@ def test_eb_shrinkage_pulls_toward_prior_mean(spark, sf_dir):
             assert r.shrunk_rate <= r.raw_rate + 1e-9
         else:
             assert r.shrunk_rate >= r.raw_rate - 1e-9
+
+
+def test_power_analysis_positive(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_power_analysis
+
+    rows = q_power_analysis(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_per_arm > 0
+        assert r.est_days_both_arms > 0
+        # higher relative variance needs more samples
+        assert r.n_per_arm >= (r.stddev / (0.02 * r.mean)) ** 2

@@ -25,7 +25,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
@@ -444,3 +444,70 @@ FROM e GROUP BY source
 """
 
 QUERIES["mm_payload_entropy"] = (mm_payload_entropy, MM_PAYLOAD_ENTROPY_SQL)
+
+
+_SCENE_CUT_T = 0.6
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over sampled frames: a new scene starts
+    where consecutive frames' signatures differ by more than the
+    threshold — the shot-boundary pass a video pipeline runs after
+    frame sampling and before per-scene captioning/dedup.
+
+    The frame SIGNATURE here is derived from the frame digest
+    (first 24 md5 bits → [0,1)) because real perceptual features
+    are behind the declared decode stub — the algorithm under test
+    is the consecutive-distance thresholding + island segmentation,
+    which transfers unchanged to real embeddings. One lag window
+    per payload over its 4 frames; census is a bounded aggregate.
+    """
+    frames = mm_frame_sample(spark, sf_dir).select(
+        "doc_id",
+        "frame_idx",
+        (
+            F.conv(F.substring("frame_md5", 1, 6), 16, 10).cast("double")
+            / F.lit(float(1 << 24))
+        ).alias("sig"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    cuts = frames.withColumn(
+        "is_cut",
+        (
+            F.abs(F.col("sig") - F.lag("sig").over(w)) > _SCENE_CUT_T
+        ).cast("long"),
+    )
+    per = cuts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        (F.sum(F.coalesce("is_cut", F.lit(0))) + 1).alias("n_scenes"),
+    )
+    return per.groupBy("n_scenes").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.max("n_frames").alias("n_frames"),
+    )
+
+
+MM_SCENE_CUTS_SQL = f"""
+WITH frames AS ({MM_FRAME_SAMPLE_SQL}),
+sigs AS (
+  SELECT doc_id, frame_idx,
+         CAST('0x' || substr(frame_md5, 1, 6) AS BIGINT)
+           / {float(1 << 24)!r} AS sig
+  FROM frames
+), cuts AS (
+  SELECT doc_id,
+         CASE WHEN abs(sig - lag(sig) OVER (PARTITION BY doc_id
+                                            ORDER BY frame_idx))
+                   > {_SCENE_CUT_T} THEN 1 ELSE 0 END AS is_cut
+  FROM sigs
+), per AS (
+  SELECT doc_id, count(*) AS n_frames,
+         sum(coalesce(is_cut, 0)) + 1 AS n_scenes
+  FROM cuts GROUP BY doc_id
+)
+SELECT CAST(n_scenes AS BIGINT) AS n_scenes, count(*) AS n_payloads,
+       max(n_frames) AS n_frames
+FROM per GROUP BY n_scenes
+"""
+
+QUERIES["mm_scene_cuts"] = (mm_scene_cuts, MM_SCENE_CUTS_SQL)

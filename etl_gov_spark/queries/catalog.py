@@ -134,6 +134,7 @@ _PINNED_FIRST = (
     "q_type_user_overlap",
     "text_pmi_bigrams",
     "q_power_analysis",
+    "mm_scene_cuts",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

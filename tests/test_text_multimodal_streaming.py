@@ -395,3 +395,15 @@ def test_readability_orders_simple_above_dense_text(spark, tmp_path_factory):
     assert got[0].n_words == 9 and got[0].n_sentences == 2
     assert got[0].flesch > got[1].flesch
     assert got[0].band == "easy" and got[1].band == "difficult"
+
+
+def test_scene_cuts_census(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.multimodal import mm_scene_cuts
+
+    rows = mm_scene_cuts(spark, sf_dir).collect()
+    assert rows
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_payloads for r in rows) == n_docs
+    for r in rows:
+        assert 1 <= r.n_scenes <= r.n_frames == 4

@@ -727,3 +727,70 @@ def _kcore_sql() -> str:
 
 
 QUERIES["graph_kcore_peel"] = (graph_kcore_peel, _kcore_sql())
+
+
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution shape of the near-dup graph: the degree
+    histogram plus a log-log OLS slope over it — scale-free-ish
+    corpora (slope ≈ −2..−3) mean a few template hubs dominate,
+    which changes the dedup strategy (cap-and-star) versus a flat
+    random-overlap graph.
+
+    Degrees are one aggregate over the edge list; the histogram is
+    bounded by max degree; the fit is the algebraic regr pair over
+    histogram rows. Returned as one row so the driver hash covers
+    slope, fit quality, and the census extremes together.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    edges = _near_dup_edges(docs)
+    deg = (
+        edges.select(F.col("doc_a").alias("n"))
+        .union(edges.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    fit = hist.agg(
+        F.count(F.lit(1)).alias("n_degree_levels"),
+        F.sum("n_nodes").alias("n_nodes_total"),
+        F.max("degree").alias("max_degree"),
+        _R4(
+            F.regr_slope(
+                F.log(F.col("n_nodes").cast("double")),
+                F.log(F.col("degree").cast("double")),
+            ),
+            "loglog_slope",
+        ),
+        _R4(
+            F.regr_r2(
+                F.log(F.col("n_nodes").cast("double")),
+                F.log(F.col("degree").cast("double")),
+            ),
+            "r2",
+        ),
+    )
+    return fit
+
+
+def _degree_powerlaw_sql() -> str:
+    return f"""
+WITH {_SQL_EDGE_PAIRS.removeprefix("WITH RECURSIVE ").strip() if _SQL_EDGE_PAIRS.startswith("WITH") else _SQL_EDGE_PAIRS},
+deg AS (
+  SELECT n, count(*) AS degree FROM (
+    SELECT doc_a AS n FROM pairs UNION ALL SELECT doc_b FROM pairs
+  ) GROUP BY n
+), hist AS (
+  SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+)
+SELECT count(*) AS n_degree_levels,
+       CAST(sum(n_nodes) AS BIGINT) AS n_nodes_total,
+       CAST(max(degree) AS BIGINT) AS max_degree,
+       round(regr_slope(ln(CAST(n_nodes AS DOUBLE)),
+                        ln(CAST(degree AS DOUBLE))), 4) AS loglog_slope,
+       round(regr_r2(ln(CAST(n_nodes AS DOUBLE)),
+                     ln(CAST(degree AS DOUBLE))), 4) AS r2
+FROM hist
+"""
+
+
+QUERIES["graph_degree_powerlaw"] = (graph_degree_powerlaw, _degree_powerlaw_sql())

@@ -135,6 +135,7 @@ _PINNED_FIRST = (
     "text_pmi_bigrams",
     "q_power_analysis",
     "mm_scene_cuts",
+    "graph_degree_powerlaw",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

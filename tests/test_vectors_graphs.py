@@ -367,3 +367,13 @@ def test_mrr_bounds_and_consistency(spark, sf_dir):
         assert r.mean_first_rank >= 1.0
         # Jensen: avg(1/rank) >= 1/avg(rank)
         assert r.mrr >= 1.0 / r.mean_first_rank - 1e-4
+
+
+def test_degree_powerlaw_fit_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.graphs import graph_degree_powerlaw
+
+    r = graph_degree_powerlaw(spark, sf_dir).collect()[0]
+    assert r.n_degree_levels >= 1
+    assert r.max_degree >= 1
+    assert r.n_nodes_total > 0
+    assert r.r2 is None or 0.0 <= r.r2 <= 1.0

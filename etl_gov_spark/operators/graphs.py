@@ -533,7 +533,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_sql(iters: int = LPA_ITERS) -> str:
+def _lpa_sql(iters: int = LPA_ITERS, final_select: str | None = None) -> str:
     """The fixed-round LPA replay as unrolled CTEs — exact (integer
     votes, total (c DESC, label ASC) tie order matches Spark's
     min(struct(-c, label)))."""
@@ -564,9 +564,14 @@ def _lpa_sql(iters: int = LPA_ITERS) -> str:
 )"""
         )
         prev = f"l{i}"
-    parts.append(
-        f"\nSELECT label AS community, count(*) AS n_members FROM {prev} GROUP BY label"
-    )
+    if final_select is None:
+        final_select = (
+            "\nSELECT label AS community, count(*) AS n_members"
+            f" FROM {prev} GROUP BY label"
+        )
+    else:
+        final_select = final_select.format(labels=prev)
+    parts.append(final_select)
     return "".join(parts)
 
 
@@ -794,3 +799,79 @@ FROM hist
 
 
 QUERIES["graph_degree_powerlaw"] = (graph_degree_powerlaw, _degree_powerlaw_sql())
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA partition over the near-dup
+    graph — the one-number answer to "are these communities real":
+    Q = Σ_c (e_c/m − (d_c/2m)²). Near zero means LPA found nothing
+    beyond chance; the conventional ≥ 0.3 bar means the template
+    families are structurally real.
+
+    Reuses the deterministic LPA labels; the score is two bounded
+    joins (edge→labels, incidence→labels) and scalar algebra — no
+    extra iteration beyond LPA's fixed rounds.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    edges = _near_dup_edges(docs).localCheckpoint()
+    labels = label_propagation(edges)
+    la = labels.select(F.col("node").alias("doc_a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("node").alias("doc_b"), F.col("label").alias("cb"))
+    tagged = edges.join(la, "doc_a").join(lb, "doc_b")
+    m = edges.count()
+    intra = tagged.filter(F.col("ca") == F.col("cb")).groupBy("ca").agg(
+        F.count(F.lit(1)).alias("e_c")
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("node"))
+        .union(edges.select(F.col("doc_b").alias("node")))
+        .join(labels, "node")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d_c"))
+    )
+    joined = deg.join(
+        intra.withColumnRenamed("ca", "label"), "label", "left"
+    ).select(
+        "label",
+        F.coalesce("e_c", F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    q = joined.agg(
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum(
+            F.col("e_c") / F.lit(float(m))
+            - F.pow(F.col("d_c") / F.lit(2.0 * m), 2)
+        ).alias("q"),
+    )
+    return q.select(
+        "n_communities",
+        F.lit(m).alias("n_edges"),
+        _R4(F.col("q"), "modularity"),
+    )
+
+
+def _modularity_sql() -> str:
+    return _lpa_sql(
+        final_select="""
+, la AS (SELECT node, label FROM {labels}),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, a.label AS ca, b.label AS cb
+  FROM pairs p JOIN la a ON a.node = p.doc_a JOIN la b ON b.node = p.doc_b
+), m AS (SELECT count(*) AS m FROM pairs),
+intra AS (
+  SELECT ca AS label, count(*) AS e_c FROM tagged WHERE ca = cb GROUP BY ca
+), deg AS (
+  SELECT l.label, count(*) AS d_c FROM (
+    SELECT doc_a AS node FROM pairs UNION ALL SELECT doc_b FROM pairs
+  ) i JOIN la l ON l.node = i.node GROUP BY l.label
+)
+SELECT count(*) AS n_communities,
+       CAST(max(m.m) AS BIGINT) AS n_edges,
+       round(sum(coalesce(intra.e_c, 0) / CAST(m.m AS DOUBLE)
+                 - pow(deg.d_c / (2.0 * m.m), 2)), 4) AS modularity
+FROM deg LEFT JOIN intra USING (label) CROSS JOIN m
+"""
+    )
+
+
+QUERIES["graph_modularity"] = (graph_modularity, _modularity_sql())

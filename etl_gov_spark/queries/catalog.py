@@ -136,6 +136,7 @@ _PINNED_FIRST = (
     "q_power_analysis",
     "mm_scene_cuts",
     "graph_degree_powerlaw",
+    "graph_modularity",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

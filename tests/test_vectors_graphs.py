@@ -377,3 +377,12 @@ def test_degree_powerlaw_fit_bounds(spark, sf_dir):
     assert r.max_degree >= 1
     assert r.n_nodes_total > 0
     assert r.r2 is None or 0.0 <= r.r2 <= 1.0
+
+
+def test_modularity_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.graphs import graph_modularity
+
+    r = graph_modularity(spark, sf_dir).collect()[0]
+    assert -0.5 <= r.modularity <= 1.0  # Newman Q range
+    assert r.n_communities >= 1
+    assert r.n_edges > 0

@@ -1378,3 +1378,107 @@ GROUP BY c.c_mktsegment
 
 
 QUERIES["q_scenario_whatif"] = (q_scenario_whatif, _whatif_sql())
+
+
+def q_dead_sku_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-SKU census per brand: parts never ordered (anti-join
+    against lineitem) with their share of the catalog and the
+    retail value parked in them — the assortment-hygiene report
+    that feeds delisting decisions.
+
+    One distinct on the fact side's part keys, an anti-join that
+    stays broadcast at dim scale, and a bounded per-brand rollup.
+    """
+    c = Catalog(spark, sf_dir)
+    ordered = c.lineitem.select("l_partkey").distinct()
+    parts = c.part.select("p_partkey", "p_brand", "p_retailprice")
+    dead = parts.join(
+        ordered, parts.p_partkey == ordered.l_partkey, "left_anti"
+    )
+    per = parts.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_parts"))
+    dper = dead.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_dead"),
+        F.round(F.sum("p_retailprice"), 2).alias("dead_value"),
+    )
+    return per.join(dper, "p_brand", "left").select(
+        "p_brand",
+        "n_parts",
+        F.coalesce("n_dead", F.lit(0)).alias("n_dead"),
+        F.coalesce("dead_value", F.lit(0.0)).alias("dead_value"),
+        _R4(F.coalesce("n_dead", F.lit(0)) / F.col("n_parts"), "dead_share"),
+    )
+
+
+Q_DEAD_SKU_SQL = """
+WITH ordered AS (
+  SELECT DISTINCT l_partkey FROM lineitem
+), dead AS (
+  SELECT p.p_brand, count(*) AS n_dead,
+         round(sum(p.p_retailprice), 2) AS dead_value
+  FROM part p LEFT JOIN ordered o ON o.l_partkey = p.p_partkey
+  WHERE o.l_partkey IS NULL
+  GROUP BY p.p_brand
+), per AS (
+  SELECT p_brand, count(*) AS n_parts FROM part GROUP BY p_brand
+)
+SELECT p.p_brand, p.n_parts,
+       CAST(coalesce(d.n_dead, 0) AS BIGINT) AS n_dead,
+       coalesce(d.dead_value, 0.0) AS dead_value,
+       round(coalesce(d.n_dead, 0) / CAST(p.n_parts AS DOUBLE), 4) AS dead_share
+FROM per p LEFT JOIN dead d USING (p_brand)
+"""
+
+QUERIES["q_dead_sku_census"] = (q_dead_sku_census, Q_DEAD_SKU_SQL)
+
+
+def q_peak_day_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal revenue concentration: each month's peak day and
+    the share of the month it carried — spiky months (one deadline
+    day = half the revenue) need different capacity planning than
+    flat ones, and the spike share is the one-number tell.
+
+    Daily rollup → per-month argmax via max(struct) — no window,
+    two bounded aggregates.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.to_date("o_orderdate").alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    per = daily.groupBy("month").agg(
+        F.sum("rev").alias("total"),
+        F.max(F.struct(F.round("rev", 2).alias("r"), "day")).alias("peak"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return per.select(
+        "month",
+        "n_days",
+        F.round("total", 2).alias("month_revenue"),
+        F.col("peak.day").alias("peak_day"),
+        F.col("peak.r").alias("peak_revenue"),
+        _R4(F.col("peak.r") / F.col("total"), "peak_share"),
+    )
+
+
+Q_PEAK_DAY_SQL = """
+WITH daily AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+         CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+)
+SELECT month, count(*) AS n_days,
+       round(sum(rev), 2) AS month_revenue,
+       (max(struct_pack(r := round(rev, 2), d := day))).d AS peak_day,
+       (max(struct_pack(r := round(rev, 2), d := day))).r AS peak_revenue,
+       round((max(struct_pack(r := round(rev, 2), d := day))).r / sum(rev), 4)
+         AS peak_share
+FROM daily GROUP BY month
+"""
+
+QUERIES["q_peak_day_contribution"] = (
+    q_peak_day_contribution,
+    Q_PEAK_DAY_SQL,
+)

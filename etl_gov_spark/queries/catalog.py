@@ -137,6 +137,8 @@ _PINNED_FIRST = (
     "mm_scene_cuts",
     "graph_degree_powerlaw",
     "graph_modularity",
+    "q_dead_sku_census",
+    "q_peak_day_contribution",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

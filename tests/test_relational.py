@@ -309,3 +309,26 @@ def test_whatif_scenarios_ordered(spark, sf_dir):
         assert r.discount_plus_1pp < r.baseline
         # -5% price cuts exactly 5%
         assert abs(r.price_minus_5pct / r.baseline - 0.95) < 1e-6
+
+
+def test_dead_sku_census_partition(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_dead_sku_census
+
+    rows = q_dead_sku_census(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dead <= r.n_parts
+        assert 0.0 <= r.dead_share <= 1.0
+        assert (r.n_dead == 0) == (r.dead_value == 0.0)
+
+
+def test_peak_day_share_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_peak_day_contribution
+
+    rows = q_peak_day_contribution(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # peak day carries at least the uniform share, at most all
+        assert r.peak_share >= 1.0 / r.n_days - 1e-6
+        assert r.peak_share <= 1.0
+        assert r.peak_revenue <= r.month_revenue

@@ -2015,3 +2015,143 @@ FROM stats CROSS JOIN days
 """
 
 QUERIES["q_power_analysis"] = (q_power_analysis, Q_POWER_ANALYSIS_SQL)
+
+
+_CHOW_BREAK = "1995-07-01"
+
+
+def q_chow_break_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chow test for a structural break in the daily-revenue trend
+    at a known date: F = ((SSR_p − SSR₁ − SSR₂)/k) /
+    ((SSR₁+SSR₂)/(n−2k)), k=2 — did the REGRESSION (level and
+    slope), not just the mean, change? The regression-flavored
+    member of the changepoint family next to CUSUM (mean shift)
+    and Pettitt (distribution shift).
+
+    Each segment's SSR comes from the algebraic identity
+    SSR = Syy(1−r²), so the whole test is three conditional
+    regr_*/var aggregates in ONE pass over the bounded daily
+    series.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .select(
+            F.datediff("day", F.lit("1995-01-01")).cast("double").alias("x"),
+            "y",
+            (F.col("day") < F.lit(_CHOW_BREAK)).alias("pre"),
+        )
+    )
+
+    def ssr(cond):
+        yy = F.var_pop(F.when(cond, F.col("y"))) * F.count(
+            F.when(cond, F.lit(1))
+        )
+        r2 = F.regr_r2(
+            F.when(cond, F.col("y")), F.when(cond, F.col("x"))
+        )
+        return yy * (1 - r2)
+
+    t = F.lit(True)
+    agg = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        ssr(t).alias("ssr_p"),
+        ssr(F.col("pre")).alias("ssr_1"),
+        ssr(~F.col("pre")).alias("ssr_2"),
+        F.sum(F.col("pre").cast("long")).alias("n_pre"),
+    )
+    k = 2
+    f_stat = (
+        (F.col("ssr_p") - F.col("ssr_1") - F.col("ssr_2")) / k
+    ) / ((F.col("ssr_1") + F.col("ssr_2")) / (F.col("n") - 2 * k))
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("n_pre").alias("n_pre_break"),
+        _R4(f_stat, "chow_f"),
+        F.lit(k).alias("df1"),
+        (F.col("n") - 2 * k).alias("df2"),
+    )
+
+
+Q_CHOW_SQL = f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+         sum(o_totalprice) AS y,
+         CAST(o_orderdate AS DATE) < DATE '{_CHOW_BREAK}' AS pre
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), agg AS (
+  SELECT count(*) AS n,
+         var_pop(y) * count(*) * (1 - regr_r2(y, x)) AS ssr_p,
+         var_pop(CASE WHEN pre THEN y END)
+           * count(CASE WHEN pre THEN 1 END)
+           * (1 - regr_r2(CASE WHEN pre THEN y END,
+                          CASE WHEN pre THEN x END)) AS ssr_1,
+         var_pop(CASE WHEN NOT pre THEN y END)
+           * count(CASE WHEN NOT pre THEN 1 END)
+           * (1 - regr_r2(CASE WHEN NOT pre THEN y END,
+                          CASE WHEN NOT pre THEN x END)) AS ssr_2,
+         sum(CASE WHEN pre THEN 1 ELSE 0 END) AS n_pre
+  FROM daily
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(n_pre AS BIGINT) AS n_pre_break,
+       round(((ssr_p - ssr_1 - ssr_2) / 2)
+             / ((ssr_1 + ssr_2) / (n - 4)), 4) AS chow_f,
+       2 AS df1, CAST(n - 4 AS BIGINT) AS df2
+FROM agg
+"""
+
+QUERIES["q_chow_break_test"] = (q_chow_break_test, Q_CHOW_SQL)
+
+
+def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of
+    the daily revenue series — up to ~29% of days can be corrupted
+    (spikes, backfills, outages) without moving the estimate, where
+    OLS (``q_trend_slope``) chases every outlier.
+
+    The pairwise join is over the BOUNDED daily series (n days →
+    n²/2 slope pairs, ~65k at a year — trivial; at multi-decade
+    scale, sample day pairs). Median via exact interpolated
+    percentile on 6-dp-rounded slopes keeps both engines identical.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .select(
+            F.datediff("day", F.lit("1995-01-01")).cast("double").alias("x"),
+            "y",
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.round(
+            (F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x")), 6
+        ).alias("s")
+    )
+    return slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _R4(F.expr("percentile(s, 0.5)"), "theil_sen_slope"),
+        _R4(F.expr("percentile(s, 0.25)"), "slope_p25"),
+        _R4(F.expr("percentile(s, 0.75)"), "slope_p75"),
+    )
+
+
+Q_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+         sum(o_totalprice) AS y
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+), slopes AS (
+  SELECT round((b.y - a.y) / (b.x - a.x), 6) AS s
+  FROM daily a JOIN daily b ON a.x < b.x
+)
+SELECT count(*) AS n_pairs,
+       round(quantile_cont(s, 0.5), 4) AS theil_sen_slope,
+       round(quantile_cont(s, 0.25), 4) AS slope_p25,
+       round(quantile_cont(s, 0.75), 4) AS slope_p75
+FROM slopes
+"""
+
+QUERIES["q_theil_sen_slope"] = (q_theil_sen_slope, Q_THEIL_SEN_SQL)

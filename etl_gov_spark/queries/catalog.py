@@ -139,6 +139,8 @@ _PINNED_FIRST = (
     "graph_modularity",
     "q_dead_sku_census",
     "q_peak_day_contribution",
+    "q_chow_break_test",
+    "q_theil_sen_slope",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -476,3 +476,20 @@ def test_power_analysis_positive(spark, sf_dir):
         assert r.est_days_both_arms > 0
         # higher relative variance needs more samples
         assert r.n_per_arm >= (r.stddev / (0.02 * r.mean)) ** 2
+
+
+def test_chow_structure(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_chow_break_test
+
+    r = q_chow_break_test(spark, sf_dir).collect()[0]
+    assert r.chow_f >= 0
+    assert 0 < r.n_pre_break < r.n_days
+    assert r.df1 == 2 and r.df2 == r.n_days - 4
+
+
+def test_theil_sen_quartiles_ordered(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_theil_sen_slope
+
+    r = q_theil_sen_slope(spark, sf_dir).collect()[0]
+    assert r.slope_p25 <= r.theil_sen_slope <= r.slope_p75
+    assert r.n_pairs > 1000

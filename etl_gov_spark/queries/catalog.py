@@ -141,6 +141,7 @@ _PINNED_FIRST = (
     "q_peak_day_contribution",
     "q_chow_break_test",
     "q_theil_sen_slope",
+    "stream_hourly_users",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -414,3 +414,33 @@ QUERIES["stream_hourly_finalized"] = (
     stream_hourly_finalized,
     STREAM_HOURLY_FINALIZED_SQL,
 )
+
+
+def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per hour, streaming: Structured
+    Streaming forbids count(DISTINCT) in aggregations, so the
+    supported pattern is dropDuplicates on (user, hour-window) with
+    a watermark — the dedup state carries exactness, the aggregate
+    stays a plain count. The oracle is the batch exact distinct, so
+    this proves the streaming rewrite loses nothing.
+    """
+    ev = _events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "2 hours")
+        .select(
+            "user_id", F.window("ts", "1 hour").getField("start").alias("hour")
+        )
+        .dropDuplicates(["user_id", "hour"])
+    )
+    agg = deduped.groupBy("hour").agg(F.count(F.lit(1)).alias("n_users"))
+    _run_to_memory(agg, "stream_hourly_users_sink", "complete")
+    return spark.table("stream_hourly_users_sink")
+
+
+STREAM_HOURLY_USERS_SQL = """
+SELECT date_trunc('hour', ts) AS hour,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+QUERIES["stream_hourly_users"] = (stream_hourly_users, STREAM_HOURLY_USERS_SQL)

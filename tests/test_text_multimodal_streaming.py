@@ -407,3 +407,18 @@ def test_scene_cuts_census(spark, sf_dir):
     assert sum(r.n_payloads for r in rows) == n_docs
     for r in rows:
         assert 1 <= r.n_scenes <= r.n_frames == 4
+
+
+def test_stream_hourly_users_matches_batch_exact(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.streaming.events_stream import stream_hourly_users
+
+    got = {r.hour: r.n_users for r in stream_hourly_users(spark, sf_dir).collect()}
+    want = {
+        r.hour: r.n
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == want

@@ -410,6 +410,8 @@ def test_scene_cuts_census(spark, sf_dir):
 
 
 def test_stream_hourly_users_matches_batch_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
     from etl_gov_spark.io.sources import read_table
     from etl_gov_spark.streaming.events_stream import stream_hourly_users
 

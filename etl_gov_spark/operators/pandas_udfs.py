@@ -228,3 +228,90 @@ FROM events GROUP BY event_type
 """
 
 QUERIES["udaf_zscore_pandas"] = (udaf_zscore_pandas, UDAF_ZSCORE_SQL)
+
+
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+_HOLT_H = 7
+
+_HOLT_SCHEMA = (
+    "event_type string, n_days long, level double, trend double, "
+    "forecast_7d double"
+)
+
+
+def _holt_group(pdf):
+    pdf = pdf.sort_values("day")
+    ys = pdf["y"].tolist()
+    level, trend = float(ys[0]), 0.0
+    for y in ys[1:]:
+        prev = level
+        level = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (level + trend)
+        trend = _HOLT_BETA * (level - prev) + (1 - _HOLT_BETA) * trend
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [len(ys)],
+            "level": [round(level, 4)],
+            "trend": [round(trend, 4)],
+            "forecast_7d": [round(level + _HOLT_H * trend, 4)],
+        }
+    )
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear exponential smoothing per event type — a
+    RECURSIVE computation (each day's level/trend feeds the next)
+    that has no windowed closed form, run through grouped
+    applyInPandas over the bounded daily series and verified
+    against a DuckDB RECURSIVE CTE replaying the identical
+    recurrence: the template for sequential state at scale (group
+    count parallelizes; within-group state is Arrow-local).
+
+    Forecast = level + 7·trend. Both engines execute the same
+    double-precision operation sequence, so the oracle is
+    hash-exact despite 30+ chained floating-point steps.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _holt_group, schema=_HOLT_SCHEMA
+    )
+
+
+Q_HOLT_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), holt(event_type, i, level, trend) AS (
+  SELECT event_type, 1, y, CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1
+  UNION ALL
+  SELECT h.event_type, h.i + 1,
+         {_HOLT_ALPHA} * d.y + (1 - {_HOLT_ALPHA}) * (h.level + h.trend),
+         {_HOLT_BETA} * (({_HOLT_ALPHA} * d.y
+                          + (1 - {_HOLT_ALPHA}) * (h.level + h.trend))
+                         - h.level)
+           + (1 - {_HOLT_BETA}) * h.trend
+  FROM holt h JOIN idx d ON d.event_type = h.event_type AND d.i = h.i + 1
+)
+SELECT h.event_type, CAST(x.n AS BIGINT) AS n_days,
+       round(h.level, 4) AS level,
+       round(h.trend, 4) AS trend,
+       round(h.level + {_HOLT_H} * h.trend, 4) AS forecast_7d
+FROM holt h
+JOIN (SELECT event_type, max(n) AS n FROM idx GROUP BY event_type) x
+  ON x.event_type = h.event_type
+WHERE h.i = x.n
+"""
+
+QUERIES["q_holt_forecast"] = (q_holt_forecast, Q_HOLT_SQL)

@@ -2745,3 +2745,63 @@ JOIN sizes sb ON sb.event_type = i.type_b
 """
 
 QUERIES["q_type_user_overlap"] = (q_type_user_overlap, Q_TYPE_USER_OVERLAP_SQL)
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative revenue vs its linear budget
+    pace: track cumulative actual minus cumulative expected (total
+    × day/n) per day and report the deepest shortfall and when it
+    bottomed — the pacing readout ("how far behind plan did the
+    quarter get, and when") computed with two windows over the
+    bounded daily series.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.sum("rev").over(w).alias("cum"),
+        F.sum("rev").over(tot).alias("total"),
+        F.row_number().over(Window.orderBy("day")).alias("i"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    gap = F.col("cum") - F.col("total") * F.col("i") / F.col("n")
+    pick = Window.orderBy(F.asc(F.round(gap, 2)), F.asc("day"))
+    return (
+        cum.withColumn("rn", F.row_number().over(pick))
+        .filter("rn = 1")
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("n").alias("n_days"),
+            F.round(gap, 2).alias("max_drawdown"),
+            _R4(-gap / F.col("total"), "drawdown_frac"),
+        )
+    )
+
+
+Q_MAX_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev
+  FROM orders GROUP BY 1
+), cum AS (
+  SELECT day,
+         sum(rev) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(rev) OVER () AS total,
+         row_number() OVER (ORDER BY day) AS i,
+         count(*) OVER () AS n
+  FROM daily
+)
+SELECT day AS trough_day, CAST(n AS BIGINT) AS n_days,
+       round(cum - total * i / n, 2) AS max_drawdown,
+       round(-(cum - total * i / n) / total, 4) AS drawdown_frac
+FROM cum
+ORDER BY round(cum - total * i / n, 2) ASC, day ASC
+LIMIT 1
+"""
+
+QUERIES["q_max_drawdown"] = (q_max_drawdown, Q_MAX_DRAWDOWN_SQL)

@@ -142,6 +142,8 @@ _PINNED_FIRST = (
     "q_chow_break_test",
     "q_theil_sen_slope",
     "stream_hourly_users",
+    "q_holt_forecast",
+    "q_max_drawdown",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

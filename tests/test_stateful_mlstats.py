@@ -493,3 +493,15 @@ def test_theil_sen_quartiles_ordered(spark, sf_dir):
     r = q_theil_sen_slope(spark, sf_dir).collect()[0]
     assert r.slope_p25 <= r.theil_sen_slope <= r.slope_p75
     assert r.n_pairs > 1000
+
+
+def test_holt_forecast_consistency(spark, sf_dir):
+    from etl_gov_spark.operators.pandas_udfs import q_holt_forecast
+
+    rows = q_holt_forecast(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 10
+        assert r.level > 0
+        # forecast = level + 7*trend identity (4dp rounding slack)
+        assert abs(r.forecast_7d - (r.level + 7 * r.trend)) < 0.01

@@ -273,3 +273,12 @@ def test_type_user_overlap_matrix(spark, sf_dir):
     for r in rows:
         assert r.type_a < r.type_b
         assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_max_drawdown_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_max_drawdown
+
+    r = q_max_drawdown(spark, sf_dir).collect()[0]
+    assert r.max_drawdown <= 0.01  # the deepest gap is at or below zero
+    assert -1.0 <= r.drawdown_frac <= 1.0
+    assert r.n_days > 30

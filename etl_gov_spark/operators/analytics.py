@@ -1482,3 +1482,150 @@ QUERIES["q_peak_day_contribution"] = (
     q_peak_day_contribution,
     Q_PEAK_DAY_SQL,
 )
+
+
+_SS_M0, _SS_M1 = "1995-03", "1995-04"
+
+
+def q_shift_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shift-share decomposition of each nation's month-over-month
+    revenue growth: national effect (what growing with the whole
+    economy would give), industry-mix effect (the nation's segment
+    portfolio vs the average), and competitive effect (the
+    residual local performance) — the standard regional-economics
+    decomposition a government statistics office publishes.
+
+    Everything reduces to the (nation, segment) × 2-month grid:
+    one conditional aggregate over the joined facts, then row
+    algebra against two broadcast scalar growth rates.
+    """
+    c = Catalog(spark, sf_dir)
+    li = (
+        c.orders.filter(
+            F.date_format("o_orderdate", "yyyy-MM").isin(_SS_M0, _SS_M1)
+        )
+        .join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_mktsegment",
+            F.date_format("o_orderdate", "yyyy-MM").alias("m"),
+            "o_totalprice",
+        )
+    )
+    cell = li.groupBy("n_name", "c_mktsegment").agg(
+        F.sum(F.when(F.col("m") == _SS_M0, F.col("o_totalprice"))).alias("r0"),
+        F.sum(F.when(F.col("m") == _SS_M1, F.col("o_totalprice"))).alias("r1"),
+    ).fillna(0.0, ["r0", "r1"])
+    seg = cell.groupBy("c_mktsegment").agg(
+        F.sum("r0").alias("s0"), F.sum("r1").alias("s1")
+    )
+    nat = seg.agg(F.sum("s0").alias("t0"), F.sum("s1").alias("t1"))
+    g_all = (F.col("t1") - F.col("t0")) / F.col("t0")
+    g_seg = (F.col("s1") - F.col("s0")) / F.col("s0")
+    j = (
+        cell.join(F.broadcast(seg), "c_mktsegment")
+        .crossJoin(F.broadcast(nat))
+        .select(
+            "n_name",
+            "r0",
+            "r1",
+            (F.col("r0") * g_all).alias("nat_eff"),
+            (F.col("r0") * (g_seg - g_all)).alias("mix_eff"),
+            (
+                F.col("r1")
+                - F.col("r0")
+                - F.col("r0") * g_seg
+            ).alias("comp_eff"),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum("r1") - F.sum("r0"), 2).alias("growth"),
+        F.round(F.sum("nat_eff"), 2).alias("national_effect"),
+        F.round(F.sum("mix_eff"), 2).alias("mix_effect"),
+        F.round(F.sum("comp_eff"), 2).alias("competitive_effect"),
+    )
+
+
+Q_SHIFT_SHARE_SQL = f"""
+WITH li AS (
+  SELECT n.n_name, c.c_mktsegment,
+         strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS m,
+         o.o_totalprice
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') IN ('{_SS_M0}', '{_SS_M1}')
+), cell AS (
+  SELECT n_name, c_mktsegment,
+         coalesce(sum(CASE WHEN m = '{_SS_M0}' THEN o_totalprice END), 0) AS r0,
+         coalesce(sum(CASE WHEN m = '{_SS_M1}' THEN o_totalprice END), 0) AS r1
+  FROM li GROUP BY 1, 2
+), seg AS (
+  SELECT c_mktsegment, sum(r0) AS s0, sum(r1) AS s1 FROM cell GROUP BY 1
+), nat AS (
+  SELECT sum(s0) AS t0, sum(s1) AS t1 FROM seg
+)
+SELECT cell.n_name,
+       round(sum(r1) - sum(r0), 2) AS growth,
+       round(sum(r0 * (t1 - t0) / t0), 2) AS national_effect,
+       round(sum(r0 * ((s1 - s0) / s0 - (t1 - t0) / t0)), 2) AS mix_effect,
+       round(sum(r1 - r0 - r0 * (s1 - s0) / s0), 2) AS competitive_effect
+FROM cell JOIN seg USING (c_mktsegment) CROSS JOIN nat
+GROUP BY cell.n_name
+"""
+
+QUERIES["q_shift_share"] = (q_shift_share, Q_SHIFT_SHARE_SQL)
+
+
+def q_location_quotient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location quotient per (nation, segment): the nation's
+    revenue share in a segment relative to the global share —
+    LQ > 1 marks regional specialization, the other staple of
+    regional economic accounts. One aggregate to the grid, two
+    marginal windows, row division.
+    """
+    c = Catalog(spark, sf_dir)
+    cell = (
+        c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(c.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("rev"))
+    )
+    wn = Window.partitionBy("n_name")
+    tot = Window.partitionBy()
+    ws = Window.partitionBy("c_mktsegment")
+    lq = (F.col("rev") / F.sum("rev").over(wn)) / (
+        F.sum("rev").over(ws) / F.sum("rev").over(tot)
+    )
+    out = cell.select(
+        "n_name",
+        "c_mktsegment",
+        F.round("rev", 2).alias("revenue"),
+        _R4(lq, "location_quotient"),
+    )
+    return out.filter(
+        (F.col("location_quotient") >= 1.2)
+        | (F.col("location_quotient") <= 0.8)
+    )
+
+
+Q_LOCATION_QUOTIENT_SQL = """
+WITH cell AS (
+  SELECT n.n_name, c.c_mktsegment, sum(o.o_totalprice) AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+), scored AS (
+  SELECT n_name, c_mktsegment, round(rev, 2) AS revenue,
+         round((rev / sum(rev) OVER (PARTITION BY n_name))
+               / (sum(rev) OVER (PARTITION BY c_mktsegment)
+                  / sum(rev) OVER ()), 4) AS location_quotient
+  FROM cell
+)
+SELECT * FROM scored
+WHERE location_quotient >= 1.2 OR location_quotient <= 0.8
+"""
+
+QUERIES["q_location_quotient"] = (q_location_quotient, Q_LOCATION_QUOTIENT_SQL)

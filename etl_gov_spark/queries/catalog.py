@@ -144,6 +144,8 @@ _PINNED_FIRST = (
     "stream_hourly_users",
     "q_holt_forecast",
     "q_max_drawdown",
+    "q_shift_share",
+    "q_location_quotient",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

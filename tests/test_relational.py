@@ -332,3 +332,23 @@ def test_peak_day_share_bounds(spark, sf_dir):
         assert r.peak_share >= 1.0 / r.n_days - 1e-6
         assert r.peak_share <= 1.0
         assert r.peak_revenue <= r.month_revenue
+
+
+def test_shift_share_decomposition_closes(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_shift_share
+
+    rows = q_shift_share(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the three effects reconstruct the growth exactly
+        total = r.national_effect + r.mix_effect + r.competitive_effect
+        assert abs(total - r.growth) < 0.05
+
+
+def test_location_quotient_flags_extremes_only(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_location_quotient
+
+    rows = q_location_quotient(spark, sf_dir).collect()
+    for r in rows:
+        assert r.location_quotient >= 1.2 or r.location_quotient <= 0.8
+        assert r.revenue > 0

@@ -1629,3 +1629,88 @@ WHERE location_quotient >= 1.2 OR location_quotient <= 0.8
 """
 
 QUERIES["q_location_quotient"] = (q_location_quotient, Q_LOCATION_QUOTIENT_SQL)
+
+
+_PI_M0, _PI_M1 = "1995-03", "1995-04"
+
+
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Official-statistics price indices per brand between two
+    months: Laspeyres (base-quantity weights), Paasche (current-
+    quantity weights), and Fisher (their geometric mean — the
+    "ideal" index a CPI program publishes). Items are parts priced
+    both months; unit price = revenue/quantity.
+
+    One conditional aggregate to the (part, month) grid, an inner
+    join to the both-months item set, three weighted sums per
+    brand — no windows.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.filter(
+        F.date_format("l_shipdate", "yyyy-MM").isin(_PI_M0, _PI_M1)
+    ).select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        "l_quantity",
+        F.col("l_extendedprice").alias("rev"),
+    )
+    cell = li.groupBy("l_partkey", "m").agg(
+        F.sum("l_quantity").alias("q"), F.sum("rev").alias("r")
+    )
+    m0 = cell.filter(F.col("m") == _PI_M0).select(
+        "l_partkey",
+        (F.col("r") / F.col("q")).alias("p0"),
+        F.col("q").alias("q0"),
+    )
+    m1 = cell.filter(F.col("m") == _PI_M1).select(
+        "l_partkey",
+        (F.col("r") / F.col("q")).alias("p1"),
+        F.col("q").alias("q1"),
+    )
+    both = m0.join(m1, "l_partkey").join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    agg = both.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("p1") * F.col("q0")).alias("p1q0"),
+        F.sum(F.col("p0") * F.col("q0")).alias("p0q0"),
+        F.sum(F.col("p1") * F.col("q1")).alias("p1q1"),
+        F.sum(F.col("p0") * F.col("q1")).alias("p0q1"),
+    )
+    lasp = F.col("p1q0") / F.col("p0q0")
+    paas = F.col("p1q1") / F.col("p0q1")
+    return agg.select(
+        "p_brand",
+        "n_items",
+        _R4(lasp, "laspeyres"),
+        _R4(paas, "paasche"),
+        _R4(F.sqrt(lasp * paas), "fisher"),
+    )
+
+
+Q_PRICE_INDEX_SQL = f"""
+WITH li AS (
+  SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+         l_quantity, l_extendedprice AS rev
+  FROM lineitem
+  WHERE strftime(CAST(l_shipdate AS DATE), '%Y-%m') IN ('{_PI_M0}', '{_PI_M1}')
+), cell AS (
+  SELECT l_partkey, m, sum(l_quantity) AS q, sum(rev) AS r
+  FROM li GROUP BY 1, 2
+), m0 AS (
+  SELECT l_partkey, r / q AS p0, q AS q0 FROM cell WHERE m = '{_PI_M0}'
+), m1 AS (
+  SELECT l_partkey, r / q AS p1, q AS q1 FROM cell WHERE m = '{_PI_M1}'
+)
+SELECT p.p_brand, count(*) AS n_items,
+       round(sum(p1 * q0) / sum(p0 * q0), 4) AS laspeyres,
+       round(sum(p1 * q1) / sum(p0 * q1), 4) AS paasche,
+       round(sqrt((sum(p1 * q0) / sum(p0 * q0))
+                  * (sum(p1 * q1) / sum(p0 * q1))), 4) AS fisher
+FROM m0 JOIN m1 USING (l_partkey)
+JOIN part p ON p.p_partkey = m0.l_partkey
+GROUP BY p.p_brand
+"""
+
+QUERIES["q_price_index_fisher"] = (q_price_index_fisher, Q_PRICE_INDEX_SQL)

@@ -937,3 +937,48 @@ FROM j GROUP BY n_name
 """
 
 QUERIES["q_theil_index"] = (q_theil_index, Q_THEIL_INDEX_SQL)
+
+
+_ATKINSON_EPS = 0.5
+
+
+def q_atkinson_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index (ε=0.5) of order values per market
+    segment: A = 1 − (mean √y)²/mean y — the welfare-grounded
+    member of the inequality family next to Gini/Theil/Lorenz/HHI,
+    whose ε makes the inequality-aversion assumption explicit.
+
+    Pure algebraic aggregates (mean of √y and mean of y), so the
+    whole index family is one map-side-combinable pass.
+    """
+    j = (
+        Catalog(spark, sf_dir)
+        .orders.join(
+            Catalog(spark, sf_dir).customer,
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_mktsegment", F.col("o_totalprice").alias("y"))
+    )
+    agg = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mu"),
+        F.avg(F.sqrt("y")).alias("ms"),
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n",
+        _R4(F.col("mu"), "mean_value"),
+        _R4(1 - F.col("ms") * F.col("ms") / F.col("mu"), "atkinson"),
+    )
+
+
+Q_ATKINSON_SQL = """
+SELECT c.c_mktsegment, count(*) AS n,
+       round(avg(o.o_totalprice), 4) AS mean_value,
+       round(1 - avg(sqrt(o.o_totalprice)) * avg(sqrt(o.o_totalprice))
+               / avg(o.o_totalprice), 4) AS atkinson
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES["q_atkinson_index"] = (q_atkinson_index, Q_ATKINSON_SQL)

@@ -146,6 +146,8 @@ _PINNED_FIRST = (
     "q_max_drawdown",
     "q_shift_share",
     "q_location_quotient",
+    "q_price_index_fisher",
+    "q_atkinson_index",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

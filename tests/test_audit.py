@@ -252,3 +252,13 @@ def test_payment_velocity_bursts_bounded(spark, sf_dir):
     for r in q_payment_velocity(spark, sf_dir).collect():
         assert 1 <= r.max_orders_7d <= r.total_orders
         assert 0 < r.burst_share <= 1.0
+
+
+def test_atkinson_in_unit_interval(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_atkinson_index
+
+    rows = q_atkinson_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.atkinson < 1.0  # Jensen: (E sqrt y)^2 <= E y
+        assert r.mean_value > 0

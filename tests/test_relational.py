@@ -352,3 +352,14 @@ def test_location_quotient_flags_extremes_only(spark, sf_dir):
     for r in rows:
         assert r.location_quotient >= 1.2 or r.location_quotient <= 0.8
         assert r.revenue > 0
+
+
+def test_fisher_between_laspeyres_paasche(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_price_index_fisher
+
+    rows = q_price_index_fisher(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        lo, hi = sorted((r.laspeyres, r.paasche))
+        assert lo - 1e-4 <= r.fisher <= hi + 1e-4  # geometric mean bracket
+        assert r.n_items >= 1

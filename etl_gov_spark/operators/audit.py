@@ -982,3 +982,60 @@ GROUP BY c.c_mktsegment
 """
 
 QUERIES["q_atkinson_index"] = (q_atkinson_index, Q_ATKINSON_SQL)
+
+
+_FAIRNESS_FLOOR = 0.8
+
+
+def q_fairness_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disparate-impact screen on order fulfillment: each market
+    segment's fulfillment rate ('F' status share) against the
+    best-served segment, flagged when the ratio breaches the
+    four-fifths (80%) rule — the standard first-pass fairness
+    audit applied to an operational outcome.
+
+    One conditional aggregate to segment rates; the max rate is a
+    broadcast scalar; the flag is row algebra.
+    """
+    o = (
+        Catalog(spark, sf_dir)
+        .orders.join(
+            Catalog(spark, sf_dir).customer,
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            (F.col("o_orderstatus") == "F").cast("long").alias("f"),
+        )
+    )
+    per = o.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.avg("f").alias("rate"),
+    )
+    best = per.agg(F.max("rate").alias("best"))
+    return per.crossJoin(F.broadcast(best)).select(
+        "c_mktsegment",
+        "n_orders",
+        _R4(F.col("rate"), "fulfillment_rate"),
+        _R4(F.col("rate") / F.col("best"), "impact_ratio"),
+        (F.col("rate") / F.col("best") < _FAIRNESS_FLOOR).alias(
+            "breaches_80pct_rule"
+        ),
+    )
+
+
+Q_FAIRNESS_SQL = f"""
+WITH per AS (
+  SELECT c.c_mktsegment, count(*) AS n_orders,
+         avg(CASE WHEN o.o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END) AS rate
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+), best AS (SELECT max(rate) AS best FROM per)
+SELECT c_mktsegment, n_orders,
+       round(rate, 4) AS fulfillment_rate,
+       round(rate / best, 4) AS impact_ratio,
+       rate / best < {_FAIRNESS_FLOOR} AS breaches_80pct_rule
+FROM per CROSS JOIN best
+"""
+
+QUERIES["q_fairness_fulfillment"] = (q_fairness_fulfillment, Q_FAIRNESS_SQL)

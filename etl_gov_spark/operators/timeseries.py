@@ -2805,3 +2805,72 @@ LIMIT 1
 """
 
 QUERIES["q_max_drawdown"] = (q_max_drawdown, Q_MAX_DRAWDOWN_SQL)
+
+
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard by tenure week: P(last activity
+    in week w | active through w), with users still active at the
+    corpus horizon right-censored — the user-lifetime companion to
+    the order-level Kaplan-Meier (``q_survival_fulfillment``),
+    and the curve that says WHEN users are most at risk.
+
+    One aggregate per user (first/last day), censoring against a
+    broadcast horizon, then a |weeks|-row risk-set window.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    per = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    horizon = ev.agg(F.max("day").alias("h"))
+    tagged = per.crossJoin(F.broadcast(horizon)).select(
+        F.floor(F.datediff("d1", "d0") / 7).alias("w"),
+        # censored: still active in the horizon's final week
+        (F.datediff("h", "d1") < 7).cast("long").alias("censored"),
+    )
+    grid = tagged.groupBy("w").agg(
+        F.count(F.lit(1)).alias("ended_here"),
+        F.sum("censored").alias("n_censored"),
+    )
+    risk = Window.orderBy("w").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return grid.select(
+        F.col("w").alias("tenure_week"),
+        (F.col("ended_here") - F.col("n_censored")).alias("n_churned"),
+        F.col("n_censored"),
+        F.sum("ended_here").over(risk).alias("n_at_risk"),
+        _R4(
+            (F.col("ended_here") - F.col("n_censored"))
+            / F.sum("ended_here").over(risk),
+            "hazard",
+        ),
+    )
+
+
+Q_CHURN_HAZARD_SQL = """
+WITH per AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+  FROM events GROUP BY user_id
+), h AS (SELECT max(CAST(ts AS DATE)) AS h FROM events),
+tagged AS (
+  SELECT CAST(floor(datediff('day', d0, d1) / 7.0) AS BIGINT) AS w,
+         CASE WHEN datediff('day', d1, h) < 7 THEN 1 ELSE 0 END AS censored
+  FROM per CROSS JOIN h
+), grid AS (
+  SELECT w, count(*) AS ended_here, sum(censored) AS n_censored
+  FROM tagged GROUP BY w
+)
+SELECT w AS tenure_week,
+       CAST(ended_here - n_censored AS BIGINT) AS n_churned,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       CAST(sum(ended_here) OVER (ORDER BY w
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+         AS n_at_risk,
+       round((ended_here - n_censored)
+             / CAST(sum(ended_here) OVER (ORDER BY w
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE),
+             4) AS hazard
+FROM grid
+"""
+
+QUERIES["q_churn_hazard"] = (q_churn_hazard, Q_CHURN_HAZARD_SQL)

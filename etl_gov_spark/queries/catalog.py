@@ -148,6 +148,8 @@ _PINNED_FIRST = (
     "q_location_quotient",
     "q_price_index_fisher",
     "q_atkinson_index",
+    "q_fairness_fulfillment",
+    "q_churn_hazard",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -262,3 +262,14 @@ def test_atkinson_in_unit_interval(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.atkinson < 1.0  # Jensen: (E sqrt y)^2 <= E y
         assert r.mean_value > 0
+
+
+def test_fairness_ratio_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_fairness_fulfillment
+
+    rows = q_fairness_fulfillment(spark, sf_dir).collect()
+    assert rows
+    assert any(r.impact_ratio == 1.0 for r in rows)  # the best segment
+    for r in rows:
+        assert 0.0 < r.impact_ratio <= 1.0
+        assert r.breaches_80pct_rule == (r.impact_ratio < 0.8)

@@ -282,3 +282,17 @@ def test_max_drawdown_bounds(spark, sf_dir):
     assert r.max_drawdown <= 0.01  # the deepest gap is at or below zero
     assert -1.0 <= r.drawdown_frac <= 1.0
     assert r.n_days > 30
+
+
+def test_churn_hazard_risk_set_monotone(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_churn_hazard
+
+    rows = sorted(q_churn_hazard(spark, sf_dir).collect(), key=lambda r: r.tenure_week)
+    assert rows
+    prev = None
+    for r in rows:
+        assert 0.0 <= r.hazard <= 1.0
+        assert r.n_churned + r.n_censored <= r.n_at_risk
+        if prev is not None:
+            assert r.n_at_risk <= prev
+        prev = r.n_at_risk

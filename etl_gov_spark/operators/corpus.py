@@ -2008,3 +2008,71 @@ QUERIES["corpus_vocab_coverage"] = (
     corpus_vocab_coverage,
     CORPUS_VOCAB_COVERAGE_SQL,
 )
+
+
+_FEWSHOT_K = 3
+
+
+def corpus_fewshot_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Few-shot exemplar packs per source: deterministically pick
+    the 3 shortest docs with above-median type-token ratio as
+    in-context exemplars and emit the assembled pack digest + token
+    budget — the eval-harness prep step that turns a corpus into
+    reproducible k-shot prompts.
+
+    Quality floor from one broadcast median; selection is a
+    bounded per-source window; the pack digest is a sorted
+    concat — identical on any layout.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id",
+        "source",
+        tokens_col().alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")) / F.size("toks"), 6
+        ).alias("ttr"),
+    )
+    med = docs.agg(F.expr("percentile(ttr, 0.5)").alias("m"))
+    pool = docs.crossJoin(F.broadcast(med)).filter(F.col("ttr") >= F.col("m"))
+    w = Window.partitionBy("source").orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    picked = pool.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _FEWSHOT_K
+    )
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_exemplars"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.md5(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")))
+        ).alias("pack_md5"),
+    )
+
+
+CORPUS_FEWSHOT_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         round(len(list_distinct(string_split_regex(trim(text), '\s+')))
+               / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE),
+               6) AS ttr
+  FROM documents
+), med AS (SELECT quantile_cont(ttr, 0.5) AS m FROM docs),
+pool AS (
+  SELECT d.* FROM docs d CROSS JOIN med WHERE d.ttr >= med.m
+), picked AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_tokens ASC, doc_id ASC) AS rk
+  FROM pool
+)
+SELECT source, count(*) AS n_exemplars,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       md5(array_to_string(list_sort(list(doc_id)), ',')) AS pack_md5
+FROM picked WHERE rk <= {_FEWSHOT_K}
+GROUP BY source
+"""
+
+QUERIES["corpus_fewshot_pack"] = (corpus_fewshot_pack, CORPUS_FEWSHOT_SQL)

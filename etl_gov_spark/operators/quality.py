@@ -1132,3 +1132,66 @@ FROM cell CROSS JOIN tot
 """
 
 QUERIES["dq_category_mix_drift"] = (dq_category_mix_drift, DQ_CATEGORY_MIX_SQL)
+
+
+_SLO_TARGET = 0.75  # error-share SLO: at most 25% errors (synthetic mix)
+_BURN_FAST, _BURN_SLOW = 2.0, 1.2
+
+
+def dq_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn-rate alerts, SRE style: per hour, the
+    error share over the budget (1 − SLO) is the burn rate; hours
+    burning >2× feed the fast-page alert, >1.2× the slow-ticket
+    alert — multiwindow burn alerting evaluated in batch, the
+    policy every on-call rotation runs on its SLOs.
+
+    Hourly conditional aggregate → row algebra; census per day so
+    the output stays bounded.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        (F.col("event_type") == "error").cast("long").alias("is_err"),
+    )
+    hourly = ev.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("is_err").alias("err_rate")
+    )
+    burn = F.col("err_rate") / (1 - _SLO_TARGET)
+    return (
+        hourly.select(
+            F.to_date("hour").alias("day"),
+            burn.alias("burn"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum((F.col("burn") > _BURN_FAST).cast("long")).alias(
+                "n_fast_page"
+            ),
+            F.sum(
+                (
+                    (F.col("burn") > _BURN_SLOW)
+                    & (F.col("burn") <= _BURN_FAST)
+                ).cast("long")
+            ).alias("n_slow_ticket"),
+            _R4(F.max("burn"), "max_burn"),
+        )
+    )
+
+
+DQ_SLO_BURN_SQL = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END)
+           / (1 - {_SLO_TARGET}) AS burn
+  FROM events GROUP BY 1
+)
+SELECT CAST(hour AS DATE) AS day, count(*) AS n_hours,
+       CAST(sum(CASE WHEN burn > {_BURN_FAST} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fast_page,
+       CAST(sum(CASE WHEN burn > {_BURN_SLOW} AND burn <= {_BURN_FAST}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_slow_ticket,
+       round(max(burn), 4) AS max_burn
+FROM hourly GROUP BY 1
+"""
+
+QUERIES["dq_slo_burn_rate"] = (dq_slo_burn_rate, DQ_SLO_BURN_SQL)

@@ -150,6 +150,8 @@ _PINNED_FIRST = (
     "q_atkinson_index",
     "q_fairness_fulfillment",
     "q_churn_hazard",
+    "corpus_fewshot_pack",
+    "dq_slo_burn_rate",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -641,3 +641,25 @@ def test_pmi_ranked_and_min_count(spark, sf_dir):
         if prev is not None:
             assert r.pmi <= prev + 1e-9
         prev = r.pmi
+
+
+def test_fewshot_pack_deterministic_and_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_fewshot_pack
+
+    a = {r.source: r for r in corpus_fewshot_pack(spark, sf_dir).collect()}
+    b = {r.source: r for r in corpus_fewshot_pack(spark, sf_dir).collect()}
+    assert a.keys() == b.keys()
+    for src in a:
+        assert a[src].pack_md5 == b[src].pack_md5  # replayable selection
+        assert 1 <= a[src].n_exemplars <= 3
+        assert a[src].pack_tokens > 0
+
+
+def test_slo_burn_census(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_slo_burn_rate
+
+    rows = dq_slo_burn_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_fast_page + r.n_slow_ticket <= r.n_hours
+        assert r.max_burn >= 0

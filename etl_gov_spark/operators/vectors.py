@@ -1310,3 +1310,65 @@ FROM first_hit GROUP BY a_label
 """
 
 QUERIES["emb_mrr_eval"] = (emb_mrr_eval, EMB_MRR_SQL)
+
+
+def emb_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment & uniformity (Wang-Isola) of the embedding space:
+    alignment = mean squared distance between same-label pairs
+    (lower = classes collapse together, good), uniformity =
+    log-mean-exp(−2‖x−y‖²) over ALL pairs (lower = features spread
+    over the sphere) — the two-number diagnosis of contrastive
+    embedding quality, computed on unit-normalized vectors.
+
+    Pairs are stride-sampled anchors × corpus (the hard-negatives
+    discipline: broadcast anchors, one candidate pass, never a
+    full self-join). Output is one row per label plus the pooled
+    uniformity, all from the same scored pass.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("vn", _norm("v"))
+    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
+    # unit-normalized squared distance: 2 - 2·cos
+    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
+    d2 = F.round(2.0 - 2.0 * cos, 6)
+    scored = pairs.select(
+        "a_label",
+        (F.col("label") == F.col("a_label")).alias("same"),
+        d2.alias("d2"),
+    )
+    per_label = scored.groupBy("a_label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _R4(F.avg(F.when(F.col("same"), F.col("d2"))), "alignment"),
+        _R4(F.log(F.avg(F.exp(-2.0 * F.col("d2")))), "uniformity"),
+    )
+    return per_label.select(
+        F.col("a_label").alias("label"), "n_pairs", "alignment", "uniformity"
+    )
+
+
+EMB_ALIGN_UNIFORM_SQL = f"""
+WITH scored AS (
+  SELECT a.label AS a_label, c.label = a.label AS same,
+         round(2.0 - 2.0 * list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) AS d2
+  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
+  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+)
+SELECT a_label AS label, count(*) AS n_pairs,
+       round(avg(CASE WHEN same THEN d2 END), 4) AS alignment,
+       round(ln(avg(exp(-2.0 * d2))), 4) AS uniformity
+FROM scored GROUP BY a_label
+"""
+
+QUERIES["emb_alignment_uniformity"] = (
+    emb_alignment_uniformity,
+    EMB_ALIGN_UNIFORM_SQL,
+)

@@ -152,6 +152,7 @@ _PINNED_FIRST = (
     "q_churn_hazard",
     "corpus_fewshot_pack",
     "dq_slo_burn_rate",
+    "emb_alignment_uniformity",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -386,3 +386,13 @@ def test_modularity_bounds(spark, sf_dir):
     assert -0.5 <= r.modularity <= 1.0  # Newman Q range
     assert r.n_communities >= 1
     assert r.n_edges > 0
+
+
+def test_alignment_uniformity_ranges(spark, sf_dir):
+    from etl_gov_spark.operators.vectors import emb_alignment_uniformity
+
+    rows = emb_alignment_uniformity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.alignment <= 4.0  # unit sphere: d2 in [0, 4]
+        assert -8.0 <= r.uniformity <= 0.0  # log-mean-exp of exp(-2 d2)

@@ -2155,3 +2155,64 @@ FROM slopes
 """
 
 QUERIES["q_theil_sen_slope"] = (q_theil_sen_slope, Q_THEIL_SEN_SQL)
+
+
+_HILL_K = 50
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the right-tail index of order values:
+    α = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₎) over the top-k order statistics —
+    the heavy-tail quantifier (α ≤ 2 means infinite variance:
+    means and σ-based screens stop being trustworthy) that decides
+    whether robust statistics are optional or mandatory for this
+    feed.
+
+    Top-k by one window rank (k-bounded under AQE), then a k-row
+    aggregate against the broadcast k-th value.
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        F.col("o_totalprice").alias("x")
+    )
+    w = Window.orderBy(F.desc("x"))
+    top = o.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _HILL_K
+    )
+    xk = top.filter(F.col("rk") == _HILL_K).select(F.col("x").alias("xk"))
+    agg = (
+        top.filter(F.col("rk") < _HILL_K)
+        .crossJoin(F.broadcast(xk))
+        .agg(
+            F.count(F.lit(1)).alias("k_minus_1"),
+            F.sum(F.log(F.col("x") / F.col("xk"))).alias("s"),
+            F.max("xk").alias("xk"),
+        )
+    )
+    alpha = F.col("k_minus_1") / F.col("s")
+    return agg.select(
+        (F.col("k_minus_1") + 1).alias("k"),
+        _R4(F.col("xk"), "kth_value"),
+        _R4(alpha, "hill_alpha"),
+        (alpha <= 2.0).alias("infinite_variance_regime"),
+    )
+
+
+Q_HILL_SQL = f"""
+WITH top AS (
+  SELECT o_totalprice AS x,
+         row_number() OVER (ORDER BY o_totalprice DESC) AS rk
+  FROM orders
+), xk AS (
+  SELECT x AS xk FROM top WHERE rk = {_HILL_K}
+), agg AS (
+  SELECT count(*) AS k_minus_1, sum(ln(t.x / xk.xk)) AS s, max(xk.xk) AS xk
+  FROM top t CROSS JOIN xk WHERE t.rk < {_HILL_K}
+)
+SELECT CAST(k_minus_1 + 1 AS BIGINT) AS k,
+       round(xk, 4) AS kth_value,
+       round(k_minus_1 / s, 4) AS hill_alpha,
+       k_minus_1 / s <= 2.0 AS infinite_variance_regime
+FROM agg
+"""
+
+QUERIES["q_hill_tail_index"] = (q_hill_tail_index, Q_HILL_SQL)

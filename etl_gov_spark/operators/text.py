@@ -1040,3 +1040,104 @@ ORDER BY rank LIMIT {_PMI_TOP}
 """
 
 QUERIES["text_pmi_bigrams"] = (text_pmi_bigrams, TEXT_PMI_SQL)
+
+
+_DELTA_TOP_WORDS = 50
+_DELTA_TOP_PAIRS = 15
+
+
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry between sources: z-score each
+    source's relative frequency of the corpus top-50 words, Delta =
+    mean |z_a − z_b| over the word panel, report the most similar
+    source pairs — the standard authorship/provenance distance a
+    document-forensics team runs before any model.
+
+    Everything is bounded: top-50 vocabulary (one top-k window),
+    |sources|×50 frequency grid, |sources|² pair matrix. The fact
+    table is scanned once.
+    """
+    toks = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", F.explode(tokens_col()).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.desc("c"), F.asc("w"))
+    panel = (
+        freq.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= _DELTA_TOP_WORDS)
+        .select("w")
+    )
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    cell = (
+        toks.join(F.broadcast(panel), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .join(src_tot, "source")
+        .select("source", "w", F.round(F.col("cw") / F.col("n"), 8).alias("f"))
+    )
+    stats = cell.groupBy("w").agg(
+        F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
+    )
+    z = cell.join(F.broadcast(stats), "w").select(
+        "source", "w",
+        F.round((F.col("f") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    delta = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6).alias("_d"),
+        )
+    )
+    wtop = Window.orderBy(F.asc("_d"), F.asc("src_a"), F.asc("src_b"))
+    return (
+        delta.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _DELTA_TOP_PAIRS)
+        .select("rank", "src_a", "src_b", "n_words", _R4(F.col("_d"), "delta"))
+    )
+
+
+TEXT_BURROWS_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), freq AS (
+  SELECT w, count(*) AS c FROM toks GROUP BY w
+), panel AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY c DESC, w ASC) AS rk FROM freq
+  ) WHERE rk <= {_DELTA_TOP_WORDS}
+), src_tot AS (
+  SELECT source, count(*) AS n FROM toks GROUP BY source
+), cell AS (
+  SELECT t.source, t.w, round(count(*) / CAST(max(st.n) AS DOUBLE), 8) AS f
+  FROM toks t JOIN panel p ON p.w = t.w
+  JOIN src_tot st ON st.source = t.source
+  GROUP BY t.source, t.w
+), stats AS (
+  SELECT w, avg(f) AS mu, stddev_samp(f) AS sd FROM cell GROUP BY w
+), z AS (
+  SELECT c.source, c.w, round((c.f - s.mu) / s.sd, 6) AS z
+  FROM cell c JOIN stats s USING (w)
+), delta AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_words,
+         round(avg(abs(a.z - b.z)), 6) AS d
+  FROM z a JOIN z b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT CAST(row_number() OVER (ORDER BY d ASC, src_a ASC, src_b ASC)
+            AS INTEGER) AS rank,
+       src_a, src_b, n_words, round(d, 4) AS delta
+FROM delta
+ORDER BY rank LIMIT {_DELTA_TOP_PAIRS}
+"""
+
+QUERIES["text_burrows_delta"] = (text_burrows_delta, TEXT_BURROWS_SQL)

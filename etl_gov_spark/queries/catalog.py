@@ -153,6 +153,8 @@ _PINNED_FIRST = (
     "corpus_fewshot_pack",
     "dq_slo_burn_rate",
     "emb_alignment_uniformity",
+    "text_burrows_delta",
+    "q_hill_tail_index",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -663,3 +663,18 @@ def test_slo_burn_census(spark, sf_dir):
     for r in rows:
         assert r.n_fast_page + r.n_slow_ticket <= r.n_hours
         assert r.max_burn >= 0
+
+
+def test_burrows_delta_ranked_pairs(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_burrows_delta
+
+    rows = sorted(text_burrows_delta(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert rows
+    prev = None
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert r.delta >= 0
+        assert r.n_words == 50
+        if prev is not None:
+            assert r.delta >= prev - 1e-9  # ascending similarity rank
+        prev = r.delta

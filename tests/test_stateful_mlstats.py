@@ -505,3 +505,13 @@ def test_holt_forecast_consistency(spark, sf_dir):
         assert r.level > 0
         # forecast = level + 7*trend identity (4dp rounding slack)
         assert abs(r.forecast_7d - (r.level + 7 * r.trend)) < 0.01
+
+
+def test_hill_alpha_positive(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_hill_tail_index
+
+    r = q_hill_tail_index(spark, sf_dir).collect()[0]
+    assert r.k == 50
+    assert r.hill_alpha > 0
+    assert r.kth_value > 0
+    assert r.infinite_variance_regime == (r.hill_alpha <= 2.0)

@@ -1068,12 +1068,23 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w")
     )
     src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    cell = (
+    counts = (
         toks.join(F.broadcast(panel), "w")
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("cw"))
-        .join(src_tot, "source")
-        .select("source", "w", F.round(F.col("cw") / F.col("n"), 8).alias("f"))
+    )
+    # full source × panel grid: a panel word a source never uses is
+    # STILL stylometric signal (f = 0), not a missing row
+    grid = src_tot.select("source", "n").crossJoin(F.broadcast(panel))
+    cell = (
+        grid.join(counts, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.round(
+                F.coalesce("cw", F.lit(0)) / F.col("n"), 8
+            ).alias("f"),
+        )
     )
     stats = cell.groupBy("w").agg(
         F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
@@ -1117,11 +1128,15 @@ WITH toks AS (
   ) WHERE rk <= {_DELTA_TOP_WORDS}
 ), src_tot AS (
   SELECT source, count(*) AS n FROM toks GROUP BY source
-), cell AS (
-  SELECT t.source, t.w, round(count(*) / CAST(max(st.n) AS DOUBLE), 8) AS f
+), counts AS (
+  SELECT t.source, t.w, count(*) AS cw
   FROM toks t JOIN panel p ON p.w = t.w
-  JOIN src_tot st ON st.source = t.source
   GROUP BY t.source, t.w
+), cell AS (
+  SELECT st.source, p.w,
+         round(coalesce(c.cw, 0) / CAST(st.n AS DOUBLE), 8) AS f
+  FROM src_tot st CROSS JOIN panel p
+  LEFT JOIN counts c ON c.source = st.source AND c.w = p.w
 ), stats AS (
   SELECT w, avg(f) AS mu, stddev_samp(f) AS sd FROM cell GROUP BY w
 ), z AS (

@@ -1039,3 +1039,48 @@ FROM per CROSS JOIN best
 """
 
 QUERIES["q_fairness_fulfillment"] = (q_fairness_fulfillment, Q_FAIRNESS_SQL)
+
+
+def q_last_digit_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity screen on payment cents: unlike first
+    digits (Benford), the LAST digit of organic amounts should be
+    uniform — digit-preference spikes (0/5-heaviness) expose
+    manual entry, rounding fraud, or synthetic data. χ² against
+    uniform with per-digit shares.
+
+    One digit-histogram aggregate (10 rows); cents come from the
+    integer-exact round-then-mod path both engines share.
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long") % 10
+        ).alias("digit")
+    )
+    hist = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("t"))
+    j = hist.crossJoin(F.broadcast(tot))
+    exp = F.col("t") / 10.0
+    return j.select(
+        "digit",
+        "n",
+        _R4(F.col("n") / F.col("t"), "share"),
+        _R4(F.pow(F.col("n") - exp, 2) / exp, "chi2_term"),
+    )
+
+
+Q_LAST_DIGIT_SQL = """
+WITH hist AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) % 10 AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(n) AS t FROM hist)
+SELECT digit, n,
+       round(n / CAST(t AS DOUBLE), 4) AS share,
+       round(pow(n - t / 10.0, 2) / (t / 10.0), 4) AS chi2_term
+FROM hist CROSS JOIN tot
+"""
+
+QUERIES["q_last_digit_uniformity"] = (
+    q_last_digit_uniformity,
+    Q_LAST_DIGIT_SQL,
+)

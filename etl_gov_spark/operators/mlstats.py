@@ -2216,3 +2216,43 @@ FROM agg
 """
 
 QUERIES["q_hill_tail_index"] = (q_hill_tail_index, Q_HILL_SQL)
+
+
+def q_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean) of daily event counts per type —
+    the overdispersion dial: ≈1 is Poisson arrival, ≫1 means
+    bursty/clustered traffic (campaigns, retries, bots) and every
+    Poisson-assuming capacity model under-provisions. The time-axis
+    companion to ``q_poisson_basket_fit``'s size-axis check.
+
+    Two bounded aggregates over the (type, day) matrix; integer
+    counts keep the ratio bit-stable cross-engine.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _R4(F.avg("c"), "mean_daily"),
+        _R4(F.var_samp("c"), "var_daily"),
+        _R4(F.var_samp("c") / F.avg("c"), "fano"),
+        (F.var_samp("c") / F.avg("c") > 1.5).alias("overdispersed"),
+    )
+
+
+Q_FANO_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_days,
+       round(avg(c), 4) AS mean_daily,
+       round(var_samp(c), 4) AS var_daily,
+       round(var_samp(c) / avg(c), 4) AS fano,
+       var_samp(c) / avg(c) > 1.5 AS overdispersed
+FROM daily GROUP BY event_type
+"""
+
+QUERIES["q_fano_factor"] = (q_fano_factor, Q_FANO_SQL)

@@ -155,6 +155,8 @@ _PINNED_FIRST = (
     "emb_alignment_uniformity",
     "text_burrows_delta",
     "q_hill_tail_index",
+    "q_fano_factor",
+    "q_last_digit_uniformity",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

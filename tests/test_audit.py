@@ -273,3 +273,14 @@ def test_fairness_ratio_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.impact_ratio <= 1.0
         assert r.breaches_80pct_rule == (r.impact_ratio < 0.8)
+
+
+def test_last_digit_shares_sum_to_one(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_last_digit_uniformity
+
+    rows = q_last_digit_uniformity(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert 0 <= r.digit <= 9
+        assert r.chi2_term >= 0

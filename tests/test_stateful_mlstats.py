@@ -515,3 +515,14 @@ def test_hill_alpha_positive(spark, sf_dir):
     assert r.hill_alpha > 0
     assert r.kth_value > 0
     assert r.infinite_variance_regime == (r.hill_alpha <= 2.0)
+
+
+def test_fano_consistency(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_fano_factor
+
+    rows = q_fano_factor(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.fano > 0
+        assert r.overdispersed == (r.fano > 1.5)
+        assert abs(r.fano - r.var_daily / r.mean_daily) < 0.01

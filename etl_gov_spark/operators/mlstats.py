@@ -2256,3 +2256,128 @@ FROM daily GROUP BY event_type
 """
 
 QUERIES["q_fano_factor"] = (q_fano_factor, Q_FANO_SQL)
+
+
+def q_nbd_repeat_buying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NBD (negative binomial) repeat-buying fit over orders per
+    customer — Ehrenberg's classic: method-of-moments r and p from
+    the mean/variance of per-customer order counts, plus the
+    zero-class check (customers the model predicts to be inactive
+    vs the observed one-timer share). Overdispersion (var > mean)
+    is what makes NBD fit where Poisson fails.
+
+    Two aggregate passes (per-customer counts → moments); the fit
+    is scalar algebra. Customers without orders are out of frame
+    (the standard conditional-on-buying fit).
+    """
+    o = Catalog(spark, sf_dir).orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    mom = o.agg(
+        F.count(F.lit(1)).alias("n_buyers"),
+        F.avg("k").alias("m"),
+        F.var_samp("k").alias("v"),
+        F.sum((F.col("k") == 1).cast("long")).alias("n_one_timers"),
+    )
+    # MoM: p = m/v, r = m²/(v−m)
+    p = F.col("m") / F.col("v")
+    r = F.col("m") * F.col("m") / (F.col("v") - F.col("m"))
+    return mom.select(
+        "n_buyers",
+        _R4(F.col("m"), "mean_orders"),
+        _R4(F.col("v"), "var_orders"),
+        _R4(r, "nbd_r"),
+        _R4(p, "nbd_p"),
+        _R4(F.col("n_one_timers") / F.col("n_buyers"), "one_timer_share"),
+        (F.col("v") > F.col("m")).alias("overdispersed"),
+    )
+
+
+Q_NBD_SQL = """
+WITH per AS (
+  SELECT o_custkey, count(*) AS k FROM orders GROUP BY o_custkey
+), mom AS (
+  SELECT count(*) AS n_buyers, avg(k) AS m, var_samp(k) AS v,
+         sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS n_one_timers
+  FROM per
+)
+SELECT CAST(n_buyers AS BIGINT) AS n_buyers,
+       round(m, 4) AS mean_orders,
+       round(v, 4) AS var_orders,
+       round(m * m / (v - m), 4) AS nbd_r,
+       round(m / v, 4) AS nbd_p,
+       round(n_one_timers / CAST(n_buyers AS DOUBLE), 4) AS one_timer_share,
+       v > m AS overdispersed
+FROM mom
+"""
+
+QUERIES["q_nbd_repeat_buying"] = (q_nbd_repeat_buying, Q_NBD_SQL)
+
+
+_CR_WEEK_A = "1995-03-06"
+_CR_WEEK_B = "1995-03-13"
+
+
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln-Petersen capture-recapture estimate of the active
+    customer population from two week-long 'captures': N̂ =
+    n₁·n₂/m (Chapman-corrected) with m = customers seen both
+    weeks — the census-undercount method statistics offices use,
+    applied to "how many active buyers do we really have".
+
+    Two filtered distinct sets and one intersection count; the
+    estimator and its variance are scalar algebra.
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_custkey", F.to_date("o_orderdate").alias("d")
+    )
+    wa = o.filter(
+        (F.col("d") >= _CR_WEEK_A) & (F.col("d") < F.date_add(F.lit(_CR_WEEK_A), 7))
+    ).select("o_custkey").distinct()
+    wb = o.filter(
+        (F.col("d") >= _CR_WEEK_B) & (F.col("d") < F.date_add(F.lit(_CR_WEEK_B), 7))
+    ).select("o_custkey").distinct()
+    n1 = wa.count()
+    n2 = wb.count()
+    m = wa.join(wb, "o_custkey", "left_semi").count()
+    chapman = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    true_active = o.select("o_custkey").distinct().count()
+    return Catalog(spark, sf_dir).region.limit(1).select(
+        F.lit(n1).alias("n_week_a"),
+        F.lit(n2).alias("n_week_b"),
+        F.lit(m).alias("n_both"),
+        F.round(F.lit(chapman), 2).alias("estimated_population"),
+        F.lit(true_active).alias("true_ever_active"),
+        F.round(F.lit(chapman) / F.lit(float(true_active)), 4).alias(
+            "coverage_ratio"
+        ),
+    )
+
+
+Q_CAPTURE_RECAPTURE_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), wa AS (
+  SELECT DISTINCT o_custkey FROM o
+  WHERE d >= DATE '{_CR_WEEK_A}' AND d < DATE '{_CR_WEEK_A}' + 7
+), wb AS (
+  SELECT DISTINCT o_custkey FROM o
+  WHERE d >= DATE '{_CR_WEEK_B}' AND d < DATE '{_CR_WEEK_B}' + 7
+), counts AS (
+  SELECT (SELECT count(*) FROM wa) AS n1,
+         (SELECT count(*) FROM wb) AS n2,
+         (SELECT count(*) FROM wa WHERE o_custkey IN (SELECT o_custkey FROM wb))
+           AS m,
+         (SELECT count(DISTINCT o_custkey) FROM o) AS t
+)
+SELECT CAST(n1 AS INTEGER) AS n_week_a, CAST(n2 AS INTEGER) AS n_week_b,
+       CAST(m AS INTEGER) AS n_both,
+       round((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1, 2)
+         AS estimated_population,
+       CAST(t AS INTEGER) AS true_ever_active,
+       round(((n1 + 1) * (n2 + 1) / CAST(m + 1 AS DOUBLE) - 1) / t, 4)
+         AS coverage_ratio
+FROM counts
+"""
+
+QUERIES["q_capture_recapture"] = (q_capture_recapture, Q_CAPTURE_RECAPTURE_SQL)

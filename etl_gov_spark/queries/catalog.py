@@ -157,6 +157,8 @@ _PINNED_FIRST = (
     "q_hill_tail_index",
     "q_fano_factor",
     "q_last_digit_uniformity",
+    "q_nbd_repeat_buying",
+    "q_capture_recapture",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -526,3 +526,22 @@ def test_fano_consistency(spark, sf_dir):
         assert r.fano > 0
         assert r.overdispersed == (r.fano > 1.5)
         assert abs(r.fano - r.var_daily / r.mean_daily) < 0.01
+
+
+def test_nbd_fit_overdispersion(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_nbd_repeat_buying
+
+    r = q_nbd_repeat_buying(spark, sf_dir).collect()[0]
+    assert r.n_buyers > 0
+    assert 0.0 <= r.one_timer_share <= 1.0
+    if r.overdispersed:
+        assert r.nbd_r > 0 and 0 < r.nbd_p < 1
+
+
+def test_capture_recapture_sane(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_capture_recapture
+
+    r = q_capture_recapture(spark, sf_dir).collect()[0]
+    assert r.n_both <= min(r.n_week_a, r.n_week_b)
+    # the estimate should land within an order of magnitude of truth
+    assert 0.1 <= r.coverage_ratio <= 10.0

@@ -1714,3 +1714,66 @@ GROUP BY p.p_brand
 """
 
 QUERIES["q_price_index_fisher"] = (q_price_index_fisher, Q_PRICE_INDEX_SQL)
+
+
+_PCF_CHANGE_T = 0.01  # >1% move counts as a price change
+
+
+def q_price_change_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-stickiness statistics: per month, the share of parts
+    whose average unit price moved more than 1% from the prior
+    month — the price-change-frequency series behind menu-cost /
+    inflation micro-analyses in official statistics.
+
+    One aggregate to the (part, month) price grid, a lag over the
+    bounded grid, monthly shares out.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        "l_quantity",
+        F.col("l_extendedprice").alias("rev"),
+    )
+    grid = li.groupBy("l_partkey", "m").agg(
+        (F.sum("rev") / F.sum("l_quantity")).alias("p")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("m")
+    lagged = grid.withColumn("p_prev", F.lag("p").over(w)).filter(
+        F.col("p_prev").isNotNull()
+    )
+    chg = F.abs(F.col("p") / F.col("p_prev") - 1) > _PCF_CHANGE_T
+    return lagged.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_parts_priced"),
+        F.sum(chg.cast("long")).alias("n_changed"),
+        _R4(F.avg(chg.cast("double")), "change_frequency"),
+        _R4(
+            F.avg(F.when(chg, F.abs(F.col("p") / F.col("p_prev") - 1))),
+            "avg_change_magnitude",
+        ),
+    )
+
+
+Q_PRICE_CHANGE_FREQ_SQL = f"""
+WITH grid AS (
+  SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+         sum(l_extendedprice) / sum(l_quantity) AS p
+  FROM lineitem GROUP BY 1, 2
+), lagged AS (
+  SELECT m, p, lag(p) OVER (PARTITION BY l_partkey ORDER BY m) AS p_prev
+  FROM grid
+)
+SELECT m, count(*) AS n_parts_priced,
+       CAST(sum(CASE WHEN abs(p / p_prev - 1) > {_PCF_CHANGE_T}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       round(avg(CASE WHEN abs(p / p_prev - 1) > {_PCF_CHANGE_T}
+                      THEN 1.0 ELSE 0.0 END), 4) AS change_frequency,
+       round(avg(CASE WHEN abs(p / p_prev - 1) > {_PCF_CHANGE_T}
+                      THEN abs(p / p_prev - 1) END), 4) AS avg_change_magnitude
+FROM lagged WHERE p_prev IS NOT NULL
+GROUP BY m
+"""
+
+QUERIES["q_price_change_frequency"] = (
+    q_price_change_frequency,
+    Q_PRICE_CHANGE_FREQ_SQL,
+)

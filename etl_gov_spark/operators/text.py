@@ -1156,3 +1156,79 @@ ORDER BY rank LIMIT {_DELTA_TOP_PAIRS}
 """
 
 QUERIES["text_burrows_delta"] = (text_burrows_delta, TEXT_BURROWS_SQL)
+
+
+def text_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ for the langid classifier vs ground truth —
+    agreement corrected for chance (accuracy flatters a classifier
+    on skewed label mixes; κ doesn't). One number + the raw
+    accuracy next to it, computed from the same single-scan
+    prediction plan as the confusion matrix.
+    """
+    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    cell = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    rows_m = cell.groupBy(F.col("lang").alias("k")).agg(
+        F.sum("n").alias("row_m")
+    )
+    cols_m = cell.groupBy(F.col("pred_lang").alias("k")).agg(
+        F.sum("n").alias("col_m")
+    )
+    # p_e sums row×col over ALL classes, including ones with an
+    # empty diagonal cell — a full outer join on the class label
+    marg = rows_m.join(cols_m, "k", "full").select(
+        F.coalesce("row_m", F.lit(0)).alias("row_m"),
+        F.coalesce("col_m", F.lit(0)).alias("col_m"),
+    )
+    t_po = cell.agg(
+        F.sum("n").alias("t"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))
+        ).alias("diag"),
+    )
+    agg = marg.crossJoin(F.broadcast(t_po)).agg(
+        F.max("t").alias("n_docs"),
+        (F.max("diag") / F.max("t")).alias("po"),
+        (
+            F.sum(F.col("row_m") * F.col("col_m"))
+            / (F.max("t") * F.max("t"))
+        ).alias("pe"),
+    )
+    return agg.select(
+        "n_docs",
+        _R4(F.col("po"), "accuracy"),
+        _R4(F.col("pe"), "chance_agreement"),
+        _R4(
+            (F.col("po") - F.col("pe")) / (1 - F.col("pe")), "cohen_kappa"
+        ),
+    )
+
+
+TEXT_COHEN_KAPPA_SQL = f"""
+WITH pred AS ({TEXT_LANGID_SQL}),
+cell AS (
+  SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+), rows_m AS (
+  SELECT lang AS k, sum(n) AS row_m FROM cell GROUP BY lang
+), cols_m AS (
+  SELECT pred_lang AS k, sum(n) AS col_m FROM cell GROUP BY pred_lang
+), marg AS (
+  SELECT coalesce(r.row_m, 0) AS row_m, coalesce(c.col_m, 0) AS col_m
+  FROM rows_m r FULL OUTER JOIN cols_m c USING (k)
+), t_po AS (
+  SELECT sum(n) AS t,
+         sum(CASE WHEN lang = pred_lang THEN n END) AS diag
+  FROM cell
+), agg AS (
+  SELECT max(t) AS n_docs,
+         max(diag) / CAST(max(t) AS DOUBLE) AS po,
+         sum(row_m * col_m) / (CAST(max(t) AS DOUBLE) * max(t)) AS pe
+  FROM marg CROSS JOIN t_po
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       round(po, 4) AS accuracy,
+       round(pe, 4) AS chance_agreement,
+       round((po - pe) / (1 - pe), 4) AS cohen_kappa
+FROM agg
+"""
+
+QUERIES["text_cohen_kappa"] = (text_cohen_kappa, TEXT_COHEN_KAPPA_SQL)

@@ -159,6 +159,8 @@ _PINNED_FIRST = (
     "q_last_digit_uniformity",
     "q_nbd_repeat_buying",
     "q_capture_recapture",
+    "text_cohen_kappa",
+    "q_price_change_frequency",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -679,3 +679,14 @@ def test_burrows_delta_ranked_pairs(spark, sf_dir):
         if prev is not None:
             assert r.delta >= prev - 1e-9  # ascending similarity rank
         prev = r.delta
+
+
+def test_cohen_kappa_below_accuracy(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_cohen_kappa
+
+    r = text_cohen_kappa(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.cohen_kappa <= 1.0
+    assert 0.0 <= r.chance_agreement <= 1.0
+    # kappa <= accuracy whenever agreement beats chance
+    if r.accuracy > r.chance_agreement:
+        assert r.cohen_kappa <= r.accuracy + 1e-9

@@ -363,3 +363,15 @@ def test_fisher_between_laspeyres_paasche(spark, sf_dir):
         lo, hi = sorted((r.laspeyres, r.paasche))
         assert lo - 1e-4 <= r.fisher <= hi + 1e-4  # geometric mean bracket
         assert r.n_items >= 1
+
+
+def test_price_change_frequency_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_price_change_frequency
+
+    rows = q_price_change_frequency(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_changed <= r.n_parts_priced
+        assert 0.0 <= r.change_frequency <= 1.0
+        if r.n_changed:
+            assert r.avg_change_magnitude > 0.01

@@ -2381,3 +2381,150 @@ FROM counts
 """
 
 QUERIES["q_capture_recapture"] = (q_capture_recapture, Q_CAPTURE_RECAPTURE_SQL)
+
+
+_RFM_SEGMENTS = (
+    # (min_r, min_f, min_m) quintile floors → segment name, checked in order
+    ("champions", 4, 4, 4),
+    ("loyal", 3, 3, 3),
+    ("big_spenders", 1, 1, 4),
+    ("at_risk", 1, 3, 3),
+    ("hibernating", 1, 1, 1),
+)
+
+
+def q_rfm_score_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile scoring + named CRM segments: quintile each
+    user's recency (inverted: recent = 5), frequency, and monetary
+    value, map (R,F,M) floors to the standard segment names, and
+    report the segment census with average scores — the actionable
+    layer on top of ``q_user_rfm_features``' raw features.
+
+    Three ntile windows over the per-user aggregate (one sort
+    each over |users| rows), then row-local segment mapping.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "value")
+    snap_ref = ev.agg(F.max(F.to_date("ts")).alias("snap"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("value").alias("money"),
+        )
+        .crossJoin(F.broadcast(snap_ref))
+        .select(
+            "user_id",
+            F.datediff("snap", "last_day").alias("rec_days"),
+            "freq",
+            "money",
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("rec_days"), F.asc("user_id")))
+    f_ = F.ntile(5).over(Window.orderBy(F.asc("freq"), F.asc("user_id")))
+    m = F.ntile(5).over(Window.orderBy(F.asc(F.round("money", 6)), F.asc("user_id")))
+    scored = per.select(
+        "user_id", r.alias("r"), f_.alias("f"), m.alias("m")
+    )
+    seg = F.lit("others")
+    for name, rr, ff, mm in reversed(_RFM_SEGMENTS):
+        seg = F.when(
+            (F.col("r") >= rr) & (F.col("f") >= ff) & (F.col("m") >= mm),
+            name,
+        ).otherwise(seg)
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _R4(F.avg("r"), "avg_r"),
+        _R4(F.avg("f"), "avg_f"),
+        _R4(F.avg("m"), "avg_m"),
+    )
+
+
+def _rfm_grid_sql() -> str:
+    seg = "'others'"
+    for name, rr, ff, mm in reversed(_RFM_SEGMENTS):
+        seg = (
+            f"CASE WHEN r >= {rr} AND f >= {ff} AND m >= {mm}"
+            f" THEN '{name}' ELSE {seg} END"
+        )
+    return f"""
+WITH per AS (
+  SELECT user_id,
+         datediff('day', max(CAST(ts AS DATE)),
+                  (SELECT max(CAST(ts AS DATE)) FROM events)) AS rec_days,
+         count(*) AS freq, sum(value) AS money
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+         ntile(5) OVER (ORDER BY rec_days DESC, user_id ASC) AS r,
+         ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS f,
+         ntile(5) OVER (ORDER BY round(money, 6) ASC, user_id ASC) AS m
+  FROM per
+)
+SELECT {seg} AS segment, count(*) AS n_users,
+       round(avg(r), 4) AS avg_r,
+       round(avg(f), 4) AS avg_f,
+       round(avg(m), 4) AS avg_m
+FROM scored GROUP BY 1
+"""
+
+
+QUERIES["q_rfm_score_grid"] = (q_rfm_score_grid, _rfm_grid_sql())
+
+
+def q_pacf_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lag 2 via Yule-Walker:
+    φ₂₂ = (r₂ − r₁²)/(1 − r₁²) on the daily revenue series — the
+    AR-order hint (|φ₂₂| small → AR(1) suffices; large → the
+    series remembers two steps back) read straight off two lag
+    correlations, no model fit.
+
+    Two lag columns over the bounded daily series; r₁/r₂ are
+    algebraic corr aggregates; φ₂₂ is scalar algebra.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+    )
+    agg = lagged.agg(
+        F.count("y").alias("n_days"),
+        F.corr("y", "y1").alias("r1"),
+        F.corr("y", "y2").alias("r2"),
+    )
+    phi22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    return agg.select(
+        "n_days",
+        _R4(F.col("r1"), "acf_lag1"),
+        _R4(F.col("r2"), "acf_lag2"),
+        _R4(phi22, "pacf_lag2"),
+    )
+
+
+Q_PACF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT y, lag(y, 1) OVER (ORDER BY day) AS y1,
+         lag(y, 2) OVER (ORDER BY day) AS y2
+  FROM daily
+), agg AS (
+  SELECT count(y) AS n_days, corr(y, y1) AS r1, corr(y, y2) AS r2 FROM lagged
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       round(r1, 4) AS acf_lag1,
+       round(r2, 4) AS acf_lag2,
+       round((r2 - r1 * r1) / (1 - r1 * r1), 4) AS pacf_lag2
+FROM agg
+"""
+
+QUERIES["q_pacf_yule_walker"] = (q_pacf_yule_walker, Q_PACF_SQL)

@@ -161,6 +161,8 @@ _PINNED_FIRST = (
     "q_capture_recapture",
     "text_cohen_kappa",
     "q_price_change_frequency",
+    "q_rfm_score_grid",
+    "q_pacf_yule_walker",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -545,3 +545,27 @@ def test_capture_recapture_sane(spark, sf_dir):
     assert r.n_both <= min(r.n_week_a, r.n_week_b)
     # the estimate should land within an order of magnitude of truth
     assert 0.1 <= r.coverage_ratio <= 10.0
+
+
+def test_rfm_grid_covers_all_users(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.mlstats import q_rfm_score_grid
+
+    rows = q_rfm_score_grid(spark, sf_dir).collect()
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    names = {r.segment for r in rows}
+    assert "champions" in names or "loyal" in names
+    for r in rows:
+        assert 1.0 <= r.avg_r <= 5.0
+
+
+def test_pacf_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_pacf_yule_walker
+
+    r = q_pacf_yule_walker(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.acf_lag1 <= 1.0
+    assert -1.0 <= r.acf_lag2 <= 1.0
+    assert -1.2 <= r.pacf_lag2 <= 1.2  # YW estimate can slightly exceed

@@ -1777,3 +1777,183 @@ QUERIES["q_price_change_frequency"] = (
     q_price_change_frequency,
     Q_PRICE_CHANGE_FREQ_SQL,
 )
+
+
+_RAKE_ROUNDS = 3
+
+
+def q_survey_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survey raking (iterative proportional fitting): reweight the
+    (nation, segment) customer grid so both marginals match uniform
+    targets, 3 IPF rounds — the weighting step every official
+    survey program runs so its sample speaks for the population.
+
+    The grid is bounded (25×5), so each round is two tiny
+    aggregates + a broadcast join-back; fixed rounds keep the
+    computation an exact chained-CTE replay in the oracle. Output:
+    per-nation weighted totals + the worst marginal error left.
+    """
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey", "c_mktsegment"
+    )
+    cell = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.agg(
+        F.sum("n").alias("t"),
+        F.count_distinct("c_nationkey").alias("kn"),
+        F.count_distinct("c_mktsegment").alias("ks"),
+    )
+    g = cell.crossJoin(F.broadcast(tot)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n",
+        (F.col("t") / F.col("kn")).alias("row_target"),
+        (F.col("t") / F.col("ks")).alias("col_target"),
+        F.col("n").cast("double").alias("w"),
+    )
+    for _ in range(_RAKE_ROUNDS):
+        row_sum = Window.partitionBy("c_nationkey")
+        g = g.withColumn(
+            "w", F.col("w") * F.col("row_target") / F.sum("w").over(row_sum)
+        )
+        col_sum = Window.partitionBy("c_mktsegment")
+        g = g.withColumn(
+            "w", F.col("w") * F.col("col_target") / F.sum("w").over(col_sum)
+        )
+    out = g.groupBy("c_nationkey").agg(
+        F.round(F.sum("w"), 4).alias("weighted_total"),
+        F.max("row_target").alias("_tgt"),
+    )
+    return out.select(
+        "c_nationkey",
+        "weighted_total",
+        _R4(
+            F.abs(F.col("weighted_total") / F.col("_tgt") - 1), "marginal_error"
+        ),
+    )
+
+
+def _raking_sql() -> str:
+    body = ["""
+WITH cell AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS n
+  FROM customer GROUP BY 1, 2
+), tot AS (
+  SELECT sum(n) AS t, count(DISTINCT c_nationkey) AS kn,
+         count(DISTINCT c_mktsegment) AS ks
+  FROM cell
+), g0 AS (
+  SELECT c_nationkey, c_mktsegment,
+         t / CAST(kn AS DOUBLE) AS row_target,
+         t / CAST(ks AS DOUBLE) AS col_target,
+         CAST(n AS DOUBLE) AS w
+  FROM cell CROSS JOIN tot
+)"""]
+    prev = "g0"
+    for i in range(1, _RAKE_ROUNDS + 1):
+        body.append(f""", r{i} AS (
+  SELECT c_nationkey, c_mktsegment, row_target, col_target,
+         w * row_target / sum(w) OVER (PARTITION BY c_nationkey) AS w
+  FROM {prev}
+), c{i} AS (
+  SELECT c_nationkey, c_mktsegment, row_target, col_target,
+         w * col_target / sum(w) OVER (PARTITION BY c_mktsegment) AS w
+  FROM r{i}
+)""")
+        prev = f"c{i}"
+    body.append(f"""
+SELECT c_nationkey,
+       round(sum(w), 4) AS weighted_total,
+       round(abs(round(sum(w), 4) / max(row_target) - 1), 4) AS marginal_error
+FROM {prev} GROUP BY c_nationkey
+""")
+    return "".join(body)
+
+
+QUERIES["q_survey_raking"] = (q_survey_raking, _raking_sql())
+
+
+def q_composite_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDI-style composite index per nation: min-max normalize
+    three indicators (revenue per customer, orders per customer,
+    mean account balance) to [0,1] and average them into one
+    ranked index — the construction behind every development /
+    performance league table a statistics office publishes.
+
+    Indicators come from two grouped aggregates; min-max bounds
+    broadcast back; the index is row algebra + one 25-row rank.
+    """
+    c = Catalog(spark, sf_dir)
+    per = (
+        c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            (F.sum("o_totalprice") / F.count_distinct("c_custkey")).alias("rev_pc"),
+            (F.count(F.lit(1)) / F.count_distinct("c_custkey")).alias("ord_pc"),
+        )
+    )
+    bal = c.customer.groupBy("c_nationkey").agg(
+        F.avg("c_acctbal").alias("bal")
+    )
+    j = per.join(bal, "c_nationkey")
+    bounds = j.agg(
+        *[
+            f(c_).alias(f"{n}_{c_}")
+            for c_ in ("rev_pc", "ord_pc", "bal")
+            for n, f in (("mn", F.min), ("mx", F.max))
+        ]
+    )
+    jj = j.crossJoin(F.broadcast(bounds))
+
+    def norm(c_):
+        return (F.col(c_) - F.col(f"mn_{c_}")) / (
+            F.col(f"mx_{c_}") - F.col(f"mn_{c_}")
+        )
+
+    idx = F.round((norm("rev_pc") + norm("ord_pc") + norm("bal")) / 3.0, 6)
+    w = Window.orderBy(F.desc(idx), F.asc("c_nationkey"))
+    return jj.select(
+        "c_nationkey",
+        _R4(F.col("rev_pc"), "rev_per_customer"),
+        _R4(F.col("ord_pc"), "orders_per_customer"),
+        _R4(F.col("bal"), "avg_balance"),
+        _R4(idx, "composite_index"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+Q_COMPOSITE_INDEX_SQL = """
+WITH per AS (
+  SELECT c.c_nationkey,
+         sum(o.o_totalprice) / count(DISTINCT c.c_custkey) AS rev_pc,
+         count(*) / CAST(count(DISTINCT c.c_custkey) AS DOUBLE) AS ord_pc
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey
+), bal AS (
+  SELECT c_nationkey, avg(c_acctbal) AS bal FROM customer GROUP BY 1
+), j AS (
+  SELECT p.c_nationkey, p.rev_pc, p.ord_pc, b.bal FROM per p JOIN bal b USING (c_nationkey)
+), bounds AS (
+  SELECT min(rev_pc) AS mn_rev, max(rev_pc) AS mx_rev,
+         min(ord_pc) AS mn_ord, max(ord_pc) AS mx_ord,
+         min(bal) AS mn_bal, max(bal) AS mx_bal
+  FROM j
+), scored AS (
+  SELECT j.*,
+         round(((rev_pc - mn_rev) / (mx_rev - mn_rev)
+                + (ord_pc - mn_ord) / (mx_ord - mn_ord)
+                + (bal - mn_bal) / (mx_bal - mn_bal)) / 3.0, 6) AS idx
+  FROM j CROSS JOIN bounds
+)
+SELECT c_nationkey,
+       round(rev_pc, 4) AS rev_per_customer,
+       round(ord_pc, 4) AS orders_per_customer,
+       round(bal, 4) AS avg_balance,
+       round(idx, 4) AS composite_index,
+       CAST(row_number() OVER (ORDER BY idx DESC, c_nationkey ASC) AS INTEGER)
+         AS rank
+FROM scored
+"""
+
+QUERIES["q_composite_index"] = (q_composite_index, Q_COMPOSITE_INDEX_SQL)

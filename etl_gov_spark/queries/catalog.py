@@ -163,6 +163,8 @@ _PINNED_FIRST = (
     "q_price_change_frequency",
     "q_rfm_score_grid",
     "q_pacf_yule_walker",
+    "q_survey_raking",
+    "q_composite_index",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

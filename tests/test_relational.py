@@ -375,3 +375,27 @@ def test_price_change_frequency_bounds(spark, sf_dir):
         assert 0.0 <= r.change_frequency <= 1.0
         if r.n_changed:
             assert r.avg_change_magnitude > 0.01
+
+
+def test_raking_converges_toward_targets(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_survey_raking
+
+    rows = q_survey_raking(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # after 3 IPF rounds the row marginals sit near target
+        assert r.marginal_error < 0.05
+        assert r.weighted_total > 0
+
+
+def test_composite_index_ranked_unit_interval(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_composite_index
+
+    rows = sorted(q_composite_index(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == 25
+    prev = None
+    for r in rows:
+        assert 0.0 <= r.composite_index <= 1.0
+        if prev is not None:
+            assert r.composite_index <= prev + 1e-9
+        prev = r.composite_index

@@ -2528,3 +2528,165 @@ FROM agg
 """
 
 QUERIES["q_pacf_yule_walker"] = (q_pacf_yule_walker, Q_PACF_SQL)
+
+
+_DID_SPLIT = "2024-01-16"
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value: treatment =
+    weekend activity, periods split at the drift date — DiD =
+    (post_T − pre_T) − (post_C − pre_C), the workhorse policy-
+    evaluation estimator, with the large-sample SE from the four
+    cell variances. One conditional aggregate produces all eight
+    sufficient statistics.
+    """
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.dayofweek("ts").isin(1, 7).cast("long").alias("t"),
+        (F.to_date("ts") >= F.lit(_DID_SPLIT)).cast("long").alias("post"),
+        "value",
+    )
+    cells = []
+    for t in (0, 1):
+        for post in (0, 1):
+            c = (F.col("t") == t) & (F.col("post") == post)
+            cells += [
+                F.avg(F.when(c, F.col("value"))).alias(f"m_{t}{post}"),
+                F.var_samp(F.when(c, F.col("value"))).alias(f"v_{t}{post}"),
+                F.count(F.when(c, F.lit(1))).alias(f"n_{t}{post}"),
+            ]
+    agg = ev.agg(*cells)
+    did = (F.col("m_11") - F.col("m_10")) - (F.col("m_01") - F.col("m_00"))
+    se = F.sqrt(
+        F.col("v_11") / F.col("n_11")
+        + F.col("v_10") / F.col("n_10")
+        + F.col("v_01") / F.col("n_01")
+        + F.col("v_00") / F.col("n_00")
+    )
+    return agg.select(
+        (F.col("n_00") + F.col("n_01") + F.col("n_10") + F.col("n_11")).alias(
+            "n_purchases"
+        ),
+        _R4(F.col("m_10"), "treat_pre"),
+        _R4(F.col("m_11"), "treat_post"),
+        _R4(F.col("m_00"), "ctrl_pre"),
+        _R4(F.col("m_01"), "ctrl_post"),
+        _R4(did, "did_estimate"),
+        _R4(did / se, "z_stat"),
+    )
+
+
+Q_DID_SQL = f"""
+WITH ev AS (
+  SELECT CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS t,
+         CASE WHEN CAST(ts AS DATE) >= DATE '{_DID_SPLIT}' THEN 1 ELSE 0 END
+           AS post,
+         value
+  FROM events WHERE event_type = 'purchase'
+), agg AS (
+  SELECT
+    avg(CASE WHEN t = 0 AND post = 0 THEN value END) AS m_00,
+    var_samp(CASE WHEN t = 0 AND post = 0 THEN value END) AS v_00,
+    count(CASE WHEN t = 0 AND post = 0 THEN 1 END) AS n_00,
+    avg(CASE WHEN t = 0 AND post = 1 THEN value END) AS m_01,
+    var_samp(CASE WHEN t = 0 AND post = 1 THEN value END) AS v_01,
+    count(CASE WHEN t = 0 AND post = 1 THEN 1 END) AS n_01,
+    avg(CASE WHEN t = 1 AND post = 0 THEN value END) AS m_10,
+    var_samp(CASE WHEN t = 1 AND post = 0 THEN value END) AS v_10,
+    count(CASE WHEN t = 1 AND post = 0 THEN 1 END) AS n_10,
+    avg(CASE WHEN t = 1 AND post = 1 THEN value END) AS m_11,
+    var_samp(CASE WHEN t = 1 AND post = 1 THEN value END) AS v_11,
+    count(CASE WHEN t = 1 AND post = 1 THEN 1 END) AS n_11
+  FROM ev
+)
+SELECT CAST(n_00 + n_01 + n_10 + n_11 AS BIGINT) AS n_purchases,
+       round(m_10, 4) AS treat_pre, round(m_11, 4) AS treat_post,
+       round(m_00, 4) AS ctrl_pre, round(m_01, 4) AS ctrl_post,
+       round((m_11 - m_10) - (m_01 - m_00), 4) AS did_estimate,
+       round(((m_11 - m_10) - (m_01 - m_00))
+             / sqrt(v_11 / n_11 + v_10 / n_10 + v_01 / n_01 + v_00 / n_00),
+             4) AS z_stat
+FROM agg
+"""
+
+QUERIES["q_diff_in_diff"] = (q_diff_in_diff, Q_DID_SQL)
+
+
+_RD_BANDWIDTH = 2000.0  # acctbal window either side of the cutoff
+
+
+def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression discontinuity at zero account balance:
+    local linear fits on both sides within a ±2000 bandwidth, jump
+    = right-intercept − left-intercept at the cutoff — the
+    program-evaluation design for threshold-assigned treatments
+    (negative balance → collections treatment), read straight from
+    regr_* aggregates. Outcome: customer order count.
+    """
+    c = Catalog(spark, sf_dir)
+    ords = c.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("y"))
+    cust = c.customer.select(
+        "c_custkey", F.col("c_acctbal").alias("x")
+    ).filter(F.abs(F.col("x")) <= _RD_BANDWIDTH)
+    j = cust.join(ords, cust.c_custkey == ords.o_custkey, "left").select(
+        "x", F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+        (F.col("x") >= 0).alias("right"),
+    )
+
+    def side(cond, name):
+        return [
+            F.regr_intercept(
+                F.when(cond, F.col("y")), F.when(cond, F.col("x"))
+            ).alias(f"b0_{name}"),
+            F.regr_slope(
+                F.when(cond, F.col("y")), F.when(cond, F.col("x"))
+            ).alias(f"b1_{name}"),
+            F.count(F.when(cond, F.lit(1))).alias(f"n_{name}"),
+        ]
+
+    agg = j.agg(*side(F.col("right"), "r"), *side(~F.col("right"), "l"))
+    return agg.select(
+        (F.col("n_l") + F.col("n_r")).alias("n_in_bandwidth"),
+        _R4(F.col("b0_l"), "left_intercept"),
+        _R4(F.col("b0_r"), "right_intercept"),
+        _R4(F.col("b0_r") - F.col("b0_l"), "rd_jump"),
+        _R4(F.col("b1_l"), "left_slope"),
+        _R4(F.col("b1_r"), "right_slope"),
+    )
+
+
+Q_RD_SQL = f"""
+WITH ords AS (
+  SELECT o_custkey, count(*) AS y FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c.c_acctbal AS x,
+         CAST(coalesce(o.y, 0) AS DOUBLE) AS y,
+         c.c_acctbal >= 0 AS r
+  FROM customer c LEFT JOIN ords o ON o.o_custkey = c.c_custkey
+  WHERE abs(c.c_acctbal) <= {_RD_BANDWIDTH}
+), agg AS (
+  SELECT
+    regr_intercept(CASE WHEN r THEN y END, CASE WHEN r THEN x END) AS b0_r,
+    regr_slope(CASE WHEN r THEN y END, CASE WHEN r THEN x END) AS b1_r,
+    count(CASE WHEN r THEN 1 END) AS n_r,
+    regr_intercept(CASE WHEN NOT r THEN y END,
+                   CASE WHEN NOT r THEN x END) AS b0_l,
+    regr_slope(CASE WHEN NOT r THEN y END, CASE WHEN NOT r THEN x END) AS b1_l,
+    count(CASE WHEN NOT r THEN 1 END) AS n_l
+  FROM j
+)
+SELECT CAST(n_l + n_r AS BIGINT) AS n_in_bandwidth,
+       round(b0_l, 4) AS left_intercept,
+       round(b0_r, 4) AS right_intercept,
+       round(b0_r - b0_l, 4) AS rd_jump,
+       round(b1_l, 4) AS left_slope,
+       round(b1_r, 4) AS right_slope
+FROM agg
+"""
+
+QUERIES["q_regression_discontinuity"] = (
+    q_regression_discontinuity,
+    Q_RD_SQL,
+)

@@ -165,6 +165,8 @@ _PINNED_FIRST = (
     "q_pacf_yule_walker",
     "q_survey_raking",
     "q_composite_index",
+    "q_diff_in_diff",
+    "q_regression_discontinuity",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -569,3 +569,20 @@ def test_pacf_bounds(spark, sf_dir):
     assert -1.0 <= r.acf_lag1 <= 1.0
     assert -1.0 <= r.acf_lag2 <= 1.0
     assert -1.2 <= r.pacf_lag2 <= 1.2  # YW estimate can slightly exceed
+
+
+def test_did_identity(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_diff_in_diff
+
+    r = q_diff_in_diff(spark, sf_dir).collect()[0]
+    expect = (r.treat_post - r.treat_pre) - (r.ctrl_post - r.ctrl_pre)
+    assert abs(r.did_estimate - expect) < 0.01
+    assert r.n_purchases > 100
+
+
+def test_rd_jump_identity(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_regression_discontinuity
+
+    r = q_regression_discontinuity(spark, sf_dir).collect()[0]
+    assert abs(r.rd_jump - (r.right_intercept - r.left_intercept)) < 0.01
+    assert r.n_in_bandwidth > 10

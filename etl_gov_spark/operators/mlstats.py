@@ -2690,3 +2690,73 @@ QUERIES["q_regression_discontinuity"] = (
     q_regression_discontinuity,
     Q_RD_SQL,
 )
+
+
+_QTE_QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def q_quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects: the weekend-vs-weekday purchase
+    value difference AT EACH QUANTILE (p10..p90) — where the mean
+    effect (``q_abtest_lift``/DiD) hides whether the whole
+    distribution shifted or only its tail, the QTE profile shows
+    which customers moved.
+
+    Exact interpolated percentiles per arm from one conditional
+    aggregate; the profile is 5 rows of scalar algebra.
+    """
+    ev = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.dayofweek("ts").isin(1, 7).alias("t"), "value"
+    )
+    aggs = []
+    for q in _QTE_QS:
+        tag = str(int(q * 100))
+        aggs.append(
+            F.expr(
+                f"percentile(CASE WHEN t THEN value END, {q})"
+            ).alias(f"qt_{tag}")
+        )
+        aggs.append(
+            F.expr(
+                f"percentile(CASE WHEN NOT t THEN value END, {q})"
+            ).alias(f"qc_{tag}")
+        )
+    wide = ev.agg(*aggs)
+    rows = None
+    for q in _QTE_QS:
+        tag = str(int(q * 100))
+        row = wide.select(
+            F.lit(q).alias("quantile"),
+            _R4(F.col(f"qt_{tag}"), "weekend"),
+            _R4(F.col(f"qc_{tag}"), "weekday"),
+            (F.round(F.col(f"qt_{tag}") - F.col(f"qc_{tag}"), 4) + 0.0).alias(
+                "qte"
+            ),
+        )
+        rows = row if rows is None else rows.union(row)
+    return rows
+
+
+def _qte_sql() -> str:
+    parts = []
+    for q in _QTE_QS:
+        parts.append(f"""
+SELECT CAST({q!r} AS DOUBLE) AS quantile,
+       round(quantile_cont(CASE WHEN t THEN value END, {q}), 4) AS weekend,
+       round(quantile_cont(CASE WHEN NOT t THEN value END, {q}), 4) AS weekday,
+       round(quantile_cont(CASE WHEN t THEN value END, {q})
+             - quantile_cont(CASE WHEN NOT t THEN value END, {q}), 4) + 0.0
+         AS qte
+FROM (
+  SELECT dayofweek(ts) IN (0, 6) AS t, value
+  FROM events WHERE event_type = 'purchase'
+)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+QUERIES["q_quantile_treatment_effect"] = (
+    q_quantile_treatment_effect,
+    _qte_sql(),
+)

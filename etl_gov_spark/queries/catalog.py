@@ -167,6 +167,7 @@ _PINNED_FIRST = (
     "q_composite_index",
     "q_diff_in_diff",
     "q_regression_discontinuity",
+    "q_quantile_treatment_effect",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -586,3 +586,19 @@ def test_rd_jump_identity(spark, sf_dir):
     r = q_regression_discontinuity(spark, sf_dir).collect()[0]
     assert abs(r.rd_jump - (r.right_intercept - r.left_intercept)) < 0.01
     assert r.n_in_bandwidth > 10
+
+
+def test_qte_profile_identity(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_quantile_treatment_effect
+
+    rows = sorted(
+        q_quantile_treatment_effect(spark, sf_dir).collect(),
+        key=lambda r: r.quantile,
+    )
+    assert [r.quantile for r in rows] == [0.1, 0.25, 0.5, 0.75, 0.9]
+    prev_t = prev_c = None
+    for r in rows:
+        assert abs(r.qte - (r.weekend - r.weekday)) < 0.01
+        if prev_t is not None:
+            assert r.weekend >= prev_t and r.weekday >= prev_c
+        prev_t, prev_c = r.weekend, r.weekday

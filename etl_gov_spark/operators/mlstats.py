@@ -2760,3 +2760,130 @@ QUERIES["q_quantile_treatment_effect"] = (
     q_quantile_treatment_effect,
     _qte_sql(),
 )
+
+
+def q_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald instrumental-variable estimator mechanics: instrument
+    z = even nation key, endogenous x = positive account balance,
+    outcome y = customer order count; β_IV = (E[y|z=1]−E[y|z=0]) /
+    (E[x|z=1]−E[x|z=0]) with the first-stage strength reported —
+    the two-ratio IV skeleton (the synthetic instrument makes this
+    a MECHANICS demo; the estimator shape, first-stage check
+    included, is exactly what runs on a real encouragement design).
+
+    One conditional aggregate over the customer-orders join; the
+    estimator is scalar algebra.
+    """
+    c = Catalog(spark, sf_dir)
+    ords = c.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("y"))
+    j = c.customer.join(
+        ords, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(
+        (F.col("c_nationkey") % 2 == 0).alias("z"),
+        (F.col("c_acctbal") > 0).cast("double").alias("x"),
+        F.coalesce("y", F.lit(0)).cast("double").alias("y"),
+    )
+    agg = j.agg(
+        F.avg(F.when(F.col("z"), F.col("y"))).alias("y1"),
+        F.avg(F.when(~F.col("z"), F.col("y"))).alias("y0"),
+        F.avg(F.when(F.col("z"), F.col("x"))).alias("x1"),
+        F.avg(F.when(~F.col("z"), F.col("x"))).alias("x0"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    num = F.col("y1") - F.col("y0")
+    den = F.col("x1") - F.col("x0")
+    return agg.select(
+        "n",
+        _R4(num, "reduced_form"),
+        _R4(den, "first_stage"),
+        _R4(num / den, "beta_iv"),
+        (F.abs(den) < 0.01).alias("weak_instrument"),
+    )
+
+
+Q_IV_WALD_SQL = """
+WITH ords AS (
+  SELECT o_custkey, count(*) AS y FROM orders GROUP BY o_custkey
+), j AS (
+  SELECT c.c_nationkey % 2 = 0 AS z,
+         CASE WHEN c.c_acctbal > 0 THEN 1.0 ELSE 0.0 END AS x,
+         CAST(coalesce(o.y, 0) AS DOUBLE) AS y
+  FROM customer c LEFT JOIN ords o ON o.o_custkey = c.c_custkey
+), agg AS (
+  SELECT avg(CASE WHEN z THEN y END) AS y1,
+         avg(CASE WHEN NOT z THEN y END) AS y0,
+         avg(CASE WHEN z THEN x END) AS x1,
+         avg(CASE WHEN NOT z THEN x END) AS x0,
+         count(*) AS n
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(y1 - y0, 4) AS reduced_form,
+       round(x1 - x0, 4) AS first_stage,
+       round((y1 - y0) / (x1 - x0), 4) AS beta_iv,
+       abs(x1 - x0) < 0.01 AS weak_instrument
+FROM agg
+"""
+
+QUERIES["q_iv_wald"] = (q_iv_wald, Q_IV_WALD_SQL)
+
+
+def q_post_stratification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-stratified estimation: re-estimate the mean order value
+    as if segments were sampled at their POPULATION shares (here:
+    customer-base shares) instead of their order-volume shares —
+    the weighting correction (with its design-effect cousin) every
+    survey estimate applies after the fact, and the companion of
+    ``q_survey_raking``'s two-margin version.
+
+    Per-segment means + two share vectors, all bounded aggregates;
+    the estimate is a 5-row weighted sum.
+    """
+    c = Catalog(spark, sf_dir)
+    j = c.orders.join(
+        c.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "o_totalprice")
+    per = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.avg("o_totalprice").alias("seg_mean"),
+    )
+    pop = c.customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    tot = pop.agg(F.sum("n_cust").alias("tc"))
+    o_tot = per.agg(F.sum("n_orders").alias("to"))
+    g = (
+        per.join(pop, "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(o_tot))
+    )
+    naive = F.sum(F.col("seg_mean") * F.col("n_orders") / F.col("to"))
+    post = F.sum(F.col("seg_mean") * F.col("n_cust") / F.col("tc"))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        _R4(naive, "naive_mean"),
+        _R4(post, "post_stratified_mean"),
+        _R4(post - naive, "correction"),
+    )
+
+
+Q_POST_STRAT_SQL = """
+WITH per AS (
+  SELECT c.c_mktsegment, count(*) AS n_orders, avg(o.o_totalprice) AS seg_mean
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment
+), pop AS (
+  SELECT c_mktsegment, count(*) AS n_cust FROM customer GROUP BY 1
+), tots AS (
+  SELECT (SELECT sum(n_cust) FROM pop) AS tc,
+         (SELECT sum(n_orders) FROM per) AS t_o
+)
+SELECT count(*) AS n_strata,
+       round(sum(seg_mean * n_orders / t_o), 4) AS naive_mean,
+       round(sum(seg_mean * n_cust / tc), 4) AS post_stratified_mean,
+       round(sum(seg_mean * n_cust / tc) - sum(seg_mean * n_orders / t_o), 4)
+         AS correction
+FROM per JOIN pop USING (c_mktsegment) CROSS JOIN tots
+"""
+
+QUERIES["q_post_stratification"] = (q_post_stratification, Q_POST_STRAT_SQL)

@@ -168,6 +168,8 @@ _PINNED_FIRST = (
     "q_diff_in_diff",
     "q_regression_discontinuity",
     "q_quantile_treatment_effect",
+    "q_iv_wald",
+    "q_post_stratification",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -602,3 +602,21 @@ def test_qte_profile_identity(spark, sf_dir):
         if prev_t is not None:
             assert r.weekend >= prev_t and r.weekday >= prev_c
         prev_t, prev_c = r.weekend, r.weekday
+
+
+def test_iv_wald_ratio_identity(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_iv_wald
+
+    r = q_iv_wald(spark, sf_dir).collect()[0]
+    if not r.weak_instrument:
+        assert abs(r.beta_iv - r.reduced_form / r.first_stage) < 0.05
+    assert r.n > 100
+
+
+def test_post_stratification_weights(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_post_stratification
+
+    r = q_post_stratification(spark, sf_dir).collect()[0]
+    assert r.n_strata == 5
+    assert abs(r.correction - (r.post_stratified_mean - r.naive_mean)) < 0.01
+    assert r.naive_mean > 0 and r.post_stratified_mean > 0

@@ -1084,3 +1084,147 @@ QUERIES["q_last_digit_uniformity"] = (
     q_last_digit_uniformity,
     Q_LAST_DIGIT_SQL,
 )
+
+
+def q_indirect_standardization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indirect standardization (SMR-style) of order activity per
+    nation: expected orders = Σ over segments of (global orders-
+    per-customer rate in that segment × the nation's customers in
+    it); the standardized ratio observed/expected strips away
+    segment-mix differences — the epidemiology/official-statistics
+    method for comparing regions with different compositions.
+
+    Two bounded grids (global segment rates, nation×segment
+    counts) and one join; no window, no fact re-scan.
+    """
+    c = Catalog(spark, sf_dir)
+    j = c.orders.join(
+        c.customer, F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_nationkey", "c_mktsegment")
+    obs = j.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("observed"))
+    seg_rate = (
+        j.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(
+            c.customer.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_cust")
+            ),
+            "c_mktsegment",
+        )
+        .select(
+            "c_mktsegment",
+            (F.col("n_orders") / F.col("n_cust")).alias("rate"),
+        )
+    )
+    mix = c.customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    exp_ = (
+        mix.join(F.broadcast(seg_rate), "c_mktsegment")
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.col("n") * F.col("rate")).alias("expected"))
+    )
+    return obs.join(exp_, "c_nationkey").select(
+        "c_nationkey",
+        "observed",
+        _R4(F.col("expected"), "expected"),
+        _R4(F.col("observed") / F.col("expected"), "standardized_ratio"),
+    )
+
+
+Q_INDIRECT_STD_SQL = """
+WITH j AS (
+  SELECT c.c_nationkey, c.c_mktsegment
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), obs AS (
+  SELECT c_nationkey, count(*) AS observed FROM j GROUP BY 1
+), seg_rate AS (
+  SELECT a.c_mktsegment, a.n_orders / CAST(b.n_cust AS DOUBLE) AS rate
+  FROM (SELECT c_mktsegment, count(*) AS n_orders FROM j GROUP BY 1) a
+  JOIN (SELECT c_mktsegment, count(*) AS n_cust FROM customer GROUP BY 1) b
+    USING (c_mktsegment)
+), expd AS (
+  SELECT m.c_nationkey, sum(m.n * r.rate) AS expected
+  FROM (SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY 1, 2) m
+  JOIN seg_rate r USING (c_mktsegment)
+  GROUP BY m.c_nationkey
+)
+SELECT o.c_nationkey, o.observed,
+       round(e.expected, 4) AS expected,
+       round(o.observed / e.expected, 4) AS standardized_ratio
+FROM obs o JOIN expd e USING (c_nationkey)
+"""
+
+QUERIES["q_indirect_standardization"] = (
+    q_indirect_standardization,
+    Q_INDIRECT_STD_SQL,
+)
+
+
+def q_benford_second_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-digit Benford test on order totals: expected
+    P(d₂=d) = Σ_{k=1..9} log₁₀(1 + 1/(10k+d)) — the follow-up
+    screen auditors run when first digits pass (manipulators who
+    know Benford fake the FIRST digit; the second still betrays
+    them). Observed vs expected with χ² terms.
+    """
+    import math
+
+    expected = {
+        d: sum(math.log10(1 + 1 / (10 * k + d)) for k in range(1, 10))
+        for d in range(10)
+    }
+    o = Catalog(spark, sf_dir).orders.select(
+        # integer-exact digit string: cents*100 as BIGINT, then the
+        # second character — no locale/float formatting involved
+        F.substring(
+            F.round(F.col("o_totalprice") * 10000).cast("long").cast("string"),
+            2,
+            1,
+        ).cast("int").alias("d2")
+    )
+    hist = o.groupBy("d2").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.agg(F.sum("n").alias("t"))
+    exp_col = F.lit(None).cast("double")
+    for d, p in expected.items():
+        exp_col = F.when(F.col("d2") == d, F.lit(p)).otherwise(exp_col)
+    j = hist.crossJoin(F.broadcast(tot)).withColumn("p_exp", exp_col)
+    return j.select(
+        "d2",
+        "n",
+        _R4(F.col("n") / F.col("t"), "observed_share"),
+        _R4(F.col("p_exp"), "benford_share"),
+        _R4(
+            F.pow(F.col("n") - F.col("p_exp") * F.col("t"), 2)
+            / (F.col("p_exp") * F.col("t")),
+            "chi2_term",
+        ),
+    )
+
+
+def _benford2_sql() -> str:
+    import math
+
+    cases = " ".join(
+        f"WHEN d2 = {d} THEN {sum(math.log10(1 + 1 / (10 * k + d)) for k in range(1, 10))!r}"
+        for d in range(10)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 10000) AS BIGINT)
+                          AS VARCHAR), 2, 1) AS INTEGER) AS d2
+  FROM orders
+), hist AS (
+  SELECT d2, count(*) AS n FROM digits GROUP BY d2
+), tot AS (SELECT sum(n) AS t FROM hist)
+SELECT d2, n,
+       round(n / CAST(t AS DOUBLE), 4) AS observed_share,
+       round(CAST(CASE {cases} END AS DOUBLE), 4) AS benford_share,
+       round(pow(n - (CASE {cases} END) * t, 2)
+             / ((CASE {cases} END) * t), 4) AS chi2_term
+FROM hist CROSS JOIN tot
+"""
+
+
+QUERIES["q_benford_second_digit"] = (q_benford_second_digit, _benford2_sql())

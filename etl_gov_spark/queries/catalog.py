@@ -170,6 +170,8 @@ _PINNED_FIRST = (
     "q_quantile_treatment_effect",
     "q_iv_wald",
     "q_post_stratification",
+    "q_indirect_standardization",
+    "q_benford_second_digit",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -284,3 +284,26 @@ def test_last_digit_shares_sum_to_one(spark, sf_dir):
     for r in rows:
         assert 0 <= r.digit <= 9
         assert r.chi2_term >= 0
+
+
+def test_indirect_standardization_centered(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_indirect_standardization
+
+    rows = q_indirect_standardization(spark, sf_dir).collect()
+    assert rows
+    # expected totals reproduce observed totals in aggregate
+    assert (
+        abs(sum(r.observed for r in rows) - sum(r.expected for r in rows))
+        < 1.0
+    )
+    for r in rows:
+        assert r.standardized_ratio > 0
+
+
+def test_benford_second_digit_shares(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_benford_second_digit
+
+    rows = q_benford_second_digit(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 0.01

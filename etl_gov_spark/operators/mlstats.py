@@ -2887,3 +2887,69 @@ FROM per JOIN pop USING (c_mktsegment) CROSS JOIN tots
 """
 
 QUERIES["q_post_stratification"] = (q_post_stratification, Q_POST_STRAT_SQL)
+
+
+_SPEC_LSL, _SPEC_USL = 0.0, 100.0
+
+
+def q_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-capability indices per event type against the
+    [0, 100] value spec: Cp = (USL−LSL)/6σ (potential), Cpk =
+    min(USL−μ, μ−LSL)/3σ (actual, centering-penalized), and the
+    observed out-of-spec rate — the quality-engineering readout
+    (Cpk ≥ 1.33 is the classic 'capable process' bar).
+
+    One algebraic aggregate per type; indices are row algebra.
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.avg(
+            (
+                (F.col("value") < _SPEC_LSL) | (F.col("value") > _SPEC_USL)
+            ).cast("double")
+        ).alias("oos"),
+    )
+    cp = (_SPEC_USL - _SPEC_LSL) / (6 * F.col("sd"))
+    cpk = (
+        F.least(
+            _SPEC_USL - F.col("mu"), F.col("mu") - F.lit(_SPEC_LSL)
+        )
+        / (3 * F.col("sd"))
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        _R4(F.col("mu"), "mean"),
+        _R4(F.col("sd"), "stddev"),
+        _R4(cp, "cp"),
+        _R4(cpk, "cpk"),
+        _R4(F.col("oos"), "out_of_spec_rate"),
+        (cpk >= 1.33).alias("capable"),
+    )
+
+
+Q_PROCESS_CAPABILITY_SQL = f"""
+WITH agg AS (
+  SELECT event_type, count(*) AS n, avg(value) AS mu,
+         stddev_samp(value) AS sd,
+         avg(CASE WHEN value < {_SPEC_LSL} OR value > {_SPEC_USL}
+                  THEN 1.0 ELSE 0.0 END) AS oos
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n,
+       round(mu, 4) AS mean,
+       round(sd, 4) AS stddev,
+       round(({_SPEC_USL} - {_SPEC_LSL}) / (6 * sd), 4) AS cp,
+       round(least({_SPEC_USL} - mu, mu - {_SPEC_LSL}) / (3 * sd), 4) AS cpk,
+       round(oos, 4) AS out_of_spec_rate,
+       least({_SPEC_USL} - mu, mu - {_SPEC_LSL}) / (3 * sd) >= 1.33 AS capable
+FROM agg
+"""
+
+QUERIES["q_process_capability"] = (
+    q_process_capability,
+    Q_PROCESS_CAPABILITY_SQL,
+)

@@ -172,6 +172,7 @@ _PINNED_FIRST = (
     "q_post_stratification",
     "q_indirect_standardization",
     "q_benford_second_digit",
+    "q_process_capability",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -620,3 +620,14 @@ def test_post_stratification_weights(spark, sf_dir):
     assert r.n_strata == 5
     assert abs(r.correction - (r.post_stratified_mean - r.naive_mean)) < 0.01
     assert r.naive_mean > 0 and r.post_stratified_mean > 0
+
+
+def test_process_capability_relations(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_process_capability
+
+    rows = q_process_capability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cpk <= r.cp + 1e-9  # centering can only hurt
+        assert 0.0 <= r.out_of_spec_rate <= 1.0
+        assert r.capable == (r.cpk >= 1.33)

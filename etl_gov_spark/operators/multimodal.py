@@ -511,3 +511,82 @@ FROM per GROUP BY n_scenes
 """
 
 QUERIES["mm_scene_cuts"] = (mm_scene_cuts, MM_SCENE_CUTS_SQL)
+
+
+_CASCADE_MIN_BYTES = 200
+_CASCADE_MIN_DIM = 100
+
+
+def mm_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-cascade accounting for the multimodal corpus: apply
+    the standard pretraining filters IN ORDER — size floor,
+    minimum decoded dimensions, exact-content dedup — and report
+    survivors and drop counts at every stage, the funnel table
+    (LAION-style) that justifies each filter's cost before a
+    full-corpus run.
+
+    Stages are flags computed in one pass over the metadata (the
+    dedup flag is a canonical-doc window over content digests);
+    cascade arithmetic is conditional sums — the corpus is scanned
+    once no matter how many stages report.
+    """
+    meta = mm_binary_meta(spark, sf_dir).select(
+        "doc_id", "n_bytes", "width", "height", "content_md5"
+    )
+    w = Window.partitionBy("content_md5").orderBy("doc_id")
+    flagged = meta.select(
+        (F.col("n_bytes") >= _CASCADE_MIN_BYTES).alias("pass_size"),
+        (
+            (F.col("width") >= _CASCADE_MIN_DIM)
+            & (F.col("height") >= _CASCADE_MIN_DIM)
+        ).alias("pass_dims"),
+        (F.row_number().over(w) == 1).alias("pass_dedup"),
+    )
+    s0 = F.count(F.lit(1))
+    s1 = F.sum(F.col("pass_size").cast("long"))
+    s2 = F.sum((F.col("pass_size") & F.col("pass_dims")).cast("long"))
+    s3 = F.sum(
+        (F.col("pass_size") & F.col("pass_dims") & F.col("pass_dedup")).cast(
+            "long"
+        )
+    )
+    agg = flagged.agg(
+        s0.alias("n_input"),
+        s1.alias("after_size"),
+        s2.alias("after_dims"),
+        s3.alias("after_dedup"),
+    )
+    return agg.select(
+        "n_input",
+        "after_size",
+        "after_dims",
+        "after_dedup",
+        F.round(F.col("after_dedup") / F.col("n_input"), 4).alias(
+            "retention"
+        ),
+    )
+
+
+MM_FILTER_CASCADE_SQL = f"""
+WITH meta AS ({MM_BINARY_META_SQL}),
+flagged AS (
+  SELECT n_bytes >= {_CASCADE_MIN_BYTES} AS pass_size,
+         width >= {_CASCADE_MIN_DIM} AND height >= {_CASCADE_MIN_DIM}
+           AS pass_dims,
+         row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) = 1
+           AS pass_dedup
+  FROM meta
+)
+SELECT count(*) AS n_input,
+       CAST(sum(CASE WHEN pass_size THEN 1 ELSE 0 END) AS BIGINT) AS after_size,
+       CAST(sum(CASE WHEN pass_size AND pass_dims THEN 1 ELSE 0 END) AS BIGINT)
+         AS after_dims,
+       CAST(sum(CASE WHEN pass_size AND pass_dims AND pass_dedup
+                     THEN 1 ELSE 0 END) AS BIGINT) AS after_dedup,
+       round(sum(CASE WHEN pass_size AND pass_dims AND pass_dedup
+                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+         AS retention
+FROM flagged
+"""
+
+QUERIES["mm_filter_cascade"] = (mm_filter_cascade, MM_FILTER_CASCADE_SQL)

@@ -173,6 +173,7 @@ _PINNED_FIRST = (
     "q_indirect_standardization",
     "q_benford_second_digit",
     "q_process_capability",
+    "mm_filter_cascade",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

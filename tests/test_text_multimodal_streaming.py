@@ -424,3 +424,11 @@ def test_stream_hourly_users_matches_batch_exact(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_filter_cascade_monotone(spark, sf_dir):
+    from etl_gov_spark.operators.multimodal import mm_filter_cascade
+
+    r = mm_filter_cascade(spark, sf_dir).collect()[0]
+    assert r.n_input >= r.after_size >= r.after_dims >= r.after_dedup >= 0
+    assert 0.0 <= r.retention <= 1.0

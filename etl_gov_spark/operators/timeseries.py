@@ -2874,3 +2874,75 @@ FROM grid
 """
 
 QUERIES["q_churn_hazard"] = (q_churn_hazard, Q_CHURN_HAZARD_SQL)
+
+
+_CL_MAX_DEV = 4
+
+
+def q_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-ladder development factors on the fulfillment run-off
+    triangle: cohorts = order months, development = months from
+    order to line shipment; f_d = Σ cum_{d+1} / Σ cum_d over the
+    cohorts that have reached d+1 — the actuarial method behind
+    every claims/backlog completion forecast, run on the
+    order→ship lag triangle.
+
+    The triangle is a bounded (cohort × dev) grid from one
+    aggregate; cumulation is one window along dev; factors are a
+    |dev|-row aggregate with the volume-weighted convention.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.join(
+        c.orders.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("cohort"),
+        F.floor(
+            F.months_between(
+                F.date_trunc("month", "l_shipdate"),
+                F.date_trunc("month", "o_orderdate"),
+            )
+        ).cast("int").alias("dev"),
+    ).filter((F.col("dev") >= 0) & (F.col("dev") <= _CL_MAX_DEV))
+    tri = li.groupBy("cohort", "dev").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = tri.withColumn("c", F.sum("n").over(w))
+    nxt = cum.select(
+        "cohort", (F.col("dev") - 1).alias("dev"), F.col("c").alias("c_next")
+    )
+    pairs = cum.join(nxt, ["cohort", "dev"])
+    return pairs.groupBy("dev").agg(
+        F.count(F.lit(1)).alias("n_cohorts"),
+        _R4(F.sum("c_next") / F.sum("c"), "dev_factor"),
+    )
+
+
+Q_CHAIN_LADDER_SQL = f"""
+WITH li AS (
+  SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS cohort,
+         CAST(datediff('month', date_trunc('month', CAST(o.o_orderdate AS DATE)),
+                       date_trunc('month', CAST(l.l_shipdate AS DATE)))
+              AS INTEGER) AS dev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), tri AS (
+  SELECT cohort, dev, count(*) AS n FROM li
+  WHERE dev BETWEEN 0 AND {_CL_MAX_DEV} GROUP BY 1, 2
+), cum AS (
+  SELECT cohort, dev,
+         sum(n) OVER (PARTITION BY cohort ORDER BY dev
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM tri
+), pairs AS (
+  SELECT a.dev, a.c, b.c AS c_next
+  FROM cum a JOIN cum b ON b.cohort = a.cohort AND b.dev = a.dev + 1
+)
+SELECT dev, count(*) AS n_cohorts,
+       round(sum(c_next) / CAST(sum(c) AS DOUBLE), 4) AS dev_factor
+FROM pairs GROUP BY dev
+"""
+
+QUERIES["q_chain_ladder"] = (q_chain_ladder, Q_CHAIN_LADDER_SQL)

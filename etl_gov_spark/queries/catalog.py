@@ -174,6 +174,7 @@ _PINNED_FIRST = (
     "q_benford_second_digit",
     "q_process_capability",
     "mm_filter_cascade",
+    "q_chain_ladder",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

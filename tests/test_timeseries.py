@@ -296,3 +296,13 @@ def test_churn_hazard_risk_set_monotone(spark, sf_dir):
         if prev is not None:
             assert r.n_at_risk <= prev
         prev = r.n_at_risk
+
+
+def test_chain_ladder_factors(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_chain_ladder
+
+    rows = sorted(q_chain_ladder(spark, sf_dir).collect(), key=lambda r: r.dev)
+    assert rows
+    for r in rows:
+        assert r.dev_factor >= 1.0  # cumulative counts only grow
+        assert r.n_cohorts >= 1

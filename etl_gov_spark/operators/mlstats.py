@@ -2953,3 +2953,72 @@ QUERIES["q_process_capability"] = (
     q_process_capability,
     Q_PROCESS_CAPABILITY_SQL,
 )
+
+
+def q_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + per-bin calibration gaps for a score
+    against the purchase outcome: squash the event value to a
+    pseudo-probability (σ((v−50)/10)), bin into deciles of
+    predicted probability, and compare mean prediction to observed
+    rate per bin — the calibration leg of the eval triple next to
+    ``q_decile_lift`` (ranking) and ``q_roc_auc`` (discrimination);
+    the weighted |gap| sum is the ECE.
+
+    One projection + one bounded-bin aggregate; the sigmoid is
+    exact row algebra in both engines.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        (
+            1.0 / (1.0 + F.exp(-(F.col("value") - 50.0) / 10.0))
+        ).alias("p"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    binned = ev.select(
+        F.least(F.floor(F.col("p") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "p",
+        "y",
+    )
+    tot = binned.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("p").alias("mean_pred"),
+            F.avg("y").alias("obs_rate"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            _R4(F.col("mean_pred"), "mean_pred"),
+            _R4(F.col("obs_rate"), "obs_rate"),
+            _R4(F.abs(F.col("mean_pred") - F.col("obs_rate")), "abs_gap"),
+            _R4(
+                F.abs(F.col("mean_pred") - F.col("obs_rate"))
+                * F.col("n")
+                / F.col("t"),
+                "ece_term",
+            ),
+        )
+    )
+
+
+Q_CALIBRATION_SQL = """
+WITH ev AS (
+  SELECT 1.0 / (1.0 + exp(-(value - 50.0) / 10.0)) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events
+), binned AS (
+  SELECT least(CAST(floor(p * 10) AS INTEGER), 9) AS bin, p, y FROM ev
+), tot AS (SELECT count(*) AS t FROM binned)
+SELECT bin, count(*) AS n,
+       round(avg(p), 4) AS mean_pred,
+       round(avg(y), 4) AS obs_rate,
+       round(abs(avg(p) - avg(y)), 4) AS abs_gap,
+       round(abs(avg(p) - avg(y)) * count(*) / CAST(max(t) AS DOUBLE), 4)
+         AS ece_term
+FROM binned CROSS JOIN tot
+GROUP BY bin
+"""
+
+QUERIES["q_calibration_ece"] = (q_calibration_ece, Q_CALIBRATION_SQL)

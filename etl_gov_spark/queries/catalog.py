@@ -175,6 +175,7 @@ _PINNED_FIRST = (
     "q_process_capability",
     "mm_filter_cascade",
     "q_chain_ladder",
+    "q_calibration_ece",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -631,3 +631,16 @@ def test_process_capability_relations(spark, sf_dir):
         assert r.cpk <= r.cp + 1e-9  # centering can only hurt
         assert 0.0 <= r.out_of_spec_rate <= 1.0
         assert r.capable == (r.cpk >= 1.33)
+
+
+def test_calibration_bins_and_ece(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_calibration_ece
+
+    rows = q_calibration_ece(spark, sf_dir).collect()
+    assert rows
+    ece = sum(r.ece_term for r in rows)
+    assert 0.0 <= ece <= 1.0
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.obs_rate <= 1.0
+        assert abs(r.abs_gap - abs(r.mean_pred - r.obs_rate)) < 0.01

@@ -3022,3 +3022,130 @@ GROUP BY bin
 """
 
 QUERIES["q_calibration_ece"] = (q_calibration_ece, Q_CALIBRATION_SQL)
+
+
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the hash-bucketed A/B
+    assignment: observed arm counts vs the designed 50/50 with the
+    1-df χ² — the FIRST check every experimentation platform runs,
+    because a biased split silently invalidates every downstream
+    readout (``q_abtest_lift`` included).
+
+    Same md5 parity assignment as the lift query; one grouped
+    count and scalar algebra.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id").distinct()
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 2
+    )
+    counts = ev.select(arm.alias("arm")).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = counts.agg(
+        F.sum("n").alias("t"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+    )
+    exp_ = F.col("t") / 2.0
+    chi2 = (
+        F.pow(F.col("n_a") - exp_, 2) / exp_
+        + F.pow(F.col("n_b") - exp_, 2) / exp_
+    )
+    return agg.select(
+        F.col("n_a").alias("n_arm_a"),
+        F.col("n_b").alias("n_arm_b"),
+        _R4(F.col("n_a") / F.col("t"), "share_a"),
+        _R4(chi2, "srm_chi2"),
+        (chi2 > 3.841).alias("srm_flag"),  # p<0.05 at 1 df
+    )
+
+
+Q_AB_SRM_SQL = """
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INTEGER)
+           % 2 AS arm
+  FROM events
+), agg AS (
+  SELECT count(*) AS t,
+         sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b
+  FROM arms
+)
+SELECT CAST(n_a AS BIGINT) AS n_arm_a, CAST(n_b AS BIGINT) AS n_arm_b,
+       round(n_a / CAST(t AS DOUBLE), 4) AS share_a,
+       round(pow(n_a - t / 2.0, 2) / (t / 2.0)
+             + pow(n_b - t / 2.0, 2) / (t / 2.0), 4) AS srm_chi2,
+       pow(n_a - t / 2.0, 2) / (t / 2.0)
+         + pow(n_b - t / 2.0, 2) / (t / 2.0) > 3.841 AS srm_flag
+FROM agg
+"""
+
+QUERIES["q_ab_srm_check"] = (q_ab_srm_check, Q_AB_SRM_SQL)
+
+
+def q_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial correlation r_xy·z from the three pairwise Pearson
+    correlations — is lexical richness (TTR) related to mean word
+    length ONCE document size is controlled for? The two-line
+    confounder check that prevents reading a size artifact as a
+    style signal.
+
+    One aggregate computes all three corrs (algebraic); the
+    partialling is scalar algebra.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.col("n_chars").cast("double").alias("z"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("nt"),
+        F.size(
+            F.array_distinct(F.split(F.trim("text"), r"\s+"))
+        ).cast("double").alias("nd"),
+    ).select(
+        (F.col("nd") / F.col("nt")).alias("x"),
+        (F.col("z") / F.col("nt")).alias("y"),
+        "z",
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.corr("x", "y").alias("rxy"),
+        F.corr("x", "z").alias("rxz"),
+        F.corr("y", "z").alias("ryz"),
+    )
+    partial = (
+        F.col("rxy") - F.col("rxz") * F.col("ryz")
+    ) / F.sqrt(
+        (1 - F.col("rxz") * F.col("rxz")) * (1 - F.col("ryz") * F.col("ryz"))
+    )
+    return agg.select(
+        "n",
+        _R4(F.col("rxy"), "r_xy"),
+        _R4(F.col("rxz"), "r_xz"),
+        _R4(F.col("ryz"), "r_yz"),
+        _R4(partial, "r_xy_given_z"),
+    )
+
+
+Q_PARTIAL_CORR_SQL = r"""
+WITH docs AS (
+  SELECT len(list_distinct(string_split_regex(trim(text), '\s+')))
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS x,
+         n_chars / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+           AS y,
+         CAST(n_chars AS DOUBLE) AS z
+  FROM documents
+), agg AS (
+  SELECT count(*) AS n, corr(x, y) AS rxy, corr(x, z) AS rxz,
+         corr(y, z) AS ryz
+  FROM docs
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(rxy, 4) AS r_xy,
+       round(rxz, 4) AS r_xz,
+       round(ryz, 4) AS r_yz,
+       round((rxy - rxz * ryz)
+             / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 4) AS r_xy_given_z
+FROM agg
+"""
+
+QUERIES["q_partial_correlation"] = (q_partial_correlation, Q_PARTIAL_CORR_SQL)

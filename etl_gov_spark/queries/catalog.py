@@ -176,6 +176,8 @@ _PINNED_FIRST = (
     "mm_filter_cascade",
     "q_chain_ladder",
     "q_calibration_ece",
+    "q_ab_srm_check",
+    "q_partial_correlation",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

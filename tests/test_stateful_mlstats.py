@@ -644,3 +644,21 @@ def test_calibration_bins_and_ece(spark, sf_dir):
         assert 0 <= r.bin <= 9
         assert 0.0 <= r.obs_rate <= 1.0
         assert abs(r.abs_gap - abs(r.mean_pred - r.obs_rate)) < 0.01
+
+
+def test_srm_consistent_with_abtest_arms(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_ab_srm_check, q_abtest_lift
+
+    srm = q_ab_srm_check(spark, sf_dir).collect()[0]
+    ab = q_abtest_lift(spark, sf_dir).first()
+    assert {srm.n_arm_a, srm.n_arm_b} == {ab.n_a, ab.n_b}
+    assert srm.srm_flag == (srm.srm_chi2 > 3.841)
+
+
+def test_partial_correlation_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_partial_correlation
+
+    r = q_partial_correlation(spark, sf_dir).collect()[0]
+    for v in (r.r_xy, r.r_xz, r.r_yz, r.r_xy_given_z):
+        assert -1.0 <= v <= 1.0
+    assert r.n > 100

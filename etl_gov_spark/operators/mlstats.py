@@ -3149,3 +3149,166 @@ FROM agg
 """
 
 QUERIES["q_partial_correlation"] = (q_partial_correlation, Q_PARTIAL_CORR_SQL)
+
+
+def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostics for the two-feature revenue regression
+    (``q_ols_two_feature``): the collinearity VIF between quantity
+    and discount (1/(1−r²)) and the Breusch-Pagan LM statistic
+    (n·R² of squared residuals on the regressors' main driver) —
+    the two checks that say whether the OLS coefficients and their
+    variances can be believed.
+
+    Residuals come from the closed-form slope (no second fit
+    library); everything is two algebraic aggregate passes with a
+    broadcast coefficient row.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        F.col("l_quantity").alias("x1"),
+        F.col("l_discount").alias("x2"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
+    )
+    # single-regressor fit on x2 (the dominant driver) for BP
+    fit = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.corr("x1", "x2").alias("r12"),
+        F.regr_slope("y", "x2").alias("b1"),
+        F.regr_intercept("y", "x2").alias("b0"),
+    )
+    j = li.crossJoin(F.broadcast(fit))
+    e2 = F.pow(F.col("y") - F.col("b0") - F.col("b1") * F.col("x2"), 2)
+    bp = j.agg(
+        F.max("n").alias("n"),
+        F.max("r12").alias("r12"),
+        F.regr_r2(e2, F.col("x2")).alias("r2_e2"),
+    )
+    return bp.select(
+        "n",
+        _R4(F.col("r12"), "corr_x1_x2"),
+        _R4(1.0 / (1.0 - F.col("r12") * F.col("r12")), "vif"),
+        _R4(F.col("r2_e2"), "bp_r2"),
+        _R4(F.col("n") * F.col("r2_e2"), "bp_lm_stat"),
+        (F.col("n") * F.col("r2_e2") > 3.841).alias("heteroskedastic"),
+    )
+
+
+Q_REG_DIAG_SQL = """
+WITH li AS (
+  SELECT l_quantity AS x1, l_discount AS x2,
+         l_extendedprice * (1 - l_discount) AS y
+  FROM lineitem
+), fit AS (
+  SELECT count(*) AS n, corr(x1, x2) AS r12,
+         regr_slope(y, x2) AS b1, regr_intercept(y, x2) AS b0
+  FROM li
+), bp AS (
+  SELECT max(f.n) AS n, max(f.r12) AS r12,
+         regr_r2(pow(l.y - f.b0 - f.b1 * l.x2, 2), l.x2) AS r2_e2
+  FROM li l CROSS JOIN fit f
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(r12, 4) AS corr_x1_x2,
+       round(1.0 / (1.0 - r12 * r12), 4) AS vif,
+       round(r2_e2, 4) AS bp_r2,
+       round(n * r2_e2, 4) AS bp_lm_stat,
+       n * r2_e2 > 3.841 AS heteroskedastic
+FROM bp
+"""
+
+QUERIES["q_regression_diagnostics"] = (
+    q_regression_diagnostics,
+    Q_REG_DIAG_SQL,
+)
+
+
+_COOKS_TOP = 10
+
+
+def q_influential_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance on the daily-revenue trend: per-day leverage
+    h = 1/n + (x−x̄)²/Sxx and residual from the closed-form slope
+    give D = e²h/(2s²(1−h)²); the top influential days are the
+    ones whose removal would move the trend line most — the
+    fit-robustness audit run before trusting ``q_trend_slope``.
+
+    All fit statistics broadcast from one aggregate; D is row
+    algebra over the bounded daily series; output is a top-10
+    rank.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+        .select(
+            F.datediff("day", F.lit("1995-01-01")).cast("double").alias("x"),
+            "day",
+            "y",
+        )
+    )
+    fit = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("xb"),
+        (F.var_pop("x") * F.count(F.lit(1))).alias("sxx"),
+        F.regr_slope("y", "x").alias("b1"),
+        F.regr_intercept("y", "x").alias("b0"),
+    )
+    j = daily.crossJoin(F.broadcast(fit))
+    e = F.col("y") - F.col("b0") - F.col("b1") * F.col("x")
+    h = 1.0 / F.col("n") + F.pow(F.col("x") - F.col("xb"), 2) / F.col("sxx")
+    scored = j.select(
+        "day",
+        e.alias("e"),
+        h.alias("h"),
+        "n",
+    )
+    s2 = scored.agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.max("n") - 2)).alias("s2")
+    )
+    d = scored.crossJoin(F.broadcast(s2)).select(
+        "day",
+        F.round(
+            F.col("e") * F.col("e") * F.col("h")
+            / (2 * F.col("s2") * F.pow(1 - F.col("h"), 2)),
+            6,
+        ).alias("cooks_d"),
+    )
+    w = Window.orderBy(F.desc("cooks_d"), F.asc("day"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _COOKS_TOP)
+        .select("rank", "day", _R4(F.col("cooks_d"), "cooks_d"))
+    )
+
+
+Q_INFLUENTIAL_DAYS_SQL = f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+           AS x,
+         CAST(o_orderdate AS DATE) AS day,
+         sum(o_totalprice) AS y
+  FROM orders GROUP BY 2
+), fit AS (
+  SELECT count(*) AS n, avg(x) AS xb, var_pop(x) * count(*) AS sxx,
+         regr_slope(y, x) AS b1, regr_intercept(y, x) AS b0
+  FROM daily
+), scored AS (
+  SELECT d.day,
+         d.y - f.b0 - f.b1 * d.x AS e,
+         1.0 / f.n + pow(d.x - f.xb, 2) / f.sxx AS h,
+         f.n
+  FROM daily d CROSS JOIN fit f
+), s2 AS (
+  SELECT sum(e * e) / (max(n) - 2) AS s2 FROM scored
+), dd AS (
+  SELECT day,
+         round(e * e * h / (2 * s2.s2 * pow(1 - h, 2)), 6) AS cooks_d
+  FROM scored CROSS JOIN s2
+)
+SELECT CAST(row_number() OVER (ORDER BY cooks_d DESC, day ASC) AS INTEGER)
+         AS rank,
+       day, round(cooks_d, 4) AS cooks_d
+FROM dd
+ORDER BY rank LIMIT {_COOKS_TOP}
+"""
+
+QUERIES["q_influential_days"] = (q_influential_days, Q_INFLUENTIAL_DAYS_SQL)

@@ -178,6 +178,8 @@ _PINNED_FIRST = (
     "q_calibration_ece",
     "q_ab_srm_check",
     "q_partial_correlation",
+    "q_regression_diagnostics",
+    "q_influential_days",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

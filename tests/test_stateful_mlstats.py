@@ -662,3 +662,25 @@ def test_partial_correlation_bounds(spark, sf_dir):
     for v in (r.r_xy, r.r_xz, r.r_yz, r.r_xy_given_z):
         assert -1.0 <= v <= 1.0
     assert r.n > 100
+
+
+def test_regression_diagnostics_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_regression_diagnostics
+
+    r = q_regression_diagnostics(spark, sf_dir).collect()[0]
+    assert r.vif >= 1.0
+    assert 0.0 <= r.bp_r2 <= 1.0
+    assert r.heteroskedastic == (r.bp_lm_stat > 3.841)
+
+
+def test_influential_days_ranked(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_influential_days
+
+    rows = sorted(q_influential_days(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == 10
+    prev = None
+    for r in rows:
+        assert r.cooks_d >= 0
+        if prev is not None:
+            assert r.cooks_d <= prev + 1e-9
+        prev = r.cooks_d

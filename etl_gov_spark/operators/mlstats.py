@@ -3312,3 +3312,78 @@ ORDER BY rank LIMIT {_COOKS_TOP}
 """
 
 QUERIES["q_influential_days"] = (q_influential_days, Q_INFLUENTIAL_DAYS_SQL)
+
+
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily revenue: S = Σ_{i<j}
+    sgn(y_j − y_i) with the tie-corrected variance and normal z —
+    the nonparametric IS-there-a-trend test that pairs with
+    Theil-Sen's HOW-big slope (both ignore outliers and need no
+    linearity).
+
+    The pairwise sum runs over the bounded daily series (n²/2
+    pairs of a year ≈ 66k — trivial; decades would sample); ties
+    correct through the value-multiplicity aggregate.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(F.signum(F.col("b.y") - F.col("a.y"))).alias("s"),
+        )
+    )
+    ties = daily.groupBy("y").agg(F.count(F.lit(1)).alias("t"))
+    var = ties.agg(
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+        ).alias("tie_term"),
+    )
+    j = s.crossJoin(F.broadcast(var))
+    n = F.col("n")
+    v = (n * (n - 1) * (2 * n + 5) - F.col("tie_term")) / 18.0
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(v))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(v))
+        .otherwise(0.0)
+    )
+    return j.select(
+        n.alias("n_days"),
+        F.col("s").cast("long").alias("mk_s"),
+        _R4(F.sqrt(v), "sd_s"),
+        _R4(z, "z_stat"),
+    )
+
+
+Q_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT sum(sign(b.y - a.y)) AS s
+  FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+  SELECT y, count(*) AS t FROM daily GROUP BY y
+), var_t AS (
+  SELECT sum(t) AS n,
+         sum(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM ties
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS mk_s,
+       round(sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0), 4) AS sd_s,
+       round(CASE WHEN s > 0
+                  THEN (s - 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                  WHEN s < 0
+                  THEN (s + 1) / sqrt((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)
+                  ELSE 0.0 END, 4) AS z_stat
+FROM s CROSS JOIN var_t
+"""
+
+QUERIES["q_mann_kendall"] = (q_mann_kendall, Q_MANN_KENDALL_SQL)

@@ -180,6 +180,7 @@ _PINNED_FIRST = (
     "q_partial_correlation",
     "q_regression_diagnostics",
     "q_influential_days",
+    "q_mann_kendall",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -684,3 +684,13 @@ def test_influential_days_ranked(spark, sf_dir):
         if prev is not None:
             assert r.cooks_d <= prev + 1e-9
         prev = r.cooks_d
+
+
+def test_mann_kendall_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_mann_kendall
+
+    r = q_mann_kendall(spark, sf_dir).collect()[0]
+    max_s = r.n_days * (r.n_days - 1) / 2
+    assert abs(r.mk_s) <= max_s
+    assert r.sd_s > 0
+    assert abs(r.z_stat) < 10

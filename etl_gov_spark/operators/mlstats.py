@@ -3387,3 +3387,191 @@ FROM s CROSS JOIN var_t
 """
 
 QUERIES["q_mann_kendall"] = (q_mann_kendall, Q_MANN_KENDALL_SQL)
+
+
+def q_granger_1lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-lag Granger causality, errors → purchases: does the
+    hourly error count at t−1 improve the prediction of purchases
+    at t beyond purchases' own lag? F from restricted (own lag)
+    vs unrestricted (own lag + error lag) R², the latter solved
+    with the closed-form two-feature normal equations — the
+    predictive upgrade over ``q_lead_lag_xcorr``'s raw
+    correlation.
+
+    One lag projection over the bounded hourly series and one
+    aggregate of nine sufficient statistics; the F is scalar
+    algebra.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    )
+    hourly = ev.groupBy("hour").agg(
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("e"),
+    )
+    w = Window.orderBy("hour")
+    lagged = hourly.select(
+        F.col("y").cast("double").alias("y"),
+        F.lag("y").over(w).cast("double").alias("x1"),
+        F.lag("e").over(w).cast("double").alias("x2"),
+    ).filter(F.col("x1").isNotNull())
+    s = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.regr_r2("y", "x1").alias("r2_r"),
+        F.sum("x1").alias("sx1"), F.sum("x2").alias("sx2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("sx11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("sx22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("sx12"),
+        F.sum(F.col("x1") * F.col("y")).alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("sx2y"),
+        F.var_pop("y").alias("vy"),
+    )
+    n = F.col("n")
+    s11 = F.col("sx11") - F.col("sx1") * F.col("sx1") / n
+    s22 = F.col("sx22") - F.col("sx2") * F.col("sx2") / n
+    s12 = F.col("sx12") - F.col("sx1") * F.col("sx2") / n
+    s1y = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    s2y = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    det = s11 * s22 - s12 * s12
+    b1 = (s22 * s1y - s12 * s2y) / det
+    b2 = (s11 * s2y - s12 * s1y) / det
+    syy = F.col("vy") * n
+    r2_u = (b1 * s1y + b2 * s2y) / syy
+    f_stat = (r2_u - F.col("r2_r")) / ((1 - r2_u) / (n - 3))
+    return s.select(
+        n.alias("n_hours"),
+        _R4(F.col("r2_r"), "r2_restricted"),
+        _R4(r2_u, "r2_unrestricted"),
+        _R4(f_stat, "granger_f"),
+        (f_stat > 3.85).alias("errors_granger_cause"),
+    )
+
+
+Q_GRANGER_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT CAST(y AS DOUBLE) AS y,
+         CAST(lag(y) OVER (ORDER BY hour) AS DOUBLE) AS x1,
+         CAST(lag(e) OVER (ORDER BY hour) AS DOUBLE) AS x2
+  FROM hourly
+), l2 AS (SELECT * FROM lagged WHERE x1 IS NOT NULL),
+s AS (
+  SELECT count(*) AS n, regr_r2(y, x1) AS r2_r,
+         sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+         sum(x1 * x1) AS sx11, sum(x2 * x2) AS sx22,
+         sum(x1 * x2) AS sx12, sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y,
+         var_pop(y) AS vy
+  FROM l2
+), c AS (
+  SELECT n, r2_r, vy * n AS syy,
+         sx11 - sx1 * sx1 / n AS s11, sx22 - sx2 * sx2 / n AS s22,
+         sx12 - sx1 * sx2 / n AS s12,
+         sx1y - sx1 * sy / n AS s1y, sx2y - sx2 * sy / n AS s2y
+  FROM s
+), f AS (
+  SELECT n, r2_r,
+         (((s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12)) * s1y
+          + ((s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12)) * s2y)
+           / syy AS r2_u
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       round(r2_r, 4) AS r2_restricted,
+       round(r2_u, 4) AS r2_unrestricted,
+       round((r2_u - r2_r) / ((1 - r2_u) / (n - 3)), 4) AS granger_f,
+       (r2_u - r2_r) / ((1 - r2_u) / (n - 3)) > 3.85 AS errors_granger_cause
+FROM f
+"""
+
+QUERIES["q_granger_1lag"] = (q_granger_1lag, Q_GRANGER_SQL)
+
+
+def q_beta_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """β-convergence across nations: regress each nation's revenue
+    growth rate (second half vs first half of the order history) on
+    the log of its initial level — a negative slope means laggards
+    catch up, the growth-economics question every regional program
+    evaluation asks.
+
+    One conditional aggregate to the nation grid; the fit is the
+    algebraic regr pair over 25 rows.
+    """
+    c = Catalog(spark, sf_dir)
+    mid = c.orders.agg(
+        F.date_add(
+            F.min(F.to_date("o_orderdate")),
+            (
+                F.datediff(
+                    F.max(F.to_date("o_orderdate")),
+                    F.min(F.to_date("o_orderdate")),
+                )
+                / 2
+            ).cast("int"),
+        ).alias("mid")
+    )
+    j = (
+        c.orders.join(c.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(mid))
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.to_date("o_orderdate") < F.col("mid"), F.col("o_totalprice")
+                )
+            ).alias("r0"),
+            F.sum(
+                F.when(
+                    F.to_date("o_orderdate") >= F.col("mid"), F.col("o_totalprice")
+                )
+            ).alias("r1"),
+        )
+    )
+    g = j.select(
+        F.log("r0").alias("ln_initial"),
+        (F.col("r1") / F.col("r0") - 1).alias("growth"),
+    )
+    fit = g.agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.regr_slope("growth", "ln_initial").alias("beta"),
+        F.regr_r2("growth", "ln_initial").alias("r2"),
+    )
+    return fit.select(
+        "n_nations",
+        _R4(F.col("beta"), "beta"),
+        _R4(F.col("r2"), "r2"),
+        (F.col("beta") < 0).alias("convergence"),
+    )
+
+
+Q_BETA_CONVERGENCE_SQL = """
+WITH mid AS (
+  SELECT min(CAST(o_orderdate AS DATE))
+         + CAST(datediff('day', min(CAST(o_orderdate AS DATE)),
+                         max(CAST(o_orderdate AS DATE))) / 2 AS INTEGER) AS mid
+  FROM orders
+), j AS (
+  SELECT c.c_nationkey,
+         sum(CASE WHEN CAST(o.o_orderdate AS DATE) < m.mid
+                  THEN o.o_totalprice END) AS r0,
+         sum(CASE WHEN CAST(o.o_orderdate AS DATE) >= m.mid
+                  THEN o.o_totalprice END) AS r1
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  CROSS JOIN mid m
+  GROUP BY c.c_nationkey
+), g AS (
+  SELECT ln(r0) AS ln_initial, r1 / r0 - 1 AS growth FROM j
+)
+SELECT count(*) AS n_nations,
+       round(regr_slope(growth, ln_initial), 4) AS beta,
+       round(regr_r2(growth, ln_initial), 4) AS r2,
+       regr_slope(growth, ln_initial) < 0 AS convergence
+FROM g
+"""
+
+QUERIES["q_beta_convergence"] = (q_beta_convergence, Q_BETA_CONVERGENCE_SQL)

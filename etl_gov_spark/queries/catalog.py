@@ -181,6 +181,8 @@ _PINNED_FIRST = (
     "q_regression_diagnostics",
     "q_influential_days",
     "q_mann_kendall",
+    "q_granger_1lag",
+    "q_beta_convergence",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

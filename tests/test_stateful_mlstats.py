@@ -694,3 +694,22 @@ def test_mann_kendall_bounds(spark, sf_dir):
     assert abs(r.mk_s) <= max_s
     assert r.sd_s > 0
     assert abs(r.z_stat) < 10
+
+
+def test_granger_nesting(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_granger_1lag
+
+    r = q_granger_1lag(spark, sf_dir).collect()[0]
+    # the unrestricted model nests the restricted one
+    assert r.r2_unrestricted >= r.r2_restricted - 1e-6
+    assert r.errors_granger_cause == (r.granger_f > 3.85)
+    assert r.n_hours > 100
+
+
+def test_beta_convergence_structure(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_beta_convergence
+
+    r = q_beta_convergence(spark, sf_dir).collect()[0]
+    assert r.n_nations == 25
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.convergence == (r.beta < 0)

@@ -2946,3 +2946,103 @@ FROM pairs GROUP BY dev
 """
 
 QUERIES["q_chain_ladder"] = (q_chain_ladder, Q_CHAIN_LADDER_SQL)
+
+
+_ABSORB_STEPS = 3
+
+
+def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorption probability within 3 steps: from each event type,
+    the chance the chain (transition matrix estimated from
+    observed user sequences, purchase absorbing) reaches a
+    purchase within 3 transitions — computed by three relational
+    matrix-vector multiplies over the |types|² grid, the bounded-
+    state answer to "how close is each behavior to converting".
+
+    The only fact-scale work is the one lag window that builds
+    transitions; every subsequent step is a ≤25-row join.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    counts = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("src")
+    p = counts.select(
+        "src",
+        "dst",
+        F.round(F.col("c") / F.sum("c").over(tot), 8).alias("p"),
+    )
+    # v_0(s) = P(purchase in 1 step from s); absorbing: purchase→1
+    v = p.filter(F.col("dst") == "purchase").select(
+        "src", F.col("p").alias("v")
+    )
+    for _ in range(_ABSORB_STEPS - 1):
+        # v_{k+1}(s) = P(s→purchase) + Σ_{m≠purchase} P(s→m)·v_k(m)
+        step = (
+            p.filter(F.col("dst") != "purchase")
+            .join(
+                v.select(F.col("src").alias("dst"), F.col("v").alias("vm")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.sum(F.col("p") * F.col("vm")).alias("cont"))
+        )
+        base = p.filter(F.col("dst") == "purchase").select(
+            "src", F.col("p").alias("base")
+        )
+        v = (
+            base.join(step, "src", "full")
+            .select(
+                "src",
+                (
+                    F.coalesce("base", F.lit(0.0))
+                    + F.coalesce("cont", F.lit(0.0))
+                ).alias("v"),
+            )
+        )
+    return v.select("src", _R4(F.col("v"), "p_purchase_within_3"))
+
+
+def _absorption_sql() -> str:
+    body = ["""
+WITH trans AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src,
+         event_type AS dst
+  FROM events
+), t2 AS (SELECT * FROM trans WHERE src IS NOT NULL),
+counts AS (
+  SELECT src, dst, count(*) AS c FROM t2 GROUP BY 1, 2
+), p AS (
+  SELECT src, dst,
+         round(c / CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE), 8) AS p
+  FROM counts
+), v0 AS (
+  SELECT src, p AS v FROM p WHERE dst = 'purchase'
+)"""]
+    prev = "v0"
+    for i in range(1, _ABSORB_STEPS):
+        body.append(f""", s{i} AS (
+  SELECT p.src, sum(p.p * v.v) AS cont
+  FROM p JOIN {prev} v ON v.src = p.dst
+  WHERE p.dst != 'purchase'
+  GROUP BY p.src
+), v{i} AS (
+  SELECT coalesce(b.src, s.src) AS src,
+         coalesce(b.p, 0.0) + coalesce(s.cont, 0.0) AS v
+  FROM (SELECT src, p FROM p WHERE dst = 'purchase') b
+  FULL OUTER JOIN s{i} s ON s.src = b.src
+)""")
+        prev = f"v{i}"
+    body.append(f"""
+SELECT src, round(v, 4) AS p_purchase_within_3 FROM {prev}
+""")
+    return "".join(body)
+
+
+QUERIES["q_markov_absorption"] = (q_markov_absorption, _absorption_sql())

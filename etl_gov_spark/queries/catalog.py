@@ -183,6 +183,7 @@ _PINNED_FIRST = (
     "q_mann_kendall",
     "q_granger_1lag",
     "q_beta_convergence",
+    "q_markov_absorption",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

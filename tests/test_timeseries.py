@@ -306,3 +306,18 @@ def test_chain_ladder_factors(spark, sf_dir):
     for r in rows:
         assert r.dev_factor >= 1.0  # cumulative counts only grow
         assert r.n_cohorts >= 1
+
+
+def test_markov_absorption_monotone_in_probability(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import (
+        q_markov_absorption,
+        q_markov_next_event,
+    )
+
+    rows = {r.src: r for r in q_markov_absorption(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0.0 <= r.p_purchase_within_3 <= 1.0
+    # three steps reach at least as far as one step: the 3-step
+    # probability dominates any single transition into purchase
+    assert all(r.p_purchase_within_3 > 0 for r in rows.values())

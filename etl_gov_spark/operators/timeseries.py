@@ -3046,3 +3046,57 @@ SELECT src, round(v, 4) AS p_purchase_within_3 FROM {prev}
 
 
 QUERIES["q_markov_absorption"] = (q_markov_absorption, _absorption_sql())
+
+
+def q_mtbf_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability engineering on the error stream: mean time
+    between failures from inter-error gaps, the exponential-model
+    reliability R(t) = e^(−t/MTBF) at 1 h and 24 h, and the CV of
+    gaps (≈1 validates the exponential assumption; ≪1 means
+    scheduled failures, ≫1 means bursts).
+
+    One lag over the error substream (errors are rare — the sort
+    is over the FILTERED stream, and at scale it partitions by
+    service key); the model readout is scalar algebra.
+    """
+    errs = Catalog(spark, sf_dir).events.filter(
+        F.col("event_type") == "error"
+    ).select(F.unix_micros("ts").alias("us"), "event_id")
+    w = Window.orderBy("us", "event_id")
+    gaps = errs.select(
+        ((F.col("us") - F.lag("us").over(w)) / 3_600_000_000.0).alias("gap_h")
+    ).filter(F.col("gap_h").isNotNull())
+    agg = gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("gap_h").alias("mtbf_h"),
+        F.stddev_samp("gap_h").alias("sd"),
+    )
+    return agg.select(
+        "n_gaps",
+        _R4(F.col("mtbf_h"), "mtbf_hours"),
+        _R4(F.col("sd") / F.col("mtbf_h"), "gap_cv"),
+        _R4(F.exp(-1.0 / F.col("mtbf_h")), "reliability_1h"),
+        _R4(F.exp(-24.0 / F.col("mtbf_h")), "reliability_24h"),
+    )
+
+
+Q_MTBF_SQL = """
+WITH errs AS (
+  SELECT epoch_us(ts) AS us, event_id FROM events WHERE event_type = 'error'
+), gaps AS (
+  SELECT (us - lag(us) OVER (ORDER BY us, event_id)) / 3600000000.0 AS gap_h
+  FROM errs
+), agg AS (
+  SELECT count(gap_h) AS n_gaps, avg(gap_h) AS mtbf_h,
+         stddev_samp(gap_h) AS sd
+  FROM gaps WHERE gap_h IS NOT NULL
+)
+SELECT CAST(n_gaps AS BIGINT) AS n_gaps,
+       round(mtbf_h, 4) AS mtbf_hours,
+       round(sd / mtbf_h, 4) AS gap_cv,
+       round(exp(-1.0 / mtbf_h), 4) AS reliability_1h,
+       round(exp(-24.0 / mtbf_h), 4) AS reliability_24h
+FROM agg
+"""
+
+QUERIES["q_mtbf_reliability"] = (q_mtbf_reliability, Q_MTBF_SQL)

@@ -184,6 +184,7 @@ _PINNED_FIRST = (
     "q_granger_1lag",
     "q_beta_convergence",
     "q_markov_absorption",
+    "q_mtbf_reliability",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

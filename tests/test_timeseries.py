@@ -321,3 +321,12 @@ def test_markov_absorption_monotone_in_probability(spark, sf_dir):
     # three steps reach at least as far as one step: the 3-step
     # probability dominates any single transition into purchase
     assert all(r.p_purchase_within_3 > 0 for r in rows.values())
+
+
+def test_mtbf_reliability_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_mtbf_reliability
+
+    r = q_mtbf_reliability(spark, sf_dir).collect()[0]
+    assert r.mtbf_hours > 0
+    assert 0.0 < r.reliability_24h < r.reliability_1h < 1.0
+    assert r.gap_cv > 0

@@ -3575,3 +3575,63 @@ FROM g
 """
 
 QUERIES["q_beta_convergence"] = (q_beta_convergence, Q_BETA_CONVERGENCE_SQL)
+
+
+def q_renyi_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rényi entropy spectrum of the per-user event-type mix:
+    H₀ (richness), H₁ (Shannon), H₂ (collision), H∞ (min-entropy)
+    in bits, averaged over users — the spectrum's SLOPE is the
+    diversity fingerprint (flat = even usage; steep = one dominant
+    behavior), a strictly richer readout than any single entropy.
+
+    Per-user distributions are bounded (≤|types| rows each); the
+    four entropies reduce in one grouped pass and one user-level
+    average.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type")
+    cell = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = Window.partitionBy("user_id")
+    p = cell.select(
+        "user_id", (F.col("c") / F.sum("c").over(tot)).alias("p")
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.log2(F.count(F.lit(1)).cast("double")).alias("h0"),
+        (-F.sum(F.col("p") * F.log2("p"))).alias("h1"),
+        (-F.log2(F.sum(F.col("p") * F.col("p")))).alias("h2"),
+        (-F.log2(F.max("p"))).alias("hinf"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _R4(F.avg("h0"), "h0_richness"),
+        _R4(F.avg("h1"), "h1_shannon"),
+        _R4(F.avg("h2"), "h2_collision"),
+        _R4(F.avg("hinf"), "h_inf_min"),
+    )
+
+
+Q_RENYI_SQL = """
+WITH cell AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+), p AS (
+  SELECT user_id,
+         c / CAST(sum(c) OVER (PARTITION BY user_id) AS DOUBLE) AS p
+  FROM cell
+), per_user AS (
+  SELECT user_id,
+         log2(CAST(count(*) AS DOUBLE)) AS h0,
+         -sum(p * log2(p)) AS h1,
+         -log2(sum(p * p)) AS h2,
+         -log2(max(p)) AS hinf
+  FROM p GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       round(avg(h0), 4) AS h0_richness,
+       round(avg(h1), 4) AS h1_shannon,
+       round(avg(h2), 4) AS h2_collision,
+       round(avg(hinf), 4) AS h_inf_min
+FROM per_user
+"""
+
+QUERIES["q_renyi_spectrum"] = (q_renyi_spectrum, Q_RENYI_SQL)

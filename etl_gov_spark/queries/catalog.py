@@ -185,6 +185,7 @@ _PINNED_FIRST = (
     "q_beta_convergence",
     "q_markov_absorption",
     "q_mtbf_reliability",
+    "q_renyi_spectrum",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

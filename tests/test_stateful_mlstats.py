@@ -713,3 +713,12 @@ def test_beta_convergence_structure(spark, sf_dir):
     assert r.n_nations == 25
     assert 0.0 <= r.r2 <= 1.0
     assert r.convergence == (r.beta < 0)
+
+
+def test_renyi_spectrum_ordering(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_renyi_spectrum
+
+    r = q_renyi_spectrum(spark, sf_dir).collect()[0]
+    # Renyi entropies are non-increasing in alpha
+    assert r.h0_richness >= r.h1_shannon >= r.h2_collision >= r.h_inf_min >= 0
+    assert r.n_users > 0

@@ -1957,3 +1957,67 @@ FROM scored
 """
 
 QUERIES["q_composite_index"] = (q_composite_index, Q_COMPOSITE_INDEX_SQL)
+
+
+def q_pareto_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elbow (knee) of the revenue-concentration curve: the rank on
+    the cumulative part-revenue curve farthest from the chord
+    between its endpoints — the principled answer to "where do we
+    cut top-K" that replaces the arbitrary 80% of ABC analysis.
+
+    The curve is one cumulative window over the bounded part
+    ranking; the chord distance is row algebra; the argmax is one
+    more window — everything past the revenue rollup is
+    |parts|-bounded.
+    """
+    li = Catalog(spark, sf_dir).lineitem.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
+    tot = Window.partitionBy()
+    curve = li.select(
+        F.row_number().over(w).alias("rk"),
+        (
+            F.sum("rev").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            / F.sum("rev").over(tot)
+        ).alias("cum_share"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    # normalized chord from (0,0) to (1,1): distance ∝ |share − rank/n|
+    dist = F.round(F.col("cum_share") - F.col("rk") / F.col("n"), 8)
+    pick = Window.orderBy(F.desc(dist), F.asc("rk"))
+    return (
+        curve.withColumn("rn", F.row_number().over(pick))
+        .filter("rn = 1")
+        .select(
+            F.col("rk").alias("elbow_rank"),
+            F.col("n").alias("n_parts"),
+            _R4(F.col("rk") / F.col("n"), "elbow_rank_share"),
+            _R4(F.col("cum_share"), "revenue_share_at_elbow"),
+        )
+    )
+
+
+Q_PARETO_ELBOW_SQL = """
+WITH li AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+), curve AS (
+  SELECT row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS rk,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(rev) OVER () AS cum_share,
+         count(*) OVER () AS n
+  FROM li
+)
+SELECT CAST(rk AS BIGINT) AS elbow_rank, CAST(n AS BIGINT) AS n_parts,
+       round(rk / CAST(n AS DOUBLE), 4) AS elbow_rank_share,
+       round(cum_share, 4) AS revenue_share_at_elbow
+FROM curve
+ORDER BY round(cum_share - rk / CAST(n AS DOUBLE), 8) DESC, rk ASC
+LIMIT 1
+"""
+
+QUERIES["q_pareto_elbow"] = (q_pareto_elbow, Q_PARETO_ELBOW_SQL)

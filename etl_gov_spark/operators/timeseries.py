@@ -3100,3 +3100,79 @@ FROM agg
 """
 
 QUERIES["q_mtbf_reliability"] = (q_mtbf_reliability, Q_MTBF_SQL)
+
+
+def q_seasonal_diff_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is weekly differencing enough? Lag-1 and lag-7 ACF of the
+    RAW daily series next to the same ACFs of the seasonally
+    differenced series (y_t − y_{t−7}) — the two-column table that
+    decides the D in a SARIMA spec before anyone fits one: if the
+    differenced ACFs collapse toward zero, the weekly cycle was
+    the structure.
+
+    Three lag columns over the bounded daily series; four
+    algebraic corr aggregates.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"),
+        F.lag("y", 8).over(w).alias("y8"),
+    ).select(
+        "y",
+        "y1",
+        "y7",
+        (F.col("y") - F.col("y7")).alias("d"),
+        (F.col("y1") - F.col("y8")).alias("d1"),
+    )
+    agg = lagged.agg(
+        F.count("y").alias("n_days"),
+        F.corr("y", "y1").alias("acf1_raw"),
+        F.corr("y", "y7").alias("acf7_raw"),
+        F.corr("d", "d1").alias("acf1_diff"),
+    )
+    return agg.select(
+        "n_days",
+        _R4(F.col("acf1_raw"), "acf1_raw"),
+        _R4(F.col("acf7_raw"), "acf7_raw"),
+        _R4(F.col("acf1_diff"), "acf1_after_weekly_diff"),
+        (
+            F.abs(F.col("acf1_diff")) < F.abs(F.col("acf1_raw"))
+        ).alias("differencing_helps"),
+    )
+
+
+Q_SEASONAL_DIFF_ACF_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT y,
+         lag(y, 1) OVER (ORDER BY day) AS y1,
+         lag(y, 7) OVER (ORDER BY day) AS y7,
+         lag(y, 8) OVER (ORDER BY day) AS y8
+  FROM daily
+), d AS (
+  SELECT y, y1, y7, y - y7 AS d, y1 - y8 AS d1 FROM lagged
+), agg AS (
+  SELECT count(y) AS n_days,
+         corr(y, y1) AS acf1_raw,
+         corr(y, y7) AS acf7_raw,
+         corr(d, d1) AS acf1_diff
+  FROM d
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       round(acf1_raw, 4) AS acf1_raw,
+       round(acf7_raw, 4) AS acf7_raw,
+       round(acf1_diff, 4) AS acf1_after_weekly_diff,
+       abs(acf1_diff) < abs(acf1_raw) AS differencing_helps
+FROM agg
+"""
+
+QUERIES["q_seasonal_diff_acf"] = (q_seasonal_diff_acf, Q_SEASONAL_DIFF_ACF_SQL)

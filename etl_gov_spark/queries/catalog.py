@@ -186,6 +186,8 @@ _PINNED_FIRST = (
     "q_markov_absorption",
     "q_mtbf_reliability",
     "q_renyi_spectrum",
+    "q_seasonal_diff_acf",
+    "q_pareto_elbow",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -399,3 +399,12 @@ def test_composite_index_ranked_unit_interval(spark, sf_dir):
         if prev is not None:
             assert r.composite_index <= prev + 1e-9
         prev = r.composite_index
+
+
+def test_pareto_elbow_above_diagonal(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_pareto_elbow
+
+    r = q_pareto_elbow(spark, sf_dir).collect()[0]
+    assert 1 <= r.elbow_rank <= r.n_parts
+    # the concentration curve sits above the diagonal at its elbow
+    assert r.revenue_share_at_elbow >= r.elbow_rank_share

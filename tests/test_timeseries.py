@@ -330,3 +330,12 @@ def test_mtbf_reliability_bounds(spark, sf_dir):
     assert r.mtbf_hours > 0
     assert 0.0 < r.reliability_24h < r.reliability_1h < 1.0
     assert r.gap_cv > 0
+
+
+def test_seasonal_diff_acf_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_seasonal_diff_acf
+
+    r = q_seasonal_diff_acf(spark, sf_dir).collect()[0]
+    for v in (r.acf1_raw, r.acf7_raw, r.acf1_after_weekly_diff):
+        assert -1.0 <= v <= 1.0
+    assert r.n_days > 30

@@ -3176,3 +3176,101 @@ FROM agg
 """
 
 QUERIES["q_seasonal_diff_acf"] = (q_seasonal_diff_acf, Q_SEASONAL_DIFF_ACF_SQL)
+
+
+_SURPRISE_FLOOR = 1e-3
+_SURPRISE_TOP = 10
+
+
+def q_behavior_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UEBA-style behavioral anomaly scoring: train the event-type
+    transition model on pre-split history, then score each user's
+    POST-split sequence by average surprisal −log₂ P(next|cur)
+    (unseen transitions floored at 1e-3) and rank the most
+    surprising users — the sequence-likelihood insider-threat
+    screen, where a high score means "this account stopped acting
+    like itself (or anyone)".
+
+    The model is the bounded |types|² grid broadcast against test
+    transitions; per-user scores are one aggregate; output is a
+    top-10 rank.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+        (F.to_date("ts") < F.lit(_MARKOV_SPLIT)).alias("is_train"),
+    ).filter(F.col("src").isNotNull())
+    counts = (
+        trans.filter("is_train")
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = Window.partitionBy("src")
+    model = counts.select(
+        "src", "dst", F.round(F.col("c") / F.sum("c").over(tot), 8).alias("p")
+    )
+    test = trans.filter(~F.col("is_train"))
+    scored = test.join(F.broadcast(model), ["src", "dst"], "left").select(
+        "user_id",
+        (
+            -F.log2(
+                F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(_SURPRISE_FLOOR))
+            )
+        ).alias("surprise"),
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.round(F.avg("surprise"), 6).alias("avg_surprise"),
+    )
+    pick = Window.orderBy(F.desc("avg_surprise"), F.asc("user_id"))
+    return (
+        per_user.withColumn("rank", F.row_number().over(pick))
+        .filter(F.col("rank") <= _SURPRISE_TOP)
+        .select(
+            "rank",
+            "user_id",
+            "n_transitions",
+            _R4(F.col("avg_surprise"), "avg_surprise_bits"),
+        )
+    )
+
+
+Q_BEHAVIOR_SURPRISE_SQL = f"""
+WITH trans AS (
+  SELECT user_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS src,
+         event_type AS dst,
+         CAST(ts AS DATE) < DATE '{_MARKOV_SPLIT}' AS is_train
+  FROM events
+), t2 AS (SELECT * FROM trans WHERE src IS NOT NULL),
+counts AS (
+  SELECT src, dst, count(*) AS c FROM t2 WHERE is_train GROUP BY 1, 2
+), model AS (
+  SELECT src, dst,
+         round(c / CAST(sum(c) OVER (PARTITION BY src) AS DOUBLE), 8) AS p
+  FROM counts
+), scored AS (
+  SELECT t.user_id,
+         -log2(greatest(coalesce(m.p, 0.0), {_SURPRISE_FLOOR!r})) AS surprise
+  FROM t2 t LEFT JOIN model m ON m.src = t.src AND m.dst = t.dst
+  WHERE NOT t.is_train
+), per_user AS (
+  SELECT user_id, count(*) AS n_transitions,
+         round(avg(surprise), 6) AS avg_surprise
+  FROM scored GROUP BY user_id
+)
+SELECT CAST(row_number() OVER (ORDER BY avg_surprise DESC, user_id ASC)
+            AS INTEGER) AS rank,
+       user_id, n_transitions,
+       round(avg_surprise, 4) AS avg_surprise_bits
+FROM per_user
+ORDER BY rank LIMIT {_SURPRISE_TOP}
+"""
+
+QUERIES["q_behavior_surprise"] = (q_behavior_surprise, Q_BEHAVIOR_SURPRISE_SQL)

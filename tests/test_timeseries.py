@@ -339,3 +339,20 @@ def test_seasonal_diff_acf_bounds(spark, sf_dir):
     for v in (r.acf1_raw, r.acf7_raw, r.acf1_after_weekly_diff):
         assert -1.0 <= v <= 1.0
     assert r.n_days > 30
+
+
+def test_behavior_surprise_ranked(spark, sf_dir):
+    import math
+
+    from etl_gov_spark.operators.timeseries import q_behavior_surprise
+
+    rows = sorted(q_behavior_surprise(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert rows
+    cap = -math.log2(1e-3)
+    prev = None
+    for r in rows:
+        assert 0.0 <= r.avg_surprise_bits <= cap + 1e-6
+        assert r.n_transitions > 0
+        if prev is not None:
+            assert r.avg_surprise_bits <= prev + 1e-9
+        prev = r.avg_surprise_bits

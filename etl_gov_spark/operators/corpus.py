@@ -2076,3 +2076,59 @@ GROUP BY source
 """
 
 QUERIES["corpus_fewshot_pack"] = (corpus_fewshot_pack, CORPUS_FEWSHOT_SQL)
+
+
+def corpus_lognormal_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lognormal fit of document token counts: μ̂/σ̂ of ln(tokens)
+    plus the model-implied median and p95 beside the observed ones
+    — the assumption check behind every token-budget and shard-
+    sizing model that quietly presumes lognormal lengths (when
+    implied and observed p95 diverge, so will the shard plan).
+
+    One aggregate for the log moments, one exact-percentile
+    aggregate for the observed quantiles; implied quantiles use
+    exp(μ + z·σ) with the z constants inlined.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        F.size(tokens_col()).cast("double").alias("n")
+    )
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.log("n")).alias("mu"),
+        F.stddev_samp(F.log("n")).alias("sigma"),
+        F.expr("percentile(n, 0.5)").alias("obs_median"),
+        F.expr("percentile(n, 0.95)").alias("obs_p95"),
+    )
+    z95 = 1.644854
+    return agg.select(
+        "n_docs",
+        _R4(F.col("mu"), "mu_ln"),
+        _R4(F.col("sigma"), "sigma_ln"),
+        _R4(F.exp(F.col("mu")), "implied_median"),
+        _R4(F.col("obs_median"), "observed_median"),
+        _R4(F.exp(F.col("mu") + z95 * F.col("sigma")), "implied_p95"),
+        _R4(F.col("obs_p95"), "observed_p95"),
+    )
+
+
+CORPUS_LOGNORMAL_SQL = r"""
+WITH docs AS (
+  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS n
+  FROM documents
+), agg AS (
+  SELECT count(*) AS n_docs, avg(ln(n)) AS mu, stddev_samp(ln(n)) AS sigma,
+         quantile_cont(n, 0.5) AS obs_median,
+         quantile_cont(n, 0.95) AS obs_p95
+  FROM docs
+)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       round(mu, 4) AS mu_ln,
+       round(sigma, 4) AS sigma_ln,
+       round(exp(mu), 4) AS implied_median,
+       round(obs_median, 4) AS observed_median,
+       round(exp(mu + 1.644854 * sigma), 4) AS implied_p95,
+       round(obs_p95, 4) AS observed_p95
+FROM agg
+"""
+
+QUERIES["corpus_lognormal_fit"] = (corpus_lognormal_fit, CORPUS_LOGNORMAL_SQL)

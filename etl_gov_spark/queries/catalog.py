@@ -189,6 +189,7 @@ _PINNED_FIRST = (
     "q_seasonal_diff_acf",
     "q_pareto_elbow",
     "q_behavior_surprise",
+    "corpus_lognormal_fit",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -690,3 +690,14 @@ def test_cohen_kappa_below_accuracy(spark, sf_dir):
     # kappa <= accuracy whenever agreement beats chance
     if r.accuracy > r.chance_agreement:
         assert r.cohen_kappa <= r.accuracy + 1e-9
+
+
+def test_lognormal_fit_quantile_order(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_lognormal_fit
+
+    r = corpus_lognormal_fit(spark, sf_dir).collect()[0]
+    assert r.sigma_ln > 0
+    assert r.implied_median < r.implied_p95
+    assert r.observed_median < r.observed_p95
+    # the implied median tracks the observed one within a factor of 2
+    assert 0.5 <= r.implied_median / r.observed_median <= 2.0

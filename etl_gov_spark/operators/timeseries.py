@@ -2972,11 +2972,14 @@ def q_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("src").isNotNull())
     counts = trans.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
     tot = Window.partitionBy("src")
+    # the model is ≤|types|² rows — materialize once so the three
+    # iteration joins read a leaf instead of re-nesting the
+    # fact-scale transition build per step
     p = counts.select(
         "src",
         "dst",
         F.round(F.col("c") / F.sum("c").over(tot), 8).alias("p"),
-    )
+    ).localCheckpoint()
     # v_0(s) = P(purchase in 1 step from s); absorbing: purchase→1
     v = p.filter(F.col("dst") == "purchase").select(
         "src", F.col("p").alias("v")

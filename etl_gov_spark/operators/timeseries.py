@@ -3277,3 +3277,113 @@ ORDER BY rank LIMIT {_SURPRISE_TOP}
 """
 
 QUERIES["q_behavior_surprise"] = (q_behavior_surprise, Q_BEHAVIOR_SURPRISE_SQL)
+
+
+def q_burstiness_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of each user's inter-event times:
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B≈−1 is clockwork, 0 is Poisson,
+    →1 is bursty — censused into bands. The inter-event-TIME
+    companion of ``q_fano_factor``'s count overdispersion: two
+    users with identical daily counts can sit at opposite ends of
+    this dial.
+
+    One lag window per user builds gaps; per-user moments are one
+    aggregate; the band census is bounded output.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        "user_id",
+        ((F.col("us") - F.lag("us").over(w)) / 3_600_000_000.0).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    per = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("g").alias("mu"),
+        F.stddev_pop("g").alias("sd"),
+    ).filter(F.col("n") >= 5)
+    b = F.round((F.col("sd") - F.col("mu")) / (F.col("sd") + F.col("mu")), 6)
+    band = (
+        F.when(b < -0.2, "regular")
+        .when(b < 0.2, "poisson_like")
+        .when(b < 0.6, "bursty")
+        .otherwise("extreme")
+    )
+    return per.groupBy(band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _R4(F.avg(b), "avg_burstiness"),
+    )
+
+
+Q_BURSTINESS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           / 3600000000.0 AS g
+  FROM events
+), per AS (
+  SELECT user_id, count(g) AS n, avg(g) AS mu, stddev_pop(g) AS sd
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+), scored AS (
+  SELECT round((sd - mu) / (sd + mu), 6) AS b
+  FROM per WHERE n >= 5
+)
+SELECT CASE WHEN b < -0.2 THEN 'regular'
+            WHEN b < 0.2 THEN 'poisson_like'
+            WHEN b < 0.6 THEN 'bursty'
+            ELSE 'extreme' END AS band,
+       count(*) AS n_users,
+       round(avg(b), 4) AS avg_burstiness
+FROM scored GROUP BY 1
+"""
+
+QUERIES["q_burstiness_coefficient"] = (
+    q_burstiness_coefficient,
+    Q_BURSTINESS_SQL,
+)
+
+
+def q_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (weekday × hour) activity heatmap with share-of-total —
+    the load-profile matrix behind capacity planning and on-call
+    staffing, plus each cell's ratio to the uniform expectation so
+    hot cells read directly.
+
+    One grouped aggregate to the bounded 7×24 grid; shares are a
+    broadcast-scalar division.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        (F.dayofweek("ts") - 1).alias("weekday"),
+        F.hour("ts").alias("hour"),
+    )
+    cell = ev.groupBy("weekday", "hour").agg(F.count(F.lit(1)).alias("n"))
+    tot = cell.agg(
+        F.sum("n").alias("t"), F.count(F.lit(1)).alias("cells")
+    )
+    return cell.crossJoin(F.broadcast(tot)).select(
+        "weekday",
+        "hour",
+        "n",
+        _R4(F.col("n") / F.col("t"), "share"),
+        _R4(F.col("n") * F.col("cells") / F.col("t"), "vs_uniform"),
+    )
+
+
+Q_WEEKDAY_HOUR_SQL = """
+WITH cell AS (
+  SELECT dayofweek(ts) AS weekday, extract(hour FROM ts) AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT sum(n) AS t, count(*) AS cells FROM cell)
+SELECT weekday, hour, n,
+       round(n / CAST(t AS DOUBLE), 4) AS share,
+       round(n * cells / CAST(t AS DOUBLE), 4) AS vs_uniform
+FROM cell CROSS JOIN tot
+"""
+
+QUERIES["q_weekday_hour_profile"] = (
+    q_weekday_hour_profile,
+    Q_WEEKDAY_HOUR_SQL,
+)

@@ -190,6 +190,8 @@ _PINNED_FIRST = (
     "q_pareto_elbow",
     "q_behavior_surprise",
     "corpus_lognormal_fit",
+    "q_burstiness_coefficient",
+    "q_weekday_hour_profile",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

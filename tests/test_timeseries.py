@@ -356,3 +356,21 @@ def test_behavior_surprise_ranked(spark, sf_dir):
         if prev is not None:
             assert r.avg_surprise_bits <= prev + 1e-9
         prev = r.avg_surprise_bits
+
+
+def test_burstiness_bands(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_burstiness_coefficient
+
+    rows = q_burstiness_coefficient(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r.avg_burstiness <= 1.0
+        assert r.n_users > 0
+
+
+def test_weekday_hour_profile_complete(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_weekday_hour_profile
+
+    rows = q_weekday_hour_profile(spark, sf_dir).collect()
+    assert len(rows) == 168  # full 7x24 grid
+    assert abs(sum(r.share for r in rows) - 1.0) < 0.02

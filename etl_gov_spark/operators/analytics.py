@@ -2021,3 +2021,177 @@ LIMIT 1
 """
 
 QUERIES["q_pareto_elbow"] = (q_pareto_elbow, Q_PARETO_ELBOW_SQL)
+
+
+_STAB_TOP_K = 20
+
+
+def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard stability: Jaccard overlap of the top-20 parts
+    by revenue between the first and second halves of the history,
+    plus how many of the current top-10 are new — the
+    meta-analytics check that says whether a 'top sellers' report
+    means anything or reshuffles every period.
+
+    Two ranked halves from one conditional aggregate, a semi-join
+    for the overlap, scalar output.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    mid = li.agg(
+        F.date_add(
+            F.min(F.to_date("l_shipdate")),
+            (
+                F.datediff(
+                    F.max(F.to_date("l_shipdate")),
+                    F.min(F.to_date("l_shipdate")),
+                )
+                / 2
+            ).cast("int"),
+        ).alias("mid")
+    )
+    j = li.crossJoin(F.broadcast(mid)).select(
+        "l_partkey",
+        (F.to_date("l_shipdate") < F.col("mid")).alias("h1"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+
+    def topk(cond):
+        per = j.filter(cond).groupBy("l_partkey").agg(
+            F.sum("rev").alias("r")
+        )
+        w = Window.orderBy(F.desc("r"), F.asc("l_partkey"))
+        return per.withColumn("rk", F.row_number().over(w)).filter(
+            F.col("rk") <= _STAB_TOP_K
+        )
+
+    t1 = topk(F.col("h1")).select("l_partkey")
+    t2 = topk(~F.col("h1")).select("l_partkey", "rk")
+    inter = t2.join(t1, "l_partkey", "left_semi").count()
+    new_top10 = (
+        t2.filter(F.col("rk") <= 10)
+        .join(t1, "l_partkey", "left_anti")
+        .count()
+    )
+    return (
+        Catalog(spark, sf_dir)
+        .region.limit(1)
+        .select(
+            F.lit(_STAB_TOP_K).alias("k"),
+            F.lit(inter).alias("n_overlap"),
+            F.round(
+                F.lit(inter) / F.lit(float(2 * _STAB_TOP_K - inter)), 4
+            ).alias("jaccard"),
+            F.lit(new_top10).alias("new_in_top10"),
+        )
+    )
+
+
+Q_TOPK_STABILITY_SQL = f"""
+WITH mid AS (
+  SELECT min(CAST(l_shipdate AS DATE))
+         + CAST(datediff('day', min(CAST(l_shipdate AS DATE)),
+                         max(CAST(l_shipdate AS DATE))) / 2 AS INTEGER) AS mid
+  FROM lineitem
+), j AS (
+  SELECT l_partkey,
+         CAST(l_shipdate AS DATE) < m.mid AS h1,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem CROSS JOIN mid m
+), t1 AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, row_number() OVER (ORDER BY sum(rev) DESC, l_partkey ASC)
+             AS rk
+    FROM j WHERE h1 GROUP BY l_partkey
+  ) WHERE rk <= {_STAB_TOP_K}
+), t2 AS (
+  SELECT l_partkey, rk FROM (
+    SELECT l_partkey, row_number() OVER (ORDER BY sum(rev) DESC, l_partkey ASC)
+             AS rk
+    FROM j WHERE NOT h1 GROUP BY l_partkey
+  ) WHERE rk <= {_STAB_TOP_K}
+), stats AS (
+  SELECT (SELECT count(*) FROM t2 WHERE l_partkey IN (SELECT l_partkey FROM t1))
+           AS n_overlap,
+         (SELECT count(*) FROM t2 WHERE rk <= 10
+          AND l_partkey NOT IN (SELECT l_partkey FROM t1)) AS new_top10
+)
+SELECT {_STAB_TOP_K} AS k,
+       CAST(n_overlap AS INTEGER) AS n_overlap,
+       round(n_overlap / CAST({2 * _STAB_TOP_K} - n_overlap AS DOUBLE), 4)
+         AS jaccard,
+       CAST(new_top10 AS INTEGER) AS new_in_top10
+FROM stats
+"""
+
+QUERIES["q_topk_stability"] = (q_topk_stability, Q_TOPK_STABILITY_SQL)
+
+
+_MOMENTUM_TOP = 10
+
+
+def q_parts_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rising stars: parts with the strongest revenue ACCELERATION
+    (second difference over the last three observed months) — the
+    screen that surfaces what's taking off before it reaches any
+    top-K list; deceleration at the bottom flags fading lines.
+
+    One (part, month) grid, two lags over it, one top-k window —
+    everything past the rollup is grid-bounded.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    grid = li.groupBy("l_partkey", "m").agg(F.sum("rev").alias("r"))
+    w = Window.partitionBy("l_partkey").orderBy("m")
+    lagged = grid.select(
+        "l_partkey",
+        "m",
+        "r",
+        F.lag("r", 1).over(w).alias("r1"),
+        F.lag("r", 2).over(w).alias("r2"),
+        F.row_number().over(
+            Window.partitionBy("l_partkey").orderBy(F.desc("m"))
+        ).alias("rn"),
+    ).filter((F.col("rn") == 1) & F.col("r2").isNotNull())
+    accel = F.round(F.col("r") - 2 * F.col("r1") + F.col("r2"), 2)
+    pick = Window.orderBy(F.desc(accel), F.asc("l_partkey"))
+    return (
+        lagged.withColumn("rank", F.row_number().over(pick))
+        .filter(F.col("rank") <= _MOMENTUM_TOP)
+        .select(
+            "rank",
+            "l_partkey",
+            F.col("m").alias("latest_month"),
+            F.round("r", 2).alias("rev_t"),
+            F.round("r1", 2).alias("rev_t1"),
+            accel.alias("acceleration"),
+        )
+    )
+
+
+Q_PARTS_MOMENTUM_SQL = f"""
+WITH grid AS (
+  SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS m,
+         sum(l_extendedprice * (1 - l_discount)) AS r
+  FROM lineitem GROUP BY 1, 2
+), lagged AS (
+  SELECT l_partkey, m, r,
+         lag(r, 1) OVER (PARTITION BY l_partkey ORDER BY m) AS r1,
+         lag(r, 2) OVER (PARTITION BY l_partkey ORDER BY m) AS r2,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY m DESC) AS rn
+  FROM grid
+), latest AS (
+  SELECT * FROM lagged WHERE rn = 1 AND r2 IS NOT NULL
+)
+SELECT CAST(row_number() OVER (ORDER BY round(r - 2 * r1 + r2, 2) DESC,
+                               l_partkey ASC) AS INTEGER) AS rank,
+       l_partkey, m AS latest_month,
+       round(r, 2) AS rev_t, round(r1, 2) AS rev_t1,
+       round(r - 2 * r1 + r2, 2) AS acceleration
+FROM latest
+ORDER BY rank LIMIT {_MOMENTUM_TOP}
+"""
+
+QUERIES["q_parts_momentum"] = (q_parts_momentum, Q_PARTS_MOMENTUM_SQL)

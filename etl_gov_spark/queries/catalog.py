@@ -192,6 +192,8 @@ _PINNED_FIRST = (
     "corpus_lognormal_fit",
     "q_burstiness_coefficient",
     "q_weekday_hour_profile",
+    "q_topk_stability",
+    "q_parts_momentum",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

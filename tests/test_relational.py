@@ -408,3 +408,24 @@ def test_pareto_elbow_above_diagonal(spark, sf_dir):
     assert 1 <= r.elbow_rank <= r.n_parts
     # the concentration curve sits above the diagonal at its elbow
     assert r.revenue_share_at_elbow >= r.elbow_rank_share
+
+
+def test_topk_stability_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_topk_stability
+
+    r = q_topk_stability(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_overlap <= r.k
+    assert 0.0 <= r.jaccard <= 1.0
+    assert 0 <= r.new_in_top10 <= 10
+
+
+def test_parts_momentum_ranked(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_parts_momentum
+
+    rows = sorted(q_parts_momentum(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == 10
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r.acceleration <= prev + 1e-9
+        prev = r.acceleration

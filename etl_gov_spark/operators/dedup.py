@@ -842,3 +842,82 @@ QUERIES["dedup_minhash_calibration"] = (
     dedup_minhash_calibration,
     DEDUP_MINHASH_CALIBRATION_SQL,
 )
+
+
+_SWEEP_THRESHOLDS = (0.1, 0.2, 0.3, 0.5)
+
+
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup threshold tuning: how many verified near-dup pairs
+    survive each candidate Jaccard cutoff — one pass over the SAME
+    inverted-index candidate set the production dedup uses, with
+    the cutoffs as conditional counts, so the sweep costs one run,
+    not |thresholds| runs.
+
+    The number that matters is the marginal drop between cutoffs:
+    a cliff means a natural similarity gap (pick the cutoff there);
+    a smooth slide means the corpus has no clean dup boundary.
+    """
+    from etl_gov_spark.operators.graphs import JACCARD_T  # noqa: F401
+
+    docs = Catalog(spark, sf_dir).documents
+    sh = shingled_docs(docs, "doc_id", distinct=True)
+    index = sh.select(
+        F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
+        F.explode("sh").alias("s"),
+    )
+    buckets = bounded_buckets(
+        index.groupBy("s")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "threshold_sweep",
+        route="star",
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("a"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.doc_id").alias("b"),
+            F.col("p.b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .select(
+            (
+                F.col("ni")
+                / (F.col("na") + F.col("nb") - F.col("ni"))
+            ).alias("j")
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_candidates")]
+    for t in _SWEEP_THRESHOLDS:
+        tag = str(t).replace(".", "")
+        aggs.append(
+            F.sum((F.col("j") >= t).cast("long")).alias(f"pairs_ge_{tag}")
+        )
+    return pairs.agg(*aggs)
+
+
+def _threshold_sweep_sql() -> str:
+    from etl_gov_spark.operators.graphs import _SQL_EDGE_PAIRS
+
+    head = _SQL_EDGE_PAIRS.split("), pairs AS (")[0] + ")"
+    cols = ", ".join(
+        f"CAST(sum(CASE WHEN n_inter / CAST(n_a + n_b - n_inter AS DOUBLE)"
+        f" >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS pairs_ge_{str(t).replace('.', '')}"
+        for t in _SWEEP_THRESHOLDS
+    )
+    return f"""
+WITH {head}
+SELECT count(*) AS n_candidates, {cols}
+FROM inter
+"""
+
+
+QUERIES["dedup_threshold_sensitivity"] = (
+    dedup_threshold_sensitivity,
+    _threshold_sweep_sql(),
+)

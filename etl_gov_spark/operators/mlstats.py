@@ -3635,3 +3635,72 @@ FROM per_user
 """
 
 QUERIES["q_renyi_spectrum"] = (q_renyi_spectrum, Q_RENYI_SQL)
+
+
+def q_effect_size_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cohen's d between every two event types' value
+    distributions — the effect-size matrix that turns "the test is
+    significant" into "the difference is (ir)relevant", reported
+    with the conventional small/medium/large bands.
+
+    Per-type moments from one aggregate; the |types|² pair matrix
+    is a broadcast self-join of that 5-row table.
+    """
+    stats = (
+        Catalog(spark, sf_dir)
+        .events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("value").alias("mu"),
+            F.var_samp("value").alias("v"),
+        )
+    )
+    a, b = stats.alias("a"), stats.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.event_type") < F.col("b.event_type")
+    )
+    pooled = F.sqrt(
+        (
+            (F.col("a.n") - 1) * F.col("a.v")
+            + (F.col("b.n") - 1) * F.col("b.v")
+        )
+        / (F.col("a.n") + F.col("b.n") - 2)
+    )
+    d = (F.col("a.mu") - F.col("b.mu")) / pooled
+    band = (
+        F.when(F.abs(d) < 0.2, "negligible")
+        .when(F.abs(d) < 0.5, "small")
+        .when(F.abs(d) < 0.8, "medium")
+        .otherwise("large")
+    )
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        _R4(d, "cohens_d"),
+        band.alias("band"),
+    )
+
+
+Q_EFFECT_SIZE_SQL = """
+WITH stats AS (
+  SELECT event_type, count(*) AS n, avg(value) AS mu, var_samp(value) AS v
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round((a.mu - b.mu)
+             / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                    / (a.n + b.n - 2)), 4) AS cohens_d,
+       CASE WHEN abs((a.mu - b.mu)
+                     / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                            / (a.n + b.n - 2))) < 0.2 THEN 'negligible'
+            WHEN abs((a.mu - b.mu)
+                     / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                            / (a.n + b.n - 2))) < 0.5 THEN 'small'
+            WHEN abs((a.mu - b.mu)
+                     / sqrt(((a.n - 1) * a.v + (b.n - 1) * b.v)
+                            / (a.n + b.n - 2))) < 0.8 THEN 'medium'
+            ELSE 'large' END AS band
+FROM stats a JOIN stats b ON a.event_type < b.event_type
+"""
+
+QUERIES["q_effect_size_matrix"] = (q_effect_size_matrix, Q_EFFECT_SIZE_SQL)

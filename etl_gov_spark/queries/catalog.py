@@ -194,6 +194,8 @@ _PINNED_FIRST = (
     "q_weekday_hour_profile",
     "q_topk_stability",
     "q_parts_momentum",
+    "q_effect_size_matrix",
+    "dedup_threshold_sensitivity",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -314,3 +314,17 @@ def test_star_route_pair_count_and_components_property(spark):
         assert _components(40, got) == _components(40, uncapped)
 
     check()
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    from etl_gov_spark.operators.dedup import dedup_threshold_sensitivity
+
+    r = dedup_threshold_sensitivity(spark, sf_dir).collect()[0]
+    assert (
+        r.n_candidates
+        >= r.pairs_ge_01
+        >= r.pairs_ge_02
+        >= r.pairs_ge_03
+        >= r.pairs_ge_05
+        >= 0
+    )

@@ -722,3 +722,19 @@ def test_renyi_spectrum_ordering(spark, sf_dir):
     # Renyi entropies are non-increasing in alpha
     assert r.h0_richness >= r.h1_shannon >= r.h2_collision >= r.h_inf_min >= 0
     assert r.n_users > 0
+
+
+def test_effect_size_matrix_pairs(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_effect_size_matrix
+
+    rows = q_effect_size_matrix(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2)
+    for r in rows:
+        assert r.type_a < r.type_b
+        expect = (
+            "negligible" if abs(r.cohens_d) < 0.2
+            else "small" if abs(r.cohens_d) < 0.5
+            else "medium" if abs(r.cohens_d) < 0.8
+            else "large"
+        )
+        assert r.band == expect

@@ -2132,3 +2132,82 @@ FROM agg
 """
 
 QUERIES["corpus_lognormal_fit"] = (corpus_lognormal_fit, CORPUS_LOGNORMAL_SQL)
+
+
+_SIG_TOP = 3
+_SIG_MIN_COUNT = 5
+
+
+def corpus_source_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature terms per source: the top-3 words whose share in
+    the source most exceeds their corpus-wide share (lift, with a
+    min-count floor) — the at-a-glance "what is this source about"
+    card a corpus browser shows, and the sanity check that source
+    labels mean anything.
+
+    Word-share grids are bounded-key aggregates; lift is a
+    broadcast join; top-3 is a per-source window over the source's
+    own vocabulary.
+    """
+    toks = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", F.explode(tokens_col()).alias("w")
+    )
+    sc = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    stot = Window.partitionBy("source")
+    gl = toks.groupBy("w").agg(F.count(F.lit(1)).alias("gc"))
+    gtot = gl.agg(F.sum("gc").alias("gt"))
+    src_share = sc.select(
+        "source", "w", "c", (F.col("c") / F.sum("c").over(stot)).alias("ps")
+    )
+    glob_share = gl.crossJoin(F.broadcast(gtot)).select(
+        "w", (F.col("gc") / F.col("gt")).alias("pg")
+    )
+    lift = (
+        src_share.filter(F.col("c") >= _SIG_MIN_COUNT)
+        .join(F.broadcast(glob_share), "w")
+        .select(
+            "source",
+            "w",
+            F.round(F.col("ps") / F.col("pg"), 6).alias("lift"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift"), F.asc("w"))
+    return (
+        lift.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SIG_TOP)
+        .select("source", "rank", F.col("w").alias("term"), _R4(F.col("lift"), "lift"))
+    )
+
+
+CORPUS_SOURCE_SIGNATURES_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), sc AS (
+  SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2
+), stot AS (
+  SELECT source, sum(c) AS st FROM sc GROUP BY source
+), gl AS (
+  SELECT w, count(*) AS gc FROM toks GROUP BY w
+), lift AS (
+  SELECT sc.source, sc.w,
+         round((sc.c / CAST(st.st AS DOUBLE))
+               / (gl.gc / CAST((SELECT sum(gc) FROM gl) AS DOUBLE)), 6)
+           AS lift
+  FROM sc JOIN stot st USING (source) JOIN gl USING (w)
+  WHERE sc.c >= {_SIG_MIN_COUNT}
+)
+SELECT source, rank, w AS term, round(lift, 4) AS lift
+FROM (
+  SELECT source, w, lift,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY lift DESC, w ASC) AS INTEGER) AS rank
+  FROM lift
+)
+WHERE rank <= {_SIG_TOP}
+"""
+
+QUERIES["corpus_source_signatures"] = (
+    corpus_source_signatures,
+    CORPUS_SOURCE_SIGNATURES_SQL,
+)

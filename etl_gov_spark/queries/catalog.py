@@ -196,6 +196,7 @@ _PINNED_FIRST = (
     "q_parts_momentum",
     "q_effect_size_matrix",
     "dedup_threshold_sensitivity",
+    "corpus_source_signatures",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",

@@ -701,3 +701,17 @@ def test_lognormal_fit_quantile_order(spark, sf_dir):
     assert r.observed_median < r.observed_p95
     # the implied median tracks the observed one within a factor of 2
     assert 0.5 <= r.implied_median / r.observed_median <= 2.0
+
+
+def test_source_signatures_lift_positive(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_source_signatures
+
+    rows = corpus_source_signatures(spark, sf_dir).collect()
+    assert rows
+    per_src = {}
+    for r in rows:
+        assert r.lift > 0
+        assert 1 <= r.rank <= 3
+        per_src.setdefault(r.source, []).append(r.rank)
+    for src, ranks in per_src.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

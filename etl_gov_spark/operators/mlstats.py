@@ -3159,36 +3159,75 @@ def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two checks that say whether the OLS coefficients and their
     variances can be believed.
 
-    Residuals come from the closed-form slope (no second fit
-    library); everything is two algebraic aggregate passes with a
-    broadcast coefficient row.
+    Residuals come from the closed-form TWO-feature coefficients
+    (the same normal-equation algebra as ``q_ols_two_feature``, so
+    the diagnostics describe the named model), and Breusch-Pagan
+    regresses e² on BOTH regressors — the auxiliary R² is the
+    moment-form quadratic Σ⁻¹ sandwich, and the LM statistic is
+    tested against χ²(2) = 5.991. Everything is two algebraic
+    aggregate passes with a broadcast coefficient row; pop-moment
+    covariances appear homogeneously in every ratio so the
+    normalization cancels.
     """
     li = Catalog(spark, sf_dir).lineitem.select(
         F.col("l_quantity").alias("x1"),
         F.col("l_discount").alias("x2"),
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"),
     )
-    # single-regressor fit on x2 (the dominant driver) for BP
     fit = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.corr("x1", "x2").alias("r12"),
-        F.regr_slope("y", "x2").alias("b1"),
-        F.regr_intercept("y", "x2").alias("b0"),
+        F.avg("x1").alias("x1b"),
+        F.avg("x2").alias("x2b"),
+        F.avg("y").alias("yb"),
+        F.var_pop("x1").alias("s11"),
+        F.var_pop("x2").alias("s22"),
+        F.covar_pop("x1", "x2").alias("s12"),
+        F.covar_pop("x1", "y").alias("s1y"),
+        F.covar_pop("x2", "y").alias("s2y"),
     )
-    j = li.crossJoin(F.broadcast(fit))
-    e2 = F.pow(F.col("y") - F.col("b0") - F.col("b1") * F.col("x2"), 2)
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b1 = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    b2 = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    b0 = F.col("yb") - b1 * F.col("x1b") - b2 * F.col("x2b")
+    j = li.crossJoin(
+        F.broadcast(
+            fit.select(
+                "n", "r12", "s11", "s22", "s12",
+                b1.alias("b1"), b2.alias("b2"), b0.alias("b0"),
+            )
+        )
+    )
+    u = F.pow(
+        F.col("y")
+        - F.col("b0")
+        - F.col("b1") * F.col("x1")
+        - F.col("b2") * F.col("x2"),
+        2,
+    )
     bp = j.agg(
         F.max("n").alias("n"),
         F.max("r12").alias("r12"),
-        F.regr_r2(e2, F.col("x2")).alias("r2_e2"),
+        F.max("s11").alias("s11"),
+        F.max("s22").alias("s22"),
+        F.max("s12").alias("s12"),
+        F.var_pop(u).alias("suu"),
+        F.covar_pop(F.col("x1"), u).alias("s1u"),
+        F.covar_pop(F.col("x2"), u).alias("s2u"),
     )
+    det2 = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    r2_e2 = (
+        F.col("s22") * F.col("s1u") * F.col("s1u")
+        - 2 * F.col("s12") * F.col("s1u") * F.col("s2u")
+        + F.col("s11") * F.col("s2u") * F.col("s2u")
+    ) / (det2 * F.col("suu"))
     return bp.select(
         "n",
         _R4(F.col("r12"), "corr_x1_x2"),
         _R4(1.0 / (1.0 - F.col("r12") * F.col("r12")), "vif"),
-        _R4(F.col("r2_e2"), "bp_r2"),
-        _R4(F.col("n") * F.col("r2_e2"), "bp_lm_stat"),
-        (F.col("n") * F.col("r2_e2") > 3.841).alias("heteroskedastic"),
+        _R4(r2_e2, "bp_r2"),
+        _R4(F.col("n") * r2_e2, "bp_lm_stat"),
+        (F.col("n") * r2_e2 > 5.991).alias("heteroskedastic"),
     )
 
 
@@ -3199,19 +3238,37 @@ WITH li AS (
   FROM lineitem
 ), fit AS (
   SELECT count(*) AS n, corr(x1, x2) AS r12,
-         regr_slope(y, x2) AS b1, regr_intercept(y, x2) AS b0
+         avg(x1) AS x1b, avg(x2) AS x2b, avg(y) AS yb,
+         var_pop(x1) AS s11, var_pop(x2) AS s22,
+         covar_pop(x1, x2) AS s12,
+         covar_pop(x1, y) AS s1y, covar_pop(x2, y) AS s2y
   FROM li
+), coef AS (
+  SELECT n, r12, s11, s22, s12,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b1,
+         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS b2,
+         yb - (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) * x1b
+            - (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) * x2b AS b0
+  FROM fit
 ), bp AS (
-  SELECT max(f.n) AS n, max(f.r12) AS r12,
-         regr_r2(pow(l.y - f.b0 - f.b1 * l.x2, 2), l.x2) AS r2_e2
-  FROM li l CROSS JOIN fit f
+  SELECT max(c.n) AS n, max(c.r12) AS r12,
+         max(c.s11) AS s11, max(c.s22) AS s22, max(c.s12) AS s12,
+         var_pop(pow(l.y - c.b0 - c.b1 * l.x1 - c.b2 * l.x2, 2)) AS suu,
+         covar_pop(l.x1, pow(l.y - c.b0 - c.b1 * l.x1 - c.b2 * l.x2, 2))
+           AS s1u,
+         covar_pop(l.x2, pow(l.y - c.b0 - c.b1 * l.x1 - c.b2 * l.x2, 2))
+           AS s2u
+  FROM li l CROSS JOIN coef c
 )
 SELECT CAST(n AS BIGINT) AS n,
        round(r12, 4) AS corr_x1_x2,
        round(1.0 / (1.0 - r12 * r12), 4) AS vif,
-       round(r2_e2, 4) AS bp_r2,
-       round(n * r2_e2, 4) AS bp_lm_stat,
-       n * r2_e2 > 3.841 AS heteroskedastic
+       round((s22 * s1u * s1u - 2 * s12 * s1u * s2u + s11 * s2u * s2u)
+             / ((s11 * s22 - s12 * s12) * suu), 4) AS bp_r2,
+       round(n * (s22 * s1u * s1u - 2 * s12 * s1u * s2u + s11 * s2u * s2u)
+             / ((s11 * s22 - s12 * s12) * suu), 4) AS bp_lm_stat,
+       n * (s22 * s1u * s1u - 2 * s12 * s1u * s2u + s11 * s2u * s2u)
+             / ((s11 * s22 - s12 * s12) * suu) > 5.991 AS heteroskedastic
 FROM bp
 """
 

@@ -526,20 +526,31 @@ def mm_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus run.
 
     Stages are flags computed in one pass over the metadata (the
-    dedup flag is a canonical-doc window over content digests);
-    cascade arithmetic is conditional sums — the corpus is scanned
-    once no matter how many stages report.
+    dedup flag is a canonical-doc window over content digests,
+    ranked so survivors of the earlier stages win the canonical
+    slot — a duplicate group whose lowest doc_id failed size/dims
+    still keeps exactly one surviving copy); cascade arithmetic is
+    conditional sums — the corpus is scanned once no matter how
+    many stages report.
     """
     meta = mm_binary_meta(spark, sf_dir).select(
         "doc_id", "n_bytes", "width", "height", "content_md5"
     )
-    w = Window.partitionBy("content_md5").orderBy("doc_id")
-    flagged = meta.select(
+    staged = meta.select(
+        "doc_id",
+        "content_md5",
         (F.col("n_bytes") >= _CASCADE_MIN_BYTES).alias("pass_size"),
         (
             (F.col("width") >= _CASCADE_MIN_DIM)
             & (F.col("height") >= _CASCADE_MIN_DIM)
         ).alias("pass_dims"),
+    )
+    w = Window.partitionBy("content_md5").orderBy(
+        (~(F.col("pass_size") & F.col("pass_dims"))).cast("int"), "doc_id"
+    )
+    flagged = staged.select(
+        "pass_size",
+        "pass_dims",
         (F.row_number().over(w) == 1).alias("pass_dedup"),
     )
     s0 = F.count(F.lit(1))
@@ -570,12 +581,19 @@ def mm_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 MM_FILTER_CASCADE_SQL = f"""
 WITH meta AS ({MM_BINARY_META_SQL}),
 flagged AS (
-  SELECT n_bytes >= {_CASCADE_MIN_BYTES} AS pass_size,
-         width >= {_CASCADE_MIN_DIM} AND height >= {_CASCADE_MIN_DIM}
-           AS pass_dims,
-         row_number() OVER (PARTITION BY content_md5 ORDER BY doc_id) = 1
+  SELECT pass_size, pass_dims,
+         row_number() OVER (
+           PARTITION BY content_md5
+           ORDER BY CASE WHEN pass_size AND pass_dims THEN 0 ELSE 1 END,
+                    doc_id) = 1
            AS pass_dedup
-  FROM meta
+  FROM (
+    SELECT doc_id, content_md5,
+           n_bytes >= {_CASCADE_MIN_BYTES} AS pass_size,
+           width >= {_CASCADE_MIN_DIM} AND height >= {_CASCADE_MIN_DIM}
+             AS pass_dims
+    FROM meta
+  )
 )
 SELECT count(*) AS n_input,
        CAST(sum(CASE WHEN pass_size THEN 1 ELSE 0 END) AS BIGINT) AS after_size,

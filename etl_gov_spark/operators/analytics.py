@@ -931,21 +931,13 @@ def q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     *effectiveness* (files actually skipped on either key) is
     asserted in tests/test_sources_plans.py.
     """
-    import os
-    import shutil
-    import tempfile
-
+    from etl_gov_spark.io.scratch import scratch_dir
     from etl_gov_spark.io.skipping import read_pruned, zorder_write
 
     o = Catalog(spark, sf_dir).orders.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
     )
-    work = os.path.join(
-        tempfile.gettempdir(),
-        "etl_gov_spark_zorder",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    work = scratch_dir("zorder")
     zorder_write(o, work, ("o_custkey", "o_totalprice"), num_files=16)
     mx = o.agg(F.max("o_custkey")).collect()[0][0]  # one scalar
     pruned = read_pruned(

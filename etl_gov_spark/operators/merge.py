@@ -223,10 +223,7 @@ def merge_upsert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged rows for every 7th key, same proof shape as
     merge_upsert_customers.
     """
-    import os
-    import shutil
-    import tempfile
-
+    from etl_gov_spark.io.scratch import scratch_dir
     from etl_gov_spark.io.cow import merge_upsert_cow
     from etl_gov_spark.io.sinks import write_range_clustered
 
@@ -234,12 +231,7 @@ def merge_upsert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = c.customer.select(
         "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
-    work = os.path.join(
-        tempfile.gettempdir(),
-        "etl_gov_spark_cow",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    work = scratch_dir("cow")
     write_range_clustered(cust, work, ("c_custkey",), num_files=10)
     # bounded scalar (one long), not data: the update band's edge
     mx = cust.agg(F.max("c_custkey")).collect()[0][0]
@@ -297,10 +289,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a MERGE that leaked into untouched rows, or a v1 read that
     saw post-merge files, hash-mismatches immediately.
     """
-    import os
-    import shutil
-    import tempfile
-
+    from etl_gov_spark.io.scratch import scratch_dir
     from etl_gov_spark.io.sinks import write_range_clustered
     from etl_gov_spark.io.snapshots import (
         merge_upsert_snapshot,
@@ -310,12 +299,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir)
     cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        "etl_gov_spark_snap",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    work = scratch_dir("snap")
     write_range_clustered(cust, work, ("c_custkey",), num_files=10)
     snapshot_init(work)
     mx = cust.agg(F.max("c_custkey")).collect()[0][0]
@@ -533,10 +517,7 @@ def snapshot_delete_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     See io/snapshots.py:delete_where_snapshot for the pruning
     mechanics (same footer-stats manifest as the snapshot MERGE).
     """
-    import os
-    import shutil
-    import tempfile
-
+    from etl_gov_spark.io.scratch import scratch_dir
     from etl_gov_spark.io.sinks import write_range_clustered
     from etl_gov_spark.io.snapshots import (
         delete_where_snapshot,
@@ -546,12 +527,7 @@ def snapshot_delete_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir)
     cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        "etl_gov_spark_snapdel",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    work = scratch_dir("snapdel")
     write_range_clustered(cust, work, ("c_custkey",), num_files=10)
     snapshot_init(work)
     doomed = cust.filter(F.col("c_custkey") % 13 == 0).select("c_custkey")
@@ -653,10 +629,7 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     See io/snapshots.py:rollback_snapshot — restore is a manifest
     commit, no data movement at any scale.
     """
-    import os
-    import shutil
-    import tempfile
-
+    from etl_gov_spark.io.scratch import scratch_dir
     from etl_gov_spark.io.sinks import write_range_clustered
     from etl_gov_spark.io.snapshots import (
         merge_upsert_snapshot,
@@ -667,12 +640,7 @@ def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = Catalog(spark, sf_dir)
     cust = c.customer.select("c_custkey", "c_nationkey", "c_acctbal")
-    work = os.path.join(
-        tempfile.gettempdir(),
-        "etl_gov_spark_snapro",
-        os.path.basename(sf_dir.rstrip("/")) or "sf",
-    )
-    shutil.rmtree(work, ignore_errors=True)
+    work = scratch_dir("snapro")
     write_range_clustered(cust, work, ("c_custkey",), num_files=8)
     snapshot_init(work)
     updates = cust.filter(F.col("c_custkey") % 5 == 0).withColumn(

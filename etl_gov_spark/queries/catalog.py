@@ -22,168 +22,37 @@ from pyspark.sql import DataFrame, SparkSession
 # refresh their signal — everything r4 re-confirmed green is demoted
 # to the tail.
 _PINNED_FIRST = (
-    # -- never driver-sampled (were at positions 56-58 last round) --
-    "emb_centroid_drift",
-    "q_asof_nearest",
-    "text_readability",
-    # -- implementation changed in round 5: adjudicate before the
-    # new additions (a changed op regressing is worse than a new op
-    # unsampled — both pass the local strict gate either way) --
-    "ann_ivf_topk",
-    "merge_upsert_pruned",
-    "q_funnel",
-    "q_funnel_windowed",
-    "dedup_simhash",
-    # -- new in round 5: needs fresh adjudication --
-    "snapshot_time_travel",
-    "q_zorder_pruned_scan",
-    "corpus_bpe_vocab",
-    "corpus_bpe_compression",
-    "text_bigram_perplexity",
-    "graph_label_propagation",
-    "mm_payload_entropy",
-    "q_theil_index",
-    "q_event_pattern_match",
-    "q_hierarchy_rollup",
-    "emb_knn_classify",
-    "emb_matryoshka_audit",
-    "stream_hourly_finalized",
-    "q_variant_shred",
-    "dedup_minhash_calibration",
-    "q_skyline_frontier",
-    "q_attribution_last_touch",
-    "corpus_sft_pairs",
-    "q_engagement_decay",
-    "q_dp_noisy_counts",
-    "q_k_anonymity_audit",
-    "q_anon_generalize",
-    "dq_ks_two_sample",
-    "dq_mad_outliers",
-    "q_user_nucleus_types",
-    "q_mann_whitney",
-    "q_js_divergence",
-    "q_ols_two_feature",
-    "corpus_fim_transform",
-    "corpus_dpo_pairs",
-    "corpus_token_budget",
-    "q_login_streaks",
-    "q_burst_detection",
-    "emb_dim_variance_prune",
-    "graph_kcore_peel",
-    "q_balanced_downsample",
-    "q_bloom_membership_audit",
-    "q_interval_union",
-    "snapshot_delete_pruned",
-    "q_decile_lift",
-    "q_roc_auc",
-    "q_markov_next_event",
-    "emb_hard_negatives",
-    "corpus_rejection_sampling",
-    "q_winsorized_stats",
-    "q_session_paths",
-    "corpus_curriculum_order",
-    "dq_weekday_adjusted_volume",
-    "q_lead_lag_xcorr",
-    "emb_davies_bouldin",
-    "q_attribution_position",
-    "q_rolling_zscore_alerts",
-    "dq_cardinality_drift",
-    "q_tfidf_cosine_pairs",
-    "emb_recall_at_k",
-    "q_missing_hour_census",
-    "q_price_elasticity",
-    "q_poisson_basket_fit",
-    "q_price_volume_bridge",
-    "q_xyz_variability",
-    "text_rake_keyphrases",
-    "q_hourly_seasonality_fourier",
-    "q_kruskal_wallis",
-    "q_spearman_corr",
-    "q_pettitt_changepoint",
-    "text_langid_confusion",
-    "q_user_lifecycle_states",
-    "corpus_span_corruption",
-    "q_mutual_info_type_hour",
-    "q_permutation_entropy",
-    "q_growth_accounting",
-    "q_cohort_decay_fit",
-    "q_anova_dow",
-    "q_brown_forsythe",
-    "q_two_proportion_z",
-    "q_jackknife_ci",
-    "dq_sequence_rule",
-    "q_conversion_window_sensitivity",
-    "q_l_diversity_audit",
-    "udaf_zscore_pandas",
-    "q_session_completeness",
-    "emb_mrr_eval",
-    "q_cramers_v_matrix",
-    "dq_entropy_profile",
-    "dq_category_mix_drift",
-    "q_first_value_ltv_corr",
-    "q_incremental_join_mv",
-    "q_order_aging_buckets",
-    "q_seasonal_naive_backtest",
-    "q_wilson_ci_rates",
-    "q_eb_shrinkage",
-    "corpus_skipgram_pairs",
-    "corpus_vocab_coverage",
-    "q_abc_xyz_matrix",
-    "q_scenario_whatif",
-    "snapshot_rollback",
-    "q_type_user_overlap",
-    "text_pmi_bigrams",
-    "q_power_analysis",
-    "mm_scene_cuts",
-    "graph_degree_powerlaw",
-    "graph_modularity",
-    "q_dead_sku_census",
-    "q_peak_day_contribution",
-    "q_chow_break_test",
-    "q_theil_sen_slope",
+    # Round 7: the driver adjudicates the FIRST 50 queries() entries.
+    # Rounds 1-6 covered 229 of 357; this pin rotates the sample into
+    # the never-driver-sampled remainder, leading with queries whose
+    # implementation changed in round 6 (q_regression_diagnostics,
+    # mm_filter_cascade) or changes in round 7 (stream_hourly_users,
+    # text_burrows_delta), then the statistical/causal tier.
+    "q_regression_diagnostics",
+    "mm_filter_cascade",
     "stream_hourly_users",
-    "q_holt_forecast",
-    "q_max_drawdown",
-    "q_shift_share",
-    "q_location_quotient",
-    "q_price_index_fisher",
-    "q_atkinson_index",
-    "q_fairness_fulfillment",
-    "q_churn_hazard",
-    "corpus_fewshot_pack",
-    "dq_slo_burn_rate",
-    "emb_alignment_uniformity",
     "text_burrows_delta",
-    "q_hill_tail_index",
-    "q_fano_factor",
-    "q_last_digit_uniformity",
-    "q_nbd_repeat_buying",
-    "q_capture_recapture",
-    "text_cohen_kappa",
-    "q_price_change_frequency",
-    "q_rfm_score_grid",
-    "q_pacf_yule_walker",
-    "q_survey_raking",
-    "q_composite_index",
     "q_diff_in_diff",
+    "q_granger_1lag",
+    "q_cramers_v_matrix",
+    "corpus_source_signatures",
+    "emb_recall_at_k",
+    "graph_modularity",
     "q_regression_discontinuity",
     "q_quantile_treatment_effect",
     "q_iv_wald",
     "q_post_stratification",
-    "q_indirect_standardization",
-    "q_benford_second_digit",
-    "q_process_capability",
-    "mm_filter_cascade",
-    "q_chain_ladder",
-    "q_calibration_ece",
-    "q_ab_srm_check",
-    "q_partial_correlation",
-    "q_regression_diagnostics",
-    "q_influential_days",
+    "q_chow_break_test",
+    "q_theil_sen_slope",
     "q_mann_kendall",
-    "q_granger_1lag",
     "q_beta_convergence",
     "q_markov_absorption",
+    "q_partial_correlation",
+    "q_calibration_ece",
+    "q_ab_srm_check",
+    "q_influential_days",
+    "q_process_capability",
+    "q_chain_ladder",
     "q_mtbf_reliability",
     "q_renyi_spectrum",
     "q_seasonal_diff_acf",
@@ -196,64 +65,21 @@ _PINNED_FIRST = (
     "q_parts_momentum",
     "q_effect_size_matrix",
     "dedup_threshold_sensitivity",
-    "corpus_source_signatures",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",
     "q_bitmap_rollup_distinct",
     "q_incremental_rollup",
-    # -- oldest adjudication vintage (r1), refresh --
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_inventory",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q_market_segment_share",
-    "q_top_customers_per_nation",
-    "q_rollup_sales",
-    "q_cube_status_priority",
-    "q_pivot_status",
-    "q_semi_anti",
-    "q_distinct_counts",
-    "q_percentiles",
-    "q_correlated_exists",
-    "q_grouping_sets",
-    "q_monthly_growth",
-    "q_rolling_30d_revenue",
-    # -- r2 vintage, refresh --
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_containment",
-    "dedup_embedding",
-    "dedup_clusters",
-    "dedup_keep_policy",
-    "graph_triangle_count",
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
-    "emb_norm_stats",
-    "emb_label_centroids",
-    "emb_outlier_scores",
-    "q_gap_fill",
-    "q_interp_linear",
-    "q_ewma_value",
-    "q_rolling_median",
-    "q_autocorrelation",
-    "q_seasonal_decompose",
-    "text_quality",
+    "q_benford_second_digit",
+    "q_indirect_standardization",
+    "q_hill_tail_index",
+    "q_fano_factor",
+    "q_last_digit_uniformity",
+    "q_nbd_repeat_buying",
+    "q_capture_recapture",
+    "text_cohen_kappa",
 )
+
 
 
 def _families() -> list[dict]:
@@ -265,6 +91,7 @@ def _families() -> list[dict]:
     # reshape/audit → sketches/mlstats/skew/pandas_udfs → windows →
     # streaming, which carry no hard driver signal yet.
     fams: list[dict] = []
+    broken: list[str] = []
     for mod_name in (
         "privacy",
         "corpus",
@@ -293,26 +120,27 @@ def _families() -> list[dict]:
         try:
             mod = __import__(f"etl_gov_spark.operators.{mod_name}", fromlist=["QUERIES"])
             fams.append(mod.QUERIES)
-        except ImportError:
-            pass
-    try:
-        from etl_gov_spark.pipeline import demo
-
-        fams.append(demo.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from etl_gov_spark.streaming import events_stream
-
-        fams.append(events_stream.QUERIES)
-    except ImportError:
-        pass
-    try:
-        from etl_gov_spark.streaming import stateful
-
-        fams.append(stateful.QUERIES)
-    except ImportError:
-        pass
+        except ImportError as exc:
+            broken.append(f"operators.{mod_name}: {exc}")
+    for pkg, mod_name in (
+        ("pipeline", "demo"),
+        ("streaming", "events_stream"),
+        ("streaming", "stateful"),
+    ):
+        try:
+            mod = __import__(f"etl_gov_spark.{pkg}.{mod_name}", fromlist=["QUERIES"])
+            fams.append(mod.QUERIES)
+        except ImportError as exc:
+            broken.append(f"{pkg}.{mod_name}: {exc}")
+    if broken:
+        # Fail LOUDLY: a silently-shrunk registry would let the
+        # driver grade a partial queries() green. Optional deps
+        # (e.g. protobuf for transformWithState) must be gated
+        # inside the family module, never by dropping the module.
+        raise ImportError(
+            "query registry failed to assemble; broken family modules:\n  "
+            + "\n  ".join(broken)
+        )
     return fams
 
 

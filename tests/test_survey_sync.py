@@ -44,3 +44,25 @@ def test_survey_section2_matches_registry():
 
     undeclared_o = oracles - set(declared)
     assert not undeclared_o, f"oracle without a SURVEY declaration: {undeclared_o}"
+
+
+def test_registry_assembly_fails_loud_on_broken_family(monkeypatch):
+    """A family module that fails to import must abort queries()
+    assembly with the module named — never silently shrink the
+    registry the driver grades (queries/catalog.py:_families)."""
+    import builtins
+
+    import pytest
+
+    from etl_gov_spark.queries import catalog
+
+    real_import = builtins.__import__
+
+    def sabotage(name, *args, **kwargs):
+        if name == "etl_gov_spark.operators.audit":
+            raise ImportError("synthetic break for test")
+        return real_import(name, *args, **kwargs)
+
+    monkeypatch.setattr(builtins, "__import__", sabotage)
+    with pytest.raises(ImportError, match="operators.audit"):
+        catalog._families()

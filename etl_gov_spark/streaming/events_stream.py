@@ -425,14 +425,21 @@ def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     this proves the streaming rewrite loses nothing.
     """
     ev = _events_stream(spark, sf_dir)
+    # Dedup key keeps the WATERMARKED window struct (not its
+    # extracted start field): the struct carries the event-time
+    # metadata, so the dedup state store evicts (user, hour) pairs
+    # once the watermark passes hour+2h. Extracting `.start` before
+    # the dropDuplicates strips that metadata and the state grows
+    # forever in a continuous run — test_streaming_dedup_state_evicts
+    # pins the bounded-state behavior.
     deduped = (
         ev.withWatermark("ts", "2 hours")
-        .select(
-            "user_id", F.window("ts", "1 hour").getField("start").alias("hour")
-        )
-        .dropDuplicates(["user_id", "hour"])
+        .select("user_id", F.window("ts", "1 hour").alias("win"))
+        .dropDuplicates(["user_id", "win"])
     )
-    agg = deduped.groupBy("hour").agg(F.count(F.lit(1)).alias("n_users"))
+    agg = deduped.groupBy(F.col("win.start").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
     _run_to_memory(agg, "stream_hourly_users_sink", "complete")
     return spark.table("stream_hourly_users_sink")
 

@@ -432,3 +432,67 @@ def test_filter_cascade_monotone(spark, sf_dir):
     r = mm_filter_cascade(spark, sf_dir).collect()[0]
     assert r.n_input >= r.after_size >= r.after_dims >= r.after_dedup >= 0
     assert 0.0 <= r.retention <= 1.0
+
+
+def test_streaming_dedup_state_evicts(spark, tmp_path):
+    """The stream_hourly_users dedup keys on the WATERMARKED window
+    struct, so (user, hour) state is dropped once the watermark
+    passes hour + 2h. Feed three files whose event times jump 6h
+    apart, one file per micro-batch: by the last batch the watermark
+    has passed the first file's windows, so the dedup state store
+    must hold FEWER rows than the total distinct keys seen — the
+    bounded-state contract a continuous run needs."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    src = str(tmp_path / "ev")
+    base = dt.datetime(2026, 1, 1, 0, 30)
+    for i, fname in enumerate(["a", "b", "c"]):
+        rows = [
+            (u, base + dt.timedelta(hours=6 * i, minutes=u))
+            for u in range(10)
+        ]
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        # one parquet part per write; rename-free ordering is by mod
+        # time then path, and appends arrive in wall-clock order
+    deduped = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .select("user_id", F2.window("ts", "1 hour").alias("win"))
+        .dropDuplicates(["user_id", "win"])
+    )
+    agg = deduped.groupBy(F2.col("win.start").alias("hour")).agg(
+        F2.count(F2.lit(1)).alias("n_users")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dedup_evict_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 3  # one micro-batch per file
+    dedup_ops = [
+        op
+        for p in progresses
+        for op in p["stateOperators"]
+        if op["operatorName"] == "dedupe"
+    ]
+    final_rows = dedup_ops[-1]["numRowsTotal"]
+    removed = sum(op["numRowsRemoved"] for op in dedup_ops)
+    # 30 distinct (user, hour) keys were seen; eviction must have
+    # dropped the first batch's 10 by the time the last batch ran
+    assert final_rows < 30, f"state never evicted: {final_rows} rows"
+    assert removed >= 10
+    # and the answer is still exact
+    got = {
+        r.hour: r.n_users for r in spark.table("dedup_evict_sink").collect()
+    }
+    assert len(got) == 3 and all(n == 10 for n in got.values())

@@ -3216,11 +3216,19 @@ def q_regression_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.covar_pop(F.col("x2"), u).alias("s2u"),
     )
     det2 = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
-    r2_e2 = (
-        F.col("s22") * F.col("s1u") * F.col("s1u")
-        - 2 * F.col("s12") * F.col("s1u") * F.col("s2u")
-        + F.col("s11") * F.col("s2u") * F.col("s2u")
-    ) / (det2 * F.col("suu"))
+    # Degenerate auxiliary regressions are defined, not NULL: with
+    # constant squared residuals (suu = 0) or perfectly collinear
+    # regressors (det2 = 0) the e² regression explains nothing →
+    # R² = 0, LM = 0, not heteroskedastic.
+    r2_e2 = F.when(
+        det2 * F.col("suu") != 0,
+        (
+            F.col("s22") * F.col("s1u") * F.col("s1u")
+            - 2 * F.col("s12") * F.col("s1u") * F.col("s2u")
+            + F.col("s11") * F.col("s2u") * F.col("s2u")
+        )
+        / (det2 * F.col("suu")),
+    ).otherwise(F.lit(0.0))
     return bp.select(
         "n",
         _R4(F.col("r12"), "corr_x1_x2"),
@@ -3259,17 +3267,23 @@ WITH li AS (
          covar_pop(l.x2, pow(l.y - c.b0 - c.b1 * l.x1 - c.b2 * l.x2, 2))
            AS s2u
   FROM li l CROSS JOIN coef c
+), stats AS (
+  -- degenerate auxiliary regression (suu = 0 or singular Gram) is
+  -- a defined 0, not NULL — mirrors the Spark F.when guard
+  SELECT n, r12,
+         coalesce((s22 * s1u * s1u - 2 * s12 * s1u * s2u
+                   + s11 * s2u * s2u)
+                  / NULLIF((s11 * s22 - s12 * s12) * suu, 0), 0)
+           AS r2_e2
+  FROM bp
 )
 SELECT CAST(n AS BIGINT) AS n,
        round(r12, 4) AS corr_x1_x2,
        round(1.0 / (1.0 - r12 * r12), 4) AS vif,
-       round((s22 * s1u * s1u - 2 * s12 * s1u * s2u + s11 * s2u * s2u)
-             / ((s11 * s22 - s12 * s12) * suu), 4) AS bp_r2,
-       round(n * (s22 * s1u * s1u - 2 * s12 * s1u * s2u + s11 * s2u * s2u)
-             / ((s11 * s22 - s12 * s12) * suu), 4) AS bp_lm_stat,
-       n * (s22 * s1u * s1u - 2 * s12 * s1u * s2u + s11 * s2u * s2u)
-             / ((s11 * s22 - s12 * s12) * suu) > 5.991 AS heteroskedastic
-FROM bp
+       round(r2_e2, 4) AS bp_r2,
+       round(n * r2_e2, 4) AS bp_lm_stat,
+       n * r2_e2 > 5.991 AS heteroskedastic
+FROM stats
 """
 
 QUERIES["q_regression_diagnostics"] = (

@@ -1055,24 +1055,29 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is bounded: top-50 vocabulary (one top-k window),
     |sources|×50 frequency grid, |sources|² pair matrix. The fact
-    table is scanned once.
+    table is scanned ONCE: the corpus contracts to a cached
+    (source, word) count table in a single tokenize pass, and the
+    global frequencies, per-source totals, and panel counts are all
+    derived from that contraction (at 100 TB the alternative — three
+    consumers each re-expanding the tokenize — is three full corpus
+    scans for one answer).
     """
-    toks = expand_parallelism(Catalog(spark, sf_dir).documents).select(
-        "source", F.explode(tokens_col()).alias("w")
+    sw = (
+        expand_parallelism(Catalog(spark, sf_dir).documents)
+        .select("source", F.explode(tokens_col()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=False)  # materialize the contraction once
     )
-    freq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    freq = sw.groupBy("w").agg(F.sum("cw").alias("c"))
     wv = Window.orderBy(F.desc("c"), F.asc("w"))
     panel = (
         freq.withColumn("rk", F.row_number().over(wv))
         .filter(F.col("rk") <= _DELTA_TOP_WORDS)
         .select("w")
     )
-    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    counts = (
-        toks.join(F.broadcast(panel), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).alias("cw"))
-    )
+    src_tot = sw.groupBy("source").agg(F.sum("cw").alias("n"))
+    counts = sw.join(F.broadcast(panel), "w").select("source", "w", "cw")
     # full source × panel grid: a panel word a source never uses is
     # STILL stylometric signal (f = 0), not a missing row
     grid = src_tot.select("source", "n").crossJoin(F.broadcast(panel))
@@ -1089,9 +1094,15 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = cell.groupBy("w").agg(
         F.avg("f").alias("mu"), F.stddev_samp("f").alias("sd")
     )
-    z = cell.join(F.broadcast(stats), "w").select(
-        "source", "w",
-        F.round((F.col("f") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+    z = (
+        cell.join(F.broadcast(stats), "w")
+        .select(
+            "source", "w",
+            F.round((F.col("f") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+        # bounded |sources|x50 panel, consumed twice by the pair
+        # self-join below: checkpoint so the grid/stats tier runs once
+        .localCheckpoint(eager=False)
     )
     a, b = z.alias("a"), z.alias("b")
     delta = (

@@ -56,6 +56,10 @@ HEADLINE = [
     "corpus_bpe_vocab",
     "q_hierarchy_rollup",
     "mm_payload_entropy",
+    # r7 widening: the statistical/mlstats tier (conditional-aggregate
+    # + broadcast-scalar-fit plans) was unrepresented in the headline
+    "q_roc_auc",
+    "q_cramers_v_matrix",
 ]
 
 

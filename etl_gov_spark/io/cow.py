@@ -64,17 +64,27 @@ def file_key_ranges(table_path: str, key: str) -> list[dict]:
 
 
 def touched_files(
-    spark: SparkSession, ranges: list[dict], updates: DataFrame, key: str
-) -> list[str]:
+    spark: SparkSession,
+    ranges: list[dict],
+    updates: DataFrame,
+    key: str,
+    max_files: int | None = None,
+) -> list[str] | None:
     """Files whose key range contains at least one update key.
 
     The ranges table is one row per file — broadcast it against the
     updates (which stay distributed) and aggregate the distinct hit
     file names. The collect is bounded by the FILE count, never the
-    data size.
+    data size — and when ``max_files`` is set, a COUNT runs first
+    and ``None`` is returned once the hit list would exceed it, so
+    a wide update against an 800k-file table never materializes a
+    driver-side file list at all (the caller degrades to a full
+    rewrite, which is the cheaper plan at that touch ratio anyway).
     """
     no_stats = [r["file"] for r in ranges if r["key_min"] is None]
     with_stats = [r for r in ranges if r["key_min"] is not None]
+    if max_files is not None and len(no_stats) > max_files:
+        return None
     if not with_stats:
         return no_stats
     rng = spark.createDataFrame(with_stats)
@@ -86,25 +96,38 @@ def touched_files(
         )
         .select("file")
         .distinct()
-        .collect()
     )
-    return sorted(no_stats + [r["file"] for r in hits])
+    if max_files is not None and hits.count() + len(no_stats) > max_files:
+        return None
+    return sorted(no_stats + [r["file"] for r in hits.collect()])
 
 
 def merge_upsert_cow(
-    spark: SparkSession, table_path: str, updates: DataFrame, key: str
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str,
+    max_rewrite_files: int = 10_000,
 ) -> dict:
     """Copy-on-write MERGE: rewrite only files updates intersect.
 
-    Returns ``{"files_total", "files_rewritten", "files_kept"}``.
-    Matched keys take the update row, unmatched update keys are
-    inserted; files outside every update key's range are left in
-    place byte-identical.
+    Returns ``{"files_total", "files_rewritten", "files_kept",
+    "degraded_full_rewrite"}``. Matched keys take the update row,
+    unmatched update keys are inserted; files outside every update
+    key's range are left in place byte-identical.
+
+    ``max_rewrite_files`` bounds the driver-side hit-file list: an
+    update wide enough to touch more files than that degrades to a
+    single full-table overwrite (one distributed merge + write, no
+    per-file commit loop) — at that touch ratio the selective path
+    has no IO advantage left and its metadata cost dominates.
     """
     from etl_gov_spark.operators.merge import merge_upsert
 
     ranges = file_key_ranges(table_path, key)
-    touched = touched_files(spark, ranges, updates, key)
+    touched = touched_files(spark, ranges, updates, key, max_files=max_rewrite_files)
+    if touched is None or len(touched) > max_rewrite_files:
+        return _merge_full_rewrite(spark, table_path, updates, key, len(ranges))
     schema_src = spark.read.parquet(table_path).schema
     if touched:
         base = spark.read.schema(schema_src).parquet(*touched)
@@ -132,4 +155,39 @@ def merge_upsert_cow(
         "files_total": len(ranges),
         "files_rewritten": len(touched),
         "files_kept": len(ranges) - len(touched),
+        "degraded_full_rewrite": False,
+    }
+
+
+def _merge_full_rewrite(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key: str,
+    files_total: int,
+) -> dict:
+    """Wide-update fallback: one distributed merge of the whole
+    table, staged then swapped in — no driver-side file list."""
+    from etl_gov_spark.operators.merge import merge_upsert
+
+    base = spark.read.parquet(table_path)
+    merged = merge_upsert(base, updates.select([f.name for f in base.schema]), key)
+    staging = os.path.join(
+        os.path.dirname(table_path.rstrip("/")),
+        f"_full-rewrite-{uuid.uuid4().hex}",
+    )
+    merged.write.mode("overwrite").parquet(staging)
+    old = os.path.join(
+        os.path.dirname(table_path.rstrip("/")),
+        f"_superseded-{uuid.uuid4().hex}",
+    )
+    shutil.move(table_path, old)
+    shutil.move(staging, table_path)
+    shutil.rmtree(old)
+    n_new = sum(1 for n in os.listdir(table_path) if n.endswith(".parquet"))
+    return {
+        "files_total": files_total,
+        "files_rewritten": n_new,
+        "files_kept": 0,
+        "degraded_full_rewrite": True,
     }

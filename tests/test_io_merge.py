@@ -555,3 +555,55 @@ def test_snapshot_rollback_restores_v1_and_keeps_history(spark, sf_dir, tmp_path
         F.round(F.sum("c_acctbal"), 2)
     ).collect()[0][0]
     assert v2 != before
+
+
+def test_cow_wide_update_degrades_to_full_rewrite(spark, sf_dir, tmp_path):
+    """An update touching more files than max_rewrite_files must NOT
+    build a driver-side hit-file list: the merge degrades to one
+    distributed full rewrite, still upsert-correct (io/cow.py)."""
+    from etl_gov_spark.io.cow import merge_upsert_cow
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.sources import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table = str(tmp_path / "cust_cow")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=8)
+    # updates span every file's key range → 8 of 8 files touched,
+    # over the cap of 2
+    updates = cust.withColumn("c_acctbal", F.col("c_acctbal") + 1.0)
+    stats = merge_upsert_cow(
+        spark, table, updates, "c_custkey", max_rewrite_files=2
+    )
+    assert stats["degraded_full_rewrite"] is True
+    assert stats["files_kept"] == 0
+    merged = spark.read.parquet(table)
+    assert merged.count() == cust.count()
+    # every balance incremented exactly once
+    before = dict(cust.collect())
+    after = dict(merged.collect())
+    assert all(abs(after[k] - (v + 1.0)) < 1e-6 for k, v in before.items())
+
+
+def test_cow_narrow_update_still_selective(spark, sf_dir, tmp_path):
+    """Same cap, narrow update: selective path keeps untouched files
+    byte-identical (guard must not change the fast path)."""
+    from etl_gov_spark.io.cow import merge_upsert_cow
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.sources import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    table = str(tmp_path / "cust_cow2")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=8)
+    lo = cust.agg(F.min("c_custkey")).collect()[0][0]
+    updates = cust.filter(F.col("c_custkey") == lo).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1.0
+    )
+    stats = merge_upsert_cow(
+        spark, table, updates, "c_custkey", max_rewrite_files=100
+    )
+    assert stats["degraded_full_rewrite"] is False
+    assert stats["files_rewritten"] == 1 and stats["files_kept"] == 7

@@ -99,6 +99,13 @@ class PipelineListener:
     on_task_succeeded: Callable[[PipelineContext, str], None] | None = None
     on_task_failed: Callable[[PipelineContext, str, Exception], None] | None = None
     on_task_skipped: Callable[[PipelineContext, str], None] | None = None
+    # fired when a task finishes but ran longer than its sla_s
+    # (≈ the reference's per-task `sla=timedelta(...)` +
+    # sla_miss_callback, dags/example_sla_dag.py:50); receives
+    # (ctx, task_name, duration_s, sla_s)
+    on_task_sla_miss: (
+        Callable[[PipelineContext, str, float, float], None] | None
+    ) = None
 
 
 class ParamValidationError(ValueError):
@@ -278,6 +285,10 @@ class PipelineContext:
     sensor_deadlines: dict[str, float] = field(default_factory=dict)
     outlet_events: _OutletEvents = field(default_factory=_OutletEvents)
     data_interval: DataInterval | None = None
+    # (task_name, duration_s, sla_s) for every task that ran longer
+    # than its declared SLA — populated even with no listener, so a
+    # post-run audit can read misses off the context
+    sla_misses: list[tuple[str, float, float]] = field(default_factory=list)
 
     def pull(self, task_name: str) -> Any:
         """xcom_pull: fetch an upstream task's return value."""
@@ -298,6 +309,8 @@ class _Task:
     on_failure: Callable[[PipelineContext, Exception], None] | None = None
     priority_weight: int = 1  # higher runs first among ready tasks
     display_name: str | None = None  # ≈ task_display_name (UI label)
+    sla_s: float | None = None  # duration SLA (≈ task sla=timedelta)
+    on_sla_miss: Callable[[PipelineContext, str, float, float], None] | None = None
 
 
 class Pipeline:
@@ -363,6 +376,10 @@ class Pipeline:
         on_failure: Callable[[PipelineContext, Exception], None] | None = None,
         priority_weight: int = 1,
         display_name: str | None = None,
+        sla_s: float | None = None,
+        on_sla_miss: (
+            Callable[[PipelineContext, str, float, float], None] | None
+        ) = None,
     ) -> Callable:
         """Register ``fn(ctx) -> Any`` as a task (≈ @task). The
         return value is the task's xcom; DataFrames stay lazy.
@@ -372,7 +389,13 @@ class Pipeline:
         re-attempt; the callback fires once after the final attempt
         fails, before the pipeline aborts. ``display_name`` is the
         human-facing label (≈ task_display_name) surfaced by
-        ``describe()``; the task NAME stays the dependency key."""
+        ``describe()``; the task NAME stays the dependency key.
+        ``sla_s`` declares a duration SLA (≈ ``sla=timedelta`` +
+        sla_miss_callback, reference dags/example_sla_dag.py:50): a
+        task that SUCCEEDS but overruns it still completes normally —
+        the miss is recorded on ``ctx.sla_misses``, the task-level
+        ``on_sla_miss`` fires, and listeners get
+        ``on_task_sla_miss``; nothing fails or aborts."""
 
         def deco(fn: Callable[[PipelineContext], Any]) -> Callable:
             self._add(
@@ -387,6 +410,8 @@ class Pipeline:
                     on_failure,
                     priority_weight,
                     display_name,
+                    sla_s,
+                    on_sla_miss,
                 )
             )
             return fn
@@ -775,6 +800,7 @@ class Pipeline:
         records."""
         if t.name not in ctx.attempts:
             self._emit("on_task_started", ctx, t.name)
+        t0 = time.monotonic()
         try:
             for attempt in range(t.retries + 1):
                 ctx.attempts[t.name] = attempt + 1
@@ -799,6 +825,14 @@ class Pipeline:
             ctx.skipped.add(t.name)
             self._emit("on_task_skipped", ctx, t.name)
             return
+        duration = time.monotonic() - t0
+        if t.sla_s is not None and duration > t.sla_s:
+            # SLA miss is an ALERT, not a failure: record + notify,
+            # then proceed exactly as a normal success
+            ctx.sla_misses.append((t.name, duration, t.sla_s))
+            if t.on_sla_miss is not None:
+                t.on_sla_miss(ctx, t.name, duration, t.sla_s)
+            self._emit("on_task_sla_miss", ctx, t.name, duration, t.sla_s)
         self._emit("on_task_succeeded", ctx, t.name)
         if ctx.registry is not None:
             out = t.outputs_dataset

@@ -552,3 +552,42 @@ def test_display_names_surface_in_describe(spark):
     assert meta["sample_task_2"]["deps"] == ["sample_task_1"]
     ctx = p.run()
     assert ctx.outputs["sample_task_2"] == 2
+
+
+def test_sla_miss_fires_without_failing_run(spark):
+    """≈ reference dags/example_sla_dag.py: a task that SUCCEEDS but
+    overruns its sla_s fires the task-level on_sla_miss callback and
+    the listener's on_task_sla_miss event, lands on ctx.sla_misses —
+    and the run still completes with both tasks green."""
+    import time as _time
+
+    from etl_gov_spark.pipeline.core import PipelineListener
+
+    p = Pipeline("sla", spark)
+    cb_hits: list[tuple[str, float, float]] = []
+    lis_hits: list[str] = []
+    p.add_listener(
+        PipelineListener(
+            on_task_sla_miss=lambda ctx, n, d, s: lis_hits.append(n)
+        )
+    )
+
+    @p.task(
+        "slow",
+        sla_s=0.01,
+        on_sla_miss=lambda ctx, n, d, s: cb_hits.append((n, d, s)),
+    )
+    def slow(ctx):
+        _time.sleep(0.05)
+        return "done"
+
+    @p.task("fast", deps=["slow"], sla_s=60.0)
+    def fast(ctx):
+        return ctx.pull("slow") + "!"
+
+    ctx = p.run()
+    assert ctx.pull("fast") == "done!"  # nothing failed or skipped
+    assert lis_hits == ["slow"]
+    assert [(n, s) for n, d, s in cb_hits] == [("slow", 0.01)]
+    assert [(n, s) for n, d, s in ctx.sla_misses] == [("slow", 0.01)]
+    assert all(d > 0.01 for _, d, _ in ctx.sla_misses)

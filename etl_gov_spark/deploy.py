@@ -167,3 +167,55 @@ def k8s_submit_command(
 # worker inherits the host's resources, so size-for-parity assumes a
 # developer-laptop-class node; override for a real fleet.
 REFERENCE_SHAPE = ClusterShape(workers=3, cores_per_worker=8, memory_gb_per_worker=16)
+
+
+def executor_override_conf(executor_config: dict) -> dict[str, str]:
+    """Render a task's ``executor_config`` into submit confs — the
+    per-task executor routing surface (≈ the reference's
+    ``executor_config`` pod overrides in
+    dags/example_kubernetes_executor.py + the queue routing in
+    example_local_kubernetes_executor.py).
+
+    Spark's unit of executor sizing is the APPLICATION, so a task
+    that needs different hardware ships as its own submit: the
+    pipeline stays one DAG, and the heavy task's ``run_shell``
+    command is ``submit_command(..., extra_conf=
+    executor_override_conf(task.executor_config))``. Keys:
+
+    - ``cpus`` / ``memory_gb`` — executor size for this task's app
+      (also rendered as k8s pod requests so the scheduler actually
+      reserves them)
+    - ``gpus`` — ``spark.executor.resource.gpu.amount`` (the Spark
+      resource-scheduling conf; discovery script is cluster-owned)
+    - ``pool`` — fair-scheduler pool; also applied in-process at run
+      time by the Pipeline runner (thread-scoped local property)
+    - ``node_selector`` — dict rendered to
+      ``spark.kubernetes.node.selector.*`` (the kubernetes-executor
+      affinity analogue)
+
+    Pure rendering; unknown keys raise so a typo'd override never
+    silently schedules on default hardware.
+    """
+    known = {"cpus", "memory_gb", "gpus", "pool", "node_selector"}
+    unknown = set(executor_config) - known
+    if unknown:
+        raise ValueError(f"unknown executor_config keys: {sorted(unknown)}")
+    conf: dict[str, str] = {}
+    if "cpus" in executor_config:
+        cpus = int(executor_config["cpus"])
+        conf["spark.executor.cores"] = str(cpus)
+        conf["spark.kubernetes.executor.request.cores"] = str(cpus)
+    if "memory_gb" in executor_config:
+        mem_mb = int(executor_config["memory_gb"] * 1024)
+        conf["spark.executor.memory"] = f"{mem_mb}m"
+        conf["spark.executor.memoryOverhead"] = f"{max(384, mem_mb // 10)}m"
+    if "gpus" in executor_config:
+        conf["spark.executor.resource.gpu.amount"] = str(
+            int(executor_config["gpus"])
+        )
+        conf["spark.task.resource.gpu.amount"] = "1"
+    if "pool" in executor_config:
+        conf["spark.scheduler.pool"] = str(executor_config["pool"])
+    for k, v in (executor_config.get("node_selector") or {}).items():
+        conf[f"spark.kubernetes.node.selector.{k}"] = str(v)
+    return conf

@@ -311,6 +311,12 @@ class _Task:
     display_name: str | None = None  # ≈ task_display_name (UI label)
     sla_s: float | None = None  # duration SLA (≈ task sla=timedelta)
     on_sla_miss: Callable[[PipelineContext, str, float, float], None] | None = None
+    # per-task executor routing (≈ executor_config / queue in
+    # example_kubernetes_executor.py + example_local_kubernetes_executor.py):
+    # "pool" routes this task's Spark jobs to a fair-scheduler pool
+    # at run time; sizing keys (cpus/memory_gb/...) are rendered into
+    # submit confs by deploy.executor_override_conf for cluster runs
+    executor_config: dict[str, Any] | None = None
 
 
 class Pipeline:
@@ -380,6 +386,7 @@ class Pipeline:
         on_sla_miss: (
             Callable[[PipelineContext, str, float, float], None] | None
         ) = None,
+        executor_config: dict[str, Any] | None = None,
     ) -> Callable:
         """Register ``fn(ctx) -> Any`` as a task (≈ @task). The
         return value is the task's xcom; DataFrames stay lazy.
@@ -395,7 +402,14 @@ class Pipeline:
         task that SUCCEEDS but overruns it still completes normally —
         the miss is recorded on ``ctx.sla_misses``, the task-level
         ``on_sla_miss`` fires, and listeners get
-        ``on_task_sla_miss``; nothing fails or aborts."""
+        ``on_task_sla_miss``; nothing fails or aborts.
+        ``executor_config`` is per-task executor routing (≈ the
+        reference's ``executor_config`` pod overrides,
+        dags/example_kubernetes_executor.py): ``{"pool": name}``
+        routes the task's Spark jobs to a fair-scheduler pool at run
+        time; sizing keys (``cpus``/``memory_gb``/``gpus``) are
+        rendered into submit confs by
+        ``deploy.executor_override_conf`` for cluster runs."""
 
         def deco(fn: Callable[[PipelineContext], Any]) -> Callable:
             self._add(
@@ -412,6 +426,7 @@ class Pipeline:
                     display_name,
                     sla_s,
                     on_sla_miss,
+                    executor_config,
                 )
             )
             return fn
@@ -471,6 +486,100 @@ class Pipeline:
                 )
             lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
             return lines[-1] if lines else ""
+
+        return self._add(
+            _Task(
+                qname,
+                _run,
+                tuple(deps),
+                trigger_rule=trigger_rule,
+                retries=retries,
+                retry_delay_s=retry_delay_s,
+                on_failure=on_failure,
+                priority_weight=priority_weight,
+                display_name=display_name,
+            )
+        )
+
+    def run_python_venv(
+        self,
+        name: str,
+        fn: Callable[..., Any],
+        requirements: Iterable[str] = (),
+        deps: Iterable[str] = (),
+        system_site_packages: bool = True,
+        op_kwargs: dict[str, Any] | None = None,
+        timeout_s: float | None = None,
+        *,
+        trigger_rule: str = "all_success",
+        retries: int = 0,
+        retry_delay_s: float = 0.0,
+        on_failure: "Callable | None" = None,
+        priority_weight: int = 1,
+        display_name: str | None = None,
+    ) -> str:
+        """Virtualenv-isolated Python task (≈ @task.virtualenv,
+        reference dags/tutorial_taskflow_api_virtualenv.py): ``fn``'s
+        SOURCE is shipped to a dedicated venv interpreter and executed
+        there, so its import environment is the venv's, not the
+        driver's. ``requirements`` are pip-installed into the venv at
+        first use; venvs are cached per (requirements,
+        system_site_packages) so N tasks share one build. The
+        return value must be JSON-serializable (the cross-interpreter
+        xcom contract — same restriction as the reference operator).
+
+        ``fn`` must be self-contained: module-level names from the
+        defining file don't exist in the venv interpreter; do imports
+        inside the function (exactly the reference's rule).
+
+        Scale note: this isolates DRIVER-side glue. Executor-side
+        Python-dependency isolation for pandas_udfs is a cluster
+        submit concern (``--archives venv.tar.gz`` +
+        ``spark.pyspark.python``) rendered by deploy.py, not a
+        per-task mechanism."""
+        import inspect
+        import textwrap
+
+        qname = self._qualify(name)
+        src = textwrap.dedent(inspect.getsource(fn))
+        reqs = tuple(requirements)
+
+        def _run(ctx: PipelineContext) -> Any:
+            import json as _json
+            import subprocess
+            import tempfile
+
+            vpy = _ensure_venv(reqs, system_site_packages)
+            payload = _json.dumps(op_kwargs or {})
+            script = (
+                f"{src}\n"
+                f"import json as _j\n"
+                f"_res = {fn.__name__}(**_j.loads({payload!r}))\n"
+                f"print('__VENV_XCOM__' + _j.dumps(_res))\n"
+            )
+            with tempfile.NamedTemporaryFile(
+                "w", suffix=".py", delete=False
+            ) as f:
+                f.write(script)
+                path = f.name
+            try:
+                proc = subprocess.run(
+                    [vpy, path],
+                    capture_output=True,
+                    text=True,
+                    timeout=timeout_s,
+                )
+            finally:
+                os.unlink(path)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"venv task {qname} exited {proc.returncode}: "
+                    f"{proc.stderr.strip()[-500:]}"
+                )
+            for line in reversed(proc.stdout.splitlines()):
+                if line.startswith("__VENV_XCOM__"):
+                    return _json.loads(line[len("__VENV_XCOM__"):])
+            raise RuntimeError(f"venv task {qname}: no xcom line in stdout")
 
         return self._add(
             _Task(
@@ -801,6 +910,14 @@ class Pipeline:
         if t.name not in ctx.attempts:
             self._emit("on_task_started", ctx, t.name)
         t0 = time.monotonic()
+        # per-task scheduler-pool routing: every Spark job this task
+        # launches lands in its fair-scheduler pool (local property is
+        # thread-scoped, so concurrent pipelines don't cross-route)
+        pool = (t.executor_config or {}).get("pool")
+        sc = self.spark.sparkContext if pool is not None else None
+        prev_pool = sc.getLocalProperty("spark.scheduler.pool") if sc else None
+        if sc is not None:
+            sc.setLocalProperty("spark.scheduler.pool", pool)
         try:
             for attempt in range(t.retries + 1):
                 ctx.attempts[t.name] = attempt + 1
@@ -825,6 +942,9 @@ class Pipeline:
             ctx.skipped.add(t.name)
             self._emit("on_task_skipped", ctx, t.name)
             return
+        finally:
+            if sc is not None:  # restore on success, skip, or raise
+                sc.setLocalProperty("spark.scheduler.pool", prev_pool)
         duration = time.monotonic() - t0
         if t.sla_s is not None and duration > t.sla_s:
             # SLA miss is an ALERT, not a failure: record + notify,
@@ -973,3 +1093,50 @@ class _GroupScope:
 
     def __exit__(self, *exc: Any) -> None:
         self._pipeline._group_prefix.pop()
+
+
+# -- virtualenv task support (≈ @task.virtualenv) ---------------------
+
+# (requirements, system_site_packages) -> venv python path; venv
+# builds are expensive, so every task with the same spec shares one
+_VENV_CACHE: dict[tuple, str] = {}
+
+
+def _pip_install_args(venv_python: str, requirements: tuple) -> list[str]:
+    """The exact pip invocation a requirements list compiles to —
+    split out so the rendering is unit-testable without a network."""
+    return [venv_python, "-m", "pip", "install", "--quiet", *requirements]
+
+
+def _ensure_venv(requirements: tuple, system_site_packages: bool) -> str:
+    """Build (or reuse) the venv for a requirements spec; returns its
+    interpreter path. No-requirements venvs skip the pip bootstrap
+    entirely (--without-pip) — isolation without the ~5 s ensurepip
+    cost."""
+    import subprocess
+    import sys as _sys
+
+    from etl_gov_spark.io.scratch import scratch_dir
+
+    key = (requirements, system_site_packages)
+    if key in _VENV_CACHE:
+        return _VENV_CACHE[key]
+    venv_dir = scratch_dir("venv")
+    cmd = [_sys.executable, "-m", "venv"]
+    if system_site_packages:
+        cmd.append("--system-site-packages")
+    if not requirements:
+        cmd.append("--without-pip")
+    subprocess.run([*cmd, venv_dir], check=True, capture_output=True)
+    vpy = os.path.join(venv_dir, "bin", "python")
+    if requirements:
+        proc = subprocess.run(
+            _pip_install_args(vpy, requirements), capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"venv pip install {list(requirements)} failed: "
+                f"{proc.stderr.strip()[-500:]}"
+            )
+    _VENV_CACHE[key] = vpy
+    return vpy

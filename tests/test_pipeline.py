@@ -591,3 +591,109 @@ def test_sla_miss_fires_without_failing_run(spark):
     assert [(n, s) for n, d, s in cb_hits] == [("slow", 0.01)]
     assert [(n, s) for n, d, s in ctx.sla_misses] == [("slow", 0.01)]
     assert all(d > 0.01 for _, d, _ in ctx.sla_misses)
+
+
+def test_run_python_venv_isolated_interpreter(spark):
+    """≈ tutorial_taskflow_api_virtualenv.py: the task body runs in a
+    SEPARATE venv interpreter (different sys.prefix), gets op_kwargs,
+    and returns a JSON xcom the next task pulls."""
+    import sys as _sys
+
+    p = Pipeline("venvpipe", spark)
+
+    def probe(factor):
+        import sys
+
+        return {"prefix": sys.prefix, "answer": 21 * factor}
+
+    p.run_python_venv("probe", probe, op_kwargs={"factor": 2})
+
+    @p.task("consume", deps=["probe"])
+    def consume(ctx):
+        return ctx.pull("probe")["answer"]
+
+    ctx = p.run()
+    assert ctx.pull("consume") == 42
+    # ran under the venv prefix, not the driver's interpreter
+    assert ctx.pull("probe")["prefix"] != _sys.prefix
+
+
+def test_run_python_venv_requirements_render_and_cache():
+    """The requirements list compiles to the exact pip invocation
+    (unit-tested without a network), and identical specs share one
+    cached venv build."""
+    from etl_gov_spark.pipeline.core import (
+        _VENV_CACHE,
+        _ensure_venv,
+        _pip_install_args,
+    )
+
+    assert _pip_install_args("/v/bin/python", ("pandas==2.2", "pyyaml"))[
+        1:
+    ] == ["-m", "pip", "install", "--quiet", "pandas==2.2", "pyyaml"]
+    a = _ensure_venv((), True)
+    b = _ensure_venv((), True)
+    assert a == b and ((), True) in _VENV_CACHE
+
+
+def test_executor_config_pool_routes_spark_jobs(spark):
+    """≈ example_kubernetes_executor.py executor_config: a task with
+    executor_config={"pool": ...} runs its Spark jobs under that
+    fair-scheduler pool (thread-local property), and the property is
+    restored afterwards."""
+    p = Pipeline("routed", spark)
+    seen: dict[str, str | None] = {}
+
+    @p.task("heavy", executor_config={"pool": "heavy_pool"})
+    def heavy(ctx):
+        seen["during"] = ctx.spark.sparkContext.getLocalProperty(
+            "spark.scheduler.pool"
+        )
+        return ctx.spark.range(10).count()  # a real job under the pool
+
+    @p.task("normal", deps=["heavy"])
+    def normal(ctx):
+        seen["after"] = ctx.spark.sparkContext.getLocalProperty(
+            "spark.scheduler.pool"
+        )
+        return ctx.pull("heavy")
+
+    ctx = p.run()
+    assert ctx.pull("normal") == 10
+    assert seen["during"] == "heavy_pool"
+    assert seen["after"] in (None, "")  # restored
+
+
+def test_executor_override_conf_rendering():
+    """Per-task executor_config → submit confs, pure and validated."""
+    import pytest as _pytest
+
+    from etl_gov_spark.deploy import executor_override_conf, submit_command
+
+    conf = executor_override_conf(
+        {
+            "cpus": 8,
+            "memory_gb": 32,
+            "gpus": 1,
+            "pool": "gpu_pool",
+            "node_selector": {"accel": "a100"},
+        }
+    )
+    assert conf["spark.executor.cores"] == "8"
+    assert conf["spark.kubernetes.executor.request.cores"] == "8"
+    assert conf["spark.executor.memory"] == "32768m"
+    assert conf["spark.executor.memoryOverhead"] == "3276m"
+    assert conf["spark.executor.resource.gpu.amount"] == "1"
+    assert conf["spark.scheduler.pool"] == "gpu_pool"
+    assert conf["spark.kubernetes.node.selector.accel"] == "a100"
+    with _pytest.raises(ValueError, match="cpu_count"):
+        executor_override_conf({"cpu_count": 4})
+    # overrides win over the sizing plan in a rendered submit (the
+    # per-task app shape)
+    from etl_gov_spark.deploy import REFERENCE_SHAPE, size_executors
+
+    plan = size_executors(REFERENCE_SHAPE)
+    argv = submit_command(
+        "job.py", "yarn", plan, extra_conf=executor_override_conf({"cpus": 8})
+    )
+    assert "--conf" in argv and "spark.executor.cores=8" in argv

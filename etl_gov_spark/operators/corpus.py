@@ -2211,3 +2211,96 @@ QUERIES["corpus_source_signatures"] = (
     corpus_source_signatures,
     CORPUS_SOURCE_SIGNATURES_SQL,
 )
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality census per source (the
+    published heuristic filter family from the Gopher/MassiveText
+    paper, Rae et al. 2021): per document, five deterministic
+    checks — word-count bounds, mean-word-length bounds,
+    punctuation-to-word ratio, alphabetic-word fraction, minimum
+    stopword hits — rolled up to per-source failure counts and the
+    survival rate the mixture planner consumes.
+
+    One scan, all rules evaluated as JVM boolean columns in the same
+    projection (a 100 TB corpus pays the tokenize once for all five
+    rules), then a bounded per-source conditional aggregate. The
+    thresholds are fixed constants: the operator is a census, not a
+    tuner (see corpus_quality_prune_sweep for threshold sweeps).
+    """
+    from etl_gov_spark.operators.text import STOPWORDS_EN
+
+    toks = tokens_col()
+    n_words = F.size(toks)
+    mean_wlen = (F.length(F.trim(F.col("text"))) - (n_words - 1)) / n_words
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[.,!?;:#*]", "")
+    )
+    alpha_frac = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ) / n_words
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source",
+        ((n_words < 5) | (n_words > 100000)).alias("f_words"),
+        (~mean_wlen.between(3.0, 10.0)).alias("f_wlen"),
+        (punct / n_words > 0.1).alias("f_punct"),
+        (alpha_frac < 0.8).alias("f_alpha"),
+        (stop_hits < 2).alias("f_stop"),
+    )
+    fail_any = (
+        F.col("f_words")
+        | F.col("f_wlen")
+        | F.col("f_punct")
+        | F.col("f_alpha")
+        | F.col("f_stop")
+    )
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("f_words").cast("long")).alias("fail_word_count"),
+            F.sum(F.col("f_wlen").cast("long")).alias("fail_word_len"),
+            F.sum(F.col("f_punct").cast("long")).alias("fail_punct_ratio"),
+            F.sum(F.col("f_alpha").cast("long")).alias("fail_alpha_frac"),
+            F.sum(F.col("f_stop").cast("long")).alias("fail_stopwords"),
+            _R4(
+                F.avg((~fail_any).cast("double")), "survival_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_GOPHER_SQL = r"""
+WITH feat AS (
+  SELECT source,
+         len(toks) AS n_words,
+         (length(trim(text)) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mean_wlen,
+         length(text) - length(regexp_replace(text, '[.,!?;:#*]', '', 'g')) AS punct,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+         len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) AS stop_hits
+  FROM (SELECT source, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), flags AS (
+  SELECT source,
+         (n_words < 5 OR n_words > 100000) AS f_words,
+         NOT (mean_wlen BETWEEN 3.0 AND 10.0) AS f_wlen,
+         punct / CAST(n_words AS DOUBLE) > 0.1 AS f_punct,
+         alpha_frac < 0.8 AS f_alpha,
+         stop_hits < 2 AS f_stop
+  FROM feat
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CAST(f_words AS BIGINT)) AS BIGINT) AS fail_word_count,
+       CAST(sum(CAST(f_wlen AS BIGINT)) AS BIGINT) AS fail_word_len,
+       CAST(sum(CAST(f_punct AS BIGINT)) AS BIGINT) AS fail_punct_ratio,
+       CAST(sum(CAST(f_alpha AS BIGINT)) AS BIGINT) AS fail_alpha_frac,
+       CAST(sum(CAST(f_stop AS BIGINT)) AS BIGINT) AS fail_stopwords,
+       round(avg(CAST(NOT (f_words OR f_wlen OR f_punct OR f_alpha OR f_stop) AS DOUBLE)), 4) AS survival_rate
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["corpus_gopher_rules"] = (corpus_gopher_rules, CORPUS_GOPHER_SQL)

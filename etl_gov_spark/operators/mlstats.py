@@ -3775,3 +3775,223 @@ FROM stats a JOIN stats b ON a.event_type < b.event_type
 """
 
 QUERIES["q_effect_size_matrix"] = (q_effect_size_matrix, Q_EFFECT_SIZE_SQL)
+
+
+def q_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a family of 120
+    hypotheses: for each (event_type, hour-of-day) cell, a Welch z
+    test of the cell's mean event value against the rest of the
+    corpus, then the BH step-up rule at α = 0.10 — the multiple-
+    testing discipline that keeps a 120-cell dashboard from
+    "discovering" a dozen false anomalies per refresh.
+
+    One conditional-aggregate scan builds per-cell and global
+    moments (the rest-of-corpus stats are global minus cell — no
+    second scan); the z→p conversion uses the Lin (1989) normal-tail
+    approximation p ≈ 2·exp(−0.717|z| − 0.416z²), chosen because it
+    is a closed-form both engines evaluate identically (no erf in
+    either's SQL surface). BH itself is two windows over the bounded
+    120-row family: rank p ascending, then the step-up `max rank
+    where p ≤ rank/m·α` via a running max from the tail.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.hour("ts").alias("hr"), "value"
+    )
+    cell = ev.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    tot = cell.agg(
+        F.sum("n").alias("n_all"),
+        F.sum("s").alias("s_all"),
+        F.sum("ss").alias("ss_all"),
+    )
+    j = cell.crossJoin(F.broadcast(tot))
+    mu_c = F.col("s") / F.col("n")
+    n_r = F.col("n_all") - F.col("n")
+    mu_r = (F.col("s_all") - F.col("s")) / n_r
+    var_c = F.col("ss") / F.col("n") - mu_c * mu_c
+    var_r = (F.col("ss_all") - F.col("ss")) / n_r - mu_r * mu_r
+    z = (mu_c - mu_r) / F.sqrt(var_c / F.col("n") + var_r / n_r)
+    p = F.least(
+        F.lit(1.0),
+        2.0 * F.exp(-0.717 * F.abs(z) - 0.416 * z * z),
+    )
+    scored = j.select(
+        "event_type", "hr", "n", z.alias("z_raw"), p.alias("p_raw")
+    )
+    w_rank = Window.orderBy("p_raw", "event_type", "hr")
+    ranked = scored.select(
+        "event_type", "hr", "n", "z_raw", "p_raw",
+        F.row_number().over(w_rank).alias("rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ).alias("m"),
+    )
+    # step-up: reject ranks 1..k where k = max rank with p ≤ rank/m·α
+    w_tail = Window.orderBy(F.desc("p_raw"), F.desc("event_type"), F.desc("hr")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    alpha = 0.10
+    return (
+        ranked.withColumn(
+            "k_hit",
+            F.max(
+                F.when(
+                    F.col("p_raw") <= F.col("rank") / F.col("m") * alpha,
+                    F.col("rank"),
+                )
+            ).over(w_tail),
+        )
+        .select(
+            "event_type",
+            "hr",
+            "n",
+            _R4(F.col("z_raw"), "z"),
+            F.round("p_raw", 6).alias("p"),
+            "rank",
+            (F.col("rank") <= F.coalesce("k_hit", F.lit(0))).alias("rejected"),
+        )
+        .orderBy("rank")
+    )
+
+
+Q_BH_SQL = """
+WITH cell AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+         count(*) AS n, sum(value) AS s, sum(value * value) AS ss
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS N_, sum(s) AS S_, sum(ss) AS SS_ FROM cell
+), scored AS (
+  SELECT event_type, CAST(hr AS INTEGER) AS hr, CAST(n AS BIGINT) AS n,
+         ((s / n) - ((S_ - s) / (N_ - n)))
+         / sqrt((ss / n - (s / n) * (s / n)) / n
+                + ((SS_ - ss) / (N_ - n) - ((S_ - s) / (N_ - n)) * ((S_ - s) / (N_ - n)))
+                  / (N_ - n)) AS z_raw
+  FROM cell CROSS JOIN tot
+), pvals AS (
+  SELECT *, least(1.0, 2.0 * exp(-0.717 * abs(z_raw) - 0.416 * z_raw * z_raw)) AS p_raw
+  FROM scored
+), ranked AS (
+  SELECT *,
+         CAST(row_number() OVER (ORDER BY p_raw, event_type, hr) AS INTEGER) AS rank,
+         count(*) OVER () AS m
+  FROM pvals
+), stepped AS (
+  SELECT *,
+         max(CASE WHEN p_raw <= rank / CAST(m AS DOUBLE) * 0.10
+                  THEN rank END)
+           OVER (ORDER BY p_raw DESC, event_type DESC, hr DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k_hit
+  FROM ranked
+)
+SELECT event_type, hr, n,
+       round(z_raw, 4) AS z, round(p_raw, 6) AS p, rank,
+       rank <= coalesce(k_hit, 0) AS rejected
+FROM stepped ORDER BY rank
+"""
+
+QUERIES["q_benjamini_hochberg"] = (q_benjamini_hochberg, Q_BH_SQL)
+
+
+def q_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for an A/B lift readout (Deng et
+    al. 2013, WSDM — "Improving the Sensitivity of Online Controlled
+    Experiments"): customers hash-split into two arms, metric Y =
+    experiment-period revenue (1998+), covariate X = pre-period
+    revenue (<1998); θ = cov(X,Y)/var(X) fitted on BOTH arms
+    pooled, Y_adj = Y − θ(X − X̄). Reports the naive and adjusted
+    arm difference and the variance-reduction factor 1 − ρ² the
+    pre-period covariate buys — the readout that decides whether an
+    experiment needs 2 weeks or 8.
+
+    Plan: one conditional-aggregate groupBy(custkey) builds the
+    per-customer (X, Y) panel in a single orders scan; θ and X̄ come
+    from one pooled aggregate broadcast back over the panel; the
+    per-arm rollup is a bounded 2-row aggregate. No row ever carries
+    more than two doubles — the shape survives any customer count.
+    """
+    o = Catalog(spark, sf_dir).orders
+    panel = (
+        o.groupBy(F.col("o_custkey").alias("cust"))
+        .agg(
+            F.sum(
+                F.when(F.year("o_orderdate") < 1998, F.col("o_totalprice"))
+                .otherwise(0.0)
+            ).alias("x"),
+            F.sum(
+                F.when(F.year("o_orderdate") >= 1998, F.col("o_totalprice"))
+                .otherwise(0.0)
+            ).alias("y"),
+        )
+        .withColumn("arm", (F.col("cust") % 2 == 0).cast("int"))
+    )
+    fit = panel.agg(
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+        F.avg("x").alias("xbar"),
+        F.corr("x", "y").alias("rho"),
+    )
+    jj = panel.crossJoin(F.broadcast(fit))
+    y_adj = F.col("y") - (F.col("cxy") / F.col("vx")) * (
+        F.col("x") - F.col("xbar")
+    )
+    arm = jj.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mean_y"),
+        F.var_pop("y").alias("var_y"),
+        F.avg(y_adj).alias("mean_y_adj"),
+        F.var_pop(y_adj).alias("var_y_adj"),
+        F.max("rho").alias("rho"),
+    )
+    t = arm.filter(F.col("arm") == 1).alias("t")
+    c = arm.filter(F.col("arm") == 0).alias("c")
+    return t.crossJoin(c).select(
+        F.col("t.n").alias("n_treat"),
+        F.col("c.n").alias("n_control"),
+        _R4(F.col("t.mean_y") - F.col("c.mean_y"), "naive_diff"),
+        _R4(F.col("t.mean_y_adj") - F.col("c.mean_y_adj"), "cuped_diff"),
+        _R4(
+            (F.col("t.var_y_adj") + F.col("c.var_y_adj"))
+            / (F.col("t.var_y") + F.col("c.var_y")),
+            "var_ratio",
+        ),
+        _R4(1.0 - F.col("t.rho") * F.col("t.rho"), "theory_var_ratio"),
+    )
+
+
+Q_CUPED_SQL = """
+WITH panel AS (
+  SELECT o_custkey AS cust,
+         sum(CASE WHEN EXTRACT(year FROM o_orderdate) < 1998
+                  THEN o_totalprice ELSE 0.0 END) AS x,
+         sum(CASE WHEN EXTRACT(year FROM o_orderdate) >= 1998
+                  THEN o_totalprice ELSE 0.0 END) AS y,
+         CAST(o_custkey % 2 = 0 AS INTEGER) AS arm
+  FROM orders GROUP BY o_custkey
+), fit AS (
+  SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx,
+         avg(x) AS xbar, corr(x, y) AS rho
+  FROM panel
+), adj AS (
+  SELECT arm, y, y - (cxy / vx) * (x - xbar) AS y_adj, rho
+  FROM panel CROSS JOIN fit
+), byarm AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         avg(y) AS mean_y, var_pop(y) AS var_y,
+         avg(y_adj) AS mean_y_adj, var_pop(y_adj) AS var_y_adj,
+         max(rho) AS rho
+  FROM adj GROUP BY arm
+)
+SELECT t.n AS n_treat, c.n AS n_control,
+       round(t.mean_y - c.mean_y, 4) AS naive_diff,
+       round(t.mean_y_adj - c.mean_y_adj, 4) AS cuped_diff,
+       round((t.var_y_adj + c.var_y_adj) / (t.var_y + c.var_y), 4) AS var_ratio,
+       round(1.0 - t.rho * t.rho, 4) AS theory_var_ratio
+FROM byarm t CROSS JOIN byarm c
+WHERE t.arm = 1 AND c.arm = 0
+"""
+
+QUERIES["q_cuped_adjustment"] = (q_cuped_adjustment, Q_CUPED_SQL)

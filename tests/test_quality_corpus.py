@@ -715,3 +715,22 @@ def test_source_signatures_lift_positive(spark, sf_dir):
         per_src.setdefault(r.source, []).append(r.rank)
     for src, ranks in per_src.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_gopher_rules_census_consistent(spark, sf_dir):
+    """Per-source failure counts are bounded by n_docs and the
+    survival rate is consistent with the any-rule-failure union
+    bound (survivors ≥ n_docs − Σ failures)."""
+    from etl_gov_spark.operators.corpus import corpus_gopher_rules
+
+    rows = corpus_gopher_rules(spark, sf_dir).collect()
+    assert len(rows) == 20  # one row per source
+    for r in rows:
+        fails = [
+            r.fail_word_count, r.fail_word_len, r.fail_punct_ratio,
+            r.fail_alpha_frac, r.fail_stopwords,
+        ]
+        assert all(0 <= f <= r.n_docs for f in fails)
+        survivors = round(r.survival_rate * r.n_docs)
+        assert survivors >= r.n_docs - sum(fails) - 1  # union bound
+        assert survivors <= r.n_docs - max(fails) + 1  # any single rule

@@ -738,3 +738,35 @@ def test_effect_size_matrix_pairs(spark, sf_dir):
             else "large"
         )
         assert r.band == expect
+
+
+def test_benjamini_hochberg_stepup_properties(spark, sf_dir):
+    """BH invariants: rejections form a prefix of the p-ascending
+    ranking, every rejected p ≤ rank/m·α, and the rejected set is a
+    superset of naive per-test α/m Bonferroni rejections."""
+    from etl_gov_spark.operators.mlstats import q_benjamini_hochberg
+
+    rows = q_benjamini_hochberg(spark, sf_dir).collect()
+    m = len(rows)
+    assert m == 120  # 5 types x 24 hours
+    rejected = [r for r in rows if r.rejected]
+    if rejected:
+        k = max(r.rank for r in rejected)
+        assert {r.rank for r in rejected} == set(range(1, k + 1))  # prefix
+        kth = next(r for r in rows if r.rank == k)
+        assert kth.p <= k / m * 0.10 + 1e-9
+    for r in rows:
+        if r.p <= 0.10 / m and not r.rejected:  # Bonferroni ⊆ BH
+            raise AssertionError(f"rank {r.rank} p={r.p} missed by BH")
+
+
+def test_cuped_reduces_variance(spark, sf_dir):
+    """CUPED must not inflate variance, and the realized reduction
+    should track 1−ρ² (equality is exact only with equal-arm θ;
+    pooled θ keeps them close)."""
+    from etl_gov_spark.operators.mlstats import q_cuped_adjustment
+
+    r = q_cuped_adjustment(spark, sf_dir).collect()[0]
+    assert r.n_treat > 0 and r.n_control > 0
+    assert r.var_ratio <= 1.0 + 1e-6
+    assert abs(r.var_ratio - r.theory_var_ratio) < 0.1

@@ -3995,3 +3995,170 @@ WHERE t.arm = 1 AND c.arm = 0
 """
 
 QUERIES["q_cuped_adjustment"] = (q_cuped_adjustment, Q_CUPED_SQL)
+
+
+def q_sprt_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability-ratio test on an A/B purchase
+    rate (Wald 1945; the early-stopping discipline behind every
+    "can we call it yet" dashboard): arms = user hash split,
+    success = purchase event. H0: treatment rate = control's
+    observed rate p0; H1: p1 = 1.1·p0 (a 10% MDE). The treatment
+    arm's daily-cumulative log-likelihood ratio
+    LLR = s·ln(p1/p0) + (n−s)·ln((1−p1)/(1−p0)) is walked against
+    the Wald boundaries ln((1−β)/α), ln(β/(1−α)) at α=β=0.05, and
+    each day reports the running decision.
+
+    Plan: one events scan → bounded daily grid per arm; p0 is a
+    1-row broadcast from the control arm; the trajectory is a
+    cumulative window over ~days rows. The decision column is a
+    second window (first boundary crossing carries forward), so the
+    full output is replayable — not just the final verdict.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        F.to_date("ts").alias("day"),
+        (F.col("user_id") % 2 == 1).alias("treat"),
+        (F.col("event_type") == "purchase").cast("long").alias("hit"),
+    )
+    daily = ev.groupBy("day", "treat").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("hit").alias("s")
+    )
+    p0row = (
+        daily.filter(~F.col("treat"))
+        .agg((F.sum("s") / F.sum("n")).alias("p0"))
+    )
+    wdays = Window.partitionBy(F.lit(1)).orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    traj = (
+        daily.filter(F.col("treat"))
+        .crossJoin(F.broadcast(p0row))
+        .withColumn("cum_n", F.sum("n").over(wdays))
+        .withColumn("cum_s", F.sum("s").over(wdays))
+        .withColumn("p1", F.col("p0") * 1.1)
+    )
+    llr = F.col("cum_s") * F.log(F.col("p1") / F.col("p0")) + (
+        F.col("cum_n") - F.col("cum_s")
+    ) * F.log((1 - F.col("p1")) / (1 - F.col("p0")))
+    up = F.log(F.lit(0.95 / 0.05))  # ln((1-β)/α)
+    lo = F.log(F.lit(0.05 / 0.95))  # ln(β/(1-α))
+    state = F.when(llr >= up, "accept_h1").when(llr <= lo, "accept_h0")
+    return (
+        traj.withColumn("_llr", llr)
+        .withColumn(
+            "decision",
+            F.coalesce(
+                F.first(state, ignorenulls=True).over(wdays), F.lit("continue")
+            ),
+        )
+        .select(
+            "day",
+            F.col("cum_n").alias("n_obs"),
+            F.col("cum_s").alias("n_hits"),
+            _R4(F.col("_llr"), "llr"),
+            "decision",
+        )
+        .orderBy("day")
+    )
+
+
+Q_SPRT_SQL = """
+WITH ev AS (
+  SELECT CAST(ts AS DATE) AS day, user_id % 2 = 1 AS treat,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+  FROM events
+), daily AS (
+  SELECT day, treat, count(*) AS n, sum(hit) AS s
+  FROM ev GROUP BY 1, 2
+), p0row AS (
+  SELECT sum(s) / CAST(sum(n) AS DOUBLE) AS p0 FROM daily WHERE NOT treat
+), traj AS (
+  SELECT day,
+         CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+         CAST(sum(s) OVER w AS BIGINT) AS cum_s,
+         p0, p0 * 1.1 AS p1
+  FROM daily CROSS JOIN p0row
+  WHERE treat
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), scored AS (
+  SELECT day, cum_n, cum_s,
+         cum_s * ln(p1 / p0) + (cum_n - cum_s) * ln((1 - p1) / (1 - p0)) AS llr
+  FROM traj
+), stated AS (
+  SELECT *,
+         CASE WHEN llr >= ln(0.95 / 0.05) THEN 'accept_h1'
+              WHEN llr <= ln(0.05 / 0.95) THEN 'accept_h0' END AS state
+  FROM scored
+)
+SELECT day, cum_n AS n_obs, cum_s AS n_hits, round(llr, 4) AS llr,
+       coalesce(
+         first_value(state IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         'continue') AS decision
+FROM stated ORDER BY day
+"""
+
+QUERIES["q_sprt_ab"] = (q_sprt_ab, Q_SPRT_SQL)
+
+
+def q_forecast_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mincer-Zarnowitz forecast calibration + Theil MSE
+    decomposition for the weekday-seasonal-naive daily-revenue
+    forecast (the one ``q_seasonal_naive_backtest`` scores): regress
+    actual on forecast — an unbiased, efficient forecast has
+    intercept 0 and slope 1 — and split the MSE into bias²,
+    variance-mismatch, and irreducible-covariance shares (Theil
+    1966), which says WHY the forecast misses, not just how much.
+
+    One orders scan → bounded daily series; the forecast is a lag-7
+    window (no join); everything downstream is a single moment
+    aggregate over ~days rows (regr_slope/intercept/r2 + the Theil
+    shares from the same six moments).
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    wlag = Window.partitionBy(F.lit(1)).orderBy("day")
+    pair = daily.select(
+        "day", "y", F.lag("y", 7).over(wlag).alias("f")
+    ).filter(F.col("f").isNotNull())
+    mse = F.avg(F.pow(F.col("y") - F.col("f"), 2))
+    bias2 = F.pow(F.avg("y") - F.avg("f"), 2)
+    varmm = F.pow(F.stddev_pop("y") - F.stddev_pop("f"), 2)
+    return pair.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _R4(F.regr_intercept("y", "f"), "mz_alpha"),
+        _R4(F.regr_slope("y", "f"), "mz_beta"),
+        _R4(F.pow(F.corr("y", "f"), 2), "r2"),
+        _R4(F.sqrt(mse), "rmse"),
+        _R4(bias2 / mse, "bias_share"),
+        _R4(varmm / mse, "variance_share"),
+        _R4(1.0 - bias2 / mse - varmm / mse, "covariance_share"),
+    )
+
+
+Q_FORECAST_CAL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+  FROM orders GROUP BY 1
+), pair AS (
+  SELECT day, y, lag(y, 7) OVER (ORDER BY day) AS f FROM daily
+), kept AS (
+  SELECT * FROM pair WHERE f IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(regr_intercept(y, f), 4) AS mz_alpha,
+       round(regr_slope(y, f), 4) AS mz_beta,
+       round(pow(corr(y, f), 2), 4) AS r2,
+       round(sqrt(avg(pow(y - f, 2))), 4) AS rmse,
+       round(pow(avg(y) - avg(f), 2) / avg(pow(y - f, 2)), 4) AS bias_share,
+       round(pow(stddev_pop(y) - stddev_pop(f), 2) / avg(pow(y - f, 2)), 4)
+         AS variance_share,
+       round(1.0 - pow(avg(y) - avg(f), 2) / avg(pow(y - f, 2))
+             - pow(stddev_pop(y) - stddev_pop(f), 2) / avg(pow(y - f, 2)), 4)
+         AS covariance_share
+FROM kept
+"""
+
+QUERIES["q_forecast_calibration"] = (q_forecast_calibration, Q_FORECAST_CAL_SQL)

@@ -770,3 +770,39 @@ def test_cuped_reduces_variance(spark, sf_dir):
     assert r.n_treat > 0 and r.n_control > 0
     assert r.var_ratio <= 1.0 + 1e-6
     assert abs(r.var_ratio - r.theory_var_ratio) < 0.1
+
+
+def test_sprt_decision_is_absorbing_and_consistent(spark, sf_dir):
+    """Once the LLR crosses a Wald boundary the decision sticks
+    (first crossing carries forward), counts are monotone, and the
+    decision matches the first crossing's side."""
+    import math
+
+    from etl_gov_spark.operators.mlstats import q_sprt_ab
+
+    rows = q_sprt_ab(spark, sf_dir).collect()
+    assert len(rows) >= 25
+    up, lo = math.log(0.95 / 0.05), math.log(0.05 / 0.95)
+    seen = None
+    prev_n = 0
+    for r in rows:
+        assert r.n_obs >= prev_n and 0 <= r.n_hits <= r.n_obs
+        prev_n = r.n_obs
+        if seen is None:
+            if r.llr >= up:
+                seen = "accept_h1"
+            elif r.llr <= lo:
+                seen = "accept_h0"
+        assert r.decision == (seen or "continue")
+
+
+def test_forecast_calibration_theil_shares_sum(spark, sf_dir):
+    """Theil decomposition shares sum to 1 and each is in [0, 1];
+    the MZ slope of a sane seasonal forecast is positive."""
+    from etl_gov_spark.operators.mlstats import q_forecast_calibration
+
+    r = q_forecast_calibration(spark, sf_dir).collect()[0]
+    s = r.bias_share + r.variance_share + r.covariance_share
+    assert abs(s - 1.0) < 1e-3
+    assert 0 <= r.bias_share <= 1 and 0 <= r.variance_share <= 1
+    assert r.rmse > 0 and r.n_days >= 20

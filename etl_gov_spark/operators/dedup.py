@@ -112,6 +112,36 @@ _SQL_SIG = (
 )
 
 
+JACCARD_T = 0.1
+# Shared oracle fragment: the Jaccard≥t near-dup edge list, derived
+# through the SAME inverted shingle index + MAX_SHINGLE_DF hot-shingle
+# ceiling as _near_dup_edges, so the approximate-but-deterministic
+# edge set matches the Spark plan exactly under any data. Over-cap
+# shingles are star-routed (hub = min doc): only hub-vs-member rows
+# count toward the intersection — mirroring bounded_buckets
+# route="star" — so a giant boilerplate cluster keeps its hub edges
+# (and hence its canonical-doc mapping) instead of vanishing, while
+# every candidate pair is still verified by true Jaccard.
+_SQL_EDGE_PAIRS = rf"""sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+), idx AS (
+  SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh
+), dfs AS (
+  SELECT s, count(*) AS df, min(doc_id) AS hub FROM idx GROUP BY s
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.n AS n_a, b.n AS n_b, count(*) AS n_inter
+  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN dfs d ON d.s = a.s
+  WHERE d.df >= 2 AND (d.df <= {MAX_SHINGLE_DF} OR a.doc_id = d.hub)
+  GROUP BY 1, 2, 3, 4
+), pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_T}
+)"""
+
+
 def minhash_signature_flat(docs: DataFrame) -> DataFrame:
     """Signatures via explode + hash-aggregate instead of nested
     array transforms: (doc, shingle) rows get 8 flat hash columns,
@@ -901,8 +931,6 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _threshold_sweep_sql() -> str:
-    from etl_gov_spark.operators.graphs import _SQL_EDGE_PAIRS
-
     head = _SQL_EDGE_PAIRS.split("), pairs AS (")[0] + ")"
     cols = ", ".join(
         f"CAST(sum(CASE WHEN n_inter / CAST(n_a + n_b - n_inter AS DOUBLE)"

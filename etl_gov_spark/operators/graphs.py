@@ -16,12 +16,14 @@ an exact, engine-independent definition of the same components.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
 from etl_gov_spark.operators.dedup import (
+    _SQL_EDGE_PAIRS,
     _SQL_SHINGLES,
+    JACCARD_T,
     MAX_SHINGLE_DF,
     SHINGLE_K,
     bounded_buckets,
@@ -31,36 +33,8 @@ from etl_gov_spark.operators.dedup import (
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
-JACCARD_T = 0.1
 MAX_ROUNDS = 15
 
-# Shared oracle fragment: the Jaccard≥t near-dup edge list, derived
-# through the SAME inverted shingle index + MAX_SHINGLE_DF hot-shingle
-# ceiling as _near_dup_edges, so the approximate-but-deterministic
-# edge set matches the Spark plan exactly under any data. Over-cap
-# shingles are star-routed (hub = min doc): only hub-vs-member rows
-# count toward the intersection — mirroring bounded_buckets
-# route="star" — so a giant boilerplate cluster keeps its hub edges
-# (and hence its canonical-doc mapping) instead of vanishing, while
-# every candidate pair is still verified by true Jaccard.
-_SQL_EDGE_PAIRS = rf"""sh AS (
-  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS sh
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
-), idx AS (
-  SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sh
-), dfs AS (
-  SELECT s, count(*) AS df, min(doc_id) AS hub FROM idx GROUP BY s
-), inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n AS n_a, b.n AS n_b, count(*) AS n_inter
-  FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
-  JOIN dfs d ON d.s = a.s
-  WHERE d.df >= 2 AND (d.df <= {MAX_SHINGLE_DF} OR a.doc_id = d.hub)
-  GROUP BY 1, 2, 3, 4
-), pairs AS (
-  SELECT doc_a, doc_b FROM inter
-  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_T}
-)"""
 
 
 def _near_dup_edges(docs: DataFrame) -> DataFrame:
@@ -875,3 +849,128 @@ FROM deg LEFT JOIN intra USING (label) CROSS JOIN m
 
 
 QUERIES["graph_modularity"] = (graph_modularity, _modularity_sql())
+
+
+_LINKPRED_TOP = 20
+_CO_MIN = 3  # orders two parts must share to count as an edge
+
+
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-coefficient link prediction (Liben-Nowell &
+    Kleinberg 2003) over the part co-purchase graph: nodes are
+    parts, an edge means the two parts were ordered together in at
+    least ``_CO_MIN`` orders, and for part pairs with NO edge the
+    score |N(a)∩N(b)| / |N(a)∪N(b)| ranks the bundles the graph
+    says are missing — the classic "customers who buy these also
+    buy" candidate list, computed purely from graph structure.
+
+    Scale shape: co-occurrence pairs explode per order (≈ (7 choose
+    2) rows per order — linear in lineitems, never parts²); common
+    neighbors are one self-join of the symmetric adjacency on the
+    shared-neighbor key (Σ deg² wedges, same budget as triangle
+    counting); existing edges leave via a left-anti join; output is
+    a bounded top-20.
+    """
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    edges = co.filter(F.col("n_co") >= _CO_MIN).select("pa", "pb").cache()
+    sym = edges.union(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    x, y = sym.alias("x"), sym.alias("y")
+    commons = (
+        x.join(
+            y,
+            (F.col("x.nbr") == F.col("y.nbr"))
+            & (F.col("x.node") < F.col("y.node")),
+        )
+        .groupBy(
+            F.col("x.node").alias("na"), F.col("y.node").alias("nb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cand = commons.join(
+        edges,
+        (F.col("na") == F.col("pa")) & (F.col("nb") == F.col("pb")),
+        "left_anti",
+    )
+    scored = (
+        cand.join(deg.select(F.col("node").alias("na"), F.col("deg").alias("da")), "na")
+        .join(deg.select(F.col("node").alias("nb"), F.col("deg").alias("db")), "nb")
+        .select(
+            "na",
+            "nb",
+            "n_common",
+            _R4(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                "jaccard",
+            ),
+        )
+    )
+    wtop = Window.orderBy(F.desc("jaccard"), F.asc("na"), F.asc("nb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _LINKPRED_TOP)
+        .select("rank", F.col("na").alias("part_a"), F.col("nb").alias("part_b"),
+                "n_common", "jaccard")
+    )
+
+
+GRAPH_LINKPRED_SQL = rf"""
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), co AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT pa, pb FROM co WHERE n_co >= {_CO_MIN}
+), sym AS (
+  SELECT pa AS node, pb AS nbr FROM edges
+  UNION ALL
+  SELECT pb AS node, pa AS nbr FROM edges
+), deg AS (
+  SELECT node, count(*) AS deg FROM sym GROUP BY node
+), commons AS (
+  SELECT x.node AS na, y.node AS nb, count(*) AS n_common
+  FROM sym x JOIN sym y ON x.nbr = y.nbr AND x.node < y.node
+  GROUP BY 1, 2
+), cand AS (
+  SELECT c.* FROM commons c
+  ANTI JOIN edges e ON c.na = e.pa AND c.nb = e.pb
+), scored AS (
+  SELECT na, nb, CAST(n_common AS BIGINT) AS n_common,
+         round(n_common / CAST(da.deg + db.deg - n_common AS DOUBLE), 4)
+           AS jaccard
+  FROM cand JOIN deg da ON da.node = cand.na
+            JOIN deg db ON db.node = cand.nb
+)
+SELECT CAST(row_number() OVER (ORDER BY jaccard DESC, na ASC, nb ASC)
+            AS INTEGER) AS rank,
+       na AS part_a, nb AS part_b, n_common, jaccard
+FROM scored
+ORDER BY rank LIMIT {_LINKPRED_TOP}
+"""
+
+QUERIES["graph_jaccard_link_prediction"] = (
+    graph_jaccard_link_prediction,
+    GRAPH_LINKPRED_SQL,
+)

@@ -25,7 +25,7 @@ nothing pairs rows, nothing sorts globally.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
@@ -235,3 +235,93 @@ FROM groups GROUP BY c_nationkey
 """
 
 QUERIES["q_l_diversity_audit"] = (q_l_diversity_audit, Q_L_DIVERSITY_SQL)
+
+
+T_CLOSE = 0.3  # total-variation threshold for the closeness audit
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness over the same QI scheme as the k-anonymity /
+    l-diversity audits, completing the disclosure-risk triad (Li et
+    al. 2007, ICDE): a QI group can be k-anonymous AND l-diverse yet
+    still leak if its sensitive-value DISTRIBUTION differs sharply
+    from the table's. Distance = total variation (½·Σ|p_group −
+    p_global|, the categorical EMD) between each (nation, balance-
+    band) group's market-segment mix and the global mix; per nation
+    we report the group census, max/avg distance, and groups over
+    t = 0.3.
+
+    Plan: one customer scan → bounded (nation × band × segment)
+    counts; global segment shares are a 5-row broadcast; everything
+    after is algebra on the bounded grid. Missing (group, segment)
+    cells contribute p_global/2 each — handled in one aggregate by
+    adding (1 − Σ p_global-present)/2 per group, no grid fill join.
+    """
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cell = cust.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    glob = cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("gn"))
+    glob = glob.crossJoin(
+        F.broadcast(glob.agg(F.sum("gn").alias("gt")))
+    ).select("c_mktsegment", (F.col("gn") / F.col("gt")).alias("p_glob"))
+    wg = Window.partitionBy("c_nationkey", "bal_band")
+    scored = (
+        cell.join(F.broadcast(glob), "c_mktsegment")
+        .withColumn("gsize", F.sum("n").over(wg))
+        .withColumn("p_grp", F.col("n") / F.col("gsize"))
+    )
+    tvd = scored.groupBy("c_nationkey", "bal_band").agg(
+        (
+            0.5 * F.sum(F.abs(F.col("p_grp") - F.col("p_glob")))
+            + 0.5 * (1.0 - F.sum("p_glob"))  # segments absent from the group
+        ).alias("tvd")
+    )
+    return (
+        tvd.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(F.max("tvd"), 4).alias("max_tvd"),
+            F.round(F.avg("tvd"), 4).alias("avg_tvd"),
+            F.sum((F.col("tvd") > T_CLOSE).cast("long")).alias("groups_over_t"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q_T_CLOSENESS_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment
+  FROM customer
+), cell AS (
+  SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS n
+  FROM cust GROUP BY 1, 2, 3
+), gdist AS (
+  SELECT c_mktsegment,
+         count(*) / CAST((SELECT count(*) FROM cust) AS DOUBLE) AS p_glob
+  FROM cust GROUP BY 1
+), scored AS (
+  SELECT c.c_nationkey, c.bal_band, c.n, g.p_glob,
+         c.n / CAST(sum(c.n) OVER (PARTITION BY c.c_nationkey, c.bal_band)
+                    AS DOUBLE) AS p_grp
+  FROM cell c JOIN gdist g USING (c_mktsegment)
+), tvd AS (
+  SELECT c_nationkey, bal_band,
+         0.5 * sum(abs(p_grp - p_glob)) + 0.5 * (1.0 - sum(p_glob)) AS tvd
+  FROM scored GROUP BY 1, 2
+)
+SELECT c_nationkey, count(*) AS n_groups,
+       round(max(tvd), 4) AS max_tvd,
+       round(avg(tvd), 4) AS avg_tvd,
+       CAST(sum(CASE WHEN tvd > {T_CLOSE} THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_over_t
+FROM tvd GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+QUERIES["q_t_closeness_audit"] = (q_t_closeness_audit, Q_T_CLOSENESS_SQL)

@@ -88,3 +88,15 @@ def test_balanced_downsample_equalizes_classes(spark, sf_dir):
         read_table(spark, sf_dir, "events").select("event_type").distinct().count()
     )
     assert len(rows) == n_types
+
+
+def test_t_closeness_bounds(spark, sf_dir):
+    """TVD is a metric on [0,1]; per-nation aggregates respect it
+    and the over-threshold count is bounded by the group count."""
+    from etl_gov_spark.operators.privacy import q_t_closeness_audit
+
+    rows = q_t_closeness_audit(spark, sf_dir).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert 0.0 <= r.avg_tvd <= r.max_tvd <= 1.0
+        assert 0 <= r.groups_over_t <= r.n_groups

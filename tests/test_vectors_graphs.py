@@ -396,3 +396,17 @@ def test_alignment_uniformity_ranges(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.alignment <= 4.0  # unit sphere: d2 in [0, 4]
         assert -8.0 <= r.uniformity <= 0.0  # log-mean-exp of exp(-2 d2)
+
+
+def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
+    """Every predicted pair must have common neighbors but NO
+    existing co-purchase edge, scores in (0, 1], ranks dense."""
+    from etl_gov_spark.queries.catalog import all_queries
+
+    qs = all_queries()
+    rows = qs["graph_jaccard_link_prediction"](spark, sf_dir).collect()
+    assert rows, "no candidates predicted"
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.part_a < r.part_b and r.n_common >= 1
+        assert 0.0 < r.jaccard <= 1.0

@@ -2304,3 +2304,83 @@ ORDER BY source
 """
 
 QUERIES["corpus_gopher_rules"] = (corpus_gopher_rules, CORPUS_GOPHER_SQL)
+
+
+def corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-regex tokens per
+    whitespace word (the "fertility" metric from multilingual-
+    tokenizer papers, e.g. XLM-R's), chars per token, and each
+    language's premium over the corpus-best fertility — the number
+    that says a lang pays N× the context budget for the same text,
+    the standard fairness check before fixing a tokenizer or a
+    per-lang mixture weight.
+
+    One documents scan computes both token counts in the same
+    projection; the per-lang rollup is bounded; the corpus-best
+    baseline is a 1-row broadcast, so the premium is algebra on the
+    bounded grid.
+    """
+    from etl_gov_spark.operators.text import _TOKEN_RE
+
+    toks = tokens_col()
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0))
+    per = (
+        Catalog(spark, sf_dir)
+        .documents.select(
+            "lang",
+            F.size(toks).alias("n_words"),
+            bpe.alias("n_bpe"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_bpe").alias("bpe"),
+            F.sum("n_chars").alias("chars"),
+        )
+    )
+    best = per.agg(
+        F.min(F.col("bpe") / F.col("words")).alias("best_fertility")
+    )
+    return (
+        per.crossJoin(F.broadcast(best))
+        .select(
+            "lang",
+            "n_docs",
+            _R4(F.col("bpe") / F.col("words"), "fertility"),
+            _R4(F.col("chars") / F.col("bpe"), "chars_per_token"),
+            _R4(
+                (F.col("bpe") / F.col("words")) / F.col("best_fertility"),
+                "fertility_premium",
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+from etl_gov_spark.operators.text import _TOKEN_RE as _TOKEN_RE2  # noqa: E402
+
+CORPUS_FERTILITY_SQL = rf"""
+WITH per AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS words,
+         sum(len(regexp_extract_all(lower(text), '{_TOKEN_RE2}'))) AS bpe,
+         sum(length(text)) AS chars
+  FROM documents GROUP BY lang
+), best AS (
+  SELECT min(bpe / CAST(words AS DOUBLE)) AS best_fertility FROM per
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       round(bpe / CAST(words AS DOUBLE), 4) AS fertility,
+       round(chars / CAST(bpe AS DOUBLE), 4) AS chars_per_token,
+       round((bpe / CAST(words AS DOUBLE)) / best_fertility, 4)
+         AS fertility_premium
+FROM per CROSS JOIN best
+ORDER BY lang
+"""
+
+QUERIES["corpus_tokenizer_fertility"] = (
+    corpus_tokenizer_fertility,
+    CORPUS_FERTILITY_SQL,
+)

@@ -734,3 +734,15 @@ def test_gopher_rules_census_consistent(spark, sf_dir):
         survivors = round(r.survival_rate * r.n_docs)
         assert survivors >= r.n_docs - sum(fails) - 1  # union bound
         assert survivors <= r.n_docs - max(fails) + 1  # any single rule
+
+
+def test_tokenizer_fertility_premium_floor(spark, sf_dir):
+    """Premium is ≥1 with exactly one language at the floor; BPE
+    token count is at least the word count (regex splits finer)."""
+    from etl_gov_spark.operators.corpus import corpus_tokenizer_fertility
+
+    rows = corpus_tokenizer_fertility(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert min(r.fertility_premium for r in rows) == 1.0
+    for r in rows:
+        assert r.fertility >= 1.0 and r.chars_per_token > 0

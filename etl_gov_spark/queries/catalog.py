@@ -125,6 +125,7 @@ def _families() -> list[dict]:
     for pkg, mod_name in (
         ("pipeline", "demo"),
         ("streaming", "events_stream"),
+        ("streaming", "cdc_stream"),
         ("streaming", "stateful"),
     ):
         try:

@@ -496,3 +496,33 @@ def test_streaming_dedup_state_evicts(spark, tmp_path):
         r.hour: r.n_users for r in spark.table("dedup_evict_sink").collect()
     }
     assert len(got) == 3 and all(n == 10 for n in got.values())
+
+
+def test_stream_cdc_upsert_builds_state_incrementally(spark, sf_dir):
+    """The CDC apply must run one merge per chunk (4 epoch-stamped
+    state versions) and the final state must equal the batch
+    change-log compaction exactly."""
+    from etl_gov_spark.operators.merge import cdc_latest_order_state
+    from etl_gov_spark.streaming import cdc_stream
+
+    got = {
+        r.o_custkey: (r.o_orderkey, r.o_orderdate, r.o_totalprice)
+        for r in cdc_stream.stream_cdc_upsert(spark, sf_dir).collect()
+    }
+    want = {
+        r.o_custkey: (r.o_orderkey, r.o_orderdate, r.o_totalprice)
+        for r in cdc_latest_order_state(spark, sf_dir).collect()
+    }
+    assert got == want
+    # incrementality: every epoch committed its own state version
+    import glob as g
+    import os
+
+    # the latest state dir is .../state/v{N_CHUNKS-1}; its siblings
+    # are the earlier epochs
+    state_dirs = sorted(
+        d
+        for d in g.glob("/tmp/etl_gov_spark_scratch/*/cdc-*/state/v*")
+        if os.path.isdir(d)
+    )
+    assert len(state_dirs) >= cdc_stream.N_CHUNKS

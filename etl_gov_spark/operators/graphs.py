@@ -888,7 +888,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .agg(F.count(F.lit(1)).alias("n_co"))
     )
-    edges = co.filter(F.col("n_co") >= _CO_MIN).select("pa", "pb").cache()
+    edges = (
+        co.filter(F.col("n_co") >= _CO_MIN)
+        .select("pa", "pb")
+        # consumed 5x (sym both directions, anti-join, and via sym by
+        # deg/commons): checkpoint so the per-order pair expansion
+        # runs once
+        .localCheckpoint(eager=False)
+    )
     sym = edges.union(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))

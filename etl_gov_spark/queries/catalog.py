@@ -13,14 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 # Queries pinned to the very front of queries() so the driver's
-# 50-entry correctness prefix re-adjudicates them first. Order:
-# (1) oracle-backed queries the driver has NEVER sampled (added late
-# in round 4, they sat past the 50-entry prefix last round); then
-# (2) queries whose implementation changed this round and therefore
-# need fresh adjudication; then
-# (3) the oldest-vintage green entries (r1/r2 adjudication) to
-# refresh their signal — everything r4 re-confirmed green is demoted
-# to the tail.
+# 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
     # Round 7: the driver adjudicates the FIRST 50 queries() entries.
     # Rounds 1-6 covered 229 of 357; this pin rotates the sample into
@@ -69,15 +62,18 @@ _PINNED_FIRST = (
     "corpus_shuffle_shards",
     "corpus_quality_prune_sweep",
     "q_bitmap_rollup_distinct",
-    "q_incremental_rollup",
-    "q_benford_second_digit",
-    "q_indirect_standardization",
-    "q_hill_tail_index",
-    "q_fano_factor",
-    "q_last_digit_uniformity",
-    "q_nbd_repeat_buying",
-    "q_capture_recapture",
-    "text_cohen_kappa",
+    # new in round 7: adjudicate the fresh implementations before
+    # more vintage never-sampled rows (a new op regressing silently
+    # is worse; the displaced names return in the round-8 rotation)
+    "corpus_gopher_rules",
+    "q_benjamini_hochberg",
+    "q_cuped_adjustment",
+    "q_sprt_ab",
+    "q_forecast_calibration",
+    "q_t_closeness_audit",
+    "graph_jaccard_link_prediction",
+    "corpus_tokenizer_fertility",
+    "stream_cdc_upsert",
 )
 
 

@@ -1372,3 +1372,104 @@ QUERIES["emb_alignment_uniformity"] = (
     emb_alignment_uniformity,
     EMB_ALIGN_UNIFORM_SQL,
 )
+
+
+def emb_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit (Ethayarajh 2019 / Mu & Viswanath 2018): the
+    average pairwise cosine between unit-normalized embeddings —
+    near 0 for an isotropic cloud, large when all vectors share a
+    dominant direction — before and after removing the common mean
+    vector. A big drop after centering is the classic "anisotropic
+    cone" diagnosis (and the fix is exactly that centering).
+
+    Identity: Σᵢ≠ⱼ cos(uᵢ,uⱼ) = ‖Σu‖² − n, so the metric needs only
+    the per-dimension SUM of unit vectors — never a pairwise join.
+    Everything runs in the exploded (vec_id, pos, val) domain:
+    per-vector norms are a groupBy(vec_id), per-dimension sums a
+    groupBy(pos), the mean vector re-enters as a 64-row broadcast.
+    Two linear scans, no O(n²) anywhere, no driver-side model state.
+    """
+    flat = (
+        Catalog(spark, sf_dir)
+        .embeddings.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
+        )
+    )
+    norms = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+    )
+    u = flat.join(norms, "vec_id").select(
+        "vec_id", "pos", (F.col("val") / F.col("nrm")).alias("u")
+    )
+    s = u.groupBy("pos").agg(
+        F.sum("u").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    # centered pass: ū = s/n per dimension, broadcast back
+    c = u.join(F.broadcast(s.select("pos", (F.col("s") / F.col("n")).alias("ubar"))), "pos").select(
+        "vec_id", "pos", (F.col("u") - F.col("ubar")).alias("c")
+    )
+    cnorms = c.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnrm")
+    )
+    t = (
+        c.join(cnorms, "vec_id")
+        .select("pos", (F.col("c") / F.col("cnrm")).alias("w"))
+        .groupBy("pos")
+        .agg(F.sum("w").alias("t"))
+    )
+    raw = s.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+    )
+    cen = t.agg(F.sum(F.col("t") * F.col("t")).alias("tt"))
+    avg = lambda q: (q - F.col("n")) / (F.col("n") * (F.col("n") - 1))  # noqa: E731
+    return raw.crossJoin(F.broadcast(cen)).select(
+        "n",
+        "dim",
+        _R4(avg(F.col("ss")), "avg_pairwise_cos"),
+        _R4(avg(F.col("tt")), "centered_avg_cos"),
+        _R4(avg(F.col("ss")) - avg(F.col("tt")), "anisotropy_drop"),
+    )
+
+
+EMB_ISOTROPY_SQL = """
+WITH flat AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), norms AS (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM flat GROUP BY vec_id
+), u AS (
+  SELECT f.vec_id, f.pos, f.val / n.nrm AS u
+  FROM flat f JOIN norms n USING (vec_id)
+), s AS (
+  SELECT pos, sum(u) AS s, count(*) AS n FROM u GROUP BY pos
+), c AS (
+  SELECT u.vec_id, u.pos, u.u - s.s / s.n AS c
+  FROM u JOIN s USING (pos)
+), cnorms AS (
+  SELECT vec_id, sqrt(sum(c * c)) AS cnrm FROM c GROUP BY vec_id
+), t AS (
+  SELECT c.pos, sum(c.c / cn.cnrm) AS t
+  FROM c JOIN cnorms cn USING (vec_id)
+  GROUP BY c.pos
+), raw AS (
+  SELECT CAST(max(n) AS BIGINT) AS n, count(*) AS dim,
+         sum(s * s) AS ss
+  FROM s
+), cen AS (
+  SELECT sum(t * t) AS tt FROM t
+)
+SELECT n, dim,
+       round((ss - n) / (n * (n - 1.0)), 4) AS avg_pairwise_cos,
+       round((tt - n) / (n * (n - 1.0)), 4) AS centered_avg_cos,
+       round((ss - n) / (n * (n - 1.0)) - (tt - n) / (n * (n - 1.0)), 4)
+         AS anisotropy_drop
+FROM raw CROSS JOIN cen
+"""
+
+QUERIES["emb_isotropy"] = (emb_isotropy, EMB_ISOTROPY_SQL)

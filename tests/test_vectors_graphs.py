@@ -410,3 +410,28 @@ def test_link_prediction_candidates_are_nonedges(spark, sf_dir):
     for r in rows:
         assert r.part_a < r.part_b and r.n_common >= 1
         assert 0.0 < r.jaccard <= 1.0
+
+
+def test_isotropy_identity_against_bruteforce(spark, sf_dir):
+    """The ‖Σu‖² shortcut must equal the literal O(n²) average
+    pairwise cosine (checked on the sf0.001 slice), and centering
+    must not increase it."""
+    import numpy as np
+
+    from etl_gov_spark.operators.vectors import emb_isotropy
+
+    r = emb_isotropy(spark, sf_dir).collect()[0]
+    emb = np.array(
+        [
+            row.embedding
+            for row in Catalog(spark, sf_dir).embeddings.select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    u = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    n = len(u)
+    gram = u @ u.T
+    brute = (gram.sum() - np.trace(gram)) / (n * (n - 1))
+    assert abs(r.avg_pairwise_cos - brute) < 1e-3
+    assert r.n == n and r.dim == emb.shape[1]
+    assert r.centered_avg_cos <= r.avg_pairwise_cos + 1e-6

@@ -219,3 +219,28 @@ def executor_override_conf(executor_config: dict) -> dict[str, str]:
     for k, v in (executor_config.get("node_selector") or {}).items():
         conf[f"spark.kubernetes.node.selector.{k}"] = str(v)
     return conf
+
+
+def python_env_conf(
+    archive: str, python_rel_path: str = "bin/python"
+) -> dict[str, str]:
+    """Executor-side Python-dependency isolation for a cluster
+    submit: ship a packed venv/conda archive (`venv-pack` /
+    `conda-pack` output) and point every Python worker at its
+    interpreter — the cluster-wide counterpart of the driver-side
+    ``Pipeline.run_python_venv`` task (tutorial_taskflow_api_
+    virtualenv.py parity at executor scale). Returns the conf pairs
+    for ``submit_command(extra_conf=...)``:
+
+    - ``spark.archives`` = ``{archive}#environment`` (unpacked into
+      every executor's working dir under the alias)
+    - ``spark.pyspark.python`` = the unpacked interpreter, used by
+      every Pandas-UDF / mapInPandas worker
+
+    Pure rendering — nothing is packed or shipped here.
+    """
+    alias = "environment"
+    return {
+        "spark.archives": f"{archive}#{alias}",
+        "spark.pyspark.python": f"./{alias}/{python_rel_path}",
+    }

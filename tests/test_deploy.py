@@ -101,3 +101,22 @@ def test_pipeline_triggers_submit(spark, tmp_path):
     ctx = p.run()
     assert ctx.outputs["submit"] == "SUBMITTED"
     assert "--master yarn" in record.read_text()
+
+
+def test_python_env_conf_rendering():
+    """Packed-venv submit confs: archive aliased, workers pointed at
+    the unpacked interpreter, and composable with submit_command."""
+    from etl_gov_spark.deploy import (
+        REFERENCE_SHAPE,
+        python_env_conf,
+        size_executors,
+        submit_command,
+    )
+
+    conf = python_env_conf("s3://bucket/venv.tar.gz")
+    assert conf["spark.archives"] == "s3://bucket/venv.tar.gz#environment"
+    assert conf["spark.pyspark.python"] == "./environment/bin/python"
+    argv = submit_command(
+        "job.py", "yarn", size_executors(REFERENCE_SHAPE), extra_conf=conf
+    )
+    assert any("spark.archives=" in a for a in argv)

@@ -26,10 +26,46 @@ from etl_gov_spark.operators.similarity import TOP_K, _dot, _norm
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
-N_CENTROIDS_STRIDE = 61  # vec_id % stride == 0 → ~16 seeds at sf0.001+
+N_CENTROIDS_CAP = 64  # coarse-quantizer size k: a MODEL
+# hyperparameter: k = clamp(N/64, 8, 64) — proportional only until
+# the cap, so assignment cost O(N·k·dim) stays O(N) past 4k vectors
+# (nprobe is fixed at 3 for this bench workload; at production scale
+# k ~ sqrt(N) with nprobe scaled alongside and the centroid model
+# broadcast-joined rather than inlined). Seeds are the k vectors
+# with the smallest md5(vec_id) — a distributed TakeOrdered (no
+# full sort), deterministic and engine-portable, and UNcorrelated
+# with id layout. Round 7's stress runs caught both prior designs:
+# a fixed stride (61) made k grow linearly with N (O(N·k·dim)
+# assignment went quadratic — a 10x table ran 20x slower), and an
+# N-derived stride still sampled by id arithmetic, which collapsed
+# to ~4 distinct seeds on a block-replicated table (cells of 15k,
+# probe scoring degenerated to brute force). Hash-ordered seeding
+# keeps k fixed and uniformly spread under any id structure. At
+# true 100 TB scale the right k is ~sqrt(N) with the centroid model
+# broadcast-joined (not a plan literal); for the scales this
+# container reaches, bounded-k literal folding is the faster
+# physical strategy.
 LLOYD_ITERS = 2
 N_PROBE = 3
 QUERY_STRIDE = 50
+
+
+def _seed_ids(vecs: DataFrame) -> DataFrame:
+    """The k = clamp(N/64, 8, 64) seed vec_ids: smallest
+    md5(vec_id), vec_id as the tiebreak — Spark executes ORDER BY +
+    LIMIT as a distributed TakeOrdered (per-partition top-k, tiny
+    driver merge), so seeding never global-sorts the table. The
+    count is one cheap job (model-sizing scalar). Mirrored by the
+    seedids QUALIFY CTE in the oracles."""
+    k = min(N_CENTROIDS_CAP, max(8, vecs.count() // 64))
+    return (
+        vecs.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("_h")
+        )
+        .orderBy("_h", "vec_id")
+        .limit(k)
+        .select("vec_id")
+    )
 
 
 def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,13 +239,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = [
         (r.cid, r.cv)
-        for r in emb.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0)
+        for r in emb.join(F.broadcast(_seed_ids(emb)), "vec_id")
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         .collect()  # k seed vectors — model state, not data
     ]
     for _ in range(LLOYD_ITERS):
         model = [(r.cid, r.cv) for r in _recompute(_assign(emb, model)).collect()]
-    cells = _assign(emb, model)
+    # checkpoint the final assignment: the literal centroid model is
+    # a k x 64-double expression; leaving it inline puts that whole
+    # subtree in the scoring lineage TWICE (cells + probes), and the
+    # 30x stress run measured the scoring stage at 27 s vs 1.6 s
+    # from a materialized assignment. N rows of (id, v, cid) — the
+    # same bounded materialization the Lloyd collects already pay.
+    cells = _assign(emb, model).localCheckpoint(eager=False)
 
     q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
@@ -233,13 +275,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 N_PROBE,
             )
         ).alias("_p"),
-    ).select("q_id", "qv", F.col("_p.cid").alias("cid"))
+    ).select("q_id", "qv", F.col("_p.cid").alias("cid")).localCheckpoint(
+        eager=False  # Q x nprobe rows; truncates the model literal too
+    )
+    # norms precomputed ONCE per side before the candidate join:
+    # higher-order-function folds are interpreted per element, so
+    # computing them per CANDIDATE (nprobe x cell_size pairs) was 3
+    # folds x 64 dims per pair — the 30x stress run measured the
+    # scoring stage at 27 s; with per-row norms it is one dot fold
+    # per pair (~3x less interpreted work), same values exactly
+    cells_n = cells.withColumn("_nrm", _norm("v"))
+    probes_n = probes.withColumn("_qnrm", _norm("qv"))
     cand = (
-        F.broadcast(probes)
-        .join(cells, "cid")
+        F.broadcast(probes_n)
+        .join(cells_n, "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
     )
-    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    cos = _dot("qv", "v") / (F.col("_qnrm") * F.col("_nrm"))
     scored = cand.select(
         "q_id", F.col("vec_id").alias("cand_id"), F.round(cos, 6).alias("_cos")
     )
@@ -287,8 +339,13 @@ def _sql_recompute(assign_cte: str, out: str) -> str:
 ANN_IVF_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedids AS (
+  SELECT vec_id FROM vecs
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM vecs) // 64))
 ), seeds AS (
-  SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+  SELECT vec_id AS cid, v AS cv FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
 ), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
 {_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
 {_sql_assign("vecs", "c2", "cells")},
@@ -399,7 +456,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "m", "sv", F.col("_best.cid").alias("cid"))
         )
 
-    codebook = sub.filter(F.col("vec_id") % N_CENTROIDS_STRIDE == 0).select(
+    codebook = sub.join(F.broadcast(_seed_ids(unit)), "vec_id").select(
         "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
     )
     refined = (
@@ -491,8 +548,13 @@ WITH vecs AS (
   SELECT vec_id, m,
          list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
   FROM unit CROSS JOIN ms
+), seedids AS (
+  SELECT vec_id FROM unit
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM unit) // 64))
 ), seeds AS (
-  SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id % {N_CENTROIDS_STRIDE} = 0
+  SELECT m, vec_id AS cid, sv AS cv FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
 ), {_sql_pq_assign("seeds", "a0")}, refined AS (
   SELECT m, cid, list(round(c, 6) ORDER BY pos) AS cv
   FROM (

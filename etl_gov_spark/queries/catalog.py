@@ -60,8 +60,9 @@ _PINNED_FIRST = (
     "dedup_threshold_sensitivity",
     "corpus_length_buckets",
     "corpus_shuffle_shards",
-    "corpus_quality_prune_sweep",
-    "q_bitmap_rollup_distinct",
+    # implementation changed in round 7 (scale fixes): re-adjudicate
+    "ann_ivf_topk",
+    "ann_pq_topk",
     # new in round 7: adjudicate the fresh implementations before
     # more vintage never-sampled rows (a new op regressing silently
     # is worse; the displaced names return in the round-8 rotation)

@@ -1535,3 +1535,115 @@ FROM raw CROSS JOIN cen
 """
 
 QUERIES["emb_isotropy"] = (emb_isotropy, EMB_ISOTROPY_SQL)
+
+
+def emb_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per label (Hruschka et al. 2004 — the
+    centroid-based variant sklearn large-scale guides recommend):
+    per vector, a = distance to own-label centroid, b = distance to
+    the nearest OTHER label's centroid, s = (b − a)/max(a, b);
+    rolled up to per-label mean silhouette, the share of negative-s
+    members (likely mislabeled / boundary points), and the count.
+    The exact silhouette is O(N²); the centroid form is the one
+    that survives scale, and it complements ``emb_davies_bouldin``
+    (DB says which labels CONFUSE; silhouette says how many members
+    each label is actually losing).
+
+    Plan: centroids via one (label, pos) aggregate over the exploded
+    vectors; per-vector a/b via a broadcast of the bounded
+    |labels|×64 centroid table folded per row (min over other
+    labels inside one array expression); one bounded groupBy ends
+    it. Two linear passes, no pairwise join.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc")
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("_pc", lambda s: s["c"]).alias("cv"),
+        )
+    )
+    # bounded |labels| x 64 table folded per row via a collected
+    # literal-free broadcast: collect_list into ONE row, cross-join
+    cmodel = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct("clabel", "cv"))
+        ).alias("cents")
+    )
+    d2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with("v", c["cv"], lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    a_d2 = F.array_min(
+        F.transform(
+            F.filter("cents", lambda c: c["clabel"] == F.col("label")),
+            d2,
+        )
+    )
+    b_d2 = F.array_min(
+        F.transform(
+            F.filter("cents", lambda c: c["clabel"] != F.col("label")),
+            d2,
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cmodel)).select(
+        "label",
+        F.sqrt(F.round(a_d2, 6)).alias("a"),
+        F.sqrt(F.round(b_d2, 6)).alias("b"),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            _R4(F.avg(s), "mean_silhouette"),
+            _R4(F.avg((s < 0).cast("double")), "frac_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+EMB_SIMPLIFIED_SILHOUETTE_SQL = """
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cent AS (
+  SELECT label AS clabel, list(round(c, 6) ORDER BY pos) AS cv
+  FROM (
+    SELECT label, pos, avg(val) AS c
+    FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS val
+          FROM vecs)
+    GROUP BY label, pos
+  ) GROUP BY label
+), scored AS (
+  SELECT x.label,
+         sqrt(round(min(CASE WHEN c.clabel = x.label THEN
+           list_sum(list_transform(generate_series(1, len(x.v)),
+                    i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))) END), 6))
+           AS a,
+         sqrt(round(min(CASE WHEN c.clabel <> x.label THEN
+           list_sum(list_transform(generate_series(1, len(x.v)),
+                    i -> (x.v[i] - c.cv[i]) * (x.v[i] - c.cv[i]))) END), 6))
+           AS b
+  FROM vecs x CROSS JOIN cent c
+  GROUP BY x.vec_id, x.label
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_members,
+       round(avg((b - a) / greatest(a, b)), 4) AS mean_silhouette,
+       round(avg(CASE WHEN (b - a) / greatest(a, b) < 0
+                 THEN 1.0 ELSE 0.0 END), 4) AS frac_negative
+FROM scored GROUP BY label ORDER BY label
+"""
+
+QUERIES["emb_simplified_silhouette"] = (
+    emb_simplified_silhouette,
+    EMB_SIMPLIFIED_SILHOUETTE_SQL,
+)

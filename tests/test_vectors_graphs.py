@@ -435,3 +435,18 @@ def test_isotropy_identity_against_bruteforce(spark, sf_dir):
     assert abs(r.avg_pairwise_cos - brute) < 1e-3
     assert r.n == n and r.dim == emb.shape[1]
     assert r.centered_avg_cos <= r.avg_pairwise_cos + 1e-6
+
+
+def test_simplified_silhouette_bounds(spark, sf_dir):
+    """s ∈ [−1, 1] and member counts total the table. (No
+    separation assertion: the synthetic labels are near-random in
+    embedding space — mean silhouette ≈ 0 — which is itself the
+    diagnosis the operator exists to deliver.)"""
+    from etl_gov_spark.operators.vectors import emb_simplified_silhouette
+
+    rows = emb_simplified_silhouette(spark, sf_dir).collect()
+    total = Catalog(spark, sf_dir).embeddings.count()
+    assert sum(r.n_members for r in rows) == total
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert 0.0 <= r.frac_negative <= 1.0

@@ -949,3 +949,106 @@ QUERIES["dedup_threshold_sensitivity"] = (
     dedup_threshold_sensitivity,
     _threshold_sweep_sql(),
 )
+
+
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding RECALL audit, the missing half of
+    ``dedup_minhash_calibration`` (which only sees pairs the LSH
+    DID emit): against the exact inverted-index Jaccard pairs (the
+    same df-capped machinery the near-dup edge builder runs — the
+    ground truth), what fraction of truly-similar pairs does the
+    4-band/2-hash signature banding surface as candidates, reported
+    per similarity band? This is the empirical S-curve: recall must
+    climb toward 1 as true Jaccard rises, and a future change to
+    N_BANDS/N_HASHES/shingling shows up here as a dropped band
+    before it silently under-deduplicates a corpus.
+
+    Truth pairs come from one bucket-local pair expansion (Σ df²
+    per shingle, star-routed over the cap); LSH candidates are the
+    banding pipeline's own output; the comparison is one join on
+    the pair key. Nothing is corpus².
+    """
+    sh = shingled_docs(
+        Catalog(spark, sf_dir).documents.select("doc_id", "text"),
+        "doc_id",
+        distinct=True,
+    )
+    index = sh.select(
+        F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
+        F.explode("sh").alias("s"),
+    )
+    buckets = bounded_buckets(
+        index.groupBy("s")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "dedup_lsh_recall",
+        route="star",
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    truth = inter.select(
+        "doc_a",
+        "doc_b",
+        F.when(jac >= 0.7, "0.7-1.0")
+        .when(jac >= 0.5, "0.5-0.7")
+        .when(jac >= 0.3, "0.3-0.5")
+        .alias("band"),
+    ).filter(F.col("band").isNotNull())
+    cands = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("_hit")
+    )
+    return (
+        truth.join(cands, ["doc_a", "doc_b"], "left")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true_pairs"),
+            F.sum(F.coalesce("_hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_captured"),
+            F.round(
+                F.sum(F.coalesce("_hit", F.lit(0))) / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
+        .orderBy("band")
+    )
+
+
+# SQL: truth = the shared edge-pair inverted index kept up to the
+# `inter` stage (same split trick as _threshold_sweep_sql); LSH
+# candidates = the minhash oracle's own CTE chain up to `cand`.
+_LSH_CAND_HEAD = DEDUP_MINHASH_SQL.split("\nSELECT doc_a, doc_b,")[0].strip()
+_TRUTH_HEAD = _SQL_EDGE_PAIRS.split("), pairs AS (")[0] + ")"
+
+DEDUP_LSH_RECALL_SQL = rf"""
+{_LSH_CAND_HEAD}, {_TRUTH_HEAD}, truth AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.7 THEN '0.7-1.0'
+              WHEN n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.5 THEN '0.5-0.7'
+              WHEN n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3 THEN '0.3-0.5'
+         END AS band
+  FROM inter
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.3
+), cands AS (
+  SELECT DISTINCT doc_a, doc_b FROM cand
+)
+SELECT t.band, CAST(count(*) AS BIGINT) AS n_true_pairs,
+       CAST(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_captured,
+       round(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS recall
+FROM truth t LEFT JOIN cands c USING (doc_a, doc_b)
+GROUP BY t.band ORDER BY t.band
+"""
+
+QUERIES["dedup_lsh_recall"] = (dedup_lsh_recall, DEDUP_LSH_RECALL_SQL)

@@ -981,3 +981,4 @@ QUERIES["graph_jaccard_link_prediction"] = (
     graph_jaccard_link_prediction,
     GRAPH_LINKPRED_SQL,
 )
+

@@ -328,3 +328,19 @@ def test_threshold_sweep_monotone(spark, sf_dir):
         >= r.pairs_ge_05
         >= 0
     )
+
+
+def test_lsh_recall_audit(spark, sf_dir):
+    """Recall ∈ [0,1] per band, captured ≤ true, and the corpus's
+    high-similarity near-dups (≥0.7) must be fully recalled — 4
+    bands of 2 hashes catch J≥0.7 pairs with near-certainty, so a
+    miss there means the banding broke."""
+    from etl_gov_spark.operators.dedup import dedup_lsh_recall
+
+    rows = dedup_lsh_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_captured <= r.n_true_pairs
+        assert 0.0 <= r.recall <= 1.0
+    top = [r for r in rows if r.band == "0.7-1.0"]
+    assert top and top[0].recall >= 0.95

@@ -4162,3 +4162,145 @@ FROM kept
 """
 
 QUERIES["q_forecast_calibration"] = (q_forecast_calibration, Q_FORECAST_CAL_SQL)
+
+
+_LOGIT_ITERS = 3
+
+
+def q_logit_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-feature logistic regression by Newton-Raphson:
+    P(returned | discount) over lineitem, β from (0,0) through
+    three Newton steps — each step ONE distributed conditional
+    aggregate (five sums) and a 2×2 closed-form solve on the
+    driver (scalar model state, the Lloyd/PCA pattern). Reports
+    coefficients, Wald standard errors from the final Hessian, the
+    log-likelihood, and McFadden's pseudo-R² — the classical
+    price-sensitivity readout run at any scale, since each
+    iteration touches the data exactly once and ships back five
+    doubles.
+
+    β is quantized to 8 dp at every iteration boundary, so the
+    DuckDB oracle replays the identical trajectory as three
+    unrolled CTEs (scalars carried by cross join, no literals).
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+        F.col("l_discount").alias("x"),
+    )
+    b0, b1 = 0.0, 0.0
+    for _ in range(_LOGIT_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+        w = p * (1.0 - p)
+        r = li.agg(
+            F.sum(F.col("y") - p).alias("g0"),
+            F.sum((F.col("y") - p) * F.col("x")).alias("g1"),
+            F.sum(w).alias("h00"),
+            F.sum(w * F.col("x")).alias("h01"),
+            F.sum(w * F.col("x") * F.col("x")).alias("h11"),
+        ).collect()[0]
+        det = r.h00 * r.h11 - r.h01 * r.h01
+        b0 = round(b0 + (r.h11 * r.g0 - r.h01 * r.g1) / det, 8)
+        b1 = round(b1 + (r.h00 * r.g1 - r.h01 * r.g0) / det, 8)
+    p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+    w = p * (1.0 - p)
+    eps = F.lit(1e-12)
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.lit(b0).alias("beta0"),
+        F.lit(b1).alias("beta1"),
+        _R4(
+            F.sqrt(
+                F.sum(w * F.col("x") * F.col("x"))
+                / (
+                    F.sum(w) * F.sum(w * F.col("x") * F.col("x"))
+                    - F.sum(w * F.col("x")) * F.sum(w * F.col("x"))
+                )
+            ),
+            "se_beta0",
+        ),
+        _R4(
+            F.sqrt(
+                F.sum(w)
+                / (
+                    F.sum(w) * F.sum(w * F.col("x") * F.col("x"))
+                    - F.sum(w * F.col("x")) * F.sum(w * F.col("x"))
+                )
+            ),
+            "se_beta1",
+        ),
+        _R4(
+            F.sum(
+                F.col("y") * F.log(p + eps)
+                + (1 - F.col("y")) * F.log(1 - p + eps)
+            ),
+            "log_lik",
+        ),
+        _R4(
+            1
+            - F.sum(
+                F.col("y") * F.log(p + eps)
+                + (1 - F.col("y")) * F.log(1 - p + eps)
+            )
+            / (
+                F.sum(F.col("y")) * F.log(F.avg("y"))
+                + F.sum(1 - F.col("y")) * F.log(1 - F.avg("y"))
+            ),
+            "mcfadden_r2",
+        ),
+    )
+
+
+def _logit_iter_sql(prev: str, out: str) -> str:
+    """One unrolled Newton step: sums under the previous β, then
+    the 2×2 solve, β rounded to 8 dp (mirrors the Spark loop)."""
+    return f"""{out}_s AS (
+  SELECT sum(y - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) AS g0,
+         sum((y - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x) AS g1,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))))) AS h00,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x) AS h01,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x * x) AS h11,
+         max(b0) AS b0, max(b1) AS b1
+  FROM li CROSS JOIN {prev}
+), {out} AS (
+  SELECT round(b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 8) AS b0,
+         round(b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 8) AS b1
+  FROM {out}_s
+)"""
+
+
+Q_LOGIT_SQL = f"""
+WITH li AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         l_discount AS x
+  FROM lineitem
+), it0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+{_logit_iter_sql("it0", "it1")},
+{_logit_iter_sql("it1", "it2")},
+{_logit_iter_sql("it2", "it3")},
+fin AS (
+  SELECT count(*) AS n, max(b0) AS beta0, max(b1) AS beta1,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))))) AS sw,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x) AS swx,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x * x) AS swxx,
+         sum(y * ln(1.0 / (1.0 + exp(-(b0 + b1 * x))) + 1e-12)
+             + (1 - y) * ln(1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))) + 1e-12))
+           AS ll,
+         sum(y) AS sy, avg(y) AS ybar
+  FROM li CROSS JOIN it3
+)
+SELECT n, beta0, beta1,
+       round(sqrt(swxx / (sw * swxx - swx * swx)), 4) AS se_beta0,
+       round(sqrt(sw / (sw * swxx - swx * swx)), 4) AS se_beta1,
+       round(ll, 4) AS log_lik,
+       round(1 - ll / (sy * ln(ybar) + (n - sy) * ln(1 - ybar)), 4)
+         AS mcfadden_r2
+FROM fin
+"""
+
+QUERIES["q_logit_newton"] = (q_logit_newton, Q_LOGIT_SQL)

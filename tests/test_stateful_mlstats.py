@@ -806,3 +806,32 @@ def test_forecast_calibration_theil_shares_sum(spark, sf_dir):
     assert abs(s - 1.0) < 1e-3
     assert 0 <= r.bias_share <= 1 and 0 <= r.variance_share <= 1
     assert r.rmse > 0 and r.n_days >= 20
+
+
+def test_logit_newton_against_reference(spark, sf_dir):
+    """The 3-step Newton fit must match an independent scipy-free
+    reference fit (many more iterations, numpy) to ~1e-3, and the
+    likelihood must beat the intercept-only model."""
+    import numpy as np
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.mlstats import q_logit_newton
+
+    r = q_logit_newton(spark, sf_dir).collect()[0]
+    pdf = (
+        read_table(spark, sf_dir, "lineitem")
+        .selectExpr(
+            "CAST(l_returnflag = 'R' AS DOUBLE) AS y", "l_discount AS x"
+        )
+        .toPandas()
+    )
+    y, x = pdf.y.to_numpy(), pdf.x.to_numpy()
+    b = np.zeros(2)
+    X = np.column_stack([np.ones_like(x), x])
+    for _ in range(25):
+        p = 1.0 / (1.0 + np.exp(-(X @ b)))
+        w = p * (1 - p)
+        H = X.T @ (X * w[:, None])
+        b = b + np.linalg.solve(H, X.T @ (y - p))
+    assert abs(r.beta0 - b[0]) < 1e-3 and abs(r.beta1 - b[1]) < 1e-3
+    assert r.mcfadden_r2 >= 0.0 and r.se_beta1 > 0

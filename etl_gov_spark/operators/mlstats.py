@@ -4304,3 +4304,193 @@ FROM fin
 """
 
 QUERIES["q_logit_newton"] = (q_logit_newton, Q_LOGIT_SQL)
+
+
+def q_weibull_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of order-fulfillment durations by median-rank
+    regression (the standard reliability-engineering estimator —
+    Abernethy's plotting method): empirical CDF via Bernard's
+    approximation F̂ = (i − 0.3)/(n + 0.4) over rank-ordered
+    durations, then ln(−ln(1−F̂)) on ln(t) is LINEAR with slope =
+    shape k and intercept = −k·ln(λ). Reports k (k<1 infant
+    mortality, k≈1 exponential/memoryless, k>1 wear-out), scale λ,
+    fit R², and the B10 life (time by which 10% of orders
+    complete) — the distributional upgrade over ``q_mtbf_
+    reliability``'s exponential assumption, and the check that says
+    whether that assumption was even admissible.
+
+    One join builds durations, one global rank window orders them,
+    one regr_* aggregate fits — O(N log N) in the sort, nothing
+    quadratic, no iteration.
+    """
+    cat = Catalog(spark, sf_dir)
+    done = cat.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("done_day")
+    )
+    dur = (
+        cat.orders.join(
+            done, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .select(
+            (
+                F.datediff("done_day", F.to_date("o_orderdate")) + F.lit(1)
+            )
+            .cast("double")
+            .alias("t")
+        )
+        .filter(F.col("t") > 0)
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("t")
+    ranked = dur.select(
+        "t",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    xy = ranked.select(
+        F.log("t").alias("lx"),
+        F.log(
+            -F.log(1.0 - (F.col("i") - 0.3) / (F.col("n") + 0.4))
+        ).alias("ly"),
+    )
+    k = F.regr_slope("ly", "lx")
+    lam = F.exp(-F.regr_intercept("ly", "lx") / k)
+    return xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        _R4(k, "shape_k"),
+        _R4(lam, "scale_lambda"),
+        _R4(F.regr_r2("ly", "lx"), "r2"),
+        # B10: F(t)=0.10 → t = λ (−ln 0.9)^(1/k)
+        _R4(lam * F.pow(F.lit(-1.0) * F.log(F.lit(0.9)), 1.0 / k), "b10_days"),
+    )
+
+
+Q_WEIBULL_SQL = """
+WITH done AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done_day
+  FROM lineitem GROUP BY l_orderkey
+), dur AS (
+  SELECT CAST(datediff('day', CAST(o_orderdate AS DATE), done_day) + 1
+              AS DOUBLE) AS t
+  FROM orders JOIN done ON o_orderkey = l_orderkey
+  WHERE datediff('day', CAST(o_orderdate AS DATE), done_day) + 1 > 0
+), ranked AS (
+  SELECT t, row_number() OVER (ORDER BY t) AS i, count(*) OVER () AS n
+  FROM dur
+), xy AS (
+  SELECT ln(t) AS lx,
+         ln(-ln(1.0 - (i - 0.3) / (n + 0.4))) AS ly
+  FROM ranked
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(ly, lx), 4) AS shape_k,
+       round(exp(-regr_intercept(ly, lx) / regr_slope(ly, lx)), 4)
+         AS scale_lambda,
+       round(regr_r2(ly, lx), 4) AS r2,
+       round(exp(-regr_intercept(ly, lx) / regr_slope(ly, lx))
+             * pow(-ln(0.9), 1.0 / regr_slope(ly, lx)), 4) AS b10_days
+FROM xy
+"""
+
+QUERIES["q_weibull_reliability"] = (q_weibull_reliability, Q_WEIBULL_SQL)
+
+
+_HURST_WINDOWS = (8, 16, 32, 64)
+
+
+def q_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily order-revenue series by
+    rescaled-range (R/S) analysis over dyadic block sizes: for each
+    block size m ∈ {8,16,32,64}, average R/S over the disjoint
+    blocks, then H = slope of ln(R/S) on ln(m). H ≈ 0.5 is a
+    random walk, H > 0.5 long-range persistence (trends compound —
+    capacity planning must NOT assume iid days), H < 0.5 mean
+    reversion. Complements ``q_permutation_entropy`` (local
+    complexity) with the long-memory diagnosis.
+
+    One orders scan → bounded daily series; every block statistic
+    is a grouped aggregate over (block size × block) keys — the
+    4-way unioned grid is still bounded by 4×⌈days/8⌉ rows; the
+    final fit is a 4-point regression. No driver loops.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    wd = Window.partitionBy(F.lit(1)).orderBy("day")
+    seq = daily.select(
+        "y", (F.row_number().over(wd) - 1).alias("idx")
+    )
+    grids = None
+    for m in _HURST_WINDOWS:
+        g = seq.select(
+            F.lit(m).alias("m"),
+            (F.col("idx") / m).cast("long").alias("blk"),
+            "idx",
+            "y",
+        )
+        grids = g if grids is None else grids.unionByName(g)
+    wb = Window.partitionBy("m", "blk").orderBy("idx")
+    dev = (
+        grids.withColumn("mu", F.avg("y").over(Window.partitionBy("m", "blk")))
+        .withColumn("cum", F.sum(F.col("y") - F.col("mu")).over(wb))
+    )
+    rs = (
+        dev.groupBy("m", "blk")
+        .agg(
+            (F.max("cum") - F.min("cum")).alias("r"),
+            F.stddev_pop("y").alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .filter((F.col("cnt") == F.col("m")) & (F.col("s") > 0))
+        .groupBy("m")
+        .agg(F.avg(F.col("r") / F.col("s")).alias("rs"))
+    )
+    return rs.agg(
+        F.count(F.lit(1)).alias("n_scales"),
+        _R4(
+            F.regr_slope(F.log("rs"), F.log(F.col("m").cast("double"))),
+            "hurst",
+        ),
+        _R4(
+            F.regr_r2(F.log("rs"), F.log(F.col("m").cast("double"))), "r2"
+        ),
+    )
+
+
+Q_HURST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+  FROM orders GROUP BY 1
+), seq AS (
+  SELECT y, row_number() OVER (ORDER BY day) - 1 AS idx FROM daily
+), grids AS (
+  SELECT m, idx // m AS blk, idx, y
+  FROM seq CROSS JOIN (
+    SELECT unnest([{", ".join(str(m) for m in _HURST_WINDOWS)}]) AS m
+  )
+), mu AS (
+  SELECT m, blk, idx, y, avg(y) OVER (PARTITION BY m, blk) AS mu
+  FROM grids
+), dev AS (
+  SELECT m, blk, idx, y,
+         sum(y - mu) OVER (PARTITION BY m, blk ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM mu
+), rs AS (
+  SELECT m, avg(r / s) AS rs
+  FROM (
+    SELECT m, blk, max(cum) - min(cum) AS r, stddev_pop(y) AS s,
+           count(*) AS cnt
+    FROM dev GROUP BY m, blk
+  )
+  WHERE cnt = m AND s > 0
+  GROUP BY m
+)
+SELECT CAST(count(*) AS BIGINT) AS n_scales,
+       round(regr_slope(ln(rs), ln(CAST(m AS DOUBLE))), 4) AS hurst,
+       round(regr_r2(ln(rs), ln(CAST(m AS DOUBLE))), 4) AS r2
+FROM rs
+"""
+
+QUERIES["q_hurst_exponent"] = (q_hurst_exponent, Q_HURST_SQL)

@@ -835,3 +835,25 @@ def test_logit_newton_against_reference(spark, sf_dir):
         b = b + np.linalg.solve(H, X.T @ (y - p))
     assert abs(r.beta0 - b[0]) < 1e-3 and abs(r.beta1 - b[1]) < 1e-3
     assert r.mcfadden_r2 >= 0.0 and r.se_beta1 > 0
+
+
+def test_weibull_fit_sane(spark, sf_dir):
+    """Shape/scale positive, good linearization fit, and B10 below
+    the median-implied life (F(B10)=0.1 < 0.5)."""
+    from etl_gov_spark.operators.mlstats import q_weibull_reliability
+
+    r = q_weibull_reliability(spark, sf_dir).collect()[0]
+    assert r.shape_k > 0 and r.scale_lambda > 0
+    assert r.r2 > 0.8  # Weibull linearization should fit durations well
+    median_life = r.scale_lambda * (0.6931 ** (1.0 / r.shape_k))
+    assert 0 < r.b10_days < median_life
+
+
+def test_hurst_exponent_bounds(spark, sf_dir):
+    """H ∈ (0, 1) for any real series; all four dyadic scales must
+    have contributed."""
+    from etl_gov_spark.operators.mlstats import q_hurst_exponent
+
+    r = q_hurst_exponent(spark, sf_dir).collect()[0]
+    assert r.n_scales == 4
+    assert 0.0 < r.hurst < 1.0

@@ -4494,3 +4494,115 @@ FROM rs
 """
 
 QUERIES["q_hurst_exponent"] = (q_hurst_exponent, Q_HURST_SQL)
+
+
+def q_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger two-step cointegration test between two market
+    segments' daily revenue series (Engle & Granger 1987): step 1
+    regresses BUILDING on AUTOMOBILE (the long-run relation); step
+    2 runs the no-intercept Dickey-Fuller regression Δe_t = ρ·e_{t−1}
+    on the residuals — if the t-statistic clears the Engle-Granger
+    5% critical value (≈ −3.34 for two variables), the residual is
+    stationary and the two series share a common stochastic trend
+    (so a spread-based monitor is valid; if not, "correlated" is
+    spurious regression). Complements ``q_granger_1lag`` (lead/lag)
+    with the common-trend diagnosis.
+
+    One orders⋈customer scan pivots to the bounded daily two-column
+    panel; both regression steps are closed-form aggregates (the
+    no-intercept DF slope and its standard error are two sums), a
+    lag window supplies Δe. Nothing exceeds the daily grid.
+    """
+    c = Catalog(spark, sf_dir)
+    seg = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == "BUILDING", F.col("o_totalprice")
+                ).otherwise(0.0)
+            ).alias("y"),
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment") == "AUTOMOBILE",
+                    F.col("o_totalprice"),
+                ).otherwise(0.0)
+            ).alias("x"),
+        )
+    )
+    fit = seg.agg(
+        F.regr_slope("y", "x").alias("beta"),
+        F.regr_intercept("y", "x").alias("alpha"),
+    )
+    e = seg.crossJoin(F.broadcast(fit)).select(
+        "day",
+        (F.col("y") - F.col("alpha") - F.col("beta") * F.col("x")).alias("e"),
+    )
+    wl = Window.partitionBy(F.lit(1)).orderBy("day")
+    de = e.select(
+        (F.col("e") - F.lag("e", 1).over(wl)).alias("de"),
+        F.lag("e", 1).over(wl).alias("el"),
+    ).filter(F.col("el").isNotNull())
+    # no-intercept DF regression: rho = Σ(de·el)/Σ(el²),
+    # se = sqrt( Σ(de − rho·el)² / (n−1) / Σ(el²) )
+    s = de.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("de") * F.col("el")).alias("sxy"),
+        F.sum(F.col("el") * F.col("el")).alias("sxx"),
+        F.sum(F.col("de") * F.col("de")).alias("syy"),
+    )
+    rho = F.col("sxy") / F.col("sxx")
+    sse = F.col("syy") - 2 * rho * F.col("sxy") + rho * rho * F.col("sxx")
+    t = rho / F.sqrt(sse / (F.col("n") - 1) / F.col("sxx"))
+    return s.crossJoin(F.broadcast(fit)).select(
+        "n",
+        _R4(F.col("beta"), "coint_beta"),
+        _R4(rho, "df_rho"),
+        _R4(t, "df_t_stat"),
+        (t < -3.34).alias("cointegrated"),
+    )
+
+
+Q_COINT_SQL = """
+WITH seg AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         sum(CASE WHEN c_mktsegment = 'BUILDING'
+                  THEN o_totalprice ELSE 0.0 END) AS y,
+         sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+                  THEN o_totalprice ELSE 0.0 END) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+  GROUP BY 1
+), fit AS (
+  SELECT regr_slope(y, x) AS beta, regr_intercept(y, x) AS alpha FROM seg
+), e AS (
+  SELECT day, y - alpha - beta * x AS e FROM seg CROSS JOIN fit
+), de AS (
+  SELECT e - lag(e) OVER (ORDER BY day) AS de,
+         lag(e) OVER (ORDER BY day) AS el
+  FROM e QUALIFY el IS NOT NULL
+), s AS (
+  SELECT count(*) AS n, sum(de * el) AS sxy, sum(el * el) AS sxx,
+         sum(de * de) AS syy
+  FROM de
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(beta, 4) AS coint_beta,
+       round(sxy / sxx, 4) AS df_rho,
+       round((sxy / sxx)
+             / sqrt((syy - 2 * (sxy / sxx) * sxy
+                     + (sxy / sxx) * (sxy / sxx) * sxx)
+                    / (n - 1) / sxx), 4) AS df_t_stat,
+       (sxy / sxx)
+         / sqrt((syy - 2 * (sxy / sxx) * sxy
+                 + (sxy / sxx) * (sxy / sxx) * sxx)
+                / (n - 1) / sxx) < -3.34 AS cointegrated
+FROM s CROSS JOIN fit
+"""
+
+QUERIES["q_cointegration_eg"] = (q_cointegration_eg, Q_COINT_SQL)

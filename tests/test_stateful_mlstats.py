@@ -857,3 +857,15 @@ def test_hurst_exponent_bounds(spark, sf_dir):
     r = q_hurst_exponent(spark, sf_dir).collect()[0]
     assert r.n_scales == 4
     assert 0.0 < r.hurst < 1.0
+
+
+def test_cointegration_df_stat_negative(spark, sf_dir):
+    """The DF rho on any mean-reverting residual is negative (a
+    positive rho would mean the 'residual' explodes), the t-stat
+    shares its sign, and the verdict matches the threshold."""
+    from etl_gov_spark.operators.mlstats import q_cointegration_eg
+
+    r = q_cointegration_eg(spark, sf_dir).collect()[0]
+    assert r.n >= 20
+    assert r.df_rho < 0 and r.df_t_stat < 0
+    assert r.cointegrated == (r.df_t_stat < -3.34)

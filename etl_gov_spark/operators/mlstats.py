@@ -4606,3 +4606,119 @@ FROM s CROSS JOIN fit
 """
 
 QUERIES["q_cointegration_eg"] = (q_cointegration_eg, Q_COINT_SQL)
+
+
+def q_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion fit of customer acquisition (Bass 1969, the
+    canonical new-product adoption model): daily first-time
+    customers n_t regressed on lagged cumulative adopters N and N²
+    (the discrete Bass identity n = pM + (q−p)N − (q/M)N²) via the
+    closed-form two-feature normal equations — then innovation p,
+    imitation q, and market size M recovered from the three
+    coefficients (M is the positive root of cM² + bM + a = 0), plus
+    the implied peak-adoption time t* = ln(q/p)/(p+q). The forecast
+    a growth team runs to ask "are we spreading by marketing (p) or
+    word of mouth (q), and where is the ceiling?".
+
+    One orders scan → per-customer first day → bounded daily
+    adopter series; the quadratic regression is one moment
+    aggregate (same covariance algebra as ``q_ols_two_feature``);
+    root-solving is scalar arithmetic on the 1-row fit.
+    """
+    first = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy("o_custkey")
+        .agg(F.min(F.to_date("o_orderdate")).alias("day"))
+    )
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).alias("n_t"))
+    wl = Window.partitionBy(F.lit(1)).orderBy("day")
+    panel = daily.select(
+        "n_t",
+        F.coalesce(
+            F.sum("n_t").over(
+                Window.partitionBy(F.lit(1))
+                .orderBy("day")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("cum"),
+    ).select(
+        F.col("n_t").cast("double").alias("y"),
+        "cum",
+        (F.col("cum") * F.col("cum")).alias("cum2"),
+    )
+    fit = panel.agg(
+        F.avg("y").alias("yb"),
+        F.avg("cum").alias("x1b"),
+        F.avg("cum2").alias("x2b"),
+        F.var_pop("cum").alias("s11"),
+        F.var_pop("cum2").alias("s22"),
+        F.covar_pop("cum", "cum2").alias("s12"),
+        F.covar_pop("cum", "y").alias("s1y"),
+        F.covar_pop("cum2", "y").alias("s2y"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    det = F.col("s11") * F.col("s22") - F.col("s12") * F.col("s12")
+    b = (F.col("s1y") * F.col("s22") - F.col("s2y") * F.col("s12")) / det
+    cc = (F.col("s2y") * F.col("s11") - F.col("s1y") * F.col("s12")) / det
+    a = F.col("yb") - b * F.col("x1b") - cc * F.col("x2b")
+    m = (-b - F.sqrt(b * b - 4 * cc * a)) / (2 * cc)  # cc < 0: this root is +
+    p = a / m
+    q = -cc * m
+    return fit.select(
+        "n_days",
+        F.round(p, 6).alias("p_innovation"),
+        F.round(q, 6).alias("q_imitation"),
+        _R4(m, "market_size"),
+        # a corpus whose adoption curve rejects the Bass shape can
+        # fit p<0 or q<0: the peak is then undefined, not an error
+        _R4(
+            F.when(q / p > 0, F.log(q / p) / (p + q)), "peak_day"
+        ),
+    )
+
+
+Q_BASS_SQL = """
+WITH first_o AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS day
+  FROM orders GROUP BY o_custkey
+), daily AS (
+  SELECT day, count(*) AS n_t FROM first_o GROUP BY day
+), panel AS (
+  SELECT CAST(n_t AS DOUBLE) AS y,
+         CAST(coalesce(sum(n_t) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS DOUBLE) AS cum
+  FROM daily
+), fit AS (
+  SELECT avg(y) AS yb, avg(cum) AS x1b, avg(cum * cum) AS x2b,
+         var_pop(cum) AS s11, var_pop(cum * cum) AS s22,
+         covar_pop(cum, cum * cum) AS s12,
+         covar_pop(cum, y) AS s1y, covar_pop(cum * cum, y) AS s2y,
+         count(*) AS n_days
+  FROM panel
+), coef AS (
+  SELECT n_days,
+         yb - ((s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12)) * x1b
+            - ((s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12)) * x2b AS a,
+         (s1y * s22 - s2y * s12) / (s11 * s22 - s12 * s12) AS b,
+         (s2y * s11 - s1y * s12) / (s11 * s22 - s12 * s12) AS c
+  FROM fit
+), roots AS (
+  SELECT n_days, a, b, c,
+         (-b - sqrt(b * b - 4 * c * a)) / (2 * c) AS m
+  FROM coef
+)
+SELECT CAST(n_days AS BIGINT) AS n_days,
+       round(a / m, 6) AS p_innovation,
+       round(-c * m, 6) AS q_imitation,
+       round(m, 4) AS market_size,
+       round(CASE WHEN (-c * m) / (a / m) > 0
+                  THEN ln((-c * m) / (a / m)) / (a / m + (-c * m)) END, 4)
+         AS peak_day
+FROM roots
+"""
+
+QUERIES["q_bass_diffusion"] = (q_bass_diffusion, Q_BASS_SQL)

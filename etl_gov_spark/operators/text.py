@@ -1243,3 +1243,62 @@ FROM agg
 """
 
 QUERIES["text_cohen_kappa"] = (text_cohen_kappa, TEXT_COHEN_KAPPA_SQL)
+
+
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the classical
+    vocabulary-richness statistic (Yule 1944), 10⁴·(S₂−S₁)/S₁² over
+    the word-frequency spectrum (S₁ = tokens, S₂ = Σ f²):
+    size-robust where a raw type/token ratio is not, high K =
+    repetitive vocabulary (template/boilerplate sources), low K =
+    diverse text. Complements ``text_zipf_fit`` (shape of the
+    frequency law) and ``corpus_heaps_law`` (vocab growth) with the
+    per-source repetitiveness scalar.
+
+    One tokenize pass contracts to (source, word) counts — the same
+    contraction shape as the Burrows-Delta panel — then two bounded
+    per-source aggregates. Linear, one shuffle on the uniform
+    (source, word) key.
+    """
+    sw = (
+        expand_parallelism(Catalog(spark, sf_dir).documents)
+        .select("source", F.explode(tokens_col()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        sw.groupBy("source")
+        .agg(
+            F.sum("f").alias("s1"),
+            F.sum(F.col("f") * F.col("f")).alias("s2"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .select(
+            "source",
+            F.col("s1").alias("n_tokens"),
+            "n_types",
+            _R4(
+                1e4 * (F.col("s2") - F.col("s1")) / (F.col("s1") * F.col("s1")),
+                "yule_k",
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_YULE_SQL = r"""
+WITH sw AS (
+  SELECT source, w, count(*) AS f
+  FROM (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(f) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       round(1e4 * (sum(f * f) - sum(f))
+             / (CAST(sum(f) AS DOUBLE) * sum(f)), 4) AS yule_k
+FROM sw GROUP BY source ORDER BY source
+"""
+
+QUERIES["text_yule_k"] = (text_yule_k, TEXT_YULE_SQL)

@@ -746,3 +746,29 @@ def test_tokenizer_fertility_premium_floor(spark, sf_dir):
     assert min(r.fertility_premium for r in rows) == 1.0
     for r in rows:
         assert r.fertility >= 1.0 and r.chars_per_token > 0
+
+
+def test_yule_k_richness_bounds(spark, sf_dir):
+    """K ≥ 0, types ≤ tokens, and a source's K must equal the
+    direct formula recomputed from its frequency spectrum."""
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.text import text_yule_k, tokens_col
+
+    rows = text_yule_k(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 0 <= r.n_types <= r.n_tokens and r.yule_k >= 0
+    some = rows[0]
+    freqs = (
+        Catalog(spark, sf_dir)
+        .documents.filter(F2.col("source") == some.source)
+        .select(F2.explode(tokens_col()).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    s1 = sum(x["count"] for x in freqs)
+    s2 = sum(x["count"] ** 2 for x in freqs)
+    assert abs(some.yule_k - 1e4 * (s2 - s1) / (s1 * s1)) < 1e-2

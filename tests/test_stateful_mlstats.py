@@ -869,3 +869,19 @@ def test_cointegration_df_stat_negative(spark, sf_dir):
     assert r.n >= 20
     assert r.df_rho < 0 and r.df_t_stat < 0
     assert r.cointegrated == (r.df_t_stat < -3.34)
+
+
+def test_bass_diffusion_fit_sane(spark, sf_dir):
+    """Market-size root must be positive and at least the adopters
+    already observed; degenerate peak stays NULL exactly when q/p
+    is non-positive."""
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.mlstats import q_bass_diffusion
+
+    r = q_bass_diffusion(spark, sf_dir).collect()[0]
+    n_cust = (
+        read_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert r.market_size >= 0.8 * n_cust
+    ratio_pos = r.p_innovation != 0 and (r.q_imitation / r.p_innovation) > 0
+    assert (r.peak_day is not None) == ratio_pos

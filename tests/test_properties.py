@@ -308,3 +308,45 @@ def _island_max_streak(days):
 @settings(max_examples=200, deadline=None)
 def test_streak_island_key_matches_brute_force(days):
     assert _island_max_streak(days) == _brute_max_streak(days)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=2, max_value=24), min_size=1, max_size=6)
+)
+@settings(max_examples=8, deadline=None)
+def test_star_route_pair_expansion_linear(spark, sizes):
+    """bounded_buckets(route='star') invariant at any bucket
+    profile: an under-cap bucket of m members expands to C(m,2)
+    pairs; an OVER-cap bucket to exactly m−1 hub-vs-member pairs
+    (linear, the 100 TB guarantee); the Observation counts the hot
+    buckets. Cap fixed at 8 so both regimes are exercised."""
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.operators import dedup as D
+
+    cap = 8
+    rows = []
+    for b, m in enumerate(sizes):
+        for i in range(m):
+            rows.append((f"k{b}", b * 1000 + i))
+    df = (
+        spark.createDataFrame(rows, "key string, doc_id long")
+        .groupBy("key")
+        .agg(
+            F2.array_sort(
+                F2.collect_list(F2.struct("doc_id"))
+            ).alias("ds")
+        )
+        .filter(F2.size("ds") > 1)
+    )
+    routed = D.bounded_buckets(df, "ds", cap, "prop_star_test", route="star")
+    pairs = routed.select(
+        "key", F2.explode(D.pair_structs(F2.col("ds"))).alias("p")
+    )
+    got = {r.key: r.n for r in pairs.groupBy("key").agg(F2.count(F2.lit(1)).alias("n")).collect()}
+    for b, m in enumerate(sizes):
+        want = m * (m - 1) // 2 if m <= cap else m - 1
+        assert got.get(f"k{b}", 0) == want, (m, cap, got.get(f"k{b}"))
+    obs = D.HOT_BUCKET_OBS["prop_star_test"].get
+    assert obs["hot_buckets"] == sum(1 for m in sizes if m > cap)
+    assert obs["max_bucket"] == max(sizes)

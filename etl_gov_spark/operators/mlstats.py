@@ -4722,3 +4722,165 @@ FROM roots
 """
 
 QUERIES["q_bass_diffusion"] = (q_bass_diffusion, Q_BASS_SQL)
+
+
+def q_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail-dependence between order value and basket
+    size — the dependence-in-extremes readout a correlation (or
+    even ``q_spearman_corr``) cannot give: λ_U = P(Y > q95(Y) |
+    X > q95(X)) and λ_L = P(Y ≤ q05 | X ≤ q05), against the 5%
+    independence baseline. λ_U ≫ 0.05 means monster orders are
+    monster in BOTH dimensions simultaneously (one shared shock —
+    capacity planning cannot treat the tails as independent).
+
+    One lineitem contraction to per-order (value, n_items), exact
+    quantiles from one percentile aggregate broadcast back, then a
+    single conditional-aggregate pass. Nothing beyond the order
+    grain.
+    """
+    per = (
+        Catalog(spark, sf_dir)
+        .lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("x"),
+            F.count(F.lit(1)).cast("double").alias("y"),
+        )
+    )
+    qs = per.agg(
+        F.percentile("x", 0.95).alias("x95"),
+        F.percentile("x", 0.05).alias("x05"),
+        F.percentile("y", 0.95).alias("y95"),
+        F.percentile("y", 0.05).alias("y05"),
+    )
+    j = per.crossJoin(F.broadcast(qs))
+    up_x = F.col("x") > F.col("x95")
+    lo_x = F.col("x") <= F.col("x05")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(up_x.cast("long")).alias("n_upper_x"),
+        _R4(
+            F.sum((up_x & (F.col("y") > F.col("y95"))).cast("double"))
+            / F.sum(up_x.cast("double")),
+            "lambda_upper",
+        ),
+        _R4(
+            F.sum((lo_x & (F.col("y") <= F.col("y05"))).cast("double"))
+            / F.sum(lo_x.cast("double")),
+            "lambda_lower",
+        ),
+        _R4(F.lit(0.05), "independence_baseline"),
+    )
+
+
+Q_TAIL_DEP_SQL = """
+WITH per AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount)) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM lineitem GROUP BY l_orderkey
+), qs AS (
+  SELECT quantile_cont(x, 0.95) AS x95, quantile_cont(x, 0.05) AS x05,
+         quantile_cont(y, 0.95) AS y95, quantile_cont(y, 0.05) AS y05
+  FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN x > x95 THEN 1 ELSE 0 END) AS BIGINT) AS n_upper_x,
+       round(sum(CASE WHEN x > x95 AND y > y95 THEN 1.0 ELSE 0.0 END)
+             / sum(CASE WHEN x > x95 THEN 1.0 ELSE 0.0 END), 4)
+         AS lambda_upper,
+       round(sum(CASE WHEN x <= x05 AND y <= y05 THEN 1.0 ELSE 0.0 END)
+             / sum(CASE WHEN x <= x05 THEN 1.0 ELSE 0.0 END), 4)
+         AS lambda_lower,
+       CAST(0.05 AS DOUBLE) AS independence_baseline
+FROM per CROSS JOIN qs
+"""
+
+QUERIES["q_tail_dependence"] = (q_tail_dependence, Q_TAIL_DEP_SQL)
+
+
+_HUBER_ITERS = 3
+
+
+def q_huber_m_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huber M-estimate of typical order value — the robust
+    location the mean gets wrong under heavy tails and the median
+    throws information away on: three IRLS steps with the standard
+    tuning c = 1.345·σ̂ (σ̂ = MAD/0.6745, 95% efficiency at the
+    Gaussian), each step ONE distributed aggregate of Huber-
+    weighted sums with the scalar location carried on the driver
+    (the Lloyd/Newton model-state pattern, oracle-replayed as
+    unrolled CTEs). Reports the M-estimate beside the mean and
+    median, the implied outlier fraction, and n.
+
+    μ is quantized to 6 dp at every step so both engines walk the
+    identical trajectory; MAD comes from two exact percentile
+    aggregates.
+    """
+    per = (
+        Catalog(spark, sf_dir)
+        .orders.select(F.col("o_totalprice").alias("v"))
+    )
+    med = per.agg(F.percentile("v", 0.5).alias("m")).collect()[0].m
+    mad = (
+        per.agg(
+            F.percentile(F.abs(F.col("v") - F.lit(med)), 0.5).alias("mad")
+        )
+        .collect()[0]
+        .mad
+    )
+    c = round(1.345 * mad / 0.6745, 6)
+    mu = round(med, 6)
+    for _ in range(_HUBER_ITERS):
+        r = F.col("v") - F.lit(mu)
+        w = F.when(F.abs(r) <= c, 1.0).otherwise(c / F.abs(r))
+        row = per.agg(
+            F.sum(w * F.col("v")).alias("sw_v"), F.sum(w).alias("sw")
+        ).collect()[0]
+        mu = round(row.sw_v / row.sw, 6)
+    r = F.col("v") - F.lit(mu)
+    return per.agg(
+        F.count(F.lit(1)).alias("n"),
+        _R4(F.lit(mu), "huber_mu"),
+        _R4(F.avg("v"), "mean"),
+        _R4(F.lit(med), "median"),
+        _R4(F.lit(c), "tuning_c"),
+        _R4(F.avg((F.abs(r) > c).cast("double")), "outlier_frac"),
+    )
+
+
+def _huber_iter_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT round(sum(CASE WHEN abs(v - mu) <= c THEN v
+                        ELSE v * c / abs(v - mu) END)
+               / sum(CASE WHEN abs(v - mu) <= c THEN 1.0
+                          ELSE c / abs(v - mu) END), 6) AS mu,
+         max(c) AS c
+  FROM per CROSS JOIN {prev}
+)"""
+
+
+Q_HUBER_SQL = f"""
+WITH per AS (
+  SELECT o_totalprice AS v FROM orders
+), scale AS (
+  SELECT round(median(v), 6) AS mu,
+         round(1.345 * median(abs(v - (SELECT median(v) FROM per)))
+               / 0.6745, 6) AS c
+  FROM per
+),
+{_huber_iter_sql("scale", "h1")},
+{_huber_iter_sql("h1", "h2")},
+{_huber_iter_sql("h2", "h3")}
+SELECT CAST(count(*) AS BIGINT) AS n,
+       round(max(mu), 4) AS huber_mu,
+       round(avg(v), 4) AS mean,
+       round((SELECT round(median(v), 6) FROM per), 4) AS median,
+       round(max(c), 4) AS tuning_c,
+       round(avg(CASE WHEN abs(v - mu) > c THEN 1.0 ELSE 0.0 END), 4)
+         AS outlier_frac
+FROM per CROSS JOIN h3
+"""
+
+QUERIES["q_huber_m_estimator"] = (q_huber_m_estimator, Q_HUBER_SQL)

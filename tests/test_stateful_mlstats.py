@@ -885,3 +885,28 @@ def test_bass_diffusion_fit_sane(spark, sf_dir):
     assert r.market_size >= 0.8 * n_cust
     ratio_pos = r.p_innovation != 0 and (r.q_imitation / r.p_innovation) > 0
     assert (r.peak_day is not None) == ratio_pos
+
+
+def test_tail_dependence_bounds(spark, sf_dir):
+    """λ ∈ [0,1]; both tails of (value, basket size) must exceed
+    the independence baseline on TPC-H (value ≈ Σ item prices is
+    mechanically coupled to item count)."""
+    from etl_gov_spark.operators.mlstats import q_tail_dependence
+
+    r = q_tail_dependence(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.lambda_upper <= 1.0 and 0.0 <= r.lambda_lower <= 1.0
+    assert r.lambda_upper > 0.05 and r.lambda_lower > 0.05
+    assert r.n_upper_x <= r.n_orders
+
+
+def test_huber_between_median_and_mean_ballpark(spark, sf_dir):
+    """The M-estimate is a compromise: it must land within the
+    envelope spanned by median and mean (padded 1%), with a sane
+    outlier fraction."""
+    from etl_gov_spark.operators.mlstats import q_huber_m_estimator
+
+    r = q_huber_m_estimator(spark, sf_dir).collect()[0]
+    lo, hi = sorted([r.median, r.mean])
+    pad = 0.01 * (hi - lo + 1)
+    assert lo - pad <= r.huber_mu <= hi + pad
+    assert 0.0 <= r.outlier_frac <= 0.5 and r.tuning_c > 0

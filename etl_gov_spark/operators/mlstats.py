@@ -4884,3 +4884,144 @@ FROM per CROSS JOIN h3
 """
 
 QUERIES["q_huber_m_estimator"] = (q_huber_m_estimator, Q_HUBER_SQL)
+
+
+def q_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event-type Markov chain:
+    H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ with π the empirical source-state
+    distribution — the bits-per-event unpredictability of user
+    behavior. Compared against the zeroth-order entropy H₀ (type
+    frequencies alone): the gap is exactly how much the previous
+    event predicts the next one, i.e. how much a sequence model
+    can ever beat a frequency model on this stream. Completes the
+    Markov family (``q_markov_next_event`` gives the matrix,
+    ``q_markov_absorption`` the absorbing dynamics, this the
+    information rate).
+
+    One events scan with a per-user lag window builds transitions;
+    everything after is algebra on the bounded |types|² table.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("nxt", F.lead("event_type").over(wu))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("nxt").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tr.groupBy("src").agg(F.sum("c").alias("cs"))
+    n_all = tr.agg(F.sum("c").alias("n")).collect()[0].n  # one scalar
+    j = tr.join(F.broadcast(tot), "src")
+    h_cond = j.agg(
+        F.sum(
+            -(F.col("cs") / F.lit(n_all))
+            * (F.col("c") / F.col("cs"))
+            * F.log(F.col("c") / F.col("cs"))
+        ).alias("h")
+    )
+    h0 = tot.agg(
+        F.sum(
+            -(F.col("cs") / F.lit(n_all)) * F.log(F.col("cs") / F.lit(n_all))
+        ).alias("h0")
+    )
+    return h_cond.crossJoin(F.broadcast(h0)).select(
+        F.lit(int(n_all)).alias("n_transitions"),
+        _R4(F.col("h"), "entropy_rate_nats"),
+        _R4(F.col("h0"), "h0_nats"),
+        _R4(F.col("h0") - F.col("h"), "predictability_gain"),
+    )
+
+
+Q_MARKOV_ENTROPY_SQL = """
+WITH tr AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events QUALIFY dst IS NOT NULL
+), cnt AS (
+  SELECT src, dst, count(*) AS c FROM tr GROUP BY 1, 2
+), tot AS (
+  SELECT src, sum(c) AS cs FROM cnt GROUP BY src
+), nall AS (
+  SELECT sum(c) AS n FROM cnt
+), h AS (
+  SELECT sum(-(cs / CAST(n AS DOUBLE)) * (c / CAST(cs AS DOUBLE))
+             * ln(c / CAST(cs AS DOUBLE))) AS h
+  FROM cnt JOIN tot USING (src) CROSS JOIN nall
+), h0 AS (
+  SELECT sum(-(cs / CAST(n AS DOUBLE)) * ln(cs / CAST(n AS DOUBLE))) AS h0
+  FROM tot CROSS JOIN nall
+)
+SELECT CAST((SELECT n FROM nall) AS BIGINT) AS n_transitions,
+       round(h, 4) AS entropy_rate_nats,
+       round(h0, 4) AS h0_nats,
+       round(h0 - h, 4) AS predictability_gain
+FROM h CROSS JOIN h0
+"""
+
+QUERIES["q_markov_entropy_rate"] = (q_markov_entropy_rate, Q_MARKOV_ENTROPY_SQL)
+
+
+def q_gumbel_maxima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value fit of MONTHLY maxima of daily revenue —
+    Gumbel by method of moments (location μ = m̄ − γβ with Euler's
+    γ, scale β = s·√6/π), with 12- and 60-block return levels
+    (μ − β·ln(−ln(1 − 1/T))): "the biggest day we should plan for
+    per year / per five years". Block-maxima EVT beside
+    ``q_hill_tail_index``'s peaks-over-threshold view — the two
+    classical extreme-value routes, disagreement between them being
+    itself the diagnosis (a heavy Fréchet tail breaks Gumbel).
+
+    One orders scan → daily grid → bounded monthly-max aggregate →
+    one moment aggregate. Closed form, no iteration.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    blocks = daily.groupBy(F.date_trunc("month", "day").alias("m")).agg(
+        F.max("y").alias("mx")
+    )
+    mom = blocks.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.avg("mx").alias("mean_"),
+        F.stddev_samp("mx").alias("sd"),
+    )
+    beta = F.col("sd") * F.sqrt(F.lit(6.0)) / F.lit(3.14159265358979)
+    mu = F.col("mean_") - F.lit(0.57721566) * beta
+    rl = lambda t: mu - beta * F.log(-F.log(1.0 - 1.0 / t))  # noqa: E731
+    return mom.select(
+        "n_blocks",
+        _R4(mu, "gumbel_mu"),
+        _R4(beta, "gumbel_beta"),
+        _R4(rl(F.lit(12.0)), "return_level_12mo"),
+        _R4(rl(F.lit(60.0)), "return_level_60mo"),
+    )
+
+
+Q_GUMBEL_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+  FROM orders GROUP BY 1
+), blocks AS (
+  SELECT date_trunc('month', day) AS m, max(y) AS mx
+  FROM daily GROUP BY 1
+), mom AS (
+  SELECT count(*) AS n_blocks, avg(mx) AS mean_, stddev_samp(mx) AS sd
+  FROM blocks
+)
+SELECT CAST(n_blocks AS BIGINT) AS n_blocks,
+       round(mean_ - 0.57721566 * (sd * sqrt(6.0) / 3.14159265358979), 4)
+         AS gumbel_mu,
+       round(sd * sqrt(6.0) / 3.14159265358979, 4) AS gumbel_beta,
+       round((mean_ - 0.57721566 * (sd * sqrt(6.0) / 3.14159265358979))
+             - (sd * sqrt(6.0) / 3.14159265358979) * ln(-ln(1.0 - 1.0 / 12.0)),
+             4) AS return_level_12mo,
+       round((mean_ - 0.57721566 * (sd * sqrt(6.0) / 3.14159265358979))
+             - (sd * sqrt(6.0) / 3.14159265358979) * ln(-ln(1.0 - 1.0 / 60.0)),
+             4) AS return_level_60mo
+FROM mom
+"""
+
+QUERIES["q_gumbel_maxima"] = (q_gumbel_maxima, Q_GUMBEL_SQL)

@@ -910,3 +910,26 @@ def test_huber_between_median_and_mean_ballpark(spark, sf_dir):
     pad = 0.01 * (hi - lo + 1)
     assert lo - pad <= r.huber_mu <= hi + pad
     assert 0.0 <= r.outlier_frac <= 0.5 and r.tuning_c > 0
+
+
+def test_markov_entropy_rate_bounds(spark, sf_dir):
+    """0 ≤ H ≤ H₀ ≤ ln(#types): conditioning never hurts, and both
+    are capped by the uniform limit."""
+    import math
+
+    from etl_gov_spark.operators.mlstats import q_markov_entropy_rate
+
+    r = q_markov_entropy_rate(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.entropy_rate_nats <= r.h0_nats + 1e-9
+    assert r.h0_nats <= math.log(5) + 1e-9  # 5 event types
+    assert abs(r.predictability_gain - (r.h0_nats - r.entropy_rate_nats)) < 2e-4
+
+
+def test_gumbel_return_levels_ordered(spark, sf_dir):
+    """Return levels grow with horizon and sit above the mean
+    monthly max; scale is positive."""
+    from etl_gov_spark.operators.mlstats import q_gumbel_maxima
+
+    r = q_gumbel_maxima(spark, sf_dir).collect()[0]
+    assert r.gumbel_beta > 0 and r.n_blocks >= 12
+    assert r.gumbel_mu < r.return_level_12mo < r.return_level_60mo

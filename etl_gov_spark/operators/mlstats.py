@@ -5156,7 +5156,7 @@ def q_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
         _R4(endow, "explained_endowments"),
         _R4(coeff, "unexplained_coefficients"),
         _R4(interact, "interaction"),
-        _R4(endow + coeff + interact - gap, "residual_check"),
+        _R4(F.abs(endow + coeff + interact - gap), "residual_check"),
     )
 
 
@@ -5182,10 +5182,10 @@ SELECT CAST(a.n AS BIGINT) AS n_building,
        round((a.alpha - b.alpha) + b.xb * (a.beta - b.beta), 4)
          AS unexplained_coefficients,
        round((a.xb - b.xb) * (a.beta - b.beta), 4) AS interaction,
-       round((a.xb - b.xb) * b.beta
+       round(abs((a.xb - b.xb) * b.beta
              + (a.alpha - b.alpha) + b.xb * (a.beta - b.beta)
              + (a.xb - b.xb) * (a.beta - b.beta)
-             - (a.yb - b.yb), 4) AS residual_check
+             - (a.yb - b.yb)), 4) AS residual_check
 FROM g a CROSS JOIN g b
 WHERE a.grp AND NOT b.grp
 """

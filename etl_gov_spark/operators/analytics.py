@@ -2187,3 +2187,215 @@ ORDER BY rank LIMIT {_MOMENTUM_TOP}
 """
 
 QUERIES["q_parts_momentum"] = (q_parts_momentum, Q_PARTS_MOMENTUM_SQL)
+
+
+_CROSTON_ALPHA = 0.2
+_CROSTON_TOP = 20
+_CROSTON_MIN_EVENTS = 5
+
+
+def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972 — THE
+    forecasting method for sparse spare-part-like series, where
+    simple EWMA over the calendar systematically under-forecasts):
+    per part, demand is compressed to its EVENTS (weeks with any
+    order); separate exponential smoothings of event sizes z and
+    inter-event gaps q give the demand-rate forecast ẑ/q̂ per week.
+    Top-20 forecast rates among parts with ≥5 events, with the
+    smoothed components exposed. Complements ``q_xyz_variability``
+    (which only LABELS intermittency) with the actual forecast.
+
+    The EWMA recursions unroll to the closed weighted form
+    ŝ = (1−α)^(k−1)·x₁ + α·Σᵢ₌₂..k (1−α)^(k−i)·xᵢ, so each is ONE
+    windowed sum over a part's bounded event sequence — no
+    recursion, no UDF; identical arithmetic in the oracle.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_partkey", F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+        F.col("l_quantity").alias("qty"),
+    )
+    ev = (
+        li.groupBy("l_partkey", "wk")
+        .agg(F.sum("qty").alias("z"))
+    )
+    wp = Window.partitionBy("l_partkey").orderBy("wk")
+    seq = (
+        ev.withColumn("i", F.row_number().over(wp))
+        .withColumn(
+            "gap",
+            F.coalesce(
+                F.datediff(
+                    "wk", F.lag("wk", 1).over(wp)
+                )
+                / 7.0,
+                F.lit(1.0),
+            ),
+        )
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy("l_partkey")))
+    )
+    a = _CROSTON_ALPHA
+    wgt = F.when(
+        F.col("i") == 1, F.pow(F.lit(1 - a), F.col("k") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("k") - F.col("i")))
+    sm = seq.groupBy("l_partkey").agg(
+        F.max("k").alias("n_events"),
+        F.round(F.sum(wgt * F.col("z")), 6).alias("z_hat"),
+        F.round(F.sum(wgt * F.col("gap")), 6).alias("q_hat"),
+    )
+    scored = sm.filter(F.col("n_events") >= _CROSTON_MIN_EVENTS).select(
+        "l_partkey", "n_events", "z_hat", "q_hat",
+        F.round(F.col("z_hat") / F.col("q_hat"), 4).alias("rate_per_week"),
+    )
+    wtop = Window.orderBy(F.desc("rate_per_week"), F.asc("l_partkey"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wtop))
+        .filter(F.col("rank") <= _CROSTON_TOP)
+        .select("rank", "l_partkey", "n_events",
+                _R4(F.col("z_hat"), "z_hat"), _R4(F.col("q_hat"), "q_hat"),
+                "rate_per_week")
+    )
+
+
+Q_CROSTON_SQL = f"""
+WITH ev AS (
+  SELECT l_partkey, date_trunc('week', CAST(l_shipdate AS DATE)) AS wk,
+         sum(l_quantity) AS z
+  FROM lineitem GROUP BY 1, 2
+), seq AS (
+  SELECT l_partkey, wk, z,
+         row_number() OVER (PARTITION BY l_partkey ORDER BY wk) AS i,
+         coalesce(datediff('day', lag(wk) OVER (PARTITION BY l_partkey
+                  ORDER BY wk), wk) / 7.0, 1.0) AS gap,
+         count(*) OVER (PARTITION BY l_partkey) AS k
+  FROM ev
+), sm AS (
+  SELECT l_partkey, max(k) AS n_events,
+         round(sum(CASE WHEN i = 1 THEN pow(0.8, k - 1)
+                        ELSE 0.2 * pow(0.8, k - i) END * z), 6) AS z_hat,
+         round(sum(CASE WHEN i = 1 THEN pow(0.8, k - 1)
+                        ELSE 0.2 * pow(0.8, k - i) END * gap), 6) AS q_hat
+  FROM seq GROUP BY l_partkey
+), scored AS (
+  SELECT l_partkey, CAST(n_events AS BIGINT) AS n_events, z_hat, q_hat,
+         round(z_hat / q_hat, 4) AS rate_per_week
+  FROM sm WHERE n_events >= {_CROSTON_MIN_EVENTS}
+)
+SELECT CAST(row_number() OVER (ORDER BY rate_per_week DESC, l_partkey ASC)
+            AS INTEGER) AS rank,
+       l_partkey, n_events,
+       round(z_hat, 4) AS z_hat, round(q_hat, 4) AS q_hat,
+       rate_per_week
+FROM scored ORDER BY rank LIMIT {_CROSTON_TOP}
+"""
+
+QUERIES["q_croston_intermittent"] = (q_croston_intermittent, Q_CROSTON_SQL)
+
+
+def q_risk_pooling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-pooling benefit per brand (the √n inventory law): the
+    standard deviation of a brand's POOLED weekly demand vs the sum
+    of its parts' individual standard deviations — the pooling
+    ratio is the safety-stock fraction a centralized warehouse
+    needs relative to per-part stocking (1/√n under independence;
+    higher when part demands correlate, and THAT gap is the
+    decision signal). The textbook aggregation argument, computed
+    from data instead of assumed.
+
+    One lineitem scan → (brand, part, week) demand; per-part sigmas
+    and the pooled sigma come from two grouped aggregates over that
+    contraction; output is bounded by brand count.
+    """
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.join(
+            F.broadcast(
+                Catalog(spark, sf_dir).part.select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_brand",
+            "l_partkey",
+            F.date_trunc("week", F.col("l_shipdate")).alias("wk"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+    pw = li.groupBy("p_brand", "l_partkey", "wk").agg(
+        F.sum("qty").alias("d")
+    )
+    # σ over the FULL week grid with zero weeks counted — computed
+    # closed-form from event sums (var = Σd²/T − (Σd/T)²) against
+    # the global week count T, so no calendar-grid fill join is
+    # needed; σ over only demand-event weeks would overstate every
+    # per-part baseline and break the pooling algebra
+    t_weeks = float(pw.select("wk").distinct().count())  # one scalar
+    var0 = lambda sd2, sd: sd2 / t_weeks - (sd / t_weeks) * (sd / t_weeks)  # noqa: E731,E501
+    per_part = pw.groupBy("p_brand", "l_partkey").agg(
+        F.sum("d").alias("sd_"), F.sum(F.col("d") * F.col("d")).alias("sd2_")
+    )
+    sum_sd = per_part.groupBy("p_brand").agg(
+        F.sum(F.sqrt(var0(F.col("sd2_"), F.col("sd_")))).alias("sum_part_sd"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    pooled = (
+        pw.groupBy("p_brand", "wk")
+        .agg(F.sum("d").alias("d"))
+        .groupBy("p_brand")
+        .agg(
+            F.sum("d").alias("sd_"),
+            F.sum(F.col("d") * F.col("d")).alias("sd2_"),
+        )
+        .select(
+            "p_brand",
+            F.sqrt(var0(F.col("sd2_"), F.col("sd_"))).alias("pooled_sd"),
+        )
+    )
+    return (
+        sum_sd.join(pooled, "p_brand")
+        .select(
+            "p_brand",
+            "n_parts",
+            _R4(F.col("sum_part_sd"), "sum_part_sd"),
+            _R4(F.col("pooled_sd"), "pooled_sd"),
+            _R4(F.col("pooled_sd") / F.col("sum_part_sd"), "pooling_ratio"),
+            _R4(1.0 / F.sqrt(F.col("n_parts").cast("double")), "iid_ratio"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q_RISK_POOLING_SQL = """
+WITH li AS (
+  SELECT p_brand, l_partkey,
+         date_trunc('week', CAST(l_shipdate AS DATE)) AS wk,
+         l_quantity AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pw AS (
+  SELECT p_brand, l_partkey, wk, sum(qty) AS d FROM li GROUP BY 1, 2, 3
+), tw AS (
+  SELECT CAST(count(DISTINCT wk) AS DOUBLE) AS t FROM pw
+), per_part AS (
+  SELECT p_brand, l_partkey, sum(d) AS sd_, sum(d * d) AS sd2_
+  FROM pw GROUP BY 1, 2
+), sums AS (
+  SELECT p_brand,
+         sum(sqrt(sd2_ / t - (sd_ / t) * (sd_ / t))) AS sum_part_sd,
+         count(*) AS n_parts
+  FROM per_part CROSS JOIN tw GROUP BY p_brand
+), pooled AS (
+  SELECT p_brand,
+         sqrt(sd2_ / t - (sd_ / t) * (sd_ / t)) AS pooled_sd
+  FROM (SELECT p_brand, sum(d) AS sd_, sum(d * d) AS sd2_
+        FROM (SELECT p_brand, wk, sum(d) AS d FROM pw GROUP BY 1, 2)
+        GROUP BY p_brand) CROSS JOIN tw
+)
+SELECT p_brand, CAST(n_parts AS BIGINT) AS n_parts,
+       round(sum_part_sd, 4) AS sum_part_sd,
+       round(pooled_sd, 4) AS pooled_sd,
+       round(pooled_sd / sum_part_sd, 4) AS pooling_ratio,
+       round(1.0 / sqrt(CAST(n_parts AS DOUBLE)), 4) AS iid_ratio
+FROM sums JOIN pooled USING (p_brand)
+ORDER BY p_brand
+"""
+
+QUERIES["q_risk_pooling"] = (q_risk_pooling, Q_RISK_POOLING_SQL)

@@ -375,3 +375,32 @@ def test_weekday_hour_profile_complete(spark, sf_dir):
     # only OBSERVED cells appear; at this sf one 7x24 cell is empty
     assert 160 <= len(rows) <= 168
     assert abs(sum(r.share for r in rows) - 1.0) < 0.02
+
+
+def test_croston_components_positive(spark, sf_dir):
+    """z_hat/q_hat positive, gaps ≥ 1 week ⇒ q_hat ≥ ~1, and rate
+    = z_hat/q_hat; ranks dense."""
+    from etl_gov_spark.operators.analytics import q_croston_intermittent
+
+    rows = q_croston_intermittent(spark, sf_dir).collect()
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r.z_hat > 0 and r.q_hat >= 0.99
+        assert abs(r.rate_per_week - round(r.z_hat / r.q_hat, 4)) < 2e-3
+        assert r.n_events >= 5
+
+
+def test_risk_pooling_ratio_bounds(spark, sf_dir):
+    """Pooling never hurts in σ terms: ratio ∈ (0, 1]; and with
+    positively-correlated real demand it sits ABOVE the iid √n
+    floor for most brands."""
+    from etl_gov_spark.operators.analytics import q_risk_pooling
+
+    rows = q_risk_pooling(spark, sf_dir).collect()
+    assert len(rows) == 25
+    above = 0
+    for r in rows:
+        assert 0.0 < r.pooling_ratio <= 1.0 + 1e-9
+        assert 0.0 < r.iid_ratio <= 1.0
+        above += r.pooling_ratio >= r.iid_ratio - 1e-9
+    assert above >= len(rows) * 0.6

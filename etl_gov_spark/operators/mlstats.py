@@ -5191,3 +5191,91 @@ WHERE a.grp AND NOT b.grp
 """
 
 QUERIES["q_oaxaca_blinder"] = (q_oaxaca_blinder, Q_OAXACA_SQL)
+
+
+def q_var_backtest_kupiec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-at-Risk backtest with Kupiec's proportion-of-failures
+    test (Kupiec 1995, the regulatory standard): the 95% one-day
+    VaR of daily revenue CHANGES is estimated on the first 60% of
+    days (exact empirical quantile) and then judged out-of-sample —
+    breaches on the held-out 40% should be ~5%; the likelihood
+    ratio −2·ln[(1−p)^(n−x)p^x / (1−x/n)^(n−x)(x/n)^x] against
+    χ²(1) = 3.841 says whether the VaR model (here: stationarity of
+    the change distribution) is rejected. The risk-desk discipline
+    applied to an ops metric — a rejected backtest means yesterday's
+    tail is not tomorrow's.
+
+    One orders scan → daily changes via a lag window; the split
+    point and VaR are scalar aggregates broadcast back; the breach
+    count is one filtered aggregate. All exact, no simulation.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("y"))
+    )
+    wl = Window.partitionBy(F.lit(1)).orderBy("day")
+    chg = (
+        daily.withColumn("chg", F.col("y") - F.lag("y", 1).over(wl))
+        .filter(F.col("chg").isNotNull())
+        .withColumn("i", F.row_number().over(wl))
+        .withColumn(
+            "n_all", F.count(F.lit(1)).over(Window.partitionBy(F.lit(1)))
+        )
+    )
+    train = chg.filter(F.col("i") <= F.floor(0.6 * F.col("n_all")))
+    var95 = train.agg(F.percentile("chg", 0.05).alias("v")).collect()[0].v
+    test = chg.filter(F.col("i") > F.floor(0.6 * F.col("n_all")))
+    p = 0.05
+    agg = test.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("chg") < F.lit(var95)).cast("long")).alias("x"),
+    )
+    x, n = F.col("x").cast("double"), F.col("n_test").cast("double")
+    eps = F.lit(1e-12)
+    ll0 = (n - x) * F.log(F.lit(1 - p)) + x * F.log(F.lit(p))
+    ll1 = (n - x) * F.log(1 - x / n + eps) + x * F.log(x / n + eps)
+    lr = -2.0 * (ll0 - ll1)
+    return agg.select(
+        F.col("n_test"),
+        F.col("x").alias("n_breaches"),
+        _R4(F.lit(var95), "var95_change"),
+        _R4(x / n, "breach_rate"),
+        _R4(lr, "kupiec_lr"),
+        (lr > 3.841).alias("rejected"),
+    )
+
+
+Q_VAR_KUPIEC_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS y
+  FROM orders GROUP BY 1
+), chg AS (
+  SELECT day, y - lag(y) OVER (ORDER BY day) AS chg
+  FROM daily QUALIFY chg IS NOT NULL
+), idx AS (
+  SELECT chg, row_number() OVER (ORDER BY day) AS i, count(*) OVER () AS n_all
+  FROM chg
+), v AS (
+  SELECT quantile_cont(chg, 0.05) AS var95
+  FROM idx WHERE i <= floor(0.6 * n_all)
+), t AS (
+  SELECT count(*) AS n_test,
+         sum(CASE WHEN chg < var95 THEN 1 ELSE 0 END) AS x
+  FROM idx CROSS JOIN v WHERE i > floor(0.6 * n_all)
+)
+SELECT CAST(n_test AS BIGINT) AS n_test, CAST(x AS BIGINT) AS n_breaches,
+       round((SELECT var95 FROM v), 4) AS var95_change,
+       round(x / CAST(n_test AS DOUBLE), 4) AS breach_rate,
+       round(-2.0 * ((n_test - x) * ln(0.95) + x * ln(0.05)
+             - ((n_test - x) * ln(1.0 - x / CAST(n_test AS DOUBLE) + 1e-12)
+                + x * ln(x / CAST(n_test AS DOUBLE) + 1e-12))), 4)
+         AS kupiec_lr,
+       -2.0 * ((n_test - x) * ln(0.95) + x * ln(0.05)
+             - ((n_test - x) * ln(1.0 - x / CAST(n_test AS DOUBLE) + 1e-12)
+                + x * ln(x / CAST(n_test AS DOUBLE) + 1e-12))) > 3.841
+         AS rejected
+FROM t
+"""
+
+QUERIES["q_var_backtest_kupiec"] = (q_var_backtest_kupiec, Q_VAR_KUPIEC_SQL)

@@ -959,3 +959,16 @@ def test_oaxaca_identity_closes(spark, sf_dir):
     r = q_oaxaca_blinder(spark, sf_dir).collect()[0]
     assert r.n_building > 0 and r.n_automobile > 0
     assert abs(r.residual_check) < 1e-2
+
+
+def test_kupiec_backtest_consistency(spark, sf_dir):
+    """Breach rate = x/n, LR ≥ 0, rejection matches the χ² rule,
+    and the VaR estimate is a LOSS (negative change)."""
+    from etl_gov_spark.operators.mlstats import q_var_backtest_kupiec
+
+    r = q_var_backtest_kupiec(spark, sf_dir).collect()[0]
+    assert r.n_test > 0 and 0 <= r.n_breaches <= r.n_test
+    assert abs(r.breach_rate - round(r.n_breaches / r.n_test, 4)) < 1e-9
+    assert r.kupiec_lr >= -1e-9
+    assert r.rejected == (r.kupiec_lr > 3.841)
+    assert r.var95_change < 0

@@ -5279,3 +5279,96 @@ FROM t
 """
 
 QUERIES["q_var_backtest_kupiec"] = (q_var_backtest_kupiec, Q_VAR_KUPIEC_SQL)
+
+
+def q_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the BLOCKED nonparametric ANOVA
+    ``q_kruskal_wallis`` is not: with days as blocks and event
+    types as treatments, each day ranks its five types' mean event
+    values; χ²_F = 12/(nk(k+1))·ΣRⱼ² − 3n(k+1) on the rank-sum
+    column vector, df = k−1, tested at χ²(4) = 9.488. Blocking
+    removes the day-to-day level shifts that would otherwise drown
+    the between-type signal (exactly why a paired test exists) —
+    run it when "is any event type systematically hotter?" must
+    survive daily seasonality.
+
+    One events scan → bounded (day × type) grid → rank window per
+    day → one aggregate. Ties get average ranks (the standard
+    correction's numerator; tie-dense data would need the
+    denominator correction too — flagged in the n_tied column).
+    """
+    cell = (
+        Catalog(spark, sf_dir)
+        .events.groupBy(
+            F.to_date("ts").alias("day"), "event_type"
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    # average ranks via (rank + count_of_ties - 1 / 2): use
+    # rank() + (cnt-1)/2 where cnt = ties at same value in the day
+    wday = Window.partitionBy("day").orderBy("v")
+    wtie = Window.partitionBy("day", "v")
+    ranked = cell.select(
+        "day",
+        "event_type",
+        (
+            F.rank().over(wday)
+            + (F.count(F.lit(1)).over(wtie) - 1) / 2.0
+        ).alias("r"),
+        (F.count(F.lit(1)).over(wtie) > 1).cast("long").alias("tied"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("r").alias("rj"),
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("tied").alias("n_tied"),
+    )
+    k = sums.agg(F.count(F.lit(1)).alias("k")).collect()[0].k  # 5 types
+    agg = sums.agg(
+        F.max("n_blocks").alias("n"),
+        F.sum(F.col("rj") * F.col("rj")).alias("srj2"),
+        F.sum("n_tied").alias("n_tied"),
+    )
+    chi = (
+        12.0 / (F.col("n") * k * (k + 1)) * F.col("srj2")
+        - 3.0 * F.col("n") * (k + 1)
+    )
+    return agg.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(k).alias("k_treatments"),
+        F.col("n_tied"),
+        _R4(chi, "friedman_chi2"),
+        (chi > 9.488).alias("significant"),  # chi2(k-1=4), 5%
+    )
+
+
+Q_FRIEDMAN_SQL = """
+WITH cell AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, avg(value) AS v
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT day, event_type,
+         rank() OVER (PARTITION BY day ORDER BY v)
+           + (count(*) OVER (PARTITION BY day, v) - 1) / 2.0 AS r,
+         CASE WHEN count(*) OVER (PARTITION BY day, v) > 1
+              THEN 1 ELSE 0 END AS tied
+  FROM cell
+), sums AS (
+  SELECT event_type, sum(r) AS rj, count(*) AS n_blocks,
+         sum(tied) AS n_tied
+  FROM ranked GROUP BY event_type
+), agg AS (
+  SELECT max(n_blocks) AS n, count(*) AS k,
+         sum(rj * rj) AS srj2, sum(n_tied) AS n_tied
+  FROM sums
+)
+SELECT CAST(n AS BIGINT) AS n_blocks,
+       CAST(k AS INTEGER) AS k_treatments,
+       CAST(n_tied AS BIGINT) AS n_tied,
+       round(12.0 / (n * k * (k + 1)) * srj2 - 3.0 * n * (k + 1), 4)
+         AS friedman_chi2,
+       12.0 / (n * k * (k + 1)) * srj2 - 3.0 * n * (k + 1) > 9.488
+         AS significant
+FROM agg
+"""
+
+QUERIES["q_friedman_test"] = (q_friedman_test, Q_FRIEDMAN_SQL)

@@ -972,3 +972,14 @@ def test_kupiec_backtest_consistency(spark, sf_dir):
     assert r.kupiec_lr >= -1e-9
     assert r.rejected == (r.kupiec_lr > 3.841)
     assert r.var95_change < 0
+
+
+def test_friedman_rank_identity(spark, sf_dir):
+    """Rank sums over all treatments must total n·k(k+1)/2 (rank
+    conservation per block); χ² non-negative; verdict matches."""
+    from etl_gov_spark.operators.mlstats import q_friedman_test
+
+    r = q_friedman_test(spark, sf_dir).collect()[0]
+    assert r.k_treatments == 5 and r.n_blocks >= 25
+    assert r.friedman_chi2 >= -1e-9
+    assert r.significant == (r.friedman_chi2 > 9.488)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators.ranks import ranged_global_rank
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
@@ -206,25 +207,41 @@ FROM (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS rev FROM ord
 
 
 def q_revenue_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + ntile quartile of customers by revenue —
-    cumulative windows over the aggregated (customer-level) set."""
+    """Running total + ntile quartile of customers by revenue.
+
+    Scale: no global sort — ``ranged_global_rank`` range-partitions
+    on the (cents, custkey) total order and lifts per-slice ranks /
+    running sums with a P-row offset ledger. Revenue is ordered and
+    prefix-summed as integer CENTS so the running total is exact and
+    associative (a double prefix sum re-associated across slices
+    would drift in the last ulps vs the sequential oracle)."""
     orders = Catalog(spark, sf_dir).orders
-    rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_rev"))
-    w = Window.orderBy(F.desc("_rev"), F.asc("o_custkey"))
-    return rev.select(
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("_cents")
+    )
+    ranked = ranged_global_rank(
+        rev,
+        [F.desc("_cents"), F.asc("o_custkey")],
+        rank_col=None,
+        ntiles={"quartile": 4},
+        running_longs={"_cum_cents": "_cents"},
+    )
+    return ranked.select(
         F.col("o_custkey").alias("custkey"),
-        _R4(F.col("_rev"), "revenue"),
-        _R4(F.sum("_rev").over(w.rowsBetween(Window.unboundedPreceding, 0)), "running_total"),
-        F.ntile(4).over(w).alias("quartile"),
+        _R4(F.col("_cents") / 100.0, "revenue"),
+        _R4(F.col("_cum_cents") / 100.0, "running_total"),
+        "quartile",
     )
 
 
 Q_QUARTILES_SQL = """
-SELECT o_custkey AS custkey, round(rev, 4) AS revenue,
-       round(sum(rev) OVER (ORDER BY rev DESC, o_custkey ASC
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total,
-       CAST(ntile(4) OVER (ORDER BY rev DESC, o_custkey ASC) AS INTEGER) AS quartile
-FROM (SELECT o_custkey, sum(o_totalprice) AS rev FROM orders GROUP BY o_custkey)
+SELECT o_custkey AS custkey, round(cents / 100.0, 4) AS revenue,
+       round(CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             / 100.0, 4) AS running_total,
+       CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey ASC) AS INTEGER) AS quartile
+FROM (SELECT o_custkey, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey)
 """
 
 
@@ -521,13 +538,18 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     their value ranges — the complement of the fixed-width histogram
     (q_price_histogram): bucket populations are equal by
     construction, bucket BOUNDARIES carry the distribution shape.
-    One global ntile sort (use per-group ntiles at scale) feeding a
-    bounded aggregate; deterministic tie-break on orderkey."""
+    Bucket cuts are exact ntile via ``ranged_global_rank`` (range-
+    partitioned parallel sort + offset ledger — no single-partition
+    stage) feeding a bounded aggregate; tie-break on orderkey."""
     orders = Catalog(spark, sf_dir).orders
-    w = Window.orderBy(F.asc("o_totalprice"), F.asc("o_orderkey"))
+    binned = ranged_global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col=None,
+        ntiles={"bucket": 8},
+    )
     return (
-        orders.select("o_totalprice", F.ntile(8).over(w).alias("bucket"))
-        .groupBy("bucket")
+        binned.groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             _R4(F.min("o_totalprice"), "lo"),
@@ -661,17 +683,22 @@ def q_customer_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     churn-in/out rows for customers active in only one period — the
     entity-level complement of the event transition matrix.
 
-    Two windowed tercile assignments over per-period aggregates and
-    one full-outer join on the customer key."""
+    Two exact-tercile assignments (``ranged_global_rank`` — no
+    single-partition sort) over per-period aggregates and one
+    full-outer join on the customer key."""
     orders = Catalog(spark, sf_dir).orders
     split = F.lit(_MIGRATION_SPLIT).cast("timestamp")
 
     def tiers(df, alias):
         rev = df.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-        w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
-        return rev.select(
-            F.col("o_custkey").alias(f"{alias}_key"),
-            F.ntile(3).over(w).alias(f"{alias}_tier"),
+        tiered = ranged_global_rank(
+            rev,
+            [F.asc("rev"), F.asc("o_custkey")],
+            rank_col=None,
+            ntiles={f"{alias}_tier": 3},
+        )
+        return tiered.select(
+            F.col("o_custkey").alias(f"{alias}_key"), f"{alias}_tier"
         )
 
     early = tiers(orders.filter(F.col("o_orderdate") < split), "early")

@@ -420,12 +420,19 @@ QUERIES["q_structuring_screen"] = (q_structuring_screen, Q_STRUCTURING_SQL)
 def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve in deciles: cumulative share of total revenue
     held by the bottom 10%, 20%, … of customers — the curve behind
-    the Gini number, reportable as ten rows. One global ntile (use
-    per-group at scale) + a bounded cumulative window."""
+    the Gini number, reportable as ten rows. Exact ntile deciles via
+    ``ranged_global_rank`` (parallel range sort, no single-partition
+    stage) + a bounded cumulative window over the 10 rows."""
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
     orders = Catalog(spark, sf_dir).orders
     rev = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
-    w = Window.orderBy(F.asc("rev"), F.asc("o_custkey"))
-    deciled = rev.select("rev", F.ntile(10).over(w).alias("decile"))
+    deciled = ranged_global_rank(
+        rev,
+        [F.asc("rev"), F.asc("o_custkey")],
+        rank_col=None,
+        ntiles={"decile": 10},
+    )
     per = deciled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"), F.sum("rev").alias("_d_rev")
     )

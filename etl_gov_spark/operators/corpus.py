@@ -1726,11 +1726,14 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, graduate to denser text) emitted as a per-phase manifest
     a loader consumes.
 
-    Difficulty is a shuffle-free projection; the only fact-row
-    window is the single ntile sort (same cost class as
-    ``q_decile_lift``), and the manifest is a 4-row aggregate.
-    Ties break on doc_id so both engines cut identical phases.
+    Difficulty is a shuffle-free projection; phase cuts are exact
+    ntile via ``ranged_global_rank`` (parallel range sort + offset
+    ledger — no single-partition stage), and the manifest is a
+    4-row aggregate. Ties break on doc_id so both engines cut
+    identical phases.
     """
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
     docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "doc_id",
         F.size(tokens_col()).alias("n_tokens"),
@@ -1740,8 +1743,12 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("difficulty"),
     )
-    w = Window.orderBy(F.asc("difficulty"), F.asc("doc_id"))
-    phased = docs.withColumn("phase", F.ntile(_CURRICULUM_PHASES).over(w))
+    phased = ranged_global_rank(
+        docs,
+        [F.asc("difficulty"), F.asc("doc_id")],
+        rank_col=None,
+        ntiles={"phase": _CURRICULUM_PHASES},
+    )
     return phased.groupBy("phase").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),

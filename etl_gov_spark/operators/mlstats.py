@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators.ranks import ranged_global_rank
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
@@ -704,18 +705,23 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     into score deciles, report response rate, lift over base rate,
     and cumulative capture per decile.
 
-    ntile is the only fact-row window (single sort on score);
-    everything after is a 10-row aggregate against a broadcast
-    scalar base rate. Ties are broken by event_id so both engines
-    cut identical deciles.
+    Decile cuts are exact ntile via ``ranged_global_rank`` — the
+    fact rows parallel-sort inside range slices, never through one
+    partition; everything after is a 10-row aggregate against a
+    broadcast scalar base rate. Ties are broken by event_id so both
+    engines cut identical deciles.
     """
     ev = Catalog(spark, sf_dir).events.select(
         "event_id",
         F.round("value", 6).alias("score"),
         (F.col("event_type") == "purchase").cast("long").alias("y"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
-    binned = ev.withColumn("decile", F.ntile(_LIFT_DECILES).over(w))
+    binned = ranged_global_rank(
+        ev,
+        [F.desc("score"), F.asc("event_id")],
+        rank_col=None,
+        ntiles={"decile": _LIFT_DECILES},
+    )
     per = binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("y").alias("n_pos"),
@@ -2400,8 +2406,9 @@ def q_rfm_score_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     report the segment census with average scores — the actionable
     layer on top of ``q_user_rfm_features``' raw features.
 
-    Three ntile windows over the per-user aggregate (one sort
-    each over |users| rows), then row-local segment mapping.
+    Three chained exact-ntile passes over the per-user aggregate
+    (``ranged_global_rank`` — each a parallel range sort, no
+    single-partition stage), then row-local segment mapping.
     """
     ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "value")
     snap_ref = ev.agg(F.max(F.to_date("ts")).alias("snap"))
@@ -2420,12 +2427,16 @@ def q_rfm_score_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "money",
         )
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("rec_days"), F.asc("user_id")))
-    f_ = F.ntile(5).over(Window.orderBy(F.asc("freq"), F.asc("user_id")))
-    m = F.ntile(5).over(Window.orderBy(F.asc(F.round("money", 6)), F.asc("user_id")))
-    scored = per.select(
-        "user_id", r.alias("r"), f_.alias("f"), m.alias("m")
-    )
+    scored = per.withColumn("_money_r", F.round("money", 6))
+    for out, order in (
+        ("r", [F.desc("rec_days"), F.asc("user_id")]),
+        ("f", [F.asc("freq"), F.asc("user_id")]),
+        ("m", [F.asc("_money_r"), F.asc("user_id")]),
+    ):
+        scored = ranged_global_rank(
+            scored, order, rank_col=None, ntiles={out: 5}
+        )
+    scored = scored.select("user_id", "r", "f", "m")
     seg = F.lit("others")
     for name, rr, ff, mm in reversed(_RFM_SEGMENTS):
         seg = F.when(

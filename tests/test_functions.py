@@ -62,3 +62,61 @@ def test_zscore_null_on_zero_std(spark):
     df = spark.createDataFrame([(5.0, 5.0, 0.0), (7.0, 5.0, 2.0)], "v double, m double, s double")
     rows = df.select(EF.zscore("v", "m", "s").alias("z")).collect()
     assert rows[0].z is None and rows[1].z == 1.0
+
+
+def test_ranged_global_rank_matches_naive_global_window(spark, sf_dir):
+    """ranged_global_rank must reproduce the exact global rank, SQL
+    ntile buckets, and long running sums of a naive single-partition
+    Window.orderBy — while never planning one."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice"
+    ).withColumn("_cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    order = [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    w = Window.orderBy(*order)
+    naive = orders.select(
+        "o_orderkey",
+        F.row_number().over(w).alias("rk"),
+        F.ntile(7).over(w).alias("b"),
+        F.sum("_cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run"),
+    )
+    got = ranged_global_rank(
+        orders, order, rank_col="rk", ntiles={"b": 7},
+        running_longs={"run": "_cents"},
+    ).select("o_orderkey", "rk", "b", "run")
+    want = {r.o_orderkey: (r.rk, r.b, r.run) for r in naive.collect()}
+    have = {r.o_orderkey: (r.rk, r.b, r.run) for r in got.collect()}
+    assert have == want
+
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_ranged_global_rank_empty_and_fewer_rows_than_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
+    df = spark.createDataFrame([(3, 30), (1, 10), (2, 20)], "k int, v long")
+    out = ranged_global_rank(
+        df, [F.asc("k")], rank_col="rk", ntiles={"b": 10},
+        running_longs={"run": "v"},
+    ).orderBy("k").collect()
+    # fewer rows than buckets: bucket == rank, running sum sequential
+    assert [(r.rk, r.b, r.run) for r in out] == [(1, 1, 10), (2, 2, 30), (3, 3, 60)]
+
+    empty = df.filter("k < 0")
+    got = ranged_global_rank(
+        empty, [F.asc("k")], rank_col="rk", ntiles={"b": 4},
+        running_longs={"run": "v"},
+    )
+    assert got.count() == 0
+    assert {"rk", "b", "run"} <= set(got.columns)

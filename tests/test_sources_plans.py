@@ -520,3 +520,38 @@ def test_avro_gate_raises_clearly_when_module_absent(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="spark-avro"):
         read_avro(spark, str(tmp_path / "x.avro"))
+
+
+def test_former_global_ntile_queries_have_no_single_partition_fact_sort(spark, sf_dir):
+    """Round-8 rewrite contract: the seven queries that used a bare
+    Window.orderBy ntile (one-task sort of the whole fact/entity
+    table — Spark warns "Moving all data to a single partition") now
+    cut exact ntiles via ranged_global_rank. Their plans must contain
+    no ntile window at all, and no SinglePartition exchange EXCEPT
+    the bounded cumulative window over the ≤10 aggregated decile rows
+    (q_decile_lift, q_lorenz_deciles)."""
+    from etl_gov_spark.operators.analytics import (
+        q_customer_migration,
+        q_histogram_equidepth,
+        q_revenue_quartiles,
+    )
+    from etl_gov_spark.operators.audit import q_lorenz_deciles
+    from etl_gov_spark.operators.corpus import corpus_curriculum_order
+    from etl_gov_spark.operators.mlstats import q_decile_lift, q_rfm_score_grid
+
+    bounded_cum_ok = {"q_decile_lift", "q_lorenz_deciles"}
+    for fn in (
+        q_histogram_equidepth,
+        q_revenue_quartiles,
+        q_customer_migration,
+        q_decile_lift,
+        q_rfm_score_grid,
+        corpus_curriculum_order,
+        q_lorenz_deciles,
+    ):
+        plan = _fmt(fn(spark, sf_dir))
+        assert "ntile" not in plan.lower(), fn.__name__
+        # formatted plans name a node twice (tree + details)
+        sp = plan.count("SinglePartition") // 2
+        allowed = 1 if fn.__name__ in bounded_cum_ok else 0
+        assert sp <= allowed, (fn.__name__, sp, allowed)

@@ -75,11 +75,13 @@ def touched_files(
     The ranges table is one row per file — broadcast it against the
     updates (which stay distributed) and aggregate the distinct hit
     file names. The collect is bounded by the FILE count, never the
-    data size — and when ``max_files`` is set, a COUNT runs first
-    and ``None`` is returned once the hit list would exceed it, so
-    a wide update against an 800k-file table never materializes a
-    driver-side file list at all (the caller degrades to a full
-    rewrite, which is the cheaper plan at that touch ratio anyway).
+    data size — and when ``max_files`` is set, the collect is
+    LIMIT-bounded to ``max_files + 1`` rows in the same single job
+    (no separate count pass) and ``None`` is returned once the hit
+    list would exceed it, so a wide update against an 800k-file
+    table never materializes a driver-side file list at all (the
+    caller degrades to a full rewrite, which is the cheaper plan at
+    that touch ratio anyway).
     """
     no_stats = [r["file"] for r in ranges if r["key_min"] is None]
     with_stats = [r for r in ranges if r["key_min"] is not None]
@@ -97,9 +99,14 @@ def touched_files(
         .select("file")
         .distinct()
     )
-    if max_files is not None and hits.count() + len(no_stats) > max_files:
-        return None
-    return sorted(no_stats + [r["file"] for r in hits.collect()])
+    if max_files is not None:
+        bound = max_files - len(no_stats)
+        rows = hits.limit(bound + 1).collect()
+        if len(rows) > bound:
+            return None
+    else:
+        rows = hits.collect()
+    return sorted(no_stats + [r["file"] for r in rows])
 
 
 def merge_upsert_cow(
@@ -167,7 +174,14 @@ def _merge_full_rewrite(
     files_total: int,
 ) -> dict:
     """Wide-update fallback: one distributed merge of the whole
-    table, staged then swapped in — no driver-side file list."""
+    table, staged then swapped in — no driver-side file list.
+
+    Commit order keeps the table readable through a crash: staging
+    is written NEXT to the table first; the old dir renames out and
+    staging renames in inside one try whose rollback restores the
+    old dir — so at every instant except the two renames there is a
+    complete table at ``table_path``, and a failed swap puts the
+    original back instead of stranding data in a _superseded dir."""
     from etl_gov_spark.operators.merge import merge_upsert
 
     base = spark.read.parquet(table_path)
@@ -182,7 +196,11 @@ def _merge_full_rewrite(
         f"_superseded-{uuid.uuid4().hex}",
     )
     shutil.move(table_path, old)
-    shutil.move(staging, table_path)
+    try:
+        shutil.move(staging, table_path)
+    except BaseException:
+        shutil.move(old, table_path)
+        raise
     shutil.rmtree(old)
     n_new = sum(1 for n in os.listdir(table_path) if n.endswith(".parquet"))
     return {

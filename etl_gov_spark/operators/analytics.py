@@ -1984,32 +1984,38 @@ def q_pareto_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
     between its endpoints — the principled answer to "where do we
     cut top-K" that replaces the arbitrary 80% of ABC analysis.
 
-    The curve is one cumulative window over the bounded part
-    ranking; the chord distance is row algebra; the argmax is one
-    more window — everything past the revenue rollup is
-    |parts|-bounded.
+    Scale: global rank + running revenue via ``ranged_global_rank``
+    (parallel range sort + offset ledger — no single-partition
+    stage); revenue prefix-sums as integer cents so the parallel
+    running sum is exact (oracle mirrored); the argmax is a
+    distributed top-1 (TakeOrderedAndProject), not a global window.
     """
     li = Catalog(spark, sf_dir).lineitem.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("cents")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey"))
-    tot = Window.partitionBy()
-    curve = li.select(
-        F.row_number().over(w).alias("rk"),
-        (
-            F.sum("rev").over(
-                w.rowsBetween(Window.unboundedPreceding, 0)
-            )
-            / F.sum("rev").over(tot)
-        ).alias("cum_share"),
-        F.count(F.lit(1)).over(tot).alias("n"),
+    ranked = ranged_global_rank(
+        li,
+        [F.desc("cents"), F.asc("l_partkey")],
+        rank_col="rk",
+        running_longs={"cum_cents": "cents"},
+    )
+    tot = ranked.agg(
+        F.sum("cents").alias("tot_cents"), F.count(F.lit(1)).alias("n")
+    )
+    curve = ranked.crossJoin(F.broadcast(tot)).select(
+        "rk",
+        (F.col("cum_cents") / F.col("tot_cents")).alias("cum_share"),
+        "n",
     )
     # normalized chord from (0,0) to (1,1): distance ∝ |share − rank/n|
     dist = F.round(F.col("cum_share") - F.col("rk") / F.col("n"), 8)
-    pick = Window.orderBy(F.desc(dist), F.asc("rk"))
     return (
-        curve.withColumn("rn", F.row_number().over(pick))
-        .filter("rn = 1")
+        curve.orderBy(F.desc(dist), F.asc("rk"))
+        .limit(1)
         .select(
             F.col("rk").alias("elbow_rank"),
             F.col("n").alias("n_parts"),
@@ -2021,13 +2027,14 @@ def q_pareto_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PARETO_ELBOW_SQL = """
 WITH li AS (
-  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT l_partkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS cents
   FROM lineitem GROUP BY 1
 ), curve AS (
-  SELECT row_number() OVER (ORDER BY rev DESC, l_partkey ASC) AS rk,
-         sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           / sum(rev) OVER () AS cum_share,
+  SELECT row_number() OVER (ORDER BY cents DESC, l_partkey ASC) AS rk,
+         CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(cents) OVER () AS DOUBLE) AS cum_share,
          count(*) OVER () AS n
   FROM li
 )
@@ -2175,10 +2182,13 @@ def q_parts_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rn"),
     ).filter((F.col("rn") == 1) & F.col("r2").isNotNull())
     accel = F.round(F.col("r") - 2 * F.col("r1") + F.col("r2"), 2)
-    pick = Window.orderBy(F.desc(accel), F.asc("l_partkey"))
+    # distributed top-k (TakeOrderedAndProject), rank re-derived on
+    # the k surviving rows — never a one-task sort of all parts
+    pick = [F.desc(accel), F.asc("l_partkey")]
     return (
-        lagged.withColumn("rank", F.row_number().over(pick))
-        .filter(F.col("rank") <= _MOMENTUM_TOP)
+        lagged.orderBy(*pick)
+        .limit(_MOMENTUM_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*pick)))
         .select(
             "rank",
             "l_partkey",
@@ -2273,10 +2283,13 @@ def q_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "n_events", "z_hat", "q_hat",
         F.round(F.col("z_hat") / F.col("q_hat"), 4).alias("rate_per_week"),
     )
-    wtop = Window.orderBy(F.desc("rate_per_week"), F.asc("l_partkey"))
+    # distributed top-k (TakeOrderedAndProject), rank re-derived on
+    # the k surviving rows — never a one-task sort of all parts
+    wtop = [F.desc("rate_per_week"), F.asc("l_partkey")]
     return (
-        scored.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= _CROSTON_TOP)
+        scored.orderBy(*wtop)
+        .limit(_CROSTON_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wtop)))
         .select("rank", "l_partkey", "n_events",
                 _R4(F.col("z_hat"), "z_hat"), _R4(F.col("q_hat"), "q_hat"),
                 "rate_per_week")

@@ -714,7 +714,9 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     varying unit prices (coefficient of variation of
     extendedprice/quantity) — the "same part, different price"
     screen. Top-20 most dispersed parts with ≥5 purchases; one
-    grouped aggregate + a top-k window over part summaries."""
+    grouped aggregate + a distributed top-k (orderBy+limit plans
+    TakeOrderedAndProject — per-partition k then driver merge, never
+    a one-task sort of all parts) with rank re-derived on 20 rows."""
     li = Catalog(spark, sf_dir).lineitem.select(
         "l_partkey", (F.col("l_extendedprice") / F.col("l_quantity")).alias("up")
     )
@@ -723,10 +725,11 @@ def q_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("up").alias("_mean"),
         F.stddev_samp("up").alias("_sd"),
     ).filter(F.col("n_buys") >= 5)
-    w = Window.orderBy(F.desc(F.col("_sd") / F.col("_mean")), F.asc("l_partkey"))
+    order = [F.desc(F.col("_sd") / F.col("_mean")), F.asc("l_partkey")]
     return (
-        per.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        per.orderBy(*order)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
         .select(
             "l_partkey",
             "n_buys",

@@ -931,10 +931,14 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
-    wtop = Window.orderBy(F.desc("jaccard"), F.asc("na"), F.asc("nb"))
+    # distributed top-k (TakeOrderedAndProject: per-partition k, then
+    # a k·P driver merge), rank re-derived on the 20 surviving rows —
+    # never one unpartitioned window over ALL wedge candidates
+    wtop = [F.desc("jaccard"), F.asc("na"), F.asc("nb")]
     return (
-        scored.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= _LINKPRED_TOP)
+        scored.orderBy(*wtop)
+        .limit(_LINKPRED_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wtop)))
         .select("rank", F.col("na").alias("part_a"), F.col("nb").alias("part_b"),
                 "n_common", "jaccard")
     )

@@ -1018,58 +1018,75 @@ def dq_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a column name) and suspicious uniformity (≈ 1: synthetic or
     hashed data).
 
-    One value-counts aggregate per column (bounded vocabularies);
-    the union is |columns| small plans sharing nothing — at scale
-    each runs off its own table scan in parallel.
+    One scan per TABLE (each table's audited columns stack into
+    (column, value) pairs via a single explode), one (column, value)
+    counts aggregate, one per-column profile aggregate — 2 exchanges
+    total instead of an aggregate per column. Entropy folds in one
+    pass via the identity −Σ(n/t)·log₂(n/t) = log₂t − Σ n·log₂n / t
+    (mirrored in the oracle so both engines round identically).
     """
     c = Catalog(spark, sf_dir)
-    outs = []
+    by_table: dict[str, list[str]] = {}
     for table, col in _ENTROPY_COLUMNS:
+        by_table.setdefault(table, []).append(col)
+    stacks = []
+    for table, cols in by_table.items():
         df = getattr(c, table)
-        if col not in df.columns:
-            continue
-        counts = df.groupBy(F.col(col).alias("v")).agg(
-            F.count(F.lit(1)).alias("n")
-        )
-        tot = counts.agg(F.sum("n").alias("t"))
-        p = F.col("n") / F.col("t")
-        outs.append(
-            counts.crossJoin(F.broadcast(tot))
-            .agg(
+        pairs = [
+            F.struct(
                 F.lit(f"{table}.{col}").alias("column"),
-                F.count(F.lit(1)).alias("cardinality"),
-                F.max("t").alias("n_rows"),
-                _R4(-F.sum(p * F.log2(p)), "entropy_bits"),
-                _R4(
-                    -F.sum(p * F.log2(p))
-                    / F.log2(F.count(F.lit(1)).cast("double")),
-                    "entropy_norm",
-                ),
+                F.col(col).cast("string").alias("v"),
             )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.union(o)
-    return out
+            for col in cols
+            if col in df.columns
+        ]
+        if pairs:
+            stacks.append(
+                df.select(F.explode(F.array(*pairs)).alias("s")).select(
+                    "s.column", "s.v"
+                )
+            )
+    stacked = stacks[0]
+    for s in stacks[1:]:
+        stacked = stacked.union(s)
+    counts = stacked.groupBy("column", "v").agg(F.count(F.lit(1)).alias("n"))
+    t = F.sum("n")
+    ent = F.log2(t.cast("double")) - F.sum(
+        F.col("n") * F.log2(F.col("n").cast("double"))
+    ) / t
+    return counts.groupBy("column").agg(
+        F.count(F.lit(1)).alias("cardinality"),
+        t.alias("n_rows"),
+        _R4(ent, "entropy_bits"),
+        _R4(ent / F.log2(F.count(F.lit(1)).cast("double")), "entropy_norm"),
+    )
 
 
 def _entropy_sql() -> str:
-    parts = []
+    by_table: dict[str, list[str]] = {}
     for table, col in _ENTROPY_COLUMNS:
-        parts.append(f"""
-SELECT '{table}.{col}' AS "column",
-       count(*) AS cardinality,
-       CAST(max(t) AS BIGINT) AS n_rows,
-       round(-sum((n / CAST(t AS DOUBLE)) * log2(n / CAST(t AS DOUBLE))), 4)
-         AS entropy_bits,
-       round(-sum((n / CAST(t AS DOUBLE)) * log2(n / CAST(t AS DOUBLE)))
-             / log2(CAST(count(*) AS DOUBLE)), 4) AS entropy_norm
-FROM (
-  SELECT {col} AS v, count(*) AS n,
-         sum(count(*)) OVER () AS t
-  FROM {table} GROUP BY {col}
-)""")
-    return "\nUNION ALL\n".join(parts)
+        by_table.setdefault(table, []).append(col)
+    stacked = "\nUNION ALL\n".join(
+        f"SELECT '{table}.{col}' AS col, CAST({col} AS VARCHAR) AS v FROM {table}"
+        for table, cols in by_table.items()
+        for col in cols
+    )
+    ent = (
+        "log2(CAST(sum(n) AS DOUBLE))"
+        " - sum(n * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE)"
+    )
+    return f"""
+WITH stacked AS (
+{stacked}
+), counts AS (
+  SELECT col, v, count(*) AS n FROM stacked GROUP BY 1, 2
+)
+SELECT col AS "column", count(*) AS cardinality,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round({ent}, 4) AS entropy_bits,
+       round(({ent}) / log2(CAST(count(*) AS DOUBLE)), 4) AS entropy_norm
+FROM counts GROUP BY col
+"""
 
 
 QUERIES["dq_entropy_profile"] = (dq_entropy_profile, _entropy_sql())

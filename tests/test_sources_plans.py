@@ -555,3 +555,28 @@ def test_former_global_ntile_queries_have_no_single_partition_fact_sort(spark, s
         sp = plan.count("SinglePartition") // 2
         allowed = 1 if fn.__name__ in bounded_cum_ok else 0
         assert sp <= allowed, (fn.__name__, sp, allowed)
+
+
+def test_top_k_queries_plan_distributed_take_ordered(spark, sf_dir):
+    """Round-8 rewrite contract: the five former global row_number
+    top-k queries (unpartitioned window over an unbounded input) now
+    go through orderBy().limit(k) → TakeOrderedAndProject: each
+    partition keeps k rows, the driver merges k·P. The re-rank
+    window runs over the k survivors only."""
+    from etl_gov_spark.operators.analytics import (
+        q_croston_intermittent,
+        q_pareto_elbow,
+        q_parts_momentum,
+    )
+    from etl_gov_spark.operators.audit import q_price_dispersion
+    from etl_gov_spark.operators.graphs import graph_jaccard_link_prediction
+
+    for fn in (
+        q_price_dispersion,
+        q_pareto_elbow,
+        q_parts_momentum,
+        q_croston_intermittent,
+        graph_jaccard_link_prediction,
+    ):
+        plan = _fmt(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, fn.__name__

@@ -1123,7 +1123,7 @@ def dedup_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum((F.col("j") >= 0.3).cast("double")) / F.count(F.lit(1)),
                 4,
             ).alias("precision"),
-            F.round(F.avg("j"), 4).alias("mean_true_jaccard"),
+            F.round(F.avg("j"), 4).alias("mean_jaccard"),
         )
         .orderBy("band")
     )
@@ -1149,7 +1149,7 @@ SELECT CASE WHEN c.sig_agreement >= 0.75 THEN 'agree_hi'
             AS BIGINT) AS n_true,
        round(sum(CASE WHEN coalesce(t.j, 0.0) >= 0.3 THEN 1.0 ELSE 0.0 END)
              / count(*), 4) AS precision,
-       round(avg(coalesce(t.j, 0.0)), 4) AS mean_true_jaccard
+       round(avg(coalesce(t.j, 0.0)), 4) AS mean_jaccard
 FROM cands c LEFT JOIN truth t USING (doc_a, doc_b)
 GROUP BY 1 ORDER BY 1
 """

@@ -343,7 +343,10 @@ def test_lsh_recall_audit(spark, sf_dir):
         assert 0 <= r.n_captured <= r.n_true_pairs
         assert 0.0 <= r.recall <= 1.0
     top = [r for r in rows if r.band == "0.7-1.0"]
-    assert top and top[0].recall >= 0.95
+    # 4 bands x 2 hashes: catch prob at J just above 0.7 is ~93%,
+    # so pin 0.9 — the corpus's near-dups sit near J=1 but corpus
+    # regeneration must not flake this
+    assert top and top[0].recall >= 0.9
 
 
 def test_lsh_precision_monotone_in_agreement(spark, sf_dir):
@@ -356,6 +359,6 @@ def test_lsh_precision_monotone_in_agreement(spark, sf_dir):
     order = [b for b in ("agree_lo", "agree_mid", "agree_hi") if b in rows]
     for a, b in zip(order, order[1:]):
         assert rows[b].precision >= rows[a].precision - 1e-9
-        assert rows[b].mean_true_jaccard >= rows[a].mean_true_jaccard - 1e-9
+        assert rows[b].mean_jaccard >= rows[a].mean_jaccard - 1e-9
     for r in rows.values():
         assert 0 <= r.n_true <= r.n_candidates

@@ -499,9 +499,9 @@ def test_streaming_dedup_state_evicts(spark, tmp_path):
 
 
 def test_stream_cdc_upsert_builds_state_incrementally(spark, sf_dir):
-    """The CDC apply must run one merge per chunk (4 epoch-stamped
-    state versions) and the final state must equal the batch
-    change-log compaction exactly."""
+    """The CDC apply must merge one chunk per trigger through the
+    copy-on-write state table and the final state must equal the
+    batch change-log compaction exactly."""
     from etl_gov_spark.operators.merge import cdc_latest_order_state
     from etl_gov_spark.streaming import cdc_stream
 
@@ -514,15 +514,72 @@ def test_stream_cdc_upsert_builds_state_incrementally(spark, sf_dir):
         for r in cdc_latest_order_state(spark, sf_dir).collect()
     }
     assert got == want
-    # incrementality: every epoch committed its own state version
-    import glob as g
+
+
+def test_apply_cdc_batch_keeps_untouched_state_files_byte_identical(
+    spark, tmp_path
+):
+    """A CDC batch whose keys live in one corner of the key space
+    must rewrite only the state files those keys can hit — every
+    other file stays byte-identical on disk (the merge_upsert_pruned
+    hash-assert contract, now on the streaming apply path)."""
     import os
 
-    # the latest state dir is .../state/v{N_CHUNKS-1}; its siblings
-    # are the earlier epochs
-    state_dirs = sorted(
-        d
-        for d in g.glob("/tmp/etl_gov_spark_scratch/*/cdc-*/state/v*")
-        if os.path.isdir(d)
+    from etl_gov_spark.streaming.cdc_stream import apply_cdc_batch
+
+    schema = (
+        "o_custkey long, o_orderdate string, o_orderkey long,"
+        " o_orderstatus string, o_totalprice double"
     )
-    assert len(state_dirs) >= cdc_stream.N_CHUNKS
+    state = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [
+            (k, f"2024-01-0{1 + k % 5}", k * 10, "O", float(k))
+            for k in range(1, 401)
+        ],
+        schema,
+    )
+    apply_cdc_batch(
+        spark, state, base, "o_custkey", ["o_orderdate", "o_orderkey"],
+        num_files=8,
+    )
+
+    def file_hashes() -> dict[str, str]:
+        return {
+            n: hashlib.md5(
+                open(os.path.join(state, n), "rb").read()
+            ).hexdigest()
+            for n in os.listdir(state)
+            if n.endswith(".parquet")
+        }
+
+    before = file_hashes()
+    assert len(before) == 8
+    batch = spark.createDataFrame(
+        [
+            (k, "2024-02-01", k * 10 + 1, "F", float(k) + 0.5)
+            for k in range(380, 401)
+        ],
+        schema,
+    )
+    stats = apply_cdc_batch(
+        spark, state, batch, "o_custkey", ["o_orderdate", "o_orderkey"],
+        num_files=8,
+    )
+    assert stats["degraded_full_rewrite"] is False
+    assert 0 < stats["files_rewritten"] < 8
+    assert stats["files_kept"] == 8 - stats["files_rewritten"]
+
+    after = file_hashes()
+    kept = set(before) & set(after)
+    assert len(kept) == stats["files_kept"]
+    for name in kept:
+        assert before[name] == after[name], name
+
+    # state correctness: updated keys took the batch row, others kept
+    final = {
+        r.o_custkey: (r.o_orderkey, r.o_orderstatus)
+        for r in spark.read.parquet(state).collect()
+    }
+    assert len(final) == 400
+    assert final[390] == (3901, "F") and final[10] == (100, "O")

@@ -2,12 +2,15 @@
 
 The driver adjudicates the FIRST 50 ``queries()`` entries
 (catalog._PINNED_FIRST). This tool diffs the registry against every
-CORRECTNESS_r*.json on disk and prints, in priority order:
+CORRECTNESS_r*.json on disk AND the git tree against the commit that
+recorded the newest CORRECTNESS file, then prints, in priority order:
 
-1. queries whose git-tracked operator file changed since the last
-   CORRECTNESS file was written (fresh implementations need fresh
-   driver signal), restricted to never/stale-sampled ones;
-2. the never-driver-sampled remainder, registry order.
+1. queries whose implementing operator module changed since the last
+   CORRECTNESS file landed (``git diff --name-only`` against that
+   commit, mapped to each query's defining module) — fresh
+   implementations need fresh driver signal, even if sampled before;
+2. the never-driver-sampled remainder, registry order;
+3. oldest-vintage refill once everything has been sampled.
 
 Paste the top 50 into _PINNED_FIRST (keeping any judge-directed
 leads). Read-only; prints a ready-to-paste tuple body.
@@ -19,11 +22,48 @@ from __future__ import annotations
 
 import glob
 import json
+import subprocess
 import sys
 
 sys.path.insert(0, ".")
 
+from etl_gov_spark.queries import catalog  # noqa: E402
 from etl_gov_spark.queries.catalog import all_queries  # noqa: E402
+
+
+def _query_modules() -> dict[str, str]:
+    """query name -> repo-relative path of its defining module."""
+    out: dict[str, str] = {}
+    for fam in catalog._families():
+        for name, (fn, _sql) in fam.items():
+            mod = sys.modules.get(fn.__module__)
+            path = getattr(mod, "__file__", None)
+            if path:
+                rel = path.split("/repo/", 1)[-1].lstrip("/")
+                out[name] = rel
+    return out
+
+
+def _changed_files() -> set[str]:
+    """Files changed (committed or working-tree) since the commit
+    that added the newest CORRECTNESS_r*.json."""
+    files = sorted(glob.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return set()
+    try:
+        commit = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", files[-1]],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        if not commit:
+            return set()
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", commit],
+            capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except (subprocess.CalledProcessError, OSError):
+        return set()
+    return set(diff)
 
 
 def main() -> None:
@@ -33,14 +73,25 @@ def main() -> None:
         sampled.update(json.load(open(f)).keys())
     names = list(all_queries())
     never = [q for q in names if q not in sampled]
+    changed_files = _changed_files()
+    mods = _query_modules()
+    changed = [q for q in names if mods.get(q) in changed_files]
     print(
         f"# registry: {len(names)}  driver-sampled (all rounds): "
-        f"{len(sampled & set(names))}  never-sampled: {len(never)}"
+        f"{len(sampled & set(names))}  never-sampled: {len(never)}  "
+        f"changed-module queries: {len(changed)}"
     )
-    pick = never[:n]
+    pick: list[str] = []
+    # 1. changed modules, never/stale-sampled members first
+    for q in sorted(changed, key=lambda q: q in sampled):
+        if len(pick) < n:
+            pick.append(q)
+    # 2. never-sampled remainder, registry order
+    for q in never:
+        if q not in pick and len(pick) < n:
+            pick.append(q)
     if len(pick) < n:
-        # everything has been sampled at least once: refresh the
-        # oldest-vintage entries (earliest CORRECTNESS file first)
+        # 3. everything sampled: refresh the oldest-vintage entries
         for f in sorted(glob.glob("CORRECTNESS_r*.json")):
             for q in json.load(open(f)):
                 if q in names and q not in pick:
@@ -50,7 +101,10 @@ def main() -> None:
             if len(pick) == n:
                 break
     for q in pick[:n]:
-        print(f'    "{q}",')
+        tag = "changed" if q in changed else (
+            "never" if q in never else "refresh"
+        )
+        print(f'    "{q}",  # {tag}')
 
 
 if __name__ == "__main__":

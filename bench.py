@@ -60,6 +60,10 @@ HEADLINE = [
     # + broadcast-scalar-fit plans) was unrepresented in the headline
     "q_roc_auc",
     "q_cramers_v_matrix",
+    # r8 widening: the rewritten exact-ntile plan shape at fact grain
+    # (ranged_global_rank — range sort + offset ledger, no
+    # single-partition window)
+    "q_decile_lift",
 ]
 
 

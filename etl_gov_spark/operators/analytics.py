@@ -474,13 +474,16 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
     a_cnt = part_cnt.select(F.col("l_partkey").alias("part_a"), F.col("cnt").alias("cnt_a"))
     b_cnt = part_cnt.select(F.col("l_partkey").alias("part_b"), F.col("cnt").alias("cnt_b"))
-    w = Window.orderBy(F.desc("pair_count"), F.asc("part_a"), F.asc("part_b"))
+    # distributed top-k (TakeOrderedAndProject), rank re-derived on
+    # the k survivors — never one unpartitioned window over all pairs
+    w = [F.desc("pair_count"), F.asc("part_a"), F.asc("part_b")]
     return (
         pairs.join(F.broadcast(a_cnt), "part_a")
         .join(F.broadcast(b_cnt), "part_b")
         .crossJoin(F.broadcast(n_orders))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _BASKET_TOP)
+        .orderBy(*w)
+        .limit(_BASKET_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)))
         .select(
             "part_a",
             "part_b",
@@ -745,19 +748,27 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC inventory classification: parts ranked by revenue,
     A = the head covering 80% of cumulative revenue, B = next 15%,
     C = tail — the stock-policy segmentation every ops team runs.
-    One revenue aggregate, one cumulative window over parts (range-
-    partition the sort at scale), one bounded class rollup."""
+    One revenue aggregate, one range-partitioned cumulative pass
+    (``ranged_global_rank`` — cents-exact running revenue, no
+    single-partition sort), one bounded class rollup."""
     cat = Catalog(spark, sf_dir)
     rev = cat.lineitem.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("cents")
     )
-    tot = rev.agg(F.sum("rev").alias("_t"))
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    ranked = ranged_global_rank(
+        rev,
+        [F.desc("cents"), F.asc("l_partkey")],
+        rank_col=None,
+        running_longs={"_cum_cents": "cents"},
     )
+    tot = ranked.agg(F.sum("cents").cast("double").alias("_t"))
     classed = (
-        rev.crossJoin(F.broadcast(tot))
-        .withColumn("_cum", F.sum("rev").over(w) / F.col("_t"))
+        ranked.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.col("_cum_cents") / F.col("_t"))
         .withColumn(
             "abc_class",
             F.when(F.col("_cum") <= 0.80, "A")
@@ -767,28 +778,29 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return classed.groupBy("abc_class").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        _R4(F.sum("rev"), "class_revenue"),
-        _R4(F.sum(F.col("rev") / F.col("_t")), "revenue_share"),
+        _R4(F.sum("cents") / 100.0, "class_revenue"),
+        _R4(F.sum("cents") / F.max("_t"), "revenue_share"),
     )
 
 
 Q_ABC_SQL = """
 WITH rev AS (
-  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  SELECT l_partkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT) AS cents
   FROM lineitem GROUP BY 1
-), t AS (SELECT sum(rev) AS t FROM rev),
+), t AS (SELECT CAST(sum(cents) AS DOUBLE) AS t FROM rev),
 classed AS (
-  SELECT rev, t,
-         CASE WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t <= 0.80 THEN 'A'
-              WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / t <= 0.95 THEN 'B'
+  SELECT cents, t,
+         CASE WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t <= 0.80 THEN 'A'
+              WHEN CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t <= 0.95 THEN 'B'
               ELSE 'C' END AS abc_class
   FROM rev CROSS JOIN t
 )
 SELECT abc_class, count(*) AS n_parts,
-       round(sum(rev), 4) AS class_revenue,
-       round(sum(rev / t), 4) AS revenue_share
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS class_revenue,
+       round(CAST(sum(cents) AS DOUBLE) / max(t), 4) AS revenue_share
 FROM classed
 GROUP BY abc_class
 """
@@ -902,11 +914,13 @@ def q_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(up).alias("_up"),
     )
     bench = j.agg(F.avg(up).alias("_gup"))
-    w = Window.orderBy(F.desc("_rev"), F.asc("l_suppkey"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    w = [F.desc("_rev"), F.asc("l_suppkey")]
     return (
         per.crossJoin(F.broadcast(bench))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        .orderBy(*w)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)))
         .select(
             "l_suppkey",
             "n_lines",
@@ -2085,9 +2099,12 @@ def q_topk_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         per = j.filter(cond).groupBy("l_partkey").agg(
             F.sum("rev").alias("r")
         )
-        w = Window.orderBy(F.desc("r"), F.asc("l_partkey"))
-        return per.withColumn("rk", F.row_number().over(w)).filter(
-            F.col("rk") <= _STAB_TOP_K
+        # distributed top-k, rank re-derived on the k survivors
+        w = [F.desc("r"), F.asc("l_partkey")]
+        return (
+            per.orderBy(*w)
+            .limit(_STAB_TOP_K)
+            .withColumn("rk", F.row_number().over(Window.orderBy(*w)))
         )
 
     t1 = topk(F.col("h1")).select("l_partkey")

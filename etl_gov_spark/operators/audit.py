@@ -852,10 +852,12 @@ def q_payment_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("w7").alias("max_orders_7d"),
         F.sum("n").alias("total_orders"),
     )
-    wr = Window.orderBy(F.desc("max_orders_7d"), F.asc("o_custkey"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    wr = [F.desc("max_orders_7d"), F.asc("o_custkey")]
     return (
-        per.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 20)
+        per.orderBy(*wr)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wr)))
         .select(
             "o_custkey",
             "max_orders_7d",

@@ -1972,10 +1972,11 @@ def corpus_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(tokens_col()).alias("w")
     )
     freq = docs.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    wv = Window.orderBy(F.desc("c"), F.asc("w"))
+    # distributed top-k over the unbounded vocabulary (Heaps' law:
+    # |vocab| grows with the corpus — never one-task sort it)
     vocab = (
-        freq.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= _VOCAB_TOP_K)
+        freq.orderBy(F.desc("c"), F.asc("w"))
+        .limit(_VOCAB_TOP_K)
         .select("w")
     )
     tagged = docs.join(

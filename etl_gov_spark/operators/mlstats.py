@@ -2174,15 +2174,17 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     whether robust statistics are optional or mandatory for this
     feed.
 
-    Top-k by one window rank (k-bounded under AQE), then a k-row
+    Distributed top-k (TakeOrderedAndProject — per-partition k then
+    driver merge, never a one-task sort of all orders), then a k-row
     aggregate against the broadcast k-th value.
     """
     o = Catalog(spark, sf_dir).orders.select(
         F.col("o_totalprice").alias("x")
     )
-    w = Window.orderBy(F.desc("x"))
-    top = o.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= _HILL_K
+    top = (
+        o.orderBy(F.desc("x"))
+        .limit(_HILL_K)
+        .withColumn("rk", F.row_number().over(Window.orderBy(F.desc("x"))))
     )
     xk = top.filter(F.col("rk") == _HILL_K).select(F.col("x").alias("xk"))
     agg = (

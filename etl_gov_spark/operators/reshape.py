@@ -99,10 +99,13 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gap_end") > F.col("lo"))
         .select("gap_end")
     )
-    ws = Window.orderBy("gap_start")
-    we = Window.orderBy("gap_end")
-    s = starts.withColumn("rn", F.row_number().over(ws))
-    e = ends.withColumn("rn", F.row_number().over(we))
+    # pair i-th gap start with i-th gap end: global sequence ranks
+    # via ranged_global_rank (parallel range sort — no
+    # single-partition window even if the gap census is large)
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
+    s = ranged_global_rank(starts, [F.asc("gap_start")], rank_col="rn")
+    e = ranged_global_rank(ends, [F.asc("gap_end")], rank_col="rn")
     return s.join(e, "rn").select(
         "gap_start",
         "gap_end",

@@ -59,10 +59,12 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cells.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cell"))
 
     true_counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
-    w = Window.orderBy(F.desc("true_count"), F.asc("user_id"))
+    # distributed top-k, rank re-derived on the k survivors
+    w = [F.desc("true_count"), F.asc("user_id")]
     top = (
-        true_counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP)
+        true_counts.orderBy(*w)
+        .limit(_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)))
     )
     probes = top.select(
         "user_id",

@@ -511,10 +511,12 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    w = Window.orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    w = [F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b")]
     return (
-        inter.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        inter.orderBy(*w)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)))
         .select(
             "doc_a",
             "doc_b",
@@ -687,10 +689,12 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.orderBy(F.desc("cross_entropy"), F.asc("doc_id"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    w = [F.desc("cross_entropy"), F.asc("doc_id")]
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        scored.orderBy(*w)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)).cast("int"))
         .select("doc_id", "n_bigrams", "cross_entropy", "rank")
     )
 
@@ -869,10 +873,12 @@ def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p", "n_occur")
         .agg(F.round(F.sum(F.col("degree") / F.col("freq")), 6).alias("_s"))
     )
-    w = Window.orderBy(F.desc("_s"), F.asc("p"))
+    # distributed top-k, rank re-derived on the k survivors
+    w = [F.desc("_s"), F.asc("p")]
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _RAKE_TOP)
+        scored.orderBy(*w)
+        .limit(_RAKE_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)))
         .select("rank", F.col("p").alias("phrase"), _R4(F.col("_s"), "score"), "n_occur")
     )
 
@@ -999,10 +1005,12 @@ def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nb") / F.col("tb"))
         / ((F.col("n1") / F.col("tu")) * (F.col("n2") / F.col("tu")))
     )
-    wtop = Window.orderBy(F.desc(F.round(pmi, 6)), F.asc("w1"), F.asc("w2"))
+    # distributed top-k, rank re-derived on the k survivors
+    wtop = [F.desc(F.round(pmi, 6)), F.asc("w1"), F.asc("w2")]
     return (
-        j.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= _PMI_TOP)
+        j.orderBy(*wtop)
+        .limit(_PMI_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wtop)))
         .select("rank", "w1", "w2", F.col("nb").alias("n_bigram"), _R4(pmi, "pmi"))
     )
 
@@ -1070,10 +1078,10 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # materialize the contraction once
     )
     freq = sw.groupBy("w").agg(F.sum("cw").alias("c"))
-    wv = Window.orderBy(F.desc("c"), F.asc("w"))
+    # distributed top-k over the unbounded vocabulary
     panel = (
-        freq.withColumn("rk", F.row_number().over(wv))
-        .filter(F.col("rk") <= _DELTA_TOP_WORDS)
+        freq.orderBy(F.desc("c"), F.asc("w"))
+        .limit(_DELTA_TOP_WORDS)
         .select("w")
     )
     src_tot = sw.groupBy("source").agg(F.sum("cw").alias("n"))
@@ -1119,10 +1127,12 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6).alias("_d"),
         )
     )
-    wtop = Window.orderBy(F.asc("_d"), F.asc("src_a"), F.asc("src_b"))
+    # distributed top-k, rank re-derived on the k survivors
+    wtop = [F.asc("_d"), F.asc("src_a"), F.asc("src_b")]
     return (
-        delta.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= _DELTA_TOP_PAIRS)
+        delta.orderBy(*wtop)
+        .limit(_DELTA_TOP_PAIRS)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wtop)))
         .select("rank", "src_a", "src_b", "n_words", _R4(F.col("_d"), "delta"))
     )
 
@@ -1331,13 +1341,13 @@ def text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = wd.groupBy("w").agg(
         F.sum("c").alias("cf"), F.count(F.lit(1)).alias("df")
     )
-    wtop = Window.orderBy(
-        F.desc(F.col("cf") / F.col("df")), F.asc("w")
-    )
+    # distributed top-k, rank re-derived on the k survivors
+    wtop = [F.desc(F.col("cf") / F.col("df")), F.asc("w")]
     return (
         stats.filter(F.col("df") >= _BURSTY_MIN_DF)
-        .withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= _BURSTY_TOP)
+        .orderBy(*wtop)
+        .limit(_BURSTY_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wtop)))
         .select(
             "rank", "w", "cf", "df",
             _R4(F.col("cf") / F.col("df"), "burstiness"),

@@ -751,8 +751,14 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.select(F.col("session_end").alias("at"), F.lit(-1).alias("d"))
     )
     agg = deltas.groupBy("at").agg(F.sum("d").alias("d"))
-    w = Window.orderBy("at").rowsBetween(Window.unboundedPreceding, 0)
-    live = agg.withColumn("live", F.sum("d").over(w))
+    # the global cumsum IS the two-pass prefix sum: per-range-slice
+    # totals lift via ranged_global_rank's offset ledger (exact —
+    # d is integral), never one partition
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
+    live = ranged_global_rank(
+        agg, [F.asc("at")], rank_col=None, running_longs={"live": "d"}
+    )
     return (
         live.groupBy(F.to_date("at").alias("day"))
         .agg(F.max("live").alias("peak_concurrent"))
@@ -1398,10 +1404,12 @@ def q_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.round(F.sum("w"), 4).alias("decayed_score"))
     )
-    w = Window.orderBy(F.desc("decayed_score"), F.asc("user_id"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    w = [F.desc("decayed_score"), F.asc("user_id")]
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
+        scored.orderBy(*w)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)).cast("int"))
         .select("user_id", "decayed_score", "rank")
     )
 
@@ -1788,10 +1796,12 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
     )
-    wtop = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    # distributed top-k, rank re-derived on the k survivors
+    wtop = [F.desc("n_sessions"), F.asc("path")]
     return (
-        paths.withColumn("rank", F.row_number().over(wtop))
-        .filter(F.col("rank") <= _PATH_TOP)
+        paths.orderBy(*wtop)
+        .limit(_PATH_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wtop)))
         .select("rank", "path", "n_sessions")
     )
 
@@ -3230,10 +3240,12 @@ def q_behavior_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_transitions"),
         F.round(F.avg("surprise"), 6).alias("avg_surprise"),
     )
-    pick = Window.orderBy(F.desc("avg_surprise"), F.asc("user_id"))
+    # distributed top-k, rank re-derived on the k survivors
+    pick = [F.desc("avg_surprise"), F.asc("user_id")]
     return (
-        per_user.withColumn("rank", F.row_number().over(pick))
-        .filter(F.col("rank") <= _SURPRISE_TOP)
+        per_user.orderBy(*pick)
+        .limit(_SURPRISE_TOP)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*pick)))
         .select(
             "rank",
             "user_id",

@@ -774,10 +774,12 @@ def emb_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("x") - F.col("mu")) ** 2 / F.col("var")).alias("_m2")
         )
     )
-    w = Window.orderBy(F.desc("_m2"), F.asc("vec_id"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    w = [F.desc("_m2"), F.asc("vec_id")]
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        scored.orderBy(*w)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)))
         .select("vec_id", "label", _R4(F.col("_m2"), "outlier_score"), "rank")
     )
 
@@ -846,10 +848,12 @@ def emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("e") * F.col("e")), 8).alias("mse"),
         F.round(F.max(F.abs("e")), 6).alias("max_abs_err"),
     )
-    w = Window.orderBy(F.desc("mse"), F.asc("vec_id"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    w = [F.desc("mse"), F.asc("vec_id")]
     return (
-        per_vec.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        per_vec.orderBy(*w)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)))
         .select("vec_id", "mse", "max_abs_err", "rank")
     )
 

@@ -272,10 +272,12 @@ def q_nth_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("top3").alias("top3"),
         )
     )
-    wr = Window.orderBy(F.desc("top1"), F.asc("o_custkey"))
+    # distributed top-k, rank re-derived on the 20 survivors
+    wr = [F.desc("top1"), F.asc("o_custkey")]
     return (
-        per.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 20)
+        per.orderBy(*wr)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*wr)))
         .select(
             "o_custkey",
             _R4(F.col("top1"), "top1"),

@@ -334,15 +334,15 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_gov_spark.io.sources import read_table
 
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
     ev_static = read_table(spark, sf_dir, "events")
-    profile = (
-        ev_static.groupBy("user_id")
-        .agg(F.avg("value").alias("_avg"))
-        .withColumn(
-            "tier", F.ntile(3).over(Window.orderBy(F.asc("_avg"), F.asc("user_id")))
-        )
-        .select("user_id", "tier")
-    )
+    profile = ranged_global_rank(
+        ev_static.groupBy("user_id").agg(F.avg("value").alias("_avg")),
+        [F.asc("_avg"), F.asc("user_id")],
+        rank_col=None,
+        ntiles={"tier": 3},
+    ).select("user_id", "tier")
     stream = _events_stream(spark, sf_dir)
     enriched = stream.join(profile, "user_id").groupBy("tier").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -986,3 +986,235 @@ QUERIES["graph_jaccard_link_prediction"] = (
     GRAPH_LINKPRED_SQL,
 )
 
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (pa < pb) part co-purchase edges: parts ordered
+    together in ≥ ``_CO_MIN`` orders — the same graph
+    ``graph_jaccard_link_prediction`` predicts over. Pair expansion
+    is per-order (linear in lineitems, never parts²)."""
+    li = (
+        Catalog(spark, sf_dir)
+        .lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _CO_MIN)
+        .select("pa", "pb")
+    )
+
+
+_COPURCHASE_SQL_HEAD = f"""li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT pa, pb FROM (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_co
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE n_co >= {_CO_MIN}
+)"""
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-purchase graph (Newman
+    2002): the Pearson correlation of endpoint degrees over edges —
+    positive means hubs buy with hubs (assortative catalog bundles),
+    negative means hubs anchor long-tail parts (hub-and-spoke
+    merchandising). One edge census, one degree aggregate, one
+    broadcast-joined correlation — no wedge expansion at all.
+
+    Directed-edge convention: correlation over BOTH orientations of
+    every undirected edge (the standard undirected estimator).
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.union(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    deg = sym.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+    j = (
+        sym.join(F.broadcast(deg.withColumnRenamed("deg", "dx")), "pa")
+        .join(
+            F.broadcast(
+                deg.select(
+                    F.col("pa").alias("pb"), F.col("deg").alias("dy")
+                )
+            ),
+            "pb",
+        )
+    )
+    return j.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+        F.countDistinct("pa").alias("n_nodes"),
+        _R4(F.avg("dx"), "mean_edge_degree"),
+        _R4(F.corr("dx", "dy"), "assortativity"),
+    )
+
+
+GRAPH_ASSORTATIVITY_SQL = f"""
+WITH {_COPURCHASE_SQL_HEAD}, sym AS (
+  SELECT pa, pb FROM edges
+  UNION ALL
+  SELECT pb AS pa, pa AS pb FROM edges
+), deg AS (
+  SELECT pa, count(*) AS deg FROM sym GROUP BY pa
+)
+SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT s.pa) AS BIGINT) AS n_nodes,
+       round(avg(dx.deg), 4) AS mean_edge_degree,
+       round(corr(dx.deg, dy.deg), 4) AS assortativity
+FROM sym s
+JOIN deg dx ON s.pa = dx.pa
+JOIN deg dy ON s.pb = dy.pa
+"""
+
+QUERIES["graph_assortativity"] = (graph_assortativity, GRAPH_ASSORTATIVITY_SQL)
+
+
+def graph_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global transitivity of the co-purchase graph: 3×triangles /
+    open-wedge count — ONE number for "how cliquish is the catalog"
+    (the global companion of ``graph_triangle_count``'s per-node
+    clustering over the dedup graph). Triangles come from the
+    canonical wedge join + closure semi-join; the wedge denominator
+    is the Σ deg(deg−1)/2 aggregate — no second expansion.
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            edges.select(F.col("pa").alias("a"), F.col("pb").alias("c")),
+            ["a", "c"],
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    sym = edges.union(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    deg = sym.groupBy("pa").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_triangles",
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        "n_nodes",
+        _R4(
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            "transitivity",
+        ),
+    )
+
+
+GRAPH_TRANSITIVITY_SQL = f"""
+WITH {_COPURCHASE_SQL_HEAD}, tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.pb = e2.pa
+  WHERE EXISTS (SELECT 1 FROM edges e3
+                WHERE e3.pa = e1.pa AND e3.pb = e2.pb)
+), sym AS (
+  SELECT pa, pb FROM edges
+  UNION ALL
+  SELECT pb AS pa, pa AS pb FROM edges
+), deg AS (
+  SELECT pa, count(*) AS deg FROM sym GROUP BY pa
+), wed AS (
+  SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges,
+         count(*) AS n_nodes
+  FROM deg
+)
+SELECT CAST(n_triangles AS BIGINT) AS n_triangles, n_wedges,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       round(CASE WHEN n_wedges > 0
+                  THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 4)
+         AS transitivity
+FROM tri CROSS JOIN wed
+"""
+
+QUERIES["graph_global_transitivity"] = (
+    graph_global_transitivity,
+    GRAPH_TRANSITIVITY_SQL,
+)
+
+
+def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop reach distribution of the co-purchase graph: for each
+    part, |{nodes within distance ≤ 2}|, histogrammed into power-of-
+    two buckets — the "how much of the catalog is one recommendation
+    hop away" census that sizes any graph-expansion feature before
+    you build it.
+
+    One wedge join on the shared-neighbour key produces distance-2
+    pairs (Σ deg² budget, the contract the round-8 stress measured);
+    distinct union with direct neighbours, then two bounded
+    aggregates. Bucket = floor(log₂ reach).
+    """
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    sym = edges.union(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
+    x, y = sym.alias("x"), sym.alias("y")
+    two_hop = (
+        x.join(y, F.col("x.nbr") == F.col("y.node"))
+        .select(F.col("x.node").alias("node"), F.col("y.nbr").alias("reach"))
+        .filter(F.col("node") != F.col("reach"))
+    )
+    reach = (
+        sym.select("node", F.col("nbr").alias("reach"))
+        .union(two_hop)
+        .distinct()
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_reach"))
+    )
+    bucket = F.floor(F.log2("n_reach")).cast("int")
+    return reach.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.min("n_reach").alias("min_reach"),
+        F.max("n_reach").alias("max_reach"),
+        _R4(F.avg("n_reach"), "mean_reach"),
+    )
+
+
+GRAPH_TWO_HOP_SQL = f"""
+WITH {_COPURCHASE_SQL_HEAD}, sym AS (
+  SELECT pa AS node, pb AS nbr FROM edges
+  UNION ALL
+  SELECT pb AS node, pa AS nbr FROM edges
+), two_hop AS (
+  SELECT x.node, y.nbr AS reach
+  FROM sym x JOIN sym y ON x.nbr = y.node
+  WHERE x.node <> y.nbr
+), reach AS (
+  SELECT node, count(*) AS n_reach FROM (
+    SELECT node, nbr AS reach FROM sym
+    UNION
+    SELECT node, reach FROM two_hop
+  ) GROUP BY node
+)
+SELECT CAST(floor(log2(n_reach)) AS INTEGER) AS log2_bucket,
+       count(*) AS n_parts,
+       CAST(min(n_reach) AS BIGINT) AS min_reach,
+       CAST(max(n_reach) AS BIGINT) AS max_reach,
+       round(avg(n_reach), 4) AS mean_reach
+FROM reach GROUP BY 1
+"""
+
+QUERIES["graph_two_hop_reach"] = (graph_two_hop_reach, GRAPH_TWO_HOP_SQL)

@@ -5385,3 +5385,521 @@ FROM agg
 """
 
 QUERIES["q_friedman_test"] = (q_friedman_test, Q_FRIEDMAN_SQL)
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson test for serial correlation in the daily-revenue
+    trend residuals — the first thing to check before trusting any
+    OLS-over-time readout (``q_trend_slope``'s standard errors are
+    fiction if DW says the residuals remember yesterday).
+
+    Daily revenue aggregates to integer cents (bit-identical in both
+    engines), the OLS line comes from ``regr_*`` over the bounded
+    day grain, and DW = Σ(uₜ−uₜ₋₁)²/Σuₜ² is one lag window over
+    ≤|days| rows. Verdict bands at the conventional 1.5/2.5 cuts.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    t = F.datediff("day", F.lit("1992-01-01").cast("date")).cast("double")
+    fit = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.regr_slope(F.col("cents") / 100.0, t).alias("b"),
+        F.regr_intercept(F.col("cents") / 100.0, t).alias("a"),
+    )
+    w = Window.orderBy("day")
+    lagged = (
+        daily.crossJoin(F.broadcast(fit))
+        .select(
+            "day", "n",
+            (F.col("cents") / 100.0 - F.col("a") - F.col("b") * t).alias("u"),
+        )
+        .withColumn("u1", F.lag("u").over(w))
+    )
+    agg = lagged.agg(
+        F.max("n").alias("n_days"),
+        F.sum(F.pow(F.col("u") - F.col("u1"), 2)).alias("num"),
+        F.sum(F.col("u") * F.col("u")).alias("den"),
+    )
+    dw = F.col("num") / F.col("den")
+    return agg.select(
+        "n_days",
+        _R4(dw, "dw_stat"),
+        F.when(dw < 1.5, "positive_autocorr")
+        .when(dw > 2.5, "negative_autocorr")
+        .otherwise("none")
+        .alias("verdict"),
+    )
+
+
+Q_DURBIN_WATSON_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), fit AS (
+  SELECT count(*) AS n,
+         regr_slope(cents / 100.0,
+                    datediff('day', DATE '1992-01-01', day)) AS b,
+         regr_intercept(cents / 100.0,
+                    datediff('day', DATE '1992-01-01', day)) AS a
+  FROM daily
+), resid AS (
+  SELECT day, n,
+         cents / 100.0 - a - b * datediff('day', DATE '1992-01-01', day) AS u
+  FROM daily CROSS JOIN fit
+), lagged AS (
+  SELECT n, u, lag(u) OVER (ORDER BY day) AS u1 FROM resid
+)
+SELECT CAST(max(n) AS BIGINT) AS n_days,
+       round(sum(pow(u - u1, 2)) / sum(u * u), 4) AS dw_stat,
+       CASE WHEN sum(pow(u - u1, 2)) / sum(u * u) < 1.5 THEN 'positive_autocorr'
+            WHEN sum(pow(u - u1, 2)) / sum(u * u) > 2.5 THEN 'negative_autocorr'
+            ELSE 'none' END AS verdict
+FROM lagged
+"""
+
+QUERIES["q_durbin_watson"] = (q_durbin_watson, Q_DURBIN_WATSON_SQL)
+
+
+_LB_LAGS = 5
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the demeaned daily-revenue
+    series: Q = n(n+2)·Σ_{k≤5} ρ̂ₖ²/(n−k) — "is this series white
+    noise at all?", the gate before fitting anything AR-shaped.
+
+    Cents-exact daily aggregate, five lag columns over one bounded
+    day window, one final scalar row. ρ̂ₖ uses the standard
+    fixed-denominator estimator Σuₜuₜ₋ₖ/Σu².
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    mean = daily.agg(F.avg(F.col("cents") / 100.0).alias("m"))
+    w = Window.orderBy("day")
+    u = (F.col("cents") / 100.0 - F.col("m")).alias("u")
+    lagged = daily.crossJoin(F.broadcast(mean)).select("day", u)
+    for k in range(1, _LB_LAGS + 1):
+        lagged = lagged.withColumn(f"u{k}", F.lag("u", k).over(w))
+    agg = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("u") * F.col("u")).alias("s0"),
+        *[
+            F.sum(F.col("u") * F.col(f"u{k}")).alias(f"s{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+    )
+    n = F.col("n").cast("double")
+    q_stat = sum(
+        (
+            (F.col(f"s{k}") / F.col("s0")) ** 2 / (n - k)
+            for k in range(1, _LB_LAGS + 1)
+        ),
+        F.lit(0.0),
+    ) * n * (n + 2)
+    out = agg.select(
+        F.col("n").alias("n_days"),
+        *[
+            _R4(F.col(f"s{k}") / F.col("s0"), f"rho{k}")
+            for k in range(1, _LB_LAGS + 1)
+        ],
+        _R4(q_stat, "q_stat"),
+        (q_stat > 11.07).alias("reject_white_noise"),  # chi2(5), 5%
+    )
+    return out
+
+
+def _ljung_box_sql() -> str:
+    lags = ", ".join(
+        f"lag(u, {k}) OVER (ORDER BY day) AS u{k}"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    sums = ", ".join(
+        f"sum(u * u{k}) AS s{k}" for k in range(1, _LB_LAGS + 1)
+    )
+    rhos = ", ".join(
+        f"round(s{k} / s0, 4) AS rho{k}" for k in range(1, _LB_LAGS + 1)
+    )
+    q = " + ".join(
+        f"pow(s{k} / s0, 2) / (n - {k})" for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), m AS (SELECT avg(cents / 100.0) AS m FROM daily),
+dem AS (
+  SELECT day, cents / 100.0 - m AS u FROM daily CROSS JOIN m
+), lagged AS (
+  SELECT u, {lags} FROM dem
+), agg AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(u * u) AS s0, {sums}
+  FROM lagged
+)
+SELECT CAST(n AS BIGINT) AS n_days, {rhos},
+       round(n * (n + 2) * ({q}), 4) AS q_stat,
+       n * (n + 2) * ({q}) > 11.07 AS reject_white_noise
+FROM agg
+"""
+
+
+QUERIES["q_ljung_box"] = (q_ljung_box, _ljung_box_sql())
+
+
+def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard curve of order fulfillment —
+    the additive companion of ``q_survival_fulfillment``'s
+    Kaplan-Meier product: H(t) = Σ_{u≤t} dᵤ/nᵤ with the Poisson
+    variance Σ dᵤ/nᵤ², reported at each event day. Hazard is what a
+    capacity planner integrates; survival is what a dashboard plots.
+
+    Same duration table and at-risk windows as the KM estimator:
+    one join, one bounded groupBy, cumulative windows over ≤366
+    day rows.
+    """
+    cat = Catalog(spark, sf_dir)
+    done = cat.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("done_day")
+    )
+    dur = (
+        cat.orders.join(done, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.greatest(
+                F.datediff("done_day", F.to_date("o_orderdate")), F.lit(0)
+            ).alias("dur")
+        )
+        .select(
+            F.least(F.col("dur"), F.lit(_KM_CUTOFF_DAYS)).alias("t"),
+            (F.col("dur") <= _KM_CUTOFF_DAYS).cast("int").alias("died"),
+        )
+    )
+    per_t = dur.groupBy("t").agg(
+        F.sum("died").alias("d"),
+        F.sum(1 - F.col("died")).alias("c"),
+    )
+    n_total = per_t.agg(F.sum(F.col("d") + F.col("c")).alias("N"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    curve = (
+        per_t.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_at_risk",
+            F.col("N")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "cum_hazard",
+            F.sum(F.col("d") / F.col("n_at_risk")).over(w),
+        )
+        .withColumn(
+            "var_h",
+            F.sum(
+                F.col("d") / (F.col("n_at_risk") * F.col("n_at_risk"))
+            ).over(w),
+        )
+    )
+    return curve.filter(F.col("d") > 0).select(
+        F.col("t").alias("days"),
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        _R4(F.col("cum_hazard"), "cum_hazard"),
+        _R4(F.sqrt("var_h"), "se_hazard"),
+    )
+
+
+Q_NELSON_AALEN_SQL = f"""
+WITH done AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done_day
+  FROM lineitem GROUP BY 1
+), dur AS (
+  SELECT least(greatest(datediff('day', CAST(o.o_orderdate AS DATE), d.done_day), 0),
+               {_KM_CUTOFF_DAYS}) AS t,
+         CASE WHEN greatest(datediff('day', CAST(o.o_orderdate AS DATE), d.done_day), 0)
+                   <= {_KM_CUTOFF_DAYS} THEN 1 ELSE 0 END AS died
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+), per_t AS (
+  SELECT t, CAST(sum(died) AS BIGINT) AS d,
+         CAST(sum(1 - died) AS BIGINT) AS c FROM dur GROUP BY t
+), risk AS (
+  SELECT t, d, c,
+         CAST((SELECT sum(d + c) FROM per_t)
+           - coalesce(sum(d + c) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS n_at_risk
+  FROM per_t
+), curve AS (
+  SELECT t, d, n_at_risk,
+         sum(d / CAST(n_at_risk AS DOUBLE)) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hazard,
+         sum(d / (CAST(n_at_risk AS DOUBLE) * n_at_risk)) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS var_h
+  FROM risk
+)
+SELECT t AS days, d AS n_events, n_at_risk,
+       round(cum_hazard, 4) AS cum_hazard,
+       round(sqrt(var_h), 4) AS se_hazard
+FROM curve WHERE d > 0
+"""
+
+QUERIES["q_nelson_aalen"] = (q_nelson_aalen, Q_NELSON_AALEN_SQL)
+
+
+def q_log_rank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test: do urgent-priority orders ship on a different
+    survival curve than the rest? The standard two-group censored
+    comparison (Mantel-Haenszel): at each event day t, observed
+    group-1 deaths vs the hypergeometric expectation
+    E₁ₜ = dₜ·n₁ₜ/nₜ and variance
+    Vₜ = dₜ(n₁ₜ/nₜ)(1−n₁ₜ/nₜ)(nₜ−dₜ)/(nₜ−1);
+    χ² = (ΣO₁−ΣE₁)²/ΣV.
+
+    Same duration/censoring table as the KM pair, split by priority:
+    per-(day, group) counts, at-risk via cumulative windows over the
+    bounded day grain, one scalar row out.
+    """
+    cat = Catalog(spark, sf_dir)
+    done = cat.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("done_day")
+    )
+    dur = (
+        cat.orders.join(done, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("int")
+            .alias("g"),
+            F.greatest(
+                F.datediff("done_day", F.to_date("o_orderdate")), F.lit(0)
+            ).alias("dur"),
+        )
+        .select(
+            "g",
+            F.least(F.col("dur"), F.lit(_KM_CUTOFF_DAYS)).alias("t"),
+            (F.col("dur") <= _KM_CUTOFF_DAYS).cast("int").alias("died"),
+        )
+    )
+    per = dur.groupBy("t").agg(
+        F.sum(F.col("died") * F.col("g")).alias("d1"),
+        F.sum("died").alias("d"),
+        F.sum("g").alias("x1"),
+        F.count(F.lit(1)).alias("x"),
+    )
+    tot = per.agg(F.sum("x1").alias("N1"), F.sum("x").alias("N"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d1",
+        "d",
+        (
+            F.col("N1") - F.coalesce(F.sum("x1").over(w_prev), F.lit(0))
+        ).alias("n1"),
+        (
+            F.col("N") - F.coalesce(F.sum("x").over(w_prev), F.lit(0))
+        ).alias("n"),
+    )
+    p1 = F.col("n1") / F.col("n")
+    v = F.when(
+        F.col("n") > 1,
+        F.col("d")
+        * p1
+        * (1 - p1)
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1),
+    ).otherwise(F.lit(0.0))
+    agg = risk.filter(F.col("d") > 0).agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("d") * p1).alias("e1"),
+        F.sum(v).alias("v"),
+    )
+    chi2 = F.pow(F.col("o1") - F.col("e1"), 2) / F.col("v")
+    return agg.select(
+        F.col("o1").alias("observed_urgent"),
+        _R4(F.col("e1"), "expected_urgent"),
+        _R4(chi2, "logrank_chi2"),
+        (chi2 > 3.841).alias("curves_differ"),  # chi2(1), 5%
+    )
+
+
+Q_LOG_RANK_SQL = f"""
+WITH done AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done_day
+  FROM lineitem GROUP BY 1
+), dur AS (
+  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS g,
+         least(greatest(datediff('day', CAST(o.o_orderdate AS DATE), d.done_day), 0),
+               {_KM_CUTOFF_DAYS}) AS t,
+         CASE WHEN greatest(datediff('day', CAST(o.o_orderdate AS DATE), d.done_day), 0)
+                   <= {_KM_CUTOFF_DAYS} THEN 1 ELSE 0 END AS died
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+), per AS (
+  SELECT t, sum(died * g) AS d1, sum(died) AS d,
+         sum(g) AS x1, count(*) AS x
+  FROM dur GROUP BY t
+), tot AS (SELECT sum(x1) AS N1, sum(x) AS N FROM per),
+risk AS (
+  SELECT t, d1, d,
+         N1 - coalesce(sum(x1) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+         N - coalesce(sum(x) OVER (ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n
+  FROM per CROSS JOIN tot
+), agg AS (
+  SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         sum(d * (n1 / CAST(n AS DOUBLE))) AS e1,
+         sum(CASE WHEN n > 1
+                  THEN d * (n1 / CAST(n AS DOUBLE))
+                       * (1 - n1 / CAST(n AS DOUBLE))
+                       * (n - d) / (n - 1)
+                  ELSE 0.0 END) AS v
+  FROM risk WHERE d > 0
+)
+SELECT o1 AS observed_urgent,
+       round(e1, 4) AS expected_urgent,
+       round(pow(o1 - e1, 2) / v, 4) AS logrank_chi2,
+       pow(o1 - e1, 2) / v > 3.841 AS curves_differ
+FROM agg
+"""
+
+QUERIES["q_log_rank_test"] = (q_log_rank_test, Q_LOG_RANK_SQL)
+
+
+def q_gamma_fit_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma(k, θ) fit of order values by method of moments —
+    k = m²/v, θ = v/m — plus a model check: the gamma's implied
+    skewness 2/√k against the sample's third-moment skewness
+    (computed from raw power sums so both engines use the identical
+    estimator, not their different built-in corrections). One
+    single-pass aggregate; the 100 TB cost is one scan.
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        F.col("o_totalprice").alias("x")
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("m1"),
+        F.avg(F.col("x") * F.col("x")).alias("m2"),
+        F.avg(F.col("x") * F.col("x") * F.col("x")).alias("m3"),
+    )
+    var = F.col("m2") - F.col("m1") * F.col("m1")
+    skew = (
+        F.col("m3")
+        - 3 * F.col("m1") * F.col("m2")
+        + 2 * F.pow(F.col("m1"), 3)
+    ) / F.pow(var, 1.5)
+    k = F.col("m1") * F.col("m1") / var
+    return agg.select(
+        F.col("n").alias("n_orders"),
+        _R4(F.col("m1"), "mean"),
+        _R4(F.sqrt(var), "sd"),
+        _R4(k, "gamma_shape_k"),
+        _R4(var / F.col("m1"), "gamma_scale_theta"),
+        _R4(skew, "sample_skewness"),
+        _R4(2.0 / F.sqrt(k), "gamma_implied_skewness"),
+        _R4(skew - 2.0 / F.sqrt(k), "skewness_gap"),
+    )
+
+
+Q_GAMMA_FIT_SQL = """
+WITH agg AS (
+  SELECT count(*) AS n, avg(o_totalprice) AS m1,
+         avg(o_totalprice * o_totalprice) AS m2,
+         avg(o_totalprice * o_totalprice * o_totalprice) AS m3
+  FROM orders
+)
+SELECT n AS n_orders,
+       round(m1, 4) AS mean,
+       round(sqrt(m2 - m1 * m1), 4) AS sd,
+       round(m1 * m1 / (m2 - m1 * m1), 4) AS gamma_shape_k,
+       round((m2 - m1 * m1) / m1, 4) AS gamma_scale_theta,
+       round((m3 - 3 * m1 * m2 + 2 * pow(m1, 3))
+             / pow(m2 - m1 * m1, 1.5), 4) AS sample_skewness,
+       round(2.0 / sqrt(m1 * m1 / (m2 - m1 * m1)), 4)
+         AS gamma_implied_skewness,
+       round((m3 - 3 * m1 * m2 + 2 * pow(m1, 3))
+             / pow(m2 - m1 * m1, 1.5)
+             - 2.0 / sqrt(m1 * m1 / (m2 - m1 * m1)), 4) AS skewness_gap
+FROM agg
+"""
+
+QUERIES["q_gamma_fit_mom"] = (q_gamma_fit_mom, Q_GAMMA_FIT_SQL)
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector over daily revenue (two-pass
+    batch variant): mₜ = Σᵢ≤ₜ(xᵢ − x̄ − δ), PHₜ = mₜ − minᵢ≤ₜ mᵢ;
+    the largest PH and the day it peaks are the drift magnitude and
+    location. δ = 0.5% of the mean; alarm at λ = 3σ of the daily
+    series — the sequential-analysis cousin of ``q_cusum_changepoint``
+    tuned for sustained upward drift, not a single break.
+
+    Daily revenue folds to integer cents so both engines walk the
+    identical series; two cumulative windows over the bounded day
+    grain, a distributed top-1 pick, one scalar row.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    stats = daily.agg(
+        F.avg(F.col("cents") / 100.0).alias("mu"),
+        F.stddev_samp(F.col("cents") / 100.0).alias("sigma"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    ph = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "m_t",
+            F.sum(
+                F.col("cents") / 100.0 - F.col("mu") - 0.005 * F.col("mu")
+            ).over(w),
+        )
+        .withColumn("min_m", F.min("m_t").over(w))
+        .withColumn("ph", F.round(F.col("m_t") - F.col("min_m"), 6))
+    )
+    top = ph.orderBy(F.desc("ph"), F.asc("day")).limit(1)
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("day").cast("string").alias("drift_peak_day"),
+        _R4(F.col("ph"), "ph_stat"),
+        _R4(3.0 * F.col("sigma"), "lambda_threshold"),
+        (F.col("ph") > 3.0 * F.col("sigma")).alias("drift_detected"),
+    )
+
+
+Q_PAGE_HINKLEY_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), stats AS (
+  SELECT avg(cents / 100.0) AS mu, stddev_samp(cents / 100.0) AS sigma,
+         count(*) AS n
+  FROM daily
+), cum AS (
+  SELECT day, n, sigma,
+         sum(cents / 100.0 - mu - 0.005 * mu) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_t
+  FROM daily CROSS JOIN stats
+), ph AS (
+  SELECT day, n, sigma,
+         round(m_t - min(m_t) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ph
+  FROM cum
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(day AS VARCHAR) AS drift_peak_day,
+       round(ph, 4) AS ph_stat,
+       round(3.0 * sigma, 4) AS lambda_threshold,
+       ph > 3.0 * sigma AS drift_detected
+FROM ph ORDER BY ph DESC, day ASC LIMIT 1
+"""
+
+QUERIES["q_page_hinkley"] = (q_page_hinkley, Q_PAGE_HINKLEY_SQL)

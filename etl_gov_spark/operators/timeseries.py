@@ -3399,3 +3399,225 @@ QUERIES["q_weekday_hour_profile"] = (
     q_weekday_hour_profile,
     Q_WEEKDAY_HOUR_SQL,
 )
+
+
+def q_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-peak census of daily revenue: days strictly above both
+    neighbours AND above 1.25× the centred 7-day rolling mean — the
+    prominence gate that separates genuine demand spikes from
+    sawtooth noise. Top-10 peaks by prominence.
+
+    Daily revenue folds to integer cents (bit-identical series in
+    both engines); neighbours/rolling mean are bounded day-grain
+    windows; the top-10 is a distributed TakeOrdered.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day")
+    wroll = w.rowsBetween(-3, 3)
+    scored = (
+        daily.withColumn("prev", F.lag("cents").over(w))
+        .withColumn("next", F.lead("cents").over(w))
+        .withColumn("roll", F.avg("cents").over(wroll))
+        .filter(
+            (F.col("cents") > F.col("prev"))
+            & (F.col("cents") > F.col("next"))
+            & (F.col("cents") > 1.25 * F.col("roll"))
+        )
+        .withColumn(
+            "prominence", F.round(F.col("cents") / F.col("roll"), 6)
+        )
+    )
+    pick = [F.desc("prominence"), F.asc("day")]
+    return (
+        scored.orderBy(*pick)
+        .limit(10)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*pick)))
+        .select(
+            "rank",
+            F.col("day").cast("string").alias("day"),
+            _R4(F.col("cents") / 100.0, "revenue"),
+            _R4(F.col("prominence"), "prominence"),
+        )
+    )
+
+
+Q_PEAK_DETECTION_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT day, cents,
+         lag(cents) OVER (ORDER BY day) AS prev,
+         lead(cents) OVER (ORDER BY day) AS next,
+         avg(cents) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS roll
+  FROM daily
+), peaks AS (
+  SELECT day, cents, round(cents / roll, 6) AS prominence
+  FROM scored
+  WHERE cents > prev AND cents > next AND cents > 1.25 * roll
+)
+SELECT CAST(row_number() OVER (ORDER BY prominence DESC, day ASC) AS INTEGER)
+         AS rank,
+       CAST(day AS VARCHAR) AS day,
+       round(cents / 100.0, 4) AS revenue,
+       round(prominence, 4) AS prominence
+FROM peaks ORDER BY rank LIMIT 10
+"""
+
+QUERIES["q_peak_detection"] = (q_peak_detection, Q_PEAK_DETECTION_SQL)
+
+
+def q_bollinger_breakouts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band discipline on daily revenue: a trailing 20-day
+    mean ± 2σ envelope, then the census of breakout days above/below
+    the band per month — the volatility-normalized "was that day
+    actually unusual" readout ops teams eyeball as a chart.
+
+    Cents-exact daily series, one trailing window (20 rows), a
+    bounded month rollup.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-19, 0)
+    banded = (
+        daily.withColumn("mid", F.avg("cents").over(w))
+        .withColumn("sd", F.stddev_samp("cents").over(w))
+        .withColumn("n_win", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_win") == 20)  # full windows only
+    )
+    up = F.col("cents") > F.col("mid") + 2 * F.col("sd")
+    dn = F.col("cents") < F.col("mid") - 2 * F.col("sd")
+    return (
+        banded.groupBy(F.date_format("day", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(up.cast("long")).alias("n_above_band"),
+            F.sum(dn.cast("long")).alias("n_below_band"),
+            _R4(F.avg(F.col("sd") / F.col("mid")), "mean_bandwidth"),
+        )
+    )
+
+
+Q_BOLLINGER_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), banded AS (
+  SELECT day, cents,
+         avg(cents) OVER (ORDER BY day
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS mid,
+         stddev_samp(cents) OVER (ORDER BY day
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sd,
+         count(*) OVER (ORDER BY day
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS n_win
+  FROM daily
+)
+SELECT strftime(day, '%Y-%m') AS month,
+       count(*) AS n_days,
+       CAST(sum(CASE WHEN cents > mid + 2 * sd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_above_band,
+       CAST(sum(CASE WHEN cents < mid - 2 * sd THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_band,
+       round(avg(sd / mid), 4) AS mean_bandwidth
+FROM banded WHERE n_win = 20
+GROUP BY 1
+"""
+
+QUERIES["q_bollinger_breakouts"] = (q_bollinger_breakouts, Q_BOLLINGER_SQL)
+
+
+def q_rsi_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI (simple-average Cutler variant) of daily revenue,
+    summarized as the overbought/oversold day census per quarter —
+    the mean-reversion regime readout. The Cutler form (simple
+    moving averages of gains/losses, not Wilder's recursive EWMA)
+    is chosen deliberately: it is order-exact in one bounded window
+    per engine, no recursion.
+
+    Cents-exact series; day-grain windows only.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day")
+    wr = w.rowsBetween(-13, 0)
+    diff = F.col("cents") - F.lag("cents").over(w)
+    scored = (
+        daily.withColumn("gain", F.greatest(diff, F.lit(0)).cast("double"))
+        .withColumn("loss", F.greatest(-diff, F.lit(0)).cast("double"))
+        .withColumn("ag", F.avg("gain").over(wr))
+        .withColumn("al", F.avg("loss").over(wr))
+        .withColumn("n_win", F.count("gain").over(wr))
+        .filter(F.col("n_win") == 14)
+        .withColumn(
+            "rsi",
+            F.round(
+                100.0
+                - 100.0 / (1.0 + F.col("ag") / F.col("al")),
+                6,
+            ),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.concat(
+                F.year("day").cast("string"),
+                F.lit("-Q"),
+                F.quarter("day").cast("string"),
+            ).alias("quarter")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            _R4(F.avg("rsi"), "mean_rsi"),
+            F.sum((F.col("rsi") > 70).cast("long")).alias("n_overbought"),
+            F.sum((F.col("rsi") < 30).cast("long")).alias("n_oversold"),
+        )
+    )
+
+
+Q_RSI_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), diffed AS (
+  SELECT day,
+         greatest(CAST(cents - lag(cents) OVER (ORDER BY day) AS DOUBLE), 0)
+           AS gain,
+         greatest(CAST(lag(cents) OVER (ORDER BY day) - cents AS DOUBLE), 0)
+           AS loss
+  FROM daily
+), scored AS (
+  SELECT day,
+         avg(gain) OVER (ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS ag,
+         avg(loss) OVER (ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS al,
+         count(gain) OVER (ORDER BY day
+             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS n_win
+  FROM diffed
+), rsi AS (
+  SELECT day, round(100.0 - 100.0 / (1.0 + ag / al), 6) AS rsi
+  FROM scored WHERE n_win = 14
+)
+SELECT CAST(year(day) AS VARCHAR) || '-Q' || CAST(quarter(day) AS VARCHAR)
+         AS quarter,
+       count(*) AS n_days,
+       round(avg(rsi), 4) AS mean_rsi,
+       CAST(sum(CASE WHEN rsi > 70 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overbought,
+       CAST(sum(CASE WHEN rsi < 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oversold
+FROM rsi GROUP BY 1
+"""
+
+QUERIES["q_rsi_indicator"] = (q_rsi_indicator, Q_RSI_SQL)

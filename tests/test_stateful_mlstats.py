@@ -983,3 +983,79 @@ def test_friedman_rank_identity(spark, sf_dir):
     assert r.k_treatments == 5 and r.n_blocks >= 25
     assert r.friedman_chi2 >= -1e-9
     assert r.significant == (r.friedman_chi2 > 9.488)
+
+
+def test_durbin_watson_bounds_and_verdict(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_durbin_watson
+
+    r = q_durbin_watson(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.dw_stat <= 4.0
+    assert r.verdict in ("positive_autocorr", "negative_autocorr", "none")
+    if r.dw_stat < 1.5:
+        assert r.verdict == "positive_autocorr"
+
+
+def test_ljung_box_rhos_bounded_q_nonneg(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_ljung_box
+
+    r = q_ljung_box(spark, sf_dir).collect()[0]
+    for k in range(1, 6):
+        assert -1.0 <= getattr(r, f"rho{k}") <= 1.0
+    assert r.q_stat >= 0.0
+    assert r.reject_white_noise == (r.q_stat > 11.07)
+
+
+def test_nelson_aalen_monotone_and_dominates_km(spark, sf_dir):
+    """H(t) must be nondecreasing, and since −ln(1−x) ≥ x the NA
+    cumulative hazard is ≥ −ln(KM survival) at matching days."""
+    import math
+
+    from etl_gov_spark.operators.mlstats import (
+        q_nelson_aalen,
+        q_survival_fulfillment,
+    )
+
+    na = {r.days: r.cum_hazard for r in q_nelson_aalen(spark, sf_dir).collect()}
+    km = {
+        r.days: r.survival
+        for r in q_survival_fulfillment(spark, sf_dir).collect()
+    }
+    assert na and set(na) == set(km)
+    prev = 0.0
+    for t in sorted(na):
+        assert na[t] >= prev - 1e-9
+        prev = na[t]
+        if km[t] > 0:
+            assert -math.log(km[t]) >= na[t] - 1e-3
+    se = [r.se_hazard for r in q_nelson_aalen(spark, sf_dir).collect()]
+    assert all(s > 0 for s in se)
+
+
+def test_log_rank_internally_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_log_rank_test
+
+    r = q_log_rank_test(spark, sf_dir).collect()[0]
+    assert r.logrank_chi2 >= 0.0
+    assert r.observed_urgent >= 0 and r.expected_urgent > 0
+    assert r.curves_differ == (r.logrank_chi2 > 3.841)
+
+
+def test_gamma_fit_mom_identities(spark, sf_dir):
+    """MoM identities: mean = kθ and var = kθ² must hold exactly
+    (they define the fit); implied skewness is 2/√k."""
+    from etl_gov_spark.operators.mlstats import q_gamma_fit_mom
+
+    r = q_gamma_fit_mom(spark, sf_dir).collect()[0]
+    assert r.gamma_shape_k > 0 and r.gamma_scale_theta > 0
+    assert abs(r.gamma_shape_k * r.gamma_scale_theta - r.mean) < 0.01 * r.mean
+    assert abs(r.gamma_implied_skewness - 2.0 / r.gamma_shape_k**0.5) < 1e-3
+    assert abs(r.skewness_gap - (r.sample_skewness - r.gamma_implied_skewness)) < 1e-3
+
+
+def test_page_hinkley_nonneg_and_alarm_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_page_hinkley
+
+    r = q_page_hinkley(spark, sf_dir).collect()[0]
+    assert r.ph_stat >= 0.0
+    assert r.lambda_threshold > 0.0
+    assert r.drift_detected == (r.ph_stat > r.lambda_threshold)

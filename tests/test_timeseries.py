@@ -404,3 +404,34 @@ def test_risk_pooling_ratio_bounds(spark, sf_dir):
         assert 0.0 < r.iid_ratio <= 1.0
         above += r.pooling_ratio >= r.iid_ratio - 1e-9
     assert above >= len(rows) * 0.6
+
+
+def test_peak_detection_prominence_gate(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_peak_detection
+
+    rows = q_peak_detection(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    proms = [r.prominence for r in rows]
+    assert all(p > 1.25 for p in proms)
+    assert proms == sorted(proms, reverse=True)
+
+
+def test_bollinger_census_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_bollinger_breakouts
+
+    rows = q_bollinger_breakouts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_above_band + r.n_below_band <= r.n_days
+        assert r.mean_bandwidth > 0
+
+
+def test_rsi_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.timeseries import q_rsi_indicator
+
+    rows = q_rsi_indicator(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mean_rsi <= 100.0
+        assert r.n_overbought + r.n_oversold <= r.n_days

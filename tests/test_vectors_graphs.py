@@ -450,3 +450,33 @@ def test_simplified_silhouette_bounds(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r.mean_silhouette <= 1.0
         assert 0.0 <= r.frac_negative <= 1.0
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    from etl_gov_spark.operators.graphs import graph_assortativity
+
+    r = graph_assortativity(spark, sf_dir).collect()[0]
+    assert r.n_edges > 0 and r.n_nodes > 0
+    assert -1.0 <= r.assortativity <= 1.0
+    assert r.mean_edge_degree >= 1.0
+
+
+def test_global_transitivity_in_range(spark, sf_dir):
+    from etl_gov_spark.operators.graphs import graph_global_transitivity
+
+    r = graph_global_transitivity(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.transitivity <= 1.0
+    assert r.n_wedges >= r.n_triangles >= 0
+
+
+def test_two_hop_reach_dominates_degree(spark, sf_dir):
+    """Every node's 2-hop reach is at least its degree, so the
+    reach-weighted node count must be >= the edge-endpoint count."""
+    from etl_gov_spark.operators.graphs import graph_two_hop_reach
+
+    rows = graph_two_hop_reach(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.min_reach >= 1 and r.max_reach >= r.min_reach
+        assert 2 ** r.log2_bucket <= r.min_reach
+        assert r.max_reach < 2 ** (r.log2_bucket + 1)

@@ -2456,3 +2456,57 @@ ORDER BY p_brand
 """
 
 QUERIES["q_risk_pooling"] = (q_risk_pooling, Q_RISK_POOLING_SQL)
+
+
+_NEWSVENDOR_FRACTILE = 0.8  # cu/(cu+co): understock 4x worse than overstock
+
+
+def q_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking policy per brand: the critical-fractile
+    order quantity q* = F⁻¹(cu/(cu+co)) of WEEKLY demand (0.8 here —
+    understocking costs 4× overstocking), next to mean demand so the
+    implied safety stock is visible. The one-line answer inventory
+    theory gives for perishable/seasonal stocking, computed from the
+    actual demand distribution instead of a normal assumption.
+
+    (brand, week) demand contraction, then one exact-quantile
+    aggregate per bounded brand key (``percentile`` ≡
+    ``quantile_cont``; swap for approx_percentile at 100 TB).
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    weekly = li.groupBy(
+        "p_brand", F.date_trunc("week", "l_shipdate").alias("wk")
+    ).agg(F.sum("l_quantity").alias("d"))
+    return weekly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_weeks"),
+        _R4(F.avg("d"), "mean_weekly_demand"),
+        _R4(
+            F.percentile("d", F.lit(_NEWSVENDOR_FRACTILE)), "q_star"
+        ),
+        _R4(
+            F.percentile("d", F.lit(_NEWSVENDOR_FRACTILE)) - F.avg("d"),
+            "safety_stock",
+        ),
+    )
+
+
+Q_NEWSVENDOR_SQL = f"""
+WITH weekly AS (
+  SELECT p.p_brand, date_trunc('week', CAST(l.l_shipdate AS DATE)) AS wk,
+         sum(l.l_quantity) AS d
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, count(*) AS n_weeks,
+       round(avg(d), 4) AS mean_weekly_demand,
+       round(quantile_cont(d, {_NEWSVENDOR_FRACTILE}), 4) AS q_star,
+       round(quantile_cont(d, {_NEWSVENDOR_FRACTILE}) - avg(d), 4)
+         AS safety_stock
+FROM weekly GROUP BY p_brand
+"""
+
+QUERIES["q_newsvendor_quantile"] = (q_newsvendor_quantile, Q_NEWSVENDOR_SQL)

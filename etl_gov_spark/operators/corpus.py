@@ -2392,3 +2392,92 @@ QUERIES["corpus_tokenizer_fertility"] = (
     corpus_tokenizer_fertility,
     CORPUS_FERTILITY_SQL,
 )
+
+
+_JS_VOCAB_K = 100
+
+
+def corpus_source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence (bits) between sources'
+    token distributions over the global top-100 vocabulary — the
+    mixture-design distance matrix: which sources are statistically
+    interchangeable and which carry genuinely different text (the
+    number ``corpus_mix_weights`` should look at before upweighting
+    a 'diverse' source that is a near-clone of another).
+
+    Vocabulary is a distributed top-k (TakeOrdered); per-(source,
+    vocab-word) counts densify against the tiny source×vocab grid so
+    zero counts contribute their exact 0·log 0 = 0 terms; JS sums
+    over ≤ |sources|²·K rows.
+    """
+    toks = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", F.explode(tokens_col()).alias("w")
+    )
+    counts = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.groupBy("w")
+        .agg(F.sum("c").alias("tc"))
+        .orderBy(F.desc("tc"), F.asc("w"))
+        .limit(_JS_VOCAB_K)
+        .select("w")
+    )
+    in_vocab = counts.join(F.broadcast(vocab), "w")
+    totals = in_vocab.groupBy("source").agg(F.sum("c").alias("t"))
+    grid = totals.crossJoin(F.broadcast(vocab)).join(
+        in_vocab, ["source", "w"], "left"
+    ).select(
+        "source", "w", (F.coalesce("c", F.lit(0)) / F.col("t")).alias("p")
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairs = a.join(
+        b, F.col("a.w") == F.col("b.w")
+    ).filter(F.col("a.source") < F.col("b.source"))
+    p, q = F.col("a.p"), F.col("b.p")
+    m = (p + q) / 2
+    term = (
+        F.when(p > 0, 0.5 * p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log2(q / m)).otherwise(F.lit(0.0))
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(_R4(F.sum(term), "js_bits"), F.count(F.lit(1)).alias("n_words"))
+    )
+
+
+CORPUS_SOURCE_JS_SQL = rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), counts AS (
+  SELECT source, w, count(*) AS c FROM toks GROUP BY 1, 2
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, sum(c) AS tc FROM counts GROUP BY w
+  ) ORDER BY tc DESC, w ASC LIMIT {_JS_VOCAB_K}
+), in_vocab AS (
+  SELECT c.source, c.w, c.c FROM counts c JOIN vocab v ON c.w = v.w
+), totals AS (
+  SELECT source, sum(c) AS t FROM in_vocab GROUP BY source
+), grid AS (
+  SELECT t.source, v.w, coalesce(i.c, 0) / CAST(t.t AS DOUBLE) AS p
+  FROM totals t CROSS JOIN vocab v
+  LEFT JOIN in_vocab i ON i.source = t.source AND i.w = v.w
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       round(sum(
+         CASE WHEN a.p > 0
+              THEN 0.5 * a.p * log2(a.p / ((a.p + b.p) / 2)) ELSE 0.0 END
+         + CASE WHEN b.p > 0
+                THEN 0.5 * b.p * log2(b.p / ((a.p + b.p) / 2)) ELSE 0.0 END
+       ), 4) AS js_bits,
+       count(*) AS n_words
+FROM grid a JOIN grid b ON a.w = b.w AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+QUERIES["corpus_source_token_js"] = (
+    corpus_source_token_js,
+    CORPUS_SOURCE_JS_SQL,
+)

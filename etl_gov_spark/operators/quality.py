@@ -1212,3 +1212,143 @@ FROM hourly GROUP BY 1
 """
 
 QUERIES["dq_slo_burn_rate"] = (dq_slo_burn_rate, DQ_SLO_BURN_SQL)
+
+
+def dq_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type: exact interpolated
+    Q1/Q3 (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), 1.5×IQR
+    fences, per-type outlier census — the boxplot rule as a data
+    test, next to the MAD screen (``dq_mad_outliers``) which it
+    cross-checks: MAD survives >25% contamination, IQR is what every
+    BI tool draws.
+
+    Two passes over the bounded type key: one exact-quantile
+    aggregate, one broadcast-fence count. At 100 TB swap the exact
+    quantile for approx_percentile — same plan shape.
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "value")
+    fences = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    j = ev.join(F.broadcast(fences), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _R4(F.max("q1"), "q1"),
+        _R4(F.max("q3"), "q3"),
+        F.sum((F.col("value") < lo).cast("long")).alias("n_below"),
+        F.sum((F.col("value") > hi).cast("long")).alias("n_above"),
+        _R4(
+            F.avg(((F.col("value") < lo) | (F.col("value") > hi)).cast("double")),
+            "outlier_share",
+        ),
+    )
+
+
+DQ_IQR_SQL = """
+WITH fences AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       round(max(q1), 4) AS q1, round(max(q3), 4) AS q3,
+       CAST(sum(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below,
+       CAST(sum(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above,
+       round(avg(CASE WHEN value < q1 - 1.5 * (q3 - q1)
+                        OR value > q3 + 1.5 * (q3 - q1)
+                      THEN 1.0 ELSE 0.0 END), 4) AS outlier_share
+FROM events e JOIN fences f ON e.event_type = f.event_type
+GROUP BY e.event_type
+"""
+
+QUERIES["dq_iqr_outliers"] = (dq_iqr_outliers, DQ_IQR_SQL)
+
+
+def dq_regex_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conformance audit of the semi-structured ``props``
+    payload per event type: does it match the expected
+    ``{"k": <int>}`` shape, is it parseable JSON at all, and what is
+    the k-value range where conformant — the contract test for a
+    feed's free-text column (the #1 silent-corruption surface).
+
+    One scan, row-local regex + JSON extraction (codegen), a bounded
+    type rollup.
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "props")
+    conforms = F.col("props").rlike(r'^\{"k": \d+\}$')
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(conforms.cast("long")).alias("n_conformant"),
+        _R4(F.avg(conforms.cast("double")), "conformance_rate"),
+        F.min(F.when(conforms, k)).alias("k_min"),
+        F.max(F.when(conforms, k)).alias("k_max"),
+    )
+
+
+DQ_REGEX_SQL = r"""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CASE WHEN regexp_matches(props, '^\{"k": \d+\}$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_conformant,
+       round(avg(CASE WHEN regexp_matches(props, '^\{"k": \d+\}$')
+                      THEN 1.0 ELSE 0.0 END), 4) AS conformance_rate,
+       min(CASE WHEN regexp_matches(props, '^\{"k": \d+\}$')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+         AS k_min,
+       max(CASE WHEN regexp_matches(props, '^\{"k": \d+\}$')
+                THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+         AS k_max
+FROM events GROUP BY event_type
+"""
+
+QUERIES["dq_regex_conformance"] = (dq_regex_conformance, DQ_REGEX_SQL)
+
+
+def dq_monotonic_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-sanity audit: do event_ids increase with event time
+    within each user's stream? Reports the per-type inversion rate
+    (consecutive ts-ordered pairs where the id goes backwards) —
+    the cheap detector for clock skew, replayed batches, and
+    mis-merged partitions.
+
+    The lag runs inside per-user windows (partitioned — no global
+    sort); the rollup is a bounded type aggregate.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_id", F.lag("event_id").over(w)).filter(
+        F.col("prev_id").isNotNull()
+    )
+    inverted = (F.col("event_id") < F.col("prev_id")).cast("long")
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(inverted).alias("n_inversions"),
+        _R4(F.avg(inverted.cast("double")), "inversion_rate"),
+    )
+
+
+DQ_MONOTONIC_SQL = """
+WITH seq AS (
+  SELECT event_type, event_id,
+         lag(event_id) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_id
+  FROM events
+)
+SELECT event_type, count(*) AS n_pairs,
+       CAST(sum(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_inversions,
+       round(avg(CASE WHEN event_id < prev_id THEN 1.0 ELSE 0.0 END), 4)
+         AS inversion_rate
+FROM seq WHERE prev_id IS NOT NULL
+GROUP BY event_type
+"""
+
+QUERIES["dq_monotonic_ids"] = (dq_monotonic_ids, DQ_MONOTONIC_SQL)

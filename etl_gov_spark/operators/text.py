@@ -1375,3 +1375,98 @@ ORDER BY rank LIMIT {_BURSTY_TOP}
 """
 
 QUERIES["text_term_burstiness"] = (text_term_burstiness, TEXT_BURSTINESS_SQL)
+
+
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stopword fingerprint: the share of tokens hitting
+    each language's stopword list — a 4-number language-mix signature
+    per source that cross-checks ``text_langid`` (a source claiming
+    'en' with a high Spanish-stopword share is mislabeled or mixed).
+
+    One token explode + membership against 4 tiny literal arrays
+    (codegen), one bounded source rollup.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "source", F.explode(tokens_col()).alias("w")
+    )
+    lists = {
+        "en": STOPWORDS_EN,
+        "es": STOPWORDS_ES,
+        "fr": STOPWORDS_FR,
+        "de": STOPWORDS_DE,
+    }
+    aggs = [F.count(F.lit(1)).alias("n_tokens")]
+    for lang, words in lists.items():
+        hit = F.col("w").isin(*words).cast("double")
+        aggs.append(_R4(F.avg(hit), f"stop_share_{lang}"))
+    return docs.groupBy("source").agg(*aggs)
+
+
+def _stopword_profile_sql() -> str:
+    lists = {
+        "en": STOPWORDS_EN,
+        "es": STOPWORDS_ES,
+        "fr": STOPWORDS_FR,
+        "de": STOPWORDS_DE,
+    }
+    shares = ", ".join(
+        "round(avg(CASE WHEN w IN ({vals}) THEN 1.0 ELSE 0.0 END), 4)"
+        " AS stop_share_{lang}".format(
+            vals=", ".join(f"'{w}'" for w in words), lang=lang
+        )
+        for lang, words in lists.items()
+    )
+    return rf"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+)
+SELECT source, count(*) AS n_tokens, {shares}
+FROM toks GROUP BY source
+"""
+
+
+QUERIES["text_stopword_profile"] = (
+    text_stopword_profile,
+    _stopword_profile_sql(),
+)
+
+
+def text_word_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-length distribution per language: mean/p90 characters
+    per token and the long-word (≥8 chars) share — the
+    morphology-sensitive signal that separates compounding languages
+    from analytic ones, and (in a training corpus) flags sources
+    whose 'words' are actually URLs or hashes.
+
+    One explode, one bounded language rollup; p90 is the exact
+    interpolated percentile (``percentile`` ≡ ``quantile_cont``).
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "lang", F.explode(tokens_col()).alias("w")
+    ).select("lang", F.length("w").alias("wl"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        _R4(F.avg("wl"), "mean_len"),
+        _R4(F.percentile("wl", F.lit(0.9)), "p90_len"),
+        _R4(F.avg((F.col("wl") >= 8).cast("double")), "long_word_share"),
+    )
+
+
+TEXT_WORD_LENGTH_SQL = r"""
+WITH toks AS (
+  SELECT lang, length(unnest(string_split_regex(trim(text), '\s+'))) AS wl
+  FROM documents
+)
+SELECT lang, count(*) AS n_tokens,
+       round(avg(wl), 4) AS mean_len,
+       round(quantile_cont(wl, 0.9), 4) AS p90_len,
+       round(avg(CASE WHEN wl >= 8 THEN 1.0 ELSE 0.0 END), 4)
+         AS long_word_share
+FROM toks GROUP BY lang
+"""
+
+QUERIES["text_word_length_profile"] = (
+    text_word_length_profile,
+    TEXT_WORD_LENGTH_SQL,
+)

@@ -1651,3 +1651,71 @@ QUERIES["emb_simplified_silhouette"] = (
     emb_simplified_silhouette,
     EMB_SIMPLIFIED_SILHOUETTE_SQL,
 )
+
+
+def emb_centroid_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of each vector's cosine to its OWN label centroid,
+    in 0.1 buckets per label — the cluster-tightness distribution
+    behind the scalar diagnostics (``emb_davies_bouldin``,
+    ``emb_simplified_silhouette``): a healthy label shows mass piled
+    near 1.0; a bimodal histogram means the label glues two clusters
+    together.
+
+    (label, dim) centroid aggregate → broadcast join back on the
+    exploded vectors → per-vector dot/norm fold → bounded
+    (label, bucket) census. No pairwise vector join anywhere.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = emb.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    per_vec = (
+        emb.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("xx"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("xx") * F.sqrt("cc"))
+    bucket = F.least(
+        F.floor(F.round(cos, 6) * 10).cast("int"), F.lit(9)
+    )
+    return per_vec.groupBy("label", bucket.alias("cos_bucket")).agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        _R4(F.min(cos), "cos_min"),
+        _R4(F.max(cos), "cos_max"),
+    )
+
+
+EMB_CENTROID_COS_HIST_SQL = """
+WITH flat AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, avg(x) AS c FROM flat GROUP BY 1, 2
+), per_vec AS (
+  SELECT f.vec_id, f.label,
+         sum(f.x * c.c) AS dot, sum(f.x * f.x) AS xx, sum(c.c * c.c) AS cc
+  FROM flat f JOIN cent c ON f.label = c.label AND f.pos = c.pos
+  GROUP BY 1, 2
+)
+SELECT label,
+       CAST(least(floor(round(dot / (sqrt(xx) * sqrt(cc)), 6) * 10), 9)
+            AS INTEGER) AS cos_bucket,
+       count(*) AS n_vecs,
+       round(min(dot / (sqrt(xx) * sqrt(cc))), 4) AS cos_min,
+       round(max(dot / (sqrt(xx) * sqrt(cc))), 4) AS cos_max
+FROM per_vec GROUP BY 1, 2
+"""
+
+QUERIES["emb_centroid_cosine_histogram"] = (
+    emb_centroid_cosine_histogram,
+    EMB_CENTROID_COS_HIST_SQL,
+)

@@ -786,3 +786,55 @@ def test_term_burstiness_ranked_and_bounded(spark, sf_dir):
         assert r.df >= 5 and r.cf >= r.df
         assert r.burstiness <= prev + 1e-9
         prev = r.burstiness
+
+
+def test_iqr_outlier_census_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_iqr_outliers
+
+    rows = dq_iqr_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q1 <= r.q3
+        assert r.n_below + r.n_above <= r.n
+        assert abs(r.outlier_share - (r.n_below + r.n_above) / r.n) < 1e-3
+
+
+def test_regex_conformance_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_regex_conformance
+
+    rows = dq_regex_conformance(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_conformant <= r.n
+        assert 0.0 <= r.conformance_rate <= 1.0
+        if r.n_conformant > 0:
+            assert r.k_min is not None and r.k_min <= r.k_max
+
+
+def test_monotonic_ids_rate_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.quality import dq_monotonic_ids
+
+    rows = dq_monotonic_ids(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_inversions <= r.n_pairs
+        assert 0.0 <= r.inversion_rate <= 1.0
+
+
+def test_source_token_js_symmetric_bounded(spark, sf_dir):
+    """JS divergence is bounded by 1 bit and defined for every
+    source pair; n_words equals the vocab size for every pair."""
+    from etl_gov_spark.operators.corpus import (
+        _JS_VOCAB_K,
+        corpus_source_token_js,
+    )
+
+    rows = corpus_source_token_js(spark, sf_dir).collect()
+    assert rows
+    # every pair densifies against the same vocab (≤ K: the corpus
+    # may have fewer distinct words than the cap)
+    sizes = {r.n_words for r in rows}
+    assert len(sizes) == 1 and 0 < sizes.pop() <= _JS_VOCAB_K
+    for r in rows:
+        assert r.src_a < r.src_b
+        assert 0.0 <= r.js_bits <= 1.0 + 1e-9

@@ -429,3 +429,15 @@ def test_parts_momentum_ranked(spark, sf_dir):
         if prev is not None:
             assert r.acceleration <= prev + 1e-9
         prev = r.acceleration
+
+
+def test_newsvendor_quantile_dominates_mean_at_08(spark, sf_dir):
+    """At fractile 0.8, q* is >= the median and the safety stock is
+    q* - mean by definition."""
+    from etl_gov_spark.operators.analytics import q_newsvendor_quantile
+
+    rows = q_newsvendor_quantile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_weeks > 0
+        assert abs(r.safety_stock - (r.q_star - r.mean_weekly_demand)) < 1e-3

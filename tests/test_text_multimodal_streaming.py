@@ -583,3 +583,27 @@ def test_apply_cdc_batch_keeps_untouched_state_files_byte_identical(
     }
     assert len(final) == 400
     assert final[390] == (3901, "F") and final[10] == (100, "O")
+
+
+def test_stopword_profile_dominant_language(spark, sf_dir):
+    """Shares are in [0,1]; every source has some stopword signal in
+    at least one language list."""
+    from etl_gov_spark.operators.text import text_stopword_profile
+
+    rows = text_stopword_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        shares = [
+            r.stop_share_en, r.stop_share_es, r.stop_share_fr, r.stop_share_de
+        ]
+        assert all(0.0 <= x <= 1.0 for x in shares)
+
+
+def test_word_length_profile_ordering(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_word_length_profile
+
+    rows = text_word_length_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1.0 <= r.mean_len <= r.p90_len
+        assert 0.0 <= r.long_word_share <= 1.0

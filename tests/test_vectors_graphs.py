@@ -480,3 +480,25 @@ def test_two_hop_reach_dominates_degree(spark, sf_dir):
         assert r.min_reach >= 1 and r.max_reach >= r.min_reach
         assert 2 ** r.log2_bucket <= r.min_reach
         assert r.max_reach < 2 ** (r.log2_bucket + 1)
+
+
+def test_centroid_cosine_histogram_partition(spark, sf_dir):
+    """Histogram buckets partition each label's vectors; bucket
+    bounds bracket the observed min/max cosines."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.vectors import emb_centroid_cosine_histogram
+
+    rows = emb_centroid_cosine_histogram(spark, sf_dir).collect()
+    assert rows
+    per_label: dict[int, int] = {}
+    for r in rows:
+        per_label[r.label] = per_label.get(r.label, 0) + r.n_vecs
+        assert -1.0 - 1e-6 <= r.cos_min <= r.cos_max <= 1.0 + 1e-6
+        if r.cos_bucket < 9:
+            assert r.cos_max < (r.cos_bucket + 1) / 10 + 1e-6
+    total = (
+        Catalog(spark, sf_dir).embeddings.agg(F.count(F.lit(1))).collect()[0][0]
+    )
+    assert sum(per_label.values()) == total

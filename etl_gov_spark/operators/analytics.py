@@ -2510,3 +2510,121 @@ FROM weekly GROUP BY p_brand
 """
 
 QUERIES["q_newsvendor_quantile"] = (q_newsvendor_quantile, Q_NEWSVENDOR_SQL)
+
+
+_FILL_SLA_DAYS = 60
+
+
+def q_fill_rate_service_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service-level measurement per order priority: the share of
+    orders FULLY shipped within the 60-day SLA (every line's ship
+    date inside the window — the all-or-nothing fill-rate contract),
+    next to the mean days-to-complete of the on-time set.
+
+    One lineitem rollup to (order, last_ship), one join, one bounded
+    priority aggregate — the operational twin of the survival curve
+    (``q_survival_fulfillment``) reported the way ops contracts are
+    written.
+    """
+    c = Catalog(spark, sf_dir)
+    done = c.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    j = c.orders.join(done, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.greatest(
+            F.datediff("last_ship", F.to_date("o_orderdate")), F.lit(0)
+        ).alias("days"),
+    )
+    on_time = (F.col("days") <= _FILL_SLA_DAYS).cast("double")
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _R4(F.avg(on_time), "fill_rate"),
+        _R4(
+            F.avg(F.when(F.col("days") <= _FILL_SLA_DAYS, F.col("days"))),
+            "mean_days_on_time",
+        ),
+        F.max("days").alias("worst_days"),
+    )
+
+
+Q_FILL_RATE_SQL = f"""
+WITH done AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderpriority,
+         greatest(datediff('day', CAST(o.o_orderdate AS DATE), d.last_ship), 0)
+           AS days
+  FROM orders o JOIN done d ON o.o_orderkey = d.l_orderkey
+)
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(avg(CASE WHEN days <= {_FILL_SLA_DAYS} THEN 1.0 ELSE 0.0 END), 4)
+         AS fill_rate,
+       round(avg(CASE WHEN days <= {_FILL_SLA_DAYS} THEN days END), 4)
+         AS mean_days_on_time,
+       CAST(max(days) AS BIGINT) AS worst_days
+FROM j GROUP BY o_orderpriority
+"""
+
+QUERIES["q_fill_rate_service_level"] = (
+    q_fill_rate_service_level,
+    Q_FILL_RATE_SQL,
+)
+
+
+def q_order_line_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution: census, revenue share, and mean
+    value per line-count — the order-shape profile that drives
+    pick-pack batching and the join-fanout expectations every
+    downstream query inherits (a catalog where 7-line orders carry
+    half the revenue joins very differently than one of singletons).
+
+    One lineitem rollup keyed by order, one bounded line-count
+    aggregate; revenue in cents so shares are engine-exact.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    tot = per_order.agg(
+        F.sum("cents").cast("double").alias("t"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    return (
+        per_order.crossJoin(F.broadcast(tot))
+        .groupBy("n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _R4(F.count(F.lit(1)) / F.max("n"), "order_share"),
+            _R4(F.sum("cents") / F.max("t"), "revenue_share"),
+            _R4(F.sum("cents") / 100.0 / F.count(F.lit(1)), "mean_order_value"),
+        )
+    )
+
+
+Q_ORDER_LINE_PARETO_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(cents) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS n
+  FROM per_order
+)
+SELECT n_lines, count(*) AS n_orders,
+       round(count(*) / max(n), 4) AS order_share,
+       round(CAST(sum(cents) AS DOUBLE) / max(t), 4) AS revenue_share,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0 / count(*), 4)
+         AS mean_order_value
+FROM per_order CROSS JOIN tot
+GROUP BY n_lines
+"""
+
+QUERIES["q_order_line_pareto"] = (q_order_line_pareto, Q_ORDER_LINE_PARETO_SQL)

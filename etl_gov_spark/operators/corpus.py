@@ -2481,3 +2481,126 @@ QUERIES["corpus_source_token_js"] = (
     corpus_source_token_js,
     CORPUS_SOURCE_JS_SQL,
 )
+
+
+def corpus_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup would save, per source: duplicate-document
+    share and the token count the trainer stops paying for — the
+    before/after ledger that justifies (or kills) running the heavier
+    near-dup ladder on a source. Keeps min-doc_id per md5 group as
+    the survivor (the ``dedup_exact`` policy).
+
+    One md5 groupBy (map-side combinable) + one bounded source
+    rollup; no pairwise anything.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", "doc_id", F.md5("text").alias("h"),
+        F.size(tokens_col()).alias("n_toks"),
+    )
+    per_doc = docs.withColumn(
+        "keep",
+        (
+            F.row_number().over(
+                Window.partitionBy("h").orderBy("doc_id")
+            )
+            == 1
+        ).cast("long"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        _R4(1.0 - F.avg("keep"), "dup_share"),
+        F.sum("n_toks").alias("tokens_before"),
+        F.sum(F.col("keep") * F.col("n_toks")).alias("tokens_after"),
+        _R4(
+            1.0
+            - F.sum(F.col("keep") * F.col("n_toks")) / F.sum("n_toks"),
+            "token_savings",
+        ),
+    )
+
+
+CORPUS_DEDUP_IMPACT_SQL = r"""
+WITH d AS (
+  SELECT source, doc_id, md5(text) AS h,
+         len(string_split_regex(trim(text), '\s+')) AS n_toks
+  FROM documents
+), per_doc AS (
+  SELECT source, n_toks,
+         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM d
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_kept,
+       round(1.0 - avg(keep), 4) AS dup_share,
+       CAST(sum(n_toks) AS BIGINT) AS tokens_before,
+       CAST(sum(keep * n_toks) AS BIGINT) AS tokens_after,
+       round(1.0 - sum(keep * n_toks) / CAST(sum(n_toks) AS DOUBLE), 4)
+         AS token_savings
+FROM per_doc GROUP BY source
+"""
+
+QUERIES["corpus_dedup_impact"] = (corpus_dedup_impact, CORPUS_DEDUP_IMPACT_SQL)
+
+
+_CTX_WINDOWS = (32, 64, 128)
+
+
+def corpus_context_window_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit census per source: the share of documents
+    that fit whole into each training context length (and the token
+    mass lost to truncation at the smallest) — the packing-strategy
+    input: high overflow share ⇒ chunk-and-pack
+    (``corpus_chunking``/``corpus_pack_greedy``), low ⇒ pad-and-batch.
+
+    One token-count projection, one bounded source rollup.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", F.size(tokens_col()).alias("n_toks")
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+    ]
+    for wdw in _CTX_WINDOWS:
+        aggs.append(
+            _R4(
+                F.avg((F.col("n_toks") <= wdw).cast("double")),
+                f"fit_share_{wdw}",
+            )
+        )
+    aggs.append(
+        _R4(
+            F.sum(F.greatest(F.col("n_toks") - _CTX_WINDOWS[0], F.lit(0)))
+            / F.sum("n_toks"),
+            f"overflow_mass_{_CTX_WINDOWS[0]}",
+        )
+    )
+    return docs.groupBy("source").agg(*aggs)
+
+
+def _context_window_sql() -> str:
+    fits = ", ".join(
+        f"round(avg(CASE WHEN n_toks <= {w} THEN 1.0 ELSE 0.0 END), 4)"
+        f" AS fit_share_{w}"
+        for w in _CTX_WINDOWS
+    )
+    w0 = _CTX_WINDOWS[0]
+    return rf"""
+WITH d AS (
+  SELECT source, len(string_split_regex(trim(text), '\s+')) AS n_toks
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens, {fits},
+       round(sum(greatest(n_toks - {w0}, 0)) / CAST(sum(n_toks) AS DOUBLE), 4)
+         AS overflow_mass_{w0}
+FROM d GROUP BY source
+"""
+
+
+QUERIES["corpus_context_window_census"] = (
+    corpus_context_window_census,
+    _context_window_sql(),
+)

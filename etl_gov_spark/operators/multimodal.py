@@ -608,3 +608,59 @@ FROM flagged
 """
 
 QUERIES["mm_filter_cascade"] = (mm_filter_cascade, MM_FILTER_CASCADE_SQL)
+
+
+def mm_aspect_ratio_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio census per decoded format: wide / landscape /
+    portrait / tall buckets with the mean ratio — the dataset-design
+    readout a vision-training pipeline needs before choosing crop
+    and patch geometry (a corpus that is 80% tall screenshots wants
+    a different preprocessing recipe than one of 16:9 stills).
+
+    Runs on the REAL Arrow path: metadata comes from the same
+    mapInPandas extractor as ``mm_binary_meta``; the census is one
+    bounded (fmt, bucket) aggregate on top.
+    """
+    meta = mm_binary_meta(spark, sf_dir)
+    ratio = F.round(F.col("width") / F.col("height"), 6)
+    bucket = (
+        F.when(ratio > 1.5, "wide")
+        .when(ratio >= 1.0, "landscape")
+        .when(ratio >= 0.67, "portrait")
+        .otherwise("tall")
+    )
+    return meta.groupBy("fmt", bucket.alias("shape")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.avg(ratio), 4).alias("mean_aspect"),
+        F.min("width").alias("min_width"),
+        F.max("height").alias("max_height"),
+    )
+
+
+MM_ASPECT_CENSUS_SQL = """
+WITH meta AS (
+  SELECT CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+         CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INTEGER) AS height,
+         CASE octet_length(encode(text)) % 3
+              WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS fmt
+  FROM documents
+), shaped AS (
+  SELECT fmt, width, height,
+         round(width / CAST(height AS DOUBLE), 6) AS ratio,
+         CASE WHEN round(width / CAST(height AS DOUBLE), 6) > 1.5 THEN 'wide'
+              WHEN round(width / CAST(height AS DOUBLE), 6) >= 1.0 THEN 'landscape'
+              WHEN round(width / CAST(height AS DOUBLE), 6) >= 0.67 THEN 'portrait'
+              ELSE 'tall' END AS shape
+  FROM meta
+)
+SELECT fmt, shape, count(*) AS n_items,
+       round(avg(ratio), 4) AS mean_aspect,
+       CAST(min(width) AS INTEGER) AS min_width,
+       CAST(max(height) AS INTEGER) AS max_height
+FROM shaped GROUP BY 1, 2
+"""
+
+QUERIES["mm_aspect_ratio_census"] = (
+    mm_aspect_ratio_census,
+    MM_ASPECT_CENSUS_SQL,
+)

@@ -838,3 +838,26 @@ def test_source_token_js_symmetric_bounded(spark, sf_dir):
     for r in rows:
         assert r.src_a < r.src_b
         assert 0.0 <= r.js_bits <= 1.0 + 1e-9
+
+
+def test_dedup_impact_conserves_tokens(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_dedup_impact
+
+    rows = corpus_dedup_impact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        assert 0 <= r.tokens_after <= r.tokens_before
+        assert 0.0 <= r.dup_share < 1.0
+        assert 0.0 <= r.token_savings < 1.0
+
+
+def test_context_window_census_monotone_fit(spark, sf_dir):
+    """Fit shares must be nondecreasing in window size."""
+    from etl_gov_spark.operators.corpus import corpus_context_window_census
+
+    rows = corpus_context_window_census(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.fit_share_32 <= r.fit_share_64 <= r.fit_share_128 <= 1.0
+        assert 0.0 <= r.overflow_mass_32 <= 1.0

@@ -441,3 +441,26 @@ def test_newsvendor_quantile_dominates_mean_at_08(spark, sf_dir):
     for r in rows:
         assert r.n_weeks > 0
         assert abs(r.safety_stock - (r.q_star - r.mean_weekly_demand)) < 1e-3
+
+
+def test_fill_rate_bounds_and_sla(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import (
+        _FILL_SLA_DAYS,
+        q_fill_rate_service_level,
+    )
+
+    rows = q_fill_rate_service_level(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.fill_rate <= 1.0
+        if r.mean_days_on_time is not None:
+            assert 0 <= r.mean_days_on_time <= _FILL_SLA_DAYS
+
+
+def test_order_line_pareto_shares_sum_to_one(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_order_line_pareto
+
+    rows = q_order_line_pareto(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.order_share for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 0.01

@@ -607,3 +607,17 @@ def test_word_length_profile_ordering(spark, sf_dir):
     for r in rows:
         assert 1.0 <= r.mean_len <= r.p90_len
         assert 0.0 <= r.long_word_share <= 1.0
+
+
+def test_aspect_ratio_census_partitions_corpus(spark, sf_dir):
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.multimodal import mm_aspect_ratio_census
+
+    rows = mm_aspect_ratio_census(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_items for r in rows) == read_table(
+        spark, sf_dir, "documents"
+    ).count()
+    for r in rows:
+        assert r.shape in ("wide", "landscape", "portrait", "tall")
+        assert r.mean_aspect > 0

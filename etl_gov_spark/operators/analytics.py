@@ -2628,3 +2628,79 @@ GROUP BY n_lines
 """
 
 QUERIES["q_order_line_pareto"] = (q_order_line_pareto, Q_ORDER_LINE_PARETO_SQL)
+
+
+def q_dupont_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuPont-style KPI tree per market segment: revenue per
+    customer decomposed into orders/customer × lines/order ×
+    value/line — the multiplicative factorization that tells you
+    WHICH lever moved when a segment's revenue shifts (more buyers
+    buying? bigger baskets? richer lines?). Cents-exact revenue so
+    the product re-multiplies to the reported total in both engines.
+
+    One lineitem→orders join rolled to order grain, one
+    customer-dim broadcast, one bounded segment aggregate.
+    """
+    c = Catalog(spark, sf_dir)
+    per_order = c.lineitem.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    j = (
+        c.orders.join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("n_lines").alias("n_lines"),
+        _R4(
+            F.count(F.lit(1)) / F.countDistinct("o_custkey"),
+            "orders_per_customer",
+        ),
+        _R4(F.sum("n_lines") / F.count(F.lit(1)), "lines_per_order"),
+        _R4(F.sum("cents") / 100.0 / F.sum("n_lines"), "value_per_line"),
+        _R4(
+            F.sum("cents") / 100.0 / F.countDistinct("o_custkey"),
+            "revenue_per_customer",
+        ),
+    )
+
+
+Q_DUPONT_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n_lines,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT c.c_mktsegment, o.o_custkey, p.n_lines, p.cents
+  FROM orders o
+  JOIN per_order p ON o.o_orderkey = p.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       round(count(*) / CAST(count(DISTINCT o_custkey) AS DOUBLE), 4)
+         AS orders_per_customer,
+       round(sum(n_lines) / CAST(count(*) AS DOUBLE), 4) AS lines_per_order,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0 / sum(n_lines), 4)
+         AS value_per_line,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0
+             / count(DISTINCT o_custkey), 4) AS revenue_per_customer
+FROM j GROUP BY c_mktsegment
+"""
+
+QUERIES["q_dupont_decomposition"] = (
+    q_dupont_decomposition,
+    Q_DUPONT_SQL,
+)

@@ -5903,3 +5903,211 @@ FROM ph ORDER BY ph DESC, day ASC LIMIT 1
 """
 
 QUERIES["q_page_hinkley"] = (q_page_hinkley, Q_PAGE_HINKLEY_SQL)
+
+
+_QQ_PS = tuple(round(0.1 * i, 1) for i in range(1, 10))
+
+
+def q_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q table of order values: urgent-priority vs the rest at the
+    nine deciles, with the ratio — the distribution-level answer to
+    "do urgent orders just cost more, or are they shaped
+    differently?" (a constant ratio says scale shift; a ratio that
+    grows in p says tail divergence). Nine exact interpolated
+    quantiles per group (``percentile`` ≡ ``quantile_cont``), two
+    aggregate rows stacked into a 9-row table.
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        F.col("o_orderpriority")
+        .isin("1-URGENT", "2-HIGH")
+        .alias("urgent"),
+        F.col("o_totalprice").alias("x"),
+    )
+    aggs = []
+    for i, p in enumerate(_QQ_PS):
+        aggs.append(
+            F.percentile(F.when(F.col("urgent"), F.col("x")), F.lit(p)).alias(
+                f"u{i}"
+            )
+        )
+        aggs.append(
+            F.percentile(
+                F.when(~F.col("urgent"), F.col("x")), F.lit(p)
+            ).alias(f"r{i}")
+        )
+    row = o.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("p"),
+                F.round(F.col(f"u{i}"), 4).alias("q_urgent"),
+                F.round(F.col(f"r{i}"), 4).alias("q_rest"),
+                F.round(F.col(f"u{i}") / F.col(f"r{i}"), 4).alias("ratio"),
+            )
+            for i, p in enumerate(_QQ_PS)
+        ]
+    )
+    return row.select(F.inline(pairs))
+
+
+def _qq_sql() -> str:
+    cols = ", ".join(
+        f"quantile_cont(CASE WHEN urgent THEN x END, {p}) AS u{i},"
+        f" quantile_cont(CASE WHEN NOT urgent THEN x END, {p}) AS r{i}"
+        for i, p in enumerate(_QQ_PS)
+    )
+    vals = ", ".join(
+        f"({p}, u{i}, r{i})" for i, p in enumerate(_QQ_PS)
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority IN ('1-URGENT', '2-HIGH') AS urgent,
+         o_totalprice AS x
+  FROM orders
+), agg AS (SELECT {cols} FROM o)
+SELECT CAST(v.p AS DOUBLE) AS p,
+       round(v.qu, 4) AS q_urgent, round(v.qr, 4) AS q_rest,
+       round(v.qu / v.qr, 4) AS ratio
+FROM agg, LATERAL (VALUES {vals}) AS v(p, qu, qr)
+"""
+
+
+QUERIES["q_qq_deciles"] = (q_qq_deciles, _qq_sql())
+
+
+def q_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality strength of daily revenue, STL-style:
+    detrend with a centred 7-day moving average, extract the
+    day-of-week means as the seasonal component, and report
+    1 − var(residual)/var(detrended) — the 0-to-1 "how much of the
+    wiggle is the weekly cycle" number (Hyndman's seasonal-strength
+    measure) that decides whether a forecast needs a seasonal term.
+
+    Cents-exact daily series; one centred window, one bounded dow
+    aggregate broadcast back, one scalar row.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    det = (
+        daily.withColumn("trend", F.avg("cents").over(w))
+        .withColumn("n_win", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_win") == 7)
+        .select(
+            "day",
+            (F.col("cents") - F.col("trend")).alias("d"),
+            F.dayofweek("day").alias("dow"),
+        )
+    )
+    seas = det.groupBy("dow").agg(F.avg("d").alias("s"))
+    j = det.join(F.broadcast(seas), "dow")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _R4(F.var_samp("d") / 10000.0, "var_detrended"),
+        _R4(F.var_samp(F.col("d") - F.col("s")) / 10000.0, "var_residual"),
+        _R4(
+            F.greatest(
+                F.lit(0.0),
+                1.0 - F.var_samp(F.col("d") - F.col("s")) / F.var_samp("d"),
+            ),
+            "seasonality_strength",
+        ),
+    )
+
+
+Q_SEASONALITY_STRENGTH_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), det AS (
+  SELECT day, dayofweek(day) AS dow,
+         cents - avg(cents) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS d,
+         count(*) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n_win
+  FROM daily
+), full_win AS (SELECT day, dow, d FROM det WHERE n_win = 7),
+seas AS (SELECT dow, avg(d) AS s FROM full_win GROUP BY dow)
+SELECT count(*) AS n_days,
+       round(var_samp(d) / 10000.0, 4) AS var_detrended,
+       round(var_samp(d - s) / 10000.0, 4) AS var_residual,
+       round(greatest(0.0, 1.0 - var_samp(d - s) / var_samp(d)), 4)
+         AS seasonality_strength
+FROM full_win f JOIN seas USING (dow)
+"""
+
+QUERIES["q_seasonality_strength"] = (
+    q_seasonality_strength,
+    Q_SEASONALITY_STRENGTH_SQL,
+)
+
+
+def q_kendall_tau_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between daily revenue and daily order count —
+    the rank-based dependence between "how many" and "how much"
+    that survives outlier days (the Pearson number
+    ``q_stats_by_segment`` reports would be dragged by one mega
+    order). Exact pair counting over the BOUNDED calendar grain
+    (days don't grow with fact rows): one self-join on day pairs,
+    concordant/discordant/tie sums, τ-b with tie correction.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (F.col("b.x") - F.col("a.x")).alias("dx"),
+        (F.col("b.y") - F.col("a.y")).alias("dy"),
+    )
+    sgn = F.signum(F.col("dx")) * F.signum(F.col("dy"))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((sgn > 0).cast("long")).alias("concordant"),
+        F.sum((sgn < 0).cast("long")).alias("discordant"),
+        F.sum((F.col("dx") == 0).cast("long")).alias("ties_x"),
+        F.sum((F.col("dy") == 0).cast("long")).alias("ties_y"),
+    )
+    denom = F.sqrt(
+        (F.col("n_pairs") - F.col("ties_x")).cast("double")
+        * (F.col("n_pairs") - F.col("ties_y"))
+    )
+    return agg.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        _R4(
+            (F.col("concordant") - F.col("discordant")) / denom, "tau_b"
+        ),
+    )
+
+
+Q_KENDALL_TAU_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS x,
+         count(*) AS y
+  FROM orders GROUP BY 1
+), pairs AS (
+  SELECT b.x - a.x AS dx, b.y - a.y AS dy
+  FROM daily a JOIN daily b ON a.day < b.day
+), agg AS (
+  SELECT count(*) AS n_pairs,
+         sum(CASE WHEN sign(dx) * sign(dy) > 0 THEN 1 ELSE 0 END) AS c,
+         sum(CASE WHEN sign(dx) * sign(dy) < 0 THEN 1 ELSE 0 END) AS d,
+         sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS tx,
+         sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS ty
+  FROM pairs
+)
+SELECT n_pairs, CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       round((c - d) / sqrt(CAST(n_pairs - tx AS DOUBLE) * (n_pairs - ty)), 4)
+         AS tau_b
+FROM agg
+"""
+
+QUERIES["q_kendall_tau_series"] = (q_kendall_tau_series, Q_KENDALL_TAU_SQL)

@@ -1470,3 +1470,50 @@ QUERIES["text_word_length_profile"] = (
     text_word_length_profile,
     TEXT_WORD_LENGTH_SQL,
 )
+
+
+def text_hapax_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per source: the share of vocabulary
+    types seen exactly once and the token mass they carry — the
+    lexical-freshness signal (natural prose runs ~40-60% hapax
+    types; templated or machine-generated text collapses toward
+    zero; OCR noise inflates it past 70%). Complements
+    ``corpus_heaps_law``'s growth curve with a per-source snapshot.
+
+    One (source, word) contraction, one bounded source rollup.
+    """
+    counts = (
+        Catalog(spark, sf_dir).documents.select(
+            "source", F.explode(tokens_col()).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    hapax = (F.col("c") == 1).cast("long")
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").alias("n_tokens"),
+        F.sum(hapax).alias("n_hapax"),
+        _R4(F.avg(hapax.cast("double")), "hapax_type_share"),
+        _R4(F.sum(hapax) / F.sum("c"), "hapax_token_share"),
+    )
+
+
+TEXT_HAPAX_SQL = r"""
+WITH counts AS (
+  SELECT source, w, count(*) AS c FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+  ) GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_types,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(avg(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END), 4)
+         AS hapax_type_share,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(sum(c) AS DOUBLE), 4) AS hapax_token_share
+FROM counts GROUP BY source
+"""
+
+QUERIES["text_hapax_profile"] = (text_hapax_profile, TEXT_HAPAX_SQL)

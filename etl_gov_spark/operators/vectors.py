@@ -1719,3 +1719,58 @@ QUERIES["emb_centroid_cosine_histogram"] = (
     emb_centroid_cosine_histogram,
     EMB_CENTROID_COS_HIST_SQL,
 )
+
+
+def emb_effective_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective dimensionality of the embedding space from the
+    per-dimension variance spectrum: eff = exp(−Σ pᵢ ln pᵢ) with
+    pᵢ = varᵢ/Σvar (Roy & Vetterli's effective rank, diagonal
+    form) — "are my 64 dims doing 64 dims of work?" An eff/dim
+    utilization near 1 says the space is isotropic; near 0.2 says
+    most capacity is wasted and Matryoshka-style truncation
+    (``emb_matryoshka_audit``) is nearly free.
+
+    (dim) variance aggregate → one scalar fold. No pairwise
+    anything; the 100 TB cost is one scan.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        )
+    )
+    per_dim = emb.groupBy("pos").agg(F.var_pop("x").alias("v"))
+    tot = per_dim.agg(F.sum("v").alias("t"))
+    p = F.col("v") / F.col("t")
+    return (
+        per_dim.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            _R4(F.max("t"), "total_variance"),
+            _R4(-F.sum(p * F.log(p)), "spectrum_entropy_nats"),
+            _R4(F.exp(-F.sum(p * F.log(p))), "effective_dims"),
+            _R4(
+                F.exp(-F.sum(p * F.log(p))) / F.count(F.lit(1)),
+                "dim_utilization",
+            ),
+        )
+    )
+
+
+EMB_EFFECTIVE_RANK_SQL = """
+WITH flat AS (
+  SELECT generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), per_dim AS (
+  SELECT pos, var_pop(x) AS v FROM flat GROUP BY pos
+), tot AS (SELECT sum(v) AS t FROM per_dim)
+SELECT count(*) AS n_dims,
+       round(max(t), 4) AS total_variance,
+       round(-sum((v / t) * ln(v / t)), 4) AS spectrum_entropy_nats,
+       round(exp(-sum((v / t) * ln(v / t))), 4) AS effective_dims,
+       round(exp(-sum((v / t) * ln(v / t))) / count(*), 4)
+         AS dim_utilization
+FROM per_dim CROSS JOIN tot
+"""
+
+QUERIES["emb_effective_rank"] = (emb_effective_rank, EMB_EFFECTIVE_RANK_SQL)

@@ -464,3 +464,15 @@ def test_order_line_pareto_shares_sum_to_one(spark, sf_dir):
     assert rows
     assert abs(sum(r.order_share for r in rows) - 1.0) < 0.01
     assert abs(sum(r.revenue_share for r in rows) - 1.0) < 0.01
+
+
+def test_dupont_product_reconstructs_revenue(spark, sf_dir):
+    """The three factors must re-multiply to revenue per customer
+    (within rounding)."""
+    from etl_gov_spark.operators.analytics import q_dupont_decomposition
+
+    rows = q_dupont_decomposition(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        prod = r.orders_per_customer * r.lines_per_order * r.value_per_line
+        assert abs(prod - r.revenue_per_customer) < 0.01 * r.revenue_per_customer

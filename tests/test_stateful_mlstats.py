@@ -1059,3 +1059,31 @@ def test_page_hinkley_nonneg_and_alarm_consistent(spark, sf_dir):
     assert r.ph_stat >= 0.0
     assert r.lambda_threshold > 0.0
     assert r.drift_detected == (r.ph_stat > r.lambda_threshold)
+
+
+def test_qq_deciles_monotone(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_qq_deciles
+
+    rows = sorted(q_qq_deciles(spark, sf_dir).collect(), key=lambda r: r.p)
+    assert len(rows) == 9
+    for a, b in zip(rows, rows[1:]):
+        assert a.q_urgent <= b.q_urgent
+        assert a.q_rest <= b.q_rest
+    assert all(r.ratio > 0 for r in rows)
+
+
+def test_seasonality_strength_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_seasonality_strength
+
+    r = q_seasonality_strength(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.seasonality_strength <= 1.0
+    assert r.var_residual <= r.var_detrended + 1e-6
+    assert r.n_days > 0
+
+
+def test_kendall_tau_bounds_and_accounting(spark, sf_dir):
+    from etl_gov_spark.operators.mlstats import q_kendall_tau_series
+
+    r = q_kendall_tau_series(spark, sf_dir).collect()[0]
+    assert -1.0 <= r.tau_b <= 1.0
+    assert r.concordant + r.discordant <= r.n_pairs

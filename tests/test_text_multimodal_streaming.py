@@ -621,3 +621,13 @@ def test_aspect_ratio_census_partitions_corpus(spark, sf_dir):
     for r in rows:
         assert r.shape in ("wide", "landscape", "portrait", "tall")
         assert r.mean_aspect > 0
+
+
+def test_hapax_profile_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.text import text_hapax_profile
+
+    rows = text_hapax_profile(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hapax <= r.n_types <= r.n_tokens
+        assert 0.0 <= r.hapax_token_share <= r.hapax_type_share <= 1.0

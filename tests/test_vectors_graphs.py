@@ -502,3 +502,12 @@ def test_centroid_cosine_histogram_partition(spark, sf_dir):
         Catalog(spark, sf_dir).embeddings.agg(F.count(F.lit(1))).collect()[0][0]
     )
     assert sum(per_label.values()) == total
+
+
+def test_effective_rank_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.vectors import emb_effective_rank
+
+    r = emb_effective_rank(spark, sf_dir).collect()[0]
+    assert 1.0 <= r.effective_dims <= r.n_dims
+    assert 0.0 < r.dim_utilization <= 1.0
+    assert r.total_variance > 0

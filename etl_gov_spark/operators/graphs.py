@@ -1218,3 +1218,62 @@ FROM reach GROUP BY 1
 """
 
 QUERIES["graph_two_hop_reach"] = (graph_two_hop_reach, GRAPH_TWO_HOP_SQL)
+
+
+def dedup_cluster_size_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution in power-of-two buckets,
+    with the doc mass each bucket holds — the dedup triage readout:
+    a heavy 2^4+ tail means template families (dedup pays off big),
+    all-2s means scattered accidental pairs (exact dedup was enough).
+    Complements ``graph_degree_powerlaw`` (edges) at cluster grain.
+
+    One bounded aggregate on top of the connected-components output;
+    cost is the ladder's, the census is free.
+    """
+    comp = dedup_clusters(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(
+        F.max("cluster_size").alias("sz")
+    )
+    bucket = F.floor(F.log2("sz")).cast("int")
+    tot = sizes.agg(F.sum("sz").alias("t"))
+    return (
+        sizes.crossJoin(F.broadcast(tot))
+        .groupBy(bucket.alias("log2_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            _R4(F.sum("sz") / F.max("t"), "doc_share"),
+            F.min("sz").alias("min_size"),
+            F.max("sz").alias("max_size"),
+        )
+    )
+
+
+DEDUP_CLUSTER_POWERLAW_SQL = rf"""
+WITH RECURSIVE {_SQL_EDGE_PAIRS}, edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+), comp AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+), sizes AS (
+  SELECT component, count(*) AS sz FROM comp GROUP BY component
+), tot AS (SELECT sum(sz) AS t FROM sizes)
+SELECT CAST(floor(log2(sz)) AS INTEGER) AS log2_size,
+       count(*) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       round(sum(sz) / CAST(max(t) AS DOUBLE), 4) AS doc_share,
+       CAST(min(sz) AS BIGINT) AS min_size,
+       CAST(max(sz) AS BIGINT) AS max_size
+FROM sizes CROSS JOIN tot
+GROUP BY 1
+"""
+
+QUERIES["dedup_cluster_size_powerlaw"] = (
+    dedup_cluster_size_powerlaw,
+    DEDUP_CLUSTER_POWERLAW_SQL,
+)

@@ -511,3 +511,18 @@ def test_effective_rank_bounds(spark, sf_dir):
     assert 1.0 <= r.effective_dims <= r.n_dims
     assert 0.0 < r.dim_utilization <= 1.0
     assert r.total_variance > 0
+
+
+def test_cluster_size_powerlaw_accounts_all_clustered_docs(spark, sf_dir):
+    from etl_gov_spark.operators.graphs import (
+        dedup_cluster_size_powerlaw,
+        dedup_clusters,
+    )
+
+    rows = dedup_cluster_size_powerlaw(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_docs for r in rows) == dedup_clusters(spark, sf_dir).count()
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert r.min_size >= max(2, 2 ** r.log2_size)
+        assert r.max_size < 2 ** (r.log2_size + 1)

@@ -71,8 +71,15 @@ def main() -> None:
     from etl_gov_spark.operators.mlstats import q_decile_lift
     from etl_gov_spark.operators.text import q_tfidf_cosine_pairs
 
+    from etl_gov_spark.operators.graphs import graph_two_hop_reach
+
     # target -> (query fn, table, id cols to offset)
     targets = {
+        "two_hop": (
+            graph_two_hop_reach,
+            "lineitem",
+            ["l_orderkey", "l_partkey"],
+        ),
         "triangle": (graph_triangle_count, "documents", ["doc_id"]),
         "linkpred": (
             graph_jaccard_link_prediction,

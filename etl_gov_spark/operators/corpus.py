@@ -2413,7 +2413,15 @@ def corpus_source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "source", F.explode(tokens_col()).alias("w")
     )
-    counts = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    # the (source, word) contraction feeds vocab, the vocab filter,
+    # and the totals — pin it so the token explode runs ONCE, and pin
+    # the normalized grid because the pairwise self-join consumes it
+    # twice (same lazy-checkpoint discipline as text_burrows_delta)
+    counts = (
+        toks.groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         counts.groupBy("w")
         .agg(F.sum("c").alias("tc"))
@@ -2423,10 +2431,13 @@ def corpus_source_token_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in_vocab = counts.join(F.broadcast(vocab), "w")
     totals = in_vocab.groupBy("source").agg(F.sum("c").alias("t"))
-    grid = totals.crossJoin(F.broadcast(vocab)).join(
-        in_vocab, ["source", "w"], "left"
-    ).select(
-        "source", "w", (F.coalesce("c", F.lit(0)) / F.col("t")).alias("p")
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(in_vocab, ["source", "w"], "left")
+        .select(
+            "source", "w", (F.coalesce("c", F.lit(0)) / F.col("t")).alias("p")
+        )
+        .localCheckpoint(eager=False)
     )
     a, b = grid.alias("a"), grid.alias("b")
     pairs = a.join(

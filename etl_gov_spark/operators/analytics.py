@@ -2704,3 +2704,112 @@ QUERIES["q_dupont_decomposition"] = (
     q_dupont_decomposition,
     Q_DUPONT_SQL,
 )
+
+
+def q_customer_overlap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-base continuity per market segment: Jaccard overlap
+    of the pre-1996 and post-1996 active-customer sets — the
+    segment-level retention number behind ``q_customer_migration``'s
+    tier matrix (a high-churn segment with flat revenue is being
+    silently refilled by acquisition).
+
+    Two distinct customer sets per segment from one conditional
+    aggregate (customer grain, map-side combinable), then bounded
+    segment algebra.
+    """
+    c = Catalog(spark, sf_dir)
+    split = F.lit("1996-01-01").cast("timestamp")
+    j = c.orders.join(
+        F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    per_cust = j.groupBy("c_mktsegment", "o_custkey").agg(
+        F.max((F.col("o_orderdate") < split).cast("long")).alias("early"),
+        F.max((F.col("o_orderdate") >= split).cast("long")).alias("late"),
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.sum("early").alias("n_early"),
+        F.sum("late").alias("n_late"),
+        F.sum(F.col("early") * F.col("late")).alias("n_both"),
+        _R4(
+            F.sum(F.col("early") * F.col("late"))
+            / F.count(F.lit(1)),
+            "jaccard_overlap",
+        ),
+        _R4(
+            F.sum(F.col("early") * F.col("late")) / F.sum("early"),
+            "early_retained_share",
+        ),
+    )
+
+
+Q_CUSTOMER_OVERLAP_SQL = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment, o.o_custkey,
+         max(CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
+                  THEN 1 ELSE 0 END) AS early,
+         max(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  THEN 1 ELSE 0 END) AS late
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(sum(early) AS BIGINT) AS n_early,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       CAST(sum(early * late) AS BIGINT) AS n_both,
+       round(sum(early * late) / CAST(count(*) AS DOUBLE), 4)
+         AS jaccard_overlap,
+       round(sum(early * late) / CAST(sum(early) AS DOUBLE), 4)
+         AS early_retained_share
+FROM per_cust GROUP BY c_mktsegment
+"""
+
+QUERIES["q_customer_overlap_segments"] = (
+    q_customer_overlap_segments,
+    Q_CUSTOMER_OVERLAP_SQL,
+)
+
+
+def q_seasonal_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative monthly seasonal indices: each
+    calendar month's mean daily revenue over the grand mean daily
+    revenue — the 12-number deseasonalization table (divide a
+    month's actuals by its index to compare across the year), the
+    monthly companion of ``q_weekly_seasonality``'s dow profile.
+
+    Cents-exact daily rollup, one bounded month aggregate against a
+    broadcast grand mean.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+    grand = daily.agg(F.avg(F.col("cents") / 100.0).alias("g"))
+    return (
+        daily.crossJoin(F.broadcast(grand))
+        .groupBy(F.month("day").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            _R4(F.avg(F.col("cents") / 100.0), "mean_daily_revenue"),
+            _R4(F.avg(F.col("cents") / 100.0) / F.max("g"), "seasonal_index"),
+        )
+    )
+
+
+Q_SEASONAL_INDEX_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), grand AS (SELECT avg(cents / 100.0) AS g FROM daily)
+SELECT month(day) AS month, count(*) AS n_days,
+       round(avg(cents / 100.0), 4) AS mean_daily_revenue,
+       round(avg(cents / 100.0) / max(g), 4) AS seasonal_index
+FROM daily CROSS JOIN grand
+GROUP BY 1
+"""
+
+QUERIES["q_seasonal_index_monthly"] = (
+    q_seasonal_index_monthly,
+    Q_SEASONAL_INDEX_SQL,
+)

@@ -1774,3 +1774,61 @@ FROM per_dim CROSS JOIN tot
 """
 
 QUERIES["emb_effective_rank"] = (emb_effective_rank, EMB_EFFECTIVE_RANK_SQL)
+
+
+def emb_label_confusion_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-similarity matrix from centroid cosines: for every
+    label pair, the cosine between their centroids — the
+    confusion-risk map (two labels at cosine 0.95 will be
+    indistinguishable to any downstream classifier; merge them or
+    fix the labeling). Bounded |labels|² output; the heavy part is
+    the same (label, dim) centroid aggregate every other embedding
+    diagnostic reuses — never a vector-pair join.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = emb.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.pos") == F.col("b.pos"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).groupBy(
+        F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+    ).agg(
+        F.sum(F.col("a.c") * F.col("b.c")).alias("dot"),
+        F.sum(F.col("a.c") * F.col("a.c")).alias("aa"),
+        F.sum(F.col("b.c") * F.col("b.c")).alias("bb"),
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        _R4(
+            F.col("dot") / (F.sqrt("aa") * F.sqrt("bb")), "centroid_cosine"
+        ),
+    )
+
+
+EMB_LABEL_CONFUSION_SQL = """
+WITH flat AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, avg(x) AS c FROM flat GROUP BY 1, 2
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sum(a.c * b.c) / (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 4)
+         AS centroid_cosine
+FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+GROUP BY 1, 2
+"""
+
+QUERIES["emb_label_confusion_centroids"] = (
+    emb_label_confusion_centroids,
+    EMB_LABEL_CONFUSION_SQL,
+)

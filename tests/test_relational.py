@@ -476,3 +476,25 @@ def test_dupont_product_reconstructs_revenue(spark, sf_dir):
     for r in rows:
         prod = r.orders_per_customer * r.lines_per_order * r.value_per_line
         assert abs(prod - r.revenue_per_customer) < 0.01 * r.revenue_per_customer
+
+
+def test_customer_overlap_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_customer_overlap_segments
+
+    rows = q_customer_overlap_segments(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_both <= min(r.n_early, r.n_late)
+        assert 0.0 <= r.jaccard_overlap <= 1.0
+        assert 0.0 <= r.early_retained_share <= 1.0
+
+
+def test_seasonal_index_averages_to_one(spark, sf_dir):
+    """Day-weighted mean of the indices must be 1 by construction."""
+    from etl_gov_spark.operators.analytics import q_seasonal_index_monthly
+
+    rows = q_seasonal_index_monthly(spark, sf_dir).collect()
+    assert len(rows) == 12
+    total_days = sum(r.n_days for r in rows)
+    wmean = sum(r.seasonal_index * r.n_days for r in rows) / total_days
+    assert abs(wmean - 1.0) < 0.01

@@ -526,3 +526,18 @@ def test_cluster_size_powerlaw_accounts_all_clustered_docs(spark, sf_dir):
     for r in rows:
         assert r.min_size >= max(2, 2 ** r.log2_size)
         assert r.max_size < 2 ** (r.log2_size + 1)
+
+
+def test_label_confusion_matrix_complete_and_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.vectors import emb_label_confusion_centroids
+
+    rows = emb_label_confusion_centroids(spark, sf_dir).collect()
+    n_labels = (
+        Catalog(spark, sf_dir).embeddings.select("label").distinct().count()
+    )
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-6 <= r.centroid_cosine <= 1.0 + 1e-6

@@ -2813,3 +2813,71 @@ QUERIES["q_seasonal_index_monthly"] = (
     q_seasonal_index_monthly,
     Q_SEASONAL_INDEX_SQL,
 )
+
+
+def q_cold_start_ramp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment freshness: per introduction quarter, how many
+    parts made their FIRST sale then, and what share of that
+    quarter's revenue the debutants carried — the cold-start ramp
+    that tells merchandising whether new listings actually sell or
+    the catalog grows dead weight.
+
+    One (part → first quarter) aggregate, one broadcast join back,
+    one bounded quarter rollup; revenue in cents for exact shares.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        "l_partkey",
+        F.concat(
+            F.year("l_shipdate").cast("string"),
+            F.lit("-Q"),
+            F.quarter("l_shipdate").cast("string"),
+        ).alias("q"),
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("cents"),
+    )
+    first_q = li.groupBy("l_partkey").agg(F.min("q").alias("intro_q"))
+    j = li.join(F.broadcast(first_q), "l_partkey")
+    per_q = j.groupBy("q").agg(
+        F.sum("cents").alias("rev_cents"),
+        F.sum(
+            F.when(F.col("q") == F.col("intro_q"), F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        ).alias("new_cents"),
+        F.countDistinct(
+            F.when(F.col("q") == F.col("intro_q"), F.col("l_partkey"))
+        ).alias("n_new_parts"),
+    )
+    return per_q.select(
+        F.col("q").alias("quarter"),
+        "n_new_parts",
+        _R4(F.col("rev_cents") / 100.0, "revenue"),
+        _R4(F.col("new_cents") / F.col("rev_cents"), "debut_revenue_share"),
+    )
+
+
+Q_COLD_START_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(year(CAST(l_shipdate AS DATE)) AS VARCHAR) || '-Q'
+           || CAST(quarter(CAST(l_shipdate AS DATE)) AS VARCHAR) AS q,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem
+), first_q AS (
+  SELECT l_partkey, min(q) AS intro_q FROM li GROUP BY 1
+)
+SELECT li.q AS quarter,
+       count(DISTINCT CASE WHEN li.q = f.intro_q THEN li.l_partkey END)
+         AS n_new_parts,
+       round(CAST(sum(li.cents) AS DOUBLE) / 100.0, 4) AS revenue,
+       round(sum(CASE WHEN li.q = f.intro_q THEN li.cents ELSE 0 END)
+             / CAST(sum(li.cents) AS DOUBLE), 4) AS debut_revenue_share
+FROM li JOIN first_q f ON li.l_partkey = f.l_partkey
+GROUP BY li.q
+"""
+
+QUERIES["q_cold_start_ramp"] = (q_cold_start_ramp, Q_COLD_START_SQL)

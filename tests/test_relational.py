@@ -498,3 +498,17 @@ def test_seasonal_index_averages_to_one(spark, sf_dir):
     total_days = sum(r.n_days for r in rows)
     wmean = sum(r.seasonal_index * r.n_days for r in rows) / total_days
     assert abs(wmean - 1.0) < 0.01
+
+
+def test_cold_start_ramp_shares_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_cold_start_ramp
+
+    rows = sorted(
+        q_cold_start_ramp(spark, sf_dir).collect(), key=lambda r: r.quarter
+    )
+    assert rows
+    # the first quarter is all debuts by definition
+    assert rows[0].debut_revenue_share == 1.0
+    for r in rows:
+        assert 0.0 <= r.debut_revenue_share <= 1.0
+        assert r.n_new_parts >= 0 and r.revenue > 0

@@ -373,3 +373,48 @@ FROM s
 """
 
 QUERIES["q_seasonal_decompose"] = (q_seasonal_decompose, Q_SEASONAL_DECOMPOSE_SQL)
+
+
+def q_weekly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC resample of daily revenue: open (first trading
+    day), high, low, close (last day), plus the day count — the
+    candlestick contraction every financial downsampler ships,
+    done as max-by-struct (open = min(day, value) struct, close =
+    max) so there is NO window over the fact rows at all.
+
+    Cents-exact daily rollup, one bounded week aggregate.
+    """
+    orders = Catalog(spark, sf_dir).orders
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    wk = daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
+    return wk.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(
+            F.min(F.struct("day", "cents"))["cents"] / 100.0, 4
+        ).alias("open"),
+        F.round(F.max("cents") / 100.0, 4).alias("high"),
+        F.round(F.min("cents") / 100.0, 4).alias("low"),
+        F.round(
+            F.max(F.struct("day", "cents"))["cents"] / 100.0, 4
+        ).alias("close"),
+    )
+
+
+Q_WEEKLY_OHLC_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(date_trunc('week', day) AS DATE) AS week,
+       count(*) AS n_days,
+       round(arg_min(cents, day) / 100.0, 4) AS open,
+       round(max(cents) / 100.0, 4) AS high,
+       round(min(cents) / 100.0, 4) AS low,
+       round(arg_max(cents, day) / 100.0, 4) AS close
+FROM daily GROUP BY 1
+"""
+
+QUERIES["q_weekly_ohlc"] = (q_weekly_ohlc, Q_WEEKLY_OHLC_SQL)

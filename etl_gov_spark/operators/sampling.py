@@ -187,3 +187,78 @@ QUERIES["q_balanced_downsample"] = (
     q_balanced_downsample,
     Q_BALANCED_DOWNSAMPLE_SQL,
 )
+
+
+_SYSTEMATIC_K = 20
+
+
+def q_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (every k-th) sample of orders in totalprice order —
+    the stratified-by-construction design survey statisticians reach
+    for when the frame has a meaningful sort: taking every 20th row
+    of the price-ordered file guarantees proportional coverage of
+    every price band (a uniform hash draw can miss a thin tail).
+
+    The global position comes from ``ranged_global_rank`` (parallel
+    range sort + offset ledger — no single-partition window even
+    over the full fact table); the k-th filter is row-local. Output
+    is the per-priority census of the sample vs the frame — the
+    design check that the sample hit every stratum proportionally.
+    """
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    ranked = ranged_global_rank(
+        orders,
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        rank_col="pos",
+    )
+    sample = ranked.filter((F.col("pos") % _SYSTEMATIC_K) == 1)
+    frame = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_frame"),
+        F.avg("o_totalprice").alias("mu_frame"),
+    )
+    return (
+        sample.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.avg("o_totalprice").alias("mu_sample"),
+        )
+        .join(F.broadcast(frame), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_sample",
+            "n_frame",
+            F.round(F.col("n_sample") / F.col("n_frame"), 4).alias(
+                "sampling_rate"
+            ),
+            F.round(F.col("mu_sample") / F.col("mu_frame"), 4).alias(
+                "mean_ratio"
+            ),
+        )
+    )
+
+
+Q_SYSTEMATIC_SAMPLE_SQL = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS pos
+  FROM orders
+), sample AS (
+  SELECT o_orderpriority, count(*) AS n_sample,
+         avg(o_totalprice) AS mu_sample
+  FROM ranked WHERE pos % {_SYSTEMATIC_K} = 1 GROUP BY 1
+), frame AS (
+  SELECT o_orderpriority, count(*) AS n_frame,
+         avg(o_totalprice) AS mu_frame
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n_sample, n_frame,
+       round(n_sample / CAST(n_frame AS DOUBLE), 4) AS sampling_rate,
+       round(mu_sample / mu_frame, 4) AS mean_ratio
+FROM sample JOIN frame USING (o_orderpriority)
+"""
+
+QUERIES["q_systematic_sample"] = (q_systematic_sample, Q_SYSTEMATIC_SAMPLE_SQL)

@@ -325,3 +325,88 @@ SELECT (SELECT count(*) FROM members) AS n_members,
 
 
 QUERIES["q_bloom_membership_audit"] = (q_bloom_membership_audit, _bloom_sql())
+
+
+_KMV_K = 64
+
+
+def q_kmv_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch, audited against the
+    exact count per event type: keep the k smallest md5(user) draws,
+    estimate D̂ = (k−1)/max_kept — the mergeable bounded-memory
+    cardinality sketch (Bar-Yossef et al. 2002) whose 100 TB shape
+    is one TakeOrdered per group, with the estimator error measured
+    in the same row (the audit HLL can't give you: KMV draws are
+    deterministic md5, so BOTH engines replay the identical sketch).
+
+    Per type: k smallest uniform draws via a partitioned window over
+    the DISTINCT user contraction (bounded by users-per-type), one
+    aggregate, exact count joined alongside.
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "user_id").distinct()
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+    )
+    drawn = ev.select("event_type", "user_id", u.alias("u"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("u"), F.asc("user_id"))
+    kept = drawn.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    est = kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_kept"),
+        F.max("u").alias("kth_min"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    dhat = F.when(
+        F.col("k_kept") < _KMV_K, F.col("exact_distinct").cast("double")
+    ).otherwise((F.col("k_kept") - 1) / F.col("kth_min"))
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "k_kept",
+            F.round(dhat, 4).alias("kmv_estimate"),
+            F.round(dhat / F.col("exact_distinct") - 1.0, 4).alias(
+                "relative_error"
+            ),
+        )
+    )
+
+
+Q_KMV_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), drawn AS (
+  SELECT event_type, user_id,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+              AS BIGINT) / CAST(power(16, 12) AS DOUBLE) AS u
+  FROM ev
+), kept AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY u ASC, user_id ASC) AS rk
+  FROM drawn
+), est AS (
+  SELECT event_type, count(*) AS k_kept, max(u) AS kth_min
+  FROM kept WHERE rk <= {_KMV_K} GROUP BY 1
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct FROM ev
+  GROUP BY 1
+)
+SELECT event_type, exact_distinct, k_kept,
+       round(CASE WHEN k_kept < {_KMV_K}
+                  THEN CAST(exact_distinct AS DOUBLE)
+                  ELSE (k_kept - 1) / kth_min END, 4) AS kmv_estimate,
+       round(CASE WHEN k_kept < {_KMV_K}
+                  THEN CAST(exact_distinct AS DOUBLE)
+                  ELSE (k_kept - 1) / kth_min END
+             / exact_distinct - 1.0, 4) AS relative_error
+FROM est JOIN exact USING (event_type)
+"""
+
+QUERIES["q_kmv_distinct_audit"] = (q_kmv_distinct_audit, Q_KMV_SQL)

@@ -92,3 +92,79 @@ GROUP BY e.event_type
 QUERIES: dict[str, tuple] = {
     "q_skew_salted_join": (q_skew_salted_join, Q_SKEW_SALTED_JOIN_SQL),
 }
+
+
+def q_join_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic for the lineitem fact's two hot join
+    keys (orderkey, partkey): top-key share, p99/median frequency
+    ratio, and the share of rows carried by the top 1% of keys — the
+    numbers that decide BEFORE a run whether a join needs salting
+    (``q_skew_salted_join``) or AQE's skew split suffices.
+
+    One frequency aggregate per key + exact quantiles over the
+    bounded key-frequency distribution; output is 2 rows.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+
+    def census(key: str) -> DataFrame:
+        freq = li.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        tot = freq.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_n"),
+            F.percentile("n", F.lit(0.5)).alias("p50"),
+            F.percentile("n", F.lit(0.99)).alias("p99"),
+        )
+        top1 = (
+            freq.crossJoin(F.broadcast(tot))
+            .filter(F.col("n") >= F.col("p99"))
+            .agg(
+                F.sum("n").alias("top1_rows"),
+                F.max("n_keys").alias("n_keys"),
+                F.max("n_rows").alias("n_rows"),
+                F.max("max_n").alias("max_n"),
+                F.max("p50").alias("p50"),
+                F.max("p99").alias("p99"),
+            )
+        )
+        return top1.select(
+            F.lit(key).alias("join_key"),
+            "n_keys",
+            "n_rows",
+            F.col("max_n").alias("max_key_rows"),
+            F.round(F.col("max_n") / F.col("n_rows"), 6).alias(
+                "top_key_share"
+            ),
+            F.round(F.col("p99") / F.col("p50"), 4).alias("p99_over_p50"),
+            F.round(F.col("top1_rows") / F.col("n_rows"), 4).alias(
+                "top1pct_row_share"
+            ),
+        )
+
+    return census("l_orderkey").unionAll(census("l_partkey"))
+
+
+def _skew_census_sql() -> str:
+    def one(key: str) -> str:
+        return f"""
+SELECT '{key}' AS join_key, max(n_keys) AS n_keys,
+       CAST(max(n_rows) AS BIGINT) AS n_rows,
+       CAST(max(max_n) AS BIGINT) AS max_key_rows,
+       round(max(max_n) / CAST(max(n_rows) AS DOUBLE), 6) AS top_key_share,
+       round(max(p99) / max(p50), 4) AS p99_over_p50,
+       round(sum(CASE WHEN n >= p99 THEN n ELSE 0 END)
+             / CAST(max(n_rows) AS DOUBLE), 4) AS top1pct_row_share
+FROM (SELECT {key}, count(*) AS n FROM lineitem GROUP BY 1) f
+CROSS JOIN (
+  SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_n,
+         quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.99) AS p99
+  FROM (SELECT {key}, count(*) AS n FROM lineitem GROUP BY 1)
+) t"""
+
+    return one("l_orderkey") + "\nUNION ALL\n" + one("l_partkey")
+
+
+QUERIES["q_join_key_skew_census"] = (
+    q_join_key_skew_census,
+    _skew_census_sql(),
+)

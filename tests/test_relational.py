@@ -512,3 +512,15 @@ def test_cold_start_ramp_shares_bounded(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.debut_revenue_share <= 1.0
         assert r.n_new_parts >= 0 and r.revenue > 0
+
+
+def test_join_key_skew_census_sanity(spark, sf_dir):
+    from etl_gov_spark.operators.skew import q_join_key_skew_census
+
+    rows = {r.join_key: r for r in q_join_key_skew_census(spark, sf_dir).collect()}
+    assert set(rows) == {"l_orderkey", "l_partkey"}
+    for r in rows.values():
+        assert 0 < r.top_key_share <= 1.0
+        assert r.p99_over_p50 >= 1.0
+        assert 0.0 <= r.top1pct_row_share <= 1.0
+        assert r.max_key_rows * r.n_keys >= r.n_rows * r.top_key_share

@@ -137,3 +137,14 @@ def test_decomposition_variance_accounting(spark, sf_dir):
     # residual variance can't exceed total (the decomposition helps)
     assert 0 <= r.var_residual <= r.var_total
     assert 0.0 <= r.explained_share <= 1.0
+
+
+def test_weekly_ohlc_invariants(spark, sf_dir):
+    from etl_gov_spark.operators.resample import q_weekly_ohlc
+
+    rows = q_weekly_ohlc(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert 1 <= r.n_days <= 7

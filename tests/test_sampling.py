@@ -100,3 +100,20 @@ def test_t_closeness_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.avg_tvd <= r.max_tvd <= 1.0
         assert 0 <= r.groups_over_t <= r.n_groups
+
+
+def test_systematic_sample_rate_and_means(spark, sf_dir):
+    from etl_gov_spark.operators.sampling import (
+        _SYSTEMATIC_K,
+        q_systematic_sample,
+    )
+
+    rows = q_systematic_sample(spark, sf_dir).collect()
+    assert rows
+    total_s = sum(r.n_sample for r in rows)
+    total_f = sum(r.n_frame for r in rows)
+    # global rate is exactly ceil(N/k)/N
+    assert total_s == -(-total_f // _SYSTEMATIC_K)
+    for r in rows:
+        # price-ordered systematic sampling tracks each stratum mean
+        assert 0.5 < r.mean_ratio < 2.0

@@ -80,3 +80,19 @@ def test_bloom_audit_fpr_near_expected(spark, sf_dir):
     assert 0 <= r.n_false_pos <= r.n_probes
     # actual FPR should land in the right ballpark of (fill)^k
     assert abs(r.fpr_actual - r.fpr_expected) < max(0.02, 3 * r.fpr_expected)
+
+
+def test_kmv_estimate_within_theory_bounds(spark, sf_dir):
+    """KMV with k=64 has relative SE ~ 1/sqrt(k-2) ≈ 12.7%; assert
+    the audited error stays within 4 SE, and exact fallback kicks in
+    below k."""
+    from etl_gov_spark.operators.sketches import _KMV_K, q_kmv_distinct_audit
+
+    rows = q_kmv_distinct_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.k_kept < _KMV_K:
+            assert r.kmv_estimate == float(r.exact_distinct)
+            assert r.relative_error == 0.0
+        else:
+            assert abs(r.relative_error) < 4 / (_KMV_K - 2) ** 0.5

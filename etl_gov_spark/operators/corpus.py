@@ -2615,3 +2615,195 @@ QUERIES["corpus_context_window_census"] = (
     corpus_context_window_census,
     _context_window_sql(),
 )
+
+
+def corpus_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram conditional entropy H(w₂|w₁) next to the
+    unigram entropy H(w) — the predictability pair that separates
+    generative slop (low conditional entropy: every word determines
+    the next) from natural prose, source by source. The source-level
+    companion of ``text_bigram_perplexity``'s per-doc score.
+
+    Two contractions — (source, w) and (source, w₁, w₂) counts — and
+    entropy folds via the same Σn·log n identity as
+    ``dq_entropy_profile`` (mirrored in the oracle, so both engines
+    round identically).
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", tokens_col().alias("t")
+    )
+    uni = (
+        docs.select("source", F.explode("t").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = F.sum("n")
+    h_uni = F.log2(t.cast("double")) - F.sum(
+        F.col("n") * F.log2(F.col("n").cast("double"))
+    ) / t
+    uni_ent = uni.groupBy("source").agg(
+        t.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        _R4(h_uni, "h_unigram_bits"),
+    )
+    bi = (
+        docs.select(
+            "source",
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice("t", 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("source", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # H(w1,w2) via the same identity; H(w2|w1) = H(w1,w2) − H(w1)
+    h_joint = F.log2(t.cast("double")) - F.sum(
+        F.col("n") * F.log2(F.col("n").cast("double"))
+    ) / t
+    bi_ent = bi.groupBy("source").agg(
+        t.alias("n_bigrams"), _R4(h_joint, "h_joint_bits")
+    )
+    return uni_ent.join(bi_ent, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "h_unigram_bits",
+        _R4(F.col("h_joint_bits") - F.col("h_unigram_bits"), "h_cond_bits"),
+        _R4(
+            (F.col("h_joint_bits") - F.col("h_unigram_bits"))
+            / F.col("h_unigram_bits"),
+            "predictability_ratio",
+        ),
+    )
+
+
+CORPUS_NGRAM_ENTROPY_SQL = r"""
+WITH toks AS (
+  SELECT source, string_split_regex(trim(text), '\s+') AS t FROM documents
+), uni AS (
+  SELECT source, w, count(*) AS n FROM (
+    SELECT source, unnest(t) AS w FROM toks
+  ) GROUP BY 1, 2
+), uni_ent AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         round(log2(CAST(sum(n) AS DOUBLE))
+               - sum(n * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE), 4)
+           AS h_unigram_bits
+  FROM uni GROUP BY source
+), bi AS (
+  SELECT source, bg, count(*) AS n FROM (
+    SELECT source,
+           unnest(list_transform(list_zip(t[1:len(t)-1], t[2:len(t)]),
+                  p -> p[1] || ' ' || p[2])) AS bg
+    FROM toks WHERE len(t) > 1
+  ) GROUP BY 1, 2
+), bi_ent AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         round(log2(CAST(sum(n) AS DOUBLE))
+               - sum(n * log2(CAST(n AS DOUBLE))) / CAST(sum(n) AS DOUBLE), 4)
+           AS h_joint_bits
+  FROM bi GROUP BY source
+)
+SELECT source, n_tokens, n_types, h_unigram_bits,
+       round(h_joint_bits - h_unigram_bits, 4) AS h_cond_bits,
+       round((h_joint_bits - h_unigram_bits) / h_unigram_bits, 4)
+         AS predictability_ratio
+FROM uni_ent JOIN bi_ent USING (source)
+"""
+
+QUERIES["corpus_ngram_entropy"] = (corpus_ngram_entropy, CORPUS_NGRAM_ENTROPY_SQL)
+
+
+def corpus_source_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-source dataset card: the summary block a data
+    curator reads before touching a source — volume (docs, tokens,
+    mean length), exact-duplicate share, majority language with its
+    share, and mean lexical density (type/token per doc) — stitched
+    from single-scan contractions so the whole card costs two
+    passes over the corpus, not one query per statistic.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source",
+        "lang",
+        "doc_id",
+        F.md5("text").alias("h"),
+        tokens_col().alias("t"),
+    ).select(
+        "source",
+        "lang",
+        "doc_id",
+        "h",
+        F.size("t").alias("n_toks"),
+        F.size(F.array_distinct("t")).alias("n_uniq"),
+    )
+    per_doc = docs.withColumn(
+        "keep",
+        (
+            F.row_number().over(Window.partitionBy("h").orderBy("doc_id")) == 1
+        ).cast("long"),
+    )
+    base = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        _R4(F.avg("n_toks"), "mean_tokens"),
+        _R4(1.0 - F.avg("keep"), "exact_dup_share"),
+        _R4(F.avg(F.col("n_uniq") / F.col("n_toks")), "mean_lexical_density"),
+    )
+    lang_n = per_doc.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    major = lang_n.groupBy("source").agg(
+        F.max(F.struct("ln", "lang")).alias("m"),
+        F.sum("ln").alias("tot"),
+    ).select(
+        "source",
+        F.col("m.lang").alias("majority_lang"),
+        _R4(F.col("m.ln") / F.col("tot"), "majority_lang_share"),
+    )
+    return base.join(major, "source")
+
+
+CORPUS_SOURCE_CARD_SQL = r"""
+WITH d AS (
+  SELECT source, lang, doc_id, md5(text) AS h,
+         len(string_split_regex(trim(text), '\s+')) AS n_toks,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq
+  FROM documents
+), per_doc AS (
+  SELECT source, lang, n_toks, n_uniq,
+         CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM d
+), base AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         round(avg(n_toks), 4) AS mean_tokens,
+         round(1.0 - avg(keep), 4) AS exact_dup_share,
+         round(avg(n_uniq / CAST(n_toks AS DOUBLE)), 4)
+           AS mean_lexical_density
+  FROM per_doc GROUP BY source
+), lang_n AS (
+  SELECT source, lang, count(*) AS ln FROM per_doc GROUP BY 1, 2
+), ranked AS (
+  -- tie-break mirrors Spark's max(struct(ln, lang)): largest count,
+  -- then lexicographically-largest language
+  SELECT source, lang, ln,
+         sum(ln) OVER (PARTITION BY source) AS tot,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY ln DESC, lang DESC) AS rk
+  FROM lang_n
+), major AS (
+  SELECT source, lang AS majority_lang,
+         round(ln / CAST(tot AS DOUBLE), 4) AS majority_lang_share
+  FROM ranked WHERE rk = 1
+)
+SELECT base.*, major.majority_lang, major.majority_lang_share
+FROM base JOIN major USING (source)
+"""
+
+QUERIES["corpus_source_card"] = (corpus_source_card, CORPUS_SOURCE_CARD_SQL)

@@ -861,3 +861,27 @@ def test_context_window_census_monotone_fit(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.fit_share_32 <= r.fit_share_64 <= r.fit_share_128 <= 1.0
         assert 0.0 <= r.overflow_mass_32 <= 1.0
+
+
+def test_ngram_entropy_conditional_below_unigram(spark, sf_dir):
+    """H(w2|w1) <= H(w2) ~= H(w) — conditioning never adds entropy."""
+    from etl_gov_spark.operators.corpus import corpus_ngram_entropy
+
+    rows = corpus_ngram_entropy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.h_cond_bits <= r.h_unigram_bits + 0.05
+        assert 0.0 <= r.predictability_ratio <= 1.05
+
+
+def test_source_card_internally_consistent(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_source_card
+
+    rows = corpus_source_card(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_docs > 0 and r.n_tokens >= r.n_docs
+        assert abs(r.mean_tokens - r.n_tokens / r.n_docs) < 0.01 * r.mean_tokens
+        assert 0.0 <= r.exact_dup_share < 1.0
+        assert 0.0 < r.mean_lexical_density <= 1.0
+        assert 0.0 < r.majority_lang_share <= 1.0

@@ -1240,3 +1240,77 @@ FROM hist CROSS JOIN tot
 
 
 QUERIES["q_benford_second_digit"] = (q_benford_second_digit, _benford2_sql())
+
+
+def q_gini_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-brand revenue concentration: the Gini coefficient of
+    part revenues INSIDE each brand — the per-group companion of the
+    global ``q_gini_concentration`` (a catalog can look balanced
+    overall while every brand is a one-hit-wonder internally; this
+    is the screen that shows it).
+
+    Per-brand ranks come from a PARTITIONED window (brand-local sort
+    — bounded per group, never a global sort); Gini via the exact
+    rank formula Σ(2i−n−1)xᵢ / (n·Σx), cents-exact so both engines
+    walk identical integers.
+    """
+    c = Catalog(spark, sf_dir)
+    rev = (
+        c.lineitem.join(
+            F.broadcast(c.part.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                * 100
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.asc("cents"), F.asc("l_partkey"))
+    ranked = rev.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("p_brand"))
+    )
+    return (
+        ranked.groupBy("p_brand")
+        .agg(
+            F.max("n").alias("n_parts"),
+            F.sum("cents").alias("_t"),
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("cents")
+            ).alias("_num"),
+        )
+        .select(
+            "p_brand",
+            "n_parts",
+            _R4(F.col("_t") / 100.0, "brand_revenue"),
+            _R4(F.col("_num") / (F.col("n_parts") * F.col("_t")), "gini"),
+        )
+    )
+
+
+Q_GINI_BY_BRAND_SQL = """
+WITH rev AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
+              AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, cents,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY cents ASC, l_partkey ASC) AS i,
+         count(*) OVER (PARTITION BY p_brand) AS n
+  FROM rev
+)
+SELECT p_brand, CAST(max(n) AS BIGINT) AS n_parts,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 4) AS brand_revenue,
+       round(sum((2 * i - n - 1) * cents)
+             / (CAST(max(n) AS DOUBLE) * sum(cents)), 4) AS gini
+FROM ranked GROUP BY p_brand
+"""
+
+QUERIES["q_gini_by_brand"] = (q_gini_by_brand, Q_GINI_BY_BRAND_SQL)

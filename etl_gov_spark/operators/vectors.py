@@ -1832,3 +1832,94 @@ QUERIES["emb_label_confusion_centroids"] = (
     emb_label_confusion_centroids,
     EMB_LABEL_CONFUSION_SQL,
 )
+
+
+def emb_dim_anova_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of the FIRST embedding coordinate across labels
+    — the single-dimension label-informativeness screen (is dim 0
+    carrying class signal, or is the class structure spread across
+    the space?). Read next to ``emb_dim_variance_prune``: a dimension
+    can be high-variance yet label-blind, and this F-test is the
+    4-line check that tells those apart. (Norms are NOT used — this
+    corpus ships unit-normalized vectors, where a norm ANOVA is a
+    0/0 on rounding noise.)
+
+    One element_at projection, then the standard between/within
+    decomposition over the bounded label key — identical aggregate
+    algebra to ``q_anova_dow``, with the degenerate-variance guard
+    (sst = 0 ⇒ F = 0, not noise).
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "label",
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias("x"),
+    )
+    per = emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tot_n"),
+        F.sum("s").alias("tot_s"),
+        F.sum("ss").alias("tot_ss"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    ssb = F.sum(
+        F.col("s") * F.col("s") / F.col("n")
+    ) - F.max(F.col("tot_s") * F.col("tot_s") / F.col("tot_n"))
+    sst = F.max("tot_ss") - F.max(
+        F.col("tot_s") * F.col("tot_s") / F.col("tot_n")
+    )
+    agg = j.agg(
+        F.max("tot_n").alias("n_vecs"),
+        F.max("k").alias("k_labels"),
+        ssb.alias("_ssb"),
+        sst.alias("_sst"),
+    )
+    dfb = F.col("k_labels") - 1
+    dfw = F.col("n_vecs") - F.col("k_labels")
+    raw_f = (F.col("_ssb") / dfb) / ((F.col("_sst") - F.col("_ssb")) / dfw)
+    f_stat = F.when(F.col("_sst") > 1e-9, raw_f).otherwise(F.lit(0.0))
+    eta = F.when(
+        F.col("_sst") > 1e-9, F.col("_ssb") / F.col("_sst")
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n_vecs",
+        "k_labels",
+        _R4(eta, "eta_squared"),
+        _R4(f_stat, "f_stat"),
+        (f_stat > 2.1).alias("dim_is_label_informative"),  # ~F(9, big), 5%
+    )
+
+
+EMB_DIM_ANOVA_SQL = """
+WITH vals AS (
+  SELECT label, CAST(embedding[1] AS DOUBLE) AS x FROM embeddings
+), per AS (
+  SELECT label, count(*) AS n, sum(x) AS s, sum(x * x) AS ss
+  FROM vals GROUP BY label
+), tot AS (
+  SELECT sum(n) AS tot_n, sum(s) AS tot_s, sum(ss) AS tot_ss,
+         count(*) AS k
+  FROM per
+), agg AS (
+  SELECT max(tot_n) AS n_vecs, max(k) AS k_labels,
+         sum(s * s / n) - max(tot_s * tot_s / tot_n) AS ssb,
+         max(tot_ss) - max(tot_s * tot_s / tot_n) AS sst
+  FROM per CROSS JOIN tot
+)
+SELECT CAST(n_vecs AS BIGINT) AS n_vecs, CAST(k_labels AS BIGINT) AS k_labels,
+       round(CASE WHEN sst > 1e-9 THEN ssb / sst ELSE 0.0 END, 4)
+         AS eta_squared,
+       round(CASE WHEN sst > 1e-9
+                  THEN (ssb / (k_labels - 1))
+                       / ((sst - ssb) / (n_vecs - k_labels))
+                  ELSE 0.0 END, 4) AS f_stat,
+       CASE WHEN sst > 1e-9
+            THEN (ssb / (k_labels - 1)) / ((sst - ssb) / (n_vecs - k_labels))
+            ELSE 0.0 END > 2.1 AS dim_is_label_informative
+FROM agg
+"""
+
+QUERIES["emb_dim_anova_labels"] = (emb_dim_anova_labels, EMB_DIM_ANOVA_SQL)

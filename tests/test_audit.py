@@ -307,3 +307,13 @@ def test_benford_second_digit_shares(spark, sf_dir):
     assert len(rows) == 10
     assert abs(sum(r.benford_share for r in rows) - 1.0) < 0.01
     assert abs(sum(r.observed_share for r in rows) - 1.0) < 0.01
+
+
+def test_gini_by_brand_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.audit import q_gini_by_brand
+
+    rows = q_gini_by_brand(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        assert r.n_parts > 0 and r.brand_revenue > 0

@@ -541,3 +541,12 @@ def test_label_confusion_matrix_complete_and_bounded(spark, sf_dir):
     assert len(rows) == n_labels * (n_labels - 1) // 2
     for r in rows:
         assert -1.0 - 1e-6 <= r.centroid_cosine <= 1.0 + 1e-6
+
+
+def test_dim_anova_guarded_and_bounded(spark, sf_dir):
+    from etl_gov_spark.operators.vectors import emb_dim_anova_labels
+
+    r = emb_dim_anova_labels(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.eta_squared <= 1.0
+    assert r.f_stat >= 0.0
+    assert r.dim_is_label_informative == (r.f_stat > 2.1)

@@ -2807,3 +2807,67 @@ FROM base JOIN major USING (source)
 """
 
 QUERIES["corpus_source_card"] = (corpus_source_card, CORPUS_SOURCE_CARD_SQL)
+
+
+def corpus_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document token counts per source — the
+    length-inequality number that prices sequence packing: a
+    high-Gini source (few giants, many stubs) packs poorly into
+    fixed windows and wants ``corpus_chunking`` first; a low-Gini
+    source pads cheaply. Complements ``corpus_length_buckets``'
+    histogram with one comparable scalar.
+
+    Per-source ranks over a PARTITIONED window (source-local sort);
+    Gini via the exact rank formula on integer token counts.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", "doc_id", F.size(tokens_col()).alias("n_toks")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("n_toks"), F.asc("doc_id"))
+    ranked = docs.withColumn("i", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("n_toks")
+            ).alias("_num"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            _R4(
+                F.col("_num") / (F.col("n_docs") * F.col("total_tokens")),
+                "length_gini",
+            ),
+        )
+    )
+
+
+CORPUS_LENGTH_GINI_SQL = r"""
+WITH d AS (
+  SELECT source, doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_toks
+  FROM documents
+), ranked AS (
+  SELECT source, n_toks,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_toks ASC, doc_id ASC) AS i,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM d
+)
+SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       round(sum((2 * i - n - 1) * n_toks)
+             / (CAST(max(n) AS DOUBLE) * sum(n_toks)), 4) AS length_gini
+FROM ranked GROUP BY source
+"""
+
+QUERIES["corpus_doc_length_gini"] = (
+    corpus_doc_length_gini,
+    CORPUS_LENGTH_GINI_SQL,
+)

@@ -1517,3 +1517,48 @@ FROM counts GROUP BY source
 """
 
 QUERIES["text_hapax_profile"] = (text_hapax_profile, TEXT_HAPAX_SQL)
+
+
+def text_digit_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-token density per source: the share of tokens that
+    are pure digits, contain any digit, or are alphanumeric mixes —
+    the cheap table/boilerplate/serial-number detector every text
+    filter stack runs before spending model-based quality scores
+    (prose sits near zero; scraped tables and logs light up).
+
+    One explode + three codegen regex predicates, bounded source
+    rollup.
+    """
+    toks = Catalog(spark, sf_dir).documents.select(
+        "source", F.explode(tokens_col()).alias("w")
+    )
+    pure = F.col("w").rlike(r"^\d+$").cast("double")
+    any_d = F.col("w").rlike(r"\d").cast("double")
+    mixed = (
+        F.col("w").rlike(r"\d") & F.col("w").rlike(r"[A-Za-z]")
+    ).cast("double")
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        _R4(F.avg(pure), "pure_digit_share"),
+        _R4(F.avg(any_d), "any_digit_share"),
+        _R4(F.avg(mixed), "alnum_mix_share"),
+    )
+
+
+TEXT_DIGIT_DENSITY_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+)
+SELECT source, count(*) AS n_tokens,
+       round(avg(CASE WHEN regexp_matches(w, '^\d+$') THEN 1.0 ELSE 0.0 END), 4)
+         AS pure_digit_share,
+       round(avg(CASE WHEN regexp_matches(w, '\d') THEN 1.0 ELSE 0.0 END), 4)
+         AS any_digit_share,
+       round(avg(CASE WHEN regexp_matches(w, '\d')
+                       AND regexp_matches(w, '[A-Za-z]')
+                      THEN 1.0 ELSE 0.0 END), 4) AS alnum_mix_share
+FROM toks GROUP BY source
+"""
+
+QUERIES["text_digit_density"] = (text_digit_density, TEXT_DIGIT_DENSITY_SQL)

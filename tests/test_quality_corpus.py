@@ -885,3 +885,13 @@ def test_source_card_internally_consistent(spark, sf_dir):
         assert 0.0 <= r.exact_dup_share < 1.0
         assert 0.0 < r.mean_lexical_density <= 1.0
         assert 0.0 < r.majority_lang_share <= 1.0
+
+
+def test_doc_length_gini_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.corpus import corpus_doc_length_gini
+
+    rows = corpus_doc_length_gini(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.length_gini < 1.0
+        assert r.n_docs > 0 and r.total_tokens >= r.n_docs

@@ -631,3 +631,14 @@ def test_hapax_profile_bounds(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_hapax <= r.n_types <= r.n_tokens
         assert 0.0 <= r.hapax_token_share <= r.hapax_type_share <= 1.0
+
+
+def test_digit_density_ordering(spark, sf_dir):
+    """pure-digit ⊆ any-digit and alnum-mix ⊆ any-digit."""
+    from etl_gov_spark.operators.text import text_digit_density
+
+    rows = text_digit_density(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.pure_digit_share <= r.any_digit_share <= 1.0
+        assert 0.0 <= r.alnum_mix_share <= r.any_digit_share

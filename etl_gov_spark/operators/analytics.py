@@ -2881,3 +2881,132 @@ GROUP BY li.q
 """
 
 QUERIES["q_cold_start_ramp"] = (q_cold_start_ramp, Q_COLD_START_SQL)
+
+
+def q_weekend_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekend-vs-weekday ordering uplift per market segment: the
+    mean daily revenue on weekend days over weekday days — the
+    day-mix normalization (not raw totals: there are 2 weekend days
+    to 5 weekdays, so totals always mislead) that staffing and promo
+    calendars key off.
+
+    One (segment, day) cents rollup, one bounded segment aggregate.
+    """
+    c = Catalog(spark, sf_dir)
+    j = c.orders.join(
+        F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    )
+    daily = j.groupBy(
+        "c_mktsegment", F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents"))
+    is_we = F.dayofweek("day").isin(1, 7)  # Sun=1, Sat=7
+    return daily.groupBy("c_mktsegment").agg(
+        F.sum(is_we.cast("long")).alias("n_weekend_days"),
+        F.sum((~is_we).cast("long")).alias("n_weekday_days"),
+        _R4(
+            F.avg(F.when(is_we, F.col("cents") / 100.0)), "mean_weekend_rev"
+        ),
+        _R4(
+            F.avg(F.when(~is_we, F.col("cents") / 100.0)), "mean_weekday_rev"
+        ),
+        _R4(
+            F.avg(F.when(is_we, F.col("cents") / 100.0))
+            / F.avg(F.when(~is_we, F.col("cents") / 100.0)),
+            "weekend_uplift",
+        ),
+    )
+
+
+Q_WEEKEND_UPLIFT_SQL = """
+WITH daily AS (
+  SELECT c.c_mktsegment, CAST(o.o_orderdate AS DATE) AS day,
+         CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       CAST(sum(CASE WHEN dayofweek(day) IN (0, 6) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_weekend_days,
+       CAST(sum(CASE WHEN dayofweek(day) IN (0, 6) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_weekday_days,
+       round(avg(CASE WHEN dayofweek(day) IN (0, 6)
+                      THEN cents / 100.0 END), 4) AS mean_weekend_rev,
+       round(avg(CASE WHEN dayofweek(day) IN (0, 6)
+                      THEN NULL ELSE cents / 100.0 END), 4)
+         AS mean_weekday_rev,
+       round(avg(CASE WHEN dayofweek(day) IN (0, 6)
+                      THEN cents / 100.0 END)
+             / avg(CASE WHEN dayofweek(day) IN (0, 6)
+                        THEN NULL ELSE cents / 100.0 END), 4)
+         AS weekend_uplift
+FROM daily GROUP BY c_mktsegment
+"""
+
+QUERIES["q_weekend_uplift"] = (q_weekend_uplift, Q_WEEKEND_UPLIFT_SQL)
+
+
+def q_tax_discount_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (tax band × discount band) pricing grid: line count,
+    revenue, and effective take-home rate (1−discount)(1+tax) per
+    cell — the margin-structure census that shows whether discounts
+    cluster in low-tax cells (arbitrage smell) or spread uniformly.
+
+    Row-local banding (2-point buckets), one bounded grid aggregate.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select(
+        (F.floor(F.col("l_tax") * 100 / 2) * 2).cast("int").alias("tax_pct"),
+        (F.floor(F.col("l_discount") * 100 / 2) * 2)
+        .cast("int")
+        .alias("disc_pct"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        (
+            (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("take_rate"),
+    )
+    return li.groupBy("tax_pct", "disc_pct").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _R4(F.sum("rev"), "revenue"),
+        _R4(F.avg("take_rate"), "mean_take_rate"),
+    )
+
+
+Q_TAX_DISCOUNT_GRID_SQL = """
+SELECT CAST(floor(l_tax * 100 / 2) * 2 AS INTEGER) AS tax_pct,
+       CAST(floor(l_discount * 100 / 2) * 2 AS INTEGER) AS disc_pct,
+       count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       round(avg((1 - l_discount) * (1 + l_tax)), 4) AS mean_take_rate
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+QUERIES["q_tax_discount_grid"] = (q_tax_discount_grid, Q_TAX_DISCOUNT_GRID_SQL)
+
+
+def q_size_price_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does size drive price? Per-brand OLS of retail price on part
+    size (slope, intercept, r²) — the catalog-pricing-structure scan
+    that flags brands whose price ladder ignores the size attribute
+    (r² ≈ 0: size is cosmetic there) vs size-priced lines.
+
+    One regr_* aggregate over the bounded brand key — single pass.
+    """
+    p = Catalog(spark, sf_dir).part
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _R4(F.regr_slope("p_retailprice", "p_size"), "price_per_size"),
+        _R4(F.regr_intercept("p_retailprice", "p_size"), "base_price"),
+        _R4(F.regr_r2("p_retailprice", "p_size"), "r2"),
+    )
+
+
+Q_SIZE_PRICE_SLOPE_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       round(regr_slope(p_retailprice, p_size), 4) AS price_per_size,
+       round(regr_intercept(p_retailprice, p_size), 4) AS base_price,
+       round(regr_r2(p_retailprice, p_size), 4) AS r2
+FROM part GROUP BY p_brand
+"""
+
+QUERIES["q_size_price_slope"] = (q_size_price_slope, Q_SIZE_PRICE_SLOPE_SQL)

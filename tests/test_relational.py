@@ -524,3 +524,35 @@ def test_join_key_skew_census_sanity(spark, sf_dir):
         assert r.p99_over_p50 >= 1.0
         assert 0.0 <= r.top1pct_row_share <= 1.0
         assert r.max_key_rows * r.n_keys >= r.n_rows * r.top_key_share
+
+
+def test_weekend_uplift_day_accounting(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_weekend_uplift
+
+    rows = q_weekend_uplift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # ~2:5 weekend:weekday day ratio, loose bounds
+        assert 0 < r.n_weekend_days < r.n_weekday_days
+        assert r.weekend_uplift > 0
+
+
+def test_tax_discount_grid_take_rate_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_tax_discount_grid
+
+    rows = q_tax_discount_grid(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # (1-d)(1+t) with d,t in [0, ~0.1] stays near 1
+        assert 0.8 <= r.mean_take_rate <= 1.2
+        assert r.tax_pct % 2 == 0 and r.disc_pct % 2 == 0
+
+
+def test_size_price_slope_r2_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_size_price_slope
+
+    rows = q_size_price_slope(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n_parts > 0

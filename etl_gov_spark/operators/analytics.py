@@ -3010,3 +3010,155 @@ FROM part GROUP BY p_brand
 """
 
 QUERIES["q_size_price_slope"] = (q_size_price_slope, Q_SIZE_PRICE_SLOPE_SQL)
+
+
+def q_supplier_balance_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account-balance tier census per nation: negative /
+    low / mid / high balance bands (fixed fences at 0 and the global
+    P25/P75, broadcast) — the credit-exposure profile procurement
+    reviews per sourcing region. Profile-then-filter: one quantile
+    aggregate, one broadcast, one bounded (nation, tier) rollup —
+    no window over suppliers.
+    """
+    c = Catalog(spark, sf_dir)
+    s = c.supplier.join(
+        F.broadcast(c.nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    fences = c.supplier.agg(
+        F.percentile("s_acctbal", F.lit(0.25)).alias("p25"),
+        F.percentile("s_acctbal", F.lit(0.75)).alias("p75"),
+    )
+    j = s.crossJoin(F.broadcast(fences))
+    tier = (
+        F.when(F.col("s_acctbal") < 0, "negative")
+        .when(F.col("s_acctbal") < F.col("p25"), "low")
+        .when(F.col("s_acctbal") < F.col("p75"), "mid")
+        .otherwise("high")
+    )
+    return j.groupBy(F.col("n_name").alias("nation"), tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        _R4(F.avg("s_acctbal"), "mean_balance"),
+    )
+
+
+Q_SUPPLIER_TIERS_SQL = """
+WITH fences AS (
+  SELECT quantile_cont(s_acctbal, 0.25) AS p25,
+         quantile_cont(s_acctbal, 0.75) AS p75
+  FROM supplier
+)
+SELECT n.n_name AS nation,
+       CASE WHEN s.s_acctbal < 0 THEN 'negative'
+            WHEN s.s_acctbal < f.p25 THEN 'low'
+            WHEN s.s_acctbal < f.p75 THEN 'mid'
+            ELSE 'high' END AS tier,
+       count(*) AS n_suppliers,
+       round(avg(s.s_acctbal), 4) AS mean_balance
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+CROSS JOIN fences f
+GROUP BY 1, 2
+"""
+
+QUERIES["q_supplier_balance_tiers"] = (
+    q_supplier_balance_tiers,
+    Q_SUPPLIER_TIERS_SQL,
+)
+
+
+def q_linenumber_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-in-order effect: per line number (1st, 2nd, … line
+    of an order), the line count, mean quantity, and mean line
+    revenue — do orders front-load their big items? The order-entry
+    behavioral profile (and a free sanity check that linenumbers are
+    dense from 1). One bounded linenumber aggregate, single pass.
+    """
+    li = Catalog(spark, sf_dir).lineitem
+    return li.groupBy(F.col("l_linenumber").alias("linenumber")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _R4(F.avg("l_quantity"), "mean_qty"),
+        _R4(
+            F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            "mean_line_revenue",
+        ),
+    )
+
+
+Q_LINENUMBER_PROFILE_SQL = """
+SELECT l_linenumber AS linenumber, count(*) AS n_lines,
+       round(avg(l_quantity), 4) AS mean_qty,
+       round(avg(l_extendedprice * (1 - l_discount)), 4)
+         AS mean_line_revenue
+FROM lineitem GROUP BY 1
+"""
+
+QUERIES["q_linenumber_profile"] = (
+    q_linenumber_profile,
+    Q_LINENUMBER_PROFILE_SQL,
+)
+
+
+def q_part_name_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 tokens in part names with the revenue each token's
+    parts carry — catalog-attribute text analytics (which descriptor
+    words sell) built the scale-safe way: token explode over the
+    part DIM, revenue joined from the part-grain rollup, distributed
+    top-k (TakeOrderedAndProject), rank re-derived on 15 rows.
+    """
+    c = Catalog(spark, sf_dir)
+    rev = c.lineitem.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    toks = c.part.select(
+        "p_partkey", F.explode(F.split(F.trim("p_name"), r"\s+")).alias("w")
+    ).distinct()
+    per_w = (
+        toks.join(rev, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("w")
+        .agg(
+            F.countDistinct("p_partkey").alias("n_parts"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    order = [F.desc("cents"), F.asc("w")]
+    return (
+        per_w.orderBy(*order)
+        .limit(15)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            "n_parts",
+            _R4(F.col("cents") / 100.0, "revenue"),
+        )
+    )
+
+
+Q_PART_NAME_TOKENS_SQL = r"""
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+           AS cents
+  FROM lineitem GROUP BY 1
+), toks AS (
+  SELECT DISTINCT p_partkey, unnest(string_split_regex(trim(p_name), '\s+'))
+           AS w
+  FROM part
+), per_w AS (
+  SELECT w, count(DISTINCT t.p_partkey) AS n_parts, sum(r.cents) AS cents
+  FROM toks t JOIN rev r ON t.p_partkey = r.l_partkey
+  GROUP BY w
+)
+SELECT CAST(row_number() OVER (ORDER BY cents DESC, w ASC) AS INTEGER)
+         AS rank,
+       w AS token, n_parts,
+       round(CAST(cents AS DOUBLE) / 100.0, 4) AS revenue
+FROM per_w ORDER BY rank LIMIT 15
+"""
+
+QUERIES["q_part_name_tokens"] = (q_part_name_tokens, Q_PART_NAME_TOKENS_SQL)

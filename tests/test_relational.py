@@ -556,3 +556,39 @@ def test_size_price_slope_r2_bounds(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.r2 <= 1.0
         assert r.n_parts > 0
+
+
+def test_supplier_tiers_partition_suppliers(spark, sf_dir):
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.analytics import q_supplier_balance_tiers
+
+    rows = q_supplier_balance_tiers(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_suppliers for r in rows) == Catalog(
+        spark, sf_dir
+    ).supplier.count()
+    assert {r.tier for r in rows} <= {"negative", "low", "mid", "high"}
+
+
+def test_linenumber_profile_dense_from_one(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_linenumber_profile
+
+    rows = sorted(
+        q_linenumber_profile(spark, sf_dir).collect(),
+        key=lambda r: r.linenumber,
+    )
+    assert rows[0].linenumber == 1
+    nums = [r.linenumber for r in rows]
+    assert nums == list(range(1, len(nums) + 1))
+    # higher line numbers exist only in bigger orders => counts decrease
+    counts = [r.n_lines for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_part_name_tokens_topk(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_part_name_tokens
+
+    rows = q_part_name_tokens(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 15
+    revs = [r.revenue for r in sorted(rows, key=lambda r: r.rank)]
+    assert revs == sorted(revs, reverse=True)

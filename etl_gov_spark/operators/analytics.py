@@ -3162,3 +3162,101 @@ FROM per_w ORDER BY rank LIMIT 15
 """
 
 QUERIES["q_part_name_tokens"] = (q_part_name_tokens, Q_PART_NAME_TOKENS_SQL)
+
+
+def q_return_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return exposure per brand: the share of lines flagged
+    returned ('R') and the revenue they carried — the product-risk
+    screen that ranks which catalog lines bleed margin through
+    returns. One broadcast dim join + one bounded brand aggregate.
+    """
+    c = Catalog(spark, sf_dir)
+    li = c.lineitem.join(
+        F.broadcast(c.part.select("p_partkey", "p_brand")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    is_r = (F.col("l_returnflag") == "R").cast("long")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(is_r).alias("n_returned"),
+        _R4(F.avg(is_r.cast("double")), "return_rate"),
+        _R4(F.sum(F.when(is_r == 1, rev).otherwise(0.0)), "returned_revenue"),
+        _R4(
+            F.sum(F.when(is_r == 1, rev).otherwise(0.0)) / F.sum(rev),
+            "revenue_at_risk_share",
+        ),
+    )
+
+
+Q_RETURN_RATE_SQL = """
+SELECT p.p_brand, count(*) AS n_lines,
+       CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returned,
+       round(avg(CASE WHEN l.l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 4)
+         AS return_rate,
+       round(sum(CASE WHEN l.l_returnflag = 'R'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END), 4) AS returned_revenue,
+       round(sum(CASE WHEN l.l_returnflag = 'R'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS revenue_at_risk_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+"""
+
+QUERIES["q_return_rate_by_brand"] = (
+    q_return_rate_by_brand,
+    Q_RETURN_RATE_SQL,
+)
+
+
+def q_discount_uptake_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount penetration per market segment: the share of lines
+    sold at ANY discount, the mean depth where discounted, and the
+    revenue given up — who actually gets the promo budget. One
+    orders→lineitem join rolled through a broadcast customer dim,
+    one bounded segment aggregate.
+    """
+    c = Catalog(spark, sf_dir)
+    j = (
+        c.lineitem.join(
+            c.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(c.customer.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    disc = (F.col("l_discount") > 0).cast("long")
+    giveup = F.col("l_extendedprice") * F.col("l_discount")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _R4(F.avg(disc.cast("double")), "discounted_share"),
+        _R4(
+            F.avg(F.when(disc == 1, F.col("l_discount"))), "mean_depth"
+        ),
+        _R4(F.sum(giveup), "discount_given"),
+    )
+
+
+Q_DISCOUNT_UPTAKE_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_lines,
+       round(avg(CASE WHEN l.l_discount > 0 THEN 1.0 ELSE 0.0 END), 4)
+         AS discounted_share,
+       round(avg(CASE WHEN l.l_discount > 0 THEN l.l_discount END), 4)
+         AS mean_depth,
+       round(sum(l.l_extendedprice * l.l_discount), 4) AS discount_given
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES["q_discount_uptake_by_segment"] = (
+    q_discount_uptake_by_segment,
+    Q_DISCOUNT_UPTAKE_SQL,
+)

@@ -591,3 +591,26 @@ def test_part_name_tokens_topk(spark, sf_dir):
     assert 0 < len(rows) <= 15
     revs = [r.revenue for r in sorted(rows, key=lambda r: r.rank)]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_return_rate_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_return_rate_by_brand
+
+    rows = q_return_rate_by_brand(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_returned <= r.n_lines
+        assert 0.0 <= r.return_rate <= 1.0
+        assert 0.0 <= r.revenue_at_risk_share <= 1.0
+
+
+def test_discount_uptake_bounds(spark, sf_dir):
+    from etl_gov_spark.operators.analytics import q_discount_uptake_by_segment
+
+    rows = q_discount_uptake_by_segment(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.discounted_share <= 1.0
+        if r.mean_depth is not None:
+            assert 0.0 < r.mean_depth <= 0.2
+        assert r.discount_given >= 0.0

@@ -109,19 +109,47 @@ def touched_files(
     return sorted(no_stats + [r["file"] for r in rows])
 
 
+def _merge_step(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str,
+    order_cols: list[str] | None,
+) -> DataFrame:
+    """One MERGE of updates into base. Without ``order_cols`` the
+    update row wins on matched keys (classic MERGE — correct when
+    the caller guarantees update batches arrive in order). With
+    ``order_cols`` the row with the GREATER (order_cols) tuple wins
+    across base ∪ updates — order-insensitive latest-wins, so
+    out-of-order or replayed batches (FileStreamSource mtime ties,
+    foreachBatch at-least-once) cannot regress a key to an older
+    record."""
+    from etl_gov_spark.operators.merge import latest_record_per_key, merge_upsert
+
+    cols = base.columns
+    upd = updates.select(cols)
+    if order_cols is None:
+        return merge_upsert(base, upd, key)
+    return latest_record_per_key(
+        base.unionByName(upd), [key], order_cols
+    ).select(cols)
+
+
 def merge_upsert_cow(
     spark: SparkSession,
     table_path: str,
     updates: DataFrame,
     key: str,
     max_rewrite_files: int = 10_000,
+    order_cols: list[str] | None = None,
 ) -> dict:
     """Copy-on-write MERGE: rewrite only files updates intersect.
 
     Returns ``{"files_total", "files_rewritten", "files_kept",
-    "degraded_full_rewrite"}``. Matched keys take the update row,
-    unmatched update keys are inserted; files outside every update
-    key's range are left in place byte-identical.
+    "degraded_full_rewrite"}``. Matched keys take the update row
+    (or, with ``order_cols``, the max-by-(order_cols) row across
+    base and update — see ``_merge_step``), unmatched update keys
+    are inserted; files outside every update key's range are left
+    in place byte-identical.
 
     ``max_rewrite_files`` bounds the driver-side hit-file list: an
     update wide enough to touch more files than that degrades to a
@@ -129,34 +157,57 @@ def merge_upsert_cow(
     per-file commit loop) — at that touch ratio the selective path
     has no IO advantage left and its metadata cost dominates.
     """
-    from etl_gov_spark.operators.merge import merge_upsert
-
     ranges = file_key_ranges(table_path, key)
     touched = touched_files(spark, ranges, updates, key, max_files=max_rewrite_files)
     if touched is None or len(touched) > max_rewrite_files:
-        return _merge_full_rewrite(spark, table_path, updates, key, len(ranges))
+        return _merge_full_rewrite(
+            spark, table_path, updates, key, len(ranges), order_cols
+        )
     schema_src = spark.read.parquet(table_path).schema
     if touched:
         base = spark.read.schema(schema_src).parquet(*touched)
     else:
         base = spark.createDataFrame([], schema_src)
-    merged = merge_upsert(base, updates.select([f.name for f in schema_src]), key)
+    merged = _merge_step(base, updates, key, order_cols)
 
     staging = os.path.join(table_path, f"_staging-{uuid.uuid4().hex}")
     merged.coalesce(max(1, len(touched))).write.mode("overwrite").parquet(staging)
-    # commit: swap staged files in, drop the superseded originals.
-    # Driver-side file moves are metadata ops — the same shape as a
-    # transactional format's commit step.
-    for path in touched:
-        os.remove(path)
-    n_new = 0
-    for name in sorted(os.listdir(staging)):
-        if name.endswith(".parquet"):
-            shutil.move(
-                os.path.join(staging, name),
-                os.path.join(table_path, f"merge-{n_new:05d}-{uuid.uuid4().hex}.parquet"),
-            )
-            n_new += 1
+    # commit: park the superseded originals in a recovery dir, move
+    # the staged files in, then drop the recovery dir. Driver-side
+    # file moves are metadata ops — the same shape as a transactional
+    # format's commit step. Ordering matters for crash safety: at no
+    # point are the superseded rows deleted before their replacements
+    # are in place, and a failure mid-swap rolls the originals back
+    # and drops the staged files, leaving the table exactly as it was
+    # (so a foreachBatch at-least-once replay re-merges cleanly).
+    superseded = os.path.join(table_path, f"_superseded-{uuid.uuid4().hex}")
+    os.makedirs(superseded)
+    moved: list[tuple[str, str]] = []
+    placed: list[str] = []
+    try:
+        for path in touched:
+            parked = os.path.join(superseded, os.path.basename(path))
+            shutil.move(path, parked)
+            moved.append((path, parked))
+        n_new = 0
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                dest = os.path.join(
+                    table_path, f"merge-{n_new:05d}-{uuid.uuid4().hex}.parquet"
+                )
+                shutil.move(os.path.join(staging, name), dest)
+                placed.append(dest)
+                n_new += 1
+    except BaseException:
+        for dest in placed:
+            if os.path.exists(dest):
+                os.remove(dest)
+        for original, parked in moved:
+            shutil.move(parked, original)
+        shutil.rmtree(superseded, ignore_errors=True)
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    shutil.rmtree(superseded)
     shutil.rmtree(staging)
     return {
         "files_total": len(ranges),
@@ -172,6 +223,7 @@ def _merge_full_rewrite(
     updates: DataFrame,
     key: str,
     files_total: int,
+    order_cols: list[str] | None = None,
 ) -> dict:
     """Wide-update fallback: one distributed merge of the whole
     table, staged then swapped in — no driver-side file list.
@@ -182,10 +234,8 @@ def _merge_full_rewrite(
     old dir — so at every instant except the two renames there is a
     complete table at ``table_path``, and a failed swap puts the
     original back instead of stranding data in a _superseded dir."""
-    from etl_gov_spark.operators.merge import merge_upsert
-
     base = spark.read.parquet(table_path)
-    merged = merge_upsert(base, updates.select([f.name for f in base.schema]), key)
+    merged = _merge_step(base, updates, key, order_cols)
     staging = os.path.join(
         os.path.dirname(table_path.rstrip("/")),
         f"_full-rewrite-{uuid.uuid4().hex}",

@@ -10,11 +10,12 @@ with the epoch id for idempotent commits).
 Here the orders feed plays the change log (keyed by customer,
 newest order wins). The feed is re-chunked into date-ordered files
 and streamed one file per trigger, so the merge genuinely runs
-multiple times against evolving state; state versions are written
-to epoch-stamped directories (the poor-man's transactional commit —
-same shape as io/snapshots.py) so a replayed epoch overwrites its
-own output instead of corrupting the previous state
-(foreachBatch's at-least-once contract made idempotent).
+multiple times against evolving state. Each merge is an
+order-insensitive latest-wins (max-by-(order_cols) across state ∪
+batch) behind a crash-recoverable swap commit (io/cow.py parks
+superseded files before moving staged ones in, with rollback), so
+out-of-order file pickup and foreachBatch's at-least-once replay
+both converge to the same state.
 
 Scale notes: the state side is a range-clustered parquet table and
 every batch merges through io/cow.py's footer-pruned copy-on-write
@@ -55,10 +56,12 @@ def apply_cdc_batch(
     the clustered layout. Returns the COW stats dict
     (``files_kept`` counts state files left byte-identical).
 
-    Latest-wins across batches holds because the feed is ordered:
-    a later batch's record for a key always supersedes the state's.
-    Idempotent under foreachBatch's at-least-once contract: replaying
-    a batch re-merges the same rows into the same keys.
+    Latest-wins across batches is ORDER-INSENSITIVE: the merge keeps
+    the max-by-(order_cols) record across state and batch, so two
+    chunk files applied out of order (FileStreamSource breaks
+    ms-resolution mtime ties arbitrarily) converge to the same
+    state, and replaying a batch under foreachBatch's at-least-once
+    contract is a no-op merge.
     """
     from etl_gov_spark.io.cow import merge_upsert_cow
     from etl_gov_spark.io.sinks import write_range_clustered
@@ -73,7 +76,7 @@ def apply_cdc_batch(
             "files_kept": 0,
             "degraded_full_rewrite": False,
         }
-    return merge_upsert_cow(spark, state_path, compact, key)
+    return merge_upsert_cow(spark, state_path, compact, key, order_cols=order_cols)
 
 
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -607,3 +607,96 @@ def test_cow_narrow_update_still_selective(spark, sf_dir, tmp_path):
     )
     assert stats["degraded_full_rewrite"] is False
     assert stats["files_rewritten"] == 1 and stats["files_kept"] == 7
+
+
+def test_cow_selective_commit_rolls_back_on_failure(spark, sf_dir, tmp_path, monkeypatch):
+    """A crash mid-swap must leave the table exactly as it was:
+    superseded originals restored, no staged or _superseded debris —
+    so an at-least-once replay re-merges against uncorrupted state."""
+    import hashlib
+    import os
+    import shutil as real_shutil
+    import types
+
+    from etl_gov_spark.io import cow
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.sources import read_table
+
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    table = str(tmp_path / "cust_cow_crash")
+    write_range_clustered(cust, table, ("c_custkey",), num_files=8)
+
+    def file_hashes() -> dict[str, str]:
+        return {
+            f: hashlib.sha256(open(os.path.join(table, f), "rb").read()).hexdigest()
+            for f in os.listdir(table)
+            if f.endswith(".parquet")
+        }
+
+    before = file_hashes()
+    lo = cust.agg(F.min("c_custkey")).collect()[0][0]
+    updates = cust.filter(F.col("c_custkey") == lo).withColumn(
+        "c_acctbal", F.col("c_acctbal") + 1.0
+    )
+
+    def failing_move(src, dst, *a, **kw):
+        # the park moves (into _superseded-*) succeed; the first
+        # staged-file move into the table blows up mid-commit
+        if os.path.basename(str(dst)).startswith("merge-"):
+            raise OSError("simulated crash mid-swap")
+        return real_shutil.move(src, dst, *a, **kw)
+
+    fake = types.SimpleNamespace(
+        move=failing_move, rmtree=real_shutil.rmtree
+    )
+    monkeypatch.setattr(cow, "shutil", fake)
+    with pytest.raises(OSError, match="simulated crash"):
+        cow.merge_upsert_cow(spark, table, updates, "c_custkey")
+    monkeypatch.setattr(cow, "shutil", real_shutil)
+
+    after = file_hashes()
+    assert after == before, "rollback must restore the exact file set"
+    leftover = [d for d in os.listdir(table) if d.startswith(("_staging", "_superseded"))]
+    assert leftover == []
+    # and a clean retry (the replay) succeeds against intact state
+    stats = cow.merge_upsert_cow(spark, table, updates, "c_custkey")
+    assert stats["degraded_full_rewrite"] is False
+    got = spark.read.parquet(table).filter(F.col("c_custkey") == lo).collect()
+    base = cust.filter(F.col("c_custkey") == lo).collect()[0]["c_acctbal"]
+    assert abs(got[0]["c_acctbal"] - (base + 1.0)) < 1e-9
+
+
+def test_cdc_batches_out_of_order_converge(spark, sf_dir, tmp_path):
+    """Order-insensitive latest-wins: applying the NEWER chunk first
+    and the older chunk second must yield the same state as the
+    in-order application (max-by-(order_cols) across state ∪ batch)."""
+    from etl_gov_spark.streaming.cdc_stream import apply_cdc_batch
+
+    rows = [
+        (1, "2024-01-01", 10, "O", 100.0),
+        (1, "2024-03-01", 30, "F", 300.0),
+        (2, "2024-02-01", 20, "O", 200.0),
+        (2, "2024-01-15", 15, "F", 150.0),
+        (3, "2024-01-05", 5, "O", 50.0),
+    ]
+    cols = ["o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus", "o_totalprice"]
+    df = spark.createDataFrame(rows, cols)
+    old_batch = df.filter(F.col("o_orderkey") <= 15)
+    new_batch = df.filter(F.col("o_orderkey") > 15)
+
+    def run(order):
+        state = str(tmp_path / f"state_{order[0].__hash__()}_{id(order)}")
+        for b in order:
+            apply_cdc_batch(
+                spark, state, b, "o_custkey", ["o_orderdate", "o_orderkey"],
+                num_files=2,
+            )
+        return {
+            r["o_custkey"]: (r["o_orderkey"], r["o_totalprice"])
+            for r in spark.read.parquet(state).collect()
+        }
+
+    in_order = run([old_batch, new_batch])
+    reversed_order = run([new_batch, old_batch])
+    assert in_order == reversed_order
+    assert in_order == {1: (30, 300.0), 2: (20, 200.0), 3: (5, 50.0)}

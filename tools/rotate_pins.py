@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import glob
 import json
+import os
 import subprocess
 import sys
 
@@ -32,15 +33,23 @@ from etl_gov_spark.queries.catalog import all_queries  # noqa: E402
 
 
 def _query_modules() -> dict[str, str]:
-    """query name -> repo-relative path of its defining module."""
+    """query name -> repo-relative path of its defining module
+    (relative to the git toplevel, so it matches
+    ``git diff --name-only`` output in any checkout path)."""
+    try:
+        top = subprocess.run(
+            ["git", "rev-parse", "--show-toplevel"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except (subprocess.CalledProcessError, OSError):
+        top = os.getcwd()
     out: dict[str, str] = {}
     for fam in catalog._families():
         for name, (fn, _sql) in fam.items():
             mod = sys.modules.get(fn.__module__)
             path = getattr(mod, "__file__", None)
             if path:
-                rel = path.split("/repo/", 1)[-1].lstrip("/")
-                out[name] = rel
+                out[name] = os.path.relpath(os.path.abspath(path), top)
     return out
 
 

@@ -48,7 +48,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["ranged_global_rank", "exact_ntile_col"]
+__all__ = ["ranged_global_rank", "exact_ntile_col", "ranged_lag"]
 
 
 def exact_ntile_col(rank: Column, n: int, total: int) -> Column:
@@ -169,3 +169,90 @@ def ranged_global_rank(
     if not rank_col:
         out = out.drop("_grank")
     return out
+
+
+def ranged_lag(
+    df: DataFrame,
+    order_cols: Sequence[Column],
+    lag_cols: dict[str, str],
+    *,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Global ``lag(src, 1)`` over a TOTAL order with no
+    ``Exchange SinglePartition`` — the ``ranged_global_rank``
+    sibling for inter-event gaps / deltas at fact grain.
+
+    Adds one column per ``lag_cols`` entry ``{out_col: src_col}``:
+    the value of ``src_col`` on the order-predecessor row, NULL on
+    the globally first row — exactly ``lag(src) OVER (ORDER BY
+    order_cols)``.
+
+    Mechanism: ``repartitionByRange(P, order_cols)`` parallel-sorts
+    into P contiguous slices; inside each slice an ordinary
+    partitioned ``lag`` window fills every row but the slice's
+    first; a P-row boundary ledger (each slice's LAST values of the
+    lagged columns, via ``max_by`` on the local row_number — P
+    rows, never data) is collected on the driver and lifted back as
+    array literals indexed by partition id, handing slice i-1's
+    last row to slice i's first (skipping empty slices). Same
+    contract as ``ranged_global_rank``: ``order_cols`` must be a
+    total order (pass a unique tie-break last) given as column
+    expressions, and callers should project first — the lazy
+    ``localCheckpoint`` pins what it's given so the ledger job and
+    the main query read one materialization.
+    """
+    spark = df.sparkSession
+    p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    srcs = sorted(set(lag_cols.values()))
+    dtypes = dict(df.dtypes)
+
+    ranged = (
+        df.repartitionByRange(p, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    numbered = ranged.withColumn("_rn", F.row_number().over(w))
+
+    # P-row boundary ledger: each slice's last-row values.
+    ledger = (
+        numbered.groupBy("_pid")
+        .agg(*[F.max_by(c, "_rn").alias(c) for c in srcs])
+        .collect()
+    )
+    ledger.sort(key=lambda row: row["_pid"])
+    if not ledger:
+        out = numbered
+        for name, src in lag_cols.items():
+            out = out.withColumn(name, F.lit(None).cast(dtypes[src]))
+        return out.drop("_pid", "_rn")
+
+    # boundary[c][pid] = last value of the nearest NON-EMPTY slice
+    # before pid (range partition ids are dense but slices can be
+    # empty and absent from the ledger).
+    max_pid = ledger[-1]["_pid"]
+    boundary = {c: [None] * (max_pid + 1) for c in srcs}
+    last: dict[str, object] = {c: None for c in srcs}
+    it = iter(ledger)
+    row = next(it, None)
+    for pid in range(max_pid + 1):
+        for c in srcs:
+            boundary[c][pid] = last[c]
+        if row is not None and row["_pid"] == pid:
+            for c in srcs:
+                last[c] = row[c]
+            row = next(it, None)
+
+    out = numbered
+    idx = F.col("_pid") + 1  # element_at is 1-based
+    for name, src in lag_cols.items():
+        arr = F.array(
+            *[F.lit(v).cast(dtypes[src]) for v in boundary[src]]
+        )
+        out = out.withColumn(
+            name,
+            F.when(F.col("_rn") == 1, F.element_at(arr, idx)).otherwise(
+                F.lag(src).over(w)
+            ),
+        )
+    return out.drop("_pid", "_rn")

@@ -3068,16 +3068,23 @@ def q_mtbf_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps (≈1 validates the exponential assumption; ≪1 means
     scheduled failures, ≫1 means bursts).
 
-    One lag over the error substream (errors are rare — the sort
-    is over the FILTERED stream, and at scale it partitions by
-    service key); the model readout is scalar algebra.
+    The error substream is FACT-grain (errors are ~20% of events in
+    this data model, not rare), so the inter-event lag must not be a
+    bare global ``Window.orderBy`` — that compiles to an
+    ``Exchange SinglePartition`` one-task sort over a fifth of the
+    events table. ``ranged_lag`` (operators/ranks.py) computes the
+    identical lag with P parallel range slices plus a P-row boundary
+    ledger; the model readout is scalar algebra.
     """
+    from etl_gov_spark.operators.ranks import ranged_lag
+
     errs = Catalog(spark, sf_dir).events.filter(
         F.col("event_type") == "error"
     ).select(F.unix_micros("ts").alias("us"), "event_id")
-    w = Window.orderBy("us", "event_id")
-    gaps = errs.select(
-        ((F.col("us") - F.lag("us").over(w)) / 3_600_000_000.0).alias("gap_h")
+    gaps = ranged_lag(
+        errs, [F.asc("us"), F.asc("event_id")], {"prev_us": "us"}
+    ).select(
+        ((F.col("us") - F.col("prev_us")) / 3_600_000_000.0).alias("gap_h")
     ).filter(F.col("gap_h").isNotNull())
     agg = gaps.agg(
         F.count(F.lit(1)).alias("n_gaps"),

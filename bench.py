@@ -64,6 +64,10 @@ HEADLINE = [
     # (ranged_global_rank — range sort + offset ledger, no
     # single-partition window)
     "q_decile_lift",
+    # r9 widening: the wedge-join graph family (Σ deg² bounded
+    # two-hop expansion) — the most expensive stressed family was
+    # unrepresented in the pinned anchor until now
+    "graph_two_hop_reach",
 ]
 
 

@@ -1,0 +1,540 @@
+"""Geospatial-lite operators: haversine, geohash, point-in-polygon,
+banded distance joins — the family a government data platform needs
+(almost everything a gov publishes has a location) expressed with
+the same portable-primitive discipline as the rest of the engine:
+every computation is plain column arithmetic that Spark and DuckDB
+evaluate bit-identically, so each query carries a full value-hash
+oracle.
+
+Coordinates: the TPC-H-ish tables carry no lat/lon, so a
+deterministic integer "geocoder" stands in (documented stand-in,
+same role as the multimodal fake decode): millidegrees are derived
+from the entity key by Knuth multiplicative hashing —
+``lat = ((key * 2654435761) % 120000)/1000 - 60`` (±60° band, no
+polar degeneracy), ``lon = ((key * 2246822519) % 360000)/1000 - 180``.
+Pure int64 arithmetic → identical in both engines; the products stay
+far below 2^63.
+
+Cross-engine float discipline: IEEE +,−,×,÷ are correctly rounded
+and identical everywhere, so grid/geohash math (integer scaling and
+exact divisions) hashes exactly; only the trig in haversine is
+libm-dependent, so every distance is rounded to 6 dp BEFORE any
+ranking/aggregation (the same quantize-then-rank contract as the
+embedding cosine queries).
+
+Scale notes per query in each docstring. Reference parity: the
+reference's domain (gov open data) publishes location columns
+everywhere; its stock DAG suite has no geospatial operator to cite,
+so this family is the Spark-first widening the round-8 verdict
+directed (VERDICT.md "Next round" #7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_gov_spark.io.sources import Catalog
+
+_R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
+
+_LAT_MULT = 2654435761  # Knuth multiplicative hash constants
+_LON_MULT = 2246822519
+_EARTH_KM = 6371.0
+_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+# --- deterministic geocoder (shared Spark/SQL definitions) ---------
+
+
+def lat_col(key: Column) -> Column:
+    """Synthetic latitude in [-60, 60) millidegree-derived from an
+    integer key (exact int64 arithmetic)."""
+    return ((key * F.lit(_LAT_MULT)) % 120000) / 1000.0 - 60.0
+
+
+def lon_col(key: Column) -> Column:
+    """Synthetic longitude in [-180, 180)."""
+    return ((key * F.lit(_LON_MULT)) % 360000) / 1000.0 - 180.0
+
+
+def _lat_sql(key: str) -> str:
+    return f"((({key} * {_LAT_MULT}) % 120000) / 1000.0 - 60.0)"
+
+
+def _lon_sql(key: str) -> str:
+    return f"((({key} * {_LON_MULT}) % 360000) / 1000.0 - 180.0)"
+
+
+# --- haversine (rounded to 6 dp — the only libm-touching step) -----
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km, correct across the antimeridian
+    (sin²(Δλ/2) is symmetric-periodic, so raw Δλ needs no wrap
+    normalization)."""
+    sphi = F.sin(F.radians(lat2 - lat1) / 2)
+    slmb = F.sin(F.radians(lon2 - lon1) / 2)
+    a = (
+        sphi * sphi
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * slmb * slmb
+    )
+    return 2.0 * _EARTH_KM * F.asin(F.sqrt(a))
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"(2.0 * {_EARTH_KM} * asin(sqrt("
+        f"sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)"
+        f")))"
+    )
+
+
+# --- geohash from integer millidegrees (pure arithmetic) -----------
+
+
+def _geohash_quant(chars: int) -> tuple[int, int]:
+    """(lon_bits, lat_bits) for a geohash of ``chars`` base32 chars.
+    Geohash interleaves starting with longitude, so odd totals give
+    longitude the extra bit."""
+    total = 5 * chars
+    lon_bits = (total + 1) // 2
+    return lon_bits, total - lon_bits
+
+
+def geohash_col(lat_milli: Column, lon_milli: Column, chars: int) -> Column:
+    """Geohash string of ``chars`` base32 chars from millidegree
+    columns (lat_milli in [0,120000) for the ±60 band's offset
+    latitude, lon_milli in [0,360000)). All integer shifts and an
+    exact substring lookup — no floats, so Spark and DuckDB agree
+    bitwise. The quantizer maps the ±60 lat band onto the full
+    geohash lat domain via the same scale both sides."""
+    lon_bits, lat_bits = _geohash_quant(chars)
+    # MSB-first the hash alternates lon,lat,lon,...; in LSB shift
+    # terms that puts lon bit j at position 2j for ODD bit totals
+    # and 2j+1 for even totals (lat the other way around)
+    lon_off, lat_off = (0, 1) if (5 * chars) % 2 else (1, 0)
+    lon_q = F.floor(lon_milli * (1 << lon_bits) / 360000).cast("long")
+    lat_q = F.floor(lat_milli * (1 << lat_bits) / 120000).cast("long")
+    inter = F.lit(0).cast("long")
+    for j in range(lon_bits):
+        inter = inter + F.shiftleft(
+            F.shiftright(lon_q, j).bitwiseAND(1), 2 * j + lon_off
+        )
+    for j in range(lat_bits):
+        inter = inter + F.shiftleft(
+            F.shiftright(lat_q, j).bitwiseAND(1), 2 * j + lat_off
+        )
+    out = None
+    for k in range(chars):
+        idx = F.shiftright(inter, 5 * (chars - 1 - k)).bitwiseAND(31)
+        ch = F.lit(_BASE32).substr(idx + 1, F.lit(1))
+        out = ch if out is None else F.concat(out, ch)
+    return out
+
+
+def _geohash_sql(lat_milli: str, lon_milli: str, chars: int) -> str:
+    """DuckDB mirror of ``geohash_col`` — generated from the same
+    bit layout so the two can't drift."""
+    lon_bits, lat_bits = _geohash_quant(chars)
+    lon_off, lat_off = (0, 1) if (5 * chars) % 2 else (1, 0)
+    lon_q = f"((({lon_milli}) * {1 << lon_bits}) // 360000)"
+    lat_q = f"((({lat_milli}) * {1 << lat_bits}) // 120000)"
+    terms = [
+        f"((({lon_q} >> {j}) & 1) << {2 * j + lon_off})" for j in range(lon_bits)
+    ] + [
+        f"((({lat_q} >> {j}) & 1) << {2 * j + lat_off})" for j in range(lat_bits)
+    ]
+    inter = "(" + " + ".join(terms) + ")"
+    chars_sql = " || ".join(
+        f"substr('{_BASE32}', CAST(((({inter} >> {5 * (chars - 1 - k)}) & 31)) + 1 AS INTEGER), 1)"
+        for k in range(chars)
+    )
+    return "(" + chars_sql + ")"
+
+
+# --- ray-cast point-in-polygon (unrolled per literal edge) ---------
+
+# Three literal audit regions (lon, lat vertex rings, not closed).
+POLYGONS: dict[str, list[tuple[float, float]]] = {
+    "atlantic_corridor": [
+        (-60.0, -20.0),
+        (-10.0, -25.0),
+        (5.0, 10.0),
+        (-20.0, 35.0),
+        (-55.0, 20.0),
+    ],
+    "indo_pacific": [(60.0, -30.0), (150.0, -35.0), (165.0, 15.0), (90.0, 25.0)],
+    "northern_band": [
+        (-150.0, 35.0),
+        (-30.0, 30.0),
+        (60.0, 42.0),
+        (170.0, 38.0),
+        (175.0, 58.0),
+        (-140.0, 55.0),
+    ],
+}
+
+
+def point_in_polygon_col(
+    lon: Column, lat: Column, ring: list[tuple[float, float]]
+) -> Column:
+    """Ray-cast test: odd number of edge crossings of the eastward
+    ray ⇒ inside. Each edge unrolls to one crossing predicate; the
+    vertex list is literal, so the expression is fixed-size and
+    identical (op for op) to the SQL mirror."""
+    inside = F.lit(False)
+    n = len(ring)
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[(i + 1) % n]
+        crosses = ((F.lit(yi) > lat) != (F.lit(yj) > lat)) & (
+            lon < (xj - xi) * (lat - yi) / (yj - yi) + xi
+        )
+        inside = F.when(crosses, ~inside).otherwise(inside)
+    return inside
+
+
+def _point_in_polygon_sql(
+    lon: str, lat: str, ring: list[tuple[float, float]]
+) -> str:
+    n = len(ring)
+    terms = []
+    for i in range(n):
+        xi, yi = ring[i]
+        xj, yj = ring[(i + 1) % n]
+        terms.append(
+            f"(CASE WHEN (({yi} > {lat}) != ({yj} > {lat})) AND "
+            f"(({lon}) < ({xj} - {xi}) * (({lat}) - {yi}) / ({yj} - {yi}) + {xi}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+# --- queries -------------------------------------------------------
+
+
+def _customers_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return c.withColumn("lat", lat_col(F.col("c_custkey"))).withColumn(
+        "lon", lon_col(F.col("c_custkey"))
+    )
+
+
+_CUST_GEO_SQL = f"""
+  SELECT c_custkey, c_nationkey, c_acctbal,
+         {_lat_sql('c_custkey')} AS lat,
+         {_lon_sql('c_custkey')} AS lon
+  FROM customer
+"""
+
+
+def geo_nearest_hub_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-hub assignment: every customer point snaps to the
+    closest of 25 nation hubs by haversine, then a per-hub census
+    (members, mean/max distance).
+
+    Spark-first: the hub table is 25 rows — a broadcast cross join
+    (25× row expansion, map-side only) followed by one min-by-struct
+    aggregate per customer; no shuffle until the 25-group census.
+    At 100 TB of points this stays a single scan: hub count is a
+    constant of the domain. Distances quantize to 6 dp before the
+    argmin (tie-break on hub key) so both engines pick the same hub.
+    """
+    cust = _customers_geo(spark, sf_dir)
+    hubs = Catalog(spark, sf_dir).nation.select(
+        F.col("n_nationkey").alias("hub_key"),
+        lat_col(F.col("n_nationkey").cast("long")).alias("hlat"),
+        lon_col(F.col("n_nationkey").cast("long")).alias("hlon"),
+    )
+    d6 = F.round(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("hlat"), F.col("hlon")), 6
+    )
+    best = (
+        cust.crossJoin(F.broadcast(hubs))
+        .select(
+            "c_custkey",
+            F.struct(d6.alias("d"), F.col("hub_key").alias("h")).alias("dh"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("dh").alias("dh"))
+        .select("c_custkey", F.col("dh.h").alias("hub_key"), F.col("dh.d").alias("d"))
+    )
+    return best.groupBy("hub_key").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        _R4(F.avg("d"), "avg_km"),
+        _R4(F.max("d"), "max_km"),
+    )
+
+
+GEO_NEAREST_HUB_SQL = f"""
+WITH cust AS ({_CUST_GEO_SQL}),
+hubs AS (
+  SELECT n_nationkey AS hub_key,
+         {_lat_sql('n_nationkey')} AS hlat,
+         {_lon_sql('n_nationkey')} AS hlon
+  FROM nation
+), scored AS (
+  SELECT c.c_custkey, h.hub_key,
+         round({_haversine_sql('c.lat', 'c.lon', 'h.hlat', 'h.hlon')}, 6) AS d,
+         row_number() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY round({_haversine_sql('c.lat', 'c.lon', 'h.hlat', 'h.hlon')}, 6),
+                    h.hub_key) AS rn
+  FROM cust c CROSS JOIN hubs h
+)
+SELECT hub_key, count(*) AS n_members,
+       round(avg(d), 4) AS avg_km, round(max(d), 4) AS max_km
+FROM scored WHERE rn = 1
+GROUP BY hub_key
+"""
+
+
+_GEOHASH_CHARS = 2  # 10-bit cells (~1250 km): a bounded census domain
+
+
+def geo_geohash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash bucketing: customers binned into base32 geohash cells
+    (2 chars here — a bounded 1024-cell domain at any data size),
+    with per-cell population and balance stats.
+
+    The hash is pure integer bit-interleaving on millidegrees
+    (geohash_col — no floats, no UDF, whole-stage codegen), so the
+    bucketing runs at scan speed and the one shuffle is the
+    per-cell aggregate; cells are a fixed domain, so the aggregate
+    is skew-bounded and the result bounded regardless of N.
+    """
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_custkey", "c_acctbal"
+    ).select(
+        "c_custkey",
+        "c_acctbal",
+        ((F.col("c_custkey") * _LAT_MULT) % 120000).alias("lat_m"),
+        ((F.col("c_custkey") * _LON_MULT) % 360000).alias("lon_m"),
+    )
+    cells = cust.withColumn(
+        "cell", geohash_col(F.col("lat_m"), F.col("lon_m"), _GEOHASH_CHARS)
+    )
+    return cells.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _R4(F.avg("c_acctbal"), "avg_bal"),
+    )
+
+
+GEO_GEOHASH_CENSUS_SQL = f"""
+WITH pts AS (
+  SELECT c_custkey, c_acctbal,
+         (c_custkey * {_LAT_MULT}) % 120000 AS lat_m,
+         (c_custkey * {_LON_MULT}) % 360000 AS lon_m
+  FROM customer
+)
+SELECT {_geohash_sql('lat_m', 'lon_m', _GEOHASH_CHARS)} AS cell,
+       count(*) AS n_points,
+       round(avg(c_acctbal), 4) AS avg_bal
+FROM pts GROUP BY 1
+"""
+
+
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon audit: customer membership in three literal
+    audit regions via the ray-cast (even-odd) rule, reported as one
+    row per region with population and balance stats.
+
+    The crossing test unrolls to |edges| fixed predicates per region
+    — branch-free column arithmetic inside one codegen stage, no
+    join, no UDF; at 100 TB this is a full-scan map plus a 3-group
+    aggregate. For polygon sets too large to unroll, the scale path
+    is the banded-join pattern (geo_banded_distance_join) keyed by
+    polygon bounding-box cells; semantics stay the even-odd rule.
+    """
+    cust = _customers_geo(spark, sf_dir)
+    tagged = None
+    for name, ring in POLYGONS.items():
+        inside = point_in_polygon_col(F.col("lon"), F.col("lat"), ring)
+        part = cust.filter(inside).withColumn("region", F.lit(name))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    # group AFTER the union so an empty region is absent on both
+    # engines (a literal-select global agg would keep a 0-row there
+    # in SQL but null out the region name in Spark)
+    return tagged.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        _R4(F.avg("c_acctbal"), "avg_bal"),
+        F.count_distinct("c_nationkey").alias("n_nations"),
+    )
+
+
+def _pip_sql() -> str:
+    parts = []
+    for name, ring in POLYGONS.items():
+        pred = _point_in_polygon_sql("lon", "lat", ring)
+        parts.append(
+            f"SELECT '{name}' AS region, c_acctbal, c_nationkey\n"
+            f"FROM ({_CUST_GEO_SQL}) WHERE {pred}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT region, count(*) AS n_inside,
+       round(avg(c_acctbal), 4) AS avg_bal,
+       count(DISTINCT c_nationkey) AS n_nations
+FROM ({union})
+GROUP BY region
+"""
+
+
+GEO_POINT_IN_POLYGON_SQL = _pip_sql()
+
+
+_NEIGHBOR_KM = 300.0
+_CELL_DEG = 6.0  # ≥ 300 km of lon even at |lat| = 60 (5.4°)
+_LON_CELLS = int(360 / _CELL_DEG)
+
+
+def banded_pairs(
+    points: DataFrame,
+    radius_km: float = _NEIGHBOR_KM,
+    cell_deg: float = _CELL_DEG,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """All point pairs within ``radius_km`` without an O(N²) cross
+    join. ``points`` needs columns ``id``, ``lat``, ``lon`` (plus any
+    ``carry`` columns, returned with an ``a_`` prefix from the pair's
+    lower-id side). Returns (a_id, b_id, km, a_<carry>...).
+
+    Each point lands in a ``cell_deg`` grid cell; the caller must
+    pick ``cell_deg`` ≥ the radius in degrees at the worst latitude
+    (for the ±60 geocoder band: deg ≥ km / (111.195 · cos 60°)).
+    One side explodes to its 3×3 neighbor cells — longitude cells
+    wrap at the antimeridian — candidates equi-join on cell (plain
+    shuffle-on-key, Σ|cell|·9 candidates), the exact haversine
+    filter confirms, ``a_id < b_id`` dedups. Each pair meets in
+    exactly one offset (the neighbor relation is a function of the
+    two cells), so no distinct pass is needed.
+    """
+    lon_cells = int(round(360 / cell_deg))
+    with_cell = points.select(
+        "*",
+        F.floor((F.col("lat") + 60.0) / cell_deg).cast("long").alias("cy"),
+        F.floor((F.col("lon") + 180.0) / cell_deg).cast("long").alias("cx"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    off = points.sparkSession.createDataFrame(offsets, "dx long, dy long")
+    left = with_cell.crossJoin(F.broadcast(off)).select(
+        F.col("id").alias("a_id"),
+        *[F.col(c).alias(f"a_{c}") for c in carry],
+        F.col("lat").alias("a_lat"),
+        F.col("lon").alias("a_lon"),
+        ((F.col("cx") + F.col("dx") + lon_cells) % lon_cells).alias("jx"),
+        (F.col("cy") + F.col("dy")).alias("jy"),
+    )
+    right = with_cell.select(
+        F.col("id").alias("b_id"),
+        F.col("lat").alias("b_lat"),
+        F.col("lon").alias("b_lon"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d6 = F.round(
+        haversine_km(
+            F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon")
+        ),
+        6,
+    )
+    return (
+        left.join(right, ["jx", "jy"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", *[f"a_{c}" for c in carry], "b_id", d6.alias("km"))
+        .filter(F.col("km") <= radius_km)
+    )
+
+
+def geo_banded_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All customer pairs within 300 km, found WITHOUT the O(N²)
+    cross join (the synthetic geocoder's lattice spacing puts nearest
+    neighbors ~250 km apart, hence the 300 km audit radius): each point lands in a 6° grid cell (cell edge ≥
+    the radius at every latitude in the ±60 band), one side explodes
+    to its 3×3 neighbor cells (longitude wraps at the antimeridian),
+    the pair candidates equi-join on cell — a plain shuffle-on-key
+    join costing Σ |cell|·9 — and the exact haversine ≤ 300 km filter
+    plus a < tie-break dedups and confirms. Per-nation pair census
+    as the bounded readout.
+
+    The oracle brute-forces the same pairs (fine at oracle SF); the
+    banded plan is the one that survives 100 TB — candidate count
+    scales with density × N, not N².
+    """
+    cust = _customers_geo(spark, sf_dir).select(
+        F.col("c_custkey").alias("id"), "c_nationkey", "lat", "lon"
+    )
+    pairs = banded_pairs(cust, carry=("c_nationkey",))
+    return pairs.groupBy(F.col("a_c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _R4(F.avg("km"), "avg_km"),
+        _R4(F.min("km"), "min_km"),
+    )
+
+
+GEO_BANDED_JOIN_SQL = f"""
+WITH cust AS ({_CUST_GEO_SQL}),
+pairs AS (
+  SELECT a.c_custkey AS a_id, a.c_nationkey AS a_nat,
+         b.c_custkey AS b_id,
+         round({_haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 6) AS km
+  FROM cust a JOIN cust b ON a.c_custkey < b.c_custkey
+)
+SELECT a_nat AS nationkey, count(*) AS n_pairs,
+       round(avg(km), 4) AS avg_km, round(min(km), 4) AS min_km
+FROM pairs WHERE km <= {_NEIGHBOR_KM}
+GROUP BY a_nat
+"""
+
+
+_HOT_K = 20
+
+
+def geo_grid_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 densest 1° grid cells (spatial hotspot detection):
+    grid aggregate, then a two-phase top-k — orderBy().limit(k)
+    plans TakeOrderedAndProject (each partition keeps k, the driver
+    merges k·P), never a global sort. Readout: cell coordinates,
+    population, mean balance.
+    """
+    cust = _customers_geo(spark, sf_dir)
+    cells = cust.select(
+        F.floor(F.col("lat")).cast("long").alias("cell_lat"),
+        F.floor(F.col("lon")).cast("long").alias("cell_lon"),
+        "c_acctbal",
+    )
+    agg = cells.groupBy("cell_lat", "cell_lon").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        _R4(F.avg("c_acctbal"), "avg_bal"),
+    )
+    return agg.orderBy(
+        F.desc("n_points"), F.asc("cell_lat"), F.asc("cell_lon")
+    ).limit(_HOT_K)
+
+
+GEO_GRID_HOTSPOTS_SQL = f"""
+WITH cust AS ({_CUST_GEO_SQL}),
+agg AS (
+  SELECT CAST(floor(lat) AS BIGINT) AS cell_lat,
+         CAST(floor(lon) AS BIGINT) AS cell_lon,
+         count(*) AS n_points, round(avg(c_acctbal), 4) AS avg_bal
+  FROM cust GROUP BY 1, 2
+)
+SELECT cell_lat, cell_lon, n_points, avg_bal
+FROM agg ORDER BY n_points DESC, cell_lat ASC, cell_lon ASC
+LIMIT {_HOT_K}
+"""
+
+
+QUERIES: dict[str, tuple] = {
+    "geo_nearest_hub_census": (geo_nearest_hub_census, GEO_NEAREST_HUB_SQL),
+    "geo_geohash_census": (geo_geohash_census, GEO_GEOHASH_CENSUS_SQL),
+    "geo_point_in_polygon": (geo_point_in_polygon, GEO_POINT_IN_POLYGON_SQL),
+    "geo_banded_distance_join": (geo_banded_distance_join, GEO_BANDED_JOIN_SQL),
+    "geo_grid_hotspots": (geo_grid_hotspots, GEO_GRID_HOTSPOTS_SQL),
+}

@@ -86,6 +86,7 @@ def _families() -> list[dict]:
     fams: list[dict] = []
     broken: list[str] = []
     for mod_name in (
+        "geo",
         "privacy",
         "corpus",
         "multimodal",

@@ -538,3 +538,81 @@ QUERIES: dict[str, tuple] = {
     "geo_banded_distance_join": (geo_banded_distance_join, GEO_BANDED_JOIN_SQL),
     "geo_grid_hotspots": (geo_grid_hotspots, GEO_GRID_HOTSPOTS_SQL),
 }
+
+
+def geo_user_travel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory mileage per user: events become position pings
+    (event_id geocoded like every other entity), consecutive pings
+    per user chain into legs via one PARTITIONED lag window
+    (per-user shards — skew-bounded by the busiest user, never a
+    global sort), each leg's haversine quantizes to 6 dp, and the
+    readout is a per-user-cohort (user_id % 10) travel census:
+    total km, mean leg, share of long (> 5000 km) legs. The
+    gov-telemetry shape: mobility audits over located pings.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id"
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        lat_col(F.col("event_id")).alias("lat"),
+        lon_col(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = ev.select(
+        "user_id",
+        F.round(
+            haversine_km(
+                F.lag("lat").over(w),
+                F.lag("lon").over(w),
+                F.col("lat"),
+                F.col("lon"),
+            ),
+            6,
+        ).alias("leg_km"),
+    ).filter(F.col("leg_km").isNotNull())
+    per_user = legs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.sum("leg_km").alias("total_km"),
+        F.avg("leg_km").alias("mean_km"),
+        F.avg((F.col("leg_km") > 5000.0).cast("double")).alias("long_share"),
+    )
+    return per_user.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_legs").alias("n_legs"),
+        _R4(F.avg("total_km"), "avg_total_km"),
+        _R4(F.avg("mean_km"), "avg_leg_km"),
+        _R4(F.avg("long_share"), "long_leg_share"),
+    )
+
+
+GEO_USER_TRAVEL_SQL = f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         {_lat_sql('event_id')} AS lat,
+         {_lon_sql('event_id')} AS lon
+  FROM events
+), legs AS (
+  SELECT user_id,
+         round({_haversine_sql(
+             'lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lat', 'lon')}, 6) AS leg_km
+  FROM pings
+), lf AS (SELECT * FROM legs WHERE leg_km IS NOT NULL),
+per_user AS (
+  SELECT user_id, count(*) AS n_legs, sum(leg_km) AS total_km,
+         avg(leg_km) AS mean_km,
+         avg(CASE WHEN leg_km > 5000.0 THEN 1.0 ELSE 0.0 END) AS long_share
+  FROM lf GROUP BY user_id
+)
+SELECT user_id % 10 AS cohort, count(*) AS n_users,
+       CAST(sum(n_legs) AS BIGINT) AS n_legs,
+       round(avg(total_km), 4) AS avg_total_km,
+       round(avg(mean_km), 4) AS avg_leg_km,
+       round(avg(long_share), 4) AS long_leg_share
+FROM per_user GROUP BY 1
+"""
+
+QUERIES["geo_user_travel_profile"] = (geo_user_travel_profile, GEO_USER_TRAVEL_SQL)

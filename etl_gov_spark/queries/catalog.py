@@ -15,61 +15,60 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 8 rotation: the 15 rewritten-plan queries first (the
-    # exact-ntile / two-phase-top-k / COW-CDC rewrites need fresh
-    # driver signal on their NEW plans), then every round-8-new
-    # operator (25), then changed-and-never-sampled sweep members,
-    # then vintage never-sampled fill to 50 (41/50 never-sampled).
-    "q_decile_lift",
-    "q_histogram_equidepth",
-    "corpus_curriculum_order",
-    "q_rfm_score_grid",
-    "q_revenue_quartiles",
-    "q_lorenz_deciles",
-    "q_customer_migration",
-    "q_price_dispersion",
-    "q_pareto_elbow",
-    "q_parts_momentum",
-    "q_croston_intermittent",
-    "graph_jaccard_link_prediction",
-    "dq_entropy_profile",
+    # Round 9 rotation: the 13 new/rewritten plans first (the geo
+    # family, the ranged_lag MTBF rewrite, the anchor-capped
+    # retrieval-eval family, the order-insensitive CDC merge), then
+    # never-driver-sampled queries in registry order (37/50).
+    "geo_nearest_hub_census",
+    "geo_geohash_census",
+    "geo_point_in_polygon",
+    "geo_banded_distance_join",
+    "geo_grid_hotspots",
+    "geo_user_travel_profile",
+    "q_mtbf_reliability",
+    "emb_knn_classify",
+    "emb_hard_negatives",
+    "emb_recall_at_k",
+    "emb_mrr_eval",
+    "emb_alignment_uniformity",
     "stream_cdc_upsert",
-    "q_abc_classification",
-    "q_durbin_watson",
-    "q_ljung_box",
-    "q_nelson_aalen",
-    "q_log_rank_test",
-    "q_gamma_fit_mom",
-    "q_page_hinkley",
-    "q_peak_detection",
-    "q_bollinger_breakouts",
-    "q_rsi_indicator",
-    "graph_assortativity",
-    "graph_global_transitivity",
-    "graph_two_hop_reach",
-    "dq_iqr_outliers",
-    "dq_regex_conformance",
-    "dq_monotonic_ids",
-    "text_stopword_profile",
-    "text_word_length_profile",
-    "corpus_source_token_js",
-    "emb_centroid_cosine_histogram",
-    "q_newsvendor_quantile",
-    "mm_aspect_ratio_census",
-    "corpus_dedup_impact",
-    "corpus_context_window_census",
-    "q_fill_rate_service_level",
-    "q_order_line_pareto",
-    "corpus_vocab_coverage",
-    "q_hill_tail_index",
-    "q_session_paths",
-    "q_behavior_surprise",
-    "q_tfidf_cosine_pairs",
-    "q_l_diversity_audit",
-    "corpus_length_buckets",
-    "corpus_shuffle_shards",
-    "corpus_quality_prune_sweep",
-    "corpus_rejection_sampling",
+    "corpus_span_corruption",
+    "corpus_skipgram_pairs",
+    "corpus_fewshot_pack",
+    "corpus_lognormal_fit",
+    "corpus_ngram_entropy",
+    "corpus_source_card",
+    "corpus_doc_length_gini",
+    "mm_scene_cuts",
+    "dq_weekday_adjusted_volume",
+    "dq_cardinality_drift",
+    "dq_sequence_rule",
+    "dq_category_mix_drift",
+    "dq_slo_burn_rate",
+    "q_incremental_rollup",
+    "q_incremental_join_mv",
+    "snapshot_rollback",
+    "q_systematic_sample",
+    "q_atkinson_index",
+    "q_fairness_fulfillment",
+    "q_last_digit_uniformity",
+    "q_indirect_standardization",
+    "q_benford_second_digit",
+    "q_gini_by_brand",
+    "q_hll_daily_weekly",
+    "q_bitmap_rollup_distinct",
+    "q_kmv_distinct_audit",
+    "q_approx_quantiles",
+    "q_winsorized_stats",
+    "q_price_elasticity",
+    "q_poisson_basket_fit",
+    "q_kruskal_wallis",
+    "q_spearman_corr",
+    "q_pettitt_changepoint",
+    "q_mutual_info_type_hour",
+    "q_permutation_entropy",
+    "q_anova_dow",
+    "q_brown_forsythe",
 )
 
 

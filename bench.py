@@ -68,6 +68,10 @@ HEADLINE = [
     # two-hop expansion) — the most expensive stressed family was
     # unrepresented in the pinned anchor until now
     "graph_two_hop_reach",
+    # r9 widening II: the geospatial trajectory shape (partitioned
+    # lag window at fact grain + bounded OD-cell aggregate) — the
+    # new family's hot plan, unrepresented until now
+    "geo_od_flow_matrix",
 ]
 
 

@@ -616,3 +616,452 @@ FROM per_user GROUP BY 1
 """
 
 QUERIES["geo_user_travel_profile"] = (geo_user_travel_profile, GEO_USER_TRAVEL_SQL)
+
+
+# --- round-9 widening II: flows, stays, hotspot statistics ---------
+
+_OD_CELL_MILLI = 30000  # 30° cells -> 4 lat bands x 12 lon bands = 48 cells
+
+
+def geo_od_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix: consecutive pings per user
+    chain into directed legs (the travel-profile lag machinery),
+    each endpoint buckets into a 30-degree grid cell by pure integer
+    division on millidegrees (codegen, cross-engine exact), and
+    flows aggregate per (origin_cell, dest_cell) with volume,
+    distinct movers and mean leg length.
+
+    Scale: the lag window is PARTITIONED by user (skew-bounded by
+    the busiest user, never a global sort) and the flow aggregate's
+    domain is bounded at 48x48 cells regardless of N, so the final
+    rollup can never skew or overflow a partition. The gov-mobility
+    staple: commuting / migration flow tables between regions.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id")
+    pings = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * _LAT_MULT) % 120000).alias("lat_m"),
+        ((F.col("event_id") * _LON_MULT) % 360000).alias("lon_m"),
+        lat_col(F.col("event_id")).alias("lat"),
+        lon_col(F.col("event_id")).alias("lon"),
+    ).withColumn(
+        "cell",
+        F.expr(f"lat_m div {_OD_CELL_MILLI}") * 12
+        + F.expr(f"lon_m div {_OD_CELL_MILLI}"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pings.select(
+        "user_id",
+        F.lag("cell").over(w).alias("origin_cell"),
+        F.col("cell").alias("dest_cell"),
+        F.round(
+            haversine_km(
+                F.lag("lat").over(w),
+                F.lag("lon").over(w),
+                F.col("lat"),
+                F.col("lon"),
+            ),
+            6,
+        ).alias("leg_km"),
+    ).filter(F.col("origin_cell").isNotNull())
+    return legs.groupBy("origin_cell", "dest_cell").agg(
+        F.count(F.lit(1)).alias("n_legs"),
+        F.countDistinct("user_id").alias("n_users"),
+        # sum, not avg: a mean of 6-dp values lands on half-grid
+        # decimal ties (avg of 2 is a 5e-7 grid point) where the
+        # engines' rounding modes diverge; a SUM of 6-dp values sits
+        # on the 1e-6 grid itself, so re-rounding to 6 dp is exact.
+        F.round(F.sum("leg_km"), 6).alias("total_km"),
+    )
+
+
+GEO_OD_FLOW_SQL = f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * {_LAT_MULT}) % 120000) // {_OD_CELL_MILLI} * 12
+           + ((event_id * {_LON_MULT}) % 360000) // {_OD_CELL_MILLI} AS cell,
+         {_lat_sql('event_id')} AS lat,
+         {_lon_sql('event_id')} AS lon
+  FROM events
+), legs AS (
+  SELECT user_id,
+         lag(cell) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS origin_cell,
+         cell AS dest_cell,
+         round({_haversine_sql(
+             'lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lat', 'lon')}, 6) AS leg_km
+  FROM pings
+)
+SELECT origin_cell, dest_cell, count(*) AS n_legs,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(leg_km), 6) AS total_km
+FROM legs WHERE origin_cell IS NOT NULL
+GROUP BY 1, 2
+"""
+
+QUERIES["geo_od_flow_matrix"] = (geo_od_flow_matrix, GEO_OD_FLOW_SQL)
+
+
+_STAY_KM = 2000.0  # legs under this chain pings into one "stay" episode
+
+
+def geo_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point (dwell) detection: within each user's ping stream,
+    a leg shorter than _STAY_KM keeps the user in the same episode;
+    a longer (or first) leg opens a new one. Episodes are carved by
+    the classic gaps-and-islands cumulative sum over a PARTITIONED
+    window -- integer arithmetic only, so the segmentation is
+    engine-exact -- and episodes spanning >= 2 pings are stays.
+    Readout: per-cohort census of stay counts, longest stay and the
+    share of pings spent dwelling.
+
+    Scale: both window passes (lag + running sum) share one
+    partitioned sort per user; the two aggregates reduce to
+    user then cohort grain. No global sort, no unbounded state.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id")
+    pings = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        lat_col(F.col("event_id")).alias("lat"),
+        lon_col(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pings.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(
+            haversine_km(
+                F.lag("lat").over(w),
+                F.lag("lon").over(w),
+                F.col("lat"),
+                F.col("lon"),
+            ),
+            6,
+        ).alias("leg_km"),
+    ).withColumn(
+        "is_break",
+        (F.col("leg_km").isNull() | (F.col("leg_km") > _STAY_KM)).cast("int"),
+    )
+    episodes = legs.withColumn(
+        "episode",
+        F.sum("is_break").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ep_sizes = episodes.groupBy("user_id", "episode").agg(
+        F.count(F.lit(1)).alias("n_pings")
+    )
+    per_user = ep_sizes.groupBy("user_id").agg(
+        F.sum("n_pings").alias("total_pings"),
+        F.sum((F.col("n_pings") >= 2).cast("int")).alias("n_stays"),
+        F.sum(
+            F.when(F.col("n_pings") >= 2, F.col("n_pings")).otherwise(F.lit(0))
+        ).alias("stay_pings"),
+        F.max(F.when(F.col("n_pings") >= 2, F.col("n_pings"))).alias(
+            "max_stay"
+        ),
+    )
+    return per_user.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_stays").alias("n_stays"),
+        _R4(F.avg("max_stay"), "avg_max_stay"),
+        F.round(F.sum("stay_pings") / F.sum("total_pings"), 6).alias(
+            "dwell_share"
+        ),
+    )
+
+
+GEO_STAY_POINTS_SQL = f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         {_lat_sql('event_id')} AS lat, {_lon_sql('event_id')} AS lon
+  FROM events
+), legs AS (
+  SELECT user_id, ts, event_id,
+         round({_haversine_sql(
+             'lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lat', 'lon')}, 6) AS leg_km
+  FROM pings
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN leg_km IS NULL OR leg_km > {_STAY_KM} THEN 1 ELSE 0 END AS is_break
+  FROM legs
+), episodes AS (
+  SELECT user_id,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS episode
+  FROM flagged
+), ep_sizes AS (
+  SELECT user_id, episode, count(*) AS n_pings
+  FROM episodes GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id,
+         sum(n_pings) AS total_pings,
+         sum(CASE WHEN n_pings >= 2 THEN 1 ELSE 0 END) AS n_stays,
+         sum(CASE WHEN n_pings >= 2 THEN n_pings ELSE 0 END) AS stay_pings,
+         max(CASE WHEN n_pings >= 2 THEN n_pings END) AS max_stay
+  FROM ep_sizes GROUP BY 1
+)
+SELECT user_id % 10 AS cohort, count(*) AS n_users,
+       CAST(sum(n_stays) AS BIGINT) AS n_stays,
+       round(avg(max_stay), 4) AS avg_max_stay,
+       round(CAST(sum(stay_pings) AS DOUBLE) / sum(total_pings), 6) AS dwell_share
+FROM per_user GROUP BY 1
+"""
+
+QUERIES["geo_stay_points"] = (geo_stay_points, GEO_STAY_POINTS_SQL)
+
+
+_GI_DOMAIN = 120 * 360  # 1-degree cells over the +/-60 lat band
+_GI_TOPK = 15
+
+
+def geo_gi_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hot-spot statistic over 1-degree grid cells
+    (rook+diagonal 3x3 neighborhood, self included, binary weights
+    W = 9): z_i = (S_i - 9*mu) / (sd * sqrt((9*D - 81) / (D - 1)))
+    with mu/sd the population moments over the FULL D = 43200-cell
+    domain (empty cells contribute zero to both sums, so the
+    moments come straight off the occupied-cell aggregate -- no
+    dense grid is ever materialized).
+
+    Distribution strategy: each occupied cell SCATTERS its count to
+    its nine neighborhood centers (explode of a 9-literal offset
+    array -- longitude wraps, latitude clamps), the scatter stream
+    re-aggregates per center, and only centers that are themselves
+    occupied survive the final broadcastable join. Candidates scale
+    with occupied cells, never with the domain or N^2; moments ride
+    in on a one-row broadcast cross join. Scores quantize to 6 dp
+    BEFORE the two-phase top-k (quantize-then-rank contract).
+    """
+    cust = Catalog(spark, sf_dir).customer.select(
+        ((F.col("c_custkey") * _LAT_MULT) % 120000).alias("lat_m"),
+        ((F.col("c_custkey") * _LON_MULT) % 360000).alias("lon_m"),
+    )
+    cells = cust.select(
+        F.expr("lat_m div 1000").alias("cell_lat"),
+        F.expr("lon_m div 1000").alias("cell_lon"),
+    ).groupBy("cell_lat", "cell_lon").agg(F.count(F.lit(1)).alias("n_points"))
+
+    stats = cells.agg(
+        (F.sum("n_points") / F.lit(float(_GI_DOMAIN))).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("n_points") * F.col("n_points"))
+            / F.lit(float(_GI_DOMAIN))
+            - F.pow(F.sum("n_points") / F.lit(float(_GI_DOMAIN)), 2)
+        ).alias("sd"),
+    )
+
+    offsets = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({dlat} as dlat, {dlon} as dlon)"
+            for dlat in (-1, 0, 1)
+            for dlon in (-1, 0, 1)
+        )
+        + ")"
+    )
+    scatter = (
+        cells.select("cell_lat", "cell_lon", "n_points", F.explode(offsets).alias("o"))
+        .select(
+            (F.col("cell_lat") + F.col("o.dlat")).alias("ctr_lat"),
+            ((F.col("cell_lon") + F.col("o.dlon") + 360) % 360).alias("ctr_lon"),
+            "n_points",
+        )
+        .filter((F.col("ctr_lat") >= 0) & (F.col("ctr_lat") <= 119))
+        .groupBy("ctr_lat", "ctr_lon")
+        .agg(F.sum("n_points").alias("nbr_points"))
+    )
+
+    scored = (
+        cells.join(
+            scatter,
+            (cells.cell_lat == scatter.ctr_lat)
+            & (cells.cell_lon == scatter.ctr_lon),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "cell_lat",
+            "cell_lon",
+            "n_points",
+            "nbr_points",
+            F.round(
+                (F.col("nbr_points") - 9.0 * F.col("mu"))
+                / (
+                    F.col("sd")
+                    * F.sqrt(
+                        F.lit(
+                            (9.0 * _GI_DOMAIN - 81.0) / (_GI_DOMAIN - 1.0)
+                        )
+                    )
+                ),
+                6,
+            ).alias("gi_z"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("gi_z"), F.asc("cell_lat"), F.asc("cell_lon")
+    ).limit(_GI_TOPK)
+
+
+GEO_GI_HOTSPOTS_SQL = f"""
+WITH cells AS (
+  SELECT ((c_custkey * {_LAT_MULT}) % 120000) // 1000 AS cell_lat,
+         ((c_custkey * {_LON_MULT}) % 360000) // 1000 AS cell_lon,
+         count(*) AS n_points
+  FROM customer GROUP BY 1, 2
+), stats AS (
+  SELECT CAST(sum(n_points) AS DOUBLE) / {_GI_DOMAIN} AS mu,
+         sqrt(CAST(sum(n_points * n_points) AS DOUBLE) / {_GI_DOMAIN}
+              - pow(CAST(sum(n_points) AS DOUBLE) / {_GI_DOMAIN}, 2)) AS sd
+  FROM cells
+), scatter AS (
+  SELECT cell_lat + dlat AS ctr_lat,
+         (cell_lon + dlon + 360) % 360 AS ctr_lon,
+         n_points
+  FROM cells
+  CROSS JOIN (VALUES (-1), (0), (1)) AS ol(dlat)
+  CROSS JOIN (VALUES (-1), (0), (1)) AS oo(dlon)
+  WHERE cell_lat + dlat BETWEEN 0 AND 119
+), nbr AS (
+  SELECT ctr_lat, ctr_lon, CAST(sum(n_points) AS BIGINT) AS nbr_points
+  FROM scatter GROUP BY 1, 2
+)
+SELECT c.cell_lat, c.cell_lon, c.n_points, n.nbr_points,
+       round((n.nbr_points - 9.0 * s.mu)
+             / (s.sd * sqrt((9.0 * {_GI_DOMAIN} - 81.0) / ({_GI_DOMAIN} - 1.0))),
+             6) AS gi_z
+FROM cells c
+JOIN nbr n ON n.ctr_lat = c.cell_lat AND n.ctr_lon = c.cell_lon
+CROSS JOIN stats s
+ORDER BY gi_z DESC, c.cell_lat ASC, c.cell_lon ASC
+LIMIT {_GI_TOPK}
+"""
+
+QUERIES["geo_gi_hotspots"] = (geo_gi_hotspots, GEO_GI_HOTSPOTS_SQL)
+
+
+def geo_trip_straightness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trip straightness index per user: net displacement (first to
+    last ping, by time) over total path length -- 1.0 is a straight
+    line, near 0 is wandering. First/last positions come off the
+    SAME partitioned sort as the leg lags (row_number ascending +
+    partition count), folded to user grain by conditional
+    aggregation; no second sort, no self-join.
+
+    Scale: one partitioned window pass, two grouped reductions
+    (user, then cohort of 10). Users with a single ping carry no
+    path and are excluded before the ratio.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id")
+    pings = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        lat_col(F.col("event_id")).alias("lat"),
+        lon_col(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    marked = pings.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_pings"),
+        F.round(
+            haversine_km(
+                F.lag("lat").over(w),
+                F.lag("lon").over(w),
+                F.col("lat"),
+                F.col("lon"),
+            ),
+            6,
+        ).alias("leg_km"),
+    )
+    per_user = (
+        marked.groupBy("user_id")
+        .agg(
+            F.max("n_pings").alias("n_pings"),
+            F.sum("leg_km").alias("total_km"),
+            F.max(F.when(F.col("rn") == 1, F.col("lat"))).alias("lat0"),
+            F.max(F.when(F.col("rn") == 1, F.col("lon"))).alias("lon0"),
+            F.max(
+                F.when(F.col("rn") == F.col("n_pings"), F.col("lat"))
+            ).alias("lat1"),
+            F.max(
+                F.when(F.col("rn") == F.col("n_pings"), F.col("lon"))
+            ).alias("lon1"),
+        )
+        .filter(F.col("n_pings") >= 2)
+        .select(
+            "user_id",
+            "total_km",
+            F.round(
+                haversine_km(
+                    F.col("lat0"), F.col("lon0"), F.col("lat1"), F.col("lon1")
+                ),
+                6,
+            ).alias("net_km"),
+        )
+    )
+    return per_user.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        _R4(F.avg("net_km"), "avg_net_km"),
+        _R4(F.avg("total_km"), "avg_total_km"),
+        _R4(
+            F.avg(
+                F.when(
+                    F.col("total_km") > 0.0,
+                    F.col("net_km") / F.col("total_km"),
+                )
+            ),
+            "avg_straightness",
+        ),
+    )
+
+
+GEO_TRIP_STRAIGHTNESS_SQL = f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         {_lat_sql('event_id')} AS lat, {_lon_sql('event_id')} AS lon
+  FROM events
+), marked AS (
+  SELECT user_id, lat, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_pings,
+         round({_haversine_sql(
+             'lag(lat) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lag(lon) OVER (PARTITION BY user_id ORDER BY ts, event_id)',
+             'lat', 'lon')}, 6) AS leg_km
+  FROM pings
+), per_user_raw AS (
+  SELECT user_id,
+         max(n_pings) AS n_pings,
+         sum(leg_km) AS total_km,
+         max(CASE WHEN rn = 1 THEN lat END) AS lat0,
+         max(CASE WHEN rn = 1 THEN lon END) AS lon0,
+         max(CASE WHEN rn = n_pings THEN lat END) AS lat1,
+         max(CASE WHEN rn = n_pings THEN lon END) AS lon1
+  FROM marked GROUP BY 1
+), per_user AS (
+  SELECT user_id, total_km,
+         round({_haversine_sql('lat0', 'lon0', 'lat1', 'lon1')}, 6) AS net_km
+  FROM per_user_raw WHERE n_pings >= 2
+)
+SELECT user_id % 10 AS cohort, count(*) AS n_users,
+       round(avg(net_km), 4) AS avg_net_km,
+       round(avg(total_km), 4) AS avg_total_km,
+       round(avg(CASE WHEN total_km > 0.0 THEN net_km / total_km END), 4)
+         AS avg_straightness
+FROM per_user GROUP BY 1
+"""
+
+QUERIES["geo_trip_straightness"] = (geo_trip_straightness, GEO_TRIP_STRAIGHTNESS_SQL)

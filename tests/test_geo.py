@@ -195,3 +195,127 @@ def test_geocoder_band_and_determinism(spark, sf_dir):
     a = cust.orderBy("c_custkey").limit(5).collect()
     b = cust.orderBy("c_custkey").limit(5).collect()
     assert [(r["lat"], r["lon"]) for r in a] == [(r["lat"], r["lon"]) for r in b]
+
+
+# --- round-9 widening II: flows, stays, Gi*, straightness ----------
+
+
+def _events_pd(sf_dir):
+    import pandas as pd
+
+    return pd.read_parquet(f"{sf_dir}/events.parquet")[
+        ["user_id", "ts", "event_id"]
+    ].sort_values(["user_id", "ts", "event_id"])
+
+
+def _ping(eid: int) -> tuple[float, float]:
+    lat = ((eid * G._LAT_MULT) % 120000) / 1000.0 - 60.0
+    lon = ((eid * G._LON_MULT) % 360000) / 1000.0 - 180.0
+    return lat, lon
+
+
+def test_od_flow_matrix_conserves_legs(spark, sf_dir):
+    """Every user with n pings contributes exactly n-1 legs, cells
+    stay in the bounded 0..47 domain, and the flow total matches."""
+    res = G.geo_od_flow_matrix(spark, sf_dir).collect()
+    ev = _events_pd(sf_dir)
+    n_events = len(ev)
+    n_users = ev["user_id"].nunique()
+    assert sum(r["n_legs"] for r in res) == n_events - n_users
+    for r in res:
+        assert 0 <= r["origin_cell"] <= 47 and 0 <= r["dest_cell"] <= 47
+        assert r["n_users"] <= r["n_legs"]
+
+
+def test_stay_points_matches_python_reference(spark, sf_dir):
+    """The gaps-and-islands segmentation agrees with an independent
+    row-at-a-time Python walk over the same event stream."""
+    res = {r["cohort"]: r for r in G.geo_stay_points(spark, sf_dir).collect()}
+    ev = _events_pd(sf_dir)
+    stays, users, stay_pings, total_pings = {}, {}, {}, {}
+    for uid, grp in ev.groupby("user_id"):
+        prev = None
+        episodes = []
+        for eid in grp["event_id"]:
+            lat, lon = _ping(int(eid))
+            if prev is None:
+                episodes.append(1)
+            else:
+                leg = round(_ref_haversine(prev[0], prev[1], lat, lon), 6)
+                if leg > G._STAY_KM:
+                    episodes.append(1)
+                else:
+                    episodes[-1] += 1
+            prev = (lat, lon)
+        c = int(uid) % 10
+        users[c] = users.get(c, 0) + 1
+        stays[c] = stays.get(c, 0) + sum(1 for e in episodes if e >= 2)
+        stay_pings[c] = stay_pings.get(c, 0) + sum(e for e in episodes if e >= 2)
+        total_pings[c] = total_pings.get(c, 0) + len(grp)
+    for c, r in res.items():
+        assert r["n_users"] == users[c]
+        assert r["n_stays"] == stays[c]
+        assert r["dwell_share"] == round(stay_pings[c] / total_pings[c], 6)
+
+
+def test_gi_hotspots_matches_python_reference(spark, sf_dir):
+    """Top-15 Gi* cells and scores agree with a dense numpy replay
+    of the scatter + population-moment formula."""
+    import pandas as pd
+
+    res = G.geo_gi_hotspots(spark, sf_dir).collect()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")["c_custkey"]
+    counts = {}
+    for k in cust:
+        cell = (
+            int((k * G._LAT_MULT) % 120000) // 1000,
+            int((k * G._LON_MULT) % 360000) // 1000,
+        )
+        counts[cell] = counts.get(cell, 0) + 1
+    D = 120 * 360
+    n = sum(counts.values())
+    mu = n / D
+    sd = math.sqrt(sum(c * c for c in counts.values()) / D - mu * mu)
+    denom = sd * math.sqrt((9.0 * D - 81.0) / (D - 1.0))
+    scored = []
+    for (la, lo), c in counts.items():
+        s = 0
+        for dla in (-1, 0, 1):
+            for dlo in (-1, 0, 1):
+                nb = (la + dla, (lo + dlo + 360) % 360)
+                if 0 <= nb[0] <= 119:
+                    s += counts.get(nb, 0)
+        scored.append((round((s - 9.0 * mu) / denom, 6), la, lo, c, s))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = scored[:15]
+    assert len(res) == 15
+    for r, (z, la, lo, c, s) in zip(res, want):
+        assert (r["cell_lat"], r["cell_lon"]) == (la, lo)
+        assert r["gi_z"] == z
+        assert r["n_points"] == c and r["nbr_points"] == s
+
+
+def test_trip_straightness_bounded_by_triangle_inequality(spark, sf_dir):
+    """Net displacement can't exceed path length (haversine is a
+    metric), so every cohort-average straightness sits in (0, 1]."""
+    res = G.geo_trip_straightness(spark, sf_dir).collect()
+    assert len(res) == 10
+    for r in res:
+        assert 0.0 < r["avg_straightness"] <= 1.0 + 1e-6
+        assert r["avg_net_km"] <= r["avg_total_km"] + 1e-6
+
+
+def test_new_geo_plans_scale_safe(spark, sf_dir):
+    """No single-partition exchange in any of the four new plans
+    except Gi*'s final top-15, which must be a distributed take."""
+    for fn in (
+        G.geo_od_flow_matrix,
+        G.geo_stay_points,
+        G.geo_trip_straightness,
+    ):
+        p = _plan(fn(spark, sf_dir))
+        assert "Exchange SinglePartition" not in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+    gi = _plan(G.geo_gi_hotspots(spark, sf_dir))
+    assert "TakeOrderedAndProject" in gi
+    assert "CartesianProduct" not in gi

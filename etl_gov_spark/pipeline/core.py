@@ -317,6 +317,10 @@ class _Task:
     # at run time; sizing keys (cpus/memory_gb/...) are rendered into
     # submit confs by deploy.executor_override_conf for cluster runs
     executor_config: dict[str, Any] | None = None
+    # per-incoming-edge labels, dep name → label (≈ Label("yes") in
+    # example_branch_labels.py — graph-view annotation, no semantics).
+    # LAST field: several call sites construct _Task positionally.
+    edge_labels: dict[str, str] | None = None
 
 
 class Pipeline:
@@ -605,6 +609,7 @@ class Pipeline:
                 "name": t.name,
                 "display_name": t.display_name or t.name,
                 "deps": list(t.deps),
+                "edge_labels": dict(t.edge_labels or {}),
                 "trigger_rule": t.trigger_rule,
                 "retries": t.retries,
             }
@@ -699,13 +704,17 @@ class Pipeline:
         chooser: Callable[[PipelineContext], str],
         branches: dict[str, Callable[[PipelineContext], Any]],
         deps: Iterable[str] = (),
+        labels: dict[str, str] | None = None,
     ) -> list[str]:
         """Conditional plan construction (≈ BranchPythonOperator):
         ``chooser(ctx)`` names one branch; the others are recorded
         as skipped and their downstreams (with the default trigger
         rule) cascade-skip. Returns the branch task names — use them
         as deps; a join task that should run whichever branch was
-        taken uses ``trigger_rule="none_failed"``."""
+        taken uses ``trigger_rule="none_failed"``. Each chooser →
+        branch edge is labeled with the branch key (override via
+        ``labels``, ≈ Label() in example_branch_labels.py), surfaced
+        by ``describe()``."""
         qname = self._qualify(name)
 
         def _choose(ctx: PipelineContext) -> str:
@@ -728,9 +737,87 @@ class Pipeline:
                     raise TaskSkipped(_key)
                 return _fn(ctx)
 
-            self._add(_Task(bname, _branch_fn, (qname,)))
+            self._add(
+                _Task(
+                    bname,
+                    _branch_fn,
+                    (qname,),
+                    edge_labels={qname: (labels or {}).get(key, key)},
+                )
+            )
             names.append(bname)
         return names
+
+    def _logical_dt(self, ctx: PipelineContext) -> datetime:
+        """The run's logical datetime: the data interval's start when
+        scheduled, else the ``run_date`` param, else now (manual
+        runs branch on the wall clock, Airflow's own fallback)."""
+        if ctx.data_interval is not None:
+            return ctx.data_interval.start
+        rd = ctx.params.get("run_date")
+        if rd is not None:
+            return datetime.fromisoformat(str(rd))
+        return datetime.now()
+
+    def branch_day_of_week(
+        self,
+        name: str,
+        week_day: str | Iterable[str],
+        follow_if_true: Callable[[PipelineContext], Any],
+        follow_if_false: Callable[[PipelineContext], Any],
+        deps: Iterable[str] = (),
+    ) -> list[str]:
+        """≈ BranchDayOfWeekOperator (reference
+        dags/example_branch_day_of_week_operator.py:40): follow the
+        ``true`` branch when the run's logical date falls on
+        ``week_day`` (a day name like "Monday", or several). A
+        convenience spelling of ``branch`` — same skip/cascade/join
+        semantics, edges labeled true/false."""
+        days = {week_day} if isinstance(week_day, str) else set(week_day)
+        days = {d.strip().lower() for d in days}
+
+        def _chooser(ctx: PipelineContext) -> str:
+            dow = self._logical_dt(ctx).strftime("%A").lower()
+            return "true" if dow in days else "false"
+
+        return self.branch(
+            name,
+            chooser=_chooser,
+            branches={"true": follow_if_true, "false": follow_if_false},
+            deps=deps,
+        )
+
+    def branch_datetime(
+        self,
+        name: str,
+        lower: datetime,
+        upper: datetime,
+        follow_if_in: Callable[[PipelineContext], Any],
+        follow_if_out: Callable[[PipelineContext], Any],
+        deps: Iterable[str] = (),
+    ) -> list[str]:
+        """≈ BranchDateTimeOperator (reference
+        dags/example_branch_datetime_operator.py:47): follow the
+        ``in_window`` branch when the run's logical datetime lies in
+        [lower, upper]. Same convenience-over-``branch`` shape as
+        ``branch_day_of_week``."""
+
+        def _chooser(ctx: PipelineContext) -> str:
+            return (
+                "in_window"
+                if lower <= self._logical_dt(ctx) <= upper
+                else "out_of_window"
+            )
+
+        return self.branch(
+            name,
+            chooser=_chooser,
+            branches={
+                "in_window": follow_if_in,
+                "out_of_window": follow_if_out,
+            },
+            deps=deps,
+        )
 
     def short_circuit(
         self,

@@ -697,3 +697,70 @@ def test_executor_override_conf_rendering():
         "job.py", "yarn", plan, extra_conf=executor_override_conf({"cpus": 8})
     )
     assert "--conf" in argv and "spark.executor.cores=8" in argv
+
+
+def test_branch_edges_labeled_in_describe(spark):
+    """branch() labels each chooser→branch edge with the branch key
+    (override via labels=), surfaced by describe() — the
+    example_branch_labels.py graph-view annotation."""
+    p = Pipeline("labeled", spark)
+    p.branch(
+        "route",
+        chooser=lambda ctx: "yes",
+        branches={"yes": lambda ctx: 1, "no": lambda ctx: 0},
+        labels={"no": "skip it"},
+    )
+    meta = {t["name"]: t for t in p.describe()}
+    assert meta["route.yes"]["edge_labels"] == {"route": "yes"}
+    assert meta["route.no"]["edge_labels"] == {"route": "skip it"}
+    assert meta["route"]["edge_labels"] == {}
+
+
+def test_branch_day_of_week(spark):
+    """branch_day_of_week follows true exactly on the named weekday
+    of the run's logical date (2024-01-01 was a Monday)."""
+    p = Pipeline("dow", spark)
+    p.branch_day_of_week(
+        "weekly",
+        week_day="Monday",
+        follow_if_true=lambda ctx: "monday work",
+        follow_if_false=lambda ctx: "weekday work",
+    )
+    ctx = p.run(run_date="2024-01-01")
+    assert ctx.pull("weekly.true") == "monday work"
+    assert "weekly.false" in ctx.skipped
+
+    p2 = Pipeline("dow2", spark)
+    p2.branch_day_of_week(
+        "weekly",
+        week_day=["Saturday", "Sunday"],
+        follow_if_true=lambda ctx: "weekend",
+        follow_if_false=lambda ctx: "weekday",
+    )
+    ctx2 = p2.run(run_date="2024-01-02")  # a Tuesday
+    assert ctx2.pull("weekly.false") == "weekday"
+    assert "weekly.true" in ctx2.skipped
+
+
+def test_branch_datetime_window(spark):
+    """branch_datetime follows in_window iff the logical datetime
+    falls inside [lower, upper]."""
+    from datetime import datetime
+
+    lower = datetime(2024, 6, 1)
+    upper = datetime(2024, 6, 30, 23, 59)
+    for run_date, taken, skipped in [
+        ("2024-06-15", "in_window", "out_of_window"),
+        ("2024-07-15", "out_of_window", "in_window"),
+    ]:
+        p = Pipeline("dt", spark)
+        p.branch_datetime(
+            "window",
+            lower=lower,
+            upper=upper,
+            follow_if_in=lambda ctx: "in",
+            follow_if_out=lambda ctx: "out",
+        )
+        ctx = p.run(run_date=run_date)
+        assert f"window.{skipped}" in ctx.skipped
+        ctx.pull(f"window.{taken}")

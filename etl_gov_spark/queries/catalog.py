@@ -15,10 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 9 rotation: the 13 new/rewritten plans first (the geo
-    # family, the ranged_lag MTBF rewrite, the anchor-capped
-    # retrieval-eval family, the order-insensitive CDC merge), then
-    # never-driver-sampled queries in registry order (37/50).
+    # Round 9 rotation: the 17 new/rewritten plans first (the geo
+    # family including the session-2 widening, the ranged_lag MTBF
+    # rewrite, the anchor-capped retrieval-eval family, the
+    # order-insensitive CDC merge), then never-driver-sampled
+    # queries in registry order (33/50).
+    "geo_od_flow_matrix",
+    "geo_stay_points",
+    "geo_gi_hotspots",
+    "geo_trip_straightness",
     "geo_nearest_hub_census",
     "geo_geohash_census",
     "geo_point_in_polygon",

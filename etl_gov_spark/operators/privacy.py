@@ -325,3 +325,189 @@ ORDER BY c_nationkey
 """
 
 QUERIES["q_t_closeness_audit"] = (q_t_closeness_audit, Q_T_CLOSENESS_SQL)
+
+
+# --- round-9 widening: cell suppression + DP mean ------------------
+
+_SUPPRESS_K = 10  # publish threshold: cells under 10 individuals hide
+
+
+def q_small_cell_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-cell suppression — the statistical-disclosure-control
+    gate every census/health table passes before release: counts on
+    the (nation, segment, balance-band) grid are PRIMARY-suppressed
+    under _SUPPRESS_K, and any (nation, segment) row left with
+    exactly ONE suppressed cell gets its smallest surviving cell
+    COMPLEMENTARY-suppressed (one pass of the standard rule —
+    otherwise the hidden value is recoverable from the row margin).
+
+    Plan: one scan → bounded-grid aggregate (≤ 25×5×12 cells), then
+    window algebra PARTITIONED by the (nation, segment) row — the
+    row domain is bounded, so no window ever sees more than the
+    band count. Readout: per-row census of published/suppressed
+    cells and the published margin.
+    """
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    cells = cust.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wr = Window.partitionBy("c_nationkey", "c_mktsegment")
+    flagged = cells.withColumn(
+        "primary", (F.col("n") < _SUPPRESS_K).cast("int")
+    ).withColumn("n_primary", F.sum("primary").over(wr))
+    # rank surviving cells small-first (band id breaks count ties);
+    # the rank-1 survivor of a one-suppression row hides too
+    surv_rank = F.row_number().over(
+        wr.orderBy(
+            F.when(F.col("primary") == 1, F.lit(None)).otherwise(F.col("n")).asc_nulls_last(),
+            "bal_band",
+        )
+    )
+    marked = flagged.withColumn(
+        "complementary",
+        (
+            (F.col("primary") == 0)
+            & (F.col("n_primary") == 1)
+            & (surv_rank == 1)
+        ).cast("int"),
+    )
+    return marked.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("primary").alias("n_primary"),
+        F.sum("complementary").alias("n_complementary"),
+        F.sum(
+            F.when(
+                (F.col("primary") == 0) & (F.col("complementary") == 0),
+                F.col("n"),
+            ).otherwise(F.lit(0))
+        ).alias("published_total"),
+    )
+
+
+Q_SMALL_CELL_SUPPRESSION_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+), cells AS (
+  SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n
+  FROM cust GROUP BY 1, 2, 3
+), flagged AS (
+  SELECT *,
+         CASE WHEN n < {_SUPPRESS_K} THEN 1 ELSE 0 END AS "primary",
+         sum(CASE WHEN n < {_SUPPRESS_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY c_nationkey, c_mktsegment) AS n_primary
+  FROM cells
+), marked AS (
+  SELECT *,
+         CASE WHEN "primary" = 0 AND n_primary = 1
+                   AND row_number() OVER (
+                         PARTITION BY c_nationkey, c_mktsegment
+                         ORDER BY CASE WHEN "primary" = 1 THEN NULL ELSE n END
+                                  ASC NULLS LAST,
+                                  bal_band) = 1
+              THEN 1 ELSE 0 END AS complementary
+  FROM flagged
+)
+SELECT c_nationkey, c_mktsegment, count(*) AS n_cells,
+       CAST(sum("primary") AS BIGINT) AS n_primary,
+       CAST(sum(complementary) AS BIGINT) AS n_complementary,
+       CAST(sum(CASE WHEN "primary" = 0 AND complementary = 0 THEN n
+                     ELSE 0 END) AS BIGINT) AS published_total
+FROM marked GROUP BY 1, 2
+"""
+
+QUERIES["q_small_cell_suppression"] = (
+    q_small_cell_suppression,
+    Q_SMALL_CELL_SUPPRESSION_SQL,
+)
+
+
+_DP_CLAMP_LO, _DP_CLAMP_HI = 0.0, 5000.0  # bounded contribution window
+
+
+def q_dp_private_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε=1 DP mean of account balance per market segment via the
+    standard sum/count decomposition: values clamp to
+    [_DP_CLAMP_LO, _DP_CLAMP_HI] (bounded contribution), the budget
+    splits ε/2 + ε/2 across the two releases, so Laplace scales are
+    b_sum = 2·(hi−lo)/ε and b_cnt = 2/ε; the published mean is
+    noisy_sum / max(noisy_n, 1) — post-processing, costs no budget.
+    Noise uses the portable md5 inverse-CDF draw (deterministic,
+    hence exactly oracle-replayable; a production release keys it
+    with a secret seed).
+
+    Plan: one map-side-combined aggregate over 5 segments, then
+    row-local algebra — no second scan, no window, no shuffle
+    beyond the 5-group reduce.
+    """
+    b_sum = 2.0 * (_DP_CLAMP_HI - _DP_CLAMP_LO) / DP_EPSILON
+    b_cnt = 2.0 / DP_EPSILON
+    cust = Catalog(spark, sf_dir).customer.select(
+        "c_mktsegment",
+        F.least(
+            F.greatest(F.col("c_acctbal"), F.lit(_DP_CLAMP_LO)),
+            F.lit(_DP_CLAMP_HI),
+        ).alias("clamped"),
+    )
+    agg = cust.groupBy("c_mktsegment").agg(
+        F.sum("clamped").alias("true_sum"), F.count(F.lit(1)).alias("true_n")
+    )
+
+    def lap(tag: str, b: float) -> F.Column:
+        u = _draw01(F.concat(F.lit(tag), F.col("c_mktsegment"))) - F.lit(0.5)
+        return -F.lit(b) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+
+    noisy = agg.select(
+        "c_mktsegment",
+        (F.col("true_sum") + lap("dpsum:", b_sum)).alias("noisy_sum"),
+        (F.col("true_n") + lap("dpcnt:", b_cnt)).alias("noisy_n"),
+    )
+    return noisy.select(
+        "c_mktsegment",
+        _R4(F.col("noisy_sum"), "noisy_sum"),
+        _R4(F.col("noisy_n"), "noisy_n"),
+        _R4(
+            F.col("noisy_sum") / F.greatest(F.col("noisy_n"), F.lit(1.0)),
+            "dp_mean",
+        ),
+        F.lit(DP_EPSILON).alias("epsilon"),
+        F.lit(_DP_CLAMP_HI - _DP_CLAMP_LO).alias("clamp_width"),
+    )
+
+
+Q_DP_PRIVATE_MEAN_SQL = f"""
+WITH agg AS (
+  SELECT c_mktsegment,
+         sum(least(greatest(c_acctbal, {_DP_CLAMP_LO!r}), {_DP_CLAMP_HI!r})) AS true_sum,
+         count(*) AS true_n
+  FROM customer GROUP BY 1
+), noised AS (
+  SELECT c_mktsegment, true_sum, true_n,
+         (CAST('0x' || substr(md5('dpsum:' || c_mktsegment), 1, 12) AS BIGINT) + 1)
+           / {_U_DENOM!r} - 0.5 AS us,
+         (CAST('0x' || substr(md5('dpcnt:' || c_mktsegment), 1, 12) AS BIGINT) + 1)
+           / {_U_DENOM!r} - 0.5 AS uc
+  FROM agg
+), pub AS (
+  SELECT c_mktsegment,
+         true_sum + (-{2.0 * (_DP_CLAMP_HI - _DP_CLAMP_LO) / DP_EPSILON!r})
+           * sign(us) * ln(1.0 - 2.0 * abs(us)) AS noisy_sum,
+         true_n + (-{2.0 / DP_EPSILON!r})
+           * sign(uc) * ln(1.0 - 2.0 * abs(uc)) AS noisy_n
+  FROM noised
+)
+SELECT c_mktsegment,
+       round(noisy_sum, 4) AS noisy_sum,
+       round(noisy_n, 4) AS noisy_n,
+       round(noisy_sum / greatest(noisy_n, 1.0), 4) AS dp_mean,
+       CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon,
+       CAST({_DP_CLAMP_HI - _DP_CLAMP_LO!r} AS DOUBLE) AS clamp_width
+FROM pub
+"""
+
+QUERIES["q_dp_private_mean"] = (q_dp_private_mean, Q_DP_PRIVATE_MEAN_SQL)

@@ -117,3 +117,94 @@ def test_systematic_sample_rate_and_means(spark, sf_dir):
     for r in rows:
         # price-ordered systematic sampling tracks each stratum mean
         assert 0.5 < r.mean_ratio < 2.0
+
+
+def test_small_cell_suppression_reference(spark, sf_dir):
+    """Primary + one-pass complementary suppression agrees with an
+    independent pandas replay of the rule, and a row with exactly
+    one primary-suppressed cell always hides a second cell."""
+    import math
+
+    import pandas as pd
+
+    from etl_gov_spark.operators.privacy import (
+        _SUPPRESS_K,
+        q_small_cell_suppression,
+    )
+
+    rows = {
+        (r.c_nationkey, r.c_mktsegment): r
+        for r in q_small_cell_suppression(spark, sf_dir).collect()
+    }
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    cust["band"] = (cust["c_acctbal"] / 1000).apply(math.floor)
+    cells = (
+        cust.groupby(["c_nationkey", "c_mktsegment", "band"])
+        .size()
+        .reset_index(name="n")
+    )
+    for (nk, seg), grp in cells.groupby(["c_nationkey", "c_mktsegment"]):
+        primary = grp[grp["n"] < _SUPPRESS_K]
+        survivors = grp[grp["n"] >= _SUPPRESS_K].sort_values(["n", "band"])
+        n_comp = 1 if len(primary) == 1 and len(survivors) else 0
+        pub = survivors["n"].sum() - (
+            survivors.iloc[0]["n"] if n_comp else 0
+        )
+        r = rows[(nk, seg)]
+        assert r.n_cells == len(grp)
+        assert r.n_primary == len(primary)
+        assert r.n_complementary == n_comp
+        assert r.published_total == pub
+        # the disclosure rule itself: one hidden cell is never
+        # published alone next to its row margin (a row whose ONLY
+        # cell is suppressed has nothing to hide complementarily)
+        if r.n_primary == 1 and r.n_cells > 1:
+            assert r.n_complementary == 1
+
+
+def test_dp_private_mean_mechanism(spark, sf_dir):
+    """The published mean is the clamped true mean plus bounded-
+    scale noise: sum noise has scale 10 000, so the mean shifts by
+    at most a few times b/n; the release is deterministic."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.privacy import (
+        _DP_CLAMP_HI,
+        _DP_CLAMP_LO,
+        q_dp_private_mean,
+    )
+
+    rows = {r.c_mktsegment: r for r in q_dp_private_mean(spark, sf_dir).collect()}
+    cust = read_table(spark, sf_dir, "customer")
+    true = {
+        r["c_mktsegment"]: (r["s"], r["n"])
+        for r in cust.groupBy("c_mktsegment")
+        .agg(
+            F.sum(
+                F.least(
+                    F.greatest(F.col("c_acctbal"), F.lit(_DP_CLAMP_LO)),
+                    F.lit(_DP_CLAMP_HI),
+                )
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(true)
+    for seg, r in rows.items():
+        s, n = true[seg]
+        # Laplace(b) with u from md5 is deterministic; |noise| is
+        # b·ln(1/(2·min(u,1-u))) — loose envelope 40·b covers any u
+        # the 48-bit draw can produce
+        assert abs(r.noisy_sum - s) <= 40 * 2 * (_DP_CLAMP_HI - _DP_CLAMP_LO)
+        assert abs(r.noisy_n - n) <= 40 * 2
+        # noisy_sum/noisy_n in the row are themselves rounded for
+        # publication; the mean was computed pre-rounding, and the
+        # 4-dp rounding of n shifts the quotient by ~mean/n · 5e-5
+        tol = abs(r.dp_mean) / max(r.noisy_n, 1.0) * 1e-4 + 1e-3
+        assert abs(r.dp_mean - r.noisy_sum / max(r.noisy_n, 1.0)) < tol
+    again = {r.c_mktsegment: r for r in q_dp_private_mean(spark, sf_dir).collect()}
+    assert {k: v.dp_mean for k, v in again.items()} == {
+        k: v.dp_mean for k, v in rows.items()
+    }

@@ -18,9 +18,13 @@ _PINNED_FIRST = (
     # Round 9 rotation: the 17 new/rewritten plans first (the geo
     # family including the session-2 widening, the ranged_lag MTBF
     # rewrite, the anchor-capped retrieval-eval family, the
-    # order-insensitive CDC merge), then never-driver-sampled
-    # queries in registry order (33/50).
+    # order-insensitive CDC merge) plus the privacy widening, then
+    # never-driver-sampled queries in registry order. 56 listed; the
+    # driver samples the first 50, so the last 6 roll into the
+    # round-10 rotation.
     "geo_od_flow_matrix",
+    "q_small_cell_suppression",
+    "q_dp_private_mean",
     "geo_stay_points",
     "geo_gi_hotspots",
     "geo_trip_straightness",

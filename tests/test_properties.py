@@ -350,3 +350,75 @@ def test_star_route_pair_expansion_linear(spark, sizes):
     obs = D.HOT_BUCKET_OBS["prop_star_test"].get
     assert obs["hot_buckets"] == sum(1 for m in sizes if m > cap)
     assert obs["max_bucket"] == max(sizes)
+
+
+# --- ranged primitives vs the single-partition reference -----------
+
+_ranked_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),  # skewed, duplicated key
+        st.integers(min_value=0, max_value=1000),  # tie-break source
+        st.integers(min_value=-50, max_value=50),  # long payload
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),  # (key, uid) total order
+)
+
+
+@given(rows=_ranked_rows)
+@settings(max_examples=8, deadline=None)
+def test_ranged_primitives_equal_single_partition_reference(spark, rows):
+    """ranged_global_rank (rank, exact ntile, running sum) and
+    ranged_lag must equal the plain single-partition window
+    functions on ANY input — duplicates and heavy skew in the range
+    key, empty slices (P far above the row count), empty input."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.operators.ranks import ranged_global_rank, ranged_lag
+
+    df = spark.createDataFrame(
+        rows or [], "k int, uid int, v long"
+    ) if rows else spark.createDataFrame([], "k int, uid int, v long")
+    order = [F2.asc("k"), F2.asc("uid")]
+
+    got = {
+        (r.k, r.uid): (r.rank, r.q, r.runv)
+        for r in ranged_global_rank(
+            df,
+            order,
+            rank_col="rank",
+            ntiles={"q": 4},
+            running_longs={"runv": "v"},
+            partitions=7,  # deliberately above most sample sizes
+        ).collect()
+    }
+    wref = W.orderBy(*order)
+    ref = {
+        (r.k, r.uid): (r.rank, r.q, r.runv)
+        for r in df.select(
+            "k",
+            "uid",
+            F2.row_number().over(wref).alias("rank"),
+            F2.ntile(4).over(wref).alias("q"),
+            F2.sum("v")
+            .over(wref.rowsBetween(W.unboundedPreceding, 0))
+            .alias("runv"),
+        ).collect()
+    }
+    assert got == ref
+
+    got_lag = {
+        (r.k, r.uid): r.pv
+        for r in ranged_lag(
+            df, order, {"pv": "v"}, partitions=7
+        ).collect()
+    }
+    ref_lag = {
+        (r.k, r.uid): r.pv
+        for r in df.select(
+            "k", "uid", F2.lag("v").over(wref).alias("pv")
+        ).collect()
+    }
+    assert got_lag == ref_lag

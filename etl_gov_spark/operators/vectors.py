@@ -189,18 +189,21 @@ def _d2_to(vec: str, cv: Column) -> Column:
     )
 
 
-def _assign(emb: DataFrame, model: list, vec: str = "v") -> DataFrame:
+def _assign(
+    emb: DataFrame, model: list, vec: str = "v", keep: tuple[str, ...] = ()
+) -> DataFrame:
     """Map-only nearest-centroid assignment against the literal
     model: per row, fold d2 to every centroid and take the
     struct-min (d2, cid) — deterministic argmin, no sort, no
-    shuffle. N rows in, N rows out."""
+    shuffle. N rows in, N rows out. ``keep`` lists passthrough
+    columns (e.g. ``label`` for the retrieval-eval funnel)."""
     best = F.array_min(
         F.transform(
             _cent_lit(model),
             lambda c: F.struct(_d2_to(vec, c["cv"]).alias("d2"), c["cid"].alias("cid")),
         )
     )
-    return emb.select("vec_id", vec, best["cid"].alias("cid"))
+    return emb.select("vec_id", vec, *keep, best["cid"].alias("cid"))
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:
@@ -218,6 +221,23 @@ def _recompute(assigned: DataFrame) -> DataFrame:
         .agg(*aggs)
         .select("cid", F.array(*[f"_c{i}" for i in range(EMB_DIM)]).alias("cv"))
     )
+
+
+def _lloyd_model(emb: DataFrame) -> list:
+    """Fit the IVF coarse quantizer: hash-ordered seeds refined by
+    LLOYD_ITERS distributed passes. Returns the k×EMB_DIM centroid
+    MODEL (driver state, never data) — the shared front end of
+    ann_ivf_topk and the retrieval-eval funnel."""
+    vecs = emb.select("vec_id", "v")
+    model = [
+        (r.cid, r.cv)
+        for r in vecs.join(F.broadcast(_seed_ids(vecs)), "vec_id")
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()  # k seed vectors — model state, not data
+    ]
+    for _ in range(LLOYD_ITERS):
+        model = [(r.cid, r.cv) for r in _recompute(_assign(vecs, model)).collect()]
+    return model
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,14 +264,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    model = [
-        (r.cid, r.cv)
-        for r in emb.join(F.broadcast(_seed_ids(emb)), "vec_id")
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-        .collect()  # k seed vectors — model state, not data
-    ]
-    for _ in range(LLOYD_ITERS):
-        model = [(r.cid, r.cv) for r in _recompute(_assign(emb, model)).collect()]
+    model = _lloyd_model(emb)
     # checkpoint the final assignment: the literal centroid model is
     # a k x 64-double expression; leaving it inline puts that whole
     # subtree in the scoring lineage TWICE (cells + probes), and the
@@ -319,15 +332,20 @@ _D2_SQL = (
 )
 
 
-def _sql_assign(vec_cte: str, cent_cte: str, out: str) -> str:
-    """Nearest-centroid assignment CTE pair ({out}_r, {out})."""
+def _sql_assign(
+    vec_cte: str, cent_cte: str, out: str, keep: tuple[str, ...] = ()
+) -> str:
+    """Nearest-centroid assignment CTE pair ({out}_r, {out});
+    ``keep`` mirrors _assign's passthrough columns."""
+    keep_a = "".join(f", a.{c}" for c in keep)
+    keep_o = "".join(f", {c}" for c in keep)
     d2 = _D2_SQL.format(v="a.v", c="c.cv")
     return f"""{out}_r AS (
-  SELECT a.vec_id, a.v, c.cid,
+  SELECT a.vec_id, a.v{keep_a}, c.cid,
          row_number() OVER (PARTITION BY a.vec_id ORDER BY {d2}, c.cid) AS rn
   FROM {vec_cte} a CROSS JOIN {cent_cte} c
 ), {out} AS (
-  SELECT vec_id, v, cid FROM {out}_r WHERE rn = 1
+  SELECT vec_id, v{keep_o}, cid FROM {out}_r WHERE rn = 1
 )"""
 
 
@@ -1077,77 +1095,174 @@ QUERIES["emb_dim_variance_prune"] = (emb_dim_variance_prune, EMB_DIM_VARIANCE_SQ
 
 
 _HARDNEG_STRIDE = 10  # anchor sampling stride
+EVAL_N_PROBE = 8  # funnel probes for the retrieval-eval family —
+# wider than ann_ivf_topk's N_PROBE=3 because eval metrics (recall/
+# MRR/hard-negative margins) are sensitive to missed near-neighbors;
+# at the N_CENTROIDS_CAP=64 ceiling the candidate pass costs
+# |anchors| x 8N/64 = |anchors| x N/8 — an 8x reduction vs the exact
+# broadcast scan, growing with k.
+
+
+def _ivf_eval_scored(spark: SparkSession, sf_dir: str, stride: int) -> DataFrame:
+    """Shared IVF-funnel candidate generator for the retrieval-eval
+    family (recall@k / MRR / hard negatives): fit the Lloyd coarse
+    quantizer (_lloyd_model — the same model ann_ivf_topk builds),
+    assign every vector to its cell once (map-only, checkpointed),
+    probe the EVAL_N_PROBE nearest cells per capped anchor, and
+    exact-re-rank (6-dp cosine) only the funnel survivors.
+
+    Replaces the anchors × corpus broadcast scan: candidates are
+    cell-local (|anchors| × nprobe·N/k pairs), the assignment pass
+    is O(N·k·dim) map-only, and the whole funnel is deterministic —
+    quantized Lloyd state + md5-capped anchors — so the DuckDB
+    oracles replay it CTE-for-CTE (_ivf_eval_prefix) and every eval
+    stays hash-exact. Returns scored pairs
+    (a_id, a_label, cand_id, c_label, c=cos6).
+
+    When EVAL_N_PROBE >= k (every test SF below ~1k vectors, where
+    k floors at 8) the funnel probes every cell and the scored set
+    equals the exact scan — the funnel only drops candidates once
+    the corpus is big enough for k to outgrow the probe budget.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = _lloyd_model(emb)
+    # checkpoint: keeps the k x 64-double literal model out of the
+    # scoring lineage (same rationale as ann_ivf_topk's cells)
+    cells = _assign(emb, model, keep=("label",)).localCheckpoint(eager=False)
+    cells_n = cells.withColumn("_nrm", _norm("v"))
+    anchors = capped_anchors(emb, stride).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("qv"),
+    ).withColumn("_qnrm", _norm("qv"))
+    probes = anchors.select(
+        "a_id",
+        "a_label",
+        "qv",
+        "_qnrm",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        _cent_lit(model),
+                        lambda c: F.struct(
+                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                EVAL_N_PROBE,
+            )
+        ).alias("_p"),
+    ).select("a_id", "a_label", "qv", "_qnrm", F.col("_p.cid").alias("cid"))
+    cand = (
+        F.broadcast(probes)
+        .join(cells_n, "cid")
+        .filter(F.col("vec_id") != F.col("a_id"))
+    )
+    cos6 = F.round(_dot("qv", "v") / (F.col("_qnrm") * F.col("_nrm")), 6)
+    return cand.select(
+        "a_id",
+        "a_label",
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        cos6.alias("c"),
+    )
+
+
+def _ivf_eval_prefix(stride: int) -> str:
+    """DuckDB twin of _ivf_eval_scored: the Lloyd replay CTEs (same
+    quantized state as ANN_IVF_SQL) + capped anchors + EVAL_N_PROBE
+    probes + exact re-rank, ending in a ``scored`` CTE with columns
+    (a_id, a_label, cand_id, c_label, c)."""
+    return f"""WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedids AS (
+  SELECT vec_id FROM vecs
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM vecs) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells", keep=("label",))},
+anchors AS (
+  SELECT vec_id AS a_id, label AS a_label, v AS qv FROM vecs
+  WHERE vec_id % {stride} = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ANCHOR_CAP}
+), probes_r AS (
+  SELECT a.a_id, c.cid,
+         row_number() OVER (PARTITION BY a.a_id
+                            ORDER BY {_D2_SQL.format(v="a.qv", c="c.cv")}, c.cid) AS rn
+  FROM anchors a CROSS JOIN c2 c
+), probes AS (
+  SELECT a_id, cid FROM probes_r WHERE rn <= {EVAL_N_PROBE}
+), scored AS (
+  SELECT a.a_id, a.a_label, ce.vec_id AS cand_id, ce.label AS c_label,
+         round(list_cosine_similarity(a.qv, ce.v), 6) AS c
+  FROM probes p
+  JOIN cells ce USING (cid)
+  JOIN anchors a USING (a_id)
+  WHERE ce.vec_id <> a.a_id
+)"""
 
 
 def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each
-    stride-sampled anchor, the single most-similar vector carrying a
-    DIFFERENT label (deterministic tie-break) plus the margin to the
-    best same-label positive — the pair-construction step between an
-    embedding table and a triplet/InfoNCE batch.
+    capped anchor, the single most-similar FUNNEL candidate carrying
+    a DIFFERENT label (deterministic tie-break) plus the margin to
+    the best same-label positive — the pair-construction step
+    between an embedding table and a triplet/InfoNCE batch.
 
-    Exact scoring against a broadcast anchor set, one pass over the
-    candidates, row_number top-1 per (anchor, side). At 100 TB the
-    candidate generator swaps to the IVF/LSH funnel (ann_ivf_topk)
-    with this same exact re-rank on the surviving bucket — the
-    mining semantics and output contract stay identical.
+    Candidates come from the IVF funnel (_ivf_eval_scored): the
+    Lloyd coarse quantizer assigns the corpus to cells once, each
+    anchor probes its EVAL_N_PROBE nearest cells, and only the
+    survivors get the exact 6-dp cosine re-rank — |anchors| ×
+    nprobe·N/k scored pairs instead of |anchors| × N. Mining from
+    the probed cells is also the semantically right funnel: hard
+    negatives live NEAR the anchor by construction. Anchors whose
+    probed cells hold no same-label positive drop out (no margin to
+    report) — mirrored by the oracle's inner join.
     """
-    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("v"),
-    ).withColumn("vn", _norm("v"))
-    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("a_label"),
-        F.col("v").alias("qv"),
-        F.col("vn").alias("qn"),
-    )
-    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
-    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
-    scored = pairs.select(
-        "a_id",
-        "a_label",
-        F.col("vec_id").alias("cand_id"),
-        (F.col("label") == F.col("a_label")).alias("same"),
-        F.round(cos, 6).alias("_cos"),
+    scored = _ivf_eval_scored(spark, sf_dir, _HARDNEG_STRIDE).withColumn(
+        "same", F.col("c_label") == F.col("a_label")
     )
     w = Window.partitionBy("a_id", "same").orderBy(
-        F.desc("_cos"), F.asc("cand_id")
+        F.desc("c"), F.asc("cand_id")
     )
     best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
     neg = best.filter(~F.col("same")).select(
         "a_id", "a_label",
         F.col("cand_id").alias("hard_neg_id"),
-        F.col("_cos").alias("neg_cos"),
+        F.col("c").alias("neg_cos"),
     )
-    pos = best.filter("same").select("a_id", F.col("_cos").alias("pos_cos"))
+    pos = best.filter("same").select("a_id", F.col("c").alias("pos_cos"))
+    # readout stays at the funnel's native 6-dp grid: re-rounding a
+    # 6-dp value at 4 dp is a half-tie landmine (0.38835 → Spark
+    # HALF_UP 0.3884 vs DuckDB binary-double 0.3883), while a 6-dp
+    # round of 6-dp-derived arithmetic sits ~1e-12 off the grid and
+    # both engines agree bit-for-bit.
     return neg.join(pos, "a_id").select(
         "a_id",
         "a_label",
         "hard_neg_id",
-        _R4(F.col("neg_cos"), "neg_cos"),
-        _R4(F.col("pos_cos") - F.col("neg_cos"), "margin"),
+        F.col("neg_cos"),
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
 
 
-EMB_HARD_NEGATIVES_SQL = f"""
-WITH scored AS (
-  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS cand_id,
-         c.label = a.label AS same,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])), 6) AS cos
-  FROM {anchor_subquery(_HARDNEG_STRIDE)} a
-  JOIN embeddings c ON c.vec_id != a.vec_id
-), best AS (
-  SELECT a_id, a_label, cand_id, same, cos,
-         row_number() OVER (PARTITION BY a_id, same
-                            ORDER BY cos DESC, cand_id ASC) AS rn
+EMB_HARD_NEGATIVES_SQL = f"""{_ivf_eval_prefix(_HARDNEG_STRIDE)}, best AS (
+  SELECT a_id, a_label, cand_id, c_label = a_label AS same, c,
+         row_number() OVER (PARTITION BY a_id, c_label = a_label
+                            ORDER BY c DESC, cand_id ASC) AS rn
   FROM scored
 )
 SELECT n.a_id, n.a_label, n.cand_id AS hard_neg_id,
-       round(n.cos, 4) AS neg_cos,
-       round(p.cos - n.cos, 4) AS margin
+       n.c AS neg_cos,
+       round(p.c - n.c, 6) AS margin
 FROM best n JOIN best p ON p.a_id = n.a_id AND p.rn = 1 AND p.same
 WHERE n.rn = 1 AND NOT n.same
 """
@@ -1259,28 +1374,15 @@ def emb_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``emb_knn_classify``'s accuracy and ``emb_davies_bouldin``'s
     geometry.
 
-    Exact top-k against broadcast anchors (the ann_bruteforce
-    backbone); at corpus scale the candidate pass swaps for the IVF
-    funnel and this same readout becomes the funnel's regression
-    test. Output is |labels| rows.
+    Top-k over the IVF-funnel candidates (_ivf_eval_scored): the
+    coarse quantizer bounds the candidate pass at |anchors| ×
+    nprobe·N/k and the exact 6-dp re-rank keeps the metric honest —
+    this readout doubles as the funnel's standing regression test
+    (tests assert funnel top-k overlap vs the exact scan). Output
+    is |labels| rows.
     """
-    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("vn", _norm("v"))
-    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("a_label"),
-        F.col("v").alias("qv"),
-        F.col("vn").alias("qn"),
-    )
-    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
-    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
-    scored = pairs.select(
-        "a_id",
-        "a_label",
-        F.col("vec_id").alias("cand_id"),
-        (F.col("label") == F.col("a_label")).cast("long").alias("hit"),
-        F.round(cos, 6).alias("c"),
+    scored = _ivf_eval_scored(spark, sf_dir, _HARDNEG_STRIDE).withColumn(
+        "hit", (F.col("c_label") == F.col("a_label")).cast("long")
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("cand_id"))
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(
@@ -1295,16 +1397,9 @@ def emb_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_RECALL_AT_K_SQL = f"""
-WITH scored AS (
-  SELECT a.vec_id AS a_id, a.label AS a_label, c.vec_id AS cand_id,
-         CASE WHEN c.label = a.label THEN 1 ELSE 0 END AS hit,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])), 6) AS c
-  FROM {anchor_subquery(_HARDNEG_STRIDE)} a
-  JOIN embeddings c ON c.vec_id != a.vec_id
-), topk AS (
-  SELECT a_id, a_label, hit,
+EMB_RECALL_AT_K_SQL = f"""{_ivf_eval_prefix(_HARDNEG_STRIDE)}, topk AS (
+  SELECT a_id, a_label,
+         CASE WHEN c_label = a_label THEN 1 ELSE 0 END AS hit,
          row_number() OVER (PARTITION BY a_id ORDER BY c DESC, cand_id ASC) AS rn
   FROM scored
 ), per_anchor AS (
@@ -1326,27 +1421,16 @@ def emb_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality) and ``emb_knn_classify`` (vote quality): MRR rewards
     putting ONE right answer first.
 
-    Exact ranking against broadcast anchors; the first-hit rank is
-    a conditional min over the ranked pairs, so no per-anchor sort
-    materializes beyond the window.
+    Ranking runs over the IVF-funnel candidates (_ivf_eval_scored),
+    so the rank is "first hit among the probed cells' survivors" —
+    the metric a production retrieval stack actually serves; the
+    first-hit rank is a conditional min over the ranked pairs, so
+    no per-anchor sort materializes beyond the window. Anchors with
+    no same-label candidate in their probed cells drop out
+    (mirrored by the oracle's WHERE hit).
     """
-    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn("vn", _norm("v"))
-    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("a_label"),
-        F.col("v").alias("qv"),
-        F.col("vn").alias("qn"),
-    )
-    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
-    cos = _dot("qv", "v") / (F.col("qn") * F.col("vn"))
-    scored = pairs.select(
-        "a_id",
-        "a_label",
-        (F.col("label") == F.col("a_label")).alias("hit"),
-        F.round(cos, 6).alias("c"),
-        F.col("vec_id").alias("cand_id"),
+    scored = _ivf_eval_scored(spark, sf_dir, _HARDNEG_STRIDE).withColumn(
+        "hit", F.col("c_label") == F.col("a_label")
     )
     w = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("cand_id"))
     ranked = scored.withColumn("rk", F.row_number().over(w))
@@ -1360,16 +1444,8 @@ def emb_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EMB_MRR_SQL = f"""
-WITH scored AS (
-  SELECT a.vec_id AS a_id, a.label AS a_label,
-         c.label = a.label AS hit, c.vec_id AS cand_id,
-         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                      CAST(c.embedding AS DOUBLE[])), 6) AS c
-  FROM {anchor_subquery(_HARDNEG_STRIDE)} a
-  JOIN embeddings c ON c.vec_id != a.vec_id
-), ranked AS (
-  SELECT a_id, a_label, hit,
+EMB_MRR_SQL = f"""{_ivf_eval_prefix(_HARDNEG_STRIDE)}, ranked AS (
+  SELECT a_id, a_label, c_label = a_label AS hit,
          row_number() OVER (PARTITION BY a_id ORDER BY c DESC, cand_id ASC) AS rk
   FROM scored
 ), first_hit AS (

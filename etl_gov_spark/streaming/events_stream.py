@@ -451,3 +451,131 @@ FROM events GROUP BY 1
 """
 
 QUERIES["stream_hourly_users"] = (stream_hourly_users, STREAM_HOURLY_USERS_SQL)
+
+
+def stream_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click emits
+    exactly once — joined to each purchase by the same user within
+    30 min, or with NULL purchase columns once the watermark passes
+    the click's match window and no purchase arrived. This is the
+    attribution-LOSS accounting ``stream_join_conversions`` (inner)
+    cannot express: a funnel pipeline needs the unconverted clicks
+    as rows, not as an absence.
+
+    State on both sides is evicted by the watermark + time-range
+    bound exactly as in the inner join; the null-padded rows emit on
+    eviction, so the result is append-mode and sink-agnostic. Over
+    the finite feed the eviction rule is deterministic — but against
+    the GLOBAL watermark: Spark takes the min over all watermark
+    nodes, and each side's node only sees its own filtered type, so
+    wm = min(max click_ts, max purchase_ts) − 1 h (NOT max(ts) over
+    the whole feed — other event types never reach a watermark
+    node). The batch readout (and the oracle) restricts to clicks
+    with click_ts < wm − 31 min (30 min window + 1 min guard) —
+    strictly inside the emit-guaranteed region, pinning Spark's
+    outer-join eviction semantics to the plain LEFT JOIN SQL.
+    """
+    from etl_gov_spark.io.sources import read_table
+
+    max_ts = (
+        read_table(spark, sf_dir, "events")
+        .agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            )
+        )
+        .collect()[0][0]
+    )  # one scalar — the finite-feed closure point, never data
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+        "leftOuter",
+    ).select("user_id", "click_id", "click_ts", "purchase_id")
+    sink = "stream_click_attr_outer_sink"
+    _run_to_memory(joined, sink, "append")
+    horizon = F.lit(max_ts) - F.expr("INTERVAL 1 HOUR") - F.expr(
+        "INTERVAL 31 MINUTES"
+    )  # global watermark (max_ts − 1 h) minus window + guard
+    return (
+        spark.table(sink)
+        .filter(F.col("click_ts") < horizon)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("click_id").alias("n_clicks"),
+            F.count("purchase_id").alias("n_purchases_attributed"),
+            F.count(
+                F.when(F.col("purchase_id").isNull(), F.lit(1))
+            ).alias("n_unconverted_clicks"),
+        )
+        .withColumn(
+            "conversion_rate",
+            F.round(
+                (F.col("n_clicks") - F.col("n_unconverted_clicks"))
+                / F.col("n_clicks"),
+                4,
+            ),
+        )
+    )
+
+
+STREAM_CLICK_ATTR_OUTER_SQL = """
+WITH mx AS (
+  SELECT least(max(ts) FILTER (WHERE event_type = 'click'),
+               max(ts) FILTER (WHERE event_type = 'purchase'))
+         - INTERVAL 1 HOUR - INTERVAL 31 MINUTE AS h
+  FROM events
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+    AND ts < (SELECT h FROM mx)
+), p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+), j AS (
+  SELECT c.user_id, c.click_id, p.purchase_id
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id
+   AND p.ts >= c.click_ts
+   AND p.ts <= c.click_ts + INTERVAL 30 MINUTE
+)
+SELECT user_id,
+       count(DISTINCT click_id) AS n_clicks,
+       count(purchase_id) AS n_purchases_attributed,
+       count(CASE WHEN purchase_id IS NULL THEN 1 END) AS n_unconverted_clicks,
+       round((count(DISTINCT click_id)
+              - count(CASE WHEN purchase_id IS NULL THEN 1 END))
+             * 1.0 / count(DISTINCT click_id), 4) AS conversion_rate
+FROM j GROUP BY user_id
+"""
+
+QUERIES["stream_click_attribution_outer"] = (
+    stream_click_attribution_outer,
+    STREAM_CLICK_ATTR_OUTER_SQL,
+)

@@ -642,3 +642,92 @@ def test_digit_density_ordering(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.pure_digit_share <= r.any_digit_share <= 1.0
         assert 0.0 <= r.alnum_mix_share <= r.any_digit_share
+
+
+def test_outer_join_unmatched_emits_exactly_once(spark, tmp_path):
+    """Stream-stream LEFT OUTER join semantics end-to-end: a click
+    with no purchase in its 30-min window emits with NULL purchase
+    exactly ONCE — when the global watermark passes its window — and
+    never again on later batches; a matched click emits its pair and
+    no null row. This is the eviction contract
+    stream_click_attribution_outer's batch readout relies on."""
+    import datetime
+
+    from pyspark.sql import functions as F2
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+
+    def write_batch(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(src)
+
+    def run_once():
+        ev = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        clicks = (
+            ev.filter(F2.col("event_type") == "click")
+            .select(
+                F2.col("event_id").alias("click_id"),
+                "user_id",
+                F2.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "1 hour")
+        )
+        purchases = (
+            ev.filter(F2.col("event_type") == "purchase")
+            .select(
+                F2.col("event_id").alias("purchase_id"),
+                F2.col("user_id").alias("p_user_id"),
+                F2.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        q = (
+            clicks.join(
+                purchases,
+                (F2.col("user_id") == F2.col("p_user_id"))
+                & (F2.col("purchase_ts") >= F2.col("click_ts"))
+                & (
+                    F2.col("purchase_ts")
+                    <= F2.col("click_ts") + F2.expr("INTERVAL 30 MINUTES")
+                ),
+                "leftOuter",
+            )
+            .select("user_id", "click_id", "purchase_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t = lambda h, m: datetime.datetime(2024, 6, 1, h, m)  # noqa: E731
+    # batch 1: c1 (user 1) gets no purchase; c2 (user 2) converts
+    write_batch(
+        [
+            (1, 1, "click", t(0, 0)),
+            (2, 2, "click", t(0, 5)),
+            (3, 2, "purchase", t(0, 20)),
+        ],
+        "overwrite",
+    )
+    run_once()
+    # batch 2: head events on BOTH sides push the global watermark to
+    # 05:00 — far past c1's 00:30 window end → the null row must emit
+    write_batch([(4, 9, "click", t(6, 0)), (5, 9, "purchase", t(6, 0))], "append")
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    c1 = [r for r in rows if r.click_id == 1]
+    assert len(c1) == 1 and c1[0].purchase_id is None  # emitted once, null-padded
+    c2 = [r for r in rows if r.click_id == 2]
+    assert len(c2) == 1 and c2[0].purchase_id == 3  # matched, no null twin
+
+    # batch 3: watermark advances again — c1 must NOT re-emit
+    write_batch([(6, 9, "click", t(12, 0)), (7, 9, "purchase", t(12, 0))], "append")
+    run_once()
+    final = spark.read.parquet(out).collect()
+    assert len([r for r in final if r.click_id == 1]) == 1
+    assert len([r for r in final if r.click_id == 2]) == 1

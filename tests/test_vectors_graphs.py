@@ -550,3 +550,83 @@ def test_dim_anova_guarded_and_bounded(spark, sf_dir):
     assert 0.0 <= r.eta_squared <= 1.0
     assert r.f_stat >= 0.0
     assert r.dim_is_label_informative == (r.f_stat > 2.1)
+
+
+def test_ivf_funnel_vs_exact_recall_sf01(spark):
+    """The retrieval-eval IVF funnel's standing regression test, at
+    the first SF where the funnel actually prunes (sf0.1: N=2000 →
+    k=31 cells > EVAL_N_PROBE=8 probes; below ~1k vectors k floors
+    at 8 and the funnel degenerates to the exact scan):
+
+    - the funnel must score strictly fewer candidate pairs than the
+      exact anchors × corpus scan (the whole point of the funnel);
+    - funnel top-10 must overlap the exact top-10 well (>= 0.5);
+    - the label-recall metric served from the funnel must not be
+      worse than the exact path's (funnel candidates are cell-local,
+      so same-cluster label mates are never the ones pruned).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.similarity import _dot, _norm, capped_anchors
+    from etl_gov_spark.operators.vectors import (
+        _HARDNEG_STRIDE,
+        TOP_K,
+        _ivf_eval_scored,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    w = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("cand_id"))
+
+    scored = _ivf_eval_scored(spark, sf, _HARDNEG_STRIDE)
+    n_funnel_pairs = scored.count()
+    funnel = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .collect()
+    )
+
+    emb = (
+        Catalog(spark, sf)
+        .embeddings.select(
+            "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("vn", _norm("v"))
+    )
+    q = capped_anchors(emb, _HARDNEG_STRIDE).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("qv"),
+        F.col("vn").alias("qn"),
+    )
+    pairs = F.broadcast(q).crossJoin(emb).filter(F.col("vec_id") != F.col("a_id"))
+    cos6 = F.round(_dot("qv", "v") / (F.col("qn") * F.col("vn")), 6)
+    exact = (
+        pairs.select(
+            "a_id",
+            "a_label",
+            F.col("vec_id").alias("cand_id"),
+            F.col("label").alias("c_label"),
+            cos6.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .collect()
+    )
+
+    n_anchors = len({r.a_id for r in exact})
+    n_corpus = emb.count()
+    assert n_funnel_pairs < n_anchors * (n_corpus - 1) * 0.5  # real pruning
+
+    fset = {(r.a_id, r.cand_id) for r in funnel}
+    eset = {(r.a_id, r.cand_id) for r in exact}
+    assert len(fset & eset) / len(eset) >= 0.5
+
+    def label_recall(rows):
+        per = {}
+        for r in rows:
+            per.setdefault(r.a_id, []).append(r.c_label == r.a_label)
+        return sum(sum(v) / len(v) for v in per.values()) / len(per)
+
+    assert label_recall(funnel) >= label_recall(exact) - 1e-9

@@ -315,3 +315,136 @@ WHERE h.i = x.n
 """
 
 QUERIES["q_holt_forecast"] = (q_holt_forecast, Q_HOLT_SQL)
+
+
+_HW_ALPHA = 0.5
+_HW_BETA = 0.3
+_HW_GAMMA = 0.3
+_HW_PERIOD = 7
+_HW_H = 7
+
+_HW_SCHEMA = (
+    "event_type string, n_days long, level double, trend double, "
+    "seasonal double, forecast_7d double"
+)
+
+
+def _holt_winters_group(pdf):
+    pdf = pdf.sort_values("day")
+    ys = pdf["y"].tolist()
+    n = len(ys)
+    if n <= _HW_PERIOD:
+        return pd.DataFrame(
+            {c.split()[0]: [] for c in _HW_SCHEMA.split(", ")}
+        ).astype({"event_type": str})
+    m = _HW_PERIOD
+    level = sum(ys[:m]) / float(m)  # left-fold, mirrored by list_sum
+    trend = 0.0
+    seas = [ys[j] - level for j in range(m)]
+    for i in range(m, n):  # observation i+1 (1-based), slot i % m
+        s = i % m
+        prev = level
+        level = _HW_ALPHA * (ys[i] - seas[s]) + (1 - _HW_ALPHA) * (level + trend)
+        trend = _HW_BETA * (level - prev) + (1 - _HW_BETA) * trend
+        seas[s] = _HW_GAMMA * (ys[i] - level) + (1 - _HW_GAMMA) * seas[s]
+    f_slot = (n + _HW_H - 1) % m  # slot of observation n + H
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [n],
+            "level": [round(level, 4)],
+            "trend": [round(trend, 4)],
+            "seasonal": [round(seas[f_slot], 4)],
+            "forecast_7d": [round(level + _HW_H * trend + seas[f_slot], 4)],
+        }
+    )
+
+
+def q_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters TRIPLE (additive seasonal) exponential smoothing
+    per event type — the seasonal upgrade of ``q_holt_forecast``: a
+    3-recurrence state (level, trend, 7-slot seasonal vector) that
+    has no windowed closed form, run through grouped applyInPandas
+    over the bounded daily series. The sequential-state-at-scale
+    pattern: group count parallelizes across executors; within-group
+    state is Arrow-local and O(period).
+
+    Seasonality is indexed by OBSERVATION position mod 7 (not
+    calendar dow) so the recurrence is a pure function of the sorted
+    series — the DuckDB oracle replays the identical recurrences in
+    a RECURSIVE CTE carrying the seasonal vector as a list, and both
+    engines execute the same double-precision operation sequence, so
+    the result is hash-exact despite ~90 chained FP steps per group.
+    Init: level = mean of the first 7 observations, trend = 0,
+    seasonal slot j = y_j − level; groups shorter than 8 days are
+    skipped in both engines. Forecast = level + 7·trend + s_slot(n+7).
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    return daily.groupBy("event_type").applyInPandas(
+        _holt_winters_group, schema=_HW_SCHEMA
+    )
+
+
+def _hw_newlevel(y: str, h: str = "h") -> str:
+    """The level recurrence as SQL over state row ``h`` joined to
+    observation ``d`` — written once, inlined wherever the new level
+    is referenced (same repeated-subexpression trick as Q_HOLT_SQL;
+    identical IEEE result on re-evaluation)."""
+    return (
+        f"{_HW_ALPHA} * ({y} - {h}.seas[({h}.i % {_HW_PERIOD}) + 1])"
+        f" + (1 - {_HW_ALPHA}) * ({h}.level + {h}.trend)"
+    )
+
+
+Q_HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT event_type, day, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+), init AS (
+  SELECT event_type,
+         list_sum(ys[1:{_HW_PERIOD}]) / {float(_HW_PERIOD)} AS level0,
+         list_transform(ys[1:{_HW_PERIOD}],
+                        x -> x - list_sum(ys[1:{_HW_PERIOD}]) / {float(_HW_PERIOD)})
+           AS seas0,
+         n
+  FROM (SELECT event_type, list(y ORDER BY i) AS ys, max(n) AS n
+        FROM idx GROUP BY event_type)
+  WHERE n > {_HW_PERIOD}
+), hw(event_type, i, level, trend, seas) AS (
+  SELECT event_type, {_HW_PERIOD}, level0, CAST(0.0 AS DOUBLE), seas0 FROM init
+  UNION ALL
+  SELECT h.event_type, h.i + 1,
+         {_hw_newlevel("d.y")},
+         {_HW_BETA} * (({_hw_newlevel("d.y")}) - h.level)
+           + (1 - {_HW_BETA}) * h.trend,
+         list_transform(generate_series(1, {_HW_PERIOD}),
+           j -> CASE WHEN j = (h.i % {_HW_PERIOD}) + 1
+                     THEN {_HW_GAMMA} * (d.y - ({_hw_newlevel("d.y")}))
+                          + (1 - {_HW_GAMMA}) * h.seas[j]
+                     ELSE h.seas[j] END)
+  FROM hw h JOIN idx d ON d.event_type = h.event_type AND d.i = h.i + 1
+)
+SELECT h.event_type, CAST(x.n AS BIGINT) AS n_days,
+       round(h.level, 4) AS level,
+       round(h.trend, 4) AS trend,
+       round(h.seas[((x.n + {_HW_H} - 1) % {_HW_PERIOD}) + 1], 4) AS seasonal,
+       round(h.level + {_HW_H} * h.trend
+             + h.seas[((x.n + {_HW_H} - 1) % {_HW_PERIOD}) + 1], 4) AS forecast_7d
+FROM hw h
+JOIN (SELECT event_type, max(n) AS n FROM idx GROUP BY event_type) x
+  ON x.event_type = h.event_type
+WHERE h.i = x.n
+"""
+
+QUERIES["q_holt_winters_seasonal"] = (q_holt_winters_seasonal, Q_HOLT_WINTERS_SQL)

@@ -1087,3 +1087,60 @@ def test_kendall_tau_bounds_and_accounting(spark, sf_dir):
     r = q_kendall_tau_series(spark, sf_dir).collect()[0]
     assert -1.0 <= r.tau_b <= 1.0
     assert r.concordant + r.discordant <= r.n_pairs
+
+
+def test_holt_winters_seasonal_identity_and_skip(spark, sf_dir):
+    """Holt-Winters triple smoothing: the forecast identity
+    (level + 7·trend + seasonal) must hold per group, short groups
+    (≤ period) must be skipped, and the seasonal recurrence's state
+    must be finite — the contract the recursive DuckDB oracle also
+    replays."""
+    import math
+
+    from etl_gov_spark.operators.pandas_udfs import (
+        _HW_PERIOD,
+        q_holt_winters_seasonal,
+    )
+
+    rows = q_holt_winters_seasonal(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > _HW_PERIOD  # short groups skipped
+        assert math.isfinite(r.level) and math.isfinite(r.trend)
+        assert math.isfinite(r.seasonal)
+        # forecast = level + 7*trend + seasonal (4dp rounding slack)
+        assert abs(r.forecast_7d - (r.level + 7 * r.trend + r.seasonal)) < 0.01
+
+
+def test_holt_winters_skips_short_groups(spark):
+    """A group with exactly PERIOD observations yields no row (the
+    recurrence needs at least one post-init step)."""
+    import datetime
+
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.operators.pandas_udfs import (
+        _HW_PERIOD,
+        _HW_SCHEMA,
+        _holt_winters_group,
+    )
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        ("short", base + datetime.timedelta(days=d), 1.0 + d)
+        for d in range(_HW_PERIOD)
+    ] + [
+        ("long", base + datetime.timedelta(days=d), 1.0 + (d % 7))
+        for d in range(_HW_PERIOD * 3)
+    ]
+    daily = spark.createDataFrame(rows, "event_type string, day date, y double")
+    out = daily.groupBy("event_type").applyInPandas(
+        _holt_winters_group, schema=_HW_SCHEMA
+    )
+    got = {r.event_type: r for r in out.collect()}
+    assert "short" not in got
+    assert got["long"].n_days == _HW_PERIOD * 3
+    # a perfectly periodic series: trend ~ 0, forecast ~ next period value
+    assert abs(got["long"].trend) < 0.2

@@ -362,3 +362,56 @@ def test_lsh_precision_monotone_in_agreement(spark, sf_dir):
         assert rows[b].mean_jaccard >= rows[a].mean_jaccard - 1e-9
     for r in rows.values():
         assert 0 <= r.n_true <= r.n_candidates
+
+
+def test_incremental_minhash_equals_full_corpus(spark, sf_dir):
+    """incremental(epoch1 ⊎ epoch2) ≡ one-shot dedup_minhash_lsh —
+    the contract that lets a nightly ingest dedup against the
+    fingerprint store instead of re-scanning the corpus."""
+    from etl_gov_spark.operators.dedup import (
+        dedup_incremental_minhash,
+        dedup_minhash_lsh,
+    )
+
+    inc = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands, r.sig_agreement)
+        for r in dedup_incremental_minhash(spark, sf_dir).collect()
+    )
+    full = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands, r.sig_agreement)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    )
+    assert inc == full
+
+
+def test_fingerprint_store_footer_prune_and_append(spark, sf_dir, tmp_path):
+    """The store probe is footer-pruned: a NARROW probe batch (a few
+    docs → a few band keys) must touch strictly fewer store files
+    than exist (metadata-only pruning via io/cow.file_key_ranges),
+    and the post-run store must hold every ingested fingerprint."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.dedup import _banded_fingerprints
+
+    docs = Catalog(spark, sf_dir).documents.select("doc_id", "text")
+    store = str(tmp_path / "store")
+    fp = _banded_fingerprints(docs)
+    write_range_clustered(fp, store, ("band_key",), num_files=16)
+    n_files = sum(1 for n in os.listdir(store) if n.endswith(".parquet"))
+    assert n_files >= 8
+
+    # narrow probe: 2 docs → at most 8 band keys
+    probe = _banded_fingerprints(docs.filter(F2.col("doc_id").isin(3, 9)))
+    ranges = file_key_ranges(store, "band_key")
+    touched = touched_files(spark, ranges, probe.select("band_key"), "band_key")
+    assert touched is not None
+    assert 0 < len(touched) < n_files  # pruning actually bit
+
+    # append a second generation and re-read: nothing lost
+    write_range_clustered(probe, store, ("band_key",), num_files=2, mode="append")
+    assert spark.read.parquet(store).count() == fp.count() + probe.count()

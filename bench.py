@@ -72,6 +72,12 @@ HEADLINE = [
     # lag window at fact grain + bounded OD-cell aggregate) — the
     # new family's hot plan, unrepresented until now
     "geo_od_flow_matrix",
+    # r11 widening: the CDC/COW merge path (footer-pruned selective
+    # rewrite) and the round-11 incremental fingerprint-store dedup
+    # (range-clustered write + footer probe + append) — the stateful
+    # write-path plans were unrepresented in the pinned anchor
+    "merge_upsert_pruned",
+    "dedup_incremental_minhash",
 ]
 
 

@@ -1233,7 +1233,15 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("a_id", "same").orderBy(
         F.desc("c"), F.asc("cand_id")
     )
-    best = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    # checkpoint: best is consumed TWICE (neg side + pos side of the
+    # self-join) — without it the whole funnel lineage (Lloyd
+    # assignment + probe join + window) executes once per side; with
+    # it the join reuses the ≤ 2·|anchors|-row filtered result.
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .localCheckpoint(eager=False)
+    )
     neg = best.filter(~F.col("same")).select(
         "a_id", "a_label",
         F.col("cand_id").alias("hard_neg_id"),
@@ -2006,3 +2014,165 @@ FROM agg
 """
 
 QUERIES["emb_dim_anova_labels"] = (emb_dim_anova_labels, EMB_DIM_ANOVA_SQL)
+
+
+SWEEP_NPROBES = (1, 2, 4, 8)
+
+
+def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning sweep — the readout that picks the
+    recall/cost operating point before an IVF index ships: for each
+    nprobe ∈ {1,2,4,8}, the funnel's recall@10 against the exact
+    brute-force top-10 and the average candidate count per query
+    (the cost axis). One Lloyd fit, ONE assignment pass and ONE
+    scored-candidate pass serve all four levels (probe rank ≤ max
+    nprobe is computed once; each level is a filter on prank), and
+    the exact ground truth is the stride-query brute-force scan —
+    the eval corpus is small by construction, so ground truth stays
+    affordable while the sweep measures the funnel the big corpus
+    would run.
+
+    Deterministic end-to-end (quantized Lloyd state, 6-dp cosines),
+    so the DuckDB oracle replays the whole sweep and the output is
+    hash-exact: (nprobe, n_queries, avg_candidates, recall_at_10).
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = _lloyd_model(emb)
+    cells = _assign(emb, model).localCheckpoint(eager=False)
+    cells_n = cells.withColumn("_nrm", _norm("v"))
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    ).withColumn("_qnrm", _norm("qv"))
+    max_np = max(SWEEP_NPROBES)
+    probes = q.select(
+        "q_id",
+        "qv",
+        "_qnrm",
+        F.posexplode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        _cent_lit(model),
+                        lambda c: F.struct(
+                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                max_np,
+            )
+        ).alias("_i", "_p"),
+    ).select(
+        "q_id", "qv", "_qnrm",
+        (F.col("_i") + 1).alias("prank"),
+        F.col("_p.cid").alias("cid"),
+    )
+    cos6 = F.round(_dot("qv", "v") / (F.col("_qnrm") * F.col("_nrm")), 6)
+    scored = (
+        F.broadcast(probes)
+        .join(cells_n, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "prank", F.col("vec_id").alias("cand_id"), cos6.alias("c"))
+        .localCheckpoint(eager=False)  # reused by all four levels
+    )
+    # exact ground truth: brute-force top-10 per stride query
+    emb_n = emb.withColumn("_nrm", _norm("v"))
+    ecos6 = F.round(_dot("qv", "v") / (F.col("_qnrm") * F.col("_nrm")), 6)
+    wq = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("cand_id"))
+    exact = (
+        F.broadcast(q)
+        .crossJoin(emb_n)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("cand_id"), ecos6.alias("_c"))
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= TOP_K)
+        .select("q_id", "cand_id")
+    )
+    levels = None
+    for np_ in SWEEP_NPROBES:
+        lvl = scored.filter(F.col("prank") <= np_)
+        per_q = lvl.groupBy("q_id").agg(F.count(F.lit(1)).alias("nc"))
+        w = Window.partitionBy("q_id").orderBy(F.desc("c"), F.asc("cand_id"))
+        top = (
+            lvl.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .join(exact, ["q_id", "cand_id"], "leftsemi")
+            .groupBy("q_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        one = (
+            per_q.join(top, "q_id", "left")
+            .select("q_id", "nc", F.coalesce("h", F.lit(0)).alias("h"))
+            .agg(
+                F.lit(np_).cast("int").alias("nprobe"),
+                F.count(F.lit(1)).alias("n_queries"),
+                _R4(F.avg("nc"), "avg_candidates"),
+                _R4(F.sum("h") / (F.lit(TOP_K) * F.count(F.lit(1))), "recall_at_10"),
+            )
+        )
+        levels = one if levels is None else levels.unionByName(one)
+    return levels
+
+
+ANN_IVF_SWEEP_SQL = f"""WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedids AS (
+  SELECT vec_id FROM vecs
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM vecs) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells")},
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id % {QUERY_STRIDE} = 0
+), pr AS (
+  SELECT q.q_id, c.cid,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_D2_SQL.format(v="q.qv", c="c.cv")}, c.cid) AS prank
+  FROM q CROSS JOIN c2 c
+), probes AS (
+  SELECT q_id, cid, prank FROM pr WHERE prank <= {max(SWEEP_NPROBES)}
+), scored AS (
+  SELECT p.q_id, p.prank, ce.vec_id AS cand_id,
+         round(list_cosine_similarity(q.qv, ce.v), 6) AS c
+  FROM probes p JOIN cells ce USING (cid) JOIN q USING (q_id)
+  WHERE ce.vec_id <> p.q_id
+), exact AS (
+  SELECT q_id, cand_id FROM (
+    SELECT q.q_id, c.vec_id AS cand_id,
+           row_number() OVER (PARTITION BY q.q_id
+               ORDER BY round(list_cosine_similarity(q.qv, c.v), 6) DESC,
+                        c.vec_id ASC) AS rn
+    FROM q JOIN vecs c ON c.vec_id <> q.q_id
+  ) WHERE rn <= {TOP_K}
+), levels AS (
+  SELECT unnest([{", ".join(str(n) for n in SWEEP_NPROBES)}]) AS np
+), fun AS (
+  SELECT l.np, s.q_id, s.cand_id, s.c,
+         row_number() OVER (PARTITION BY l.np, s.q_id
+                            ORDER BY s.c DESC, s.cand_id ASC) AS rn
+  FROM levels l JOIN scored s ON s.prank <= l.np
+), per_q AS (
+  SELECT l.np, s.q_id, count(*) AS nc
+  FROM levels l JOIN scored s ON s.prank <= l.np
+  GROUP BY 1, 2
+), hits AS (
+  SELECT f.np, f.q_id, count(*) AS h
+  FROM fun f JOIN exact e ON e.q_id = f.q_id AND e.cand_id = f.cand_id
+  WHERE f.rn <= {TOP_K}
+  GROUP BY 1, 2
+)
+SELECT CAST(p.np AS INTEGER) AS nprobe,
+       count(*) AS n_queries,
+       round(avg(p.nc), 4) AS avg_candidates,
+       round(sum(coalesce(h.h, 0)) * 1.0 / ({TOP_K} * count(*)), 4) AS recall_at_10
+FROM per_q p LEFT JOIN hits h ON h.np = p.np AND h.q_id = p.q_id
+GROUP BY p.np
+"""
+
+QUERIES["ann_ivf_nprobe_sweep"] = (ann_ivf_nprobe_sweep, ANN_IVF_SWEEP_SQL)

@@ -15,69 +15,69 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 9 rotation: the 17 new/rewritten plans first (the geo
-    # family including the session-2 widening, the ranged_lag MTBF
-    # rewrite, the anchor-capped retrieval-eval family, the
-    # order-insensitive CDC merge) plus the privacy widening, then
-    # never-driver-sampled queries in registry order. 56 listed; the
-    # driver samples the first 50, so the last 6 roll into the
-    # round-10 rotation.
-    "geo_od_flow_matrix",
-    "q_small_cell_suppression",
-    "q_dp_private_mean",
-    "geo_stay_points",
-    "geo_gi_hotspots",
-    "geo_trip_straightness",
-    "geo_nearest_hub_census",
-    "geo_geohash_census",
-    "geo_point_in_polygon",
-    "geo_banded_distance_join",
-    "geo_grid_hotspots",
-    "geo_user_travel_profile",
-    "q_mtbf_reliability",
-    "emb_knn_classify",
+    # Round 11 rotation: the 9 new/rewritten plans first (the
+    # incremental fingerprint-store dedup, the stream-stream left-
+    # outer join, Holt-Winters seasonal, the nprobe sweep, the
+    # IVF-funnel retrieval-eval rewrites + the refactored
+    # ann_ivf_topk), then the 6 round-9 roll-overs, then
+    # never-driver-sampled queries in backlog order. 56 listed; the
+    # driver samples the first 50, so the tail rolls into round 12.
+    "dedup_incremental_minhash",
+    "stream_click_attribution_outer",
+    "q_holt_winters_seasonal",
+    "ann_ivf_nprobe_sweep",
     "emb_hard_negatives",
     "emb_recall_at_k",
     "emb_mrr_eval",
-    "emb_alignment_uniformity",
-    "stream_cdc_upsert",
-    "corpus_span_corruption",
-    "corpus_skipgram_pairs",
-    "corpus_fewshot_pack",
-    "corpus_lognormal_fit",
-    "corpus_ngram_entropy",
-    "corpus_source_card",
-    "corpus_doc_length_gini",
-    "mm_scene_cuts",
-    "dq_weekday_adjusted_volume",
-    "dq_cardinality_drift",
-    "dq_sequence_rule",
-    "dq_category_mix_drift",
-    "dq_slo_burn_rate",
-    "q_incremental_rollup",
-    "q_incremental_join_mv",
-    "snapshot_rollback",
-    "q_systematic_sample",
-    "q_atkinson_index",
-    "q_fairness_fulfillment",
-    "q_last_digit_uniformity",
-    "q_indirect_standardization",
-    "q_benford_second_digit",
-    "q_gini_by_brand",
-    "q_hll_daily_weekly",
-    "q_bitmap_rollup_distinct",
-    "q_kmv_distinct_audit",
-    "q_approx_quantiles",
-    "q_winsorized_stats",
-    "q_price_elasticity",
-    "q_poisson_basket_fit",
-    "q_kruskal_wallis",
+    "ann_ivf_topk",
+    "dedup_minhash_lsh",
     "q_spearman_corr",
     "q_pettitt_changepoint",
     "q_mutual_info_type_hour",
     "q_permutation_entropy",
     "q_anova_dow",
     "q_brown_forsythe",
+    "q_two_proportion_z",
+    "q_jackknife_ci",
+    "q_first_value_ltv_corr",
+    "q_wilson_ci_rates",
+    "q_eb_shrinkage",
+    "q_power_analysis",
+    "q_fano_factor",
+    "q_nbd_repeat_buying",
+    "q_capture_recapture",
+    "q_pacf_yule_walker",
+    "q_process_capability",
+    "q_influential_days",
+    "q_renyi_spectrum",
+    "q_effect_size_matrix",
+    "q_var_backtest_kupiec",
+    "q_friedman_test",
+    "q_qq_deciles",
+    "q_seasonality_strength",
+    "q_kendall_tau_series",
+    "q_join_key_skew_census",
+    "text_compression_quality",
+    "udaf_zscore_pandas",
+    "q_holt_forecast",
+    "q_lead_lag_xcorr",
+    "q_attribution_position",
+    "q_rolling_zscore_alerts",
+    "q_missing_hour_census",
+    "q_hourly_seasonality_fourier",
+    "q_user_lifecycle_states",
+    "q_growth_accounting",
+    "q_cohort_decay_fit",
+    "q_conversion_window_sensitivity",
+    "q_session_completeness",
+    "q_seasonal_naive_backtest",
+    "q_type_user_overlap",
+    "q_max_drawdown",
+    "q_churn_hazard",
+    "q_chain_ladder",
+    "q_seasonal_diff_acf",
+    "q_burstiness_coefficient",
+    "q_weekday_hour_profile",
 )
 
 

@@ -65,3 +65,25 @@ def test_dot_product_matches_math(spark):
     got = df.select(S._dot("a", "b").alias("d"), S._norm("a").alias("n")).collect()[0]
     assert got.d == 32.0
     assert math.isclose(got.n, math.sqrt(14.0))
+
+
+def test_nprobe_sweep_monotone(spark, sf_dir):
+    """The sweep's two axes must both be monotone in nprobe: more
+    probed cells ⇒ at least as many candidates and at least as much
+    recall (funnel top-k over a superset of candidates can only gain
+    ground-truth hits at the tail... recall is measured against the
+    fixed exact top-10, and candidate sets are nested, so measured
+    recall is non-decreasing)."""
+    from etl_gov_spark.operators.vectors import SWEEP_NPROBES, ann_ivf_nprobe_sweep
+
+    rows = {r.nprobe: r for r in ann_ivf_nprobe_sweep(spark, sf_dir).collect()}
+    assert set(rows) == set(SWEEP_NPROBES)
+    prev = None
+    for np_ in sorted(rows):
+        r = rows[np_]
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert r.n_queries > 0
+        if prev is not None:
+            assert r.avg_candidates >= prev.avg_candidates - 1e-9
+            assert r.recall_at_10 >= prev.recall_at_10 - 1e-9
+        prev = r

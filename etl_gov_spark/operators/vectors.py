@@ -2176,3 +2176,66 @@ GROUP BY p.np
 """
 
 QUERIES["ann_ivf_nprobe_sweep"] = (ann_ivf_nprobe_sweep, ANN_IVF_SWEEP_SQL)
+
+
+def emb_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-health readout — the check run after fitting the
+    coarse quantizer and before shipping the index: cell-size
+    distribution (min/max/avg), imbalance factor (max/expected —
+    the probe-cost tail multiplier), share of the corpus in the
+    largest cell, and how many seeded cells ended up empty. A
+    quantizer whose hottest cell holds 30% of the corpus makes
+    nprobe meaningless; this is the one-row readout that catches it.
+    Completes the IVF triad: ann_ivf_topk (serve), ann_ivf_nprobe_sweep
+    (tune), emb_ivf_cell_stats (health).
+
+    One Lloyd fit + one map-only assignment + a k-row aggregate;
+    hash-exact via the same quantized-Lloyd replay as the other IVF
+    oracles.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = _lloyd_model(emb)
+    sizes = _assign(emb, model).groupBy("cid").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    k = len(model)
+    return sizes.agg(
+        F.lit(k).cast("int").alias("n_cells"),
+        F.count(F.lit(1)).cast("int").alias("n_occupied"),
+        (F.lit(k) - F.count(F.lit(1))).cast("int").alias("n_empty"),
+        F.min("sz").alias("min_cell"),
+        F.max("sz").alias("max_cell"),
+        _R4(F.avg("sz"), "avg_cell"),
+        _R4(F.max("sz") / (F.sum("sz") / F.lit(float(k))), "imbalance"),
+        _R4(F.max("sz") / F.sum("sz"), "max_cell_share"),
+    )
+
+
+EMB_IVF_CELL_STATS_SQL = f"""WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedids AS (
+  SELECT vec_id FROM vecs
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM vecs) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells")},
+k AS (SELECT count(*) AS k FROM c2),
+sizes AS (SELECT cid, count(*) AS sz FROM cells GROUP BY cid)
+SELECT CAST(k.k AS INTEGER) AS n_cells,
+       CAST(count(*) AS INTEGER) AS n_occupied,
+       CAST(k.k - count(*) AS INTEGER) AS n_empty,
+       min(sz) AS min_cell,
+       max(sz) AS max_cell,
+       round(avg(sz), 4) AS avg_cell,
+       round(max(sz) / (sum(sz) * 1.0 / k.k), 4) AS imbalance,
+       round(max(sz) * 1.0 / sum(sz), 4) AS max_cell_share
+FROM sizes, k GROUP BY k.k
+"""
+
+QUERIES["emb_ivf_cell_stats"] = (emb_ivf_cell_stats, EMB_IVF_CELL_STATS_SQL)

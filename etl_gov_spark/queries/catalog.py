@@ -24,6 +24,8 @@ _PINNED_FIRST = (
     # driver samples the first 50, so the tail rolls into round 12.
     "dedup_incremental_minhash",
     "stream_click_attribution_outer",
+    "stream_doc_quality_gate",
+    "emb_ivf_cell_stats",
     "q_holt_winters_seasonal",
     "ann_ivf_nprobe_sweep",
     "emb_hard_negatives",

@@ -579,3 +579,97 @@ QUERIES["stream_click_attribution_outer"] = (
     stream_click_attribution_outer,
     STREAM_CLICK_ATTR_OUTER_SQL,
 )
+
+
+def stream_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest quality gate — the filter cascade a
+    training-data pipeline runs ON ARRIVAL (documents as a file
+    stream, not a batch table): each incoming doc is routed to the
+    first gate it fails (too short → too much punctuation → too few
+    stopwords → accept), and the running per-source × per-gate
+    census is the ingest dashboard. Stateless per-doc scoring (the
+    same JVM-side expressions as operators/text.text_quality), one
+    complete-mode aggregate; no watermark needed — there is no event
+    time, the stream is the arrival order itself.
+
+    Gate thresholds compare RAW ratios (no rounding) so the CASE
+    boundaries are bit-identical in Spark and the DuckDB oracle,
+    which replays the cascade over the batch table (complete mode
+    over a finite feed ≡ batch aggregation).
+    """
+    from etl_gov_spark.operators.text import STOPWORDS_EN, _stop_hits
+
+    from etl_gov_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    n_chars = F.length("text")
+    stop = _stop_hits(toks, STOPWORDS_EN)
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    gate = (
+        F.when(n_words < 50, F.lit("reject_short"))
+        .when(punct / n_chars > 0.10, F.lit("reject_punct"))
+        .when(stop / n_words < 0.10, F.lit("reject_lowstop"))
+        .otherwise(F.lit("accept"))
+    )
+    score = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.5
+        + (stop / n_words) * 0.3
+        + (1 - punct / n_chars) * 0.2
+    )
+    agg = (
+        docs.select("source", gate.alias("gate"), score.alias("s"), n_words.alias("w"))
+        .groupBy("source", "gate")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("s"), 4).alias("avg_quality"),
+            F.round(F.avg("w"), 4).alias("avg_words"),
+        )
+    )
+    sink = "stream_doc_quality_gate_sink"
+    _run_to_memory(agg, sink, "complete")
+    return spark.table(sink)
+
+
+_SQL_DOC_STOP = None  # built inline below
+
+
+def _doc_gate_sql() -> str:
+    from etl_gov_spark.operators.text import STOPWORDS_EN, _sql_stop_hits
+
+    stop = _sql_stop_hits(STOPWORDS_EN)
+    return f"""
+WITH feats AS (
+  SELECT source,
+         len(toks) AS w,
+         length(text) AS ch,
+         {stop} AS stop,
+         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+  FROM (SELECT source, text, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+), gated AS (
+  SELECT source,
+         CASE WHEN w < 50 THEN 'reject_short'
+              WHEN punct * 1.0 / ch > 0.10 THEN 'reject_punct'
+              WHEN stop * 1.0 / w < 0.10 THEN 'reject_lowstop'
+              ELSE 'accept' END AS gate,
+         least(w / 200.0, 1.0) * 0.5 + (stop * 1.0 / w) * 0.3
+           + (1 - punct * 1.0 / ch) * 0.2 AS s,
+         w
+  FROM feats
+)
+SELECT source, gate, count(*) AS n_docs,
+       round(avg(s), 4) AS avg_quality,
+       round(avg(w), 4) AS avg_words
+FROM gated GROUP BY source, gate
+"""
+
+
+QUERIES["stream_doc_quality_gate"] = (stream_doc_quality_gate, _doc_gate_sql())

@@ -410,3 +410,108 @@ FROM est JOIN exact USING (event_type)
 """
 
 QUERIES["q_kmv_distinct_audit"] = (q_kmv_distinct_audit, Q_KMV_SQL)
+
+
+HIST_BUCKETS = 128
+
+
+def q_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width histogram quantile sketch vs exact — the
+    streaming/distributed quantile pattern when GK/t-digest isn't
+    available: one pass computes the global [min, max] of
+    o_totalprice, a second bins every row into 128 equi-width
+    buckets (a bounded-key groupBy — map-side combined, cell-wise
+    MERGEABLE across partitions, days, or clusters: the property
+    that lets a 100 TB scan keep 128 counters per node and add
+    them), and the p50/p90/p99 estimates read the cumulative
+    histogram's bucket upper edge. Reported next to the exact
+    quantiles with the relative error — the sketch is audited, not
+    trusted.
+
+    Deterministic end-to-end (bucket = floor of a closed-form
+    expression, estimate = bucket edge), so the DuckDB oracle
+    replays the identical histogram and the output is hash-exact.
+    """
+    orders = Catalog(spark, sf_dir).orders.select(
+        F.col("o_totalprice").cast("double").alias("v")
+    )
+    b = orders.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = float(b.lo), float(b.hi)
+    width = (hi - lo) / HIST_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("int"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    hist = orders.groupBy(bucket.alias("b")).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    # 128-row cumulative pass: bounded domain (whitelisted shape —
+    # the window input is ≤ HIST_BUCKETS rows by construction)
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy())
+    )
+    ests = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n") * F.lit(q)),
+                F.round(F.lit(lo) + (F.col("b") + 1) * F.lit(width), 4),
+            )
+        ).alias(f"est_p{int(q * 100)}")
+        for q in (0.5, 0.9, 0.99)
+    ]
+    est = cum.agg(*ests)
+    exact = orders.agg(
+        *[
+            F.round(
+                F.expr(f"percentile(v, {q})"), 4
+            ).alias(f"exact_p{int(q * 100)}")
+            for q in (0.5, 0.9, 0.99)
+        ]
+    )
+    out = est.crossJoin(exact)
+    for p in (50, 90, 99):
+        out = out.withColumn(
+            f"rel_err_p{p}",
+            F.round(F.col(f"est_p{p}") / F.col(f"exact_p{p}") - 1.0, 4),
+        )
+    return out
+
+
+Q_HIST_QUANTILE_SQL = f"""
+WITH v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+hist AS (
+  SELECT least(CAST(floor((v - lo) / ((hi - lo) / {HIST_BUCKETS})) AS INTEGER),
+               {HIST_BUCKETS - 1}) AS b,
+         count(*) AS c
+  FROM v, bounds GROUP BY 1
+), cum AS (
+  SELECT b, c,
+         sum(c) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER () AS n
+  FROM hist
+), est AS (
+  SELECT
+    min(CASE WHEN cum >= ceil(n * 0.5)
+             THEN round(lo + (b + 1) * ((hi - lo) / {HIST_BUCKETS}), 4) END) AS est_p50,
+    min(CASE WHEN cum >= ceil(n * 0.9)
+             THEN round(lo + (b + 1) * ((hi - lo) / {HIST_BUCKETS}), 4) END) AS est_p90,
+    min(CASE WHEN cum >= ceil(n * 0.99)
+             THEN round(lo + (b + 1) * ((hi - lo) / {HIST_BUCKETS}), 4) END) AS est_p99
+  FROM cum, bounds
+), exact AS (
+  SELECT round(quantile_cont(v, 0.5), 4) AS exact_p50,
+         round(quantile_cont(v, 0.9), 4) AS exact_p90,
+         round(quantile_cont(v, 0.99), 4) AS exact_p99
+  FROM v
+)
+SELECT est_p50, est_p90, est_p99, exact_p50, exact_p90, exact_p99,
+       round(est_p50 / exact_p50 - 1.0, 4) AS rel_err_p50,
+       round(est_p90 / exact_p90 - 1.0, 4) AS rel_err_p90,
+       round(est_p99 / exact_p99 - 1.0, 4) AS rel_err_p99
+FROM est, exact
+"""
+
+QUERIES["q_histogram_quantile_sketch"] = (
+    q_histogram_quantile_sketch,
+    Q_HIST_QUANTILE_SQL,
+)

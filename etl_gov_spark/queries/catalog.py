@@ -26,6 +26,7 @@ _PINNED_FIRST = (
     "stream_click_attribution_outer",
     "stream_doc_quality_gate",
     "emb_ivf_cell_stats",
+    "q_histogram_quantile_sketch",
     "q_holt_winters_seasonal",
     "ann_ivf_nprobe_sweep",
     "emb_hard_negatives",

@@ -96,3 +96,30 @@ def test_kmv_estimate_within_theory_bounds(spark, sf_dir):
             assert r.relative_error == 0.0
         else:
             assert abs(r.relative_error) < 4 / (_KMV_K - 2) ** 0.5
+
+
+def test_histogram_quantile_sketch_error_bound(spark, sf_dir):
+    """The equi-width sketch's estimate is the covering bucket's
+    UPPER edge, so est ∈ [exact, exact + width] cannot be violated
+    by more than one bucket width — the deterministic error bound
+    the 128-bucket layout guarantees."""
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.sketches import (
+        HIST_BUCKETS,
+        q_histogram_quantile_sketch,
+    )
+    from pyspark.sql import functions as F2
+
+    r = q_histogram_quantile_sketch(spark, sf_dir).collect()[0]
+    b = (
+        Catalog(spark, sf_dir)
+        .orders.agg(
+            F2.min("o_totalprice").alias("lo"), F2.max("o_totalprice").alias("hi")
+        )
+        .collect()[0]
+    )
+    width = (float(b.hi) - float(b.lo)) / HIST_BUCKETS
+    for p in (50, 90, 99):
+        est, exact = getattr(r, f"est_p{p}"), getattr(r, f"exact_p{p}")
+        assert exact - 1e-6 <= est <= exact + width + 1e-6
+        assert abs(getattr(r, f"rel_err_p{p}")) <= width / exact + 1e-6

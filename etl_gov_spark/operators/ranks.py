@@ -94,6 +94,18 @@ def ranged_global_rank(
     """
     spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The P-row ledger is lifted back into the plan as array LITERALS
+    # indexed by partition id — O(P) driver memory and plan size, by
+    # design independent of N. That contract inverts if a cluster
+    # runs with an extreme shuffle parallelism (P ≈ 10⁵ makes the
+    # literal a megabyte-scale expression per lifted column); cap the
+    # ledger width and fail loudly rather than build a degenerate
+    # plan — callers pass ``partitions=`` explicitly at that scale.
+    if p > 32_768:
+        raise ValueError(
+            f"ranged_global_rank ledger width {p} exceeds the literal-"
+            "lift budget (32768); pass partitions= explicitly"
+        )
     ntiles = ntiles or {}
     running_longs = running_longs or {}
     sum_srcs = sorted(set(running_longs.values()))
@@ -203,6 +215,11 @@ def ranged_lag(
     """
     spark = df.sparkSession
     p = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if p > 32_768:  # same literal-lift budget as ranged_global_rank
+        raise ValueError(
+            f"ranged_lag ledger width {p} exceeds the literal-lift "
+            "budget (32768); pass partitions= explicitly"
+        )
     srcs = sorted(set(lag_cols.values()))
     dtypes = dict(df.dtypes)
 

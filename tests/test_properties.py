@@ -422,3 +422,19 @@ def test_ranged_primitives_equal_single_partition_reference(spark, rows):
         ).collect()
     }
     assert got_lag == ref_lag
+
+
+def test_ranged_primitives_reject_degenerate_ledger_width(spark):
+    """The P-row ledger lifts back as plan literals — O(P) driver
+    memory and plan bytes. An extreme shuffle parallelism must fail
+    loudly instead of building a megabyte-literal plan."""
+    import pytest
+    from pyspark.sql import functions as F2
+
+    from etl_gov_spark.operators.ranks import ranged_global_rank, ranged_lag
+
+    df = spark.range(10).select(F2.col("id"), F2.col("id").alias("v"))
+    with pytest.raises(ValueError, match="literal-lift budget"):
+        ranged_global_rank(df, [F2.asc("id")], partitions=50_000)
+    with pytest.raises(ValueError, match="literal-lift budget"):
+        ranged_lag(df, [F2.asc("id")], {"prev_v": "v"}, partitions=50_000)

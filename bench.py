@@ -73,11 +73,13 @@ HEADLINE = [
     # new family's hot plan, unrepresented until now
     "geo_od_flow_matrix",
     # r11 widening: the CDC/COW merge path (footer-pruned selective
-    # rewrite) and the round-11 incremental fingerprint-store dedup
-    # (range-clustered write + footer probe + append) — the stateful
-    # write-path plans were unrepresented in the pinned anchor
+    # rewrite) — the stateful write-path plan was unrepresented in
+    # the pinned anchor. (dedup_incremental_minhash stays OUT of the
+    # headline deliberately: it is store-IO/job-count bound (~12 s
+    # at ANY sf — five small jobs, not data), so best-of-3 would
+    # measure local job latency, not plan cost; its scale evidence
+    # is the BASELINE.md 1×/10× flat-wall ladder instead.)
     "merge_upsert_pruned",
-    "dedup_incremental_minhash",
 ]
 
 

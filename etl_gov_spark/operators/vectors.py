@@ -2081,6 +2081,8 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_n = emb.withColumn("_nrm", _norm("v"))
     ecos6 = F.round(_dot("qv", "v") / (F.col("_qnrm") * F.col("_nrm")), 6)
     wq = Window.partitionBy("q_id").orderBy(F.desc("_c"), F.asc("cand_id"))
+    # checkpoint: the ground truth is consumed by all four sweep
+    # levels — without it the brute-force scan re-executes per level
     exact = (
         F.broadcast(q)
         .crossJoin(emb_n)
@@ -2089,6 +2091,7 @@ def ann_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= TOP_K)
         .select("q_id", "cand_id")
+        .localCheckpoint(eager=False)
     )
     levels = None
     for np_ in SWEEP_NPROBES:

@@ -638,9 +638,6 @@ def stream_doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-_SQL_DOC_STOP = None  # built inline below
-
-
 def _doc_gate_sql() -> str:
     from etl_gov_spark.operators.text import STOPWORDS_EN, _sql_stop_hits
 

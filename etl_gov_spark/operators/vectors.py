@@ -400,10 +400,117 @@ WHERE rank <= {TOP_K}
 """
 
 
+SEMDEDUP_TAU = 0.30  # within-cell prune threshold (cosine, 6 dp)
+
+
+def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup census: k-means-cell-blocked
+    representative pruning over the embedding column (Abbas et al.
+    2023's recipe, re-expressed as Spark plans). A vector is PRUNED
+    when a lower-id neighbor in its OWN k-means cell has cosine ≥
+    SEMDEDUP_TAU; output is the per-cell census (n_vecs, n_pruned,
+    prune_rate) a curation pipeline thresholds on.
+
+    Distinct from ``dedup_embedding`` (sign-LSH pair DETECTION):
+    this is the cluster-then-prune-within-cell shape — the one that
+    scales, because candidate pairs are cell-local (Σ|cell|², never
+    corpus²) and the coarse quantizer is the same deterministic
+    Lloyd model ``ann_ivf_topk`` already fits (so at 100 TB the two
+    ops share one training pass and one assignment materialization;
+    k grows ~sqrt(N) with the model broadcast-joined). The pair
+    expansion is a self-equi-join on cid — a bounded-key hash join
+    over the checkpointed assignment, no crossJoin, no window.
+
+    Exactly oracle-able like the rest of the IVF family: seeds are
+    hash-ordered (no RNG), Lloyd state and the pair cosine are 6-dp
+    quantized, so the DuckDB oracle replays the identical cells and
+    the identical prune set.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = _lloyd_model(emb)
+    # same bounded materialization ann_ivf_topk pays: keeps the k×64
+    # literal model out of the self-join lineage (it would otherwise
+    # appear on BOTH join sides).
+    cells = _assign(emb, model).localCheckpoint(eager=False)
+    cells_n = cells.withColumn("_nrm", _norm("v"))
+    a = cells_n.select(
+        "cid",
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("_nrm").alias("na"),
+    )
+    b = cells_n.select(
+        "cid",
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("_nrm").alias("nb"),
+    )
+    cos6 = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("ida") < F.col("idb"))
+        .select("cid", "idb", cos6.alias("_c"))
+        .filter(F.col("_c") >= SEMDEDUP_TAU)
+        .select("cid", "idb")
+        .distinct()
+    )
+    census = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    pr = pruned.groupBy("cid").agg(F.count(F.lit(1)).alias("_np"))
+    return (
+        census.join(pr, "cid", "left")
+        .select(
+            "cid",
+            "n_vecs",
+            F.coalesce(F.col("_np"), F.lit(0)).alias("n_pruned"),
+            _R4(
+                F.coalesce(F.col("_np"), F.lit(0)) / F.col("n_vecs"),
+                "prune_rate",
+            ),
+        )
+    )
+
+
+DEDUP_SEMDEDUP_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedids AS (
+  SELECT vec_id FROM vecs
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM vecs) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells")},
+cn AS (
+  SELECT cid, vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM cells
+), pruned AS (
+  SELECT DISTINCT a.cid, b.vec_id AS idb
+  FROM cn a JOIN cn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                      i -> a.v[i] * b.v[i]))
+              / (a.nrm * b.nrm), 6) >= {SEMDEDUP_TAU}
+), pc AS (
+  SELECT cid, count(*) AS np FROM pruned GROUP BY cid
+)
+SELECT c.cid AS cid, count(*) AS n_vecs,
+       CAST(coalesce(max(pc.np), 0) AS BIGINT) AS n_pruned,
+       round(coalesce(max(pc.np), 0) * 1.0 / count(*), 4) AS prune_rate
+FROM cells c LEFT JOIN pc ON pc.cid = c.cid
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, tuple] = {
     "emb_norm_stats": (emb_norm_stats, EMB_NORM_STATS_SQL),
     "emb_label_centroids": (emb_label_centroids, EMB_LABEL_CENTROIDS_SQL),
     "ann_ivf_topk": (ann_ivf_topk, ANN_IVF_SQL),
+    "dedup_semdedup_prune": (dedup_semdedup_prune, DEDUP_SEMDEDUP_SQL),
 }
 
 PQ_M = 8  # subspaces (64 dims → 8×8)

@@ -630,3 +630,44 @@ def test_ivf_funnel_vs_exact_recall_sf01(spark):
         return sum(sum(v) / len(v) for v in per.values()) / len(per)
 
     assert label_recall(funnel) >= label_recall(exact) - 1e-9
+
+
+def test_semdedup_census_vs_driver_replay(spark, sf_dir):
+    """dedup_semdedup_prune's per-cell census must equal a
+    driver-side numpy replay of the same rule (same Lloyd cells,
+    6-dp cosine, lower-id-representative prune) — the operator's
+    distributed self-join is the only thing the replay doesn't
+    share, so a disagreement localizes there."""
+    import numpy as np
+
+    from etl_gov_spark.io.sources import expand_parallelism
+    from pyspark.sql import functions as F
+
+    out = {r.cid: r for r in V.dedup_semdedup_prune(spark, sf_dir).collect()}
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = V._lloyd_model(emb)
+    cells: dict = {}
+    for r in V._assign(emb, model).collect():
+        cells.setdefault(r.cid, []).append((r.vec_id, np.array(r.v)))
+
+    assert set(out) == set(cells)
+    total = 0
+    for cid, members in cells.items():
+        members.sort()
+        pruned = set()
+        for i, (ida, va) in enumerate(members):
+            for idb, vb in members[i + 1 :]:
+                cos6 = round(
+                    float(va @ vb) / (np.linalg.norm(va) * np.linalg.norm(vb)), 6
+                )
+                if cos6 >= V.SEMDEDUP_TAU:
+                    pruned.add(idb)
+        r = out[cid]
+        assert r.n_vecs == len(members)
+        assert r.n_pruned == len(pruned)
+        # the cell's lowest-id vector is always kept
+        assert r.n_pruned <= r.n_vecs - 1
+        total += r.n_vecs
+    assert total == emb.count()

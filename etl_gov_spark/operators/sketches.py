@@ -515,3 +515,198 @@ QUERIES["q_histogram_quantile_sketch"] = (
     q_histogram_quantile_sketch,
     Q_HIST_QUANTILE_SQL,
 )
+
+
+def q_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra audit: audience union / intersection
+    / A-not-B estimates between every event-type pair, from ONE
+    bounded KMV sketch per type (Dasgupta et al., the mergeable
+    DataSketches shape), each estimate audited against the exact
+    count in the same row.
+
+    The 100 TB story: segment-overlap questions ("how many users
+    did A but not B?") normally force a distinct self-join per pair
+    over the fact table; with theta sketches each segment is scanned
+    ONCE into k retained hashes, and every pairwise set operation is
+    arithmetic over |types|·k driver-sized state — sketches merge
+    associatively across partitions/days, so the same plan serves
+    incremental rollup. Draws are deterministic md5 (the
+    q_kmv_distinct_audit trick), so the sketch state — and therefore
+    every estimate — is replayed bit-identically by the oracle: the
+    approximate algorithm is exactly oracle-able, and the exact
+    columns price its error honestly.
+
+    Pair set-op semantics (fixed convention, mirrored in SQL): per
+    type θ_S = kth smallest draw (1.0 when the segment has < k
+    users, i.e. the sketch is exact); per pair θ = min(θ_A, θ_B);
+    retained = sketch hashes with u < θ strictly; estimates =
+    |retained set-op| / θ. Exact counterparts come from one distinct
+    self-join on the user contraction (|types|² pairs, bounded).
+    """
+    ev = Catalog(spark, sf_dir).events.select("event_type", "user_id").distinct()
+    u = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        / F.lit(float(16**12))
+    )
+    drawn = ev.select("event_type", "user_id", u.alias("u"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("u"), F.asc("user_id"))
+    kept = drawn.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _KMV_K
+    )
+    theta = kept.groupBy("event_type").agg(
+        F.when(F.count(F.lit(1)) < _KMV_K, F.lit(1.0))
+        .otherwise(F.max("u"))
+        .alias("theta")
+    )
+    sk = kept.join(theta, "event_type").select("event_type", "user_id", "u", "theta")
+
+    a = sk.select(
+        F.col("event_type").alias("type_a"),
+        F.col("user_id").alias("ua_user"),
+        F.col("u").alias("ua"),
+        F.col("theta").alias("th_a"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"),
+        F.col("user_id").alias("ub_user"),
+        F.col("u").alias("ub"),
+        F.col("theta").alias("th_b"),
+    )
+    # |types|² pair frame over the |types|-row theta table: an
+    # equi-join on a constant key (BHJ with a residual <, never a
+    # cartesian/BNLJ — keeps the PLANS.md join discipline) — the
+    # pair domain is bounded by the type vocabulary, not data.
+    th = (
+        theta.select(
+            F.col("event_type").alias("type_a"),
+            F.col("theta").alias("th_a"),
+            F.lit(1).alias("_k"),
+        )
+        .join(
+            F.broadcast(
+                theta.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("theta").alias("th_b"),
+                    F.lit(1).alias("_k"),
+                )
+            ),
+            "_k",
+        )
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select("type_a", "type_b", F.least("th_a", "th_b").alias("th"))
+    )
+    ra = th.join(
+        a.drop("th_a"), "type_a"
+    ).filter(F.col("ua") < F.col("th"))  # retained A hashes below pair theta
+    rb = th.join(
+        b.drop("th_b"), "type_b"
+    ).filter(F.col("ub") < F.col("th"))
+    inter = (
+        ra.join(
+            rb.select("type_a", "type_b", F.col("ub_user").alias("ua_user")),
+            ["type_a", "type_b", "ua_user"],
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = ra.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n_a"))
+    nb = rb.groupBy("type_a", "type_b").agg(F.count(F.lit(1)).alias("n_b"))
+
+    # exact counterparts from the distinct user contraction
+    d = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("d"))
+    ex_inter = (
+        ev.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(ev.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    base = (
+        th.join(na, ["type_a", "type_b"], "left")
+        .join(nb, ["type_a", "type_b"], "left")
+        .join(inter, ["type_a", "type_b"], "left")
+        .join(ex_inter, ["type_a", "type_b"], "left")
+        .join(d.select(F.col("event_type").alias("type_a"), F.col("d").alias("d_a")), "type_a")
+        .join(d.select(F.col("event_type").alias("type_b"), F.col("d").alias("d_b")), "type_b")
+        .na.fill(0, ["n_a", "n_b", "n_inter", "exact_inter"])
+    )
+    est = lambda n: F.round(F.col(n) / F.col("th"), 4)  # noqa: E731
+    return base.select(
+        "type_a",
+        "type_b",
+        F.round("th", 6).alias("theta"),
+        est("n_inter").alias("inter_est"),
+        F.col("exact_inter"),
+        F.round((F.col("n_a") + F.col("n_b") - F.col("n_inter")) / F.col("th"), 4).alias(
+            "union_est"
+        ),
+        (F.col("d_a") + F.col("d_b") - F.col("exact_inter")).alias("exact_union"),
+        est("n_a").alias("a_est"),
+        F.round((F.col("n_a") - F.col("n_inter")) / F.col("th"), 4).alias(
+            "anotb_est"
+        ),
+        (F.col("d_a") - F.col("exact_inter")).alias("exact_anotb"),
+    )
+
+
+Q_THETA_SETOPS_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), drawn AS (
+  SELECT event_type, user_id,
+         CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+              AS BIGINT) / CAST(power(16, 12) AS DOUBLE) AS u
+  FROM ev
+), kept AS (
+  SELECT event_type, user_id, u FROM (
+    SELECT event_type, user_id, u,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY u ASC, user_id ASC) AS rk
+    FROM drawn
+  ) WHERE rk <= {_KMV_K}
+), theta AS (
+  SELECT event_type,
+         CASE WHEN count(*) < {_KMV_K} THEN 1.0 ELSE max(u) END AS theta
+  FROM kept GROUP BY 1
+), th AS (
+  SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         least(ta.theta, tb.theta) AS th
+  FROM theta ta CROSS JOIN theta tb
+  WHERE ta.event_type < tb.event_type
+), ra AS (
+  SELECT t.type_a, t.type_b, k.user_id
+  FROM th t JOIN kept k ON k.event_type = t.type_a AND k.u < t.th
+), rb AS (
+  SELECT t.type_a, t.type_b, k.user_id
+  FROM th t JOIN kept k ON k.event_type = t.type_b AND k.u < t.th
+), counts AS (
+  SELECT t.type_a, t.type_b,
+         (SELECT count(*) FROM ra WHERE ra.type_a = t.type_a AND ra.type_b = t.type_b) AS n_a,
+         (SELECT count(*) FROM rb WHERE rb.type_a = t.type_a AND rb.type_b = t.type_b) AS n_b,
+         (SELECT count(*) FROM ra JOIN rb USING (type_a, type_b, user_id)
+          WHERE ra.type_a = t.type_a AND ra.type_b = t.type_b) AS n_inter
+  FROM th t
+), d AS (
+  SELECT event_type, count(DISTINCT user_id) AS d FROM ev GROUP BY 1
+), ex_inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS exact_inter
+  FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT t.type_a, t.type_b, round(t.th, 6) AS theta,
+       round(c.n_inter / t.th, 4) AS inter_est,
+       coalesce(e.exact_inter, 0) AS exact_inter,
+       round((c.n_a + c.n_b - c.n_inter) / t.th, 4) AS union_est,
+       da.d + db.d - coalesce(e.exact_inter, 0) AS exact_union,
+       round(c.n_a / t.th, 4) AS a_est,
+       round((c.n_a - c.n_inter) / t.th, 4) AS anotb_est,
+       da.d - coalesce(e.exact_inter, 0) AS exact_anotb
+FROM th t
+JOIN counts c USING (type_a, type_b)
+LEFT JOIN ex_inter e USING (type_a, type_b)
+JOIN d da ON da.event_type = t.type_a
+JOIN d db ON db.event_type = t.type_b
+"""
+
+QUERIES["q_theta_sketch_setops"] = (q_theta_sketch_setops, Q_THETA_SETOPS_SQL)

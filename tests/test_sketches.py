@@ -123,3 +123,31 @@ def test_histogram_quantile_sketch_error_bound(spark, sf_dir):
         est, exact = getattr(r, f"est_p{p}"), getattr(r, f"exact_p{p}")
         assert exact - 1e-6 <= est <= exact + width + 1e-6
         assert abs(getattr(r, f"rel_err_p{p}")) <= width / exact + 1e-6
+
+
+def test_theta_setops_identities_and_error(spark, sf_dir):
+    """q_theta_sketch_setops: per pair, the sketch algebra must obey
+    its own identities (A∖B = A − A∩B, union = A + B − A∩B in
+    retained-count space) and the estimates must sit within a loose
+    KMV error envelope of the exact counts (3σ ≈ 3/√(k−2) for k=64
+    → ±40%); exact-mode rows (θ=1, segment smaller than k) must
+    match exactly."""
+    from etl_gov_spark.operators.sketches import q_theta_sketch_setops
+
+    rows = q_theta_sketch_setops(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r.theta <= 1.0
+        # A∖B identity holds in estimate space by construction
+        assert abs(r.anotb_est - (r.a_est - r.inter_est)) < 1e-6
+        if r.theta == 1.0:
+            assert r.inter_est == r.exact_inter
+            assert r.union_est == r.exact_union
+            assert r.anotb_est == r.exact_anotb
+        else:
+            for est, exact in (
+                (r.union_est, r.exact_union),
+                (r.inter_est, r.exact_inter),
+            ):
+                if exact >= 64:  # envelope only meaningful at sketch scale
+                    assert abs(est - exact) / exact <= 0.40, (est, exact)

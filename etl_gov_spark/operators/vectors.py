@@ -57,14 +57,16 @@ N_PROBE = 3
 QUERY_STRIDE = 50
 
 
-def _seed_ids(vecs: DataFrame) -> DataFrame:
-    """The k = clamp(N/64, 8, 64) seed vec_ids: smallest
-    md5(vec_id), vec_id as the tiebreak — Spark executes ORDER BY +
-    LIMIT as a distributed TakeOrdered (per-partition top-k, tiny
-    driver merge), so seeding never global-sorts the table. The
-    count is one cheap job (model-sizing scalar). Mirrored by the
-    seedids QUALIFY CTE in the oracles."""
-    k = min(N_CENTROIDS_CAP, max(8, vecs.count() // 64))
+def _seed_ids(vecs: DataFrame, k: int | None = None) -> DataFrame:
+    """The k seed vec_ids (default k = clamp(N/64, 8, 64); SemDeDup
+    passes its own ⌊√N⌋ sizing): smallest md5(vec_id), vec_id as
+    the tiebreak — Spark executes ORDER BY + LIMIT as a distributed
+    TakeOrdered (per-partition top-k, tiny driver merge), so seeding
+    never global-sorts the table. The count is one cheap job
+    (model-sizing scalar). Mirrored by the seedids QUALIFY CTE in
+    the oracles."""
+    if k is None:
+        k = min(N_CENTROIDS_CAP, max(8, vecs.count() // 64))
     return (
         vecs.select(
             "vec_id", F.md5(F.col("vec_id").cast("string")).alias("_h")
@@ -189,21 +191,53 @@ def _d2_to(vec: str, cv: Column) -> Column:
     )
 
 
+MODEL_LIT_MAX = 64  # largest model inlined as a plan literal; past
+# this, assignment switches to the broadcast-join path (the
+# production layout the header comment promises: at k ~ sqrt(N) a
+# k×64 literal would bloat every plan that references it twice and
+# the per-row fold is interpreted, while a k-row broadcast build
+# side stays JVM-side). Equal to N_CENTROIDS_CAP, so every
+# oracle-checked / benched plan keeps the literal shape; only
+# large-cap fits (SemDeDup at stress scale) take the join path.
+
+
 def _assign(
     emb: DataFrame, model: list, vec: str = "v", keep: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Map-only nearest-centroid assignment against the literal
-    model: per row, fold d2 to every centroid and take the
-    struct-min (d2, cid) — deterministic argmin, no sort, no
-    shuffle. N rows in, N rows out. ``keep`` lists passthrough
-    columns (e.g. ``label`` for the retrieval-eval funnel)."""
-    best = F.array_min(
-        F.transform(
-            _cent_lit(model),
-            lambda c: F.struct(_d2_to(vec, c["cv"]).alias("d2"), c["cid"].alias("cid")),
+    """Nearest-centroid assignment. k ≤ MODEL_LIT_MAX: map-only fold
+    against the literal model — per row, fold d2 to every centroid
+    and take the struct-min (d2, cid); deterministic argmin, no
+    sort, no shuffle, N rows in / N rows out. k > MODEL_LIT_MAX:
+    broadcast-join the k-row model table, argmin via one hash
+    aggregate over (vec_id, cid, d2) — the N×k frame carries 3
+    columns (never the vectors), then one equi-join reattaches v.
+    Both paths quantize d2 to 6 dp, so they are value-identical
+    (asserted in tests). ``keep`` lists passthrough columns (e.g.
+    ``label`` for the retrieval-eval funnel)."""
+    if len(model) <= MODEL_LIT_MAX:
+        best = F.array_min(
+            F.transform(
+                _cent_lit(model),
+                lambda c: F.struct(
+                    _d2_to(vec, c["cv"]).alias("d2"), c["cid"].alias("cid")
+                ),
+            )
         )
+        return emb.select("vec_id", vec, *keep, best["cid"].alias("cid"))
+    spark = emb.sparkSession
+    mdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in model],
+        "cid long, cv array<double>",
     )
-    return emb.select("vec_id", vec, *keep, best["cid"].alias("cid"))
+    best = (
+        emb.select("vec_id", vec)
+        .join(F.broadcast(mdf))  # k-row build side, deliberate
+        .select("vec_id", "cid", _d2_to(vec, F.col("cv")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("_b"))
+        .select("vec_id", F.col("_b.cid").alias("cid"))
+    )
+    return emb.select("vec_id", vec, *keep).join(best, "vec_id")
 
 
 def _recompute(assigned: DataFrame) -> DataFrame:
@@ -223,15 +257,16 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_model(emb: DataFrame) -> list:
+def _lloyd_model(emb: DataFrame, k: int | None = None) -> list:
     """Fit the IVF coarse quantizer: hash-ordered seeds refined by
     LLOYD_ITERS distributed passes. Returns the k×EMB_DIM centroid
     MODEL (driver state, never data) — the shared front end of
-    ann_ivf_topk and the retrieval-eval funnel."""
+    ann_ivf_topk, the retrieval-eval funnel and the SemDeDup prune
+    (which passes its own ⌊√N⌋ ``k``)."""
     vecs = emb.select("vec_id", "v")
     model = [
         (r.cid, r.cv)
-        for r in vecs.join(F.broadcast(_seed_ids(vecs)), "vec_id")
+        for r in vecs.join(F.broadcast(_seed_ids(vecs, k)), "vec_id")
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         .collect()  # k seed vectors — model state, not data
     ]
@@ -401,6 +436,22 @@ WHERE rank <= {TOP_K}
 
 
 SEMDEDUP_TAU = 0.30  # within-cell prune threshold (cosine, 6 dp)
+SEMDEDUP_K_CAP = 4096  # SemDeDup sizes its quantizer k = ⌊√N⌋
+# (clamped to [8, 4096]), NOT the ANN bench cap: total cost is
+# assignment O(N·k) + within-cell pairs O(N²/k), minimized at
+# k = √N → O(N^1.5) overall. A fixed k goes quadratic in the pair
+# term; k ∝ N goes quadratic in the assignment term (measured: the
+# N/64 formula ran the 30× ladder 6× slower than 10×). Past
+# MODEL_LIT_MAX the assignment flips to _assign's broadcast-join
+# path. ⌊√N⌋ is exactly mirrored by the oracle's
+# floor(sqrt(count)) — integer-identical for any N this engine
+# will ever see.
+
+
+def _semdedup_k(vecs: DataFrame) -> int:
+    import math
+
+    return min(SEMDEDUP_K_CAP, max(8, math.isqrt(vecs.count())))
 
 
 def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,11 +466,13 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the cluster-then-prune-within-cell shape — the one that
     scales, because candidate pairs are cell-local (Σ|cell|², never
     corpus²) and the coarse quantizer is the same deterministic
-    Lloyd model ``ann_ivf_topk`` already fits (so at 100 TB the two
-    ops share one training pass and one assignment materialization;
-    k grows ~sqrt(N) with the model broadcast-joined). The pair
-    expansion is a self-equi-join on cid — a bounded-key hash join
-    over the checkpointed assignment, no crossJoin, no window.
+    Lloyd machinery ``ann_ivf_topk`` fits, sized k = ⌊√N⌋ (the
+    assignment-vs-pairs balance point — see SEMDEDUP_K_CAP; past
+    MODEL_LIT_MAX the assignment broadcast-joins the model instead
+    of inlining it). The pair expansion is a self-equi-join on cid
+    — a hash join over the checkpointed assignment, no crossJoin,
+    no window; the 1×/10×/30× replication ladder in BASELINE.md
+    measures the resulting ~N^1.5 wall.
 
     Exactly oracle-able like the rest of the IVF family: seeds are
     hash-ordered (no RNG), Lloyd state and the pair cosine are 6-dp
@@ -429,7 +482,7 @@ def dedup_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    model = _lloyd_model(emb)
+    model = _lloyd_model(emb, k=_semdedup_k(emb))
     # same bounded materialization ann_ivf_topk pays: keeps the k×64
     # literal model out of the self-join lineage (it would otherwise
     # appear on BOTH join sides).
@@ -478,7 +531,8 @@ WITH vecs AS (
 ), seedids AS (
   SELECT vec_id FROM vecs
   QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM vecs) // 64))
+          <= least({SEMDEDUP_K_CAP},
+                   greatest(8, CAST(floor(sqrt((SELECT count(*) FROM vecs))) AS BIGINT)))
 ), seeds AS (
   SELECT vec_id AS cid, v AS cv FROM vecs
   WHERE vec_id IN (SELECT vec_id FROM seedids)

@@ -647,7 +647,7 @@ def test_semdedup_census_vs_driver_replay(spark, sf_dir):
     emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    model = V._lloyd_model(emb)
+    model = V._lloyd_model(emb, k=V._semdedup_k(emb))
     cells: dict = {}
     for r in V._assign(emb, model).collect():
         cells.setdefault(r.cid, []).append((r.vec_id, np.array(r.v)))
@@ -671,3 +671,25 @@ def test_semdedup_census_vs_driver_replay(spark, sf_dir):
         assert r.n_pruned <= r.n_vecs - 1
         total += r.n_vecs
     assert total == emb.count()
+
+
+def test_assign_broadcast_path_equals_literal_path(spark, sf_dir):
+    """_assign's two physical strategies (literal-model fold vs
+    broadcast-join + hash-agg argmin, selected by MODEL_LIT_MAX)
+    must be value-identical — same 6-dp d2 quantization, same
+    (d2, cid) struct-min tie-break."""
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = V._lloyd_model(emb)
+    assert len(model) <= V.MODEL_LIT_MAX  # sf0.001 fits the literal path
+    lit = {r.vec_id: r.cid for r in V._assign(emb, model).collect()}
+    old = V.MODEL_LIT_MAX
+    V.MODEL_LIT_MAX = 0  # force the broadcast-join path
+    try:
+        bj = {r.vec_id: r.cid for r in V._assign(emb, model).collect()}
+    finally:
+        V.MODEL_LIT_MAX = old
+    assert lit == bj

@@ -6111,3 +6111,131 @@ FROM agg
 """
 
 QUERIES["q_kendall_tau_series"] = (q_kendall_tau_series, Q_KENDALL_TAU_SQL)
+
+
+def q_ipw_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATT — the missing leg of the
+    causal family (DiD, RDD, IV, CUPED, QTE already registered):
+    does priority handling (treatment = '1-URGENT'/'2-HIGH') move
+    order value, controlling for the customer's account balance?
+
+    Propensity e(x) = P(T=1 | acctbal) by the same 3-step
+    Newton-Raphson logit as q_logit_newton (each step = one
+    distributed 5-sum aggregate + a 2×2 driver solve on scalar
+    model state; β 8-dp-quantized at every boundary so the oracle
+    replays the identical trajectory). ATT weighting: treated get
+    weight 1, controls get the odds e/(1−e) with e clipped to
+    [0.01, 0.99] (standard positivity clamp, mirrored); the final
+    readout is ONE aggregate — naive diff, IPW ATT, and the
+    effective sample size of the weighted controls ((Σw)²/Σw², the
+    honesty metric that says how much data the weights kept).
+    At 100 TB: three scans for the fit + one for the readout, each
+    shipping back a handful of doubles — nothing driver-side grows
+    with the data.
+    """
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat.orders.select("o_custkey", "o_orderpriority", "o_totalprice")
+        .join(
+            F.broadcast(cat.customer.select("c_custkey", "c_acctbal")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .cast("double")
+            .alias("t"),
+            F.col("o_totalprice").alias("y"),
+            (F.col("c_acctbal") / F.lit(1000.0)).alias("x"),  # scale for the logit
+        )
+    )
+    b0, b1 = 0.0, 0.0
+    for _ in range(_LOGIT_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+        w = p * (1.0 - p)
+        r = base.agg(
+            F.sum(F.col("t") - p).alias("g0"),
+            F.sum((F.col("t") - p) * F.col("x")).alias("g1"),
+            F.sum(w).alias("h00"),
+            F.sum(w * F.col("x")).alias("h01"),
+            F.sum(w * F.col("x") * F.col("x")).alias("h11"),
+        ).collect()[0]
+        det = r.h00 * r.h11 - r.h01 * r.h01
+        b0 = round(b0 + (r.h11 * r.g0 - r.h01 * r.g1) / det, 8)
+        b1 = round(b1 + (r.h00 * r.g1 - r.h01 * r.g0) / det, 8)
+    e = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("x"))))
+    e = F.least(F.greatest(e, F.lit(0.01)), F.lit(0.99))
+    cw = e / (1.0 - e)  # control odds weight (ATT)
+    t, y = F.col("t"), F.col("y")
+    return base.agg(
+        F.sum(t).cast("long").alias("n_treated"),
+        F.sum(1 - t).cast("long").alias("n_control"),
+        F.lit(b0).alias("beta0"),
+        F.lit(b1).alias("beta1"),
+        _R4(
+            F.sum(t * y) / F.sum(t) - F.sum((1 - t) * y) / F.sum(1 - t),
+            "naive_diff",
+        ),
+        _R4(
+            F.sum(t * y) / F.sum(t)
+            - F.sum((1 - t) * cw * y) / F.sum((1 - t) * cw),
+            "att_ipw",
+        ),
+        _R4(
+            F.pow(F.sum((1 - t) * cw), 2) / F.sum((1 - t) * cw * cw),
+            "ess_control",
+        ),
+    )
+
+
+def _ipw_iter_sql(prev: str, out: str) -> str:
+    return f"""{out}_s AS (
+  SELECT sum(t - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) AS g0,
+         sum((t - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x) AS g1,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x))))) AS h00,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x) AS h01,
+         sum(1.0 / (1.0 + exp(-(b0 + b1 * x)))
+             * (1.0 - 1.0 / (1.0 + exp(-(b0 + b1 * x)))) * x * x) AS h11,
+         max(b0) AS b0, max(b1) AS b1
+  FROM base CROSS JOIN {prev}
+), {out} AS (
+  SELECT round(b0 + (h11 * g0 - h01 * g1) / (h00 * h11 - h01 * h01), 8) AS b0,
+         round(b1 + (h00 * g1 - h01 * g0) / (h00 * h11 - h01 * h01), 8) AS b1
+  FROM {out}_s
+)"""
+
+
+Q_IPW_ATT_SQL = f"""
+WITH base AS (
+  SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1.0 ELSE 0.0 END AS t,
+         o.o_totalprice AS y,
+         c.c_acctbal / 1000.0 AS x
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), it0 AS (
+  SELECT 0.0 AS b0, 0.0 AS b1
+), {_ipw_iter_sql("it0", "it1")}, {_ipw_iter_sql("it1", "it2")},
+{_ipw_iter_sql("it2", "it3")},
+wtd AS (
+  SELECT t, y,
+         least(greatest(1.0 / (1.0 + exp(-(b0 + b1 * x))), 0.01), 0.99)
+           / (1.0 - least(greatest(1.0 / (1.0 + exp(-(b0 + b1 * x))), 0.01), 0.99))
+           AS cw,
+         b0, b1
+  FROM base CROSS JOIN it3
+)
+SELECT CAST(sum(t) AS BIGINT) AS n_treated,
+       CAST(sum(1 - t) AS BIGINT) AS n_control,
+       max(b0) AS beta0, max(b1) AS beta1,
+       round(sum(t * y) / sum(t) - sum((1 - t) * y) / sum(1 - t), 4)
+         AS naive_diff,
+       round(sum(t * y) / sum(t)
+             - sum((1 - t) * cw * y) / sum((1 - t) * cw), 4) AS att_ipw,
+       round(pow(sum((1 - t) * cw), 2) / sum((1 - t) * cw * cw), 4)
+         AS ess_control
+FROM wtd
+"""
+
+QUERIES["q_ipw_att"] = (q_ipw_att, Q_IPW_ATT_SQL)

@@ -15,16 +15,17 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 11 rotation: the 11 new/rewritten plans first (the
+    # Round 11 rotation: the 12 new/rewritten plans first (the
     # SemDeDup cell-blocked prune census, the incremental
     # fingerprint-store dedup, the stream-stream left-outer join,
     # Holt-Winters seasonal, the nprobe sweep, the IVF-funnel
     # retrieval-eval rewrites + the refactored ann_ivf_topk), then
     # the 6 round-9 roll-overs, then never-driver-sampled queries in
-    # backlog order. 58 listed; the driver samples the first 50, so
+    # backlog order. 59 listed; the driver samples the first 50, so
     # the tail rolls into round 12.
     "dedup_semdedup_prune",
     "q_theta_sketch_setops",
+    "q_ipw_att",
     "dedup_incremental_minhash",
     "stream_click_attribution_outer",
     "stream_doc_quality_gate",

@@ -1144,3 +1144,40 @@ def test_holt_winters_skips_short_groups(spark):
     assert got["long"].n_days == _HW_PERIOD * 3
     # a perfectly periodic series: trend ~ 0, forecast ~ next period value
     assert abs(got["long"].trend) < 0.2
+
+
+def test_ipw_att_debiasing_on_planted_confounder(spark, tmp_path_factory):
+    """Null true effect with treatment assignment confounded by the
+    covariate: the naive arm difference must show the planted bias;
+    the IPW ATT must shrink it by an order of magnitude. Also checks
+    the ESS honesty metric stays within (0, n_control]."""
+    import numpy as np
+
+    from etl_gov_spark.operators.mlstats import q_ipw_att
+
+    rng = np.random.default_rng(42)
+    n = 4000
+    x = rng.normal(loc=0.0, scale=2.0, size=n)  # acctbal/1000 scale
+    p_t = 1.0 / (1.0 + np.exp(-1.2 * x))  # confounded assignment
+    t = rng.uniform(size=n) < p_t
+    y = 1000.0 + 400.0 * x + rng.normal(scale=50.0, size=n)  # effect = 0
+
+    tmp = str(tmp_path_factory.mktemp("ipw"))
+    cust = [(i, float(x[i] * 1000.0)) for i in range(n)]
+    spark.createDataFrame(cust, "c_custkey long, c_acctbal double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp}/customer.parquet")
+    orders = [
+        (i, i, "1-URGENT" if t[i] else "5-LOW", float(y[i]))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderpriority string, o_totalprice double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/orders.parquet")
+
+    r = q_ipw_att(spark, tmp).collect()[0]
+    assert r.n_treated + r.n_control == n
+    assert abs(r.naive_diff) > 500.0  # the planted confounding bias
+    assert abs(r.att_ipw) < abs(r.naive_diff) / 5.0  # debiased
+    assert 0.0 < r.ess_control <= r.n_control

@@ -15,64 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 11 rotation: the 12 new/rewritten plans first (the
-    # SemDeDup cell-blocked prune census, the incremental
-    # fingerprint-store dedup, the stream-stream left-outer join,
-    # Holt-Winters seasonal, the nprobe sweep, the IVF-funnel
-    # retrieval-eval rewrites + the refactored ann_ivf_topk), then
-    # the 6 round-9 roll-overs, then never-driver-sampled queries in
-    # backlog order. 59 listed; the driver samples the first 50, so
-    # the tail rolls into round 12.
-    "dedup_semdedup_prune",
-    "q_theta_sketch_setops",
-    "q_ipw_att",
-    "dedup_incremental_minhash",
-    "stream_click_attribution_outer",
-    "stream_doc_quality_gate",
-    "emb_ivf_cell_stats",
-    "q_histogram_quantile_sketch",
-    "q_holt_winters_seasonal",
-    "ann_ivf_nprobe_sweep",
-    "emb_hard_negatives",
-    "emb_recall_at_k",
-    "emb_mrr_eval",
-    "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    "q_spearman_corr",
-    "q_pettitt_changepoint",
-    "q_mutual_info_type_hour",
-    "q_permutation_entropy",
-    "q_anova_dow",
-    "q_brown_forsythe",
-    "q_two_proportion_z",
-    "q_jackknife_ci",
-    "q_first_value_ltv_corr",
-    "q_wilson_ci_rates",
-    "q_eb_shrinkage",
-    "q_power_analysis",
-    "q_fano_factor",
-    "q_nbd_repeat_buying",
-    "q_capture_recapture",
-    "q_pacf_yule_walker",
-    "q_process_capability",
-    "q_influential_days",
-    "q_renyi_spectrum",
-    "q_effect_size_matrix",
-    "q_var_backtest_kupiec",
-    "q_friedman_test",
-    "q_qq_deciles",
-    "q_seasonality_strength",
-    "q_kendall_tau_series",
-    "q_join_key_skew_census",
-    "text_compression_quality",
-    "udaf_zscore_pandas",
-    "q_holt_forecast",
-    "q_lead_lag_xcorr",
-    "q_attribution_position",
-    "q_rolling_zscore_alerts",
-    "q_missing_hour_census",
-    "q_hourly_seasonality_fourier",
-    "q_user_lifecycle_states",
+    # Round 12 rotation: new round-11 queries first (they have no
+    # driver signal at all yet), then the 53 names the driver has
+    # never sampled in any round (all judge-gate-green at sf0.01 +
+    # sf0.001 in round 10), in VERDICT-r10 table order. Zero
+    # re-lists of already-adjudicated names — every slot in the
+    # driver's 50-entry prefix buys new union coverage; the tail
+    # past slot 50 rolls into the next rotation.
+    # (test_survey_sync asserts the list length and uniqueness so
+    # this comment can't drift from the tuple again.)
     "q_growth_accounting",
     "q_cohort_decay_fit",
     "q_conversion_window_sensitivity",
@@ -85,6 +36,47 @@ _PINNED_FIRST = (
     "q_seasonal_diff_acf",
     "q_burstiness_coefficient",
     "q_weekday_hour_profile",
+    "q_price_volume_bridge",
+    "q_xyz_variability",
+    "q_order_aging_buckets",
+    "q_abc_xyz_matrix",
+    "q_scenario_whatif",
+    "q_dead_sku_census",
+    "q_peak_day_contribution",
+    "q_shift_share",
+    "q_location_quotient",
+    "q_price_index_fisher",
+    "q_price_change_frequency",
+    "q_survey_raking",
+    "q_composite_index",
+    "q_topk_stability",
+    "q_risk_pooling",
+    "q_dupont_decomposition",
+    "q_customer_overlap_segments",
+    "q_seasonal_index_monthly",
+    "q_cold_start_ramp",
+    "q_weekend_uplift",
+    "q_tax_discount_grid",
+    "q_size_price_slope",
+    "q_supplier_balance_tiers",
+    "q_linenumber_profile",
+    "q_part_name_tokens",
+    "q_return_rate_by_brand",
+    "q_discount_uptake_by_segment",
+    "dedup_threshold_sensitivity",
+    "graph_degree_powerlaw",
+    "dedup_cluster_size_powerlaw",
+    "emb_davies_bouldin",
+    "emb_effective_rank",
+    "emb_label_confusion_centroids",
+    "emb_dim_anova_labels",
+    "q_weekly_ohlc",
+    "text_rake_keyphrases",
+    "text_langid_confusion",
+    "text_pmi_bigrams",
+    "text_cohen_kappa",
+    "text_hapax_profile",
+    "text_digit_density",
 )
 
 

@@ -138,8 +138,12 @@ def test_theta_setops_identities_and_error(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 < r.theta <= 1.0
-        # A∖B identity holds in estimate space by construction
-        assert abs(r.anotb_est - (r.a_est - r.inter_est)) < 1e-6
+        # A∖B identity holds in retained-COUNT space by construction
+        # (n_anotb = n_a − n_inter before the /θ scale-up). In estimate
+        # space each side is rounded to 4dp independently, so when θ<1
+        # the two sides can legitimately differ by one rounding ULP
+        # (1e-4) — tolerance sized accordingly.
+        assert abs(r.anotb_est - (r.a_est - r.inter_est)) < 1.5e-4
         if r.theta == 1.0:
             assert r.inter_est == r.exact_inter
             assert r.union_est == r.exact_union

@@ -66,3 +66,17 @@ def test_registry_assembly_fails_loud_on_broken_family(monkeypatch):
     monkeypatch.setattr(builtins, "__import__", sabotage)
     with pytest.raises(ImportError, match="operators.audit"):
         catalog._families()
+
+
+def test_pinned_prefix_is_unique_and_registered():
+    """_PINNED_FIRST must contain no duplicates and only names that
+    exist in the registry — a stale pin silently wastes one of the
+    driver's 50 correctness-sample slots. Asserted here so the
+    rotation comment in queries/catalog.py can't drift from the
+    tuple again (ADVICE r10)."""
+    from etl_gov_spark.queries.catalog import _PINNED_FIRST, all_queries
+
+    assert len(_PINNED_FIRST) == len(set(_PINNED_FIRST)), "duplicate pin"
+    registered = set(all_queries())
+    missing = [n for n in _PINNED_FIRST if n not in registered]
+    assert not missing, f"pinned but not registered: {missing}"

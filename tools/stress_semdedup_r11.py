@@ -1,11 +1,13 @@
 """Round-11 SemDeDup replication stress.
 
 Replicates sf0.1 embeddings N× with offset vec_ids and times
-``dedup_semdedup_prune``. The thing under test: with
-SEMDEDUP_K_CAP the cluster count keeps growing as k = N/64, so
-within-cell pair cost stays ~64·N (linear) instead of N²/k, and
-past MODEL_LIT_MAX the assignment flips to the broadcast-join path
-— wall should scale ~linearly with the corpus.
+``dedup_semdedup_prune``. The thing under test: the quantizer is
+sized k = ⌊√N⌋ (SEMDEDUP_K_CAP=4096 is only a clamp), balancing
+the O(N·k) assignment against the Σ|cell|² ≈ N²/k pair expansion —
+both terms land at ~N^1.5, so wall should grow ~N^1.5 (measured
+2.5× for 3× data; the rejected k=N/64 first draft measured 6.1×,
+see BASELINE.md). Past MODEL_LIT_MAX the assignment flips to the
+broadcast-join path.
 
 Stress-only input: results are NOT oracle-checked here (the oracle
 gate runs on the driver-generated tables). Prints one JSON line.

@@ -1192,17 +1192,21 @@ def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(iters: int = BPE_MERGES) -> str:
+def _bpe_sql(iters: int = BPE_MERGES, keep_w: bool = False) -> str:
     """The BPE loop replayed as unrolled CTEs: same double-space
     symbol-string representation, same integer-weighted argmax,
-    same non-overlapping replace — exact, no rounding anywhere."""
+    same non-overlapping replace — exact, no rounding anywhere.
+    ``keep_w`` carries the original word through every round so a
+    consumer can join the final symbol count back to the corpus
+    (corpus_bpe_apply)."""
+    wcol = "w, " if keep_w else ""
     parts = [
-        r"""WITH words AS MATERIALIZED (
+        rf"""WITH words AS MATERIALIZED (
   SELECT w, count(*) AS n FROM (
     SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
   ) WHERE w <> '' GROUP BY w
 ), s0 AS MATERIALIZED (
-  SELECT ' ' || array_to_string(
+  SELECT {wcol}' ' || array_to_string(
            list_transform(generate_series(1, length(w)), i -> substring(w, i, 1)),
            '  ') || ' ' AS s, n
   FROM words
@@ -1220,7 +1224,7 @@ def _bpe_sql(iters: int = BPE_MERGES) -> str:
 ), b{i} AS MATERIALIZED (
   SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
 ), s{i} AS MATERIALIZED (
-  SELECT replace(s,
+  SELECT {wcol}replace(s,
                  ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
                  ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ') AS s, n
   FROM {prev}
@@ -2871,3 +2875,391 @@ QUERIES["corpus_doc_length_gini"] = (
     corpus_doc_length_gini,
     CORPUS_LENGTH_GINI_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Trained document-quality classifier (round 11)
+# ---------------------------------------------------------------------------
+
+_QC_DIM = 64  # hashed-BoW width — must match text_feature_hash's _FH_DIM
+_QC_ITERS = 6
+_QC_ETA_MULT = 3.0  # step = 3/n; Lipschitz bound for logistic is 4/n here
+
+
+def _qc_label_and_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared projection: Gopher-rule weak label + 64-dim hashed
+    BoW shares + the md5 split flag, one codegen pass per doc."""
+    from etl_gov_spark.operators.text import STOPWORDS_EN
+
+    toks = tokens_col()
+    n_words = F.size(toks)
+    mean_wlen = (F.length(F.trim(F.col("text"))) - (n_words - 1)) / n_words
+    punct = F.length("text") - F.length(
+        F.regexp_replace("text", r"[.,!?;:#*]", "")
+    )
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / n_words
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    fail_any = (
+        ((n_words < 5) | (n_words > 100000))
+        | ~mean_wlen.between(3.0, 10.0)
+        | (punct / n_words > 0.1)
+        | (alpha_frac < 0.8)
+        | (stop_hits < 2)
+    )
+    base = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        (~fail_any).cast("double").alias("y"),
+        F.transform(
+            toks,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("int")
+            % _QC_DIM,
+        ).alias("bkt"),
+        n_words.alias("nw"),
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("c", "d", "e", "f")
+        .alias("held"),
+    )
+    xv = F.transform(
+        F.sequence(F.lit(0), F.lit(_QC_DIM - 1)),
+        lambda i: F.size(F.filter("bkt", lambda x: x == i)) / F.col("nw"),
+    )
+    return base.select("doc_id", "y", "held", xv.alias("xv"))
+
+
+def _qc_dot(xv, beta: list[float]):
+    """Left-fold dot product of a vector column against a literal
+    model — the exact accumulation order DuckDB's list_reduce uses,
+    so both engines produce bit-identical doubles."""
+    blit = F.array(*[F.lit(v) for v in beta])
+    return F.aggregate(
+        F.zip_with(xv, blit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained (not rule-based) document-quality scorer: logistic
+    regression over the 64-dim hashed bag-of-words from
+    ``text_feature_hash``, weak-labelled by the Gopher-rule pass from
+    ``corpus_gopher_rules``, trained on the md5 train split and
+    scored with a held-out ROC-AUC (``q_roc_auc``'s rank-sum
+    backbone) — the fastText-style quality-classifier step a modern
+    curation stack runs after heuristic filtering.
+
+    Optimizer: per iteration ONE distributed conditional aggregate
+    (66 sums) feeding an exact 1-D Newton step on the intercept (the
+    ``q_logit_newton`` 2×2-solve pattern collapsed to 1-D) plus a
+    Lipschitz-safe fixed-step gradient step on the 64 weights
+    (η = 3/n < 4/n, the logistic gradient's Lipschitz bound for
+    rows with Σxᵢ = 1) — a full 65×65 Newton solve would not be
+    oracle-replayable. Each iteration scans the train split once and
+    ships back 66 doubles; β is quantized to 8 dp at every iteration
+    boundary so the DuckDB oracle replays the identical trajectory
+    as six unrolled CTEs (model scalars carried by cross join).
+
+    Scale: train is embarrassingly parallel map + tree-aggregate per
+    iteration; scoring is one map pass; the AUC window runs over
+    distinct 6-dp scores only (bounded by the score range, the
+    ``q_roc_auc`` pattern). Reference parity: extends the
+    transform-stage quality gates (dags/tutorial_dag.py) with a
+    trained scorer.
+    """
+    feat = _qc_label_and_features(spark, sf_dir)
+    train = feat.filter(~F.col("held"))
+    n_train = train.count()  # model sizing, one scalar (Lloyd pattern)
+    eta = _QC_ETA_MULT / n_train
+    bi, bw = 0.0, [0.0] * _QC_DIM
+    for _ in range(_QC_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(bi) + _qc_dot("xv", bw))))
+        proj = train.select("y", "xv", p.alias("p"))
+        aggs = [
+            F.sum(F.col("y") - F.col("p")).alias("g0"),
+            F.sum(F.col("p") * (1.0 - F.col("p"))).alias("h0"),
+        ]
+        for i in range(_QC_DIM):
+            aggs.append(
+                F.sum(
+                    F.element_at("xv", i + 1) * (F.col("y") - F.col("p"))
+                ).alias(f"gw{i}")  # gw: weight grads; g0/h0 are the intercept's
+            )
+        r = proj.agg(*aggs).collect()[0]
+        bi = round(bi + r.g0 / r.h0, 8)
+        bw = [round(bw[i] + eta * r[f"gw{i}"], 8) for i in range(_QC_DIM)]
+    beta_l2 = round(sum(v * v for v in bw) ** 0.5, 4)
+    scored = feat.filter(F.col("held")).select(
+        F.round(F.lit(bi) + _qc_dot("xv", bw), 6).alias("s"),
+        F.col("y").cast("long").alias("yl"),
+    )
+    counts = scored.groupBy("s").agg(
+        F.sum("yl").alias("c_pos"), F.sum(1 - F.col("yl")).alias("c_neg")
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = counts.select(
+        "c_pos",
+        "c_neg",
+        (
+            F.coalesce(F.sum(F.col("c_pos") + F.col("c_neg")).over(w), F.lit(0))
+            + (F.col("c_pos") + F.col("c_neg") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    stats = ranked.agg(
+        F.sum("c_pos").alias("n_pos"),
+        F.sum("c_neg").alias("n_neg"),
+        F.sum(F.col("c_pos") * F.col("avg_rank")).alias("r_pos"),
+    )
+    auc = (
+        F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return stats.select(
+        F.lit(n_train).alias("n_train"),
+        (F.col("n_pos") + F.col("n_neg")).cast("long").alias("n_held"),
+        F.col("n_pos").cast("long").alias("n_held_pos"),
+        F.lit(bi).alias("beta0"),
+        F.lit(beta_l2).alias("beta_l2"),
+        _R4(auc, "auc_held"),
+    )
+
+
+def _qc_iter_sql(prev: str, out: str) -> str:
+    """One unrolled hybrid step: per-doc p under the previous β
+    (left-fold dot, matching Spark's F.aggregate order), the 66
+    sums, then the 1-D Newton intercept + η-gradient weight update,
+    all quantized to 8 dp (mirrors the Spark loop exactly)."""
+    return f"""{out}_p AS MATERIALIZED (
+  SELECT t.y, t.xv,
+         1.0 / (1.0 + exp(-(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> t.xv[j] * b.bw[j]),
+           (a, v) -> a + v)))) AS p
+  FROM train t CROSS JOIN {prev} b
+), {out}_int AS (
+  SELECT sum(y - p) AS g0, sum(p * (1.0 - p)) AS h0 FROM {out}_p
+), {out}_dim AS (
+  SELECT i, sum(xv[i + 1] * (y - p)) AS g
+  FROM {out}_p CROSS JOIN generate_series(0, {_QC_DIM - 1}) t(i)
+  GROUP BY i
+), {out}_new AS (
+  SELECT d.i, round(b.bw[d.i + 1] + b.eta * d.g, 8) AS nb
+  FROM {out}_dim d CROSS JOIN {prev} b
+), {out} AS MATERIALIZED (
+  SELECT (SELECT round(p.bi + n.g0 / n.h0, 8) FROM {prev} p CROSS JOIN {out}_int n) AS bi,
+         (SELECT list(nb ORDER BY i) FROM {out}_new) AS bw,
+         (SELECT eta FROM {prev}) AS eta
+)"""
+
+
+CORPUS_QUALITY_CLASSIFIER_SQL = rf"""
+WITH raw AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), feat0 AS (
+  SELECT doc_id,
+         CAST(NOT ((len(toks) < 5 OR len(toks) > 100000)
+              OR NOT ((length(trim(text)) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0)
+              OR (length(text) - length(regexp_replace(text, '[.,!?;:#*]', '', 'g'))) / CAST(len(toks) AS DOUBLE) > 0.1
+              OR len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / CAST(len(toks) AS DOUBLE) < 0.8
+              OR len(list_filter(toks, t -> list_contains(['the','a','of','and','to','in','is','on'], t))) < 2) AS DOUBLE) AS y,
+         list_transform(toks, w -> CAST('0x' || substr(md5(w), 1, 2) AS INTEGER) % {_QC_DIM}) AS bkt,
+         len(toks) AS nw,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f') AS held
+  FROM raw
+), feat AS MATERIALIZED (
+  SELECT doc_id, y, held,
+         list_transform(generate_series(0, {_QC_DIM - 1}),
+                        i -> len(list_filter(bkt, x -> x = i)) / CAST(nw AS DOUBLE)) AS xv
+  FROM feat0
+), train AS MATERIALIZED (SELECT * FROM feat WHERE NOT held),
+it0 AS MATERIALIZED (
+  SELECT CAST(0.0 AS DOUBLE) AS bi,
+         list_transform(generate_series(0, {_QC_DIM - 1}), i -> CAST(0.0 AS DOUBLE)) AS bw,
+         CAST({_QC_ETA_MULT} AS DOUBLE) / (SELECT count(*) FROM train) AS eta
+),
+{_qc_iter_sql('it0', 'it1')},
+{_qc_iter_sql('it1', 'it2')},
+{_qc_iter_sql('it2', 'it3')},
+{_qc_iter_sql('it3', 'it4')},
+{_qc_iter_sql('it4', 'it5')},
+{_qc_iter_sql('it5', 'it6')},
+scored AS (
+  SELECT round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6) AS s,
+         CAST(f.y AS BIGINT) AS yl
+  FROM feat f CROSS JOIN it6 b WHERE f.held
+), counts AS (
+  SELECT s, sum(yl) AS c_pos, sum(1 - yl) AS c_neg FROM scored GROUP BY s
+), ranked AS (
+  SELECT c_pos, c_neg,
+         coalesce(sum(c_pos + c_neg) OVER (ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (c_pos + c_neg + 1) / 2.0 AS avg_rank
+  FROM counts
+), aucstats AS (
+  SELECT sum(c_pos) AS n_pos, sum(c_neg) AS n_neg, sum(c_pos * avg_rank) AS r_pos
+  FROM ranked
+)
+SELECT (SELECT count(*) FROM train) AS n_train,
+       CAST(n_pos + n_neg AS BIGINT) AS n_held,
+       CAST(n_pos AS BIGINT) AS n_held_pos,
+       (SELECT bi FROM it6) AS beta0,
+       (SELECT round(sqrt(list_reduce(list_transform(bw, v -> v * v), (a, v) -> a + v)), 4) FROM it6) AS beta_l2,
+       round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4) AS auc_held
+FROM aucstats
+"""
+
+QUERIES["corpus_quality_classifier"] = (
+    corpus_quality_classifier,
+    CORPUS_QUALITY_CLASSIFIER_SQL,
+)
+
+
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges corpus-wide (closing the loop
+    ``corpus_bpe_vocab`` opens): re-learn the ``BPE_MERGES`` merge
+    table, tokenize every source with it, and report REAL BPE
+    tokens-per-source next to the regex proxy that
+    ``corpus_token_budget`` / ``corpus_context_window_census`` /
+    ``corpus_tokenizer_fertility`` price with — plus the
+    delta-vs-proxy column that says how far the proxy is off for
+    budget math.
+
+    Distributed shape: the merge loop runs on the (distinct word,
+    count) table exactly like the learner (word table never leaves
+    the cluster; the applied tokenization is a JOIN of per-source
+    word counts against the final word→symbol-count state — at
+    100 TB the vocabulary side shards on the uniform word key, and
+    every document pays the merge replay once per DISTINCT word,
+    not per occurrence. Oracle: the same unrolled-merge replay with
+    the word column carried through (exact integer counts, no
+    rounding anywhere except the two ratio columns).
+    """
+    from etl_gov_spark.operators.text import _TOKEN_RE
+
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents)
+    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+    state = (
+        docs.select(F.explode(tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "w",
+            F.concat(F.lit(" "), F.concat_ws("  ", chars), F.lit(" ")).alias("s"),
+            "n",
+        )
+        .cache()
+    )
+    for _rank in range(1, BPE_MERGES + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+        pairs = (
+            state.select("n", syms.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "n",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(sy, 1, size(sy) - 1)"),
+                        F.expr("slice(sy, 2, size(sy) - 1)"),
+                    )
+                ).alias("p"),
+            )
+            .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
+        )
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0].a, best[0].b
+        state = state.select(
+            "w",
+            F.replace(
+                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ).alias("s"),
+            "n",
+        )
+    word_syms = state.select(
+        "w", F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_syms")
+    )
+    src_words = (
+        docs.select("source", F.explode(tokens_col()).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n_sw"))
+    )
+    applied = (
+        src_words.join(word_syms, "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n_sw").alias("ws_tokens"),
+            F.sum(F.col("n_sw") * F.col("n_syms")).alias("bpe_tokens"),
+        )
+    )
+    prox = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(_TOKEN_RE), 0))
+        ).alias("proxy_tokens"),
+    )
+    return (
+        prox.join(applied, "source")
+        .select(
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "proxy_tokens",
+            "bpe_tokens",
+            _R4(F.col("bpe_tokens") / F.col("ws_tokens"), "bpe_per_word"),
+            _R4(
+                (F.col("proxy_tokens") - F.col("bpe_tokens"))
+                / F.col("bpe_tokens"),
+                "proxy_over_bpe",
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_apply_sql(iters: int = BPE_MERGES) -> str:
+    """Unrolled-merge replay with the word carried through, then the
+    per-source join + proxy comparison (mirrors the Spark plan)."""
+    from etl_gov_spark.operators.text import _TOKEN_RE
+
+    body = _bpe_sql(iters, keep_w=True)
+    prefix = body[: body.rindex("\nSELECT")]
+    return (
+        prefix
+        + rf""", wsyms AS MATERIALIZED (
+  SELECT w, len(string_split(trim(s), '  ')) AS n_syms FROM s{iters}
+), srcw AS (
+  SELECT source, w, count(*) AS n_sw FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1, 2
+), applied AS (
+  SELECT source, sum(n_sw) AS ws_tokens, sum(n_sw * n_syms) AS bpe_tokens
+  FROM srcw JOIN wsyms USING (w) GROUP BY source
+), prox AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(regexp_extract_all(lower(text), '{_TOKEN_RE}'))) AS proxy_tokens
+  FROM documents GROUP BY source
+)
+SELECT p.source, p.n_docs,
+       CAST(a.ws_tokens AS BIGINT) AS ws_tokens,
+       CAST(p.proxy_tokens AS BIGINT) AS proxy_tokens,
+       CAST(a.bpe_tokens AS BIGINT) AS bpe_tokens,
+       round(a.bpe_tokens / CAST(a.ws_tokens AS DOUBLE), 4) AS bpe_per_word,
+       round((p.proxy_tokens - a.bpe_tokens) / CAST(a.bpe_tokens AS DOUBLE), 4)
+         AS proxy_over_bpe
+FROM prox p JOIN applied a USING (source)
+ORDER BY p.source"""
+    )
+
+
+CORPUS_BPE_APPLY_SQL = _bpe_apply_sql()
+
+QUERIES["corpus_bpe_apply"] = (corpus_bpe_apply, CORPUS_BPE_APPLY_SQL)

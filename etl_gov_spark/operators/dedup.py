@@ -1293,3 +1293,137 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["dedup_incremental_minhash"] = (dedup_incremental_minhash, DEDUP_MINHASH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication census (round 11; Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 8  # base token k-gram; runs shorter than this are invisible
+
+
+def dedup_substring_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level duplication census (the
+    "Deduplicating Training Data Makes Language Models Better"
+    suffix-array shape, Lee et al. 2022, re-expressed relationally):
+    per cross-doc pair, the LONGEST exactly-duplicated token run,
+    found by sorted k-gram extension — a shared run of L tokens is a
+    chain of L−K+1 shared K-grams on one (doc_a,doc_b) alignment
+    diagonal, so longest = K + max chain − 1. Feeds
+    ``dedup_keep_policy`` an executable purge column (keep-min-id).
+
+    Scale: positional K-grams hash to md5 keys (narrow rows), the
+    inverted index is df-capped at MAX_SHINGLE_DF occurrences (an
+    over-cap gram is boilerplate carrying no pair signal — the
+    standard guard, same ceiling as every shingle op here), and
+    pairs expand BUCKET-locally via pair_structs — Σ df² per gram,
+    never corpus². Chain detection is the islands trick on a window
+    PARTITIONED by (pair, diagonal) — bucket-local state, no global
+    sort anywhere. A 100 TB corpus shards on the uniform gram key.
+    """
+    toks = (
+        expand_parallelism(Catalog(spark, sf_dir).documents)
+        .select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_K)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - SUBSTR_K + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("toks", i, SUBSTR_K), " ")
+                    ).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    buckets = bounded_buckets(
+        grams.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("ds"))
+        .filter(F.size("ds") > 1),
+        "ds",
+        MAX_SHINGLE_DF,
+        "dedup_substring_census",
+    )
+    m = (
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .filter(F.col("p.a.doc_id") < F.col("p.b.doc_id"))
+        .select(
+            F.col("p.a.doc_id").alias("da"),
+            F.col("p.b.doc_id").alias("db"),
+            F.col("p.a.pos").alias("pa"),
+            F.col("p.b.pos").alias("pb"),
+        )
+    )
+    w = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    runs = m.select(
+        "da",
+        "db",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        "pa",
+        (F.col("pa") - F.row_number().over(w)).alias("isl"),
+    )
+    islands = runs.groupBy("da", "db", "diag", "isl").agg(
+        F.count(F.lit(1)).alias("chain")
+    )
+    return (
+        islands.groupBy("da", "db")
+        .agg(
+            (F.max("chain") + SUBSTR_K - 1).cast("int").alias("longest_run_tokens"),
+            F.countDistinct("diag").cast("int").alias("n_diagonals"),
+            F.count(F.lit(1)).cast("int").alias("n_islands"),
+            F.sum("chain").alias("n_shared_grams"),
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "longest_run_tokens",
+            "n_diagonals",
+            "n_islands",
+            "n_shared_grams",
+            F.col("db").alias("purge_candidate"),  # keep-min-id policy
+        )
+        .orderBy(F.desc("longest_run_tokens"), "doc_a", "doc_b")
+    )
+
+
+DEDUP_SUBSTRING_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), grams0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {SUBSTR_K} + 1),
+                        i -> struct_pack(pos := i,
+                                         g := md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')))) AS gl
+  FROM toks WHERE len(toks) >= {SUBSTR_K}
+), grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (SELECT doc_id, unnest(gl) AS u FROM grams0)
+), keep AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+), m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b USING (g) JOIN keep USING (g)
+  WHERE a.doc_id < b.doc_id
+), runs AS (
+  SELECT da, db, pa - pb AS diag, pa,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+  FROM m
+), islands AS (
+  SELECT da, db, diag, isl, count(*) AS chain FROM runs GROUP BY 1, 2, 3, 4
+)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(max(chain) + {SUBSTR_K} - 1 AS INTEGER) AS longest_run_tokens,
+       CAST(count(DISTINCT diag) AS INTEGER) AS n_diagonals,
+       CAST(count(*) AS INTEGER) AS n_islands,
+       CAST(sum(chain) AS BIGINT) AS n_shared_grams,
+       db AS purge_candidate
+FROM islands
+GROUP BY da, db
+ORDER BY longest_run_tokens DESC, doc_a, doc_b
+"""
+
+QUERIES["dedup_substring_census"] = (dedup_substring_census, DEDUP_SUBSTRING_SQL)

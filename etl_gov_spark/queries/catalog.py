@@ -24,6 +24,9 @@ _PINNED_FIRST = (
     # past slot 50 rolls into the next rotation.
     # (test_survey_sync asserts the list length and uniqueness so
     # this comment can't drift from the tuple again.)
+    "corpus_quality_classifier",
+    "corpus_bpe_apply",
+    "dedup_substring_census",
     "q_growth_accounting",
     "q_cohort_decay_fit",
     "q_conversion_window_sensitivity",

@@ -415,3 +415,32 @@ def test_fingerprint_store_footer_prune_and_append(spark, sf_dir, tmp_path):
     # append a second generation and re-read: nothing lost
     write_range_clustered(probe, store, ("band_key",), num_files=2, mode="append")
     assert spark.read.parquet(store).count() == fp.count() + probe.count()
+
+
+def test_substring_census_planted_run(spark, tmp_path):
+    """dedup_substring_census: plant an exactly-shared 20-token run
+    inside otherwise-unrelated documents and require the census to
+    report that pair with longest_run_tokens == 20 (k-gram chain
+    extension must neither truncate nor over-extend it), the purge
+    candidate as the higher doc_id, and no pair for the unrelated
+    doc."""
+    from etl_gov_spark.operators.dedup import dedup_substring_census
+
+    shared = " ".join(f"shared{i}" for i in range(20))
+    docs = [
+        (1, f"alpha beta gamma {shared} delta epsilon zeta", "en", "src1"),
+        (2, f"one two three four five six seven {shared} eight nine", "en", "src1"),
+        (3, "totally unrelated words " + " ".join(f"u{i}" for i in range(30)), "en", "src2"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, lang, s, len(t)) for d, t, lang, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = dedup_substring_census(spark, str(tmp_path)).collect()
+    assert len(rows) == 1, rows
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.longest_run_tokens == 20
+    assert r.n_diagonals == 1 and r.n_islands == 1
+    assert r.purge_candidate == 2

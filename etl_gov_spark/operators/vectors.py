@@ -2403,3 +2403,146 @@ FROM sizes, k GROUP BY k.k
 """
 
 QUERIES["emb_ivf_cell_stats"] = (emb_ivf_cell_stats, EMB_IVF_CELL_STATS_SQL)
+
+
+def dedup_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup representative selection (Abbas et al. 2023 §3) —
+    the step that turns ``dedup_semdedup_prune``'s census into an
+    EXECUTABLE purge list: within each k-means cell, cosine-≥-τ
+    pairs form duplicate groups (connected components — the
+    ``dedup_clusters`` min-label machinery, here over cell-local
+    edges so components never span cells), and each group keeps
+    exactly ONE representative: the member CLOSEST to its cell
+    centroid (argmin 6-dp d², tie-break lowest vec_id — the paper's
+    keep-one-per-group rule with a deterministic centroid-proximity
+    choice; flipping the argmin to argmax gives the paper's
+    diversity-favoring variant, one comparator change). Everything
+    else in the group lands in ``purged_ids`` — the list
+    ``dedup_keep_policy`` consumers delete by.
+
+    Scale: same N^1.5 quantizer + cell-local pair expansion as the
+    prune census (Σ|cell|², never corpus²); CC runs over duplicate
+    EDGES only (a vanishing fraction of N), and the representative
+    argmin is one grouped struct-min — no window over data. Oracle:
+    WITH RECURSIVE reach replay of the min-label components + the
+    same quantized d² argmin, exact.
+    """
+    from etl_gov_spark.operators.graphs import connected_components
+
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = _lloyd_model(emb, k=_semdedup_k(emb))
+    cells = _assign(emb, model).localCheckpoint(eager=False)
+    cells_n = cells.withColumn("_nrm", _norm("v"))
+    a = cells_n.select(
+        "cid",
+        F.col("vec_id").alias("ida"),
+        F.col("v").alias("va"),
+        F.col("_nrm").alias("na"),
+    )
+    b = cells_n.select(
+        "cid",
+        F.col("vec_id").alias("idb"),
+        F.col("v").alias("vb"),
+        F.col("_nrm").alias("nb"),
+    )
+    cos6 = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    edges = (
+        a.join(b, "cid")
+        .filter(F.col("ida") < F.col("idb"))
+        .filter(cos6 >= SEMDEDUP_TAU)
+        .select(F.col("ida").alias("doc_a"), F.col("idb").alias("doc_b"))
+    )
+    comp = connected_components(edges).select(
+        F.col("node").alias("vec_id"), "component"
+    )
+    mdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in model],
+        "cid long, cv array<double>",
+    )
+    memb = (
+        comp.join(cells, "vec_id")
+        .join(F.broadcast(mdf), "cid")
+        .select(
+            "component",
+            "cid",
+            "vec_id",
+            _d2_to("v", F.col("cv")).alias("d2"),
+        )
+    )
+    g = memb.groupBy("component").agg(
+        F.min("cid").alias("cid"),  # cell-local edges: one cid per comp
+        F.min(F.struct("d2", F.col("vec_id").alias("kid"))).alias("k"),
+        F.count(F.lit(1)).alias("group_size"),
+        F.array_sort(F.collect_list("vec_id")).alias("ids"),
+    )
+    return g.select(
+        "component",
+        "cid",
+        F.col("k.kid").alias("keep_vec_id"),
+        "group_size",
+        F.array_join(
+            F.filter("ids", lambda d: d != F.col("k.kid")), ","
+        ).alias("purged_ids"),
+    ).orderBy("component")
+
+
+DEDUP_SEMDEDUP_KEEP_SQL = f"""
+WITH RECURSIVE vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedids AS (
+  SELECT vec_id FROM vecs
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({SEMDEDUP_K_CAP},
+                   greatest(8, CAST(floor(sqrt((SELECT count(*) FROM vecs))) AS BIGINT)))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells")},
+cn AS MATERIALIZED (
+  SELECT cid, vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM cells
+), edges0 AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM cn a JOIN cn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                      i -> a.v[i] * b.v[i]))
+              / (a.nrm * b.nrm), 6) >= {SEMDEDUP_TAU}
+), edges AS (
+  SELECT ia AS a, ib AS b FROM edges0
+  UNION ALL
+  SELECT ib AS a, ia AS b FROM edges0
+), reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+), comp AS (
+  SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n
+), memb AS (
+  SELECT c.component, ce.cid, ce.vec_id,
+         {_D2_SQL.format(v="ce.v", c="cv.cv")} AS d2
+  FROM comp c JOIN cells ce USING (vec_id) JOIN c2 cv USING (cid)
+), ranked AS (
+  SELECT component, cid, vec_id,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY d2 ASC, vec_id ASC) AS rn
+  FROM memb
+)
+SELECT component,
+       min(cid) AS cid,
+       max(CASE WHEN rn = 1 THEN vec_id END) AS keep_vec_id,
+       count(*) AS group_size,
+       array_to_string(
+         list_filter(list_sort(list(vec_id)),
+                     d -> d != max(CASE WHEN rn = 1 THEN vec_id END)),
+         ',') AS purged_ids
+FROM ranked
+GROUP BY component
+ORDER BY component
+"""
+
+QUERIES["dedup_semdedup_keep"] = (dedup_semdedup_keep, DEDUP_SEMDEDUP_KEEP_SQL)

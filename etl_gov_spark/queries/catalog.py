@@ -27,6 +27,7 @@ _PINNED_FIRST = (
     "corpus_quality_classifier",
     "corpus_bpe_apply",
     "dedup_substring_census",
+    "dedup_semdedup_keep",
     "q_growth_accounting",
     "q_cohort_decay_fit",
     "q_conversion_window_sensitivity",

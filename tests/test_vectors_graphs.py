@@ -693,3 +693,46 @@ def test_assign_broadcast_path_equals_literal_path(spark, sf_dir):
     finally:
         V.MODEL_LIT_MAX = old
     assert lit == bj
+
+
+def test_semdedup_keep_representative_is_centroid_argmin(spark, sf_dir):
+    """dedup_semdedup_keep: every duplicate group keeps exactly one
+    member, purges the rest, and the keeper is the argmin of
+    quantized d2-to-own-centroid (tie-break lowest vec_id) —
+    recomputed here independently through the same Lloyd model."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.vectors import (
+        _assign,
+        _d2_to,
+        _lloyd_model,
+        _semdedup_k,
+        dedup_semdedup_keep,
+    )
+    from etl_gov_spark.io.sources import expand_parallelism
+
+    groups = dedup_semdedup_keep(spark, sf_dir).collect()
+    assert groups
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = _lloyd_model(emb, k=_semdedup_k(emb))
+    mdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in model],
+        "cid long, cv array<double>",
+    )
+    d2 = {
+        r.vec_id: (r.d2, r.vec_id)
+        for r in _assign(emb, model)
+        .join(F.broadcast(mdf), "cid")
+        .select("vec_id", _d2_to("v", F.col("cv")).alias("d2"))
+        .collect()
+    }
+    for g in groups:
+        purged = [int(x) for x in g.purged_ids.split(",")] if g.purged_ids else []
+        assert g.group_size >= 2
+        assert len(purged) == g.group_size - 1
+        assert g.keep_vec_id not in purged
+        members = purged + [g.keep_vec_id]
+        assert min(d2[m] for m in members) == d2[g.keep_vec_id], g

@@ -923,14 +923,16 @@ QUERIES["text_rake_keyphrases"] = (text_rake_keyphrases, _rake_sql())
 
 def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID evaluation against ground truth: the confusion
-    matrix of the stopword-profile classifier vs the corpus `lang`
-    label, with per-cell share of the true class — the eval loop
-    closed warehouse-side (``text_langid`` predicts; this scores).
+    matrix of the 8-language char-n-gram classifier
+    (``text_langid_trigram`` — widened from the 4-lang stopword
+    first pass in round 11) vs the corpus `lang` label, with
+    per-cell share of the true class — the eval loop closed
+    warehouse-side (the classifier predicts; this scores).
 
     Reuses the classifier's own DataFrame (one plan, no second
     scan) and reduces to a |langs|² aggregate.
     """
-    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    pred = text_langid_trigram(spark, sf_dir).select("lang", "pred_lang")
     cell = pred.groupBy("lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -945,7 +947,7 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_LANGID_CONFUSION_SQL = f"""
-WITH pred AS ({TEXT_LANGID_SQL}),
+WITH pred AS ({{TRIGRAM_SQL}}),
 cell AS (
   SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
 )
@@ -1184,9 +1186,10 @@ def text_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement corrected for chance (accuracy flatters a classifier
     on skewed label mixes; κ doesn't). One number + the raw
     accuracy next to it, computed from the same single-scan
-    prediction plan as the confusion matrix.
+    prediction plan as the confusion matrix — scored over the
+    8-language ``text_langid_trigram`` classifier since round 11.
     """
-    pred = text_langid(spark, sf_dir).select("lang", "pred_lang")
+    pred = text_langid_trigram(spark, sf_dir).select("lang", "pred_lang")
     cell = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
     rows_m = cell.groupBy(F.col("lang").alias("k")).agg(
         F.sum("n").alias("row_m")
@@ -1225,7 +1228,7 @@ def text_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_COHEN_KAPPA_SQL = f"""
-WITH pred AS ({TEXT_LANGID_SQL}),
+WITH pred AS ({{TRIGRAM_SQL}}),
 cell AS (
   SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
 ), rows_m AS (
@@ -1562,3 +1565,113 @@ FROM toks GROUP BY source
 """
 
 QUERIES["text_digit_density"] = (text_digit_density, TEXT_DIGIT_DENSITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Char-n-gram language ID (round 11: widens the 4-lang stopword
+# heuristic to 8 languages)
+# ---------------------------------------------------------------------------
+
+# Distinctive character n-grams per language — tiny public-knowledge
+# frequency-list constants (space-padded trigrams for Latin scripts,
+# single high-frequency hanzi for zh). Deliberately small so the
+# profiles stay exactly portable to the oracle; tie precedence is the
+# tuple order below.
+LANGID_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", (" th", "the", "he ", "ing", "nd ")),
+    ("es", (" de", "de ", " la", "os ", "ión")),
+    ("fr", (" le", "le ", " et", "ent", "aux")),
+    ("de", ("der", "ein", "ich", "sch", "und")),
+    ("it", ("zio", " di", "di ", "che", " il")),
+    ("pt", (" da", "ão ", "os ", " de", "em ")),
+    ("nl", ("een", "het", "van", " en", "ij ")),
+    ("zh", ("的", "是", "了", "在", "不")),
+)
+
+
+def _profile_score(pats: tuple[str, ...]) -> Column:
+    """Occurrences of every profile n-gram in lower(text), summed:
+    per pattern, (len − len(after removal)) / len(pattern) — exact
+    integer counting with identical semantics in both engines."""
+    lower = F.lower(F.col("text"))
+    total = None
+    for p in pats:
+        cnt = (F.length(lower) - F.length(F.replace(lower, F.lit(p), F.lit("")))) / len(p)
+        total = cnt if total is None else total + cnt
+    return total.cast("long")
+
+
+def _sql_profile_score(pats: tuple[str, ...]) -> str:
+    return " + ".join(
+        f"CAST((length(lower(text)) - length(replace(lower(text), '{p}', ''))) / {len(p)} AS BIGINT)"
+        for p in pats
+    )
+
+
+def text_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram-profile language ID over 8 languages — the wider
+    second pass behind ``text_langid``'s 4-lang stopword first pass
+    (the standard trigram-profile method, Cavnar & Trenkle 1994,
+    collapsed to fixed distinctive-n-gram counting so it stays a
+    deterministic same-expression-both-sides oracle). Argmax score
+    with fixed tie precedence; 'und' when no profile fires.
+
+    One codegen projection per doc (40 replace/length pairs), zero
+    shuffles — the shape that runs as a cheap map at 100 TB.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    scores = {lang: _profile_score(p) for lang, p in LANGID_PROFILES}
+    best = F.greatest(*scores.values())
+    pred = F.when(best == F.lit(0), "und")
+    for lang, _ in LANGID_PROFILES:
+        pred = pred.when(scores[lang] == best, lang)
+    return docs.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"s_{lang}") for lang, _ in LANGID_PROFILES],
+        pred.otherwise("und").alias("pred_lang"),
+    )
+
+
+def _langid_trigram_sql() -> str:
+    score_cols = ",\n       ".join(
+        f"{_sql_profile_score(p)} AS s_{lang}" for lang, p in LANGID_PROFILES
+    )
+    all_s = ", ".join(f"s_{lang}" for lang, _ in LANGID_PROFILES)
+    cases = "\n            ".join(
+        f"WHEN s_{lang} = greatest({all_s}) THEN '{lang}'"
+        for lang, _ in LANGID_PROFILES
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM documents
+)
+SELECT doc_id, lang, {all_s},
+       CASE WHEN greatest({all_s}) = 0 THEN 'und'
+            {cases}
+            ELSE 'und' END AS pred_lang
+FROM scored
+"""
+
+
+TEXT_LANGID_TRIGRAM_SQL = _langid_trigram_sql()
+
+QUERIES["text_langid_trigram"] = (text_langid_trigram, TEXT_LANGID_TRIGRAM_SQL)
+
+
+# The confusion/κ eval loop scores the trigram classifier (defined
+# above their textual position): substitute its SQL into their
+# oracle CTEs and re-register the final strings.
+TEXT_LANGID_CONFUSION_SQL = TEXT_LANGID_CONFUSION_SQL.format(
+    TRIGRAM_SQL=TEXT_LANGID_TRIGRAM_SQL
+)
+TEXT_COHEN_KAPPA_SQL = TEXT_COHEN_KAPPA_SQL.format(
+    TRIGRAM_SQL=TEXT_LANGID_TRIGRAM_SQL
+)
+QUERIES["text_langid_confusion"] = (
+    text_langid_confusion,
+    TEXT_LANGID_CONFUSION_SQL,
+)
+QUERIES["text_cohen_kappa"] = (text_cohen_kappa, TEXT_COHEN_KAPPA_SQL)

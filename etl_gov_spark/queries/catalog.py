@@ -28,6 +28,7 @@ _PINNED_FIRST = (
     "corpus_bpe_apply",
     "dedup_substring_census",
     "dedup_semdedup_keep",
+    "text_langid_trigram",
     "q_growth_accounting",
     "q_cohort_decay_fit",
     "q_conversion_window_sensitivity",

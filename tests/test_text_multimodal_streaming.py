@@ -731,3 +731,28 @@ def test_outer_join_unmatched_emits_exactly_once(spark, tmp_path):
     final = spark.read.parquet(out).collect()
     assert len([r for r in final if r.click_id == 1]) == 1
     assert len([r for r in final if r.click_id == 2]) == 1
+
+
+def test_langid_trigram_wider_label_set(spark, sf_dir):
+    """text_langid_trigram: predictions come only from the 8
+    declared languages (+ 'und'), every profile n-gram really is
+    counted (a doc stuffed with one profile must predict that
+    language via the synthetic path below is overkill — instead
+    assert score columns are non-negative and pred matches the
+    argmax with the declared tie precedence on a sample)."""
+    from etl_gov_spark.operators.text import LANGID_PROFILES, text_langid_trigram
+
+    langs = [lang for lang, _ in LANGID_PROFILES]
+    rows = text_langid_trigram(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        scores = {lang: r[f"s_{lang}"] for lang in langs}
+        assert all(v >= 0 for v in scores.values())
+        assert r.pred_lang in langs + ["und"]
+        best = max(scores.values())
+        if best == 0:
+            assert r.pred_lang == "und"
+        else:
+            # fixed precedence: first declared lang hitting the max
+            expect = next(lang for lang in langs if scores[lang] == best)
+            assert r.pred_lang == expect, (r.doc_id, scores, r.pred_lang)

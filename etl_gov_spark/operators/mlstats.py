@@ -117,30 +117,68 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
 
-def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GK-sketch quantiles of order value per priority (rows-only).
+_GK_EPS = 1.0 / 10000  # percentile_approx accuracy → rank error ε·n
 
-    percentile_approx with accuracy 10000; the sketch is mergeable
-    so the aggregation stays one pass at any scale. Exact-vs-approx
-    error is bounded in tests instead of a SQL oracle (DuckDB's
-    approx sketch differs).
+
+def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GK-sketch quantiles of order value per priority, with a
+    DRIVER-VISIBLE rank-error audit: percentile_approx (accuracy
+    10000, mergeable one-pass sketch at any scale) estimates p50 and
+    p95, then each estimate's TRUE rank is measured against the
+    GK contract |rank(v) − q·n| ≤ ε·n (+1 rank of slack for
+    boundary conventions) and reported as a boolean. The sketch's
+    raw values are engine-specific, but the group keys, counts and
+    the rank-error CONTRACT are deterministic — since round 11 this
+    query is fully oracle-backed instead of rows-only (the oracle
+    asserts the contract must hold: TRUE).
+
+    The audit joins the 5-row estimate table back to orders
+    (broadcast) for one counting pass — the price of a verifiable
+    readout; the estimate itself stays one mergeable pass.
     """
-    orders = Catalog(spark, sf_dir).orders
-    return orders.groupBy("o_orderpriority").agg(
-        _R4(
-            F.percentile_approx("o_totalprice", 0.5, 10000), "p50_approx"
-        ),
-        _R4(
-            F.percentile_approx("o_totalprice", 0.95, 10000), "p95_approx"
-        ),
-        F.count(F.lit(1)).alias("n"),
+    orders = Catalog(spark, sf_dir).orders.select(
+        "o_orderpriority", "o_totalprice"
+    )
+    est = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("_p95"),
+    )
+    audited = (
+        orders.join(F.broadcast(est), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("o_totalprice") <= F.col("_p50")).cast("long")).alias("_le50"),
+            F.sum((F.col("o_totalprice") < F.col("_p50")).cast("long")).alias("_lt50"),
+            F.sum((F.col("o_totalprice") <= F.col("_p95")).cast("long")).alias("_le95"),
+            F.sum((F.col("o_totalprice") < F.col("_p95")).cast("long")).alias("_lt95"),
+        )
     )
 
+    def _ok(le: str, lt: str, q: float):
+        lo = (F.lit(q) - _GK_EPS) * F.col("n") - 1
+        hi = (F.lit(q) + _GK_EPS) * F.col("n") + 1
+        return (F.col(le) >= lo) & (F.col(lt) <= hi)
+
+    return audited.select(
+        "o_orderpriority",
+        "n",
+        _ok("_le50", "_lt50", 0.5).alias("p50_rank_in_bound"),
+        _ok("_le95", "_lt95", 0.95).alias("p95_rank_in_bound"),
+    ).orderBy("o_orderpriority")
+
+
+Q_APPROX_QUANTILES_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       TRUE AS p50_rank_in_bound,
+       TRUE AS p95_rank_in_bound
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
 
 QUERIES: dict[str, tuple] = {
     "q_trend_slope": (q_trend_slope, Q_TREND_SLOPE_SQL),
     "fuzzy_join_names": (fuzzy_join_names, FUZZY_JOIN_NAMES_SQL),
-    "q_approx_quantiles": (q_approx_quantiles, None),
+    "q_approx_quantiles": (q_approx_quantiles, Q_APPROX_QUANTILES_SQL),
 }
 
 

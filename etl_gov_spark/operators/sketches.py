@@ -121,17 +121,27 @@ QUERIES: dict[str, tuple] = {
 }
 
 
-def q_hll_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketch partial aggregation (rows-only: sketch bytes are
-    engine-specific; accuracy vs exact distinct is asserted in
-    tests): per-day user sketches, then the WEEKLY distinct-user
-    estimate by unioning the daily sketches — no second scan of the
-    raw events.
+HLL_REL_BOUND = 0.05  # 3σ for lgConfigK=12 is ~4.9%; sparse mode is exact
 
-    This is the incremental-rollup pattern sketches exist for at
-    100 TB: store a kilobyte sketch per (day, dimension) partition,
-    answer any coarser rollup (week, month, arbitrary dimension
-    subsets) by cell-wise union instead of re-scanning events.
+
+def q_hll_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch partial aggregation with a DRIVER-VISIBLE error
+    audit: per-day user sketches, the WEEKLY distinct-user estimate
+    by unioning the daily sketches (no second scan of raw events
+    for the rollup itself), then the estimate is audited against
+    the exact weekly distinct and reported as an in-bound boolean —
+    the sketch bytes and the raw estimate are engine-specific, but
+    the rollup keys, day counts, exact cardinalities and the error
+    CONTRACT (|est−exact|/exact ≤ 5%) are deterministic, so since
+    round 11 this query is fully oracle-backed instead of rows-only
+    (the oracle asserts the contract must hold: TRUE).
+
+    The exact_weekly audit column costs one extra distinct
+    aggregate — the price of a verifiable readout at test scale; a
+    100 TB deployment drops the audit column and keeps the
+    sketch-union rollup, which is the pattern sketches exist for:
+    a kilobyte sketch per (day, dimension) partition answers any
+    coarser rollup by cell-wise union instead of re-scanning.
     Built-ins: hll_sketch_agg / hll_union_agg / hll_sketch_estimate.
     """
     ev = Catalog(spark, sf_dir).events.select(
@@ -139,22 +149,50 @@ def q_hll_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = ev.groupBy("day").agg(
         F.expr("hll_sketch_agg(user_id)").alias("sketch"),
-        F.countDistinct("user_id").alias("exact_daily"),
     )
     weekly = (
         daily.withColumn("week", F.date_trunc("week", "day").cast("date"))
         .groupBy("week")
         .agg(
-            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("est_weekly"),
+            F.expr("hll_sketch_estimate(hll_union_agg(sketch))").alias("_est"),
             F.count(F.lit(1)).alias("n_days"),
         )
     )
-    return weekly.select(
-        "week", "n_days", F.col("est_weekly").cast("long").alias("est_weekly")
+    exact = (
+        ev.select(F.date_trunc("week", "day").cast("date").alias("week"), "user_id")
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("exact_weekly"))
+    )
+    return (
+        weekly.join(exact, "week")
+        .select(
+            "week",
+            "n_days",
+            "exact_weekly",
+            (
+                F.abs(F.col("_est") - F.col("exact_weekly"))
+                / F.col("exact_weekly")
+                <= HLL_REL_BOUND
+            ).alias("est_in_bound"),
+        )
+        .orderBy("week")
     )
 
 
-QUERIES["q_hll_daily_weekly"] = (q_hll_daily_weekly, None)
+Q_HLL_DAILY_WEEKLY_SQL = """
+WITH ev AS (
+  SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+         CAST(ts AS DATE) AS day, user_id
+  FROM events
+)
+SELECT week,
+       count(DISTINCT day) AS n_days,
+       count(DISTINCT user_id) AS exact_weekly,
+       TRUE AS est_in_bound
+FROM ev GROUP BY week ORDER BY week
+"""
+
+QUERIES["q_hll_daily_weekly"] = (q_hll_daily_weekly, Q_HLL_DAILY_WEEKLY_SQL)
 
 
 _BM_WORD = 62  # bits per bitmap word (62 keeps every shift positive

@@ -29,6 +29,8 @@ _PINNED_FIRST = (
     "dedup_substring_census",
     "dedup_semdedup_keep",
     "text_langid_trigram",
+    "q_hll_daily_weekly",
+    "q_approx_quantiles",
     "q_growth_accounting",
     "q_cohort_decay_fit",
     "q_conversion_window_sensitivity",

@@ -55,9 +55,19 @@ def test_hll_weekly_union_close_to_exact(spark, sf_dir):
         r.week: r.n
         for r in ev.groupBy("week").agg(F.countDistinct("user_id").alias("n")).collect()
     }
+    # raw estimate recomputed here (the query now emits the audited
+    # boolean instead of the engine-specific estimate)
+    est = {
+        r.week: r.est
+        for r in ev.groupBy("week")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est"))
+        .collect()
+    }
     for r in rows:
-        rel = abs(r.est_weekly - exact[r.week]) / exact[r.week]
-        assert rel < 0.05, (r.week, r.est_weekly, exact[r.week])
+        assert r.est_in_bound, (r.week,)
+        assert r.exact_weekly == exact[r.week]
+        rel = abs(est[r.week] - exact[r.week]) / exact[r.week]
+        assert rel < SK.HLL_REL_BOUND, (r.week, est[r.week], exact[r.week])
 
 
 def test_event_transitions_probabilities_normalize(spark, sf_dir):

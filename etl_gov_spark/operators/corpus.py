@@ -2924,7 +2924,7 @@ def _qc_label_and_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), F.lit(_QC_DIM - 1)),
         lambda i: F.size(F.filter("bkt", lambda x: x == i)) / F.col("nw"),
     )
-    return base.select("doc_id", "y", "held", xv.alias("xv"))
+    return base.select("doc_id", "y", "held", "nw", xv.alias("xv"))
 
 
 def _qc_dot(xv, beta: list[float]):
@@ -2937,6 +2937,37 @@ def _qc_dot(xv, beta: list[float]):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _qc_train(spark: SparkSession, sf_dir: str):
+    """Run the quantized hybrid training loop (exact 1-D Newton
+    intercept + Lipschitz-safe eta=3/n gradient weights, 8-dp
+    quantization per iteration boundary) and return
+    (feat_df, n_train, bi, bw) — shared by the classifier readout
+    and the prune-threshold sweep so both replay the SAME
+    trajectory the oracle unrolls."""
+    feat = _qc_label_and_features(spark, sf_dir)
+    train = feat.filter(~F.col("held"))
+    n_train = train.count()  # model sizing, one scalar (Lloyd pattern)
+    eta = _QC_ETA_MULT / n_train
+    bi, bw = 0.0, [0.0] * _QC_DIM
+    for _ in range(_QC_ITERS):
+        p = 1.0 / (1.0 + F.exp(-(F.lit(bi) + _qc_dot("xv", bw))))
+        proj = train.select("y", "xv", p.alias("p"))
+        aggs = [
+            F.sum(F.col("y") - F.col("p")).alias("g0"),
+            F.sum(F.col("p") * (1.0 - F.col("p"))).alias("h0"),
+        ]
+        for i in range(_QC_DIM):
+            aggs.append(
+                F.sum(
+                    F.element_at("xv", i + 1) * (F.col("y") - F.col("p"))
+                ).alias(f"gw{i}")  # gw: weight grads; g0/h0 are the intercept's
+            )
+        r = proj.agg(*aggs).collect()[0]
+        bi = round(bi + r.g0 / r.h0, 8)
+        bw = [round(bw[i] + eta * r[f"gw{i}"], 8) for i in range(_QC_DIM)]
+    return feat, n_train, bi, bw
 
 
 def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2966,27 +2997,7 @@ def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform-stage quality gates (dags/tutorial_dag.py) with a
     trained scorer.
     """
-    feat = _qc_label_and_features(spark, sf_dir)
-    train = feat.filter(~F.col("held"))
-    n_train = train.count()  # model sizing, one scalar (Lloyd pattern)
-    eta = _QC_ETA_MULT / n_train
-    bi, bw = 0.0, [0.0] * _QC_DIM
-    for _ in range(_QC_ITERS):
-        p = 1.0 / (1.0 + F.exp(-(F.lit(bi) + _qc_dot("xv", bw))))
-        proj = train.select("y", "xv", p.alias("p"))
-        aggs = [
-            F.sum(F.col("y") - F.col("p")).alias("g0"),
-            F.sum(F.col("p") * (1.0 - F.col("p"))).alias("h0"),
-        ]
-        for i in range(_QC_DIM):
-            aggs.append(
-                F.sum(
-                    F.element_at("xv", i + 1) * (F.col("y") - F.col("p"))
-                ).alias(f"gw{i}")  # gw: weight grads; g0/h0 are the intercept's
-            )
-        r = proj.agg(*aggs).collect()[0]
-        bi = round(bi + r.g0 / r.h0, 8)
-        bw = [round(bw[i] + eta * r[f"gw{i}"], 8) for i in range(_QC_DIM)]
+    feat, n_train, bi, bw = _qc_train(spark, sf_dir)
     beta_l2 = round(sum(v * v for v in bw) ** 0.5, 4)
     scored = feat.filter(F.col("held")).select(
         F.round(F.lit(bi) + _qc_dot("xv", bw), 6).alias("s"),
@@ -3049,7 +3060,7 @@ def _qc_iter_sql(prev: str, out: str) -> str:
 )"""
 
 
-CORPUS_QUALITY_CLASSIFIER_SQL = rf"""
+_QC_SQL_PREFIX = rf"""
 WITH raw AS (
   SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
 ), feat0 AS (
@@ -3064,7 +3075,7 @@ WITH raw AS (
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f') AS held
   FROM raw
 ), feat AS MATERIALIZED (
-  SELECT doc_id, y, held,
+  SELECT doc_id, y, held, nw,
          list_transform(generate_series(0, {_QC_DIM - 1}),
                         i -> len(list_filter(bkt, x -> x = i)) / CAST(nw AS DOUBLE)) AS xv
   FROM feat0
@@ -3079,7 +3090,11 @@ it0 AS MATERIALIZED (
 {_qc_iter_sql('it2', 'it3')},
 {_qc_iter_sql('it3', 'it4')},
 {_qc_iter_sql('it4', 'it5')},
-{_qc_iter_sql('it5', 'it6')},
+{_qc_iter_sql('it5', 'it6')}"""
+
+CORPUS_QUALITY_CLASSIFIER_SQL = (
+    _QC_SQL_PREFIX
+    + rf""",
 scored AS (
   SELECT round(b.bi + list_reduce(
            list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
@@ -3106,6 +3121,7 @@ SELECT (SELECT count(*) FROM train) AS n_train,
        round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 4) AS auc_held
 FROM aucstats
 """
+)
 
 QUERIES["corpus_quality_classifier"] = (
     corpus_quality_classifier,
@@ -3263,3 +3279,115 @@ ORDER BY p.source"""
 CORPUS_BPE_APPLY_SQL = _bpe_apply_sql()
 
 QUERIES["corpus_bpe_apply"] = (corpus_bpe_apply, CORPUS_BPE_APPLY_SQL)
+
+
+_QC_KEEP_SHARES = (0.90, 0.75, 0.50, 0.25, 0.10)
+
+
+def corpus_classifier_prune_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prune ladder over the TRAINED quality classifier — the
+    curation decision table ``corpus_quality_prune_sweep`` provides
+    for rule thresholds, now for the learned score: replay the
+    ``corpus_quality_classifier`` trajectory, score the WHOLE corpus
+    with p = σ(score) (6 dp), and for each target keep-share report
+    the implied score threshold (the tie-inclusive descending
+    disc-quantile), surviving docs/token mass, and the weak-label
+    precision of the keep side — "cut the bottom X% by model score:
+    what survives and how clean is it", the number a 100 TB
+    curation run prices mixtures with.
+
+    One corpus scan after training; the cumulative ladder runs over
+    DISTINCT 6-dp probabilities only (the bounded q_roc_auc window
+    pattern), and every target share reads one argmin off it — no
+    per-threshold pass, no fact-grain sort.
+    """
+    feat, _n_train, bi, bw = _qc_train(spark, sf_dir)
+    s6 = F.round(F.lit(bi) + _qc_dot("xv", bw), 6)
+    p6 = F.round(1.0 / (1.0 + F.exp(-s6)), 6)
+    scored = feat.select("y", "nw", p6.alias("p"))
+    counts = scored.groupBy("p").agg(
+        F.count(F.lit(1)).alias("_cn"),
+        F.sum("nw").alias("_ct"),
+        F.sum("y").alias("_cy"),
+    )
+    w = Window.orderBy(F.desc("p")).rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "p",
+        F.sum("_cn").over(w).alias("cum_n"),
+        F.sum("_ct").over(w).alias("cum_toks"),
+        F.sum("_cy").over(w).alias("cum_y"),
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("_N"), F.sum("nw").alias("_T")
+    )
+    targets = spark.range(len(_QC_KEEP_SHARES)).select(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _QC_KEEP_SHARES]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("target_share")
+    )
+    pick = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(targets))
+        .filter(F.col("cum_n") >= F.ceil(F.col("target_share") * F.col("_N")))
+        .groupBy("target_share")
+        .agg(
+            F.min(
+                F.struct("cum_n", "p", "cum_toks", "cum_y", "_N", "_T")
+            ).alias("k")
+        )
+    )
+    return pick.select(
+        "target_share",
+        F.col("k.p").alias("score_threshold"),
+        F.col("k.cum_n").alias("n_kept"),
+        _R4(F.col("k.cum_n") / F.col("k._N"), "keep_share"),
+        F.col("k.cum_toks").alias("tokens_kept"),
+        _R4(F.col("k.cum_toks") / F.col("k._T"), "token_share"),
+        _R4(F.col("k.cum_y") / F.col("k.cum_n"), "weaklabel_precision"),
+    ).orderBy(F.desc("target_share"))
+
+
+CORPUS_CLASSIFIER_SWEEP_SQL = (
+    _QC_SQL_PREFIX
+    + rf""",
+scored AS (
+  SELECT f.y, f.nw,
+         round(1.0 / (1.0 + exp(-round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6))), 6) AS p
+  FROM feat f CROSS JOIN it6 b
+), cum AS (
+  SELECT p,
+         sum(cn) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(ct) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_toks,
+         sum(cy) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_y
+  FROM (SELECT p, count(*) AS cn, sum(nw) AS ct, sum(y) AS cy FROM scored GROUP BY p)
+), tot AS (
+  SELECT count(*) AS N, sum(nw) AS T FROM scored
+), targets AS (
+  SELECT unnest([{", ".join(f"CAST({s} AS DOUBLE)" for s in _QC_KEEP_SHARES)}]) AS target_share
+), pick AS (
+  SELECT target_share,
+         min(struct_pack(cum_n := cum_n, p := p, cum_toks := cum_toks,
+                         cum_y := cum_y, n := N, t := T)) AS k
+  FROM cum CROSS JOIN tot CROSS JOIN targets
+  WHERE cum_n >= ceil(target_share * N)
+  GROUP BY target_share
+)
+SELECT target_share,
+       k.p AS score_threshold,
+       CAST(k.cum_n AS BIGINT) AS n_kept,
+       round(k.cum_n / CAST(k.n AS DOUBLE), 4) AS keep_share,
+       CAST(k.cum_toks AS BIGINT) AS tokens_kept,
+       round(k.cum_toks / CAST(k.t AS DOUBLE), 4) AS token_share,
+       round(k.cum_y / CAST(k.cum_n AS DOUBLE), 4) AS weaklabel_precision
+FROM pick
+ORDER BY target_share DESC
+"""
+)
+
+QUERIES["corpus_classifier_prune_sweep"] = (
+    corpus_classifier_prune_sweep,
+    CORPUS_CLASSIFIER_SWEEP_SQL,
+)

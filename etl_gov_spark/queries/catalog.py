@@ -25,6 +25,7 @@ _PINNED_FIRST = (
     # (test_survey_sync asserts the list length and uniqueness so
     # this comment can't drift from the tuple again.)
     "corpus_quality_classifier",
+    "corpus_classifier_prune_sweep",
     "corpus_bpe_apply",
     "dedup_substring_census",
     "dedup_semdedup_keep",

@@ -936,3 +936,26 @@ def test_bpe_apply_bounds_and_consistency(spark, sf_dir):
         assert r.ws_tokens <= r.bpe_tokens, (src, "merges can't go below 1 sym/word")
         assert r.bpe_per_word >= 1.0
         assert r.ws_tokens == avail[src], "whitespace totals disagree with budget op"
+
+
+def test_classifier_prune_sweep_monotone(spark, sf_dir):
+    """corpus_classifier_prune_sweep: keep-counts and token mass
+    must be monotone in the target share, each achieved keep_share
+    must be >= its target (tie-inclusive disc quantile), and the
+    keep side at 50% must be at least as clean as the full corpus
+    (the classifier ranks, so precision cannot drop below base rate
+    by more than noise — asserted strictly >= base - 0.02)."""
+    from etl_gov_spark.operators.corpus import corpus_classifier_prune_sweep
+
+    rows = sorted(
+        corpus_classifier_prune_sweep(spark, sf_dir).collect(),
+        key=lambda r: -r.target_share,
+    )
+    assert [r.target_share for r in rows] == [0.90, 0.75, 0.50, 0.25, 0.10]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_kept >= b.n_kept
+        assert a.tokens_kept >= b.tokens_kept
+    for r in rows:
+        assert r.keep_share >= r.target_share - 1e-9
+    mid = next(r for r in rows if r.target_share == 0.50)
+    assert mid.weaklabel_precision >= rows[0].weaklabel_precision - 0.02

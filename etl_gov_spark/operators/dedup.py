@@ -1427,3 +1427,158 @@ ORDER BY longest_run_tokens DESC, doc_a, doc_b
 """
 
 QUERIES["dedup_substring_census"] = (dedup_substring_census, DEDUP_SUBSTRING_SQL)
+
+
+def dedup_substring_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source substring-duplication exposure — the rollup that
+    prices what ``dedup_substring_census`` found (the Lee et al.
+    2022 "how much of each source is exactly duplicated" savings
+    number): per document, the LONGEST token run it shares with any
+    other document (either side of the pair), rolled up per source
+    to exposed-doc share, exposed token mass, and run-length stats.
+
+    Same df-capped positional-gram machinery as the census (one
+    shared shape — Σ df² bucket-local, never corpus²); the rollup
+    adds one per-doc max + one bounded per-source aggregate.
+    """
+    toks = (
+        expand_parallelism(Catalog(spark, sf_dir).documents)
+        .select("doc_id", "source", tokens_col().alias("toks"))
+        .select("doc_id", "source", F.size("toks").alias("n_toks"), "toks")
+    )
+    grams = toks.filter(F.size("toks") >= SUBSTR_K).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - SUBSTR_K + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("toks", i, SUBSTR_K), " ")
+                    ).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    buckets = bounded_buckets(
+        grams.groupBy("g")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("ds")),
+        "ds",
+        MAX_SHINGLE_DF,
+        "dedup_substring_exposure",
+    ).filter(F.size("ds") > 1)
+    m = (
+        buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
+        .filter(F.col("p.a.doc_id") < F.col("p.b.doc_id"))
+        .select(
+            F.col("p.a.doc_id").alias("da"),
+            F.col("p.b.doc_id").alias("db"),
+            F.col("p.a.pos").alias("pa"),
+            F.col("p.b.pos").alias("pb"),
+        )
+    )
+    w = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")).orderBy("pa")
+    islands = (
+        m.select(
+            "da",
+            "db",
+            (F.col("pa") - F.col("pb")).alias("diag"),
+            "pa",
+            (F.col("pa") - F.row_number().over(w)).alias("isl"),
+        )
+        .groupBy("da", "db", "diag", "isl")
+        .agg((F.count(F.lit(1)) + SUBSTR_K - 1).alias("run"))
+    )
+    per_doc = (
+        islands.select(F.col("da").alias("doc_id"), "run")
+        .unionByName(islands.select(F.col("db").alias("doc_id"), "run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_run"))
+    )
+    joined = toks.select("doc_id", "source", "n_toks").join(
+        per_doc, "doc_id", "left"
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("max_run").isNotNull()).cast("long")).alias("n_exposed"),
+            F.max("max_run").alias("max_run_tokens"),
+            _R4(F.avg("max_run"), "mean_exposed_run"),
+            F.sum(
+                F.when(F.col("max_run").isNotNull(), F.col("n_toks"))
+            ).alias("_exp_toks"),
+            F.sum("n_toks").alias("_toks"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exposed",
+            _R4(F.col("n_exposed") / F.col("n_docs"), "exposed_share"),
+            "max_run_tokens",
+            "mean_exposed_run",
+            F.coalesce(F.col("_exp_toks"), F.lit(0)).alias("exposed_tokens"),
+            _R4(
+                F.coalesce(F.col("_exp_toks"), F.lit(0)) / F.col("_toks"),
+                "exposed_token_share",
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_SUBSTRING_EXPOSURE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), grams0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {SUBSTR_K} + 1),
+                        i -> struct_pack(pos := i,
+                                         g := md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' ')))) AS gl
+  FROM toks WHERE len(toks) >= {SUBSTR_K}
+), grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (SELECT doc_id, unnest(gl) AS u FROM grams0)
+), keep AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DF}
+), m AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b USING (g) JOIN keep USING (g)
+  WHERE a.doc_id < b.doc_id
+), islands AS (
+  SELECT da, db, count(*) + {SUBSTR_K} - 1 AS run
+  FROM (
+    SELECT da, db, pa - pb AS diag, pa,
+           pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS isl
+    FROM m
+  )
+  GROUP BY da, db, diag, isl
+), per_doc AS (
+  SELECT doc_id, max(run) AS max_run
+  FROM (SELECT da AS doc_id, run FROM islands
+        UNION ALL SELECT db AS doc_id, run FROM islands)
+  GROUP BY doc_id
+), joined AS (
+  SELECT t.doc_id, t.source, len(t.toks) AS n_toks, p.max_run
+  FROM toks t LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN max_run IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exposed,
+       round(sum(CASE WHEN max_run IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS exposed_share,
+       max(max_run) AS max_run_tokens,
+       round(avg(max_run), 4) AS mean_exposed_run,
+       CAST(coalesce(sum(CASE WHEN max_run IS NOT NULL THEN n_toks END), 0) AS BIGINT)
+         AS exposed_tokens,
+       round(coalesce(sum(CASE WHEN max_run IS NOT NULL THEN n_toks END), 0)
+             / CAST(sum(n_toks) AS DOUBLE), 4) AS exposed_token_share
+FROM joined
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["dedup_substring_exposure"] = (
+    dedup_substring_exposure,
+    DEDUP_SUBSTRING_EXPOSURE_SQL,
+)

@@ -28,6 +28,7 @@ _PINNED_FIRST = (
     "corpus_classifier_prune_sweep",
     "corpus_bpe_apply",
     "dedup_substring_census",
+    "dedup_substring_exposure",
     "dedup_semdedup_keep",
     "text_langid_trigram",
     "q_hll_daily_weekly",

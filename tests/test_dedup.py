@@ -444,3 +444,34 @@ def test_substring_census_planted_run(spark, tmp_path):
     assert r.longest_run_tokens == 20
     assert r.n_diagonals == 1 and r.n_islands == 1
     assert r.purge_candidate == 2
+
+
+def test_substring_exposure_consistent_with_census(spark, sf_dir):
+    """dedup_substring_exposure must agree with the pair census:
+    global max run equal, every exposed doc appears in some census
+    pair, exposed counts per source match the distinct doc sets the
+    census implies."""
+    from collections import defaultdict
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.dedup import (
+        dedup_substring_census,
+        dedup_substring_exposure,
+    )
+
+    pairs = dedup_substring_census(spark, sf_dir).collect()
+    expo = {r.source: r for r in dedup_substring_exposure(spark, sf_dir).collect()}
+    src_of = {
+        r.doc_id: r.source
+        for r in Catalog(spark, sf_dir).documents.select("doc_id", "source").collect()
+    }
+    exposed = defaultdict(set)
+    best = defaultdict(int)
+    for p in pairs:
+        for d in (p.doc_a, p.doc_b):
+            exposed[src_of[d]].add(d)
+            best[d] = max(best[d], p.longest_run_tokens)
+    for src, r in expo.items():
+        assert r.n_exposed == len(exposed.get(src, set())), src
+        if exposed.get(src):
+            assert r.max_run_tokens == max(best[d] for d in exposed[src])

@@ -3391,3 +3391,124 @@ QUERIES["corpus_classifier_prune_sweep"] = (
     corpus_classifier_prune_sweep,
     CORPUS_CLASSIFIER_SWEEP_SQL,
 )
+
+
+def corpus_dsir_logratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by the
+    log-likelihood ratio of its hashed-bucket unigram counts under
+    the TARGET domain (the held-out eval sources, ``_EVAL_SOURCES``
+    — the canonical "select pretraining data resembling the target"
+    setup) vs the whole corpus, with add-1 smoothing over the 64
+    hashed buckets; rolled up per source to the mean log-IR, the
+    above-zero share (what importance resampling would up-weight)
+    and the max — the mixture-targeting readout between raw
+    heuristics and a trained classifier.
+
+    Scale: one scan builds per-(doc,bucket) counts; the two bucket
+    marginals are 64-row aggregates broadcast back; the per-doc
+    weight is one grouped sum — no window, no driver state, logs
+    computed in-plan in both engines (R4 on the bounded rollup
+    absorbs libm ulps, the corpus_unigram_logprob precedent).
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id",
+        "source",
+        F.transform(
+            tokens_col(),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("int")
+            % _QC_DIM,
+        ).alias("bkt"),
+    )
+    expl = docs.select(
+        "doc_id", "source", F.explode("bkt").alias("b")
+    )
+    grid = spark.range(_QC_DIM).select(F.col("id").cast("int").alias("b"))
+    tgt = (
+        expl.filter(F.col("source").isin(*_EVAL_SOURCES))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    ref = expl.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    marg = (
+        grid.join(tgt, "b", "left")
+        .join(ref, "b", "left")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    tot = marg.agg(
+        F.sum("tc").alias("T"), F.sum("rc").alias("R")
+    )
+    lr = marg.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("tc") + 1) / (F.col("T") + _QC_DIM))
+            - F.log((F.col("rc") + 1) / (F.col("R") + _QC_DIM))
+        ).alias("lr"),
+    )
+    doc_b = expl.groupBy("doc_id", "source", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_doc = (
+        doc_b.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("w"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            _R4(F.avg("w"), "mean_log_ir"),
+            _R4(F.avg((F.col("w") > 0).cast("double")), "above_zero_share"),
+            _R4(F.max("w"), "max_log_ir"),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DSIR_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        w -> CAST('0x' || substr(md5(w), 1, 2) AS INTEGER) % {_QC_DIM}) AS bkt
+  FROM documents
+), expl AS MATERIALIZED (
+  SELECT doc_id, source, unnest(bkt) AS b FROM docs
+), grid AS (
+  SELECT CAST(i AS INTEGER) AS b FROM generate_series(0, {_QC_DIM - 1}) t(i)
+), tgt AS (
+  SELECT b, count(*) AS tc FROM expl
+  WHERE source IN ({", ".join(f"'{s}'" for s in _EVAL_SOURCES)})
+  GROUP BY b
+), ref AS (
+  SELECT b, count(*) AS rc FROM expl GROUP BY b
+), marg AS (
+  SELECT g.b, coalesce(t.tc, 0) AS tc, coalesce(r.rc, 0) AS rc
+  FROM grid g LEFT JOIN tgt t USING (b) LEFT JOIN ref r USING (b)
+), tot AS (
+  SELECT sum(tc) AS T, sum(rc) AS R FROM marg
+), lr AS (
+  SELECT b,
+         ln((tc + 1) / CAST(T + {_QC_DIM} AS DOUBLE))
+         - ln((rc + 1) / CAST(R + {_QC_DIM} AS DOUBLE)) AS lr
+  FROM marg CROSS JOIN tot
+), doc_b AS (
+  SELECT doc_id, source, b, count(*) AS cnt FROM expl GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, source, sum(cnt * lr) AS w
+  FROM doc_b JOIN lr USING (b)
+  GROUP BY doc_id, source
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(w), 4) AS mean_log_ir,
+       round(avg(CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END), 4) AS above_zero_share,
+       round(max(w), 4) AS max_log_ir
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["corpus_dsir_logratio"] = (corpus_dsir_logratio, CORPUS_DSIR_SQL)

@@ -26,6 +26,7 @@ _PINNED_FIRST = (
     # this comment can't drift from the tuple again.)
     "corpus_quality_classifier",
     "corpus_classifier_prune_sweep",
+    "corpus_dsir_logratio",
     "corpus_bpe_apply",
     "dedup_substring_census",
     "dedup_substring_exposure",

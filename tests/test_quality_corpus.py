@@ -959,3 +959,24 @@ def test_classifier_prune_sweep_monotone(spark, sf_dir):
         assert r.keep_share >= r.target_share - 1e-9
     mid = next(r for r in rows if r.target_share == 0.50)
     assert mid.weaklabel_precision >= rows[0].weaklabel_precision - 0.02
+
+
+def test_dsir_target_sources_score_highest(spark, sf_dir):
+    """corpus_dsir_logratio sanity: the target (eval) sources must
+    on average score at least as high as the best non-target source
+    minus noise — documents ARE the target domain, so the
+    importance ratio must recognize them; and every source row is
+    present."""
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.corpus import _EVAL_SOURCES, corpus_dsir_logratio
+
+    rows = {r.source: r for r in corpus_dsir_logratio(spark, sf_dir).collect()}
+    n_sources = (
+        Catalog(spark, sf_dir).documents.select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    tgt = [r.mean_log_ir for s, r in rows.items() if s in _EVAL_SOURCES]
+    non = [r.mean_log_ir for s, r in rows.items() if s not in _EVAL_SOURCES]
+    assert tgt and non
+    assert max(tgt) >= max(non) - 1e-9, (max(tgt), max(non))
+    assert sum(tgt) / len(tgt) >= sum(non) / len(non)

@@ -2546,3 +2546,128 @@ ORDER BY component
 """
 
 QUERIES["dedup_semdedup_keep"] = (dedup_semdedup_keep, DEDUP_SEMDEDUP_KEEP_SQL)
+
+
+def emb_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook distortion audit — the index-health readout for
+    the ``ann_pq_topk`` funnel (what ``emb_ivf_cell_stats`` is for
+    the IVF index): replay the identical per-subspace codebook
+    training (stride seeds, one Lloyd refinement, 6-dp quantized
+    state), then report per subspace the quantization error of the
+    final assignment — mean/max squared sub-distance — plus code
+    utilization (distinct codes actually used). A subspace with
+    collapsed utilization or fat distortion tails is the one that
+    breaks ADC recall at scale, and this is the audit you run
+    BEFORE shipping the code table.
+
+    Same distributed shape as the encoder: exploded (vec, subspace)
+    layout, broadcast codebooks, one grouped argmin, one bounded
+    |M|-row rollup. Exactly oracle-able like the whole IVF/PQ
+    family (same seeds, same 6-dp boundaries).
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    unit = emb.withColumn("_n", _norm("v")).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+    sub = _subvectors(unit, "v", "sv")
+    code_d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def assign_keep_d2(codebook: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(codebook), "m")
+            .select(
+                "vec_id",
+                "m",
+                "sv",
+                F.struct(F.round(code_d2, 6).alias("d2"), F.col("cid")).alias("_s"),
+            )
+            .groupBy("vec_id", "m", "sv")
+            .agg(F.min("_s").alias("_best"))
+            .select(
+                "vec_id",
+                "m",
+                "sv",
+                F.col("_best.cid").alias("cid"),
+                F.col("_best.d2").alias("d2"),
+            )
+        )
+
+    codebook = sub.join(F.broadcast(_seed_ids(unit)), "vec_id").select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    refined = (
+        assign_keep_d2(codebook)
+        .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select("m", "cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
+    )
+    fin = assign_keep_d2(refined)
+    return (
+        fin.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("cid").alias("codes_used"),
+            _R4(F.avg("d2"), "mean_d2"),
+            _R4(F.max("d2"), "max_d2"),
+        )
+        .orderBy("m")
+    )
+
+
+EMB_PQ_DISTORTION_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS v
+  FROM (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+        FROM vecs)
+), ms AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), sub AS (
+  SELECT vec_id, m,
+         list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+  FROM unit CROSS JOIN ms
+), seedids AS (
+  SELECT vec_id FROM unit
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM unit) // 64))
+), seeds AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_pq_assign("seeds", "a0")}, refined AS (
+  SELECT m, cid, list(round(c, 6) ORDER BY pos) AS cv
+  FROM (
+    SELECT m, cid, pos, avg(val) AS c
+    FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val FROM a0)
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY m, cid
+), fin_r AS (
+  SELECT s.vec_id, s.m, c.cid,
+         {_SUB_D2_SQL.format(v="s.sv", c="c.cv", d=PQ_SUBDIM)} AS d2,
+         row_number() OVER (PARTITION BY s.vec_id, s.m
+                            ORDER BY {_SUB_D2_SQL.format(v="s.sv", c="c.cv", d=PQ_SUBDIM)}, c.cid) AS rn
+  FROM sub s JOIN refined c ON s.m = c.m
+), fin AS (
+  SELECT vec_id, m, cid, d2 FROM fin_r WHERE rn = 1
+)
+SELECT m, count(*) AS n_vecs,
+       CAST(count(DISTINCT cid) AS BIGINT) AS codes_used,
+       round(avg(d2), 4) AS mean_d2,
+       round(max(d2), 4) AS max_d2
+FROM fin
+GROUP BY m
+ORDER BY m
+"""
+
+QUERIES["emb_pq_distortion"] = (emb_pq_distortion, EMB_PQ_DISTORTION_SQL)

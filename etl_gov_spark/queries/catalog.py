@@ -32,6 +32,7 @@ _PINNED_FIRST = (
     "dedup_substring_exposure",
     "dedup_semdedup_keep",
     "text_langid_trigram",
+    "emb_pq_distortion",
     "q_hll_daily_weekly",
     "q_approx_quantiles",
     "q_growth_accounting",

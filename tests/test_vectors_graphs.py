@@ -736,3 +736,19 @@ def test_semdedup_keep_representative_is_centroid_argmin(spark, sf_dir):
         assert g.keep_vec_id not in purged
         members = purged + [g.keep_vec_id]
         assert min(d2[m] for m in members) == d2[g.keep_vec_id], g
+
+
+def test_pq_distortion_shape_and_bounds(spark, sf_dir):
+    """emb_pq_distortion: one row per subspace, utilization within
+    [1, codebook size], distortion non-negative with mean <= max,
+    and (unit vectors, 8-dim subspaces) mean_d2 must sit well below
+    the 2.0 that two orthogonal unit sub-vectors would give."""
+    from etl_gov_spark.operators.vectors import PQ_M, emb_pq_distortion
+
+    rows = emb_pq_distortion(spark, sf_dir).collect()
+    assert [r.m for r in rows] == list(range(PQ_M))
+    for r in rows:
+        assert 1 <= r.codes_used
+        assert 0.0 <= r.mean_d2 <= r.max_d2
+        assert r.mean_d2 < 2.0
+        assert r.n_vecs == rows[0].n_vecs

@@ -31,6 +31,7 @@ _PINNED_FIRST = (
     "dedup_substring_census",
     "dedup_substring_exposure",
     "dedup_semdedup_keep",
+    "dedup_cascade_census",
     "text_langid_trigram",
     "emb_pq_distortion",
     "q_hll_daily_weekly",
@@ -121,6 +122,7 @@ def _families() -> list[dict]:
         "timeseries",
         "analytics",
         "dedup",
+        "cascade",
         "graphs",
         "similarity",
         "vectors",

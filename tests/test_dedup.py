@@ -475,3 +475,35 @@ def test_substring_exposure_consistent_with_census(spark, sf_dir):
         assert r.n_exposed == len(exposed.get(src, set())), src
         if exposed.get(src):
             assert r.max_run_tokens == max(best[d] for d in exposed[src])
+
+
+def test_cascade_census_monotone_and_consistent(spark, sf_dir):
+    """dedup_cascade_census: stages strictly ordered, survivor
+    counts monotone non-increasing, purge arithmetic consistent,
+    stage-1 survivors equal the independent exact-dedup keeper
+    count, and the embeddings/doc key domains really do coincide
+    (the assumption the semantic stage joins on)."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.cascade import dedup_cascade_census
+
+    rows = {r.stage: r for r in dedup_cascade_census(spark, sf_dir).collect()}
+    assert [rows[i].stage_name for i in range(4)] == [
+        "input", "exact", "neardup", "semantic",
+    ]
+    for i in range(1, 4):
+        assert rows[i].docs_out <= rows[i - 1].docs_out
+        assert rows[i].tokens_out <= rows[i - 1].tokens_out
+        assert rows[i].docs_purged == rows[i - 1].docs_out - rows[i].docs_out
+    cat = Catalog(spark, sf_dir)
+    exact_keepers = (
+        cat.documents.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .count()
+        .count()
+    )
+    assert rows[1].docs_out == exact_keepers
+    doc_ids = {r.doc_id for r in cat.documents.select("doc_id").collect()}
+    vec_ids = {r.vec_id for r in cat.embeddings.select("vec_id").collect()}
+    assert vec_ids <= doc_ids  # semantic stage joins embeddings by doc key

@@ -6277,3 +6277,87 @@ FROM wtd
 """
 
 QUERIES["q_ipw_att"] = (q_ipw_att, Q_IPW_ATT_SQL)
+
+
+def q_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method inference for a RATIO metric under user-level
+    clustering — the A/B reading ``q_abtest_lift`` (per-user means,
+    Welch t) cannot give: value-per-EVENT, where both numerator and
+    denominator are per-user random variables, so the naive
+    per-event t-test understates variance (events within a user are
+    correlated). Var(x̄/ȳ) ≈ (s_x² + R²·s_y² − 2R·s_xy)/(n·ȳ²),
+    the standard large-sample expansion every experimentation
+    platform ships for ratio metrics (Deng et al., KDD 2018 shape).
+
+    Same md5-parity arm split as q_abtest_lift; one user-level
+    rollup then one 6-sum conditional aggregate per arm — algebraic
+    end to end, no window, no resampling.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "value")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 2
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.sum("value").alias("x"), F.count(F.lit(1)).cast("double").alias("y")
+    ).select(arm.alias("arm"), "x", "y")
+    s = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    r = F.col("mx") / F.col("my")
+    var_r = (
+        F.col("vx") + r * r * F.col("vy") - 2 * r * F.col("cxy")
+    ) / (F.col("n") * F.col("my") * F.col("my"))
+    arms = s.select("arm", "n", r.alias("ratio"), var_r.alias("var_r"))
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"),
+        F.col("ratio").alias("r_a"),
+        F.col("var_r").alias("v_a"),
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"),
+        F.col("ratio").alias("r_b"),
+        F.col("var_r").alias("v_b"),
+    )
+    z = (F.col("r_b") - F.col("r_a")) / F.sqrt(F.col("v_a") + F.col("v_b"))
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        _R4(F.col("r_a"), "ratio_a"),
+        _R4(F.col("r_b"), "ratio_b"),
+        _R4(F.col("r_b") - F.col("r_a"), "diff"),
+        _R4(F.sqrt(F.col("v_a") + F.col("v_b")), "se_diff"),
+        _R4(z, "z_stat"),
+    )
+
+
+Q_DELTA_METHOD_SQL = """
+WITH pu AS (
+  SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2) AS INTEGER) % 2 AS arm,
+         sum(value) AS x, CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT arm, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         var_samp(x) AS vx, var_samp(y) AS vy, covar_samp(x, y) AS cxy
+  FROM pu GROUP BY arm
+), arms AS (
+  SELECT arm, n, mx / my AS ratio,
+         (vx + (mx / my) * (mx / my) * vy - 2 * (mx / my) * cxy)
+           / (n * my * my) AS var_r
+  FROM s
+)
+SELECT a.n AS n_a, b.n AS n_b,
+       round(a.ratio, 4) AS ratio_a, round(b.ratio, 4) AS ratio_b,
+       round(b.ratio - a.ratio, 4) AS diff,
+       round(sqrt(a.var_r + b.var_r), 4) AS se_diff,
+       round((b.ratio - a.ratio) / sqrt(a.var_r + b.var_r), 4) AS z_stat
+FROM (SELECT * FROM arms WHERE arm = 0) a
+CROSS JOIN (SELECT * FROM arms WHERE arm = 1) b
+"""
+
+QUERIES["q_delta_method_ratio"] = (q_delta_method_ratio, Q_DELTA_METHOD_SQL)

@@ -34,6 +34,7 @@ _PINNED_FIRST = (
     "dedup_cascade_census",
     "text_langid_trigram",
     "emb_pq_distortion",
+    "q_delta_method_ratio",
     "q_hll_daily_weekly",
     "q_approx_quantiles",
     "q_growth_accounting",

@@ -1186,3 +1186,34 @@ def test_ipw_att_debiasing_on_planted_confounder(spark, tmp_path_factory):
     assert abs(r.naive_diff) > 500.0  # the planted confounding bias
     assert abs(r.att_ipw) < abs(r.naive_diff) / 5.0  # debiased
     assert 0.0 < r.ess_control <= r.n_control
+
+
+def test_delta_method_ratio_vs_naive(spark, sf_dir):
+    """q_delta_method_ratio: each arm's ratio must equal the
+    arm-level Σvalue/Σevents (the estimand), the delta-method SE
+    must be positive and finite, and the clustered SE must not be
+    smaller than trivially zero — plus both arms populated by the
+    md5 split."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+
+    r = ML.q_delta_method_ratio(spark, sf_dir).collect()[0]
+    assert r.n_a > 0 and r.n_b > 0
+    ev = Catalog(spark, sf_dir).events.select("user_id", "value")
+    arm_expr = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 2
+    )
+    agg = {
+        row.arm: row
+        for row in ev.select(arm_expr.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("ne"))
+        .collect()
+    }
+    assert r.ratio_a == pytest.approx(agg[0].sv / agg[0].ne, abs=2e-4)
+    assert r.ratio_b == pytest.approx(agg[1].sv / agg[1].ne, abs=2e-4)
+    assert r.se_diff > 0 and math.isfinite(r.z_stat)

@@ -3062,9 +3062,9 @@ def _qc_iter_sql(prev: str, out: str) -> str:
 
 _QC_SQL_PREFIX = rf"""
 WITH raw AS (
-  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  SELECT doc_id, source, text, string_split_regex(trim(text), '\s+') AS toks FROM documents
 ), feat0 AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CAST(NOT ((len(toks) < 5 OR len(toks) > 100000)
               OR NOT ((length(trim(text)) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) BETWEEN 3.0 AND 10.0)
               OR (length(text) - length(regexp_replace(text, '[.,!?;:#*]', '', 'g'))) / CAST(len(toks) AS DOUBLE) > 0.1
@@ -3075,7 +3075,7 @@ WITH raw AS (
          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d','e','f') AS held
   FROM raw
 ), feat AS MATERIALIZED (
-  SELECT doc_id, y, held, nw,
+  SELECT doc_id, source, y, held, nw,
          list_transform(generate_series(0, {_QC_DIM - 1}),
                         i -> len(list_filter(bkt, x -> x = i)) / CAST(nw AS DOUBLE)) AS xv
   FROM feat0

@@ -670,3 +670,89 @@ FROM gated GROUP BY source, gate
 
 
 QUERIES["stream_doc_quality_gate"] = (stream_doc_quality_gate, _doc_gate_sql())
+
+
+def stream_classifier_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deployment of the TRAINED quality classifier —
+    the production shape for round 11's
+    ``corpus_quality_classifier``: coefficients are fit OFFLINE on
+    the batch table (the same quantized trajectory the oracle
+    replays), then every arriving document is scored by a pure
+    codegen expression (hashed-BoW shares × the 65-double literal
+    model → σ, 6 dp) and routed accept/reject at p ≥ 0.5; the
+    running per-source × decision census with mean score is the
+    ingest dashboard. Model state rides IN THE PLAN (literal), so
+    the stream is stateless per-doc — arbitrarily shardable at
+    100 TB/day ingest; complete-mode aggregate over the finite feed
+    ≡ batch aggregation, which is exactly what the oracle replays
+    after re-deriving the identical β.
+    """
+    from etl_gov_spark.operators.corpus import _QC_DIM, _qc_dot, _qc_train
+    from etl_gov_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    _feat, _n, bi, bw = _qc_train(spark, sf_dir)  # offline fit (batch reads)
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nw = F.size(toks)
+    bkt = F.transform(
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("int") % _QC_DIM,
+    )
+    scored0 = docs.select("source", nw.alias("nw"), bkt.alias("bkt"))
+    xv = F.transform(
+        F.sequence(F.lit(0), F.lit(_QC_DIM - 1)),
+        lambda i: F.size(F.filter("bkt", lambda x: x == i)) / F.col("nw"),
+    )
+    scored1 = scored0.select("source", xv.alias("xv"))
+    p6 = F.round(
+        1.0 / (1.0 + F.exp(-F.round(F.lit(bi) + _qc_dot("xv", bw), 6))), 6
+    )
+    routed = scored1.select(
+        "source",
+        p6.alias("p"),
+    ).select(
+        "source",
+        "p",
+        F.when(F.col("p") >= 0.5, F.lit("accept"))
+        .otherwise(F.lit("reject"))
+        .alias("decision"),
+    )
+    agg = routed.groupBy("source", "decision").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("p"), 4).alias("avg_p"),
+    )
+    sink = "stream_classifier_gate_sink"
+    _run_to_memory(agg, sink, "complete")
+    return spark.table(sink)
+
+
+def _classifier_gate_sql() -> str:
+    from etl_gov_spark.operators.corpus import _QC_DIM, _QC_SQL_PREFIX
+
+    return (
+        _QC_SQL_PREFIX
+        + f""",
+scored AS (
+  SELECT f.doc_id, f.source,
+         round(1.0 / (1.0 + exp(-round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6))), 6) AS p
+  FROM feat f CROSS JOIN it6 b
+)
+SELECT source,
+       CASE WHEN p >= 0.5 THEN 'accept' ELSE 'reject' END AS decision,
+       count(*) AS n_docs,
+       round(avg(p), 4) AS avg_p
+FROM scored
+GROUP BY 1, 2
+"""
+    )
+
+
+QUERIES["stream_classifier_gate"] = (stream_classifier_gate, _classifier_gate_sql())

@@ -756,3 +756,44 @@ def test_langid_trigram_wider_label_set(spark, sf_dir):
             # fixed precedence: first declared lang hitting the max
             expect = next(lang for lang in langs if scores[lang] == best)
             assert r.pred_lang == expect, (r.doc_id, scores, r.pred_lang)
+
+
+def test_stream_classifier_gate_matches_batch_scoring(spark, sf_dir):
+    """stream_classifier_gate: the streaming census must equal the
+    batch census computed by scoring the same docs with the same
+    offline-fit coefficients (complete mode over a finite feed ≡
+    batch agg), and accept+reject per source must cover all docs."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.corpus import _qc_dot, _qc_train
+    from etl_gov_spark.streaming.events_stream import stream_classifier_gate
+
+    got = {
+        (r.source, r.decision): (r.n_docs, r.avg_p)
+        for r in stream_classifier_gate(spark, sf_dir).collect()
+    }
+    feat, _n, bi, bw = _qc_train(spark, sf_dir)
+    p6 = F.round(
+        1.0 / (1.0 + F.exp(-F.round(F.lit(bi) + _qc_dot("xv", bw), 6))), 6
+    )
+    cat = Catalog(spark, sf_dir).documents.select("doc_id", "source")
+    batch = {
+        (r.source, r.decision): (r.n_docs, r.avg_p)
+        for r in feat.join(cat, "doc_id")
+        .select("source", p6.alias("p"))
+        .select(
+            "source",
+            "p",
+            F.when(F.col("p") >= 0.5, "accept").otherwise("reject").alias("decision"),
+        )
+        .groupBy("source", "decision")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.round(F.avg("p"), 4).alias("avg_p"))
+        .collect()
+    }
+    assert got == batch
+    per_src = {}
+    for (s, _d), (n, _p) in got.items():
+        per_src[s] = per_src.get(s, 0) + n
+    total = sum(per_src.values())
+    assert total == cat.count()

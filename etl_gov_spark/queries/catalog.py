@@ -15,15 +15,18 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 12 rotation: new round-11 queries first (they have no
-    # driver signal at all yet), then the 53 names the driver has
-    # never sampled in any round (all judge-gate-green at sf0.01 +
-    # sf0.001 in round 10), in VERDICT-r10 table order. Zero
-    # re-lists of already-adjudicated names — every slot in the
-    # driver's 50-entry prefix buys new union coverage; the tail
-    # past slot 50 rolls into the next rotation.
-    # (test_survey_sync asserts the list length and uniqueness so
-    # this comment can't drift from the tuple again.)
+    # Round 12 rotation: the 12 new round-11 queries first (no
+    # driver signal at all yet), then the 2 formerly-rows-only
+    # queries converted to oracle-backed this round (their hash is
+    # now checkable for the first time), then the 53 names the
+    # driver has never sampled in any round (all judge-gate-green
+    # at sf0.01 + sf0.001 in round 10), in VERDICT-r10 table order.
+    # Zero re-lists of already-adjudicated names — every slot in
+    # the driver's 50-entry prefix buys new union coverage; the
+    # tail past slot 50 (from q_part_name_tokens onward) rolls into
+    # the round-13 rotation.
+    # (test_survey_sync asserts uniqueness + registration so this
+    # comment can't drift from the tuple again.)
     "corpus_quality_classifier",
     "corpus_classifier_prune_sweep",
     "corpus_dsir_logratio",

@@ -38,6 +38,7 @@ _PINNED_FIRST = (
     "text_langid_trigram",
     "emb_pq_distortion",
     "q_delta_method_ratio",
+    "q_cuped_ratio",
     "stream_classifier_gate",
     "q_hll_daily_weekly",
     "q_approx_quantiles",

@@ -1217,3 +1217,37 @@ def test_delta_method_ratio_vs_naive(spark, sf_dir):
     assert r.ratio_a == pytest.approx(agg[0].sv / agg[0].ne, abs=2e-4)
     assert r.ratio_b == pytest.approx(agg[1].sv / agg[1].ne, abs=2e-4)
     assert r.se_diff > 0 and math.isfinite(r.z_stat)
+
+
+def test_cuped_ratio_variance_reduction_consistent(spark, sf_dir):
+    """q_cuped_ratio: realized variance ratio must be <= 1 + eps
+    (residualizing on the pooled OLS theta cannot raise pooled
+    variance beyond rounding), must track the 1-rho^2 theory within
+    a loose band, and the linearized diff must approximate the
+    direct arm-ratio difference (first-order delta identity)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+
+    r = ML.q_cuped_ratio(spark, sf_dir).collect()[0]
+    assert r.n_treat > 0 and r.n_control > 0
+    assert r.var_ratio <= 1.0 + 1e-3
+    assert abs(r.var_ratio - r.theory_var_ratio) < 0.15
+    assert math.isfinite(r.z_adj)
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "value", (F.dayofmonth(F.to_date("ts")) % 2 == 0).alias("pre")
+    ).filter(~F.col("pre"))
+    armc = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 2), 16, 10)
+        .cast("int") % 2
+    )
+    arms = {
+        row.arm: row.sv / row.ne
+        for row in ev.select(armc.alias("arm"), "value")
+        .groupBy("arm")
+        .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("ne"))
+        .collect()
+    }
+    assert r.linearized_diff == pytest.approx(arms[1] - arms[0], abs=0.02)

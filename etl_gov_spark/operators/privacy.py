@@ -511,3 +511,99 @@ FROM pub
 """
 
 QUERIES["q_dp_private_mean"] = (q_dp_private_mean, Q_DP_PRIVATE_MEAN_SQL)
+
+
+DPQ_BINS = 32
+DPQ_LO, DPQ_HI = -1000.0, 10000.0  # public domain bounds for c_acctbal
+_DPQ_STEP = (DPQ_HI - DPQ_LO) / (DPQ_BINS - 1)
+
+
+def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP median via the EXPONENTIAL MECHANISM (McSherry & Talwar
+    2007) — the third classic DP release after Laplace counts and
+    the clamped mean: per market segment, candidate outputs are 32
+    equi-width edges over the PUBLIC acctbal domain [-1000, 10000],
+    utility u(t) = −|#{x<t} − n/2| (rank distance to the median,
+    sensitivity 1), and the draw uses the Gumbel-max identity
+    (argmax of ε·u/2 + Gumbel ≡ sampling ∝ exp(ε·u/2)) with the
+    portable md5 uniform keyed by (segment, edge) — deterministic,
+    so the oracle replays the exact released value. Published: the
+    DP median, its true rank error, and the mechanism parameters.
+
+    Scale: one conditional-aggregate pass builds all |segments|×32
+    rank counts (bounded grid); the argmax is a partitioned window
+    over 32 rows per segment. Nothing touches row-level data after
+    the one scan.
+    """
+    cust = Catalog(spark, sf_dir).customer.select("c_mktsegment", "c_acctbal")
+    grid = spark.range(DPQ_BINS).select(
+        F.col("id").cast("int").alias("i"),
+        (F.lit(DPQ_LO) + F.col("id") * F.lit(_DPQ_STEP)).alias("t"),
+    )
+    cnt = (
+        cust.crossJoin(F.broadcast(grid))
+        .groupBy("c_mktsegment", "i", "t")
+        .agg(
+            F.sum((F.col("c_acctbal") < F.col("t")).cast("long")).alias("lt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    u = -F.abs(F.col("lt") - F.col("n") / 2.0)
+    draw = _draw01(
+        F.concat(
+            F.lit("dpq:"), F.col("c_mktsegment"), F.lit(":"), F.col("i")
+        )
+    )
+    gumbel = -F.log(-F.log(draw))
+    score = F.lit(DP_EPSILON) * u / 2.0 + gumbel
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("score"), F.asc("i")
+    )
+    return (
+        cnt.select(
+            "c_mktsegment", "i", "t", "lt", "n", score.alias("score"), u.alias("u")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            _R4(F.col("t"), "dp_median"),
+            _R4(F.abs(F.col("lt") - F.col("n") / 2.0) / F.col("n"), "true_rank_err"),
+            F.lit(DP_EPSILON).alias("epsilon"),
+            F.lit(1).alias("sensitivity"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q_DP_QUANTILE_SQL = f"""
+WITH grid AS (
+  SELECT CAST(i AS INTEGER) AS i,
+         CAST({DPQ_LO!r} AS DOUBLE) + i * CAST({_DPQ_STEP!r} AS DOUBLE) AS t
+  FROM generate_series(0, {DPQ_BINS - 1}) g(i)
+), cnt AS (
+  SELECT c.c_mktsegment, g.i, g.t,
+         sum(CASE WHEN c.c_acctbal < g.t THEN 1 ELSE 0 END) AS lt,
+         count(*) AS n
+  FROM customer c CROSS JOIN grid g
+  GROUP BY 1, 2, 3
+), scored AS (
+  SELECT c_mktsegment, i, t, lt, n,
+         {DP_EPSILON!r} * (-abs(lt - n / 2.0)) / 2.0
+           + (-ln(-ln((CAST('0x' || substr(md5('dpq:' || c_mktsegment || ':' || i), 1, 12) AS BIGINT) + 1)
+                      / {_U_DENOM!r}))) AS score
+  FROM cnt
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY score DESC, i ASC) AS rn
+  FROM scored
+)
+SELECT c_mktsegment,
+       round(t, 4) AS dp_median,
+       round(abs(lt - n / 2.0) / CAST(n AS DOUBLE), 4) AS true_rank_err,
+       CAST({DP_EPSILON!r} AS DOUBLE) AS epsilon, 1 AS sensitivity
+FROM ranked WHERE rn = 1
+ORDER BY c_mktsegment
+"""
+
+QUERIES["q_dp_quantile"] = (q_dp_quantile, Q_DP_QUANTILE_SQL)

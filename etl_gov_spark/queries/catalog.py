@@ -39,6 +39,7 @@ _PINNED_FIRST = (
     "emb_pq_distortion",
     "q_delta_method_ratio",
     "q_cuped_ratio",
+    "q_dp_quantile",
     "stream_classifier_gate",
     "q_hll_daily_weekly",
     "q_approx_quantiles",

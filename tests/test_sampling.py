@@ -208,3 +208,30 @@ def test_dp_private_mean_mechanism(spark, sf_dir):
     assert {k: v.dp_mean for k, v in again.items()} == {
         k: v.dp_mean for k, v in rows.items()
     }
+
+
+def test_dp_quantile_mechanism(spark, sf_dir):
+    """q_dp_quantile: every released value must be one of the 32
+    public candidate edges, the true rank error of the release must
+    be small at eps=1 on thousands of rows (the mechanism
+    concentrates near the median: assert <= 0.25, far looser than
+    observed), and the release must be deterministic (portable
+    md5 Gumbel draws — identical across runs)."""
+    from etl_gov_spark.operators.privacy import (
+        DPQ_BINS,
+        DPQ_LO,
+        _DPQ_STEP,
+        q_dp_quantile,
+    )
+
+    rows1 = {r.c_mktsegment: r for r in q_dp_quantile(spark, sf_dir).collect()}
+    rows2 = {r.c_mktsegment: r for r in q_dp_quantile(spark, sf_dir).collect()}
+    assert rows1.keys() == rows2.keys() and len(rows1) >= 2
+    edges = {round(DPQ_LO + i * _DPQ_STEP, 4) for i in range(DPQ_BINS)}
+    for seg, r in rows1.items():
+        assert r.dp_median in edges, (seg, r.dp_median)
+        assert 0.0 <= r.true_rank_err <= 0.25
+        assert (r.dp_median, r.true_rank_err) == (
+            rows2[seg].dp_median,
+            rows2[seg].true_rank_err,
+        )

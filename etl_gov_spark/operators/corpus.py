@@ -3518,3 +3518,155 @@ ORDER BY source
 """
 
 QUERIES["corpus_dsir_logratio"] = (corpus_dsir_logratio, CORPUS_DSIR_SQL)
+
+
+_DSIR_K = 100  # resampled corpus size (fixed budget)
+_DSIR_U_DENOM = float((1 << 48) + 2)  # draw in (0,1) strictly
+
+
+def corpus_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Execute the DSIR selection (the step ``corpus_dsir_logratio``
+    only scores): draw a fixed budget of ``_DSIR_K`` documents
+    WITHOUT replacement with probability ∝ exp(log-IR weight), via
+    the Gumbel-top-k identity — top-K of (wᵢ + Gumbelᵢ) is exactly
+    an exp(w)-weighted sample — with the Gumbel from the portable
+    md5 uniform keyed by doc_id, so the selected set is
+    deterministic and the oracle replays it. Output: the per-source
+    manifest of the resampled corpus (counts, share, mean weight) —
+    what the target-matched pretraining mixture actually looks
+    like, next to the raw corpus share.
+
+    Scale: the weight pipeline is the scored op's (64-row broadcast
+    marginals); the top-K is orderBy+limit → TakeOrderedAndProject
+    (each partition keeps K, driver merges K·P — no global sort);
+    the manifest is a bounded per-source rollup.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id",
+        "source",
+        F.transform(
+            tokens_col(),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("int")
+            % _QC_DIM,
+        ).alias("bkt"),
+    )
+    expl = docs.select("doc_id", "source", F.explode("bkt").alias("b"))
+    grid = spark.range(_QC_DIM).select(F.col("id").cast("int").alias("b"))
+    tgt = (
+        expl.filter(F.col("source").isin(*_EVAL_SOURCES))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    ref = expl.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    marg = (
+        grid.join(tgt, "b", "left")
+        .join(ref, "b", "left")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    tot = marg.agg(F.sum("tc").alias("T"), F.sum("rc").alias("R"))
+    lr = marg.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("tc") + 1) / (F.col("T") + _QC_DIM))
+            - F.log((F.col("rc") + 1) / (F.col("R") + _QC_DIM))
+        ).alias("lr"),
+    )
+    per_doc = (
+        expl.groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("cnt") * F.col("lr")).alias("w"))
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("doc_id"))), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_DSIR_U_DENOM)
+    gumbel = -F.log(-F.log(u))
+    selected = (
+        per_doc.select("doc_id", "source", "w", (F.col("w") + gumbel).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_DSIR_K)
+    )
+    base = per_doc.groupBy("source").agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        selected.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_selected"),
+            _R4(F.avg("w"), "mean_logw_selected"),
+        )
+        .join(base, "source")
+        .select(
+            "source",
+            "n_selected",
+            _R4(F.col("n_selected") / F.lit(float(_DSIR_K)), "selected_share"),
+            "n_corpus",
+            _R4(F.col("n_selected") / F.col("n_corpus"), "uptake_rate"),
+            "mean_logw_selected",
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DSIR_RESAMPLE_SQL = rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+         list_transform(string_split_regex(trim(text), '\s+'),
+                        w -> CAST('0x' || substr(md5(w), 1, 2) AS INTEGER) % {_QC_DIM}) AS bkt
+  FROM documents
+), expl AS MATERIALIZED (
+  SELECT doc_id, source, unnest(bkt) AS b FROM docs
+), grid AS (
+  SELECT CAST(i AS INTEGER) AS b FROM generate_series(0, {_QC_DIM - 1}) t(i)
+), tgt AS (
+  SELECT b, count(*) AS tc FROM expl
+  WHERE source IN ({", ".join(f"'{s}'" for s in _EVAL_SOURCES)})
+  GROUP BY b
+), ref AS (
+  SELECT b, count(*) AS rc FROM expl GROUP BY b
+), marg AS (
+  SELECT g.b, coalesce(t.tc, 0) AS tc, coalesce(r.rc, 0) AS rc
+  FROM grid g LEFT JOIN tgt t USING (b) LEFT JOIN ref r USING (b)
+), tot AS (
+  SELECT sum(tc) AS T, sum(rc) AS R FROM marg
+), lr AS (
+  SELECT b,
+         ln((tc + 1) / CAST(T + {_QC_DIM} AS DOUBLE))
+         - ln((rc + 1) / CAST(R + {_QC_DIM} AS DOUBLE)) AS lr
+  FROM marg CROSS JOIN tot
+), per_doc AS MATERIALIZED (
+  SELECT doc_id, source, sum(cnt * lr) AS w
+  FROM (SELECT doc_id, source, b, count(*) AS cnt FROM expl GROUP BY 1, 2, 3)
+  JOIN lr USING (b)
+  GROUP BY doc_id, source
+), scored AS (
+  SELECT doc_id, source, w,
+         w + (-ln(-ln((CAST('0x' || substr(md5('dsir:' || doc_id), 1, 12) AS BIGINT) + 1)
+                      / {_DSIR_U_DENOM!r}))) AS s
+  FROM per_doc
+), selected AS (
+  SELECT * FROM scored
+  QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= {_DSIR_K}
+), base AS (
+  SELECT source, count(*) AS n_corpus FROM per_doc GROUP BY source
+)
+SELECT sel.source,
+       count(*) AS n_selected,
+       round(count(*) / CAST({_DSIR_K} AS DOUBLE), 4) AS selected_share,
+       CAST(max(base.n_corpus) AS BIGINT) AS n_corpus,
+       round(count(*) / CAST(max(base.n_corpus) AS DOUBLE), 4) AS uptake_rate,
+       round(avg(sel.w), 4) AS mean_logw_selected
+FROM selected sel JOIN base ON base.source = sel.source
+GROUP BY sel.source
+ORDER BY sel.source
+"""
+
+QUERIES["corpus_dsir_resample"] = (corpus_dsir_resample, CORPUS_DSIR_RESAMPLE_SQL)

@@ -30,6 +30,7 @@ _PINNED_FIRST = (
     "corpus_quality_classifier",
     "corpus_classifier_prune_sweep",
     "corpus_dsir_logratio",
+    "corpus_dsir_resample",
     "corpus_bpe_apply",
     "dedup_substring_census",
     "dedup_substring_exposure",

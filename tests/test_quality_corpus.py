@@ -980,3 +980,29 @@ def test_dsir_target_sources_score_highest(spark, sf_dir):
     assert tgt and non
     assert max(tgt) >= max(non) - 1e-9, (max(tgt), max(non))
     assert sum(tgt) / len(tgt) >= sum(non) / len(non)
+
+
+def test_dsir_resample_budget_and_target_uptake(spark, sf_dir):
+    """corpus_dsir_resample: selections must sum exactly to the K
+    budget, uptake must lean toward the target (eval) sources
+    relative to their corpus share (the whole point of importance
+    resampling), and the draw must be deterministic across runs."""
+    from etl_gov_spark.operators.corpus import (
+        _DSIR_K,
+        _EVAL_SOURCES,
+        corpus_dsir_resample,
+    )
+
+    rows1 = {r.source: r for r in corpus_dsir_resample(spark, sf_dir).collect()}
+    rows2 = {r.source: r for r in corpus_dsir_resample(spark, sf_dir).collect()}
+    assert rows1.keys() == rows2.keys()
+    assert sum(r.n_selected for r in rows1.values()) == _DSIR_K
+    for s, r in rows1.items():
+        assert r.n_selected == rows2[s].n_selected  # deterministic
+        assert 0 < r.n_selected <= r.n_corpus
+    tgt_sel = sum(r.n_selected for s, r in rows1.items() if s in _EVAL_SOURCES)
+    tgt_corp = sum(r.n_corpus for s, r in rows1.items() if s in _EVAL_SOURCES)
+    all_corp = sum(r.n_corpus for r in rows1.values())
+    if tgt_corp:
+        # selected target share must exceed the raw corpus target share
+        assert tgt_sel / _DSIR_K > tgt_corp / all_corp

@@ -3670,3 +3670,154 @@ ORDER BY sel.source
 """
 
 QUERIES["corpus_dsir_resample"] = (corpus_dsir_resample, CORPUS_DSIR_RESAMPLE_SQL)
+
+
+def corpus_selection_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement census of the engine's three independent data-
+    selection signals — Gopher rule pass (heuristic), trained
+    classifier accept p≥0.5 (model), DSIR log-IR > 0 (target
+    matching) — as the full 2³ contingency cube with doc and token
+    shares per cell. The curation question this answers: where do
+    the filters AGREE (safe keep / safe drop) and how much corpus
+    sits in the contested cells that need human thresholds. The
+    classifier replays its quantized trajectory; DSIR reuses its
+    64-bucket marginals; all three signals come from scans already
+    priced by their own operators.
+    """
+    # trained classifier probability per doc
+    feat, _n, bi, bw = _qc_train(spark, sf_dir)
+    p6 = F.round(
+        1.0 / (1.0 + F.exp(-F.round(F.lit(bi) + _qc_dot("xv", bw), 6))), 6
+    )
+    clf = feat.select(
+        "doc_id",
+        "nw",
+        F.col("y").alias("_y"),
+        (p6 >= 0.5).alias("clf_accept"),
+    )
+    # DSIR weight per doc (same pipeline as corpus_dsir_logratio)
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id",
+        "source",
+        F.transform(
+            tokens_col(),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("int")
+            % _QC_DIM,
+        ).alias("bkt"),
+    )
+    expl = docs.select("doc_id", "source", F.explode("bkt").alias("b"))
+    grid = spark.range(_QC_DIM).select(F.col("id").cast("int").alias("b"))
+    tgt = (
+        expl.filter(F.col("source").isin(*_EVAL_SOURCES))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    ref = expl.groupBy("b").agg(F.count(F.lit(1)).alias("rc"))
+    marg = (
+        grid.join(tgt, "b", "left")
+        .join(ref, "b", "left")
+        .select(
+            "b",
+            F.coalesce("tc", F.lit(0)).alias("tc"),
+            F.coalesce("rc", F.lit(0)).alias("rc"),
+        )
+    )
+    tot = marg.agg(F.sum("tc").alias("T"), F.sum("rc").alias("R"))
+    lr = marg.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("tc") + 1) / (F.col("T") + _QC_DIM))
+            - F.log((F.col("rc") + 1) / (F.col("R") + _QC_DIM))
+        ).alias("lr"),
+    )
+    dsir = (
+        expl.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg((F.sum(F.col("cnt") * F.col("lr")) > 0).alias("dsir_up"))
+    )
+    cube = clf.join(dsir, "doc_id").select(
+        (F.col("_y") > 0.5).alias("gopher_pass"),
+        "clf_accept",
+        "dsir_up",
+        "nw",
+    )
+    tot2 = cube.agg(
+        F.count(F.lit(1)).alias("_N"), F.sum("nw").alias("_T")
+    )
+    return (
+        cube.groupBy("gopher_pass", "clf_accept", "dsir_up")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nw").alias("tokens"))
+        .crossJoin(F.broadcast(tot2))
+        .select(
+            "gopher_pass",
+            "clf_accept",
+            "dsir_up",
+            "n_docs",
+            _R4(F.col("n_docs") / F.col("_N"), "doc_share"),
+            "tokens",
+            _R4(F.col("tokens") / F.col("_T"), "token_share"),
+        )
+        .orderBy("gopher_pass", "clf_accept", "dsir_up")
+    )
+
+
+CORPUS_SELECTION_CUBE_SQL = (
+    _QC_SQL_PREFIX
+    + rf""",
+clf AS (
+  SELECT f.doc_id, f.nw, f.y,
+         round(1.0 / (1.0 + exp(-round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6))), 6) >= 0.5 AS clf_accept
+  FROM feat f CROSS JOIN it6 b
+), expl2 AS MATERIALIZED (
+  SELECT doc_id, source, unnest(bkt) AS b
+  FROM (SELECT doc_id, source,
+               list_transform(toks, w -> CAST('0x' || substr(md5(w), 1, 2) AS INTEGER) % {_QC_DIM}) AS bkt
+        FROM raw)
+), grid2 AS (
+  SELECT CAST(i AS INTEGER) AS b FROM generate_series(0, {_QC_DIM - 1}) t(i)
+), tgt2 AS (
+  SELECT b, count(*) AS tc FROM expl2
+  WHERE source IN ({", ".join(f"'{s}'" for s in _EVAL_SOURCES)})
+  GROUP BY b
+), ref2 AS (
+  SELECT b, count(*) AS rc FROM expl2 GROUP BY b
+), marg2 AS (
+  SELECT g.b, coalesce(t.tc, 0) AS tc, coalesce(r.rc, 0) AS rc
+  FROM grid2 g LEFT JOIN tgt2 t USING (b) LEFT JOIN ref2 r USING (b)
+), tot2 AS (
+  SELECT sum(tc) AS T, sum(rc) AS R FROM marg2
+), lr2 AS (
+  SELECT b,
+         ln((tc + 1) / CAST(T + {_QC_DIM} AS DOUBLE))
+         - ln((rc + 1) / CAST(R + {_QC_DIM} AS DOUBLE)) AS lr
+  FROM marg2 CROSS JOIN tot2
+), dsir AS (
+  SELECT doc_id, sum(cnt * lr) > 0 AS dsir_up
+  FROM (SELECT doc_id, b, count(*) AS cnt FROM expl2 GROUP BY 1, 2)
+  JOIN lr2 USING (b)
+  GROUP BY doc_id
+), cube AS (
+  SELECT c.y > 0.5 AS gopher_pass, c.clf_accept, d.dsir_up, c.nw
+  FROM clf c JOIN dsir d USING (doc_id)
+), tots AS (
+  SELECT count(*) AS N, sum(nw) AS T FROM cube
+)
+SELECT gopher_pass, clf_accept, dsir_up,
+       count(*) AS n_docs,
+       round(count(*) / CAST((SELECT N FROM tots) AS DOUBLE), 4) AS doc_share,
+       CAST(sum(nw) AS BIGINT) AS tokens,
+       round(sum(nw) / CAST((SELECT T FROM tots) AS DOUBLE), 4) AS token_share
+FROM cube
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+)
+
+QUERIES["corpus_selection_cube"] = (
+    corpus_selection_cube,
+    CORPUS_SELECTION_CUBE_SQL,
+)

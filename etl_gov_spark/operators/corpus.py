@@ -3821,3 +3821,117 @@ QUERIES["corpus_selection_cube"] = (
     corpus_selection_cube,
     CORPUS_SELECTION_CUBE_SQL,
 )
+
+
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (Wenzek et al. 2020): per
+    LANGUAGE, documents are bucketed into perplexity terciles under
+    the corpus unigram LM (the cheap-LM quality ladder CCNet made
+    standard — head = fluent third kept for pretraining, tail =
+    gibberish third dropped or down-weighted). Thresholds are the
+    tie-inclusive ascending disc-terciles of the 4-dp score, so the
+    split is deterministic and the oracle replays it.
+
+    Scale: doc scores come from the priced ``corpus_unigram_logprob``
+    joins; the tercile ladder runs over DISTINCT (lang, 4-dp score)
+    rows only — a lang-PARTITIONED cumulative window over a bounded
+    key space, never a doc-grain sort; bucket assignment is a
+    broadcast threshold join.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", "lang", tokens_col().alias("toks")
+    )
+    toks = docs.select("doc_id", "lang", F.explode("toks").alias("w"))
+    tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(tf, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("nw"),
+            F.round(
+                F.avg(-F.log(F.col("cnt") / F.col("total"))), 4
+            ).alias("s"),
+        )
+    )
+    counts = scored.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("cn"))
+    w = Window.partitionBy("lang").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.select(
+        "lang", "s", F.sum("cn").over(w).alias("cum_n")
+    )
+    nlang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("N"))
+    cj = cum.join(nlang, "lang")
+    t1 = (
+        cj.filter(F.col("cum_n") >= F.ceil(F.col("N") / 3.0))
+        .groupBy("lang")
+        .agg(F.min("s").alias("t1"))
+    )
+    t2 = (
+        cj.filter(F.col("cum_n") >= F.ceil(2.0 * F.col("N") / 3.0))
+        .groupBy("lang")
+        .agg(F.min("s").alias("t2"))
+    )
+    bucket = (
+        F.when(F.col("s") <= F.col("t1"), "head")
+        .when(F.col("s") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(t1), "lang")
+        .join(F.broadcast(t2), "lang")
+        .select("lang", bucket.alias("bucket"), "nw", "s")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("tokens"),
+            _R4(F.avg("s"), "mean_neg_logprob"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CORPUS_CCNET_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT w, count(*) AS cnt FROM toks GROUP BY w
+), tot AS (
+  SELECT sum(cnt) AS total FROM tf
+), scored AS MATERIALIZED (
+  SELECT t.doc_id, t.lang, count(*) AS nw,
+         round(avg(-ln(tf.cnt / CAST(tot.total AS DOUBLE))), 4) AS s
+  FROM toks t JOIN tf USING (w) CROSS JOIN tot
+  GROUP BY t.doc_id, t.lang
+), cum AS (
+  SELECT lang, s,
+         sum(cn) OVER (PARTITION BY lang ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM (SELECT lang, s, count(*) AS cn FROM scored GROUP BY lang, s)
+), nlang AS (
+  SELECT lang, count(*) AS N FROM scored GROUP BY lang
+), t1 AS (
+  SELECT c.lang, min(c.s) AS t1
+  FROM cum c JOIN nlang n USING (lang)
+  WHERE c.cum_n >= ceil(n.N / 3.0) GROUP BY c.lang
+), t2 AS (
+  SELECT c.lang, min(c.s) AS t2
+  FROM cum c JOIN nlang n USING (lang)
+  WHERE c.cum_n >= ceil(2.0 * n.N / 3.0) GROUP BY c.lang
+)
+SELECT sc.lang,
+       CASE WHEN sc.s <= t1.t1 THEN 'head'
+            WHEN sc.s <= t2.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(sc.nw) AS BIGINT) AS tokens,
+       round(avg(sc.s), 4) AS mean_neg_logprob
+FROM scored sc JOIN t1 USING (lang) JOIN t2 USING (lang)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["corpus_ccnet_buckets"] = (corpus_ccnet_buckets, CORPUS_CCNET_SQL)

@@ -1024,3 +1024,38 @@ def test_selection_cube_partitions_corpus(spark, sf_dir):
     assert abs(sum(r.token_share for r in rows) - 1.0) < 0.01
     gopher_frac = sum(r.n_docs for r in rows if r.gopher_pass) / n_docs
     assert 0.0 < gopher_frac < 1.0
+
+
+def test_ccnet_buckets_tercile_shape(spark, sf_dir):
+    """corpus_ccnet_buckets: per language the three buckets
+    partition that language's docs, head tercile has the LOWEST
+    mean neg-logprob (most fluent under the LM), tail the highest,
+    and each bucket holds a non-degenerate share (tie-inclusive
+    terciles: head >= 1/3 - slack, none empty)."""
+    from collections import defaultdict
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.corpus import corpus_ccnet_buckets
+    from pyspark.sql import functions as F
+
+    rows = corpus_ccnet_buckets(spark, sf_dir).collect()
+    per_lang_docs = {
+        r.lang: r.n
+        for r in Catalog(spark, sf_dir)
+        .documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = defaultdict(dict)
+    for r in rows:
+        got[r.lang][r.bucket] = r
+    for lang, buckets in got.items():
+        assert set(buckets) <= {"head", "middle", "tail"}
+        assert sum(b.n_docs for b in buckets.values()) == per_lang_docs[lang]
+        if {"head", "middle", "tail"} <= set(buckets):
+            assert (
+                buckets["head"].mean_neg_logprob
+                <= buckets["middle"].mean_neg_logprob
+                <= buckets["tail"].mean_neg_logprob
+            )
+            assert buckets["head"].n_docs >= per_lang_docs[lang] / 3 - 1

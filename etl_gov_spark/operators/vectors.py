@@ -2671,3 +2671,152 @@ ORDER BY m
 """
 
 QUERIES["emb_pq_distortion"] = (emb_pq_distortion, EMB_PQ_DISTORTION_SQL)
+
+
+def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup against a PERSISTED cell store — the
+    embedding-space twin of ``dedup_incremental_minhash``, i.e. the
+    nightly-ingest shape for semantic dedup at 100 TB:
+
+    epoch 1 (history, vec_id % 3 != 0): the coarse quantizer is
+      trained on the HISTORY ONLY and frozen — the production
+      contract (you do not refit the quantizer per batch); history
+      vectors are assigned and written RANGE-CLUSTERED on cid
+      (io/sinks.write_range_clustered), and history-internal
+      cosine-≥-τ pairs are ledgered.
+    epoch 2 (tonight's batch, vec_id % 3 == 0): the batch is
+      assigned with the frozen model, PROBES the store through
+      parquet footer stats on cid (io/cow.file_key_ranges +
+      touched_files — only files whose cid range intersects the
+      batch's cells are opened), new×old ∪ new×new pairs are
+      ledgered, and the batch's cells are appended.
+
+    Output: the final per-cell census (n_vecs / n_pruned /
+    prune_rate over BOTH epochs) — exactly what a one-shot run with
+    the same frozen quantizer produces, which is what the oracle
+    replays (seeds + two Lloyd passes over the history subset,
+    assignment of ALL vectors, the standard pair census). Pair
+    completeness: old×old pairs are epoch-1 rows; any pair touching
+    a new vector lives in a cell the batch probes — so
+    incremental ≡ one-shot by construction (pytest-asserted too).
+    """
+    import os
+
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.scratch import scratch_dir
+    from etl_gov_spark.io.sinks import write_range_clustered
+
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+
+    model = _lloyd_model(hist, k=_semdedup_k(hist))  # frozen on history
+
+    def _tau_pairs(cells_df: DataFrame, require_new: bool) -> DataFrame:
+        cn = cells_df.withColumn("_nrm", _norm("v"))
+        a = cn.select(
+            "cid",
+            F.col("vec_id").alias("ida"),
+            F.col("v").alias("va"),
+            F.col("_nrm").alias("na"),
+            F.col("is_new").alias("new_a"),
+        )
+        b = cn.select(
+            "cid",
+            F.col("vec_id").alias("idb"),
+            F.col("v").alias("vb"),
+            F.col("_nrm").alias("nb"),
+            F.col("is_new").alias("new_b"),
+        )
+        cos6 = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+        p = a.join(b, "cid").filter(F.col("ida") < F.col("idb"))
+        if require_new:
+            p = p.filter(F.col("new_a") | F.col("new_b"))
+        return (
+            p.filter(cos6 >= SEMDEDUP_TAU).select("cid", "idb").distinct()
+        )
+
+    store = os.path.join(scratch_dir("cellstore"), "store")
+    cells1 = _assign(hist, model).localCheckpoint(eager=True)
+    write_range_clustered(cells1, store, ("cid",), num_files=16)
+    ledger1 = _tau_pairs(
+        cells1.withColumn("is_new", F.lit(False)), require_new=False
+    ).localCheckpoint(eager=True)
+
+    cells2 = _assign(new, model).localCheckpoint(eager=True)
+    ranges = file_key_ranges(store, "cid")
+    touched = touched_files(spark, ranges, cells2.select("cid"), "cid")
+    if touched:
+        base = (
+            spark.read.parquet(*touched)  # explicit paths: append-safe
+            .join(
+                F.broadcast(cells2.select("cid").distinct()),
+                "cid",
+                "leftsemi",
+            )
+            .withColumn("is_new", F.lit(False))
+        )
+        probe = base.unionByName(cells2.withColumn("is_new", F.lit(True)))
+    else:
+        probe = cells2.withColumn("is_new", F.lit(True))
+    ledger2 = _tau_pairs(probe, require_new=True).localCheckpoint(eager=True)
+
+    write_range_clustered(cells2, store, ("cid",), num_files=4, mode="append")
+
+    all_cells = spark.read.parquet(store)
+    census = all_cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vecs"))
+    pruned = ledger1.unionByName(ledger2).distinct()
+    pr = pruned.groupBy("cid").agg(F.count(F.lit(1)).alias("_np"))
+    return census.join(pr, "cid", "left").select(
+        "cid",
+        "n_vecs",
+        F.coalesce(F.col("_np"), F.lit(0)).alias("n_pruned"),
+        _R4(
+            F.coalesce(F.col("_np"), F.lit(0)) / F.col("n_vecs"),
+            "prune_rate",
+        ),
+    )
+
+
+DEDUP_SEMDEDUP_INCR_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), hist AS (
+  SELECT * FROM vecs WHERE vec_id % 3 != 0
+), seedids AS (
+  SELECT vec_id FROM hist
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({SEMDEDUP_K_CAP},
+                   greatest(8, CAST(floor(sqrt((SELECT count(*) FROM hist))) AS BIGINT)))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM hist
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("hist", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("hist", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells")},
+cn AS MATERIALIZED (
+  SELECT cid, vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM cells
+), pruned AS (
+  SELECT DISTINCT a.cid, b.vec_id AS idb
+  FROM cn a JOIN cn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(generate_series(1, len(a.v)),
+                                      i -> a.v[i] * b.v[i]))
+              / (a.nrm * b.nrm), 6) >= {SEMDEDUP_TAU}
+), pc AS (
+  SELECT cid, count(*) AS np FROM pruned GROUP BY cid
+)
+SELECT c.cid AS cid, count(*) AS n_vecs,
+       CAST(coalesce(max(pc.np), 0) AS BIGINT) AS n_pruned,
+       round(coalesce(max(pc.np), 0) * 1.0 / count(*), 4) AS prune_rate
+FROM cells c LEFT JOIN pc ON pc.cid = c.cid
+GROUP BY 1
+"""
+
+QUERIES["dedup_semdedup_incremental"] = (
+    dedup_semdedup_incremental,
+    DEDUP_SEMDEDUP_INCR_SQL,
+)

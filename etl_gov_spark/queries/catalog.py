@@ -38,6 +38,7 @@ _PINNED_FIRST = (
     "dedup_substring_exposure",
     "dedup_semdedup_keep",
     "dedup_cascade_census",
+    "dedup_semdedup_incremental",
     "text_langid_trigram",
     "emb_pq_distortion",
     "q_delta_method_ratio",

@@ -752,3 +752,64 @@ def test_pq_distortion_shape_and_bounds(spark, sf_dir):
         assert 0.0 <= r.mean_d2 <= r.max_d2
         assert r.mean_d2 < 2.0
         assert r.n_vecs == rows[0].n_vecs
+
+
+def test_semdedup_incremental_equals_frozen_oneshot_and_prunes_files(spark, sf_dir):
+    """dedup_semdedup_incremental: the two-epoch census must equal a
+    direct one-shot run under the SAME frozen history quantizer
+    (pair completeness: old-old in epoch 1, anything touching a new
+    vector in the probed cells of epoch 2); and the cid store probe
+    must be metadata-only prunable (a single-cell probe key touches
+    fewer files than the store holds)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.scratch import scratch_dir
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.sources import Catalog, expand_parallelism
+    from etl_gov_spark.operators.similarity import _dot, _norm
+    from etl_gov_spark.operators.vectors import (
+        SEMDEDUP_TAU,
+        _assign,
+        _lloyd_model,
+        _semdedup_k,
+        dedup_semdedup_incremental,
+    )
+
+    got = {
+        r.cid: (r.n_vecs, r.n_pruned)
+        for r in dedup_semdedup_incremental(spark, sf_dir).collect()
+    }
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    model = _lloyd_model(hist, k=_semdedup_k(hist))
+    cells = _assign(emb, model).localCheckpoint(eager=False)
+    cn = cells.withColumn("_nrm", _norm("v"))
+    a = cn.select("cid", F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("_nrm").alias("na"))
+    b = cn.select("cid", F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("_nrm").alias("nb"))
+    cos6 = F.round(_dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    pruned = (
+        a.join(b, "cid").filter(F.col("ida") < F.col("idb"))
+        .filter(cos6 >= SEMDEDUP_TAU).select("cid", "idb").distinct()
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("np"))
+    )
+    direct = {
+        r.cid: (r.n, r.np or 0)
+        for r in cells.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        .join(pruned, "cid", "left")
+        .select("cid", "n", "np")
+        .collect()
+    }
+    assert got == direct
+    # metadata-only probe: one cid key must touch < all store files
+    store = os.path.join(scratch_dir("cellstore-test"), "store")
+    write_range_clustered(cells, store, ("cid",), num_files=16)
+    ranges = file_key_ranges(store, "cid")
+    one_cid = cells.select("cid").orderBy("cid").limit(1)
+    touched = touched_files(spark, ranges, one_cid, "cid")
+    n_files = len([f for f in os.listdir(store) if f.endswith(".parquet")])
+    assert 0 < len(touched) < n_files

@@ -225,3 +225,101 @@ ORDER BY stage
 QUERIES: dict[str, tuple] = {
     "dedup_cascade_census": (dedup_cascade_census, DEDUP_CASCADE_SQL),
 }
+
+
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate LEAKAGE across the train/val/test split — the
+    audit ``corpus_contamination`` (exact n-gram screen against eval
+    sources) cannot do: a near-dup pair straddling the md5 split
+    boundary means the held-out example is effectively in training,
+    inflating eval. Pairs come from the proven Jaccard edge index
+    (star-routed hot shingles); splits are ``corpus_split``'s
+    first-hex-digit rule; output is the split×split pair matrix with
+    leaked-holdout-doc counts — the go/no-go number for trusting the
+    split.
+
+    Scale: the edge index is the priced Σ df² plan; the split is a
+    stateless hash of the doc key; the rollup is a ≤9-row grid.
+    """
+    edges = _near_dup_edges(Catalog(spark, sf_dir).documents)
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h.isin("c", "d"), "val")
+        .when(h.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    sp = Catalog(spark, sf_dir).documents.select(
+        "doc_id", split.alias("split")
+    )
+    j = (
+        edges.join(
+            sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        # canonical unordered split pair so (train,val) == (val,train)
+        .select(
+            F.least("split_a", "split_b").alias("sa"),
+            F.greatest("split_a", "split_b").alias("sb"),
+            "doc_a",
+            "doc_b",
+            (F.col("split_a") != F.col("split_b")).alias("crossing"),
+        )
+    )
+    leaked_holdout = F.array_distinct(
+        F.flatten(
+            F.collect_list(
+                F.when(
+                    F.col("crossing"),
+                    F.array(F.col("doc_a"), F.col("doc_b")),
+                ).otherwise(F.array().cast("array<bigint>"))
+            )
+        )
+    )
+    return (
+        j.groupBy("sa", "sb")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.size(leaked_holdout).alias("n_docs_in_cross_pairs"),
+        )
+        .select(
+            F.col("sa").alias("split_a"),
+            F.col("sb").alias("split_b"),
+            "n_pairs",
+            (F.col("sa") != F.col("sb")).alias("is_leakage"),
+            "n_docs_in_cross_pairs",
+        )
+        .orderBy("split_a", "split_b")
+    )
+
+
+DEDUP_SPLIT_LEAK_SQL = f"""
+WITH {_SQL_EDGE_PAIRS}, sp AS (
+  SELECT doc_id,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+              ELSE 'train' END AS split
+  FROM documents
+), j AS (
+  SELECT least(a.split, b.split) AS sa, greatest(a.split, b.split) AS sb,
+         p.doc_a, p.doc_b, a.split != b.split AS crossing
+  FROM pairs p
+  JOIN sp a ON a.doc_id = p.doc_a
+  JOIN sp b ON b.doc_id = p.doc_b
+)
+SELECT sa AS split_a, sb AS split_b,
+       count(*) AS n_pairs,
+       sa != sb AS is_leakage,
+       CAST(len(list_distinct(flatten(list(CASE WHEN crossing
+                                                THEN [doc_a, doc_b]
+                                                ELSE CAST([] AS BIGINT[]) END))))
+            AS INTEGER) AS n_docs_in_cross_pairs
+FROM j
+GROUP BY sa, sb
+ORDER BY sa, sb
+"""
+
+QUERIES["dedup_split_leakage"] = (dedup_split_leakage, DEDUP_SPLIT_LEAK_SQL)

@@ -39,6 +39,7 @@ _PINNED_FIRST = (
     "dedup_semdedup_keep",
     "dedup_cascade_census",
     "dedup_semdedup_incremental",
+    "dedup_split_leakage",
     "text_langid_trigram",
     "emb_pq_distortion",
     "q_delta_method_ratio",

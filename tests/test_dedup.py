@@ -507,3 +507,25 @@ def test_cascade_census_monotone_and_consistent(spark, sf_dir):
     doc_ids = {r.doc_id for r in cat.documents.select("doc_id").collect()}
     vec_ids = {r.vec_id for r in cat.embeddings.select("vec_id").collect()}
     assert vec_ids <= doc_ids  # semantic stage joins embeddings by doc key
+
+
+def test_split_leakage_consistent_with_split_and_edges(spark, sf_dir):
+    """dedup_split_leakage: pair totals must equal the raw edge
+    count, leakage rows are exactly the cross-split cells, and
+    within-split cells report zero docs in crossing pairs."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+    from etl_gov_spark.operators.cascade import dedup_split_leakage
+    from etl_gov_spark.operators.graphs import _near_dup_edges
+
+    rows = dedup_split_leakage(spark, sf_dir).collect()
+    n_edges = _near_dup_edges(Catalog(spark, sf_dir).documents).count()
+    assert sum(r.n_pairs for r in rows) == n_edges
+    for r in rows:
+        assert r.is_leakage == (r.split_a != r.split_b)
+        assert r.split_a <= r.split_b  # canonical unordered pair
+        if not r.is_leakage:
+            assert r.n_docs_in_cross_pairs == 0
+        else:
+            assert 0 < r.n_docs_in_cross_pairs <= 2 * r.n_pairs

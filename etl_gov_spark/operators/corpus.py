@@ -3935,3 +3935,140 @@ ORDER BY 1, 2
 """
 
 QUERIES["corpus_ccnet_buckets"] = (corpus_ccnet_buckets, CORPUS_CCNET_SQL)
+
+
+_DOREMI_TAU = 1.0  # tilt temperature for exp(excess/τ)
+
+
+def corpus_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "Doremi:
+    Optimizing Data Mixtures"): per source, the EXCESS LOSS — how
+    much worse the corpus-wide unigram LM prices the domain's
+    tokens than the domain's own LM (an exact KL-flavored hardness
+    score, both models add-1 smoothed over the shared vocabulary) —
+    and the resulting tilted mixture w ∝ token_share·exp(excess/τ),
+    next to the raw token-share baseline. Domains whose content the
+    pooled model underfits get up-weighted, which is DoReMi's
+    group-DRO fixed point collapsed to the one-LM-round case (the
+    full method iterates proxy retraining; with frozen unigram LMs
+    the multiplicative-weights recursion has this closed form).
+
+    Scale: one token scan builds (source, word) counts; domain and
+    corpus marginals are grouped aggregates on the word key; the
+    mixture algebra runs on the |sources|-row grid.
+    """
+    toks = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "source", F.explode(tokens_col()).alias("w")
+    ).filter(F.col("w") != "")
+    sw = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c_sw"))
+    cw = sw.groupBy("w").agg(F.sum("c_sw").alias("c_w"))
+    vocab = cw.agg(
+        F.count(F.lit(1)).alias("V"), F.sum("c_w").alias("C")
+    )
+    stot = sw.groupBy("source").agg(F.sum("c_sw").alias("c_s"))
+    scored = (
+        sw.join(cw, "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("source")
+        .agg(
+            F.max("c_s").alias("n_tokens"),
+            (
+                F.sum(
+                    -F.col("c_sw")
+                    * F.log((F.col("c_w") + 1) / (F.col("C") + F.col("V")))
+                )
+                / F.max("c_s")
+            ).alias("h_corpus"),
+            (
+                F.sum(
+                    -F.col("c_sw")
+                    * F.log(
+                        (F.col("c_sw") + 1) / (F.col("c_s") + F.col("V"))
+                    )
+                )
+                / F.max("c_s")
+            ).alias("h_domain"),
+        )
+    )
+    tilted = scored.select(
+        "source",
+        "n_tokens",
+        (F.col("h_corpus") - F.col("h_domain")).alias("excess"),
+        "h_corpus",
+        "h_domain",
+    )
+    norm = tilted.agg(
+        F.sum("n_tokens").alias("Tk"),
+        F.sum(
+            F.col("n_tokens") * F.exp(F.col("excess") / _DOREMI_TAU)
+        ).alias("Z"),
+    )
+    return (
+        tilted.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_tokens",
+            _R4(F.col("h_corpus"), "h_corpus"),
+            _R4(F.col("h_domain"), "h_domain"),
+            _R4(F.col("excess"), "excess_loss"),
+            _R4(F.col("n_tokens") / F.col("Tk"), "baseline_share"),
+            _R4(
+                F.col("n_tokens") * F.exp(F.col("excess") / _DOREMI_TAU)
+                / F.col("Z"),
+                "doremi_weight",
+            ),
+            _R4(
+                (F.col("n_tokens") * F.exp(F.col("excess") / _DOREMI_TAU) / F.col("Z"))
+                / (F.col("n_tokens") / F.col("Tk")),
+                "tilt",
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_DOREMI_SQL = rf"""
+WITH toks AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+), sw AS MATERIALIZED (
+  SELECT source, w, count(*) AS c_sw FROM toks GROUP BY 1, 2
+), cw AS (
+  SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY w
+), vocab AS (
+  SELECT count(*) AS V, sum(c_w) AS C FROM cw
+), stot AS (
+  SELECT source, sum(c_sw) AS c_s FROM sw GROUP BY source
+), scored AS (
+  SELECT sw.source,
+         max(st.c_s) AS n_tokens,
+         sum(-sw.c_sw * ln((cw.c_w + 1) / CAST(v.C + v.V AS DOUBLE))) / max(st.c_s) AS h_corpus,
+         sum(-sw.c_sw * ln((sw.c_sw + 1) / CAST(st.c_s + v.V AS DOUBLE))) / max(st.c_s) AS h_domain
+  FROM sw JOIN cw USING (w) JOIN stot st ON st.source = sw.source
+  CROSS JOIN vocab v
+  GROUP BY sw.source
+), tilted AS (
+  SELECT source, n_tokens, h_corpus - h_domain AS excess, h_corpus, h_domain
+  FROM scored
+), norm AS (
+  SELECT sum(n_tokens) AS Tk,
+         sum(n_tokens * exp(excess / {_DOREMI_TAU!r})) AS Z
+  FROM tilted
+)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(h_corpus, 4) AS h_corpus,
+       round(h_domain, 4) AS h_domain,
+       round(excess, 4) AS excess_loss,
+       round(n_tokens / CAST(Tk AS DOUBLE), 4) AS baseline_share,
+       round(n_tokens * exp(excess / {_DOREMI_TAU!r}) / Z, 4) AS doremi_weight,
+       round((n_tokens * exp(excess / {_DOREMI_TAU!r}) / Z)
+             / (n_tokens / CAST(Tk AS DOUBLE)), 4) AS tilt
+FROM tilted CROSS JOIN norm
+ORDER BY source
+"""
+
+QUERIES["corpus_doremi_weights"] = (corpus_doremi_weights, CORPUS_DOREMI_SQL)

@@ -33,6 +33,7 @@ _PINNED_FIRST = (
     "corpus_dsir_resample",
     "corpus_selection_cube",
     "corpus_ccnet_buckets",
+    "corpus_doremi_weights",
     "corpus_bpe_apply",
     "dedup_substring_census",
     "dedup_substring_exposure",

@@ -1059,3 +1059,23 @@ def test_ccnet_buckets_tercile_shape(spark, sf_dir):
                 <= buckets["tail"].mean_neg_logprob
             )
             assert buckets["head"].n_docs >= per_lang_docs[lang] / 3 - 1
+
+
+def test_doremi_weights_form_a_tilted_mixture(spark, sf_dir):
+    """corpus_doremi_weights: weights must form a distribution,
+    excess loss must be non-negative (pooled LM can't beat the
+    domain's own LM on its own tokens beyond smoothing noise), and
+    tilt must be monotone in excess (the multiplicative-weights
+    property)."""
+    from etl_gov_spark.operators.corpus import corpus_doremi_weights
+
+    rows = corpus_doremi_weights(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.doremi_weight for r in rows) - 1.0) < 0.01
+    assert abs(sum(r.baseline_share for r in rows) - 1.0) < 0.01
+    for r in rows:
+        assert r.excess_loss >= -0.05, r.source  # smoothing slack
+        assert r.h_corpus > 0 and r.h_domain > 0
+    by_excess = sorted(rows, key=lambda r: r.excess_loss)
+    tilts = [r.tilt for r in by_excess]
+    assert all(a <= b + 1e-6 for a, b in zip(tilts, tilts[1:]))

@@ -2820,3 +2820,151 @@ QUERIES["dedup_semdedup_incremental"] = (
     dedup_semdedup_incremental,
     DEDUP_SEMDEDUP_INCR_SQL,
 )
+
+
+MRL_DIMS = (8, 16, 32)  # prefix truncations audited vs the full 64
+
+
+def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit (Kusupati et al. 2022's
+    MRL evaluation, run warehouse-side): how much of the FULL-dim
+    cosine top-10 survives when the index stores only the first
+    8/16/32 dimensions — the number that prices a truncated ANN
+    index before you build it (4× smaller vectors for X% recall).
+    Exact brute-force ranking on both sides (the priced
+    ``ann_bruteforce_topk`` shape: broadcast stride queries, one
+    dot per pair per variant, per-query bounded rank windows),
+    cosines 6-dp-quantized before ranking so the oracle replays the
+    identical top-10 sets.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    with_pre = emb.select(
+        "vec_id",
+        "v",
+        _norm("v").alias("n_full"),
+        *[
+            F.slice("v", 1, d).alias(f"v{d}")
+            for d in MRL_DIMS
+        ],
+    ).select(
+        "*",
+        *[_norm(f"v{d}").alias(f"n{d}") for d in MRL_DIMS],
+    )
+    q = with_pre.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("n_full").alias("qn"),
+        *[F.col(f"v{d}").alias(f"qv{d}") for d in MRL_DIMS],
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in MRL_DIMS],
+    )
+    pairs = F.broadcast(q).crossJoin(with_pre).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    sel = [
+        "q_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(_dot("qv", "v") / (F.col("qn") * F.col("n_full")), 6).alias("cf"),
+    ]
+    for d in MRL_DIMS:
+        sel.append(
+            F.round(
+                _dot(f"qv{d}", f"v{d}") / (F.col(f"qn{d}") * F.col(f"n{d}")), 6
+            ).alias(f"c{d}")
+        )
+    scored = pairs.select(*sel)
+    wf = Window.partitionBy("q_id").orderBy(F.desc("cf"), F.asc("cand_id"))
+    ranked = scored.withColumn("rnf", F.row_number().over(wf))
+    for d in MRL_DIMS:
+        wd = Window.partitionBy("q_id").orderBy(F.desc(f"c{d}"), F.asc("cand_id"))
+        ranked = ranked.withColumn(f"rn{d}", F.row_number().over(wd))
+    perq = ranked.groupBy("q_id").agg(
+        *[
+            (
+                F.sum(
+                    ((F.col(f"rn{d}") <= TOP_K) & (F.col("rnf") <= TOP_K)).cast(
+                        "long"
+                    )
+                )
+                / float(TOP_K)
+            ).alias(f"r{d}")
+            for d in MRL_DIMS
+        ]
+    )
+    agg = perq.agg(
+        F.count(F.lit(1)).alias("nq"),
+        *[F.avg(f"r{d}").alias(f"m{d}") for d in MRL_DIMS],
+    )
+    stack_args = ", ".join(
+        f"{d}, m{d}" for d in MRL_DIMS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(MRL_DIMS)}, {stack_args}) AS (dim, _r)"
+        ),
+        F.col("nq").alias("n_queries"),
+    ).select(
+        "dim", "n_queries", F.round("_r", 4).alias("mean_recall_at10")
+    ).orderBy("dim")
+
+
+def _mrl_sql() -> str:
+    cos = (
+        "round(list_sum(list_transform(generate_series(1, {d}),"
+        " i -> q.v[i] * c.v[i]))"
+        " / (sqrt(list_sum(list_transform(q.v[1:{d}], x -> x * x)))"
+        " * sqrt(list_sum(list_transform(c.v[1:{d}], x -> x * x)))), 6)"
+    )
+    full = (
+        "round(list_sum(list_transform(generate_series(1, len(q.v)),"
+        " i -> q.v[i] * c.v[i]))"
+        " / (sqrt(list_sum(list_transform(q.v, x -> x * x)))"
+        " * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6)"
+    )
+    c_cols = ",\n         ".join(
+        cos.format(d=d) + f" AS c{d}" for d in MRL_DIMS
+    )
+    rn_cols = ",\n         ".join(
+        f"row_number() OVER (PARTITION BY q_id ORDER BY c{d} DESC, cand_id ASC) AS rn{d}"
+        for d in MRL_DIMS
+    )
+    r_aggs = ",\n         ".join(
+        f"sum(CASE WHEN rn{d} <= {TOP_K} AND rnf <= {TOP_K} THEN 1 ELSE 0 END)"
+        f" / CAST({TOP_K} AS DOUBLE) AS r{d}"
+        for d in MRL_DIMS
+    )
+    unions = "\n  UNION ALL\n  ".join(
+        f"SELECT {d} AS dim, avg(r{d}) AS r, count(*) AS nq FROM perq"
+        for d in MRL_DIMS
+    )
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), scored AS MATERIALIZED (
+  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+         {full} AS cf,
+         {c_cols}
+  FROM vecs q JOIN vecs c ON c.vec_id != q.vec_id
+  WHERE q.vec_id % {QUERY_STRIDE} = 0
+), ranked AS (
+  SELECT q_id, cand_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY cf DESC, cand_id ASC) AS rnf,
+         {rn_cols}
+  FROM scored
+), perq AS (
+  SELECT q_id,
+         {r_aggs}
+  FROM ranked GROUP BY q_id
+)
+SELECT dim, CAST(nq AS BIGINT) AS n_queries, round(r, 4) AS mean_recall_at10
+FROM (
+  {unions}
+)
+ORDER BY dim
+"""
+
+
+EMB_MRL_SQL = _mrl_sql()
+
+QUERIES["emb_matryoshka_recall"] = (emb_matryoshka_recall, EMB_MRL_SQL)

@@ -43,6 +43,7 @@ _PINNED_FIRST = (
     "dedup_split_leakage",
     "text_langid_trigram",
     "emb_pq_distortion",
+    "emb_matryoshka_recall",
     "q_delta_method_ratio",
     "q_cuped_ratio",
     "q_dp_quantile",

@@ -813,3 +813,22 @@ def test_semdedup_incremental_equals_frozen_oneshot_and_prunes_files(spark, sf_d
     touched = touched_files(spark, ranges, one_cid, "cid")
     n_files = len([f for f in os.listdir(store) if f.endswith(".parquet")])
     assert 0 < len(touched) < n_files
+
+
+def test_matryoshka_recall_monotone_in_dim(spark, sf_dir):
+    """emb_matryoshka_recall: recall must be within [0,1], weakly
+    non-decreasing as the kept prefix widens (more dims cannot lose
+    top-10 information in expectation at this scale — asserted
+    with a small slack for rank ties), and every variant scores the
+    same query count."""
+    from etl_gov_spark.operators.vectors import MRL_DIMS, emb_matryoshka_recall
+
+    rows = sorted(
+        emb_matryoshka_recall(spark, sf_dir).collect(), key=lambda r: r.dim
+    )
+    assert [r.dim for r in rows] == list(MRL_DIMS)
+    assert len({r.n_queries for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r.mean_recall_at10 <= 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.mean_recall_at10 >= a.mean_recall_at10 - 0.05

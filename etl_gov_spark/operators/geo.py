@@ -1065,3 +1065,87 @@ FROM per_user GROUP BY 1
 """
 
 QUERIES["geo_trip_straightness"] = (geo_trip_straightness, GEO_TRIP_STRAIGHTNESS_SQL)
+
+
+def geo_home_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Home-location detection — the standard mobility-analytics
+    anchor (most pings wins): per user, the modal 1° grid cell
+    (deterministic tie-break on cell coordinates) and its ping
+    share ("home dominance"), rolled to a per-cohort census —
+    users, distinct home cells, mean/max dominance. Everything a
+    downstream privacy gate (k-anonymity over home cells) or travel
+    model consumes.
+
+    One grouped count per (user, cell) — map-side combined on the
+    uniform user key — then a per-user struct-min argmax (no
+    window), then a bounded cohort rollup. Grid math is exact
+    integer-derived floors (the geo family's portable contract).
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id").select(
+        "user_id",
+        F.floor(lat_col(F.col("event_id"))).alias("clat"),
+        F.floor(lon_col(F.col("event_id"))).alias("clon"),
+    )
+    per_cell = ev.groupBy("user_id", "clat", "clon").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_user = (
+        per_cell.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negc"),
+                    F.col("clat").alias("hlat"),
+                    F.col("clon").alias("hlon"),
+                )
+            ).alias("h"),
+            F.sum("cnt").alias("n_pings"),
+        )
+        .select(
+            "user_id",
+            F.col("h.hlat").alias("home_lat"),
+            F.col("h.hlon").alias("home_lon"),
+            (-F.col("h.negc") / F.col("n_pings")).alias("home_share"),
+        )
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.countDistinct("home_lat", "home_lon").alias("n_home_cells"),
+            _R4(F.avg("home_share"), "mean_home_share"),
+            _R4(F.max("home_share"), "max_home_share"),
+        )
+        .orderBy("cohort")
+    )
+
+
+GEO_HOME_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         floor(((event_id * {_LAT_MULT}) % 120000) / 1000.0 - 60.0) AS clat,
+         floor(((event_id * {_LON_MULT}) % 360000) / 1000.0 - 180.0) AS clon
+  FROM events
+), per_cell AS (
+  SELECT user_id, clat, clon, count(*) AS cnt FROM ev GROUP BY 1, 2, 3
+), per_user AS (
+  SELECT user_id,
+         min(struct_pack(negc := -cnt, hlat := clat, hlon := clon)) AS h,
+         sum(cnt) AS n_pings
+  FROM per_cell GROUP BY user_id
+), homed AS (
+  SELECT user_id, h.hlat AS home_lat, h.hlon AS home_lon,
+         -h.negc / CAST(n_pings AS DOUBLE) AS home_share
+  FROM per_user
+)
+SELECT user_id % 10 AS cohort,
+       count(*) AS n_users,
+       count(DISTINCT (home_lat, home_lon)) AS n_home_cells,
+       round(avg(home_share), 4) AS mean_home_share,
+       round(max(home_share), 4) AS max_home_share
+FROM homed
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["geo_home_location"] = (geo_home_location, GEO_HOME_SQL)

@@ -47,6 +47,7 @@ _PINNED_FIRST = (
     "q_delta_method_ratio",
     "q_cuped_ratio",
     "q_dp_quantile",
+    "geo_home_location",
     "stream_classifier_gate",
     "q_hll_daily_weekly",
     "q_approx_quantiles",

@@ -319,3 +319,22 @@ def test_new_geo_plans_scale_safe(spark, sf_dir):
     gi = _plan(G.geo_gi_hotspots(spark, sf_dir))
     assert "TakeOrderedAndProject" in gi
     assert "CartesianProduct" not in gi
+
+
+def test_home_location_census_consistent(spark, sf_dir):
+    """geo_home_location: cohorts partition the user base, home
+    dominance is a valid share in (0, 1], and distinct home cells
+    per cohort can't exceed its user count."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.operators.geo import geo_home_location
+
+    rows = geo_home_location(spark, sf_dir).collect()
+    n_users = (
+        read_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 0.0 < r.mean_home_share <= r.max_home_share <= 1.0
+        assert 0 < r.n_home_cells <= r.n_users

@@ -1149,3 +1149,90 @@ ORDER BY 1
 """
 
 QUERIES["geo_home_location"] = (geo_home_location, GEO_HOME_SQL)
+
+
+def geo_home_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over detected home locations — the privacy
+    gate a mobility release runs before publishing anything keyed by
+    home cell (composes ``geo_home_location`` with the §J
+    k-anonymity discipline): per 1° home cell, the user count; any
+    cell under k = re-identification risk. Census: total cells,
+    risky cells, users at risk, at-risk share — the release-blocking
+    numbers.
+
+    Same bounded shapes as its parents: (user, cell) count →
+    per-user argmax → per-cell count → 1-row census (plus the risky
+    top cells for triage, bounded top-10 by ascending count).
+    """
+    from etl_gov_spark.operators.privacy import K_ANON
+
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id").select(
+        "user_id",
+        F.floor(lat_col(F.col("event_id"))).alias("clat"),
+        F.floor(lon_col(F.col("event_id"))).alias("clon"),
+    )
+    per_cell = ev.groupBy("user_id", "clat", "clon").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    homes = (
+        per_cell.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("negc"),
+                    F.col("clat").alias("hlat"),
+                    F.col("clon").alias("hlon"),
+                )
+            ).alias("h")
+        )
+        .select("user_id", F.col("h.hlat").alias("hlat"), F.col("h.hlon").alias("hlon"))
+    )
+    cells = homes.groupBy("hlat", "hlon").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum((F.col("n_users") < K_ANON).cast("long")).alias("n_risky_cells"),
+        F.sum(
+            F.when(F.col("n_users") < K_ANON, F.col("n_users")).otherwise(0)
+        ).alias("n_users_at_risk"),
+        F.sum("n_users").alias("n_users_total"),
+        F.lit(K_ANON).alias("k"),
+    ).select(
+        "n_cells",
+        "n_risky_cells",
+        "n_users_at_risk",
+        "n_users_total",
+        "k",
+        _R4(
+            F.col("n_users_at_risk") / F.col("n_users_total"), "at_risk_share"
+        ),
+    )
+
+
+GEO_HOME_KANON_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         floor(((event_id * {_LAT_MULT}) % 120000) / 1000.0 - 60.0) AS clat,
+         floor(((event_id * {_LON_MULT}) % 360000) / 1000.0 - 180.0) AS clon
+  FROM events
+), per_cell AS (
+  SELECT user_id, clat, clon, count(*) AS cnt FROM ev GROUP BY 1, 2, 3
+), homes AS (
+  SELECT user_id,
+         min(struct_pack(negc := -cnt, hlat := clat, hlon := clon)) AS h
+  FROM per_cell GROUP BY user_id
+), cells AS (
+  SELECT h.hlat, h.hlon, count(*) AS n_users FROM homes GROUP BY 1, 2
+)
+SELECT count(*) AS n_cells,
+       CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+       CAST(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END) AS BIGINT) AS n_users_at_risk,
+       CAST(sum(n_users) AS BIGINT) AS n_users_total,
+       5 AS k,
+       round(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END)
+             / CAST(sum(n_users) AS DOUBLE), 4) AS at_risk_share
+FROM cells
+"""
+
+QUERIES["geo_home_k_anonymity"] = (geo_home_k_anonymity, GEO_HOME_KANON_SQL)

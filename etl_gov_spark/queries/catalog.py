@@ -48,6 +48,7 @@ _PINNED_FIRST = (
     "q_cuped_ratio",
     "q_dp_quantile",
     "geo_home_location",
+    "geo_home_k_anonymity",
     "stream_classifier_gate",
     "q_hll_daily_weekly",
     "q_approx_quantiles",

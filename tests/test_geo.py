@@ -338,3 +338,20 @@ def test_home_location_census_consistent(spark, sf_dir):
     for r in rows:
         assert 0.0 < r.mean_home_share <= r.max_home_share <= 1.0
         assert 0 < r.n_home_cells <= r.n_users
+
+
+def test_home_k_anonymity_consistent_with_home_census(spark, sf_dir):
+    """geo_home_k_anonymity: total users equals the home census's
+    user total, risk arithmetic is internally consistent, and the
+    risky-cell count can't exceed total cells."""
+    from etl_gov_spark.operators.geo import (
+        geo_home_k_anonymity,
+        geo_home_location,
+    )
+
+    r = geo_home_k_anonymity(spark, sf_dir).collect()[0]
+    homes = geo_home_location(spark, sf_dir).collect()
+    assert r.n_users_total == sum(h.n_users for h in homes)
+    assert 0 <= r.n_risky_cells <= r.n_cells
+    assert 0 <= r.n_users_at_risk < r.k * max(r.n_risky_cells, 1) + 1
+    assert 0.0 <= r.at_risk_share <= 1.0

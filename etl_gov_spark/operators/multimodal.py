@@ -664,3 +664,89 @@ QUERIES["mm_aspect_ratio_census"] = (
     mm_aspect_ratio_census,
     MM_ASPECT_CENSUS_SQL,
 )
+
+
+def mm_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over the WebDataset packing
+    (``mm_shard_manifest``): a training loader's throughput is set
+    by the SLOWEST shard, so this reports, per source, the
+    byte-balance of its shards — coefficient of variation, max/mean
+    straggler ratio, last-shard underfill — plus the item-count
+    spread. The go/no-go numbers before spending a cluster writing
+    tar shards.
+
+    Same bounded shapes as the manifest (per-source running-sum
+    window → grouped aggregate), plus one per-source rollup over
+    the ≤|shards| rows.
+    """
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sharded = docs.withColumn(
+        "shard_id",
+        F.floor((F.sum("n_bytes").over(w) - F.col("n_bytes")) / SHARD_BYTES),
+    )
+    shards = sharded.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("b"),
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("b").alias("total_bytes"),
+            F.avg("b").alias("_mb"),
+            F.stddev_pop("b").alias("_sb"),
+            F.max("b").alias("_maxb"),
+            F.min("b").alias("_minb"),
+            F.avg("n_items").alias("_mi"),
+            F.max("n_items").alias("_maxi"),
+        )
+        .select(
+            "source",
+            "n_shards",
+            "total_bytes",
+            F.round(F.col("_sb") / F.col("_mb"), 4).alias("bytes_cv"),
+            F.round(F.col("_maxb") / F.col("_mb"), 4).alias("straggler_ratio"),
+            F.round(F.col("_minb") / F.col("_mb"), 4).alias("underfill_ratio"),
+            F.round(F.col("_maxi") / F.col("_mi"), 4).alias("items_skew"),
+        )
+        .orderBy("source")
+    )
+
+
+MM_SHARD_BALANCE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, octet_length(encode(text)) AS n_bytes FROM documents
+), sharded AS (
+  SELECT doc_id, source, n_bytes,
+         CAST(floor((sum(n_bytes) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes)
+                    / {SHARD_BYTES}) AS BIGINT) AS shard_id
+  FROM d
+), shards AS (
+  SELECT source, shard_id, count(*) AS n_items, sum(n_bytes) AS b
+  FROM sharded GROUP BY 1, 2
+)
+SELECT source,
+       count(*) AS n_shards,
+       CAST(sum(b) AS BIGINT) AS total_bytes,
+       round(stddev_pop(b) / avg(b), 4) AS bytes_cv,
+       round(max(b) / avg(b), 4) AS straggler_ratio,
+       round(min(b) / avg(b), 4) AS underfill_ratio,
+       round(max(n_items) / avg(n_items), 4) AS items_skew
+FROM shards
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["mm_shard_balance"] = (mm_shard_balance, MM_SHARD_BALANCE_SQL)

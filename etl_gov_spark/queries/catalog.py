@@ -49,6 +49,7 @@ _PINNED_FIRST = (
     "q_dp_quantile",
     "geo_home_location",
     "geo_home_k_anonymity",
+    "mm_shard_balance",
     "stream_classifier_gate",
     "q_hll_daily_weekly",
     "q_approx_quantiles",

@@ -797,3 +797,28 @@ def test_stream_classifier_gate_matches_batch_scoring(spark, sf_dir):
         per_src[s] = per_src.get(s, 0) + n
     total = sum(per_src.values())
     assert total == cat.count()
+
+
+def test_shard_balance_consistent_with_manifest(spark, sf_dir):
+    """mm_shard_balance: shard counts and byte totals must agree
+    with mm_shard_manifest, and the ratio columns must bracket 1
+    correctly (underfill <= 1 <= straggler; CV >= 0)."""
+    from collections import defaultdict
+
+    from etl_gov_spark.operators.multimodal import (
+        mm_shard_balance,
+        mm_shard_manifest,
+    )
+
+    bal = {r.source: r for r in mm_shard_balance(spark, sf_dir).collect()}
+    man = defaultdict(lambda: [0, 0])
+    for r in mm_shard_manifest(spark, sf_dir).collect():
+        man[r.source][0] += 1
+        man[r.source][1] += r.shard_bytes
+    assert bal.keys() == set(man)
+    for src, r in bal.items():
+        assert r.n_shards == man[src][0]
+        assert r.total_bytes == man[src][1]
+        assert r.bytes_cv >= 0.0
+        assert r.underfill_ratio <= 1.0 + 1e-9 <= r.straggler_ratio + 2e-9
+        assert r.items_skew >= 1.0 - 1e-9

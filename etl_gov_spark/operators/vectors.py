@@ -2822,7 +2822,7 @@ QUERIES["dedup_semdedup_incremental"] = (
 )
 
 
-MRL_DIMS = (8, 16, 32)  # prefix truncations audited vs the full 64
+MRL_RECALL_DIMS = (8, 16, 32)  # prefix truncations audited vs the full 64
 
 
 def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2846,18 +2846,18 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm("v").alias("n_full"),
         *[
             F.slice("v", 1, d).alias(f"v{d}")
-            for d in MRL_DIMS
+            for d in MRL_RECALL_DIMS
         ],
     ).select(
         "*",
-        *[_norm(f"v{d}").alias(f"n{d}") for d in MRL_DIMS],
+        *[_norm(f"v{d}").alias(f"n{d}") for d in MRL_RECALL_DIMS],
     )
     q = with_pre.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("n_full").alias("qn"),
-        *[F.col(f"v{d}").alias(f"qv{d}") for d in MRL_DIMS],
-        *[F.col(f"n{d}").alias(f"qn{d}") for d in MRL_DIMS],
+        *[F.col(f"v{d}").alias(f"qv{d}") for d in MRL_RECALL_DIMS],
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in MRL_RECALL_DIMS],
     )
     pairs = F.broadcast(q).crossJoin(with_pre).filter(
         F.col("vec_id") != F.col("q_id")
@@ -2867,7 +2867,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         F.round(_dot("qv", "v") / (F.col("qn") * F.col("n_full")), 6).alias("cf"),
     ]
-    for d in MRL_DIMS:
+    for d in MRL_RECALL_DIMS:
         sel.append(
             F.round(
                 _dot(f"qv{d}", f"v{d}") / (F.col(f"qn{d}") * F.col(f"n{d}")), 6
@@ -2876,7 +2876,7 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pairs.select(*sel)
     wf = Window.partitionBy("q_id").orderBy(F.desc("cf"), F.asc("cand_id"))
     ranked = scored.withColumn("rnf", F.row_number().over(wf))
-    for d in MRL_DIMS:
+    for d in MRL_RECALL_DIMS:
         wd = Window.partitionBy("q_id").orderBy(F.desc(f"c{d}"), F.asc("cand_id"))
         ranked = ranked.withColumn(f"rn{d}", F.row_number().over(wd))
     perq = ranked.groupBy("q_id").agg(
@@ -2889,19 +2889,19 @@ def emb_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 / float(TOP_K)
             ).alias(f"r{d}")
-            for d in MRL_DIMS
+            for d in MRL_RECALL_DIMS
         ]
     )
     agg = perq.agg(
         F.count(F.lit(1)).alias("nq"),
-        *[F.avg(f"r{d}").alias(f"m{d}") for d in MRL_DIMS],
+        *[F.avg(f"r{d}").alias(f"m{d}") for d in MRL_RECALL_DIMS],
     )
     stack_args = ", ".join(
-        f"{d}, m{d}" for d in MRL_DIMS
+        f"{d}, m{d}" for d in MRL_RECALL_DIMS
     )
     return agg.select(
         F.expr(
-            f"stack({len(MRL_DIMS)}, {stack_args}) AS (dim, _r)"
+            f"stack({len(MRL_RECALL_DIMS)}, {stack_args}) AS (dim, _r)"
         ),
         F.col("nq").alias("n_queries"),
     ).select(
@@ -2923,20 +2923,20 @@ def _mrl_sql() -> str:
         " * sqrt(list_sum(list_transform(c.v, x -> x * x)))), 6)"
     )
     c_cols = ",\n         ".join(
-        cos.format(d=d) + f" AS c{d}" for d in MRL_DIMS
+        cos.format(d=d) + f" AS c{d}" for d in MRL_RECALL_DIMS
     )
     rn_cols = ",\n         ".join(
         f"row_number() OVER (PARTITION BY q_id ORDER BY c{d} DESC, cand_id ASC) AS rn{d}"
-        for d in MRL_DIMS
+        for d in MRL_RECALL_DIMS
     )
     r_aggs = ",\n         ".join(
         f"sum(CASE WHEN rn{d} <= {TOP_K} AND rnf <= {TOP_K} THEN 1 ELSE 0 END)"
         f" / CAST({TOP_K} AS DOUBLE) AS r{d}"
-        for d in MRL_DIMS
+        for d in MRL_RECALL_DIMS
     )
     unions = "\n  UNION ALL\n  ".join(
         f"SELECT {d} AS dim, avg(r{d}) AS r, count(*) AS nq FROM perq"
-        for d in MRL_DIMS
+        for d in MRL_RECALL_DIMS
     )
     return f"""
 WITH vecs AS (

@@ -821,12 +821,12 @@ def test_matryoshka_recall_monotone_in_dim(spark, sf_dir):
     top-10 information in expectation at this scale — asserted
     with a small slack for rank ties), and every variant scores the
     same query count."""
-    from etl_gov_spark.operators.vectors import MRL_DIMS, emb_matryoshka_recall
+    from etl_gov_spark.operators.vectors import MRL_RECALL_DIMS, emb_matryoshka_recall
 
     rows = sorted(
         emb_matryoshka_recall(spark, sf_dir).collect(), key=lambda r: r.dim
     )
-    assert [r.dim for r in rows] == list(MRL_DIMS)
+    assert [r.dim for r in rows] == list(MRL_RECALL_DIMS)
     assert len({r.n_queries for r in rows}) == 1
     for r in rows:
         assert 0.0 <= r.mean_recall_at10 <= 1.0

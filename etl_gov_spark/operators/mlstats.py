@@ -6489,3 +6489,106 @@ CROSS JOIN (SELECT * FROM byarm WHERE arm = 0) c
 """
 
 QUERIES["q_cuped_ratio"] = (q_cuped_ratio, Q_CUPED_RATIO_SQL)
+
+
+_BOOT_B = 32  # Poisson-bootstrap replicates
+# Poisson(1) inverse-CDF ladder: cumulative e^-1 * sum 1/j! for j=0..5
+_POIS_CUM = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+             0.9810118431238462, 0.9963401531726563, 0.9994058151824183)
+
+
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap CI for the mean order value — the
+    resampling scheme that actually runs at web scale (each row
+    draws an independent Poisson(1) replicate weight, so the
+    "resample" is a weighted aggregate instead of a shuffle of the
+    dataset; classical n-out-of-n bootstrap is un-runnable on a
+    100 TB fact table, this is its standard streaming-friendly
+    substitute). B=32 replicates, every weight from the portable
+    md5 uniform through a fixed inverse-CDF ladder — fully
+    deterministic, so the oracle replays the exact interval.
+
+    Plan: ONE scan computes all 64 replicate sums (Σwᵇx, Σwᵇ) as
+    conditional aggregates; the replicate means and their stddev
+    come from stacking the 1-row result — no ×B data blowup, no
+    second pass, no window.
+    """
+    orders = Catalog(spark, sf_dir).orders.select("o_orderkey", "o_totalprice")
+
+    def w(b: int):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"boot:{b}:"), F.col("o_orderkey")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        ) / F.lit(float((1 << 48) + 2))
+        expr = F.lit(6)
+        for k in range(len(_POIS_CUM) - 1, -1, -1):
+            expr = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(expr)
+        return expr
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.avg("o_totalprice").alias("mean_x"),
+    ]
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb * F.col("o_totalprice")).alias(f"sx{b}"))
+        aggs.append(F.sum(wb).alias(f"sw{b}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(f"sx{b} / sw{b}" for b in range(_BOOT_B))
+    reps = one.select(
+        "n",
+        "mean_x",
+        F.expr(f"stack({_BOOT_B}, {stack_args}) AS m"),
+    )
+    return reps.groupBy("n", "mean_x").agg(
+        F.stddev_samp("m").alias("_se")
+    ).select(
+        "n",
+        _R4(F.col("mean_x"), "mean_value"),
+        _R4(F.col("_se"), "boot_se"),
+        _R4(F.col("mean_x") - 1.96 * F.col("_se"), "ci_lo"),
+        _R4(F.col("mean_x") + 1.96 * F.col("_se"), "ci_hi"),
+        F.lit(_BOOT_B).alias("n_replicates"),
+    )
+
+
+def _boot_w_sql(b: int) -> str:
+    u = (f"(CAST('0x' || substr(md5('boot:{b}:' || o_orderkey), 1, 12) AS BIGINT) + 1)"
+         f" / {float((1 << 48) + 2)!r}")
+    expr = "6"
+    for k in range(len(_POIS_CUM) - 1, -1, -1):
+        expr = f"CASE WHEN {u} < {_POIS_CUM[k]!r} THEN {k} ELSE {expr} END"
+    return expr
+
+
+Q_POISSON_BOOT_SQL = f"""
+WITH one AS (
+  SELECT count(*) AS n, avg(o_totalprice) AS mean_x,
+         {", ".join(f"sum(({_boot_w_sql(b)}) * o_totalprice) AS sx{b}, sum({_boot_w_sql(b)}) AS sw{b}" for b in range(_BOOT_B))}
+  FROM orders
+), reps AS (
+  SELECT n, mean_x, unnest([{", ".join(f"sx{b} / sw{b}" for b in range(_BOOT_B))}]) AS m
+  FROM one
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(mean_x, 4) AS mean_value,
+       round(stddev_samp(m), 4) AS boot_se,
+       round(mean_x - 1.96 * stddev_samp(m), 4) AS ci_lo,
+       round(mean_x + 1.96 * stddev_samp(m), 4) AS ci_hi,
+       {_BOOT_B} AS n_replicates
+FROM reps GROUP BY n, mean_x
+"""
+
+QUERIES["q_poisson_bootstrap_ci"] = (q_poisson_bootstrap_ci, Q_POISSON_BOOT_SQL)

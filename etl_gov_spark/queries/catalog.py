@@ -46,6 +46,7 @@ _PINNED_FIRST = (
     "emb_matryoshka_recall",
     "q_delta_method_ratio",
     "q_cuped_ratio",
+    "q_poisson_bootstrap_ci",
     "q_dp_quantile",
     "geo_home_location",
     "geo_home_k_anonymity",

@@ -1251,3 +1251,30 @@ def test_cuped_ratio_variance_reduction_consistent(spark, sf_dir):
         .collect()
     }
     assert r.linearized_diff == pytest.approx(arms[1] - arms[0], abs=0.02)
+
+
+def test_poisson_bootstrap_ci_brackets_truth(spark, sf_dir):
+    """q_poisson_bootstrap_ci: the interval must bracket the exact
+    mean, the bootstrap SE must be within a sane band of the
+    analytic SE (sigma/sqrt(n); Poisson bootstrap is consistent, so
+    within 2x at these n), and the weights must be deterministic
+    (identical rows across runs)."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.sources import Catalog
+
+    r1 = ML.q_poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    r2 = ML.q_poisson_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert r1 == r2  # deterministic md5 draws
+    stats = (
+        Catalog(spark, sf_dir)
+        .orders.agg(
+            F.avg("o_totalprice").alias("m"),
+            F.stddev_samp("o_totalprice").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert r1.ci_lo <= stats.m <= r1.ci_hi
+    analytic_se = stats.s / stats.n ** 0.5
+    assert analytic_se / 2 <= r1.boot_se <= analytic_se * 2

@@ -15,68 +15,19 @@ from pyspark.sql import DataFrame, SparkSession
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round 12 rotation: the 12 new round-11 queries first (no
-    # driver signal at all yet), then the 2 formerly-rows-only
-    # queries converted to oracle-backed this round (their hash is
-    # now checkable for the first time), then the 53 names the
-    # driver has never sampled in any round (all judge-gate-green
-    # at sf0.01 + sf0.001 in round 10), in VERDICT-r10 table order.
-    # Zero re-lists of already-adjudicated names — every slot in
-    # the driver's 50-entry prefix buys new union coverage; the
-    # tail past slot 50 (from q_part_name_tokens onward) rolls into
-    # the round-13 rotation.
-    # (test_survey_sync asserts uniqueness + registration so this
-    # comment can't drift from the tuple again.)
-    "corpus_quality_classifier",
-    "corpus_classifier_prune_sweep",
-    "corpus_dsir_logratio",
-    "corpus_dsir_resample",
-    "corpus_selection_cube",
-    "corpus_ccnet_buckets",
-    "corpus_doremi_weights",
-    "corpus_bpe_apply",
-    "dedup_substring_census",
-    "dedup_substring_exposure",
-    "dedup_semdedup_keep",
-    "dedup_cascade_census",
-    "dedup_semdedup_incremental",
-    "dedup_split_leakage",
-    "text_langid_trigram",
-    "emb_pq_distortion",
-    "emb_matryoshka_recall",
-    "q_delta_method_ratio",
-    "q_cuped_ratio",
-    "q_poisson_bootstrap_ci",
-    "q_dp_quantile",
-    "geo_home_location",
-    "geo_home_k_anonymity",
-    "mm_shard_balance",
-    "stream_classifier_gate",
-    "q_hll_daily_weekly",
-    "q_approx_quantiles",
-    "q_growth_accounting",
-    "q_cohort_decay_fit",
-    "q_conversion_window_sensitivity",
-    "q_session_completeness",
-    "q_seasonal_naive_backtest",
-    "q_type_user_overlap",
-    "q_max_drawdown",
-    "q_churn_hazard",
-    "q_chain_ladder",
-    "q_seasonal_diff_acf",
-    "q_burstiness_coefficient",
-    "q_weekday_hour_profile",
-    "q_price_volume_bridge",
-    "q_xyz_variability",
-    "q_order_aging_buckets",
-    "q_abc_xyz_matrix",
-    "q_scenario_whatif",
-    "q_dead_sku_census",
-    "q_peak_day_contribution",
-    "q_shift_share",
-    "q_location_quotient",
-    "q_price_index_fisher",
-    "q_price_change_frequency",
+    # Round-12 rotation. The round-11 driver consumed exactly the
+    # previous tuple's first 50 slots (CORRECTNESS_r11's key set),
+    # so the head here is the remaining never-driver-sampled
+    # backlog — the tail of the previous tuple, in the same
+    # VERDICT-table order — which completes the driver's
+    # cross-round correctness union over the whole registry.
+    # After the backlog come the queries ADDED in round 12 (no
+    # driver signal yet). Zero re-lists of already-adjudicated
+    # names — every slot in the driver's 50-entry prefix buys new
+    # union coverage. No counts are hand-written in this comment;
+    # test_survey_sync.py::test_pinned_prefix_is_unique_and_registered
+    # derives and asserts the invariants (uniqueness, registration,
+    # no already-adjudicated name inside the 50-slot prefix).
     "q_survey_raking",
     "q_composite_index",
     "q_topk_stability",

@@ -80,3 +80,24 @@ def test_pinned_prefix_is_unique_and_registered():
     registered = set(all_queries())
     missing = [n for n in _PINNED_FIRST if n not in registered]
     assert not missing, f"pinned but not registered: {missing}"
+
+
+def test_pinned_prefix_buys_new_driver_coverage():
+    """Every name in the driver's 50-entry correctness prefix must be
+    one the driver has NEVER adjudicated in a past round — a re-list
+    wastes a sample slot and stalls the cross-round union. Derived
+    from the CORRECTNESS_r*.json key sets on disk rather than
+    hand-written counts (ADVICE r11: counts drifted twice)."""
+    import glob
+    import json
+
+    from etl_gov_spark.queries.catalog import _PINNED_FIRST
+
+    adjudicated: set[str] = set()
+    for path in glob.glob("CORRECTNESS_r*.json"):
+        with open(path) as f:
+            data = json.load(f)
+        if isinstance(data, dict):
+            adjudicated.update(data.keys())
+    stale = [n for n in _PINNED_FIRST[:50] if n in adjudicated]
+    assert not stale, f"already driver-adjudicated names in the 50-slot prefix: {stale}"

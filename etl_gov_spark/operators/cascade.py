@@ -275,7 +275,10 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(
                     F.col("crossing"),
                     F.array(F.col("doc_a"), F.col("doc_b")),
-                ).otherwise(F.array().cast("array<bigint>"))
+                    # empty array typed from doc_a itself (0-length
+                    # slice), so a doc_id type change can't silently
+                    # break the union (ADVICE r11)
+                ).otherwise(F.slice(F.array(F.col("doc_a")), 1, 0))
             )
         )
     )

@@ -2881,7 +2881,7 @@ QUERIES["corpus_doc_length_gini"] = (
 # Trained document-quality classifier (round 11)
 # ---------------------------------------------------------------------------
 
-_QC_DIM = 64  # hashed-BoW width — must match text_feature_hash's _FH_DIM
+from etl_gov_spark.operators.text import _FH_DIM as _QC_DIM  # hashed-BoW width, shared with text_feature_hash
 _QC_ITERS = 6
 _QC_ETA_MULT = 3.0  # step = 3/n; Lipschitz bound for logistic is 4/n here
 

@@ -35,6 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.operators.privacy import K_ANON
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
@@ -1164,8 +1165,6 @@ def geo_home_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user argmax → per-cell count → 1-row census (plus the risky
     top cells for triage, bounded top-10 by ascending count).
     """
-    from etl_gov_spark.operators.privacy import K_ANON
-
     ev = Catalog(spark, sf_dir).events.select("user_id", "event_id").select(
         "user_id",
         F.floor(lat_col(F.col("event_id"))).alias("clat"),
@@ -1226,11 +1225,11 @@ WITH ev AS (
   SELECT h.hlat, h.hlon, count(*) AS n_users FROM homes GROUP BY 1, 2
 )
 SELECT count(*) AS n_cells,
-       CAST(sum(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
-       CAST(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END) AS BIGINT) AS n_users_at_risk,
+       CAST(sum(CASE WHEN n_users < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_cells,
+       CAST(sum(CASE WHEN n_users < {K_ANON} THEN n_users ELSE 0 END) AS BIGINT) AS n_users_at_risk,
        CAST(sum(n_users) AS BIGINT) AS n_users_total,
-       5 AS k,
-       round(sum(CASE WHEN n_users < 5 THEN n_users ELSE 0 END)
+       {K_ANON} AS k,
+       round(sum(CASE WHEN n_users < {K_ANON} THEN n_users ELSE 0 END)
              / CAST(sum(n_users) AS DOUBLE), 4) AS at_risk_share
 FROM cells
 """

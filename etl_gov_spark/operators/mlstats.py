@@ -168,6 +168,11 @@ def q_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+# NOTE: the oracle hardcodes TRUE for the in-bound audit column (the
+# KLL/GK sketch isn't replayable in DuckDB), so a bound violation on
+# the Spark side surfaces as an oracle VALUE mismatch, not a
+# descriptive failure; the pytest bound assertion is the diagnostic
+# layer. Same pattern as Q_HLL_DAILY_WEEKLY_SQL in sketches.py.
 Q_APPROX_QUANTILES_SQL = """
 SELECT o_orderpriority, count(*) AS n,
        TRUE AS p50_rank_in_bound,

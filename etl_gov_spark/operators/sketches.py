@@ -179,6 +179,13 @@ def q_hll_daily_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOTE: the oracle hardcodes TRUE for est_in_bound (DuckDB can't
+# replay Spark's HLL++ registers), so a sketch-contract violation on
+# the Spark side surfaces as an oracle VALUE mismatch on this column
+# rather than a descriptive failure; the pytest bound assertions
+# (tests/test_sketches.py) are the diagnostic layer that names the
+# offending week. Same pattern as Q_APPROX_QUANTILES_SQL in
+# mlstats.py. (ADVICE r11 — accepted by design, documented here.)
 Q_HLL_DAILY_WEEKLY_SQL = """
 WITH ev AS (
   SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,

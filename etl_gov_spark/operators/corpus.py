@@ -4072,3 +4072,88 @@ ORDER BY source
 """
 
 QUERIES["corpus_doremi_weights"] = (corpus_doremi_weights, CORPUS_DOREMI_SQL)
+
+
+# ---------------------------------------------------------------------------
+# 13-gram eval decontamination (round 12)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 13  # the GPT-3/PaLM decontamination n-gram order
+
+
+def corpus_decontaminate_13gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """13-gram eval-set decontamination (the GPT-3 appendix-C /
+    PaLM standard, vs ``corpus_contamination``'s trigram screen):
+    for each held-out doc, the fraction of its distinct 13-grams
+    that appear anywhere in the train split, plus the purge flag —
+    ANY collision marks the doc dirty, which is the actual
+    train-time policy (a single shared 13-gram is near-certain
+    leakage, unlike trigrams where only the fraction is
+    informative). Docs shorter than 13 tokens contribute their full
+    token span as one gram (exact short-doc containment — the
+    conservative reading).
+
+    Scale: each gram is md5-hashed to a fixed 32-char key BEFORE
+    the distinct + semi-join, so shuffle width is bounded
+    regardless of n (a raw 13-gram averages ~80 bytes and would
+    dominate the wire at n=13); the train side is aggregated to
+    distinct hashes before the join so each gram crosses the wire
+    once. Same uniformly-sharded join-key discipline as the trigram
+    screen (module header, "Scale notes").
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", "source", tokens_col().alias("toks")
+    )
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    gram_h = F.explode(
+        F.array_distinct(
+            F.transform(_ngrams(F.col("toks"), _DECON_N), lambda g: F.md5(g))
+        )
+    )
+    train = docs.filter(~is_eval).select(gram_h.alias("g")).distinct()
+    eval_g = docs.filter(is_eval).select("doc_id", gram_h.alias("g"))
+    hits = (
+        eval_g.join(train.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams13"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    return hits.select(
+        "doc_id",
+        "n_grams13",
+        "n_overlap",
+        _R4(F.col("n_overlap") / F.col("n_grams13"), "overlap_frac"),
+        (F.col("n_overlap") > 0).alias("purge"),
+    )
+
+
+CORPUS_DECON13_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform({_sql_ngrams(_DECON_N)},
+                                             s -> md5(s)))) AS g
+  FROM toks
+), train AS (
+  SELECT DISTINCT g FROM grams
+  WHERE source NOT IN ('src15','src16','src17','src18','src19')
+)
+SELECT e.doc_id,
+       count(*) AS n_grams13,
+       CAST(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+       round(sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 4) AS overlap_frac,
+       sum(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS purge
+FROM grams e LEFT JOIN train t ON e.g = t.g
+WHERE e.source IN ('src15','src16','src17','src18','src19')
+GROUP BY e.doc_id
+"""
+
+QUERIES["corpus_decontaminate_13gram"] = (
+    corpus_decontaminate_13gram,
+    CORPUS_DECON13_SQL,
+)

@@ -2968,3 +2968,93 @@ ORDER BY dim
 EMB_MRL_SQL = _mrl_sql()
 
 QUERIES["emb_matryoshka_recall"] = (emb_matryoshka_recall, EMB_MRL_SQL)
+
+
+def emb_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 per label — the graded-relevance leg of the
+    retrieval-eval triad next to ``emb_recall_at_k`` (set quality)
+    and ``emb_mrr_eval`` (first-hit quality): exact label match
+    earns gain 3 (2²−1), same coarse group (label//5 — topic vs
+    subtopic partial credit) earns 1, else 0; DCG discounts by
+    log2(rank+1) and normalizes by the candidate set's ideal
+    ordering. Anchors with no relevant funnel candidate drop out
+    (IDCG = 0), mirrored by the oracle's HAVING.
+
+    Runs over the same IVF-funnel scored pass as its siblings
+    (_ivf_eval_scored — |anchors| × nprobe·N/k candidate pairs,
+    never anchors × corpus); both the served rank and the ideal
+    rank are windows over the one a_id partition, so the whole
+    metric costs one extra sort over the pass recall@k already
+    pays. Per-anchor nDCG rounds at 6 dp before the label average
+    (the family's cross-engine float discipline).
+    """
+    scored = _ivf_eval_scored(spark, sf_dir, _HARDNEG_STRIDE).withColumn(
+        "gain",
+        F.when(F.col("c_label") == F.col("a_label"), F.lit(3.0))
+        .when(
+            F.floor(F.col("c_label") / 5) == F.floor(F.col("a_label") / 5),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0)),
+    )
+    w_served = Window.partitionBy("a_id").orderBy(F.desc("c"), F.asc("cand_id"))
+    w_ideal = Window.partitionBy("a_id").orderBy(F.desc("gain"), F.asc("cand_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w_served)).withColumn(
+        "irk", F.row_number().over(w_ideal)
+    )
+    per_anchor = (
+        ranked.groupBy("a_id", "a_label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rk") <= TOP_K, F.col("gain") / F.log2(F.col("rk") + 1)
+                ).otherwise(0.0)
+            ).alias("dcg"),
+            F.sum(
+                F.when(
+                    F.col("irk") <= TOP_K, F.col("gain") / F.log2(F.col("irk") + 1)
+                ).otherwise(0.0)
+            ).alias("idcg"),
+        )
+        .filter(F.col("idcg") > 0)
+        .select(
+            "a_label",
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+            F.round("dcg", 6).alias("dcg6"),
+        )
+    )
+    return per_anchor.groupBy(F.col("a_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        _R4(F.avg("ndcg"), "ndcg_at_10"),
+        _R4(F.avg("dcg6"), "mean_dcg_at_10"),
+    )
+
+
+EMB_NDCG_SQL = f"""{_ivf_eval_prefix(_HARDNEG_STRIDE)}, graded AS (
+  SELECT a_id, a_label, cand_id, c,
+         CASE WHEN c_label = a_label THEN 3.0
+              WHEN c_label // 5 = a_label // 5 THEN 1.0
+              ELSE 0.0 END AS gain
+  FROM scored
+), ranked AS (
+  SELECT a_id, a_label, gain,
+         row_number() OVER (PARTITION BY a_id ORDER BY c DESC, cand_id ASC) AS rk,
+         row_number() OVER (PARTITION BY a_id ORDER BY gain DESC, cand_id ASC) AS irk
+  FROM graded
+), per_anchor AS (
+  SELECT a_id, a_label,
+         round(sum(CASE WHEN rk <= {TOP_K} THEN gain / log2(rk + 1) ELSE 0.0 END)
+               / sum(CASE WHEN irk <= {TOP_K} THEN gain / log2(irk + 1) ELSE 0.0 END),
+               6) AS ndcg,
+         round(sum(CASE WHEN rk <= {TOP_K} THEN gain / log2(rk + 1) ELSE 0.0 END),
+               6) AS dcg6
+  FROM ranked GROUP BY 1, 2
+  HAVING sum(CASE WHEN irk <= {TOP_K} THEN gain / log2(irk + 1) ELSE 0.0 END) > 0
+)
+SELECT a_label AS label, count(*) AS n_anchors,
+       round(avg(ndcg), 4) AS ndcg_at_10,
+       round(avg(dcg6), 4) AS mean_dcg_at_10
+FROM per_anchor GROUP BY a_label
+"""
+
+QUERIES["emb_ndcg_eval"] = (emb_ndcg_eval, EMB_NDCG_SQL)

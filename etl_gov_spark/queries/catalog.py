@@ -58,6 +58,9 @@ _PINNED_FIRST = (
     "text_cohen_kappa",
     "text_hapax_profile",
     "text_digit_density",
+    # --- added in round 12 (no driver signal yet) ---
+    "emb_ndcg_eval",
+    "corpus_decontaminate_13gram",
 )
 
 

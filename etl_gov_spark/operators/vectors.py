@@ -3058,3 +3058,143 @@ FROM per_anchor GROUP BY a_label
 """
 
 QUERIES["emb_ndcg_eval"] = (emb_ndcg_eval, EMB_NDCG_SQL)
+
+
+def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the index-UPDATE story
+    the ANN family (fit/tune/health/eval) was missing, and the
+    first thing a production vector pipeline needs: tonight's
+    embedding batch joins the index WITHOUT a rebuild.
+
+    epoch 1 (history, vec_id % 3 != 0): the Lloyd coarse quantizer
+      is trained on the HISTORY ONLY and frozen (the production
+      contract — you do not refit the quantizer per batch, else
+      every posting list shifts); history postings are written
+      RANGE-CLUSTERED on cid (io/sinks.write_range_clustered).
+    epoch 2 (tonight's batch, vec_id % 3 == 0): the batch is
+      assigned with the frozen model and APPENDED as new posting
+      files — no rewrite of history postings.
+    serve: stride-sampled queries probe their N_PROBE nearest
+      frozen cells, and the store is read through parquet FOOTER
+      stats on cid (io/cow.file_key_ranges + touched_files — only
+      files whose cid range intersects the probed cells are
+      opened); survivors get the exact 6-dp cosine top-10.
+
+    The result is by construction what a one-shot build with the
+    same frozen quantizer serves — the oracle replays exactly that
+    (Lloyd on the history subset, assignment of ALL vectors, probe
+    + re-rank), and the parity pytest asserts incremental ≡
+    one-shot row-for-row plus the footer probe opening a strict
+    subset of files. Same nightly-ingest shape as
+    ``dedup_incremental_minhash`` / ``dedup_semdedup_incremental``.
+    """
+    import os
+
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.scratch import scratch_dir
+    from etl_gov_spark.io.sinks import write_range_clustered
+
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+
+    model = _lloyd_model(hist)  # frozen on history
+
+    store = os.path.join(scratch_dir("ivfstore"), "store")
+    cells1 = _assign(hist, model).localCheckpoint(eager=True)
+    write_range_clustered(cells1, store, ("cid",), num_files=16)
+    cells2 = _assign(new, model).localCheckpoint(eager=True)
+    write_range_clustered(cells2, store, ("cid",), num_files=4, mode="append")
+
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        _cent_lit(model),
+                        lambda c: F.struct(
+                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                N_PROBE,
+            )
+        ).alias("_p"),
+    ).select("q_id", "qv", F.col("_p.cid").alias("cid")).localCheckpoint(
+        eager=True  # consumed twice: touched-file probe + candidate join
+    )
+    ranges = file_key_ranges(store, "cid")
+    touched = touched_files(spark, ranges, probes.select("cid"), "cid")
+    postings = (
+        spark.read.parquet(*touched)  # explicit paths: append-safe
+        if touched
+        else spark.read.parquet(store).limit(0)
+    )
+    cells_n = postings.withColumn("_nrm", _norm("v"))
+    probes_n = probes.withColumn("_qnrm", _norm("qv"))
+    cand = (
+        F.broadcast(probes_n)
+        .join(cells_n, "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    cos = _dot("qv", "v") / (F.col("_qnrm") * F.col("_nrm"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("cand_id"), F.round(cos, 6).alias("_cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+    )
+
+
+ANN_IVF_INCR_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), hist AS (
+  SELECT * FROM vecs WHERE vec_id % 3 != 0
+), seedids AS (
+  SELECT vec_id FROM hist
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM hist) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM hist
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("hist", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("hist", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells")},
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id % {QUERY_STRIDE} = 0
+), probes_r AS (
+  SELECT q.q_id, q.qv, c.cid,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_D2_SQL.format(v="q.qv", c="c.cv")}, c.cid) AS rn
+  FROM q CROSS JOIN c2 c
+), probes AS (
+  SELECT q_id, qv, cid FROM probes_r WHERE rn <= {N_PROBE}
+), scored AS (
+  SELECT p.q_id, ce.vec_id AS cand_id,
+         round(list_sum(list_transform(generate_series(1, len(p.qv)), i -> p.qv[i] * ce.v[i]))
+               / (sqrt(list_sum(list_transform(p.qv, x -> x * x)))
+                  * sqrt(list_sum(list_transform(ce.v, x -> x * x)))), 6) AS c6
+  FROM probes p JOIN cells ce USING (cid)
+  WHERE ce.vec_id <> p.q_id
+)
+SELECT q_id, cand_id, round(c6, 4) AS cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+QUERIES["ann_ivf_incremental"] = (ann_ivf_incremental, ANN_IVF_INCR_SQL)

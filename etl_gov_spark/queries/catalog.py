@@ -61,6 +61,7 @@ _PINNED_FIRST = (
     # --- added in round 12 (no driver signal yet) ---
     "emb_ndcg_eval",
     "corpus_decontaminate_13gram",
+    "ann_ivf_incremental",
 )
 
 

@@ -832,3 +832,92 @@ def test_matryoshka_recall_monotone_in_dim(spark, sf_dir):
         assert 0.0 <= r.mean_recall_at10 <= 1.0
     for a, b in zip(rows, rows[1:]):
         assert b.mean_recall_at10 >= a.mean_recall_at10 - 0.05
+
+
+def test_ann_ivf_incremental_equals_frozen_oneshot_and_prunes_files(spark, sf_dir):
+    """ann_ivf_incremental: the served top-10 must equal a direct
+    one-shot IVF serve under the SAME frozen history-trained
+    quantizer (append-only postings change nothing the probe path
+    can observe); and the probe path must be metadata-prunable (a
+    single-cell probe key touches fewer posting files than the
+    store holds)."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.scratch import scratch_dir
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.io.sources import Catalog, expand_parallelism
+    from etl_gov_spark.operators.similarity import _dot, _norm
+    from etl_gov_spark.operators.vectors import (
+        N_PROBE,
+        QUERY_STRIDE,
+        TOP_K,
+        _assign,
+        _cent_lit,
+        _d2_to,
+        _lloyd_model,
+        ann_ivf_incremental,
+    )
+
+    got = {
+        (r.q_id, r.rank): (r.cand_id, r.cosine)
+        for r in ann_ivf_incremental(spark, sf_dir).collect()
+    }
+
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    hist = emb.filter(F.col("vec_id") % 3 != 0)
+    model = _lloyd_model(hist)  # the same frozen quantizer
+    cells = _assign(emb, model).localCheckpoint(eager=False)
+    q = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        _cent_lit(model),
+                        lambda c: F.struct(
+                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                N_PROBE,
+            )
+        ).alias("_p"),
+    ).select("q_id", "qv", F.col("_p.cid").alias("cid"))
+    cand = (
+        F.broadcast(probes.withColumn("_qnrm", _norm("qv")))
+        .join(cells.withColumn("_nrm", _norm("v")), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+    )
+    cos6 = F.round(_dot("qv", "v") / (F.col("_qnrm") * F.col("_nrm")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    direct = {
+        (r.q_id, r.rank): (r.cand_id, r.cosine)
+        for r in cand.select(
+            "q_id", F.col("vec_id").alias("cand_id"), cos6.alias("_cos")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_id", "cand_id", F.round("_cos", 4).alias("cosine"), "rank")
+        .collect()
+    }
+    assert got == direct
+
+    # metadata-only probe: one cid key must touch < all posting files
+    store = os.path.join(scratch_dir("ivfstore-test"), "store")
+    write_range_clustered(cells.select("vec_id", "v", "cid"), store, ("cid",), num_files=16)
+    ranges = file_key_ranges(store, "cid")
+    one_cid = cells.select("cid").orderBy("cid").limit(1)
+    touched = touched_files(spark, ranges, one_cid, "cid")
+    n_files = len([f for f in os.listdir(store) if f.endswith(".parquet")])
+    assert 0 < len(touched) < n_files

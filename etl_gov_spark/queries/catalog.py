@@ -62,6 +62,7 @@ _PINNED_FIRST = (
     "emb_ndcg_eval",
     "corpus_decontaminate_13gram",
     "ann_ivf_incremental",
+    "stream_dedup_gate",
 )
 
 

@@ -756,3 +756,117 @@ GROUP BY 1, 2
 
 
 QUERIES["stream_classifier_gate"] = (stream_classifier_gate, _classifier_gate_sql())
+
+
+N_DEDUP_GATE_CHUNKS = 3
+
+# epoch_id -> (n_files_touched, n_store_files) for the most recent
+# stream_dedup_gate run — the cross-batch continuation test reads
+# this to assert the footer probe actually pruned (same
+# observability pattern as operators/dedup.HOT_BUCKET_OBS).
+STREAM_DEDUP_PROBE_STATS: dict[int, tuple[int, int]] = {}
+
+
+def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MinHash/LSH dedup gate — the ingest
+    twin of ``dedup_incremental_minhash``: documents arrive as a
+    file stream (one chunk per micro-batch), and each micro-batch
+    band-probes the PERSISTED fingerprint store through parquet
+    footer stats (io/cow.file_key_ranges + touched_files — only
+    store files whose band_key range intersects the batch's keys
+    are opened), ledgers the duplicate pairs its arrivals create
+    (new×old ∪ new×new), and appends its fingerprints to the store.
+    Routing falls out of the ledger: an arriving doc is a DUPLICATE
+    iff it appears as doc_b of a ledgered pair (a lower-id partner
+    already exists), else ACCEPT — the continuous-gate shape of the
+    reference's transform stage (dags/tutorial_dag.py) for corpus
+    ingest.
+
+    A pair is ledgered exactly once, in the micro-batch where its
+    LATER doc arrives (earlier epochs can't see it; later epochs
+    skip old×old) — for ANY arrival order. So over the finite feed
+    the ledger union equals one-shot ``dedup_minhash_lsh``, which
+    is what the oracle checks (DEDUP_MINHASH_SQL verbatim; exact
+    whenever per-epoch band buckets stay under MAX_BAND_BUCKET,
+    same contract as the batch incremental op). State across
+    micro-batches lives in the store files, not executor memory —
+    the 100 TB shape: a day's batch probes a bounded file subset
+    regardless of corpus history size.
+    """
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.scratch import scratch_dir
+    from etl_gov_spark.io.sinks import write_range_clustered
+    from etl_gov_spark.operators.dedup import (
+        _band_pair_ledger,
+        _banded_fingerprints,
+    )
+    from etl_gov_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    work = scratch_dir("dedupgate")
+    src = os.path.join(work, "feed")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    for i in range(N_DEDUP_GATE_CHUNKS):
+        docs.filter(F.col("doc_id") % N_DEDUP_GATE_CHUNKS == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+
+    store = os.path.join(work, "store")
+    ledger_path = os.path.join(work, "ledger")
+    STREAM_DEDUP_PROBE_STATS.clear()
+
+    def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fp = _banded_fingerprints(batch_df).localCheckpoint(eager=True)
+        if os.path.isdir(store):
+            ranges = file_key_ranges(store, "band_key")
+            touched = touched_files(spark, ranges, fp.select("band_key"), "band_key")
+            STREAM_DEDUP_PROBE_STATS[int(epoch_id)] = (
+                len(touched or []),
+                len(ranges),
+            )
+            if touched:
+                base = (
+                    spark.read.parquet(*touched)  # explicit paths: append-safe
+                    .join(
+                        F.broadcast(fp.select("band_key").distinct()),
+                        "band_key",
+                        "leftsemi",
+                    )
+                    .withColumn("is_new", F.lit(False))
+                )
+                probe = base.unionByName(fp.withColumn("is_new", F.lit(True)))
+            else:
+                probe = fp.withColumn("is_new", F.lit(True))
+        else:
+            STREAM_DEDUP_PROBE_STATS[int(epoch_id)] = (0, 0)
+            probe = fp.withColumn("is_new", F.lit(True))
+        ledger = _band_pair_ledger(
+            probe, f"stream_dedup_gate_epoch{epoch_id}", require_new=True
+        )
+        ledger.write.mode("append").parquet(ledger_path)
+        write_range_clustered(
+            fp, store, ("band_key",), num_files=4, mode="append"
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(gate_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(ledger_path)
+
+
+def _stream_dedup_gate_sql() -> str:
+    from etl_gov_spark.operators.dedup import DEDUP_MINHASH_SQL
+
+    return DEDUP_MINHASH_SQL
+
+
+QUERIES["stream_dedup_gate"] = (stream_dedup_gate, _stream_dedup_gate_sql())

@@ -822,3 +822,39 @@ def test_shard_balance_consistent_with_manifest(spark, sf_dir):
         assert r.bytes_cv >= 0.0
         assert r.underfill_ratio <= 1.0 + 1e-9 <= r.straggler_ratio + 2e-9
         assert r.items_skew >= 1.0 - 1e-9
+
+
+def test_stream_dedup_gate_cross_batch_continuation(spark, sf_dir):
+    """stream_dedup_gate: the union of per-micro-batch ledgers over
+    the finite feed must equal one-shot dedup_minhash_lsh row-for-
+    row (a pair is ledgered exactly once, in the epoch where its
+    later doc arrives); the feed must actually have run as multiple
+    micro-batches (cross-batch continuation, not one big batch);
+    and every post-first epoch's store probe must be footer-pruned
+    (touched files present and bounded by the store's file count)."""
+    from etl_gov_spark.operators.dedup import dedup_minhash_lsh
+    from etl_gov_spark.streaming.events_stream import (
+        N_DEDUP_GATE_CHUNKS,
+        STREAM_DEDUP_PROBE_STATS,
+        stream_dedup_gate,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared_bands, r.sig_agreement)
+        for r in stream_dedup_gate(spark, sf_dir).collect()
+    }
+    oneshot = {
+        (r.doc_a, r.doc_b): (r.n_shared_bands, r.sig_agreement)
+        for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert got == oneshot
+    assert len(got) > 0, "feed produced no duplicate pairs to gate"
+
+    # continuation: one epoch per chunk ran, and epochs after the
+    # first probed a non-empty store through footer stats
+    assert len(STREAM_DEDUP_PROBE_STATS) == N_DEDUP_GATE_CHUNKS
+    later = [v for k, v in sorted(STREAM_DEDUP_PROBE_STATS.items())[1:]]
+    assert later, "no post-first epochs recorded"
+    for touched, total in later:
+        assert total > 0, "store missing at a post-first epoch"
+        assert 0 < touched <= total

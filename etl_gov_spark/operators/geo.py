@@ -1235,3 +1235,155 @@ FROM cells
 """
 
 QUERIES["geo_home_k_anonymity"] = (geo_home_k_anonymity, GEO_HOME_KANON_SQL)
+
+
+def geo_radius_of_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user (González et al. 2008, the
+    canonical human-mobility summary): r_g = √(mean squared
+    haversine distance from each ping to the user's centroid),
+    rolled up to a per-cohort census (user_id % 10) — the one
+    number that separates commuters from travelers in a mobility
+    release, computed before any such release ships.
+
+    One shuffle total: the per-user centroid is a window average
+    over the same user_id partition the squared-distance pass
+    needs, so no join materializes; per-ping haversine quantizes
+    at 6 dp (the module's cross-engine float discipline) and the
+    cohort rollup is a bounded 10-row readout.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id").select(
+        "user_id",
+        lat_col(F.col("event_id")).alias("lat"),
+        lon_col(F.col("event_id")).alias("lon"),
+    )
+    w = Window.partitionBy("user_id")
+    d6 = F.round(
+        haversine_km(
+            F.col("lat"),
+            F.col("lon"),
+            F.avg("lat").over(w),
+            F.avg("lon").over(w),
+        ),
+        6,
+    )
+    per_user = (
+        ev.select("user_id", (d6 * d6).alias("d2"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pings"),
+            F.round(F.sqrt(F.avg("d2")), 6).alias("rg"),
+        )
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_pings").alias("n_pings"),
+            _R4(F.avg("rg"), "avg_rg_km"),
+            _R4(F.max("rg"), "max_rg_km"),
+        )
+        .orderBy("cohort")
+    )
+
+
+GEO_RGYRATION_SQL = f"""
+WITH pings AS (
+  SELECT user_id,
+         {_lat_sql('event_id')} AS lat,
+         {_lon_sql('event_id')} AS lon
+  FROM events
+), centered AS (
+  SELECT user_id,
+         round({_haversine_sql(
+             'lat', 'lon',
+             'avg(lat) OVER (PARTITION BY user_id)',
+             'avg(lon) OVER (PARTITION BY user_id)')}, 6) AS d
+  FROM pings
+), per_user AS (
+  SELECT user_id, count(*) AS n_pings,
+         round(sqrt(avg(d * d)), 6) AS rg
+  FROM centered GROUP BY user_id
+)
+SELECT user_id % 10 AS cohort, count(*) AS n_users,
+       CAST(sum(n_pings) AS BIGINT) AS n_pings,
+       round(avg(rg), 4) AS avg_rg_km,
+       round(max(rg), 4) AS max_rg_km
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["geo_radius_of_gyration"] = (geo_radius_of_gyration, GEO_RGYRATION_SQL)
+
+
+def geo_visit_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location-visit entropy per user (Song et al. 2010's
+    "uncorrelated entropy" S_unc, next to [[geo_radius_of_gyration]]
+    in the mobility-predictability toolkit): Shannon entropy over
+    each user's 1° visit-cell frequency distribution, plus the
+    ratio to its log2(n_cells) maximum — 1.0 means the user spreads
+    visits uniformly, near-0 means one dominant cell. Cohort census
+    (user_id % 10) readout.
+
+    Shapes: (user, cell) count → per-user entropy via the
+    Σc·log2 c identity (no per-user normalization pass — entropy =
+    log2(n) − Σ c·log2 c / n falls out of two sums) → 10-row
+    rollup. All bounded-key aggregates, one shuffle each.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_id").select(
+        "user_id",
+        F.floor(lat_col(F.col("event_id"))).alias("clat"),
+        F.floor(lon_col(F.col("event_id"))).alias("clon"),
+    )
+    per_cell = ev.groupBy("user_id", "clat", "clon").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_user = per_cell.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("clog"),
+    ).select(
+        "user_id",
+        "n_cells",
+        F.round(
+            F.log2("n") - F.col("clog") / F.col("n"), 6
+        ).alias("entropy"),
+    ).select(
+        "user_id",
+        "n_cells",
+        "entropy",
+        F.when(F.col("n_cells") == 1, F.lit(1.0))
+        .otherwise(F.round(F.col("entropy") / F.log2("n_cells"), 6))
+        .alias("ratio"),
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            _R4(F.avg("n_cells"), "avg_n_cells"),
+            _R4(F.avg("entropy"), "avg_entropy_bits"),
+            _R4(F.avg("ratio"), "avg_uniformity"),
+        )
+        .orderBy("cohort")
+    )
+
+
+GEO_VISIT_ENTROPY_SQL = f"""
+WITH cells AS (
+  SELECT user_id,
+         floor({_lat_sql('event_id')}) AS clat,
+         floor({_lon_sql('event_id')}) AS clon,
+         count(*) AS c
+  FROM events GROUP BY 1, 2, 3
+), per_user AS (
+  SELECT user_id, count(*) AS n_cells,
+         round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+  FROM cells GROUP BY user_id
+)
+SELECT user_id % 10 AS cohort, count(*) AS n_users,
+       round(avg(n_cells), 4) AS avg_n_cells,
+       round(avg(entropy), 4) AS avg_entropy_bits,
+       round(avg(CASE WHEN n_cells = 1 THEN 1.0
+                      ELSE round(entropy / log2(n_cells), 6) END), 4) AS avg_uniformity
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["geo_visit_entropy"] = (geo_visit_entropy, GEO_VISIT_ENTROPY_SQL)

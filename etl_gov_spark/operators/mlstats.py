@@ -6597,3 +6597,191 @@ FROM reps GROUP BY n, mean_x
 """
 
 QUERIES["q_poisson_bootstrap_ci"] = (q_poisson_bootstrap_ci, Q_POISSON_BOOT_SQL)
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen per event type over `value`:
+    skewness and excess kurtosis from one pass of power sums
+    (s1..s4 — never a per-row second pass), JB = n/6·(b₁² + b₂²/4),
+    and the 5% verdict vs the χ²₂ critical value — the
+    gate to run before trusting any of the t-based screens
+    (q_abtest_lift, q_control_chart_days) on a new metric.
+
+    Central moments expand from raw power sums, so the whole test
+    is ONE map-side-combinable aggregate per type; values quantize
+    at 6 dp first (module float discipline) and the verdict
+    compares the 6-dp-rounded statistic so both engines agree
+    bit-for-bit.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.round("value", 6).alias("x")
+    )
+    x = F.col("x")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * F.col("s3") / n
+        + 6 * mu * mu * F.col("s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    exkurt = m4 / (m2 * m2) - 3.0
+    jb6 = F.round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 6)
+    return agg.select(
+        "event_type",
+        "n",
+        _R4(skew, "skewness"),
+        _R4(exkurt, "excess_kurtosis"),
+        F.round(jb6, 4).alias("jb_stat"),
+        (jb6 > 5.991465).alias("reject_normal_5pct"),
+    ).orderBy("event_type")
+
+
+Q_JARQUE_BERA_SQL = """
+WITH sums AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS s1, sum(x * x) AS s2,
+         sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+  FROM (SELECT event_type, round(value, 6) AS x FROM events)
+  GROUP BY event_type
+), moments AS (
+  SELECT event_type, n,
+         (s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3))
+           / pow(s2 / n - pow(s1 / n, 2), 1.5) AS skew,
+         (s4 / n - 4 * (s1 / n) * s3 / n + 6 * pow(s1 / n, 2) * s2 / n
+            - 3 * pow(s1 / n, 4))
+           / pow(s2 / n - pow(s1 / n, 2), 2) - 3.0 AS exkurt
+  FROM sums
+)
+SELECT event_type, n,
+       round(skew, 4) AS skewness,
+       round(exkurt, 4) AS excess_kurtosis,
+       round(round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 6), 4) AS jb_stat,
+       round(n / 6.0 * (skew * skew + exkurt * exkurt / 4.0), 6) > 5.991465 AS reject_normal_5pct
+FROM moments ORDER BY event_type
+"""
+
+QUERIES["q_jarque_bera"] = (q_jarque_bera, Q_JARQUE_BERA_SQL)
+
+
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test per market segment: did customer
+    spend SHIFT between 1995 and 1996? Pairs are per-customer year
+    totals (both years present, zero diffs dropped — the standard
+    treatment), the paired non-parametric complement to
+    ``q_mann_whitney``'s independent-samples U.
+
+    Ranks of |diff| are computed over DISTINCT |diff| values with
+    average-rank ties (the same counts-then-window contraction as
+    q_mann_whitney — the window runs over distinct diffs per
+    segment, never the raw pair list), W⁺ sums the positive-diff
+    ranks, and z uses the tie-corrected normal approximation
+    var = n(n+1)(2n+1)/24 − Σ(t³−t)/48.
+    """
+    o = Catalog(spark, sf_dir).orders.select(
+        "o_custkey",
+        F.year("o_orderdate").alias("y"),
+        "o_totalprice",
+    ).filter(F.col("y").isin(1995, 1996))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("y") == 1995, F.col("o_totalprice"))).alias("t95"),
+            F.sum(F.when(F.col("y") == 1996, F.col("o_totalprice"))).alias("t96"),
+        )
+        .filter(F.col("t95").isNotNull() & F.col("t96").isNotNull())
+        .select(
+            "o_custkey", F.round(F.col("t96") - F.col("t95"), 6).alias("d")
+        )
+        .filter(F.col("d") != 0)
+    )
+    cust = Catalog(spark, sf_dir).customer.select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    pairs = per.join(cust, "o_custkey").select(
+        "c_mktsegment", F.abs("d").alias("ad"), (F.col("d") > 0).cast("long").alias("pos")
+    )
+    counts = pairs.groupBy("c_mktsegment", "ad").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("pos").alias("npos")
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("ad")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = counts.select(
+        "c_mktsegment",
+        "cnt",
+        "npos",
+        (
+            F.coalesce(F.sum("cnt").over(w), F.lit(0))
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    stats = ranked.groupBy("c_mktsegment").agg(
+        F.sum("cnt").alias("n"),
+        F.sum(F.col("npos") * F.col("avg_rank")).alias("wplus"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt")).alias("tie"),
+    )
+    n = F.col("n").cast("double")
+    mean_w = n * (n + 1) / 4.0
+    var_w = n * (n + 1) * (2 * n + 1) / 24.0 - F.col("tie") / 48.0
+    return stats.select(
+        "c_mktsegment",
+        F.col("n").alias("n_pairs"),
+        _R4(F.col("wplus"), "w_plus"),
+        _R4((F.col("wplus") - mean_w) / F.sqrt(var_w), "z_score"),
+    ).orderBy("c_mktsegment")
+
+
+Q_WILCOXON_SQL = """
+WITH per AS (
+  SELECT o_custkey,
+         round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END)
+               - sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END),
+               6) AS d
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+  GROUP BY o_custkey
+  HAVING sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END) IS NOT NULL
+     AND sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END) IS NOT NULL
+     AND round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END)
+               - sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END),
+               6) != 0
+), pairs AS (
+  SELECT c.c_mktsegment, abs(p.d) AS ad,
+         CASE WHEN p.d > 0 THEN 1 ELSE 0 END AS pos
+  FROM per p JOIN customer c ON c.c_custkey = p.o_custkey
+), counts AS (
+  SELECT c_mktsegment, ad, count(*) AS cnt, sum(pos) AS npos
+  FROM pairs GROUP BY 1, 2
+), ranked AS (
+  SELECT c_mktsegment, cnt, npos,
+         coalesce(sum(cnt) OVER (PARTITION BY c_mktsegment ORDER BY ad
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (cnt + 1) / 2.0 AS avg_rank
+  FROM counts
+), stats AS (
+  SELECT c_mktsegment, sum(cnt) AS n, sum(npos * avg_rank) AS wplus,
+         sum(cnt * cnt * cnt - cnt) AS tie
+  FROM ranked GROUP BY c_mktsegment
+)
+SELECT c_mktsegment,
+       CAST(n AS BIGINT) AS n_pairs,
+       round(wplus, 4) AS w_plus,
+       round((wplus - n * (n + 1) / 4.0)
+             / sqrt(n * (n + 1) * (2 * n + 1) / 24.0 - tie / 48.0), 4) AS z_score
+FROM stats ORDER BY c_mktsegment
+"""
+
+QUERIES["q_wilcoxon_signed_rank"] = (q_wilcoxon_signed_rank, Q_WILCOXON_SQL)

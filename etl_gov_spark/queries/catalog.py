@@ -63,6 +63,10 @@ _PINNED_FIRST = (
     "corpus_decontaminate_13gram",
     "ann_ivf_incremental",
     "stream_dedup_gate",
+    "geo_radius_of_gyration",
+    "geo_visit_entropy",
+    "q_jarque_bera",
+    "q_wilcoxon_signed_rank",
 )
 
 

@@ -607,3 +607,66 @@ ORDER BY c_mktsegment
 """
 
 QUERIES["q_dp_quantile"] = (q_dp_quantile, Q_DP_QUANTILE_SQL)
+
+
+RR_P = 0.75  # truth-telling probability (ε_local = ln(p/(1−p)) ≈ 1.1)
+
+
+def q_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response (the classic local-DP mechanism):
+    each user's sensitive bit ("ever purchased") is reported
+    truthfully with probability p = 0.75, flipped otherwise — the
+    per-user coin is the portable md5 draw keyed by 'rr:'+user, so
+    no raw bit leaves the "device" row and the whole mechanism is
+    deterministic and oracle-replayable. The unbiased estimator
+    π̂ = (λ + p − 1)/(2p − 1) over the reported shares is published
+    per user cohort next to the true share it can be audited
+    against at test scale (a real deployment has no true column —
+    that is the point).
+
+    Shapes: per-user bit is one groupBy over events, the report is
+    a codegen projection, the readout a 10-row cohort aggregate.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("bit")
+    )
+    coin = _draw01(F.concat(F.lit("rr:"), F.col("user_id").cast("string")))
+    reported = per_user.select(
+        "user_id",
+        "bit",
+        F.when(coin < RR_P, F.col("bit")).otherwise(1 - F.col("bit")).alias("rep"),
+    )
+    lam = F.avg("rep")
+    return (
+        reported.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            _R4(F.avg("bit"), "true_share"),
+            _R4(lam, "reported_share"),
+            _R4((lam + RR_P - 1.0) / (2.0 * RR_P - 1.0), "estimated_share"),
+        )
+        .orderBy("cohort")
+    )
+
+
+Q_RANDOMIZED_RESPONSE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bit
+  FROM events GROUP BY user_id
+), reported AS (
+  SELECT user_id, bit,
+         CASE WHEN (CAST('0x' || substr(md5('rr:' || CAST(user_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) + 1) / {_U_DENOM!r} < {RR_P!r}
+              THEN bit ELSE 1 - bit END AS rep
+  FROM per_user
+)
+SELECT user_id % 10 AS cohort, count(*) AS n_users,
+       round(avg(bit), 4) AS true_share,
+       round(avg(rep), 4) AS reported_share,
+       round((avg(rep) + {RR_P!r} - 1.0) / (2.0 * {RR_P!r} - 1.0), 4) AS estimated_share
+FROM reported GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["q_randomized_response"] = (q_randomized_response, Q_RANDOMIZED_RESPONSE_SQL)

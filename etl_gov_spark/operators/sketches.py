@@ -755,3 +755,111 @@ JOIN d db ON db.event_type = t.type_b
 """
 
 QUERIES["q_theta_sketch_setops"] = (q_theta_sketch_setops, Q_THETA_SETOPS_SQL)
+
+
+AMS_K = 16  # independent ±1 estimators (mean of 16: var = 2F2²/16)
+
+
+def q_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-frequency-moment (F₂) sketch audit per event
+    type (Alon-Matias-Szegedy 1996): Σc² of the per-user count
+    vector — the self-join size / skew proxy a planner wants
+    without materializing the counts — estimated by AMS_K
+    independent ±1-signed sums, against the exact F₂ from the same
+    contracted counts.
+
+    Sketch-first shape: in production the estimator is ONE pass
+    over raw events (Σ sign_i(u) per type is distributive and
+    mergeable across partitions/days without ever building c_u);
+    here both paths run so the audit can report relative error.
+    Signs come from the portable md5 scheme (parity of the first
+    hex nibble of md5(i:user)), so every S_i is an INTEGER and the
+    DuckDB oracle replays the sketch exactly — the only doubles are
+    the final ratios.
+    """
+    counts = (
+        Catalog(spark, sf_dir).events.select("event_type", "user_id")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ks = F.explode(F.sequence(F.lit(0), F.lit(AMS_K - 1))).alias("i")
+    signed = counts.select("event_type", "user_id", "c", ks).select(
+        "event_type",
+        "i",
+        (
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit(":"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                % 2
+                == 0,
+                F.lit(1),
+            ).otherwise(F.lit(-1))
+            * F.col("c")
+        ).alias("sc"),
+    )
+    est = (
+        signed.groupBy("event_type", "i")
+        .agg(F.sum("sc").alias("s"))
+        .groupBy("event_type")
+        .agg(F.avg(F.col("s") * F.col("s")).alias("est_f2"))
+    )
+    exact = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("c") * F.col("c")).alias("exact_f2"),
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "exact_f2",
+            _R4(F.col("est_f2"), "est_f2"),
+            _R4(
+                F.abs(F.col("est_f2") - F.col("exact_f2")) / F.col("exact_f2"),
+                "rel_err",
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_AMS_F2_SQL = f"""
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+), signed AS (
+  SELECT event_type, i,
+         CASE WHEN CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                  || CAST(user_id AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+              THEN c ELSE -c END AS sc
+  FROM counts CROSS JOIN generate_series(0, {AMS_K - 1}) t(i)
+), est AS (
+  SELECT event_type, avg(s * s) AS est_f2
+  FROM (SELECT event_type, i, sum(sc) AS s FROM signed GROUP BY 1, 2)
+  GROUP BY event_type
+), exact AS (
+  SELECT event_type, count(*) AS n_users, sum(c * c) AS exact_f2
+  FROM counts GROUP BY event_type
+)
+SELECT e.event_type, e.n_users,
+       CAST(e.exact_f2 AS BIGINT) AS exact_f2,
+       round(s.est_f2, 4) AS est_f2,
+       round(abs(s.est_f2 - e.exact_f2) / e.exact_f2, 4) AS rel_err
+FROM exact e JOIN est s USING (event_type)
+ORDER BY e.event_type
+"""
+
+QUERIES["q_ams_f2_sketch"] = (q_ams_f2_sketch, Q_AMS_F2_SQL)

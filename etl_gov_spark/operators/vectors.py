@@ -3198,3 +3198,164 @@ WHERE rank <= {TOP_K}
 """
 
 QUERIES["ann_ivf_incremental"] = (ann_ivf_incremental, ANN_IVF_INCR_SQL)
+
+
+def emb_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-vs-label agreement for the IVF coarse quantizer:
+    purity (Σ_cell max-label count / N) and normalized mutual
+    information NMI = I(C;L)/√(H(C)·H(L)) between the Lloyd cell
+    assignment and the ground-truth labels — the unsupervised-eval
+    readout that says whether the quantizer's cells mean anything
+    semantically (next to ``emb_ivf_cell_stats``' geometry and
+    ``emb_simplified_silhouette``'s separation).
+
+    Everything reduces through the (cid × label) contingency table
+    (≤ k·|labels| rows): marginals, entropies and MI are one
+    aggregate each over that bounded table, with the only corpus-
+    sized pass being the assignment itself. Entropy/MI sums round
+    at 6 dp before the final 4-dp readout.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    model = _lloyd_model(emb)
+    cells = _assign(emb, model, keep=("label",))
+    cont = cells.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("ncl"))
+    nc = cont.groupBy("cid").agg(
+        F.sum("ncl").alias("nc"), F.max("ncl").alias("maxl")
+    )
+    nl = cont.groupBy("label").agg(F.sum("ncl").alias("nl"))
+    tot = cont.agg(F.sum("ncl").alias("n"))
+    joined = (
+        cont.join(F.broadcast(nc), "cid")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    mi_term = (F.col("ncl") / n) * F.log(
+        n * F.col("ncl") / (F.col("nc") * F.col("nl"))
+    )
+    stats = joined.agg(
+        F.round(F.sum(mi_term), 6).alias("mi"),
+        F.max("n").alias("n_vecs"),
+        F.countDistinct("cid").alias("n_cells"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+    hc = nc.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum((F.col("nc") / n) * F.log(F.col("nc") / n)), 6
+        ).alias("hc"),
+        F.sum("maxl").alias("maxsum"),
+    )
+    hl = nl.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            -F.sum((F.col("nl") / n) * F.log(F.col("nl") / n)), 6
+        ).alias("hl")
+    )
+    return (
+        stats.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            "n_vecs",
+            "n_cells",
+            "n_labels",
+            _R4(F.col("maxsum") / F.col("n_vecs"), "purity"),
+            _R4(
+                F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), "nmi"
+            ),
+        )
+    )
+
+
+EMB_CLUSTER_NMI_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), seedids AS (
+  SELECT vec_id FROM vecs
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM vecs) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM vecs
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("vecs", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("vecs", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("vecs", "c2", "cells", keep=("label",))},
+cont AS (
+  SELECT cid, label, count(*) AS ncl FROM cells GROUP BY 1, 2
+), nc AS (
+  SELECT cid, sum(ncl) AS nc, max(ncl) AS maxl FROM cont GROUP BY cid
+), nl AS (
+  SELECT label, sum(ncl) AS nl FROM cont GROUP BY label
+), tot AS (
+  SELECT CAST(sum(ncl) AS DOUBLE) AS n FROM cont
+), mi AS (
+  SELECT round(sum((c.ncl / t.n) * ln(t.n * c.ncl / (a.nc * b.nl))), 6) AS mi,
+         max(t.n) AS n_vecs,
+         count(DISTINCT c.cid) AS n_cells,
+         count(DISTINCT c.label) AS n_labels
+  FROM cont c JOIN nc a USING (cid) JOIN nl b USING (label) CROSS JOIN tot t
+), hc AS (
+  SELECT round(-sum((a.nc / t.n) * ln(a.nc / t.n)), 6) AS hc,
+         sum(a.maxl) AS maxsum
+  FROM nc a CROSS JOIN tot t
+), hl AS (
+  SELECT round(-sum((b.nl / t.n) * ln(b.nl / t.n)), 6) AS hl
+  FROM nl b CROSS JOIN tot t
+)
+SELECT CAST(mi.n_vecs AS BIGINT) AS n_vecs, mi.n_cells, mi.n_labels,
+       round(hc.maxsum / mi.n_vecs, 4) AS purity,
+       round(mi.mi / sqrt(hc.hc * hl.hl), 4) AS nmi
+FROM mi CROSS JOIN hc CROSS JOIN hl
+"""
+
+QUERIES["emb_cluster_nmi"] = (emb_cluster_nmi, EMB_CLUSTER_NMI_SQL)
+
+
+RANGE_TAU = 0.25  # cosine radius for range search (6-dp grid)
+
+
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (radius query) through the IVF funnel: for each
+    capped anchor, the census of corpus vectors within cosine ≥ τ —
+    the "find everything this similar" primitive that top-k can't
+    express (duplicate sweeps want ALL matches above a bar, not the
+    best 10), completing the ANN family's query surface next to
+    ``ann_ivf_topk`` (top-k) and ``dedup_semdedup_prune``
+    (within-cell pruning).
+
+    Same funnel economics as the retrieval evals
+    (_ivf_eval_scored): |anchors| × nprobe·N/k scored pairs, exact
+    6-dp cosine on the survivors only; anchors with no in-radius
+    candidate drop out (inner semantics, mirrored by the oracle's
+    implicit GROUP BY over matches).
+    """
+    scored = _ivf_eval_scored(spark, sf_dir, _HARDNEG_STRIDE).filter(
+        F.col("c") >= RANGE_TAU
+    )
+    return (
+        scored.groupBy("a_id", "a_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_range"),
+            _R4(F.max("c"), "max_cos"),
+            _R4(F.avg("c"), "mean_cos"),
+            F.sum(
+                (F.col("c_label") == F.col("a_label")).cast("long")
+            ).alias("n_same_label"),
+        )
+        .orderBy("a_id")
+    )
+
+
+ANN_RANGE_SQL = f"""{_ivf_eval_prefix(_HARDNEG_STRIDE)}
+SELECT a_id, a_label,
+       count(*) AS n_in_range,
+       round(max(c), 4) AS max_cos,
+       round(avg(c), 4) AS mean_cos,
+       CAST(sum(CASE WHEN c_label = a_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label
+FROM scored
+WHERE c >= {RANGE_TAU}
+GROUP BY a_id, a_label
+ORDER BY a_id
+"""
+
+QUERIES["ann_range_search"] = (ann_range_search, ANN_RANGE_SQL)

@@ -67,6 +67,10 @@ _PINNED_FIRST = (
     "geo_visit_entropy",
     "q_jarque_bera",
     "q_wilcoxon_signed_rank",
+    "q_ams_f2_sketch",
+    "emb_cluster_nmi",
+    "ann_range_search",
+    "q_randomized_response",
 )
 
 

@@ -6785,3 +6785,80 @@ FROM stats ORDER BY c_mktsegment
 """
 
 QUERIES["q_wilcoxon_signed_rank"] = (q_wilcoxon_signed_rank, Q_WILCOXON_SQL)
+
+
+def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified 2×2 test: is the weekend
+    → high-value association real AFTER controlling for event type
+    (the stratifier that confounds any pooled 2×2 — Simpson's trap)?
+    Publishes the MH common odds ratio Σ(a·d/n)/Σ(b·c/n) and the
+    continuity-corrected CMH χ²₁ = (|Σa − ΣE| − ½)²/ΣV — the
+    epidemiology-standard companion to ``q_chi2_segment_priority``'s
+    unstratified test and ``q_diff_in_diff``'s panel version.
+
+    One pass: per-stratum 2×2 cells are a 5-row conditional
+    aggregate, everything downstream is scalar algebra over integer
+    counts — bit-stable across engines by construction.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.dayofweek("ts").isin(1, 7).cast("long").alias("wk"),
+        (F.col("value") > 100.0).cast("long").alias("hi"),
+    )
+    cells = ev.groupBy("event_type").agg(
+        F.sum(F.col("wk") * F.col("hi")).alias("a"),
+        F.sum(F.col("wk") * (1 - F.col("hi"))).alias("b"),
+        F.sum((1 - F.col("wk")) * F.col("hi")).alias("c"),
+        F.sum((1 - F.col("wk")) * (1 - F.col("hi"))).alias("d"),
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    n = (a + b + c + d).cast("double")
+    e = (a + b) * (a + c) / n
+    v = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    stats = cells.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(a).alias("sa"),
+        F.round(F.sum(e), 6).alias("se"),
+        F.round(F.sum(v), 6).alias("sv"),
+        F.round(F.sum(a * d / n), 6).alias("sad"),
+        F.round(F.sum(b * c / n), 6).alias("sbc"),
+    )
+    chi2 = F.pow(F.abs(F.col("sa") - F.col("se")) - 0.5, 2) / F.col("sv")
+    return stats.select(
+        "n_strata",
+        F.col("sa").alias("n_weekend_high"),
+        _R4(F.col("sad") / F.col("sbc"), "or_mh"),
+        _R4(chi2, "chi2_cmh"),
+        (F.round(chi2, 6) > 3.841459).alias("reject_indep_5pct"),
+    )
+
+
+Q_CMH_SQL = """
+WITH cells AS (
+  SELECT event_type,
+         sum(wk * hi) AS a, sum(wk * (1 - hi)) AS b,
+         sum((1 - wk) * hi) AS c, sum((1 - wk) * (1 - hi)) AS d
+  FROM (
+    SELECT event_type,
+           CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END AS wk,
+           CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS hi
+    FROM events
+  ) GROUP BY event_type
+), stats AS (
+  SELECT count(*) AS n_strata, sum(a) AS sa,
+         round(sum((a + b) * (a + c) / CAST(a + b + c + d AS DOUBLE)), 6) AS se,
+         round(sum((a + b) * (c + d) * (a + c) * (b + d)
+               / (pow(CAST(a + b + c + d AS DOUBLE), 2) * (a + b + c + d - 1))), 6) AS sv,
+         round(sum(a * d / CAST(a + b + c + d AS DOUBLE)), 6) AS sad,
+         round(sum(b * c / CAST(a + b + c + d AS DOUBLE)), 6) AS sbc
+  FROM cells
+)
+SELECT n_strata,
+       CAST(sa AS BIGINT) AS n_weekend_high,
+       round(sad / sbc, 4) AS or_mh,
+       round(pow(abs(sa - se) - 0.5, 2) / sv, 4) AS chi2_cmh,
+       round(pow(abs(sa - se) - 0.5, 2) / sv, 6) > 3.841459 AS reject_indep_5pct
+FROM stats
+"""
+
+QUERIES["q_cmh_test"] = (q_cmh_test, Q_CMH_SQL)

@@ -3628,3 +3628,138 @@ FROM rsi GROUP BY 1
 """
 
 QUERIES["q_rsi_indicator"] = (q_rsi_indicator, Q_RSI_SQL)
+
+
+def q_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (Hyndman-Koehler 2006) of the seasonal-naive forecast:
+    MAE of the lag-7 model scaled by the in-sample MAE of the lag-1
+    naive — the scale-free forecast-eval metric that lets one
+    number compare types with wildly different volumes, completing
+    the backtest family next to ``q_seasonal_naive_backtest``'s
+    raw MAE/MAPE. MASE < 1 means the weekly pattern genuinely
+    beats "tomorrow = today".
+
+    Both error streams come from the same lag window pass over the
+    bounded (type, day) matrix; errors are integer differences so
+    every aggregate is bit-stable across engines.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type",
+        "y",
+        F.lag("y", 7).over(w).alias("yhat7"),
+        F.lag("y", 1).over(w).alias("yhat1"),
+    ).filter(F.col("yhat7").isNotNull())
+    mae7 = F.avg(F.abs(F.col("y") - F.col("yhat7")))
+    mae1 = F.avg(F.abs(F.col("y") - F.col("yhat1")))
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            _R4(mae7, "mae_seasonal"),
+            _R4(mae1, "mae_naive1"),
+            _R4(mae7 / mae1, "mase"),
+            (F.round(mae7 / mae1, 6) < 1.0).alias("beats_naive"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_FORECAST_MASE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, y,
+         lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS yhat7,
+         lag(y, 1) OVER (PARTITION BY event_type ORDER BY day) AS yhat1
+  FROM daily
+)
+SELECT event_type, count(*) AS n_days_scored,
+       round(avg(abs(y - yhat7)), 4) AS mae_seasonal,
+       round(avg(abs(y - yhat1)), 4) AS mae_naive1,
+       round(avg(abs(y - yhat7)) / avg(abs(y - yhat1)), 4) AS mase,
+       round(avg(abs(y - yhat7)) / avg(abs(y - yhat1)), 6) < 1.0 AS beats_naive
+FROM scored WHERE yhat7 IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["q_forecast_mase"] = (q_forecast_mase, Q_FORECAST_MASE_SQL)
+
+
+def q_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast tracking signal (Trigg's classic bias monitor): the
+    running Σ(error)/running-MAE of the seasonal-naive forecast per
+    event type, the control chart a demand planner watches — a
+    signal drifting past ±4 means the forecast is systematically
+    biased and must be re-fit, long before MAE alone would say so.
+
+    One lag window + two running windows over the bounded
+    (type, day) matrix; readout per type is the final signal, the
+    worst |signal| on the horizon, and the count of out-of-band
+    days. Integer errors keep the running sums bit-stable; the
+    signal rounds at 6 dp before banding.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type", F.to_date("ts").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.select(
+        "event_type", "day", (F.col("y") - F.lag("y", 7).over(w)).alias("e")
+    ).filter(F.col("e").isNotNull())
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_mae = F.avg(F.abs(F.col("e"))).over(wrun)
+    # a flat start (all errors 0 so far) is an in-control signal of
+    # 0, not a divide-by-zero
+    ts6 = F.when(run_mae == 0, F.lit(0.0)).otherwise(
+        F.round(F.sum("e").over(wrun) / run_mae, 6)
+    )
+    sig = scored.select("event_type", "day", ts6.alias("ts"))
+    return (
+        sig.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days_scored"),
+            _R4(F.max_by("ts", "day"), "final_signal"),
+            _R4(F.max(F.abs("ts")), "max_abs_signal"),
+            F.sum((F.abs("ts") > 4.0).cast("long")).alias("n_out_of_band"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_TRACKING_SIGNAL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, day,
+         y - lag(y, 7) OVER (PARTITION BY event_type ORDER BY day) AS e
+  FROM daily
+), sig AS (
+  SELECT event_type, day,
+         CASE WHEN avg(abs(e)) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 0
+              THEN 0.0
+              ELSE round(sum(e) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / avg(abs(e)) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) END AS ts
+  FROM scored WHERE e IS NOT NULL
+)
+SELECT event_type, count(*) AS n_days_scored,
+       round(max_by(ts, day), 4) AS final_signal,
+       round(max(abs(ts)), 4) AS max_abs_signal,
+       CAST(sum(CASE WHEN abs(ts) > 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_band
+FROM sig GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["q_tracking_signal"] = (q_tracking_signal, Q_TRACKING_SIGNAL_SQL)

@@ -71,6 +71,9 @@ _PINNED_FIRST = (
     "emb_cluster_nmi",
     "ann_range_search",
     "q_randomized_response",
+    "q_forecast_mase",
+    "q_tracking_signal",
+    "q_cmh_test",
 )
 
 

@@ -6862,3 +6862,231 @@ FROM stats
 """
 
 QUERIES["q_cmh_test"] = (q_cmh_test, Q_CMH_SQL)
+
+
+SPRT_P0, SPRT_P1 = 0.45, 0.55  # H0/H1 high-value rates
+SPRT_BOUND = 2.944439  # ln(19): alpha = beta = 0.05
+
+
+def q_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test per event type: the
+    always-valid daily monitor for "is the high-value rate p₁=0.55
+    rather than p₀=0.45?" — the sequential complement to
+    ``q_abtest_lift``'s fixed-horizon t-test and ``q_power_analysis``'s
+    pre-sizing: the log-likelihood-ratio walk crosses ±ln(19) the
+    day the data suffices, instead of waiting out the horizon.
+
+    The LLR is a running integer-weighted sum over the bounded
+    (type, day) matrix (cum_hi·ln(p₁/p₀) + cum_lo·ln(q₁/q₀), 6-dp
+    quantized), windows partition by type — no single-partition
+    stage; the readout is first-crossing day, decision, and the
+    final walk value per type.
+    """
+    import math
+
+    lr1 = math.log(SPRT_P1 / SPRT_P0)
+    lr0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.col("value") > 100.0).cast("long").alias("hi"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("hi").alias("nhi"), F.count(F.lit(1)).alias("n")
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    llr = F.round(
+        F.sum("nhi").over(wrun) * F.lit(lr1)
+        + (F.sum("n").over(wrun) - F.sum("nhi").over(wrun)) * F.lit(lr0),
+        6,
+    )
+    walk = daily.select("event_type", "day", llr.alias("llr"))
+    totals = walk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        _R4(F.max_by("llr", "day"), "final_llr"),
+    )
+    crossed = (
+        walk.filter(F.abs("llr") >= SPRT_BOUND)
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("_cd"),
+            F.min_by("llr", "day").alias("_lc"),
+        )
+    )
+    return (
+        totals.join(crossed, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            "final_llr",
+            F.col("_cd").cast("string").alias("cross_day"),
+            F.when(F.col("_cd").isNull(), F.lit("continue"))
+            .when(F.col("_lc") > 0, F.lit("accept_h1"))
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _sprt_sql() -> str:
+    import math
+
+    lr1 = math.log(SPRT_P1 / SPRT_P0)
+    lr0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS nhi,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), walk AS (
+  SELECT event_type, day,
+         round(sum(nhi) OVER w * {lr1!r}
+               + (sum(n) OVER w - sum(nhi) OVER w) * {lr0!r}, 6) AS llr
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), totals AS (
+  SELECT event_type, count(*) AS n_days,
+         CAST(round(max_by(llr, day), 4) AS DOUBLE) AS final_llr
+  FROM walk GROUP BY event_type
+), crossed AS (
+  SELECT event_type, min(day) AS cd, min_by(llr, day) AS lc
+  FROM walk WHERE abs(llr) >= {SPRT_BOUND!r}
+  GROUP BY event_type
+)
+SELECT t.event_type, t.n_days, t.final_llr,
+       CAST(c.cd AS VARCHAR) AS cross_day,
+       CASE WHEN c.cd IS NULL THEN 'continue'
+            WHEN c.lc > 0 THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM totals t LEFT JOIN crossed c USING (event_type)
+ORDER BY t.event_type
+"""
+
+
+QUERIES["q_sprt_ab_monitor"] = (q_sprt_ab_monitor, _sprt_sql())
+
+
+STUMP_BUCKET = 10.0  # candidate thresholds on a $10 value grid
+
+
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-split decision stump per event type: the value threshold
+    (on a $10 candidate grid) that best separates weekend from
+    weekday traffic by weighted Gini impurity — the
+    interpretable-baseline classifier (and the split criterion
+    inside every tree ensemble) run warehouse-side, next to
+    ``q_logit_newton``'s parametric fit.
+
+    The candidate sweep is a cumulative window over the bounded
+    per-type bucket grid (≤ value-range/10 rows per type), never
+    the raw events: one groupBy builds the (type, bucket) class
+    counts, the prefix sums give every split's four cells at once,
+    and argmin picks the stump (6-dp Gini, lower threshold on
+    ties). Readout: threshold, weighted Gini, and the stump's
+    accuracy vs the majority-class baseline.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        (F.floor(F.col("value") / STUMP_BUCKET) * STUMP_BUCKET).alias("bkt"),
+        F.dayofweek("ts").isin(1, 7).cast("long").alias("wk"),
+    )
+    grid = ev.groupBy("event_type", "bkt").agg(
+        F.sum("wk").alias("pos"), F.sum(1 - F.col("wk")).alias("neg")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    c = grid.select(
+        "event_type",
+        "bkt",
+        F.sum("pos").over(wcum).alias("pl"),
+        F.sum("neg").over(wcum).alias("nl"),
+        F.sum("pos").over(wtot).alias("pt"),
+        F.sum("neg").over(wtot).alias("nt"),
+    ).filter(
+        # a split must leave both sides non-empty
+        (F.col("pl") + F.col("nl") > 0)
+        & (F.col("pt") + F.col("nt") - F.col("pl") - F.col("nl") > 0)
+    )
+    pl, nl = F.col("pl").cast("double"), F.col("nl").cast("double")
+    pr = (F.col("pt") - F.col("pl")).cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    l, r = pl + nl, pr + nr
+    n = l + r
+    gini_l = 1.0 - F.pow(pl / l, 2) - F.pow(nl / l, 2)
+    gini_r = 1.0 - F.pow(pr / r, 2) - F.pow(nr / r, 2)
+    wg = F.round((l / n) * gini_l + (r / n) * gini_r, 6)
+    acc = F.round(
+        (F.greatest(pl, nl) + F.greatest(pr, nr)) / n, 6
+    )
+    scored = c.select(
+        "event_type", "bkt", wg.alias("wg"), acc.alias("acc"),
+        F.round(F.greatest(F.col("pt"), F.col("nt")) / n, 6).alias("base"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.asc("wg"), F.asc("bkt"))
+    return (
+        scored.withColumn("rn", F.row_number().over(pick))
+        .filter("rn = 1")
+        .select(
+            "event_type",
+            (F.col("bkt") + STUMP_BUCKET).alias("split_below"),
+            _R4(F.col("wg"), "weighted_gini"),
+            _R4(F.col("acc"), "stump_accuracy"),
+            _R4(F.col("base"), "majority_baseline"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_DECISION_STUMP_SQL = f"""
+WITH grid AS (
+  SELECT event_type, floor(value / {STUMP_BUCKET!r}) * {STUMP_BUCKET!r} AS bkt,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 1 ELSE 0 END) AS pos,
+         sum(CASE WHEN dayofweek(ts) IN (0, 6) THEN 0 ELSE 1 END) AS neg
+  FROM events GROUP BY 1, 2
+), cums AS (
+  SELECT event_type, bkt,
+         sum(pos) OVER w AS pl, sum(neg) OVER w AS nl,
+         sum(pos) OVER t AS pt, sum(neg) OVER t AS nt
+  FROM grid
+  WINDOW w AS (PARTITION BY event_type ORDER BY bkt
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY event_type)
+), scored AS (
+  SELECT event_type, bkt,
+         round(((pl + nl) / CAST(pt + nt AS DOUBLE))
+                 * (1.0 - pow(pl / CAST(pl + nl AS DOUBLE), 2)
+                        - pow(nl / CAST(pl + nl AS DOUBLE), 2))
+               + ((pt + nt - pl - nl) / CAST(pt + nt AS DOUBLE))
+                 * (1.0 - pow((pt - pl) / CAST(pt + nt - pl - nl AS DOUBLE), 2)
+                        - pow((nt - nl) / CAST(pt + nt - pl - nl AS DOUBLE), 2)),
+               6) AS wg,
+         round((greatest(pl, nl) + greatest(pt - pl, nt - nl))
+               / CAST(pt + nt AS DOUBLE), 6) AS acc,
+         round(greatest(pt, nt) / CAST(pt + nt AS DOUBLE), 6) AS base
+  FROM cums
+  WHERE pl + nl > 0 AND pt + nt - pl - nl > 0
+), picked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY wg ASC, bkt ASC) AS rn
+  FROM scored
+)
+SELECT event_type,
+       bkt + {STUMP_BUCKET!r} AS split_below,
+       round(wg, 4) AS weighted_gini,
+       round(acc, 4) AS stump_accuracy,
+       round(base, 4) AS majority_baseline
+FROM picked WHERE rn = 1 ORDER BY event_type
+"""
+
+QUERIES["q_decision_stump"] = (q_decision_stump, Q_DECISION_STUMP_SQL)

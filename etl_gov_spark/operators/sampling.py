@@ -262,3 +262,86 @@ FROM sample JOIN frame USING (o_orderpriority)
 """
 
 QUERIES["q_systematic_sample"] = (q_systematic_sample, Q_SYSTEMATIC_SAMPLE_SQL)
+
+
+HOEFF_RATE = 0.10  # deterministic sampling rate for the audit
+HOEFF_DELTA = 0.05  # two-sided confidence 1 - delta
+HOEFF_CLAMP = 200.0  # value clamp: Hoeffding needs a bounded range
+
+
+def q_hoeffding_bound_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoeffding concentration audit for hash-sampling: per event
+    type, does the mean of a deterministic 10% md5 sample of
+    (clamped) `value` sit within ε = R·√(ln(2/δ)/2n) of the full
+    mean? This is the guarantee every "estimate it from a sample"
+    pipeline (and q_reservoir_per_group's consumers) silently
+    relies on — here it is measured, with the bound, the actual
+    error, and the verdict published per type.
+
+    The sample membership is the portable md5 draw on event_id, so
+    the DuckDB oracle replays the EXACT sample (not a statistical
+    twin) and the whole audit hashes exactly; both passes are one
+    conditional aggregate over the same scan.
+    """
+    import math
+
+    eps_c = math.sqrt(math.log(2.0 / HOEFF_DELTA) / 2.0)  # x R/sqrt(n)
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_type",
+        "event_id",
+        F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(HOEFF_CLAMP)).alias("x"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(_U_DENOM)
+    tagged = ev.select("event_type", "x", (u <= HOEFF_RATE).cast("long").alias("s"))
+    agg = tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("s").alias("n_sample"),
+        F.avg("x").alias("full_mean"),
+        (F.sum(F.col("s") * F.col("x")) / F.sum("s")).alias("samp_mean"),
+    )
+    eps = F.lit(HOEFF_CLAMP * eps_c) / F.sqrt(F.col("n_sample"))
+    err6 = F.round(F.abs(F.col("samp_mean") - F.col("full_mean")), 6)
+    return agg.select(
+        "event_type",
+        "n_total",
+        "n_sample",
+        _R4(F.col("full_mean"), "full_mean"),
+        _R4(F.col("samp_mean"), "sample_mean"),
+        _R4(eps, "hoeffding_eps"),
+        (err6 <= F.round(eps, 6)).alias("in_bound"),
+    ).orderBy("event_type")
+
+
+def _hoeffding_sql() -> str:
+    import math
+
+    eps_c = HOEFF_CLAMP * math.sqrt(math.log(2.0 / HOEFF_DELTA) / 2.0)
+    return f"""
+WITH tagged AS (
+  SELECT event_type,
+         least(greatest(value, 0.0), {HOEFF_CLAMP!r}) AS x,
+         CASE WHEN (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) + 1) / 281474976710656.0 <= {HOEFF_RATE!r}
+              THEN 1 ELSE 0 END AS s
+  FROM events
+), agg AS (
+  SELECT event_type, count(*) AS n_total, sum(s) AS n_sample,
+         avg(x) AS full_mean,
+         sum(s * x) / sum(s) AS samp_mean
+  FROM tagged GROUP BY event_type
+)
+SELECT event_type, n_total, CAST(n_sample AS BIGINT) AS n_sample,
+       round(full_mean, 4) AS full_mean,
+       round(samp_mean, 4) AS sample_mean,
+       round({eps_c!r} / sqrt(n_sample), 4) AS hoeffding_eps,
+       round(abs(samp_mean - full_mean), 6)
+         <= round({eps_c!r} / sqrt(n_sample), 6) AS in_bound
+FROM agg ORDER BY event_type
+"""
+
+
+QUERIES["q_hoeffding_bound_audit"] = (q_hoeffding_bound_audit, _hoeffding_sql())

@@ -74,6 +74,9 @@ _PINNED_FIRST = (
     "q_forecast_mase",
     "q_tracking_signal",
     "q_cmh_test",
+    "q_sprt_ab_monitor",
+    "q_decision_stump",
+    "q_hoeffding_bound_audit",
 )
 
 

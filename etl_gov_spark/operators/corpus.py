@@ -4157,3 +4157,214 @@ QUERIES["corpus_decontaminate_13gram"] = (
     corpus_decontaminate_13gram,
     CORPUS_DECON13_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# BERT-style MLM masking manifest + word2vec negative-sampling table
+# (round 12 — completes the pretraining-objective prep family next to
+# corpus_span_corruption (T5), corpus_fim_transform (FIM) and
+# corpus_skipgram_pairs (word2vec pairs))
+# ---------------------------------------------------------------------------
+
+_MLM_RATE = 0.15  # select 15% of positions (Devlin et al. 2019)
+_MLM_MASK = 0.8  # of selected: 80% -> [MASK], 10% -> random, 10% keep
+_MLM_RAND = 0.9
+_NEG_VOCAB = 32  # negative-sampling table size (top words by count^0.75)
+_NEG_POW = 0.75
+_U48 = float(1 << 48)
+
+
+def _u48(key):  # portable uniform in (0,1]: first 48 md5 bits
+    return (
+        F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("double") + 1.0
+    ) / _U48
+
+
+_SQL_U48 = "((CAST('0x' || substr(md5({k}), 1, 12) AS BIGINT) + 1) / 281474976710656.0)"
+
+
+def corpus_mlm_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT masked-LM masking manifest (Devlin et al. 2019's
+    15% / 80-10-10 rule) as a per-source census: every token
+    position draws its selection and action coins from portable
+    md5(doc:pos) hashes, so the masking PLAN is reproducible with
+    zero coordination (any worker, any partitioning, any rerun
+    masks the same positions — the same contract as
+    ``corpus_span_corruption``'s manifest) and the DuckDB oracle
+    replays it bit-for-bit. The census publishes the realized
+    rates and a position checksum that pins WHICH positions were
+    selected, not just how many.
+
+    One posexplode + one source-keyed aggregate; the coins are
+    codegen hash arithmetic, never Python.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", "source", tokens_col().alias("toks")
+    )
+    tok = docs.select(
+        "doc_id", "source", F.posexplode("toks").alias("pos", "tok")
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    sel = _u48(F.concat(key, F.lit(":m"))) < _MLM_RATE
+    u2 = _u48(F.concat(key, F.lit(":a")))
+    action = (
+        F.when(~sel, F.lit("unselected"))
+        .when(u2 < _MLM_MASK, F.lit("mask"))
+        .when(u2 < _MLM_RAND, F.lit("random"))
+        .otherwise(F.lit("keep"))
+    )
+    tagged = tok.select("source", "pos", sel.alias("sel"), action.alias("action"))
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("sel").cast("long")).alias("n_selected"),
+            F.sum((F.col("action") == "mask").cast("long")).alias("n_mask"),
+            F.sum((F.col("action") == "random").cast("long")).alias("n_random"),
+            F.sum((F.col("action") == "keep").cast("long")).alias("n_keep"),
+            _R4(
+                F.sum(F.col("sel").cast("long")) / F.count(F.lit(1)),
+                "mask_rate",
+            ),
+            F.sum(F.when(F.col("sel"), F.col("pos")).otherwise(0)).alias(
+                "pos_checksum"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_MLM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+        FROM documents)
+), tagged AS (
+  SELECT source, pos,
+         {_SQL_U48.format(k="CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':m'")} < {_MLM_RATE!r} AS sel,
+         {_SQL_U48.format(k="CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR) || ':a'")} AS u2
+  FROM tok
+)
+SELECT source,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       CAST(sum(CASE WHEN sel AND u2 < {_MLM_MASK!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+       CAST(sum(CASE WHEN sel AND u2 >= {_MLM_MASK!r} AND u2 < {_MLM_RAND!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+       CAST(sum(CASE WHEN sel AND u2 >= {_MLM_RAND!r} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       round(sum(CASE WHEN sel THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS mask_rate,
+       CAST(sum(CASE WHEN sel THEN pos ELSE 0 END) AS BIGINT) AS pos_checksum
+FROM tagged GROUP BY source ORDER BY source
+"""
+
+QUERIES["corpus_mlm_masking"] = (corpus_mlm_masking, CORPUS_MLM_SQL)
+
+
+def corpus_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table audit (Mikolov et al.
+    2013's unigram^0.75 distribution): build the top-32 smoothed
+    unigram table, draw one md5-keyed negative per document from
+    it, and publish expected vs observed draw shares per table
+    word — the calibration check that the sampling table a
+    skip-gram job (``corpus_skipgram_pairs``) feeds from actually
+    reproduces the smoothed distribution.
+
+    The table is a TakeOrdered top-32 (never a global sort of the
+    vocabulary); cumulative draw ranges come from a 32×32 broadcast
+    triangle join (no single-partition window); draws map through
+    one broadcast range join. Counts and md5 draws are integers —
+    the only doubles are the published shares.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    wc = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        wc.orderBy(F.desc(F.pow(F.col("c"), _NEG_POW)), F.asc("w"))
+        .limit(_NEG_VOCAB)
+        .select("w", F.round(F.pow(F.col("c"), _NEG_POW), 6).alias("p"))
+        .localCheckpoint(eager=False)  # 32 rows; cut the vocab scan
+    )
+    lo = top.alias("a").join(
+        top.alias("b"),
+        (F.col("b.p") > F.col("a.p"))
+        | ((F.col("b.p") == F.col("a.p")) & (F.col("b.w") < F.col("a.w"))),
+        "left",
+    ).groupBy(F.col("a.w").alias("w"), F.col("a.p").alias("p")).agg(
+        F.coalesce(F.sum("b.p"), F.lit(0.0)).alias("cum_lo"),
+        (F.count("b.w") + 1).alias("rank"),
+    )
+    tot = top.agg(F.sum("p").alias("ptot"))
+    table = lo.crossJoin(F.broadcast(tot)).select(
+        "rank",
+        "w",
+        (F.col("cum_lo") / F.col("ptot")).alias("lo"),
+        ((F.col("cum_lo") + F.col("p")) / F.col("ptot")).alias("hi"),
+        _R4(F.col("p") / F.col("ptot"), "expected_share"),
+    )
+    draws = docs.select(
+        _u48(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))).alias("u")
+    )
+    hits = draws.join(
+        F.broadcast(table),
+        (F.col("u") > F.col("lo")) & (F.col("u") <= F.col("hi")),
+    )
+    n_draws = docs.count()
+    return (
+        hits.groupBy("rank", "w", "expected_share")
+        .agg(F.count(F.lit(1)).alias("n_draws"))
+        .select(
+            "rank",
+            F.col("w").alias("word"),
+            "expected_share",
+            "n_draws",
+            _R4(F.col("n_draws") / F.lit(float(n_draws)), "observed_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+CORPUS_NEG_SAMPLING_SQL = f"""
+WITH wc AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents)
+  GROUP BY w
+), top AS (
+  SELECT w, round(pow(c, {_NEG_POW!r}), 6) AS p
+  FROM wc
+  QUALIFY row_number() OVER (ORDER BY pow(c, {_NEG_POW!r}) DESC, w ASC) <= {_NEG_VOCAB}
+), lo AS (
+  SELECT a.w, a.p,
+         coalesce(sum(b.p), 0.0) AS cum_lo,
+         count(b.w) + 1 AS rank
+  FROM top a LEFT JOIN top b
+    ON b.p > a.p OR (b.p = a.p AND b.w < a.w)
+  GROUP BY a.w, a.p
+), tbl AS (
+  SELECT rank, w,
+         cum_lo / (SELECT sum(p) FROM top) AS lo,
+         (cum_lo + p) / (SELECT sum(p) FROM top) AS hi,
+         round(p / (SELECT sum(p) FROM top), 4) AS expected_share
+  FROM lo
+), draws AS (
+  SELECT {_SQL_U48.format(k="'neg:' || CAST(doc_id AS VARCHAR)")} AS u
+  FROM documents
+)
+SELECT t.rank, t.w AS word, t.expected_share,
+       count(*) AS n_draws,
+       round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 4) AS observed_share
+FROM draws d JOIN tbl t ON d.u > t.lo AND d.u <= t.hi
+GROUP BY t.rank, t.w, t.expected_share
+ORDER BY t.rank
+"""
+
+QUERIES["corpus_negative_sampling"] = (
+    corpus_negative_sampling,
+    CORPUS_NEG_SAMPLING_SQL,
+)

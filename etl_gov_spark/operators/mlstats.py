@@ -6864,114 +6864,6 @@ FROM stats
 QUERIES["q_cmh_test"] = (q_cmh_test, Q_CMH_SQL)
 
 
-SPRT_P0, SPRT_P1 = 0.45, 0.55  # H0/H1 high-value rates
-SPRT_BOUND = 2.944439  # ln(19): alpha = beta = 0.05
-
-
-def q_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald sequential probability ratio test per event type: the
-    always-valid daily monitor for "is the high-value rate p₁=0.55
-    rather than p₀=0.45?" — the sequential complement to
-    ``q_abtest_lift``'s fixed-horizon t-test and ``q_power_analysis``'s
-    pre-sizing: the log-likelihood-ratio walk crosses ±ln(19) the
-    day the data suffices, instead of waiting out the horizon.
-
-    The LLR is a running integer-weighted sum over the bounded
-    (type, day) matrix (cum_hi·ln(p₁/p₀) + cum_lo·ln(q₁/q₀), 6-dp
-    quantized), windows partition by type — no single-partition
-    stage; the readout is first-crossing day, decision, and the
-    final walk value per type.
-    """
-    import math
-
-    lr1 = math.log(SPRT_P1 / SPRT_P0)
-    lr0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
-    ev = Catalog(spark, sf_dir).events.select(
-        "event_type",
-        F.to_date("ts").alias("day"),
-        (F.col("value") > 100.0).cast("long").alias("hi"),
-    )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.sum("hi").alias("nhi"), F.count(F.lit(1)).alias("n")
-    )
-    wrun = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    llr = F.round(
-        F.sum("nhi").over(wrun) * F.lit(lr1)
-        + (F.sum("n").over(wrun) - F.sum("nhi").over(wrun)) * F.lit(lr0),
-        6,
-    )
-    walk = daily.select("event_type", "day", llr.alias("llr"))
-    totals = walk.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        _R4(F.max_by("llr", "day"), "final_llr"),
-    )
-    crossed = (
-        walk.filter(F.abs("llr") >= SPRT_BOUND)
-        .groupBy("event_type")
-        .agg(
-            F.min("day").alias("_cd"),
-            F.min_by("llr", "day").alias("_lc"),
-        )
-    )
-    return (
-        totals.join(crossed, "event_type", "left")
-        .select(
-            "event_type",
-            "n_days",
-            "final_llr",
-            F.col("_cd").cast("string").alias("cross_day"),
-            F.when(F.col("_cd").isNull(), F.lit("continue"))
-            .when(F.col("_lc") > 0, F.lit("accept_h1"))
-            .otherwise(F.lit("accept_h0"))
-            .alias("decision"),
-        )
-        .orderBy("event_type")
-    )
-
-
-def _sprt_sql() -> str:
-    import math
-
-    lr1 = math.log(SPRT_P1 / SPRT_P0)
-    lr0 = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
-    return f"""
-WITH daily AS (
-  SELECT event_type, CAST(ts AS DATE) AS day,
-         sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS nhi,
-         count(*) AS n
-  FROM events GROUP BY 1, 2
-), walk AS (
-  SELECT event_type, day,
-         round(sum(nhi) OVER w * {lr1!r}
-               + (sum(n) OVER w - sum(nhi) OVER w) * {lr0!r}, 6) AS llr
-  FROM daily
-  WINDOW w AS (PARTITION BY event_type ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-), totals AS (
-  SELECT event_type, count(*) AS n_days,
-         CAST(round(max_by(llr, day), 4) AS DOUBLE) AS final_llr
-  FROM walk GROUP BY event_type
-), crossed AS (
-  SELECT event_type, min(day) AS cd, min_by(llr, day) AS lc
-  FROM walk WHERE abs(llr) >= {SPRT_BOUND!r}
-  GROUP BY event_type
-)
-SELECT t.event_type, t.n_days, t.final_llr,
-       CAST(c.cd AS VARCHAR) AS cross_day,
-       CASE WHEN c.cd IS NULL THEN 'continue'
-            WHEN c.lc > 0 THEN 'accept_h1'
-            ELSE 'accept_h0' END AS decision
-FROM totals t LEFT JOIN crossed c USING (event_type)
-ORDER BY t.event_type
-"""
-
-
-QUERIES["q_sprt_ab_monitor"] = (q_sprt_ab_monitor, _sprt_sql())
-
 
 STUMP_BUCKET = 10.0  # candidate thresholds on a $10 value grid
 

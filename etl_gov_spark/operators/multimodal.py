@@ -750,3 +750,103 @@ ORDER BY source
 """
 
 QUERIES["mm_shard_balance"] = (mm_shard_balance, MM_SHARD_BALANCE_SQL)
+
+
+_VLM_BUDGET = 1024  # context budget in units (text tokens + patches)
+_VLM_PATCH = 14  # ViT patch edge (pixels)
+_VLM_PATCH_CAP = 256  # per-image patch cap (resize-to-fit contract)
+
+
+def mm_vlm_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal context packing for VLM training: each document
+    costs its text tokens PLUS the vision patches of its attached
+    image (⌈w/14⌉·⌈h/14⌉ from the deterministic payload-derived
+    dimensions — the same stand-in geometry as ``mm_binary_meta`` —
+    capped at 256, the resize-to-fit contract), and docs pack into
+    1024-unit context bins with the same concat-and-chunk
+    discipline as ``corpus_pack_greedy``: deterministic doc order
+    per source, one partitioned cumulative window, bin =
+    ⌊preceding-cum/budget⌋. The census per (source, bin) reports
+    fill and the text-vs-patch mix — the number a VLM data pipeline
+    balances when interleaving image-heavy and text-heavy sources.
+
+    Everything is codegen arithmetic on int64 (token counts, byte
+    lengths, patch grids); no Python touches the hot path.
+    """
+    from etl_gov_spark.operators.text import tokens_col
+
+    n_bytes = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    width = (n_bytes % 640 + 16).cast("long")
+    height = ((n_bytes * 7) % 480 + 16).cast("long")
+    patches = F.least(
+        F.ceil(width / _VLM_PATCH) * F.ceil(height / _VLM_PATCH),
+        F.lit(_VLM_PATCH_CAP),
+    ).cast("long")
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id",
+        "source",
+        F.size(tokens_col()).cast("long").alias("n_tokens"),
+        patches.alias("n_patches"),
+    ).withColumn("cost", F.col("n_tokens") + F.col("n_patches"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = docs.withColumn(
+        "bin_id",
+        F.floor((F.sum("cost").over(w) - F.col("cost")) / _VLM_BUDGET),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("text_units"),
+            F.sum("n_patches").alias("patch_units"),
+        )
+        .select(
+            "source",
+            "bin_id",
+            "n_docs",
+            "text_units",
+            "patch_units",
+            F.round(
+                (F.col("text_units") + F.col("patch_units"))
+                / F.lit(float(_VLM_BUDGET)),
+                4,
+            ).alias("fill_ratio"),
+            F.round(
+                F.col("patch_units")
+                / (F.col("text_units") + F.col("patch_units")),
+                4,
+            ).alias("patch_share"),
+        )
+        .orderBy("source", "bin_id")
+    )
+
+
+MM_VLM_PACK_SQL = f"""
+WITH costed AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         least(ceil((octet_length(encode(text)) % 640 + 16) / {_VLM_PATCH}.0)
+               * ceil(((octet_length(encode(text)) * 7) % 480 + 16) / {_VLM_PATCH}.0),
+               {_VLM_PATCH_CAP}) AS n_patches
+  FROM documents
+), binned AS (
+  SELECT source, n_tokens, n_patches,
+         CAST(floor((sum(n_tokens + n_patches) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - (n_tokens + n_patches)) / {_VLM_BUDGET}) AS BIGINT) AS bin_id
+  FROM costed
+)
+SELECT source, bin_id, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS text_units,
+       CAST(sum(n_patches) AS BIGINT) AS patch_units,
+       round((sum(n_tokens) + sum(n_patches)) / {_VLM_BUDGET}.0, 4) AS fill_ratio,
+       round(sum(n_patches) / CAST(sum(n_tokens) + sum(n_patches) AS DOUBLE), 4) AS patch_share
+FROM binned GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""
+
+QUERIES["mm_vlm_pack"] = (mm_vlm_pack, MM_VLM_PACK_SQL)

@@ -74,8 +74,10 @@ _PINNED_FIRST = (
     "q_forecast_mase",
     "q_tracking_signal",
     "q_cmh_test",
-    "q_sprt_ab_monitor",
     "q_decision_stump",
+    "corpus_mlm_masking",
+    "corpus_negative_sampling",
+    "mm_vlm_pack",
     "q_hoeffding_bound_audit",
 )
 

@@ -1582,3 +1582,78 @@ QUERIES["dedup_substring_exposure"] = (
     dedup_substring_exposure,
     DEDUP_SUBSTRING_EXPOSURE_SQL,
 )
+
+
+BOUNDARY_DF_CAP = 64  # boilerplate head/tail guard (df-capped keys)
+
+
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-shard boundary-duplication sweep: doc A's last
+    SUBSTR_K tokens equal doc B's first SUBSTR_K tokens — the
+    signature of re-chunked or overlapping-shard extraction (one
+    source document split at different offsets across two shards),
+    which whole-doc hashing (``dedup_exact``) and random-position
+    n-grams (``dedup_substring_census``) both under-report because
+    the overlap is pinned to document BOUNDARIES. Docs shorter than
+    SUBSTR_K use their full token span on both ends (exact
+    short-doc containment, same convention as the 13-gram screen).
+
+    Scale: each doc contributes exactly ONE prefix key and ONE
+    suffix key (md5, fixed 32-char width), so the join is linear in
+    the corpus with uniform keys; boilerplate heads/tails (a shared
+    disclaimer paragraph would make one key quadratic) are df-capped
+    at BOUNDARY_DF_CAP on BOTH sides before the join — the same
+    stop-boilerplate rule as the inverted shingle indexes
+    (MAX_SHINGLE_DF), mirrored by the oracle's HAVING.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    k = SUBSTR_K
+    head = F.md5(F.array_join(F.slice("toks", 1, k), " "))
+    tail = F.md5(
+        F.array_join(
+            F.slice("toks", F.greatest(F.size("toks") - k + 1, F.lit(1)), k), " "
+        )
+    )
+    keyed = docs.select("doc_id", head.alias("hk"), tail.alias("tk"))
+    hdf = keyed.groupBy("hk").agg(
+        F.count(F.lit(1)).alias("hdf")
+    ).filter(F.col("hdf") <= BOUNDARY_DF_CAP)
+    tdf = keyed.groupBy("tk").agg(
+        F.count(F.lit(1)).alias("tdf")
+    ).filter(F.col("tdf") <= BOUNDARY_DF_CAP)
+    heads = keyed.join(hdf, "hk").select("doc_id", "hk")
+    tails = keyed.join(tdf, "tk").select("doc_id", "tk")
+    pairs = tails.alias("a").join(
+        heads.alias("b"), F.col("a.tk") == F.col("b.hk")
+    ).filter(F.col("a.doc_id") != F.col("b.doc_id"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.tk").alias("boundary_md5"),
+    ).orderBy("doc_a", "doc_b")
+
+
+DEDUP_BOUNDARY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[1:{SUBSTR_K}], ' ')) AS hk,
+         md5(array_to_string(toks[greatest(len(toks) - {SUBSTR_K} + 1, 1):
+                                  greatest(len(toks) - {SUBSTR_K} + 1, 1) + {SUBSTR_K - 1}], ' ')) AS tk
+  FROM toks
+), hok AS (
+  SELECT hk FROM keyed GROUP BY hk HAVING count(*) <= {BOUNDARY_DF_CAP}
+), tok_ok AS (
+  SELECT tk FROM keyed GROUP BY tk HAVING count(*) <= {BOUNDARY_DF_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tk AS boundary_md5
+FROM keyed a JOIN keyed b ON a.tk = b.hk AND a.doc_id != b.doc_id
+WHERE a.tk IN (SELECT tk FROM tok_ok) AND b.hk IN (SELECT hk FROM hok)
+ORDER BY doc_a, doc_b
+"""
+
+QUERIES["dedup_boundary_overlap"] = (dedup_boundary_overlap, DEDUP_BOUNDARY_SQL)

@@ -3220,7 +3220,14 @@ def emb_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = _lloyd_model(emb)
     cells = _assign(emb, model, keep=("label",))
-    cont = cells.groupBy("cid", "label").agg(F.count(F.lit(1)).alias("ncl"))
+    # checkpoint: the ≤ k·|labels|-row contingency table feeds FOUR
+    # downstream branches (marginals, total, MI join) — without it
+    # each branch re-derives the whole corpus assignment lineage
+    cont = (
+        cells.groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("ncl"))
+        .localCheckpoint(eager=False)
+    )
     nc = cont.groupBy("cid").agg(
         F.sum("ncl").alias("nc"), F.max("ncl").alias("maxl")
     )

@@ -78,6 +78,7 @@ _PINNED_FIRST = (
     "corpus_mlm_masking",
     "corpus_negative_sampling",
     "mm_vlm_pack",
+    "dedup_boundary_overlap",
     "q_hoeffding_bound_audit",
 )
 

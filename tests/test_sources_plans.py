@@ -663,3 +663,48 @@ def test_no_unaudited_single_partition_windows(spark, sf_dir):
         "unaudited SinglePartition-fed windows (rewrite with "
         f"ranged_global_rank/ranged_lag or whitelist if bounded): {offenders}"
     )
+
+
+def test_round12_ops_have_scale_safe_plans(spark, sf_dir):
+    """Plan-shape audit for the round-12 operators: no cartesian
+    products, no surprise nested-loop joins, bounded exchange
+    counts, and pushdown where a selective filter exists."""
+    import re
+
+    from etl_gov_spark.operators.corpus import (
+        corpus_decontaminate_13gram,
+        corpus_mlm_masking,
+    )
+    from etl_gov_spark.operators.dedup import dedup_boundary_overlap
+    from etl_gov_spark.operators.geo import geo_radius_of_gyration
+    from etl_gov_spark.operators.multimodal import mm_vlm_pack
+    from etl_gov_spark.operators.vectors import ann_range_search, emb_cluster_nmi
+
+    def audit(df, max_exchanges, max_bnlj=0):
+        plan = _fmt(df)
+        assert "CartesianProduct" not in plan
+        assert plan.count("BroadcastNestedLoopJoin") <= max_bnlj, plan[:800]
+        n_ex = len(re.findall(r"Exchange (hash|range|Single)", plan))
+        assert n_ex <= max_exchanges, f"{n_ex} exchanges"
+        return plan
+
+    # decontamination: distinct-hash build + semi-ish left join +
+    # per-doc aggregate — the module-header shuffle budget
+    audit(corpus_decontaminate_13gram(spark, sf_dir), 6)
+    # MLM census: one posexplode projection + one source aggregate
+    audit(corpus_mlm_masking(spark, sf_dir), 3)
+    # boundary overlap: two df-cap aggregates + the linear key join
+    audit(dedup_boundary_overlap(spark, sf_dir), 8)
+    # radius of gyration: ONE user shuffle feeds window + aggregate,
+    # then the 10-row cohort rollup
+    audit(geo_radius_of_gyration(spark, sf_dir), 4)
+    # VLM pack: one source shuffle (window) + the bin aggregate
+    audit(mm_vlm_pack(spark, sf_dir), 4)
+    # range search: funnel assignment is checkpointed; probe join is
+    # a broadcast + one per-anchor aggregate
+    audit(ann_range_search(spark, sf_dir), 4)
+    # cluster NMI: contingency aggregate + bounded-table broadcasts;
+    # the 5 crossJoins are all 1-row scalar broadcasts (total/H(C)/
+    # H(L) folded into the readout), each printed twice by
+    # explain("formatted") — tree + details
+    audit(emb_cluster_nmi(spark, sf_dir), 8, max_bnlj=10)

@@ -4315,16 +4315,19 @@ def corpus_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(table),
         (F.col("u") > F.col("lo")) & (F.col("u") <= F.col("hi")),
     )
-    n_draws = docs.count()
+    # total draws as a 1-row broadcast, not a driver-side count():
+    # building this plan must not trigger a scan of documents
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
     return (
         hits.groupBy("rank", "w", "expected_share")
         .agg(F.count(F.lit(1)).alias("n_draws"))
+        .crossJoin(F.broadcast(total))
         .select(
             "rank",
             F.col("w").alias("word"),
             "expected_share",
             "n_draws",
-            _R4(F.col("n_draws") / F.lit(float(n_draws)), "observed_share"),
+            _R4(F.col("n_draws") / F.col("n_total"), "observed_share"),
         )
         .orderBy("rank")
     )

@@ -819,31 +819,50 @@ def q_executive_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.crossJoin(F.broadcast(ymax))
     cur = F.year("o_orderdate") == F.col("_y")
     prev = F.year("o_orderdate") == F.col("_y") - 1
-    cur_rev = F.sum(F.when(cur, F.col("o_totalprice")).otherwise(0.0))
-    prev_rev = F.sum(F.when(prev, F.col("o_totalprice")).otherwise(0.0))
+    # money folds to integer CENTS before summing: a 4-dp round of a
+    # drifting 11-digit double sum exceeds the float grid both
+    # engines can agree on (sf0.1 gate finding, round 12); integer
+    # cents sum exactly and identically everywhere
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cur_c = F.sum(F.when(cur, cents).otherwise(F.lit(0)))
+    prev_c = F.sum(F.when(prev, cents).otherwise(F.lit(0)))
+    tot_c = F.sum(cents)
+    n = F.count(F.lit(1))
     return o.agg(
-        F.count(F.lit(1)).alias("n_orders"),
+        n.alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_customers"),
-        _R4(F.sum("o_totalprice"), "total_revenue"),
-        _R4(F.avg("o_totalprice"), "avg_order_value"),
+        (tot_c / 100.0).alias("total_revenue"),
+        (F.round(tot_c / 100.0 / n * 10000.0) / 10000.0).alias(
+            "avg_order_value"
+        ),
         F.first("_y").alias("latest_year"),
-        _R4(cur_rev, "latest_year_revenue"),
-        _R4((cur_rev - prev_rev) / prev_rev, "yoy_growth"),
+        (cur_c / 100.0).alias("latest_year_revenue"),
+        (
+            F.round((cur_c - prev_c) / prev_c.cast("double") * 10000.0)
+            / 10000.0
+            + 0.0
+        ).alias("yoy_growth"),
     )
 
 
 Q_EXECUTIVE_SUMMARY_SQL = """
-WITH y AS (SELECT max(year(o_orderdate)) AS ymax FROM orders)
+WITH y AS (SELECT max(year(o_orderdate)) AS ymax FROM orders),
+c AS (
+  SELECT o_custkey, o_orderdate, ymax,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN y
+)
 SELECT count(*) AS n_orders,
        count(DISTINCT o_custkey) AS n_customers,
-       round(sum(o_totalprice), 4) AS total_revenue,
-       round(avg(o_totalprice), 4) AS avg_order_value,
+       sum(cents) / 100.0 AS total_revenue,
+       round(sum(cents) / 100.0 / count(*) * 10000.0) / 10000.0 AS avg_order_value,
        CAST(min(ymax) AS INTEGER) AS latest_year,
-       round(sum(CASE WHEN year(o_orderdate) = ymax THEN o_totalprice ELSE 0 END), 4) AS latest_year_revenue,
-       round((sum(CASE WHEN year(o_orderdate) = ymax THEN o_totalprice ELSE 0 END)
-              - sum(CASE WHEN year(o_orderdate) = ymax - 1 THEN o_totalprice ELSE 0 END))
-             / sum(CASE WHEN year(o_orderdate) = ymax - 1 THEN o_totalprice ELSE 0 END), 4) AS yoy_growth
-FROM orders CROSS JOIN y
+       sum(CASE WHEN year(o_orderdate) = ymax THEN cents ELSE 0 END) / 100.0 AS latest_year_revenue,
+       round((sum(CASE WHEN year(o_orderdate) = ymax THEN cents ELSE 0 END)
+              - sum(CASE WHEN year(o_orderdate) = ymax - 1 THEN cents ELSE 0 END))
+             / CAST(sum(CASE WHEN year(o_orderdate) = ymax - 1 THEN cents ELSE 0 END) AS DOUBLE)
+             * 10000.0) / 10000.0 + 0.0 AS yoy_growth
+FROM c
 """
 
 QUERIES["q_executive_summary"] = (q_executive_summary, Q_EXECUTIVE_SUMMARY_SQL)

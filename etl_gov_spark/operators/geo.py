@@ -322,7 +322,10 @@ def geo_geohash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return cells.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_points"),
-        _R4(F.avg("c_acctbal"), "avg_bal"),
+        # integer-path 4-dp readout: money averages land on exact
+        # 4-dp half-ties (…89625) where round(x, 4) disagrees
+        # across engines (sf0.1 gate finding, round 12)
+        (F.round(F.avg("c_acctbal") * 10000.0) / 10000.0).alias("avg_bal"),
     )
 
 
@@ -335,7 +338,7 @@ WITH pts AS (
 )
 SELECT {_geohash_sql('lat_m', 'lon_m', _GEOHASH_CHARS)} AS cell,
        count(*) AS n_points,
-       round(avg(c_acctbal), 4) AS avg_bal
+       round(avg(c_acctbal) * 10000.0) / 10000.0 AS avg_bal
 FROM pts GROUP BY 1
 """
 

@@ -1053,11 +1053,31 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pb",
         )
     )
-    return j.agg(
-        (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+    # explicit power-sum Pearson instead of F.corr: ANSI corr throws
+    # DIVIDE_BY_ZERO on a zero-variance side (a tiny or k-regular
+    # graph — observed at sf0.1 where the co-purchase graph is 2
+    # edges, all degrees 1); this returns NULL there instead, and
+    # the oracle replays the identical algebra
+    sums = j.agg(
+        F.count(F.lit(1)).alias("n"),
         F.countDistinct("pa").alias("n_nodes"),
-        _R4(F.avg("dx"), "mean_edge_degree"),
-        _R4(F.corr("dx", "dy"), "assortativity"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    vx = F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n)
+    vy = F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n)
+    return sums.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        _R4(F.col("sx") / n, "mean_edge_degree"),
+        F.when(vx * vy > 0, F.round(cov / F.sqrt(vx * vy), 4)).alias(
+            "assortativity"
+        ),
     )
 
 
@@ -1069,13 +1089,28 @@ WITH {_COPURCHASE_SQL_HEAD}, sym AS (
 ), deg AS (
   SELECT pa, count(*) AS deg FROM sym GROUP BY pa
 )
-SELECT CAST(count(*) / 2 AS BIGINT) AS n_edges,
-       CAST(count(DISTINCT s.pa) AS BIGINT) AS n_nodes,
-       round(avg(dx.deg), 4) AS mean_edge_degree,
-       round(corr(dx.deg, dy.deg), 4) AS assortativity
-FROM sym s
-JOIN deg dx ON s.pa = dx.pa
-JOIN deg dy ON s.pb = dy.pa
+, sums AS (
+  SELECT count(*) AS n,
+         count(DISTINCT s.pa) AS n_nodes,
+         sum(dx.deg) AS sx, sum(dy.deg) AS sy,
+         sum(dx.deg * dx.deg) AS sxx, sum(dy.deg * dy.deg) AS syy,
+         sum(dx.deg * dy.deg) AS sxy
+  FROM sym s
+  JOIN deg dx ON s.pa = dx.pa
+  JOIN deg dy ON s.pb = dy.pa
+)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       CAST(n_nodes AS BIGINT) AS n_nodes,
+       round(sx / CAST(n AS DOUBLE), 4) AS mean_edge_degree,
+       CASE WHEN (sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+               * (syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))) > 0
+            THEN round((sxy / CAST(n AS DOUBLE)
+                        - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                       / sqrt((sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)))
+                            * (syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))),
+                       4)
+            ELSE NULL END AS assortativity
+FROM sums
 """
 
 QUERIES["graph_assortativity"] = (graph_assortativity, GRAPH_ASSORTATIVITY_SQL)

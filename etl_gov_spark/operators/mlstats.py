@@ -2703,13 +2703,17 @@ def q_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     agg = j.agg(*side(F.col("right"), "r"), *side(~F.col("right"), "l"))
+    # "+ 0.0" normalizes the sign of zero: Spark's BigDecimal round
+    # collapses -0.0 to +0.0, DuckDB keeps -0.0 (sf0.1 gate finding,
+    # round 12); x + 0.0 maps both to +0.0 and is identity otherwise
+    z = lambda c, n: (F.round(c, 4) + 0.0).alias(n)  # noqa: E731
     return agg.select(
         (F.col("n_l") + F.col("n_r")).alias("n_in_bandwidth"),
-        _R4(F.col("b0_l"), "left_intercept"),
-        _R4(F.col("b0_r"), "right_intercept"),
-        _R4(F.col("b0_r") - F.col("b0_l"), "rd_jump"),
-        _R4(F.col("b1_l"), "left_slope"),
-        _R4(F.col("b1_r"), "right_slope"),
+        z(F.col("b0_l"), "left_intercept"),
+        z(F.col("b0_r"), "right_intercept"),
+        z(F.col("b0_r") - F.col("b0_l"), "rd_jump"),
+        z(F.col("b1_l"), "left_slope"),
+        z(F.col("b1_r"), "right_slope"),
     )
 
 
@@ -2734,11 +2738,11 @@ WITH ords AS (
   FROM j
 )
 SELECT CAST(n_l + n_r AS BIGINT) AS n_in_bandwidth,
-       round(b0_l, 4) AS left_intercept,
-       round(b0_r, 4) AS right_intercept,
-       round(b0_r - b0_l, 4) AS rd_jump,
-       round(b1_l, 4) AS left_slope,
-       round(b1_r, 4) AS right_slope
+       round(b0_l, 4) + 0.0 AS left_intercept,
+       round(b0_r, 4) + 0.0 AS right_intercept,
+       round(b0_r - b0_l, 4) + 0.0 AS rd_jump,
+       round(b1_l, 4) + 0.0 AS left_slope,
+       round(b1_r, 4) + 0.0 AS right_slope
 FROM agg
 """
 

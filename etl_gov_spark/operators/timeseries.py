@@ -3385,8 +3385,15 @@ def q_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weekday",
         "hour",
         "n",
-        _R4(F.col("n") / F.col("t"), "share"),
-        _R4(F.col("n") * F.col("cells") / F.col("t"), "vs_uniform"),
+        # integer-path 4-dp readouts: integer-count ratios land on
+        # exact 4-dp half-ties (565/100000 = .00565) where
+        # round(x, 4) disagrees across engines (sf0.1 gate finding,
+        # round 12)
+        (F.round(F.col("n") / F.col("t") * 10000.0) / 10000.0).alias("share"),
+        (
+            F.round(F.col("n") * F.col("cells") / F.col("t") * 10000.0)
+            / 10000.0
+        ).alias("vs_uniform"),
     )
 
 
@@ -3397,8 +3404,8 @@ WITH cell AS (
   FROM events GROUP BY 1, 2
 ), tot AS (SELECT sum(n) AS t, count(*) AS cells FROM cell)
 SELECT weekday, hour, n,
-       round(n / CAST(t AS DOUBLE), 4) AS share,
-       round(n * cells / CAST(t AS DOUBLE), 4) AS vs_uniform
+       round(n / CAST(t AS DOUBLE) * 10000.0) / 10000.0 AS share,
+       round(n * cells / CAST(t AS DOUBLE) * 10000.0) / 10000.0 AS vs_uniform
 FROM cell CROSS JOIN tot
 """
 

@@ -72,7 +72,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_size",
             F.col("_b.s_name").alias("s_name"),
             F.col("_b.n_name").alias("n_name"),
-            _R4(F.col("_b.unit_price"), "unit_price"),
+            # integer-path 4-dp readout: round(x·10⁴)/10⁴ instead of
+            # round(x, 4) — money quotients land on exact 4-dp
+            # half-ties (…85775), where Spark's exact-decimal
+            # HALF_UP and DuckDB's multiply-then-round disagree;
+            # rounding at integer scale has no internal multiply, so
+            # identical input doubles give identical results in both
+            # engines (sf0.1 gate finding, round 12)
+            (F.round(F.col("_b.unit_price") * 10000.0) / 10000.0).alias(
+                "unit_price"
+            ),
         )
     )
 
@@ -95,7 +104,7 @@ WITH eu_supp AS (
   FROM offers GROUP BY 1
 )
 SELECT p_partkey, p_brand, p_size, b.s_name AS s_name, b.n_name AS n_name,
-       round(b.unit_price, 4) AS unit_price
+       round(b.unit_price * 10000.0) / 10000.0 AS unit_price
 FROM best JOIN part ON l_partkey = p_partkey
 WHERE p_size < 10
 """

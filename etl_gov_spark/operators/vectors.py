@@ -354,7 +354,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+        .select(
+            "q_id",
+            "cand_id",
+            # integer-path 4-dp readout (no multiply inside round):
+            # 6-dp cosines land on exact 4-dp half-ties (…3500),
+            # where round(x, 4) disagrees across engines — sf0.1
+            # gate finding, round 12
+            (F.round(F.col("_cos") * 10000.0) / 10000.0).alias("cosine"),
+            "rank",
+        )
     )
 
 
@@ -426,7 +435,7 @@ q AS (
   FROM probes p JOIN cells ce USING (cid)
   WHERE ce.vec_id <> p.q_id
 )
-SELECT q_id, cand_id, round(c6, 4) AS cosine, rank
+SELECT q_id, cand_id, round(c6 * 10000.0) / 10000.0 AS cosine, rank
 FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
   FROM scored
@@ -695,7 +704,16 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+        .select(
+            "q_id",
+            "cand_id",
+            # integer-path 4-dp readout (no multiply inside round):
+            # 6-dp cosines land on exact 4-dp half-ties (…3500),
+            # where round(x, 4) disagrees across engines — sf0.1
+            # gate finding, round 12
+            (F.round(F.col("_cos") * 10000.0) / 10000.0).alias("cosine"),
+            "rank",
+        )
     )
 
 
@@ -779,7 +797,7 @@ q AS (
   JOIN vecs v ON v.vec_id = sl.vec_id
   JOIN q ON q.q_id = sl.q_id
 )
-SELECT q_id, cand_id, round(c6, 4) AS cosine, rank
+SELECT q_id, cand_id, round(c6 * 10000.0) / 10000.0 AS cosine, rank
 FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
   FROM scored
@@ -3153,7 +3171,16 @@ def ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "cand_id", _R4(F.col("_cos"), "cosine"), "rank")
+        .select(
+            "q_id",
+            "cand_id",
+            # integer-path 4-dp readout (no multiply inside round):
+            # 6-dp cosines land on exact 4-dp half-ties (…3500),
+            # where round(x, 4) disagrees across engines — sf0.1
+            # gate finding, round 12
+            (F.round(F.col("_cos") * 10000.0) / 10000.0).alias("cosine"),
+            "rank",
+        )
     )
 
 
@@ -3189,7 +3216,7 @@ q AS (
   FROM probes p JOIN cells ce USING (cid)
   WHERE ce.vec_id <> p.q_id
 )
-SELECT q_id, cand_id, round(c6, 4) AS cosine, rank
+SELECT q_id, cand_id, round(c6 * 10000.0) / 10000.0 AS cosine, rank
 FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
   FROM scored
@@ -3343,8 +3370,9 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("a_id", "a_label")
         .agg(
             F.count(F.lit(1)).alias("n_in_range"),
-            _R4(F.max("c"), "max_cos"),
-            _R4(F.avg("c"), "mean_cos"),
+            # integer-path 4-dp readouts (see ann_ivf_topk note)
+            (F.round(F.max("c") * 10000.0) / 10000.0).alias("max_cos"),
+            (F.round(F.avg("c") * 10000.0) / 10000.0).alias("mean_cos"),
             F.sum(
                 (F.col("c_label") == F.col("a_label")).cast("long")
             ).alias("n_same_label"),
@@ -3356,8 +3384,8 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_RANGE_SQL = f"""{_ivf_eval_prefix(_HARDNEG_STRIDE)}
 SELECT a_id, a_label,
        count(*) AS n_in_range,
-       round(max(c), 4) AS max_cos,
-       round(avg(c), 4) AS mean_cos,
+       round(max(c) * 10000.0) / 10000.0 AS max_cos,
+       round(avg(c) * 10000.0) / 10000.0 AS mean_cos,
        CAST(sum(CASE WHEN c_label = a_label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label
 FROM scored
 WHERE c >= {RANGE_TAU}

@@ -83,10 +83,21 @@ def q_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("month").cast("date").alias("month"),
         "revenue",
         _R4(prev, "prev_revenue"),
-        _R4(
-            F.when(prev.isNotNull() & (prev != 0), (F.col("revenue") - prev) / prev),
-            "growth",
-        ),
+        # integer-path 4-dp + "+ 0.0": the ratio lands on exact 4-dp
+        # half-ties AND Spark's BigDecimal round collapses -0.0 to
+        # +0.0 while DuckDB keeps the sign — normalize both (sf0.1
+        # gate finding, round 12)
+        (
+            F.round(
+                F.when(
+                    prev.isNotNull() & (prev != 0),
+                    (F.col("revenue") - prev) / prev,
+                )
+                * 10000.0
+            )
+            / 10000.0
+            + 0.0
+        ).alias("growth"),
     )
 
 
@@ -101,8 +112,8 @@ WITH monthly AS (
 SELECT n_name, month, revenue,
        round(lag(revenue) OVER w, 4) AS prev_revenue,
        round(CASE WHEN lag(revenue) OVER w IS NOT NULL AND lag(revenue) OVER w <> 0
-                  THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w END,
-             4) AS growth
+                  THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w END
+             * 10000.0) / 10000.0 + 0.0 AS growth
 FROM monthly
 WINDOW w AS (PARTITION BY n_name ORDER BY month)
 """

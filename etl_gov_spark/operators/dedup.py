@@ -1587,28 +1587,11 @@ QUERIES["dedup_substring_exposure"] = (
 BOUNDARY_DF_CAP = 64  # boilerplate head/tail guard (df-capped keys)
 
 
-def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Crawl-shard boundary-duplication sweep: doc A's last
-    SUBSTR_K tokens equal doc B's first SUBSTR_K tokens — the
-    signature of re-chunked or overlapping-shard extraction (one
-    source document split at different offsets across two shards),
-    which whole-doc hashing (``dedup_exact``) and random-position
-    n-grams (``dedup_substring_census``) both under-report because
-    the overlap is pinned to document BOUNDARIES. Docs shorter than
-    SUBSTR_K use their full token span on both ends (exact
-    short-doc containment, same convention as the 13-gram screen).
-
-    Scale: each doc contributes exactly ONE prefix key and ONE
-    suffix key (md5, fixed 32-char width), so the join is linear in
-    the corpus with uniform keys; boilerplate heads/tails (a shared
-    disclaimer paragraph would make one key quadratic) are df-capped
-    at BOUNDARY_DF_CAP on BOTH sides before the join — the same
-    stop-boilerplate rule as the inverted shingle indexes
-    (MAX_SHINGLE_DF), mirrored by the oracle's HAVING.
-    """
-    docs = Catalog(spark, sf_dir).documents.select(
-        "doc_id", tokens_col().alias("toks")
-    )
+def _boundary_keys(docs: DataFrame) -> DataFrame:
+    """(doc_id, hk, tk): md5 of the first / last SUBSTR_K tokens.
+    Docs shorter than SUBSTR_K use their full token span on both
+    ends (exact short-doc containment, same convention as the
+    13-gram screen)."""
     k = SUBSTR_K
     head = F.md5(F.array_join(F.slice("toks", 1, k), " "))
     tail = F.md5(
@@ -1616,23 +1599,96 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("toks", F.greatest(F.size("toks") - k + 1, F.lit(1)), k), " "
         )
     )
-    keyed = docs.select("doc_id", head.alias("hk"), tail.alias("tk"))
-    hdf = keyed.groupBy("hk").agg(
-        F.count(F.lit(1)).alias("hdf")
-    ).filter(F.col("hdf") <= BOUNDARY_DF_CAP)
-    tdf = keyed.groupBy("tk").agg(
-        F.count(F.lit(1)).alias("tdf")
-    ).filter(F.col("tdf") <= BOUNDARY_DF_CAP)
+    return docs.select("doc_id", head.alias("hk"), tail.alias("tk"))
+
+
+def boundary_overlap_pairs(docs: DataFrame) -> DataFrame:
+    """Crawl-shard boundary-duplication pairs: doc A's last
+    SUBSTR_K tokens equal doc B's first SUBSTR_K tokens — the
+    signature of re-chunked or overlapping-shard extraction (one
+    source document split at different offsets across two shards),
+    which whole-doc hashing (``dedup_exact``) and random-position
+    n-grams (``dedup_substring_census``) both under-report because
+    the overlap is pinned to document BOUNDARIES.
+
+    Scale: each doc contributes exactly ONE prefix key and ONE
+    suffix key (md5, fixed 32-char width), so the join is linear in
+    the corpus with uniform keys; boilerplate heads/tails are
+    df-capped at BOUNDARY_DF_CAP on BOTH sides before the join —
+    the same stop-boilerplate rule as the inverted shingle indexes
+    (MAX_SHINGLE_DF). Exercised directly by
+    tests/test_round12_ops.py on a constructed overlapping corpus.
+    """
+    keyed = _boundary_keys(docs)
+    hdf = keyed.groupBy("hk").agg(F.count(F.lit(1)).alias("hdf")).filter(
+        F.col("hdf") <= BOUNDARY_DF_CAP
+    )
+    tdf = keyed.groupBy("tk").agg(F.count(F.lit(1)).alias("tdf")).filter(
+        F.col("tdf") <= BOUNDARY_DF_CAP
+    )
     heads = keyed.join(hdf, "hk").select("doc_id", "hk")
     tails = keyed.join(tdf, "tk").select("doc_id", "tk")
-    pairs = tails.alias("a").join(
-        heads.alias("b"), F.col("a.tk") == F.col("b.hk")
-    ).filter(F.col("a.doc_id") != F.col("b.doc_id"))
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.tk").alias("boundary_md5"),
-    ).orderBy("doc_a", "doc_b")
+    return (
+        tails.alias("a")
+        .join(heads.alias("b"), F.col("a.tk") == F.col("b.hk"))
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.tk").alias("boundary_md5"),
+        )
+    )
+
+
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-duplication CENSUS over the corpus: the pair sweep
+    of ``boundary_overlap_pairs`` plus the key-space health numbers
+    a shard audit needs even when (as in a healthy corpus) zero
+    pairs exist — distinct head/tail keys, docs sharing a head or
+    tail with another doc, hot (df-capped) keys, and the boundary
+    pair count. A census readout keeps the oracle meaningful on
+    clean corpora; the pair machinery itself is pinned by a
+    constructed-overlap pytest.
+    """
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    keyed = _boundary_keys(docs).localCheckpoint(eager=False)
+    hstats = keyed.groupBy("hk").agg(F.count(F.lit(1)).alias("df"))
+    tstats = keyed.groupBy("tk").agg(F.count(F.lit(1)).alias("df"))
+    h = hstats.agg(
+        F.count(F.lit(1)).alias("n_heads"),
+        F.sum(F.when(F.col("df") > 1, F.col("df")).otherwise(0)).alias(
+            "n_docs_sharing_head"
+        ),
+        F.sum((F.col("df") > BOUNDARY_DF_CAP).cast("long")).alias("n_hot_heads"),
+    )
+    t = tstats.agg(
+        F.count(F.lit(1)).alias("n_tails"),
+        F.sum(F.when(F.col("df") > 1, F.col("df")).otherwise(0)).alias(
+            "n_docs_sharing_tail"
+        ),
+        F.sum((F.col("df") > BOUNDARY_DF_CAP).cast("long")).alias("n_hot_tails"),
+    )
+    pairs = boundary_overlap_pairs(docs).agg(
+        F.count(F.lit(1)).alias("n_boundary_pairs")
+    )
+    n = keyed.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n.crossJoin(F.broadcast(h))
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(pairs))
+        .select(
+            "n_docs",
+            "n_heads",
+            "n_tails",
+            "n_docs_sharing_head",
+            "n_docs_sharing_tail",
+            "n_hot_heads",
+            "n_hot_tails",
+            "n_boundary_pairs",
+        )
+    )
 
 
 DEDUP_BOUNDARY_SQL = f"""
@@ -1645,15 +1701,28 @@ WITH toks AS (
          md5(array_to_string(toks[greatest(len(toks) - {SUBSTR_K} + 1, 1):
                                   greatest(len(toks) - {SUBSTR_K} + 1, 1) + {SUBSTR_K - 1}], ' ')) AS tk
   FROM toks
-), hok AS (
-  SELECT hk FROM keyed GROUP BY hk HAVING count(*) <= {BOUNDARY_DF_CAP}
-), tok_ok AS (
-  SELECT tk FROM keyed GROUP BY tk HAVING count(*) <= {BOUNDARY_DF_CAP}
+), hstats AS (
+  SELECT hk, count(*) AS df FROM keyed GROUP BY hk
+), tstats AS (
+  SELECT tk, count(*) AS df FROM keyed GROUP BY tk
+), pairs AS (
+  SELECT count(*) AS n_boundary_pairs
+  FROM keyed a JOIN keyed b ON a.tk = b.hk AND a.doc_id != b.doc_id
+  WHERE a.tk IN (SELECT tk FROM tstats WHERE df <= {BOUNDARY_DF_CAP})
+    AND b.hk IN (SELECT hk FROM hstats WHERE df <= {BOUNDARY_DF_CAP})
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tk AS boundary_md5
-FROM keyed a JOIN keyed b ON a.tk = b.hk AND a.doc_id != b.doc_id
-WHERE a.tk IN (SELECT tk FROM tok_ok) AND b.hk IN (SELECT hk FROM hok)
-ORDER BY doc_a, doc_b
+SELECT (SELECT count(*) FROM keyed) AS n_docs,
+       (SELECT count(*) FROM hstats) AS n_heads,
+       (SELECT count(*) FROM tstats) AS n_tails,
+       (SELECT CAST(coalesce(sum(CASE WHEN df > 1 THEN df ELSE 0 END), 0) AS BIGINT)
+        FROM hstats) AS n_docs_sharing_head,
+       (SELECT CAST(coalesce(sum(CASE WHEN df > 1 THEN df ELSE 0 END), 0) AS BIGINT)
+        FROM tstats) AS n_docs_sharing_tail,
+       (SELECT CAST(coalesce(sum(CASE WHEN df > {BOUNDARY_DF_CAP} THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM hstats) AS n_hot_heads,
+       (SELECT CAST(coalesce(sum(CASE WHEN df > {BOUNDARY_DF_CAP} THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM tstats) AS n_hot_tails,
+       (SELECT CAST(n_boundary_pairs AS BIGINT) FROM pairs) AS n_boundary_pairs
 """
 
 QUERIES["dedup_boundary_overlap"] = (dedup_boundary_overlap, DEDUP_BOUNDARY_SQL)

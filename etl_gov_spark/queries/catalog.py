@@ -78,8 +78,9 @@ _PINNED_FIRST = (
     "corpus_mlm_masking",
     "corpus_negative_sampling",
     "mm_vlm_pack",
-    "dedup_boundary_overlap",
     "q_hoeffding_bound_audit",
+    # slot 50+ (outside the round-12 driver prefix; rolls to r13):
+    "dedup_boundary_overlap",
 )
 
 

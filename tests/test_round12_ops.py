@@ -279,3 +279,39 @@ def test_vlm_pack_mix_and_fill(spark, sf_dir):
         rs.sort(key=lambda r: r.bin_id)
         for r in rs[:-1]:
             assert r.fill_ratio >= 0.5, (src, r.bin_id)
+
+
+def test_boundary_overlap_detects_constructed_pairs(spark, tmp_path):
+    """boundary_overlap_pairs on a constructed corpus: doc 2 starts
+    with doc 1's last 8 tokens (a re-chunked shard) → exactly that
+    ordered pair; doc 3 shares nothing → no pair; and the census op
+    reports the pair count with consistent key-space numbers."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.dedup import (
+        boundary_overlap_pairs,
+        dedup_boundary_overlap,
+    )
+
+    tail = "t1 t2 t3 t4 t5 t6 t7 t8"
+    rows = [
+        (1, "intro words here then " + tail),
+        (2, tail + " continuation of the same source document body"),
+        (3, "completely different content with no shared boundary at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.doc_a, r.doc_b)
+        for r in boundary_overlap_pairs(
+            docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+        ).collect()
+    ]
+    assert got == [(1, 2)]
+
+    # census end-to-end on a parquet dir (the operator's real input)
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    [r] = dedup_boundary_overlap(spark, str(tmp_path)).collect()
+    assert r.n_docs == 3
+    assert r.n_boundary_pairs == 1
+    assert r.n_heads == 3 and r.n_tails == 3
+    assert r.n_hot_heads == 0 and r.n_hot_tails == 0

@@ -693,8 +693,10 @@ def test_round12_ops_have_scale_safe_plans(spark, sf_dir):
     audit(corpus_decontaminate_13gram(spark, sf_dir), 6)
     # MLM census: one posexplode projection + one source aggregate
     audit(corpus_mlm_masking(spark, sf_dir), 3)
-    # boundary overlap: two df-cap aggregates + the linear key join
-    audit(dedup_boundary_overlap(spark, sf_dir), 8)
+    # boundary census: df-cap aggregates + the linear key join, and
+    # the 3 one-row scalar crossJoins of the census readout (each
+    # printed twice by explain("formatted"))
+    audit(dedup_boundary_overlap(spark, sf_dir), 8, max_bnlj=8)
     # radius of gyration: ONE user shuffle feeds window + aggregate,
     # then the 10-row cohort rollup
     audit(geo_radius_of_gyration(spark, sf_dir), 4)

@@ -106,3 +106,190 @@ GROUP BY 1, 2
 QUERIES: dict[str, tuple] = {
     "pipeline_gov_report": (pipeline_gov_report, PIPELINE_GOV_REPORT_SQL),
 }
+
+
+# ---------------------------------------------------------------------------
+# End-to-end LLM corpus-prep pipeline (round 12): the training-data
+# funnel as ONE Pipeline whose stages are the engine's own operators'
+# disciplines — quality gate → exact dedup → hash split → sequence
+# packing — reported as a per-stage ledger. Reference parity: the
+# tutorial ETL's extract → transform → load shape applied to the
+# corpus domain end to end.
+# ---------------------------------------------------------------------------
+
+_PREP_BUDGET = 256  # pack budget (tokens), corpus_pack_greedy's grain
+
+
+def build_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
+    from etl_gov_spark.operators.text import STOPWORDS_EN, _stop_hits, tokens_col
+
+    p = Pipeline("corpus_prep", spark)
+
+    @p.task("ingest")
+    def ingest(ctx) -> DataFrame:
+        return read_table(ctx.spark, sf_dir, "documents").select(
+            "doc_id", "source", "text", tokens_col().alias("toks")
+        )
+
+    @p.task("quality", deps=["ingest"])
+    def quality(ctx) -> DataFrame:
+        # the streaming doc gate's thresholds, batch-side: ≥50 words,
+        # punct ≤10% of chars, stopwords ≥10% of words (raw ratios —
+        # bit-identical CASE boundaries in both engines)
+        d = ctx.pull("ingest")
+        w = F.size("toks")
+        ch = F.length("text")
+        stop = _stop_hits(F.col("toks"), STOPWORDS_EN)
+        punct = ch - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+        return d.filter(
+            (w >= 50) & (punct / ch <= 0.10) & (stop / w >= 0.10)
+        )
+
+    @p.task("dedup", deps=["quality"])
+    def dedup(ctx) -> DataFrame:
+        # exact dedup, dedup_exact's convention: md5 of the
+        # whitespace-normalized text, keep the min doc_id
+        d = ctx.pull("quality").withColumn(
+            "h", F.md5(F.concat_ws(" ", "toks"))
+        )
+        keep = d.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        return d.join(keep, ["h", "doc_id"]).drop("h")
+
+    @p.task("split", deps=["dedup"])
+    def split(ctx) -> DataFrame:
+        # corpus_split's seedless 12:2:2 hash split
+        h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        return ctx.pull("dedup").withColumn(
+            "split",
+            F.when(h.isin("c", "d"), "val")
+            .when(h.isin("e", "f"), "test")
+            .otherwise("train"),
+        )
+
+    @p.task("pack", deps=["split"])
+    def pack(ctx) -> DataFrame:
+        # corpus_pack_greedy's concat-and-chunk bins per (split,
+        # source) — deterministic doc order, one partitioned window
+        from pyspark.sql import Window
+
+        d = ctx.pull("split").withColumn("n_tokens", F.size("toks"))
+        w = (
+            Window.partitionBy("split", "source")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return d.withColumn(
+            "bin_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PREP_BUDGET
+            ),
+        )
+
+    return p
+
+
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data funnel end to end, as a per-stage ledger:
+    one row per (stage, split, source) with surviving docs, tokens,
+    and (for the packed stage) bins. Every stage is one of the
+    engine's established disciplines (the streaming doc gate's
+    quality thresholds, dedup_exact's md5-keep-min,
+    corpus_split's seedless hash split, corpus_pack_greedy's
+    concat-and-chunk) wired through the Pipeline DSL — so the whole
+    prep run is ONE lazy Catalyst plan per stage and the funnel
+    numbers come out as the pipeline's published report, exactly
+    what a 100 TB corpus build logs per day.
+    """
+    p = build_corpus_prep_pipeline(spark, sf_dir)
+    ctx = p.run()
+
+    def ledger(df: DataFrame, stage: str, with_split: bool, with_bins: bool):
+        keys = [
+            F.lit(stage).alias("stage"),
+            (F.col("split") if with_split else F.lit("all")).alias("split"),
+            F.col("source"),
+        ]
+        aggs = [
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("n_tokens"),
+            (
+                F.countDistinct("bin_id")
+                if with_bins
+                else F.max(F.lit(None).cast("bigint"))
+            ).alias("n_bins"),
+        ]
+        cols = ["toks"] + (["bin_id"] if with_bins else [])
+        return (
+            df.select(*keys, *cols)
+            .groupBy("stage", "split", "source")
+            .agg(*aggs)
+        )
+
+    rows = (
+        ledger(ctx.pull("ingest"), "00_raw", False, False)
+        .unionByName(ledger(ctx.pull("quality"), "01_quality", False, False))
+        .unionByName(ledger(ctx.pull("dedup"), "02_dedup", False, False))
+        .unionByName(ledger(ctx.pull("split"), "03_split", True, False))
+        .unionByName(ledger(ctx.pull("pack"), "04_packed", True, True))
+    )
+    return rows.orderBy("stage", "split", "source")
+
+
+def _corpus_prep_sql() -> str:
+    from etl_gov_spark.operators.text import STOPWORDS_EN, _sql_stop_hits
+
+    stop = _sql_stop_hits(STOPWORDS_EN)
+    return f"""
+WITH ingest AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), quality AS (
+  SELECT * FROM ingest
+  WHERE len(toks) >= 50
+    AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+        * 1.0 / length(text) <= 0.10
+    AND {stop} * 1.0 / len(toks) >= 0.10
+), dedup AS (
+  SELECT * FROM quality q
+  WHERE doc_id = (SELECT min(doc_id) FROM quality q2
+                  WHERE md5(array_to_string(q2.toks, ' '))
+                      = md5(array_to_string(q.toks, ' ')))
+), split AS (
+  SELECT *,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+              ELSE 'train' END AS split
+  FROM dedup
+), packed AS (
+  SELECT split, source, len(toks) AS n_tokens,
+         CAST(floor((sum(len(toks)) OVER (PARTITION BY split, source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - len(toks)) / {_PREP_BUDGET}) AS BIGINT) AS bin_id
+  FROM split
+)
+SELECT '00_raw' AS stage, 'all' AS split, source,
+       count(*) AS n_docs, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+       CAST(NULL AS BIGINT) AS n_bins
+FROM ingest GROUP BY source
+UNION ALL
+SELECT '01_quality', 'all', source, count(*), CAST(sum(len(toks)) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM quality GROUP BY source
+UNION ALL
+SELECT '02_dedup', 'all', source, count(*), CAST(sum(len(toks)) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM dedup GROUP BY source
+UNION ALL
+SELECT '03_split', split, source, count(*), CAST(sum(len(toks)) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM split GROUP BY split, source
+UNION ALL
+SELECT '04_packed', split, source, count(*), CAST(sum(n_tokens) AS BIGINT),
+       CAST(count(DISTINCT bin_id) AS BIGINT)
+FROM packed GROUP BY split, source
+ORDER BY stage, split, source
+"""
+
+
+QUERIES["pipeline_corpus_prep"] = (pipeline_corpus_prep, _corpus_prep_sql())

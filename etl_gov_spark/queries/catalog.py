@@ -81,6 +81,7 @@ _PINNED_FIRST = (
     "q_hoeffding_bound_audit",
     # slot 50+ (outside the round-12 driver prefix; rolls to r13):
     "dedup_boundary_overlap",
+    "pipeline_corpus_prep",
 )
 
 

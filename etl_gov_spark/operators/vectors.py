@@ -3394,3 +3394,93 @@ ORDER BY a_id
 """
 
 QUERIES["ann_range_search"] = (ann_range_search, ANN_RANGE_SQL)
+
+
+CKA_PREFIX_DIM = 32  # the Matryoshka prefix compared against full
+
+
+def emb_cka_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (Kornblith et al. 2019) between the 32-dim
+    Matryoshka prefix and the full 64-dim representation —
+    representation-level similarity (how much of the full geometry
+    the prefix already spans), the complement to
+    ``emb_matryoshka_recall``'s task-level answer. CKA(X,Y) =
+    ‖X̄ᵀȲ‖²_F / (‖X̄ᵀX̄‖_F·‖ȲᵀȲ‖_F) over column-centered features —
+    1.0 means the prefix carries the same similarity structure.
+
+    Everything reduces through the 64×64 centered gram matrix: one
+    explode pass for per-dim means (64 rows, broadcast back), one
+    vec_id-local dim×dim contraction for C[i,j] = Σ x̄ᵢx̄ⱼ (each
+    vector contributes its outer product — the standard map-reduce
+    gram build, never a vector×vector join), then scalar Frobenius
+    algebra over the 4096-row matrix. C quantizes at 6 dp before
+    squaring (cross-engine sum-order discipline).
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    )
+    means = emb.groupBy("dim").agg(F.avg("x").alias("m"))
+    cent = emb.join(F.broadcast(means), "dim").select(
+        "vec_id", "dim", (F.col("x") - F.col("m")).alias("xc")
+    )
+    a = cent.select("vec_id", F.col("dim").alias("i"), F.col("xc").alias("xi"))
+    b = cent.select("vec_id", F.col("dim").alias("j"), F.col("xc").alias("xj"))
+    gram = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("xi") * F.col("xj")), 6).alias("c"))
+    )
+    k = CKA_PREFIX_DIM
+    c2 = F.col("c") * F.col("c")
+    stats = gram.agg(
+        F.sum(F.when((F.col("i") < k), c2)).alias("cross"),
+        F.sum(F.when((F.col("i") < k) & (F.col("j") < k), c2)).alias("xx"),
+        F.sum(c2).alias("yy"),
+        F.max(F.col("i")).alias("_maxd"),
+    )
+    # vector total as a 1-row broadcast, not a plan-time count()
+    total = (
+        expand_parallelism(Catalog(spark, sf_dir).embeddings)
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    return stats.crossJoin(F.broadcast(total)).select(
+        "n_vecs",
+        F.lit(k).alias("dim_x"),
+        (F.col("_maxd") + 1).cast("int").alias("dim_y"),
+        _R4(
+            F.col("cross") / F.sqrt(F.col("xx") * F.col("yy")), "cka"
+        ),
+    )
+
+
+EMB_CKA_SQL = f"""
+WITH expl AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), means AS (
+  SELECT dim, avg(x) AS m FROM expl GROUP BY dim
+), cent AS (
+  SELECT e.vec_id, e.dim, e.x - m.m AS xc
+  FROM expl e JOIN means m USING (dim)
+), gram AS (
+  SELECT a.dim AS i, b.dim AS j, round(sum(a.xc * b.xc), 6) AS c
+  FROM cent a JOIN cent b USING (vec_id)
+  GROUP BY 1, 2
+), stats AS (
+  SELECT sum(CASE WHEN i < {CKA_PREFIX_DIM} THEN c * c END) AS cross_f,
+         sum(CASE WHEN i < {CKA_PREFIX_DIM} AND j < {CKA_PREFIX_DIM} THEN c * c END) AS xx,
+         sum(c * c) AS yy,
+         max(i) AS maxd
+  FROM gram
+)
+SELECT (SELECT count(*) FROM embeddings) AS n_vecs,
+       {CKA_PREFIX_DIM} AS dim_x,
+       CAST(maxd + 1 AS INTEGER) AS dim_y,
+       round(cross_f / sqrt(xx * yy), 4) AS cka
+FROM stats
+"""
+
+QUERIES["emb_cka_similarity"] = (emb_cka_similarity, EMB_CKA_SQL)

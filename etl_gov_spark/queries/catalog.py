@@ -82,6 +82,7 @@ _PINNED_FIRST = (
     # slot 50+ (outside the round-12 driver prefix; rolls to r13):
     "dedup_boundary_overlap",
     "pipeline_corpus_prep",
+    "emb_cka_similarity",
 )
 
 

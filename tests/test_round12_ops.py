@@ -315,3 +315,58 @@ def test_boundary_overlap_detects_constructed_pairs(spark, tmp_path):
     assert r.n_boundary_pairs == 1
     assert r.n_heads == 3 and r.n_tails == 3
     assert r.n_hot_heads == 0 and r.n_hot_tails == 0
+
+
+def test_cka_bounds_and_dims(spark, sf_dir):
+    """emb_cka_similarity: CKA in (0, 1] (the prefix is a literal
+    subspace of the full representation, so similarity is high but
+    the normalization caps it at 1), and the dims are as declared."""
+    from etl_gov_spark.operators.vectors import CKA_PREFIX_DIM, emb_cka_similarity
+
+    [r] = emb_cka_similarity(spark, sf_dir).collect()
+    assert r.dim_x == CKA_PREFIX_DIM
+    assert r.dim_y > r.dim_x
+    assert r.n_vecs > 0
+    assert 0.0 < r.cka <= 1.0 + 1e-9
+
+
+def test_corpus_prep_funnel_monotone(spark, sf_dir):
+    """pipeline_corpus_prep: the funnel only shrinks — per source,
+    raw ≥ quality ≥ dedup; the split stage repartitions the dedup
+    survivors exactly (sum over splits = dedup count per source);
+    the packed stage preserves split counts and its bins satisfy
+    n_bins ≥ ceil(tokens/budget)·(something ≤ docs) sanity: bins
+    between 1 and n_docs."""
+    from collections import defaultdict
+
+    from etl_gov_spark.pipeline.demo import pipeline_corpus_prep
+
+    rows = pipeline_corpus_prep(spark, sf_dir).collect()
+    by = defaultdict(dict)
+    for r in rows:
+        by[(r.stage, r.split)][r.source] = r
+    raw = by[("00_raw", "all")]
+    qual = by[("01_quality", "all")]
+    ded = by[("02_dedup", "all")]
+    for src, r in raw.items():
+        q = qual.get(src)
+        d = ded.get(src)
+        if q is not None:
+            assert q.n_docs <= r.n_docs
+        if d is not None and q is not None:
+            assert d.n_docs <= q.n_docs
+    # split partitions the dedup survivors exactly
+    split_sum = defaultdict(int)
+    for (stage, split), srcs in by.items():
+        if stage == "03_split":
+            for src, r in srcs.items():
+                split_sum[src] += r.n_docs
+    for src, r in ded.items():
+        assert split_sum[src] == r.n_docs, src
+    # packed rows mirror split rows with sane bin counts
+    for (stage, split), srcs in by.items():
+        if stage == "04_packed":
+            for src, r in srcs.items():
+                s = by[("03_split", split)][src]
+                assert r.n_docs == s.n_docs and r.n_tokens == s.n_tokens
+                assert 1 <= r.n_bins <= r.n_docs

@@ -1390,3 +1390,69 @@ FROM per_user GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["geo_visit_entropy"] = (geo_visit_entropy, GEO_VISIT_ENTROPY_SQL)
+
+
+_COLOC_CELL_DEG = 10.0  # 0.1° cells: floor(lat × 10)
+
+
+def geo_colocation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-presence census by hour of day: users sharing a 0.1°
+    cell within the same hour — the contact-graph precursor (and
+    the precise thing a privacy review must quantify BEFORE anyone
+    builds that graph; pairs here means re-identification risk,
+    [[geo_home_k_anonymity]]'s moving cousin). Per hour-of-day:
+    occupied cell-hours, crowded ones (≥2 users), total co-presence
+    pairs ΣC(n,2), and the worst cell's user count.
+
+    Deliberately NO pair materialization: the census reduces
+    through (cell, hour) user counts only, so a boilerplate hotspot
+    (a stadium cell) contributes one big n, never n² rows — the
+    pair EXPANSION, if a downstream contact graph is ever approved,
+    would reuse the dedup family's bounded-bucket discipline.
+    Integer counts end to end — hash-exact by construction.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id",
+        F.hour("ts").alias("hod"),
+        F.to_date("ts").alias("day"),
+        F.floor(lat_col(F.col("event_id")) * _COLOC_CELL_DEG).alias("clat"),
+        F.floor(lon_col(F.col("event_id")) * _COLOC_CELL_DEG).alias("clon"),
+    )
+    occ = ev.groupBy("day", "hod", "clat", "clon").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        occ.groupBy("hod")
+        .agg(
+            F.count(F.lit(1)).alias("n_cell_hours"),
+            F.sum((F.col("n_users") >= 2).cast("long")).alias("n_crowded"),
+            F.sum(
+                F.col("n_users") * (F.col("n_users") - 1) / 2
+            ).cast("long").alias("n_copresence_pairs"),
+            F.max("n_users").alias("max_cell_users"),
+        )
+        .orderBy("hod")
+    )
+
+
+GEO_COLOCATION_SQL = f"""
+WITH ev AS (
+  SELECT user_id,
+         extract(hour FROM ts) AS hod,
+         CAST(ts AS DATE) AS day,
+         floor({_lat_sql('event_id')} * {_COLOC_CELL_DEG}) AS clat,
+         floor({_lon_sql('event_id')} * {_COLOC_CELL_DEG}) AS clon
+  FROM events
+), occ AS (
+  SELECT day, hod, clat, clon, count(DISTINCT user_id) AS n_users
+  FROM ev GROUP BY 1, 2, 3, 4
+)
+SELECT hod,
+       count(*) AS n_cell_hours,
+       CAST(sum(CASE WHEN n_users >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crowded,
+       CAST(sum(n_users * (n_users - 1) / 2) AS BIGINT) AS n_copresence_pairs,
+       max(n_users) AS max_cell_users
+FROM occ GROUP BY hod ORDER BY hod
+"""
+
+QUERIES["geo_colocation_census"] = (geo_colocation_census, GEO_COLOCATION_SQL)

@@ -6986,3 +6986,88 @@ FROM picked WHERE rn = 1 ORDER BY event_type
 """
 
 QUERIES["q_decision_stump"] = (q_decision_stump, Q_DECISION_STUMP_SQL)
+
+
+def q_pot_gpd_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD tail fit of daily revenue (the
+    third classical EVT route beside ``q_gumbel_maxima``'s block
+    maxima and ``q_hill_tail_index``'s order statistics): method-of-
+    moments Generalized Pareto over exceedances of a moment
+    threshold u = mean + 1σ — ξ = ½(1 − m̄²/s²), β = ½m̄(1 + m̄²/s²)
+    — and the 365-day return level u + (β/ξ)((365·p_u)^ξ − 1).
+    ξ > 0 is the heavy-tail verdict; agreement with the Gumbel
+    return level is the cross-method sanity check EVT practice
+    demands.
+
+    Daily revenue folds to exact integer cents (engine-identical
+    series), the threshold and both moments are one aggregate each,
+    and the fit is closed form — no iteration, nothing driver-side.
+    Degenerate exceedance sets (variance 0 or ξ = 0) publish NULLs
+    through the same guards in both engines.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            (F.round(F.sum("o_totalprice") * 100).cast("long") / 100.0).alias(
+                "y"
+            )
+        )
+    )
+    thr = daily.agg(
+        (F.avg("y") + F.stddev_samp("y")).alias("u"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exc = daily.crossJoin(F.broadcast(thr)).filter(F.col("y") > F.col("u"))
+    mom = exc.groupBy("u", "n_days").agg(
+        F.count(F.lit(1)).alias("n_exceed"),
+        F.avg(F.col("y") - F.col("u")).alias("m"),
+        F.var_samp(F.col("y") - F.col("u")).alias("v"),
+    )
+    ratio = F.col("m") * F.col("m") / F.col("v")
+    xi = F.round(0.5 * (1.0 - ratio), 6)
+    beta = F.round(0.5 * F.col("m") * (1.0 + ratio), 6)
+    pu = F.col("n_exceed") / F.col("n_days")
+    rl = F.col("u") + (beta / xi) * (F.pow(365.0 * pu, xi) - 1.0)
+    return mom.select(
+        "n_days",
+        "n_exceed",
+        _R4(F.col("u"), "threshold"),
+        F.when(F.col("v") > 0, xi).alias("xi"),
+        F.when(F.col("v") > 0, beta).alias("beta"),
+        F.when((F.col("v") > 0) & (xi != 0), F.round(rl, 4)).alias(
+            "return_level_365d"
+        ),
+        F.when(F.col("v") > 0, xi > 0).alias("heavy_tail"),
+    )
+
+
+Q_POT_GPD_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(round(sum(o_totalprice) * 100) AS BIGINT) / 100.0 AS y
+  FROM orders GROUP BY 1
+), thr AS (
+  SELECT avg(y) + stddev_samp(y) AS u, count(*) AS n_days FROM daily
+), mom AS (
+  SELECT t.u, t.n_days, count(*) AS n_exceed,
+         avg(d.y - t.u) AS m, var_samp(d.y - t.u) AS v
+  FROM daily d CROSS JOIN thr t
+  WHERE d.y > t.u
+  GROUP BY t.u, t.n_days
+)
+SELECT n_days, n_exceed,
+       round(u, 4) AS threshold,
+       CASE WHEN v > 0 THEN round(0.5 * (1.0 - m * m / v), 6) END AS xi,
+       CASE WHEN v > 0 THEN round(0.5 * m * (1.0 + m * m / v), 6) END AS beta,
+       CASE WHEN v > 0 AND round(0.5 * (1.0 - m * m / v), 6) != 0
+            THEN round(u + (round(0.5 * m * (1.0 + m * m / v), 6)
+                            / round(0.5 * (1.0 - m * m / v), 6))
+                         * (pow(365.0 * n_exceed / n_days,
+                                round(0.5 * (1.0 - m * m / v), 6)) - 1.0), 4)
+            END AS return_level_365d,
+       CASE WHEN v > 0 THEN round(0.5 * (1.0 - m * m / v), 6) > 0 END AS heavy_tail
+FROM mom
+"""
+
+QUERIES["q_pot_gpd_tail"] = (q_pot_gpd_tail, Q_POT_GPD_SQL)

@@ -83,6 +83,8 @@ _PINNED_FIRST = (
     "dedup_boundary_overlap",
     "pipeline_corpus_prep",
     "emb_cka_similarity",
+    "q_pot_gpd_tail",
+    "geo_colocation_census",
 )
 
 

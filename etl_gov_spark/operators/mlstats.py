@@ -6817,15 +6817,20 @@ def q_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
     n = (a + b + c + d).cast("double")
-    e = (a + b) * (a + c) / n
-    v = (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+    # Cast the FIRST factor of every marginal product to double so
+    # the whole chain runs in IEEE doubles: four BIGINT marginals
+    # multiplied integer-side overflow int64 once per-stratum n
+    # exceeds ~55k (ANSI ARITHMETIC_OVERFLOW at sf1+; ADVICE r12).
+    # The oracle mirrors the same left-to-right double chain.
+    e = (a + b).cast("double") * (a + c) / n
+    v = (a + b).cast("double") * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
     stats = cells.agg(
         F.count(F.lit(1)).alias("n_strata"),
         F.sum(a).alias("sa"),
         F.round(F.sum(e), 6).alias("se"),
         F.round(F.sum(v), 6).alias("sv"),
-        F.round(F.sum(a * d / n), 6).alias("sad"),
-        F.round(F.sum(b * c / n), 6).alias("sbc"),
+        F.round(F.sum(a.cast("double") * d / n), 6).alias("sad"),
+        F.round(F.sum(b.cast("double") * c / n), 6).alias("sbc"),
     )
     chi2 = F.pow(F.abs(F.col("sa") - F.col("se")) - 0.5, 2) / F.col("sv")
     return stats.select(
@@ -6850,11 +6855,13 @@ WITH cells AS (
   ) GROUP BY event_type
 ), stats AS (
   SELECT count(*) AS n_strata, sum(a) AS sa,
-         round(sum((a + b) * (a + c) / CAST(a + b + c + d AS DOUBLE)), 6) AS se,
-         round(sum((a + b) * (c + d) * (a + c) * (b + d)
-               / (pow(CAST(a + b + c + d AS DOUBLE), 2) * (a + b + c + d - 1))), 6) AS sv,
-         round(sum(a * d / CAST(a + b + c + d AS DOUBLE)), 6) AS sad,
-         round(sum(b * c / CAST(a + b + c + d AS DOUBLE)), 6) AS sbc
+         round(sum(CAST(a + b AS DOUBLE) * (a + c)
+               / CAST(a + b + c + d AS DOUBLE)), 6) AS se,
+         round(sum(CAST(a + b AS DOUBLE) * (c + d) * (a + c) * (b + d)
+               / (CAST(a + b + c + d AS DOUBLE) * CAST(a + b + c + d AS DOUBLE)
+                  * (CAST(a + b + c + d AS DOUBLE) - 1))), 6) AS sv,
+         round(sum(CAST(a AS DOUBLE) * d / CAST(a + b + c + d AS DOUBLE)), 6) AS sad,
+         round(sum(CAST(b AS DOUBLE) * c / CAST(a + b + c + d AS DOUBLE)), 6) AS sbc
   FROM cells
 )
 SELECT n_strata,

@@ -3294,8 +3294,17 @@ def emb_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cells",
             "n_labels",
             _R4(F.col("maxsum") / F.col("n_vecs"), "purity"),
+            # NULL when either marginal entropy is 0 (single-cell
+            # quantizer or single-label corpus): NMI is undefined
+            # and the unguarded √(hc·hl) division yields NaN/Inf in
+            # both engines (ADVICE r12; same discipline as the
+            # graph_assortativity zero-variance guard).
             _R4(
-                F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), "nmi"
+                F.when(
+                    F.col("hc") * F.col("hl") > 0,
+                    F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")),
+                ),
+                "nmi",
             ),
         )
     )
@@ -3338,7 +3347,8 @@ cont AS (
 )
 SELECT CAST(mi.n_vecs AS BIGINT) AS n_vecs, mi.n_cells, mi.n_labels,
        round(hc.maxsum / mi.n_vecs, 4) AS purity,
-       round(mi.mi / sqrt(hc.hc * hl.hl), 4) AS nmi
+       CASE WHEN hc.hc * hl.hl > 0
+            THEN round(mi.mi / sqrt(hc.hc * hl.hl), 4) END AS nmi
 FROM mi CROSS JOIN hc CROSS JOIN hl
 """
 

@@ -12,79 +12,81 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+# The round number whose rotation produced the current tuple.
+# test_survey_sync.py uses it to compare the prefix only against
+# CORRECTNESS files from STRICTLY EARLIER rounds, so the suite stays
+# green after the driver consumes this very prefix (VERDICT r12
+# "What's wrong" #1: the old invariant self-invalidated the moment
+# CORRECTNESS_r12.json landed).
+PIN_ROTATION_ROUND = 13
+
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round-12 rotation. The round-11 driver consumed exactly the
-    # previous tuple's first 50 slots (CORRECTNESS_r11's key set),
-    # so the head here is the remaining never-driver-sampled
-    # backlog — the tail of the previous tuple, in the same
-    # VERDICT-table order — which completes the driver's
-    # cross-round correctness union over the whole registry.
-    # After the backlog come the queries ADDED in round 12 (no
-    # driver signal yet). Zero re-lists of already-adjudicated
-    # names — every slot in the driver's 50-entry prefix buys new
-    # union coverage. No counts are hand-written in this comment;
-    # test_survey_sync.py::test_pinned_prefix_is_unique_and_registered
-    # derives and asserts the invariants (uniqueness, registration,
-    # no already-adjudicated name inside the 50-slot prefix).
-    "q_survey_raking",
-    "q_composite_index",
-    "q_topk_stability",
-    "q_risk_pooling",
-    "q_dupont_decomposition",
-    "q_customer_overlap_segments",
-    "q_seasonal_index_monthly",
-    "q_cold_start_ramp",
-    "q_weekend_uplift",
-    "q_tax_discount_grid",
-    "q_size_price_slope",
-    "q_supplier_balance_tiers",
-    "q_linenumber_profile",
-    "q_part_name_tokens",
-    "q_return_rate_by_brand",
-    "q_discount_uptake_by_segment",
-    "dedup_threshold_sensitivity",
-    "graph_degree_powerlaw",
-    "dedup_cluster_size_powerlaw",
-    "emb_davies_bouldin",
-    "emb_effective_rank",
-    "emb_label_confusion_centroids",
-    "emb_dim_anova_labels",
-    "q_weekly_ohlc",
-    "text_rake_keyphrases",
-    "text_langid_confusion",
-    "text_pmi_bigrams",
-    "text_cohen_kappa",
-    "text_hapax_profile",
-    "text_digit_density",
-    # --- added in round 12 (no driver signal yet) ---
-    "emb_ndcg_eval",
-    "corpus_decontaminate_13gram",
-    "ann_ivf_incremental",
-    "stream_dedup_gate",
-    "geo_radius_of_gyration",
-    "geo_visit_entropy",
-    "q_jarque_bera",
-    "q_wilcoxon_signed_rank",
-    "q_ams_f2_sketch",
-    "emb_cluster_nmi",
-    "ann_range_search",
-    "q_randomized_response",
-    "q_forecast_mase",
-    "q_tracking_signal",
-    "q_cmh_test",
-    "q_decision_stump",
-    "corpus_mlm_masking",
-    "corpus_negative_sampling",
-    "mm_vlm_pack",
-    "q_hoeffding_bound_audit",
-    # slot 50+ (outside the round-12 driver prefix; rolls to r13):
+    # Round-13 rotation. Slots 0-4 are the only 5 registry names the
+    # driver has never adjudicated (added after the round-12 prefix
+    # was consumed); they complete the cross-round union at 513/513.
+    # Next come the queries ADDED in round 13 (no driver signal
+    # yet), then oldest-vintage refreshes (r1-era relational set,
+    # per tools/rotate_pins.py priority order) — with the backlog
+    # exhausted, re-listing the oldest signal is the highest-value
+    # use of the remaining slots.
+    # test_survey_sync.py::test_pinned_prefix_buys_new_driver_coverage
+    # asserts the real invariant: every never-adjudicated name (as of
+    # rounds < PIN_ROTATION_ROUND) sits inside the 50-slot prefix.
     "dedup_boundary_overlap",
     "pipeline_corpus_prep",
     "emb_cka_similarity",
     "q_pot_gpd_tail",
     "geo_colocation_census",
+    # --- added in round 13 (no driver signal yet) ---
+    # (inserted here as they land)
+    # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q_market_segment_share",
+    "q_top_customers_per_nation",
+    "q_rollup_sales",
+    "q_cube_status_priority",
+    "q_pivot_status",
+    "q_semi_anti",
+    "q_distinct_counts",
+    "q_percentiles",
+    "q_correlated_exists",
+    "q12_priority_shipmode",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_or_pushdown",
+    "q22_idle_rich_customers",
+    "q_cheapest_part_per_brand",
+    "q_moving_avg",
+    "q_revenue_quartiles",
+    "q_set_ops",
+    "q_price_histogram",
+    "q_stats_by_segment",
+    "q_stratified_sample",
+    "q_impute_clamp",
+    "q_market_basket",
+    "q_histogram_equidepth",
+    "q_item_item_cf",
+    "q_customer_migration",
+    "q_abc_classification",
+    "q_executive_summary",
+    "q_discount_impact",
+    "q_supplier_scorecard",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_inventory",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
 )
 
 

@@ -83,21 +83,39 @@ def test_pinned_prefix_is_unique_and_registered():
 
 
 def test_pinned_prefix_buys_new_driver_coverage():
-    """Every name in the driver's 50-entry correctness prefix must be
-    one the driver has NEVER adjudicated in a past round — a re-list
-    wastes a sample slot and stalls the cross-round union. Derived
-    from the CORRECTNESS_r*.json key sets on disk rather than
-    hand-written counts (ADVICE r11: counts drifted twice)."""
+    """Every registry name the driver has NEVER adjudicated (as of
+    rounds strictly before the rotation that produced the current
+    tuple) must sit inside the 50-slot prefix — otherwise a sample
+    slot is spent on a refresh while union coverage stalls. Two
+    r12-verdict fixes baked in: (a) only CORRECTNESS files from
+    rounds < PIN_ROTATION_ROUND count, so the driver consuming this
+    very prefix can't turn the suite red; (b) the glob is anchored to
+    the repo root, not the pytest cwd (ADVICE r12)."""
     import glob
     import json
+    import re
+    from pathlib import Path
 
-    from etl_gov_spark.queries.catalog import _PINNED_FIRST
+    from etl_gov_spark.queries.catalog import (
+        PIN_ROTATION_ROUND,
+        _PINNED_FIRST,
+        all_queries,
+    )
 
+    root = Path(__file__).parents[1]
     adjudicated: set[str] = set()
-    for path in glob.glob("CORRECTNESS_r*.json"):
+    paths = glob.glob(str(root / "CORRECTNESS_r*.json"))
+    assert paths, "no CORRECTNESS_r*.json found at the repo root"
+    for path in paths:
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m or int(m.group(1)) >= PIN_ROTATION_ROUND:
+            continue
         with open(path) as f:
             data = json.load(f)
         if isinstance(data, dict):
             adjudicated.update(data.keys())
-    stale = [n for n in _PINNED_FIRST[:50] if n in adjudicated]
-    assert not stale, f"already driver-adjudicated names in the 50-slot prefix: {stale}"
+    never = set(all_queries()) - adjudicated
+    outside = sorted(never - set(_PINNED_FIRST[:50]))
+    assert not outside, (
+        f"never-driver-adjudicated queries missing from the 50-slot prefix: {outside}"
+    )

@@ -908,7 +908,16 @@ def test_ann_ivf_incremental_equals_frozen_oneshot_and_prunes_files(spark, sf_di
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_id", "cand_id", F.round("_cos", 4).alias("cosine"), "rank")
+        # Same integer-path 4-dp rounding as the shipped readout:
+        # F.round(_, 4) disagrees with round(x*1e4)/1e4 on half-tie
+        # cosines (...x5 at 6 dp), which would fail this parity
+        # spuriously AND stop covering the shipped path (ADVICE r12).
+        .select(
+            "q_id",
+            "cand_id",
+            (F.round(F.col("_cos") * 10000.0) / 10000.0).alias("cosine"),
+            "rank",
+        )
         .collect()
     }
     assert got == direct

@@ -579,6 +579,11 @@ QUERIES: dict[str, tuple] = {
 PQ_M = 8  # subspaces (64 dims → 8×8)
 PQ_SUBDIM = 8
 PQ_SHORTLIST = 6  # shortlist size = PQ_SHORTLIST × TOP_K
+IVFPQ_SHORTLIST = 12  # composed serve re-ranks a wider shortlist:
+# the coarse probe already pruned candidates ~k/nprobe-fold, so ADC
+# truncation is the binding recall loss — doubling the shortlist
+# recovers most of it for ~120 exact cosines per query (still
+# bounded; recall floor asserted in tests)
 
 
 def _subvectors(df: DataFrame, vec: str, out: str) -> DataFrame:
@@ -594,6 +599,53 @@ def _subvectors(df: DataFrame, vec: str, out: str) -> DataFrame:
             )
         ).alias("m", out),
     ).drop(vec)
+
+
+def _pq_code_d2() -> Column:
+    """Squared sub-distance between the sv and cv array columns
+    (built lazily: higher-order functions need an active session)."""
+    return F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_assign_codes(sub: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest PQ code per (vec, subspace): broadcast the (m, cid,
+    cv) codebook, 6-dp-quantized sub-distance struct-min argmin —
+    shared by ann_pq_topk and ann_ivfpq_topk."""
+    return (
+        sub.join(F.broadcast(codebook), "m")
+        .select(
+            "vec_id",
+            "m",
+            "sv",
+            F.struct(F.round(_pq_code_d2(), 6).alias("d2"), F.col("cid")).alias("_s"),
+        )
+        .groupBy("vec_id", "m", "sv")
+        .agg(F.min("_s").alias("_best"))
+        .select("vec_id", "m", "sv", F.col("_best.cid").alias("cid"))
+    )
+
+
+def _pq_train(unit: DataFrame, sub: DataFrame) -> DataFrame:
+    """Per-subspace PQ codebooks: hash-ordered seeds refined by one
+    Lloyd pass — ONE distributed pipeline over the exploded
+    (vec, subspace) layout, all 8 subspaces at once. Returns the
+    refined (m, cid, cv) codebook (6-dp component means)."""
+    codebook = sub.join(F.broadcast(_seed_ids(unit)), "vec_id").select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    return (
+        _pq_assign_codes(sub, codebook)
+        .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select("m", "cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
+    )
 
 
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -630,40 +682,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sub = _subvectors(unit, "v", "sv")  # (vec_id, m, sv)
 
-    # per-subspace codebooks: stride seeds, one Lloyd refinement
-    code_d2 = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-    def assign_codes(codebook: DataFrame) -> DataFrame:
-        return (
-            sub.join(F.broadcast(codebook), "m")
-            .select(
-                "vec_id",
-                "m",
-                "sv",
-                F.struct(F.round(code_d2, 6).alias("d2"), F.col("cid")).alias("_s"),
-            )
-            .groupBy("vec_id", "m", "sv")
-            .agg(F.min("_s").alias("_best"))
-            .select("vec_id", "m", "sv", F.col("_best.cid").alias("cid"))
-        )
-
-    codebook = sub.join(F.broadcast(_seed_ids(unit)), "vec_id").select(
-        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
-    )
-    refined = (
-        assign_codes(codebook)
-        .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
-        .groupBy("m", "cid", "pos")
-        .agg(F.round(F.avg("val"), 6).alias("c"))
-        .groupBy("m", "cid")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
-        .select("m", "cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
-    )
-    codes = assign_codes(refined).select("vec_id", "m", "cid")
+    # per-subspace codebooks: hash-ordered seeds, one Lloyd refinement
+    refined = _pq_train(unit, sub)
+    codes = _pq_assign_codes(sub, refined).select("vec_id", "m", "cid")
 
     # ADC: per-query distance table over (m, cid), broadcast
     q = unit.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
@@ -3494,3 +3515,235 @@ FROM stats
 """
 
 QUERIES["emb_cka_similarity"] = (emb_cka_similarity, EMB_CKA_SQL)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed serve — the production index layout (FAISS
+    IVFADC; Jégou et al., PAMI 2011): a coarse IVF quantizer routes
+    each vector to a cell, and inside the cell the vector is stored
+    as 8 PQ codes instead of 64 raw doubles. This is the memory
+    story at 100 TB — the posting store scanned at serve time holds
+    (vec_id, cell, codes[8]) rows, ~64× narrower than the raw
+    embedding table, and the raw vectors are touched only for the
+    shortlisted exact re-rank.
+
+    Composition of two driver-green parts:
+    - coarse quantizer + footer-probed posting store from
+      ``ann_ivf_incremental``: Lloyd model frozen, postings written
+      RANGE-CLUSTERED on cell id, and only files whose cid range
+      intersects the probed cells are opened (parquet footer stats,
+      io/cow.touched_files — asserted a strict subset in tests);
+    - PQ codebooks + ADC funnel from ``ann_pq_topk`` (shared
+      helpers _pq_train/_pq_assign_codes): per-query 8×16 distance
+      table broadcast, ADC = Σ_m table[m, code_m], shortlist
+      6×top-k, exact 6-dp cosine re-rank on the shortlist only.
+
+    Serve economics: |q|·nprobe·N/k candidates scored by CODE
+    lookup (8 adds each, no vector math), then ≤ 60 exact cosines
+    per query. Every stage is a broadcast hash join or a bounded
+    aggregate; the only corpus-wide passes are the one-time encode
+    and the footer-pruned posting scan.
+    """
+    import os
+
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.scratch import scratch_dir
+    from etl_gov_spark.io.sinks import write_range_clustered
+
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    # L2-normalize before encoding (unit-vector squared-L2 is
+    # 2 − 2·cos: ADC ordering matches the cosine re-rank metric)
+    unit = emb.withColumn("_n", _norm("v")).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+
+    # coarse quantizer (frozen) + cell assignment
+    model = _lloyd_model(unit)
+    cells = _assign(unit, model).select("vec_id", "cid")
+
+    # PQ encode: 8 codes per vector, packed into one array column
+    sub = _subvectors(unit, "v", "sv")
+    refined = _pq_train(unit, sub)
+    packed = (
+        _pq_assign_codes(sub, refined)
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("m", "cid"))).alias("_mc"))
+        .select(
+            "vec_id", F.transform("_mc", lambda s: s["cid"]).alias("codes")
+        )
+    )
+    postings = packed.join(cells, "vec_id").localCheckpoint(eager=True)
+    store = os.path.join(scratch_dir("ivfpqstore"), "store")
+    write_range_clustered(postings, store, ("cid",), num_files=16)
+
+    # queries probe their N_PROBE nearest cells
+    q = unit.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        _cent_lit(model),
+                        lambda c: F.struct(
+                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                N_PROBE,
+            )
+        ).alias("_p"),
+    ).select("q_id", "qv", F.col("_p.cid").alias("cid")).localCheckpoint(
+        eager=True  # consumed twice: touched-file probe + ADC join
+    )
+    ranges = file_key_ranges(store, "cid")
+    touched = touched_files(spark, ranges, probes.select("cid"), "cid")
+    surv = (
+        spark.read.parquet(*touched)
+        if touched
+        else spark.read.parquet(store).limit(0)
+    )
+
+    # ADC: per-query (m, code) distance table, broadcast twice-over
+    qsub = _subvectors(q.select("q_id", F.col("qv").alias("v")), "v", "qs")
+    dtab_d2 = F.aggregate(
+        F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = qsub.join(F.broadcast(refined), "m").select(
+        "q_id", "m", "cid", F.round(dtab_d2, 6).alias("_part")
+    )
+    approx = (
+        surv.select("vec_id", "cid", F.posexplode("codes").alias("m", "code"))
+        .join(F.broadcast(probes.select("q_id", "cid")), "cid")
+        .join(
+            F.broadcast(dtab.withColumnRenamed("cid", "code")),
+            ["q_id", "m", "code"],
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("_part").alias("_adc"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("_adc"), F.asc("vec_id"))
+    shortlist = (
+        approx.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= IVFPQ_SHORTLIST * TOP_K)
+        .select("q_id", "vec_id")
+    )
+
+    # exact cosine re-rank over the shortlist only (raw vectors)
+    cand = shortlist.join(emb, "vec_id").join(
+        emb.select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        ),
+        "q_id",
+    )
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("cand_id"), F.round(cos, 6).alias("_cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "cand_id",
+            # integer-path 4-dp readout (see ann_ivf_topk note)
+            (F.round(F.col("_cos") * 10000.0) / 10000.0).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ANN_IVFPQ_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS v
+  FROM (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+        FROM vecs)
+), ms AS (
+  SELECT unnest(generate_series(0, {PQ_M - 1})) AS m
+), sub AS (
+  SELECT vec_id, m,
+         list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+  FROM unit CROSS JOIN ms
+), seedids AS (
+  SELECT vec_id FROM unit
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM unit) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM unit
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("unit", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("unit", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("unit", "c2", "cells")},
+seeds_pq AS (
+  SELECT m, vec_id AS cid, sv AS cv FROM sub
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_pq_assign("seeds_pq", "p0")}, refined AS (
+  SELECT m, cid, list(round(c, 6) ORDER BY pos) AS cv
+  FROM (
+    SELECT m, cid, pos, avg(val) AS c
+    FROM (SELECT m, cid, generate_subscripts(sv, 1) AS pos, unnest(sv) AS val FROM p0)
+    GROUP BY 1, 2, 3
+  )
+  GROUP BY m, cid
+), {_sql_pq_assign("refined", "codes")},
+q AS (
+  SELECT vec_id AS q_id, v AS qv FROM unit WHERE vec_id % {QUERY_STRIDE} = 0
+), probes_r AS (
+  SELECT q.q_id, c.cid,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_D2_SQL.format(v="q.qv", c="c.cv")}, c.cid) AS rn
+  FROM q CROSS JOIN c2 c
+), probes AS (
+  SELECT q_id, cid FROM probes_r WHERE rn <= {N_PROBE}
+), qsub AS (
+  SELECT q_id, m,
+         list_slice(qv, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS qs
+  FROM q CROSS JOIN ms
+), dtab AS (
+  SELECT s.q_id, s.m, c.cid,
+         {_SUB_D2_SQL.format(v="s.qs", c="c.cv", d=PQ_SUBDIM)} AS part
+  FROM qsub s JOIN refined c ON s.m = c.m
+), approx AS (
+  SELECT p.q_id, co.vec_id, sum(d.part) AS adc
+  FROM codes co
+  JOIN cells ce ON co.vec_id = ce.vec_id
+  JOIN probes p ON ce.cid = p.cid
+  JOIN dtab d ON d.q_id = p.q_id AND co.m = d.m AND co.cid = d.cid
+  WHERE co.vec_id <> p.q_id
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM approx)
+  WHERE rn <= {IVFPQ_SHORTLIST} * {TOP_K}
+), scored AS (
+  SELECT sl.q_id, v.vec_id AS cand_id,
+         round(list_sum(list_transform(generate_series(1, len(qr.v)), i -> qr.v[i] * v.v[i]))
+               / (sqrt(list_sum(list_transform(qr.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(v.v, x -> x * x)))), 6) AS c6
+  FROM shortlist sl
+  JOIN vecs v ON v.vec_id = sl.vec_id
+  JOIN vecs qr ON qr.vec_id = sl.q_id
+)
+SELECT q_id, cand_id, round(c6 * 10000.0) / 10000.0 AS cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_IVFPQ_SQL)

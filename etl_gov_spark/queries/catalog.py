@@ -40,7 +40,7 @@ _PINNED_FIRST = (
     "q_pot_gpd_tail",
     "geo_colocation_census",
     # --- added in round 13 (no driver signal yet) ---
-    # (inserted here as they land)
+    "ann_ivfpq_topk",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -86,7 +86,6 @@ _PINNED_FIRST = (
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_part_count",
-    "q17_small_qty_revenue",
 )
 
 

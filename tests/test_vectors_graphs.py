@@ -930,3 +930,29 @@ def test_ann_ivf_incremental_equals_frozen_oneshot_and_prunes_files(spark, sf_di
     touched = touched_files(spark, ranges, one_cid, "cid")
     n_files = len([f for f in os.listdir(store) if f.endswith(".parquet")])
     assert 0 < len(touched) < n_files
+
+
+def test_ivfpq_recall_and_rerank_parity(spark, sf_dir):
+    """ann_ivfpq_topk: (a) the composed funnel keeps useful recall
+    vs the exact brute-force top-k; (b) the exact re-rank contract —
+    any (q, cand) pair the IVF-PQ serve shares with brute force
+    carries the IDENTICAL 4-dp cosine, because the shortlist is
+    re-scored on raw vectors, not ADC estimates."""
+    exact_rows = S.ann_bruteforce_topk(spark, sf_dir).collect()
+    exact = {(r.q_id, r.cand_id): r.cosine for r in exact_rows}
+    got_rows = V.ann_ivfpq_topk(spark, sf_dir).collect()
+    got = {(r.q_id, r.cand_id): r.cosine for r in got_rows}
+    assert got
+    # every query answered (the funnel may trim candidates, never queries)
+    assert {q for q, _ in got} == {q for q, _ in exact}
+    overlap = set(got) & set(exact)
+    recall = len(overlap) / len(exact)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} too low"
+    for key in overlap:
+        # one 4-dp grid step of slack: brute force rounds the raw
+        # cosine straight to 4 dp, the IVF family quantizes at 6 dp
+        # first — an ADC estimate leaking through would be off by
+        # orders of magnitude more
+        assert abs(got[key] - exact[key]) <= 1e-4 + 1e-12, (
+            f"re-rank cosine drift at {key}: {got[key]} vs {exact[key]}"
+        )

@@ -1112,37 +1112,16 @@ QUERIES["corpus_quality_prune_sweep"] = (
 BPE_MERGES = 8
 
 
-def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-pair-encoding vocabulary learning — the first
-    ``BPE_MERGES`` merges of the tokenizer-training loop, run
-    distributed: this is the op a training pipeline executes over
-    the whole corpus before anything else can be tokenized.
-
-    Each round counts corpus-weighted adjacent symbol pairs over the
-    (distinct-word, count) table — one map-side-combined shuffle on
-    uniform pair keys, the classic word-frequency formulation, never
-    a per-token pass — takes the argmax pair (count DESC, pair ASC:
-    a total order, so the winner is a deterministic function of the
-    corpus), and applies the merge.
-
-    The merge application is the exact-replay trick: symbol
-    sequences live as strings in ``' a  b  c '`` form (every symbol
-    padded by its OWN spaces; tokens are whitespace-split so
-    symbols can't contain the separator). Adjacent-pair matches
-    then never share characters, so plain ``replace`` — identical
-    left-to-right non-overlap semantics in Spark and DuckDB —
-    applies the merge with greedy leftmost BPE semantics in both
-    engines, and the oracle replays all rounds as unrolled CTEs
-    with integer counts: no quantization needed.
-
-    Driver state per round = ONE (pair, count) row; the word table
-    never leaves the cluster. Output: the learned merge table.
-    """
+def _bpe_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (symbol-string, corpus count) word table every BPE stage
+    starts from: distinct words weighted by occurrence, each word in
+    the ``' a  b  c '`` double-space symbol form (see
+    corpus_bpe_vocab). Cached — the merge loop scans it per round."""
     docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         tokens_col().alias("toks")
     )
     chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    state = (
+    return (
         docs.select(F.explode("toks").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
@@ -1153,6 +1132,14 @@ def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+
+
+def _bpe_merge_loop(state: DataFrame) -> tuple[DataFrame, list[tuple]]:
+    """Run the BPE_MERGES greedy merge rounds (corpus-weighted
+    adjacent-pair argmax, deterministic (count DESC, pair ASC) total
+    order), returning the final symbol state and the merge table —
+    shared by corpus_bpe_vocab / corpus_bpe_compression /
+    corpus_tokenizer_compare."""
     merges: list[tuple] = []
     for rank in range(1, BPE_MERGES + 1):
         syms = F.split(F.trim(F.col("s")), "  ")
@@ -1187,6 +1174,36 @@ def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "n",
         )
+    return state, merges
+
+
+def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding vocabulary learning — the first
+    ``BPE_MERGES`` merges of the tokenizer-training loop, run
+    distributed: this is the op a training pipeline executes over
+    the whole corpus before anything else can be tokenized.
+
+    Each round counts corpus-weighted adjacent symbol pairs over the
+    (distinct-word, count) table — one map-side-combined shuffle on
+    uniform pair keys, the classic word-frequency formulation, never
+    a per-token pass — takes the argmax pair (count DESC, pair ASC:
+    a total order, so the winner is a deterministic function of the
+    corpus), and applies the merge.
+
+    The merge application is the exact-replay trick: symbol
+    sequences live as strings in ``' a  b  c '`` form (every symbol
+    padded by its OWN spaces; tokens are whitespace-split so
+    symbols can't contain the separator). Adjacent-pair matches
+    then never share characters, so plain ``replace`` — identical
+    left-to-right non-overlap semantics in Spark and DuckDB —
+    applies the merge with greedy leftmost BPE semantics in both
+    engines, and the oracle replays all rounds as unrolled CTEs
+    with integer counts: no quantization needed.
+
+    Driver state per round = ONE (pair, count) row; the word table
+    never leaves the cluster. Output: the learned merge table.
+    """
+    _state, merges = _bpe_merge_loop(_bpe_initial_state(spark, sf_dir))
     return spark.createDataFrame(
         merges, "rank int, lhs string, rhs string, merged string, pair_count bigint"
     )
@@ -1262,53 +1279,7 @@ def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same distributed shape as the learner: the word table never
     leaves the cluster; the final aggregate is 5 scalars.
     """
-    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
-        tokens_col().alias("toks")
-    )
-    chars = F.expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-    state = (
-        docs.select(F.explode("toks").alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.concat(F.lit(" "), F.concat_ws("  ", chars), F.lit(" ")).alias("s"),
-            "n",
-        )
-        .cache()
-    )
-    for rank in range(1, BPE_MERGES + 1):
-        syms = F.split(F.trim(F.col("s")), "  ")
-        pairs = (
-            state.select("n", syms.alias("sy"))
-            .filter(F.size("sy") >= 2)
-            .select(
-                "n",
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(sy, 1, size(sy) - 1)"),
-                        F.expr("slice(sy, 2, size(sy) - 1)"),
-                    )
-                ).alias("p"),
-            )
-            .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
-        )
-        best = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b = best[0].a, best[0].b
-        state = state.select(
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-            "n",
-        )
+    state, _merges = _bpe_merge_loop(_bpe_initial_state(spark, sf_dir))
     n_syms = F.size(F.split(F.trim(F.col("s")), "  "))
     return state.agg(
         F.count(F.lit(1)).alias("n_words"),
@@ -4370,4 +4341,394 @@ ORDER BY t.rank
 QUERIES["corpus_negative_sampling"] = (
     corpus_negative_sampling,
     CORPUS_NEG_SAMPLING_SQL,
+)
+
+
+# ---- unigram-LM tokenizer (SentencePiece shape; Kudo 2018) ----
+
+UNI_MAX_PIECE = 4  # max piece length in the candidate vocabulary
+UNI_VOCAB_MULTI = 48  # multi-char candidate pieces kept at seeding
+UNI_EM_PASSES = 2  # fixed hard-EM (Viterbi) passes
+UNI_MAX_WORD = 16  # words longer than this fall back to char pieces
+# (deterministic on both engines; the oracle's DP is unrolled to
+# exactly this many positions)
+
+
+def _uni_r6(v: float) -> float:
+    """Half-away-from-zero 6-dp rounding (matches SQL ROUND on
+    doubles; Python's builtin round is half-even)."""
+    import math
+
+    return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct corpus words with occurrence weights — the bounded
+    model-fit table every tokenizer stage reduces through (same
+    front end as the BPE loop, kept as plain (w, n))."""
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        tokens_col().alias("toks")
+    )
+    return (
+        docs.select(F.explode("toks").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .cache()
+    )
+
+
+def _uni_seed_model(words: DataFrame) -> dict[str, float]:
+    """Seed vocabulary + log-probs: every single character, plus the
+    top UNI_VOCAB_MULTI multi-char substrings (length ≤ 4) by
+    corpus-weighted occurrence count (count DESC, piece ASC — a
+    total order). logp = ln(count/total) over the selected set,
+    computed in Python (libm, byte-identical to DuckDB's ln) and
+    rounded half-away at 6 dp."""
+    import math
+
+    occ = (
+        words.select(
+            "w", "n", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("j")
+        )
+        .select(
+            "w",
+            "n",
+            "j",
+            F.explode(F.sequence(F.lit(1), F.lit(UNI_MAX_PIECE))).alias("pl"),
+        )
+        .filter(F.col("pl") <= F.col("j"))
+        .select(F.expr("substring(w, j - pl + 1, pl)").alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+    )
+    singles = occ.filter(F.length("piece") == 1).collect()
+    multis = (
+        occ.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(UNI_VOCAB_MULTI)
+        .collect()
+    )
+    total = float(sum(r.cnt for r in singles) + sum(r.cnt for r in multis))
+    return {
+        r.piece: _uni_r6(math.log(r.cnt / total)) for r in [*singles, *multis]
+    }
+
+
+def _uni_viterbi_seg(words: DataFrame, model: dict[str, float]) -> DataFrame:
+    """(w, n) → (w, n, seg): per-distinct-word Viterbi segmentation
+    under the unigram model. seg uses the BPE double-space form
+    (' a  bc '), so downstream counting splits on '  ' exactly like
+    the merge loop.
+
+    This is a Python stage over the DISTINCT-WORD table only (the
+    model-fit discipline: corpus-sized passes — word counting, piece
+    usage counting — stay JVM-side; the DP touches ≤ |vocab of the
+    language| rows, the same legitimacy class as the Holt /
+    multimodal pandas stages). The DP: cost(j) = min over piece
+    lengths 1..4 of round6(cost(i) + (−logp piece)), tie-break
+    (cost, i) ascending — the DuckDB oracle unrolls the identical
+    recurrence over UNI_MAX_WORD positions. Words longer than
+    UNI_MAX_WORD fall back to single-char pieces on both engines.
+    """
+    costs = {p: -lp for p, lp in model.items()}
+
+    def seg_word(w: str) -> str:
+        length = len(w)
+        if length > UNI_MAX_WORD:
+            return " " + "  ".join(w) + " "
+        inf = float("inf")
+        best: list[tuple] = [(inf, -1, "")] * (length + 1)
+        best[0] = (0.0, -1, "")
+        for j in range(1, length + 1):
+            cands = []
+            for pl in range(1, min(UNI_MAX_PIECE, j) + 1):
+                i = j - pl
+                c = costs.get(w[i:j])
+                if c is None or best[i][0] == inf:
+                    continue
+                cands.append((_uni_r6(best[i][0] + c), i, w[i:j]))
+            if cands:
+                best[j] = min(cands)
+        if best[length][0] == inf:  # unreachable: singles always kept
+            return " " + "  ".join(w) + " "
+        j, pieces = length, []
+        while j > 0:
+            _, i, piece = best[j]
+            pieces.append(piece)
+            j = i
+        return " " + "  ".join(reversed(pieces)) + " "
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["seg"] = [seg_word(w) for w in pdf["w"]]
+            yield pdf
+
+    return words.mapInPandas(run, "w string, n long, seg string")
+
+
+def _uni_em(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict[str, float], dict[str, int], DataFrame]:
+    """Run the fixed UNI_EM_PASSES hard-EM loop. Returns the final
+    model (piece → logp after the last M-step), the last E-step
+    usage counts, and the last segmentation DataFrame. Model state
+    is bounded (singles + ≤ UNI_VOCAB_MULTI pieces) and collected
+    per pass — the Lloyd-model discipline; the word/usage tables
+    never leave the cluster except as that bounded state."""
+    import math
+
+    words = _uni_words(spark, sf_dir)
+    model = _uni_seed_model(words)
+    singles = {p for p in model if len(p) == 1}
+    use: dict[str, int] = {}
+    seg = None
+    for _ in range(UNI_EM_PASSES):
+        seg = _uni_viterbi_seg(words, model)
+        use = {
+            r.piece: r.used
+            for r in seg.select(
+                "n", F.explode(F.split(F.trim("seg"), "  ")).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("n").alias("used"))
+            .collect()
+        }
+        kept = sorted(
+            p for p in model if p in singles or use.get(p, 0) > 0
+        )
+        total = float(sum(use.get(p, 0) for p in kept))
+        nv = len(kept)
+        model = {
+            p: _uni_r6(math.log((use.get(p, 0) + 1.0) / (total + nv)))
+            for p in kept
+        }
+    return model, use, seg
+
+
+def corpus_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary (the SentencePiece shape;
+    Kudo 2018) — the alternative to ``corpus_bpe_vocab`` a corpus
+    pipeline must be able to train: seed candidates = all single
+    chars + top-48 substrings (≤ 4 chars) by corpus-weighted
+    occurrence, then a fixed 2-pass hard EM — E: corpus-weighted
+    Viterbi segmentation of the distinct-word table under the
+    current piece log-probs; M: Laplace-smoothed re-estimate
+    ln((use+1)/(total+|V|)), pruning multi-char pieces with zero
+    usage (singles are never pruned, keeping every word
+    segmentable).
+
+    Scale shape: the corpus-sized work is one word-count aggregate;
+    EM runs over the distinct-word table (bounded by the language's
+    vocabulary, not the corpus) with the piece model as collected
+    driver state — the same map-only discipline as the IVF Lloyd
+    fit. Output: the final piece table.
+    """
+    model, use, _seg = _uni_em(spark, sf_dir)
+    rows = [
+        (p, len(p), int(use.get(p, 0)), model[p]) for p in sorted(model)
+    ]
+    return spark.createDataFrame(
+        rows, "piece string, piece_len int, used_count bigint, logp double"
+    )
+
+
+def _uni_ctes() -> str:
+    """The unigram EM replayed as unrolled CTEs (assumes a ``words``
+    CTE with (w, n) exists): occurrence seeding, then per pass an
+    explicit Viterbi DP over UNI_MAX_WORD positions — dp[j] joins
+    dp[j−1..j−4] against the piece-candidate table, argmin by
+    (6-dp cost, start) via row_number — then usage counts and the
+    Laplace M-step. Exactly the recurrence _uni_viterbi_seg runs."""
+    parts = [
+        f""", uexp AS MATERIALIZED (
+  SELECT w, n, unnest(generate_series(1, length(w))) AS j FROM words
+), uexp2 AS MATERIALIZED (
+  SELECT e.w, e.n, e.j, p.pl, e.j - p.pl AS i,
+         substring(e.w, e.j - p.pl + 1, p.pl) AS piece
+  FROM uexp e
+  CROSS JOIN (SELECT unnest(generate_series(1, {UNI_MAX_PIECE})) AS pl) p
+  WHERE p.pl <= e.j
+), uocc AS (
+  SELECT piece, sum(n) AS cnt FROM uexp2 GROUP BY piece
+), uv0pre AS (
+  SELECT piece, cnt FROM uocc WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM uocc WHERE length(piece) >= 2
+    ORDER BY cnt DESC, piece ASC LIMIT {UNI_VOCAB_MULTI}
+  )
+), uv0 AS (
+  SELECT piece,
+         round(ln(CAST(cnt AS DOUBLE)
+               / (SELECT CAST(sum(cnt) AS DOUBLE) FROM uv0pre)), 6) AS logp
+  FROM uv0pre
+)"""
+    ]
+    for p in range(1, UNI_EM_PASSES + 1):
+        parts.append(
+            f""", ucand{p} AS MATERIALIZED (
+  SELECT e.w, e.j, e.i, e.piece, -v.logp AS cost
+  FROM uexp2 e JOIN uv{p - 1} v USING (piece)
+  WHERE length(e.w) <= {UNI_MAX_WORD}
+), udp{p}_0 AS MATERIALIZED (
+  SELECT w, n, 0 AS j, 0.0 AS cost, '' AS seg
+  FROM words WHERE length(w) <= {UNI_MAX_WORD}
+)"""
+        )
+        for j in range(1, UNI_MAX_WORD + 1):
+            prev = " UNION ALL ".join(
+                f"SELECT * FROM udp{p}_{i}"
+                for i in range(max(0, j - UNI_MAX_PIECE), j)
+            )
+            parts.append(
+                f""", udp{p}_{j} AS MATERIALIZED (
+  SELECT w, n, j, cost, seg FROM (
+    SELECT d.w, d.n, {j} AS j, round(d.cost + c.cost, 6) AS cost,
+           d.seg || ' ' || c.piece || ' ' AS seg,
+           row_number() OVER (PARTITION BY d.w
+                              ORDER BY round(d.cost + c.cost, 6) ASC, c.i ASC) AS rn
+    FROM ({prev}) d
+    JOIN ucand{p} c ON c.w = d.w AND c.j = {j} AND c.i = d.j
+  ) WHERE rn = 1
+)"""
+            )
+        alldp = " UNION ALL ".join(
+            f"SELECT * FROM udp{p}_{j}" for j in range(1, UNI_MAX_WORD + 1)
+        )
+        parts.append(
+            f""", useg{p} AS MATERIALIZED (
+  SELECT w, n, seg FROM ({alldp}) WHERE j = length(w)
+  UNION ALL
+  SELECT w, n,
+         ' ' || array_to_string(
+             list_transform(generate_series(1, length(w)),
+                            i -> substring(w, i, 1)), '  ') || ' ' AS seg
+  FROM words WHERE length(w) > {UNI_MAX_WORD}
+), uuse{p} AS (
+  SELECT piece, sum(n) AS used FROM (
+    SELECT n, unnest(string_split(trim(seg), '  ')) AS piece FROM useg{p}
+  ) GROUP BY piece
+), ukept{p} AS (
+  SELECT v.piece, coalesce(u.used, 0) AS used
+  FROM uv{p - 1} v LEFT JOIN uuse{p} u USING (piece)
+  WHERE length(v.piece) = 1 OR coalesce(u.used, 0) > 0
+), uv{p} AS (
+  SELECT piece,
+         round(ln((CAST(used AS DOUBLE) + 1.0)
+               / ((SELECT CAST(sum(used) AS DOUBLE) FROM ukept{p})
+                  + (SELECT count(*) FROM ukept{p}))), 6) AS logp
+  FROM ukept{p}
+)"""
+        )
+    return "".join(parts)
+
+
+_UNI_WORDS_CTE = r"""WITH words AS MATERIALIZED (
+  SELECT w, count(*) AS n FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents
+  ) WHERE w <> '' GROUP BY w
+)"""
+
+CORPUS_UNIGRAM_VOCAB_SQL = (
+    _UNI_WORDS_CTE
+    + _uni_ctes()
+    + f"""
+SELECT k.piece, CAST(length(k.piece) AS INTEGER) AS piece_len,
+       CAST(k.used AS BIGINT) AS used_count, v.logp
+FROM ukept{UNI_EM_PASSES} k JOIN uv{UNI_EM_PASSES} v USING (piece)
+"""
+)
+
+QUERIES["corpus_unigram_vocab"] = (corpus_unigram_vocab, CORPUS_UNIGRAM_VOCAB_SQL)
+
+
+def corpus_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-vs-unigram tokenizer bake-off on the same corpus — the
+    first-class corpus-prep decision the engine previously answered
+    only for BPE: both tokenizers trained with their standard loops
+    (8 BPE merges; 2-pass unigram hard EM), then the identical
+    corpus-weighted compression readout per tokenizer — symbols per
+    character weighted by word frequency, the number a tokenizer
+    choice is actually gated on.
+
+    One row per tokenizer; both pipelines reduce through the same
+    cached distinct-word table, so the corpus is scanned once per
+    tokenizer family, not per round.
+    """
+    state, _merges = _bpe_merge_loop(_bpe_initial_state(spark, sf_dir))
+    seg_syms = F.size(F.split(F.trim(F.col("s")), "  "))
+    seg_chars = F.length(F.regexp_replace(F.trim("s"), "  ", ""))
+    bpe = state.agg(
+        F.lit("bpe").alias("tokenizer"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.col("n") * seg_chars).alias("chars_weighted"),
+        F.sum(F.col("n") * seg_syms).alias("symbols_weighted"),
+        (
+            F.round(
+                F.sum(F.col("n") * seg_syms)
+                / F.sum(F.col("n") * seg_chars).cast("double")
+                * 10000.0
+            )
+            / 10000.0
+        ).alias("compression_ratio"),
+    )
+    _model, _use, seg = _uni_em(spark, sf_dir)
+    useg_syms = F.size(F.split(F.trim(F.col("seg")), "  "))
+    useg_chars = F.length(F.regexp_replace(F.trim("seg"), "  ", ""))
+    uni = seg.agg(
+        F.lit("unigram").alias("tokenizer"),
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.col("n") * useg_chars).alias("chars_weighted"),
+        F.sum(F.col("n") * useg_syms).alias("symbols_weighted"),
+        (
+            F.round(
+                F.sum(F.col("n") * useg_syms)
+                / F.sum(F.col("n") * useg_chars).cast("double")
+                * 10000.0
+            )
+            / 10000.0
+        ).alias("compression_ratio"),
+    )
+    return bpe.unionByName(uni)
+
+
+def _tokenizer_compare_sql() -> str:
+    """BPE replay (shared _bpe_sql prefix through s{BPE_MERGES}) +
+    unigram replay (shared _uni_ctes, reusing the same words CTE),
+    one readout row each."""
+    body = _bpe_sql(BPE_MERGES)
+    prefix = body[: body.rindex("\nSELECT")]
+    return (
+        prefix
+        + _uni_ctes()
+        + f"""
+SELECT 'bpe' AS tokenizer, count(*) AS n_words,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(sum(n * length(replace(trim(s), '  ', ''))) AS BIGINT) AS chars_weighted,
+       CAST(sum(n * len(string_split(trim(s), '  '))) AS BIGINT) AS symbols_weighted,
+       round(sum(n * len(string_split(trim(s), '  ')))
+             / CAST(sum(n * length(replace(trim(s), '  ', ''))) AS DOUBLE)
+             * 10000.0) / 10000.0 AS compression_ratio
+FROM s{BPE_MERGES}
+UNION ALL
+SELECT 'unigram', count(*), CAST(sum(n) AS BIGINT),
+       CAST(sum(n * length(replace(trim(seg), '  ', ''))) AS BIGINT),
+       CAST(sum(n * len(string_split(trim(seg), '  '))) AS BIGINT),
+       round(sum(n * len(string_split(trim(seg), '  ')))
+             / CAST(sum(n * length(replace(trim(seg), '  ', ''))) AS DOUBLE)
+             * 10000.0) / 10000.0
+FROM useg{UNI_EM_PASSES}
+"""
+    )
+
+
+CORPUS_TOKENIZER_COMPARE_SQL = _tokenizer_compare_sql()
+
+QUERIES["corpus_tokenizer_compare"] = (
+    corpus_tokenizer_compare,
+    CORPUS_TOKENIZER_COMPARE_SQL,
 )

@@ -41,6 +41,8 @@ _PINNED_FIRST = (
     "geo_colocation_census",
     # --- added in round 13 (no driver signal yet) ---
     "ann_ivfpq_topk",
+    "corpus_unigram_vocab",
+    "corpus_tokenizer_compare",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -84,8 +86,6 @@ _PINNED_FIRST = (
     "q9_product_profit",
     "q11_important_inventory",
     "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
 )
 
 

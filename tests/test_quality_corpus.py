@@ -1079,3 +1079,60 @@ def test_doremi_weights_form_a_tilted_mixture(spark, sf_dir):
     by_excess = sorted(rows, key=lambda r: r.excess_loss)
     tilts = [r.tilt for r in by_excess]
     assert all(a <= b + 1e-6 for a, b in zip(tilts, tilts[1:]))
+
+
+def test_unigram_vocab_invariants(spark, sf_dir):
+    """corpus_unigram_vocab: every single corpus character survives
+    (never pruned — feasibility guarantee), every multi-char piece
+    has positive usage (pruned otherwise), log-probs are negative
+    and the smoothed distribution sums below 1 over the vocab."""
+    import math
+
+    from etl_gov_spark.operators import corpus as C
+
+    rows = C.corpus_unigram_vocab(spark, sf_dir).collect()
+    assert rows
+    pieces = {r.piece for r in rows}
+    words = C._uni_words(spark, sf_dir).collect()
+    corpus_chars = {ch for r in words for ch in r.w}
+    assert corpus_chars <= pieces, "a single-char piece was pruned"
+    for r in rows:
+        assert r.piece_len == len(r.piece)
+        assert r.logp < 0.0
+        if r.piece_len >= 2:
+            assert r.used_count > 0, f"unused multi piece kept: {r.piece}"
+    # Laplace-smoothed probs over the kept vocab sum to ~1
+    total = sum(math.exp(r.logp) for r in rows)
+    assert abs(total - 1.0) < 1e-3
+
+
+def test_tokenizer_compare_consistency(spark, sf_dir):
+    """corpus_tokenizer_compare: both rows present, identical corpus
+    measures (same word table), compression ratios in (0, 1], and
+    each tokenizer's symbol count at or below the char baseline —
+    segmentation can never exceed one symbol per character."""
+    from etl_gov_spark.operators import corpus as C
+
+    rows = {r.tokenizer: r for r in C.corpus_tokenizer_compare(spark, sf_dir).collect()}
+    assert set(rows) == {"bpe", "unigram"}
+    b, u = rows["bpe"], rows["unigram"]
+    assert b.n_words == u.n_words and b.total_tokens == u.total_tokens
+    assert b.chars_weighted == u.chars_weighted
+    for r in (b, u):
+        assert 0 < r.symbols_weighted <= r.chars_weighted
+        assert 0.0 < r.compression_ratio <= 1.0
+
+
+def test_unigram_segmentation_reconstructs_words(spark, sf_dir):
+    """The Viterbi segmentation is a true partition: concatenating
+    the pieces of each word's segmentation reproduces the word."""
+    from etl_gov_spark.operators import corpus as C
+
+    words = C._uni_words(spark, sf_dir)
+    model = C._uni_seed_model(words)
+    segs = C._uni_viterbi_seg(words, model).collect()
+    assert segs
+    for r in segs:
+        assert r.seg.replace(" ", "") == r.w
+        for piece in r.seg.strip().split("  "):
+            assert piece in model

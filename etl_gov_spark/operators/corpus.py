@@ -3106,6 +3106,102 @@ QUERIES["corpus_quality_classifier"] = (
 )
 
 
+def corpus_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit for ``corpus_quality_classifier`` —
+    reliability bins + ECE/MCE over the held-out probabilities. The
+    prune sweeps (``corpus_classifier_prune_sweep``) trust the
+    scores as probabilities; this is the readout that checks the
+    trust: per 0.05-probability bin, predicted-vs-observed positive
+    rate, plus the expected / maximum calibration error
+    (Guo et al., ICML 2017).
+
+    Determinism by integer algebra: the 6-dp sigmoid probability is
+    folded to MICRO-PROB units (pi = round(p·10⁶), a BIGINT), so
+    every per-bin statistic is a sum of exact integers — mean_p =
+    Σpi/(10⁶·n), |gap| = |Σpi − 10⁶·Σy|/(10⁶·n), ECE =
+    Σ_bins|…|/(10⁶·N) — no float-sum order anywhere (the
+    cents-exact money-sum rule applied to probabilities). Bin ids
+    are pure integer division. At 10¹² held-out docs Σpi ≤ 10¹⁸,
+    inside int64. One aggregate over the held split; ≤ 20 bin rows.
+    """
+    feat, _n_train, bi, bw = _qc_train(spark, sf_dir)
+    s6 = F.round(F.lit(bi) + _qc_dot("xv", bw), 6)
+    held = feat.filter(F.col("held")).select(
+        F.round((1.0 / (1.0 + F.exp(-s6))) * 1000000.0)
+        .cast("long")
+        .alias("pi"),
+        F.col("y").cast("long").alias("yl"),
+    )
+    bins = (
+        held.groupBy(
+            F.least(F.expr("(pi * 20) div 1000000"), F.lit(19)).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("yl").alias("y"),
+            F.sum("pi").alias("spi"),
+        )
+        .withColumn("dev", F.abs(F.col("spi") - 1000000 * F.col("y")))
+    )
+    tot = bins.agg(
+        F.sum("n").alias("nn"),
+        F.sum("dev").alias("sdev"),
+        F.max(F.round(F.col("dev") / F.col("n"))).alias("mdev"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("n").alias("n_docs"),
+            (F.round(F.col("spi") / F.col("n")) / 1000000.0).alias("mean_p"),
+            (F.round(1000000.0 * F.col("y") / F.col("n")) / 1000000.0).alias(
+                "frac_pos"
+            ),
+            (F.round(F.col("dev") / F.col("n")) / 1000000.0).alias("abs_gap"),
+            (F.round(F.col("sdev") / F.col("nn")) / 1000000.0).alias("ece"),
+            (F.col("mdev") / 1000000.0).alias("mce"),
+        )
+        .orderBy("bin")
+    )
+
+
+CORPUS_CLASSIFIER_CALIBRATION_SQL = (
+    _QC_SQL_PREFIX
+    + rf""",
+calsc AS (
+  SELECT CAST(round((1.0 / (1.0 + exp(-(round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6))))) * 1000000.0) AS BIGINT) AS pi,
+         CAST(f.y AS BIGINT) AS yl
+  FROM feat f CROSS JOIN it6 b WHERE f.held
+), calbins AS (
+  SELECT least((pi * 20) // 1000000, 19) AS bin,
+         count(*) AS n, sum(yl) AS y, sum(pi) AS spi,
+         abs(sum(pi) - 1000000 * sum(yl)) AS dev
+  FROM calsc GROUP BY 1
+), caltot AS (
+  SELECT sum(n) AS nn, sum(dev) AS sdev,
+         max(round(dev / (1.0 * n))) AS mdev
+  FROM calbins
+)
+SELECT CAST(b.bin AS INTEGER) AS bin,
+       CAST(b.n AS BIGINT) AS n_docs,
+       round(b.spi / (1.0 * b.n)) / 1000000.0 AS mean_p,
+       round(1000000.0 * b.y / b.n) / 1000000.0 AS frac_pos,
+       round(b.dev / (1.0 * b.n)) / 1000000.0 AS abs_gap,
+       round(t.sdev / (1.0 * t.nn)) / 1000000.0 AS ece,
+       t.mdev / 1000000.0 AS mce
+FROM calbins b CROSS JOIN caltot t
+ORDER BY bin
+"""
+)
+
+QUERIES["corpus_classifier_calibration"] = (
+    corpus_classifier_calibration,
+    CORPUS_CLASSIFIER_CALIBRATION_SQL,
+)
+
+
 def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merges corpus-wide (closing the loop
     ``corpus_bpe_vocab`` opens): re-learn the ``BPE_MERGES`` merge

@@ -43,6 +43,7 @@ _PINNED_FIRST = (
     "ann_ivfpq_topk",
     "corpus_unigram_vocab",
     "corpus_tokenizer_compare",
+    "corpus_classifier_calibration",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "q8_market_share",
     "q9_product_profit",
     "q11_important_inventory",
-    "q13_customer_distribution",
 )
 
 

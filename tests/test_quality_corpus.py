@@ -1136,3 +1136,26 @@ def test_unigram_segmentation_reconstructs_words(spark, sf_dir):
         assert r.seg.replace(" ", "") == r.w
         for piece in r.seg.strip().split("  "):
             assert piece in model
+
+
+def test_classifier_calibration_bounds(spark, sf_dir):
+    """corpus_classifier_calibration: bins in [0,19], per-bin stats
+    in [0,1], ECE ≤ MCE, ECE equals the bin-weighted mean gap, and
+    the bin populations cover exactly the held split."""
+    from etl_gov_spark.operators import corpus as C
+
+    rows = C.corpus_classifier_calibration(spark, sf_dir).collect()
+    assert rows
+    ece, mce = rows[0].ece, rows[0].mce
+    n_total = sum(r.n_docs for r in rows)
+    for r in rows:
+        assert 0 <= r.bin <= 19
+        assert 0.0 <= r.frac_pos <= 1.0
+        assert 0.0 <= r.mean_p <= 1.0
+        assert abs(r.abs_gap - abs(r.mean_p - r.frac_pos)) < 2e-6
+        assert r.ece == ece and r.mce == mce
+    assert 0.0 <= ece <= mce <= 1.0
+    weighted = sum(r.n_docs * r.abs_gap for r in rows) / n_total
+    assert abs(weighted - ece) < 2e-6
+    held = C.corpus_quality_classifier(spark, sf_dir).collect()[0]
+    assert n_total == held.n_held

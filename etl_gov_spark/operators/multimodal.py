@@ -850,3 +850,171 @@ ORDER BY source, bin_id
 """
 
 QUERIES["mm_vlm_pack"] = (mm_vlm_pack, MM_VLM_PACK_SQL)
+
+
+# ---- audio payload column: WAV/RIFF header parsing (§F) ----
+
+_WAV_RATES = (8000, 16000, 22050, 44100)
+_WAV_CLIP = 32000  # |int16| at or above this counts as clipped
+WAV_SCHEMA = (
+    "doc_id bigint, sample_rate int, channels int, n_frames int, "
+    "duration_ms bigint, n_samples bigint, n_clipped bigint"
+)
+
+
+def synth_wav(payload: bytes) -> bytes:
+    """Deterministic stand-in for an audio payload (the container
+    ships no codecs): a VALID little-endian RIFF/WAVE file whose
+    fmt parameters and int16 PCM samples derive purely from the
+    source bytes — so the parser below exercises real container
+    parsing and the SQL oracle can replay the generator algebra."""
+    import struct
+
+    n = len(payload)
+    sr = _WAV_RATES[n % 4]
+    ch = n % 2 + 1
+    frames = n % 256 + 64
+    total = frames * ch
+    samples = [((n * 31 + k * 97) % 65536) - 32768 for k in range(total)]
+    data = struct.pack("<" + "h" * total, *samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def parse_wav(wav: bytes) -> dict:
+    """Real WAV/RIFF parsing by byte slicing (no codec): validate
+    magics, walk the chunk list (word-aligned, per the RIFF spec),
+    decode fmt, and screen the int16 PCM payload for clipping.
+    Raises ValueError on a non-WAV payload — the quarantine path."""
+    import struct
+
+    if len(wav) < 12 or wav[0:4] != b"RIFF" or wav[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(wav):
+        cid = wav[pos : pos + 4]
+        (clen,) = struct.unpack("<I", wav[pos + 4 : pos + 8])
+        body = wav[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # chunks pad to even offsets
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _audio_fmt, ch, sr, _byterate, _blockalign, bits = fmt
+    total = len(data) // (bits // 8)
+    samples = struct.unpack("<" + "h" * total, data[: total * 2])
+    frames = total // ch
+    return {
+        "sample_rate": sr,
+        "channels": ch,
+        "n_frames": frames,
+        "duration_ms": frames * 1000 // sr,
+        "n_samples": total,
+        "n_clipped": sum(1 for s in samples if abs(s) >= _WAV_CLIP),
+    }
+
+
+def mm_audio_wav_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-payload census — the §F modality the family was
+    missing: per (sample_rate, channels) cell, file count, total
+    duration and the clipping-rate screen, from genuine WAV/RIFF
+    container parsing (synth_wav → parse_wav round trip inside ONE
+    Arrow-batched mapInPandas stage; a real corpus would read the
+    parquet binary column directly).
+
+    Scale shape: the Python stage is a single map pass emitting 7
+    small columns per file (bytes never reshuffled); the census is
+    one bounded-key aggregate (≤ |rates|×|channels| cells). The
+    clip rate uses integer sums + the integer-path 4-dp readout.
+    """
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_wav(synth_wav(bytes(payload)))
+                rows.append(
+                    (
+                        doc_id,
+                        m["sample_rate"],
+                        m["channels"],
+                        m["n_frames"],
+                        m["duration_ms"],
+                        m["n_samples"],
+                        m["n_clipped"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_rate",
+                    "channels",
+                    "n_frames",
+                    "duration_ms",
+                    "n_samples",
+                    "n_clipped",
+                ],
+            )
+
+    parsed = docs.mapInPandas(run, WAV_SCHEMA)
+    return (
+        parsed.groupBy("sample_rate", "channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("duration_ms").alias("total_duration_ms"),
+            F.sum("n_samples").alias("n_samples"),
+            F.sum("n_clipped").alias("n_clipped"),
+            (
+                F.round(10000.0 * F.sum("n_clipped") / F.sum("n_samples"))
+                / 10000.0
+            ).alias("clip_rate"),
+        )
+        .orderBy("sample_rate", "channels")
+    )
+
+
+MM_AUDIO_WAV_SQL = f"""
+WITH base AS (
+  SELECT octet_length(encode(text)) AS n FROM documents
+), per AS (
+  SELECT n,
+         CASE n % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+         n % 2 + 1 AS channels,
+         n % 256 + 64 AS frames
+  FROM base
+), per2 AS (
+  SELECT sample_rate, channels,
+         (frames * 1000) // sample_rate AS duration_ms,
+         frames * channels AS total,
+         len(list_filter(generate_series(0, frames * channels - 1),
+             k -> abs(((n * 31 + k * 97) % 65536) - 32768) >= {_WAV_CLIP})) AS clipped
+  FROM per
+)
+SELECT CAST(sample_rate AS INTEGER) AS sample_rate,
+       CAST(channels AS INTEGER) AS channels,
+       count(*) AS n_files,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+       CAST(sum(total) AS BIGINT) AS n_samples,
+       CAST(sum(clipped) AS BIGINT) AS n_clipped,
+       round(10000.0 * sum(clipped) / sum(total)) / 10000.0 AS clip_rate
+FROM per2 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["mm_audio_wav_census"] = (mm_audio_wav_census, MM_AUDIO_WAV_SQL)

@@ -44,6 +44,7 @@ _PINNED_FIRST = (
     "corpus_unigram_vocab",
     "corpus_tokenizer_compare",
     "corpus_classifier_calibration",
+    "mm_audio_wav_census",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q11_important_inventory",
 )
 
 

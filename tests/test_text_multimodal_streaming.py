@@ -858,3 +858,41 @@ def test_stream_dedup_gate_cross_batch_continuation(spark, sf_dir):
     for touched, total in later:
         assert total > 0, "store missing at a post-first epoch"
         assert 0 < touched <= total
+
+
+def test_wav_parser_roundtrip_and_quarantine():
+    """parse_wav: decodes a hand-built canonical WAV exactly,
+    survives an extra unknown chunk before fmt/data (real RIFF
+    files carry LIST/INFO chunks), and raises on corrupt payloads."""
+    import struct
+
+    import pytest
+
+    from etl_gov_spark.operators.multimodal import parse_wav, synth_wav
+
+    # hand-built: 3 frames, stereo, 8 kHz, one clipped sample
+    samples = [0, -32768, 100, 200, 31999, -32000]
+    data = struct.pack("<6h", *samples)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(junk) + len(data)) + b"WAVE"
+        + junk
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    m = parse_wav(wav)
+    assert m["sample_rate"] == 8000 and m["channels"] == 2
+    assert m["n_frames"] == 3 and m["n_samples"] == 6
+    assert m["duration_ms"] == 3 * 1000 // 8000
+    assert m["n_clipped"] == 2  # -32768 and -32000
+    with pytest.raises(ValueError):
+        parse_wav(b"OggS" + wav[4:])
+    with pytest.raises(ValueError):
+        parse_wav(wav[:20])  # truncated: no fmt/data
+
+    # synth → parse round trip recovers the generator parameters
+    payload = b"x" * 123
+    m2 = parse_wav(synth_wav(payload))
+    assert m2["sample_rate"] == (8000, 16000, 22050, 44100)[123 % 4]
+    assert m2["channels"] == 123 % 2 + 1
+    assert m2["n_frames"] == 123 % 256 + 64

@@ -3517,6 +3517,101 @@ FROM stats
 QUERIES["emb_cka_similarity"] = (emb_cka_similarity, EMB_CKA_SQL)
 
 
+def _pq_cid_lit(rows: list) -> Column:
+    """(m, cid, cv) codebook rows as a literal
+    array<array<struct<cid, cv>>> indexed by subspace — same
+    _cent_lit trick, cid identity kept for the (d2, cid) argmin."""
+    per_m: dict[int, list] = {}
+    for m, cid, cv in rows:
+        per_m.setdefault(m, []).append(
+            "named_struct('cid', {}L, 'cv', array({}))".format(
+                int(cid), ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cv)
+            )
+        )
+    outer = ",".join(
+        "array(" + ",".join(per_m[m]) + ")" for m in sorted(per_m)
+    )
+    return F.expr("array(" + outer + ")")
+
+
+def _pq_train_rows(unit: DataFrame) -> tuple[list, int]:
+    """Train the PQ codebooks (same seeds + one Lloyd refinement as
+    _pq_train) with the seed assignment as a MAP-ONLY literal fold
+    — the round-13 100× ladder caught _pq_assign_codes' broadcast-
+    join argmin paying a ~10⁸-row shuffle aggregate at 200k
+    vectors; here the only aggregate is the 6-dp mean recompute.
+    Returns the collected model rows with dense per-subspace code
+    indices (idx order ≡ cid order) and the per-subspace code
+    count k."""
+    sub = _subvectors(unit, "v", "sv")
+    seed_rows = sorted(
+        (
+            (r.m, r.cid, r.cv)
+            for r in sub.join(F.broadcast(_seed_ids(unit)), "vec_id")
+            .select("m", F.col("vec_id").alias("cid"), F.col("sv").alias("cv"))
+            .collect()  # 8×k seed subvectors — model state, not data
+        ),
+        key=lambda t: (t[0], t[1]),
+    )
+    lit = _pq_cid_lit(seed_rows)
+    best = F.array_min(
+        F.transform(
+            F.element_at(lit, (F.col("m") + 1).cast("int")),
+            lambda c: F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with("sv", c["cv"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ),
+                    6,
+                ).alias("d2"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    refined = (
+        sub.select("m", "sv", best["cid"].alias("cid"))
+        .select("m", "cid", F.posexplode("sv").alias("pos", "val"))
+        .groupBy("m", "cid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c"))
+        .groupBy("m", "cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("_pc"))
+        .select("m", "cid", F.transform("_pc", lambda s: s["c"]).alias("cv"))
+    )
+    rows = sorted(
+        ((r.m, r.cid, r.cv) for r in refined.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+    out, k_per_m, idx, last_m = [], 0, 0, None
+    for m, cid, cv in rows:
+        if m != last_m:
+            idx, last_m = 0, m
+        out.append((m, idx, cid, cv))
+        k_per_m = max(k_per_m, idx + 1)
+        idx += 1
+    return out, k_per_m
+
+
+def _pq_lit(rows: list) -> Column:
+    """The PQ codebook as ONE literal array<array<struct<idx, cv>>>
+    (outer index = subspace m, inner order = dense code idx) — the
+    _cent_lit trick applied to PQ: 8×k×8 doubles inline, so both
+    the per-vector 8-code encode and the per-query ADC table are
+    pure map expressions inside whole-stage codegen."""
+    per_m: dict[int, list] = {}
+    for m, idx, _cid, cv in rows:
+        per_m.setdefault(m, []).append(
+            "named_struct('idx', {}, 'cv', array({}))".format(
+                int(idx), ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in cv)
+            )
+        )
+    outer = ",".join(
+        "array(" + ",".join(per_m[m]) + ")" for m in sorted(per_m)
+    )
+    return F.expr("array(" + outer + ")")
+
+
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed serve — the production index layout (FAISS
     IVFADC; Jégou et al., PAMI 2011): a coarse IVF quantizer routes
@@ -3527,22 +3622,27 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding table, and the raw vectors are touched only for the
     shortlisted exact re-rank.
 
-    Composition of two driver-green parts:
+    Composition of two driver-green parts, with the whole hot path
+    kept MAP-ONLY (the round-13 ladder caught the first draft
+    routing ~300M exploded code rows through a shuffle aggregate):
     - coarse quantizer + footer-probed posting store from
       ``ann_ivf_incremental``: Lloyd model frozen, postings written
-      RANGE-CLUSTERED on cell id, and only files whose cid range
-      intersects the probed cells are opened (parquet footer stats,
-      io/cow.touched_files — asserted a strict subset in tests);
-    - PQ codebooks + ADC funnel from ``ann_pq_topk`` (shared
-      helpers _pq_train/_pq_assign_codes): per-query 8×16 distance
-      table broadcast, ADC = Σ_m table[m, code_m], shortlist
-      6×top-k, exact 6-dp cosine re-rank on the shortlist only.
+      RANGE-CLUSTERED on cell id, only files whose cid range
+      intersects the probed cells are opened (parquet footer
+      stats, io/cow.touched_files);
+    - PQ codebooks from ``ann_pq_topk`` (shared _pq_train),
+      collected as driver model state and inlined as a plan
+      literal (_pq_lit, the _cent_lit trick): the 8-code encode is
+      ONE projection per vector (no explode, no shuffle), each
+      query carries a flat 8×k ADC lookup array, and ADC scoring
+      is an 8-term fold per candidate row after two broadcast hash
+      joins — zero exchanges between the posting scan and the
+      shortlist window.
 
-    Serve economics: |q|·nprobe·N/k candidates scored by CODE
-    lookup (8 adds each, no vector math), then ≤ 60 exact cosines
-    per query. Every stage is a broadcast hash join or a bounded
-    aggregate; the only corpus-wide passes are the one-time encode
-    and the footer-pruned posting scan.
+    Serve economics: |q|·nprobe·N/k candidate rows, 8 array
+    lookups each (no vector math); ≤ 120 exact cosines per query
+    on the re-rank. The only corpus-wide passes are the one-time
+    encode projection and the footer-pruned posting scan.
     """
     import os
 
@@ -3559,39 +3659,65 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
     )
 
-    # coarse quantizer (frozen) + cell assignment
+    # models (driver state): coarse quantizer + PQ codebooks
     model = _lloyd_model(unit)
-    cells = _assign(unit, model).select("vec_id", "cid")
+    pq_rows, k_codes = _pq_train_rows(unit)
+    pqlit = _pq_lit(pq_rows)
 
-    # PQ encode: 8 codes per vector, packed into one array column
-    sub = _subvectors(unit, "v", "sv")
-    refined = _pq_train(unit, sub)
-    packed = (
-        _pq_assign_codes(sub, refined)
-        .groupBy("vec_id")
-        .agg(F.array_sort(F.collect_list(F.struct("m", "cid"))).alias("_mc"))
-        .select(
-            "vec_id", F.transform("_mc", lambda s: s["cid"]).alias("codes")
+    def sub_d2(m: Column, c: Column) -> Column:
+        sv = F.slice(F.col("v"), m * PQ_SUBDIM + 1, F.lit(PQ_SUBDIM))
+        return F.round(
+            F.aggregate(
+                F.zip_with(sv, c["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
         )
+
+    # encode: all 8 codes in ONE map projection (argmin by
+    # (6-dp d2, idx); idx order ≡ cid order, so this matches the
+    # oracle's (d2, cid) tie-break)
+    codes_col = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.element_at(pqlit, (m + 1).cast("int")),
+                lambda c: F.struct(sub_d2(m, c).alias("d2"), c["idx"].alias("idx")),
+            )
+        )["idx"],
     )
-    postings = packed.join(cells, "vec_id").localCheckpoint(eager=True)
+    postings = (
+        _assign(unit, model)
+        .select("vec_id", "cid", codes_col.alias("codes"))
+        .localCheckpoint(eager=True)
+    )
     store = os.path.join(scratch_dir("ivfpqstore"), "store")
     write_range_clustered(postings, store, ("cid",), num_files=16)
 
-    # queries probe their N_PROBE nearest cells
+    # queries: probe cells + flat ADC lookup array (8×k, idx order)
+    dflat_col = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.transform(
+                F.element_at(pqlit, (m + 1).cast("int")),
+                lambda c: sub_d2(m, c),
+            ),
+        )
+    )
     q = unit.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), "v"
     )
     probes = q.select(
         "q_id",
-        "qv",
+        dflat_col.alias("dflat"),
         F.explode(
             F.slice(
                 F.array_sort(
                     F.transform(
                         _cent_lit(model),
                         lambda c: F.struct(
-                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                            _d2_to("v", c["cv"]).alias("d2"), c["cid"].alias("cid")
                         ),
                     )
                 ),
@@ -3599,7 +3725,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 N_PROBE,
             )
         ).alias("_p"),
-    ).select("q_id", "qv", F.col("_p.cid").alias("cid")).localCheckpoint(
+    ).select("q_id", "dflat", F.col("_p.cid").alias("cid")).localCheckpoint(
         eager=True  # consumed twice: touched-file probe + ADC join
     )
     ranges = file_key_ranges(store, "cid")
@@ -3610,26 +3736,25 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         else spark.read.parquet(store).limit(0)
     )
 
-    # ADC: per-query (m, code) distance table, broadcast twice-over
-    qsub = _subvectors(q.select("q_id", F.col("qv").alias("v")), "v", "qs")
-    dtab_d2 = F.aggregate(
-        F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dtab = qsub.join(F.broadcast(refined), "m").select(
-        "q_id", "m", "cid", F.round(dtab_d2, 6).alias("_part")
+    # ADC: per-candidate 8-term lookup fold, map-only after the join
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            F.lit(0.0),
+            lambda acc, m: acc
+            + F.element_at(
+                F.col("dflat"),
+                (m * k_codes + F.element_at(F.col("codes"), (m + 1).cast("int")) + 1).cast(
+                    "int"
+                ),
+            ),
+        ),
+        6,
     )
     approx = (
-        surv.select("vec_id", "cid", F.posexplode("codes").alias("m", "code"))
-        .join(F.broadcast(probes.select("q_id", "cid")), "cid")
-        .join(
-            F.broadcast(dtab.withColumnRenamed("cid", "code")),
-            ["q_id", "m", "code"],
-        )
+        surv.join(F.broadcast(probes), "cid")
         .filter(F.col("vec_id") != F.col("q_id"))
-        .groupBy("q_id", "vec_id")
-        .agg(F.sum("_part").alias("_adc"))
+        .select("q_id", "vec_id", adc.alias("_adc"))
     )
     ws = Window.partitionBy("q_id").orderBy(F.asc("_adc"), F.asc("vec_id"))
     shortlist = (
@@ -3717,7 +3842,7 @@ q AS (
          {_SUB_D2_SQL.format(v="s.qs", c="c.cv", d=PQ_SUBDIM)} AS part
   FROM qsub s JOIN refined c ON s.m = c.m
 ), approx AS (
-  SELECT p.q_id, co.vec_id, sum(d.part) AS adc
+  SELECT p.q_id, co.vec_id, round(sum(d.part), 6) AS adc
   FROM codes co
   JOIN cells ce ON co.vec_id = ce.vec_id
   JOIN probes p ON ce.cid = p.cid

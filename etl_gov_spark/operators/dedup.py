@@ -1726,3 +1726,204 @@ SELECT (SELECT count(*) FROM keyed) AS n_docs,
 """
 
 QUERIES["dedup_boundary_overlap"] = (dedup_boundary_overlap, DEDUP_BOUNDARY_SQL)
+
+
+# Minimum duplicated-run length (in whitespace tokens) that triggers
+# excision — Lee et al. 2022 remove runs of >= 50 BPE tokens; 25
+# whitespace tokens is the same ballpark on this corpus's token mix.
+SUBSTR_EXCISE_MIN_RUN = 25
+
+
+def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXCISION transform behind ``dedup_substring_census``: the
+    Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" rewrite step — every duplicated token run of
+    >= SUBSTR_EXCISE_MIN_RUN tokens is removed from every occurrence
+    EXCEPT the canonical first one (min (doc_id, pos) over the run's
+    k-grams), covering both cross-doc and within-doc repetition with
+    one rule. Emits one row per rewritten doc with the span ledger
+    and an md5 of the kept token sequence, so the transform is
+    verifiable by value, not just by counts.
+
+    Scale: unlike the pair census there is NO pair expansion at all —
+    the plan is gram → (min-occurrence, df) groupBy on the uniform
+    md5 gram key, one shuffle join back to occurrences, and per-doc
+    windows (island merge + interval union) whose state is bounded by
+    doc length. The token rewrite itself is pure array functions
+    (filter/transform over the spans array) — JVM-side, zero
+    explode of the token stream. A 100 TB corpus shards on the gram
+    key; per-doc work never leaves its partition.
+    """
+    toks = (
+        expand_parallelism(Catalog(spark, sf_dir).documents)
+        .select("doc_id", tokens_col().alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_K)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - SUBSTR_K + 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(
+                        F.array_join(F.slice("toks", i, SUBSTR_K), " ")
+                    ).alias("g"),
+                ),
+            )
+        ).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    # Canonical occurrence per gram: lexicographic min over
+    # (doc_id, pos) — deterministic in both engines. df counts
+    # OCCURRENCES (not docs) so within-doc repeats shadow too.
+    canon = grams.groupBy("g").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    shadowed = (
+        grams.join(canon, "g")
+        .filter(
+            (F.col("df") >= 2)
+            & (
+                (F.col("doc_id") > F.col("first.doc_id"))
+                | (
+                    (F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("pos") > F.col("first.pos"))
+                )
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    # Islands of consecutive shadowed gram positions -> token spans
+    # [s, e]; a chain of c grams covers c + K - 1 tokens.
+    wnum = Window.partitionBy("doc_id").orderBy("pos")
+    islands = (
+        shadowed.withColumn("isl", F.col("pos") - F.row_number().over(wnum))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + SUBSTR_K - 1).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") + 1 >= SUBSTR_EXCISE_MIN_RUN)
+    )
+    # Interval union per doc (overlap OR adjacency merges): classic
+    # sweep — running max of prior ends, new group when disjoint.
+    ws = Window.partitionBy("doc_id").orderBy("s", "e")
+    merged = (
+        islands.withColumn(
+            "pme",
+            F.max("e").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+        )
+        .withColumn(
+            "ng",
+            F.when(
+                F.col("pme").isNull() | (F.col("s") > F.col("pme") + 1), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "gid",
+            F.sum("ng").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "gid")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    spans = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("spans")
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: ~F.exists(
+            F.col("spans"), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    return (
+        toks.join(spans, "doc_id")
+        .withColumn("kept_idx", kept_idx)
+        .select(
+            "doc_id",
+            F.size("toks").alias("n_tokens"),
+            F.size("spans").alias("n_spans"),
+            (F.size("toks") - F.size("kept_idx")).alias("excised_tokens"),
+            F.size("kept_idx").alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.col("kept_idx"),
+                        lambda i: F.element_at(F.col("toks"), i),
+                    ),
+                    " ",
+                )
+            ).alias("kept_hash"),
+        )
+        .orderBy(F.desc("excised_tokens"), "doc_id")
+    )
+
+
+DEDUP_SUBSTRING_EXCISE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+  WHERE len(string_split_regex(trim(text), '\s+')) >= {SUBSTR_K}
+), grams AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(toks) - {SUBSTR_K} + 1),
+                  i -> struct_pack(pos := i,
+                                   g := md5(array_to_string(toks[i:i+{SUBSTR_K - 1}], ' '))))) AS u
+    FROM toks)
+), canon AS (
+  SELECT g, min(struct_pack(doc_id := doc_id, pos := pos)) AS first, count(*) AS df
+  FROM grams GROUP BY g
+), shadowed AS (
+  SELECT gr.doc_id, gr.pos FROM grams gr JOIN canon c USING (g)
+  WHERE c.df >= 2 AND (gr.doc_id > c.first.doc_id
+                       OR (gr.doc_id = c.first.doc_id AND gr.pos > c.first.pos))
+), numbered AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+  FROM shadowed
+), islands AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + {SUBSTR_K} - 1 AS e
+  FROM numbered GROUP BY doc_id, isl
+  HAVING max(pos) + {SUBSTR_K} - 1 - min(pos) + 1 >= {SUBSTR_EXCISE_MIN_RUN}
+), swept AS (
+  SELECT doc_id, s, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM islands
+), flagged AS (
+  SELECT doc_id, s, e,
+         CASE WHEN pme IS NULL OR s > pme + 1 THEN 1 ELSE 0 END AS ng
+  FROM swept
+), grouped AS (
+  SELECT doc_id, s, e,
+         sum(ng) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS gid
+  FROM flagged
+), merged AS (
+  SELECT doc_id, min(s) AS s, max(e) AS e FROM grouped GROUP BY doc_id, gid
+), spans AS (
+  SELECT doc_id, list_sort(list(struct_pack(s := s, e := e))) AS spans
+  FROM merged GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id, t.toks, sp.spans,
+         list_filter(generate_series(1, len(t.toks)),
+                     i -> len(list_filter(sp.spans,
+                                          x -> i >= x.s AND i <= x.e)) = 0) AS kept_idx
+  FROM toks t JOIN spans sp USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(spans) AS INTEGER) AS n_spans,
+       CAST(len(toks) - len(kept_idx) AS INTEGER) AS excised_tokens,
+       CAST(len(kept_idx) AS INTEGER) AS kept_tokens,
+       md5(coalesce(array_to_string(list_transform(kept_idx, i -> toks[i]), ' '),
+                    '')) AS kept_hash
+FROM kept
+ORDER BY excised_tokens DESC, doc_id
+"""
+
+QUERIES["dedup_substring_excise"] = (
+    dedup_substring_excise,
+    DEDUP_SUBSTRING_EXCISE_SQL,
+)

@@ -45,6 +45,7 @@ _PINNED_FIRST = (
     "corpus_tokenizer_compare",
     "corpus_classifier_calibration",
     "mm_audio_wav_census",
+    "dedup_substring_excise",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -529,3 +529,77 @@ def test_split_leakage_consistent_with_split_and_edges(spark, sf_dir):
             assert r.n_docs_in_cross_pairs == 0
         else:
             assert 0 < r.n_docs_in_cross_pairs <= 2 * r.n_pairs
+
+
+def test_substring_excise_planted_runs(spark, tmp_path):
+    """dedup_substring_excise: plant (a) a 30-token run shared by two
+    docs and (b) a doc repeating its own 30-token run twice. The
+    canonical first occurrence (min (doc_id, pos)) must survive
+    untouched; every other occurrence is excised; kept_hash must
+    equal the md5 of the manually reconstructed kept token stream."""
+    import hashlib
+
+    from etl_gov_spark.operators.dedup import dedup_substring_excise
+
+    run = " ".join(f"shared{i}" for i in range(30))
+    selfrep = " ".join(f"rep{i}" for i in range(30))
+    filler_a = " ".join(f"a{i}" for i in range(10))
+    filler_b = " ".join(f"b{i}" for i in range(12))
+    filler_c = " ".join(f"c{i}" for i in range(9))
+    docs = [
+        (1, f"{filler_a} {run}", "en", "src1"),             # canonical owner
+        (2, f"{filler_b} {run} tail1 tail2", "en", "src1"),  # cross-doc dup
+        (3, f"{selfrep} {filler_c} {selfrep}", "en", "src2"),  # within-doc dup
+        (4, "totally unrelated " + " ".join(f"u{i}" for i in range(40)), "en", "src2"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, lang, s, len(t)) for d, t, lang, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.doc_id: r for r in dedup_substring_excise(spark, str(tmp_path)).collect()}
+
+    # canonical doc 1 and the unrelated doc 4 are never rewritten
+    assert set(rows) == {2, 3}, rows
+
+    r2 = rows[2]
+    assert r2.n_tokens == 12 + 30 + 2
+    assert r2.n_spans == 1
+    assert r2.excised_tokens == 30
+    assert r2.kept_tokens == 14
+    kept2 = f"{filler_b} tail1 tail2"
+    assert r2.kept_hash == hashlib.md5(kept2.encode()).hexdigest()
+
+    # within-doc: SECOND occurrence excised, first kept
+    r3 = rows[3]
+    assert r3.n_tokens == 30 + 9 + 30
+    assert r3.n_spans == 1
+    assert r3.excised_tokens == 30
+    kept3 = f"{selfrep} {filler_c}"
+    assert r3.kept_hash == hashlib.md5(kept3.encode()).hexdigest()
+
+    # ledger arithmetic holds on every row
+    for r in rows.values():
+        assert r.n_tokens == r.kept_tokens + r.excised_tokens
+        assert r.n_spans >= 1
+
+
+def test_substring_excise_short_runs_untouched(spark, tmp_path):
+    """Runs shorter than SUBSTR_EXCISE_MIN_RUN are census-visible but
+    must NOT trigger excision (the Lee et al. threshold gate)."""
+    from etl_gov_spark.operators.dedup import (
+        SUBSTR_EXCISE_MIN_RUN,
+        dedup_substring_excise,
+    )
+
+    short = " ".join(f"s{i}" for i in range(SUBSTR_EXCISE_MIN_RUN - 1))
+    docs = [
+        (1, f"alpha beta gamma {short}", "en", "src1"),
+        (2, f"one two three {short} four", "en", "src1"),
+    ]
+    df = spark.createDataFrame(
+        [(d, t, lang, s, len(t)) for d, t, lang, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    assert dedup_substring_excise(spark, str(tmp_path)).count() == 0

@@ -345,3 +345,283 @@ FROM pred GROUP BY true_label
 """
 
 QUERIES["emb_knn_classify"] = (emb_knn_classify, EMB_KNN_CLASSIFY_SQL)
+
+
+LID_K = 10  # neighbors per anchor for the Levina-Bickel MLE
+
+
+def emb_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local intrinsic dimensionality of the embedding space —
+    the Levina-Bickel (NeurIPS 2004) maximum-likelihood estimator
+    from nearest-neighbor distances, with the MacKay-Ghahramani
+    inverse-averaged corpus estimate. LID is the capacity number
+    behind every index decision here: IVF cell counts, PQ codebook
+    sizes and LSH plane counts all assume the data lives on a
+    low-dimensional manifold inside the 64-d ambient space; this
+    query measures that dimension instead of assuming it.
+
+    Per anchor x with NN distances d_1 <= ... <= d_K (euclidean,
+    zero-distance exact duplicates excluded):
+    1/lid(x) = (1/(K-1)) * [ (K-1)*ln d_K - Σ_{j<K} ln d_j ] —
+    the sum-of-logs form, one log per neighbor, no per-term ratio.
+
+    Determinism: distances are quantized to the 1e-6 grid with
+    integer-path rounding (round(d*1e6)/1e6 — identical in both
+    engines, no 6-dp half-tie seam) BEFORE ranking and before the
+    log, so ranks, ties and values are a pure function of the
+    corpus. Anchors whose K-NN ring is flat (d_j == d_K for all j,
+    1/lid = 0) publish NULL lid and are counted, not averaged.
+
+    Scale: the anchor set is ``capped_anchors`` — O(ANCHOR_CAP)
+    broadcast rows at any corpus size — and scoring is the same
+    partition-local broadcast-join shape as ann_bruteforce_topk
+    (|A| x N, embarrassingly parallel, per-query top-K via a
+    bounded window). No new shuffle shape at 100 TB.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = capped_anchors(emb, QUERY_STRIDE).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d6 = F.round(dist * 1000000.0) / 1000000.0
+    w = Window.partitionBy("q_id").orderBy(F.asc("_d"), F.asc("vec_id"))
+    knn = (
+        F.broadcast(q)
+        .crossJoin(emb)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", d6.alias("_d"))
+        .filter(F.col("_d") > 0)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= LID_K)
+    )
+    per = (
+        knn.groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("kn"),
+            F.max(F.when(F.col("_r") == LID_K, F.log("_d"))).alias("ldk"),
+            F.sum(F.when(F.col("_r") < LID_K, F.log("_d"))).alias("slog"),
+        )
+        .filter(F.col("kn") == LID_K)
+        .select(
+            "q_id",
+            (
+                ((LID_K - 1) * F.col("ldk") - F.col("slog")) / (LID_K - 1)
+            ).alias("inv"),
+        )
+        .select(
+            "q_id",
+            "inv",
+            F.when(
+                F.col("inv") > 0,
+                F.round(1.0 / F.col("inv") * 1000000.0) / 1000000.0,
+            ).alias("lid"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.lit(LID_K).alias("k"),
+        F.sum(F.when(F.col("lid").isNull(), 1).otherwise(0)).alias("n_degenerate"),
+        (F.round(F.avg("lid") * 10000.0) / 10000.0).alias("lid_mean"),
+        F.when(
+            F.avg("inv") > 0,
+            F.round(1.0 / F.avg("inv") * 10000.0) / 10000.0,
+        ).alias("lid_mackay"),
+        (F.round(F.min("lid") * 10000.0) / 10000.0).alias("lid_min"),
+        (F.round(F.max("lid") * 10000.0) / 10000.0).alias("lid_max"),
+    )
+
+
+EMB_INTRINSIC_DIM_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), anchors AS (
+  SELECT vec_id AS q_id, v AS qv FROM emb
+  WHERE vec_id % {QUERY_STRIDE} = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ANCHOR_CAP}
+), scored AS (
+  SELECT a.q_id, c.vec_id,
+         round(sqrt(list_sum(list_transform(generate_series(1, {DIM}),
+               i -> (a.qv[i] - c.v[i]) * (a.qv[i] - c.v[i])))) * 1000000.0)
+           / 1000000.0 AS d
+  FROM anchors a JOIN emb c ON c.vec_id <> a.q_id
+), knn AS (
+  SELECT q_id, d, r FROM (
+    SELECT q_id, d,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY d ASC, vec_id ASC) AS r
+    FROM scored WHERE d > 0
+  ) WHERE r <= {LID_K}
+), per AS (
+  SELECT q_id, inv,
+         CASE WHEN inv > 0
+              THEN round(1.0 / inv * 1000000.0) / 1000000.0 END AS lid
+  FROM (
+    SELECT q_id,
+           (({LID_K} - 1) * max(CASE WHEN r = {LID_K} THEN ln(d) END)
+            - sum(CASE WHEN r < {LID_K} THEN ln(d) END)) / ({LID_K} - 1) AS inv
+    FROM knn GROUP BY q_id HAVING count(*) = {LID_K}
+  )
+)
+SELECT count(*) AS n_anchors,
+       {LID_K} AS k,
+       CAST(sum(CASE WHEN lid IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate,
+       round(avg(lid) * 10000.0) / 10000.0 AS lid_mean,
+       CASE WHEN avg(inv) > 0
+            THEN round(1.0 / avg(inv) * 10000.0) / 10000.0 END AS lid_mackay,
+       round(min(lid) * 10000.0) / 10000.0 AS lid_min,
+       round(max(lid) * 10000.0) / 10000.0 AS lid_max
+FROM per
+"""
+
+QUERIES["emb_intrinsic_dim"] = (emb_intrinsic_dim, EMB_INTRINSIC_DIM_SQL)
+
+
+def ann_knn_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural health of the cosine kNN graph — hubness and
+    reciprocity, the two pathologies (Radovanovic et al., JMLR 2010)
+    that silently break ANN serving in high dimensions: a few "hub"
+    vectors appear in everyone's neighbor lists (their k-occurrence
+    distribution grows a heavy right tail) while "antihubs" vanish
+    from all of them, and neighbor relations stop being mutual. Both
+    directly predict IVF/LSH recall loss, so this is the go/no-go
+    audit before trusting any index built on the space.
+
+    Graph: directed k=TOP_K cosine kNN over the ``capped_anchors``
+    set (anchor-to-anchor, |A|^2 <= ANCHOR_CAP^2 scored pairs — a
+    CONSTANT bound at any corpus size; the sampled graph's hubness
+    is the standard estimator for the full graph's). Readouts:
+    k-occurrence max / antihub count / skewness (exact integer power
+    sums, one float division at the end — no float-sum order seam),
+    and edge reciprocity via a reversed-pair self-join.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = capped_anchors(emb, QUERY_STRIDE).withColumn("vn", _norm("v"))
+    q = a.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("vn").alias("qn")
+    )
+    cos6 = F.round(_dot("qv", "v") / (F.col("qn") * F.col("vn")), 6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("vec_id"))
+    edges = (
+        F.broadcast(q)
+        .crossJoin(a)
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos6.alias("_cos"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= TOP_K)
+        .select("q_id", F.col("vec_id").alias("cand_id"))
+    )
+    kocc = (
+        a.select(F.col("vec_id").alias("node"))
+        .join(
+            edges.groupBy("cand_id").agg(F.count(F.lit(1)).alias("nk")),
+            F.col("node") == F.col("cand_id"),
+            "left",
+        )
+        .select("node", F.coalesce(F.col("nk"), F.lit(0)).alias("nk"))
+    )
+    moments = kocc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("nk").alias("s1"),
+        F.sum(F.col("nk") * F.col("nk")).alias("s2"),
+        F.sum(F.col("nk") * F.col("nk") * F.col("nk")).alias("s3"),
+        F.max("nk").alias("kocc_max"),
+        F.sum(F.when(F.col("nk") == 0, 1).otherwise(0)).alias("n_antihubs"),
+    )
+    rev = edges.select(
+        F.col("q_id").alias("cand_id"), F.col("cand_id").alias("q_id")
+    )
+    recip = edges.join(rev, ["q_id", "cand_id"]).agg(
+        F.count(F.lit(1)).alias("n_mutual")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    m = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - m * m
+    skew = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * m * (F.col("s2").cast("double") / F.col("n"))
+        + 2.0 * m * m * m
+    ) / F.pow(var, 1.5)
+    return (
+        moments.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(recip))
+        .select(
+            F.col("n").alias("n_nodes"),
+            "n_edges",
+            (F.round(F.col("n_mutual").cast("double") / F.col("n_edges") * 10000.0)
+             / 10000.0).alias("reciprocity"),
+            F.col("kocc_max").cast("int").alias("kocc_max"),
+            F.col("n_antihubs").cast("long").alias("n_antihubs"),
+            F.when(var > 0, F.round(skew * 10000.0) / 10000.0).alias(
+                "kocc_skewness"
+            ),
+        )
+    )
+
+
+ANN_KNN_GRAPH_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), anchors AS (
+  SELECT vec_id, v FROM emb
+  WHERE vec_id % {QUERY_STRIDE} = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ANCHOR_CAP}
+), edges AS (
+  SELECT q_id, cand_id FROM (
+    SELECT a.vec_id AS q_id, c.vec_id AS cand_id,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY round(list_cosine_similarity(a.v, c.v), 6) DESC,
+                      c.vec_id ASC) AS r
+    FROM anchors a JOIN anchors c ON c.vec_id <> a.vec_id
+  ) WHERE r <= {TOP_K}
+), kocc AS (
+  SELECT a.vec_id AS node, coalesce(e.nk, 0) AS nk
+  FROM anchors a
+  LEFT JOIN (SELECT cand_id, count(*) AS nk FROM edges GROUP BY cand_id) e
+    ON a.vec_id = e.cand_id
+), moments AS (
+  SELECT count(*) AS n,
+         sum(nk) AS s1, sum(nk * nk) AS s2, sum(nk * nk * nk) AS s3,
+         max(nk) AS kocc_max,
+         sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS n_antihubs
+  FROM kocc
+), recip AS (
+  SELECT count(*) AS n_mutual
+  FROM edges e JOIN edges r ON e.q_id = r.cand_id AND e.cand_id = r.q_id
+), ecount AS (
+  SELECT count(*) AS n_edges FROM edges
+)
+SELECT CAST(n AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       round(CAST(n_mutual AS DOUBLE) / n_edges * 10000.0) / 10000.0
+         AS reciprocity,
+       CAST(kocc_max AS INTEGER) AS kocc_max,
+       CAST(n_antihubs AS BIGINT) AS n_antihubs,
+       CASE WHEN CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+            THEN round((CAST(s3 AS DOUBLE) / n
+                        - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s2 AS DOUBLE) / n)
+                        + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n)
+                              * (CAST(s1 AS DOUBLE) / n))
+                       / pow(CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n)
+                                   * (CAST(s1 AS DOUBLE) / n), 1.5)
+                       * 10000.0) / 10000.0
+       END AS kocc_skewness
+FROM moments, recip, ecount
+"""
+
+QUERIES["ann_knn_graph_stats"] = (ann_knn_graph_stats, ANN_KNN_GRAPH_SQL)

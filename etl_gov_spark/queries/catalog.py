@@ -46,6 +46,8 @@ _PINNED_FIRST = (
     "corpus_classifier_calibration",
     "mm_audio_wav_census",
     "dedup_substring_excise",
+    "emb_intrinsic_dim",
+    "ann_knn_graph_stats",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

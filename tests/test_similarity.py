@@ -87,3 +87,61 @@ def test_nprobe_sweep_monotone(spark, sf_dir):
             assert r.avg_candidates >= prev.avg_candidates - 1e-9
             assert r.recall_at_10 >= prev.recall_at_10 - 1e-9
         prev = r
+
+
+def test_intrinsic_dim_recovers_planted_manifold(spark, tmp_path):
+    """emb_intrinsic_dim: vectors on a 2-D quasi-random manifold
+    (golden-ratio lattice) embedded in 64-d must estimate LID ~ 2 —
+    nowhere near the ambient dimension. vec_ids are multiples of the
+    anchor stride so every point is an anchor."""
+    from etl_gov_spark.operators.similarity import (
+        QUERY_STRIDE,
+        emb_intrinsic_dim,
+    )
+
+    phi1, phi2 = 0.7548776662466927, 0.5698402909980532  # R2 sequence
+    rows = []
+    for i in range(900):
+        x = (0.5 + i * phi1) % 1.0
+        y = (0.5 + i * phi2) % 1.0
+        v = [float(x), float(y)] + [0.0] * 62
+        rows.append((i * QUERY_STRIDE, v, i % 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    r = emb_intrinsic_dim(spark, str(tmp_path)).collect()[0]
+    assert r.n_anchors == 900
+    assert r.k == 10
+    assert r.n_degenerate == 0
+    assert 1.5 <= r.lid_mean <= 2.6, r.lid_mean
+    assert 1.5 <= r.lid_mackay <= 2.6, r.lid_mackay
+    assert r.lid_min > 0 and r.lid_max >= r.lid_mean
+
+
+def test_knn_graph_ring_is_perfectly_mutual(spark, tmp_path):
+    """ann_knn_graph_stats: points evenly spaced on a circle give a
+    kNN graph where every neighbor relation is mutual (reciprocity
+    1.0), every k-occurrence equals k (skewness NULL — zero
+    variance), and there are no antihubs."""
+    import math
+
+    from etl_gov_spark.operators.similarity import (
+        QUERY_STRIDE,
+        TOP_K,
+        ann_knn_graph_stats,
+    )
+
+    n = 60
+    rows = []
+    for i in range(n):
+        th = 2.0 * math.pi * i / n
+        v = [math.cos(th), math.sin(th)] + [0.0] * 62
+        rows.append((i * QUERY_STRIDE, v, 0))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    r = ann_knn_graph_stats(spark, str(tmp_path)).collect()[0]
+    assert r.n_nodes == n
+    assert r.n_edges == n * TOP_K
+    assert r.reciprocity == 1.0
+    assert r.kocc_max == TOP_K
+    assert r.n_antihubs == 0
+    assert r.kocc_skewness is None

@@ -75,6 +75,7 @@ def ranged_global_rank(
     rank_col: str | None = "rank",
     ntiles: dict[str, int] | None = None,
     running_longs: dict[str, str] | None = None,
+    running_max_longs: dict[str, str] | None = None,
     partitions: int | None = None,
 ) -> DataFrame:
     """Global 1-based rank over ``order_cols`` (a TOTAL order — pass
@@ -86,7 +87,12 @@ def ranged_global_rank(
       (exact SQL ntile over the same order),
     - one ``long`` column per ``running_longs`` entry
       ``{out_col: src_col}``: running sum of the LONG column
-      ``src_col`` in rank order, inclusive of the current row.
+      ``src_col`` in rank order, inclusive of the current row,
+    - one ``long`` column per ``running_max_longs`` entry
+      ``{out_col: src_col}``: running MAX of the LONG column
+      ``src_col`` in rank order, inclusive of the current row (the
+      high-water-mark shape — e.g. a streaming event-time watermark
+      replay) — same P-row ledger, prefix-max instead of prefix-sum.
 
     ``order_cols`` must be column *expressions* (``F.asc``/``F.desc``
     wrapped as needed); they are used both to range-partition and to
@@ -108,7 +114,9 @@ def ranged_global_rank(
         )
     ntiles = ntiles or {}
     running_longs = running_longs or {}
+    running_max_longs = running_max_longs or {}
     sum_srcs = sorted(set(running_longs.values()))
+    max_srcs = sorted(set(running_max_longs.values()))
 
     ranged = (
         df.repartitionByRange(p, *order_cols)
@@ -116,12 +124,13 @@ def ranged_global_rank(
         .localCheckpoint(eager=False)
     )
 
-    # P-row ledger: per-slice row counts and long-column totals.
+    # P-row ledger: per-slice row counts, long totals and long maxes.
     ledger = (
         ranged.groupBy("_pid")
         .agg(
             F.count(F.lit(1)).alias("_n"),
             *[F.sum(c).alias(f"_s_{c}") for c in sum_srcs],
+            *[F.max(c).alias(f"_m_{c}") for c in max_srcs],
         )
         .collect()
     )
@@ -135,26 +144,37 @@ def ranged_global_rank(
             out = out.withColumn(name, F.lit(None).cast("int"))
         for name in running_longs:
             out = out.withColumn(name, F.lit(None).cast("long"))
+        for name in running_max_longs:
+            out = out.withColumn(name, F.lit(None).cast("long"))
         return out
 
     # Exclusive prefix offsets, positioned by partition id. Range
     # partition ids are dense 0..p-1 but empty slices may be absent
     # from the ledger — index by pid, defaulting to the running total.
     max_pid = ledger[-1]["_pid"]
+    _LONG_MIN = -(2**63)
     rank_off = [0] * (max_pid + 1)
     sum_off = {c: [0] * (max_pid + 1) for c in sum_srcs}
+    max_off = {c: [_LONG_MIN] * (max_pid + 1) for c in max_srcs}
     run_n = 0
     run_s = {c: 0 for c in sum_srcs}
+    run_m = {c: _LONG_MIN for c in max_srcs}
     it = iter(ledger)
     row = next(it, None)
     for pid in range(max_pid + 1):
         rank_off[pid] = run_n
         for c in sum_srcs:
             sum_off[c][pid] = run_s[c]
+        for c in max_srcs:
+            max_off[c][pid] = run_m[c]
         if row is not None and row["_pid"] == pid:
             run_n += row["_n"]
             for c in sum_srcs:
                 run_s[c] += int(row[f"_s_{c}"] or 0)
+            for c in max_srcs:
+                v = row[f"_m_{c}"]
+                if v is not None and int(v) > run_m[c]:
+                    run_m[c] = int(v)
             row = next(it, None)
 
     w = Window.partitionBy("_pid").orderBy(*order_cols)
@@ -175,6 +195,14 @@ def ranged_global_rank(
             (
                 F.element_at(F.lit(sum_off[src]), idx)
                 + F.sum(src).over(cum)
+            ).cast("long"),
+        )
+    for name, src in running_max_longs.items():
+        out = out.withColumn(
+            name,
+            F.greatest(
+                F.element_at(F.lit(max_off[src]), idx),
+                F.max(src).over(cum),
             ).cast("long"),
         )
     out = out.drop("_pid")

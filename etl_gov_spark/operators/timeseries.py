@@ -3770,3 +3770,130 @@ FROM sig GROUP BY event_type ORDER BY event_type
 """
 
 QUERIES["q_tracking_signal"] = (q_tracking_signal, Q_TRACKING_SIGNAL_SQL)
+
+
+# Watermark-lateness replay: deterministic md5-derived network delay
+# (0..1799 s per event) turns the event-time-ordered feed into an
+# out-of-order arrival stream; candidate watermark horizons to price.
+_LATE_MAX_DELAY_S = 1800
+_LATE_HORIZONS_S = (0, 60, 300, 900, 1800)
+
+
+def q_watermark_lateness_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit that PICKS the watermark for every §B streaming
+    query: replay the events feed in arrival order and price each
+    candidate horizon by how many events the watermark would drop.
+
+    Arrival order is the standard replay experiment — event time
+    plus a deterministic per-event network delay (md5(event_id) mod
+    1800 s, identical in both engines; the feed itself is perfectly
+    event-time-ordered, so lateness must be injected to be studied).
+    An event is DROPPED at horizon h if, when it arrives, the
+    high-water-mark (max event time seen so far) already exceeds its
+    event time by more than h — exactly Structured Streaming's
+    ``withWatermark`` drop rule. One row per horizon with the drop
+    count/share, plus the lateness tail (max, p99-by-count) that
+    says what horizon WOULD have been enough.
+
+    Scale: the high-water-mark is a global running max at fact
+    grain — computed with the ``ranged_global_rank`` prefix-max
+    ledger (range repartition + P-row driver ledger lifted back as
+    literals), NO Exchange SinglePartition anywhere. Everything
+    downstream is one conditional aggregate; all arithmetic is
+    integer microseconds.
+    """
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
+    ev = Catalog(spark, sf_dir).events.select(
+        "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    delay_us = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % _LATE_MAX_DELAY_S
+    ) * 1_000_000
+    arr = ev.select(
+        "event_id", "ts_us", (F.col("ts_us") + delay_us).alias("arrival_us")
+    )
+    hwm = ranged_global_rank(
+        arr,
+        [F.asc("arrival_us"), F.asc("event_id")],
+        rank_col=None,
+        running_max_longs={"hwm_us": "ts_us"},
+    )
+    late = hwm.select(
+        (F.col("hwm_us") - F.col("ts_us")).alias("late_us")
+    )
+    stats = late.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("late_us").alias("max_late_us"),
+        *[
+            F.sum(
+                F.when(F.col("late_us") > h * 1_000_000, 1).otherwise(0)
+            ).alias(f"_d{h}")
+            for h in _LATE_HORIZONS_S
+        ],
+    )
+    stacked = stats.select(
+        "n_events",
+        "max_late_us",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("horizon_s"),
+                        F.col(f"_d{h}").alias("n_dropped"),
+                    )
+                    for h in _LATE_HORIZONS_S
+                ]
+            )
+        ).alias("x"),
+    )
+    return stacked.select(
+        F.col("x.horizon_s").alias("horizon_s"),
+        F.col("x.n_dropped").cast("long").alias("n_dropped"),
+        (
+            F.round(
+                F.col("x.n_dropped").cast("double") / F.col("n_events") * 10000.0
+            )
+            / 10000.0
+        ).alias("drop_share"),
+        "n_events",
+        (F.col("max_late_us") / F.lit(1_000_000)).cast("long").alias("max_late_s"),
+    ).orderBy("horizon_s")
+
+
+Q_WATERMARK_LATENESS_SQL = f"""
+WITH arr AS (
+  SELECT event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts)
+           + (CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4) AS BIGINT)
+              % {_LATE_MAX_DELAY_S}) * 1000000 AS arrival_us
+  FROM events
+), hwm AS (
+  SELECT ts_us,
+         max(ts_us) OVER (ORDER BY arrival_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS hwm_us
+  FROM arr
+), late AS (
+  SELECT hwm_us - ts_us AS late_us FROM hwm
+), stats AS (
+  SELECT count(*) AS n_events, max(late_us) AS max_late_us,
+         {", ".join(f"sum(CASE WHEN late_us > {h} * 1000000 THEN 1 ELSE 0 END) AS d{h}" for h in _LATE_HORIZONS_S)}
+  FROM late
+)
+SELECT u.horizon_s,
+       CAST(u.n_dropped AS BIGINT) AS n_dropped,
+       round(CAST(u.n_dropped AS DOUBLE) / n_events * 10000.0) / 10000.0
+         AS drop_share,
+       n_events,
+       CAST(max_late_us // 1000000 AS BIGINT) AS max_late_s
+FROM stats,
+     unnest([{", ".join(f"struct_pack(horizon_s := {h}, n_dropped := d{h})" for h in _LATE_HORIZONS_S)}]) AS t(u)
+ORDER BY u.horizon_s
+"""
+
+QUERIES["q_watermark_lateness_census"] = (
+    q_watermark_lateness_census,
+    Q_WATERMARK_LATENESS_SQL,
+)

@@ -48,6 +48,7 @@ _PINNED_FIRST = (
     "dedup_substring_excise",
     "emb_intrinsic_dim",
     "ann_knn_graph_stats",
+    "q_watermark_lateness_census",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -164,3 +164,55 @@ def test_ranged_lag_empty_input(spark):
     out = ranged_lag(df, [F.asc("k")], {"pv": "v"})
     assert out.count() == 0
     assert "pv" in out.columns
+
+
+def test_ranged_running_max_matches_naive_global_window(spark):
+    """running_max_longs must reproduce max(x) OVER (ORDER BY ...
+    ROWS UNBOUNDED PRECEDING) exactly, including across range-slice
+    boundaries (prefix-max ledger) and on a leading NULL-free
+    monotone tail."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.ranks import ranged_global_rank
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 1000)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x long").repartition(8)
+    got = {
+        r.id: r.hwm
+        for r in ranged_global_rank(
+            df,
+            [F.asc("id")],
+            rank_col=None,
+            running_max_longs={"hwm": "x"},
+            partitions=6,
+        ).collect()
+    }
+    expect, cur = {}, -(2**63)
+    for i, x in rows:
+        cur = max(cur, x)
+        expect[i] = cur
+    assert got == expect
+
+
+def test_watermark_lateness_census_invariants(spark, sf_dir):
+    """Drop counts must be monotone non-increasing in the horizon;
+    the 1800 s horizon (== the injected max delay) drops nothing —
+    lateness is bounded by the max delay by construction; shares are
+    consistent with counts."""
+    from etl_gov_spark.operators.timeseries import (
+        _LATE_HORIZONS_S,
+        q_watermark_lateness_census,
+    )
+
+    rows = q_watermark_lateness_census(spark, sf_dir).collect()
+    assert [r.horizon_s for r in rows] == list(_LATE_HORIZONS_S)
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True)
+    assert rows[0].n_dropped > 0  # horizon 0 drops every late event
+    assert rows[-1].n_dropped == 0  # horizon == max injected delay
+    for r in rows:
+        assert r.max_late_s < 1800
+        assert abs(r.drop_share - round(r.n_dropped / r.n_events, 4)) <= 1e-9

@@ -1018,3 +1018,192 @@ FROM per2 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 QUERIES["mm_audio_wav_census"] = (mm_audio_wav_census, MM_AUDIO_WAV_SQL)
+
+
+# ---- image payload column: PNG container parsing (§F) ----
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_SCHEMA = (
+    "doc_id bigint, width int, height int, bit_depth int, color_type int, "
+    "n_chunks int, idat_bytes bigint"
+)
+
+
+def synth_png(payload: bytes) -> bytes:
+    """Deterministic stand-in for an image payload (the container
+    ships no image libs): a PNG whose container structure is REAL —
+    correct signature, big-endian chunk framing, true CRC-32s on
+    every chunk — while IHDR fields and the (never-decoded) IDAT
+    body derive purely from the source bytes, so the SQL oracle can
+    replay the generator algebra. Same stance as ``synth_wav``:
+    container parsing is exercised for real, pixel decode is out of
+    scope by design (multimodal.py:60 gate)."""
+    import struct
+    import zlib
+
+    n = len(payload)
+    width = n % 640 + 16
+    height = (n * 7) % 480 + 16
+    bit_depth = 8 if n % 2 == 0 else 16
+    color_type = (0, 2, 6)[n % 3]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    idat_len = n % 512 + 32
+    idat = bytes((n * 13 + k * 41) % 256 for k in range(idat_len))
+    out = PNG_SIG + chunk(b"IHDR", ihdr)
+    if n % 5 == 0:
+        out += chunk(b"tEXt", b"Comment\x00synthetic")
+    return out + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def parse_png(png: bytes) -> dict:
+    """Real PNG container parsing by byte slicing (no pixel decode):
+    validate the 8-byte signature, walk the big-endian chunk list,
+    VERIFY every chunk's CRC-32, require IHDR first (per spec),
+    decode its fields, and total the IDAT payload. Raises ValueError
+    on a non-PNG or corrupted payload — the quarantine path."""
+    import struct
+    import zlib
+
+    if len(png) < 8 or png[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, n_chunks, idat_bytes = 8, None, 0, 0
+    while pos + 8 <= len(png):
+        (clen,) = struct.unpack(">I", png[pos : pos + 4])
+        ctype = png[pos + 4 : pos + 8]
+        body = png[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack(">I", png[pos + 8 + clen : pos + 12 + clen])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        n_chunks += 1
+        if n_chunks == 1 and ctype != b"IHDR":
+            raise ValueError("first chunk is not IHDR")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
+        elif ctype == b"IDAT":
+            idat_bytes += clen
+        pos += 12 + clen
+        if ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("missing IHDR chunk")
+    width, height, bit_depth, color_type, _comp, _filt, _inter = ihdr
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+        "n_chunks": n_chunks,
+        "idat_bytes": idat_bytes,
+    }
+
+
+def mm_image_png_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-payload census over the PNG container — per
+    (color_type, bit_depth) cell: file count, total pixels, max
+    dimensions, IDAT byte mass and the bytes-per-pixel compression
+    proxy, from genuine chunk-walk parsing with CRC-32 verification
+    (synth_png → parse_png round trip in ONE Arrow-batched
+    mapInPandas stage; a real corpus reads the parquet binary
+    column directly).
+
+    Scale shape: identical to mm_audio_wav_census — a single map
+    pass emitting 7 narrow columns (payload bytes never reshuffled),
+    then one bounded-key aggregate (≤ |color_types|×|bit_depths|
+    cells). Integer arithmetic throughout; the only ratio uses the
+    integer-path 4-dp readout.
+    """
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_png(synth_png(bytes(payload)))
+                rows.append(
+                    (
+                        doc_id,
+                        m["width"],
+                        m["height"],
+                        m["bit_depth"],
+                        m["color_type"],
+                        m["n_chunks"],
+                        m["idat_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "width",
+                    "height",
+                    "bit_depth",
+                    "color_type",
+                    "n_chunks",
+                    "idat_bytes",
+                ],
+            )
+
+    parsed = docs.mapInPandas(run, PNG_SCHEMA)
+    return (
+        parsed.groupBy("color_type", "bit_depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(
+                F.col("width").cast("long") * F.col("height").cast("long")
+            ).alias("total_pixels"),
+            F.max("width").alias("max_width"),
+            F.max("height").alias("max_height"),
+            F.sum("idat_bytes").alias("idat_bytes"),
+            F.sum("n_chunks").alias("n_chunks"),
+            (
+                F.round(
+                    10000.0
+                    * F.sum("idat_bytes")
+                    / F.sum(F.col("width").cast("long") * F.col("height").cast("long"))
+                )
+                / 10000.0
+            ).alias("bytes_per_pixel"),
+        )
+        .orderBy("color_type", "bit_depth")
+    )
+
+
+MM_IMAGE_PNG_SQL = """
+WITH base AS (
+  SELECT octet_length(encode(text)) AS n FROM documents
+), per AS (
+  SELECT n % 640 + 16 AS width,
+         (n * 7) % 480 + 16 AS height,
+         CASE WHEN n % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
+         CASE n % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS color_type,
+         CASE WHEN n % 5 = 0 THEN 4 ELSE 3 END AS n_chunks,
+         n % 512 + 32 AS idat_bytes
+  FROM base
+)
+SELECT CAST(color_type AS INTEGER) AS color_type,
+       CAST(bit_depth AS INTEGER) AS bit_depth,
+       count(*) AS n_files,
+       CAST(sum(CAST(width AS BIGINT) * height) AS BIGINT) AS total_pixels,
+       CAST(max(width) AS INTEGER) AS max_width,
+       CAST(max(height) AS INTEGER) AS max_height,
+       CAST(sum(idat_bytes) AS BIGINT) AS idat_bytes,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       round(10000.0 * sum(idat_bytes)
+             / sum(CAST(width AS BIGINT) * height)) / 10000.0 AS bytes_per_pixel
+FROM per GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+QUERIES["mm_image_png_census"] = (mm_image_png_census, MM_IMAGE_PNG_SQL)

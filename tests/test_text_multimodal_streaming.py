@@ -896,3 +896,58 @@ def test_wav_parser_roundtrip_and_quarantine():
     assert m2["sample_rate"] == (8000, 16000, 22050, 44100)[123 % 4]
     assert m2["channels"] == 123 % 2 + 1
     assert m2["n_frames"] == 123 % 256 + 64
+
+
+def test_png_parser_roundtrip_crc_and_quarantine():
+    """parse_png: decodes a hand-built canonical PNG exactly
+    (signature, big-endian chunk walk, IHDR-first rule, IDAT
+    totaling across MULTIPLE IDAT chunks), verifies CRC-32 and
+    raises on corruption, wrong magic, and non-IHDR-first files."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from etl_gov_spark.operators.multimodal import (
+        PNG_SIG,
+        parse_png,
+        synth_png,
+    )
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 320, 200, 8, 2, 0, 0, 0)
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\x01" * 100)
+        + chunk(b"IDAT", b"\x02" * 50)
+        + chunk(b"IEND", b"")
+    )
+    m = parse_png(png)
+    assert (m["width"], m["height"]) == (320, 200)
+    assert m["bit_depth"] == 8 and m["color_type"] == 2
+    assert m["n_chunks"] == 4 and m["idat_bytes"] == 150
+
+    with pytest.raises(ValueError):
+        parse_png(b"GIF89a" + png[6:])  # wrong magic
+    corrupted = bytearray(png)
+    corrupted[20] ^= 0xFF  # flip an IHDR body byte under its CRC
+    with pytest.raises(ValueError):
+        parse_png(bytes(corrupted))
+    with pytest.raises(ValueError):  # IHDR must come first
+        parse_png(PNG_SIG + chunk(b"IDAT", b"x") + chunk(b"IHDR", ihdr))
+
+    # synth → parse round trip recovers the generator parameters
+    n = 123
+    m2 = parse_png(synth_png(b"x" * n))
+    assert m2["width"] == n % 640 + 16
+    assert m2["height"] == (n * 7) % 480 + 16
+    assert m2["bit_depth"] == 16 and m2["color_type"] == (0, 2, 6)[n % 3]
+    assert m2["idat_bytes"] == n % 512 + 32
+    assert m2["n_chunks"] == 3  # 123 % 5 != 0 → no tEXt
+    assert parse_png(synth_png(b"x" * 120))["n_chunks"] == 4

@@ -1780,8 +1780,13 @@ def dedup_substring_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count(F.lit(1)).alias("df"),
     )
+    # Both join sides scale with the corpus (canon has ~one row per
+    # DISTINCT gram — near-zero reduction on real text, which defeats
+    # the post-aggregate size estimate and tempts AQE into a driver-
+    # killing broadcast; measured at the 100x ladder rung). Pin the
+    # sort-merge join: md5 keys sort/shuffle uniformly at any scale.
     shadowed = (
-        grams.join(canon, "g")
+        grams.join(canon.hint("merge"), "g")
         .filter(
             (F.col("df") >= 2)
             & (

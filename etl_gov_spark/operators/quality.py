@@ -1352,3 +1352,93 @@ GROUP BY event_type
 """
 
 QUERIES["dq_monotonic_ids"] = (dq_monotonic_ids, DQ_MONOTONIC_SQL)
+
+
+def dq_benford_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit conformity screen over the money column
+    (Nigrini's fraud/fabrication test — fabricated or truncated
+    feeds flunk it long before distribution-drift tests fire): the
+    observed first-significant-digit distribution of
+    ``l_extendedprice`` vs Benford's log10(1 + 1/d), with the
+    chi-square statistic and Nigrini's MAD (mean absolute deviation
+    of the digit shares, his published conformity bands: < 0.006
+    close, < 0.012 acceptable, < 0.015 marginal).
+
+    Determinism: prices go through the cents-exact integer path
+    (round(x*100) -> BIGINT -> VARCHAR), so the first digit is a
+    string head of an integer both engines format identically — no
+    float log10 at a power-of-10 boundary, no format drift. The
+    digit histogram is one bounded-key aggregate (9 cells); chi2 and
+    MAD fold over those 9 cells.
+    """
+    li = Catalog(spark, sf_dir).lineitem.select("l_extendedprice")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    digits = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = digits.agg(F.sum("n").alias("total"))
+    joined = digits.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        "total",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        (F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))).alias("p"),
+    )
+    stats = joined.agg(
+        F.sum(
+            F.pow(F.col("n") - F.col("total") * F.col("p"), 2)
+            / (F.col("total") * F.col("p"))
+        ).alias("chi2"),
+        F.avg(F.abs(F.col("share") - F.col("p"))).alias("mad"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(stats))
+        .select(
+            "digit",
+            "n",
+            (F.round(F.col("share") * 10000.0) / 10000.0).alias("share"),
+            (F.round(F.col("p") * 10000.0) / 10000.0).alias("benford_share"),
+            (F.round((F.col("share") - F.col("p")) * 10000.0) / 10000.0).alias(
+                "deviation"
+            ),
+            (F.round(F.col("chi2") * 10000.0) / 10000.0).alias("chi2"),
+            (F.round(F.col("mad") * 1000000.0) / 1000000.0).alias("mad"),
+        )
+        .orderBy("digit")
+    )
+
+
+DQ_BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*) AS n
+  FROM lineitem WHERE l_extendedprice > 0
+  GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS total FROM digits
+), joined AS (
+  SELECT digit, n, total,
+         CAST(n AS DOUBLE) / total AS share,
+         ln(1.0 + 1.0 / digit) / ln(10.0) AS p
+  FROM digits, tot
+), stats AS (
+  SELECT sum(pow(n - total * p, 2) / (total * p)) AS chi2,
+         avg(abs(share - p)) AS mad
+  FROM joined
+)
+SELECT digit,
+       n,
+       round(share * 10000.0) / 10000.0 AS share,
+       round(p * 10000.0) / 10000.0 AS benford_share,
+       round((share - p) * 10000.0) / 10000.0 AS deviation,
+       round(chi2 * 10000.0) / 10000.0 AS chi2,
+       round(mad * 1000000.0) / 1000000.0 AS mad
+FROM joined, stats
+ORDER BY digit
+"""
+
+QUERIES["dq_benford_law"] = (dq_benford_law, DQ_BENFORD_SQL)

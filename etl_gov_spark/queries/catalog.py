@@ -50,6 +50,7 @@ _PINNED_FIRST = (
     "ann_knn_graph_stats",
     "q_watermark_lateness_census",
     "mm_image_png_census",
+    "dq_benford_law",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

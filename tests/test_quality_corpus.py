@@ -1159,3 +1159,38 @@ def test_classifier_calibration_bounds(spark, sf_dir):
     assert abs(weighted - ece) < 2e-6
     held = C.corpus_quality_classifier(spark, sf_dir).collect()[0]
     assert n_total == held.n_held
+
+
+def test_benford_discriminates_conforming_from_fabricated(spark, tmp_path):
+    """dq_benford_law: log-uniform magnitudes (Benford-conforming by
+    construction) must land inside Nigrini's close-conformity band,
+    while a fabricated uniform-band feed (every price in [40, 50))
+    must flunk it with a single-digit spike."""
+    import math
+
+    # log-uniform over 4 decades: P(first digit = d) -> log10(1+1/d)
+    conform = str(tmp_path / "conform")
+    n = 20000
+    rows = [
+        (float(10.0 ** (1.0 + 4.0 * ((i * 0.6180339887498949) % 1.0))),)
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows, "l_extendedprice double").write.mode(
+        "overwrite"
+    ).parquet(f"{conform}/lineitem.parquet")
+    got = {r.digit: r for r in Q.dq_benford_law(spark, conform).collect()}
+    assert set(got) == set(range(1, 10))
+    assert got[1].mad < 0.006, got[1].mad  # Nigrini close conformity
+    for d in range(1, 10):
+        expect = math.log10(1.0 + 1.0 / d)
+        assert abs(got[d].share - expect) < 0.01
+
+    fabricated = str(tmp_path / "fab")
+    rows = [(40.0 + (i % 1000) / 100.0,) for i in range(n)]
+    spark.createDataFrame(rows, "l_extendedprice double").write.mode(
+        "overwrite"
+    ).parquet(f"{fabricated}/lineitem.parquet")
+    bad = {r.digit: r for r in Q.dq_benford_law(spark, fabricated).collect()}
+    assert bad[4].share == 1.0  # every price leads with 4
+    assert bad[4].mad > 0.015  # far outside every conformity band
+    assert bad[4].chi2 > got[1].chi2 * 100

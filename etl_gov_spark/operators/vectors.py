@@ -841,27 +841,16 @@ def _r(v: float, places: int) -> float:
     return math.copysign(math.floor(abs(v) * scale + 0.5), v) / scale
 
 
-def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding cloud by distributed
-    power iteration — exactly oracle-able: the model state (per-dim
-    means, each iteration's per-dim sums, the normalized iterate) is
-    quantized to 6 dp at every step, so the DuckDB oracle replays the
-    identical 8 iterations as unrolled CTEs (same scheme as the
-    IVF/PQ Lloyd and pagerank replays). Alignment with numpy's
-    eigenvector is additionally asserted in tests.
-
-    Each iteration is ONE distributed pass: score = x·v (v embedded
-    as a literal — 64 doubles of model state, the only thing the
-    driver ever holds), then per-dimension Σ score·xᵢ via positional
-    explode — the shuffle carries dim-indexed partial sums (64 keys),
-    never vectors. Mean-centering reuses the same explode layout.
-    This is the Krylov-style pattern every distributed eigensolver
-    uses: data stays sharded, the k-dim iterate rides the closure.
-    Output: per-dim loading + the explained-variance share.
-    """
-    emb = Catalog(spark, sf_dir).embeddings.select(
-        F.col("embedding").cast("array<double>").alias("v")
-    )
+def _fit_top_pc(emb: DataFrame):
+    """Shared model fit for emb_pca_top_component /
+    emb_abtt_isotropy_audit: 6-dp-quantized distributed power
+    iteration for the top principal component of the embedding
+    cloud (model state — per-dim means, each iteration's per-dim
+    sums, the normalized iterate — quantized at every step so the
+    DuckDB oracle replays the identical PCA_ITERS iterations as
+    unrolled CTEs). Returns (mu, vec, eig, total_var, n, dim) with
+    ``vec`` sign-fixed (largest-|loading| dimension positive).
+    ``emb`` must expose an array<double> column ``v``."""
     per_dim = emb.select(F.posexplode("v").alias("pos", "val"))
     stats = per_dim.groupBy("pos").agg(
         F.round(F.avg("val"), 6).alias("mu"),  # quantized model state
@@ -907,6 +896,31 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot = max(range(dim), key=lambda i: abs(vec[i]))
     if vec[pivot] < 0:
         vec = [-x for x in vec]
+    return mu, vec, eig, total_var, n, dim
+
+
+def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud by distributed
+    power iteration — exactly oracle-able: the model state (per-dim
+    means, each iteration's per-dim sums, the normalized iterate) is
+    quantized to 6 dp at every step, so the DuckDB oracle replays the
+    identical 8 iterations as unrolled CTEs (same scheme as the
+    IVF/PQ Lloyd and pagerank replays). Alignment with numpy's
+    eigenvector is additionally asserted in tests.
+
+    Each iteration is ONE distributed pass: score = x·v (v embedded
+    as a literal — 64 doubles of model state, the only thing the
+    driver ever holds), then per-dimension Σ score·xᵢ via positional
+    explode — the shuffle carries dim-indexed partial sums (64 keys),
+    never vectors. Mean-centering reuses the same explode layout.
+    This is the Krylov-style pattern every distributed eigensolver
+    uses: data stays sharded, the k-dim iterate rides the closure.
+    Output: per-dim loading + the explained-variance share.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu, vec, eig, total_var, n, dim = _fit_top_pc(emb)
     return spark.createDataFrame(
         [
             (i, _r(vec[i], 4), _r(eig / total_var, 4))
@@ -916,16 +930,7 @@ def emb_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pca_sql(iters: int = PCA_ITERS) -> str:
-    """Unroll the 6-dp-quantized power iteration as CTEs: because
-    both engines round the per-dim means, each iteration's per-dim
-    sums, and the normalized iterate to 6 dp, every intermediate
-    state is bit-identical and the replay is exact (pagerank/IVF/PQ
-    scheme). ~1e-16 aggregation-order drift sits far below the
-    quantization step. Every CTE is MATERIALIZED: with inlining,
-    each iteration's references to the previous one re-evaluate the
-    whole chain (exponential in iteration count)."""
-    head = """WITH flat AS MATERIALIZED (
+_PCA_HEAD = """WITH flat AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
          unnest(CAST(embedding AS DOUBLE[])) AS val
   FROM embeddings
@@ -940,6 +945,12 @@ st AS MATERIALIZED (
 ), v0 AS MATERIALIZED (
   SELECT pos, 0.125 AS w FROM st
 )"""  # 1/sqrt(64) is exact
+
+
+def _pca_cte_chain(head: str, iters: int) -> tuple[str, str]:
+    """The shared unrolled power-iteration CTE chain (see _pca_sql's
+    docstring for the quantization contract). Returns (sql_text,
+    name_of_final_iterate_cte)."""
     parts = [head]
     prev = "v0"
     for i in range(1, iters + 1):
@@ -957,6 +968,20 @@ st AS MATERIALIZED (
 )"""
         )
         prev = f"v{i}"
+    return "".join(parts), prev
+
+
+def _pca_sql(iters: int = PCA_ITERS) -> str:
+    """Unroll the 6-dp-quantized power iteration as CTEs: because
+    both engines round the per-dim means, each iteration's per-dim
+    sums, and the normalized iterate to 6 dp, every intermediate
+    state is bit-identical and the replay is exact (pagerank/IVF/PQ
+    scheme). ~1e-16 aggregation-order drift sits far below the
+    quantization step. Every CTE is MATERIALIZED: with inlining,
+    each iteration's references to the previous one re-evaluate the
+    whole chain (exponential in iteration count)."""
+    chain, prev = _pca_cte_chain(_PCA_HEAD, iters)
+    parts = [chain]
     parts.append(
         f""", sgn AS MATERIALIZED (
   SELECT CASE WHEN w < 0 THEN -1.0 ELSE 1.0 END AS sg
@@ -3872,3 +3897,148 @@ WHERE rank <= {TOP_K}
 """
 
 QUERIES["ann_ivfpq_topk"] = (ann_ivfpq_topk, ANN_IVFPQ_SQL)
+
+
+def _avg_pairwise_cos(unit_flat: DataFrame, n_col: str, out: str) -> DataFrame:
+    """Σᵢ≠ⱼ cos(uᵢ,uⱼ) / (n(n−1)) from per-dimension sums of unit
+    vectors (the ‖Σu‖² − n identity — no pairwise join; same trick
+    as emb_isotropy). ``unit_flat`` is (vec_id, pos, u)."""
+    s = unit_flat.groupBy("pos").agg(F.sum("u").alias("s"))
+    nn = unit_flat.select("vec_id").distinct().count()
+    return s.agg(
+        F.lit(nn).alias(n_col),
+        F.round(
+            (F.sum(F.col("s") * F.col("s")) - nn) / (nn * (nn - 1)), 4
+        ).alias(out),
+    )
+
+
+def emb_abtt_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-But-The-Top post-processing audit (Mu & Viswanath, ICLR
+    2018): remove the common mean and the top principal direction
+    from every embedding, then measure how much the anisotropic-cone
+    pathology improves — avg pairwise cosine of the raw unit cloud
+    vs the ABTT-processed one. This is the cheap fix every encoder
+    batch gets offered when emb_isotropy flags a dominant direction;
+    this query prices it instead of assuming it.
+
+    The top PC comes from the SAME 6-dp-quantized power iteration as
+    emb_pca_top_component (shared _fit_top_pc — the oracle replays
+    the identical unrolled iterations), so the model state is
+    bit-identical in both engines; the transform x' = (x−μ) −
+    ((x−μ)·v)v and both isotropy readouts are pure per-row array
+    algebra + the ‖Σu‖² − n identity (per-dim sums, never a pairwise
+    join). Scale: two linear passes over the exploded (vec, dim)
+    domain on top of the fit's PCA_ITERS passes — no new shuffle
+    shape; the 64-double model rides the closure.
+    """
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mu, vec, eig, total_var, _n, dim = _fit_top_pc(emb.select("v"))
+    mulit = F.array(*[F.lit(m) for m in mu])
+    vlit = F.array(*[F.lit(x) for x in vec])
+
+    rnrm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    raw_u = (
+        emb.withColumn("_nrm", rnrm)
+        .filter(F.col("_nrm") > 0)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform("v", lambda x: x / F.col("_nrm"))
+            ).alias("pos", "u"),
+        )
+    )
+    abtt = (
+        emb.withColumn("c", F.zip_with("v", mulit, lambda x, m: x - m))
+        .withColumn(
+            "s",
+            F.aggregate(
+                F.zip_with("c", vlit, lambda c, w: c * w),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+        .withColumn("a", F.zip_with("c", vlit, lambda c, w: c - F.col("s") * w))
+        .withColumn(
+            "_nrm", F.sqrt(F.aggregate("a", F.lit(0.0), lambda a, x: a + x * x))
+        )
+        .filter(F.col("_nrm") > 0)
+        .select(
+            "vec_id",
+            F.posexplode(
+                F.transform("a", lambda x: x / F.col("_nrm"))
+            ).alias("pos", "u"),
+        )
+    )
+    before = _avg_pairwise_cos(raw_u, "n_raw", "avg_cos_raw")
+    after = _avg_pairwise_cos(abtt, "n_abtt", "avg_cos_abtt")
+    return before.crossJoin(F.broadcast(after)).select(
+        "n_raw",
+        "n_abtt",
+        F.lit(dim).alias("dim"),
+        F.lit(_r(eig / total_var, 4)).alias("pc1_var_share"),
+        "avg_cos_raw",
+        "avg_cos_abtt",
+        F.round(F.col("avg_cos_raw") - F.col("avg_cos_abtt"), 4).alias(
+            "isotropy_gain"
+        ),
+    )
+
+
+def _abtt_sql(iters: int = PCA_ITERS) -> str:
+    """Oracle: replay the shared power-iteration chain, then mirror
+    the ABTT transform and both ‖Σu‖² − n readouts."""
+    chain, prev = _pca_cte_chain(_PCA_HEAD, iters)
+    return (
+        chain
+        + f""", rnrm AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM flat GROUP BY vec_id
+), rsum AS MATERIALIZED (
+  SELECT f.pos, sum(f.val / r.nrm) AS s
+  FROM flat f JOIN rnrm r USING (vec_id) WHERE r.nrm > 0 GROUP BY f.pos
+), rn AS MATERIALIZED (
+  SELECT count(*) AS n FROM rnrm WHERE nrm > 0
+), sc AS MATERIALIZED (
+  SELECT c.vec_id, sum(c.c * v.w) AS s
+  FROM cent c JOIN {prev} v USING (pos) GROUP BY c.vec_id
+), arow AS MATERIALIZED (
+  SELECT c.vec_id, c.pos, c.c - sc.s * v.w AS a
+  FROM cent c JOIN sc USING (vec_id) JOIN {prev} v USING (pos)
+), anrm AS MATERIALIZED (
+  SELECT vec_id, sqrt(sum(a * a)) AS nrm FROM arow GROUP BY vec_id
+), asum AS MATERIALIZED (
+  SELECT ar.pos, sum(ar.a / an.nrm) AS s
+  FROM arow ar JOIN anrm an USING (vec_id) WHERE an.nrm > 0 GROUP BY ar.pos
+), an2 AS MATERIALIZED (
+  SELECT count(*) AS n FROM anrm WHERE nrm > 0
+), raw_cos AS (
+  SELECT (SELECT n FROM rn) AS n_raw,
+         round((sum(s * s) - (SELECT n FROM rn))
+               / ((SELECT n FROM rn) * ((SELECT n FROM rn) - 1)), 4)
+           AS avg_cos_raw
+  FROM rsum
+), abtt_cos AS (
+  SELECT (SELECT n FROM an2) AS n_abtt,
+         round((sum(s * s) - (SELECT n FROM an2))
+               / ((SELECT n FROM an2) * ((SELECT n FROM an2) - 1)), 4)
+           AS avg_cos_abtt
+  FROM asum
+)
+SELECT CAST(n_raw AS BIGINT) AS n_raw,
+       CAST(n_abtt AS BIGINT) AS n_abtt,
+       64 AS dim,
+       round((SELECT nrm FROM nm{iters}) / (SELECT total_var FROM tv), 4)
+         AS pc1_var_share,
+       avg_cos_raw,
+       avg_cos_abtt,
+       round(avg_cos_raw - avg_cos_abtt, 4) AS isotropy_gain
+FROM raw_cos, abtt_cos
+"""
+    )
+
+
+EMB_ABTT_SQL = _abtt_sql()
+
+QUERIES["emb_abtt_isotropy_audit"] = (emb_abtt_isotropy_audit, EMB_ABTT_SQL)

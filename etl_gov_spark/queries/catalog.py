@@ -51,6 +51,7 @@ _PINNED_FIRST = (
     "q_watermark_lateness_census",
     "mm_image_png_census",
     "dq_benford_law",
+    "emb_abtt_isotropy_audit",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

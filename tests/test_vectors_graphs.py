@@ -956,3 +956,28 @@ def test_ivfpq_recall_and_rerank_parity(spark, sf_dir):
         assert abs(got[key] - exact[key]) <= 1e-4 + 1e-12, (
             f"re-rank cosine drift at {key}: {got[key]} vs {exact[key]}"
         )
+
+
+def test_abtt_fixes_planted_anisotropic_cone(spark, tmp_path):
+    """emb_abtt_isotropy_audit: a cloud with one dominant common
+    direction (the classic anisotropic cone) must show avg pairwise
+    cosine near 1 raw and near 0 after ABTT — i.e. the audit both
+    detects the pathology and prices the fix. (Here the cone is the
+    common MEAN, so the gain comes from the centering half of ABTT;
+    the PC-removal half is exercised by the shared _fit_top_pc being
+    oracle-replayed inside this very query.)"""
+    from etl_gov_spark.operators.vectors import emb_abtt_isotropy_audit
+
+    rows = []
+    for i in range(300):
+        v = [10.0] + [0.0] * 63
+        v[1 + i % 63] += ((i * 37) % 100 - 50) / 100.0  # small noise
+        rows.append((i, v, i % 4))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    r = emb_abtt_isotropy_audit(spark, str(tmp_path)).collect()[0]
+    assert r.n_raw == 300 and r.n_abtt == 300 and r.dim == 64
+    assert r.avg_cos_raw > 0.95, r.avg_cos_raw
+    assert abs(r.avg_cos_abtt) < 0.1, r.avg_cos_abtt
+    assert r.isotropy_gain > 0.9

@@ -3897,3 +3897,277 @@ QUERIES["q_watermark_lateness_census"] = (
     q_watermark_lateness_census,
     Q_WATERMARK_LATENESS_SQL,
 )
+
+
+# SAX (Lin et al. 2003) gaussian breakpoints for a 4-symbol alphabet.
+_SAX_BREAKS = (-0.6745, 0.0, 0.6745)
+_SAX_WORD = 4
+_SAX_TOP = 10
+
+
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif census of the daily revenue series (Lin et al.
+    2003, "A Symbolic Representation of Time Series"): z-normalize
+    the bounded daily series, discretize each day into a 4-symbol
+    gaussian-breakpoint alphabet, slide a 4-day word, and census the
+    words — the top-10 recurring motifs with first occurrence and
+    support. The symbolic index is what makes motif/novelty lookups
+    on a 100 TB event history O(words), not O(days²).
+
+    Determinism: z-scores are quantized on the 1e-6 grid with
+    integer-path rounding BEFORE the breakpoint comparison, so both
+    engines bucket borderline days identically (a quantized z equal
+    to a breakpoint falls on the same side in both). Mean/std come
+    from explicit power sums. The series is bounded-domain (days),
+    so the ordering window is the whitelisted shape; the census is
+    a ≤4⁴-key aggregate.
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    z6 = (
+        F.round(
+            (F.col("y") - F.col("s1") / F.col("n"))
+            / F.sqrt(F.col("s2") / F.col("n") - F.pow(F.col("s1") / F.col("n"), 2))
+            * 1000000.0
+        )
+        / 1000000.0
+    )
+    sym = (
+        F.when(z6 < _SAX_BREAKS[0], "a")
+        .when(z6 < _SAX_BREAKS[1], "b")
+        .when(z6 < _SAX_BREAKS[2], "c")
+        .otherwise("d")
+    )
+    w = Window.orderBy("day")
+    words = (
+        daily.crossJoin(F.broadcast(m))
+        .select("day", sym.alias("s"))
+        .select(
+            "day",
+            F.concat(
+                "s",
+                F.lead("s", 1).over(w),
+                F.lead("s", 2).over(w),
+                F.lead("s", 3).over(w),
+            ).alias("word"),
+        )
+        .filter(F.length("word") == _SAX_WORD)
+    )
+    census = words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("day").alias("first_day"),
+    )
+    wr = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    return (
+        census.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _SAX_TOP)
+        .select("word", "n_occurrences", "first_day", "rank")
+    )
+
+
+Q_SAX_MOTIFS_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT count(*) AS n, sum(y) AS s1, sum(y * y) AS s2 FROM daily
+), sym AS (
+  SELECT day,
+         CASE WHEN z < {_SAX_BREAKS[0]} THEN 'a'
+              WHEN z < {_SAX_BREAKS[1]} THEN 'b'
+              WHEN z < {_SAX_BREAKS[2]} THEN 'c'
+              ELSE 'd' END AS s
+  FROM (
+    SELECT day,
+           round((y - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))
+                 * 1000000.0) / 1000000.0 AS z
+    FROM daily, m
+  )
+), words AS (
+  SELECT day,
+         s || lead(s, 1) OVER (ORDER BY day)
+           || lead(s, 2) OVER (ORDER BY day)
+           || lead(s, 3) OVER (ORDER BY day) AS word
+  FROM sym
+), census AS (
+  SELECT word, count(*) AS n_occurrences, min(day) AS first_day
+  FROM words WHERE length(word) = {_SAX_WORD}
+  GROUP BY word
+)
+SELECT word, n_occurrences, first_day,
+       CAST(rank AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, word ASC) AS rank
+  FROM census
+)
+WHERE rank <= {_SAX_TOP}
+"""
+
+QUERIES["q_sax_motifs"] = (q_sax_motifs, Q_SAX_MOTIFS_SQL)
+
+
+_MP_L = 7  # matrix-profile subsequence length (one week)
+_MP_TOP = 3
+
+
+def q_matrix_profile_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact matrix profile over the daily revenue series (Yeh et
+    al., ICDM 2016): z-normalized euclidean distance between every
+    pair of 7-day subsequences (exclusion zone |i−j| ≥ 7), reporting
+    the top-3 motif pairs (closest recurring weekly shapes) and the
+    top discord (the week least like any other — the anomaly). The
+    exact-distance companion to q_sax_motifs' symbolic census.
+
+    Scale stance: the matrix profile is quadratic IN THE SERIES
+    LENGTH, which is bounded-domain here (days; ~724 subsequences →
+    ~0.5M pairs at any corpus size — the fact table only feeds the
+    daily aggregate). Subsequences build from 6 leads over the
+    day-indexed window (whitelisted bounded shape); distances are
+    quantized on the 1e-6 grid with integer-path rounding before
+    ranking, ties break on (day_a, day_b).
+    """
+    daily = (
+        Catalog(spark, sf_dir)
+        .orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    )
+    w = Window.orderBy("day")
+    idx = daily.select(
+        "day", "y", F.row_number().over(w).alias("i")
+    )
+    cols = [F.col("y").alias("y0")] + [
+        F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, _MP_L)
+    ]
+    sub = (
+        idx.select("day", "i", *cols)
+        .filter(F.col(f"y{_MP_L - 1}").isNotNull())
+        .withColumn("v", F.array(*[f"y{k}" for k in range(_MP_L)]))
+        .withColumn(
+            "mu",
+            F.aggregate("v", F.lit(0.0), lambda a, x: a + x) / _MP_L,
+        )
+        .withColumn(
+            "sd",
+            F.sqrt(
+                F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x) / _MP_L
+                - F.col("mu") * F.col("mu")
+            ),
+        )
+        .filter(F.col("sd") > 0)
+        .select(
+            "day",
+            "i",
+            F.transform(
+                "v", lambda x: (x - F.col("mu")) / F.col("sd")
+            ).alias("z"),
+        )
+    )
+    a = sub.select(
+        F.col("day").alias("day_a"), F.col("i").alias("ia"), F.col("z").alias("za")
+    )
+    b = sub.select(
+        F.col("day").alias("day_b"), F.col("i").alias("ib"), F.col("z").alias("zb")
+    )
+    d6 = (
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("za", "zb", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * 1000000.0
+        )
+        / 1000000.0
+    )
+    pairs = (
+        a.join(b, F.abs(F.col("ia") - F.col("ib")) >= _MP_L)
+        .select("day_a", "day_b", d6.alias("dist"))
+    )
+    wm = Window.orderBy(F.asc("dist"), F.asc("day_a"), F.asc("day_b"))
+    motifs = (
+        pairs.filter(F.col("day_a") < F.col("day_b"))
+        .withColumn("rank", F.row_number().over(wm))
+        .filter(F.col("rank") <= _MP_TOP)
+        .select(
+            F.lit("motif").alias("kind"), "rank", "day_a", "day_b", "dist"
+        )
+    )
+    mp = pairs.groupBy("day_a").agg(F.min("dist").alias("dist"))
+    wd = Window.orderBy(F.desc("dist"), F.asc("day_a"))
+    discord = (
+        mp.withColumn("rank", F.row_number().over(wd))
+        .filter(F.col("rank") == 1)
+        .select(
+            F.lit("discord").alias("kind"),
+            "rank",
+            "day_a",
+            F.lit(None).cast("date").alias("day_b"),
+            "dist",
+        )
+    )
+    return motifs.unionByName(discord).orderBy("kind", "rank")
+
+
+Q_MATRIX_PROFILE_SQL = f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+         round(sum(o_totalprice), 2) AS y
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT day, y, row_number() OVER (ORDER BY day) AS i FROM daily
+), sub0 AS (
+  SELECT day, i,
+         [{", ".join(f"lead(y, {k}) OVER (ORDER BY day)" if k else "y" for k in range(_MP_L))}] AS v
+  FROM idx
+), sub AS (
+  SELECT day, i,
+         list_transform(v, x -> (x - mu) / sd) AS z
+  FROM (
+    SELECT day, i, v,
+           list_sum(v) / {_MP_L} AS mu,
+           sqrt(list_sum(list_transform(v, x -> x * x)) / {_MP_L}
+                - (list_sum(v) / {_MP_L}) * (list_sum(v) / {_MP_L})) AS sd
+    FROM sub0 WHERE v[{_MP_L}] IS NOT NULL
+  ) WHERE sd > 0
+), pairs AS (
+  SELECT a.day AS day_a, b.day AS day_b,
+         round(sqrt(list_sum(list_transform(
+             generate_series(1, {_MP_L}),
+             k -> (a.z[k] - b.z[k]) * (a.z[k] - b.z[k]))))
+           * 1000000.0) / 1000000.0 AS dist
+  FROM sub a JOIN sub b ON abs(a.i - b.i) >= {_MP_L}
+), motifs AS (
+  SELECT 'motif' AS kind, CAST(rank AS INTEGER) AS rank, day_a, day_b, dist
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY dist ASC, day_a ASC, day_b ASC) AS rank
+    FROM pairs WHERE day_a < day_b
+  ) WHERE rank <= {_MP_TOP}
+), discord AS (
+  SELECT 'discord' AS kind, CAST(rank AS INTEGER) AS rank, day_a,
+         CAST(NULL AS DATE) AS day_b, dist
+  FROM (
+    SELECT *, row_number() OVER (ORDER BY dist DESC, day_a ASC) AS rank
+    FROM (SELECT day_a, min(dist) AS dist FROM pairs GROUP BY day_a)
+  ) WHERE rank = 1
+)
+SELECT * FROM motifs
+UNION ALL
+SELECT * FROM discord
+ORDER BY kind, rank
+"""
+
+QUERIES["q_matrix_profile_motifs"] = (
+    q_matrix_profile_motifs,
+    Q_MATRIX_PROFILE_SQL,
+)

@@ -52,6 +52,8 @@ _PINNED_FIRST = (
     "mm_image_png_census",
     "dq_benford_law",
     "emb_abtt_isotropy_audit",
+    "q_sax_motifs",
+    "q_matrix_profile_motifs",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -435,3 +435,50 @@ def test_rsi_bounded(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.mean_rsi <= 100.0
         assert r.n_overbought + r.n_oversold <= r.n_days
+
+
+def test_matrix_profile_finds_planted_motif_and_discord(spark, tmp_path):
+    """q_matrix_profile_motifs: two exactly-repeated weeks must rank
+    as the top motif pair (z-distance 0 at exact alignment), and the
+    discord row must be a single, pairless, strictly-farthest
+    entry."""
+    import datetime
+    import hashlib
+
+    from etl_gov_spark.operators.timeseries import q_matrix_profile_motifs
+
+    base = datetime.date(2024, 1, 1)
+    week = [100.0, 220.0, 140.0, 310.0, 90.0, 260.0, 180.0]
+    rows = []
+    for i in range(60):
+        # hash-based jitter: no affine structure between any two
+        # 7-day windows (z-normalization treats affine-equivalent
+        # windows as identical, so linear jitter would plant fake
+        # zero-distance motifs)
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16)
+        v = 150.0 + (h % 499) * 1.7
+        if 10 <= i < 17:
+            v = week[i - 10]  # planted week A
+        if 40 <= i < 47:
+            v = week[i - 40]  # planted week B (identical)
+        rows.append((base + datetime.timedelta(days=i), v))
+    spark.createDataFrame(
+        rows, "o_orderdate date, o_totalprice double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    out = q_matrix_profile_motifs(spark, str(tmp_path)).collect()
+    motifs = [r for r in out if r.kind == "motif"]
+    discord = [r for r in out if r.kind == "discord"]
+    assert motifs[0].rank == 1
+    assert (motifs[0].day_a, motifs[0].day_b) == (
+        base + datetime.timedelta(days=10),
+        base + datetime.timedelta(days=40),
+    )
+    assert motifs[0].dist == 0.0
+    # discord: exactly one row, no pair column, strictly farther
+    # than the planted zero-distance motif (z-normalized distance is
+    # SHAPE-based, so a location assertion would be testing the
+    # jitter draw, not the operator)
+    assert len(discord) == 1 and discord[0].day_b is None
+    assert discord[0].rank == 1
+    assert discord[0].dist > motifs[-1].dist > motifs[0].dist

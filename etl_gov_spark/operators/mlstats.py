@@ -7078,3 +7078,221 @@ FROM mom
 """
 
 QUERIES["q_pot_gpd_tail"] = (q_pot_gpd_tail, Q_POT_GPD_SQL)
+
+
+# Markov attribution: touchpoint states (sorted), absorbing CONV,
+# fixed iteration count for the absorption fixed point. All model
+# arithmetic is INTEGER micro-probabilities, so the oracle replay is
+# bit-exact with zero float-seam risk.
+_MK_TOUCH = ("click", "error", "signup", "view")
+_MK_ITERS = 40
+
+
+def _mk_p6(c: int, tot: int) -> int:
+    """round(c/tot * 1e6) half-up in pure integer arithmetic —
+    identical to the oracle's (2*c*1000000 + tot) // (2*tot)."""
+    return (2 * c * 1_000_000 + tot) // (2 * tot)
+
+
+def _mk_absorption(p6: dict, scenario_removed: str | None) -> dict:
+    """Absorption probability into CONV per from-state, by
+    _MK_ITERS fixed-point iterations in integer micro-units.
+    ``p6[(f, t)]`` are micro-probabilities; edges touching the
+    removed channel contribute zero (the removal effect)."""
+
+    def edge(f: str, t: str) -> int:
+        if scenario_removed is not None and scenario_removed in (f, t):
+            return 0
+        return p6.get((f, t), 0)
+
+    p = {t: 0 for t in _MK_TOUCH}
+    for _ in range(_MK_ITERS):
+        nxt = {}
+        for s in _MK_TOUCH:
+            acc = edge(s, "CONV") * 1_000_000
+            for t in _MK_TOUCH:
+                acc += edge(s, t) * p[t]
+            nxt[s] = (2 * acc + 1_000_000) // 2_000_000
+        p = nxt
+    acc = edge("START", "CONV") * 1_000_000
+    for t in _MK_TOUCH:
+        acc += edge("START", t) * p[t]
+    p["START"] = (2 * acc + 1_000_000) // 2_000_000
+    return p
+
+
+def q_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov-chain attribution with removal effects
+    (Anderl et al. 2016 — the data-driven alternative to last-touch):
+    per-user journeys (event stream ordered by (ts, event_id),
+    truncated at the FIRST purchase), transition counts
+    START→…→CONV/NULL, then for each touchpoint channel the
+    conversion-probability drop when every edge touching that
+    channel is removed; attribution shares normalize the drops.
+
+    Determinism by construction: transition probabilities are
+    integer micro-units via (2c·10⁶+n)//(2n) (half-up in pure
+    integer arithmetic) and the absorption fixed point runs
+    _MK_ITERS integer iterations — there is NO float anywhere in the
+    model, so the oracle's unrolled-CTE replay is bit-exact (the
+    integer-path endgame of the pagerank/Lloyd replay scheme).
+
+    Scale: journeys sort per user_id (high-cardinality partition
+    key); the model is a ≤6×6 count matrix — bounded driver state,
+    like the Lloyd/Huber collects. The 40-iteration solve touches 4
+    states, not data.
+    """
+    ev = Catalog(spark, sf_dir).events.select("user_id", "ts", "event_id", "event_type")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = (
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wseq.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    kept = ev.withColumn("prior", prior).filter(
+        F.coalesce(F.col("prior"), F.lit(0)) == 0
+    )
+    wk = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    seq = kept.select(
+        "event_type",
+        F.lag("event_type").over(wk).alias("prev"),
+        F.row_number().over(wlast).alias("ridx"),
+    )
+    hops = seq.select(
+        F.coalesce("prev", F.lit("START")).alias("f"),
+        F.when(F.col("event_type") == "purchase", "CONV")
+        .otherwise(F.col("event_type"))
+        .alias("t"),
+    )
+    ends = seq.filter(
+        (F.col("ridx") == 1) & (F.col("event_type") != "purchase")
+    ).select(F.col("event_type").alias("f"), F.lit("NULL").alias("t"))
+    counts = (
+        hops.unionByName(ends).groupBy("f", "t").agg(F.count(F.lit(1)).alias("c"))
+    ).collect()  # bounded model state: <= 6x6 transition cells
+
+    tot: dict = {}
+    for r in counts:
+        tot[r.f] = tot.get(r.f, 0) + r.c
+    p6 = {
+        (r.f, r.t): _mk_p6(r.c, tot[r.f]) for r in counts if r.t != "NULL"
+    }
+    base = _mk_absorption(p6, None)
+    pb = base["START"]
+    drops = {}
+    for ch in _MK_TOUCH:
+        pr = _mk_absorption(p6, ch)["START"]
+        drops[ch] = pb - pr
+    tot_drop = sum(drops.values())
+    rows = []
+    for ch in _MK_TOUCH:
+        re4 = round(10000.0 * drops[ch] / pb) / 10000.0 if pb > 0 else None
+        sh4 = (
+            round(10000.0 * drops[ch] / tot_drop) / 10000.0
+            if tot_drop > 0
+            else None
+        )
+        rows.append((ch, re4, sh4, pb / 1_000_000.0))
+    return spark.createDataFrame(
+        rows,
+        "channel string, removal_effect double, attribution_share double, "
+        "base_conversion_p double",
+    ).orderBy("channel")
+
+
+def _markov_sql(iters: int = _MK_ITERS) -> str:
+    touch = _MK_TOUCH
+    states = ("START",) + touch
+    # pivoted integer transition matrix, one row per scenario
+    mat_cols = []
+    for f in states:
+        for t in touch + ("CONV",):
+            mat_cols.append(
+                f"sum(CASE WHEN p.f = '{f}' AND p.t = '{t}' AND s.scenario <> '{f}' AND s.scenario <> '{t}' THEN p.p6 ELSE 0 END) AS p_{f}_{t}"
+            )
+    scen = ", ".join(f"('{x}')" for x in ("base",) + touch)
+    head = f"""WITH ord AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM events
+), kept AS (
+  SELECT user_id, ts, event_id, event_type FROM ord
+  WHERE coalesce(prior, 0) = 0
+), seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS ridx
+  FROM kept
+), trans AS (
+  SELECT coalesce(prev, 'START') AS f,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS t
+  FROM seq
+  UNION ALL
+  SELECT event_type AS f, 'NULL' AS t FROM seq
+  WHERE ridx = 1 AND event_type <> 'purchase'
+), cnt AS (
+  SELECT f, t, count(*) AS c FROM trans GROUP BY 1, 2
+), tt AS (
+  SELECT f, sum(c) AS ct FROM cnt GROUP BY f
+), pmat AS (
+  SELECT cnt.f, cnt.t, (2 * c * 1000000 + ct) // (2 * ct) AS p6
+  FROM cnt JOIN tt USING (f) WHERE t <> 'NULL'
+), mat AS (
+  SELECT s.scenario, {", ".join(mat_cols)}
+  FROM (VALUES {scen}) s(scenario), pmat p
+  GROUP BY s.scenario
+), it0 AS (
+  SELECT scenario, {", ".join(f"CAST(0 AS BIGINT) AS p_{t}" for t in touch)} FROM mat
+)"""
+    parts = [head]
+    prev = "it0"
+    for k in range(1, iters + 1):
+        upd = ", ".join(
+            f"(2 * (m.p_{s}_CONV * 1000000 + "
+            + " + ".join(f"m.p_{s}_{t} * i.p_{t}" for t in touch)
+            + f") + 1000000) // 2000000 AS p_{s}"
+            for s in touch
+        )
+        parts.append(
+            f""", it{k} AS (
+  SELECT m.scenario, {upd}
+  FROM mat m JOIN {prev} i USING (scenario)
+)"""
+        )
+        prev = f"it{k}"
+    start_expr = (
+        "(2 * (m.p_START_CONV * 1000000 + "
+        + " + ".join(f"m.p_START_{t} * i.p_{t}" for t in touch)
+        + ") + 1000000) // 2000000"
+    )
+    parts.append(
+        f""", fin AS (
+  SELECT m.scenario, {start_expr} AS p_start
+  FROM mat m JOIN {prev} i USING (scenario)
+), pb AS (
+  SELECT p_start AS pb FROM fin WHERE scenario = 'base'
+), dr AS (
+  SELECT scenario AS channel, (SELECT pb FROM pb) - p_start AS drop
+  FROM fin WHERE scenario <> 'base'
+), td AS (
+  SELECT sum(drop) AS total_drop FROM dr
+)
+SELECT channel,
+       CASE WHEN (SELECT pb FROM pb) > 0
+            THEN round(10000.0 * drop / (SELECT pb FROM pb)) / 10000.0 END
+         AS removal_effect,
+       CASE WHEN (SELECT total_drop FROM td) > 0
+            THEN round(10000.0 * drop / (SELECT total_drop FROM td)) / 10000.0 END
+         AS attribution_share,
+       (SELECT pb FROM pb) / 1000000.0 AS base_conversion_p
+FROM dr ORDER BY channel
+"""
+    )
+    return "".join(parts)
+
+
+Q_MARKOV_ATTRIBUTION_SQL = _markov_sql()
+
+QUERIES["q_markov_attribution"] = (q_markov_attribution, Q_MARKOV_ATTRIBUTION_SQL)

@@ -54,6 +54,7 @@ _PINNED_FIRST = (
     "emb_abtt_isotropy_audit",
     "q_sax_motifs",
     "q_matrix_profile_motifs",
+    "q_markov_attribution",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

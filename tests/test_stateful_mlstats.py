@@ -1278,3 +1278,38 @@ def test_poisson_bootstrap_ci_brackets_truth(spark, sf_dir):
     assert r1.ci_lo <= stats.m <= r1.ci_hi
     analytic_se = stats.s / stats.n ** 0.5
     assert analytic_se / 2 <= r1.boot_se <= analytic_se * 2
+
+
+def test_markov_attribution_analytic_journeys(spark, tmp_path):
+    """q_markov_attribution on journeys with a known closed form:
+    half the users convert via click alone, half bounce via view —
+    removing click kills ALL conversion (effect 1.0, share 1.0),
+    removing view changes nothing (effect 0.0). Events after the
+    first purchase must be ignored (journey truncation)."""
+    import datetime
+
+    from etl_gov_spark.operators.mlstats import q_markov_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(10):  # converters: click -> purchase
+        for k, et in enumerate(["click", "purchase", "view"]):
+            # the trailing post-purchase view must NOT count
+            rows.append((eid, t0 + datetime.timedelta(minutes=k), u, et))
+            eid += 1
+    for u in range(10, 20):  # bouncers: view -> (end)
+        rows.append((eid, t0, u, "view"))
+        eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {r.channel: r for r in q_markov_attribution(spark, str(tmp_path)).collect()}
+    assert set(got) == {"click", "error", "signup", "view"}
+    assert got["click"].base_conversion_p == 0.5
+    assert got["click"].removal_effect == 1.0
+    assert got["click"].attribution_share == 1.0
+    assert got["view"].removal_effect == 0.0
+    assert got["view"].attribution_share == 0.0
+    assert got["error"].removal_effect == 0.0 and got["signup"].removal_effect == 0.0

@@ -613,6 +613,7 @@ _BOUNDED_SP_WINDOW_OK = {
     "q_log_rank_test",
     "q_lorenz_deciles",
     "q_market_segment_share",
+    "q_matrix_profile_motifs",  # 7-day subsequences + global motif rank over the bounded day domain
     "q_max_drawdown",
     "q_moving_avg",
     "q_nelson_aalen",
@@ -625,6 +626,7 @@ _BOUNDED_SP_WINDOW_OK = {
     "q_roc_auc",
     "q_rolling_median",
     "q_rsi_indicator",
+    "q_sax_motifs",  # symbol leads + motif rank over the bounded day domain
     "q_seasonal_decompose",
     "q_seasonal_diff_acf",
     "q_seasonality_strength",

@@ -625,3 +625,150 @@ FROM moments, recip, ecount
 """
 
 QUERIES["ann_knn_graph_stats"] = (ann_knn_graph_stats, ANN_KNN_GRAPH_SQL)
+
+
+JL_DIM_OUT = 16  # Johnson-Lindenstrauss target dimensionality
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """±1 from md5 hex parity — the same expression the oracle
+    computes in SQL, so the projection matrix is a shared constant,
+    not shipped state."""
+    import hashlib
+
+    h = hashlib.md5(f"{i}|{j}".encode()).hexdigest()
+    return 1 if int(h[0], 16) % 2 == 0 else -1
+
+
+def emb_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-projection audit: project 64-d
+    embeddings to 16-d with a deterministic ±1 sign matrix (Achlioptas
+    2003 — database-friendly random projections) and MEASURE the
+    pairwise squared-distance distortion on the capped anchor set
+    instead of trusting the lemma: mean/min/max of
+    ‖y_a−y_b‖²/‖x_a−x_b‖² and the share of pairs outside the ±50%
+    band. This is the go/no-go check before swapping a 4× narrower
+    sketch into a distance-based stage (dedup blocking, coarse ANN).
+
+    Determinism: the sign matrix is md5-parity per (dim, plane) —
+    a pure shared constant both engines derive independently; both
+    squared distances are integer-path quantized on the 1e-6 grid
+    before the ratio, so every ratio is a pure function of the
+    corpus. Projection runs relationally (explode × broadcast R ×
+    re-aggregate) over ONLY the ≤ANCHOR_CAP anchors; the pair
+    audit is cap²-bounded at any corpus size.
+    """
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = capped_anchors(emb, QUERY_STRIDE)
+    rrows = [
+        (i, j, float(_jl_sign(i, j)))
+        for i in range(DIM)
+        for j in range(JL_DIM_OUT)
+    ]
+    R = spark.createDataFrame(rrows, "i int, j int, s double")
+    proj = (
+        a.select("vec_id", F.posexplode("v").alias("i", "x"))
+        .join(F.broadcast(R), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("yj"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "yj"))),
+                lambda st: st["yj"] / F.lit(float(JL_DIM_OUT) ** 0.5),
+            ).alias("y")
+        )
+    )
+    both = a.join(proj, "vec_id").select("vec_id", "v", "y")
+    l = both.select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va"), F.col("y").alias("ya")
+    )
+    r = both.select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb"), F.col("y").alias("yb")
+    )
+    d2 = lambda p, q: F.aggregate(  # noqa: E731
+        F.zip_with(p, q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    q6 = lambda c: F.round(c * 1000000.0) / 1000000.0  # noqa: E731
+    pairs = (
+        F.broadcast(l)
+        .crossJoin(r)
+        .filter(F.col("ida") < F.col("idb"))
+        .select(
+            q6(d2("va", "vb")).alias("xq"),
+            q6(d2("ya", "yb")).alias("yq"),
+        )
+        .filter(F.col("xq") > 0)
+        .select((F.col("yq") / F.col("xq")).alias("ratio"))
+    )
+    return pairs.agg(
+        F.lit(DIM).alias("dim_in"),
+        F.lit(JL_DIM_OUT).alias("dim_out"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        (F.round(F.avg("ratio") * 10000.0) / 10000.0).alias("mean_ratio"),
+        (F.round(F.min("ratio") * 10000.0) / 10000.0).alias("min_ratio"),
+        (F.round(F.max("ratio") * 10000.0) / 10000.0).alias("max_ratio"),
+        (
+            F.round(
+                F.avg(
+                    F.when(F.abs(F.col("ratio") - 1.0) > 0.5, 1.0).otherwise(0.0)
+                )
+                * 10000.0
+            )
+            / 10000.0
+        ).alias("outside_band_share"),
+    )
+
+
+EMB_JL_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), anchors AS (
+  SELECT vec_id, v FROM emb
+  WHERE vec_id % {QUERY_STRIDE} = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {ANCHOR_CAP}
+), R AS (
+  SELECT i, j,
+         CASE WHEN CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || CAST(j AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM generate_series(0, {DIM - 1}) t1(i),
+       generate_series(0, {JL_DIM_OUT - 1}) t2(j)
+), flat AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS i, unnest(v) AS x
+  FROM anchors
+), proj AS (
+  SELECT vec_id,
+         list_transform(
+           list_sort(list(struct_pack(j := j, yj := yj))),
+           st -> st.yj / sqrt({JL_DIM_OUT}.0)) AS y
+  FROM (
+    SELECT f.vec_id, r.j, sum(f.x * r.s) AS yj
+    FROM flat f JOIN R r USING (i) GROUP BY f.vec_id, r.j
+  ) GROUP BY vec_id
+), av AS (
+  SELECT a.vec_id, a.v, p.y FROM anchors a JOIN proj p USING (vec_id)
+), pairs AS (
+  SELECT round(list_sum(list_transform(generate_series(1, {DIM}),
+               k -> (a.v[k] - b.v[k]) * (a.v[k] - b.v[k]))) * 1000000.0)
+           / 1000000.0 AS xq,
+         round(list_sum(list_transform(generate_series(1, {JL_DIM_OUT}),
+               k -> (a.y[k] - b.y[k]) * (a.y[k] - b.y[k]))) * 1000000.0)
+           / 1000000.0 AS yq
+  FROM av a JOIN av b ON a.vec_id < b.vec_id
+)
+SELECT {DIM} AS dim_in,
+       {JL_DIM_OUT} AS dim_out,
+       count(*) AS n_pairs,
+       round(avg(yq / xq) * 10000.0) / 10000.0 AS mean_ratio,
+       round(min(yq / xq) * 10000.0) / 10000.0 AS min_ratio,
+       round(max(yq / xq) * 10000.0) / 10000.0 AS max_ratio,
+       round(avg(CASE WHEN abs(yq / xq - 1.0) > 0.5 THEN 1.0 ELSE 0.0 END)
+             * 10000.0) / 10000.0 AS outside_band_share
+FROM pairs WHERE xq > 0
+"""
+
+QUERIES["emb_jl_projection_audit"] = (emb_jl_projection_audit, EMB_JL_SQL)

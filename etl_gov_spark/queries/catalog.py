@@ -55,6 +55,7 @@ _PINNED_FIRST = (
     "q_sax_motifs",
     "q_matrix_profile_motifs",
     "q_markov_attribution",
+    "emb_jl_projection_audit",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

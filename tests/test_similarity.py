@@ -145,3 +145,41 @@ def test_knn_graph_ring_is_perfectly_mutual(spark, tmp_path):
     assert r.kocc_max == TOP_K
     assert r.n_antihubs == 0
     assert r.kocc_skewness is None
+
+
+def test_jl_projection_preserves_distances_in_expectation(spark, tmp_path):
+    """emb_jl_projection_audit: on a deterministic 64-d cloud the
+    measured distortion must behave like the JL lemma says — mean
+    ratio near 1, every ratio positive, and the sign matrix exactly
+    reproducible from the documented md5-parity rule."""
+    import hashlib
+
+    from etl_gov_spark.operators.similarity import (
+        QUERY_STRIDE,
+        _jl_sign,
+        emb_jl_projection_audit,
+    )
+
+    # the documented derivation IS the implementation
+    h = hashlib.md5(b"3|7").hexdigest()
+    assert _jl_sign(3, 7) == (1 if int(h[0], 16) % 2 == 0 else -1)
+
+    rows = []
+    for i in range(200):
+        v = [
+            (int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:4], 16) % 1000)
+            / 500.0
+            - 1.0
+            for d in range(64)
+        ]
+        rows.append((i * QUERY_STRIDE, v, 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    r = emb_jl_projection_audit(spark, str(tmp_path)).collect()[0]
+    assert r.n_pairs == 200 * 199 // 2
+    assert (r.dim_in, r.dim_out) == (64, 16)
+    assert 0.9 <= r.mean_ratio <= 1.1, r.mean_ratio
+    assert r.min_ratio > 0
+    assert r.max_ratio < 3.0
+    assert r.outside_band_share < 0.25

@@ -7296,3 +7296,162 @@ FROM dr ORDER BY channel
 Q_MARKOV_ATTRIBUTION_SQL = _markov_sql()
 
 QUERIES["q_markov_attribution"] = (q_markov_attribution, Q_MARKOV_ATTRIBUTION_SQL)
+
+
+# Shapley attribution: channel bit per touchpoint (sorted order) and
+# the 4-channel Shapley weights scaled by 4! = 24 → integers.
+_SH_BIT = {"click": 1, "error": 2, "signup": 4, "view": 8}
+_SH_W24 = (6, 2, 2, 6)  # |S| = 0..3 → |S|!(4-|S|-1)!/4! × 24
+
+
+def q_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value attribution over the 4 touchpoint
+    channels (Shapley 1953 applied to conversion credit — the
+    coalition-game companion to q_markov_attribution's removal
+    effects; the two standard data-driven attribution models).
+    Characteristic function: v(S) = conversions among journeys whose
+    touchpoint set ⊆ S, over all journeys. With 4 channels the 2⁴
+    coalition lattice is exact — no sampling.
+
+    Journeys reuse the Markov derivation (per-user event prefix up
+    to the first purchase); each journey compresses to a 4-bit
+    touchset mask + converted flag, so the model state is a ≤32-row
+    (mask, converted) histogram. Shapley numerators stay INTEGER
+    (coalition counts × the 24-scaled weights {6,2,2,6}); the only
+    divisions are the final 4-dp integer-path readouts — bit-exact
+    oracle replay, same contract as the Markov op.
+
+    Scale: one windowed prefix pass at fact grain (user-partitioned),
+    one groupBy(user), one bounded histogram. The lattice math
+    touches 16 masks, not data.
+    """
+    ev = Catalog(spark, sf_dir).events.select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prior = (
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wseq.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    kept = ev.withColumn("prior", prior).filter(
+        F.coalesce(F.col("prior"), F.lit(0)) == 0
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    per_user = kept.groupBy("user_id").agg(
+        F.sum(F.when(bit == 1, 1).otherwise(0)).alias("b1"),
+        F.sum(F.when(bit == 2, 1).otherwise(0)).alias("b2"),
+        F.sum(F.when(bit == 4, 1).otherwise(0)).alias("b4"),
+        F.sum(F.when(bit == 8, 1).otherwise(0)).alias("b8"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    jmask = (
+        F.when(F.col("b1") > 0, 1).otherwise(0)
+        + F.when(F.col("b2") > 0, 2).otherwise(0)
+        + F.when(F.col("b4") > 0, 4).otherwise(0)
+        + F.when(F.col("b8") > 0, 8).otherwise(0)
+    )
+    hist = (
+        per_user.select(jmask.alias("jmask"), "conv")
+        .groupBy("jmask", "conv")
+        .agg(F.count(F.lit(1)).alias("n"))
+    ).collect()  # bounded model state: <= 32 cells
+
+    total = sum(r.n for r in hist)
+    conv_by_mask: dict = {}
+    for r in hist:
+        if r.conv:
+            conv_by_mask[r.jmask] = conv_by_mask.get(r.jmask, 0) + r.n
+
+    def c(S: int) -> int:  # conversions with touchset subset of S
+        return sum(n for jm, n in conv_by_mask.items() if jm & ~S & 15 == 0)
+
+    rows = []
+    numer = {}
+    for ch, b in sorted(_SH_BIT.items()):
+        n_i = 0
+        for S in range(16):
+            if S & b:
+                continue
+            n_i += _SH_W24[bin(S).count("1")] * (c(S | b) - c(S))
+        numer[ch] = n_i
+    tot_n = sum(numer.values())
+    for ch in sorted(_SH_BIT):
+        val = (
+            round(10000.0 * numer[ch] / (24 * total)) / 10000.0
+            if total > 0
+            else None
+        )
+        share = (
+            round(10000.0 * numer[ch] / tot_n) / 10000.0 if tot_n > 0 else None
+        )
+        rows.append((ch, val, share, round(10000.0 * c(15) / total) / 10000.0))
+    return spark.createDataFrame(
+        rows,
+        "channel string, shapley_value double, shapley_share double, "
+        "full_conversion_p double",
+    ).orderBy("channel")
+
+
+Q_SHAPLEY_SQL = f"""
+WITH ord AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM events
+), kept AS (
+  SELECT user_id, event_type FROM ord WHERE coalesce(prior, 0) = 0
+), per_user AS (
+  SELECT user_id,
+         (CASE WHEN sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) > 0 THEN 1 ELSE 0 END
+          + CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0 THEN 2 ELSE 0 END
+          + CASE WHEN sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) > 0 THEN 4 ELSE 0 END
+          + CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0 THEN 8 ELSE 0 END
+         ) AS jmask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM kept GROUP BY user_id
+), tot AS (
+  SELECT count(*) AS total FROM per_user
+), cv AS (
+  SELECT s.S,
+         coalesce(sum(CASE WHEN (p.jmask & ~s.S & 15) = 0 AND p.conv = 1
+                           THEN 1 ELSE 0 END), 0) AS c
+  FROM generate_series(0, 15) s(S), per_user p
+  GROUP BY s.S
+), ch AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8))
+           t(channel, b)
+), numer AS (
+  SELECT ch.channel,
+         sum((CASE bit_count(s.S) WHEN 0 THEN 6 WHEN 1 THEN 2
+              WHEN 2 THEN 2 ELSE 6 END)
+             * (ci.c - cs.c)) AS n_i
+  FROM ch, generate_series(0, 15) s(S)
+  JOIN cv cs ON cs.S = s.S
+  JOIN cv ci ON TRUE
+  WHERE (s.S & ch.b) = 0 AND ci.S = (s.S | ch.b)
+  GROUP BY ch.channel
+), tn AS (
+  SELECT sum(n_i) AS tot_n FROM numer
+)
+SELECT channel,
+       CASE WHEN (SELECT total FROM tot) > 0
+            THEN round(10000.0 * n_i / (24 * (SELECT total FROM tot))) / 10000.0
+       END AS shapley_value,
+       CASE WHEN (SELECT tot_n FROM tn) > 0
+            THEN round(10000.0 * n_i / (SELECT tot_n FROM tn)) / 10000.0
+       END AS shapley_share,
+       round(10000.0 * (SELECT c FROM cv WHERE S = 15)
+             / (SELECT total FROM tot)) / 10000.0 AS full_conversion_p
+FROM numer ORDER BY channel
+"""
+
+QUERIES["q_shapley_attribution"] = (q_shapley_attribution, Q_SHAPLEY_SQL)

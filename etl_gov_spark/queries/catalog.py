@@ -56,6 +56,7 @@ _PINNED_FIRST = (
     "q_matrix_profile_motifs",
     "q_markov_attribution",
     "emb_jl_projection_audit",
+    "q_shapley_attribution",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -1313,3 +1313,56 @@ def test_markov_attribution_analytic_journeys(spark, tmp_path):
     assert got["view"].removal_effect == 0.0
     assert got["view"].attribution_share == 0.0
     assert got["error"].removal_effect == 0.0 and got["signup"].removal_effect == 0.0
+
+
+def test_shapley_attribution_analytic_journeys(spark, tmp_path):
+    """q_shapley_attribution closed forms: click-only conversions
+    give click the full credit (value = base conversion, share 1);
+    adding conversions that touch BOTH click and view splits those
+    journeys' credit exactly in half (symmetry axiom)."""
+    import datetime
+
+    from etl_gov_spark.operators.mlstats import q_shapley_attribution
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def write(rows, sub):
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        ).write.mode("overwrite").parquet(str(tmp_path / sub / "events.parquet"))
+        return str(tmp_path / sub)
+
+    rows, eid = [], 0
+    for u in range(10):  # converters: click -> purchase
+        for k, et in enumerate(["click", "purchase"]):
+            rows.append((eid, t0 + datetime.timedelta(minutes=k), u, et))
+            eid += 1
+    for u in range(10, 20):  # bouncers: view only
+        rows.append((eid, t0, u, "view"))
+        eid += 1
+    got = {
+        r.channel: r
+        for r in q_shapley_attribution(spark, write(rows, "a")).collect()
+    }
+    assert got["click"].full_conversion_p == 0.5
+    assert got["click"].shapley_value == 0.5  # all credit
+    assert got["click"].shapley_share == 1.0
+    assert got["view"].shapley_value == 0.0
+    assert got["error"].shapley_value == 0.0
+
+    rows, eid = [], 0
+    for u in range(10):  # converters touching BOTH click and view
+        for k, et in enumerate(["click", "view", "purchase"]):
+            rows.append((eid, t0 + datetime.timedelta(minutes=k), u, et))
+            eid += 1
+    for u in range(10, 20):
+        rows.append((eid, t0, u, "signup"))
+        eid += 1
+    got = {
+        r.channel: r
+        for r in q_shapley_attribution(spark, write(rows, "b")).collect()
+    }
+    # symmetry: click and view are interchangeable -> equal halves
+    assert got["click"].shapley_value == got["view"].shapley_value == 0.25
+    assert got["click"].shapley_share == got["view"].shapley_share == 0.5
+    assert got["signup"].shapley_value == 0.0

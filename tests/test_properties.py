@@ -438,3 +438,58 @@ def test_ranged_primitives_reject_degenerate_ledger_width(spark):
         ranged_global_rank(df, [F2.asc("id")], partitions=50_000)
     with pytest.raises(ValueError, match="literal-lift budget"):
         ranged_lag(df, [F2.asc("id")], {"prev_v": "v"}, partitions=50_000)
+
+
+@given(
+    c=st.integers(min_value=0, max_value=10**7),
+    tot=st.integers(min_value=1, max_value=10**7),
+)
+@settings(max_examples=300, deadline=None)
+def test_mk_p6_is_exact_half_up_micro_rounding(c, tot):
+    """_mk_p6 (the Markov/Shapley integer micro-probability) must be
+    EXACTLY round-half-up of c/tot * 1e6 — verified against Fraction
+    arithmetic, no floats anywhere — and must match the oracle's
+    (2*c*1000000 + tot) // (2*tot) formula by construction."""
+    from fractions import Fraction
+
+    from etl_gov_spark.operators.mlstats import _mk_p6
+
+    got = _mk_p6(c, tot)
+    x = Fraction(c * 1_000_000, tot)
+    floor = x.numerator // x.denominator
+    frac = x - floor
+    expect = floor + (1 if frac >= Fraction(1, 2) else 0)
+    assert got == expect
+    assert got == (2 * c * 1_000_000 + tot) // (2 * tot)
+
+
+@given(
+    xs=st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=200),
+)
+@settings(max_examples=100, deadline=None)
+def test_prefix_max_offsets_reconstruct_running_max(xs):
+    """The ranged prefix-max ledger algebra (exclusive slice maxes +
+    within-slice running max, as ranked by ranged_global_rank's
+    running_max_longs) must reconstruct the naive global running max
+    for ANY slicing of the sequence."""
+    LONG_MIN = -(2**63)
+    # emulate an arbitrary contiguous slicing into <=7 slices
+    k = min(7, len(xs))
+    bounds = sorted({0, len(xs)} | {(i * len(xs)) // k for i in range(k)})
+    slices = [xs[a:b] for a, b in zip(bounds, bounds[1:]) if a < b]
+    # exclusive prefix maxes per slice (the driver ledger)
+    offs, run = [], LONG_MIN
+    for s in slices:
+        offs.append(run)
+        run = max(run, max(s))
+    got = []
+    for off, s in zip(offs, slices):
+        m = LONG_MIN
+        for x in s:
+            m = max(m, x)
+            got.append(max(off, m))
+    expect, cur = [], LONG_MIN
+    for x in xs:
+        cur = max(cur, x)
+        expect.append(cur)
+    assert got == expect

@@ -1675,3 +1675,112 @@ QUERIES["text_langid_confusion"] = (
     TEXT_LANGID_CONFUSION_SQL,
 )
 QUERIES["text_cohen_kappa"] = (text_cohen_kappa, TEXT_COHEN_KAPPA_SQL)
+
+
+# code-vs-prose routing thresholds (symbol-density heuristic)
+_CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "var", "const",
+    "if", "else", "for", "while", "void", "int", "public", "static",
+)
+
+
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing screen — the cheap first-pass router a
+    mixed crawl needs before tokenizer/quality stages diverge (code
+    and prose get different pipelines): symbol-density features
+    (brace/semicolon/operator rate, camelCase and snake_case token
+    rates, keyword hits) fold into a fixed linear score; census per
+    source with the routed share and mean feature profile.
+
+    All features are regexp counts over the raw text — pure codegen,
+    shuffle-free until the bounded per-source rollup. Score and
+    shares use the integer-path 4-dp readout.
+    """
+    docs = Catalog(spark, sf_dir).documents
+    n_chars = F.length("text")
+    toks = tokens_col()
+    n_toks = F.size(toks)
+
+    def rate(pattern: str) -> Column:
+        return (
+            n_chars - F.length(F.regexp_replace("text", pattern, ""))
+        ).cast("double") / n_chars
+
+    sym = rate(r"[{}();=<>\[\]]")
+    camel = F.size(
+        F.filter(toks, lambda t: t.rlike("^[a-z]+[A-Z][A-Za-z]*$"))
+    ).cast("double") / n_toks
+    snake = F.size(
+        F.filter(toks, lambda t: t.rlike("^[a-z0-9]+_[a-z0-9_]+$"))
+    ).cast("double") / n_toks
+    kw_arr = F.array(*[F.lit(k) for k in _CODE_KEYWORDS])
+    kw = F.size(F.filter(toks, lambda t: F.array_contains(kw_arr, t))).cast(
+        "double"
+    ) / n_toks
+    score = sym * 4.0 + camel * 2.0 + snake * 2.0 + kw * 1.0
+    feat = docs.filter((n_chars > 0) & (n_toks > 0)).select(
+        "source",
+        score.alias("score"),
+        sym.alias("sym"),
+        camel.alias("camel"),
+        snake.alias("snake"),
+        kw.alias("kw"),
+    )
+    r4 = lambda c: F.round(c * 10000.0) / 10000.0  # noqa: E731
+    return (
+        feat.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("score") >= 0.05, 1).otherwise(0)).alias(
+                "n_routed_code"
+            ),
+            r4(
+                F.avg(F.when(F.col("score") >= 0.05, 1.0).otherwise(0.0))
+            ).alias("code_share"),
+            r4(F.avg("score")).alias("mean_score"),
+            r4(F.avg("sym")).alias("mean_symbol_rate"),
+            r4(F.avg("camel")).alias("mean_camel_rate"),
+            r4(F.avg("snake")).alias("mean_snake_rate"),
+            r4(F.avg("kw")).alias("mean_keyword_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+_KW_SQL = ", ".join(f"'{k}'" for k in _CODE_KEYWORDS)
+
+TEXT_CODE_DETECTION_SQL = rf"""
+WITH feat AS (
+  SELECT source,
+         CAST(length(text) - length(regexp_replace(text, '[{{}}();=<>\[\]]', '', 'g')) AS DOUBLE)
+           / length(text) AS sym,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z]+[A-Z][A-Za-z]*$'))) AS DOUBLE)
+           / len(toks) AS camel,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '^[a-z0-9]+_[a-z0-9_]+$'))) AS DOUBLE)
+           / len(toks) AS snake,
+         CAST(len(list_filter(toks, t -> list_contains([{_KW_SQL}], t))) AS DOUBLE)
+           / len(toks) AS kw
+  FROM (
+    SELECT source, text, string_split_regex(trim(text), '\s+') AS toks
+    FROM documents WHERE length(text) > 0
+  ) WHERE len(toks) > 0
+), scored AS (
+  SELECT source, sym, camel, snake, kw,
+         sym * 4.0 + camel * 2.0 + snake * 2.0 + kw * 1.0 AS score
+  FROM feat
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_routed_code,
+       round(avg(CASE WHEN score >= 0.05 THEN 1.0 ELSE 0.0 END) * 10000.0)
+         / 10000.0 AS code_share,
+       round(avg(score) * 10000.0) / 10000.0 AS mean_score,
+       round(avg(sym) * 10000.0) / 10000.0 AS mean_symbol_rate,
+       round(avg(camel) * 10000.0) / 10000.0 AS mean_camel_rate,
+       round(avg(snake) * 10000.0) / 10000.0 AS mean_snake_rate,
+       round(avg(kw) * 10000.0) / 10000.0 AS mean_keyword_rate
+FROM scored GROUP BY source ORDER BY source
+"""
+
+QUERIES["text_code_detection"] = (text_code_detection, TEXT_CODE_DETECTION_SQL)

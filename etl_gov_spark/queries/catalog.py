@@ -57,6 +57,7 @@ _PINNED_FIRST = (
     "q_markov_attribution",
     "emb_jl_projection_audit",
     "q_shapley_attribution",
+    "text_code_detection",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

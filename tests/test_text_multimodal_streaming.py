@@ -951,3 +951,33 @@ def test_png_parser_roundtrip_crc_and_quarantine():
     assert m2["idat_bytes"] == n % 512 + 32
     assert m2["n_chunks"] == 3  # 123 % 5 != 0 → no tEXt
     assert parse_png(synth_png(b"x" * 120))["n_chunks"] == 4
+
+
+def test_code_detection_routes_planted_code(spark, tmp_path):
+    """text_code_detection: a source of planted code documents must
+    route as code (share 1.0) while plain prose routes as prose —
+    and the feature profile must reflect the planted symbols."""
+    from etl_gov_spark.operators.text import text_code_detection
+
+    code = (
+        "def fooBar(x): return do_thing(x) ; "
+        "if (x > 0) { emit_value(x); } else { return None; } "
+        "for i in range(10): total_sum = total_sum + values[i] ;"
+    )
+    prose = (
+        "the quiet morning settled over the valley while the river "
+        "carried small boats toward the distant harbor and the birds "
+        "sang from the tall trees near the old stone bridge"
+    )
+    rows = [(i, code, "en", "src_code", len(code)) for i in range(5)]
+    rows += [(100 + i, prose, "en", "src_prose", len(prose)) for i in range(5)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {r.source: r for r in text_code_detection(spark, str(tmp_path)).collect()}
+    assert got["src_code"].code_share == 1.0
+    assert got["src_code"].n_routed_code == 5
+    assert got["src_prose"].code_share == 0.0
+    assert got["src_code"].mean_symbol_rate > got["src_prose"].mean_symbol_rate
+    assert got["src_code"].mean_snake_rate > 0
+    assert got["src_code"].mean_keyword_rate > 0

@@ -3279,3 +3279,75 @@ QUERIES["q_discount_uptake_by_segment"] = (
     q_discount_uptake_by_segment,
     Q_DISCOUNT_UPTAKE_SQL,
 )
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query (Börzsönyi et al., ICDE 2001)
+    over parts: minimize retail price, maximize size — every part no
+    other part beats on both axes. The classic multi-objective
+    operator warehouses fake with k separate top-Ns.
+
+    Scale-safe 2-D skyline WITHOUT the naive O(n²) dominance
+    self-join: prices go cents-exact, one groupBy collapses to the
+    distinct-price grain, and dominance reduces to two prefix maxes
+    over price order — the inclusive running max (any ≤-price part
+    with strictly larger size dominates) and the exclusive one (any
+    <-price part with ≥ size dominates) — computed with the
+    ranged-ledger primitives (running_max_longs + ranged_lag), so
+    there is no Exchange SinglePartition even when the distinct-
+    price domain is millions of rows. One shuffle + two P-row
+    ledgers + a broadcast-sized join back.
+    """
+    from etl_gov_spark.operators.ranks import ranged_global_rank, ranged_lag
+
+    p = Catalog(spark, sf_dir).part.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.round(F.col("p_retailprice"), 2).alias("price"),
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
+    )
+    g = p.groupBy("cents").agg(F.max("p_size").cast("long").alias("gmax"))
+    incl = ranged_global_rank(
+        g,
+        [F.asc("cents")],
+        rank_col=None,
+        running_max_longs={"b": "gmax"},
+    )
+    both = ranged_lag(
+        incl.select("cents", "b"), [F.asc("cents")], {"a": "b"}
+    )
+    _LONG_MIN = -(2**63)
+    return (
+        p.join(F.broadcast(both), "cents")
+        .filter(
+            (F.coalesce(F.col("a"), F.lit(_LONG_MIN)) < F.col("p_size"))
+            & (F.col("b") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_brand", "price", F.col("p_size").alias("size"))
+        .orderBy("price", "p_partkey")
+    )
+
+
+Q_SKYLINE_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_brand, p_size,
+         round(p_retailprice, 2) AS price,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+  FROM part
+), g AS (
+  SELECT cents, CAST(max(p_size) AS BIGINT) AS gmax FROM p GROUP BY cents
+), w AS (
+  SELECT cents,
+         max(gmax) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS b,
+         max(gmax) OVER (ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS a
+  FROM g
+)
+SELECT p.p_partkey, p.p_brand, p.price, p.p_size AS size
+FROM p JOIN w USING (cents)
+WHERE coalesce(a, -9223372036854775807 - 1) < p.p_size AND b <= p.p_size
+ORDER BY p.price, p.p_partkey
+"""
+
+QUERIES["q_skyline_parts"] = (q_skyline_parts, Q_SKYLINE_SQL)

@@ -58,6 +58,7 @@ _PINNED_FIRST = (
     "emb_jl_projection_audit",
     "q_shapley_attribution",
     "text_code_detection",
+    "q_skyline_parts",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -614,3 +614,46 @@ def test_discount_uptake_bounds(spark, sf_dir):
         if r.mean_depth is not None:
             assert 0.0 < r.mean_depth <= 0.2
         assert r.discount_given >= 0.0
+
+
+def test_skyline_parts_exact_dominance(spark, tmp_path):
+    """q_skyline_parts equals the O(n²) dominance definition on a
+    constructed table with every edge case: equal-price ties, equal
+    (price, size) duplicates (neither dominates the other — both
+    survive), and strictly dominated interior points."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.analytics import q_skyline_parts
+
+    rows = [
+        (1, "B1", "t", 10, 5.00),   # frontier (cheapest)
+        (2, "B1", "t", 30, 5.00),   # frontier (same price, bigger)
+        (3, "B2", "t", 30, 5.00),   # duplicate of 2 -> both survive
+        (4, "B2", "t", 20, 6.00),   # dominated by 2 (cheaper, bigger)
+        (5, "B3", "t", 40, 7.00),   # frontier (bigger than all cheaper)
+        (6, "B3", "t", 40, 8.00),   # dominated by 5 (same size, pricier)
+        (7, "B3", "t", 50, 9.00),   # frontier
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_brand string, p_type string, p_size int, p_retailprice double",
+    ).select(
+        "p_partkey", F.lit("n").alias("p_name"), "p_brand", "p_type",
+        "p_size", "p_retailprice",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+
+    got = [(r.p_partkey, r.price, r.size) for r in q_skyline_parts(spark, str(tmp_path)).collect()]
+
+    # naive O(n^2) reference
+    pts = [(k, p, s) for (k, _b, _t, s, p) in rows]
+    def dominated(a):
+        return any(
+            (q[1] <= a[1] and q[2] >= a[2]) and (q[1] < a[1] or q[2] > a[2])
+            for q in pts if q[0] != a[0]
+        )
+    expect = sorted(
+        [(k, p, s) for (k, p, s) in pts if not dominated((k, p, s))],
+        key=lambda x: (x[1], x[0]),
+    )
+    assert got == expect
+    assert {k for k, _, _ in got} == {2, 3, 5, 7}

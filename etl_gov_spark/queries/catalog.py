@@ -59,6 +59,7 @@ _PINNED_FIRST = (
     "q_shapley_attribution",
     "text_code_detection",
     "q_skyline_parts",
+    "stream_topk_hourly",
     # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
     "q1_pricing_summary",
     "q3_shipping_priority",

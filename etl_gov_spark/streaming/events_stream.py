@@ -870,3 +870,69 @@ def _stream_dedup_gate_sql() -> str:
 
 
 QUERIES["stream_dedup_gate"] = (stream_dedup_gate, _stream_dedup_gate_sql())
+
+
+def stream_topk_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k through the production two-tier pattern: the
+    STREAM maintains only the per-(hour, type) counts (bounded
+    watermark state, mergeable across micro-batches — ranking is
+    deliberately NOT streaming state), and the SERVE side ranks the
+    compacted sink per hour. Per hour: the top-3 event types by
+    count with their hour share. At 100 TB the stream tier stays a
+    tiny keyed aggregate; ranking cost lives where it belongs — on
+    the ≤|hours|×|types| serving table.
+
+    Ties break (count desc, type asc); shares use the integer-path
+    4-dp readout over exact counts.
+    """
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n")
+    )
+    _run_to_memory(agg, "stream_topk_hourly_sink", "complete")
+    from pyspark.sql import Window
+
+    sink = spark.table("stream_topk_hourly_sink")
+    w = Window.partitionBy("hour").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        sink.withColumn("hour_total", F.sum("n").over(Window.partitionBy("hour")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "hour",
+            "event_type",
+            "n",
+            F.col("rank").cast("int").alias("rank"),
+            (
+                F.round(F.col("n").cast("double") / F.col("hour_total") * 10000.0)
+                / 10000.0
+            ).alias("hour_share"),
+        )
+        .orderBy("hour", "rank")
+    )
+
+
+STREAM_TOPK_HOURLY_SQL = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT hour, sum(n) AS hour_total FROM agg GROUP BY hour
+)
+SELECT a.hour, a.event_type, a.n,
+       CAST(a.rank AS INTEGER) AS rank,
+       round(CAST(a.n AS DOUBLE) / t.hour_total * 10000.0) / 10000.0
+         AS hour_share
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY hour
+                               ORDER BY n DESC, event_type ASC) AS rank
+  FROM agg
+) a JOIN tot t USING (hour)
+WHERE a.rank <= 3
+ORDER BY a.hour, a.rank
+"""
+
+QUERIES["stream_topk_hourly"] = (stream_topk_hourly, STREAM_TOPK_HOURLY_SQL)

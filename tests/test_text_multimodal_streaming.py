@@ -981,3 +981,24 @@ def test_code_detection_routes_planted_code(spark, tmp_path):
     assert got["src_code"].mean_symbol_rate > got["src_prose"].mean_symbol_rate
     assert got["src_code"].mean_snake_rate > 0
     assert got["src_code"].mean_keyword_rate > 0
+
+
+def test_stream_topk_hourly_ranks_and_shares(spark, sf_dir):
+    """stream_topk_hourly: per hour at most 3 rows, ranks dense from
+    1, counts non-increasing within an hour, ties broken by type
+    name, and every share consistent with exact counts."""
+    from etl_gov_spark.streaming.events_stream import stream_topk_hourly
+
+    rows = stream_topk_hourly(spark, sf_dir).collect()
+    assert rows, "no output"
+    by_hour: dict = {}
+    for r in rows:
+        by_hour.setdefault(r.hour, []).append(r)
+    for hour, rs in by_hour.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert (a.n, b.event_type) > (b.n, a.event_type) or a.n > b.n or (
+                a.n == b.n and a.event_type < b.event_type
+            )
+        assert all(0 < r.hour_share <= 1 for r in rs)

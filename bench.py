@@ -122,11 +122,14 @@ def main() -> None:
         ).save()
 
     # best-of-3: single runs on a shared box show 2x swings from GC
-    # and co-tenant noise; the min is the steady-state plan cost
+    # and co-tenant noise; the min is the steady-state plan cost.
+    # SPARK_GRAFT_BENCH_RUNS overrides the run count (sf1 proof runs
+    # use 1-2 to keep wall time sane at 10x data).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -140,7 +143,7 @@ def main() -> None:
     duck: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(runs):
             t0 = time.perf_counter()
             con.sql(oracles[name]).fetchall()
             best = min(best, time.perf_counter() - t0)
@@ -148,6 +151,27 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     duck_total = round(sum(duck.values()), 3)
+    vs_duck = round(total / duck_total, 3) if duck_total else None
+    # Two lines, detail FIRST and a compact summary LAST: the
+    # driver's tail capture is bounded (~2000 chars) and truncated
+    # the head of the old single wide line once the anchor grew to
+    # 34 queries x 2 engines (VERDICT r13 "What's wrong"). The last
+    # line alone always parses and still carries the full driver
+    # contract (metric/value/unit/queries/sf) plus the anchor
+    # totals; per-query DuckDB detail rides the line above.
+    print(
+        json.dumps(
+            {
+                "metric": "headline_detail",
+                "value": total,
+                "unit": "sec",
+                "duck_s": duck,
+                "duck_total": duck_total,
+                "vs_duck": vs_duck,
+                "sf": sf,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -155,9 +179,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "duck_s": duck,
                 "duck_total": duck_total,
-                "vs_duck": round(total / duck_total, 3) if duck_total else None,
+                "vs_duck": vs_duck,
                 "sf": sf,
             }
         )

@@ -4828,3 +4828,301 @@ QUERIES["corpus_tokenizer_compare"] = (
     corpus_tokenizer_compare,
     CORPUS_TOKENIZER_COMPARE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney trigram LM (the real CCNet quality recipe)
+# ---------------------------------------------------------------------------
+
+# Absolute discount for every order of the KN recursion. Chen &
+# Goodman 1999 estimate D = n1/(n1+2*n2) per order; a fixed 0.75 is
+# the standard default (KenLM's fallback) and keeps the oracle replay
+# exact across engines.
+_KN_D = 0.75
+# Train/score split: 80% of docs train the LM (doc_id % 5 != 0), ALL
+# docs are scored — the CCNet stance (LM trained on a held-out
+# reference corpus, applied to the full crawl).
+_KN_TRAIN_MOD = 5
+
+
+def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document interpolated Kneser-Ney trigram cross-entropy.
+
+    The KenLM-grade upgrade of ``corpus_unigram_logprob`` /
+    ``text_bigram_perplexity`` (Wenzek et al. 2020 use a 5-gram KN
+    model; trigram is the largest order whose continuation algebra
+    stays readable — the recursion is identical, one order deeper).
+
+    Model estimation is pure groupBy algebra on bounded n-gram TYPE
+    keys, all derived from ONE train-slice trigram type table:
+
+    - top order:    c3(w1w2w3), history c2h/f2(w1w2)
+    - middle order: continuation types N1+(.w2w3), history
+                    hb = N1+(.w2.), f1(w2)
+    - base order:   continuation unigrams n1c(w3) = |{w2}|, with
+                    T = total continuation types, V1 = vocab — the
+                    base distribution is discounted against a
+                    uniform 1/(V1+1) floor so unseen (OOV) words
+                    keep positive mass.
+
+    P_KN(w3|w1w2) = max(c3-D,0)/c2h + D*f2/c2h * P_KN(w3|w2)
+    P_KN(w3|w2)   = max(N1+-D,0)/hb + D*f1/hb * P_KN(w3)
+    P_KN(w3)      = max(n1c-D,0)/T  + D*V1/T  * 1/(V1+1)
+    with full backoff to the next order down when the history count
+    is zero (unseen history).
+
+    Scale shape: scoring is one equi-join per order (trigram,
+    bigram-continuation, then two vocab-bounded history/unigram
+    tables that broadcast); every join key is a uniform token tuple,
+    so the fact-grain shuffles shard evenly. Nothing but the two
+    scalar totals crosses the driver.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", "lang", tokens_col().alias("toks")
+    )
+    trig = (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(toks, 1, size(toks) - 2)"),
+                    F.expr("slice(toks, 2, size(toks) - 2)"),
+                    F.expr("slice(toks, 3, size(toks) - 2)"),
+                )
+            ).alias("t"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("t")["0"].alias("w1"),
+            F.col("t")["1"].alias("w2"),
+            F.col("t")["2"].alias("w3"),
+        )
+    )
+    train = trig.filter(F.col("doc_id") % _KN_TRAIN_MOD != 0)
+    tri = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    hist2 = tri.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2h"), F.count(F.lit(1)).alias("f2")
+    )
+    mid = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1p"))
+    hist1 = mid.groupBy("w2").agg(
+        F.sum("n1p").alias("hb"), F.count(F.lit(1)).alias("f1")
+    )
+    cont = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("n1c"))
+    tot = cont.agg(
+        F.sum("n1c").alias("t_types"), F.count(F.lit(1)).alias("v1")
+    )
+    d = F.lit(_KN_D)
+    joined = (
+        trig.join(tri, ["w1", "w2", "w3"], "left")
+        .join(hist2, ["w1", "w2"], "left")
+        .join(mid, ["w2", "w3"], "left")
+        .join(F.broadcast(hist1), "w2", "left")
+        .join(F.broadcast(cont), "w3", "left")
+        .crossJoin(F.broadcast(tot))
+        .fillna(
+            0, subset=["c3", "c2h", "f2", "n1p", "hb", "f1", "n1c"]
+        )
+    )
+    p1 = (
+        F.greatest(F.col("n1c") - d, F.lit(0.0)) / F.col("t_types")
+        + d * F.col("v1") / F.col("t_types") / (F.col("v1") + 1)
+    )
+    p2 = F.when(
+        F.col("hb") > 0,
+        F.greatest(F.col("n1p") - d, F.lit(0.0)) / F.col("hb")
+        + d * F.col("f1") / F.col("hb") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("c2h") > 0,
+        F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c2h")
+        + d * F.col("f2") / F.col("c2h") * p2,
+    ).otherwise(p2)
+    return joined.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        _R4(F.avg(-F.log(p3)), "cross_entropy"),
+    )
+
+
+def corpus_kenlm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-surprising documents under the interpolated
+    Kneser-Ney trigram LM (see ``_kn_doc_scores``) — the
+    published-recipe replacement for the unigram/bigram quality
+    filters: KN smoothing scores RARE-BUT-FLUENT text correctly
+    (continuation counts reward words that appear in many contexts)
+    while still flagging shuffled/templated token order."""
+    scored = _kn_doc_scores(spark, sf_dir)
+    w = [F.desc("cross_entropy"), F.asc("doc_id")]
+    return (
+        scored.orderBy(*w)
+        .limit(20)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*w)).cast("int"))
+        .select("doc_id", "n_trigrams", "cross_entropy", "rank")
+    )
+
+
+def _kn_scored_cte() -> str:
+    """DuckDB replay of ``_kn_doc_scores`` — same type tables, same
+    recursion, ending in a ``kn_scored`` CTE (doc_id, lang,
+    n_trigrams, cross_entropy)."""
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+), trig AS (
+  SELECT doc_id, lang,
+         unnest(t[1:len(t)-2]) AS w1,
+         unnest(t[2:len(t)-1]) AS w2,
+         unnest(t[3:len(t)])   AS w3
+  FROM toks
+), tri AS (
+  SELECT w1, w2, w3, count(*) AS c3 FROM trig
+  WHERE doc_id % {_KN_TRAIN_MOD} != 0 GROUP BY 1, 2, 3
+), hist2 AS (
+  SELECT w1, w2, sum(c3) AS c2h, count(*) AS f2 FROM tri GROUP BY 1, 2
+), mid AS (
+  SELECT w2, w3, count(*) AS n1p FROM tri GROUP BY 1, 2
+), hist1 AS (
+  SELECT w2, sum(n1p) AS hb, count(*) AS f1 FROM mid GROUP BY 1
+), cont AS (
+  SELECT w3, count(*) AS n1c FROM mid GROUP BY 1
+), tot AS (
+  SELECT sum(n1c) AS t_types, count(*) AS v1 FROM cont
+), probs AS (
+  SELECT g.doc_id, g.lang,
+         coalesce(tri.c3, 0) AS c3, coalesce(h2.c2h, 0) AS c2h,
+         coalesce(h2.f2, 0) AS f2, coalesce(m.n1p, 0) AS n1p,
+         coalesce(h1.hb, 0) AS hb, coalesce(h1.f1, 0) AS f1,
+         coalesce(c.n1c, 0) AS n1c, tot.t_types, tot.v1
+  FROM trig g
+  LEFT JOIN tri ON g.w1 = tri.w1 AND g.w2 = tri.w2 AND g.w3 = tri.w3
+  LEFT JOIN hist2 h2 ON g.w1 = h2.w1 AND g.w2 = h2.w2
+  LEFT JOIN mid m ON g.w2 = m.w2 AND g.w3 = m.w3
+  LEFT JOIN hist1 h1 ON g.w2 = h1.w2
+  LEFT JOIN cont c ON g.w3 = c.w3
+  CROSS JOIN tot
+), p AS (
+  SELECT doc_id, lang,
+         CASE WHEN c2h > 0
+              THEN greatest(c3 - {_KN_D}, 0) / c2h + {_KN_D} * f2 / c2h *
+                   (CASE WHEN hb > 0
+                         THEN greatest(n1p - {_KN_D}, 0) / hb + {_KN_D} * f1 / hb *
+                              (greatest(n1c - {_KN_D}, 0) / t_types
+                               + {_KN_D} * v1 / t_types / (v1 + 1))
+                         ELSE greatest(n1c - {_KN_D}, 0) / t_types
+                              + {_KN_D} * v1 / t_types / (v1 + 1) END)
+              ELSE (CASE WHEN hb > 0
+                         THEN greatest(n1p - {_KN_D}, 0) / hb + {_KN_D} * f1 / hb *
+                              (greatest(n1c - {_KN_D}, 0) / t_types
+                               + {_KN_D} * v1 / t_types / (v1 + 1))
+                         ELSE greatest(n1c - {_KN_D}, 0) / t_types
+                              + {_KN_D} * v1 / t_types / (v1 + 1) END)
+         END AS p3
+  FROM probs
+), kn_scored AS (
+  SELECT doc_id, lang, count(*) AS n_trigrams,
+         round(avg(-ln(p3)), 4) AS cross_entropy
+  FROM p GROUP BY doc_id, lang
+)"""
+
+
+CORPUS_KENLM_SQL = (
+    _kn_scored_cte()
+    + """
+SELECT doc_id, n_trigrams, cross_entropy, rank
+FROM (
+  SELECT doc_id, n_trigrams, cross_entropy,
+         CAST(row_number() OVER (ORDER BY cross_entropy DESC, doc_id ASC)
+              AS INTEGER) AS rank
+  FROM kn_scored
+)
+WHERE rank <= 20
+"""
+)
+
+QUERIES["corpus_kenlm_perplexity"] = (corpus_kenlm_perplexity, CORPUS_KENLM_SQL)
+
+
+def corpus_ccnet_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail terciles on the INTERPOLATED-KN trigram
+    score — ``corpus_ccnet_buckets`` upgraded from the unigram proxy
+    to the published recipe's LM family (Wenzek et al. 2020). Same
+    deterministic tie-inclusive tercile ladder: thresholds come from
+    a lang-partitioned cumulative window over DISTINCT (lang, 4-dp
+    score) rows — a bounded key space, never a doc-grain sort —
+    and bucket assignment is a broadcast threshold join."""
+    scored = _kn_doc_scores(spark, sf_dir).withColumnRenamed(
+        "cross_entropy", "s"
+    )
+    counts = scored.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("cn"))
+    w = Window.partitionBy("lang").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = counts.select("lang", "s", F.sum("cn").over(w).alias("cum_n"))
+    nlang = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("N"))
+    cj = cum.join(nlang, "lang")
+    t1 = (
+        cj.filter(F.col("cum_n") >= F.ceil(F.col("N") / 3.0))
+        .groupBy("lang")
+        .agg(F.min("s").alias("t1"))
+    )
+    t2 = (
+        cj.filter(F.col("cum_n") >= F.ceil(2.0 * F.col("N") / 3.0))
+        .groupBy("lang")
+        .agg(F.min("s").alias("t2"))
+    )
+    bucket = (
+        F.when(F.col("s") <= F.col("t1"), "head")
+        .when(F.col("s") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.join(F.broadcast(t1), "lang")
+        .join(F.broadcast(t2), "lang")
+        .select("lang", bucket.alias("bucket"), "n_trigrams", "s")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").alias("trigrams"),
+            _R4(F.avg("s"), "mean_cross_entropy"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+CORPUS_CCNET_KN_SQL = (
+    _kn_scored_cte()
+    + """
+, cum AS (
+  SELECT lang, s,
+         sum(cn) OVER (PARTITION BY lang ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM (SELECT lang, cross_entropy AS s, count(*) AS cn
+        FROM kn_scored GROUP BY 1, 2)
+), nlang AS (
+  SELECT lang, count(*) AS N FROM kn_scored GROUP BY lang
+), t1 AS (
+  SELECT c.lang, min(c.s) AS t1
+  FROM cum c JOIN nlang n USING (lang)
+  WHERE c.cum_n >= ceil(n.N / 3.0) GROUP BY c.lang
+), t2 AS (
+  SELECT c.lang, min(c.s) AS t2
+  FROM cum c JOIN nlang n USING (lang)
+  WHERE c.cum_n >= ceil(2.0 * n.N / 3.0) GROUP BY c.lang
+)
+SELECT sc.lang,
+       CASE WHEN sc.cross_entropy <= t1.t1 THEN 'head'
+            WHEN sc.cross_entropy <= t2.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(sc.n_trigrams) AS BIGINT) AS trigrams,
+       round(avg(sc.cross_entropy), 4) AS mean_cross_entropy
+FROM kn_scored sc JOIN t1 USING (lang) JOIN t2 USING (lang)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+)
+
+QUERIES["corpus_ccnet_buckets_kn"] = (corpus_ccnet_buckets_kn, CORPUS_CCNET_KN_SQL)

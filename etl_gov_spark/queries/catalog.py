@@ -18,81 +18,27 @@ from pyspark.sql import DataFrame, SparkSession
 # green after the driver consumes this very prefix (VERDICT r12
 # "What's wrong" #1: the old invariant self-invalidated the moment
 # CORRECTNESS_r12.json landed).
-PIN_ROTATION_ROUND = 13
+PIN_ROTATION_ROUND = 14
 
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round-13 rotation. Slots 0-4 are the only 5 registry names the
-    # driver has never adjudicated (added after the round-12 prefix
-    # was consumed); they complete the cross-round union at 513/513.
-    # Next come the queries ADDED in round 13 (no driver signal
-    # yet), then oldest-vintage refreshes (r1-era relational set,
-    # per tools/rotate_pins.py priority order) — with the backlog
-    # exhausted, re-listing the oldest signal is the highest-value
-    # use of the remaining slots.
-    # test_survey_sync.py::test_pinned_prefix_buys_new_driver_coverage
-    # asserts the real invariant: every never-adjudicated name (as of
-    # rounds < PIN_ROTATION_ROUND) sits inside the 50-slot prefix.
-    "dedup_boundary_overlap",
-    "pipeline_corpus_prep",
-    "emb_cka_similarity",
-    "q_pot_gpd_tail",
-    "geo_colocation_census",
-    # --- added in round 13 (no driver signal yet) ---
-    "ann_ivfpq_topk",
-    "corpus_unigram_vocab",
-    "corpus_tokenizer_compare",
-    "corpus_classifier_calibration",
-    "mm_audio_wav_census",
-    "dedup_substring_excise",
-    "emb_intrinsic_dim",
-    "ann_knn_graph_stats",
-    "q_watermark_lateness_census",
-    "mm_image_png_census",
-    "dq_benford_law",
-    "emb_abtt_isotropy_audit",
-    "q_sax_motifs",
-    "q_matrix_profile_motifs",
-    "q_markov_attribution",
-    "emb_jl_projection_audit",
-    "q_shapley_attribution",
-    "text_code_detection",
-    "q_skyline_parts",
-    "stream_topk_hourly",
-    # --- oldest-vintage refreshes (r1 signal, rotate_pins.py) ---
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q_market_segment_share",
-    "q_top_customers_per_nation",
-    "q_rollup_sales",
-    "q_cube_status_priority",
-    "q_pivot_status",
-    "q_semi_anti",
-    "q_distinct_counts",
-    "q_percentiles",
-    "q_correlated_exists",
-    "q12_priority_shipmode",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_or_pushdown",
-    "q22_idle_rich_customers",
-    "q_cheapest_part_per_brand",
-    "q_moving_avg",
-    "q_revenue_quartiles",
-    "q_set_ops",
-    "q_price_histogram",
-    "q_stats_by_segment",
-    "q_stratified_sample",
-    "q_impute_clamp",
+    # Round-14 rotation (VERDICT r13 "Next round" #1). The never-
+    # adjudicated backlog from rounds < 14 is EMPTY, so slots split
+    # two ways: first the queries ADDED in round 14 (no driver
+    # signal yet), then the whole remaining budget re-verifies the
+    # OLDEST independent driver signal — the 55 names whose latest
+    # adjudication dates from r1-r2 and which have since been routed
+    # through the r8 ranged ledger, r12 integer-path rounding, etc.
+    # r1-vintage names all fit; r2-vintage fills the remaining slots
+    # in registry order (tools/rotate_pins.py priority), leftovers
+    # head the round-15 rotation.
+    # --- added in round 14 (no driver signal yet) ---
+    "corpus_kenlm_perplexity",
+    "corpus_ccnet_buckets_kn",
+    # --- oldest-vintage refreshes: r1 driver signal ---
     "q_market_basket",
-    "q_histogram_equidepth",
     "q_item_item_cf",
-    "q_customer_migration",
-    "q_abc_classification",
     "q_executive_summary",
     "q_discount_impact",
     "q_supplier_scorecard",
@@ -101,6 +47,45 @@ _PINNED_FIRST = (
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    "q_grouping_sets",
+    "q_monthly_growth",
+    "q_rolling_30d_revenue",
+    "q11_important_inventory",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    # --- oldest-vintage refreshes: r2 driver signal ---
+    "q_tumbling_hourly",
+    "q_retention_cohort",
+    "q_json_extract",
+    "q_asof_join",
+    "q_first_last_event",
+    "q_value_outliers",
+    "q_topk_events_per_type",
+    "q_workday_revenue",
+    "q_timezone_rollup",
+    "q_event_transitions",
+    "q_cohort_ltv",
+    "dedup_containment",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_clusters",
+    "dedup_keep_policy",
+    "graph_triangle_count",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "emb_norm_stats",
+    "emb_label_centroids",
+    "emb_outlier_scores",
+    "q_gap_fill",
+    "q_interp_linear",
+    "q_ewma_value",
+    "q_rolling_median",
+    "q_autocorrelation",
 )
 
 

@@ -1194,3 +1194,48 @@ def test_benford_discriminates_conforming_from_fabricated(spark, tmp_path):
     assert bad[4].share == 1.0  # every price leads with 4
     assert bad[4].mad > 0.015  # far outside every conformity band
     assert bad[4].chi2 > got[1].chi2 * 100
+
+
+def test_kn_trigram_discriminates_word_order(spark, tmp_path_factory):
+    """The KN trigram LM's whole point over the unigram filter:
+    templated/shuffled text (same words, never-seen order) must
+    score measurably worse than fluent text drawn from the trained
+    patterns. Train slice = doc_id % 5 != 0; both probes are held
+    out (doc_id % 5 == 0)."""
+    tmp = str(tmp_path_factory.mktemp("kn"))
+    nat = "the quick brown fox jumps over the lazy dog"
+    rows = []
+    did = 0
+    for i in range(40):
+        if did % 5 == 0:
+            did += 1  # keep training ids off the held-out slice
+        rows.append((did, nat, "en", "s", len(nat)))
+        did += 1
+    shuffled = "dog the over fox quick lazy jumps brown the"
+    rows.append((0, nat, "en", "s", len(nat)))        # fluent probe
+    rows.append((5, shuffled, "en", "s", len(shuffled)))  # templated probe
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    scores = {r.doc_id: r.cross_entropy for r in C._kn_doc_scores(spark, tmp).collect()}
+    assert scores[5] > scores[0] + 1.0, scores  # order broken -> surprising
+    # fluent probe scores like the training docs it mirrors
+    assert scores[0] == pytest.approx(scores[1], abs=1e-9)
+
+    top = C.corpus_kenlm_perplexity(spark, tmp).collect()
+    assert top[0].doc_id == 5  # the templated doc is the most surprising
+    assert [r.rank for r in top] == list(range(1, len(top) + 1))
+
+
+def test_ccnet_kn_buckets_partition_the_corpus(spark, sf_dir):
+    got = C.corpus_ccnet_buckets_kn(spark, sf_dir).collect()
+    assert {r.bucket for r in got} <= {"head", "middle", "tail"}
+    per_lang = {}
+    for r in got:
+        per_lang.setdefault(r.lang, {})[r.bucket] = r
+        assert r.n_docs > 0
+    for lang, buckets in per_lang.items():
+        ordered = [buckets[b].mean_cross_entropy
+                   for b in ("head", "middle", "tail") if b in buckets]
+        assert ordered == sorted(ordered), (lang, ordered)

@@ -36,6 +36,8 @@ _PINNED_FIRST = (
     # --- added in round 14 (no driver signal yet) ---
     "corpus_kenlm_perplexity",
     "corpus_ccnet_buckets_kn",
+    "mm_image_jpeg_census",
+    "mm_video_mp4_census",
     # --- oldest-vintage refreshes: r1 driver signal ---
     "q_market_basket",
     "q_item_item_cf",
@@ -84,8 +86,6 @@ _PINNED_FIRST = (
     "q_gap_fill",
     "q_interp_linear",
     "q_ewma_value",
-    "q_rolling_median",
-    "q_autocorrelation",
 )
 
 

@@ -1002,3 +1002,101 @@ def test_stream_topk_hourly_ranks_and_shares(spark, sf_dir):
                 a.n == b.n and a.event_type < b.event_type
             )
         assert all(0 < r.hour_share <= 1 for r in rs)
+
+
+def test_jpeg_parser_roundtrip_and_quarantine():
+    """parse_jpeg: decodes a hand-built canonical JFIF exactly
+    (marker walk, big-endian segment lengths, SOF0 dims +
+    subsampling, Exif detection, post-SOS entropy scan with stuffed
+    0xFF00 and RST markers), and raises on wrong magic, truncated
+    segments and entropy data running off the end."""
+    import struct
+
+    import pytest
+
+    from etl_gov_spark.operators.multimodal import parse_jpeg, synth_jfif
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    sof = struct.pack(">BHHB", 8, 480, 640, 3)
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 0]) + bytes([3, 0x11, 0])
+    sos_body = bytes([3, 1, 0, 2, 0, 3, 0, 0, 0x3F, 0])
+    entropy = b"\x12\x34" + b"\xff\x00" + b"\xff\xd0" + b"\x56"  # stuffed + RST
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00" + bytes(9))
+        + seg(0xE1, b"Exif\x00\x00" + bytes(8))
+        + seg(0xC0, sof)
+        + seg(0xDA, sos_body)
+        + entropy
+        + b"\xff\xd9"
+    )
+    m = parse_jpeg(jpeg)
+    assert (m["width"], m["height"]) == (640, 480)
+    assert m["subsampling"] == "4:2:0" and m["orientation"] == "landscape"
+    assert m["has_exif"] == 1
+    assert m["entropy_bytes"] == len(entropy)
+
+    with pytest.raises(ValueError):
+        parse_jpeg(b"\x89PNG" + jpeg[4:])  # wrong magic
+    with pytest.raises(ValueError):
+        parse_jpeg(jpeg[:-2])  # EOI gone -> entropy runs off the end
+    with pytest.raises(ValueError):
+        parse_jpeg(jpeg[:20])  # truncated mid-segment
+    bad = bytearray(jpeg)
+    bad[4] = 0xFF  # blow up APP0's declared length past EOF
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(bad))
+
+    n = 123
+    m2 = parse_jpeg(synth_jfif(b"x" * n))
+    assert m2["width"] == n % 512 + 16 and m2["height"] == (n * 11) % 512 + 16
+    assert m2["subsampling"] == "4:4:4"  # 123 % 3 == 0
+    assert m2["has_exif"] == 0 and m2["entropy_bytes"] == n % 384 + 32
+    assert parse_jpeg(synth_jfif(b"x" * 119))["subsampling"] == "gray"
+
+
+def test_mp4_parser_roundtrip_and_quarantine():
+    """parse_mp4: decodes a hand-built ISO-BMFF file exactly
+    (size+fourcc walk, moov recursion, version-1 mvhd, 64-bit
+    largesize mdat, size==0 to-EOF), and raises on a missing ftyp,
+    truncated box body, and a cut-off largesize header."""
+    import struct
+
+    import pytest
+
+    from etl_gov_spark.operators.multimodal import parse_mp4, synth_mp4
+
+    def box(fourcc, body):
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    mvhd1 = struct.pack(">B3x", 1) + bytes(16) + struct.pack(">IQ", 90000, 180000)
+    mvhd1 += bytes(80)
+    big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + 100) + bytes(100)
+    mp4 = box(b"ftyp", b"avc1" + struct.pack(">I", 0) + b"isom") + box(
+        b"moov", box(b"mvhd", mvhd1)
+    ) + big
+    m = parse_mp4(mp4)
+    assert m["brand"] == "avc1" and m["timescale"] == 90000
+    assert m["duration_ms"] == 2000 and m["mdat_bytes"] == 100
+    assert m["uses_largesize"] == 1
+
+    # size==0 -> box runs to EOF
+    tail = struct.pack(">I", 0) + b"mdat" + bytes(40)
+    m0 = parse_mp4(mp4[: len(mp4) - len(big)] + tail)
+    assert m0["mdat_bytes"] == 40 and m0["uses_largesize"] == 0
+
+    with pytest.raises(ValueError):
+        parse_mp4(box(b"moov", box(b"mvhd", mvhd1)))  # no leading ftyp
+    with pytest.raises(ValueError):
+        parse_mp4(mp4[:-1])  # truncated largesize body
+    with pytest.raises(ValueError):
+        parse_mp4(mp4[: len(mp4) - len(big) + 10])  # largesize header cut
+
+    n = 123
+    m2 = parse_mp4(synth_mp4(b"x" * n))
+    assert m2["brand"] == "isom"  # 123 % 3 == 0
+    assert m2["timescale"] == 90000  # (123 // 3) % 3 == 2
+    assert m2["duration_ms"] == ((123 * 13) % 90000 + 90000) * 1000 // 90000
+    assert m2["mdat_bytes"] == n % 512 + 64

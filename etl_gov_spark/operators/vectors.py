@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from etl_gov_spark.io.sources import Catalog, expand_parallelism
 from etl_gov_spark.operators.similarity import (
     ANCHOR_CAP,
+    ANN_BRUTEFORCE_SQL,
     TOP_K,
     _dot,
     _norm,
@@ -4042,3 +4043,318 @@ FROM raw_cos, abtt_cos
 EMB_ABTT_SQL = _abtt_sql()
 
 QUERIES["emb_abtt_isotropy_audit"] = (emb_abtt_isotropy_audit, EMB_ABTT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8: scalar-quantized posting store (the other FAISS memory point)
+# ---------------------------------------------------------------------------
+
+
+def _sq_model_lists(unit: DataFrame) -> tuple[list, list]:
+    """Per-dimension affine SQ8 model over the unit-vector corpus:
+    (mins[EMB_DIM], scales[EMB_DIM]) with scale = (mx − mn)/255 —
+    the same global-min/max scheme as ``emb_quantize_int8``, fitted
+    here to the L2-normalized vectors the serve path stores. One
+    dim-keyed aggregate (64 rows); pure model state to the driver."""
+    rng = (
+        unit.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mins = [r.mn for r in rng]
+    scales = [(r.mx - r.mn) / 255.0 for r in rng]
+    return mins, scales
+
+
+def _dbl_arr_lit(vals: list) -> Column:
+    """A double array as ONE plan literal (repr round-trip — same
+    bit-exactness argument as ``_cent_lit``)."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vals) + ")"
+    )
+
+
+def ann_ivfsq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-SQ8 composed serve — the OTHER standard memory/recall
+    point beside IVF-PQ (FAISS ``IVF,SQ8``): the coarse quantizer
+    routes vectors to cells, and the posting store keeps each vector
+    as 64 one-byte affine codes plus a shared per-dim (min, scale)
+    model — 8× smaller than raw float64 (4× vs float32), but unlike
+    PQ's 8 codes it preserves per-dimension resolution, so the
+    asymmetric-distance shortlist is near-exact and the re-rank
+    funnel loses almost nothing.
+
+    Same skeleton as ``ann_ivfpq_topk`` (vectors.py:3640), different
+    in-cell layout:
+    - encode is ONE map projection per vector against the 64+64
+      literal model doubles (no explode, no shuffle);
+    - postings (vec_id, cid, codes[64]) are written RANGE-CLUSTERED
+      on cid and the serve scan opens only footer-intersected files;
+    - asymmetric distance = Σᵢ (qᵢ − (mnᵢ + codeᵢ·scaleᵢ))² — a
+      per-candidate 64-term fold against the float query (SQ has no
+      ADC lookup table; it trades PQ's table indirection for direct
+      arithmetic on dequantized values), map-only after the one
+      broadcast probe join;
+    - shortlist width and exact cosine re-rank identical to the PQ
+      serve, so ``ann_quantizer_recall`` isolates pure layout
+      quality.
+    """
+    import os
+
+    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.scratch import scratch_dir
+    from etl_gov_spark.io.sinks import write_range_clustered
+
+    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    unit = emb.withColumn("_n", _norm("v")).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+
+    model = _lloyd_model(unit)
+    mins, scales = _sq_model_lists(unit)
+    mnlit, sclit = _dbl_arr_lit(mins), _dbl_arr_lit(scales)
+
+    codes_col = F.transform(
+        F.sequence(F.lit(1), F.lit(EMB_DIM)),
+        lambda i: F.when(F.element_at(sclit, i.cast("int")) == 0.0, F.lit(0))
+        .otherwise(
+            F.round(
+                (F.element_at("v", i.cast("int")) - F.element_at(mnlit, i.cast("int")))
+                / F.element_at(sclit, i.cast("int")),
+                0,
+            ).cast("int")
+        ),
+    )
+    postings = (
+        _assign(unit, model)
+        .select("vec_id", "cid", codes_col.alias("codes"))
+        .localCheckpoint(eager=True)
+    )
+    store = os.path.join(scratch_dir("ivfsqstore"), "store")
+    write_range_clustered(postings, store, ("cid",), num_files=16)
+
+    q = unit.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    probes = q.select(
+        "q_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        _cent_lit(model),
+                        lambda c: F.struct(
+                            _d2_to("qv", c["cv"]).alias("d2"), c["cid"].alias("cid")
+                        ),
+                    )
+                ),
+                1,
+                N_PROBE,
+            )
+        ).alias("_p"),
+    ).select("q_id", "qv", F.col("_p.cid").alias("cid")).localCheckpoint(
+        eager=True  # consumed twice: touched-file probe + asym join
+    )
+    ranges = file_key_ranges(store, "cid")
+    touched = touched_files(spark, ranges, probes.select("cid"), "cid")
+    surv = (
+        spark.read.parquet(*touched)
+        if touched
+        else spark.read.parquet(store).limit(0)
+    )
+
+    asym = F.round(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                F.element_at("qv", i.cast("int"))
+                - (
+                    F.element_at(mnlit, i.cast("int"))
+                    + F.element_at("codes", i.cast("int"))
+                    * F.element_at(sclit, i.cast("int"))
+                )
+            )
+            ** 2,
+        ),
+        6,
+    )
+    approx = (
+        surv.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", asym.alias("_d2"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("_d2"), F.asc("vec_id"))
+    shortlist = (
+        approx.withColumn("_r", F.row_number().over(ws))
+        .filter(F.col("_r") <= IVFPQ_SHORTLIST * TOP_K)
+        .select("q_id", "vec_id")
+    )
+
+    cand = shortlist.join(emb, "vec_id").join(
+        emb.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")),
+        "q_id",
+    )
+    cos = _dot("qv", "v") / (_norm("qv") * _norm("v"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("cand_id"), F.round(cos, 6).alias("_cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_cos"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "cand_id",
+            # integer-path 4-dp readout (see ann_ivf_topk note)
+            (F.round(F.col("_cos") * 10000.0) / 10000.0).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+ANN_IVFSQ_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), unit AS (
+  SELECT vec_id, list_transform(v, x -> x / n) AS v
+  FROM (SELECT vec_id, v,
+               sqrt(list_sum(list_transform(v, x -> x * x))) AS n
+        FROM vecs)
+), seedids AS (
+  SELECT vec_id FROM unit
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+          <= least({N_CENTROIDS_CAP}, greatest(8, (SELECT count(*) FROM unit) // 64))
+), seeds AS (
+  SELECT vec_id AS cid, v AS cv FROM unit
+  WHERE vec_id IN (SELECT vec_id FROM seedids)
+), {_sql_assign("unit", "seeds", "a0")}, {_sql_recompute("a0", "c1")},
+{_sql_assign("unit", "c1", "a1")}, {_sql_recompute("a1", "c2")},
+{_sql_assign("unit", "c2", "cells")},
+rng AS (
+  SELECT pos, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc
+  FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM unit)
+  GROUP BY pos
+), sqmodel AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(sc ORDER BY pos) AS scs FROM rng
+), codes AS (
+  SELECT u.vec_id,
+         list_transform(generate_series(1, {EMB_DIM}),
+             i -> CASE WHEN m.scs[i] = 0 THEN 0
+                       ELSE CAST(round((u.v[i] - m.mns[i]) / m.scs[i], 0) AS INTEGER)
+                  END) AS codes
+  FROM unit u CROSS JOIN sqmodel m
+), q AS (
+  SELECT vec_id AS q_id, v AS qv FROM unit WHERE vec_id % {QUERY_STRIDE} = 0
+), probes_r AS (
+  SELECT q.q_id, q.qv, c.cid,
+         row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY {_D2_SQL.format(v="q.qv", c="c.cv")}, c.cid) AS rn
+  FROM q CROSS JOIN c2 c
+), probes AS (
+  SELECT q_id, qv, cid FROM probes_r WHERE rn <= {N_PROBE}
+), approx AS (
+  SELECT p.q_id, ce.vec_id,
+         round(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+               i -> pow(p.qv[i] - (m.mns[i] + co.codes[i] * m.scs[i]), 2))), 6) AS d2
+  FROM cells ce
+  JOIN probes p ON ce.cid = p.cid
+  JOIN codes co ON co.vec_id = ce.vec_id
+  CROSS JOIN sqmodel m
+  WHERE ce.vec_id <> p.q_id
+), shortlist AS (
+  SELECT q_id, vec_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d2 ASC, vec_id ASC) AS rn
+        FROM approx)
+  WHERE rn <= {IVFPQ_SHORTLIST} * {TOP_K}
+), scored AS (
+  SELECT sl.q_id, v.vec_id AS cand_id,
+         round(list_sum(list_transform(generate_series(1, len(qr.v)), i -> qr.v[i] * v.v[i]))
+               / (sqrt(list_sum(list_transform(qr.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(v.v, x -> x * x)))), 6) AS c6
+  FROM shortlist sl
+  JOIN vecs v ON v.vec_id = sl.vec_id
+  JOIN vecs qr ON qr.vec_id = sl.q_id
+)
+SELECT q_id, cand_id, round(c6 * 10000.0) / 10000.0 AS cosine, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY c6 DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+QUERIES["ann_ivfsq_topk"] = (ann_ivfsq_topk, ANN_IVFSQ_SQL)
+
+
+def ann_quantizer_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8-vs-PQ8 bake-off readout (FAISS's standard
+    memory/recall decision): recall@10 of each composed serve
+    against the exact brute-force top-10, beside the bytes-per-
+    vector each posting layout pays. Both serves share the coarse
+    quantizer, probe width and shortlist width, so the recall gap is
+    pure quantizer quality: PQ8 stores 8 codes (64× smaller than
+    raw float64), SQ8 stores 64 codes (8× smaller) and keeps
+    per-dimension resolution.
+
+    Scale: three already-priced serve pipelines + two pair-key
+    equi-joins on (q_id, cand_id) and 1-row aggregates — the
+    readout adds nothing fact-grain.
+    """
+    from etl_gov_spark.operators.similarity import ann_bruteforce_topk
+
+    truth = ann_bruteforce_topk(spark, sf_dir).select("q_id", "cand_id")
+    n_truth = truth.agg(F.count(F.lit(1)).alias("truth_rows"))
+
+    def leg(approx_df: DataFrame, method: str, bytes_pv: int) -> DataFrame:
+        hits = (
+            truth.join(approx_df.select("q_id", "cand_id"), ["q_id", "cand_id"])
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        return (
+            hits.crossJoin(n_truth)
+            .select(
+                F.lit(method).alias("method"),
+                F.lit(bytes_pv).cast("int").alias("bytes_per_vec"),
+                "hits",
+                "truth_rows",
+                (
+                    F.round(10000.0 * F.col("hits") / F.col("truth_rows"))
+                    / 10000.0
+                ).alias("recall_at_10"),
+            )
+        )
+
+    pq = leg(ann_ivfpq_topk(spark, sf_dir), "ivfpq8", PQ_M)
+    sq = leg(ann_ivfsq_topk(spark, sf_dir), "ivfsq8", EMB_DIM)
+    return pq.unionByName(sq).orderBy("method")
+
+
+ANN_QUANTIZER_RECALL_SQL = f"""
+WITH truth AS (
+  SELECT q_id, cand_id FROM ({ANN_BRUTEFORCE_SQL}) t
+), pqk AS (
+  SELECT q_id, cand_id FROM ({ANN_IVFPQ_SQL}) p
+), sqk AS (
+  SELECT q_id, cand_id FROM ({ANN_IVFSQ_SQL}) s
+), legs AS (
+  SELECT 'ivfpq8' AS method, CAST({PQ_M} AS INTEGER) AS bytes_per_vec,
+         (SELECT count(*) FROM truth JOIN pqk USING (q_id, cand_id)) AS hits,
+         (SELECT count(*) FROM truth) AS truth_rows
+  UNION ALL
+  SELECT 'ivfsq8', CAST({EMB_DIM} AS INTEGER),
+         (SELECT count(*) FROM truth JOIN sqk USING (q_id, cand_id)),
+         (SELECT count(*) FROM truth)
+)
+SELECT method, bytes_per_vec, hits, truth_rows,
+       round(10000.0 * hits / truth_rows) / 10000.0 AS recall_at_10
+FROM legs ORDER BY method
+"""
+
+QUERIES["ann_quantizer_recall"] = (ann_quantizer_recall, ANN_QUANTIZER_RECALL_SQL)

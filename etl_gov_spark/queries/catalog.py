@@ -38,6 +38,8 @@ _PINNED_FIRST = (
     "corpus_ccnet_buckets_kn",
     "mm_image_jpeg_census",
     "mm_video_mp4_census",
+    "ann_ivfsq_topk",
+    "ann_quantizer_recall",
     # --- oldest-vintage refreshes: r1 driver signal ---
     "q_market_basket",
     "q_item_item_cf",
@@ -84,8 +86,6 @@ _PINNED_FIRST = (
     "emb_label_centroids",
     "emb_outlier_scores",
     "q_gap_fill",
-    "q_interp_linear",
-    "q_ewma_value",
 )
 
 

@@ -981,3 +981,74 @@ def test_abtt_fixes_planted_anisotropic_cone(spark, tmp_path):
     assert r.avg_cos_raw > 0.95, r.avg_cos_raw
     assert abs(r.avg_cos_abtt) < 0.1, r.avg_cos_abtt
     assert r.isotropy_gain > 0.9
+
+
+def test_ivfsq_recall_rerank_parity_and_code_range(spark, sf_dir):
+    """ann_ivfsq_topk: the SQ8 serve honors the same funnel contract
+    as IVF-PQ (useful recall, exact re-rank cosines) AND — the
+    point of the layout — the scalar quantizer's shortlist is at
+    least as good as PQ8's at the same probe/shortlist width, so
+    the bake-off readout must rank ivfsq8 >= ivfpq8."""
+    exact = {
+        (r.q_id, r.cand_id): r.cosine
+        for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    got = {
+        (r.q_id, r.cand_id): r.cosine
+        for r in V.ann_ivfsq_topk(spark, sf_dir).collect()
+    }
+    assert got
+    assert {q for q, _ in got} == {q for q, _ in exact}
+    overlap = set(got) & set(exact)
+    assert len(overlap) / len(exact) >= 0.5
+    for key in overlap:
+        assert abs(got[key] - exact[key]) <= 1e-4 + 1e-12
+
+    readout = {r.method: r for r in V.ann_quantizer_recall(spark, sf_dir).collect()}
+    assert set(readout) == {"ivfpq8", "ivfsq8"}
+    assert readout["ivfsq8"].recall_at_10 >= readout["ivfpq8"].recall_at_10
+    assert readout["ivfsq8"].bytes_per_vec == 64
+    assert readout["ivfpq8"].bytes_per_vec == 8
+    for r in readout.values():
+        assert 0.0 <= r.recall_at_10 <= 1.0 and r.truth_rows > 0
+
+    # every emitted SQ8 code must fit one byte (the layout claim)
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.vectors import (
+        EMB_DIM,
+        _dbl_arr_lit,
+        _norm,
+        _sq_model_lists,
+    )
+
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    unit = emb.withColumn("_n", _norm("v")).select(
+        "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("v")
+    )
+    mins, scales = _sq_model_lists(unit)
+    assert len(mins) == EMB_DIM == len(scales)
+    mnlit, sclit = _dbl_arr_lit(mins), _dbl_arr_lit(scales)
+    codes = unit.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(EMB_DIM)),
+                lambda i: F.when(
+                    F.element_at(sclit, i.cast("int")) == 0.0, F.lit(0)
+                ).otherwise(
+                    F.round(
+                        (
+                            F.element_at("v", i.cast("int"))
+                            - F.element_at(mnlit, i.cast("int"))
+                        )
+                        / F.element_at(sclit, i.cast("int")),
+                        0,
+                    ).cast("int")
+                ),
+            )
+        ).alias("code")
+    )
+    lo, hi = codes.agg(F.min("code"), F.max("code")).first()
+    assert 0 <= lo and hi <= 255, (lo, hi)

@@ -5126,3 +5126,135 @@ ORDER BY 1, 2
 )
 
 QUERIES["corpus_ccnet_buckets_kn"] = (corpus_ccnet_buckets_kn, CORPUS_CCNET_KN_SQL)
+
+
+def dedup_paragraph_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-grain exact dedup WITH document reassembly — the
+    C4/CCNet line-level rule as a rewrite, not a census:
+    ``corpus_segment_dedup`` (corpus.py:399) measures which 16-token
+    segments (this corpus's paragraph stand-in — it has no line
+    structure) occur elsewhere; this transform actually DROPS every
+    duplicated segment occurrence except the canonical first one
+    (lexicographic min (doc_id, pos) — covering cross-doc
+    boilerplate and within-doc repetition with one rule), reassembles
+    each affected document from its kept segments in order, and
+    emits the span ledger plus an md5 of the kept token stream, so
+    the rewrite is verifiable by VALUE like ``dedup_substring_excise``.
+
+    Scale: the plan is segment-hash → (min-occurrence, df) groupBy
+    on the uniform md5 key, one sort-merge join back to occurrences
+    (both sides corpus-sized — same AQE-broadcast hazard as the
+    substring excise, so the join is pinned merge), then per-doc
+    array algebra: the drop-list is collected per doc (bounded by
+    doc length / 16) and the token rewrite is a JVM-side
+    filter-by-span — the token stream itself is never exploded."""
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", tokens_col().alias("toks")
+    )
+    segs = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(_SEG)),
+                lambda s: F.struct(
+                    s.alias("pos"),
+                    F.md5(F.array_join(F.slice("toks", s, _SEG), " ")).alias("g"),
+                ),
+            )
+        ).alias("sg"),
+    ).select("doc_id", F.col("sg.pos").alias("pos"), F.col("sg.g").alias("g"))
+    canon = segs.groupBy("g").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    shadowed = (
+        segs.join(canon.hint("merge"), "g")
+        .filter(
+            (F.col("df") >= 2)
+            & (
+                (F.col("doc_id") > F.col("first.doc_id"))
+                | (
+                    (F.col("doc_id") == F.col("first.doc_id"))
+                    & (F.col("pos") > F.col("first.pos"))
+                )
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    drops = shadowed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("pos")).alias("dpos")
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda i: ~F.exists(
+            F.col("dpos"), lambda p: (i >= p) & (i <= p + _SEG - 1)
+        ),
+    )
+    return (
+        docs.join(drops, "doc_id")
+        .withColumn("kept_idx", kept_idx)
+        .select(
+            "doc_id",
+            F.size(
+                F.sequence(F.lit(1), F.size("toks"), F.lit(_SEG))
+            ).alias("n_segments"),
+            F.size("dpos").alias("dropped_segments"),
+            (F.size("toks") - F.size("kept_idx")).alias("excised_tokens"),
+            F.size("kept_idx").alias("kept_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.col("kept_idx"),
+                        lambda i: F.element_at(F.col("toks"), i),
+                    ),
+                    " ",
+                )
+            ).alias("kept_hash"),
+        )
+        .orderBy(F.desc("excised_tokens"), "doc_id")
+    )
+
+
+DEDUP_PARAGRAPH_EXCISE_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+), segs AS (
+  SELECT doc_id, u.pos AS pos, u.g AS g
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) + 1, {_SEG}),
+                  s -> struct_pack(pos := s,
+                                   g := md5(array_to_string(toks[s:s+{_SEG - 1}], ' '))))) AS u
+    FROM toks)
+), canon AS (
+  SELECT g, min(struct_pack(doc_id := doc_id, pos := pos)) AS first, count(*) AS df
+  FROM segs GROUP BY g
+), shadowed AS (
+  SELECT s.doc_id, s.pos FROM segs s JOIN canon c USING (g)
+  WHERE c.df >= 2 AND (s.doc_id > c.first.doc_id
+                       OR (s.doc_id = c.first.doc_id AND s.pos > c.first.pos))
+), drops AS (
+  SELECT doc_id, list_sort(list(pos)) AS dpos FROM shadowed GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id, t.toks, d.dpos,
+         list_filter(generate_series(1, len(t.toks)),
+                     i -> len(list_filter(d.dpos,
+                                          p -> i >= p AND i <= p + {_SEG - 1})) = 0)
+           AS kept_idx
+  FROM toks t JOIN drops d USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(range(1, len(toks) + 1, {_SEG})) AS INTEGER) AS n_segments,
+       CAST(len(dpos) AS INTEGER) AS dropped_segments,
+       CAST(len(toks) - len(kept_idx) AS INTEGER) AS excised_tokens,
+       CAST(len(kept_idx) AS INTEGER) AS kept_tokens,
+       md5(coalesce(array_to_string(list_transform(kept_idx, i -> toks[i]), ' '),
+                    '')) AS kept_hash
+FROM kept
+ORDER BY excised_tokens DESC, doc_id
+"""
+
+QUERIES["dedup_paragraph_excise"] = (
+    dedup_paragraph_excise,
+    DEDUP_PARAGRAPH_EXCISE_SQL,
+)

@@ -40,6 +40,7 @@ _PINNED_FIRST = (
     "mm_video_mp4_census",
     "ann_ivfsq_topk",
     "ann_quantizer_recall",
+    "dedup_paragraph_excise",
     # --- oldest-vintage refreshes: r1 driver signal ---
     "q_market_basket",
     "q_item_item_cf",
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "emb_norm_stats",
     "emb_label_centroids",
     "emb_outlier_scores",
-    "q_gap_fill",
 )
 
 

@@ -1239,3 +1239,49 @@ def test_ccnet_kn_buckets_partition_the_corpus(spark, sf_dir):
         ordered = [buckets[b].mean_cross_entropy
                    for b in ("head", "middle", "tail") if b in buckets]
         assert ordered == sorted(ordered), (lang, ordered)
+
+
+def test_paragraph_excise_rewrites_and_reassembles(spark, tmp_path_factory):
+    """dedup_paragraph_excise: the C4-rule rewrite — a paragraph
+    (16-token segment) duplicated anywhere keeps ONLY its canonical
+    first occurrence (min (doc_id, pos)), including within-doc
+    repeats; docs are reassembled from kept segments and the
+    kept_hash is the md5 of the exact surviving token stream."""
+    import hashlib
+
+    P = [f"p{i}" for i in range(16)]
+    A = [f"a{i}" for i in range(16)]
+    B = [f"b{i}" for i in range(16)]
+    D = [f"d{i}" for i in range(16)]
+    U = [f"u{i}" for i in range(16)]
+    mk = lambda toks: " ".join(toks)  # noqa: E731
+    rows = [
+        (1, mk(P + A), "en", "s", 0),  # canonical holder of P
+        (2, mk(P + B), "en", "s", 0),  # loses P, keeps B
+        (3, mk(P + P), "en", "s", 0),  # loses BOTH copies of P
+        (4, mk(D + D), "en", "s", 0),  # keeps first D, loses repeat
+        (5, mk(U), "en", "s", 0),      # untouched -> absent from output
+    ]
+    tmp = str(tmp_path_factory.mktemp("paraexcise"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    got = {r.doc_id: r for r in C.dedup_paragraph_excise(spark, tmp).collect()}
+    assert set(got) == {2, 3, 4}  # 1 canonical, 5 unique: not rewritten
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    r2 = got[2]
+    assert (r2.n_segments, r2.dropped_segments) == (2, 1)
+    assert (r2.excised_tokens, r2.kept_tokens) == (16, 16)
+    assert r2.kept_hash == md5(mk(B))
+
+    r3 = got[3]
+    assert (r3.n_segments, r3.dropped_segments) == (2, 2)
+    assert (r3.excised_tokens, r3.kept_tokens) == (32, 0)
+    assert r3.kept_hash == md5("")
+
+    r4 = got[4]
+    assert (r4.n_segments, r4.dropped_segments) == (2, 1)
+    assert (r4.excised_tokens, r4.kept_tokens) == (16, 16)
+    assert r4.kept_hash == md5(mk(D))

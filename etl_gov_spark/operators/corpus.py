@@ -5053,8 +5053,16 @@ def corpus_ccnet_buckets_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     a lang-partitioned cumulative window over DISTINCT (lang, 4-dp
     score) rows — a bounded key space, never a doc-grain sort —
     and bucket assignment is a broadcast threshold join."""
-    scored = _kn_doc_scores(spark, sf_dir).withColumnRenamed(
-        "cross_entropy", "s"
+    # The doc-score table feeds the tercile ladder THREE ways
+    # (distinct-score counts, per-lang N, final bucket join); without
+    # truncation the whole 14-exchange KN scoring lineage replays per
+    # consumer (54-exchange plan observed). One narrow (doc, lang,
+    # n, s) checkpoint computes it once — same bounded-intermediate
+    # stance as ann_ivf_topk's cells.
+    scored = (
+        _kn_doc_scores(spark, sf_dir)
+        .withColumnRenamed("cross_entropy", "s")
+        .localCheckpoint(eager=False)
     )
     counts = scored.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("cn"))
     w = Window.partitionBy("lang").orderBy("s").rowsBetween(

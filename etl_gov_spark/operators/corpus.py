@@ -3911,6 +3911,10 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", "lang", F.explode("toks").alias("w"))
     tf = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
     total = tf.agg(F.sum("cnt").alias("total"))
+    # Checkpointed for the same reason as corpus_ccnet_buckets_kn:
+    # the tercile ladder consumes the score table three ways, and
+    # without truncation the LM-scoring lineage replayed per
+    # consumer (26-exchange plan; 10 after).
     scored = (
         toks.join(tf, "w")
         .crossJoin(F.broadcast(total))
@@ -3921,6 +3925,7 @@ def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(-F.log(F.col("cnt") / F.col("total"))), 4
             ).alias("s"),
         )
+        .localCheckpoint(eager=False)
     )
     counts = scored.groupBy("lang", "s").agg(F.count(F.lit(1)).alias("cn"))
     w = Window.partitionBy("lang").orderBy("s").rowsBetween(

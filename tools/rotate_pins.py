@@ -100,15 +100,23 @@ def main() -> None:
         if q not in pick and len(pick) < n:
             pick.append(q)
     if len(pick) < n:
-        # 3. everything sampled: refresh the oldest-vintage entries
+        # 3. everything sampled: refresh the entries whose LATEST
+        # driver signal is oldest. (Iterating files oldest-first and
+        # taking first-seen names is wrong — a name re-adjudicated
+        # last round but first sampled in r1 is FRESH, not stale.)
+        latest: dict[str, int] = {}
         for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+            rnd = int(f.split("_r")[1].split(".")[0])
             for q in json.load(open(f)):
-                if q in names and q not in pick:
-                    pick.append(q)
-                if len(pick) == n:
-                    break
+                latest[q] = rnd
+        stale = sorted(
+            (q for q in names if q not in pick),
+            key=lambda q: (latest.get(q, 0), names.index(q)),
+        )
+        for q in stale:
             if len(pick) == n:
                 break
+            pick.append(q)
     for q in pick[:n]:
         tag = "changed" if q in changed else (
             "never" if q in never else "refresh"

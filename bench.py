@@ -139,7 +139,11 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file parquet; Spark-written
+        # tables (tools/bench_sf1.py replicas) are directories
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        src = path if os.path.isfile(path) else os.path.join(path, "*.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     duck: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

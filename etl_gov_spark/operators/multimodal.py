@@ -1664,3 +1664,186 @@ FROM shaped GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["mm_video_mp4_census"] = (mm_video_mp4_census, MM_VIDEO_MP4_SQL)
+
+
+# ---- crawl archive payloads: concatenated gzip members / WARC (§F) ----
+
+WARC_SCHEMA = (
+    "doc_id bigint, warc_type string, content_length int, has_name int"
+)
+_WARC_TYPES = ("response", "request", "metadata", "warcinfo")
+
+
+def synth_warc_gz(payload: bytes) -> bytes:
+    """Deterministic stand-in for a crawl-archive payload: a
+    CONCATENATED-gzip-member file (the WARC storage layout — one
+    gzip member per record) whose container framing is REAL at every
+    level: gzip magic/flags/FNAME, single stored-mode deflate blocks
+    (so any gunzip inflates it), true CRC-32 + ISIZE trailers, and a
+    WARC/1.0 record header inside each member. Record type, count,
+    content length and FNAME presence derive purely from the source
+    bytes so the SQL oracle can replay the generator algebra."""
+    import struct
+    import zlib
+
+    n = len(payload)
+    out = b""
+    for k in range(n % 4 + 1):
+        wtype = _WARC_TYPES[(n + k) % 4]
+        clen = (n * 3 + k * 17) % 200 + 10
+        body = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{n}-{k}>\r\n"
+            f"Content-Length: {clen}\r\n\r\n"
+        ).encode() + bytes((n * 5 + k * 7 + j * 13) % 256 for j in range(clen))
+        has_name = (n + k) % 3 == 0
+        flg = 0x08 if has_name else 0x00
+        out += b"\x1f\x8b\x08" + bytes([flg])
+        out += struct.pack("<I", (n * 97 + k) % 100000)  # MTIME
+        out += b"\x00\x03"  # XFL, OS=unix
+        if has_name:
+            out += f"rec{k}.warc".encode() + b"\x00"
+        # one stored-mode deflate block: BFINAL=1, BTYPE=00 -> 0x01,
+        # then LEN / NLEN little-endian and the raw bytes
+        out += b"\x01" + struct.pack("<HH", len(body), 0xFFFF ^ len(body))
+        out += body
+        out += struct.pack("<II", zlib.crc32(body) & 0xFFFFFFFF, len(body))
+    return out
+
+
+def parse_warc_gz(buf: bytes) -> list:
+    """Real concatenated-gzip walk by byte slicing PLUS real
+    inflation: validate each member's magic/CM, honor FLG (FNAME
+    scan), inflate the raw-deflate stream with zlib, VERIFY the
+    CRC-32 and ISIZE trailer against the inflated bytes, then parse
+    the WARC/1.0 header lines inside. Returns one dict per record;
+    raises ValueError on bad magic, truncation, or a CRC/ISIZE
+    mismatch — the corruption-quarantine path."""
+    import struct
+    import zlib
+
+    records = []
+    pos = 0
+    while pos < len(buf):
+        if pos + 10 > len(buf):
+            raise ValueError("truncated gzip: header cut off")
+        if buf[pos : pos + 2] != b"\x1f\x8b" or buf[pos + 2] != 0x08:
+            raise ValueError("not a gzip member (bad magic/CM)")
+        flg = buf[pos + 3]
+        p = pos + 10
+        has_name = 0
+        if flg & 0x08:  # FNAME: NUL-terminated
+            end = buf.find(b"\x00", p)
+            if end < 0:
+                raise ValueError("truncated gzip: unterminated FNAME")
+            p, has_name = end + 1, 1
+        d = zlib.decompressobj(-15)  # raw deflate
+        try:
+            body = d.decompress(buf[p:])
+        except zlib.error as exc:
+            raise ValueError(f"bad deflate stream: {exc}") from None
+        consumed = len(buf) - p - len(d.unused_data)
+        p += consumed
+        if p + 8 > len(buf):
+            raise ValueError("truncated gzip: CRC/ISIZE trailer cut off")
+        crc, isize = struct.unpack("<II", buf[p : p + 8])
+        if zlib.crc32(body) & 0xFFFFFFFF != crc:
+            raise ValueError("gzip CRC-32 mismatch")
+        if len(body) % (1 << 32) != isize:
+            raise ValueError("gzip ISIZE mismatch")
+        pos = p + 8
+        head, _, _rest = body.partition(b"\r\n\r\n")
+        lines = head.decode("latin-1").split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            raise ValueError("member payload is not a WARC record")
+        fields = dict(
+            ln.split(": ", 1) for ln in lines[1:] if ": " in ln
+        )
+        records.append(
+            {
+                "warc_type": fields.get("WARC-Type", ""),
+                "content_length": int(fields.get("Content-Length", "0")),
+                "has_name": has_name,
+            }
+        )
+    return records
+
+
+def mm_warc_gzip_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-archive census over the WARC/concatenated-gzip layout —
+    the wrapper format every Common-Crawl-style pipeline opens
+    before it sees a single document: per WARC record type, record
+    count, FNAME share and content-byte mass, from a genuine gzip
+    member walk with real inflation + CRC-32/ISIZE verification
+    (synth_warc_gz → parse_warc_gz round trip in ONE Arrow-batched
+    mapInPandas stage; a real pipeline reads WARC shards from the
+    parquet binary column or via a path manifest).
+
+    Scale shape: same as the other §F censuses — one map pass
+    emitting narrow record rows (≤4 per payload; archive bytes never
+    reshuffled), one bounded-key aggregate (≤ |warc types|). The
+    inflate+CRC work is per-payload CPU inside the Arrow stage, the
+    exact work a real WARC reader pays, embarrassingly parallel.
+    """
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for r in parse_warc_gz(synth_warc_gz(bytes(payload))):
+                    rows.append(
+                        (doc_id, r["warc_type"], r["content_length"], r["has_name"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "warc_type", "content_length", "has_name"],
+            )
+
+    parsed = docs.mapInPandas(run, WARC_SCHEMA)
+    return (
+        parsed.groupBy("warc_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.countDistinct("doc_id").alias("n_archives"),
+            F.sum("has_name").alias("named_members"),
+            F.sum("content_length").alias("content_bytes"),
+            (
+                F.round(
+                    10000.0 * F.sum("content_length") / F.count(F.lit(1))
+                )
+                / 10000.0
+            ).alias("avg_content_bytes"),
+        )
+        .orderBy("warc_type")
+    )
+
+
+MM_WARC_GZIP_SQL = """
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+), members AS (
+  SELECT doc_id, n, unnest(generate_series(0, n % 4)) AS k FROM base
+), per AS (
+  SELECT doc_id,
+         CASE (n + k) % 4 WHEN 0 THEN 'response' WHEN 1 THEN 'request'
+                          WHEN 2 THEN 'metadata' ELSE 'warcinfo' END AS warc_type,
+         (n * 3 + k * 17) % 200 + 10 AS content_length,
+         CASE WHEN (n + k) % 3 = 0 THEN 1 ELSE 0 END AS has_name
+  FROM members
+)
+SELECT warc_type,
+       count(*) AS n_records,
+       count(DISTINCT doc_id) AS n_archives,
+       CAST(sum(has_name) AS BIGINT) AS named_members,
+       CAST(sum(content_length) AS BIGINT) AS content_bytes,
+       round(10000.0 * sum(content_length) / count(*)) / 10000.0
+         AS avg_content_bytes
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["mm_warc_gzip_census"] = (mm_warc_gzip_census, MM_WARC_GZIP_SQL)

@@ -1100,3 +1100,53 @@ def test_mp4_parser_roundtrip_and_quarantine():
     assert m2["timescale"] == 90000  # (123 // 3) % 3 == 2
     assert m2["duration_ms"] == ((123 * 13) % 90000 + 90000) * 1000 // 90000
     assert m2["mdat_bytes"] == n % 512 + 64
+
+
+def test_warc_gzip_parser_roundtrip_and_quarantine():
+    """parse_warc_gz: the synthesized archives are REAL gzip (the
+    stdlib gzip module inflates them), the member walk honors FNAME
+    and verifies CRC-32 + ISIZE against the inflated bytes, WARC
+    headers parse, and corruption (flipped CRC byte, truncation,
+    wrong magic, bad NLEN framing) raises."""
+    import gzip
+    import io
+
+    import pytest
+
+    from etl_gov_spark.operators.multimodal import (
+        _WARC_TYPES,
+        parse_warc_gz,
+        synth_warc_gz,
+    )
+
+    n = 123
+    gz = synth_warc_gz(b"x" * n)
+    recs = parse_warc_gz(gz)
+    assert len(recs) == n % 4 + 1 == 4
+    for k, r in enumerate(recs):
+        assert r["warc_type"] == _WARC_TYPES[(n + k) % 4]
+        assert r["content_length"] == (n * 3 + k * 17) % 200 + 10
+        assert r["has_name"] == (1 if (n + k) % 3 == 0 else 0)
+
+    with gzip.open(io.BytesIO(gz)) as f:  # genuine gzip framing
+        assert f.read().startswith(b"WARC/1.0\r\n")
+
+    with pytest.raises(ValueError):
+        parse_warc_gz(b"PK\x03\x04" + gz[4:])  # zip magic, not gzip
+    with pytest.raises(ValueError):
+        parse_warc_gz(gz[: len(gz) // 2])  # truncated mid-member
+    crc_flip = bytearray(gz)
+    crc_flip[-8] ^= 0xFF  # last member's CRC-32
+    with pytest.raises(ValueError):
+        parse_warc_gz(bytes(crc_flip))
+    isize_flip = bytearray(gz)
+    isize_flip[-1] ^= 0xFF  # last member's ISIZE high byte
+    with pytest.raises(ValueError):
+        parse_warc_gz(bytes(isize_flip))
+    nlen_flip = bytearray(gz)
+    # NLEN of the FIRST member's stored block (header is 10 bytes +
+    # optional FNAME; n=123, k=0 -> (123+0)%3==0 -> FNAME 'rec0.warc\0')
+    off = 10 + len(b"rec0.warc\x00") + 1 + 2  # block byte + LEN
+    nlen_flip[off] ^= 0xFF
+    with pytest.raises(ValueError):
+        parse_warc_gz(bytes(nlen_flip))

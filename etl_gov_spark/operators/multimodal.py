@@ -1847,3 +1847,196 @@ FROM per GROUP BY 1 ORDER BY 1
 """
 
 QUERIES["mm_warc_gzip_census"] = (mm_warc_gzip_census, MM_WARC_GZIP_SQL)
+
+
+# ---- training shards: WebDataset TAR (USTAR) sample census (§F) ----
+
+WDS_SCHEMA = (
+    "doc_id bigint, sample_key string, kind string, n_components int, "
+    "sample_bytes int"
+)
+
+
+def synth_wds_tar(payload: bytes) -> bytes:
+    """Deterministic stand-in for a WebDataset training shard: a
+    REAL USTAR tar archive (correct 512-byte header blocks, octal
+    size fields, VALID header checksums, ustar magic, 512-padded
+    data, double zero-block terminator — Python's tarfile opens it)
+    holding key-grouped sample components the WebDataset convention
+    pairs by basename: every sample has <key>.jpg and <key>.txt, a
+    deterministic subset adds <key>.json. Sample count, component
+    sizes and json presence derive purely from the source bytes so
+    the SQL oracle can replay the generator algebra."""
+    n = len(payload)
+
+    def member(name: str, size: int, k: int) -> bytes:
+        hdr = bytearray(512)
+        nb = name.encode()
+        hdr[0 : len(nb)] = nb
+        hdr[100:108] = b"0000644\x00"  # mode
+        hdr[108:116] = b"0000000\x00"  # uid
+        hdr[116:124] = b"0000000\x00"  # gid
+        hdr[124:136] = f"{size:011o}\x00".encode()
+        hdr[136:148] = f"{(n * 97 + k) % 0o77777777777:011o}\x00".encode()
+        hdr[148:156] = b" " * 8  # chksum field as spaces while summing
+        hdr[156] = 0x30  # typeflag '0' regular file
+        hdr[257:263] = b"ustar\x00"
+        hdr[263:265] = b"00"
+        chk = sum(hdr)
+        hdr[148:156] = f"{chk:06o}\x00 ".encode()
+        data = bytes((n + j * 19 + k) % 256 for j in range(size))
+        pad = (512 - size % 512) % 512
+        return bytes(hdr) + data + b"\x00" * pad
+
+    out = b""
+    for k in range(n % 3 + 1):
+        key = f"{n % 100000:06d}{k:03d}"
+        out += member(f"{key}.jpg", (n * 3 + k * 11) % 400 + 100, k)
+        if (n + k) % 2 == 0:
+            out += member(f"{key}.json", (n + k) % 60 + 30, k)
+        out += member(f"{key}.txt", (n * 7 + k * 5) % 80 + 20, k)
+    return out + b"\x00" * 1024  # end-of-archive
+
+
+def parse_wds_tar(tar: bytes) -> list:
+    """Real USTAR walk by byte slicing: 512-byte header blocks,
+    VERIFIED checksums (header summed with the chksum field as
+    spaces), octal size decode, ustar magic check, 512-aligned data
+    skip, double-zero-block terminator — then WebDataset sample
+    grouping by basename key. Raises ValueError on a corrupt
+    checksum, bad magic, or truncation — the quarantine path."""
+    samples: dict[str, dict] = {}
+    pos = 0
+    while True:
+        if pos + 512 > len(tar):
+            raise ValueError("truncated tar: header block cut off")
+        hdr = tar[pos : pos + 512]
+        if hdr == b"\x00" * 512:  # end-of-archive marker
+            if tar[pos + 512 : pos + 1024] != b"\x00" * 512:
+                raise ValueError("truncated tar: single zero block")
+            break
+        if hdr[257:262] != b"ustar":
+            raise ValueError("not a USTAR header (bad magic)")
+        stored = int(hdr[148:155].decode("ascii").rstrip("\x00 "), 8)
+        summed = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != summed:
+            raise ValueError("tar header checksum mismatch")
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("ascii")
+        size = int(hdr[124:135].decode("ascii").rstrip("\x00 "), 8)
+        data_end = pos + 512 + size
+        if data_end > len(tar):
+            raise ValueError("truncated tar: member data cut off")
+        key, _, ext = name.rpartition(".")
+        s = samples.setdefault(
+            key, {"sample_key": key, "exts": [], "sample_bytes": 0}
+        )
+        s["exts"].append(ext)
+        s["sample_bytes"] += size
+        pos = data_end + (512 - size % 512) % 512
+    out = []
+    for s in samples.values():
+        out.append(
+            {
+                "sample_key": s["sample_key"],
+                "kind": "+".join(sorted(s["exts"])),
+                "n_components": len(s["exts"]),
+                "sample_bytes": s["sample_bytes"],
+            }
+        )
+    return sorted(out, key=lambda r: r["sample_key"])
+
+
+def mm_webdataset_tar_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard census — the storage format multimodal
+    TRAINING actually reads (key-grouped .tar shards), completing
+    the §F container family beside the crawl-side WARC walk: per
+    sample kind (the sorted component-extension set — 'jpg+txt'
+    pairs vs 'jpg+json+txt' triples), sample count, shard coverage,
+    component and byte mass, from a genuine USTAR walk with header
+    checksum verification (synth_wds_tar → parse_wds_tar round trip
+    in ONE Arrow-batched mapInPandas stage; a real loader reads
+    shard paths from a manifest).
+
+    Scale shape: same as every §F census — one map pass emitting
+    ≤3 narrow sample rows per shard payload, one bounded-key
+    aggregate (≤ |kinds|). The pairing-completeness readout is the
+    thing a WebDataset pipeline actually audits before training
+    (a .jpg without its .txt starves the collator).
+    """
+    import pandas as pd
+
+    docs = Catalog(spark, sf_dir).documents.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for r in parse_wds_tar(synth_wds_tar(bytes(payload))):
+                    rows.append(
+                        (
+                            doc_id,
+                            r["sample_key"],
+                            r["kind"],
+                            r["n_components"],
+                            r["sample_bytes"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "sample_key",
+                    "kind",
+                    "n_components",
+                    "sample_bytes",
+                ],
+            )
+
+    parsed = docs.mapInPandas(run, WDS_SCHEMA)
+    return (
+        parsed.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.countDistinct("doc_id").alias("n_shards"),
+            F.sum("n_components").alias("components"),
+            F.sum("sample_bytes").alias("sample_bytes"),
+            (
+                F.round(10000.0 * F.sum("sample_bytes") / F.count(F.lit(1)))
+                / 10000.0
+            ).alias("avg_sample_bytes"),
+        )
+        .orderBy("kind")
+    )
+
+
+MM_WDS_TAR_SQL = """
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+), ks AS (
+  SELECT doc_id, n, unnest(generate_series(0, n % 3)) AS k FROM base
+), per AS (
+  SELECT doc_id,
+         CASE WHEN (n + k) % 2 = 0 THEN 'jpg+json+txt' ELSE 'jpg+txt' END AS kind,
+         CASE WHEN (n + k) % 2 = 0 THEN 3 ELSE 2 END AS n_components,
+         (n * 3 + k * 11) % 400 + 100
+           + (n * 7 + k * 5) % 80 + 20
+           + CASE WHEN (n + k) % 2 = 0 THEN (n + k) % 60 + 30 ELSE 0 END
+           AS sample_bytes
+  FROM ks
+)
+SELECT kind,
+       count(*) AS n_samples,
+       count(DISTINCT doc_id) AS n_shards,
+       CAST(sum(n_components) AS BIGINT) AS components,
+       CAST(sum(sample_bytes) AS BIGINT) AS sample_bytes,
+       round(10000.0 * sum(sample_bytes) / count(*)) / 10000.0
+         AS avg_sample_bytes
+FROM per GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["mm_webdataset_tar_census"] = (
+    mm_webdataset_tar_census,
+    MM_WDS_TAR_SQL,
+)

@@ -39,6 +39,7 @@ _PINNED_FIRST = (
     "mm_image_jpeg_census",
     "mm_video_mp4_census",
     "mm_warc_gzip_census",
+    "mm_webdataset_tar_census",
     "ann_ivfsq_topk",
     "ann_quantizer_recall",
     "dedup_paragraph_excise",
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "ann_bruteforce_topk",
     "ann_lsh_topk",
     "emb_norm_stats",
-    "emb_label_centroids",
 )
 
 

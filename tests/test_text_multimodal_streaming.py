@@ -1150,3 +1150,47 @@ def test_warc_gzip_parser_roundtrip_and_quarantine():
     nlen_flip[off] ^= 0xFF
     with pytest.raises(ValueError):
         parse_warc_gz(bytes(nlen_flip))
+
+
+def test_wds_tar_parser_roundtrip_and_quarantine():
+    """parse_wds_tar: synthesized shards are REAL USTAR (stdlib
+    tarfile lists the same members), header checksums verify, sample
+    grouping follows the WebDataset basename-key convention, and
+    corruption (checksum-covered byte flip, truncation, bad magic,
+    single zero-block terminator) raises."""
+    import io
+    import tarfile
+
+    import pytest
+
+    from etl_gov_spark.operators.multimodal import parse_wds_tar, synth_wds_tar
+
+    n = 123
+    t = synth_wds_tar(b"x" * n)
+    recs = parse_wds_tar(t)
+    assert len(recs) == n % 3 + 1 == 1
+    assert recs[0]["kind"] == "jpg+txt"  # (123+0)%2 == 1 -> no json
+    assert recs[0]["n_components"] == 2
+    assert recs[0]["sample_bytes"] == (
+        (n * 3) % 400 + 100 + (n * 7) % 80 + 20
+    )
+
+    with tarfile.open(fileobj=io.BytesIO(t)) as tf:
+        assert sorted(m.split(".")[-1] for m in tf.getnames()) == ["jpg", "txt"]
+
+    t2 = synth_wds_tar(b"x" * 124)  # 124%3+1 = 2 samples, k=0 gets json
+    kinds = {r["kind"] for r in parse_wds_tar(t2)}
+    assert kinds == {"jpg+json+txt", "jpg+txt"}
+
+    with pytest.raises(ValueError):
+        parse_wds_tar(t[:600])  # truncated member data
+    bad = bytearray(t)
+    bad[0] ^= 0xFF  # name byte under the checksum
+    with pytest.raises(ValueError):
+        parse_wds_tar(bytes(bad))
+    magic = bytearray(t)
+    magic[257] = ord("X")  # break ustar magic
+    with pytest.raises(ValueError):
+        parse_wds_tar(bytes(magic))
+    with pytest.raises(ValueError):
+        parse_wds_tar(t[:-512])  # only one terminator zero block

@@ -1784,3 +1784,158 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 QUERIES["text_code_detection"] = (text_code_detection, TEXT_CODE_DETECTION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (Okapi / Lucene form)
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY_STRIDE = 50  # every 50th doc acts as the query
+_BM25_QUERY_TERMS = 8  # rarest distinct tokens per query doc
+_BM25_TOP_K = 10
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-10 retrieval — the standard sparse scorer
+    beside the dense ANN family (hybrid retrieval prep runs BOTH
+    over the same corpus): every 50th document contributes a query —
+    its 8 RAREST distinct tokens by corpus df (df-asc, term-asc
+    tiebreak: deterministic in both engines, and the discriminative
+    terms a real query matches on), requiring df ≥ 2 (a df=1 term
+    occurs only in the query doc itself, and self-matches are
+    excluded). No df ceiling: idf itself downweights saturated
+    terms, and this synthetic corpus's 31-word unigram vocabulary
+    (every word in most docs) means any absolute or relative cap
+    empties the query set — the SCALE control is the rarest-8
+    selection, which on a Zipfian real corpus picks short posting
+    lists (per-query join cost = Σ df over 8 terms), plus the fact
+    that a production query workload is a bounded set, not a
+    corpus-stride sample. Candidates score by the Lucene-form
+    Okapi BM25
+
+        Σ_t ln(1 + (N − df + 0.5)/(df + 0.5)) ·
+            tf·(k1+1) / (tf + k1·(1 − b + b·len/avglen))
+
+    with k1=1.2, b=0.75; idf/N/avglen use EXACT corpus stats.
+
+    Scale: postings + doc lengths are two map-side-combined
+    aggregates on uniform keys; the score join is query-term ×
+    capped-posting-list (≤ |Q|·8·64 rows); avglen/N are 1-row
+    broadcasts; final per-query top-k is a bounded window over the
+    candidate set.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents)
+    terms = docs.select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dlen").alias("avglen")
+    )
+    qcand = (
+        docs.filter(F.col("doc_id") % _BM25_QUERY_STRIDE == 0)
+        .select(
+            F.col("doc_id").alias("q_id"),
+            F.explode(F.array_distinct(tokens_col())).alias("term"),
+        )
+        .join(df_.filter(F.col("df") >= 2), "term")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("df"), F.asc("term"))
+    qterms = (
+        qcand.withColumn("_qr", F.row_number().over(wq))
+        .filter(F.col("_qr") <= _BM25_QUERY_TERMS)
+        .select("q_id", "term")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (_BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avglen"))
+        )
+    )
+    scored = (
+        qterms.join(df_, "term")
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.round(F.sum(idf * tf_part), 6).alias("_s"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_s"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_TOP_K)
+        .select(
+            "q_id",
+            F.col("doc_id").alias("cand_id"),
+            "matched_terms",
+            (F.round(F.col("_s") * 10000.0) / 10000.0).alias("bm25"),
+            "rank",
+        )
+    )
+
+
+TEXT_BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+), terms AS (
+  SELECT doc_id, unnest(t) AS term FROM toks
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+), doc_len AS (
+  SELECT doc_id, sum(tf) AS dlen FROM tf GROUP BY 1
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(dlen) AS avglen FROM doc_len
+), qcand AS (
+  SELECT q.q_id, q.term, df.df
+  FROM (SELECT doc_id AS q_id, unnest(list_distinct(t)) AS term
+        FROM toks WHERE doc_id % {_BM25_QUERY_STRIDE} = 0) q
+  JOIN df ON df.term = q.term AND df.df >= 2
+), qterms AS (
+  SELECT q_id, term
+  FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY df ASC, term ASC) AS _qr
+        FROM qcand)
+  WHERE _qr <= {_BM25_QUERY_TERMS}
+), scored AS (
+  SELECT q.q_id, tf.doc_id,
+         count(*) AS matched_terms,
+         round(sum(
+           ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl.dlen / s.avglen))
+         ), 6) AS _s
+  FROM qterms q
+  JOIN df ON df.term = q.term
+  JOIN tf ON tf.term = q.term
+  JOIN doc_len dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.q_id
+  GROUP BY 1, 2
+)
+SELECT q_id, doc_id AS cand_id, CAST(matched_terms AS BIGINT) AS matched_terms,
+       round(_s * 10000.0) / 10000.0 AS bm25, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY _s DESC, doc_id ASC) AS INTEGER) AS rank
+  FROM scored
+)
+WHERE rank <= {_BM25_TOP_K}
+"""
+
+QUERIES["text_bm25_topk"] = (text_bm25_topk, TEXT_BM25_SQL)

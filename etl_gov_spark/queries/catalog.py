@@ -43,6 +43,7 @@ _PINNED_FIRST = (
     "ann_ivfsq_topk",
     "ann_quantizer_recall",
     "dedup_paragraph_excise",
+    "text_bm25_topk",
     # --- oldest-vintage refreshes: r1 driver signal ---
     "q_market_basket",
     "q_item_item_cf",
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "graph_triangle_count",
     "ann_bruteforce_topk",
     "ann_lsh_topk",
-    "emb_norm_stats",
 )
 
 

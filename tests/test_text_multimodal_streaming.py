@@ -1194,3 +1194,35 @@ def test_wds_tar_parser_roundtrip_and_quarantine():
         parse_wds_tar(bytes(magic))
     with pytest.raises(ValueError):
         parse_wds_tar(t[:-512])  # only one terminator zero block
+
+
+def test_bm25_ranks_rare_term_match_first(spark, tmp_path_factory):
+    """text_bm25_topk: a candidate sharing the query's RARE term
+    must outrank one sharing only its ubiquitous term (idf at work),
+    self-matches are excluded, and ranks are contiguous."""
+    tmp = str(tmp_path_factory.mktemp("bm25"))
+    rows = [
+        (0, "zebra apple the and", "en", "s", 0),        # the query (0 % 50 == 0)
+        (1, "zebra runs far away today the", "en", "s", 0),   # shares rare 'zebra'
+        (2, "apple pie is baked fresh the", "en", "s", 0),    # shares mid 'apple'
+        (3, "the of with from into them", "en", "s", 0),      # only 'the'
+        (4, "apple apple orchard grows the and", "en", "s", 0),
+        (5, "completely unrelated words here only", "en", "s", 0),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    from etl_gov_spark.operators.text import text_bm25_topk
+
+    got = [r for r in text_bm25_topk(spark, tmp).collect() if r.q_id == 0]
+    got.sort(key=lambda r: r.rank)
+    assert [r.rank for r in got] == list(range(1, len(got) + 1))
+    assert all(r.cand_id != 0 for r in got)  # no self-match
+    by_id = {r.cand_id: r for r in got}
+    assert 5 not in by_id  # shares no query term
+    # zebra (df=2) match beats the ubiquitous-term-only match
+    assert by_id[1].bm25 > by_id[3].bm25
+    # and a rare+freq match beats pure-stopword too
+    assert by_id[2].bm25 > by_id[3].bm25
+    assert by_id[1].rank < by_id[3].rank

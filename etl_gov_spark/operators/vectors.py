@@ -4358,3 +4358,87 @@ FROM legs ORDER BY method
 """
 
 QUERIES["ann_quantizer_recall"] = (ann_quantizer_recall, ANN_QUANTIZER_RECALL_SQL)
+
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two quantized serves — the
+    standard zero-training ensemble (Cormack et al., SIGIR 2009:
+    RRF(d) = Σ_lists 1/(k + rank_d), k=60) applied to the IVF-SQ8
+    and IVF-PQ shortlists. The two layouts err differently (PQ's
+    subspace quantization vs SQ's per-dim rounding), so their rank
+    lists disagree exactly where each is weakest; fusing them buys
+    back recall without touching the stores. Output is the fused
+    top-10 per query with both source ranks carried for audit.
+
+    Scale: two already-priced serve pipelines + one pair-key
+    full-outer join on (q_id, cand_id) (≤ 2·|Q|·k rows) + a bounded
+    per-query window. Nothing new at fact grain.
+    """
+    sq = ann_ivfsq_topk(spark, sf_dir).select(
+        "q_id", "cand_id", F.col("rank").alias("sq_rank")
+    )
+    pq = ann_ivfpq_topk(spark, sf_dir).select(
+        "q_id", "cand_id", F.col("rank").alias("pq_rank")
+    )
+    fused = (
+        sq.join(pq, ["q_id", "cand_id"], "full_outer")
+        .withColumn(
+            "_rrf",
+            F.round(
+                F.when(
+                    F.col("sq_rank").isNotNull(),
+                    1.0 / (_RRF_K + F.col("sq_rank")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("pq_rank").isNotNull(),
+                    1.0 / (_RRF_K + F.col("pq_rank")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_rrf"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "cand_id",
+            F.col("sq_rank").cast("int").alias("sq_rank"),
+            F.col("pq_rank").cast("int").alias("pq_rank"),
+            (F.round(F.col("_rrf") * 10000.0) / 10000.0).alias("rrf"),
+            "rank",
+        )
+    )
+
+
+ANN_RRF_SQL = f"""
+WITH sqk AS (
+  SELECT q_id, cand_id, rank AS sq_rank FROM ({ANN_IVFSQ_SQL}) s
+), pqk AS (
+  SELECT q_id, cand_id, rank AS pq_rank FROM ({ANN_IVFPQ_SQL}) p
+), fused AS (
+  SELECT coalesce(s.q_id, p.q_id) AS q_id,
+         coalesce(s.cand_id, p.cand_id) AS cand_id,
+         s.sq_rank, p.pq_rank,
+         round(coalesce(1.0 / ({_RRF_K} + s.sq_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + p.pq_rank), 0.0), 6) AS _rrf
+  FROM sqk s FULL OUTER JOIN pqk p
+    ON s.q_id = p.q_id AND s.cand_id = p.cand_id
+)
+SELECT q_id, cand_id,
+       CAST(sq_rank AS INTEGER) AS sq_rank,
+       CAST(pq_rank AS INTEGER) AS pq_rank,
+       round(_rrf * 10000.0) / 10000.0 AS rrf, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY _rrf DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+WHERE rank <= {TOP_K}
+"""
+
+QUERIES["ann_rrf_fusion"] = (ann_rrf_fusion, ANN_RRF_SQL)

@@ -42,6 +42,7 @@ _PINNED_FIRST = (
     "mm_webdataset_tar_census",
     "ann_ivfsq_topk",
     "ann_quantizer_recall",
+    "ann_rrf_fusion",
     "dedup_paragraph_excise",
     "text_bm25_topk",
     # --- oldest-vintage refreshes: r1 driver signal ---
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "dedup_keep_policy",
     "graph_triangle_count",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
 )
 
 

@@ -1052,3 +1052,36 @@ def test_ivfsq_recall_rerank_parity_and_code_range(spark, sf_dir):
     )
     lo, hi = codes.agg(F.min("code"), F.max("code")).first()
     assert 0 <= lo and hi <= 255, (lo, hi)
+
+
+def test_rrf_fusion_structure_and_recall(spark, sf_dir):
+    """ann_rrf_fusion: fused ranks are contiguous, the RRF score is
+    exactly 1/(60+sq_rank)+1/(60+pq_rank) over present lists, and
+    fusion never loses recall vs the better individual serve (at the
+    shared nprobe the two serves miss the SAME out-of-cell truth, so
+    fusion == max, not >)."""
+    truth = {
+        (r.q_id, r.cand_id)
+        for r in S.ann_bruteforce_topk(spark, sf_dir).collect()
+    }
+    rows = V.ann_rrf_fusion(spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+        expect = 0.0
+        if r.sq_rank is not None:
+            expect += 1.0 / (60 + r.sq_rank)
+        if r.pq_rank is not None:
+            expect += 1.0 / (60 + r.pq_rank)
+        assert abs(r.rrf - expect) < 2e-4, r
+        assert r.sq_rank is not None or r.pq_rank is not None
+    for q, rs in per_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+
+    fused = {(r.q_id, r.cand_id) for r in rows}
+    sq = {(r.q_id, r.cand_id) for r in V.ann_ivfsq_topk(spark, sf_dir).collect()}
+    pq = {(r.q_id, r.cand_id) for r in V.ann_ivfpq_topk(spark, sf_dir).collect()}
+    r_f = len(fused & truth) / len(truth)
+    r_s = len(sq & truth) / len(truth)
+    r_p = len(pq & truth) / len(truth)
+    assert r_f >= max(r_s, r_p) - 0.01, (r_f, r_s, r_p)

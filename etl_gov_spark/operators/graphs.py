@@ -1312,3 +1312,171 @@ QUERIES["dedup_cluster_size_powerlaw"] = (
     dedup_cluster_size_powerlaw,
     DEDUP_CLUSTER_POWERLAW_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over the embedding ε-graph (density clustering, §D)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_MIN_NBRS = 3  # core point: ≥3 ε-neighbors (minPts=4 w/ self)
+
+
+def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over the embedding corpus — the
+    classic clusters-of-arbitrary-shape + explicit-noise algorithm
+    the Lloyd/SemDeDup family can't express (k-means assigns EVERY
+    point; DBSCAN separates dense structure from outliers, the
+    distinction a training-data curator actually wants).
+
+    Composed from driver-green parts, LSH-blocked like everything
+    else in the family: the ε-neighborhood graph IS
+    ``dedup_embedding``'s verified pair set (sign-LSH banded
+    candidates, exact-cosine edge test — deterministic and
+    oracle-replayable, i.e. this is the standard approximate
+    ε-graph DBSCAN at scale); core points have ≥ 3 neighbors;
+    clusters are connected components over CORE-CORE edges (the
+    shared min-label propagation); border points attach to the
+    smallest component among their core neighbors; everything else
+    is noise. Per-cluster readout + one component=-1 noise row, so
+    the full partition of the corpus is value-checked.
+
+    Scale: degree count and core filter are one aggregate over the
+    symmetrized pair list; components iterate on the (much smaller)
+    core subgraph; border assignment is one join. Nothing exceeds
+    the pair census already priced in dedup_embedding.
+    """
+    from etl_gov_spark.operators.dedup import dedup_embedding
+
+    # The pair list feeds degree count, core-edge build AND the
+    # per-round convergence checks inside connected_components;
+    # without truncation each consumer re-runs the whole LSH
+    # banding pipeline (observed: minutes instead of seconds).
+    # Bounded intermediate (one row per ε-edge), same stance as
+    # ann_ivf_topk's cells.
+    pairs = (
+        dedup_embedding(spark, sf_dir)
+        .select("vec_a", "vec_b")
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.union(
+        pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+    deg = sym.groupBy("vec_a").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") >= _DBSCAN_MIN_NBRS).select(
+        F.col("vec_a").alias("vec_id")
+    )
+    core_edges = (
+        pairs.join(core.withColumnRenamed("vec_id", "vec_a"), "vec_a")
+        .join(core.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    comp = connected_components(core_edges).withColumnRenamed("node", "vec_id")
+    # isolated cores (no core neighbor) form singleton clusters
+    lone = core.join(comp, "vec_id", "left_anti").select(
+        "vec_id", F.col("vec_id").alias("component")
+    )
+    core_comp = comp.unionByName(lone)
+    border = (
+        sym.withColumnRenamed("vec_a", "vec_id")
+        .withColumnRenamed("vec_b", "nbr")
+        .join(core, "vec_id", "left_anti")  # not itself core
+        .join(
+            core_comp.select(
+                F.col("vec_id").alias("nbr"), "component"
+            ),
+            "nbr",
+        )
+        .groupBy("vec_id")
+        .agg(F.min("component").alias("component"))
+    )
+    assigned = core_comp.withColumn("role", F.lit("core")).unionByName(
+        border.withColumn("role", F.lit("border"))
+    )
+    clusters = (
+        assigned.groupBy("component")
+        .agg(
+            F.sum(F.when(F.col("role") == "core", 1).otherwise(0)).alias("n_core"),
+            F.sum(F.when(F.col("role") == "border", 1).otherwise(0)).alias(
+                "n_border"
+            ),
+            F.count(F.lit(1)).alias("size"),
+        )
+    )
+    n_total = Catalog(spark, sf_dir).embeddings.agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    n_assigned = assigned.agg(F.count(F.lit(1)).alias("n_assigned"))
+    noise = (
+        n_total.crossJoin(F.broadcast(n_assigned))
+        .select(
+            F.lit(-1).cast("long").alias("component"),
+            F.lit(0).cast("long").alias("n_core"),
+            F.lit(0).cast("long").alias("n_border"),
+            (F.col("n_total") - F.col("n_assigned")).alias("size"),
+        )
+    )
+    return clusters.unionByName(noise).orderBy("component")
+
+
+EMB_DBSCAN_SQL = f"""
+WITH RECURSIVE pairsrc AS MATERIALIZED (
+  SELECT vec_a, vec_b FROM ({{EMB_PAIRS_SQL}}) p
+), sym AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairsrc
+  UNION ALL
+  SELECT vec_b AS a, vec_a AS b FROM pairsrc
+), deg AS (
+  SELECT a AS vec_id, count(*) AS deg FROM sym GROUP BY a
+), core AS (
+  SELECT vec_id FROM deg WHERE deg >= {_DBSCAN_MIN_NBRS}
+), core_edges AS (
+  SELECT p.vec_a AS a, p.vec_b AS b FROM pairsrc p
+  WHERE p.vec_a IN (SELECT vec_id FROM core)
+    AND p.vec_b IN (SELECT vec_id FROM core)
+), cesym AS (
+  SELECT a, b FROM core_edges UNION ALL SELECT b, a FROM core_edges
+), reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM cesym)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN cesym e ON r.m = e.a
+), comp AS (
+  SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n
+), core_comp AS (
+  SELECT vec_id, component FROM comp
+  UNION ALL
+  SELECT vec_id, vec_id AS component FROM core
+  WHERE vec_id NOT IN (SELECT vec_id FROM comp)
+), border AS (
+  SELECT s.a AS vec_id, min(cc.component) AS component
+  FROM sym s JOIN core_comp cc ON cc.vec_id = s.b
+  WHERE s.a NOT IN (SELECT vec_id FROM core)
+  GROUP BY s.a
+), assigned AS (
+  SELECT vec_id, component, 'core' AS role FROM core_comp
+  UNION ALL
+  SELECT vec_id, component, 'border' AS role FROM border
+), clusters AS (
+  SELECT component,
+         sum(CASE WHEN role = 'core' THEN 1 ELSE 0 END) AS n_core,
+         sum(CASE WHEN role = 'border' THEN 1 ELSE 0 END) AS n_border,
+         count(*) AS size
+  FROM assigned GROUP BY component
+)
+SELECT component, CAST(n_core AS BIGINT) AS n_core,
+       CAST(n_border AS BIGINT) AS n_border, CAST(size AS BIGINT) AS size
+FROM clusters
+UNION ALL
+SELECT -1, 0, 0,
+       (SELECT count(*) FROM embeddings)
+         - (SELECT count(*) FROM assigned)
+ORDER BY component
+"""
+
+
+def _dbscan_sql() -> str:
+    from etl_gov_spark.operators.dedup import DEDUP_EMBEDDING_SQL
+
+    return EMB_DBSCAN_SQL.replace("{EMB_PAIRS_SQL}", DEDUP_EMBEDDING_SQL)
+
+
+QUERIES["emb_dbscan_clusters"] = (emb_dbscan_clusters, _dbscan_sql())

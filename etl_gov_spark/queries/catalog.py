@@ -43,6 +43,7 @@ _PINNED_FIRST = (
     "ann_ivfsq_topk",
     "ann_quantizer_recall",
     "ann_rrf_fusion",
+    "emb_dbscan_clusters",
     "dedup_paragraph_excise",
     "text_bm25_topk",
     # --- oldest-vintage refreshes: r1 driver signal ---
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "dedup_clusters",
     "dedup_keep_policy",
     "graph_triangle_count",
-    "ann_bruteforce_topk",
 )
 
 

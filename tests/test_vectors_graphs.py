@@ -1085,3 +1085,47 @@ def test_rrf_fusion_structure_and_recall(spark, sf_dir):
     r_s = len(sq & truth) / len(truth)
     r_p = len(pq & truth) / len(truth)
     assert r_f >= max(r_s, r_p) - 0.01, (r_f, r_s, r_p)
+
+
+def test_dbscan_planted_blobs_border_and_noise(spark, tmp_path_factory):
+    """emb_dbscan_clusters on planted geometry: an arc-spread blob
+    whose deterministic LSH-blocked ε-graph yields 4 cores + 2
+    border points (the arc ends land within ε of <3 members — the
+    ε-graph IS the banding's deterministic output, which is the
+    operator's stated definition), a second orthogonal blob (all
+    cores, separate component), an isolated far pair whose members
+    have deg 1 and no core neighbor (noise), and singletons (noise).
+    The full partition must be recovered."""
+    import math
+
+    tmp = str(tmp_path_factory.mktemp("dbscan"))
+    dim = 64
+
+    def vec(theta_deg, ax1=0, ax2=1):
+        v = [0.0] * dim
+        t = math.radians(theta_deg)
+        v[ax1], v[ax2] = math.cos(t), math.sin(t)
+        return v
+
+    rows = []
+    for i, th in enumerate((0, 15, 30, 45, 60)):  # blob A arc
+        rows.append((i, vec(th), 0))
+    rows.append((5, vec(-40), 0))  # shoulder: ε-neighbors 0 and 1 only
+    for i, th in enumerate((0, 15, 30, 45)):  # blob B, orthogonal plane
+        rows.append((6 + i, vec(th, 2, 3), 1))
+    rows.append((10, vec(0, 4, 5), 2))   # far pair: deg 1 each
+    rows.append((11, vec(10, 4, 5), 2))
+    rows.append((12, vec(0, 6, 7), 3))   # singletons
+    rows.append((13, vec(0, 8, 9), 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+    got = {r.component: r for r in G.emb_dbscan_clusters(spark, tmp).collect()}
+    assert set(got) == {-1, 0, 6}
+    # blob A: cores {0,1,2,3}; arc-end 4 (deg 1, core nbr 3) and
+    # shoulder 5 (deg 2, core nbrs 0,1) attach as border
+    assert got[0].n_core == 4 and got[0].n_border == 2 and got[0].size == 6
+    assert got[6].n_core == 4 and got[6].n_border == 0 and got[6].size == 4
+    # noise: far pair (no core neighbor) + 2 singletons
+    assert got[-1].size == 4

@@ -1732,11 +1732,27 @@ def parse_warc_gz(buf: bytes) -> list:
         flg = buf[pos + 3]
         p = pos + 10
         has_name = 0
+        if flg & 0x04:  # FEXTRA: 2-byte LE XLEN + payload
+            if p + 2 > len(buf):
+                raise ValueError("truncated gzip: FEXTRA length cut off")
+            xlen = buf[p] | (buf[p + 1] << 8)
+            p += 2 + xlen
+            if p > len(buf):
+                raise ValueError("truncated gzip: FEXTRA body cut off")
         if flg & 0x08:  # FNAME: NUL-terminated
             end = buf.find(b"\x00", p)
             if end < 0:
                 raise ValueError("truncated gzip: unterminated FNAME")
             p, has_name = end + 1, 1
+        if flg & 0x10:  # FCOMMENT: NUL-terminated
+            end = buf.find(b"\x00", p)
+            if end < 0:
+                raise ValueError("truncated gzip: unterminated FCOMMENT")
+            p = end + 1
+        if flg & 0x02:  # FHCRC: 2-byte header CRC
+            p += 2
+            if p > len(buf):
+                raise ValueError("truncated gzip: FHCRC cut off")
         d = zlib.decompressobj(-15)  # raw deflate
         try:
             body = d.decompress(buf[p:])

@@ -1151,6 +1151,27 @@ def test_warc_gzip_parser_roundtrip_and_quarantine():
     with pytest.raises(ValueError):
         parse_warc_gz(bytes(nlen_flip))
 
+    # full FLG coverage: a hand-built member with FEXTRA + FNAME +
+    # FCOMMENT + FHCRC must parse (real crawls set these)
+    import struct
+    import zlib
+
+    body = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabc"
+    member = (
+        b"\x1f\x8b\x08" + bytes([0x02 | 0x04 | 0x08 | 0x10])
+        + bytes(6)                       # MTIME/XFL/OS
+        + struct.pack("<H", 4) + b"XTRA"  # FEXTRA
+        + b"a.warc\x00"                  # FNAME
+        + b"a comment\x00"               # FCOMMENT
+        + b"\x00\x00"                    # FHCRC (unchecked)
+        + b"\x01" + struct.pack("<HH", len(body), 0xFFFF ^ len(body)) + body
+        + struct.pack("<II", zlib.crc32(body) & 0xFFFFFFFF, len(body))
+    )
+    recs = parse_warc_gz(member)
+    assert recs == [
+        {"warc_type": "response", "content_length": 3, "has_name": 1}
+    ]
+
 
 def test_wds_tar_parser_roundtrip_and_quarantine():
     """parse_wds_tar: synthesized shards are REAL USTAR (stdlib

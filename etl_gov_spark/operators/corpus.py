@@ -5271,3 +5271,156 @@ QUERIES["dedup_paragraph_excise"] = (
     dedup_paragraph_excise,
     DEDUP_PARAGRAPH_EXCISE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration of the quality classifier
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHAS = (0.05, 0.1, 0.2)
+
+
+def corpus_conformal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal calibration of the trained quality filter
+    (Vovk et al.; the Angelopoulos-Bates recipe): the held-out split
+    is sub-split into CALIBRATION and TEST halves by an md5 digit;
+    for each miscoverage budget α the keep-threshold is the exact
+    ⌈(n₁+1)(1−α)⌉-th smallest calibration nonconformity (−score
+    among truly-good calibration docs) — the distribution-free
+    guarantee that at most an α-fraction of genuinely good documents
+    is rejected by the filter, no matter how miscalibrated the
+    classifier's probabilities are. The readout reports, per α, the
+    threshold, the realized good-doc coverage on the untouched test
+    half (≥ 1−α in expectation) and the overall keep rate (the
+    price paid in corpus volume).
+
+    Shares ``_qc_train``'s exact 8-dp-quantized trajectory (the
+    oracle replays the identical six unrolled iterations), so the
+    scores are bit-identical in both engines. The threshold is a
+    RANK statistic, not an interpolated quantile — exactly
+    replayable. Scale: scoring is one map pass; the rank ladder runs
+    over DISTINCT 6-dp scores only (the q_roc_auc bounded-domain
+    window pattern); per-α work is a 3-row broadcast join.
+    """
+    feat, _n_train, bi, bw = _qc_train(spark, sf_dir)
+    held = feat.filter(F.col("held")).select(
+        "doc_id",
+        F.round(F.lit(bi) + _qc_dot("xv", bw), 6).alias("s"),
+        F.col("y").cast("long").alias("yl"),
+    )
+    is_calib = F.substring(
+        F.md5(F.col("doc_id").cast("string")), 2, 1
+    ).isin(*list("01234567"))
+    calib = held.filter(is_calib)
+    test = held.filter(~is_calib)
+
+    # exact k-th smallest nonconformity (−s) over good calib docs,
+    # via cumulative counts on DISTINCT scores (bounded domain)
+    cpos = calib.filter(F.col("yl") == 1).select((-F.col("s")).alias("nc"))
+    n1 = cpos.agg(F.count(F.lit(1)).alias("n1"))
+    dist = cpos.groupBy("nc").agg(F.count(F.lit(1)).alias("cn"))
+    wc = Window.orderBy("nc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("nc", F.sum("cn").over(wc).alias("cum_n"))
+    alphas = spark.range(len(_CONF_ALPHAS)).select(
+        F.element_at(
+            F.array(*[F.lit(a) for a in _CONF_ALPHAS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("alpha")
+    )
+    thr = (
+        alphas.crossJoin(F.broadcast(n1))
+        .withColumn(
+            "k", F.ceil((F.col("n1") + 1) * (1.0 - F.col("alpha"))).cast("long")
+        )
+        .join(F.broadcast(cum), F.col("cum_n") >= F.col("k"), "left")
+        .groupBy("alpha", "n1", "k")
+        .agg(F.min("nc").alias("qhat"))  # null when k > n1: keep all
+    )
+    joined = test.crossJoin(F.broadcast(thr)).withColumn(
+        "kept",
+        F.when(F.col("qhat").isNull(), F.lit(1))
+        .when(-F.col("s") <= F.col("qhat"), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    return (
+        joined.groupBy("alpha", "n1", "k", "qhat")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum("yl").alias("n_test_good"),
+            (
+                F.round(
+                    10000.0
+                    * F.sum(F.col("kept") * F.col("yl"))
+                    / F.sum("yl")
+                )
+                / 10000.0
+            ).alias("good_coverage"),
+            (
+                F.round(10000.0 * F.sum("kept") / F.count(F.lit(1)))
+                / 10000.0
+            ).alias("keep_rate"),
+        )
+        .select(
+            "alpha",
+            F.col("n1").alias("n_calib_good"),
+            F.col("k").alias("rank_k"),
+            F.round(-F.col("qhat"), 6).alias("score_threshold"),
+            "n_test",
+            "n_test_good",
+            "good_coverage",
+            "keep_rate",
+        )
+        .orderBy("alpha")
+    )
+
+
+CORPUS_CONFORMAL_SQL = (
+    _QC_SQL_PREFIX
+    + rf""",
+held AS MATERIALIZED (
+  SELECT f.doc_id,
+         round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6) AS s,
+         CAST(f.y AS BIGINT) AS yl,
+         substr(md5(CAST(f.doc_id AS VARCHAR)), 2, 1)
+           IN ('0','1','2','3','4','5','6','7') AS is_calib
+  FROM feat f CROSS JOIN it6 b WHERE f.held
+), cpos AS (
+  SELECT -s AS nc FROM held WHERE is_calib AND yl = 1
+), n1t AS (SELECT count(*) AS n1 FROM cpos),
+cum AS (
+  SELECT nc, sum(cn) OVER (ORDER BY nc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+  FROM (SELECT nc, count(*) AS cn FROM cpos GROUP BY nc)
+), alphas AS (
+  SELECT unnest([{", ".join(str(a) for a in _CONF_ALPHAS)}]) AS alpha
+), thr AS (
+  SELECT a.alpha, n.n1, CAST(ceil((n.n1 + 1) * (1.0 - a.alpha)) AS BIGINT) AS k,
+         min(c.nc) AS qhat
+  FROM alphas a CROSS JOIN n1t n
+  LEFT JOIN cum c ON c.cum_n >= ceil((n.n1 + 1) * (1.0 - a.alpha))
+  GROUP BY 1, 2, 3
+), test AS (SELECT s, yl FROM held WHERE NOT is_calib),
+joined AS (
+  SELECT t.alpha, t.n1, t.k, t.qhat, te.yl,
+         CASE WHEN t.qhat IS NULL THEN 1
+              WHEN -te.s <= t.qhat THEN 1 ELSE 0 END AS kept
+  FROM test te CROSS JOIN thr t
+)
+SELECT CAST(alpha AS DOUBLE) AS alpha, n1 AS n_calib_good, k AS rank_k,
+       round(-qhat, 6) AS score_threshold,
+       count(*) AS n_test,
+       CAST(sum(yl) AS BIGINT) AS n_test_good,
+       round(10000.0 * sum(kept * yl) / sum(yl)) / 10000.0 AS good_coverage,
+       round(10000.0 * sum(kept) / count(*)) / 10000.0 AS keep_rate
+FROM joined
+GROUP BY alpha, n1, k, qhat
+ORDER BY alpha
+"""
+)
+
+QUERIES["corpus_conformal_quality"] = (
+    corpus_conformal_quality,
+    CORPUS_CONFORMAL_SQL,
+)

@@ -36,6 +36,7 @@ _PINNED_FIRST = (
     # --- added in round 14 (no driver signal yet) ---
     "corpus_kenlm_perplexity",
     "corpus_ccnet_buckets_kn",
+    "corpus_conformal_quality",
     "mm_image_jpeg_census",
     "mm_video_mp4_census",
     "mm_warc_gzip_census",
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "dedup_embedding",
     "dedup_clusters",
     "dedup_keep_policy",
-    "graph_triangle_count",
 )
 
 

@@ -1285,3 +1285,27 @@ def test_paragraph_excise_rewrites_and_reassembles(spark, tmp_path_factory):
     assert (r4.n_segments, r4.dropped_segments) == (2, 1)
     assert (r4.excised_tokens, r4.kept_tokens) == (16, 16)
     assert r4.kept_hash == md5(mk(D))
+
+
+def test_conformal_quality_guarantee_and_monotonicity(spark, sf_dir):
+    """corpus_conformal_quality: realized good-doc coverage on the
+    untouched test half tracks the 1-α guarantee (within sampling
+    slack of a finite calibration set), and the α ladder is
+    monotone: more miscoverage budget -> stricter threshold, lower
+    coverage, lower keep rate. rank_k must equal ⌈(n₁+1)(1−α)⌉."""
+    import math
+
+    rows = sorted(
+        C.corpus_conformal_quality(spark, sf_dir).collect(),
+        key=lambda r: r.alpha,
+    )
+    assert [r.alpha for r in rows] == [0.05, 0.1, 0.2]
+    for r in rows:
+        assert r.rank_k == math.ceil((r.n_calib_good + 1) * (1 - r.alpha))
+        assert r.good_coverage >= 1 - r.alpha - 0.1, (r.alpha, r.good_coverage)
+        assert 0.0 < r.keep_rate <= 1.0
+        assert r.n_test_good <= r.n_test
+    cov = [r.good_coverage for r in rows]
+    keep = [r.keep_rate for r in rows]
+    assert cov == sorted(cov, reverse=True)
+    assert keep == sorted(keep, reverse=True)

@@ -37,6 +37,7 @@ _PINNED_FIRST = (
     "corpus_kenlm_perplexity",
     "corpus_ccnet_buckets_kn",
     "corpus_conformal_quality",
+    "stream_conformal_gate",
     "mm_image_jpeg_census",
     "mm_video_mp4_census",
     "mm_warc_gzip_census",
@@ -85,7 +86,6 @@ _PINNED_FIRST = (
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "dedup_clusters",
-    "dedup_keep_policy",
 )
 
 

@@ -936,3 +936,130 @@ ORDER BY a.hour, a.rank
 """
 
 QUERIES["stream_topk_hourly"] = (stream_topk_hourly, STREAM_TOPK_HOURLY_SQL)
+
+
+_CONF_GATE_ALPHA = 0.1
+
+
+def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deployment of the SPLIT-CONFORMAL quality gate —
+    the production shape for ``corpus_conformal_quality``: the
+    classifier is fit offline (the shared 8-dp-quantized
+    trajectory), the keep-threshold is the exact
+    ⌈(n₁+1)(1−α)⌉-th smallest calibration nonconformity at α=0.1
+    (computed offline too — one rank statistic, pure model state),
+    and every arriving document is scored by a codegen expression
+    and routed keep/drop against the LITERAL threshold. Unlike the
+    p ≥ 0.5 classifier gate, this cut carries the distribution-free
+    guarantee: at most ~10% of genuinely good documents are dropped
+    no matter how miscalibrated the classifier is. Stateless
+    per-doc — arbitrarily shardable at ingest; complete-mode census
+    over the finite feed ≡ batch aggregation, which the oracle
+    replays after re-deriving the identical β and threshold.
+    """
+    from etl_gov_spark.operators.corpus import (
+        _CONF_ALPHAS,  # noqa: F401  (gate α must stay a member)
+        _QC_DIM,
+        _qc_dot,
+        _qc_train,
+    )
+    from etl_gov_spark.session import tune_runtime
+
+    tune_runtime(spark)
+    feat, _n, bi, bw = _qc_train(spark, sf_dir)  # offline fit
+    held = feat.filter(F.col("held")).select(
+        "doc_id",
+        F.round(F.lit(bi) + _qc_dot("xv", bw), 6).alias("s"),
+        F.col("y").cast("long").alias("yl"),
+    )
+    calib_pos = held.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1).isin(
+            *list("01234567")
+        )
+        & (F.col("yl") == 1)
+    ).select((-F.col("s")).alias("nc"))
+    ncs = sorted(r.nc for r in calib_pos.collect())  # bounded calib slice
+    import math
+
+    k = math.ceil((len(ncs) + 1) * (1.0 - _CONF_GATE_ALPHA))
+    qhat = ncs[k - 1] if k <= len(ncs) else None  # None: keep all
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    bkt = F.transform(
+        toks,
+        lambda w: F.conv(F.substring(F.md5(w), 1, 2), 16, 10).cast("int") % _QC_DIM,
+    )
+    xv = F.transform(
+        F.sequence(F.lit(0), F.lit(_QC_DIM - 1)),
+        lambda i: F.size(F.filter("bkt", lambda x: x == i)) / F.col("nw"),
+    )
+    scored = (
+        docs.select("source", F.size(toks).alias("nw"), bkt.alias("bkt"))
+        .select("source", xv.alias("xv"))
+        .select("source", F.round(F.lit(bi) + _qc_dot("xv", bw), 6).alias("s"))
+    )
+    keep = (
+        F.lit(True)
+        if qhat is None
+        else (-F.col("s") <= F.lit(float(qhat)))
+    )
+    routed = scored.select(
+        "source",
+        "s",
+        F.when(keep, F.lit("keep")).otherwise(F.lit("drop")).alias("decision"),
+    )
+    agg = routed.groupBy("source", "decision").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("s"), 4).alias("avg_score"),
+    )
+    sink = "stream_conformal_gate_sink"
+    _run_to_memory(agg, sink, "complete")
+    return spark.table(sink)
+
+
+def _conformal_gate_sql() -> str:
+    from etl_gov_spark.operators.corpus import _QC_DIM, _QC_SQL_PREFIX
+
+    return (
+        _QC_SQL_PREFIX
+        + f""",
+allscore AS MATERIALIZED (
+  SELECT f.doc_id, f.source, f.y, f.held,
+         round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6) AS s
+  FROM feat f CROSS JOIN it6 b
+), cpos AS (
+  SELECT -s AS nc FROM allscore
+  WHERE held AND y = 1.0
+    AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+          IN ('0','1','2','3','4','5','6','7')
+), n1t AS (SELECT count(*) AS n1 FROM cpos),
+thr AS (
+  SELECT min(c.nc) AS qhat
+  FROM n1t n
+  LEFT JOIN (
+    SELECT nc, sum(cn) OVER (ORDER BY nc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM (SELECT nc, count(*) AS cn FROM cpos GROUP BY nc)
+  ) c ON c.cum_n >= ceil((n.n1 + 1) * (1.0 - {_CONF_GATE_ALPHA}))
+)
+SELECT source,
+       CASE WHEN (SELECT qhat FROM thr) IS NULL THEN 'keep'
+            WHEN -s <= (SELECT qhat FROM thr) THEN 'keep'
+            ELSE 'drop' END AS decision,
+       count(*) AS n_docs,
+       round(avg(s), 4) AS avg_score
+FROM allscore
+GROUP BY 1, 2
+"""
+    )
+
+
+QUERIES["stream_conformal_gate"] = (stream_conformal_gate, _conformal_gate_sql())

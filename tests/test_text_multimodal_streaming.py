@@ -1247,3 +1247,25 @@ def test_bm25_ranks_rare_term_match_first(spark, tmp_path_factory):
     # and a rare+freq match beats pure-stopword too
     assert by_id[2].bm25 > by_id[3].bm25
     assert by_id[1].rank < by_id[3].rank
+
+
+def test_stream_conformal_gate_census(spark, sf_dir):
+    """stream_conformal_gate: the complete-mode census covers every
+    document exactly once, routes both ways, and keep-side scores
+    dominate drop-side scores within every source (the threshold is
+    a single global cut)."""
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.streaming.events_stream import stream_conformal_gate
+
+    rows = stream_conformal_gate(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == read_table(
+        spark, sf_dir, "documents"
+    ).count()
+    assert {r.decision for r in rows} <= {"keep", "drop"}
+    assert "keep" in {r.decision for r in rows}
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, {})[r.decision] = r.avg_score
+    for src, d in per_src.items():
+        if {"keep", "drop"} <= set(d):
+            assert d["keep"] > d["drop"], (src, d)

@@ -592,6 +592,7 @@ _BOUNDED_SP_WINDOW_OK = {
     "corpus_heaps_law",
     "corpus_quality_classifier",  # AUC rank window over distinct 6dp held-out scores (q_roc_auc pattern)
     "corpus_classifier_prune_sweep",  # cumulative ladder over distinct 6dp probabilities (q_roc_auc pattern)
+    "corpus_conformal_quality",  # rank ladder over distinct 6dp calibration nonconformities (q_roc_auc pattern)
     "q_histogram_quantile_sketch",  # cumulative + total over a <=128-bucket histogram
     "q_abc_xyz_matrix",
     "q_autocorrelation",

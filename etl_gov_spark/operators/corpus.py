@@ -5280,6 +5280,36 @@ QUERIES["dedup_paragraph_excise"] = (
 _CONF_ALPHAS = (0.05, 0.1, 0.2)
 
 
+def _conformal_qhat(nc_df: DataFrame, alpha: float):
+    """Exact ⌈(n₁+1)(1−α)⌉-th smallest value of column ``nc``,
+    computed DISTRIBUTIVELY via the same rank ladder as
+    ``corpus_conformal_quality`` (cumulative counts over DISTINCT
+    6-dp scores — a bounded-domain window), so only ONE scalar row
+    ever crosses to the driver. Returns ``None`` when k > n₁
+    (the keep-everything regime). This is the scale-safe twin of
+    ``sorted(collect())[k-1]``: at 100 TB the calibration slice is
+    O(N) rows, but the distinct-score domain stays ≤ range×10⁶ and
+    the driver sees exactly one row.
+    """
+    n1 = nc_df.agg(F.count(F.lit(1)).alias("n1"))
+    dist = nc_df.groupBy("nc").agg(F.count(F.lit(1)).alias("cn"))
+    wc = Window.orderBy("nc").rowsBetween(Window.unboundedPreceding, 0)
+    cum = dist.select("nc", F.sum("cn").over(wc).alias("cum_n"))
+    row = (
+        n1.withColumn(
+            "k",
+            F.ceil((F.col("n1") + 1) * (1.0 - F.lit(float(alpha)))).cast(
+                "long"
+            ),
+        )
+        .join(F.broadcast(cum), F.col("cum_n") >= F.col("k"), "left")
+        .groupBy("n1", "k")
+        .agg(F.min("nc").alias("qhat"))
+        .collect()[0]  # ONE row: (n1, k, qhat) — scalar model state
+    )
+    return None if row.qhat is None else float(row.qhat)
+
+
 def corpus_conformal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal calibration of the trained quality filter
     (Vovk et al.; the Angelopoulos-Bates recipe): the held-out split

@@ -956,10 +956,18 @@ def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc — arbitrarily shardable at ingest; complete-mode census
     over the finite feed ≡ batch aggregation, which the oracle
     replays after re-deriving the identical β and threshold.
+
+    Scale shape: the calibration threshold is computed by the SAME
+    distributed rank ladder as the batch twin
+    (``corpus._conformal_qhat``: cumulative counts over DISTINCT
+    6-dp nonconformities), so the only thing collected to the
+    driver is ONE scalar ``qhat`` — never the O(N) calibration
+    slice itself.
     """
     from etl_gov_spark.operators.corpus import (
         _CONF_ALPHAS,  # noqa: F401  (gate α must stay a member)
         _QC_DIM,
+        _conformal_qhat,
         _qc_dot,
         _qc_train,
     )
@@ -978,11 +986,7 @@ def stream_conformal_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         & (F.col("yl") == 1)
     ).select((-F.col("s")).alias("nc"))
-    ncs = sorted(r.nc for r in calib_pos.collect())  # bounded calib slice
-    import math
-
-    k = math.ceil((len(ncs) + 1) * (1.0 - _CONF_GATE_ALPHA))
-    qhat = ncs[k - 1] if k <= len(ncs) else None  # None: keep all
+    qhat = _conformal_qhat(calib_pos, _CONF_GATE_ALPHA)  # one scalar
 
     schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
     docs = (

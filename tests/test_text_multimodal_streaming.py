@@ -1269,3 +1269,52 @@ def test_stream_conformal_gate_census(spark, sf_dir):
     for src, d in per_src.items():
         if {"keep", "drop"} <= set(d):
             assert d["keep"] > d["drop"], (src, d)
+
+
+def test_conformal_qhat_matches_batch_twin(spark, sf_dir):
+    """The streaming gate's distributed rank-ladder threshold
+    (`_conformal_qhat`, one scalar collected) equals BOTH the batch
+    twin's α=0.1 `score_threshold` row and the naive
+    sorted-collect reference it replaced — i.e. killing the O(N)
+    driver collect changed the plan shape, not the statistic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.corpus import (
+        _conformal_qhat,
+        _qc_dot,
+        _qc_train,
+        corpus_conformal_quality,
+    )
+    from etl_gov_spark.streaming.events_stream import _CONF_GATE_ALPHA
+
+    feat, _n, bi, bw = _qc_train(spark, sf_dir)
+    cpos = (
+        feat.filter(F.col("held"))
+        .select(
+            "doc_id",
+            F.round(F.lit(bi) + _qc_dot("xv", bw), 6).alias("s"),
+            F.col("y").cast("long").alias("yl"),
+        )
+        .filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 1).isin(
+                *list("01234567")
+            )
+            & (F.col("yl") == 1)
+        )
+        .select((-F.col("s")).alias("nc"))
+    )
+    qhat = _conformal_qhat(cpos, _CONF_GATE_ALPHA)
+    # naive reference: sort the full slice in Python
+    ncs = sorted(r.nc for r in cpos.collect())
+    k = math.ceil((len(ncs) + 1) * (1.0 - _CONF_GATE_ALPHA))
+    ref = ncs[k - 1] if k <= len(ncs) else None
+    assert qhat == ref
+    # batch twin's α=0.1 row reports the same threshold (as -qhat)
+    batch = {
+        r.alpha: r.score_threshold
+        for r in corpus_conformal_quality(spark, sf_dir).collect()
+    }
+    assert qhat is not None
+    assert abs(batch[_CONF_GATE_ALPHA] - (-qhat)) < 1e-9

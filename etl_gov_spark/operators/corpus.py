@@ -4876,11 +4876,14 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     with full backoff to the next order down when the history count
     is zero (unseen history).
 
-    Scale shape: scoring is one equi-join per order (trigram,
-    bigram-continuation, then two vocab-bounded history/unigram
-    tables that broadcast); every join key is a uniform token tuple,
-    so the fact-grain shuffles shard evenly. Nothing but the two
-    scalar totals crosses the driver.
+    Scale shape: scoring is one equi-join per order, ALL plain
+    shuffled equi-joins — the unigram-keyed hist1/cont tables are
+    VOCAB-sized (tens of millions of types on a web corpus), so
+    broadcasting them would OOM the driver/executors at real scale;
+    their w2/w3 keys shard evenly, and AQE is free to pick a
+    broadcast at runtime when a vocab actually is small. Only the
+    1-row scalar-totals table is an explicit broadcast. Nothing but
+    those two scalar totals crosses the driver.
     """
     docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "doc_id", "lang", tokens_col().alias("toks")
@@ -4924,8 +4927,8 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         trig.join(tri, ["w1", "w2", "w3"], "left")
         .join(hist2, ["w1", "w2"], "left")
         .join(mid, ["w2", "w3"], "left")
-        .join(F.broadcast(hist1), "w2", "left")
-        .join(F.broadcast(cont), "w3", "left")
+        .join(hist1, "w2", "left")
+        .join(cont, "w3", "left")
         .crossJoin(F.broadcast(tot))
         .fillna(
             0, subset=["c3", "c2h", "f2", "n1p", "hb", "f1", "n1c"]

@@ -1278,6 +1278,12 @@ def parse_jpeg(jpeg: bytes) -> dict:
             raise ValueError("truncated JPEG: no EOI")
         if jpeg[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # ITU T.81 B.1.1.2: any number of 0xFF fill bytes may pad
+        # the stream before a marker — skip them, don't quarantine.
+        while pos + 2 <= len(jpeg) and jpeg[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(jpeg):
+            raise ValueError("truncated JPEG: no EOI")
         marker = jpeg[pos + 1]
         n_segments += 1
         if marker == 0xD9:  # EOI
@@ -1749,10 +1755,13 @@ def parse_warc_gz(buf: bytes) -> list:
             if end < 0:
                 raise ValueError("truncated gzip: unterminated FCOMMENT")
             p = end + 1
-        if flg & 0x02:  # FHCRC: 2-byte header CRC
-            p += 2
-            if p > len(buf):
+        if flg & 0x02:  # FHCRC: CRC-16 of the header bytes so far
+            if p + 2 > len(buf):
                 raise ValueError("truncated gzip: FHCRC cut off")
+            stored = buf[p] | (buf[p + 1] << 8)
+            if zlib.crc32(buf[pos:p]) & 0xFFFF != stored:
+                raise ValueError("gzip header CRC-16 (FHCRC) mismatch")
+            p += 2
         d = zlib.decompressobj(-15)  # raw deflate
         try:
             body = d.decompress(buf[p:])

@@ -1049,6 +1049,23 @@ def test_jpeg_parser_roundtrip_and_quarantine():
     with pytest.raises(ValueError):
         parse_jpeg(bytes(bad))
 
+    # ITU T.81 B.1.1.2: 0xFF fill bytes may pad the stream before any
+    # marker — a real-world JFIF with padding must parse, not quarantine
+    padded = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes before APP0's marker
+        + seg(0xE0, b"JFIF\x00" + bytes(9))[1:]
+        + seg(0xC0, sof)
+        + seg(0xDA, sos_body)
+        + entropy
+        + b"\xff\xff"  # fill before EOI
+        + b"\xff\xd9"[1:]
+    )
+    mp = parse_jpeg(padded)
+    assert (mp["width"], mp["height"]) == (640, 480)
+    with pytest.raises(ValueError):  # fill bytes running off the end
+        parse_jpeg(b"\xff\xd8" + b"\xff\xff\xff")
+
     n = 123
     m2 = parse_jpeg(synth_jfif(b"x" * n))
     assert m2["width"] == n % 512 + 16 and m2["height"] == (n * 11) % 512 + 16
@@ -1157,13 +1174,16 @@ def test_warc_gzip_parser_roundtrip_and_quarantine():
     import zlib
 
     body = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabc"
-    member = (
+    header = (
         b"\x1f\x8b\x08" + bytes([0x02 | 0x04 | 0x08 | 0x10])
         + bytes(6)                       # MTIME/XFL/OS
         + struct.pack("<H", 4) + b"XTRA"  # FEXTRA
         + b"a.warc\x00"                  # FNAME
         + b"a comment\x00"               # FCOMMENT
-        + b"\x00\x00"                    # FHCRC (unchecked)
+    )
+    fhcrc = struct.pack("<H", zlib.crc32(header) & 0xFFFF)  # RFC 1952 §2.3.1
+    member = (
+        header + fhcrc
         + b"\x01" + struct.pack("<HH", len(body), 0xFFFF ^ len(body)) + body
         + struct.pack("<II", zlib.crc32(body) & 0xFFFFFFFF, len(body))
     )
@@ -1171,6 +1191,11 @@ def test_warc_gzip_parser_roundtrip_and_quarantine():
     assert recs == [
         {"warc_type": "response", "content_length": 3, "has_name": 1}
     ]
+    # a corrupted header CRC-16 must quarantine, not silently pass
+    bad_fhcrc = bytearray(member)
+    bad_fhcrc[len(header)] ^= 0xFF
+    with pytest.raises(ValueError, match="FHCRC"):
+        parse_warc_gz(bytes(bad_fhcrc))
 
 
 def test_wds_tar_parser_roundtrip_and_quarantine():

@@ -4442,3 +4442,231 @@ WHERE rank <= {TOP_K}
 """
 
 QUERIES["ann_rrf_fusion"] = (ann_rrf_fusion, ANN_RRF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid dense ⊕ sparse retrieval (the production hybrid-search shape)
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_legs(spark: SparkSession, sf_dir: str):
+    """The two halves of hybrid search over their SHARED query set:
+    BM25 lexical top-10 (text.py's ``text_bm25_topk``) and the
+    IVF-SQ8 dense serve (``ann_ivfsq_topk``), each restricted to
+    queries that produced BOTH lists (both samplers stride the same
+    id space at ``% 50 == 0``; document ids beyond the embedding
+    table, or query docs with no df≥2 term, have only one half).
+    Returns (sparse, dense, shared_q)."""
+    from etl_gov_spark.operators.text import text_bm25_topk
+
+    sparse = text_bm25_topk(spark, sf_dir).select(
+        "q_id", "cand_id", F.col("rank").alias("bm25_rank")
+    )
+    dense = ann_ivfsq_topk(spark, sf_dir).select(
+        "q_id", "cand_id", F.col("rank").alias("vec_rank")
+    )
+    shared = sparse.select("q_id").distinct().join(
+        dense.select("q_id").distinct(), "q_id"
+    )
+    return (
+        sparse.join(F.broadcast(shared), "q_id"),
+        dense.join(F.broadcast(shared), "q_id"),
+        shared,
+    )
+
+
+def _rrf_fuse(sparse: DataFrame, dense: DataFrame) -> DataFrame:
+    """RRF(d) = Σ_lists 1/(k + rank_d) over the two legs (full-outer
+    on (q_id, cand_id): a candidate found by one leg only still
+    scores), fused top-10 per query with both source ranks carried
+    for audit."""
+    fused = sparse.join(dense, ["q_id", "cand_id"], "full_outer").withColumn(
+        "_rrf",
+        F.round(
+            F.when(
+                F.col("bm25_rank").isNotNull(),
+                1.0 / (_RRF_K + F.col("bm25_rank")),
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("vec_rank").isNotNull(),
+                1.0 / (_RRF_K + F.col("vec_rank")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("_rrf"), F.asc("cand_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_id",
+            "cand_id",
+            F.col("bm25_rank").cast("int").alias("bm25_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            (F.round(F.col("_rrf") * 10000.0) / 10000.0).alias("rrf"),
+            "rank",
+        )
+    )
+
+
+def ann_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense⊕sparse retrieval — THE production hybrid-search
+    shape both halves were built for: BM25's lexical top-10 (exact
+    term match, wins on rare names/codes the embedding blurs) fused
+    with the IVF-SQ8 dense serve's top-10 (semantic neighbors with
+    zero term overlap) by reciprocal-rank fusion (Cormack et al.,
+    SIGIR 2009, k=60) — the zero-training ensemble every production
+    retrieval stack ships because the two halves err on DISJOINT
+    query populations.
+
+    Scale: two already-priced serve pipelines (BM25 = capped
+    postings joins; IVF-SQ8 = footer-probed quantized cells) + one
+    pair-key full-outer join on (q_id, cand_id) (≤ 2·|Q|·k rows) +
+    a bounded per-query window. The shared-query semi-join is a
+    |Q|-row broadcast. Nothing new at fact grain.
+    """
+    sparse, dense, _ = _hybrid_legs(spark, sf_dir)
+    return _rrf_fuse(sparse, dense)
+
+
+ANN_HYBRID_SQL = f"""
+WITH bm AS (
+  SELECT q_id, cand_id, rank AS bm25_rank FROM ({{TEXT_BM25_SQL}}) b
+), dn AS (
+  SELECT q_id, cand_id, rank AS vec_rank FROM ({{ANN_IVFSQ_SQL}}) d
+), shared AS (
+  SELECT DISTINCT q_id FROM bm INTERSECT SELECT DISTINCT q_id FROM dn
+), bms AS (SELECT bm.* FROM bm JOIN shared USING (q_id)),
+dns AS (SELECT dn.* FROM dn JOIN shared USING (q_id)),
+fused AS (
+  SELECT coalesce(b.q_id, d.q_id) AS q_id,
+         coalesce(b.cand_id, d.cand_id) AS cand_id,
+         b.bm25_rank, d.vec_rank,
+         round(coalesce(1.0 / ({_RRF_K} + b.bm25_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + d.vec_rank), 0.0), 6) AS _rrf
+  FROM bms b FULL OUTER JOIN dns d
+    ON b.q_id = d.q_id AND b.cand_id = d.cand_id
+)
+SELECT q_id, cand_id,
+       CAST(bm25_rank AS INTEGER) AS bm25_rank,
+       CAST(vec_rank AS INTEGER) AS vec_rank,
+       round(_rrf * 10000.0) / 10000.0 AS rrf, rank
+FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+                                    ORDER BY _rrf DESC, cand_id ASC) AS INTEGER) AS rank
+  FROM fused
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+def ann_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall-vs-either-alone readout that justifies hybrid
+    search: recall@10 against the exact brute-force cosine truth,
+    for BM25 alone, IVF-SQ8 alone, and the RRF fusion — all over
+    the SAME shared query set so the comparison is apples-to-apples.
+    The dense leg dominates the lexical leg on a semantic ground
+    truth. Note the honest readout on THIS corpus: unweighted RRF
+    can land BELOW the dense leg (sf0.01: bm25 0.02 / hybrid 0.49 /
+    ivfsq8 0.63) because the synthetic 31-word vocabulary makes
+    BM25 overlap uncorrelated noise against cosine truth, and RRF
+    promotes both-list candidates over dense-only rank-1 finds —
+    the documented dilution mode of rank fusion when one leg is
+    noise w.r.t. the metric. On a Zipfian real corpus the lexical
+    leg is correlated with relevance and the fusion buys back the
+    dense quantizer's misses; this readout row is how you MEASURE
+    which regime you are in before shipping the fused ranker.
+
+    Scale: the three already-priced pipelines + pair-key equi-joins
+    on (q_id, cand_id) and 1-row aggregates — the readout adds
+    nothing fact-grain.
+    """
+    from etl_gov_spark.operators.similarity import ann_bruteforce_topk
+
+    sparse, dense, shared = _hybrid_legs(spark, sf_dir)
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .join(F.broadcast(shared), "q_id")
+        .select("q_id", "cand_id")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("truth_rows"))
+
+    def leg(approx: DataFrame, method: str) -> DataFrame:
+        hits = truth.join(
+            approx.select("q_id", "cand_id"), ["q_id", "cand_id"]
+        ).agg(F.count(F.lit(1)).alias("hits"))
+        return hits.crossJoin(n_truth).select(
+            F.lit(method).alias("method"),
+            "hits",
+            "truth_rows",
+            (
+                F.round(10000.0 * F.col("hits") / F.col("truth_rows"))
+                / 10000.0
+            ).alias("recall_at_10"),
+        )
+
+    return (
+        leg(sparse, "bm25")
+        .unionByName(leg(dense, "ivfsq8"))
+        .unionByName(leg(_rrf_fuse(sparse, dense), "hybrid_rrf"))
+        .orderBy("method")
+    )
+
+
+ANN_HYBRID_RECALL_SQL = f"""
+WITH bm AS (
+  SELECT q_id, cand_id, rank AS bm25_rank FROM ({{TEXT_BM25_SQL}}) b
+), dn AS (
+  SELECT q_id, cand_id, rank AS vec_rank FROM ({{ANN_IVFSQ_SQL}}) d
+), shared AS (
+  SELECT DISTINCT q_id FROM bm INTERSECT SELECT DISTINCT q_id FROM dn
+), bms AS (SELECT bm.* FROM bm JOIN shared USING (q_id)),
+dns AS (SELECT dn.* FROM dn JOIN shared USING (q_id)),
+fused AS (
+  SELECT coalesce(b.q_id, d.q_id) AS q_id,
+         coalesce(b.cand_id, d.cand_id) AS cand_id,
+         round(coalesce(1.0 / ({_RRF_K} + b.bm25_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + d.vec_rank), 0.0), 6) AS _rrf
+  FROM bms b FULL OUTER JOIN dns d
+    ON b.q_id = d.q_id AND b.cand_id = d.cand_id
+), hyb AS (
+  SELECT q_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+                                 ORDER BY _rrf DESC, cand_id ASC) AS rank
+    FROM fused
+  ) WHERE rank <= {TOP_K}
+), truth AS (
+  SELECT t.q_id, t.cand_id
+  FROM ({{ANN_BRUTEFORCE_SQL}}) t JOIN shared USING (q_id)
+), legs AS (
+  SELECT 'bm25' AS method,
+         (SELECT count(*) FROM truth JOIN bms USING (q_id, cand_id)) AS hits,
+         (SELECT count(*) FROM truth) AS truth_rows
+  UNION ALL
+  SELECT 'ivfsq8',
+         (SELECT count(*) FROM truth JOIN dns USING (q_id, cand_id)),
+         (SELECT count(*) FROM truth)
+  UNION ALL
+  SELECT 'hybrid_rrf',
+         (SELECT count(*) FROM truth JOIN hyb USING (q_id, cand_id)),
+         (SELECT count(*) FROM truth)
+)
+SELECT method, hits, truth_rows,
+       round(10000.0 * hits / truth_rows) / 10000.0 AS recall_at_10
+FROM legs ORDER BY method
+"""
+
+
+def _fill_hybrid_sql(template: str) -> str:
+    from etl_gov_spark.operators.text import TEXT_BM25_SQL
+
+    return template.replace("{TEXT_BM25_SQL}", TEXT_BM25_SQL).replace(
+        "{ANN_IVFSQ_SQL}", ANN_IVFSQ_SQL
+    ).replace("{ANN_BRUTEFORCE_SQL}", ANN_BRUTEFORCE_SQL)
+
+
+ANN_HYBRID_SQL = _fill_hybrid_sql(ANN_HYBRID_SQL)
+ANN_HYBRID_RECALL_SQL = _fill_hybrid_sql(ANN_HYBRID_RECALL_SQL)
+
+QUERIES["ann_hybrid_rrf"] = (ann_hybrid_rrf, ANN_HYBRID_SQL)
+QUERIES["ann_hybrid_recall"] = (ann_hybrid_recall, ANN_HYBRID_RECALL_SQL)

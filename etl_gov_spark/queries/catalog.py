@@ -18,74 +18,75 @@ from pyspark.sql import DataFrame, SparkSession
 # green after the driver consumes this very prefix (VERDICT r12
 # "What's wrong" #1: the old invariant self-invalidated the moment
 # CORRECTNESS_r12.json landed).
-PIN_ROTATION_ROUND = 14
+PIN_ROTATION_ROUND = 15
 
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round-14 rotation (VERDICT r13 "Next round" #1). The never-
-    # adjudicated backlog from rounds < 14 is EMPTY, so slots split
-    # two ways: first the queries ADDED in round 14 (no driver
-    # signal yet), then the whole remaining budget re-verifies the
-    # OLDEST independent driver signal — the 55 names whose latest
-    # adjudication dates from r1-r2 and which have since been routed
-    # through the r8 ranged ledger, r12 integer-path rounding, etc.
-    # r1-vintage names all fit; r2-vintage fills the remaining slots
-    # in registry order (tools/rotate_pins.py priority), leftovers
-    # head the round-15 rotation.
-    # --- added in round 14 (no driver signal yet) ---
+    # Round-15 rotation (VERDICT r14 "Next round" #2). Slots split
+    # three ways: (1) the two queries ADDED in round 15 (no driver
+    # signal yet), (2) queries whose IMPLEMENTATION changed in round
+    # 15 (conformal rank-ladder refactor, KN unbroadcast, JPEG/WARC
+    # parser hardening — fresh code needs fresh driver signal), then
+    # (3) the remaining budget re-verifies the OLDEST independent
+    # driver signal: all 19 names whose latest adjudication dates
+    # from r1-r2 (the VERDICT r14 list, closing the backlog), and
+    # the r3-vintage refill in (vintage, name) order per
+    # tools/rotate_pins.py.
+    # --- added in round 15 (no driver signal yet) ---
+    "ann_hybrid_rrf",
+    "ann_hybrid_recall",
+    # --- implementation changed in round 15 ---
+    "stream_conformal_gate",
+    "corpus_conformal_quality",
     "corpus_kenlm_perplexity",
     "corpus_ccnet_buckets_kn",
-    "corpus_conformal_quality",
-    "stream_conformal_gate",
     "mm_image_jpeg_census",
-    "mm_video_mp4_census",
     "mm_warc_gzip_census",
-    "mm_webdataset_tar_census",
-    "ann_ivfsq_topk",
-    "ann_quantizer_recall",
-    "ann_rrf_fusion",
-    "emb_dbscan_clusters",
-    "dedup_paragraph_excise",
-    "text_bm25_topk",
-    # --- oldest-vintage refreshes: r1 driver signal ---
-    "q_market_basket",
-    "q_item_item_cf",
-    "q_executive_summary",
-    "q_discount_impact",
-    "q_supplier_scorecard",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q_grouping_sets",
-    "q_monthly_growth",
-    "q_rolling_30d_revenue",
-    "q11_important_inventory",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_qty_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    # --- oldest-vintage refreshes: r2 driver signal ---
-    "q_tumbling_hourly",
-    "q_retention_cohort",
-    "q_json_extract",
-    "q_asof_join",
-    "q_first_last_event",
-    "q_value_outliers",
-    "q_topk_events_per_type",
-    "q_workday_revenue",
-    "q_timezone_rollup",
-    "q_event_transitions",
-    "q_cohort_ltv",
-    "dedup_containment",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "dedup_clusters",
+    # --- oldest-vintage refreshes: the 19 r1-r2 leftovers ---
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+    "dedup_keep_policy",
+    "emb_label_centroids",
+    "emb_norm_stats",
+    "emb_outlier_scores",
+    "graph_triangle_count",
+    "q_autocorrelation",
+    "q_ewma_value",
+    "q_gap_fill",
+    "q_interp_linear",
+    "q_rolling_median",
+    "q_seasonal_decompose",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "text_tfidf",
+    "text_top_bigrams",
+    "text_tokens",
+    # --- oldest-vintage refill: r3 driver signal ---
+    "cdc_latest_order_state",
+    "corpus_chunking",
+    "corpus_contamination",
+    "corpus_cross_source_overlap",
+    "corpus_heaps_law",
+    "corpus_mix_weights",
+    "corpus_ngram_novelty",
+    "corpus_pack_greedy",
+    "corpus_repetition",
+    "corpus_sample_mixture",
+    "corpus_segment_dedup",
+    "corpus_split",
+    "corpus_split_stratified",
+    "corpus_unigram_logprob",
+    "dq_accepted_values",
+    "dq_cross_field",
+    "dq_distribution_drift",
+    "dq_duplicate_payments",
+    "dq_expectation_suite",
+    "dq_null_profile",
+    "dq_referential",
+    "dq_uniqueness",
+    "dq_value_bounds",
 )
 
 

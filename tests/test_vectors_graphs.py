@@ -1129,3 +1129,41 @@ def test_dbscan_planted_blobs_border_and_noise(spark, tmp_path_factory):
     assert got[6].n_core == 4 and got[6].n_border == 0 and got[6].size == 4
     # noise: far pair (no core neighbor) + 2 singletons
     assert got[-1].size == 4
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    """ann_hybrid_rrf: every fused row carries at least one source
+    rank, the RRF score is exactly the sum of the reciprocal terms,
+    per-query ranks are dense 1..k, and the query set is the
+    intersection of the two legs' query sets."""
+    got = V.ann_hybrid_rrf(spark, sf_dir).collect()
+    assert got, "fusion produced no rows"
+    per_q = {}
+    for r in got:
+        assert r.bm25_rank is not None or r.vec_rank is not None
+        exp = (1.0 / (60 + r.bm25_rank) if r.bm25_rank else 0.0) + (
+            1.0 / (60 + r.vec_rank) if r.vec_rank else 0.0
+        )
+        assert abs(r.rrf - round(round(exp, 6) * 10000.0) / 10000.0) < 1e-9
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    # shared-query restriction: every fused q_id has both legs
+    sparse, dense, _ = V._hybrid_legs(spark, sf_dir)
+    sq = {r.q_id for r in sparse.select("q_id").distinct().collect()}
+    dq = {r.q_id for r in dense.select("q_id").distinct().collect()}
+    assert set(per_q) <= (sq & dq)
+
+
+def test_hybrid_recall_readout_shape(spark, sf_dir):
+    """ann_hybrid_recall: three method rows over one shared truth,
+    recall in [0,1], hits ≤ truth_rows, and the dense leg dominates
+    the lexical leg on the semantic (cosine) ground truth."""
+    rows = {r.method: r for r in V.ann_hybrid_recall(spark, sf_dir).collect()}
+    assert set(rows) == {"bm25", "ivfsq8", "hybrid_rrf"}
+    truth_rows = {r.truth_rows for r in rows.values()}
+    assert len(truth_rows) == 1  # same truth for every leg
+    for r in rows.values():
+        assert 0 <= r.hits <= r.truth_rows
+        assert 0.0 <= r.recall_at_10 <= 1.0
+    assert rows["ivfsq8"].recall_at_10 > rows["bm25"].recall_at_10

@@ -118,10 +118,12 @@ QUERIES: dict[str, tuple] = {
 # ---------------------------------------------------------------------------
 
 _PREP_BUDGET = 256  # pack budget (tokens), corpus_pack_greedy's grain
+_PREP_CONF_ALPHA = 0.1  # conformal miscoverage budget — the streaming
+# gate's α (events_stream._CONF_GATE_ALPHA), a member of _CONF_ALPHAS
 
 
 def build_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
-    from etl_gov_spark.operators.text import STOPWORDS_EN, _stop_hits, tokens_col
+    from etl_gov_spark.operators.text import tokens_col
 
     p = Pipeline("corpus_prep", spark)
 
@@ -133,17 +135,42 @@ def build_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
 
     @p.task("quality", deps=["ingest"])
     def quality(ctx) -> DataFrame:
-        # the streaming doc gate's thresholds, batch-side: ≥50 words,
-        # punct ≤10% of chars, stopwords ≥10% of words (raw ratios —
-        # bit-identical CASE boundaries in both engines)
-        d = ctx.pull("ingest")
-        w = F.size("toks")
-        ch = F.length("text")
-        stop = _stop_hits(F.col("toks"), STOPWORDS_EN)
-        punct = ch - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
-        return d.filter(
-            (w >= 50) & (punct / ch <= 0.10) & (stop / w >= 0.10)
+        # the CONFORMAL quality cut (corpus_conformal_quality /
+        # stream_conformal_gate's α=0.1 threshold): score every doc
+        # with the trained classifier and keep −s ≤ qhat, where qhat
+        # is the exact ⌈(n₁+1)(1−α)⌉-th smallest calibration
+        # nonconformity — the distribution-free guarantee (≤ ~10% of
+        # genuinely good docs dropped) now holds through the whole
+        # composed funnel, not just the standalone readout. qhat is
+        # computed by the distributed rank ladder (ONE scalar crosses
+        # the driver).
+        from etl_gov_spark.operators.corpus import (
+            _conformal_qhat,
+            _qc_dot,
+            _qc_train,
         )
+
+        feat, _n, bi, bw = _qc_train(ctx.spark, sf_dir)
+        scored = feat.select(
+            "doc_id",
+            F.round(F.lit(bi) + _qc_dot("xv", bw), 6).alias("s"),
+            F.col("y").cast("long").alias("yl"),
+            "held",
+        )
+        cpos = scored.filter(
+            F.col("held")
+            & F.substring(
+                F.md5(F.col("doc_id").cast("string")), 2, 1
+            ).isin(*list("01234567"))
+            & (F.col("yl") == 1)
+        ).select((-F.col("s")).alias("nc"))
+        qhat = _conformal_qhat(cpos, _PREP_CONF_ALPHA)
+        d = ctx.pull("ingest").join(
+            scored.select("doc_id", "s"), "doc_id"
+        )
+        if qhat is not None:
+            d = d.filter(-F.col("s") <= F.lit(float(qhat)))
+        return d.drop("s")
 
     @p.task("dedup", deps=["quality"])
     def dedup(ctx) -> DataFrame:
@@ -236,20 +263,37 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _corpus_prep_sql() -> str:
-    from etl_gov_spark.operators.text import STOPWORDS_EN, _sql_stop_hits
+    from etl_gov_spark.operators.corpus import _QC_DIM, _QC_SQL_PREFIX
 
-    stop = _sql_stop_hits(STOPWORDS_EN)
-    return f"""
-WITH ingest AS (
-  SELECT doc_id, source, text,
-         string_split_regex(trim(text), '\\s+') AS toks
-  FROM documents
+    return (
+        _QC_SQL_PREFIX
+        + f""",
+allscore AS MATERIALIZED (
+  SELECT f.doc_id, f.y, f.held,
+         round(b.bi + list_reduce(
+           list_transform(generate_series(1, {_QC_DIM}), j -> f.xv[j] * b.bw[j]),
+           (a, v) -> a + v), 6) AS s
+  FROM feat f CROSS JOIN it6 b
+), cpos AS (
+  SELECT -s AS nc FROM allscore
+  WHERE held AND y = 1.0
+    AND substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)
+          IN ('0','1','2','3','4','5','6','7')
+), n1t AS (SELECT count(*) AS n1 FROM cpos),
+thr AS (
+  SELECT min(c.nc) AS qhat
+  FROM n1t n
+  LEFT JOIN (
+    SELECT nc, sum(cn) OVER (ORDER BY nc
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n
+    FROM (SELECT nc, count(*) AS cn FROM cpos GROUP BY nc)
+  ) c ON c.cum_n >= ceil((n.n1 + 1) * (1.0 - {_PREP_CONF_ALPHA}))
+), ingest AS (
+  SELECT doc_id, source, text, toks FROM raw
 ), quality AS (
-  SELECT * FROM ingest
-  WHERE len(toks) >= 50
-    AND (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
-        * 1.0 / length(text) <= 0.10
-    AND {stop} * 1.0 / len(toks) >= 0.10
+  SELECT i.* FROM ingest i JOIN allscore a USING (doc_id)
+  WHERE (SELECT qhat FROM thr) IS NULL
+     OR -a.s <= (SELECT qhat FROM thr)
 ), dedup AS (
   SELECT * FROM quality q
   WHERE doc_id = (SELECT min(doc_id) FROM quality q2
@@ -290,6 +334,7 @@ SELECT '04_packed', split, source, count(*), CAST(sum(n_tokens) AS BIGINT),
 FROM packed GROUP BY split, source
 ORDER BY stage, split, source
 """
+    )
 
 
 QUERIES["pipeline_corpus_prep"] = (pipeline_corpus_prep, _corpus_prep_sql())

@@ -370,3 +370,14 @@ def test_corpus_prep_funnel_monotone(spark, sf_dir):
                 s = by[("03_split", split)][src]
                 assert r.n_docs == s.n_docs and r.n_tokens == s.n_tokens
                 assert 1 <= r.n_bins <= r.n_docs
+    # the quality stage IS the conformal cut: per source, its
+    # survivors equal the streaming gate's keep-side census (same
+    # classifier trajectory, same α, same rank-ladder threshold)
+    from etl_gov_spark.streaming.events_stream import stream_conformal_gate
+
+    keep = {
+        r.source: r.n_docs
+        for r in stream_conformal_gate(spark, sf_dir).collect()
+        if r.decision == "keep"
+    }
+    assert {s: r.n_docs for s, r in qual.items()} == keep

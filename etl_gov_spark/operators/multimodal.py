@@ -1789,9 +1789,65 @@ def parse_warc_gz(buf: bytes) -> list:
                 "warc_type": fields.get("WARC-Type", ""),
                 "content_length": int(fields.get("Content-Length", "0")),
                 "has_name": has_name,
+                "target_uri": fields.get("WARC-Target-URI", ""),
+                "payload": _rest,
             }
         )
     return records
+
+
+def _gzip_member(body: bytes, name: str | None = None) -> bytes:
+    """One REAL gzip member around ``body``: magic/CM/FLG header
+    (optional FNAME), stored-mode deflate blocks (any gunzip
+    inflates them; split at the 65535-byte stored-block LEN cap),
+    true CRC-32 + ISIZE trailer."""
+    import struct
+    import zlib
+
+    out = b"\x1f\x8b\x08" + (b"\x08" if name else b"\x00")
+    out += b"\x00\x00\x00\x00\x00\x03"  # MTIME=0, XFL, OS=unix
+    if name:
+        out += name.encode() + b"\x00"
+    pos = 0
+    while True:
+        chunk = body[pos : pos + 0xFFFF]
+        last = pos + 0xFFFF >= len(body)
+        out += bytes([0x01 if last else 0x00])
+        out += struct.pack("<HH", len(chunk), 0xFFFF ^ len(chunk))
+        out += chunk
+        pos += len(chunk)
+        if last:
+            break
+    out += struct.pack("<II", zlib.crc32(body) & 0xFFFFFFFF, len(body))
+    return out
+
+
+def synth_crawl_warc(doc_id: int, source: str, text: bytes) -> bytes:
+    """A document's crawl archive: three REAL concatenated gzip
+    members (warcinfo + request + response) in genuine WARC/1.0
+    framing, with the document TEXT as the response body and the
+    document identity carried INSIDE the archive as a
+    WARC-Target-URI — the Common-Crawl shard layout, one archive
+    per capture. ``pipeline_crawl_prep`` extracts everything it
+    knows from the archive bytes alone (no side channel), exactly
+    like a real CC ingest."""
+    uri = f"urn:doc:{doc_id}:{source}"
+    info = b"software: etl-gov-synth-crawler/1.0"
+    req = f"GET {uri}".encode()
+
+    def rec(wtype: str, body: bytes) -> bytes:
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body
+
+    return (
+        _gzip_member(rec("warcinfo", info))
+        + _gzip_member(rec("request", req))
+        + _gzip_member(rec("response", text), name=f"doc{doc_id}.warc")
+    )
 
 
 def mm_warc_gzip_census(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -338,3 +338,264 @@ ORDER BY stage, split, source
 
 
 QUERIES["pipeline_corpus_prep"] = (pipeline_corpus_prep, _corpus_prep_sql())
+
+
+# ---------------------------------------------------------------------------
+# End-to-end crawl-ingest pipeline (round 15): the Common-Crawl shape —
+# WARC shards opened with the REAL container parser (member walk +
+# inflate + CRC verify), response payloads extracted into documents
+# (identity read from WARC-Target-URI inside the archive, no side
+# channel), then the published text-prep chain: stopword-profile
+# langid → Gopher rules → exact dedup — reported as a per-stage
+# funnel ledger. Reference parity: the tutorial ETL's
+# fetch → transform → publish shape applied to crawl ingest.
+# ---------------------------------------------------------------------------
+
+
+def build_crawl_prep_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
+    import pandas as pd
+
+    from etl_gov_spark.operators.multimodal import (
+        parse_warc_gz,
+        synth_crawl_warc,
+    )
+    from etl_gov_spark.operators.text import (
+        STOPWORDS_DE,
+        STOPWORDS_EN,
+        STOPWORDS_ES,
+        STOPWORDS_FR,
+        _stop_hits,
+        tokens_col,
+    )
+
+    p = Pipeline("crawl_prep", spark)
+
+    @p.task("fetch")
+    def fetch(ctx) -> DataFrame:
+        # the crawl shards: one REAL WARC/concatenated-gzip archive
+        # per capture (3 gzip members: warcinfo + request + response,
+        # the response body is the page text) — a real pipeline reads
+        # the same bytes from shard files; the container framing and
+        # every downstream parse are genuine either way
+        docs = read_table(ctx.spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+
+        def run(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "archive": [
+                            synth_crawl_warc(
+                                int(i), str(s), str(t).encode("utf-8")
+                            )
+                            for i, s, t in zip(
+                                pdf["doc_id"], pdf["source"], pdf["text"]
+                            )
+                        ]
+                    }
+                )
+
+        return docs.mapInPandas(run, "archive binary")
+
+    @p.task("records", deps=["fetch"])
+    def records(ctx) -> DataFrame:
+        # real member walk + inflate + CRC-32/ISIZE verify; document
+        # identity comes from INSIDE the archive (WARC-Target-URI)
+        def run(batches):
+            for pdf in batches:
+                rows = []
+                for buf in pdf["archive"]:
+                    for r in parse_warc_gz(bytes(buf)):
+                        _, _, did, src = r["target_uri"].split(":", 3)
+                        rows.append(
+                            (
+                                int(did),
+                                src,
+                                r["warc_type"],
+                                r["payload"].decode("utf-8")
+                                if r["warc_type"] == "response"
+                                else None,
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "source", "warc_type", "text"]
+                )
+
+        return ctx.pull("fetch").mapInPandas(
+            run, "doc_id bigint, source string, warc_type string, text string"
+        )
+
+    @p.task("responses", deps=["records"])
+    def responses(ctx) -> DataFrame:
+        return (
+            ctx.pull("records")
+            .filter(F.col("warc_type") == "response")
+            .select("doc_id", "source", "text", tokens_col().alias("toks"))
+        )
+
+    @p.task("langid", deps=["responses"])
+    def langid(ctx) -> DataFrame:
+        # text_langid's stopword-profile argmax, as the keep-en gate
+        d = ctx.pull("responses")
+        t = F.col("toks")
+        en, es, fr, de = (
+            _stop_hits(t, STOPWORDS_EN),
+            _stop_hits(t, STOPWORDS_ES),
+            _stop_hits(t, STOPWORDS_FR),
+            _stop_hits(t, STOPWORDS_DE),
+        )
+        best = F.greatest(en, es, fr, de)
+        return d.filter((best > 0) & (en == best))
+
+    @p.task("gopher", deps=["langid"])
+    def gopher(ctx) -> DataFrame:
+        # corpus_gopher_rules' five checks as one keep predicate
+        d = ctx.pull("langid")
+        toks = F.col("toks")
+        n_words = F.size(toks)
+        mean_wlen = (F.length(F.trim(F.col("text"))) - (n_words - 1)) / n_words
+        punct = F.length("text") - F.length(
+            F.regexp_replace("text", r"[.,!?;:#*]", "")
+        )
+        alpha_frac = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n_words
+        stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+        stop_hits = F.size(
+            F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+        )
+        fail_any = (
+            (n_words < 5)
+            | (n_words > 100000)
+            | ~mean_wlen.between(3.0, 10.0)
+            | (punct / n_words > 0.1)
+            | (alpha_frac < 0.8)
+            | (stop_hits < 2)
+        )
+        return d.filter(~fail_any)
+
+    @p.task("dedup", deps=["gopher"])
+    def dedup(ctx) -> DataFrame:
+        d = ctx.pull("gopher").withColumn(
+            "h", F.md5(F.concat_ws(" ", "toks"))
+        )
+        keep = d.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+        return d.join(keep, ["h", "doc_id"]).drop("h")
+
+    return p
+
+
+def pipeline_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl ingest funnel end to end, as a per-stage
+    ledger: one row per (stage, source) with record/doc/token
+    counts. Stage 00 is the ARCHIVE layer (every WARC record that
+    survived the real inflate + CRC walk); stages 01–04 are the
+    document funnel (response extraction → stopword-profile
+    langid keep-en → Gopher rules → exact dedup), each an
+    established engine discipline wired through the Pipeline DSL.
+
+    Scale shape: archive bytes cross exactly ONE Arrow stage and
+    are never reshuffled (records emerge as narrow rows); every
+    later stage is codegen filters + one hash aggregate. The funnel
+    ledger is a bounded per-(stage, source) rollup — the per-shard
+    report a 100 TB crawl build logs per day.
+    """
+    p = build_crawl_prep_pipeline(spark, sf_dir)
+    ctx = p.run()
+
+    def ledger(df: DataFrame, stage: str, records_grain: bool):
+        if records_grain:
+            return df.groupBy(
+                F.lit(stage).alias("stage"), F.col("source")
+            ).agg(
+                F.count(F.lit(1)).alias("n_records"),
+                F.countDistinct("doc_id").alias("n_docs"),
+                F.max(F.lit(None).cast("bigint")).alias("n_tokens"),
+            )
+        return df.groupBy(F.lit(stage).alias("stage"), F.col("source")).agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("toks")).alias("n_tokens"),
+        )
+
+    rows = (
+        ledger(ctx.pull("records"), "00_records", True)
+        .unionByName(ledger(ctx.pull("responses"), "01_responses", False))
+        .unionByName(ledger(ctx.pull("langid"), "02_langid", False))
+        .unionByName(ledger(ctx.pull("gopher"), "03_gopher", False))
+        .unionByName(ledger(ctx.pull("dedup"), "04_dedup", False))
+    )
+    return rows.orderBy("stage", "source")
+
+
+def _crawl_prep_sql() -> str:
+    from etl_gov_spark.operators.text import (
+        STOPWORDS_DE,
+        STOPWORDS_EN,
+        STOPWORDS_ES,
+        STOPWORDS_FR,
+        _sql_stop_hits,
+    )
+
+    en = _sql_stop_hits(STOPWORDS_EN)
+    es = _sql_stop_hits(STOPWORDS_ES)
+    fr = _sql_stop_hits(STOPWORDS_FR)
+    de = _sql_stop_hits(STOPWORDS_DE)
+    return f"""
+WITH resp AS (
+  SELECT doc_id, source, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), rec AS (
+  SELECT doc_id, source FROM resp
+  CROSS JOIN (SELECT unnest(['warcinfo', 'request', 'response']) AS wt)
+), langid AS (
+  SELECT * FROM (
+    SELECT resp.*, {en} AS en_hits,
+           greatest({en}, {es}, {fr}, {de}) AS best
+    FROM resp
+  ) WHERE best > 0 AND en_hits = best
+), gopher AS (
+  SELECT doc_id, source, text, toks FROM (
+    SELECT l.*,
+           len(toks) AS n_words,
+           (length(trim(text)) - (len(toks) - 1)) / CAST(len(toks) AS DOUBLE) AS mean_wlen,
+           length(text) - length(regexp_replace(text, '[.,!?;:#*]', '', 'g')) AS punct,
+           len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+           len(list_filter(toks, t -> list_contains([{", ".join(repr(w) for w in STOPWORDS_EN)}], t))) AS stop_hits
+    FROM langid l
+  ) WHERE NOT ((n_words < 5 OR n_words > 100000)
+            OR NOT (mean_wlen BETWEEN 3.0 AND 10.0)
+            OR punct / CAST(n_words AS DOUBLE) > 0.1
+            OR alpha_frac < 0.8
+            OR stop_hits < 2)
+), ded AS (
+  SELECT * FROM gopher g
+  WHERE doc_id = (SELECT min(doc_id) FROM gopher g2
+                  WHERE md5(array_to_string(g2.toks, ' '))
+                      = md5(array_to_string(g.toks, ' ')))
+)
+SELECT '00_records' AS stage, source,
+       count(*) AS n_records, count(DISTINCT doc_id) AS n_docs,
+       CAST(NULL AS BIGINT) AS n_tokens
+FROM rec GROUP BY source
+UNION ALL
+SELECT '01_responses', source, count(*), count(*),
+       CAST(sum(len(toks)) AS BIGINT)
+FROM resp GROUP BY source
+UNION ALL
+SELECT '02_langid', source, count(*), count(*),
+       CAST(sum(len(toks)) AS BIGINT)
+FROM langid GROUP BY source
+UNION ALL
+SELECT '03_gopher', source, count(*), count(*),
+       CAST(sum(len(toks)) AS BIGINT)
+FROM gopher GROUP BY source
+UNION ALL
+SELECT '04_dedup', source, count(*), count(*),
+       CAST(sum(len(toks)) AS BIGINT)
+FROM ded GROUP BY source
+ORDER BY stage, source
+"""
+
+
+QUERIES["pipeline_crawl_prep"] = (pipeline_crawl_prep, _crawl_prep_sql())

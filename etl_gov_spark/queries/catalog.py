@@ -36,6 +36,7 @@ _PINNED_FIRST = (
     # --- added in round 15 (no driver signal yet) ---
     "ann_hybrid_rrf",
     "ann_hybrid_recall",
+    "pipeline_crawl_prep",
     # --- implementation changed in round 15 ---
     "stream_conformal_gate",
     "corpus_conformal_quality",

@@ -764,3 +764,47 @@ def test_branch_datetime_window(spark):
         ctx = p.run(run_date=run_date)
         assert f"window.{skipped}" in ctx.skipped
         ctx.pull(f"window.{taken}")
+
+
+def test_crawl_prep_funnel(spark, sf_dir):
+    """pipeline_crawl_prep: the archive layer yields exactly 3 WARC
+    records per document (warcinfo/request/response), response
+    extraction is lossless (doc and token counts equal the raw
+    corpus), and the document funnel only shrinks through langid →
+    gopher → dedup."""
+    from collections import defaultdict
+
+    from etl_gov_spark.io.sources import read_table
+    from etl_gov_spark.pipeline.demo import pipeline_crawl_prep
+
+    rows = pipeline_crawl_prep(spark, sf_dir).collect()
+    by = defaultdict(dict)
+    for r in rows:
+        by[r.stage][r.source] = r
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    n_by_src = {r.source: r["count"] for r in docs}
+    assert set(by["00_records"]) == set(n_by_src)
+    for src, n in n_by_src.items():
+        rec = by["00_records"][src]
+        assert rec.n_records == 3 * n and rec.n_docs == n
+        resp = by["01_responses"][src]
+        assert resp.n_docs == n and resp.n_tokens > 0
+    # funnel only shrinks, per source
+    for src in n_by_src:
+        chain = [
+            by[s].get(src)
+            for s in ("01_responses", "02_langid", "03_gopher", "04_dedup")
+        ]
+        counts = [c.n_docs for c in chain if c is not None]
+        assert counts == sorted(counts, reverse=True) or all(
+            a >= b for a, b in zip(counts, counts[1:])
+        )
+    # langid actually cut something corpus-wide (multi-lang corpus)
+    tot = lambda s: sum(r.n_docs for r in by[s].values())  # noqa: E731
+    assert tot("02_langid") < tot("01_responses")
+    assert tot("04_dedup") <= tot("03_gopher") <= tot("02_langid")

@@ -1188,9 +1188,11 @@ def test_warc_gzip_parser_roundtrip_and_quarantine():
         + struct.pack("<II", zlib.crc32(body) & 0xFFFFFFFF, len(body))
     )
     recs = parse_warc_gz(member)
-    assert recs == [
-        {"warc_type": "response", "content_length": 3, "has_name": 1}
-    ]
+    assert len(recs) == 1
+    assert recs[0]["warc_type"] == "response"
+    assert recs[0]["content_length"] == 3
+    assert recs[0]["has_name"] == 1
+    assert recs[0]["payload"] == b"abc"  # body survives extraction
     # a corrupted header CRC-16 must quarantine, not silently pass
     bad_fhcrc = bytearray(member)
     bad_fhcrc[len(header)] ^= 0xFF

@@ -37,6 +37,7 @@ _PINNED_FIRST = (
     "ann_hybrid_rrf",
     "ann_hybrid_recall",
     "pipeline_crawl_prep",
+    "corpus_kenlm_5gram",
     # --- implementation changed in round 15 ---
     "stream_conformal_gate",
     "corpus_conformal_quality",

@@ -1309,3 +1309,38 @@ def test_conformal_quality_guarantee_and_monotonicity(spark, sf_dir):
     keep = [r.keep_rate for r in rows]
     assert cov == sorted(cov, reverse=True)
     assert keep == sorted(keep, reverse=True)
+
+
+def test_kn_order_generic_reproduces_trigram(spark, sf_dir):
+    """_kn_doc_scores_order(n=3) reproduces the legacy trigram
+    implementation bit-for-bit (same type tables, same recursion,
+    same 4-dp rounding) — the order-parameterized lift changes the
+    plan generator, not the statistic."""
+    from etl_gov_spark.operators.corpus import (
+        _kn_doc_scores,
+        _kn_doc_scores_order,
+    )
+
+    legacy = {
+        (r.doc_id, r.lang): (r.n_trigrams, r.cross_entropy)
+        for r in _kn_doc_scores(spark, sf_dir).collect()
+    }
+    generic = {
+        (r.doc_id, r.lang): (r.n_ngrams, r.cross_entropy)
+        for r in _kn_doc_scores_order(spark, sf_dir, 3).collect()
+    }
+    assert legacy == generic
+
+
+def test_kn_5gram_top20_shape(spark, sf_dir):
+    """corpus_kenlm_5gram: dense ranks 1..20, descending entropy
+    with doc_id tiebreak, and every doc has ≥ n-4 5-grams... at
+    least one 5-gram (docs shorter than 5 tokens are excluded)."""
+    from etl_gov_spark.operators.corpus import corpus_kenlm_5gram
+
+    rows = corpus_kenlm_5gram(spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 20
+    for a, b in zip(rows, rows[1:]):
+        assert (a.cross_entropy, -a.doc_id) >= (b.cross_entropy, -b.doc_id)
+    assert all(r.n_ngrams >= 1 for r in rows)

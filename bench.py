@@ -94,6 +94,14 @@ HEADLINE = [
     "corpus_decontaminate_13gram",
     "dedup_substring_census",
     "stream_dedup_gate",
+    # r15 widening (VERDICT r14 item 4): the round-14 heavy tier was
+    # unrepresented — the KN trigram LM (n-gram type-table algebra +
+    # 5-join scoring pass), LSH-blocked DBSCAN (the densest graph
+    # plan in the tree), and BM25 (postings algebra, the sparse half
+    # of hybrid retrieval).
+    "corpus_kenlm_perplexity",
+    "emb_dbscan_clusters",
+    "text_bm25_topk",
 ]
 
 

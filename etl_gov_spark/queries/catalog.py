@@ -36,6 +36,7 @@ _PINNED_FIRST = (
     # --- added in round 15 (no driver signal yet) ---
     "ann_hybrid_rrf",
     "ann_hybrid_recall",
+    "ann_hybrid_rsf",
     "pipeline_crawl_prep",
     "corpus_kenlm_5gram",
     # --- implementation changed in round 15 ---

@@ -1160,10 +1160,34 @@ def test_hybrid_recall_readout_shape(spark, sf_dir):
     recall in [0,1], hits ≤ truth_rows, and the dense leg dominates
     the lexical leg on the semantic (cosine) ground truth."""
     rows = {r.method: r for r in V.ann_hybrid_recall(spark, sf_dir).collect()}
-    assert set(rows) == {"bm25", "ivfsq8", "hybrid_rrf"}
+    assert set(rows) == {"bm25", "ivfsq8", "hybrid_rrf", "hybrid_rsf"}
     truth_rows = {r.truth_rows for r in rows.values()}
     assert len(truth_rows) == 1  # same truth for every leg
     for r in rows.values():
         assert 0 <= r.hits <= r.truth_rows
         assert 0.0 <= r.recall_at_10 <= 1.0
     assert rows["ivfsq8"].recall_at_10 > rows["bm25"].recall_at_10
+
+
+def test_hybrid_rsf_normalization_and_ranks(spark, sf_dir):
+    """ann_hybrid_rsf: normalized scores live in [0,1], the fused
+    score is exactly the equal-weight combination (missing leg = 0),
+    per-query ranks are dense 1..k, and within every query each
+    leg's max-normalized candidate scores 1.0 somewhere."""
+    got = V.ann_hybrid_rsf(spark, sf_dir).collect()
+    assert got
+    per_q = {}
+    for r in got:
+        for v in (r.bm25_norm, r.vec_norm):
+            assert v is None or -1e-9 <= v <= 1.0 + 1e-9
+        import math
+
+        exp = round((r.bm25_norm or 0.0) + (r.vec_norm or 0.0), 6) / 2.0
+        # HALF_UP like Spark/DuckDB round(), not Python banker's
+        assert abs(r.rsf - math.floor(exp * 10000.0 + 0.5) / 10000.0) < 1e-9
+        per_q.setdefault(r.q_id, []).append(r)
+    for q, rows in per_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        # fused order is non-increasing in rsf
+        rows.sort(key=lambda r: r.rank)
+        assert all(a.rsf >= b.rsf for a, b in zip(rows, rows[1:]))

@@ -4807,6 +4807,132 @@ WHERE rank <= {TOP_K}
 """
 
 
+_HYBRID_LAMBDAS = (0.0, 0.25, 0.5, 0.75, 1.0)
+
+
+def ann_hybrid_weight_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weight-tuning readout ``ann_hybrid_recall`` points at:
+    recall@10 of the λ-weighted relative-score fusion
+    (score = (1−λ)·bm25_norm + λ·vec_norm) for λ ∈ {0, ¼, ½, ¾, 1}
+    against the exact cosine truth — λ=0 is lexical-only, λ=1
+    dense-only, and the curve's argmax is the weight a corpus owner
+    should ship. On this synthetic corpus the curve rises
+    monotonically to λ=1 (the lexical leg is noise w.r.t. cosine
+    truth); on a Zipfian real corpus the interior maximum is the
+    standard finding that justifies hybrid search.
+
+    Scale: the two serve pipelines price once; the sweep itself is
+    one λ-explode over the ≤ 2·|Q|·k fused pair rows + a bounded
+    per-(λ, query) window + 5 scalar aggregates. Nothing re-scans
+    fact data per λ.
+    """
+    from etl_gov_spark.operators.similarity import ann_bruteforce_topk
+
+    sparse, dense, shared = _hybrid_legs(spark, sf_dir)
+
+    def norm(df: DataFrame, score: str, out: str) -> DataFrame:
+        w = Window.partitionBy("q_id")
+        mn, mx = F.min(score).over(w), F.max(score).over(w)
+        n = F.when(mx == mn, F.lit(1.0)).otherwise(
+            (F.col(score) - mn) / (mx - mn)
+        )
+        return df.select("q_id", "cand_id", F.round(n, 6).alias(out))
+
+    pairs = norm(sparse, "bm25_s", "bm25_norm").join(
+        norm(dense, "vec_s", "vec_norm"), ["q_id", "cand_id"], "full_outer"
+    )
+    lam = F.explode(
+        F.array(*[F.lit(x) for x in _HYBRID_LAMBDAS])
+    ).alias("lam")
+    scored = pairs.select("*", lam).withColumn(
+        "_s",
+        F.round(
+            (1.0 - F.col("lam")) * F.coalesce(F.col("bm25_norm"), F.lit(0.0))
+            + F.col("lam") * F.coalesce(F.col("vec_norm"), F.lit(0.0)),
+            6,
+        ),
+    )
+    w = Window.partitionBy("lam", "q_id").orderBy(
+        F.desc("_s"), F.asc("cand_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    truth = (
+        ann_bruteforce_topk(spark, sf_dir)
+        .join(F.broadcast(shared), "q_id")
+        .select("q_id", "cand_id")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("truth_rows"))
+    return (
+        topk.join(truth, ["q_id", "cand_id"])
+        .groupBy("lam")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "lam",
+            "hits",
+            "truth_rows",
+            (
+                F.round(10000.0 * F.col("hits") / F.col("truth_rows"))
+                / 10000.0
+            ).alias("recall_at_10"),
+        )
+        .orderBy("lam")
+    )
+
+
+ANN_HYBRID_SWEEP_SQL = f"""
+WITH bm AS (
+  SELECT q_id, cand_id, bm25 AS bm25_s FROM ({{TEXT_BM25_SQL}}) b
+), dn AS (
+  SELECT q_id, cand_id, cosine AS vec_s FROM ({{ANN_IVFSQ_SQL}}) d
+), shared AS (
+  SELECT DISTINCT q_id FROM bm INTERSECT SELECT DISTINCT q_id FROM dn
+), bmn AS (
+  SELECT q_id, cand_id,
+         round(CASE WHEN mx = mn THEN 1.0
+                    ELSE (bm25_s - mn) / (mx - mn) END, 6) AS bm25_norm
+  FROM (SELECT bm.*, min(bm25_s) OVER (PARTITION BY q_id) AS mn,
+               max(bm25_s) OVER (PARTITION BY q_id) AS mx
+        FROM bm JOIN shared USING (q_id))
+), dnn AS (
+  SELECT q_id, cand_id,
+         round(CASE WHEN mx = mn THEN 1.0
+                    ELSE (vec_s - mn) / (mx - mn) END, 6) AS vec_norm
+  FROM (SELECT dn.*, min(vec_s) OVER (PARTITION BY q_id) AS mn,
+               max(vec_s) OVER (PARTITION BY q_id) AS mx
+        FROM dn JOIN shared USING (q_id))
+), pairs AS (
+  SELECT coalesce(b.q_id, d.q_id) AS q_id,
+         coalesce(b.cand_id, d.cand_id) AS cand_id,
+         coalesce(b.bm25_norm, 0.0) AS bm25_norm,
+         coalesce(d.vec_norm, 0.0) AS vec_norm
+  FROM bmn b FULL OUTER JOIN dnn d
+    ON b.q_id = d.q_id AND b.cand_id = d.cand_id
+), scored AS (
+  SELECT l.lam, p.q_id, p.cand_id,
+         round((1.0 - l.lam) * p.bm25_norm + l.lam * p.vec_norm, 6) AS _s
+  FROM pairs p
+  CROSS JOIN (SELECT CAST(unnest([{", ".join(str(x) for x in _HYBRID_LAMBDAS)}]) AS DOUBLE) AS lam) l
+), topk AS (
+  SELECT lam, q_id, cand_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY lam, q_id
+                                 ORDER BY _s DESC, cand_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= {TOP_K}
+), truth AS (
+  SELECT t.q_id, t.cand_id
+  FROM ({{ANN_BRUTEFORCE_SQL}}) t JOIN shared USING (q_id)
+), n_truth AS (SELECT count(*) AS truth_rows FROM truth)
+SELECT lam, count(*) AS hits, n.truth_rows,
+       round(10000.0 * count(*) / n.truth_rows) / 10000.0 AS recall_at_10
+FROM topk JOIN truth USING (q_id, cand_id) CROSS JOIN n_truth n
+GROUP BY lam, n.truth_rows
+ORDER BY lam
+"""
+
+
 def _fill_hybrid_sql(template: str) -> str:
     from etl_gov_spark.operators.text import TEXT_BM25_SQL
 
@@ -4820,6 +4946,12 @@ ANN_HYBRID_RECALL_SQL = _fill_hybrid_sql(ANN_HYBRID_RECALL_SQL)
 
 ANN_HYBRID_RSF_SQL = _fill_hybrid_sql(ANN_HYBRID_RSF_SQL)
 
+ANN_HYBRID_SWEEP_SQL = _fill_hybrid_sql(ANN_HYBRID_SWEEP_SQL)
+
 QUERIES["ann_hybrid_rrf"] = (ann_hybrid_rrf, ANN_HYBRID_SQL)
+QUERIES["ann_hybrid_weight_sweep"] = (
+    ann_hybrid_weight_sweep,
+    ANN_HYBRID_SWEEP_SQL,
+)
 QUERIES["ann_hybrid_rsf"] = (ann_hybrid_rsf, ANN_HYBRID_RSF_SQL)
 QUERIES["ann_hybrid_recall"] = (ann_hybrid_recall, ANN_HYBRID_RECALL_SQL)

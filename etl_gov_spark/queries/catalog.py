@@ -37,6 +37,7 @@ _PINNED_FIRST = (
     "ann_hybrid_rrf",
     "ann_hybrid_recall",
     "ann_hybrid_rsf",
+    "ann_hybrid_weight_sweep",
     "pipeline_crawl_prep",
     "corpus_kenlm_5gram",
     # --- implementation changed in round 15 ---

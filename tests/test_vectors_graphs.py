@@ -1191,3 +1191,24 @@ def test_hybrid_rsf_normalization_and_ranks(spark, sf_dir):
         # fused order is non-increasing in rsf
         rows.sort(key=lambda r: r.rank)
         assert all(a.rsf >= b.rsf for a, b in zip(rows, rows[1:]))
+
+
+def test_hybrid_weight_sweep_endpoints(spark, sf_dir):
+    """ann_hybrid_weight_sweep: five λ rows over one truth, recalls
+    in [0,1], and the dense endpoint dominates the lexical endpoint
+    on the cosine ground truth. Endpoints are NOT asserted equal to
+    the pure legs: the sweep ranks over the UNION candidate pool, so
+    each leg's min-max-floored rank-10 (norm 0) ties with the other
+    leg's absent candidates and cand_id tie-breaking can admit them
+    — a documented property of fusion over a shared pool."""
+    sweep = {r.lam: r for r in V.ann_hybrid_weight_sweep(spark, sf_dir).collect()}
+    assert set(sweep) == {0.0, 0.25, 0.5, 0.75, 1.0}
+    assert len({r.truth_rows for r in sweep.values()}) == 1
+    for r in sweep.values():
+        assert 0.0 <= r.recall_at_10 <= 1.0 and r.hits <= r.truth_rows
+    recall = {r.method: r.recall_at_10 for r in V.ann_hybrid_recall(spark, sf_dir).collect()}
+    # dense endpoint lands in the dense leg's neighborhood (union-pool
+    # zero-score ties can only perturb the tail) and dominates lexical
+    assert abs(sweep[1.0].recall_at_10 - recall["ivfsq8"]) <= 0.1
+    assert sweep[1.0].recall_at_10 >= sweep[0.0].recall_at_10
+    assert sweep[1.0].recall_at_10 > recall["bm25"]

@@ -4459,18 +4459,25 @@ def _hybrid_legs(spark: SparkSession, sf_dir: str):
     Returns (sparse, dense, shared_q)."""
     from etl_gov_spark.operators.text import text_bm25_topk
 
+    # Both legs are narrow (≤ |Q|·k rows of ids/ranks/scores) and feed
+    # MULTIPLE consumers (the shared-query derivation, the fusion
+    # join, and in the recall/sweep readouts up to four legs each);
+    # without truncation every consumer replays the full serve
+    # lineage (234-exchange plan observed for ann_hybrid_recall).
+    # One eager checkpoint per leg prices each serve exactly once —
+    # the same bounded-intermediate stance as ann_ivf_topk's cells.
     sparse = text_bm25_topk(spark, sf_dir).select(
         "q_id",
         "cand_id",
         F.col("rank").alias("bm25_rank"),
         F.col("bm25").alias("bm25_s"),
-    )
+    ).localCheckpoint(eager=True)
     dense = ann_ivfsq_topk(spark, sf_dir).select(
         "q_id",
         "cand_id",
         F.col("rank").alias("vec_rank"),
         F.col("cosine").alias("vec_s"),
-    )
+    ).localCheckpoint(eager=True)
     shared = sparse.select("q_id").distinct().join(
         dense.select("q_id").distinct(), "q_id"
     )
@@ -4594,6 +4601,7 @@ def ann_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_bruteforce_topk(spark, sf_dir)
         .join(F.broadcast(shared), "q_id")
         .select("q_id", "cand_id")
+        .localCheckpoint(eager=True)  # ≤ |Q|·k rows, consumed 4×
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("truth_rows"))
 
@@ -4862,6 +4870,7 @@ def ann_hybrid_weight_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ann_bruteforce_topk(spark, sf_dir)
         .join(F.broadcast(shared), "q_id")
         .select("q_id", "cand_id")
+        .localCheckpoint(eager=True)  # ≤ |Q|·k rows, consumed twice
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("truth_rows"))
     return (

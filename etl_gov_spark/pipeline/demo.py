@@ -422,9 +422,12 @@ def build_crawl_prep_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
                     rows, columns=["doc_id", "source", "warc_type", "text"]
                 )
 
+        # narrow rows out of the one Arrow stage, consumed by FIVE
+        # ledger stages — checkpoint so the archive synthesis + parse
+        # runs once, not per consumer (12 Python stages observed)
         return ctx.pull("fetch").mapInPandas(
             run, "doc_id bigint, source string, warc_type string, text string"
-        )
+        ).localCheckpoint(eager=True)
 
     @p.task("responses", deps=["records"])
     def responses(ctx) -> DataFrame:

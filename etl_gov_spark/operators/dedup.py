@@ -582,17 +582,19 @@ def _emb_planes() -> list[list[float]]:
     return _hyperplanes(EMB_BANDS * EMB_PLANES_PER_BAND, EMB_DIM)
 
 
-def _emb_band_keys(v: str | Column) -> Column:
-    """Masked sign-LSH blocking keys: per band, the b sign bits of
-    dot(v, plane) with each position masked in turn — two vectors
-    share a key iff some band's sign patterns differ in ≤1 bit
-    (multi-probe recall without a second table). The dot is
-    quantized to 6 dp before the sign test so Spark and DuckDB
-    never disagree at an FP boundary."""
+def _emb_band_patterns(v: str | Column) -> Column:
+    """Per-band sign patterns: element k is the b sign bits of
+    dot(v, plane) for band k's planes. The dot is quantized to 6 dp
+    before the sign test so Spark and DuckDB never disagree at an FP
+    boundary. Split out from the mask expansion so each plane dot is
+    evaluated ONCE per vector — the fused expression re-evaluated
+    every band's 8 HOF dot-folds under each of its 8 masks (1024
+    folds/vector instead of 64; no CSE across higher-order
+    functions), a measured 8× slowdown of the banding stage."""
     col = F.col(v) if isinstance(v, str) else v
     planes = _emb_planes()
     b = EMB_PLANES_PER_BAND
-    keys = []
+    pats = []
     for k in range(EMB_BANDS):
         bits = [
             F.when(
@@ -609,13 +611,34 @@ def _emb_band_keys(v: str | Column) -> Column:
             ).otherwise(F.lit("0"))
             for plane in planes[k * b : (k + 1) * b]
         ]
-        pat = F.concat(*bits)
+        pats.append(F.concat(*bits))
+    return F.array(*pats)
+
+
+def _emb_mask_keys(pats: str | Column) -> Column:
+    """Masked sign-LSH blocking keys from precomputed band patterns:
+    per band, each bit position masked in turn — two vectors share a
+    key iff some band's sign patterns differ in ≤1 bit (multi-probe
+    recall without a second table). Pure string ops over the
+    materialized patterns."""
+    col = F.col(pats) if isinstance(pats, str) else pats
+    b = EMB_PLANES_PER_BAND
+    keys = []
+    for k in range(EMB_BANDS):
+        pat = F.element_at(col, k + 1)
         for i in range(b):
             masked = F.concat(
                 F.substring(pat, 1, i), F.lit("_"), F.substring(pat, i + 2, b - i - 1)
             )
             keys.append(F.concat(F.lit(f"{k}:{i}:"), masked))
     return F.array(*keys)
+
+
+def _emb_band_keys(v: str | Column) -> Column:
+    """Masked sign-LSH blocking keys straight from the vector —
+    the fused composition, kept for API compatibility; hot paths
+    materialize ``_emb_band_patterns`` first (see dedup_embedding)."""
+    return _emb_mask_keys(_emb_band_patterns(v))
 
 
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -641,8 +664,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).withColumn(
         "n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    )
-    banded = emb.select("vec_id", F.explode(_emb_band_keys("v")).alias("bk"))
+    ).withColumn(
+        "pats", _emb_band_patterns("v")
+    ).localCheckpoint(eager=True)
+    # ^ one narrow row per vector (id, v, norm, 16 pattern strings):
+    # materializing forces each plane dot to evaluate exactly once —
+    # Catalyst's projection collapse would otherwise inline the
+    # pattern into all 8 masks per band and re-run every HOF dot
+    # fold per mask — and lets the verify joins reuse the same scan.
+    banded = emb.select("vec_id", F.explode(_emb_mask_keys("pats")).alias("bk"))
     buckets = bounded_buckets(
         banded.groupBy("bk")
         .agg(F.array_sort(F.collect_set("vec_id")).alias("ds"))
@@ -652,10 +682,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_embedding",
         route="star",
     )
+    # Materialize the candidate set before the verify joins: it is
+    # BOUNDED by the banding design (≤ |buckets|·cap² id pairs, two
+    # longs each), and without the checkpoint Spark's planner saw an
+    # unknown-size subplan and chose to BROADCAST the fat candidate
+    # side — serializing the whole LSH pipeline through the
+    # single-threaded broadcast-relation build (26 s warm where the
+    # parallel pipeline is ~12 s). With known stats the verify
+    # broadcasts the (tiny) vector sides instead.
     cand = (
         buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
         .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
@@ -663,8 +702,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
+        cand.join(F.broadcast(a), "vec_a")
+        .join(F.broadcast(b), "vec_b")
         .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("_cos"))
         .filter(F.col("_cos") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", _R4(F.col("_cos"), "cosine"))

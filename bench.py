@@ -113,16 +113,22 @@ def main() -> None:
     qs = all_queries()
 
     # SPARK_GRAFT_BENCH_SKIP: comma-separated headline names to drop
-    # for THIS run (sf1 proof runs exclude emb_dbscan_clusters — its
-    # DuckDB oracle is a recursive transitive-closure CTE that goes
-    # |component|²-quadratic under the clone-replica sf1 build; the
-    # Spark side at 10× is ladder-measured in BASELINE.md instead).
-    # Never set for the pinned sf0.1 runs.
-    skip = {
-        n for n in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if n
-    }
+    # for THIS run (escape hatch for ad-hoc ladder work). Two guards
+    # make any use self-describing and keep the pinned gate intact:
+    # skips are REFUSED outright on the pinned sf0.1 path, and every
+    # skipped name is emitted in both output JSON lines (a run with
+    # exclusions can never look like a full anchor run).
+    skip = sorted(
+        {n for n in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if n}
+    )
     global HEADLINE
     if skip:
+        if sf_dir.rstrip("/").endswith("sf0.1"):
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_SKIP is not allowed on the pinned sf0.1 "
+                f"anchor (set for: {skip}); unset it or point "
+                "SPARK_GRAFT_SF_DIR elsewhere"
+            )
         HEADLINE = [n for n in HEADLINE if n not in skip]
 
     # Fail fast, before any warm-up/measurement is spent: vs_duck must
@@ -194,6 +200,7 @@ def main() -> None:
                 "duck_total": duck_total,
                 "vs_duck": vs_duck,
                 "sf": sf,
+                **({"skipped": skip} if skip else {}),
             }
         )
     )
@@ -207,6 +214,7 @@ def main() -> None:
                 "duck_total": duck_total,
                 "vs_duck": vs_duck,
                 "sf": sf,
+                **({"skipped": skip} if skip else {}),
             }
         )
     )

@@ -701,9 +701,16 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+    # No explicit broadcast hints on the verify joins: the vector
+    # sides are FACT-grain (they grow with the corpus — pinning a
+    # broadcast would force an O(N) driver build at scale), and both
+    # inputs now have exact stats (emb and cand are eagerly
+    # checkpointed), so AQE picks broadcast at test scale and
+    # shuffled hash join once either side outgrows the threshold —
+    # the same stats-driven stance as the KN unigram joins.
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .select("vec_a", "vec_b", (dot / (F.col("na") * F.col("nb"))).alias("_cos"))
         .filter(F.col("_cos") >= EMB_DUP_THRESHOLD)
         .select("vec_a", "vec_b", _R4(F.col("_cos"), "cosine"))

@@ -78,22 +78,38 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(
-    edges: DataFrame, max_rounds: int = MAX_ROUNDS, checkpoint_every: int = 5
-) -> DataFrame:
-    """Min-label propagation to fixpoint: every node repeatedly
-    adopts the smallest label among itself and its neighbors.
+def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """Min-label propagation with pointer doubling, to fixpoint.
 
-    Each round: one shuffle (neighbor-min aggregate) + one join.
+    Each round does two updates:
+      1. neighbor-min: every node adopts the smallest label among
+         itself and its neighbors (one shuffle aggregate + one join);
+      2. pointer jump: ``l(v) <- l(l(v))`` (one self-join on the
+         label relation) — the label chain toward the component
+         minimum HALVES each round, so convergence takes
+         O(log diameter) rounds instead of the O(diameter) that
+         plain propagation needs (the non-shrinking round floor
+         flagged by the round-15 review). This is the pointer-
+         doubling variant of the alternating large-star/small-star
+         MapReduce CC family (Kiveris et al. 2014).
+
+    Correctness is unchanged: labels always name a node in the same
+    component (the jump target's label is in ITS component, which is
+    the same component), and labels are monotone non-increasing
+    (``l(u) <= u`` inductively, so ``l(l(v)) <= l(v)``). At fixpoint
+    the label is constant per component and self-owned, hence the
+    component MINIMUM — the exact value the plain-propagation
+    fixpoint and the DuckDB min-reachable oracle produce, so no
+    oracle changes.
+
     The driver loop only checks a converged count — labels
     themselves never leave the cluster. Input edges are undirected
     (symmetrized here); output: (node, component=min node id).
 
-    Every ``checkpoint_every`` rounds the label lineage is truncated
-    with ``localCheckpoint`` — without it each round's plan nests
-    the previous round's, and by round ~15 the optimizer re-analyzes
-    an exponentially nested join tree (driver-side planning blowup,
-    the classic iterative-algorithm failure on Spark).
+    Label lineage is truncated with ``localCheckpoint`` EVERY round:
+    the jump self-join references its input twice, so an untruncated
+    plan doubles per round (driver-side planning blowup, the classic
+    iterative-algorithm failure on Spark).
     """
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -106,14 +122,19 @@ def connected_components(
         .cache()
     )
     for round_idx in range(max_rounds):
-        if round_idx and round_idx % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
         nbr_min = (
             sym.join(labels, sym.src == labels.node)
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # The self-join below would put this subplan in the round's
+        # plan TWICE — doubling plan size every round (exponential in
+        # rounds; Catalyst's explain/analyze cost alone kills the
+        # query long before execution does). localCheckpoint replaces
+        # the lineage with a leaf immediately, so the per-round plan
+        # stays O(1) deep — stricter truncation than the every-N
+        # cadence plain propagation needed.
+        stepped = (
             labels.join(nbr_min, labels.node == nbr_min.dst, "left")
             .select(
                 "node",
@@ -121,6 +142,19 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=False)
+        )
+        # pointer jump: follow the label's own label. Every label is
+        # a live node id (labels covers all nodes), so inner join is
+        # total; l(l(v)) <= l(v) by monotonicity, no least() needed.
+        new_labels = (
+            stepped.join(
+                stepped.select(
+                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
+                ),
+                stepped.label == F.col("_ln"),
+            )
+            .select("node", F.col("_ll").alias("label"))
             .cache()
         )
         changed = (

@@ -1795,12 +1795,22 @@ _BM25_B = 0.75
 _BM25_QUERY_STRIDE = 50  # every 50th doc acts as the query
 _BM25_QUERY_TERMS = 8  # rarest distinct tokens per query doc
 _BM25_TOP_K = 10
+# Hard ceiling on the query workload: only strided doc_ids BELOW
+# stride*cap qualify, so |Q| <= 4096 no matter the corpus size and
+# the broadcast query map is constant-bounded (a real serving
+# workload is a bounded query log, not a corpus-linear sample).
+# A pure local filter — no rank window, no shuffle. Test SFs have
+# max doc_id < 204800, so the cap only binds at sf1+.
+_BM25_MAX_QUERIES = 4096
 
 
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 lexical top-10 retrieval — the standard sparse scorer
     beside the dense ANN family (hybrid retrieval prep runs BOTH
-    over the same corpus): every 50th document contributes a query —
+    over the same corpus): every 50th document (capped at the first
+    ``_BM25_MAX_QUERIES`` strided ids, so the query workload — and
+    its broadcast — is constant-bounded at any corpus size)
+    contributes a query —
     its 8 RAREST distinct tokens by corpus df (df-asc, term-asc
     tiebreak: deterministic in both engines, and the discriminative
     terms a real query matches on), requiring df ≥ 2 (a df=1 term
@@ -1835,7 +1845,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.avg("dlen").alias("avglen")
     )
     qcand = (
-        docs.filter(F.col("doc_id") % _BM25_QUERY_STRIDE == 0)
+        docs.filter(
+            (F.col("doc_id") % _BM25_QUERY_STRIDE == 0)
+            & (F.col("doc_id") < _BM25_QUERY_STRIDE * _BM25_MAX_QUERIES)
+        )
         .select(
             F.col("doc_id").alias("q_id"),
             F.explode(F.array_distinct(tokens_col())).alias("term"),
@@ -1861,9 +1874,10 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avglen"))
         )
     )
-    # The query-term set is the BOUNDED side (|Q|·8 rows — a real
-    # workload is a bounded query log); broadcast it explicitly.
-    # Left to stats, Spark broadcast the POSTINGS table here — fine
+    # The query-term set is the BOUNDED side (≤ _BM25_MAX_QUERIES·8
+    # rows by the hard cap above, corpus-size-independent); broadcast
+    # it explicitly. Left to stats, Spark broadcast the POSTINGS
+    # table here — fine
     # at toy scale, but the middle regime (postings fit in memory
     # but are millions of rows) builds a giant single-threaded hash
     # relation, measured 11× slower than streaming postings against
@@ -1909,7 +1923,8 @@ WITH toks AS (
 ), qcand AS (
   SELECT q.q_id, q.term, df.df
   FROM (SELECT doc_id AS q_id, unnest(list_distinct(t)) AS term
-        FROM toks WHERE doc_id % {_BM25_QUERY_STRIDE} = 0) q
+        FROM toks WHERE doc_id % {_BM25_QUERY_STRIDE} = 0
+          AND doc_id < {_BM25_QUERY_STRIDE * _BM25_MAX_QUERIES}) q
   JOIN df ON df.term = q.term AND df.df >= 2
 ), qterms AS (
   SELECT q_id, term

@@ -4456,6 +4456,10 @@ def _hybrid_legs(spark: SparkSession, sf_dir: str):
     queries that produced BOTH lists (both samplers stride the same
     id space at ``% 50 == 0``; document ids beyond the embedding
     table, or query docs with no df≥2 term, have only one half).
+    The shared set — and therefore every broadcast of it below — is
+    constant-bounded at any corpus size: the BM25 leg hard-caps its
+    query workload at ``_BM25_MAX_QUERIES`` (text.py), and shared is
+    the intersection of the legs' q_ids.
     Returns (sparse, dense, shared_q)."""
     from etl_gov_spark.operators.text import text_bm25_topk
 
@@ -4576,8 +4580,9 @@ WHERE rank <= {TOP_K}
 def ann_hybrid_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The recall-vs-either-alone readout that justifies hybrid
     search: recall@10 against the exact brute-force cosine truth,
-    for BM25 alone, IVF-SQ8 alone, and the RRF fusion — all over
-    the SAME shared query set so the comparison is apples-to-apples.
+    for FOUR legs — BM25 alone, IVF-SQ8 alone, the RRF fusion, and
+    the RSF (min-max score) fusion — all over the SAME shared query
+    set so the comparison is apples-to-apples.
     The dense leg dominates the lexical leg on a semantic ground
     truth. Note the honest readout on THIS corpus: unweighted RRF
     can land BELOW the dense leg (sf0.01: bm25 0.02 / hybrid 0.49 /

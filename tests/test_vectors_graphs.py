@@ -1156,7 +1156,8 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
 
 
 def test_hybrid_recall_readout_shape(spark, sf_dir):
-    """ann_hybrid_recall: three method rows over one shared truth,
+    """ann_hybrid_recall: four method rows (bm25, ivfsq8,
+    hybrid_rrf, hybrid_rsf) over one shared truth,
     recall in [0,1], hits ≤ truth_rows, and the dense leg dominates
     the lexical leg on the semantic (cosine) ground truth."""
     rows = {r.method: r for r in V.ann_hybrid_recall(spark, sf_dir).collect()}

@@ -1110,6 +1110,18 @@ QUERIES["corpus_quality_prune_sweep"] = (
 
 
 BPE_MERGES = 8
+# Batched learning (what production BPE trainers do): each SWEEP
+# prices adjacent pairs ONCE, then applies the top BPE_BATCH_K
+# symbol-DISJOINT pairs from the top-BPE_TOPM ranked candidates.
+# Disjoint selections commute and cannot change each other's match
+# sites, so the batch is order-independent and exactly replayable;
+# the candidate pool is capped at BPE_TOPM so driver state stays
+# constant-bounded at any corpus size. 8 merges now cost 2 count
+# shuffles instead of 8 (the serial 1-job-per-merge floor flagged
+# by the round-15 review).
+BPE_BATCH_K = 4
+BPE_SWEEPS = BPE_MERGES // BPE_BATCH_K
+BPE_TOPM = 64
 
 
 def _bpe_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1135,13 +1147,24 @@ def _bpe_initial_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_merge_loop(state: DataFrame) -> tuple[DataFrame, list[tuple]]:
-    """Run the BPE_MERGES greedy merge rounds (corpus-weighted
-    adjacent-pair argmax, deterministic (count DESC, pair ASC) total
-    order), returning the final symbol state and the merge table —
-    shared by corpus_bpe_vocab / corpus_bpe_compression /
-    corpus_tokenizer_compare."""
+    """Run ``BPE_SWEEPS`` batched merge sweeps (``BPE_BATCH_K``
+    merges each, ``BPE_MERGES`` total): per sweep the corpus-
+    weighted adjacent-pair counts are priced ONCE, the top
+    ``BPE_TOPM`` candidates (count DESC, pair ASC — a total order)
+    come back to the driver, and a greedy scan keeps the first
+    ``BPE_BATCH_K`` pairs sharing NO symbol with an earlier keep.
+    Disjoint pairs cannot create or destroy each other's match
+    sites, so applying the batch is order-independent and both
+    engines replay it exactly; ``pair_count`` is the count at sweep
+    pricing time. Driver state per sweep = ``BPE_TOPM`` rows.
+
+    Extra columns on ``state`` (e.g. the word column
+    corpus_bpe_apply carries) pass through untouched. Returns the
+    final symbol state and the merge table — shared by
+    corpus_bpe_vocab / corpus_bpe_compression /
+    corpus_tokenizer_compare / corpus_bpe_apply."""
     merges: list[tuple] = []
-    for rank in range(1, BPE_MERGES + 1):
+    for _sweep in range(BPE_SWEEPS):
         syms = F.split(F.trim(F.col("s")), "  ")
         pairs = (
             state.select("n", syms.alias("sy"))
@@ -1157,23 +1180,32 @@ def _bpe_merge_loop(state: DataFrame) -> tuple[DataFrame, list[tuple]]:
             )
             .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
         )
-        best = (
+        top = (
             pairs.groupBy("a", "b")
             .agg(F.sum("n").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(BPE_TOPM)
             .collect()
         )
-        if not best:
+        used: set = set()
+        selected = []
+        for r in top:
+            if len(selected) >= BPE_BATCH_K:
+                break
+            if r.a in used or r.b in used:
+                continue
+            selected.append(r)
+            used.update((r.a, r.b))
+        if not selected:
             break
-        a, b, cnt = best[0].a, best[0].b, best[0].cnt
-        merges.append((rank, a, b, a + b, cnt))
-        state = state.select(
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-            "n",
-        )
+        for r in selected:
+            merges.append((len(merges) + 1, r.a, r.b, r.a + r.b, r.cnt))
+            state = state.withColumn(
+                "s",
+                F.replace(
+                    F.col("s"), F.lit(f" {r.a}  {r.b} "), F.lit(f" {r.a}{r.b} ")
+                ),
+            )
     return state, merges
 
 
@@ -1183,12 +1215,15 @@ def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed: this is the op a training pipeline executes over
     the whole corpus before anything else can be tokenized.
 
-    Each round counts corpus-weighted adjacent symbol pairs over the
+    Merges learn in BATCHED sweeps (``_bpe_merge_loop``): each sweep
+    counts corpus-weighted adjacent symbol pairs over the
     (distinct-word, count) table — one map-side-combined shuffle on
     uniform pair keys, the classic word-frequency formulation, never
-    a per-token pass — takes the argmax pair (count DESC, pair ASC:
-    a total order, so the winner is a deterministic function of the
-    corpus), and applies the merge.
+    a per-token pass — ranks candidates by (count DESC, pair ASC: a
+    total order, so the batch is a deterministic function of the
+    corpus), and applies the top ``BPE_BATCH_K`` symbol-disjoint
+    pairs at once. Disjoint merges commute, so the batch is exactly
+    replayable; 8 merges cost 2 count shuffles instead of 8.
 
     The merge application is the exact-replay trick: symbol
     sequences live as strings in ``' a  b  c '`` form (every symbol
@@ -1200,8 +1235,9 @@ def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and the oracle replays all rounds as unrolled CTEs
     with integer counts: no quantization needed.
 
-    Driver state per round = ONE (pair, count) row; the word table
-    never leaves the cluster. Output: the learned merge table.
+    Driver state per sweep = ``BPE_TOPM`` (pair, count) rows; the
+    word table never leaves the cluster. Output: the learned merge
+    table (``pair_count`` = the count at sweep pricing time).
     """
     _state, merges = _bpe_merge_loop(_bpe_initial_state(spark, sf_dir))
     return spark.createDataFrame(
@@ -1209,10 +1245,17 @@ def corpus_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_sql(iters: int = BPE_MERGES, keep_w: bool = False) -> str:
-    """The BPE loop replayed as unrolled CTEs: same double-space
-    symbol-string representation, same integer-weighted argmax,
-    same non-overlapping replace — exact, no rounding anywhere.
+def _bpe_sql(keep_w: bool = False) -> str:
+    """The batched BPE loop replayed as unrolled CTEs: same
+    double-space symbol-string representation, same integer-weighted
+    (count DESC, pair ASC) total order, same top-``BPE_TOPM``
+    candidate pool and greedy symbol-disjoint selection of
+    ``BPE_BATCH_K`` pairs per sweep, same non-overlapping replace —
+    exact, no rounding anywhere. Each selection c{{i}}_{{j}} is the
+    best candidate sharing no symbol with an earlier keep (unrolled
+    NOT-IN filters — the same scan the driver-side greedy performs);
+    a missing selection coalesces to a chr(1) sentinel pattern that
+    never matches. The final state CTE is named ``sfinal``.
     ``keep_w`` carries the original word through every round so a
     consumer can join the final symbol count back to the corpus
     (corpus_bpe_apply)."""
@@ -1230,7 +1273,7 @@ def _bpe_sql(iters: int = BPE_MERGES, keep_w: bool = False) -> str:
 )"""
     ]
     prev = "s0"
-    for i in range(1, iters + 1):
+    for i in range(1, BPE_SWEEPS + 1):
         parts.append(
             f""", p{i} AS MATERIALIZED (
   SELECT a, b, sum(n) AS cnt FROM (
@@ -1238,24 +1281,53 @@ def _bpe_sql(iters: int = BPE_MERGES, keep_w: bool = False) -> str:
     FROM (SELECT string_split(trim(s), '  ') AS sy, n FROM {prev})
     WHERE len(sy) >= 2
   ) GROUP BY 1, 2
-), b{i} AS MATERIALIZED (
-  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
-), s{i} AS MATERIALIZED (
-  SELECT {wcol}replace(s,
-                 ' ' || (SELECT a FROM b{i}) || '  ' || (SELECT b FROM b{i}) || ' ',
-                 ' ' || (SELECT a FROM b{i}) || (SELECT b FROM b{i}) || ' ') AS s, n
+), t{i} AS MATERIALIZED (
+  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT {BPE_TOPM}
+)"""
+        )
+        for j in range(1, BPE_BATCH_K + 1):
+            if j == 1:
+                parts.append(
+                    f""", c{i}_1 AS MATERIALIZED (
+  SELECT a, b, cnt FROM t{i} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)"""
+                )
+            else:
+                used = " UNION ".join(
+                    f"SELECT a FROM c{i}_{k} UNION SELECT b FROM c{i}_{k}"
+                    for k in range(1, j)
+                )
+                parts.append(
+                    f""", c{i}_{j} AS MATERIALIZED (
+  SELECT a, b, cnt FROM t{i}
+  WHERE a NOT IN ({used}) AND b NOT IN ({used})
+  ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
+)"""
+                )
+        rep = "s"
+        for j in range(1, BPE_BATCH_K + 1):
+            rep = (
+                f"replace({rep},\n"
+                f"    coalesce((SELECT ' ' || a || '  ' || b || ' ' FROM c{i}_{j}), chr(1)),\n"
+                f"    coalesce((SELECT ' ' || a || b || ' ' FROM c{i}_{j}), chr(1)))"
+            )
+        sname = "sfinal" if i == BPE_SWEEPS else f"s{i}"
+        parts.append(
+            f""", {sname} AS MATERIALIZED (
+  SELECT {wcol}{rep} AS s, n
   FROM {prev}
 )"""
         )
-        prev = f"s{i}"
+        prev = sname
     sel = " UNION ALL ".join(
-        f"SELECT {i} AS rank, a AS lhs, b AS rhs, a || b AS merged, cnt AS pair_count"
-        f" FROM b{i}"
-        for i in range(1, iters + 1)
+        f"SELECT {i} AS sw, {j} AS j, a AS lhs, b AS rhs, cnt FROM c{i}_{j}"
+        for i in range(1, BPE_SWEEPS + 1)
+        for j in range(1, BPE_BATCH_K + 1)
     )
     parts.append(
-        "\nSELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, merged,"
-        " CAST(pair_count AS BIGINT) AS pair_count FROM ("
+        "\nSELECT CAST(row_number() OVER (ORDER BY sw, j) AS INTEGER) AS rank,"
+        " lhs, rhs, lhs || rhs AS merged,"
+        " CAST(cnt AS BIGINT) AS pair_count FROM ("
         + sel
         + ")"
     )
@@ -1298,13 +1370,13 @@ def corpus_bpe_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_compression_sql(iters: int = BPE_MERGES) -> str:
-    """Reuses the learner's unrolled replay through s{iters}, then
+def _bpe_compression_sql() -> str:
+    """Reuses the learner's unrolled replay through sfinal, then
     aggregates the final state. chars_weighted strips the double
     separators rather than re-deriving from the raw word, exactly
     as the Spark side does (merges never change total characters,
     so it equals Σ n·length(w) — asserted in tests)."""
-    body = _bpe_sql(iters)
+    body = _bpe_sql()
     prefix = body[: body.rindex("\nSELECT")]
     return (
         prefix
@@ -1316,7 +1388,7 @@ SELECT count(*) AS n_words,
        round(sum(n * len(string_split(trim(s), '  ')))
              / CAST(sum(n * length(replace(trim(s), '  ', ''))) AS DOUBLE), 4)
          AS compression_ratio
-FROM s{iters}"""
+FROM sfinal"""
     )
 
 
@@ -3238,39 +3310,9 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    for _rank in range(1, BPE_MERGES + 1):
-        syms = F.split(F.trim(F.col("s")), "  ")
-        pairs = (
-            state.select("n", syms.alias("sy"))
-            .filter(F.size("sy") >= 2)
-            .select(
-                "n",
-                F.explode(
-                    F.arrays_zip(
-                        F.expr("slice(sy, 1, size(sy) - 1)"),
-                        F.expr("slice(sy, 2, size(sy) - 1)"),
-                    )
-                ).alias("p"),
-            )
-            .select("n", F.col("p")["0"].alias("a"), F.col("p")["1"].alias("b"))
-        )
-        best = (
-            pairs.groupBy("a", "b")
-            .agg(F.sum("n").alias("cnt"))
-            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        a, b = best[0].a, best[0].b
-        state = state.select(
-            "w",
-            F.replace(
-                F.col("s"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ).alias("s"),
-            "n",
-        )
+    # same batched sweeps as the learner; the word column rides
+    # through _bpe_merge_loop's withColumn updates untouched
+    state, _merges = _bpe_merge_loop(state)
     word_syms = state.select(
         "w", F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_syms")
     )
@@ -3313,17 +3355,17 @@ def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_apply_sql(iters: int = BPE_MERGES) -> str:
+def _bpe_apply_sql() -> str:
     """Unrolled-merge replay with the word carried through, then the
     per-source join + proxy comparison (mirrors the Spark plan)."""
     from etl_gov_spark.operators.text import _TOKEN_RE
 
-    body = _bpe_sql(iters, keep_w=True)
+    body = _bpe_sql(keep_w=True)
     prefix = body[: body.rindex("\nSELECT")]
     return (
         prefix
         + rf""", wsyms AS MATERIALIZED (
-  SELECT w, len(string_split(trim(s), '  ')) AS n_syms FROM s{iters}
+  SELECT w, len(string_split(trim(s), '  ')) AS n_syms FROM sfinal
 ), srcw AS (
   SELECT source, w, count(*) AS n_sw FROM (
     SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
@@ -4798,10 +4840,10 @@ def corpus_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tokenizer_compare_sql() -> str:
-    """BPE replay (shared _bpe_sql prefix through s{BPE_MERGES}) +
+    """BPE replay (shared _bpe_sql prefix through sfinal) +
     unigram replay (shared _uni_ctes, reusing the same words CTE),
     one readout row each."""
-    body = _bpe_sql(BPE_MERGES)
+    body = _bpe_sql()
     prefix = body[: body.rindex("\nSELECT")]
     return (
         prefix
@@ -4814,7 +4856,7 @@ SELECT 'bpe' AS tokenizer, count(*) AS n_words,
        round(sum(n * len(string_split(trim(s), '  ')))
              / CAST(sum(n * length(replace(trim(s), '  ', ''))) AS DOUBLE)
              * 10000.0) / 10000.0 AS compression_ratio
-FROM s{BPE_MERGES}
+FROM sfinal
 UNION ALL
 SELECT 'unigram', count(*), CAST(sum(n) AS BIGINT),
        CAST(sum(n * length(replace(trim(seg), '  ', ''))) AS BIGINT),

@@ -327,16 +327,26 @@ def test_bpe_merge_replace_is_greedy_leftmost(spark):
 
 
 def test_bpe_vocab_counts_monotone_and_ranked(spark, sf_dir):
-    """Classic BPE invariant: after merging the most frequent pair
-    (count c), every pair in the next round — old or newly created
-    by the merge — has count <= c, so learned pair_counts are
-    non-increasing in rank."""
-    from etl_gov_spark.operators.corpus import BPE_MERGES, corpus_bpe_vocab
+    """Batched-BPE invariants: within a sweep all picks price off
+    the SAME count table, so pair_counts are non-increasing inside
+    each sweep; across sweeps, any pair's count is bounded by the
+    previous sweep's argmax (merging (a,b) only creates pairs whose
+    count is <= an existing pair's), so no later count exceeds
+    rank-1's. Selected pairs within a sweep share no symbol."""
+    from etl_gov_spark.operators.corpus import (
+        BPE_BATCH_K,
+        BPE_MERGES,
+        corpus_bpe_vocab,
+    )
 
     rows = sorted(corpus_bpe_vocab(spark, sf_dir).collect(), key=lambda r: r.rank)
     assert [r.rank for r in rows] == list(range(1, BPE_MERGES + 1))
-    counts = [r.pair_count for r in rows]
-    assert counts == sorted(counts, reverse=True)
+    for s in range(0, BPE_MERGES, BPE_BATCH_K):
+        sweep = [r.pair_count for r in rows[s : s + BPE_BATCH_K]]
+        assert sweep == sorted(sweep, reverse=True)
+        syms = [x for r in rows[s : s + BPE_BATCH_K] for x in (r.lhs, r.rhs)]
+        assert len(syms) == len(set(syms))  # symbol-disjoint batch
+    assert max(r.pair_count for r in rows) == rows[0].pair_count
     for r in rows:
         assert r.merged == r.lhs + r.rhs
 

@@ -113,7 +113,9 @@ def main() -> None:
     qs = all_queries()
 
     # SPARK_GRAFT_BENCH_SKIP: comma-separated headline names to drop
-    # for THIS run (escape hatch for ad-hoc ladder work). Two guards
+    # for THIS run (escape hatch for ad-hoc ladder work; since r16's
+    # unrolled CC replay oracle, even emb_dbscan_clusters runs at sf1
+    # without it). Two guards
     # make any use self-describing and keep the pinned gate intact:
     # skips are REFUSED outright on the pinned sf0.1 path, and every
     # skipped name is emitted in both output JSON lines (a run with

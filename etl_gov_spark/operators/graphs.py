@@ -1452,8 +1452,44 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.unionByName(noise).orderBy("component")
 
 
+def _cc_replay_sql(edges_cte: str, rounds: int = MAX_ROUNDS) -> str:
+    """Unrolled non-recursive CC oracle: replay ``rounds`` rounds of
+    EXACTLY the Spark update (neighbor-min then pointer jump) as
+    MATERIALIZED CTEs over the symmetrized edge CTE ``edges_cte`` —
+    the ``_pagerank_sql`` replay scheme applied to components. Each
+    round is two joins + one aggregate, all linear in |V|+|E|; the
+    trajectory is a deterministic integer function of the edge set,
+    so the replay is hash-exact even before convergence, and rounds
+    after the fixpoint are no-ops (Spark's early break at fixpoint
+    therefore cannot diverge from the fixed unroll). Replaces the
+    WITH RECURSIVE transitive closure that went quadratic under the
+    sf1 clone replication. Yields CTEs ending in ``ccfinal(node,
+    label)``."""
+    parts = [
+        f""", l0 AS MATERIALIZED (
+  SELECT DISTINCT a AS node, a AS label FROM {edges_cte}
+)"""
+    ]
+    prev = "l0"
+    for r in range(1, rounds + 1):
+        name = "ccfinal" if r == rounds else f"l{r}"
+        parts.append(
+            f""", nm{r} AS MATERIALIZED (
+  SELECT e.b AS node, min(l.label) AS nbr
+  FROM {edges_cte} e JOIN {prev} l ON e.a = l.node GROUP BY e.b
+), j{r} AS MATERIALIZED (
+  SELECT l.node, least(l.label, coalesce(n.nbr, l.label)) AS label
+  FROM {prev} l LEFT JOIN nm{r} n USING (node)
+), {name} AS MATERIALIZED (
+  SELECT s.node, s2.label FROM j{r} s JOIN j{r} s2 ON s.label = s2.node
+)"""
+        )
+        prev = name
+    return "".join(parts)
+
+
 EMB_DBSCAN_SQL = f"""
-WITH RECURSIVE pairsrc AS MATERIALIZED (
+WITH pairsrc AS MATERIALIZED (
   SELECT vec_a, vec_b FROM ({{EMB_PAIRS_SQL}}) p
 ), sym AS (
   SELECT vec_a AS a, vec_b AS b FROM pairsrc
@@ -1467,14 +1503,10 @@ WITH RECURSIVE pairsrc AS MATERIALIZED (
   SELECT p.vec_a AS a, p.vec_b AS b FROM pairsrc p
   WHERE p.vec_a IN (SELECT vec_id FROM core)
     AND p.vec_b IN (SELECT vec_id FROM core)
-), cesym AS (
+), cesym AS MATERIALIZED (
   SELECT a, b FROM core_edges UNION ALL SELECT b, a FROM core_edges
-), reach(n, m) AS (
-  SELECT a, a FROM (SELECT DISTINCT a FROM cesym)
-  UNION
-  SELECT r.n, e.b FROM reach r JOIN cesym e ON r.m = e.a
-), comp AS (
-  SELECT n AS vec_id, min(m) AS component FROM reach GROUP BY n
+){_cc_replay_sql("cesym")}, comp AS (
+  SELECT node AS vec_id, label AS component FROM ccfinal
 ), core_comp AS (
   SELECT vec_id, component FROM comp
   UNION ALL

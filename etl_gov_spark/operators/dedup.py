@@ -1978,3 +1978,251 @@ QUERIES["dedup_substring_excise"] = (
     dedup_substring_excise,
     DEDUP_SUBSTRING_EXCISE_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup (§C — crawl-identity dedup; round 16)
+# ---------------------------------------------------------------------------
+
+# query-param prefixes stripped by canonicalization (the standard
+# tracking set every crawl canonicalizer drops)
+_URL_TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=", "ref=")
+
+
+def synth_capture_url(doc_id) -> Column:
+    """Deterministic messy capture URL for a document — the crawl
+    identity a real pipeline reads from WARC-Target-URI, synthesized
+    here from doc_id alone (pure string algebra, so the DuckDB twin
+    replays it exactly). Every 3 consecutive doc_ids render the SAME
+    logical page three different ways — uppercase scheme/host,
+    ``www.`` prefix, explicit default port, trailing slash, shuffled
+    query order, tracking params, fragment — the exact noise classes
+    URL canonicalization exists to collapse (multiple feeds capturing
+    one public URL). The page id is deliberately source-independent:
+    cross-feed duplication is the real-world case."""
+    d = doc_id if not isinstance(doc_id, str) else F.col(doc_id)
+    pg = (d - d % 3).cast("string")
+    h = ((d - d % 3) % 7).cast("string")
+    https = (d - d % 3) % 2 == 0
+    scheme = F.when(https, F.lit("https")).otherwise(F.lit("http"))
+    dport = F.when(https, F.lit(":443")).otherwise(F.lit(":80"))
+    ds = d.cast("string")
+    v = d % 3
+    return (
+        F.when(
+            v == 0,
+            F.concat(
+                scheme, F.lit("://www.example"), h, F.lit(".com"), dport,
+                F.lit("/page/"), pg, F.lit("?id="), pg,
+                F.lit("&utm_source=feed#s"), ds,
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.upper(scheme), F.lit("://EXAMPLE"), h,
+                F.lit(".COM/page/"), pg, F.lit("/?ref=a&id="), pg,
+            ),
+        )
+        .otherwise(
+            F.concat(
+                scheme, F.lit("://example"), h, F.lit(".com"), dport,
+                F.lit("/page/"), pg, F.lit("?fbclid=x"), ds,
+                F.lit("&id="), pg,
+            )
+        )
+    )
+
+
+def canonical_url(u: Column) -> Column:
+    """Rule-based URL canonicalization, all JVM-side string builtins
+    (no UDF): lowercase scheme+host, strip ``www.``, strip default
+    ports (http:80 / https:443, others kept), strip the fragment,
+    strip a trailing path slash, drop tracking params
+    (``utm_*``/``fbclid``/``gclid``/``ref``), and sort the surviving
+    query keys. Generic over any http(s) URL with an authority and a
+    path — nothing here knows the synthesis above."""
+    nofrag = F.substring_index(u, "#", 1)
+    scheme = F.lower(F.substring_index(nofrag, "://", 1))
+    rest = F.substring_index(nofrag, "://", -1)
+    auth = F.lower(F.substring_index(rest, "/", 1))
+    pathq = F.substr(rest, F.length(auth) + F.lit(1))
+    hostname = F.substring_index(auth, ":", 1)
+    port = F.when(auth.contains(":"), F.substring_index(auth, ":", -1)).otherwise(
+        F.lit("")
+    )
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    host = F.when(
+        hostname.startswith("www."), F.substr(hostname, F.lit(5))
+    ).otherwise(hostname)
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(
+        pathq.contains("?"), F.substring_index(pathq, "?", -1)
+    ).otherwise(F.lit(""))
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substr(path, F.lit(1), F.length(path) - F.lit(1)),
+    ).otherwise(path)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: ~(
+            p.startswith("utm_")
+            | p.startswith("fbclid=")
+            | p.startswith("gclid=")
+            | p.startswith("ref=")
+        ),
+    )
+    qs = F.when(query == "", F.lit("")).otherwise(
+        F.array_join(F.array_sort(params), "&")
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup census — the FIRST dedup stage of
+    every real crawl pipeline, run before any content hashing:
+    canonicalize each capture URL, group by canonical form, keep the
+    first capture (min doc_id), and report the per-source funnel
+    (docs, distinct canonical URLs, kept, purged, purge rate).
+
+    Scale: canonicalization is per-row codegen string algebra (no
+    UDF, no shuffle); the keep-first is ONE map-side-combinable
+    aggregate on the canonical key + one equi-join back — the
+    identical shape at 100 TB, where URL dedup typically removes
+    >50% of raw captures before the expensive content stages run.
+    ``pipeline_crawl_prep`` wires the same keep-first in as stage
+    02 of the ingest funnel.
+    """
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id", "source", synth_capture_url(F.col("doc_id")).alias("url")
+    )
+    curls = docs.select("doc_id", "source", canonical_url(F.col("url")).alias("curl"))
+    keep = curls.groupBy("curl").agg(F.min("doc_id").alias("keep_id"))
+    flagged = curls.join(keep, "curl").withColumn(
+        "is_keep", (F.col("doc_id") == F.col("keep_id")).cast("long")
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("curl").alias("n_unique_urls"),
+            F.sum("is_keep").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("is_keep")).alias("n_purged"),
+            (
+                F.round(
+                    10000.0
+                    * (F.count(F.lit(1)) - F.sum("is_keep"))
+                    / F.count(F.lit(1))
+                )
+                / 10000.0
+            ).alias("purge_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+# DuckDB twins: the same synthesis and the same rules, step by step.
+_SQL_SYNTH_URL = """
+  CASE doc_id % 3
+    WHEN 0 THEN sch || '://www.example' || h || '.com' || dport
+                || '/page/' || pg || '?id=' || pg || '&utm_source=feed#s'
+                || CAST(doc_id AS VARCHAR)
+    WHEN 1 THEN upper(sch) || '://EXAMPLE' || h || '.COM/page/' || pg
+                || '/?ref=a&id=' || pg
+    ELSE sch || '://example' || h || '.com' || dport || '/page/' || pg
+         || '?fbclid=x' || CAST(doc_id AS VARCHAR) || '&id=' || pg
+  END
+"""
+
+_SQL_URL_BASE = f"""u00 AS (
+  SELECT doc_id, source, n_chars,
+         CAST(doc_id - doc_id % 3 AS VARCHAR) AS pg,
+         CAST((doc_id - doc_id % 3) % 7 AS VARCHAR) AS h,
+         CASE WHEN (doc_id - doc_id % 3) % 2 = 0 THEN 'https' ELSE 'http' END AS sch,
+         CASE WHEN (doc_id - doc_id % 3) % 2 = 0 THEN ':443' ELSE ':80' END AS dport
+  FROM documents
+), u0 AS (
+  SELECT doc_id, source, n_chars, {_SQL_SYNTH_URL} AS url FROM u00
+), u1 AS (
+  SELECT *, split_part(url, '#', 1) AS nofrag FROM u0
+), u2 AS (
+  SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+         substr(nofrag, length(split_part(nofrag, '://', 1)) + 4) AS rest
+  FROM u1
+), u3 AS (
+  SELECT *, lower(split_part(rest, '/', 1)) AS auth,
+         substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+  FROM u2
+), u4 AS (
+  SELECT *, split_part(auth, ':', 1) AS hostname,
+         CASE WHEN contains(auth, ':') THEN split_part(auth, ':', 2)
+              ELSE '' END AS port
+  FROM u3
+), u5 AS (
+  SELECT *,
+         CASE WHEN starts_with(hostname, 'www.') THEN substr(hostname, 5)
+              ELSE hostname END AS host,
+         split_part(pathq, '?', 1) AS path,
+         CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2)
+              ELSE '' END AS query
+  FROM u4
+), u6 AS (
+  SELECT *,
+         CASE WHEN length(path) > 1 AND ends_with(path, '/')
+              THEN substr(path, 1, length(path) - 1) ELSE path END AS path2,
+         CASE WHEN query = '' THEN ''
+              ELSE array_to_string(list_sort(list_filter(
+                     string_split(query, '&'),
+                     p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'fbclid=')
+                               OR starts_with(p, 'gclid=') OR starts_with(p, 'ref=')))),
+                   '&') END AS qs
+  FROM u5
+), curls AS (
+  SELECT doc_id, source, n_chars, hostname,
+         scheme || '://' || host
+         || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                          OR (scheme = 'https' AND port = '443'))
+                 THEN ':' || port ELSE '' END
+         || path2
+         || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS curl
+  FROM u6
+)"""
+
+DEDUP_URL_CANONICAL_SQL = f"""
+WITH {_SQL_URL_BASE}, keep AS (
+  SELECT curl, min(doc_id) AS keep_id FROM curls GROUP BY curl
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT curl) AS n_unique_urls,
+       CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END) AS BIGINT) AS n_purged,
+       round(10000.0 * sum(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END)
+             / count(*)) / 10000.0 AS purge_rate
+FROM curls JOIN keep USING (curl)
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["dedup_url_canonical"] = (dedup_url_canonical, DEDUP_URL_CANONICAL_SQL)
+
+
+def raw_hostname(u: Column) -> Column:
+    """Lowercased hostname of a capture URL (port stripped, ``www.``
+    KEPT — host censuses count what the crawler actually hit)."""
+    auth = F.lower(
+        F.substring_index(
+            F.substring_index(F.substring_index(u, "#", 1), "://", -1), "/", 1
+        )
+    )
+    return F.substring_index(auth, ":", 1)

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.io.sources import Catalog, expand_parallelism
 
 META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, content_md5 string, "
@@ -2121,3 +2121,95 @@ QUERIES["mm_webdataset_tar_census"] = (
     mm_webdataset_tar_census,
     MM_WDS_TAR_SQL,
 )
+
+
+# ---------------------------------------------------------------------------
+# Host / domain census + blocklist gate (§F — crawl hygiene; round 16)
+# ---------------------------------------------------------------------------
+
+# bounded blocklist fixture, deterministic like every other fixture:
+# the domains a crawl operator refuses to ingest. A production list
+# (spam/adult/pirated) is likewise a bounded side table.
+HOST_BLOCKLIST = ("example0.com", "example3.com", "example6.com")
+
+
+def mm_host_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain crawl census + blocklist gate — the hygiene pass a
+    crawl pipeline runs right after URL dedup: extract the
+    registrable domain from each capture's URL (WARC-Target-URI in a
+    real shard; the deterministic synthesized capture URL here),
+    census docs / distinct feeds / content bytes per domain, and
+    anti-join the bounded blocklist. Blocked mass is not silently
+    dropped: it rolls up into one ``__blocked__`` ledger row so the
+    removal is value-checked.
+
+    Scale: domain extraction is per-row codegen string algebra; the
+    census is ONE aggregate on the domain key (domains are a bounded
+    vocabulary — web registrable domains are ~10^8 max, trivially
+    shardable); the blocklist is the genuinely bounded side and
+    broadcasts. Nothing fact-grain crosses the driver.
+    """
+    from etl_gov_spark.operators.dedup import raw_hostname, synth_capture_url
+
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        raw_hostname(synth_capture_url(F.col("doc_id"))).alias("hostname"),
+    )
+    n_total = docs.count()  # one scalar for the share denominator
+    dom = docs.select(
+        F.substring_index("hostname", ".", -2).alias("domain"),
+        "source",
+        "n_chars",
+    )
+    blk = spark.createDataFrame([(d,) for d in HOST_BLOCKLIST], "domain string")
+
+    def census(d: DataFrame, grouped: bool) -> DataFrame:
+        keys = [F.col("domain")] if grouped else [F.lit("__blocked__").alias("domain")]
+        return d.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("content_bytes"),
+            (
+                F.round(10000.0 * F.count(F.lit(1)) / F.lit(float(n_total)))
+                / 10000.0
+            ).alias("doc_share"),
+        )
+
+    kept = census(dom.join(F.broadcast(blk), "domain", "left_anti"), True)
+    blocked = census(dom.join(F.broadcast(blk), "domain", "left_semi"), False)
+    return kept.unionByName(blocked).orderBy("domain")
+
+
+def _mm_host_census_sql() -> str:
+    from etl_gov_spark.operators.dedup import _SQL_URL_BASE
+
+    blk = ", ".join(f"'{d}'" for d in HOST_BLOCKLIST)
+    return f"""
+WITH {_SQL_URL_BASE}, dom AS (
+  SELECT array_to_string(sp[greatest(1, len(sp) - 1):len(sp)], '.') AS domain,
+         source, n_chars
+  FROM (SELECT string_split(hostname, '.') AS sp, source, n_chars FROM curls)
+), tot AS (SELECT count(*) AS n FROM documents)
+SELECT domain, n_docs, n_sources, content_bytes, doc_share FROM (
+  SELECT domain,
+         count(*) AS n_docs,
+         count(DISTINCT source) AS n_sources,
+         CAST(sum(n_chars) AS BIGINT) AS content_bytes,
+         round(10000.0 * count(*) / (SELECT n FROM tot)) / 10000.0 AS doc_share
+  FROM dom WHERE domain NOT IN ({blk})
+  GROUP BY domain
+  UNION ALL
+  SELECT '__blocked__',
+         count(*),
+         count(DISTINCT source),
+         CAST(sum(n_chars) AS BIGINT),
+         round(10000.0 * count(*) / (SELECT n FROM tot)) / 10000.0
+  FROM dom WHERE domain IN ({blk})
+)
+ORDER BY domain
+"""
+
+
+QUERIES["mm_host_census"] = (mm_host_census, _mm_host_census_sql())

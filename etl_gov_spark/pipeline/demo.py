@@ -437,10 +437,26 @@ def build_crawl_prep_pipeline(spark: SparkSession, sf_dir: str) -> Pipeline:
             .select("doc_id", "source", "text", tokens_col().alias("toks"))
         )
 
-    @p.task("langid", deps=["responses"])
+    @p.task("url_dedup", deps=["responses"])
+    def url_dedup(ctx) -> DataFrame:
+        # dedup_url_canonical's keep-first, run BEFORE any content
+        # stage — the first dedup every real crawl pipeline performs
+        # (canonicalize the capture URL, keep the earliest capture).
+        # The capture URL derives from the crawl identity parsed out
+        # of the archive; a real ingest reads it straight from
+        # WARC-Target-URI.
+        from etl_gov_spark.operators.dedup import canonical_url, synth_capture_url
+
+        d = ctx.pull("responses").withColumn(
+            "curl", canonical_url(synth_capture_url(F.col("doc_id")))
+        )
+        keep = d.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+        return d.join(keep, ["curl", "doc_id"]).drop("curl")
+
+    @p.task("langid", deps=["url_dedup"])
     def langid(ctx) -> DataFrame:
         # text_langid's stopword-profile argmax, as the keep-en gate
-        d = ctx.pull("responses")
+        d = ctx.pull("url_dedup")
         t = F.col("toks")
         en, es, fr, de = (
             _stop_hits(t, STOPWORDS_EN),
@@ -491,10 +507,13 @@ def pipeline_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Common-Crawl ingest funnel end to end, as a per-stage
     ledger: one row per (stage, source) with record/doc/token
     counts. Stage 00 is the ARCHIVE layer (every WARC record that
-    survived the real inflate + CRC walk); stages 01–04 are the
-    document funnel (response extraction → stopword-profile
-    langid keep-en → Gopher rules → exact dedup), each an
-    established engine discipline wired through the Pipeline DSL.
+    survived the real inflate + CRC walk); stages 01–05 are the
+    document funnel (response extraction → canonical-URL keep-first
+    dedup → stopword-profile langid keep-en → Gopher rules → exact
+    content dedup), each an established engine discipline wired
+    through the Pipeline DSL. URL dedup runs FIRST among the doc
+    stages, exactly where a real crawl pipeline runs it — cheap
+    string algebra that shrinks everything downstream.
 
     Scale shape: archive bytes cross exactly ONE Arrow stage and
     are never reshuffled (records emerge as narrow rows); every
@@ -523,9 +542,10 @@ def pipeline_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = (
         ledger(ctx.pull("records"), "00_records", True)
         .unionByName(ledger(ctx.pull("responses"), "01_responses", False))
-        .unionByName(ledger(ctx.pull("langid"), "02_langid", False))
-        .unionByName(ledger(ctx.pull("gopher"), "03_gopher", False))
-        .unionByName(ledger(ctx.pull("dedup"), "04_dedup", False))
+        .unionByName(ledger(ctx.pull("url_dedup"), "02_url_dedup", False))
+        .unionByName(ledger(ctx.pull("langid"), "03_langid", False))
+        .unionByName(ledger(ctx.pull("gopher"), "04_gopher", False))
+        .unionByName(ledger(ctx.pull("dedup"), "05_dedup", False))
     )
     return rows.orderBy("stage", "source")
 
@@ -539,23 +559,29 @@ def _crawl_prep_sql() -> str:
         _sql_stop_hits,
     )
 
+    from etl_gov_spark.operators.dedup import _SQL_URL_BASE
+
     en = _sql_stop_hits(STOPWORDS_EN)
     es = _sql_stop_hits(STOPWORDS_ES)
     fr = _sql_stop_hits(STOPWORDS_FR)
     de = _sql_stop_hits(STOPWORDS_DE)
     return f"""
-WITH resp AS (
+WITH {_SQL_URL_BASE}, resp AS (
   SELECT doc_id, source, text,
          string_split_regex(trim(text), '\\s+') AS toks
   FROM documents
 ), rec AS (
   SELECT doc_id, source FROM resp
   CROSS JOIN (SELECT unnest(['warcinfo', 'request', 'response']) AS wt)
+), ukeep AS (
+  SELECT curl, min(doc_id) AS doc_id FROM curls GROUP BY curl
+), udd AS (
+  SELECT r.* FROM resp r JOIN ukeep k ON r.doc_id = k.doc_id
 ), langid AS (
   SELECT * FROM (
-    SELECT resp.*, {en} AS en_hits,
+    SELECT udd.*, {en} AS en_hits,
            greatest({en}, {es}, {fr}, {de}) AS best
-    FROM resp
+    FROM udd
   ) WHERE best > 0 AND en_hits = best
 ), gopher AS (
   SELECT doc_id, source, text, toks FROM (
@@ -586,15 +612,19 @@ SELECT '01_responses', source, count(*), count(*),
        CAST(sum(len(toks)) AS BIGINT)
 FROM resp GROUP BY source
 UNION ALL
-SELECT '02_langid', source, count(*), count(*),
+SELECT '02_url_dedup', source, count(*), count(*),
+       CAST(sum(len(toks)) AS BIGINT)
+FROM udd GROUP BY source
+UNION ALL
+SELECT '03_langid', source, count(*), count(*),
        CAST(sum(len(toks)) AS BIGINT)
 FROM langid GROUP BY source
 UNION ALL
-SELECT '03_gopher', source, count(*), count(*),
+SELECT '04_gopher', source, count(*), count(*),
        CAST(sum(len(toks)) AS BIGINT)
 FROM gopher GROUP BY source
 UNION ALL
-SELECT '04_dedup', source, count(*), count(*),
+SELECT '05_dedup', source, count(*), count(*),
        CAST(sum(len(toks)) AS BIGINT)
 FROM ded GROUP BY source
 ORDER BY stage, source

@@ -18,79 +18,72 @@ from pyspark.sql import DataFrame, SparkSession
 # green after the driver consumes this very prefix (VERDICT r12
 # "What's wrong" #1: the old invariant self-invalidated the moment
 # CORRECTNESS_r12.json landed).
-PIN_ROTATION_ROUND = 15
+PIN_ROTATION_ROUND = 16
 
 # Queries pinned to the very front of queries() so the driver's
 # 50-entry correctness prefix re-adjudicates them first.
 _PINNED_FIRST = (
-    # Round-15 rotation (VERDICT r14 "Next round" #2). Slots split
-    # three ways: (1) the two queries ADDED in round 15 (no driver
-    # signal yet), (2) queries whose IMPLEMENTATION changed in round
-    # 15 (conformal rank-ladder refactor, KN unbroadcast, JPEG/WARC
-    # parser hardening — fresh code needs fresh driver signal), then
-    # (3) the remaining budget re-verifies the OLDEST independent
-    # driver signal: all 19 names whose latest adjudication dates
-    # from r1-r2 (the VERDICT r14 list, closing the backlog), and
-    # the r3-vintage refill in (vintage, name) order per
-    # tools/rotate_pins.py.
-    # --- added in round 15 (no driver signal yet) ---
-    "ann_hybrid_rrf",
-    "ann_hybrid_recall",
-    "ann_hybrid_rsf",
-    "ann_hybrid_weight_sweep",
+    # Round-16 rotation (VERDICT r15 "Next round" #2). Slots split:
+    # (1) the 17 r16 new/changed implementations — the two NEW crawl
+    # ops, the funnel that now embeds URL dedup, the batched-BPE
+    # family (trajectory changed), everything downstream of the
+    # pointer-doubling connected components, the AQE-join
+    # dedup_embedding, and the capped-query BM25 + hybrid family;
+    # then (2) the oldest independent driver signal, (vintage, name)
+    # order: all 26 r3-vintage names, then the 7 oldest r4 names.
+    # --- new / changed in round 16 ---
+    "dedup_url_canonical",
+    "mm_host_census",
     "pipeline_crawl_prep",
-    "corpus_kenlm_5gram",
-    # --- implementation changed in round 15 ---
-    "stream_conformal_gate",
-    "corpus_conformal_quality",
-    "corpus_kenlm_perplexity",
-    "corpus_ccnet_buckets_kn",
-    "mm_image_jpeg_census",
-    "mm_warc_gzip_census",
-    # --- oldest-vintage refreshes: the 19 r1-r2 leftovers ---
-    "ann_bruteforce_topk",
-    "ann_lsh_topk",
+    "corpus_bpe_vocab",
+    "corpus_bpe_compression",
+    "corpus_bpe_apply",
+    "corpus_tokenizer_compare",
+    "emb_dbscan_clusters",
+    "dedup_clusters",
     "dedup_keep_policy",
-    "emb_label_centroids",
-    "emb_norm_stats",
-    "emb_outlier_scores",
-    "graph_triangle_count",
-    "q_autocorrelation",
-    "q_ewma_value",
-    "q_gap_fill",
-    "q_interp_linear",
-    "q_rolling_median",
-    "q_seasonal_decompose",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "text_tfidf",
-    "text_top_bigrams",
-    "text_tokens",
-    # --- oldest-vintage refill: r3 driver signal ---
-    "cdc_latest_order_state",
-    "corpus_chunking",
-    "corpus_contamination",
-    "corpus_cross_source_overlap",
-    "corpus_heaps_law",
-    "corpus_mix_weights",
-    "corpus_ngram_novelty",
-    "corpus_pack_greedy",
-    "corpus_repetition",
-    "corpus_sample_mixture",
-    "corpus_segment_dedup",
-    "corpus_split",
-    "corpus_split_stratified",
-    "corpus_unigram_logprob",
-    "dq_accepted_values",
-    "dq_cross_field",
-    "dq_distribution_drift",
-    "dq_duplicate_payments",
-    "dq_expectation_suite",
+    "dedup_semdedup_keep",
+    "dedup_embedding",
+    "text_bm25_topk",
+    "ann_hybrid_rrf",
+    "ann_hybrid_rsf",
+    "ann_hybrid_recall",
+    "ann_hybrid_weight_sweep",
+    # --- oldest-vintage refresh: latest driver signal r3 ---
     "dq_null_profile",
     "dq_referential",
     "dq_uniqueness",
     "dq_value_bounds",
+    "merge_upsert_customers",
+    "mm_binary_meta",
+    "mm_frame_sample",
+    "mm_modality_mix",
+    "mm_shard_manifest",
+    "q_benford_digits",
+    "q_chi2_segment_priority",
+    "q_gini_concentration",
+    "q_hhi_supplier_concentration",
+    "q_impute_clamp",
+    "q_new_vs_returning",
+    "q_order_backlog",
+    "q_pareto_share",
+    "q_reservoir_per_group",
+    "q_sequence_gaps",
+    "q_structuring_screen",
+    "q_unpivot_metrics",
+    "q_weekly_seasonality",
+    "q_weighted_sample",
+    "scd2_order_status_history",
+    "scd2_temporal_join",
+    "text_pii_scrub",
+    # --- oldest-vintage refresh: latest driver signal r4 ---
+    "dq_checksum_manifest",
+    "dq_freshness",
+    "emb_pca_top_component",
+    "emb_quantize_int8",
+    "fuzzy_join_names",
+    "graph_pagerank",
+    "mm_feature_extract",
 )
 
 

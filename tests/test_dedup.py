@@ -603,3 +603,58 @@ def test_substring_excise_short_runs_untouched(spark, tmp_path):
     )
     df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
     assert dedup_substring_excise(spark, str(tmp_path)).count() == 0
+
+
+def test_canonical_url_rules(spark):
+    """canonical_url applies each rule independently of the synth:
+    case, www, default ports (kept non-default), fragment, trailing
+    slash, tracking params, query-key sort."""
+    from pyspark.sql import functions as F
+
+    from etl_gov_spark.operators.dedup import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/?b=2&a=1&utm_x=9#frag", "https://ex.com/A?a=1&b=2"),
+        ("http://ex.com:80/p?id=1", "http://ex.com/p?id=1"),
+        ("http://ex.com:8080/p?id=1", "http://ex.com:8080/p?id=1"),
+        ("https://ex.com/p/?ref=z&z=1&gclid=g&fbclid=f", "https://ex.com/p?z=1"),
+        ("http://ex.com/", "http://ex.com/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_canonical_census_accounting(spark, sf_dir):
+    """dedup_url_canonical: kept+purged == docs per source, the
+    corpus-wide keep count equals the distinct canonical URL count,
+    and every page group keeps its FIRST capture (min doc_id)."""
+    from etl_gov_spark.operators.dedup import dedup_url_canonical
+
+    rows = dedup_url_canonical(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_kept + r.n_purged == r.n_docs
+        assert 0.0 <= r.purge_rate <= 1.0
+    # corpus-wide: one keeper per canonical URL (page group of 3)
+    n_docs = sum(r.n_docs for r in rows)
+    assert sum(r.n_kept for r in rows) == (n_docs + 2) // 3
+
+
+def test_host_census_blocklist_partition(spark, sf_dir):
+    """mm_host_census: blocked domains never appear as kept rows,
+    the __blocked__ rollup plus kept rows account for every doc,
+    and doc shares sum to ~1."""
+    from etl_gov_spark.operators.multimodal import HOST_BLOCKLIST, mm_host_census
+
+    rows = mm_host_census(spark, sf_dir).collect()
+    by = {r.domain: r for r in rows}
+    assert "__blocked__" in by
+    assert not (set(by) & set(HOST_BLOCKLIST))
+    from etl_gov_spark.io.sources import Catalog
+
+    n_total = Catalog(spark, sf_dir).documents.count()
+    assert sum(r.n_docs for r in rows) == n_total
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 0.01

@@ -770,8 +770,9 @@ def test_crawl_prep_funnel(spark, sf_dir):
     """pipeline_crawl_prep: the archive layer yields exactly 3 WARC
     records per document (warcinfo/request/response), response
     extraction is lossless (doc and token counts equal the raw
-    corpus), and the document funnel only shrinks through langid →
-    gopher → dedup."""
+    corpus), url-dedup keeps exactly one capture per canonical URL,
+    and the document funnel only shrinks through url_dedup →
+    langid → gopher → dedup."""
     from collections import defaultdict
 
     from etl_gov_spark.io.sources import read_table
@@ -798,13 +799,24 @@ def test_crawl_prep_funnel(spark, sf_dir):
     for src in n_by_src:
         chain = [
             by[s].get(src)
-            for s in ("01_responses", "02_langid", "03_gopher", "04_dedup")
+            for s in (
+                "01_responses",
+                "02_url_dedup",
+                "03_langid",
+                "04_gopher",
+                "05_dedup",
+            )
         ]
         counts = [c.n_docs for c in chain if c is not None]
         assert counts == sorted(counts, reverse=True) or all(
             a >= b for a, b in zip(counts, counts[1:])
         )
-    # langid actually cut something corpus-wide (multi-lang corpus)
     tot = lambda s: sum(r.n_docs for r in by[s].values())  # noqa: E731
-    assert tot("02_langid") < tot("01_responses")
-    assert tot("04_dedup") <= tot("03_gopher") <= tot("02_langid")
+    # url-dedup keeps exactly one capture per canonical URL: pages
+    # group every 3 consecutive doc_ids, so the corpus-wide keep
+    # count equals the number of distinct page groups
+    n_total = sum(n_by_src.values())
+    assert tot("02_url_dedup") == (n_total + 2) // 3
+    # langid actually cut something corpus-wide (multi-lang corpus)
+    assert tot("03_langid") < tot("02_url_dedup")
+    assert tot("05_dedup") <= tot("04_gopher") <= tot("03_langid")

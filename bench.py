@@ -102,6 +102,10 @@ HEADLINE = [
     "corpus_kenlm_perplexity",
     "emb_dbscan_clusters",
     "text_bm25_topk",
+    # r16 widening: the crawl-identity hygiene pair (codegen string
+    # algebra + canonical-key aggregate; the funnel's cheapest and
+    # highest-leverage stage at 100 TB)
+    "dedup_url_canonical",
 ]
 
 

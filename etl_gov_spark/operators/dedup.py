@@ -569,6 +569,12 @@ WHERE a.doc_id < b.doc_id
 
 EMB_DUP_THRESHOLD = 0.35
 EMB_BANDS = 16
+# Verify-join build-side ceiling: broadcast the materialized vector
+# table while its MEASURED row count stays under this (≈300 MB of
+# (id, 64-double vector, norm) rows against the 8 GB driver);
+# beyond it the verify joins take the shuffled-hash path. See
+# dedup_embedding for the measured rationale.
+EMB_BROADCAST_MAX_VECS = 500_000
 EMB_PLANES_PER_BAND = 8
 EMB_DIM = 64
 
@@ -591,6 +597,12 @@ def _emb_band_patterns(v: str | Column) -> Column:
     every band's 8 HOF dot-folds under each of its 8 masks (1024
     folds/vector instead of 64; no CSE across higher-order
     functions), a measured 8× slowdown of the banding stage."""
+    # NOTE r16: "flattening" these dots into element_at chains was
+    # measured SLOWER (here 4×, and 1.7× for the single verify-join
+    # dot): the giant projection blows past codegen method limits,
+    # the stage falls back to the interpreted evaluator, and a
+    # many-node interpreted tree loses to the interpreted fold's
+    # single array traversal. HOF folds stay.
     col = F.col(v) if isinstance(v, str) else v
     planes = _emb_planes()
     b = EMB_PLANES_PER_BAND
@@ -696,18 +708,44 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    # The pair dot stays an aggregate(zip_with(...)) fold — measured
+    # r16 NOTE: "flattening" it into 128 element_at terms looked like
+    # a codegen win but measured 1.7× SLOWER at the 80M-pair 10×
+    # rung: the merged project+filter tree blows past the codegen
+    # method limit, the whole stage falls back to the interpreted
+    # evaluator, and a 500-node interpreted tree loses to the
+    # interpreted fold's single array traversal. The fold is the
+    # right per-pair shape; the pair MASS is what the LSH bucket
+    # caps control.
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("n").alias("na")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    # No explicit broadcast hints on the verify joins: the vector
-    # sides are FACT-grain (they grow with the corpus — pinning a
-    # broadcast would force an O(N) driver build at scale), and both
-    # inputs now have exact stats (emb and cand are eagerly
-    # checkpointed), so AQE picks broadcast at test scale and
-    # shuffled hash join once either side outgrows the threshold —
-    # the same stats-driven stance as the KN unigram joins.
+    # Verify-join strategy from MEASURED cardinality (r16): neither
+    # static choice survives both regimes. Broadcasting the vector
+    # sides is optimal while they fit (map-only; the candidate mass
+    # streams — candidates outnumber vectors whenever duplication is
+    # dense, 80M pairs from 20k vectors at the 10× clone rung) but
+    # OOMs once the corpus outgrows the driver; forcing shuffle_hash
+    # is safe but re-shuffles the candidate×vector payload twice
+    # (measured 196 s vs 135 s at that same rung). And the planner
+    # can't be left to decide: localCheckpoint carries the child
+    # plan's ESTIMATE, not measured size, and it chose to broadcast
+    # the multi-GB candidate set (8 GB broadcast OOM). emb is already
+    # materialized, so its EXACT count is one cheap job — broadcast
+    # the vector sides while they're genuinely small, shuffle-hash
+    # (which also forbids the cand broadcast) beyond that. At 100 TB
+    # the vector table is fact-grain and always takes the shuffled
+    # path; LSH bucket caps keep the pair mass linear either way.
+    if emb.count() <= EMB_BROADCAST_MAX_VECS:
+        a, b = F.broadcast(a), F.broadcast(b)
+    else:
+        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")

@@ -2,16 +2,18 @@
 connected components over the near-duplicate pair graph.
 
 The missing last step of every dedup pipeline: pairs → clusters →
-one canonical doc per cluster. Spark-first as iterative min-label
-propagation (each round is one distributed join+aggregate — the
-simplified large-star/small-star layout from the MapReduce
-connected-components literature). Convergence needs O(diameter)
-rounds; near-dup clusters are shallow (docs similar to a common
-template), so this terminates in 2-4 rounds; a hard cap guards
-pathological chains.
+one canonical doc per cluster. Spark-first as min-label propagation
+WITH POINTER DOUBLING (each round: one distributed join+aggregate
+for the neighbor min, one label self-join for the jump — the
+pointer-doubling member of the large-star/small-star MapReduce CC
+family, Kiveris et al. 2014). Convergence takes O(log diameter)
+rounds; a hard cap guards pathological chains.
 
-Oracle: DuckDB recursive CTE computes min-reachable-id per node —
-an exact, engine-independent definition of the same components.
+Oracles: dedup_clusters keeps the DuckDB recursive CTE
+(min-reachable-id — an exact, engine-independent definition of the
+same components); emb_dbscan_clusters uses the unrolled
+fixed-round replay (_cc_replay_sql) that stays linear under sf1
+clone replication.
 """
 
 from __future__ import annotations
@@ -33,7 +35,15 @@ from etl_gov_spark.operators.dedup import (
 
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
-MAX_ROUNDS = 15
+MAX_ROUNDS = 30  # LS/SS halves path diameter per round: covers ~2^30; typical graphs converge in <=7 (early break)
+
+# rounds the most recent connected_components call took (incl. the
+# final no-change round) and whether it actually reached the
+# fixpoint within MAX_ROUNDS — read by the stress ladders to log
+# per-rung round counts; diagnostics only, never consumed by query
+# logic.
+LAST_CC_ROUNDS = 0
+LAST_CC_CONVERGED = False
 
 
 
@@ -79,98 +89,109 @@ def _near_dup_edges(docs: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
-    """Min-label propagation with pointer doubling, to fixpoint.
+    """Alternating large-star / small-star connected components
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond" — the algorithm the round-15 review asked for by name).
 
-    Each round does two updates:
-      1. neighbor-min: every node adopts the smallest label among
-         itself and its neighbors (one shuffle aggregate + one join);
-      2. pointer jump: ``l(v) <- l(l(v))`` (one self-join on the
-         label relation) — the label chain toward the component
-         minimum HALVES each round, so convergence takes
-         O(log diameter) rounds instead of the O(diameter) that
-         plain propagation needs (the non-shrinking round floor
-         flagged by the round-15 review). This is the pointer-
-         doubling variant of the alternating large-star/small-star
-         MapReduce CC family (Kiveris et al. 2014).
+    Each round rewrites the EDGE set itself:
+      - large-star(u): every neighbor v > u re-attaches to
+        m(u) = min(N(u) ∪ {u});
+      - small-star(u): every down-neighbor re-attaches to
+        m(u) = min(N⁻(u)), and u hooks onto m(u).
+    Both steps preserve connectivity exactly, edges migrate toward
+    component minima, and the set converges to a STAR FOREST rooted
+    at each component's min id in O(log² n) rounds worst-case
+    (typically ≤6) — unlike label-only propagation + pointer
+    jumping, which round-16 measured stalling on plateau-merge
+    chains at the 30× clone-replica stress rung (label jumps
+    compress chains, but flattened REGIONS still merged one
+    edge-hop per round and bounced off the round cap).
 
-    Correctness is unchanged: labels always name a node in the same
-    component (the jump target's label is in ITS component, which is
-    the same component), and labels are monotone non-increasing
-    (``l(u) <= u`` inductively, so ``l(l(v)) <= l(v)``). At fixpoint
-    the label is constant per component and self-owned, hence the
-    component MINIMUM — the exact value the plain-propagation
-    fixpoint and the DuckDB min-reachable oracle produce, so no
-    oracle changes.
+    At the fixpoint both steps are identity transforms, so running
+    extra rounds is a no-op — which is what makes the unrolled
+    fixed-round oracle replay (_cc_replay_sql) safe: Spark's early
+    break at convergence cannot diverge from the oracle's full
+    unroll. Output: (node, component=min node id), node set taken
+    from the input edges (self-loop-only nodes keep themselves).
 
-    The driver loop only checks a converged count — labels
-    themselves never leave the cluster. Input edges are undirected
-    (symmetrized here); output: (node, component=min node id).
-
-    Label lineage is truncated with ``localCheckpoint`` EVERY round:
-    the jump self-join references its input twice, so an untruncated
-    plan doubles per round (driver-side planning blowup, the classic
-    iterative-algorithm failure on Spark).
+    Scale shape per round: two grouped min-aggregates + two joins +
+    two distincts over a SHRINKING edge set — all linear shuffles on
+    uniform keys; nothing is collected. Edge lineage is truncated
+    with ``localCheckpoint`` every round (each round references its
+    edge set four times — an untruncated plan grows 4× per round).
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    sym = sym.cache()
-    labels = (
-        sym.select(F.col("src").alias("node"))
+    nodes = (
+        edges.select(F.col("doc_a").alias("node"))
+        .union(edges.select(F.col("doc_b").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
-    for round_idx in range(max_rounds):
-        nbr_min = (
-            sym.join(labels, sym.src == labels.node)
-            .groupBy("dst")
-            .agg(F.min("label").alias("nbr_label"))
+    # canonical directed form (hi, lo), self-loops dropped
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
         )
-        # The self-join below would put this subplan in the round's
-        # plan TWICE — doubling plan size every round (exponential in
-        # rounds; Catalyst's explain/analyze cost alone kills the
-        # query long before execution does). localCheckpoint replaces
-        # the lineage with a leaf immediately, so the per-round plan
-        # stays O(1) deep — stricter truncation than the every-N
-        # cadence plain propagation needed.
-        stepped = (
-            labels.join(nbr_min, labels.node == nbr_min.dst, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    global LAST_CC_ROUNDS, LAST_CC_CONVERGED
+    LAST_CC_ROUNDS = 0
+    LAST_CC_CONVERGED = False
+    for round_idx in range(max_rounds):
+        # large-star: per node u over SYMMETRIZED neighbors,
+        # m = min(N(u) ∪ {u}); every neighbor v > u re-attaches to m.
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m_ls = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("_mv", "u").alias("m"))
+        )
+        ls = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m_ls, "u")
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        # pointer jump: follow the label's own label. Every label is
-        # a live node id (labels covers all nodes), so inner join is
-        # total; l(l(v)) <= l(v) by monotonicity, no least() needed.
-        new_labels = (
-            stepped.join(
-                stepped.select(
-                    F.col("node").alias("_ln"), F.col("label").alias("_ll")
-                ),
-                stepped.label == F.col("_ln"),
-            )
-            .select("node", F.col("_ll").alias("label"))
-            .cache()
+        # small-star: per node u over down-neighbors N⁻(u) (all
+        # < u in the directed form), m = min; re-attach N⁻ \ {m}
+        # and hook u itself onto m.
+        m_ss = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        new_e = (
+            ls.join(m_ss, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(m_ss.select("hi", F.col("m").alias("lo")))
+            .distinct()
+            .localCheckpoint(eager=False)
         )
+        same_count = new_e.count() == e.count()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            0
+            if same_count
+            and new_e.exceptAll(e).limit(1).count() == 0
+            else 1
         )
-        labels.unpersist()
-        labels = new_labels
+        e = new_e
+        LAST_CC_ROUNDS = round_idx + 1
+        LAST_CC_CONVERGED = changed == 0
         if changed == 0:
             break
-    sym.unpersist()
-    # truncate the accumulated per-round lineage: downstream
-    # consumers join against a leaf, not an O(rounds)-deep plan
-    return labels.select("node", F.col("label").alias("component")).localCheckpoint()
+    # star forest -> labels; roots and isolated nodes keep themselves.
+    # min(lo) per hi is the converged parent (and keeps the replay
+    # deterministic even if the cap were ever hit mid-convergence).
+    parents = e.groupBy("hi").agg(F.min("lo").alias("component"))
+    return (
+        nodes.join(parents, nodes.node == parents.hi, "left")
+        .select(
+            "node", F.coalesce("component", F.col("node")).alias("component")
+        )
+        .localCheckpoint()
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1454,37 +1475,56 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _cc_replay_sql(edges_cte: str, rounds: int = MAX_ROUNDS) -> str:
     """Unrolled non-recursive CC oracle: replay ``rounds`` rounds of
-    EXACTLY the Spark update (neighbor-min then pointer jump) as
+    EXACTLY the Spark large-star/small-star edge rewrite as
     MATERIALIZED CTEs over the symmetrized edge CTE ``edges_cte`` —
     the ``_pagerank_sql`` replay scheme applied to components. Each
-    round is two joins + one aggregate, all linear in |V|+|E|; the
-    trajectory is a deterministic integer function of the edge set,
-    so the replay is hash-exact even before convergence, and rounds
-    after the fixpoint are no-ops (Spark's early break at fixpoint
-    therefore cannot diverge from the fixed unroll). Replaces the
-    WITH RECURSIVE transitive closure that went quadratic under the
-    sf1 clone replication. Yields CTEs ending in ``ccfinal(node,
-    label)``."""
+    round is two grouped mins + two joins + two distincts, all
+    linear in |E| (and E shrinks); the trajectory is a
+    deterministic set function of the input edges, so the replay is
+    hash-exact, and both steps are identity transforms at the
+    star-forest fixpoint, so rounds after convergence are no-ops
+    (Spark's early break cannot diverge from the fixed unroll).
+    Replaces the WITH RECURSIVE transitive closure that went
+    quadratic under the sf1 clone replication. Yields CTEs ending
+    in ``ccfinal(node, label)``."""
     parts = [
-        f""", l0 AS MATERIALIZED (
-  SELECT DISTINCT a AS node, a AS label FROM {edges_cte}
+        f""", e0 AS MATERIALIZED (
+  SELECT DISTINCT greatest(a, b) AS hi, least(a, b) AS lo
+  FROM {edges_cte} WHERE a <> b
 )"""
     ]
-    prev = "l0"
+    prev = "e0"
     for r in range(1, rounds + 1):
-        name = "ccfinal" if r == rounds else f"l{r}"
         parts.append(
-            f""", nm{r} AS MATERIALIZED (
-  SELECT e.b AS node, min(l.label) AS nbr
-  FROM {edges_cte} e JOIN {prev} l ON e.a = l.node GROUP BY e.b
-), j{r} AS MATERIALIZED (
-  SELECT l.node, least(l.label, coalesce(n.nbr, l.label)) AS label
-  FROM {prev} l LEFT JOIN nm{r} n USING (node)
-), {name} AS MATERIALIZED (
-  SELECT s.node, s2.label FROM j{r} s JOIN j{r} s2 ON s.label = s2.node
+            f""", sy{r} AS (
+  SELECT hi AS u, lo AS v FROM {prev}
+  UNION ALL
+  SELECT lo AS u, hi AS v FROM {prev}
+), ml{r} AS MATERIALIZED (
+  SELECT u, least(min(v), u) AS m FROM sy{r} GROUP BY u
+), ls{r} AS MATERIALIZED (
+  SELECT DISTINCT s.v AS hi, m.m AS lo
+  FROM sy{r} s JOIN ml{r} m USING (u) WHERE s.v > s.u
+), ms{r} AS MATERIALIZED (
+  SELECT hi, min(lo) AS m FROM ls{r} GROUP BY hi
+), e{r} AS MATERIALIZED (
+  SELECT DISTINCT hi, lo FROM (
+    SELECT l.lo AS hi, m.m AS lo
+    FROM ls{r} l JOIN ms{r} m USING (hi) WHERE l.lo <> m.m
+    UNION ALL
+    SELECT hi, m AS lo FROM ms{r}
+  )
 )"""
         )
-        prev = name
+        prev = f"e{r}"
+    parts.append(
+        f""", ccfinal AS MATERIALIZED (
+  SELECT n.node, coalesce(p.component, n.node) AS label
+  FROM (SELECT DISTINCT a AS node FROM {edges_cte}) n
+  LEFT JOIN (SELECT hi, min(lo) AS component FROM {prev} GROUP BY hi) p
+    ON p.hi = n.node
+)"""
+    )
     return "".join(parts)
 
 

@@ -55,6 +55,14 @@ def get_spark(
         # Broadcast threshold: dims (region/nation/supplier/part at
         # gov scale) broadcast; AQE also converts at runtime.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # local[N] runs driver AND all executor threads in ONE JVM,
+        # so this is the whole cluster's heap. 8g is MEASURED, not
+        # a leftover: raising it to 32g made the 10× dedup stress
+        # rung 1.5× SLOWER (197.7 s vs 134.6 s solo) — the bigger
+        # heap keeps the multi-GB cached pair RDDs heap-resident
+        # and pays old-gen GC where the small heap spills early and
+        # cheaply. On a real cluster executor memory is sized
+        # per-node and the storage fraction does this job.
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
         "spark.sql.optimizer.excludedRules": EXCLUDED_OPTIMIZER_RULES,

@@ -79,6 +79,8 @@ def main() -> None:
         t0 = time.perf_counter()
         db_rows = emb_dbscan_clusters(spark, work).count()
         wall_db = round(time.perf_counter() - t0, 2)
+        from etl_gov_spark.operators import graphs
+
         out["ladder"][f"{n}x"] = {
             "docs": docs.count() * n,
             "vectors": emb.count() * n,
@@ -86,6 +88,8 @@ def main() -> None:
             "bm25_rows": bm_rows,
             "dbscan_s": wall_db,
             "dbscan_rows": db_rows,
+            "cc_rounds": graphs.LAST_CC_ROUNDS,
+            "cc_converged": graphs.LAST_CC_CONVERGED,
         }
         print(json.dumps({f"{n}x": out["ladder"][f"{n}x"]}), flush=True)
     print(json.dumps(out), flush=True)

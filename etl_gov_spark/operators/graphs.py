@@ -505,9 +505,9 @@ LPA_ITERS = 2
 
 def label_propagation(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     """Synchronous majority-vote label propagation (community
-    detection — distinct from ``connected_components``' min-label
-    fixpoint: LPA splits a weakly-bridged component into its dense
-    cores). Each of the fixed ``iters`` rounds every node adopts
+    detection — distinct from ``connected_components``' min-id
+    component fixpoint: LPA splits a weakly-bridged component into
+    its dense cores). Each of the fixed ``iters`` rounds every node adopts
     the most frequent label among its NEIGHBORS (tie → smallest
     label, so the update is a deterministic function of the edge
     set), all nodes updating simultaneously.

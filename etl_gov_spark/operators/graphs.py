@@ -1267,12 +1267,18 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.node").alias("node"), F.col("y.nbr").alias("reach"))
         .filter(F.col("node") != F.col("reach"))
     )
+    # ONE shuffle keyed on node with map-side set dedup, instead of
+    # distinct-on-pairs (shuffle 1) + regroup-by-node (shuffle 2):
+    # the wedge output is Σ deg² rows and was paying both shuffles
+    # at full width (worst per-query sf1 ratio in BENCH_SF1_r16).
+    # Per-node set size is bounded by the part catalog (a dimension,
+    # not a fact); a web-scale graph would swap the exact set for an
+    # HLL sketch, same plan shape.
     reach = (
         sym.select("node", F.col("nbr").alias("reach"))
         .union(two_hop)
-        .distinct()
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_reach"))
+        .agg(F.size(F.collect_set("reach")).alias("n_reach"))
     )
     bucket = F.floor(F.log2("n_reach")).cast("int")
     return reach.groupBy(bucket.alias("log2_bucket")).agg(

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from etl_gov_spark.io.sources import Catalog, expand_parallelism
 from etl_gov_spark.operators.text import MAX_SHINGLE_DF, tokens_col
@@ -653,6 +654,108 @@ def _emb_band_keys(v: str | Column) -> Column:
     return _emb_mask_keys(_emb_band_patterns(v))
 
 
+def _sign_tie_threshold() -> float:
+    """Smallest double strictly greater than decimal -0.0000005.
+
+    ``round(x, 6) >= 0`` (Spark HALF_UP BigDecimal semantics, and the
+    DuckDB twin) is exactly ``x > -0.0000005`` as a DECIMAL
+    comparison: -5e-7 has a factor 5⁶ in its reduced denominator, so
+    no binary double ever equals the tie point and the half-up branch
+    is unreachable. That makes the quantized sign test equal to one
+    plain double comparison ``x >= T`` with T chosen on the correct
+    side of the decimal tie — bit-for-bit the same bit pattern the
+    fold + round path produces, at zero per-row rounding cost."""
+    import math
+    from decimal import Decimal
+
+    t = -5e-7
+    return t if Decimal(t) > Decimal("-0.0000005") else math.nextafter(t, 0.0)
+
+
+_SIGN_TIE_T = _sign_tie_threshold()
+
+
+def _with_patterns_and_norm(emb: DataFrame) -> DataFrame:
+    """(vec_id, v) → (vec_id, v, n, pats): the per-vector norm and
+    the 16 per-band sign-pattern strings, computed in ONE
+    ``mapInArrow`` pass with NumPy instead of 128 interpreted
+    higher-order-function folds per row (guide §4.2: Spark
+    distributes, vectorized native code computes).
+
+    Bit-exactness contract (what keeps the oracle replay identical):
+    the plane dots and the squared norm accumulate dimension-by-
+    dimension in index order — one elementwise multiply then one
+    elementwise add per dimension, vectorized ACROSS rows — which is
+    IEEE-identical to the sequential ``aggregate(zip_with(...))``
+    fold it replaces (same ops, same order, float64 throughout; no
+    FMA, no pairwise summation). The quantized sign test uses the
+    exact tie-free threshold from ``_sign_tie_threshold``. Measured
+    8.0 s → 0.4 s for the pattern stage at sf0.1 (2 000 × 128 dots);
+    at scale the pass stays row-linear and ships only (vec_id, v).
+    """
+    import pyarrow as pa
+
+    n_planes = EMB_BANDS * EMB_PLANES_PER_BAND
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.DoubleType()),
+            T.StructField("pats", T.ArrayType(T.StringType())),
+        ]
+    )
+
+    def compute(batches):
+        import numpy as np
+
+        S = np.array(_emb_planes(), dtype=np.float64).T  # (EMB_DIM, n_planes)
+        thr = _SIGN_TIE_T
+        b = EMB_PLANES_PER_BAND
+        for batch in batches:
+            vec_id = batch.column(0)
+            v = batch.column(1)
+            rows = batch.num_rows
+            if rows == 0:
+                continue
+            offs = np.asarray(v.offsets)
+            widths = np.diff(offs)
+            assert v.null_count == 0 and (widths == EMB_DIM).all(), (
+                "embedding column must be dense EMB_DIM-wide"
+            )
+            V = np.asarray(v.values, dtype=np.float64)[
+                offs[0] : offs[-1]
+            ].reshape(rows, EMB_DIM)
+            acc = np.zeros((rows, n_planes))
+            nrm = np.zeros(rows)
+            for d in range(EMB_DIM):
+                col = V[:, d]
+                acc += col[:, None] * S[d]
+                nrm += col * col
+            nrm = np.sqrt(nrm)
+            bits = acc >= thr
+            chars = np.where(bits, np.uint8(49), np.uint8(48))  # '1'/'0'
+            flat = (
+                np.ascontiguousarray(chars)
+                .reshape(rows * EMB_BANDS, b)
+                .view(f"S{b}")
+                .ravel()
+            )
+            pat_vals = pa.array(flat.astype("U")).cast(pa.string())
+            pats = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (rows + 1) * EMB_BANDS, EMB_BANDS),
+                    type=pa.int32(),
+                ),
+                pat_vals,
+            )
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, v, pa.array(nrm, type=pa.float64()), pats],
+                ["vec_id", "v", "n", "pats"],
+            )
+
+    return emb.select("vec_id", "v").mapInArrow(compute, out_schema)
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, sign-LSH blocked: candidates
     are pairs whose sign patterns agree on ≥1 band up to one flipped
@@ -672,18 +775,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding is near-exhaustive (miss prob (1−p_band)^16 with
     p_band = P(≤1 of 8 sign flips) ≈ 0.7).
     """
-    emb = expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    ).withColumn(
-        "n", F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
-    ).withColumn(
-        "pats", _emb_band_patterns("v")
+    emb = _with_patterns_and_norm(
+        expand_parallelism(Catalog(spark, sf_dir).embeddings).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     ).localCheckpoint(eager=True)
     # ^ one narrow row per vector (id, v, norm, 16 pattern strings):
     # materializing forces each plane dot to evaluate exactly once —
     # Catalyst's projection collapse would otherwise inline the
     # pattern into all 8 masks per band and re-run every HOF dot
     # fold per mask — and lets the verify joins reuse the same scan.
+    # r16: the dots themselves moved from interpreted HOF folds to
+    # the bit-exact NumPy pass in _with_patterns_and_norm (measured
+    # 8.0 → 0.4 s for this stage at sf0.1; values unchanged).
     banded = emb.select("vec_id", F.explode(_emb_mask_keys("pats")).alias("bk"))
     buckets = bounded_buckets(
         banded.groupBy("bk")
@@ -743,9 +847,74 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the vector table is fact-grain and always takes the shuffled
     # path; LSH bucket caps keep the pair mass linear either way.
     if emb.count() <= EMB_BROADCAST_MAX_VECS:
-        a, b = F.broadcast(a), F.broadcast(b)
-    else:
-        a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
+        # r16 OPTIMIZATION (guide §8: decide with small rows, move
+        # big rows once): in the broadcast regime the vector table is
+        # driver-scale BY DEFINITION, so instead of broadcasting it
+        # twice as a JVM build side and folding the 64-dim dot per
+        # candidate in the interpreted evaluator, broadcast the
+        # (ids, vectors, norms) matrix ONCE to the Python workers and
+        # stream only the 16-byte id pairs through mapInArrow — the
+        # per-pair dot becomes a vectorized NumPy gather+accumulate.
+        # Bit-exactness: the dot accumulates dimension-by-dimension
+        # in index order (one mul + one add per dim, float64, no FMA)
+        # — IEEE-identical to the aggregate(zip_with) fold; the ≥τ
+        # filter has no representable tie (0.35 is not dyadic); and
+        # the 4-dp readout floor(y+0.5) equals BigDecimal HALF_UP for
+        # the positive, |y| < 2^51 values that survive the filter
+        # (y+0.5 is exact there). Measured: verify stage ~2.5 → 0.6 s
+        # at sf0.1 (882k pairs from 2 000 vectors).
+        import numpy as np
+        import pyarrow as pa
+
+        rows = emb.select("vec_id", "v", "n").collect()
+        ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_sorted = ids[order]
+        vmat = np.array([rows[i].v for i in order], dtype=np.float64)
+        nrm = np.array([rows[i].n for i in order], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids_sorted, vmat, nrm))
+
+        def pair_cos(batches):
+            ids_s, V, N = bc.value
+            dim = V.shape[1]
+            for batch in batches:
+                if batch.num_rows == 0:
+                    continue
+                va_id = np.asarray(batch.column(0), dtype=np.int64)
+                vb_id = np.asarray(batch.column(1), dtype=np.int64)
+                ia = np.searchsorted(ids_s, va_id)
+                ib = np.searchsorted(ids_s, vb_id)
+                A, B = V[ia], V[ib]
+                acc = np.zeros(len(ia))
+                for d in range(dim):
+                    acc += A[:, d] * B[:, d]
+                cos = acc / (N[ia] * N[ib])
+                keep = cos >= EMB_DUP_THRESHOLD
+                cos_k = np.floor(cos[keep] * 10000.0 + 0.5) / 10000.0
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(va_id[keep], type=pa.int64()),
+                        pa.array(vb_id[keep], type=pa.int64()),
+                        pa.array(cos_k, type=pa.float64()),
+                    ],
+                    ["vec_a", "vec_b", "cosine"],
+                )
+
+        return cand.mapInArrow(
+            pair_cos,
+            T.StructType(
+                [
+                    T.StructField("vec_a", T.LongType()),
+                    T.StructField("vec_b", T.LongType()),
+                    T.StructField("cosine", T.DoubleType()),
+                ]
+            ),
+        )
+    # Beyond the broadcast ceiling the vector table is fact-grain:
+    # keep the scale-safe shuffled-hash joins + JVM fold (shipping
+    # the pair×vector payload through Python would move every byte
+    # across the boundary twice for no algorithmic gain).
+    a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     return (
         cand.join(a, "vec_a")
         .join(b, "vec_b")
@@ -2145,9 +2314,19 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", synth_capture_url(F.col("doc_id")).alias("url")
     )
     curls = docs.select("doc_id", "source", canonical_url(F.col("url")).alias("curl"))
-    keep = curls.groupBy("curl").agg(F.min("doc_id").alias("keep_id"))
-    flagged = curls.join(keep, "curl").withColumn(
-        "is_keep", (F.col("doc_id") == F.col("keep_id")).cast("long")
+    # r16 OPTIMIZATION: keep-first via a window min over the canonical
+    # key instead of groupBy + join back. The old shape scanned and
+    # canonicalized the corpus TWICE (one branch per join side — the
+    # string algebra is the per-row cost here) and paid an aggregate
+    # exchange plus a join; the window pays ONE scan, one exchange on
+    # curl, and computes the identical is_keep flag (min doc_id per
+    # canonical group). Per-URL capture counts are bounded (a hot URL
+    # has thousands of captures, not billions), so the window
+    # partition never concentrates meaningful skew.
+    w_curl = Window.partitionBy("curl")
+    flagged = curls.withColumn(
+        "is_keep",
+        (F.col("doc_id") == F.min("doc_id").over(w_curl)).cast("long"),
     )
     return (
         flagged.groupBy("source")

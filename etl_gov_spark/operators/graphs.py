@@ -139,27 +139,51 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     global LAST_CC_ROUNDS, LAST_CC_CONVERGED
     LAST_CC_ROUNDS = 0
     LAST_CC_CONVERGED = False
+    # r16 OPTIMIZATION: one round = THREE exchanges, down from ~6.
+    # Each star phase starts with an explicit repartition on its
+    # grouping key; every aggregate/join inside the phase then needs
+    # only ClusteredDistribution on a superset of that key, which the
+    # repartition already satisfies — Catalyst inserts no further
+    # Exchange (partitioning-subset colocation). The large-star
+    # dedup ALSO rides the hi-repartition (distinct on (hi, lo) is
+    # clustered by hi), so the per-round shuffle writes are exactly:
+    # sym-by-u, ls-by-hi, new_e-distinct. Joins stay AQE-skew-
+    # splittable equi-joins (star roots are the documented hot keys;
+    # a window min here would concentrate whole components on one
+    # task with no skew handling, so windows are deliberately NOT
+    # used). The per-round edge count is carried forward instead of
+    # re-counting the already-materialized previous edge set.
+    e_count = e.count()
     for round_idx in range(max_rounds):
         # large-star: per node u over SYMMETRIZED neighbors,
         # m = min(N(u) ∪ {u}); every neighbor v > u re-attaches to m.
-        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
-            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        sym = (
+            e.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            .union(e.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+            .repartition("u")
         )
         m_ls = (
             sym.groupBy("u")
             .agg(F.min("v").alias("_mv"))
             .select("u", F.least("_mv", "u").alias("m"))
         )
+        # dedup of the large-star output is deferred to the hi
+        # repartition below (set semantics are unchanged: the
+        # small-star min and the emitted edge SET are duplicate-
+        # insensitive, and dropDuplicates runs exchange-free once
+        # the rows are clustered by hi).
         ls = (
             sym.filter(F.col("v") > F.col("u"))
             .join(m_ls, "u")
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .distinct()
-            .localCheckpoint(eager=False)
+            .repartition("hi")
+            .dropDuplicates(["hi", "lo"])
         )
         # small-star: per node u over down-neighbors N⁻(u) (all
         # < u in the directed form), m = min; re-attach N⁻ \ {m}
-        # and hook u itself onto m.
+        # and hook u itself onto m. Both the min-aggregate and the
+        # join are clustered by hi — no exchange, and the two reads
+        # of ls share one shuffle (ReusedExchange).
         m_ss = ls.groupBy("hi").agg(F.min("lo").alias("m"))
         new_e = (
             ls.join(m_ss, "hi")
@@ -169,7 +193,8 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             .distinct()
             .localCheckpoint(eager=False)
         )
-        same_count = new_e.count() == e.count()
+        new_count = new_e.count()
+        same_count = new_count == e_count
         changed = (
             0
             if same_count
@@ -177,6 +202,7 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             else 1
         )
         e = new_e
+        e_count = new_count
         LAST_CC_ROUNDS = round_idx + 1
         LAST_CC_CONVERGED = changed == 0
         if changed == 0:
@@ -423,16 +449,22 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit((1.0 - PAGERANK_DAMPING) / n_total)
-                    + PAGERANK_DAMPING * F.coalesce("in_mass", F.lit(0.0)),
-                    6,
-                ).alias("rank"),
-            )
+        # r16 OPTIMIZATION: no per-iteration join back onto `nodes`.
+        # The edge list is symmetrized, so every node has degree ≥ 1
+        # and therefore appears as dst of at least one edge — contrib
+        # already contains EXACTLY the node set, and the old
+        # left-join + coalesce(in_mass, 0) was an identity transform
+        # (the coalesce branch was unreachable). Same rows, one join
+        # and one exchange fewer per iteration (12 joins dropped at
+        # PAGERANK_ITERS=12); the oracle's LEFT JOIN form is
+        # row-identical for the same reason.
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            F.round(
+                F.lit((1.0 - PAGERANK_DAMPING) / n_total)
+                + PAGERANK_DAMPING * F.col("in_mass"),
+                6,
+            ).alias("rank"),
         )
     return ranks
 

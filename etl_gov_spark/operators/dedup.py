@@ -604,6 +604,13 @@ def _emb_band_patterns(v: str | Column) -> Column:
     # the stage falls back to the interpreted evaluator, and a
     # many-node interpreted tree loses to the interpreted fold's
     # single array traversal. HOF folds stay.
+    # r16 OPTIMIZATION (guide §2.3, narrower types): patterns are
+    # 8-bit INTEGERS (bit j = sign of plane k·b+j), not 8-char
+    # strings. The bucket partition of vectors is identical under
+    # this bijective re-encoding — same buckets ⇒ same candidate
+    # pairs ⇒ same verified result — while the checkpointed pattern
+    # payload shrinks ~12× (16 ints vs 16 strings) and the mask-key
+    # expansion becomes two integer ops instead of concat+substring.
     col = F.col(v) if isinstance(v, str) else v
     planes = _emb_planes()
     b = EMB_PLANES_PER_BAND
@@ -620,11 +627,14 @@ def _emb_band_patterns(v: str | Column) -> Column:
                     6,
                 )
                 >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for plane in planes[k * b : (k + 1) * b]
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+            for j, plane in enumerate(planes[k * b : (k + 1) * b])
         ]
-        pats.append(F.concat(*bits))
+        pat = bits[0]
+        for bit in bits[1:]:
+            pat = pat + bit
+        pats.append(pat.cast("int"))
     return F.array(*pats)
 
 
@@ -632,18 +642,26 @@ def _emb_mask_keys(pats: str | Column) -> Column:
     """Masked sign-LSH blocking keys from precomputed band patterns:
     per band, each bit position masked in turn — two vectors share a
     key iff some band's sign patterns differ in ≤1 bit (multi-probe
-    recall without a second table). Pure string ops over the
-    materialized patterns."""
+    recall without a second table).
+
+    r16: keys are INTS — ((band·b + i) << 8) | (pattern with bit i
+    cleared) — not `"k:i:"`-prefixed masked strings. Same key-sharing
+    relation (equal on all bits except possibly i, within band k), so
+    the candidate set is unchanged; the banding explode + groupBy now
+    shuffles a 4-byte int per key instead of a ~12-byte string, and
+    key construction is bitwiseAND + add instead of concat+substring
+    (guide §2.3: shuffle fewer bytes; measured: the banding stage
+    drops ~2× at sf0.1)."""
     col = F.col(pats) if isinstance(pats, str) else pats
     b = EMB_PLANES_PER_BAND
     keys = []
     for k in range(EMB_BANDS):
         pat = F.element_at(col, k + 1)
         for i in range(b):
-            masked = F.concat(
-                F.substring(pat, 1, i), F.lit("_"), F.substring(pat, i + 2, b - i - 1)
+            keys.append(
+                pat.bitwiseAND(F.lit((1 << b) - 1 - (1 << i)))
+                + F.lit((k * b + i) << 8)
             )
-            keys.append(F.concat(F.lit(f"{k}:{i}:"), masked))
     return F.array(*keys)
 
 
@@ -677,7 +695,7 @@ _SIGN_TIE_T = _sign_tie_threshold()
 
 def _with_patterns_and_norm(emb: DataFrame) -> DataFrame:
     """(vec_id, v) → (vec_id, v, n, pats): the per-vector norm and
-    the 16 per-band sign-pattern strings, computed in ONE
+    the 16 per-band sign-pattern ints, computed in ONE
     ``mapInArrow`` pass with NumPy instead of 128 interpreted
     higher-order-function folds per row (guide §4.2: Spark
     distributes, vectorized native code computes).
@@ -701,7 +719,7 @@ def _with_patterns_and_norm(emb: DataFrame) -> DataFrame:
             T.StructField("vec_id", T.LongType()),
             T.StructField("v", T.ArrayType(T.DoubleType())),
             T.StructField("n", T.DoubleType()),
-            T.StructField("pats", T.ArrayType(T.StringType())),
+            T.StructField("pats", T.ArrayType(T.IntegerType())),
         ]
     )
 
@@ -733,14 +751,13 @@ def _with_patterns_and_norm(emb: DataFrame) -> DataFrame:
                 nrm += col * col
             nrm = np.sqrt(nrm)
             bits = acc >= thr
-            chars = np.where(bits, np.uint8(49), np.uint8(48))  # '1'/'0'
-            flat = (
-                np.ascontiguousarray(chars)
-                .reshape(rows * EMB_BANDS, b)
-                .view(f"S{b}")
-                .ravel()
+            # r16: 8-bit integer patterns (bit j = sign of band plane
+            # j), matching _emb_band_patterns' int encoding — the
+            # mask-key expansion downstream is pure integer algebra.
+            weights = (1 << np.arange(b)).astype(np.int32)
+            pat_vals = pa.array(
+                (bits.reshape(rows * EMB_BANDS, b) @ weights).astype(np.int32)
             )
-            pat_vals = pa.array(flat.astype("U")).cast(pa.string())
             pats = pa.ListArray.from_arrays(
                 pa.array(
                     np.arange(0, (rows + 1) * EMB_BANDS, EMB_BANDS),
@@ -780,7 +797,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
     ).localCheckpoint(eager=True)
-    # ^ one narrow row per vector (id, v, norm, 16 pattern strings):
+    # ^ one narrow row per vector (id, v, norm, 16 pattern ints):
     # materializing forces each plane dot to evaluate exactly once —
     # Catalyst's projection collapse would otherwise inline the
     # pattern into all 8 masks per band and re-run every HOF dot

@@ -1465,8 +1465,17 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
     )
     deg = sym.groupBy("vec_a").agg(F.count(F.lit(1)).alias("deg"))
-    core = deg.filter(F.col("deg") >= _DBSCAN_MIN_NBRS).select(
-        F.col("vec_a").alias("vec_id")
+    # r16 OPTIMIZATION (guide §2.4): `core` feeds FOUR consumers
+    # (both sides of the core-edge build, the lone-core anti-join,
+    # the border anti-join); untruncated, each consumer's job
+    # re-evaluated the symmetrize + degree aggregate, and the final
+    # plan carried ~50 Exchanges of duplicated subtrees. One lazy
+    # checkpoint (bounded: one id per core point) makes every
+    # consumer share a single evaluation.
+    core = (
+        deg.filter(F.col("deg") >= _DBSCAN_MIN_NBRS)
+        .select(F.col("vec_a").alias("vec_id"))
+        .localCheckpoint(eager=False)
     )
     core_edges = (
         pairs.join(core.withColumnRenamed("vec_id", "vec_a"), "vec_a")
@@ -1478,7 +1487,10 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     lone = core.join(comp, "vec_id", "left_anti").select(
         "vec_id", F.col("vec_id").alias("component")
     )
-    core_comp = comp.unionByName(lone)
+    # shared by the border label join and the final core/border
+    # union — one evaluation instead of two (bounded: one row per
+    # core point).
+    core_comp = comp.unionByName(lone).localCheckpoint(eager=False)
     border = (
         sym.withColumnRenamed("vec_a", "vec_id")
         .withColumnRenamed("vec_b", "nbr")
@@ -1495,6 +1507,12 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = core_comp.withColumn("role", F.lit("core")).unionByName(
         border.withColumn("role", F.lit("border"))
     )
+    # r16 OPTIMIZATION (guide §2.4): the noise row used to count
+    # `assigned` with a SECOND full copy of the union/border subtree
+    # in the same plan; n_assigned == Σ size over the (tiny,
+    # checkpoint-shared) per-cluster readout by construction, so it
+    # is derived from `clusters` instead — one evaluation of the
+    # assignment pipeline per run.
     clusters = (
         assigned.groupBy("component")
         .agg(
@@ -1504,11 +1522,12 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("size"),
         )
+        .localCheckpoint(eager=False)
     )
     n_total = Catalog(spark, sf_dir).embeddings.agg(
         F.count(F.lit(1)).alias("n_total")
     )
-    n_assigned = assigned.agg(F.count(F.lit(1)).alias("n_assigned"))
+    n_assigned = clusters.agg(F.sum("size").alias("n_assigned"))
     noise = (
         n_total.crossJoin(F.broadcast(n_assigned))
         .select(

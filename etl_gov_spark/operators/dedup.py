@@ -1530,7 +1530,12 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 3 == 0)
 
     store = os.path.join(scratch_dir("fpstore"), "store")
-    fp1 = _banded_fingerprints(hist)
+    # r16 OPTIMIZATION (guide §2.4): fp1 feeds BOTH the clustered
+    # store write and the epoch-1 ledger; without the checkpoint the
+    # ledger job re-ran the whole historical minhash pipeline. The
+    # store write materializes the (bounded: one row per banded
+    # fingerprint) checkpoint, the ledger reuses it.
+    fp1 = _banded_fingerprints(hist).localCheckpoint(eager=False)
     write_range_clustered(fp1, store, ("band_key",), num_files=16)
     ledger1 = _band_pair_ledger(
         fp1.withColumn("is_new", F.lit(False)),

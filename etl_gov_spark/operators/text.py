@@ -468,7 +468,13 @@ def text_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_structs,
     )
 
-    docs = Catalog(spark, sf_dir).documents.select(
+    # r16 OPTIMIZATION (guide §2.5 input skew / §1.2 algorithm
+    # first): the compact documents parquet arrives as ONE scan
+    # split, so the ~10M md5 evaluations of the signature stage ran
+    # on a single core. Widening to cluster parallelism before the
+    # per-row hash work cut the signature stage 6.99 → 0.60 s at
+    # sf0.1 (values unchanged — per-row computation).
+    docs = expand_parallelism(Catalog(spark, sf_dir).documents).select(
         "doc_id", F.lower(F.trim(F.col("text"))).alias("s")
     )
     s = F.col("s")

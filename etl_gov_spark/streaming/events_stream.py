@@ -808,10 +808,24 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id", "text"
     )
-    for i in range(N_DEDUP_GATE_CHUNKS):
+    # r16 OPTIMIZATION (guide §2.6, overlap independent jobs): the
+    # three chunk writes are independent single-file jobs; running
+    # them from a thread pool overlaps their scans and commits
+    # (measured 1.25 → 0.26 s at sf0.1). Each chunk gets its OWN
+    # subdirectory so the concurrent committers never share a
+    # staging dir; the stream source reads the `feed/*` glob. The
+    # ledger union is arrival-order-invariant by construction (see
+    # above), so any mtime tie-break among the three files yields
+    # the identical result set.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_chunk(i: int) -> None:
         docs.filter(F.col("doc_id") % N_DEDUP_GATE_CHUNKS == i).coalesce(
             1
-        ).write.mode("append").parquet(src)
+        ).write.mode("overwrite").parquet(os.path.join(src, f"c{i}"))
+
+    with ThreadPoolExecutor(max_workers=N_DEDUP_GATE_CHUNKS) as pool:
+        list(pool.map(_write_chunk, range(N_DEDUP_GATE_CHUNKS)))
 
     store = os.path.join(work, "store")
     ledger_path = os.path.join(work, "ledger")
@@ -853,7 +867,7 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+        .parquet(os.path.join(src, "*"))
         .writeStream.foreachBatch(gate_batch)
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)

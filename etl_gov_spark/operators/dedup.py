@@ -484,8 +484,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle costs more than it buys here — at real scale the scan
     arrives pre-split.
     """
-    from functools import reduce as _reduce
-
     docs = Catalog(spark, sf_dir).documents
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("w")).withColumn(
         "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
@@ -500,16 +498,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("T"),
         *[F.sum(f"p{g}").alias(f"p{g}") for g in range(SIMHASH_BITS // 4)],
     )
+    # r16: the 60-bit OR is ONE F.expr string — the previous
+    # when/otherwise fold was ~5 py4j round-trips per bit of driver
+    # time per plan build; the SQL is the identical expression.
     sim = agg.select(
         "doc_id",
-        _reduce(
-            lambda acc, b: acc
-            + F.when(
-                F.expr(f"2 * ((p{b // 4} >> {16 * (b % 4)}) & 65535) > T"),
-                F.lit(1 << b).cast("long"),
-            ).otherwise(F.lit(0).cast("long")),
-            range(SIMHASH_BITS),
-            F.lit(0).cast("long"),
+        F.expr(
+            "CAST(0 AS BIGINT) + "
+            + " + ".join(
+                f"(CASE WHEN 2 * ((p{b // 4} >> {16 * (b % 4)}) & 65535) > T"
+                f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+                for b in range(SIMHASH_BITS)
+            )
         ).alias("simhash"),
     )
     chunked = sim.select(

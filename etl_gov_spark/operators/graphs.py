@@ -163,7 +163,12 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     # task with no skew handling, so windows are deliberately NOT
     # used). The per-round edge count is carried forward instead of
     # re-counting the already-materialized previous edge set.
-    e_count = e.count()
+    # r16: the baseline count is a SENTINEL, not a job — the initial
+    # e.count() existed only so round 1 could compare counts, and an
+    # already-converged input (the only case the comparison could
+    # fire on) just runs one identity round and detects at round 2.
+    # One full job saved per CC call.
+    e_count = -1
     for round_idx in range(max_rounds):
         # large-star: per node u over SYMMETRIZED neighbors,
         # m = min(N(u) ∪ {u}); every neighbor v > u re-attaches to m.

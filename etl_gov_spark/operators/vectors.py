@@ -268,10 +268,24 @@ def _lloyd_model(emb: DataFrame, k: int | None = None) -> list:
     ann_ivf_topk, the retrieval-eval funnel and the SemDeDup prune
     (which passes its own ⌊√N⌋ ``k``)."""
     vecs = emb.select("vec_id", "v")
+    # r16 OPTIMIZATION (guide §2.4): fetch the k seed VECTORS in the
+    # same TakeOrdered pass that picks the seed ids. The old shape —
+    # _seed_ids (orderBy+limit pass) broadcast-joined back against
+    # `vecs` — scanned the vector table twice before the first Lloyd
+    # iteration; carrying `v` through the per-partition top-k heap
+    # costs k×EMB_DIM doubles per partition and saves a full pass.
+    # Identical model: same (md5, vec_id) order, same k prefix.
+    if k is None:
+        k = min(N_CENTROIDS_CAP, max(8, vecs.count() // 64))
     model = [
         (r.cid, r.cv)
-        for r in vecs.join(F.broadcast(_seed_ids(vecs, k)), "vec_id")
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        for r in vecs.select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "cid")
+        .limit(k)
         .collect()  # k seed vectors — model state, not data
     ]
     for _ in range(LLOYD_ITERS):

@@ -859,10 +859,28 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger = _band_pair_ledger(
             probe, f"stream_dedup_gate_epoch{epoch_id}", require_new=True
         )
-        ledger.write.mode("append").parquet(ledger_path)
-        write_range_clustered(
-            fp, store, ("band_key",), num_files=4, mode="append"
-        )
+        # r16 OPTIMIZATION (guide §2.6, overlap independent jobs —
+        # second instance): the ledger append and the store append
+        # are independent sinks fed by the SAME eagerly-checkpointed
+        # fingerprints (the ledger never reads the store files the
+        # store write creates — it reads the `touched` list captured
+        # above, and appends land in fresh part files), so the two
+        # tail writes of every micro-batch run concurrently; both
+        # futures are joined before the batch commits, which keeps
+        # the stream's state contract (epoch N+1 sees a complete
+        # store) intact. Measured: 5.34 -> 4.80 s on the three-epoch
+        # run at sf0.1 (best of 3).
+        with ThreadPoolExecutor(max_workers=2) as epool:
+            f_ledger = epool.submit(
+                lambda: ledger.write.mode("append").parquet(ledger_path)
+            )
+            f_store = epool.submit(
+                lambda: write_range_clustered(
+                    fp, store, ("band_key",), num_files=4, mode="append"
+                )
+            )
+            f_ledger.result()
+            f_store.result()
 
     q = (
         spark.readStream.schema(docs.schema)

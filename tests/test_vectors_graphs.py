@@ -695,6 +695,35 @@ def test_assign_broadcast_path_equals_literal_path(spark, sf_dir):
     assert lit == bj
 
 
+def test_lloyd_seed_collect_matches_seed_ids_join(spark, sf_dir):
+    """_lloyd_model's single-pass seed fetch (TakeOrdered carrying
+    the vectors) must pick exactly the vectors the two-pass shape
+    (_seed_ids orderBy+limit, then broadcast-join) picks — same
+    (md5, vec_id) order, same k prefix, same vector payload."""
+    from pyspark.sql import functions as F
+
+    emb = Catalog(spark, sf_dir).embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    vecs = emb.select("vec_id", "v")
+    k = min(V.N_CENTROIDS_CAP, max(8, vecs.count() // 64))
+    two_pass = {
+        r.cid: tuple(r.cv)
+        for r in vecs.join(F.broadcast(V._seed_ids(vecs, k)), "vec_id")
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        .collect()
+    }
+    # seeds = the first k entries of the fitted model's trajectory
+    # start: re-derive via the production path with zero iterations
+    old = V.LLOYD_ITERS
+    V.LLOYD_ITERS = 0
+    try:
+        single_pass = {cid: tuple(cv) for cid, cv in V._lloyd_model(emb)}
+    finally:
+        V.LLOYD_ITERS = old
+    assert single_pass == two_pass
+
+
 def test_semdedup_keep_representative_is_centroid_argmin(spark, sf_dir):
     """dedup_semdedup_keep: every duplicate group keeps exactly one
     member, purges the rest, and the keeper is the argmin of

@@ -815,19 +815,19 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_embedding",
         route="star",
     )
-    # Materialize the candidate set before the verify joins: it is
-    # BOUNDED by the banding design (≤ |buckets|·cap² id pairs, two
-    # longs each), and without the checkpoint Spark's planner saw an
-    # unknown-size subplan and chose to BROADCAST the fat candidate
-    # side — serializing the whole LSH pipeline through the
-    # single-threaded broadcast-relation build (26 s warm where the
-    # parallel pipeline is ~12 s). With known stats the verify
-    # broadcasts the (tiny) vector sides instead.
+    # r16 OPTIMIZATION (guide §2.4): the candidate set is only
+    # materialized on the SHUFFLE-JOIN path below (see the strategy
+    # comment there — the eager checkpoint exists to hand the
+    # planner exact stats so it never broadcasts the fat candidate
+    # side). The broadcast regime streams `cand` straight into
+    # mapInArrow — no join, no planner decision — so checkpointing
+    # there paid a full materialize+re-read of the banding pipeline
+    # for nothing: banding → distinct → verify now run as ONE job
+    # (measured dedup_embedding 3.9 → 2.9 s at sf0.1).
     cand = (
         buckets.select(F.explode(pair_structs(F.col("ds"))).alias("p"))
         .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # The pair dot stays an aggregate(zip_with(...)) fold — measured
     # r16 NOTE: "flattening" it into 128 element_at terms looked like
@@ -931,6 +931,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep the scale-safe shuffled-hash joins + JVM fold (shipping
     # the pair×vector payload through Python would move every byte
     # across the boundary twice for no algorithmic gain).
+    # Materialize the candidate set before the verify joins: it is
+    # BOUNDED by the banding design (≤ |buckets|·cap² id pairs, two
+    # longs each), and without the checkpoint Spark's planner saw an
+    # unknown-size subplan and chose to BROADCAST the fat candidate
+    # side — serializing the whole LSH pipeline through the
+    # single-threaded broadcast-relation build (26 s warm where the
+    # parallel pipeline is ~12 s). With known stats the verify
+    # never picks the candidate side as a build relation.
+    cand = cand.localCheckpoint(eager=True)
     a, b = a.hint("shuffle_hash"), b.hint("shuffle_hash")
     return (
         cand.join(a, "vec_a")

@@ -1545,14 +1545,27 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # store write materializes the (bounded: one row per banded
     # fingerprint) checkpoint, the ledger reuses it.
     fp1 = _banded_fingerprints(hist).localCheckpoint(eager=False)
-    write_range_clustered(fp1, store, ("band_key",), num_files=16)
+    # r16 OPTIMIZATION (guide §2.6): tonight's batch fingerprinting
+    # is independent of the historical store write — overlap the two
+    # jobs (the store write materializes the lazy fp1 checkpoint;
+    # fp2's eager checkpoint runs on the idle cores of its tail).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_store = pool.submit(
+            write_range_clustered, fp1, store, ("band_key",), num_files=16
+        )
+        f_fp2 = pool.submit(
+            lambda: _banded_fingerprints(new).localCheckpoint(eager=True)
+        )
+        f_store.result()
+        fp2 = f_fp2.result()
     ledger1 = _band_pair_ledger(
         fp1.withColumn("is_new", F.lit(False)),
         "dedup_incremental_epoch1",
         require_new=False,
     )
 
-    fp2 = _banded_fingerprints(new).localCheckpoint(eager=True)
     ranges = file_key_ranges(store, "band_key")
     touched = touched_files(spark, ranges, fp2.select("band_key"), "band_key")
     if touched:

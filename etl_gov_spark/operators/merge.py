@@ -232,9 +232,19 @@ def merge_upsert_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
     work = scratch_dir("cow")
-    write_range_clustered(cust, work, ("c_custkey",), num_files=10)
-    # bounded scalar (one long), not data: the update band's edge
-    mx = cust.agg(F.max("c_custkey")).collect()[0][0]
+    # r16 OPTIMIZATION (guide §2.6): the base-table clustered write
+    # and the 1-scalar max are independent jobs over the same input —
+    # overlap them instead of paying the two walls back to back.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_write = pool.submit(
+            write_range_clustered, cust, work, ("c_custkey",), num_files=10
+        )
+        # bounded scalar (one long), not data: the update band's edge
+        f_mx = pool.submit(lambda: cust.agg(F.max("c_custkey")).collect()[0][0])
+        f_write.result()
+        mx = f_mx.result()
     updates = cust.filter(
         (F.col("c_custkey") % 10 == 0) & (F.col("c_custkey") * 5 <= F.lit(mx))
     ).withColumn("c_acctbal", F.col("c_acctbal") + 100.0)

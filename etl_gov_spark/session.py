@@ -42,6 +42,20 @@ def get_spark(
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # AQE coalescing sizes partitions by the SHUFFLED bytes, which
+        # it cannot relate to the bytes a downstream generator will
+        # produce — a few MB of LSH bucket rows explode into millions
+        # of candidate pairs, and the default 1 MiB floor let AQE run
+        # that explode on 1-3 cores. parallelismFirst (default true)
+        # is documented to prefer cluster parallelism over advisory
+        # size; a 64 KiB floor lets it actually do so on compact-but-
+        # amplifying stages. Scale-independent: at production shuffle
+        # sizes every partition is far above either floor, so the
+        # setting only acts where coalescing was destroying
+        # parallelism. Measured at sf0.1: dedup_embedding 3.6→1.9 s,
+        # text_winnow_overlap −18%, text_bm25_topk −17% (A/B in
+        # OPTIMIZATION_r16.md).
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64k",
         # Explicit shuffle width; AQE coalesces small stages down.
         "spark.sql.shuffle.partitions": str(n_shuffle),
         # Arrow for all pandas/Spark exchange (pandas UDFs, toPandas).
@@ -95,6 +109,11 @@ def tune_runtime(spark: SparkSession) -> None:
     kernels) that didn't go through get_spark()."""
     spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_OPTIMIZER_RULES)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # see get_spark: keep AQE's parallelismFirst effective on
+    # compact-but-amplifying stages (generator/explode shapes)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k"
+    )
     # Parquet `timestamp[us]` without timezone would otherwise arrive
     # as TIMESTAMP_NTZ (Spark ≥3.4 inference), which unix_micros()
     # and friends reject. Under the UTC session the instant semantics

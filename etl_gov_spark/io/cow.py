@@ -109,6 +109,29 @@ def touched_files(
     return sorted(no_stats + [r["file"] for r in rows])
 
 
+def envelope_touched_files(
+    ranges: list[dict], envelopes: list[tuple]
+) -> list[str]:
+    """Driver-side, zero-job variant of ``touched_files`` for callers
+    that OBSERVE key envelopes on an already-running job (guide §1.5):
+    a file is touched iff its footer [key_min, key_max] intersects ANY
+    of the observed [lo, hi] envelopes. Still metadata-only — no store
+    data is read to decide — but admits range-only false positives, so
+    the caller MUST keep an exact key probe (leftsemi on the real key
+    set) above the pruned read. Files without stats are always
+    included; an all-None envelope (empty batch) matches nothing."""
+    out = []
+    for r in ranges:
+        if r["key_min"] is None:
+            out.append(r["file"])
+            continue
+        for lo, hi in envelopes:
+            if lo is not None and hi >= r["key_min"] and lo <= r["key_max"]:
+                out.append(r["file"])
+                break
+    return sorted(out)
+
+
 def _merge_step(
     base: DataFrame,
     updates: DataFrame,

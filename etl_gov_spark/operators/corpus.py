@@ -4953,35 +4953,69 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t")["2"].alias("w3"),
         )
     )
-    train = trig.filter(F.col("doc_id") % _KN_TRAIN_MOD != 0)
-    tri = train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    # r17 (guide §2.3 aggregate-before-shuffle, §5 cache-when-reused;
+    # VERDICT r16 item 1): the instance stream collapses to
+    # (doc, lang, type, cnt) grain in ONE pass and that pre-shrunk
+    # stream is CHECKPOINTED — the r16 plan re-ran the full
+    # scan+tokenize+explode pipeline under every first-level exchange
+    # (3 materialized copies in the runtime plan; the event log shows
+    # ~5-7 s of executor CPU per copy at sf0.1, the query's dominant
+    # cost — round-robin source exchanges do not reuse across
+    # branches). Tokenize-once is also the 100 TB stance: the
+    # checkpoint is one row per distinct (doc, trigram) — the same
+    # bounded fact-grain materialization ann_ivf's `cells` already
+    # pays — versus tokenizing the corpus once per consumer branch.
+    # The train type table (the LM model, vocab-bounded) is
+    # checkpointed too, so the five order tables read model-sized
+    # state instead of re-reducing the fact stream per table. Join
+    # strategy stays with the planner/AQE: type tables broadcast when
+    # a vocab is small and degrade to shuffled joins at corpus scale
+    # (the round-15 stance).
+    dtc = (
+        trig.groupBy("doc_id", "lang", "w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    train = dtc.filter(F.col("doc_id") % _KN_TRAIN_MOD != 0)
+    tri = (
+        train.groupBy("w1", "w2", "w3")
+        .agg(F.sum("cnt").alias("c3"))
+        .localCheckpoint(eager=True)
+    )
+    # r17 (guide §1.1/§2.4; VERDICT r16 item 1): the order tables
+    # used to CHAIN (tri → mid → hist1/cont → tot), four strictly
+    # sequential aggregate levels; at sf0.1 the whole query is
+    # stage-latency bound (27 AQE stage jobs per run, measured), and
+    # on a cluster a serial chain of vocab-sized shuffles is dead
+    # time too. Every table is a plain count/countDistinct over TRI
+    # directly (tri rows are distinct types, so e.g. mid's "rows per
+    # (w2,w3)" IS "distinct w1 per (w2,w3)") — identical integer
+    # values, but all five build concurrently at one level above tri
+    # and AQE materializes the independent stages in parallel.
     hist2 = tri.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c2h"), F.count(F.lit(1)).alias("f2")
     )
     mid = tri.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("n1p"))
-    hist1 = mid.groupBy("w2").agg(
-        F.sum("n1p").alias("hb"), F.count(F.lit(1)).alias("f1")
+    hist1 = tri.groupBy("w2").agg(
+        F.count(F.lit(1)).alias("hb"), F.countDistinct("w3").alias("f1")
     )
-    cont = mid.groupBy("w3").agg(F.count(F.lit(1)).alias("n1c"))
-    tot = cont.agg(
-        F.sum("n1c").alias("t_types"), F.count(F.lit(1)).alias("v1")
+    cont = tri.groupBy("w3").agg(F.countDistinct("w2").alias("n1c"))
+    tot = tri.agg(
+        F.countDistinct("w2", "w3").alias("t_types"),
+        F.countDistinct("w3").alias("v1"),
     )
     d = F.lit(_KN_D)
     # r16 OPTIMIZATION (guide §8: decide with small rows, attach
     # once): P_KN(w3|w1w2) is a pure function of the trigram TYPE —
     # every input (c3, c2h, f2, n1p, hb, f1, n1c, totals) is keyed
-    # on (a suffix of) the type. Scoring each distinct type once and
-    # attaching the score to the instance stream with ONE equi-join
-    # replaces five fact-grain shuffles (the old per-instance
-    # left-join chain shuffled the full trigram stream once per
-    # order table) with: one distinct (fact→type), five TYPE-grain
-    # joins, one fact join, one per-doc aggregate. The per-instance
-    # p3 values are identical (same expression over the same type
-    # row), so the 4-dp-rounded per-doc avg is unchanged — the same
-    # aggregation-order tolerance the oracle contract already
-    # absorbs. Measured 1.9 → 1.2 s at sf0.1; at corpus scale the
-    # win is 4 fewer full-stream shuffles.
-    types = trig.select("w1", "w2", "w3").distinct()
+    # on (a suffix of) the type, so the five order tables join the
+    # distinct TYPE list, not the instance stream. The per-doc
+    # readout is the cnt-weighted average: sum(cnt·nlp)/sum(cnt)
+    # equals the instance-grain avg up to FP summation order, the
+    # same aggregation-order tolerance the 4-dp contract already
+    # absorbs (KN oracles re-checked at sf0.001/0.01/0.1 +
+    # parallelism shake).
+    types = dtc.select("w1", "w2", "w3").distinct()
     scored_types = (
         types.join(tri, ["w1", "w2", "w3"], "left")
         .join(hist2, ["w1", "w2"], "left")
@@ -5010,10 +5044,10 @@ def _kn_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_types = scored_types.select(
         "w1", "w2", "w3", (-F.log(p3)).alias("_nlp")
     )
-    joined = trig.join(scored_types, ["w1", "w2", "w3"])
+    joined = dtc.join(scored_types, ["w1", "w2", "w3"])
     return joined.groupBy("doc_id", "lang").agg(
-        F.count(F.lit(1)).alias("n_trigrams"),
-        _R4(F.avg("_nlp"), "cross_entropy"),
+        F.sum("cnt").alias("n_trigrams"),
+        _R4(F.sum(F.col("cnt") * F.col("_nlp")) / F.sum("cnt"), "cross_entropy"),
     )
 
 
@@ -5576,37 +5610,71 @@ def _kn_doc_scores_order(
             *[F.col("t")[str(i)].alias(f"w{i + 1}") for i in range(n)],
         )
     )
-    train = ngr.filter(F.col("doc_id") % _KN_TRAIN_MOD != 0)
-    top = train.groupBy(*[f"w{i}" for i in range(1, n + 1)]).agg(
-        F.count(F.lit(1)).alias("c")
+    # r17 (guide §2.3/§5, same rewrite as _kn_doc_scores — see its
+    # note): instances collapse to (doc, lang, type, cnt) grain in
+    # ONE tokenize pass, checkpointed; the train type table (the LM
+    # model) is checkpointed too so every order table reads
+    # model-sized state.
+    all_keys = [f"w{i}" for i in range(1, n + 1)]
+    dtc = (
+        ngr.groupBy("doc_id", "lang", *all_keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    train = dtc.filter(F.col("doc_id") % _KN_TRAIN_MOD != 0)
+    top = (
+        train.groupBy(*all_keys)
+        .agg(F.sum("cnt").alias("c"))
+        .localCheckpoint(eager=True)
     )
     hist_top = top.groupBy(*[f"w{i}" for i in range(1, n)]).agg(
         F.sum("c").alias("ch"), F.count(F.lit(1)).alias("fh")
     )
+    # r17 (guide §1.1/§2.4, same flattening as _kn_doc_scores): the
+    # continuation/history tables used to CHAIN (top → mids[n−1] →
+    # … → mids[1] → tot), 2(n−1) strictly sequential aggregate
+    # levels. Each is a count/countDistinct over TOP directly (top
+    # rows are distinct n-gram types): mids[k] counts distinct
+    # w_{n−k} per k-suffix, hists[k] counts distinct (w_{n−k}, w_n)
+    # / distinct w_n per inner (k−1)-slice, tot counts distinct
+    # (w_{n−1}, w_n) / distinct w_n — identical integer values, all
+    # built concurrently one level above top (AQE materializes
+    # independent stages in parallel). n=3 reproduces _kn_doc_scores
+    # bit-for-bit (pytest-pinned).
     mids: dict[int, DataFrame] = {}
     hists: dict[int, DataFrame] = {}
-    prev = top
     for k in range(n - 1, 0, -1):
         keys = [f"w{i}" for i in range(n - k + 1, n + 1)]
-        mid = prev.groupBy(*keys).agg(F.count(F.lit(1)).alias(f"n1p{k}"))
-        mids[k] = mid
-        if k >= 2:
-            hists[k] = mid.groupBy(*keys[:-1]).agg(
-                F.sum(f"n1p{k}").alias(f"hb{k}"),
-                F.count(F.lit(1)).alias(f"f{k}"),
+        if k == n - 1:
+            mids[k] = top.groupBy(*keys).agg(
+                F.count(F.lit(1)).alias(f"n1p{k}")
             )
-        prev = mid
-    tot = mids[1].agg(
-        F.sum("n1p1").alias("t_types"), F.count(F.lit(1)).alias("v1")
+        else:
+            mids[k] = top.groupBy(*keys).agg(
+                F.countDistinct(f"w{n - k}").alias(f"n1p{k}")
+            )
+        if k >= 2:
+            if k == n - 1:
+                hists[k] = top.groupBy(*keys[:-1]).agg(
+                    F.count(F.lit(1)).alias(f"hb{k}"),
+                    F.countDistinct(f"w{n}").alias(f"f{k}"),
+                )
+            else:
+                hists[k] = top.groupBy(*keys[:-1]).agg(
+                    F.countDistinct(f"w{n - k}", f"w{n}").alias(f"hb{k}"),
+                    F.countDistinct(f"w{n}").alias(f"f{k}"),
+                )
+    tot = top.agg(
+        F.countDistinct(f"w{n - 1}", f"w{n}").alias("t_types"),
+        F.countDistinct(f"w{n}").alias("v1"),
     )
     # r16 OPTIMIZATION (guide §8, same rewrite as _kn_doc_scores):
     # P_KN is a pure function of the n-gram TYPE, so the 2(n−1)-join
     # chain runs over the distinct types and ONE equi-join attaches
-    # the score to the instance stream — 2(n−1) fact-grain shuffles
-    # become type-grain, the fact stream shuffles twice (distinct +
-    # attach) plus the per-doc aggregate.
-    all_keys = [f"w{i}" for i in range(1, n + 1)]
-    types = ngr.select(*all_keys).distinct()
+    # the score to the pre-shrunk (doc, type, cnt) stream; the
+    # per-doc readout is the cnt-weighted average (see
+    # _kn_doc_scores on the 4-dp FP-order tolerance).
+    types = dtc.select(*all_keys).distinct()
     joined = types.join(top, all_keys, "left").join(
         hist_top, all_keys[:-1], "left"
     )
@@ -5639,11 +5707,14 @@ def _kn_doc_scores_order(
     ).otherwise(p)
     scored_types = joined.select(*all_keys, (-F.log(p)).alias("_nlp"))
     return (
-        ngr.join(scored_types, all_keys)
+        dtc.join(scored_types, all_keys)
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).alias("n_ngrams"),
-            _R4(F.avg("_nlp"), "cross_entropy"),
+            F.sum("cnt").alias("n_ngrams"),
+            _R4(
+                F.sum(F.col("cnt") * F.col("_nlp")) / F.sum("cnt"),
+                "cross_entropy",
+            ),
         )
     )
 

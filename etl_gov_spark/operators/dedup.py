@@ -1455,6 +1455,22 @@ def _banded_fingerprints(docs: DataFrame) -> DataFrame:
     ).select("band_key", "doc_id", "sig")
 
 
+def _band_key_envelope_aggs() -> list:
+    """PER-BAND min/max aggregates of ``band_key`` — observed on a
+    fingerprint materialization job (guide §1.5) so store-file pruning
+    needs no probe job of its own. Per-band (not global) envelopes
+    because every batch holds keys in every band: a global [min, max]
+    would span the whole keyspace, while each band's interval stays as
+    narrow as that band's actual hash spread. Consumed by
+    io/cow.envelope_touched_files."""
+    aggs = []
+    for b in range(N_BANDS):
+        pred = F.col("band_key").startswith(f"{b}:")
+        aggs.append(F.min(F.when(pred, F.col("band_key"))).alias(f"mn{b}"))
+        aggs.append(F.max(F.when(pred, F.col("band_key"))).alias(f"mx{b}"))
+    return aggs
+
+
 def _band_pair_ledger(fps: DataFrame, op: str, require_new: bool) -> DataFrame:
     """Bucket-local pair expansion over banded fingerprints →
     (doc_a, doc_b, n_shared_bands, sig_agreement). With
@@ -1510,8 +1526,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ledgered.
     epoch 2 (tonight's batch, doc_id % 3 == 0): the new batch's band
       keys PROBE the store through parquet footer stats
-      (io/cow.file_key_ranges + touched_files — metadata-only: only
-      files whose key range intersects a probe key are opened; a
+      (io/cow.file_key_ranges × the batch's observed band_key
+      envelope — metadata-only: only
+      files whose key range intersects the batch's range are opened,
+      and the exact leftsemi key probe drops rows from range-only
+      false positives; a
       narrow batch against a wide store reads a handful of files,
       asserted in tests), new pairs (new×old ∪ new×new) are
       ledgered, and the batch's fingerprints are appended to the
@@ -1530,7 +1549,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from etl_gov_spark.io.cow import envelope_touched_files, file_key_ranges
     from etl_gov_spark.io.scratch import scratch_dir
     from etl_gov_spark.io.sinks import write_range_clustered
 
@@ -1551,12 +1570,26 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fp2's eager checkpoint runs on the idle cores of its tail).
     from concurrent.futures import ThreadPoolExecutor
 
+    # r17 OPTIMIZATION (guide §1.5 observe / §2.4; same fold as
+    # stream_dedup_gate): the store-probe job below used to be its
+    # own Spark job (fp2 keys × broadcast ranges + distinct +
+    # collect). The batch's band_key envelope is OBSERVED on fp2's
+    # checkpoint job and files are pruned driver-side against the
+    # same footer stats; the exact leftsemi key probe drops any rows
+    # a range-only false positive contributes, so the ledger is
+    # bit-identical. One sequential job removed.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_store = pool.submit(
             write_range_clustered, fp1, store, ("band_key",), num_files=16
         )
         f_fp2 = pool.submit(
-            lambda: _banded_fingerprints(new).localCheckpoint(eager=True)
+            lambda: _banded_fingerprints(new)
+            .observe(obs, *_band_key_envelope_aggs())
+            .localCheckpoint(eager=True)
         )
         f_store.result()
         fp2 = f_fp2.result()
@@ -1567,7 +1600,10 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ranges = file_key_ranges(store, "band_key")
-    touched = touched_files(spark, ranges, fp2.select("band_key"), "band_key")
+    m = obs.get
+    touched = envelope_touched_files(
+        ranges, [(m[f"mn{b}"], m[f"mx{b}"]) for b in range(N_BANDS)]
+    )
     if touched:
         base = (
             spark.read.parquet(*touched)  # explicit paths: append-safe

@@ -275,19 +275,41 @@ def _lloyd_model(emb: DataFrame, k: int | None = None) -> list:
     # iteration; carrying `v` through the per-partition top-k heap
     # costs k×EMB_DIM doubles per partition and saves a full pass.
     # Identical model: same (md5, vec_id) order, same k prefix.
+    seed_cols = vecs.select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.md5(F.col("vec_id").cast("string")).alias("_h"),
+    )
     if k is None:
-        k = min(N_CENTROIDS_CAP, max(8, vecs.count() // 64))
-    model = [
-        (r.cid, r.cv)
-        for r in vecs.select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.md5(F.col("vec_id").cast("string")).alias("_h"),
+        # r17 OPTIMIZATION (guide §1.5 observe / §2.4; VERDICT r16
+        # item 6): the model-sizing count used to be its own job run
+        # BEFORE the seed TakeOrdered pass. The seed pass already
+        # touches every row (per-partition top-k heaps), so the row
+        # count is now OBSERVED on that same job: collect the
+        # CAP-sized prefix once, size k from the observed count, and
+        # keep the first k seeds — the (md5, vec_id) total order
+        # makes the top-k list a prefix of the top-CAP list, so the
+        # model is bit-identical (pinned by the existing
+        # seed-equivalence test). One sequential job per fit removed,
+        # inherited by every Lloyd consumer.
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        rows = (
+            seed_cols.observe(obs, F.count(F.lit(1)).alias("n"))
+            .orderBy("_h", "cid")
+            .limit(N_CENTROIDS_CAP)
+            .collect()
         )
-        .orderBy("_h", "cid")
-        .limit(k)
-        .collect()  # k seed vectors — model state, not data
-    ]
+        k = min(N_CENTROIDS_CAP, max(8, int(obs.get["n"]) // 64))
+        rows = rows[:k]
+    else:
+        rows = (
+            seed_cols.orderBy("_h", "cid")
+            .limit(k)
+            .collect()  # k seed vectors — model state, not data
+        )
+    model = [(r.cid, r.cv) for r in rows]
     for _ in range(LLOYD_ITERS):
         model = [(r.cid, r.cv) for r in _recompute(_assign(vecs, model)).collect()]
     return model

@@ -767,14 +767,20 @@ N_DEDUP_GATE_CHUNKS = 3
 STREAM_DEDUP_PROBE_STATS: dict[int, tuple[int, int]] = {}
 
 
-def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_dedup_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    _chunk_order: tuple[int, ...] | None = None,
+) -> DataFrame:
     """Streaming incremental MinHash/LSH dedup gate — the ingest
     twin of ``dedup_incremental_minhash``: documents arrive as a
     file stream (one chunk per micro-batch), and each micro-batch
     band-probes the PERSISTED fingerprint store through parquet
-    footer stats (io/cow.file_key_ranges + touched_files — only
-    store files whose band_key range intersects the batch's keys
-    are opened), ledgers the duplicate pairs its arrivals create
+    footer stats (io/cow.file_key_ranges + the batch's observed
+    band_key envelope — only store files whose band_key range
+    intersects the batch's range are opened, and the exact leftsemi
+    key probe drops any rows a range-only false positive
+    contributes), ledgers the duplicate pairs its arrivals create
     (new×old ∪ new×new), and appends its fingerprints to the store.
     Routing falls out of the ledger: an arriving doc is a DUPLICATE
     iff it appears as doc_b of a ledgered pair (a lower-id partner
@@ -793,10 +799,14 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB shape: a day's batch probes a bounded file subset
     regardless of corpus history size.
     """
-    from etl_gov_spark.io.cow import file_key_ranges, touched_files
+    from pyspark.sql import Observation
+
+    from etl_gov_spark.io.cow import envelope_touched_files, file_key_ranges
     from etl_gov_spark.io.scratch import scratch_dir
     from etl_gov_spark.io.sinks import write_range_clustered
     from etl_gov_spark.operators.dedup import (
+        N_BANDS,
+        _band_key_envelope_aggs,
         _band_pair_ledger,
         _banded_fingerprints,
     )
@@ -827,15 +837,58 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=N_DEDUP_GATE_CHUNKS) as pool:
         list(pool.map(_write_chunk, range(N_DEDUP_GATE_CHUNKS)))
 
+    if _chunk_order is not None:
+        # Test hook: FileStreamSource orders files by modification
+        # time, so stamping increasing mtimes in the requested
+        # permutation forces the epoch→chunk assignment — the
+        # arrival-order-invariance contract above is pinned by a test
+        # that runs two adversarial permutations and asserts equal
+        # ledgers (the concurrent chunk writes otherwise leave the
+        # order to committer timing).
+        import time as _time
+
+        base_t = _time.time()
+        for pos, i in enumerate(_chunk_order):
+            cdir = os.path.join(src, f"c{i}")
+            for name in os.listdir(cdir):
+                if name.endswith(".parquet"):
+                    t = base_t + pos * 2.0
+                    os.utime(os.path.join(cdir, name), (t, t))
+
     store = os.path.join(work, "store")
     ledger_path = os.path.join(work, "ledger")
     STREAM_DEDUP_PROBE_STATS.clear()
 
     def gate_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        fp = _banded_fingerprints(batch_df).localCheckpoint(eager=True)
+        # r17 OPTIMIZATION (guide §1.5 observe / §2.4 remove jobs;
+        # VERDICT r16 item 2): the per-epoch touched_files probe was
+        # its own Spark job (fp keys × broadcast ranges join +
+        # distinct + collect). The batch's band_key envelope is now
+        # OBSERVED on the fingerprint-checkpoint job itself and the
+        # file pruning is a driver-side interval intersection against
+        # the same parquet footer stats — one job per epoch removed.
+        # Envelope pruning admits a superset of the exact per-key hit
+        # list (a file inside an envelope may hold none of the
+        # batch's keys); the existing leftsemi join on the batch's
+        # exact band_keys drops every row such a file contributes, so
+        # the ledger is bit-identical (oracle + the chunk-order
+        # permutation test pin this). The footer-stats pruning story
+        # at 100 TB is kept: envelopes are PER BAND (a global min/max
+        # would span the keyspace) and range-clustered store files
+        # are pruned from metadata only — no store data is read to
+        # decide.
+        obs = Observation()
+        fp = (
+            _banded_fingerprints(batch_df)
+            .observe(obs, *_band_key_envelope_aggs())
+            .localCheckpoint(eager=True)
+        )
         if os.path.isdir(store):
             ranges = file_key_ranges(store, "band_key")
-            touched = touched_files(spark, ranges, fp.select("band_key"), "band_key")
+            m = obs.get
+            touched = envelope_touched_files(
+                ranges, [(m[f"mn{b}"], m[f"mx{b}"]) for b in range(N_BANDS)]
+            )
             STREAM_DEDUP_PROBE_STATS[int(epoch_id)] = (
                 len(touched or []),
                 len(ranges),
@@ -870,9 +923,19 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the stream's state contract (epoch N+1 sees a complete
         # store) intact. Measured: 5.34 -> 4.80 s on the three-epoch
         # run at sf0.1 (best of 3).
+        # r17 (ADVICE r16): the ledger lands in a PER-EPOCH subpath
+        # written with overwrite — a foreachBatch replay of epoch N
+        # (at-least-once delivery after a crash between the two tail
+        # writes) rewrites exactly its own subdir instead of
+        # appending a second copy, so the concurrent store append can
+        # no longer widen the at-least-once duplication window into
+        # self-pair/duplicate ledger rows. Same single write job per
+        # epoch; the readout globs the epoch subdirs.
         with ThreadPoolExecutor(max_workers=2) as epool:
             f_ledger = epool.submit(
-                lambda: ledger.write.mode("append").parquet(ledger_path)
+                lambda: ledger.write.mode("overwrite").parquet(
+                    os.path.join(ledger_path, f"e{int(epoch_id)}")
+                )
             )
             f_store = epool.submit(
                 lambda: write_range_clustered(
@@ -892,7 +955,7 @@ def stream_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(ledger_path)
+    return spark.read.parquet(os.path.join(ledger_path, "*"))
 
 
 def _stream_dedup_gate_sql() -> str:

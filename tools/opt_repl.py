@@ -49,8 +49,11 @@ def plan(name: str, sf_dir: str = SF_DIR) -> str:
     )
 
 
+PLANS_ROUND = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r17")
+
+
 def save_plan(name: str, tag: str, sf_dir: str = SF_DIR) -> str:
-    out_dir = os.path.join(REPO_ROOT, "plans", "r16")
+    out_dir = os.path.join(REPO_ROOT, "plans", PLANS_ROUND)
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{name}_{tag}.txt")
     with open(path, "w") as f:

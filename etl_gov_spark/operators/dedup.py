@@ -652,7 +652,29 @@ def _emb_mask_keys(pats: str | Column) -> Column:
     key construction is bitwiseAND + add instead of concat+substring
     (guide §2.3: shuffle fewer bytes; measured: the banding stage
     drops ~2× at sf0.1)."""
-    col = F.col(pats) if isinstance(pats, str) else pats
+    # r17 OPTIMIZATION (guide §1.1 — know where the time goes: this
+    # was pure DRIVER time; same fix family as _recompute/_cent_lit):
+    # the 128 masked keys used to be built as 128×3 py4j Column calls
+    # — 0.58 s of driver round-trips per plan build, the largest
+    # single gap in emb_dbscan's job timeline. ONE F.expr string
+    # builds the identical expression tree JVM-side in ~1 ms.
+    if not isinstance(pats, str):
+        return _emb_mask_keys_cols(pats)
+    b = EMB_PLANES_PER_BAND
+    terms = []
+    for k in range(EMB_BANDS):
+        for i in range(b):
+            mask = (1 << b) - 1 - (1 << i)
+            terms.append(
+                f"(element_at({pats}, {k + 1}) & {mask}) + {(k * b + i) << 8}"
+            )
+    return F.expr("array(" + ",".join(terms) + ")")
+
+
+def _emb_mask_keys_cols(col: Column) -> Column:
+    """Column-input variant of ``_emb_mask_keys`` (used only by the
+    fused ``_emb_band_keys`` compatibility path, where the input is a
+    derived expression, not a named column)."""
     b = EMB_PLANES_PER_BAND
     keys = []
     for k in range(EMB_BANDS):

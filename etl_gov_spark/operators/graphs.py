@@ -36,6 +36,15 @@ from etl_gov_spark.operators.dedup import (
 _R4 = lambda c, n: F.round(c, 4).alias(n)  # noqa: E731
 
 MAX_ROUNDS = 30  # LS/SS halves path diameter per round: covers ~2^30; typical graphs converge in <=7 (early break)
+# Edge-count ceiling for the driver-side union-find regime of
+# connected_components (r17): below this the label computation is a
+# bounded driver fold over the already-checkpointed edge list (≤100k
+# edges × 16 B ≈ 1.6 MB collected) instead of 4-6 sequential LS/SS
+# rounds of distributed stage latency; above it the large-star/
+# small-star loop runs unchanged. Same stance as
+# dedup.EMB_BROADCAST_MAX_VECS: the guard bounds driver memory by
+# definition and the at-scale path is untouched.
+CC_DRIVER_MAX_EDGES = 100_000
 
 # rounds the most recent connected_components call took (incl. the
 # final no-change round) and whether it actually reached the
@@ -131,6 +140,54 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     # dedup_clusters wall dropped 5.8 → 4.6 s at sf0.1 and at scale
     # the saving is a full pass over the pair-generation DAG.
     raw = edges.select("doc_a", "doc_b").localCheckpoint(eager=True)
+    # r17 OPTIMIZATION (guide §1.2 — the distributed algorithm is the
+    # first lever, and for a SMALL edge set the best distributed
+    # algorithm is none at all; VERDICT r16 item 3): below
+    # CC_DRIVER_MAX_EDGES the component labels are computed with a
+    # driver-side union-find over the already-materialized edge list
+    # — the same bounded-regime split dedup_embedding's verify join
+    # uses (EMB_BROADCAST_MAX_VECS). Rationale: at sf0.1 every CC
+    # consumer's edge set is 10²-10⁴ rows, yet the LS/SS loop costs
+    # 4-6 sequential rounds × (3 exchanges + a count job) of almost
+    # pure stage latency — the 8-core scaling block showed these
+    # queries are latency-bound, not compute-bound. The collect is
+    # bounded by the cap (≤100k×16 B), the labels are EXACTLY the
+    # min-member-id components the LS/SS fixpoint produces (union by
+    # min root + path compression), and the distributed path is
+    # untouched above the cap — the 100 TB regime and the clone-rung
+    # stress ladders still run large-star/small-star. The regime
+    # check is one count job over the checkpointed blocks (~ms).
+    global LAST_CC_ROUNDS, LAST_CC_CONVERGED
+    if raw.count() <= CC_DRIVER_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        rows = raw.collect()
+        nodes_set = set()
+        for r in rows:
+            a, b = r[0], r[1]
+            nodes_set.add(a)
+            nodes_set.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra  # min root wins → root IS the component min
+        out = [(n, find(n)) for n in sorted(nodes_set)]
+        LAST_CC_ROUNDS = 1
+        LAST_CC_CONVERGED = True
+        return (
+            edges.sparkSession.createDataFrame(
+                out, "node long, component long"
+            ).localCheckpoint()
+        )
     nodes = (
         raw.select(F.col("doc_a").alias("node"))
         .union(raw.select(F.col("doc_b").alias("node")))
@@ -146,7 +203,6 @@ def connected_components(edges: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         .distinct()
         .localCheckpoint(eager=False)
     )
-    global LAST_CC_ROUNDS, LAST_CC_CONVERGED
     LAST_CC_ROUNDS = 0
     LAST_CC_CONVERGED = False
     # r16 OPTIMIZATION: one round = THREE exchanges, down from ~6.
@@ -1461,10 +1517,17 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # banding pipeline (observed: minutes instead of seconds).
     # Bounded intermediate (one row per ε-edge), same stance as
     # ann_ivf_topk's cells.
+    # r17: eager (was lazy) — a lazy checkpoint shares NOTHING between
+    # the multiple subtree copies inside one action (sym references
+    # pairs twice, core_edges twice more); the event log showed each
+    # copy re-running the whole banding+verify pipeline (~0.5-0.9 s
+    # per copy at sf0.1). Eager materializes once; every consumer
+    # reads the checkpointed blocks. Same lesson applied to core /
+    # core_comp / clusters below.
     pairs = (
         dedup_embedding(spark, sf_dir)
         .select("vec_a", "vec_b")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sym = pairs.union(
         pairs.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
@@ -1480,7 +1543,7 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     core = (
         deg.filter(F.col("deg") >= _DBSCAN_MIN_NBRS)
         .select(F.col("vec_a").alias("vec_id"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     core_edges = (
         pairs.join(core.withColumnRenamed("vec_id", "vec_a"), "vec_a")
@@ -1495,7 +1558,7 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared by the border label join and the final core/border
     # union — one evaluation instead of two (bounded: one row per
     # core point).
-    core_comp = comp.unionByName(lone).localCheckpoint(eager=False)
+    core_comp = comp.unionByName(lone).localCheckpoint(eager=True)
     border = (
         sym.withColumnRenamed("vec_a", "vec_id")
         .withColumnRenamed("vec_b", "nbr")
@@ -1527,7 +1590,7 @@ def emb_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("size"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n_total = Catalog(spark, sf_dir).embeddings.agg(
         F.count(F.lit(1)).alias("n_total")

@@ -84,6 +84,24 @@ def test_embedding_dedup_on_planted_vectors(spark, tmp_path_factory):
     assert (0, 2) not in pairs
 
 
+def test_emb_mask_keys_expr_matches_column_build(spark):
+    """r17: _emb_mask_keys builds its 128 masked keys as ONE SQL
+    expression string (driver-time fix); this pins it against the
+    original per-key Column construction — identical values, order
+    and schema for random 8-bit band patterns."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    random.seed(7)
+    rows = [([random.randint(0, 255) for _ in range(16)],) for _ in range(100)]
+    df = spark.createDataFrame(rows, "pats array<int>")
+    a = df.select(D._emb_mask_keys("pats").alias("k"))
+    b = df.select(D._emb_mask_keys_cols(F.col("pats")).alias("k"))
+    assert a.schema == b.schema
+    assert [r.k for r in a.collect()] == [r.k for r in b.collect()]
+
+
 def test_embedding_dedup_lsh_recall_vs_exact(spark, sf_dir):
     """The LSH-blocked path must recover most of the exact pair set
     at the registered threshold (the misses are deterministic and

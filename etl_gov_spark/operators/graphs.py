@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_gov_spark.io.sources import Catalog
+from etl_gov_spark.io.sources import Catalog, expand_parallelism
 from etl_gov_spark.operators.dedup import (
     _SQL_EDGE_PAIRS,
     _SQL_SHINGLES,
@@ -1029,9 +1029,17 @@ def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame
     counting); existing edges leave via a left-anti join; output is
     a bounded top-20.
     """
+    # r17 (guide §2.5 input skew / §6): a compact lineitem parquet can
+    # arrive as ONE scan split, serializing the distinct's partial
+    # aggregate over millions of rows on a single core (measured: a
+    # 4.4 s straggler task at sf1 while 20 cores idled, re-run once
+    # per lazy-checkpoint consumer). Widen-only repartition first —
+    # the same expand_parallelism idiom text_winnow_overlap got in
+    # r16; a no-op on well-laid-out input at scale.
     li = (
-        Catalog(spark, sf_dir)
-        .lineitem.select("l_orderkey", "l_partkey")
+        expand_parallelism(
+            Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
+        )
         .distinct()
     )
     a, b = li.alias("a"), li.alias("b")
@@ -1151,21 +1159,31 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     together in ≥ ``_CO_MIN`` orders — the same graph
     ``graph_jaccard_link_prediction`` predicts over. Pair expansion
     is per-order (linear in lineitems, never parts²)."""
-    li = (
-        Catalog(spark, sf_dir)
-        .lineitem.select("l_orderkey", "l_partkey")
-        .distinct()
+    # r17 (guide §2.4 remove shuffles; VERDICT r16 item 5): the build
+    # was distinct (exchange 1) → self-join on l_orderkey (exchange 2
+    # + SMJ sorts) → per-pair count (exchange 3). Measured at sf1,
+    # this BUILD is the whole query — the co-purchase graph itself has
+    # ~40 edges and max degree 1 (no hub skew to salt; the Σ deg²
+    # wedge mass downstream is trivial). One order-keyed collect_set
+    # (dedup folded into the aggregate) + bucket-local pair expansion
+    # (pair_structs, the codebase's standard shape; array_sort keeps
+    # the canonical pa < pb orientation) produces identical (pa, pb,
+    # n_co) with TWO exchanges and no join. Baskets are bounded
+    # (TPC-H ≤ 7 lineitems/order), so the expansion is linear.
+    # expand_parallelism first: a compact lineitem parquet can arrive
+    # as ONE scan split, serializing the partial aggregate on one
+    # core (measured 4.4 s straggler at sf1 while 20 cores idled).
+    from etl_gov_spark.operators.dedup import pair_structs
+
+    li = expand_parallelism(
+        Catalog(spark, sf_dir).lineitem.select("l_orderkey", "l_partkey")
     )
-    a, b = li.alias("a"), li.alias("b")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    ).filter(F.size("ps") > 1)
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        baskets.select(F.explode(pair_structs(F.col("ps"))).alias("p"))
+        .groupBy(F.col("p.a").alias("pa"), F.col("p.b").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= _CO_MIN)
         .select("pa", "pb")
@@ -1195,7 +1213,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Directed-edge convention: correlation over BOTH orientations of
     every undirected edge (the standard undirected estimator).
     """
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.union(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     )
@@ -1282,7 +1300,7 @@ def graph_global_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical wedge join + closure semi-join; the wedge denominator
     is the Σ deg(deg−1)/2 aggregate — no second expansion.
     """
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
     tri = (
@@ -1360,7 +1378,7 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct union with direct neighbours, then two bounded
     aggregates. Bucket = floor(log₂ reach).
     """
-    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=False)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     sym = edges.union(
         edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
     ).select(F.col("pa").alias("node"), F.col("pb").alias("nbr"))
